@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** General analytic query surface (SURVEY §2 B-block).
+  *
+  * Correctness-parity rules shared with the DuckDB oracles:
+  *  - money/quantity aggregates are summed as decimal(18,2) (exact and
+  *    order-independent — a double sum's value depends on partial-agg
+  *    order across partitions) and only cast to double at the end;
+  *  - averages are computed as cast(sum_dec as double)/count so both
+  *    engines perform the identical single IEEE division;
+  *  - every query has a deterministic output set (unique keys or an
+  *    explicit tie-break ordering before any limit).
+  *
+  * Scale notes: all scans are column-pruned + filter-pushed (verified
+  * via explain in `PlanAuditSpec`); dimension joins broadcast; fact-fact
+  * joins shuffle once on the join key and AQE handles skew.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum((dec($"l_extendedprice") * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style shipping-priority revenue top-10. */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < lit("1997-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > lit("1997-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum((dec($"l_extendedprice") * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume by nation. */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reg = Tables.region(spark, sfDir).filter($"r_name" === "ASIA").select("r_regionkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+    val natAsia = nat.join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(natAsia), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum((dec($"l_extendedprice") * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+  }
+
+  /** Top-3 orders by total price within each order priority. */
+  def qTopkWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("rank_in_priority", row_number().over(w))
+      .filter($"rank_in_priority" <= 3)
+  }
+
+  /** Tumbling 1-hour window aggregation over the events stream table. */
+  def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"),
+        count_distinct($"user_id").as("n_users"))
+  }
+
+  /** Sessionization: a new session starts after a >30-minute gap per
+    * user. Single window shuffle on user_id; at 100 TB this is one
+    * hash-partitioned sort per user which AQE sizes (no driver state).
+    */
+  def qEventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"))
+      .withColumn("prev_ms", lag($"ts_ms", 1).over(
+        Window.partitionBy($"user_id").orderBy($"ts_ms".asc, $"event_id".asc)))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || ($"ts_ms" - $"prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"ts_ms".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"ts_ms", $"session_seq")
+  }
+
+  /** Running cumulative quantity per supplier ordered by ship date. */
+  def qRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join_agg" -> q3JoinAgg,
+    "q5_multijoin" -> q5MultiJoin,
+    "q_topk_window" -> qTopkWindow,
+    "q_events_window" -> qEventsWindow,
+    "q_events_sessionize" -> qEventsSessionize,
+    "q_running_sum" -> qRunningSum)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_topk_window" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rank_in_priority
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
+        |  FROM orders) t
+        |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """SELECT user_id, event_id, ts_ms,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) IS NULL
+        |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events) t""".stripMargin,
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin)
+}

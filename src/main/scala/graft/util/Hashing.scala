@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable hashing primitives shared by the CDC range-hash and dedup
+  * operators.
+  *
+  * Everything is built from `md5` because Spark's `md5` and DuckDB's
+  * `md5` agree bit-for-bit, which lets the driver's DuckDB oracle
+  * hash-check operators that *contain* hashes. Spark-side the 64-bit
+  * derivation is `conv(substr(md5(x),1,15),16,10)` (codegen'd
+  * built-ins, no UDF); DuckDB-side it is
+  * `('0x' || substr(md5(x),1,15))::BIGINT`. 15 hex chars = 60 bits,
+  * so the value is non-negative and fits a signed 64-bit on both
+  * engines.
+  */
+object Hashing {
+
+  /** 60-bit non-negative portable hash of a string column. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Portable hash seeded by an integer — gives an indexed hash family
+    * h_i(x) = portableHash64(i || ':' || x) for MinHash signatures.
+    */
+  def seededHash64(seed: Int, c: Column): Column =
+    portableHash64(concat(lit(seed.toString), lit(":"), c))
+
+  /** 32-bit-range portable hash (first 8 hex chars): small enough that
+    * per-bucket SUMs of many of them stay well inside a signed 64-bit
+    * range on both engines (used by the commutative range hash).
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared one-session-per-JVM test base (sessions are expensive;
+  * `SparkSession.builder.getOrCreate` reuses across suites in the
+  * forked test JVM).
+  */
+trait SparkSpec extends AnyFunSuite {
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def sql(q: String) = spark.sql(q)
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
