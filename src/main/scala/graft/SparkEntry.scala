@@ -16,8 +16,8 @@ object SparkEntry {
     graft.queries.Analytics.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++ graft.queries.CdcQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles
+    graft.queries.Analytics.oracles ++ graft.queries.CdcQueries.oracles
 }

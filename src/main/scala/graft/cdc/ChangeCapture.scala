@@ -1,0 +1,63 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental change detection — the Spark-native form of sslr's
+  * xmin-watermark tracking (reference: internal/updates.go:23-66).
+  *
+  * Postgres `xmin` is a monotonically increasing transaction id; its
+  * Spark-world analog is any monotone version column in a change feed
+  * (an autoincrement id, an epoch, a CDC log offset). Operators take
+  * the version column explicitly.
+  *
+  * Scale: both operators are single-scan, filter-pushed (version
+  * predicates reach the parquet reader as `PushedFilters`), and
+  * aggregate map-side — no full shuffle at any size.
+  */
+object ChangeCapture {
+
+  /** The update range for a table: filtered row count + max version.
+    * Reference computes `select count(*), max(xmin) from t where …`
+    * (updates.go:44); this is its exact distributed equivalent (one
+    * column-pruned scan, partial aggregation, single-row result).
+    */
+  def updateRange(source: DataFrame, versionCol: Column, filter: Column = lit(true)): DataFrame =
+    source.filter(filter)
+      .agg(count(lit(1)).as("row_count"), max(versionCol).as("max_version"))
+
+  /** Changed-row extract: rows with version > watermark, optionally
+    * filtered. The reference pulls these in ordered chunks with
+    * offset/limit because it streams over one connection
+    * (updates.go:68-160); in Spark ordering/chunking is partitioning,
+    * so the operator returns the whole incremental set and lets the
+    * sink partition it. Deterministic order keys are the caller's
+    * sort columns if a stable file layout is wanted.
+    */
+  def incrementalPull(source: DataFrame, versionCol: Column, watermark: Long,
+                      filter: Column = lit(true)): DataFrame =
+    source.filter(versionCol > lit(watermark)).filter(filter)
+
+  /** Decide full-copy vs incremental per table: a target holding fewer
+    * than `threshold * source_rows` rows is considered stale and gets
+    * a full resync (reference: updates.go:55-60, fullCopyThreshold).
+    * Counts are map-side aggregated; the result is one row.
+    */
+  def fullCopyDecision(source: DataFrame, target: DataFrame, tableName: String,
+                       threshold: Double, filter: Column = lit(true)): DataFrame = {
+    val s = source.filter(filter).agg(count(lit(1)).as("source_rows"))
+      .withColumn("table_name", lit(tableName))
+    val t = target.filter(filter).agg(count(lit(1)).as("target_rows"))
+      .withColumn("table_name", lit(tableName))
+    s.join(t, "table_name")
+      .withColumn("full_copy", col("target_rows") < col("source_rows") * lit(threshold))
+      .select("table_name", "source_rows", "target_rows", "full_copy")
+  }
+
+  /** Full filtered copy (reference: internal/copy.go:11). Spark-side
+    * this is just a pushed-down scan; materialization is the sink's
+    * `.write` (partitioned parquet on a cluster).
+    */
+  def fullCopy(source: DataFrame, filter: Column = lit(true)): DataFrame =
+    source.filter(filter)
+}

@@ -1,0 +1,34 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Upsert/apply semantics — the Spark-native form of sslr's
+  * delete-then-CopyFrom apply step (reference: internal/updates.go:162-226
+  * `applyUpdates` / `deleteRows`).
+  *
+  * The reference deletes matching PKs inside a transaction and bulk
+  * re-inserts. A distributed engine expresses the same end state
+  * declaratively: `updates ∪ (base ⟕anti updates)` — every PK takes its
+  * newest row, rows absent from updates survive unchanged.
+  *
+  * Scale: one shuffle of each side on the PK. When the target is
+  * parquet bucketed by PK (see Replicator), the base side's shuffle is
+  * avoided entirely; the anti join also benefits from AQE converting to
+  * broadcast when the update batch is small — the common CDC case.
+  */
+object Merge {
+
+  /** Apply `updates` to `base` by primary key (last-writer-wins). */
+  def upsert(base: DataFrame, updates: DataFrame, pkCols: Seq[String]): DataFrame = {
+    require(pkCols.nonEmpty, "upsert needs at least one primary-key column")
+    val survivors = base.join(updates.select(pkCols.map(col): _*), pkCols, "left_anti")
+    updates.unionByName(survivors)
+  }
+
+  /** Remove rows whose PK appears in `deletedKeys`
+    * (reference: deleteRows, updates.go:228).
+    */
+  def applyDeletes(target: DataFrame, deletedKeys: DataFrame, pkCols: Seq[String]): DataFrame =
+    target.join(deletedKeys.select(pkCols.map(col): _*), pkCols, "left_anti")
+}

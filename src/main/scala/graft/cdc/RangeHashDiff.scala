@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Hashing
+
+/** Delete detection by primary-key range hashing — the Spark-native
+  * replacement for sslr's divide-and-conquer hash scan
+  * (reference: internal/deletes.go:13-110, getKeyHash at 272).
+  *
+  * The reference hashes `md5(array_agg(pk order by pk))` over chunks and
+  * recursively splits mismatching chunks because it probes a remote
+  * database one query at a time. A distributed engine doesn't need the
+  * recursion: hash EVERY min-size chunk on both sides in one pass each,
+  * join the (small) bucket-hash tables, and only the mismatching ranges
+  * remain. Two column-pruned key-only scans + one bucket-level join
+  * replace O(log n) round trips per divergent range.
+  *
+  * Two hash variants:
+  *  - `ordered = true` reproduces the reference's ordered-list md5
+  *    exactly (collect_list per bucket — bounded by chunkSize keys).
+  *  - `ordered = false` (default, the 100 TB path) sums a per-key
+  *    32-bit hash: commutative and associative, so Spark computes it
+  *    with map-side partial aggregation and never materializes a list.
+  *    Collision odds per bucket are ~2^-32 per chunk pair — and a
+  *    missed range is self-healing on the next sync cycle.
+  */
+object RangeHashDiff {
+
+  /** Per-bucket hash of a table's primary keys.
+    * Output: (bucket, n_keys, key_hash[string]).
+    * Bucket b covers pk ∈ [b*chunkSize, (b+1)*chunkSize).
+    */
+  def bucketHashes(df: DataFrame, pkCol: String, chunkSize: Long,
+                   ordered: Boolean = false, filter: Column = lit(true)): DataFrame = {
+    val pk = col(pkCol)
+    // integer `div`, not `/`: Column./ is IEEE double division, which
+    // loses exactness for keys beyond 2^53 — fatal at 100 TB key ranges
+    val keyed = df.filter(filter)
+      .select(expr(s"cast(`$pkCol` as bigint) div ${chunkSize}L").as("bucket"), pk.as("pk"))
+    if (ordered) {
+      keyed.groupBy("bucket").agg(
+        count(lit(1)).as("n_keys"),
+        md5(array_join(transform(sort_array(collect_list(col("pk"))),
+          x => x.cast("string")), ",")).as("key_hash"))
+    } else {
+      keyed.groupBy("bucket").agg(
+        count(lit(1)).as("n_keys"),
+        sum(Hashing.portableHash32(col("pk").cast("string"))).cast("string").as("key_hash"))
+    }
+  }
+
+  /** Buckets whose key sets differ between source and target —
+    * the distributed one-pass analog of the reference's recursive
+    * split-compare (deletes.go:50-100). The bucket tables are
+    * |keys|/chunkSize rows, so this join is tiny relative to the data
+    * (AQE broadcasts it when one side fits).
+    */
+  def diffBuckets(source: DataFrame, target: DataFrame, pkCol: String, chunkSize: Long,
+                  ordered: Boolean = false): DataFrame = {
+    val s = bucketHashes(source, pkCol, chunkSize, ordered)
+      .withColumnsRenamed(Map("n_keys" -> "src_keys", "key_hash" -> "src_hash"))
+    val t = bucketHashes(target, pkCol, chunkSize, ordered)
+      .withColumnsRenamed(Map("n_keys" -> "tgt_keys", "key_hash" -> "tgt_hash"))
+    s.join(t, Seq("bucket"), "full_outer")
+      .filter(coalesce(col("src_hash"), lit("∅")) =!= coalesce(col("tgt_hash"), lit("∅")))
+      .select(col("bucket"),
+        coalesce(col("src_keys"), lit(0L)).as("src_keys"),
+        coalesce(col("tgt_keys"), lit(0L)).as("tgt_keys"))
+  }
+
+  /** Source rows inside the differing ranges — the delete+reload
+    * payload of the reference's `updateChangedRange`
+    * (deletes.go:160-230). The bucket list is broadcast: it's the
+    * divergence set, small by construction in a steady-state sync.
+    */
+  def changedRangeRows(source: DataFrame, diff: DataFrame, pkCol: String,
+                       chunkSize: Long): DataFrame = {
+    val bucketed = source.withColumn("bucket",
+      expr(s"cast(`$pkCol` as bigint) div ${chunkSize}L"))
+    bucketed.join(broadcast(diff.select("bucket")), Seq("bucket"), "left_semi")
+      .drop("bucket")
+  }
+
+  /** The net delete set: keys present in target, gone from source.
+    * One anti join, shuffled on the key (AQE may broadcast the smaller
+    * side). This is the end-to-end effect the reference achieves with
+    * hash ranges + per-range delete/reload.
+    */
+  def deletedKeys(source: DataFrame, target: DataFrame, pkCols: Seq[String]): DataFrame =
+    target.select(pkCols.map(col): _*)
+      .join(source.select(pkCols.map(col): _*), pkCols, "left_anti")
+}

@@ -1,0 +1,175 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-table replication settings (reference: internal/config.go).
+  *
+  * `where` is an optional SQL predicate (the reference's filtered
+  * tables); `uses` lists tables the predicate depends on, validated
+  * for cycles exactly like the reference's validationStatus machine
+  * (job.go:96).
+  */
+case class TableConfig(
+    name: String,
+    primaryKeys: Seq[String],
+    versionColumn: String,
+    where: Option[String] = None,
+    uses: Seq[String] = Nil)
+
+/** Job-level knobs (reference: internal/config.go, sslr.json).
+  * `updateChunkSize` maps to the incremental write's partition sizing;
+  * `deleteChunkSize` is the range-hash bucket width; throttling maps to
+  * Spark's own admission controls (maxFilesPerTrigger when streaming,
+  * AQE partition sizing when batch) — a cluster engine throttles by
+  * sizing parallelism, not by sleeping a single connection.
+  */
+case class ReplicationConfig(
+    tables: Seq[TableConfig],
+    fullCopyThreshold: Double = 0.5,
+    syncUpdates: Boolean = true,
+    syncDeletes: Boolean = true,
+    resyncOnSchemaChange: Boolean = false,
+    updateChunkSize: Int = 10000,
+    deleteChunkSize: Long = 50000)
+
+/** End-to-end replication job over two parquet "databases" — the
+  * Spark-native Job.Run (reference: internal/job.go:51).
+  *
+  * Source and target are directories of `<table>.parquet` datasets.
+  * Each cycle: validate (dependency cycles, schema drift, where-clause
+  * drift) → update (watermark incremental pull + upsert, or full copy
+  * when stale per fullCopyThreshold) → delete-sync (range-hash diff +
+  * changed-range reload). State (last seen version + where clause per
+  * table) persists in a StateStore beside the target, like the
+  * reference's __sslr_state.
+  */
+class Replicator(spark: SparkSession, cfg: ReplicationConfig,
+                 sourceDir: String, targetDir: String) {
+
+  val state = new StateStore(spark, s"$targetDir/__graft_state")
+
+  private def sourcePath(t: String) = s"$sourceDir/$t.parquet"
+  private def targetPath(t: String) = s"$targetDir/$t.parquet"
+
+  private def readSource(t: TableConfig): DataFrame = {
+    val df = spark.read.parquet(sourcePath(t.name))
+    t.where.map(w => df.filter(expr(w))).getOrElse(df)
+  }
+
+  private def targetExists(t: String): Boolean = {
+    val d = new java.io.File(targetPath(t))
+    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private def readTarget(t: String): DataFrame = spark.read.parquet(targetPath(t))
+
+  private def writeTarget(t: String, df: DataFrame): Unit = {
+    // target rows may derive from the current target parquet; stage the
+    // rewrite to avoid reading and overwriting the same files
+    val tmp = s"$targetDir/__staging_$t"
+    df.write.mode("overwrite").parquet(tmp)
+    val out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(targetPath(t))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** Tables whose validation found drift requiring a full resync. */
+  private var forceSync = Set.empty[String]
+
+  // -- validate ------------------------------------------------------
+
+  /** Cycle-checked dependency validation (reference job.go:96-160). */
+  def validateTables(): Unit = {
+    var status = Map.empty[String, String] // unknown -> validating -> valid
+    def validate(name: String): Unit = {
+      if (status.get(name).contains("valid")) return
+      if (status.get(name).contains("validating"))
+        throw new IllegalStateException("filtered table dependency loop")
+      status += name -> "validating"
+      val t = cfg.tables.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
+      t.uses.foreach(validate)
+
+      val srcSchema = spark.read.parquet(sourcePath(name)).schema
+      val tgtSchema = if (targetExists(name)) Some(readTarget(name).schema) else None
+      SchemaSync.decide(SchemaSync.compare(name, srcSchema, tgtSchema),
+          cfg.resyncOnSchemaChange) match {
+        case SchemaSync.Abort =>
+          throw new IllegalStateException(s"schema mismatch for table $name")
+        case SchemaSync.ForceResync => forceSync += name
+        case _ => ()
+      }
+
+      // where-clause drift (reference job.go:180)
+      val st = state.get(name)
+      val where = t.where.getOrElse("")
+      if (st.isEmpty) state.setWhere(name, where)
+      else if (st.whereClause != where) {
+        if (cfg.resyncOnSchemaChange) { forceSync += name; state.setWhere(name, where) }
+        else throw new IllegalStateException(
+          s"filtered table $name where clause changed without resyncOnSchemaChange")
+      }
+      status += name -> "valid"
+    }
+    cfg.tables.foreach(t => validate(t.name))
+  }
+
+  // -- update --------------------------------------------------------
+
+  def updateTable(t: TableConfig): Unit = {
+    val src = readSource(t)
+    val version = col(t.versionColumn).cast("long")
+    val st = state.get(t.name)
+
+    val Array(srcCount, maxVersion) = {
+      val r = ChangeCapture.updateRange(src, version).head()
+      Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val needFull = forceSync.contains(t.name) || st.lastSeenVersion == 0L || !targetExists(t.name) || {
+      val tgtCount = readTarget(t.name).count()
+      tgtCount < srcCount * cfg.fullCopyThreshold
+    }
+
+    if (needFull) {
+      writeTarget(t.name, ChangeCapture.fullCopy(src))
+    } else {
+      val changes = ChangeCapture.incrementalPull(src, version, st.lastSeenVersion)
+      if (!changes.isEmpty)
+        writeTarget(t.name, Merge.upsert(readTarget(t.name), changes, t.primaryKeys))
+    }
+    state.setVersion(t.name, maxVersion)
+  }
+
+  // -- deletes -------------------------------------------------------
+
+  def syncDeletes(t: TableConfig): Unit = {
+    require(t.primaryKeys.size == 1,
+      "range-hash delete sync keys on a single numeric pk (composite pks use SnapshotDiff)")
+    val pk = t.primaryKeys.head
+    val src = readSource(t)
+    val tgt = readTarget(t.name)
+    val diff = RangeHashDiff.diffBuckets(src, tgt, pk, cfg.deleteChunkSize)
+    if (!diff.isEmpty) {
+      // reference semantics (deletes.go:160): for each differing range,
+      // drop target rows in-range and reload the range from source
+      val cleaned = tgt.join(
+        broadcast(diff.select("bucket")),
+        expr(s"cast(`$pk` as bigint) div ${cfg.deleteChunkSize}L") === col("bucket"),
+        "left_anti")
+      val reloaded = RangeHashDiff.changedRangeRows(src, diff, pk, cfg.deleteChunkSize)
+      writeTarget(t.name, cleaned.unionByName(reloaded))
+    }
+  }
+
+  /** One full sync cycle: validate → update → delete-sync. */
+  def run(): Unit = {
+    validateTables()
+    cfg.tables.foreach { t =>
+      if (cfg.syncUpdates) updateTable(t)
+      if (cfg.syncDeletes && targetExists(t.name)) syncDeletes(t)
+    }
+    forceSync = Set.empty
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ChangeCapture, Merge, RangeHashDiff, SnapshotDiff, SchemaSync}
+import graft.util.Tables
+
+/** Driver-checkable bindings of the CDC operator library (SURVEY §2
+  * A-block) onto the synthetic tables. `events.event_id` plays the
+  * monotone version role (sslr's xmin); `orders.o_orderkey` is the
+  * replicated PK. Simulated target states (dropped key ranges, stale
+  * subsets) are derived deterministically so the DuckDB oracle can
+  * derive the identical scenario.
+  */
+object CdcQueries {
+
+  private val W = 500L        // incremental watermark (nonempty at every sf)
+  private val CHUNK = 1000L   // ordered range-hash chunk
+  private val DCHUNK = 500L   // delete-scan chunk
+
+  // simulated source-side deletion: every 97th key above 5000 vanished
+  private val delPred = "o_orderkey % 97 = 0 AND o_orderkey > 5000"
+
+  def updateRangeQ(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeCapture.updateRange(
+      Tables.events(spark, sfDir), col("event_id"), col("event_type") =!= "error")
+
+  def incrementalPullQ(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeCapture.incrementalPull(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "event_type", "value"),
+      col("event_id"), W, col("event_type") =!= "error")
+
+  def mergeUpsertQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter(expr("o_orderkey % 10 <> 0"))
+    val updates = orders
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("UPDATED"))
+    Merge.upsert(base, updates, Seq("o_orderkey"))
+  }
+
+  def fullCopyQ(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeCapture.fullCopy(
+      Tables.lineitem(spark, sfDir),
+      col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+
+  def fullCopyDecisionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir).filter(col("event_type") =!= "error")
+    val tgt = src.filter(expr("event_id % 3 = 0"))
+    ChangeCapture.fullCopyDecision(src, tgt, "events@0.5", 0.5)
+      .unionByName(ChangeCapture.fullCopyDecision(src, tgt, "events@0.2", 0.2))
+  }
+
+  def rangeHashQ(spark: SparkSession, sfDir: String): DataFrame =
+    RangeHashDiff.bucketHashes(Tables.orders(spark, sfDir), "o_orderkey", CHUNK, ordered = true)
+
+  def rangeHashFastQ(spark: SparkSession, sfDir: String): DataFrame =
+    RangeHashDiff.bucketHashes(Tables.orders(spark, sfDir), "o_orderkey", CHUNK, ordered = false)
+
+  private def srcAfterDeletes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).filter(expr(s"NOT ($delPred)"))
+
+  def rangeDiffQ(spark: SparkSession, sfDir: String): DataFrame =
+    RangeHashDiff.diffBuckets(
+      srcAfterDeletes(spark, sfDir), Tables.orders(spark, sfDir), "o_orderkey", DCHUNK)
+      .withColumnsRenamed(Map("src_keys" -> "source_keys", "tgt_keys" -> "target_keys"))
+
+  def changedRangeResyncQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = srcAfterDeletes(spark, sfDir)
+    val diff = RangeHashDiff.diffBuckets(src, Tables.orders(spark, sfDir), "o_orderkey", DCHUNK)
+    RangeHashDiff.changedRangeRows(src, diff, "o_orderkey", DCHUNK)
+  }
+
+  def deletedKeysQ(spark: SparkSession, sfDir: String): DataFrame =
+    RangeHashDiff.deletedKeys(
+      srcAfterDeletes(spark, sfDir), Tables.orders(spark, sfDir), Seq("o_orderkey"))
+
+  def snapshotDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = Tables.orders(spark, sfDir)
+    val newSnap = old.filter(expr("o_orderkey % 13 <> 0"))
+      .withColumn("o_totalprice",
+        when(expr("o_orderkey % 11 = 0"), col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(old.filter(expr("o_orderkey % 17 = 0"))
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    SnapshotDiff.diff(old, newSnap, Seq("o_orderkey"))
+  }
+
+  def tableLengthQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.05)
+      .agg(count(lit(1)).as("row_count"))
+
+  /** Rows-only (no SQL oracle): DDL + fingerprint per table from the
+    * live Spark schemas (reference schemas.go:95).
+    */
+  def schemaFingerprintQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.names.map { t =>
+      val schema = Tables.load(spark, sfDir, t).schema
+      (t, SchemaSync.ddl(t, schema), SchemaSync.fingerprint(t, schema))
+    }.toDF("table_name", "ddl", "fingerprint")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_update_range" -> updateRangeQ,
+    "cdc_incremental_pull" -> incrementalPullQ,
+    "cdc_merge_upsert" -> mergeUpsertQ,
+    "cdc_full_copy" -> fullCopyQ,
+    "cdc_full_copy_decision" -> fullCopyDecisionQ,
+    "cdc_range_hash" -> rangeHashQ,
+    "cdc_range_hash_fast" -> rangeHashFastQ,
+    "cdc_range_diff" -> rangeDiffQ,
+    "cdc_changed_range_resync" -> changedRangeResyncQ,
+    "cdc_deleted_keys" -> deletedKeysQ,
+    "cdc_snapshot_diff" -> snapshotDiffQ,
+    "cdc_table_length" -> tableLengthQ,
+    "cdc_schema_fingerprint" -> schemaFingerprintQ)
+
+  private val diffCte =
+    s"""WITH s AS (SELECT o_orderkey // $DCHUNK AS bucket, count(*) AS n FROM orders
+       |           WHERE NOT ($delPred) GROUP BY 1),
+       |     t AS (SELECT o_orderkey // $DCHUNK AS bucket, count(*) AS n FROM orders GROUP BY 1),
+       |     d AS (SELECT t.bucket, coalesce(s.n, 0) AS source_keys, t.n AS target_keys
+       |           FROM t LEFT JOIN s ON s.bucket = t.bucket
+       |           WHERE coalesce(s.n, 0) <> t.n)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_update_range" ->
+      """SELECT count(*) AS row_count, max(event_id) AS max_version
+        |FROM events WHERE event_type <> 'error'""".stripMargin,
+    "cdc_incremental_pull" ->
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         |WHERE event_id > $W AND event_type <> 'error'""".stripMargin,
+    "cdc_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |         'UPDATED' AS o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT * FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
+    "cdc_full_copy" ->
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'",
+    "cdc_full_copy_decision" ->
+      """WITH src AS (SELECT count(*) AS source_rows FROM events WHERE event_type <> 'error'),
+        |     tgt AS (SELECT count(*) AS target_rows FROM events
+        |             WHERE event_type <> 'error' AND event_id % 3 = 0)
+        |SELECT 'events@0.5' AS table_name, source_rows, target_rows,
+        |       target_rows < source_rows * 0.5 AS full_copy FROM src, tgt
+        |UNION ALL
+        |SELECT 'events@0.2', source_rows, target_rows,
+        |       target_rows < source_rows * 0.2 FROM src, tgt""".stripMargin,
+    "cdc_range_hash" ->
+      s"""SELECT o_orderkey // $CHUNK AS bucket, count(*) AS n_keys,
+         |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)) AS key_hash
+         |FROM orders GROUP BY 1""".stripMargin,
+    "cdc_range_hash_fast" ->
+      s"""SELECT o_orderkey // $CHUNK AS bucket, count(*) AS n_keys,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS VARCHAR) AS key_hash
+         |FROM orders GROUP BY 1""".stripMargin,
+    "cdc_range_diff" ->
+      s"""$diffCte
+         |SELECT bucket, source_keys, target_keys FROM d""".stripMargin,
+    "cdc_changed_range_resync" ->
+      s"""$diffCte
+         |SELECT o.* FROM orders o
+         |WHERE NOT ($delPred)
+         |  AND o.o_orderkey // $DCHUNK IN (SELECT bucket FROM d)""".stripMargin,
+    "cdc_deleted_keys" ->
+      s"SELECT o_orderkey FROM orders WHERE $delPred",
+    "cdc_snapshot_diff" ->
+      """SELECT o_orderkey, 'delete' AS change_type FROM orders WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
+    "cdc_table_length" ->
+      "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05")
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.util.Tables
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cdc").toString
+
+  private def eventsCfg = ReplicationConfig(
+    tables = Seq(TableConfig("events", Seq("event_id"), "event_id")),
+    deleteChunkSize = 100)
+
+  test("replicator: initial full copy then incremental append + delete sync converge") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+
+    val rep = new Replicator(spark, eventsCfg, srcDir, tgtDir)
+    rep.run()
+    assert(spark.read.parquet(s"$tgtDir/events.parquet").count() == events.count())
+    assert(rep.state.get("events").lastSeenVersion == 999L)
+
+    // source evolves: 50 new rows appended, every 40th old row deleted
+    val appended = events.withColumn("event_id", $"event_id" + 10000L).limit(50)
+    val evolved = events.filter(expr("event_id % 40 <> 0")).unionByName(appended)
+    evolved.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+
+    val rep2 = new Replicator(spark, eventsCfg, srcDir, tgtDir)
+    rep2.run()
+    val tgt = spark.read.parquet(s"$tgtDir/events.parquet")
+    val src = spark.read.parquet(s"$srcDir/events.parquet")
+    assert(tgt.count() == src.count())
+    assert(tgt.join(src, Seq("event_id"), "left_anti").count() == 0)
+    assert(rep2.state.get("events").lastSeenVersion == 10049L)
+  }
+
+  test("replicator: schema drift aborts without resyncOnSchemaChange, resyncs with it") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg, srcDir, tgtDir).run()
+
+    events.withColumn("extra", lit(1)).write.mode("overwrite")
+      .parquet(s"$srcDir/events.parquet")
+    intercept[IllegalStateException] {
+      new Replicator(spark, eventsCfg, srcDir, tgtDir).run()
+    }
+    new Replicator(spark, eventsCfg.copy(resyncOnSchemaChange = true), srcDir, tgtDir).run()
+    assert(spark.read.parquet(s"$tgtDir/events.parquet").columns.contains("extra"))
+  }
+
+  test("replicator: filtered table dependency loop detected") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    Tables.orders(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    val cfg = ReplicationConfig(tables = Seq(
+      TableConfig("events", Seq("event_id"), "event_id", uses = Seq("orders")),
+      TableConfig("orders", Seq("o_orderkey"), "o_orderkey", uses = Seq("events"))))
+    intercept[IllegalStateException] { new Replicator(spark, cfg, srcDir, tgtDir).run() }
+  }
+
+  test("replicator: where-clause drift without resync flag aborts") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    def cfg(w: Option[String]) = ReplicationConfig(tables =
+      Seq(TableConfig("events", Seq("event_id"), "event_id", where = w)))
+    new Replicator(spark, cfg(Some("event_type <> 'error'")), srcDir, tgtDir).run()
+    intercept[IllegalStateException] {
+      new Replicator(spark, cfg(Some("event_type = 'click'")), srcDir, tgtDir).run()
+    }
+  }
+
+  test("state store: upsert and read-back semantics") {
+    val store = new StateStore(spark, s"${tmpDir()}/state")
+    assert(store.get("t1").isEmpty)
+    store.setVersion("t1", 42L)
+    store.setWhere("t1", "x > 0")
+    store.setVersion("t2", 7L)
+    assert(store.get("t1").lastSeenVersion == 42L)
+    assert(store.get("t1").whereClause == "x > 0")
+    assert(store.get("t2").lastSeenVersion == 7L)
+    store.setVersion("t1", 43L)
+    assert(store.get("t1").lastSeenVersion == 43L)
+    assert(store.stateTable().count() == 2)
+  }
+
+  test("schema sync: ddl rendering and drift policy") {
+    val schema = Tables.orders(spark, sfDir).schema
+    val d = SchemaSync.ddl("orders", schema)
+    assert(d.startsWith("create table orders("))
+    assert(d.contains("o_orderkey bigint"))
+    assert(SchemaSync.compare("orders", schema, Some(schema)) == SchemaSync.InSync)
+    assert(SchemaSync.decide(SchemaSync.TargetMissing, false) == SchemaSync.CreateTarget)
+    val drifted = org.apache.spark.sql.types.StructType(schema.fields.reverse)
+    val cmp = SchemaSync.compare("orders", schema, Some(drifted))
+    assert(cmp.isInstanceOf[SchemaSync.Mismatch])
+    assert(SchemaSync.decide(cmp, true) == SchemaSync.ForceResync)
+    assert(SchemaSync.decide(cmp, false) == SchemaSync.Abort)
+  }
+
+  test("merge upsert: last-writer-wins and preserves unmatched rows") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val upd = Seq((2L, "B"), (4L, "D")).toDF("id", "v")
+    val out = Merge.upsert(base, upd, Seq("id")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("snapshot diff classifies insert/update/delete") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val neu = Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val out = SnapshotDiff.diff(old, neu, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "delete", 2L -> "update", 4L -> "insert"))
+  }
+
+  test("range hash diff finds exactly the divergent buckets") {
+    val src = spark.range(0, 10000).toDF("id")
+    val tgt = src.filter(expr("NOT (id % 617 = 0 AND id > 3000)"))
+    val diff = RangeHashDiff.diffBuckets(src, tgt, "id", 250)
+    val buckets = diff.select("bucket").as[Long].collect().toSet
+    val expected = (1 to 16).map(_ * 617L).filter(_ > 3000).filter(_ < 10000)
+      .map(_ / 250).toSet
+    assert(buckets == expected)
+    val deleted = RangeHashDiff.deletedKeys(tgt, src, Seq("id")).as[Long].collect().toSet
+    assert(deleted == (1 to 16).map(_ * 617L).filter(k => k > 3000 && k < 10000).toSet)
+  }
+}
