@@ -16,8 +16,10 @@ object SparkEntry {
     graft.queries.Analytics.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries ++ graft.queries.CdcQueries.queries
+    graft.queries.Analytics.queries ++ graft.queries.CdcQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles ++ graft.queries.CdcQueries.oracles
+    graft.queries.Analytics.oracles ++ graft.queries.CdcQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

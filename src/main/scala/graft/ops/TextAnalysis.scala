@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting
+  * (SURVEY §2 C8–C11).
+  *
+  * Every function is a pure `functions._` / higher-order-function
+  * expression — codegen'd, no UDFs — and each has a byte-identical
+  * DuckDB formulation so the oracle can hash-check outputs. Per-row
+  * work only: these scale embarrassingly (no shuffle at all until a
+  * caller aggregates).
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed, lowercased canonical text. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  val stopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Count of tokens matching a stopword list (expression fragment
+    * shared with the oracle SQL).
+    */
+  def stopwordCount(normCol: String, words: Seq[String]): Column =
+    expr(s"size(filter(split($normCol, ' '), t -> t in ${inList(words)}))")
+
+  /** Token counts: whitespace tokens + a BPE-ish segmentation (letter
+    * runs / digit runs / single punctuation marks — the shape a byte
+    * pair encoder's pre-tokenizer produces).
+    */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), normalize(col(textCol)).as("norm"))
+      .select(col(idCol),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        regexp_count(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"))
+
+  /** Quality signals: length, punctuation/digit/whitespace ratios,
+    * stopword ratio, mean token length — the standard cheap filters a
+    * corpus pipeline runs before expensive dedup.
+    */
+  def qualityScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), t.as("text"), normalize(t).as("norm"))
+      .select(col(idCol),
+        length(col("text")).as("n_chars"),
+        size(split(col("norm"), " ")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[a-z0-9A-Z ]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text"))).as("digit_ratio"),
+        (stopwordCount("norm", stopwordsEn).cast("double") /
+          size(split(col("norm"), " "))).as("stopword_ratio"),
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") /
+          size(split(col("norm"), " "))).as("mean_token_len"))
+  }
+
+  /** Stopword-profile language ID over a fixed 5-language family.
+    * Deterministic argmax with a fixed priority order on ties (the
+    * n-gram-profile classic, reduced to its portable core).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est", "que"),
+    "es" -> Seq("el", "los", "y", "las", "es", "un", "una", "por"),
+    "zh" -> Seq("的", "是", "不", "我", "在", "了", "有", "这"))
+
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol), normalize(col(textCol)).as("norm"))
+    val scored = langStopwords.foldLeft(base) { case (acc, (lang, words)) =>
+      acc.withColumn(s"s_$lang", stopwordCount("norm", words))
+    }
+    val langs = langStopwords.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val pick = langs.foldRight(lit("und"): Column) { case (l, rest) =>
+      when(col(s"s_$l") === expr(best), lit(l)).otherwise(rest)
+    }
+    scored.select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ pick.as("lang_pred"): _*)
+  }
+
+  /** Document fingerprints: exact content hash, order-independent
+    * bag-of-tokens hash (catches token-shuffled copies), and a prefix
+    * hash (cheap candidate key for prefix-duplicate scans).
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), normalize(col(textCol)).as("norm"))
+      .select(col(idCol),
+        md5(col("norm")).as("content_hash"),
+        md5(array_join(array_sort(array_distinct(split(col("norm"), " "))), " ")).as("bag_hash"),
+        md5(substring(col("norm"), 1, 64)).as("prefix_hash"))
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sim.Similarity
+import graft.util.Tables
+
+/** Driver-checkable bindings of the LLM-data-pipeline operators
+  * (SURVEY §2 C-block) onto the `documents` and `embeddings` tables.
+  *
+  * The dedup corpus injects exact duplicates (every 50th doc copied
+  * under doc_id+100000) so exact/near-dup operators have true
+  * positives; the oracle derives the identical corpus.
+  */
+object PipelineQueries {
+
+  private val COS_T = 0.35   // embedding near-dup threshold (see data profile)
+  private val JAC_T = 0.7    // minhash verify threshold
+  private val NGRAM_T = 0.6  // n-gram jaccard threshold
+
+  /** documents ∪ copies of every 50th doc (ids offset by 100000). */
+  def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+      .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  def dedupExactQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(dupCorpus(spark, sfDir), "text", "doc_id")
+
+  def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minHashLsh(Tables.documents(spark, sfDir), "text", "doc_id",
+      numHashes = 16, numBands = 2, threshold = JAC_T)
+
+  def dedupSimhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHash(Dedup.tokenSet(Tables.documents(spark, sfDir), "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+
+  def dedupNgramQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccard(
+      dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
+      "text", "doc_id", n = 5, threshold = NGRAM_T)
+
+  def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T)
+
+  def annTopkQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      expr("id % 100 = 0"), k = 5)
+
+  def annLshQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id")
+      .withColumnRenamed("id", "vec_id")
+
+  def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  def textQualityQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityScores(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  def textLangidQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExactQ,
+    "dedup_minhash_lsh" -> dedupMinhashQ,
+    "dedup_simhash" -> dedupSimhashQ,
+    "dedup_ngram_jaccard" -> dedupNgramQ,
+    "dedup_embedding" -> dedupEmbeddingQ,
+    "ann_topk" -> annTopkQ,
+    "ann_lsh" -> annLshQ,
+    "text_tokens" -> textTokensQ,
+    "text_quality" -> textQualityQ,
+    "text_langid" -> textLangidQ,
+    "text_fingerprint" -> textFingerprintQ)
+
+  // ---- oracles ----------------------------------------------------
+
+  private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val h64 = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  private val qPrep =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+      |     n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0)
+         |SELECT md5($norm) AS content_hash, min(doc_id) AS keeper_id,
+         |       count(*) AS n_copies
+         |FROM corpus GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
+         |              FROM documents),
+         |mh AS (SELECT id, j, min(${h64("j::VARCHAR || ':' || tok")}) AS h
+         |       FROM toks, range(16) t(j) GROUP BY 1, 2),
+         |bands AS (SELECT id, j // 8 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS sig
+         |          FROM mh GROUP BY id, j // 8),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          WHERE a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |          FROM cands c
+         |          JOIN toks ta ON ta.id = c.id_a
+         |          JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+         |  SELECT i.id_a, i.id_b,
+         |         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b) WHERE j >= $JAC_T""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
+         |              FROM documents),
+         |bits AS (SELECT id, b, sum(((${h64("tok")} // (1::BIGINT << b)) % 2) * 2 - 1) AS s
+         |         FROM toks, range(60) t(b) GROUP BY 1, 2)
+         |SELECT id AS doc_id,
+         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |d AS (SELECT doc_id AS id, $norm AS nt FROM corpus WHERE doc_id % 20 = 0),
+         |sh AS (SELECT DISTINCT id, unnest(list_distinct(list_transform(
+         |         generate_series(1, greatest(len(nt) - 4, 1)), i -> substr(nt, i, 5)))) AS tok
+         |       FROM d),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+         |  SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+         |  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)
+         |WHERE j >= $NGRAM_T""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $qPrep
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
+    "ann_topk" ->
+      s"""WITH $qPrep
+         |SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |         CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |         / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) DESC, x.vec_id ASC) AS rank,
+         |       round(CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
+         |FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |QUALIFY rank <= 5""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+         |dots AS (SELECT vec_id, p,
+         |           list_sum(list_transform(qv, (x, i) ->
+         |             x * (${h64("'42' || ':' || p::VARCHAR || ':' || i::VARCHAR")} % 2001 - 1000))) AS dot
+         |         FROM q, range(8) t(p))
+         |SELECT vec_id,
+         |       sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+         |FROM dots GROUP BY 1""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, len(string_split(nt, ' ')) AS ws_tokens,
+         |       len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+         |FROM (SELECT doc_id, $norm AS nt FROM documents)""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len(text) AS n_chars,
+         |  len(string_split(nt, ' ')) AS n_tokens,
+         |  CAST(len(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+         |  CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text) AS digit_ratio,
+         |  CAST(len(list_filter(string_split(nt, ' '),
+         |       t -> t in ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |    / len(string_split(nt, ' ')) AS stopword_ratio,
+         |  CAST(len(replace(nt, ' ', '')) AS DOUBLE) / len(string_split(nt, ' ')) AS mean_token_len
+         |FROM (SELECT doc_id, text, $norm AS nt FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+         |  CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+         |       WHEN s_es = m THEN 'es' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+         |        greatest(s_en, s_de, s_fr, s_es, s_zh) AS m
+         |      FROM (SELECT doc_id,
+         |        len(list_filter(string_split(nt,' '), t -> t in ('the','a','and','of','to','is','in','it'))) AS s_en,
+         |        len(list_filter(string_split(nt,' '), t -> t in ('der','die','und','das','ist','ein','nicht','zu'))) AS s_de,
+         |        len(list_filter(string_split(nt,' '), t -> t in ('le','la','et','les','des','un','est','que'))) AS s_fr,
+         |        len(list_filter(string_split(nt,' '), t -> t in ('el','los','y','las','es','un','una','por'))) AS s_es,
+         |        len(list_filter(string_split(nt,' '), t -> t in ('的','是','不','我','在','了','有','这'))) AS s_zh
+         |        FROM (SELECT doc_id, $norm AS nt FROM documents)))""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(nt) AS content_hash,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(nt, ' '))), ' ')) AS bag_hash,
+         |  md5(substr(nt, 1, 64)) AS prefix_hash
+         |FROM (SELECT doc_id, $norm AS nt FROM documents)""".stripMargin)
+}

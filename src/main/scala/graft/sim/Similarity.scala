@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search (SURVEY §2 C5–C7): exact cosine
+  * near-dup pairs, brute-force top-k ANN baseline, and seeded
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism across engines: floats are quantized to integers
+  * (floor(x·10⁴)) first, so dot products and squared norms are exact
+  * integer sums — order-independent, partial-aggregatable, and
+  * bit-identical in DuckDB. The only floating-point steps are one
+  * division and one sqrt over exact operands, which IEEE 754 defines
+  * exactly on both engines.
+  *
+  * All expressions are Spark higher-order functions (transform /
+  * zip_with / aggregate) — codegen'd, no UDFs, no Python.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding column to exact integers. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 10000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** (id, qvec, norm2) — precomputed quantized vectors + squared norms. */
+  def prepared(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", qdot(col("qv"), col("qv")))
+
+  private def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
+    dotC.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup dedup).
+    * Brute-force N²/2 pair scan — the CORRECTNESS baseline. At 100 TB
+    * vector counts, use `hyperplaneBuckets` first and run this only
+    * within buckets (see `annLshPairs`).
+    */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                  threshold: Double): DataFrame = {
+    val p = prepared(df, vecCol, idCol)
+    val a = p.select(col("id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val b = p.select(col("id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(qdot(col("qv_a"), col("qv_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Brute-force top-k cosine neighbors for a query subset (the exact
+    * baseline every ANN variant is measured against). The query side
+    * is broadcast — it is small by construction — so the big side
+    * streams through one codegen stage with no shuffle before the
+    * per-query top-k window.
+    */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val p = prepared(df, vecCol, idCol)
+    val q = p.filter(queryPred)
+      .select(col("id").as("query_id"), col("qv").as("qv_q"), col("n2").as("n2_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    p.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(qdot(col("qv"), col("qv_q")), col("n2"), col("n2_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Seeded random-hyperplane LSH: `planes` pseudo-hyperplanes with
+    * INTEGER weights w(p,i) = portableHash(seed:p:i) mod 2001 − 1000 ∈
+    * [−1000, 1000]; bucket bit p = sign⟨qv, w(p)⟩. The dot product is
+    * an exact integer sum — order-independent and bit-identical in the
+    * DuckDB oracle — and deterministic given the seed. Bucket join
+    * replaces the N² pair scan at scale.
+    *
+    * Index convention: i is 1-based (sequence(1, size)) to match SQL
+    * engines whose lambda ordinality is 1-based.
+    */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, idCol: String,
+                        planes: Int = 8, seed: Int = 42): DataFrame = {
+    val weight =
+      s"cast(conv(substr(md5(concat('$seed', ':', cast(p as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
+    val dot =
+      s"""aggregate(zip_with(qv, sequence(1, size(qv)),
+         |  (x, i) -> x * ($weight)),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    prepared(df, vecCol, idCol)
+      .crossJoin(df.sparkSession.range(planes).toDF("p"))
+      .withColumn("bit", expr(s"case when ($dot) >= 0 then 1L else 0L end"))
+      .groupBy("id")
+      .agg(sum(expr("bit * cast(pow(2, p) as bigint)")).as("bucket"))
+  }
+
+  /** LSH-accelerated near-dup pairs: exact cosine, but only within
+    * hyperplane buckets (candidate recall traded for the elimination
+    * of the global N² join — the 100 TB path).
+    */
+  def annLshPairs(df: DataFrame, vecCol: String, idCol: String,
+                  threshold: Double, planes: Int = 8, seed: Int = 42): DataFrame = {
+    val p = prepared(df, vecCol, idCol)
+      .join(hyperplaneBuckets(df, vecCol, idCol, planes, seed), "id")
+    val a = p.select(col("bucket"), col("id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val b = p.select(col("bucket"), col("id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(qdot(col("qv_a"), col("qv_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+}

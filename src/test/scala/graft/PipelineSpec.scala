@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sim.Similarity
+import graft.queries.PipelineQueries
+import graft.util.Tables
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+  lazy val corpus = PipelineQueries.dupCorpus(spark, sfDir).cache()
+  lazy val nDups = docs.filter(expr("doc_id % 50 = 0")).count()
+
+  test("exact dedup finds exactly the injected duplicate groups") {
+    val d = Dedup.exact(corpus, "text", "doc_id")
+    assert(d.filter($"n_copies" === 2).count() == nDups)
+    assert(d.agg(sum("n_copies")).head().getLong(0) == corpus.count())
+    // keeper is always the original, never the +100000 copy
+    assert(d.filter($"n_copies" === 2 && $"keeper_id" >= 100000L).count() == 0)
+  }
+
+  test("minhash-lsh recovers injected exact duplicates at jaccard 1.0") {
+    val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 16, 2, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.filter(expr("doc_id % 50 = 0")).select("doc_id")
+      .as[Long].collect().map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("simhash is identical for identical texts and differs across docs") {
+    val sh = Dedup.simHash(Dedup.tokenSet(corpus, "text", "doc_id"))
+    val byId = sh.as[(Long, Long)].collect().toMap
+    docs.filter(expr("doc_id % 50 = 0")).select("doc_id").as[Long].collect().foreach { id =>
+      assert(byId(id) == byId(id + 100000L), s"copy of $id has different simhash")
+    }
+    assert(sh.select("simhash").distinct().count() > 1)
+  }
+
+  test("simhash banding surfaces identical docs as candidates") {
+    val sh = Dedup.simHash(Dedup.tokenSet(corpus, "text", "doc_id"))
+    val cands = Dedup.simHashCandidates(sh).as[(Long, Long)].collect().toSet
+    docs.filter(expr("doc_id % 50 = 0")).select("doc_id").as[Long].collect().foreach { id =>
+      assert(cands.contains((id, id + 100000L)))
+    }
+  }
+
+  test("ngram jaccard scores injected duplicates at 1.0") {
+    val pairs = Dedup.ngramJaccard(corpus.filter(expr("doc_id % 10 = 0")), "text", "doc_id")
+    val perfect = pairs.filter($"jaccard" === 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.filter(expr("doc_id % 50 = 0")).select("doc_id")
+      .as[Long].collect().map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(perfect))
+  }
+
+  test("cosine pairs finds a planted duplicate vector") {
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.unionByName(
+      e.filter($"vec_id" === 0).withColumn("vec_id", lit(900000L)))
+    val pairs = Similarity.cosinePairs(planted, "embedding", "vec_id", 0.999)
+    assert(pairs.filter($"id_a" === 0 && $"id_b" === 900000L).count() == 1)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val t = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sfDir), "embedding", "vec_id", expr("id % 25 = 0"), 5)
+    val counts = t.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 5))
+    // rank 1 must dominate rank 5 per query
+    val byRank = t.groupBy("query_id")
+      .agg(max(when($"rank" === 1, $"cosine")).as("c1"),
+           max(when($"rank" === 5, $"cosine")).as("c5"))
+    assert(byRank.filter($"c1" < $"c5").count() == 0)
+  }
+
+  test("hyperplane buckets are deterministic and bucket identical vectors together") {
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.unionByName(
+      e.filter($"vec_id" === 0).withColumn("vec_id", lit(900000L)))
+    val b = Similarity.hyperplaneBuckets(planted, "embedding", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(900000L))
+    val b2 = Similarity.hyperplaneBuckets(planted, "embedding", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(b == b2)
+  }
+
+  test("lsh-accelerated pairs are a subset of brute-force pairs at the same threshold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.cosinePairs(e, "embedding", "vec_id", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLshPairs(e, "embedding", "vec_id", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("text analysis produces sane, complete per-doc rows") {
+    val n = docs.count()
+    val tok = TextAnalysis.tokenCounts(docs, "text", "doc_id")
+    assert(tok.count() == n && tok.filter($"ws_tokens" <= 0).count() == 0)
+    val q = TextAnalysis.qualityScores(docs, "text", "doc_id")
+    assert(q.count() == n)
+    assert(q.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+    assert(q.filter($"mean_token_len" <= 0).count() == 0)
+    val lid = TextAnalysis.langId(docs, "text", "doc_id")
+    assert(lid.count() == n)
+    assert(lid.filter($"lang_pred" === "en").count() > 0)
+    val fp = TextAnalysis.fingerprints(corpus, "text", "doc_id")
+    assert(fp.select("content_hash").distinct().count() == n)
+  }
+}
