@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY §2 C12): image/audio/video as
+  * opaque binary columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample plumbing a
+  * training-data pipeline runs over them.
+  *
+  * The container has no codec libraries, so the byte-level decode is a
+  * clearly marked DETERMINISTIC STUB (`stubDecode`) — but everything
+  * Spark-side is real and load-bearing: the schema contract, the typed
+  * Dataset plumbing, mapPartitions batching (the shape a vectorized
+  * codec UDF needs: reuse one decoder instance per partition, process
+  * in fixed-size batches), and partition sizing so one partition's
+  * batch of media fits executor memory at 100 TB.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+  case class MediaRow(mediaId: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(mediaId: Long, kind: String, features: Array[Float])
+  case class MediaFrame(mediaId: Long, frameIdx: Int, frame: Array[Byte])
+
+  val featureDim = 16
+  val decodeBatchSize = 64
+
+  /** ======= STUB ======= deterministic fake decode: a real deployment
+    * swaps this one function for a codec call (JNI/ONNX/ffmpeg); the
+    * byte→feature contract and everything calling it stay unchanged.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(featureDim)(i => (((d(i % 16) & 0xff) - 128) / 128.0f))
+  }
+
+  /** Build a media table with binary payloads + typed metadata from any
+    * (id, text) source — the fixture generator for specs/demos.
+    */
+  def mediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("mediaId"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col(textCol), "UTF-8").as("payload"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          (pmod(col(idCol).cast("long"), lit(64)) + 1).cast("int").as("width"),
+          (pmod(col(idCol).cast("long"), lit(48)) + 1).cast("int").as("height"),
+          (length(col(textCol)) * 10).cast("long").as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction over binary payloads. mapPartitions (not map):
+    * one decoder context per partition, batched iteration — the
+    * Scala-side equivalent of a pandas-batched UDF, and the pattern
+    * that amortizes codec setup at scale.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (amortized once)
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map(r => MediaFeatures(r.mediaId, r.kind, stubDecode(r.payload)))
+      }
+    }
+  }
+
+  /** Resize: payload transform + metadata rewrite. The byte transform
+    * is the stub (truncate-to-proportion); the metadata contract is the
+    * real part.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val scale = math.min(1.0, (w.toLong * h) / math.max(1.0, r.meta.width.toLong * r.meta.height))
+      val n = math.max(1, (r.payload.length * scale).toInt)
+      r.copy(payload = r.payload.take(n), meta = r.meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Frame sampling for video rows: split the payload into `frames`
+    * evenly spaced chunks (stub for keyframe extraction), one output
+    * row per frame — the explode-shaped schema a vision pipeline
+    * trains on.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frames: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val n = math.max(1, r.payload.length / frames)
+      (0 until frames).map { i =>
+        MediaFrame(r.mediaId, i, r.payload.slice(i * n, math.min((i + 1) * n, r.payload.length)))
+      }
+    }
+  }
+
+  /** Partition sizing guard: repartition so each partition carries at
+    * most `targetBytes` of payload (estimate via avg payload size) —
+    * the knob that keeps codec batches inside executor memory.
+    */
+  def sizePartitions(media: Dataset[MediaRow], targetBytes: Long): Dataset[MediaRow] = {
+    val stats = media.toDF().agg(
+      count(lit(1)).as("n"), avg(length(col("payload"))).as("avg_bytes")).head()
+    val n = stats.getLong(0)
+    val avgB = Option(stats.get(1)).map(_.toString.toDouble).getOrElse(1.0)
+    val parts = math.max(1, math.ceil(n * avgB / targetBytes).toInt)
+    media.repartition(parts)
+  }
+}

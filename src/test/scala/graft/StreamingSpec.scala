@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.{CdcStream, EventStream}
+import graft.util.Tables
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("streaming CDC upsert converges target to the union of all feed batches") {
+    val feedDir = tmp(); val target = s"${tmp()}/events.parquet"; val cp = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+
+    // batch 1 lands before the stream starts
+    events.filter($"event_id" < 400).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("event_id"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 400)
+
+      // batch 2: overlap (replays 300-399) + new rows — upsert must dedup
+      events.filter($"event_id" >= 300 && $"event_id" < 700).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val tgt = spark.read.parquet(target)
+      assert(tgt.count() == 700)
+      assert(tgt.select("event_id").distinct().count() == 700)
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggregation emits finalized windows") {
+    val feedDir = tmp()
+    val events = Tables.events(spark, sfDir)
+    events.coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = EventStream.fileFeed(spark, feedDir, events.schema)
+    val agg = EventStream.windowedAgg(feed)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode holds back windows newer than the watermark; feed a
+      // far-future row to flush everything, then check completeness
+      events.limit(1).withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+      val batch = Analytics.qEventsWindowShape(spark, sfDir)
+      assert(out.count() >= batch * 9 / 10, s"only ${out.count()} of ~$batch windows emitted")
+    } finally q.stop()
+  }
+
+  object Analytics {
+    /** number of (hour, event_type) groups the batch twin produces */
+    def qEventsWindowShape(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+      graft.queries.Analytics.qEventsWindow(s, dir).count()
+  }
+
+  test("streaming dedup within watermark drops replayed keys") {
+    val feedDir = tmp()
+    val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
+    events.coalesce(1).write.mode("append").parquet(feedDir)
+    events.coalesce(1).write.mode("append").parquet(feedDir) // exact replay
+    val feed = EventStream.fileFeed(spark, feedDir, events.schema)
+    val deduped = CdcStream.dedupStream(feed, "ts", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 100)
+    } finally q.stop()
+  }
+}
