@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native Catalyst expressions.
+  *
+  * Wire it in with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * on the session builder (all graft entry points do). Operators probe
+  * `spark.catalog.functionExists("graft_dot")` and fall back to the
+  * equivalent higher-order-function formulation when the extension is
+  * absent, so results never depend on registration — only speed does.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => LongArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[LongSortedIntersectSize].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => LongSortedIntersectSize(children(0), children(1))))
+  }
+}

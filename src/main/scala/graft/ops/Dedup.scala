@@ -15,11 +15,19 @@ import graft.util.Hashing
   */
 object Dedup {
 
-  /** (id, token) distinct pairs from normalized text. */
-  def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("norm"))
-      .select(col("id"), explode(split(col("norm"), " ")).as("tok"))
-      .distinct()
+  /** (id, token) distinct pairs from normalized text. The input is
+    * spread across the cluster first: a small parquet arrives as one
+    * split, and normalize+explode must not run in a single task.
+    */
+  def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(p, col("id"))
+      .select(col("id"),
+        explode(array_distinct(split(TextAnalysis.normalize(col("t")), " "))).as("tok"))
+    // array_distinct dedups within the row, which IS global (id, tok)
+    // distinctness — no shuffle needed, unlike .distinct().
+  }
 
   /** Exact dedup: group by content hash, keep the smallest id.
     * One hash-partitioned groupBy; at 100 TB the md5 keys distribute
@@ -30,19 +38,24 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: `numHashes` seeded min-hashes over the
-    * distinct token set. explode(tokens) × seeds → groupBy(id, seed)
-    * min — fully partial-aggregatable.
+  /** MinHash signatures: `numHashes` min-hashes over the distinct
+    * token set via the affine universal-hash family — ONE md5 per
+    * token; the 16 per-j coefficients ride along in a broadcast
+    * 16-row table. groupBy(id, seed) min is fully
+    * partial-aggregatable (map-side combine before the shuffle).
     */
-  def minHashSignatures(tokens: DataFrame, numHashes: Int): DataFrame =
+  def minHashSignatures(tokens: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = tokens.sparkSession.range(numHashes).toDF("j")
+      .select(col("j"),
+        Hashing.affineCoef("a", col("j")).as("aj"),
+        Hashing.affineCoef("b", col("j")).as("bj"))
     tokens
-      .crossJoin(spark_range_seeds(tokens, numHashes))
+      .select(col("id"), Hashing.portableHash30(col("tok")).as("h30"))
+      .crossJoin(broadcast(seeds))
       .select(col("id"), col("j"),
-        Hashing.portableHash64(concat(col("j").cast("string"), lit(":"), col("tok"))).as("h"))
+        Hashing.affineHash(col("h30"), col("aj"), col("bj")).as("h"))
       .groupBy("id", "j").agg(min("h").as("h"))
-
-  private def spark_range_seeds(df: DataFrame, n: Int): DataFrame =
-    df.sparkSession.range(n).toDF("j")
+  }
 
   /** LSH banding: group the signature into `numBands` bands and hash
     * each band; docs sharing any (band, signature) bucket are
@@ -51,14 +64,26 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val bandSize = numHashes / numBands
+    // Band signature = sum of the band's min-hashes. Order-independent
+    // (so partial aggregation applies — no collect_list/sort), and
+    // overflow-safe: h < 2^60 (15 hex digits) so a sum of ≤ 8 fits in
+    // int64 on both engines. Collision odds ≈ 2⁻⁶³ per bucket pair.
     val bands = signatures
       .withColumn("band", expr(s"j div $bandSize"))
       .groupBy("id", "band")
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("j"), col("h")))),
-        x => x.getField("h").cast("string")), ",")).as("sig"))
+      .agg(sum("h").as("sig"))
+    // Salt the self-join: a duplicate-dense corpus puts thousands of
+    // docs in one (band, sig) bucket, and an unsalted equi-join emits
+    // that bucket's m²/2 pairs from a single task. Salting the left
+    // side by id and replicating the right side SALTS× splits every
+    // hot bucket across SALTS tasks; output is identical because each
+    // (id_a, id_b) pair matches at exactly salt = id_a mod SALTS.
+    val SALTS = 16
     val a = bands.select(col("band"), col("sig"), col("id").as("id_a"))
+      .withColumn("salt", pmod(col("id_a"), lit(SALTS)))
     val b = bands.select(col("band"), col("sig"), col("id").as("id_b"))
-    a.join(b, Seq("band", "sig"))
+      .crossJoin(signatures.sparkSession.range(SALTS).toDF("salt"))
+    a.join(b, Seq("band", "sig", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -69,15 +94,35 @@ object Dedup {
     * one deterministic double division.
     */
   def verifyJaccard(tokens: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = tokens.groupBy("id").agg(count(lit(1)).as("n"))
+    // Intersection via array_intersect over per-doc token arrays: one
+    // row per candidate pair, O(|A|+|B|) per row — instead of exploding
+    // |pairs|·avgTokens join rows through two shuffles. The doc→array
+    // side is broadcast (it is |docs| rows, far smaller than |pairs|);
+    // if it outgrows memory, drop the hint — the pair table shuffles
+    // twice by id, which is still |pairs| rows, never the expansion.
+    // Tokens are intersected as SORTED 60-bit portable hash arrays:
+    // long comparison beats UTF8, and the native merge-intersect
+    // (graft_intersect_size) is allocation-free — the built-in
+    // array_intersect builds a hash set + result array per pair, which
+    // is pure GC churn at millions of candidate pairs. Set sizes are
+    // hash-set sizes on both engines so a (vanishing) collision
+    // perturbs Spark and the oracle identically.
+    val sets = tokens
+      .select(col("id"), Hashing.portableHash64(col("tok")).as("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n"))
+    val interSize: (Column, Column) => Column =
+      if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_intersect_size"))
+        (a, b) => call_function("graft_intersect_size", a, b)
+      else
+        (a, b) => size(array_intersect(a, b))
     val inter = candidates
-      .join(tokens.withColumnsRenamed(Map("id" -> "id_a", "tok" -> "tok_a")), Seq("id_a"))
-      .join(tokens.withColumnsRenamed(Map("id" -> "id_b", "tok" -> "tok_b")), Seq("id_b"))
-      .filter(col("tok_a") === col("tok_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("n").as("n_b"))), Seq("id_b"))
+      .withColumn("inter", interSize(col("toks_a"), col("toks_b")))
     inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
@@ -89,7 +134,15 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 16, numBands: Int = 2,
                  threshold: Double = 0.7): DataFrame = {
+    // The token set feeds three downstream subtrees (signatures + two
+    // broadcast builds of the per-doc set table). persist alone is NOT
+    // enough: broadcast-exchange jobs launch concurrently with the main
+    // job, race the unmaterialized cache, and each re-runs the
+    // scan+normalize+explode pipeline. Materialize eagerly once — at
+    // cluster scale this is the stage you'd checkpoint.
     val toks = tokenSet(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
     val cands = lshCandidates(minHashSignatures(toks, numHashes), numHashes, numBands)
     verifyJaccard(toks, cands)
       .filter(col("jaccard") >= threshold)
@@ -132,7 +185,7 @@ object Dedup {
     df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("norm"))
       .select(col("id"), explode(expr(
         s"array_distinct(transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)), i -> substr(norm, i, $n)))")).as("tok"))
-      .distinct()
+    // rows are already (id, tok)-unique via array_distinct; no shuffle.
 
   /** Char-n-gram Jaccard near-dup pairs ≥ threshold, via the shared
     * shingle inverted index (explode → join → count), never N².

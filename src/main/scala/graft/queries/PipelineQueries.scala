@@ -42,15 +42,18 @@ object PipelineQueries {
       dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
       "text", "doc_id", n = 5, threshold = NGRAM_T)
 
+  private val EMB_DIM = Some(64) // embeddings.parquet vector width (TESTDATA.md)
+
   def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T)
+    Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T, EMB_DIM)
 
   def annTopkQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
-      expr("id % 100 = 0"), k = 5)
+      expr("id % 100 = 0"), k = 5, dim = EMB_DIM)
 
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id")
+    Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      dim = EMB_DIM)
       .withColumnRenamed("id", "vec_id")
 
   def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -100,18 +103,23 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
          |              FROM documents),
-         |mh AS (SELECT id, j, min(${h64("j::VARCHAR || ':' || tok")}) AS h
-         |       FROM toks, range(16) t(j) GROUP BY 1, 2),
-         |bands AS (SELECT id, j // 8 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS sig
+         |seeds AS (SELECT j, ${h64("'a:' || j::VARCHAR")} % 1073741824 AS aj,
+         |                 ${h64("'b:' || j::VARCHAR")} % 1073741824 AS bj
+         |          FROM range(16) t(j)),
+         |mh AS (SELECT id, j,
+         |         min((aj * (${h64("tok")} % 1073741824) + bj) % 2147483647) AS h
+         |       FROM toks, seeds GROUP BY 1, 2),
+         |bands AS (SELECT id, j // 8 AS band, sum(h)::BIGINT AS sig
          |          FROM mh GROUP BY id, j // 8),
          |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |          WHERE a.id < b.id),
-         |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+         |toksh AS (SELECT DISTINCT id, ${h64("tok")} AS h FROM toks),
+         |sizes AS (SELECT id, count(*) AS n FROM toksh GROUP BY 1),
          |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
          |          FROM cands c
-         |          JOIN toks ta ON ta.id = c.id_a
-         |          JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+         |          JOIN toksh ta ON ta.id = c.id_a
+         |          JOIN toksh tb ON tb.id = c.id_b AND tb.h = ta.h
          |          GROUP BY 1, 2)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
          |  SELECT i.id_a, i.id_b,

@@ -33,4 +33,28 @@ object Hashing {
     */
   def portableHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash family constants: the affine family
+    * h_j(x) = (a_j·h₃₀(x) + b_j) mod P with per-j coefficients drawn
+    * from md5(j) and h₃₀ = portableHash64 mod 2³⁰. Products stay below
+    * 2⁶⁰ (no int64 overflow), values below 2³¹ (so an 8-value band sum
+    * is < 2³⁴), and one md5 per x covers the whole family. A family
+    * linear IN j would correlate adjacent hashes and inflate LSH
+    * false-positive candidates; independent per-j coefficients are the
+    * standard construction (cf. Spark MLlib MinHashLSH).
+    */
+  val affinePrime: Long = 2147483647L // 2^31 - 1
+  val affineRange: Long = 1073741824L // 2^30
+
+  /** 30-bit-range portable hash (input to the affine family). */
+  def portableHash30(c: Column): Column =
+    pmod(portableHash64(c), lit(affineRange))
+
+  /** Per-index coefficient a_j or b_j of the affine family. */
+  def affineCoef(prefix: String, jCol: Column): Column =
+    pmod(portableHash64(concat(lit(prefix + ":"), jCol.cast("string"))), lit(affineRange))
+
+  /** h_j(x) given a precomputed h₃₀ column and coefficient columns. */
+  def affineHash(h30: Column, aj: Column, bj: Column): Column =
+    pmod(aj * h30 + bj, lit(affinePrime))
 }
