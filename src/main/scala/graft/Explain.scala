@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for the named queries
+  * (default: a representative set) so scan pruning (`ReadSchema`),
+  * filter pushdown (`PushedFilters`), join strategies, and
+  * whole-stage-codegen coverage can be reviewed. Usage:
+  *   runMain graft.Explain [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q3_join_agg", "q5_multijoin", "cdc_incremental_pull",
+        "cdc_range_hash_fast", "cdc_merge_upsert", "dedup_exact", "ann_topk")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n========== $name ==========")
+          fn(spark, sfDir).explain("formatted")
+        case None => println(s"\n========== $name: UNKNOWN ==========")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
       graft.queries.Analytics.qEventsWindow(s, dir).count()
   }
 
+  test("stateful sessionize matches the batch sessionizer's session count") {
+    val feedDir = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+    events.coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = EventStream.fileFeed(spark, feedDir, events.schema)
+    val sessions = EventStream.sessionize(feed, gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far enough to time out every open session
+      events.limit(1).withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter($"session_start_ms" < lit(1893456000000L)) // drop the flush row's own session
+      val batchSessions = graft.queries.Analytics.qEventsSessionize(spark, sfDir)
+        .select($"user_id", $"session_seq").distinct().count()
+      assert(streamed.count() == batchSessions,
+        s"streamed ${streamed.count()} sessions vs batch $batchSessions")
+      // event counts must also reconcile: every event lands in exactly one session
+      val nEvents = streamed.agg(sum($"n_events")).head().getLong(0)
+      assert(nEvents == events.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
