@@ -33,46 +33,39 @@ case class ReplicationConfig(
     updateChunkSize: Int = 10000,
     deleteChunkSize: Long = 50000)
 
-/** End-to-end replication job over two parquet "databases" — the
+/** End-to-end replication job between two [[TableStore]]s — the
   * Spark-native Job.Run (reference: internal/job.go:51).
   *
-  * Source and target are directories of `<table>.parquet` datasets.
-  * Each cycle: validate (dependency cycles, schema drift, where-clause
+  * Stores are parquet directories in the specs ([[ParquetStore]]) or
+  * databases ([[JdbcStore]], the reference's actual medium). Each
+  * cycle: validate (dependency cycles, schema drift, where-clause
   * drift) → update (watermark incremental pull + upsert, or full copy
   * when stale per fullCopyThreshold) → delete-sync (range-hash diff +
   * changed-range reload). State (last seen version + where clause per
-  * table) persists in a StateStore beside the target, like the
+  * table) persists in a StateStore at the sink's state path, like the
   * reference's __sslr_state.
   */
 class Replicator(spark: SparkSession, cfg: ReplicationConfig,
-                 sourceDir: String, targetDir: String) {
+                 source: TableStore, sink: TableStore) {
 
-  val state = new StateStore(spark, s"$targetDir/__graft_state")
+  /** Convenience: both ends are parquet directories. */
+  def this(spark: SparkSession, cfg: ReplicationConfig,
+           sourceDir: String, targetDir: String) =
+    this(spark, cfg, new ParquetStore(spark, sourceDir),
+      new ParquetStore(spark, targetDir))
 
-  private def sourcePath(t: String) = s"$sourceDir/$t.parquet"
-  private def targetPath(t: String) = s"$targetDir/$t.parquet"
+  val state = new StateStore(spark, sink.statePath)
 
   private def readSource(t: TableConfig): DataFrame = {
-    val df = spark.read.parquet(sourcePath(t.name))
+    val df = source.read(t.name)
     t.where.map(w => df.filter(expr(w))).getOrElse(df)
   }
 
-  private def targetExists(t: String): Boolean = {
-    val d = new java.io.File(targetPath(t))
-    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
-  }
+  private def targetExists(t: String): Boolean = sink.exists(t)
 
-  private def readTarget(t: String): DataFrame = spark.read.parquet(targetPath(t))
+  private def readTarget(t: String): DataFrame = sink.read(t)
 
-  private def writeTarget(t: String, df: DataFrame): Unit = {
-    // target rows may derive from the current target parquet; stage the
-    // rewrite to avoid reading and overwriting the same files
-    val tmp = s"$targetDir/__staging_$t"
-    df.write.mode("overwrite").parquet(tmp)
-    val out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(targetPath(t))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-  }
+  private def writeTarget(t: String, df: DataFrame): Unit = sink.write(t, df)
 
   /** Tables whose validation found drift requiring a full resync. */
   private var forceSync = Set.empty[String]
@@ -91,7 +84,7 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
         .getOrElse(throw new IllegalArgumentException(s"unknown table $name"))
       t.uses.foreach(validate)
 
-      val srcSchema = spark.read.parquet(sourcePath(name)).schema
+      val srcSchema = source.read(name).schema
       val tgtSchema = if (targetExists(name)) Some(readTarget(name).schema) else None
       SchemaSync.decide(SchemaSync.compare(name, srcSchema, tgtSchema),
           cfg.resyncOnSchemaChange) match {
@@ -171,5 +164,26 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       if (cfg.syncDeletes && targetExists(t.name)) syncDeletes(t)
     }
     forceSync = Set.empty
+  }
+
+  /** Continuous polling mode (the reference's `-c` flag, main.go):
+    * repeat sync cycles with a pause between them, up to `maxCycles`
+    * (bounded for tests; pass Int.MaxValue to run until error).
+    * `afterCycle(n)` runs after each completed cycle — a hook for
+    * metrics or test mutation. Returns cycles completed. For a
+    * push-based low-latency feed use `streaming.CdcStream` instead;
+    * this mirrors the reference's poll loop for sources that only
+    * support snapshot reads.
+    */
+  def runContinuous(pollIntervalMs: Long, maxCycles: Int,
+                    afterCycle: Int => Unit = _ => ()): Int = {
+    var n = 0
+    while (n < maxCycles) {
+      run()
+      n += 1
+      afterCycle(n)
+      if (n < maxCycles && pollIntervalMs > 0) Thread.sleep(pollIntervalMs)
+    }
+    n
   }
 }

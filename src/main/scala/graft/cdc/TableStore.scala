@@ -1,0 +1,99 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Abstraction over the replication medium (reference: a Postgres
+  * connection on both ends, internal/pglink.go). A store reads/writes
+  * whole logical tables; `write` MUST be safe when `df` derives from
+  * the store's own current contents (the upsert/delete cycles rewrite
+  * a table from itself), which in Spark's lazy model means staging the
+  * result before touching the destination.
+  */
+trait TableStore {
+  def read(table: String): DataFrame
+  def exists(table: String): Boolean
+  def write(table: String, df: DataFrame): Unit
+
+  /** Where the replication state (per-table watermark + where clause)
+    * lives for a sink. Spark-first divergence from the reference: sslr
+    * keeps `__sslr_state` inside the target database; a Spark job keeps
+    * job state in its checkpoint location (exactly like Structured
+    * Streaming), which survives target rebuilds and needs no DDL on
+    * the target.
+    */
+  def statePath: String
+}
+
+/** Directory-of-parquet store: `<dir>/<table>.parquet` per table. */
+class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
+
+  private def path(t: String) = s"$dir/$t.parquet"
+
+  override def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  override def exists(table: String): Boolean = {
+    val d = new java.io.File(path(table))
+    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  override def write(table: String, df: DataFrame): Unit = {
+    // stage first: df may read the very files the overwrite replaces
+    val tmp = s"$dir/__staging_$table"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path(table))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  override def statePath: String = s"$dir/__graft_state"
+}
+
+/** JDBC store — the reference's actual medium (Postgres on both ends).
+  *
+  * Code-complete but NOT exercised by the test suite: this container
+  * has no database and no egress, so the Replicator specs drive the
+  * identical orchestration through [[ParquetStore]]. The reads push
+  * down through Spark's JDBC source (predicate + column pruning);
+  * `partitionColumn` options can be layered on via `extraOptions` for
+  * parallel extraction of large tables.
+  *
+  * @param checkpointDir local/DFS directory for staging and state —
+  *        see [[TableStore.statePath]] for why state is job-side.
+  */
+class JdbcStore(spark: SparkSession, url: String,
+                connProps: Map[String, String],
+                checkpointDir: String,
+                extraOptions: Map[String, String] = Map.empty)
+    extends TableStore {
+
+  private def reader(query: Option[String], table: Option[String]) = {
+    val base = spark.read.format("jdbc").option("url", url)
+    val withConn = connProps.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    val withExtra = extraOptions.foldLeft(withConn) { case (r, (k, v)) => r.option(k, v) }
+    (query, table) match {
+      case (Some(q), _) => withExtra.option("query", q)
+      case (_, Some(t)) => withExtra.option("dbtable", t)
+      case _ => throw new IllegalArgumentException("query or table required")
+    }
+  }
+
+  override def read(table: String): DataFrame =
+    reader(None, Some(table)).load()
+
+  override def exists(table: String): Boolean =
+    try { reader(Some(s"SELECT 1 FROM $table WHERE 1 = 0"), None).load(); true }
+    catch { case _: Exception => false }
+
+  override def write(table: String, df: DataFrame): Unit = {
+    // stage to parquet: a JDBC overwrite truncates the table the plan
+    // may still be reading from
+    val tmp = s"$checkpointDir/__staging_$table"
+    df.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val base = staged.write.format("jdbc").option("url", url)
+      .option("dbtable", table).option("truncate", "true").mode("overwrite")
+    connProps.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  override def statePath: String = s"$checkpointDir/__graft_state"
+}

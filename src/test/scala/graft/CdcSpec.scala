@@ -39,6 +39,29 @@ class CdcSpec extends SparkSpec {
     assert(rep2.state.get("events").lastSeenVersion == 10049L)
   }
 
+  test("replicator: continuous mode picks up source mutations between cycles") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+
+    val srcStore = new ParquetStore(spark, srcDir)
+    val sinkStore = new ParquetStore(spark, tgtDir)
+    val rep = new Replicator(spark, eventsCfg, srcStore, sinkStore)
+    val cycles = rep.runContinuous(pollIntervalMs = 0, maxCycles = 2, afterCycle = {
+      case 1 =>
+        // between polls the source gains 25 rows — cycle 2 must pull them
+        val extra = events.withColumn("event_id", $"event_id" + 20000L).limit(25)
+        events.unionByName(extra).write.mode("overwrite")
+          .parquet(s"$srcDir/events.parquet")
+      case _ => ()
+    })
+    assert(cycles == 2)
+    val tgt = sinkStore.read("events")
+    assert(tgt.count() == events.count() + 25)
+    assert(rep.state.get("events").lastSeenVersion == 20024L)
+    assert(sinkStore.exists("events") && !sinkStore.exists("nope"))
+  }
+
   test("replicator: schema drift aborts without resyncOnSchemaChange, resyncs with it") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     val events = Tables.events(spark, sfDir)
