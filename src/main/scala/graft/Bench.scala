@@ -21,10 +21,15 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // Untimed JIT/codegen warmup so the first measured query doesn't
-    // absorb JVM ramp-up; then run in name order (deterministic).
-    import org.apache.spark.sql.functions.{md5 => smd5, col => scol}
+    // absorb JVM ramp-up; exercises the hash/codegen path, the parquet
+    // reader, and the broadcast+shuffle machinery. Then run in name
+    // order (deterministic).
+    import org.apache.spark.sql.functions.{md5 => smd5, col => scol, broadcast => sbc}
     spark.range(1000000).select(smd5(scol("id").cast("string")).as("h"))
       .filter(scol("h") > "a").count()
+    val warm = spark.read.parquet(s"$sfDir/region.parquet")
+    warm.crossJoin(sbc(warm.limit(1).select(scol(warm.columns.head).as("__w"))))
+      .groupBy(warm.columns.head).count().count()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
