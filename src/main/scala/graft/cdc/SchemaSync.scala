@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
 import org.apache.spark.sql.types._
 
 /** Schema extraction, DDL generation and drift detection — the
@@ -76,4 +76,46 @@ object SchemaSync {
     case TargetMissing => CreateTarget
     case Mismatch(_, _) => if (resyncOnSchemaChange) ForceResync else Abort
   }
+
+  // -- indexes → physical layout -------------------------------------
+
+  /** One source index, as the reference extracts it from pg_catalog
+    * (schemas.go:141 `tableIndex{indexName, primary, columns}`).
+    */
+  case class IndexSpec(name: String, primary: Boolean, columns: Seq[String])
+
+  /** Spark-native target layout derived from source indexes. A cluster
+    * engine has no secondary B-trees; the faithful translation of the
+    * reference's `applyIndices` (schemas.go:241) is physical layout:
+    * the PRIMARY index becomes bucketing on its columns — co-locating
+    * every future merge/delete-sync join so they plan without a
+    * shuffle — and secondary index columns become the in-bucket sort
+    * order, giving parquet min/max data skipping where Postgres would
+    * use the index.
+    */
+  case class TableLayout(bucketColumns: Seq[String], numBuckets: Int,
+                         sortColumns: Seq[String]) {
+    /** `USING parquet CLUSTERED BY … SORTED BY … INTO n BUCKETS` text
+      * (informational twin of the reference's rendered index DDL). */
+    def ddlFragment: String = {
+      val sorted = if (sortColumns.nonEmpty)
+        s" sorted by (${sortColumns.mkString(",")})" else ""
+      s"clustered by (${bucketColumns.mkString(",")})$sorted into $numBuckets buckets"
+    }
+    def applyTo(w: DataFrameWriter[Row]): DataFrameWriter[Row] = {
+      val bucketed = w.bucketBy(numBuckets, bucketColumns.head, bucketColumns.tail: _*)
+      if (sortColumns.nonEmpty) bucketed.sortBy(sortColumns.head, sortColumns.tail: _*)
+      else bucketed
+    }
+  }
+
+  /** Derive the layout: primary index → bucket columns; remaining
+    * index columns (dedup'd, first-seen order) → sort columns.
+    */
+  def layoutFor(indices: Seq[IndexSpec], numBuckets: Int): Option[TableLayout] =
+    indices.find(_.primary).map { pk =>
+      val secondary = indices.filterNot(_.primary)
+        .flatMap(_.columns).distinct.filterNot(pk.columns.contains)
+      TableLayout(pk.columns, numBuckets, secondary)
+    }
 }

@@ -126,6 +126,26 @@ class CdcSpec extends SparkSpec {
     assert(SchemaSync.decide(cmp, false) == SchemaSync.Abort)
   }
 
+  test("index layout: primary index buckets the table; bucketed join plans without shuffle") {
+    val layout = SchemaSync.layoutFor(Seq(
+      SchemaSync.IndexSpec("events_pkey", primary = true, Seq("event_id")),
+      SchemaSync.IndexSpec("events_user_idx", primary = false, Seq("user_id"))), 8).get
+    assert(layout.ddlFragment ==
+      "clustered by (event_id) sorted by (user_id) into 8 buckets")
+
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    spark.sql("drop table if exists bkt_a"); spark.sql("drop table if exists bkt_b")
+    layout.applyTo(events.write.mode("overwrite")).saveAsTable("bkt_a")
+    layout.applyTo(events.write.mode("overwrite")).saveAsTable("bkt_b")
+
+    // identically-bucketed join on the bucket key: no shuffle on either side
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "event_id")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
   test("merge upsert: last-writer-wins and preserves unmatched rows") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val upd = Seq((2L, "B"), (4L, "D")).toDF("id", "v")
