@@ -123,6 +123,27 @@ object Analytics {
       .select($"user_id", $"event_id", $"ts_ms", $"session_seq")
   }
 
+  /** Point-in-time join: each click event annotated with the user's
+    * latest purchase at-or-before the click (B8; graft.ops.AsOfJoin —
+    * union + one per-key window, single shuffle).
+    */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", unix_millis($"ts").as("ts_ms"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("ts_ms"),
+        $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+    // no-match sentinels (-1): ids are ≥ 0 and values ≥ 0.01, and the
+    // driver's hash compare can't equate NULL/NaN across engines
+    graft.ops.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts_ms",
+      payloadCols = Seq("purchase_id", "purchase_value"),
+      tieBreak = Seq("purchase_id"))
+      .withColumn("purchase_id", coalesce($"purchase_id", lit(-1L)))
+      .withColumn("purchase_value", coalesce($"purchase_value", lit(-1.0)))
+  }
+
   /** Running cumulative quantity per supplier ordered by ship date. */
   def qRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -142,7 +163,8 @@ object Analytics {
     "q_topk_window" -> qTopkWindow,
     "q_events_window" -> qEventsWindow,
     "q_events_sessionize" -> qEventsSessionize,
-    "q_running_sum" -> qRunningSum)
+    "q_running_sum" -> qRunningSum,
+    "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -210,5 +232,24 @@ object Analytics {
         |       OVER (PARTITION BY l_suppkey
         |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q_asof_join" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, 1 AS side,
+        |         event_id AS click_id, NULL::BIGINT AS purchase_id, NULL::DOUBLE AS purchase_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 0, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(purchase_id IGNORE NULLS) OVER win AS a_pid,
+        |    last_value(purchase_value IGNORE NULLS) OVER win AS a_pval
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms ASC, side ASC, purchase_id ASC
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT click_id, user_id, ts_ms,
+        |  coalesce(a_pid, -1) AS purchase_id,
+        |  coalesce(a_pval, -1.0) AS purchase_value
+        |FROM w WHERE side = 1""".stripMargin)
 }

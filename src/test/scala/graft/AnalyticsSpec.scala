@@ -27,6 +27,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(max <= 3)
   }
 
+  test("as-of join picks the latest right row at-or-before each left timestamp") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 100L, 10L, 1.0),  // equal ts: matches left (1,100) — ≤ semantics
+      (1L, 100L, 11L, 2.0),  // same ts, larger id: deterministic winner
+      (1L, 150L, 12L, 3.0),  // latest before left (1,200)
+      (2L, 60L, 13L, 4.0))   // AFTER left (2,50): must not match
+      .toDF("k", "ts", "pid", "pval")
+    val out = graft.ops.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", Seq("pid", "pval"), Seq("pid"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4))))
+    assert(out.toSeq == Seq(
+      (1L, 100L, "a", Some(11L), Some(2.0)),
+      (1L, 200L, "b", Some(12L), Some(3.0)),
+      (2L, 50L, "c", None, None)))
+  }
+
   test("sessionize assigns monotone session ids starting at 1 per user") {
     import org.apache.spark.sql.functions._
     val df = Analytics.qEventsSessionize(spark, sfDir)
