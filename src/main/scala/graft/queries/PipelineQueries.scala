@@ -51,6 +51,10 @@ object PipelineQueries {
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, dim = EMB_DIM)
 
+  def annIvfQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
+
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       dim = EMB_DIM)
@@ -75,6 +79,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramQ,
     "dedup_embedding" -> dedupEmbeddingQ,
     "ann_topk" -> annTopkQ,
+    "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
@@ -169,6 +174,30 @@ object PipelineQueries {
          |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
          |FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
          |QUALIFY rank <= 5""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $qPrep,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) AS cosine,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |WHERE rank <= 5""".stripMargin,
     "ann_lsh" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),

@@ -142,6 +142,54 @@ object Similarity {
     }
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus
+    * into centroid buckets; queries probe only the `nProbe` nearest
+    * buckets. The 100 TB inverted-file path: search cost scales with
+    * |probed buckets|, not |corpus|, and the bucket join is an
+    * equi-join on centroid id (shuffle by bucket, AQE-skew-safe) —
+    * never a global scan per query.
+    *
+    * Determinism (oracle-replayable): centroids are every
+    * `centroidStep`-th vector; assignment is argmax cosine with
+    * smallest-centroid-id tie-break, computed as a partial-aggregatable
+    * struct-max (no N×K window sort); ranks tie-break on neighbor id.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              queryPred: Column, k: Int, centroidStep: Long, nProbe: Int,
+              dim: Option[Int] = None): DataFrame = {
+    val p = prepared(df, vecCol, idCol)
+    val cents = p.filter(pmod(col("id"), lit(centroidStep)) === 0)
+      .select(col("id").as("cid"), col("qv").as("cqv"), col("n2").as("cn2"))
+    val withCos = p.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(qdot(col("qv"), col("cqv"), dim), col("n2"), col("cn2")))
+    // argmax(ccos), ties → smallest cid: max of (ccos, -cid) struct
+    val assigned = withCos
+      .groupBy("id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("qv")).as("qv"), first(col("n2")).as("n2"))
+      .select(col("id"), col("qv"), col("n2"), (-col("m.ncid")).as("cid"))
+    // queries probe their nProbe nearest centroids
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = p.filter(queryPred)
+      .select(col("id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(qdot(col("qqv"), col("cqv"), dim), col("qn2"), col("cn2")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qqv"), col("qn2"), col("cid"))
+    // search only the probed buckets
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        cosine(qdot(col("qqv"), col("qv"), dim), col("qn2"), col("n2")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-accelerated near-dup pairs: exact cosine, but only within
     * hyperplane buckets (candidate recall traded for the elimination
     * of the global N² join — the 100 TB path).

@@ -75,6 +75,23 @@ class PipelineSpec extends SparkSpec {
     assert(byRank.filter($"c1" < $"c5").count() == 0)
   }
 
+  test("ivf top-k: ranked output bounded by the exact search") {
+    val e = Tables.embeddings(spark, sfDir)
+    val ivf = Similarity.ivfTopK(e, "embedding", "vec_id",
+      expr("id % 25 = 0"), k = 5, centroidStep = 10L, nProbe = 2).cache()
+    // per query: contiguous ranks from 1, no self-matches
+    val shapes = ivf.groupBy("query_id")
+      .agg(min($"rank").as("lo"), max($"rank").as("hi"), count(lit(1)).as("n"))
+    assert(shapes.filter(!($"lo" === 1 && $"hi" === $"n")).count() == 0)
+    assert(ivf.filter($"query_id" === $"neighbor_id").count() == 0)
+    // an approximate top-1 can never beat the exact top-1
+    val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id",
+      expr("id % 25 = 0"), 1)
+      .select($"query_id", $"cosine".as("exact_c1"))
+    val joined = ivf.filter($"rank" === 1).join(exact, "query_id")
+    assert(joined.filter($"cosine" > $"exact_c1").count() == 0)
+  }
+
   test("hyperplane buckets are deterministic and bucket identical vectors together") {
     val e = Tables.embeddings(spark, sfDir)
     val planted = e.unionByName(
