@@ -125,12 +125,21 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       tgtCount < srcCount * cfg.fullCopyThreshold
     }
 
+    // updateChunkSize is the reference's rows-per-chunk extraction
+    // bound (updates.go:68); the Spark analog is output partition
+    // sizing — each written partition carries ~chunkSize rows, hashed
+    // by PK so the layout is stable across cycles.
+    val parts = math.max(1,
+      math.ceil(srcCount.toDouble / cfg.updateChunkSize).toInt)
+    val byPk = t.primaryKeys.map(col(_))
     if (needFull) {
-      writeTarget(t.name, ChangeCapture.fullCopy(src))
+      writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
     } else {
       val changes = ChangeCapture.incrementalPull(src, version, st.lastSeenVersion)
       if (!changes.isEmpty)
-        writeTarget(t.name, Merge.upsert(readTarget(t.name), changes, t.primaryKeys))
+        writeTarget(t.name,
+          Merge.upsert(readTarget(t.name), changes, t.primaryKeys)
+            .repartition(parts, byPk: _*))
     }
     state.setVersion(t.name, maxVersion)
   }

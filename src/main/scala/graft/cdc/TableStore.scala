@@ -37,11 +37,15 @@ class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   }
 
   override def write(table: String, df: DataFrame): Unit = {
-    // stage first: df may read the very files the overwrite replaces
-    val tmp = s"$dir/__staging_$table"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path(table))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    // stage first: df may read the very files the overwrite replaces.
+    // The staged dataset then MOVES into place — re-writing it through
+    // Spark would double the I/O and repack the partitions the caller
+    // chose (chunk sizing, pk hashing).
+    val tmp = new java.io.File(s"$dir/__staging_$table")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new java.io.File(path(table))
+    if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
+    org.apache.commons.io.FileUtils.moveDirectory(tmp, dest)
   }
 
   override def statePath: String = s"$dir/__graft_state"

@@ -44,10 +44,13 @@ object CdcStream {
               tgt.listFiles().exists(_.getName.endsWith(".parquet"))) {
             Merge.upsert(spark.read.parquet(targetPath), batch, pkCols)
           } else batch
-        val staging = s"$targetPath.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(targetPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+        // stage then MOVE (not re-write): the merged frame reads the
+        // files the overwrite would replace, and a second Spark write
+        // would double the I/O per micro-batch
+        val staging = new java.io.File(s"$targetPath.staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (tgt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tgt)
+        org.apache.commons.io.FileUtils.moveDirectory(staging, tgt)
         ()
       }
       .start()

@@ -62,6 +62,16 @@ class CdcSpec extends SparkSpec {
     assert(sinkStore.exists("events") && !sinkStore.exists("nope"))
   }
 
+  test("replicator: updateChunkSize bounds written partition sizes") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg.copy(updateChunkSize = 100), srcDir, tgtDir).run()
+    val files = new java.io.File(s"$tgtDir/events.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 10, s"1000 rows / chunk 100 should write 10 files, got $files")
+  }
+
   test("replicator: schema drift aborts without resyncOnSchemaChange, resyncs with it") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     val events = Tables.events(spark, sfDir)
