@@ -83,6 +83,25 @@ object TextAnalysis {
     scored.select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ pick.as("lang_pred"): _*)
   }
 
+  /** PII/noise scrubbing — the redaction pass a training corpus runs
+    * before tokenization: emails → `<EMAIL>`, URLs → `<URL>`, long
+    * digit runs → `<NUM>`, plus per-doc replacement counts. Patterns
+    * are RE2-safe (no backrefs/lookaround) so Spark's Java regex and
+    * the oracle engine's RE2 behave identically.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val numRe = "[0-9]{5,}"
+
+  def scrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        urlRe, "<URL>"), emailRe, "<EMAIL>"), numRe, "<NUM>").as("scrubbed"),
+      regexp_count(t, lit(emailRe)).as("n_email"),
+      regexp_count(t, lit(urlRe)).as("n_url"))
+  }
+
   /** Document fingerprints: exact content hash, order-independent
     * bag-of-tokens hash (catches token-shuffled copies), and a prefix
     * hash (cheap candidate key for prefix-duplicate scans).

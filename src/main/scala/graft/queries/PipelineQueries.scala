@@ -69,6 +69,19 @@ object PipelineQueries {
   def textLangidQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Scrub corpus: documents augmented with synthetic emails/URLs/ids
+    * (both engines construct the identical text) so the redaction has
+    * true positives to hit.
+    */
+  def textScrubQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://ex.com/p?id="), col("doc_id").cast("string"),
+        lit(" ref 1234567"), col("doc_id").cast("string")))
+    TextAnalysis.scrub(d, "text", "doc_id")
+  }
+
   def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
 
@@ -84,6 +97,7 @@ object PipelineQueries {
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,
+    "text_scrub" -> textScrubQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -236,6 +250,19 @@ object PipelineQueries {
          |        len(list_filter(string_split(nt,' '), t -> t in ('el','los','y','las','es','un','una','por'))) AS s_es,
          |        len(list_filter(string_split(nt,' '), t -> t in ('的','是','不','我','在','了','有','这'))) AS s_zh
          |        FROM (SELECT doc_id, $norm AS nt FROM documents)))""".stripMargin,
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    'https?://[^ ]+', '<URL>', 'g'),
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{5,}', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+         |  len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_url
+         |FROM (SELECT doc_id,
+         |        text || ' contact user' || doc_id::VARCHAR
+         |             || '@example.com via https://ex.com/p?id=' || doc_id::VARCHAR
+         |             || ' ref 1234567' || doc_id::VARCHAR AS t
+         |      FROM documents)""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(nt) AS content_hash,
          |  md5(array_to_string(list_sort(list_distinct(string_split(nt, ' '))), ' ')) AS bag_hash,

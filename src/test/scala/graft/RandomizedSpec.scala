@@ -1,0 +1,86 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.cdc.{Merge, RangeHashDiff}
+import graft.ops.AsOfJoin
+
+/** Seeded randomized cross-checks: each operator vs a naive in-memory
+  * reference implementation over generated tables. Complements the
+  * fixed DuckDB oracles with adversarial shapes (duplicate keys, empty
+  * sides, collisions, simultaneous timestamps).
+  */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rounds = 5
+
+  test("merge upsert equals map-semantics reference on random tables") {
+    val rnd = new Random(42)
+    (1 to rounds).foreach { _ =>
+      val base = Seq.fill(rnd.nextInt(200) + 1)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(1000), "base"))
+        .distinctBy(_._1)
+      val updates = Seq.fill(rnd.nextInt(120))(
+        (rnd.nextInt(80).toLong, rnd.nextInt(1000), "upd"))
+        .distinctBy(_._1)
+      val got = Merge.upsert(
+        base.toDF("k", "v", "src"), updates.toDF("k", "v", "src"), Seq("k"))
+        .as[(Long, Int, String)].collect().toSet
+      // reference: updates win per key, unmatched base survives
+      val expect = (base.map(r => r._1 -> r).toMap ++
+        updates.map(r => r._1 -> r).toMap).values.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("range-hash diff flags exactly the buckets containing mutations") {
+    val rnd = new Random(7)
+    val chunk = 16L
+    (1 to rounds).foreach { _ =>
+      val keys = (0L until 400L).filter(_ => rnd.nextBoolean())
+      val deleted = keys.filter(_ => rnd.nextInt(10) == 0).toSet
+      val src = keys.map(k => Tuple1(k)).toDF("pk")
+      val tgt = (keys.filterNot(deleted) ++
+        Seq.fill(rnd.nextInt(5))(1000L + rnd.nextInt(50))) // phantom rows
+        .map(k => Tuple1(k)).toDF("pk")
+      val got = RangeHashDiff.diffBuckets(src, tgt, "pk", chunk)
+        .select("bucket").as[Long].collect().toSet
+      val phantom = tgt.select("pk").as[Long].collect().toSet -- keys.filterNot(deleted)
+      val expect = (deleted ++ phantom).map(_ / chunk)
+      assert(got == expect, s"deleted=$deleted phantom=$phantom")
+    }
+  }
+
+  test("as-of join equals per-row scan reference on random event streams") {
+    val rnd = new Random(99)
+    (1 to rounds).foreach { _ =>
+      val leftRows = Seq.fill(rnd.nextInt(150) + 1)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val rightRows = Seq.fill(rnd.nextInt(150))(
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      val left = leftRows.toDF("k", "ts", "tag")
+      val right = rightRows.toDF("k", "ts", "pid", "pval")
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "ts",
+        Seq("pid", "pval"), Seq("pid"))
+        .select($"k", $"ts", $"tag", $"pid", $"pval")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSeq.sorted(
+          Ordering.by((t: (Long, Long, Long, Option[Any], Option[Any])) =>
+            (t._1, t._2, t._3)))
+      // reference: scan all right rows per left row
+      val expect = leftRows.map { case (k, ts, tag) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        if (cands.isEmpty) (k, ts, tag, None, None)
+        else {
+          val w = cands.maxBy(r => (r._2, r._3, r._4)) // latest ts, then max (pid, pval)
+          (k, ts, tag, Some(w._3): Option[Any], Some(w._4): Option[Any])
+        }
+      }.sorted(Ordering.by((t: (Long, Long, Long, Option[Any], Option[Any])) =>
+        (t._1, t._2, t._3)))
+      assert(got == expect)
+    }
+  }
+}
