@@ -37,6 +37,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: every click correlated with the same
+    * user's purchases in the preceding `horizon` — the two-feed
+    * correlation shape (attribution, feature freshness). BOTH sides
+    * carry watermarks and the join condition bounds event-time
+    * distance, so Spark provably expires join state: memory stays
+    * O(horizon · rate) at any corpus size.
+    */
+  def intervalJoin(feed: DataFrame, watermark: String = "1 hour",
+                   horizonExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      expr(s"user_id = p_user AND p_ts BETWEEN click_ts - $horizonExpr AND click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("p_ts"))
+  }
+
   /** Streaming sessionization with CUSTOM state (the capability the
     * windowed APIs can't express): per-user sessions closed after
     * `gapMinutes` of inactivity, via

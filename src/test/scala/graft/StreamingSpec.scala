@@ -86,6 +86,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val feedDir = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+    events.coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = EventStream.fileFeed(spark, feedDir, events.schema)
+    val q = EventStream.intervalJoin(feed).writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corr_out").count()
+      val c = events.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      val p = events.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      val batch = c.join(p, expr(
+        "user_id = p_user AND p_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts")).count()
+      assert(batch > 0, "fixture must produce at least one correlated pair")
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
