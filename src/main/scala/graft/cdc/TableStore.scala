@@ -24,16 +24,24 @@ trait TableStore {
   def statePath: String
 }
 
-/** Directory-of-parquet store: `<dir>/<table>.parquet` per table. */
-class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
+/** Directory-of-datasets store: `<dir>/<table>.<format>` per table,
+  * for any Spark file source (parquet/orc/json/csv/avro). Text formats
+  * carry weaker types — pass explicit `readOptions` (header,
+  * inferSchema, timestampFormat) when replicating from them.
+  */
+class FormatStore(spark: SparkSession, dir: String, format: String,
+                  readOptions: Map[String, String] = Map.empty,
+                  writeOptions: Map[String, String] = Map.empty)
+    extends TableStore {
 
-  private def path(t: String) = s"$dir/$t.parquet"
+  protected def path(t: String) = s"$dir/$t.$format"
 
-  override def read(table: String): DataFrame = spark.read.parquet(path(table))
+  override def read(table: String): DataFrame =
+    spark.read.format(format).options(readOptions).load(path(table))
 
   override def exists(table: String): Boolean = {
     val d = new java.io.File(path(table))
-    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    d.exists() && d.listFiles() != null && d.listFiles().nonEmpty
   }
 
   override def write(table: String, df: DataFrame): Unit = {
@@ -42,7 +50,7 @@ class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     // Spark would double the I/O and repack the partitions the caller
     // chose (chunk sizing, pk hashing).
     val tmp = new java.io.File(s"$dir/__staging_$table")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    df.write.format(format).options(writeOptions).mode("overwrite").save(tmp.toString)
     val dest = new java.io.File(path(table))
     if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
     org.apache.commons.io.FileUtils.moveDirectory(tmp, dest)
@@ -50,6 +58,10 @@ class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
 
   override def statePath: String = s"$dir/__graft_state"
 }
+
+/** Directory-of-parquet store: `<dir>/<table>.parquet` per table. */
+class ParquetStore(spark: SparkSession, dir: String)
+    extends FormatStore(spark, dir, "parquet")
 
 /** JDBC store — the reference's actual medium (Postgres on both ends).
   *

@@ -62,6 +62,21 @@ class CdcSpec extends SparkSpec {
     assert(sinkStore.exists("events") && !sinkStore.exists("nope"))
   }
 
+  test("replicator: csv source to parquet sink converges") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value") // csv-safe columns
+    events.write.option("header", "true").mode("overwrite")
+      .csv(s"$srcDir/events.csv")
+    val csvSource = new FormatStore(spark, srcDir, "csv",
+      readOptions = Map("header" -> "true", "inferSchema" -> "true"))
+    val rep = new Replicator(spark, eventsCfg, csvSource, new ParquetStore(spark, tgtDir))
+    rep.run()
+    val tgt = spark.read.parquet(s"$tgtDir/events.parquet")
+    assert(tgt.count() == events.count())
+    assert(rep.state.get("events").lastSeenVersion == 999L)
+  }
+
   test("replicator: updateChunkSize bounds written partition sizes") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     val events = Tables.events(spark, sfDir)
