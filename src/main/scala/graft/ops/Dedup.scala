@@ -187,6 +187,48 @@ object Dedup {
         s"array_distinct(transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)), i -> substr(norm, i, $n)))")).as("tok"))
     // rows are already (id, tok)-unique via array_distinct; no shuffle.
 
+  /** Connected components over a duplicate-pair graph — the
+    * keep-one-per-cluster step a dedup pipeline ends with: every doc
+    * in a component gets the component's smallest id as its cluster
+    * label. Iterative min-label propagation (the standard distributed
+    * CC: each round, every vertex takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds —
+    * what GraphX/GraphFrames run under the hood). Each round is one
+    * join + one partial-aggregated groupBy; labels persist per round
+    * so lineage stays flat.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, cluster) for every vertex
+    * that appears in at least one pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(sl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(sl)
+    labels.count()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dst_label").as("nbr_label"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .persist(sl)
+      changed = stepped.filter(col("new_label") < col("label")).count()
+      val old = labels
+      labels = stepped.select(col("id"), col("new_label").as("label")).persist(sl)
+      labels.count()
+      old.unpersist(); stepped.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Char-n-gram Jaccard near-dup pairs ≥ threshold, via the shared
     * shingle inverted index (explode → join → count), never N².
     */

@@ -44,6 +44,30 @@ object PipelineQueries {
 
   private val EMB_DIM = Some(64) // embeddings.parquet vector width (TESTDATA.md)
 
+  /** Duplicate clustering: a 4-copy corpus (every 50th doc duplicated
+    * at +100k/+200k/+300k) whose dup-pair graph is built as CHAIN
+    * edges (consecutive ids per content hash, via window lag) — so the
+    * component diameter is ≥ 3 and label propagation must actually
+    * iterate. The oracle derives cluster truth independently:
+    * cluster = min(doc_id) per content-hash group of size > 1.
+    */
+  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val corpus = Seq(100000L, 200000L, 300000L).foldLeft(d) { (acc, off) =>
+      acc.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + off))
+    }
+    val hashed = corpus.select(col("doc_id"),
+      md5(TextAnalysis.normalize(col("text"))).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val edges = hashed.withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+    Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T, EMB_DIM)
 
@@ -91,6 +115,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhashQ,
     "dedup_ngram_jaccard" -> dedupNgramQ,
     "dedup_embedding" -> dedupEmbeddingQ,
+    "dedup_clusters" -> dedupClustersQ,
     "ann_topk" -> annTopkQ,
     "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
@@ -170,6 +195,16 @@ object PipelineQueries {
          |  SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
          |  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)
          |WHERE j >= $NGRAM_T""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 50 = 0),
+         |h AS (SELECT doc_id, md5($norm) AS h FROM corpus),
+         |grp AS (SELECT h, min(doc_id) AS cluster, count(*) AS n FROM h GROUP BY h)
+         |SELECT t.doc_id, g.cluster
+         |FROM h t JOIN grp g USING (h) WHERE g.n > 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $qPrep
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

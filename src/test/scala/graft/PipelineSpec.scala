@@ -75,6 +75,14 @@ class PipelineSpec extends SparkSpec {
     assert(byRank.filter($"c1" < $"c5").count() == 0)
   }
 
+  test("connected components propagate labels across multi-hop chains") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("ivf top-k: ranked output bounded by the exact search") {
     val e = Tables.embeddings(spark, sfDir)
     val ivf = Similarity.ivfTopK(e, "embedding", "vec_id",
