@@ -201,13 +201,18 @@ object Dedup {
     * that appears in at least one pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint, NOT persist: persist caches data but keeps the
+    // logical plan, so per-iteration lineage compounds and Catalyst
+    // re-optimizes an exponentially growing plan on every action —
+    // optimizer time, not execution, becomes the bottleneck within a
+    // handful of rounds. Checkpointing truncates the plan to the
+    // materialized partitions. (On a cluster with a checkpoint dir,
+    // `checkpoint()` adds executor-failure tolerance; same shape.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(sl)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(sl)
-    labels.count()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -217,15 +222,11 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
-        .persist(sl)
+        .localCheckpoint()
       changed = stepped.filter(col("new_label") < col("label")).count()
-      val old = labels
-      labels = stepped.select(col("id"), col("new_label").as("label")).persist(sl)
-      labels.count()
-      old.unpersist(); stepped.unpersist()
+      labels = stepped.select(col("id"), col("new_label").as("label"))
       i += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 
