@@ -102,6 +102,19 @@ object TextAnalysis {
       regexp_count(t, lit(urlRe)).as("n_url"))
   }
 
+  /** Corpus vocabulary by document frequency: for each token, the
+    * number of documents containing it, top-k by (df desc, token asc).
+    * Per-doc `array_distinct` before explode (no shuffle for the
+    * distinct), partial-aggregated counts, and a TakeOrdered top-k —
+    * the corpus-level statistic feeding stopword lists and tokenizer
+    * vocabularies.
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(explode(array_distinct(split(normalize(col(textCol)), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprints: exact content hash, order-independent
     * bag-of-tokens hash (catches token-shuffled copies), and a prefix
     * hash (cheap candidate key for prefix-duplicate scans).

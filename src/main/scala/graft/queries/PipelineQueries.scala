@@ -106,6 +106,16 @@ object PipelineQueries {
     TextAnalysis.scrub(d, "text", "doc_id")
   }
 
+  def sampleStratifiedQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.stratified(Tables.events(spark, sfDir),
+      "event_type", "event_id",
+      rates = Map("click" -> 0.5, "purchase" -> 1.0, "error" -> 0.0),
+      defaultRate = 0.1)
+      .select("event_id", "user_id", "event_type")
+
+  def textVocabQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(spark, sfDir), "text", "doc_id", 100)
+
   def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
 
@@ -123,6 +133,8 @@ object PipelineQueries {
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
+    "text_vocab" -> textVocabQ,
+    "sample_stratified" -> sampleStratifiedQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -298,6 +310,16 @@ object PipelineQueries {
          |             || '@example.com via https://ex.com/p?id=' || doc_id::VARCHAR
          |             || ' ref 1234567' || doc_id::VARCHAR AS t
          |      FROM documents)""".stripMargin,
+    "text_vocab" ->
+      s"""WITH toks AS (SELECT unnest(list_distinct(string_split($norm, ' '))) AS token
+         |              FROM documents)
+         |SELECT token, count(*) AS doc_freq FROM toks
+         |GROUP BY 1 ORDER BY doc_freq DESC, token ASC LIMIT 100""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
+         |  CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
+         |        WHEN 'error' THEN 0.0 ELSE 0.1 END) * 10000 AS BIGINT)""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(nt) AS content_hash,
          |  md5(array_to_string(list_sort(list_distinct(string_split(nt, ' '))), ' ')) AS bag_hash,

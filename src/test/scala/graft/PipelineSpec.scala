@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(byRank.filter($"c1" < $"c5").count() == 0)
   }
 
+  test("stratified sampling: deterministic, rate-accurate, zero-rate strata drop out") {
+    val events = Tables.events(spark, sfDir)
+    val rates = Map("click" -> 0.5, "purchase" -> 1.0, "error" -> 0.0)
+    val s1 = graft.ops.Sampling.stratified(events, "event_type", "event_id", rates, 0.1)
+    val s2 = graft.ops.Sampling.stratified(events, "event_type", "event_id", rates, 0.1)
+    assert(s1.select("event_id").as[Long].collect().toSet ==
+      s2.select("event_id").as[Long].collect().toSet) // reproducible
+    val byType = s1.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val totals = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(!byType.contains("error"))
+    assert(byType("purchase") == totals("purchase"))
+    val clickRate = byType("click").toDouble / totals("click")
+    assert(clickRate > 0.35 && clickRate < 0.65, s"click rate $clickRate")
+  }
+
   test("connected components propagate labels across multi-hop chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
