@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   def diff(oldSnap: DataFrame, newSnap: DataFrame, pkCols: Seq[String]): DataFrame = {
-    val payloadCols = newSnap.columns.filterNot(pkCols.contains).sorted
+    val payloadCols = newSnap.columns.filterNot(pkCols.contains).sorted.toSeq
     require(payloadCols.nonEmpty, "snapshot diff needs at least one non-PK column")
     def hashed(df: DataFrame, tag: String) =
       df.select(pkCols.map(col) :+

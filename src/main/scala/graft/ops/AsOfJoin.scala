@@ -43,7 +43,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col(_)) ++
+      .select(left.columns.toSeq.map(col(_)) ++
         payloadCols.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

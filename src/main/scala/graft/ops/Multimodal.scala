@@ -76,7 +76,8 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val scale = math.min(1.0, (w.toLong * h) / math.max(1.0, r.meta.width.toLong * r.meta.height))
+      val scale = math.min(1.0,
+        (w.toLong * h).toDouble / math.max(1.0, (r.meta.width.toLong * r.meta.height).toDouble))
       val n = math.max(1, (r.payload.length * scale).toInt)
       r.copy(payload = r.payload.take(n), meta = r.meta.copy(width = w, height = h))
     }
