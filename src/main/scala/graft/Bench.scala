@@ -25,19 +25,28 @@ object Bench {
     // reader, and the broadcast+shuffle machinery. Then run in name
     // order (deterministic).
     import org.apache.spark.sql.functions.{md5 => smd5, col => scol, broadcast => sbc}
-    spark.range(1000000).select(smd5(scol("id").cast("string")).as("h"))
-      .filter(scol("h") > "a").count()
-    val warm = spark.read.parquet(s"$sfDir/region.parquet")
-    warm.crossJoin(sbc(warm.limit(1).select(scol(warm.columns.head).as("__w"))))
-      .groupBy(warm.columns.head).count().count()
+    // warmup must never kill the run — a missing table would otherwise
+    // crash before the contract JSON line is emitted
+    try {
+      spark.range(1000000).select(smd5(scol("id").cast("string")).as("h"))
+        .filter(scol("h") > "a").count()
+      val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      warm.crossJoin(sbc(warm.limit(1).select(scol(warm.columns.head).as("__w"))))
+        .groupBy(warm.columns.head).count().count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, not a misleading elapsed time
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
