@@ -165,13 +165,26 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
     }
   }
 
-  /** One full sync cycle: validate → update → delete-sync. */
+  /** One full sync cycle: validate → update → delete-sync. Tables
+    * sync CONCURRENTLY (they touch disjoint paths and the StateStore
+    * serializes its own writes) — the reference is sequential only
+    * because it owns a single database connection; a cluster engine
+    * overlaps one table's shuffle with another's scan.
+    */
   def run(): Unit = {
     validateTables()
-    cfg.tables.foreach { t =>
-      if (cfg.syncUpdates) updateTable(t)
-      if (cfg.syncDeletes && targetExists(t.name)) syncDeletes(t)
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, cfg.tables.size)))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = cfg.tables.map { t => Future {
+        if (cfg.syncUpdates) updateTable(t)
+        if (cfg.syncDeletes && targetExists(t.name)) syncDeletes(t)
+      }}
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally pool.shutdown()
     forceSync = Set.empty
   }
 

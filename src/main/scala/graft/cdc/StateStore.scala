@@ -29,14 +29,19 @@ class StateStore(spark: SparkSession, path: String) {
     def isEmpty: Boolean = lastSeenVersion == 0L && whereClause.isEmpty
   }
 
-  def get(table: String): TableState = {
+  def get(table: String): TableState = synchronized {
     val rows = stateTable().filter($"table_name" === table)
       .select("last_seen_version", "where_clause").collect()
     if (rows.isEmpty) TableState(0L, "")
     else TableState(rows.head.getLong(0), Option(rows.head.getString(1)).getOrElse(""))
   }
 
-  def put(table: String, state: TableState): Unit = {
+  // `synchronized`: state mutations are read-modify-write over one
+  // parquet path; the Replicator syncs tables CONCURRENTLY and two
+  // interleaved puts would lose one table's watermark. (Cross-process
+  // coordination, if ever needed, belongs to the driver — same as
+  // Structured Streaming's single-writer checkpoint rule.)
+  def put(table: String, state: TableState): Unit = synchronized {
     val update = Seq((table, state.lastSeenVersion, state.whereClause))
       .toDF("table_name", "last_seen_version", "where_clause")
     val merged = Merge.upsert(stateTable(), update, Seq("table_name")).collect()
@@ -47,9 +52,11 @@ class StateStore(spark: SparkSession, path: String) {
     out.write.mode("overwrite").parquet(path)
   }
 
-  def setVersion(table: String, version: Long): Unit =
+  def setVersion(table: String, version: Long): Unit = synchronized {
     put(table, get(table).copy(lastSeenVersion = version))
+  }
 
-  def setWhere(table: String, where: String): Unit =
+  def setWhere(table: String, where: String): Unit = synchronized {
     put(table, get(table).copy(whereClause = where))
+  }
 }

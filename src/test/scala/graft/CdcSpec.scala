@@ -62,6 +62,26 @@ class CdcSpec extends SparkSpec {
     assert(sinkStore.exists("events") && !sinkStore.exists("nope"))
   }
 
+  test("replicator: multi-table sync runs concurrently and converges both tables") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    orders.write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    val cfg = ReplicationConfig(tables = Seq(
+      TableConfig("events", Seq("event_id"), "event_id"),
+      TableConfig("orders", Seq("o_orderkey"), "o_orderkey")),
+      deleteChunkSize = 100)
+    val rep = new Replicator(spark, cfg, srcDir, tgtDir)
+    rep.run()
+    assert(spark.read.parquet(s"$tgtDir/events.parquet").count() == events.count())
+    assert(spark.read.parquet(s"$tgtDir/orders.parquet").count() == orders.count())
+    // both watermarks survived the concurrent state writes
+    assert(rep.state.get("events").lastSeenVersion == 999L)
+    assert(rep.state.get("orders").lastSeenVersion ==
+      orders.agg(max($"o_orderkey")).head().getLong(0))
+  }
+
   test("replicator: csv source to parquet sink converges") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     val events = Tables.events(spark, sfDir)
