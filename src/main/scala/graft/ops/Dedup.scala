@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.util.Hashing
 
 /** Deduplication operators for LLM-training-data pipelines
-  * (SURVEY §2 C1–C5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  * (SURVEY §2 C1–C5b): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and duplicate clustering (connected components).
   *
   * Scale shape: every operator is explode → hash → groupBy — the
   * candidate-generation pattern that avoids the N² cross join. Pair

@@ -75,6 +75,20 @@ class PipelineSpec extends SparkSpec {
     assert(byRank.filter($"c1" < $"c5").count() == 0)
   }
 
+  test("uniform sampling: deterministic, rate-accurate, disjoint under different salts") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count().toDouble
+    val a = graft.ops.Sampling.uniform(docs, "doc_id", 0.3, "saltA")
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.ops.Sampling.uniform(docs, "doc_id", 0.3, "saltA")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // same salt → identical sample
+    assert(a.size / n > 0.2 && a.size / n < 0.4, s"rate ${a.size / n}")
+    val c = graft.ops.Sampling.uniform(docs, "doc_id", 0.3, "saltB")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a) // different salt → different (independent) sample
+  }
+
   test("stratified sampling: deterministic, rate-accurate, zero-rate strata drop out") {
     val events = Tables.events(spark, sfDir)
     val rates = Map("click" -> 0.5, "purchase" -> 1.0, "error" -> 0.0)
