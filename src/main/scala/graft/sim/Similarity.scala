@@ -153,6 +153,12 @@ object Similarity {
     * `centroidStep`-th vector; assignment is argmax cosine with
     * smallest-centroid-id tie-break, computed as a partial-aggregatable
     * struct-max (no N×K window sort); ranks tie-break on neighbor id.
+    *
+    * Sizing: K = N/centroidStep centroids; pick centroidStep ≈ √N so
+    * both the assignment fan-out (N·K) and the probed-bucket size
+    * (N/K·nProbe) stay ~N^1.5 / N^0.5 — the standard IVF balance. The
+    * centroid table must fit in a broadcast; for K beyond that, IVF
+    * becomes hierarchical (coarse-quantize the centroids themselves).
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               queryPred: Column, k: Int, centroidStep: Long, nProbe: Int,
