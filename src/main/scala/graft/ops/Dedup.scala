@@ -231,6 +231,23 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** The end-to-end dedup pass: MinHash-LSH near-dup pairs → duplicate
+    * clusters → keep ONE canonical doc (smallest id) per cluster.
+    * Exact duplicates are J = 1.0, so they are subsumed by the near-dup
+    * threshold. This is the one-call corpus-cleaning composition; the
+    * building blocks stay available for pipelines that want the pairs
+    * or cluster labels themselves.
+    */
+  def dedupedCorpus(df: DataFrame, textCol: String, idCol: String,
+                    numHashes: Int = 16, numBands: Int = 2,
+                    threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, numBands, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Char-n-gram Jaccard near-dup pairs ≥ threshold, via the shared
     * shingle inverted index (explode → join → count), never N².
     */

@@ -104,6 +104,29 @@ class PipelineSpec extends SparkSpec {
     assert(clickRate > 0.35 && clickRate < 0.65, s"click rate $clickRate")
   }
 
+  test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
+    val d = Tables.documents(spark, sfDir)
+    val withCopies = d.unionByName(
+      d.filter($"doc_id" % 25 === 0).withColumn("doc_id", $"doc_id" + 500000L))
+    val out = graft.ops.Dedup.dedupedCorpus(withCopies, "text", "doc_id")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // every injected copy is dropped (its original has a smaller id and
+    // J = 1.0 guarantees the pair); note originals themselves may also
+    // drop — the corpus is organically near-duplicate at J ≥ 0.7
+    val copied = d.filter($"doc_id" % 25 === 0).select("doc_id").as[Long].collect()
+    assert(copied.forall(id => !kept.contains(id + 500000L)))
+    // exactly the cluster canonicals survive, nothing else is dropped
+    val clusters = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.minHashLsh(withCopies, "text", "doc_id"))
+      .as[(Long, Long)].collect()
+    val canonical = clusters.map(_._2).toSet
+    val nonCanonical = clusters.collect { case (id, c) if id != c => id }.toSet
+    assert(canonical.subsetOf(kept))
+    assert(nonCanonical.intersect(kept).isEmpty)
+    // idempotent: a second pass removes nothing
+    assert(graft.ops.Dedup.dedupedCorpus(out, "text", "doc_id").count() == out.count())
+  }
+
   test("connected components propagate labels across multi-hop chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
