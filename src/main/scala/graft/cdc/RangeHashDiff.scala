@@ -82,6 +82,46 @@ object RangeHashDiff {
       .drop("bucket")
   }
 
+  /** Hash-bucket variant for COMPOSITE or non-numeric primary keys:
+    * buckets are `hash(pk-tuple) mod nBuckets` instead of contiguous
+    * value ranges — works for any key shape at the cost of reload
+    * locality (a changed bucket's rows are scattered, not a contiguous
+    * range; the reload scan is still one pushed-down pass). Same
+    * commutative per-bucket hash sum, so partial aggregation applies.
+    */
+  def pkTuple(pkCols: Seq[String]): Column =
+    concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)
+
+  def hashBucketHashes(df: DataFrame, pkCols: Seq[String], nBuckets: Int,
+                       filter: Column = lit(true)): DataFrame =
+    df.filter(filter)
+      .select(pmod(Hashing.portableHash64(pkTuple(pkCols)), lit(nBuckets.toLong)).as("bucket"),
+        Hashing.portableHash32(pkTuple(pkCols)).as("kh"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum(col("kh")).cast("string").as("key_hash"))
+
+  /** Buckets whose composite-key sets differ between source and target. */
+  def hashBucketDiff(source: DataFrame, target: DataFrame, pkCols: Seq[String],
+                     nBuckets: Int): DataFrame = {
+    val s = hashBucketHashes(source, pkCols, nBuckets)
+      .withColumnsRenamed(Map("n_keys" -> "src_keys", "key_hash" -> "src_hash"))
+    val t = hashBucketHashes(target, pkCols, nBuckets)
+      .withColumnsRenamed(Map("n_keys" -> "tgt_keys", "key_hash" -> "tgt_hash"))
+    s.join(t, Seq("bucket"), "full_outer")
+      .filter(coalesce(col("src_hash"), lit("∅")) =!= coalesce(col("tgt_hash"), lit("∅")))
+      .select(col("bucket"),
+        coalesce(col("src_keys"), lit(0L)).as("src_keys"),
+        coalesce(col("tgt_keys"), lit(0L)).as("tgt_keys"))
+  }
+
+  /** Rows of `df` inside the differing hash buckets. */
+  def changedHashBucketRows(df: DataFrame, diff: DataFrame, pkCols: Seq[String],
+                            nBuckets: Int): DataFrame =
+    df.withColumn("bucket",
+        pmod(Hashing.portableHash64(pkTuple(pkCols)), lit(nBuckets.toLong)))
+      .join(broadcast(diff.select("bucket")), Seq("bucket"), "left_semi")
+      .drop("bucket")
+
   /** The net delete set: keys present in target, gone from source.
     * One anti join, shuffled on the key (AQE may broadcast the smaller
     * side). This is the end-to-end effect the reference achieves with

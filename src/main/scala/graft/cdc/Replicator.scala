@@ -147,21 +147,35 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
   // -- deletes -------------------------------------------------------
 
   def syncDeletes(t: TableConfig): Unit = {
-    require(t.primaryKeys.size == 1,
-      "range-hash delete sync keys on a single numeric pk (composite pks use SnapshotDiff)")
-    val pk = t.primaryKeys.head
     val src = readSource(t)
     val tgt = readTarget(t.name)
-    val diff = RangeHashDiff.diffBuckets(src, tgt, pk, cfg.deleteChunkSize)
-    if (!diff.isEmpty) {
-      // reference semantics (deletes.go:160): for each differing range,
-      // drop target rows in-range and reload the range from source
-      val cleaned = tgt.join(
-        broadcast(diff.select("bucket")),
-        expr(s"cast(`$pk` as bigint) div ${cfg.deleteChunkSize}L") === col("bucket"),
-        "left_anti")
-      val reloaded = RangeHashDiff.changedRangeRows(src, diff, pk, cfg.deleteChunkSize)
-      writeTarget(t.name, cleaned.unionByName(reloaded))
+    if (t.primaryKeys.size == 1) {
+      // single numeric pk: contiguous value-range buckets (reference
+      // semantics, deletes.go:160 — reloads are contiguous ranges)
+      val pk = t.primaryKeys.head
+      val diff = RangeHashDiff.diffBuckets(src, tgt, pk, cfg.deleteChunkSize)
+      if (!diff.isEmpty) {
+        val cleaned = tgt.join(
+          broadcast(diff.select("bucket")),
+          expr(s"cast(`$pk` as bigint) div ${cfg.deleteChunkSize}L") === col("bucket"),
+          "left_anti")
+        val reloaded = RangeHashDiff.changedRangeRows(src, diff, pk, cfg.deleteChunkSize)
+        writeTarget(t.name, cleaned.unionByName(reloaded))
+      }
+    } else {
+      // composite pk: hash buckets — any key shape, same 2-scan diff
+      val nBuckets = math.max(1, (cfg.deleteChunkSize / 16).toInt)
+      val diff = RangeHashDiff.hashBucketDiff(src, tgt, t.primaryKeys, nBuckets)
+      if (!diff.isEmpty) {
+        val cleaned = tgt
+          .withColumn("bucket", pmod(
+            graft.util.Hashing.portableHash64(RangeHashDiff.pkTuple(t.primaryKeys)),
+            lit(nBuckets.toLong)))
+          .join(broadcast(diff.select("bucket")), Seq("bucket"), "left_anti")
+          .drop("bucket")
+        val reloaded = RangeHashDiff.changedHashBucketRows(src, diff, t.primaryKeys, nBuckets)
+        writeTarget(t.name, cleaned.unionByName(reloaded))
+      }
     }
   }
 

@@ -71,6 +71,17 @@ object CdcQueries {
     RangeHashDiff.changedRangeRows(src, diff, "o_orderkey", DCHUNK)
   }
 
+  /** Composite-pk delete detection: hash buckets over
+    * (l_orderkey, l_linenumber) — the any-key-shape variant of the
+    * range diff (every 89th order's first line vanished).
+    */
+  def hashBucketDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber")
+    val src = li.filter(expr("NOT (l_orderkey % 89 = 0 AND l_linenumber = 1)"))
+    RangeHashDiff.hashBucketDiff(src, li, Seq("l_orderkey", "l_linenumber"), 64)
+      .withColumnsRenamed(Map("src_keys" -> "source_keys", "tgt_keys" -> "target_keys"))
+  }
+
   def deletedKeysQ(spark: SparkSession, sfDir: String): DataFrame =
     RangeHashDiff.deletedKeys(
       srcAfterDeletes(spark, sfDir), Tables.orders(spark, sfDir), Seq("o_orderkey"))
@@ -110,6 +121,7 @@ object CdcQueries {
     "cdc_range_hash" -> rangeHashQ,
     "cdc_range_hash_fast" -> rangeHashFastQ,
     "cdc_range_diff" -> rangeDiffQ,
+    "cdc_hash_bucket_diff" -> hashBucketDiffQ,
     "cdc_changed_range_resync" -> changedRangeResyncQ,
     "cdc_deleted_keys" -> deletedKeysQ,
     "cdc_snapshot_diff" -> snapshotDiffQ,
@@ -170,6 +182,19 @@ object CdcQueries {
          |  AND o.o_orderkey // $DCHUNK IN (SELECT bucket FROM d)""".stripMargin,
     "cdc_deleted_keys" ->
       s"SELECT o_orderkey FROM orders WHERE $delPred",
+    "cdc_hash_bucket_diff" ->
+      """WITH t AS (SELECT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS k,
+        |                  (l_orderkey % 89 = 0 AND l_linenumber = 1) AS gone
+        |           FROM lineitem),
+        |b AS (SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % 64 AS bucket,
+        |             ('0x' || substr(md5(k), 1, 8))::BIGINT AS kh, gone FROM t),
+        |s AS (SELECT bucket, count(*) AS source_keys, sum(kh)::BIGINT AS h
+        |      FROM b WHERE NOT gone GROUP BY 1),
+        |g AS (SELECT bucket, count(*) AS target_keys, sum(kh)::BIGINT AS h
+        |      FROM b GROUP BY 1)
+        |SELECT g.bucket, coalesce(s.source_keys, 0) AS source_keys, g.target_keys
+        |FROM g LEFT JOIN s USING (bucket)
+        |WHERE s.h IS NULL OR s.h <> g.h""".stripMargin,
     "cdc_snapshot_diff" ->
       """SELECT o_orderkey, 'delete' AS change_type FROM orders WHERE o_orderkey % 13 = 0
         |UNION ALL
