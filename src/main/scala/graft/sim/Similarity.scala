@@ -174,15 +174,13 @@ object Similarity {
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
         first(col("qv")).as("qv"), first(col("n2")).as("n2"))
       .select(col("id"), col("qv"), col("n2"), (-col("m.ncid")).as("cid"))
-    // queries probe their nProbe nearest centroids
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-    val probes = p.filter(queryPred)
-      .select(col("id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(qdot(col("qqv"), col("cqv"), dim), col("qn2"), col("cn2")))
+    // queries probe their nProbe nearest centroids; reuse the
+    // vector×centroid cosine scan rather than recomputing it
+    val probeW = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = withCos.filter(queryPred)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("qqv"), col("qn2"), col("cid"))
+      .select(col("id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"), col("cid"))
     // search only the probed buckets
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
