@@ -33,10 +33,22 @@ object ChangeCapture {
     * so the operator returns the whole incremental set and lets the
     * sink partition it. Deterministic order keys are the caller's
     * sort columns if a stable file layout is wanted.
+    *
+    * `upperBound` closes the watermark race on LIVE sources: the
+    * Replicator records `max_version` from one read and pulls in a
+    * second — rows landing between the two with version ≤ max would be
+    * skipped forever once the watermark advances. Bounding the pull to
+    * the recorded max makes "state says seen ≤ V" and "rows pulled"
+    * consistent for append-only monotone feeds; sources that UPDATE
+    * rows in place additionally require snapshot-isolated reads (a
+    * parquet dir or table-format version is exactly that).
     */
   def incrementalPull(source: DataFrame, versionCol: Column, watermark: Long,
-                      filter: Column = lit(true)): DataFrame =
-    source.filter(versionCol > lit(watermark)).filter(filter)
+                      filter: Column = lit(true),
+                      upperBound: Option[Long] = None): DataFrame = {
+    val bounded = upperBound.map(ub => source.filter(versionCol <= lit(ub))).getOrElse(source)
+    bounded.filter(versionCol > lit(watermark)).filter(filter)
+  }
 
   /** Decide full-copy vs incremental per table: a target holding fewer
     * than `threshold * source_rows` rows is considered stale and gets

@@ -26,6 +26,27 @@ object Merge {
     updates.unionByName(survivors)
   }
 
+  /** Collapse a change batch to ONE row per PK, keeping the highest
+    * version (ties broken deterministically by the remaining columns).
+    * `upsert` assumes PK-unique updates — true when updates come from a
+    * table snapshot, but a streaming micro-batch can carry several
+    * change rows for the same PK (two files landing in one trigger),
+    * and unioning them all would leave duplicate PKs in the target.
+    *
+    * Struct-max, not a row_number window: max is commutative, so Spark
+    * partial-aggregates map-side and the shuffle carries one row per
+    * (partition, PK) instead of every change row.
+    */
+  def latestByKey(updates: DataFrame, pkCols: Seq[String], versionCol: String): DataFrame = {
+    val payload = updates.columns.filterNot(pkCols.contains).toSeq
+    require(payload.contains(versionCol), s"version column $versionCol must be a non-PK column")
+    val ordered = versionCol +: payload.filterNot(_ == versionCol)
+    updates.groupBy(pkCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__latest"))
+      .select(pkCols.map(col) ++ ordered.map(c => col(s"__latest.`$c`").as(c)): _*)
+      .select(updates.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Remove rows whose PK appears in `deletedKeys`
     * (reference: deleteRows, updates.go:228).
     */

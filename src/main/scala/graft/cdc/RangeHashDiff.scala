@@ -29,7 +29,11 @@ object RangeHashDiff {
 
   /** Per-bucket hash of a table's primary keys.
     * Output: (bucket, n_keys, key_hash[string]).
-    * Bucket b covers pk ∈ [b*chunkSize, (b+1)*chunkSize).
+    * For non-negative pks bucket b covers [b*chunkSize, (b+1)*chunkSize);
+    * negative pks share truncated-toward-zero buckets (`div`), so bucket
+    * 0 spans (-chunkSize, chunkSize) — diffs stay correct (both sides
+    * bucket identically) but reload ranges are only contiguous for
+    * non-negative key spaces.
     */
   def bucketHashes(df: DataFrame, pkCol: String, chunkSize: Long,
                    ordered: Boolean = false, filter: Column = lit(true)): DataFrame = {
@@ -89,8 +93,16 @@ object RangeHashDiff {
     * range; the reload scan is still one pushed-down pass). Same
     * commutative per-bucket hash sum, so partial aggregation applies.
     */
+  /** Injective tuple encoding: each component is md5'd individually
+    * (fixed-width hex can never contain the separator) and NULL maps to
+    * a sentinel no digest can equal — so ('a|b','c') vs ('a','b|c') and
+    * ('x',NULL,'y') vs ('x','y',NULL) get distinct encodings. A raw
+    * concat_ws would silently skip NULLs and leave the separator
+    * unescaped, letting distinct composite keys collide into the same
+    * bucket hash and delete diffs go undetected.
+    */
   def pkTuple(pkCols: Seq[String]): Column =
-    concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)
+    concat_ws("|", pkCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*)
 
   def hashBucketHashes(df: DataFrame, pkCols: Seq[String], nBuckets: Int,
                        filter: Column = lit(true)): DataFrame =

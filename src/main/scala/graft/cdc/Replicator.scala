@@ -135,7 +135,12 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
     if (needFull) {
       writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
     } else {
-      val changes = ChangeCapture.incrementalPull(src, version, st.lastSeenVersion)
+      // pull bounded to the recorded maxVersion: the range and the
+      // watermark we persist must describe the same set of rows even
+      // if the source gains rows between the two actions (live feeds;
+      // see ChangeCapture.incrementalPull on snapshot isolation)
+      val changes = ChangeCapture.incrementalPull(
+        src, version, st.lastSeenVersion, upperBound = Some(maxVersion))
       if (!changes.isEmpty)
         writeTarget(t.name,
           Merge.upsert(readTarget(t.name), changes, t.primaryKeys)

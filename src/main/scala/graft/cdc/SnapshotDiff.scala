@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Row identity is an md5 over all non-PK columns (portable: the same
   * expression evaluates identically in DuckDB), so "update" means
-  * "PK present on both sides with differing payload".
+  * "PK present on both sides with differing payload". Each payload
+  * column is md5'd individually before joining (NULL → sentinel) so a
+  * NULL↔shifted-value change can't produce the same row hash — a raw
+  * concat_ws drops NULLs and would classify such rows "unchanged".
   */
 object SnapshotDiff {
 
@@ -20,7 +23,9 @@ object SnapshotDiff {
     require(payloadCols.nonEmpty, "snapshot diff needs at least one non-PK column")
     def hashed(df: DataFrame, tag: String) =
       df.select(pkCols.map(col) :+
-        md5(concat_ws("|", payloadCols.map(c => col(c).cast("string")): _*)).as(s"${tag}_hash"): _*)
+        md5(concat_ws("|",
+          payloadCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+          .as(s"${tag}_hash"): _*)
     val o = hashed(oldSnap, "old")
     val n = hashed(newSnap, "new")
     o.join(n, pkCols, "full_outer")

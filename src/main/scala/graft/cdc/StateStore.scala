@@ -16,10 +16,8 @@ import org.apache.spark.sql.functions._
 class StateStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  private val dir = new java.io.File(path)
-
   def stateTable(): DataFrame =
-    if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
+    if (graft.util.Fs.existsNonEmpty(spark, path))
       spark.read.parquet(path)
     else
       Seq.empty[(String, Long, String)]

@@ -39,21 +39,19 @@ class FormatStore(spark: SparkSession, dir: String, format: String,
   override def read(table: String): DataFrame =
     spark.read.format(format).options(readOptions).load(path(table))
 
-  override def exists(table: String): Boolean = {
-    val d = new java.io.File(path(table))
-    d.exists() && d.listFiles() != null && d.listFiles().nonEmpty
-  }
+  override def exists(table: String): Boolean =
+    graft.util.Fs.existsNonEmpty(spark, path(table))
 
   override def write(table: String, df: DataFrame): Unit = {
     // stage first: df may read the very files the overwrite replaces.
     // The staged dataset then MOVES into place — re-writing it through
     // Spark would double the I/O and repack the partitions the caller
-    // chose (chunk sizing, pk hashing).
-    val tmp = new java.io.File(s"$dir/__staging_$table")
-    df.write.format(format).options(writeOptions).mode("overwrite").save(tmp.toString)
-    val dest = new java.io.File(path(table))
-    if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
-    org.apache.commons.io.FileUtils.moveDirectory(tmp, dest)
+    // chose (chunk sizing, pk hashing). Hadoop FS API, not java.io:
+    // works on hdfs:/s3a: paths, where a local-File exists() would
+    // silently report "missing" and full-copy every cycle.
+    val tmp = s"$dir/__staging_$table"
+    df.write.format(format).options(writeOptions).mode("overwrite").save(tmp)
+    graft.util.Fs.replace(spark, tmp, path(table))
   }
 
   override def statePath: String = s"$dir/__graft_state"
@@ -108,7 +106,7 @@ class JdbcStore(spark: SparkSession, url: String,
     val base = staged.write.format("jdbc").option("url", url)
       .option("dbtable", table).option("truncate", "true").mode("overwrite")
     connProps.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    graft.util.Fs.delete(spark, tmp)
   }
 
   override def statePath: String = s"$checkpointDir/__graft_state"

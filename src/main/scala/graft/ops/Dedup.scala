@@ -78,10 +78,13 @@ object Dedup {
     // that bucket's m²/2 pairs from a single task. Salting the left
     // side by id and replicating the right side SALTS× splits every
     // hot bucket across SALTS tasks; output is identical because each
-    // (id_a, id_b) pair matches at exactly salt = id_a mod SALTS.
+    // (id_a, id_b) pair matches at exactly salt = hash(id_a) mod SALTS.
+    // Salt on a portable hash of the id, not the id itself: pmod of a
+    // string id is NULL and would silently drop every candidate pair.
     val SALTS = 16
     val a = bands.select(col("band"), col("sig"), col("id").as("id_a"))
-      .withColumn("salt", pmod(col("id_a"), lit(SALTS)))
+      .withColumn("salt",
+        pmod(Hashing.portableHash64(col("id_a").cast("string")), lit(SALTS.toLong)))
     val b = bands.select(col("band"), col("sig"), col("id").as("id_b"))
       .crossJoin(signatures.sparkSession.range(SALTS).toDF("salt"))
     a.join(b, Seq("band", "sig", "salt"))

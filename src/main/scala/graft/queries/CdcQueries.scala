@@ -183,7 +183,8 @@ object CdcQueries {
     "cdc_deleted_keys" ->
       s"SELECT o_orderkey FROM orders WHERE $delPred",
     "cdc_hash_bucket_diff" ->
-      """WITH t AS (SELECT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS k,
+      """WITH t AS (SELECT coalesce(md5(l_orderkey::VARCHAR), 'N') || '|' ||
+        |                  coalesce(md5(l_linenumber::VARCHAR), 'N') AS k,
         |                  (l_orderkey % 89 = 0 AND l_linenumber = 1) AS gone
         |           FROM lineitem),
         |b AS (SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % 64 AS bucket,

@@ -24,10 +24,18 @@ object CdcStream {
 
   /** Continuous upsert of a file-based change feed into a parquet
     * target. Returns the running query; callers own its lifecycle.
+    *
+    * A micro-batch can carry SEVERAL change rows for one PK (two feed
+    * files landing in one trigger), so each batch is collapsed to one
+    * row per PK before the upsert: by highest `versionColumn` when
+    * given (last-writer-wins), else by an arbitrary-but-deterministic
+    * struct max over the payload — pass the version column whenever
+    * the feed has one.
     */
   def upsertStream(spark: SparkSession, sourceDir: String, targetPath: String,
                    checkpoint: String, pkCols: Seq[String],
-                   maxFilesPerTrigger: Int = 10): StreamingQuery = {
+                   maxFilesPerTrigger: Int = 10,
+                   versionColumn: Option[String] = None): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val feed = spark.readStream
       .schema(schema)
@@ -38,19 +46,19 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tgt = new java.io.File(targetPath)
+        val vcol = versionColumn.getOrElse(
+          batch.columns.filterNot(pkCols.contains).head)
+        val latest = Merge.latestByKey(batch, pkCols, vcol)
         val merged =
-          if (tgt.exists() && tgt.listFiles() != null &&
-              tgt.listFiles().exists(_.getName.endsWith(".parquet"))) {
-            Merge.upsert(spark.read.parquet(targetPath), batch, pkCols)
-          } else batch
+          if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
+            Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
+          } else latest
         // stage then MOVE (not re-write): the merged frame reads the
         // files the overwrite would replace, and a second Spark write
         // would double the I/O per micro-batch
-        val staging = new java.io.File(s"$targetPath.staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        if (tgt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tgt)
-        org.apache.commons.io.FileUtils.moveDirectory(staging, tgt)
+        val staging = s"$targetPath.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.util.Fs.replace(spark, staging, targetPath)
         ()
       }
       .start()

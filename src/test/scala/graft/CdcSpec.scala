@@ -220,6 +220,41 @@ class CdcSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
+  test("latestByKey collapses a multi-row change batch to the highest version per PK") {
+    val batch = Seq(
+      (1L, 5L, "old"), (1L, 9L, "new"), (1L, 7L, "mid"),
+      (2L, 3L, "only")).toDF("id", "ver", "v")
+    val out = Merge.latestByKey(batch, Seq("id"), "ver")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 9L, "new"), (2L, 3L, "only")))
+    // column order preserved for unionByName-free callers
+    assert(Merge.latestByKey(batch, Seq("id"), "ver").columns.toSeq ==
+      Seq("id", "ver", "v"))
+  }
+
+  test("pkTuple is injective for separator-ambiguous and NULL-shifted composite keys") {
+    def hashOf(rows: Seq[(String, String, String)]): Seq[String] =
+      rows.toDF("a", "b", "c")
+        .select(md5(RangeHashDiff.pkTuple(Seq("a", "b", "c"))).as("h"))
+        .as[String].collect().toSeq
+    // ('a|b','c',·) vs ('a','b|c',·): raw concat_ws would collide
+    val sep = hashOf(Seq(("a|b", "c", "z"), ("a", "b|c", "z")))
+    assert(sep.distinct.size == 2, "separator-ambiguous tuples must hash differently")
+    // ('x',NULL,'y') vs ('x','y',NULL): concat_ws silently drops NULLs
+    val nulls = Seq(("x", null, "y"), ("x", "y", null))
+      .toDF("a", "b", "c")
+      .select(md5(RangeHashDiff.pkTuple(Seq("a", "b", "c"))).as("h"))
+      .as[String].collect().toSeq
+    assert(nulls.distinct.size == 2, "NULL-shifted tuples must hash differently")
+  }
+
+  test("snapshot diff detects a value moving into a NULL column") {
+    val old = Seq((1L, Some("a"), None: Option[String])).toDF("id", "x", "y")
+    val neu = Seq((1L, None: Option[String], Some("a"))).toDF("id", "x", "y")
+    val out = SnapshotDiff.diff(old, neu, Seq("id")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "update"))
+  }
+
   test("snapshot diff classifies insert/update/delete") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val neu = Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "v")

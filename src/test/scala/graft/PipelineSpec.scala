@@ -29,6 +29,19 @@ class PipelineSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("minhash-lsh works with STRING ids (salt must not assume numeric)") {
+    val strCorpus = corpus.withColumn("sid", concat(lit("doc-"), $"doc_id".cast("string")))
+    val pairs = Dedup.minHashLsh(strCorpus, "text", "sid", 16, 2, 0.99)
+      .select("id_a", "id_b").as[(String, String)].collect()
+      .map { case (a, b) =>
+        val x = a.stripPrefix("doc-").toLong; val y = b.stripPrefix("doc-").toLong
+        (math.min(x, y), math.max(x, y))
+      }.toSet
+    val expected = docs.filter(expr("doc_id % 50 = 0")).select("doc_id")
+      .as[Long].collect().map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs), "string-id corpus must still surface injected dups")
+  }
+
   test("simhash is identical for identical texts and differs across docs") {
     val sh = Dedup.simHash(Dedup.tokenSet(corpus, "text", "doc_id"))
     val byId = sh.as[(Long, Long)].collect().toMap

@@ -33,6 +33,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert collapses duplicate PKs within one micro-batch by version") {
+    val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
+    // one file → one micro-batch carrying THREE change rows for PK 1
+    Seq((1L, 1L, "old"), (1L, 3L, "new"), (1L, 2L, "mid"), (2L, 1L, "x"))
+      .toDF("id", "ver", "v").coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("id"),
+      versionColumn = Some("ver"))
+    try {
+      q.processAllAvailable()
+      val out = spark.read.parquet(target).as[(Long, Long, String)].collect().toSet
+      assert(out == Set((1L, 3L, "new"), (2L, 1L, "x")),
+        "last-writer-wins must hold within a single micro-batch")
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation emits finalized windows") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir)
