@@ -84,6 +84,14 @@ object PipelineQueries {
       dim = EMB_DIM)
       .withColumnRenamed("id", "vec_id")
 
+  /** The 100 TB embedding-dedup path: exact cosine only WITHIN
+    * hyperplane buckets (no global N² join). Same verified cosine as
+    * `dedup_embedding`; the bucket stage is `ann_lsh`'s.
+    */
+  def annLshPairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.annLshPairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      COS_T, dim = EMB_DIM)
+
   def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text", "doc_id")
 
@@ -129,6 +137,7 @@ object PipelineQueries {
     "ann_topk" -> annTopkQ,
     "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
+    "ann_lsh_pairs" -> annLshPairsQ,
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,
@@ -269,6 +278,22 @@ object PipelineQueries {
          |SELECT vec_id,
          |       sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
          |FROM dots GROUP BY 1""".stripMargin,
+    "ann_lsh_pairs" ->
+      s"""WITH $qPrep,
+         |dots AS (SELECT vec_id, p,
+         |           list_sum(list_transform(qv, (x, i) ->
+         |             x * (${h64("'42' || ':' || p::VARCHAR || ':' || i::VARCHAR")} % 2001 - 1000))) AS dot
+         |         FROM q, range(8) t(p)),
+         |bk AS (SELECT vec_id,
+         |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+         |       FROM dots GROUP BY 1),
+         |nb AS (SELECT n.vec_id, n.qv, n.n2, bk.bucket FROM n JOIN bk USING (vec_id))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cosine
+         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len(string_split(nt, ' ')) AS ws_tokens,
          |       len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
