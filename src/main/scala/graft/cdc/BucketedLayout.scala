@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{Fs, Hashing}
+
+/** Hash-bucket partition layout for incremental sinks.
+  *
+  * A plain parquet target forces every upsert/delete cycle to stage and
+  * swap the WHOLE table — O(target) I/O per cycle, the scale-killer the
+  * round-1 review called out. Laying the table out as hive partitions
+  * `graft_bucket=k` with k = portable_hash(pk) mod nBuckets makes a
+  * cycle O(touched buckets): the merge reads only affected partitions
+  * (partition-pruned scan) and the write swaps only those partition
+  * directories; untouched partitions keep their exact files.
+  *
+  * The SAME bucket family drives delete detection
+  * ([[RangeHashDiff.hashBucketDiff]]), so a divergent diff bucket IS a
+  * storage partition — reload maps 1:1 onto a partition overwrite.
+  *
+  * On a transactional table format this is `MERGE INTO`; with plain
+  * parquet the per-partition swap gives the same pruned-I/O shape with
+  * a brief window per partition (rename is metadata-only on HDFS).
+  */
+object BucketedLayout {
+
+  /** The layout column / partition directory name. */
+  val GB = "graft_bucket"
+
+  /** bucket k for a row: portable 60-bit hash of the (injective)
+    * pk-tuple encoding, mod nBuckets — any key shape, skew-free.
+    */
+  def bucketExpr(pkCols: Seq[String], nBuckets: Int): Column =
+    pmod(Hashing.portableHash64(RangeHashDiff.pkTuple(pkCols)), lit(nBuckets.toLong))
+      .cast("int")
+
+  /** Full (re)write: stage the whole table partitioned by bucket, then
+    * swap. One task per bucket (repartition on the layout column) so
+    * each partition holds one well-sized file instead of
+    * tasks×buckets fragments.
+    */
+  def writeFull(spark: SparkSession, df: DataFrame, pkCols: Seq[String],
+                nBuckets: Int, destPath: String): Unit = {
+    val tmp = stagingPath(destPath)
+    df.withColumn(GB, bucketExpr(pkCols, nBuckets))
+      .repartition(nBuckets, col(GB))
+      .write.partitionBy(GB).mode("overwrite").parquet(tmp)
+    Fs.replace(spark, tmp, destPath)
+  }
+
+  /** Partition-pruned overwrite: stage ONLY `df`'s buckets, then swap
+    * exactly those partition directories into the target (plus
+    * `clearBuckets`, for buckets whose rows vanished entirely — they
+    * produce no staged dir but must still be dropped). Every other
+    * partition's files are untouched — not rewritten, not moved.
+    *
+    * `df` may derive from the very partitions being replaced (the
+    * usual merge-from-self); staging materializes it first, so the
+    * swap never races the read.
+    */
+  def overwriteBuckets(spark: SparkSession, df: DataFrame, pkCols: Seq[String],
+                       nBuckets: Int, destPath: String,
+                       clearBuckets: Seq[Int] = Nil): Unit = {
+    val tmp = stagingPath(destPath)
+    df.withColumn(GB, bucketExpr(pkCols, nBuckets))
+      .repartition(col(GB))
+      .write.partitionBy(GB).mode("overwrite").parquet(tmp)
+    val f = Fs.fs(spark, destPath)
+    clearBuckets.foreach(k => Fs.delete(spark, s"$destPath/$GB=$k"))
+    val staged = f.listStatus(new Path(tmp))
+      .filter(_.getPath.getName.startsWith(s"$GB="))
+    staged.foreach { st =>
+      Fs.replace(spark, st.getPath.toString, s"$destPath/${st.getPath.getName}")
+    }
+    Fs.delete(spark, tmp)
+  }
+
+  private def stagingPath(destPath: String): String = {
+    val p = new Path(destPath)
+    new Path(p.getParent, s"__staging_${p.getName}").toString
+  }
+}
+
+/** Parquet store whose tables are laid out by [[BucketedLayout]]. The
+  * Replicator detects this store type and switches to partition-pruned
+  * incremental merges and bucket-aligned delete sync; `read` hides the
+  * layout column so the logical table is unchanged.
+  */
+class BucketedParquetStore(spark: SparkSession, dir: String, val nBuckets: Int)
+    extends ParquetStore(spark, dir) {
+
+  override def read(table: String): DataFrame =
+    super.read(table).drop(BucketedLayout.GB)
+
+  /** Read WITH the layout column, for partition-pruned merges. */
+  def readWithBuckets(table: String): DataFrame = super.read(table)
+
+  def writeFull(table: String, df: DataFrame, pkCols: Seq[String]): Unit =
+    BucketedLayout.writeFull(spark, df, pkCols, nBuckets, path(table))
+
+  def overwriteBuckets(table: String, df: DataFrame, pkCols: Seq[String],
+                       clearBuckets: Seq[Int] = Nil): Unit =
+    BucketedLayout.overwriteBuckets(spark, df, pkCols, nBuckets, path(table), clearBuckets)
+}

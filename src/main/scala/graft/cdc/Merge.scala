@@ -39,8 +39,13 @@ object Merge {
     */
   def latestByKey(updates: DataFrame, pkCols: Seq[String], versionCol: String): DataFrame = {
     val payload = updates.columns.filterNot(pkCols.contains).toSeq
-    require(payload.contains(versionCol), s"version column $versionCol must be a non-PK column")
-    val ordered = versionCol +: payload.filterNot(_ == versionCol)
+    require(payload.nonEmpty, "latestByKey needs at least one non-PK column")
+    require(updates.columns.contains(versionCol), s"unknown version column $versionCol")
+    // a PK version column (append-only feeds version by the key itself)
+    // is constant within a group — order by the payload alone then
+    val ordered =
+      if (payload.contains(versionCol)) versionCol +: payload.filterNot(_ == versionCol)
+      else payload
     updates.groupBy(pkCols.map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("__latest"))
       .select(pkCols.map(col) ++ ordered.map(c => col(s"__latest.`$c`").as(c)): _*)

@@ -128,12 +128,18 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
     // updateChunkSize is the reference's rows-per-chunk extraction
     // bound (updates.go:68); the Spark analog is output partition
     // sizing — each written partition carries ~chunkSize rows, hashed
-    // by PK so the layout is stable across cycles.
+    // by PK so the layout is stable across cycles. (A bucketed sink
+    // sizes by its bucket count instead — the layout IS the chunking.)
     val parts = math.max(1,
       math.ceil(srcCount.toDouble / cfg.updateChunkSize).toInt)
     val byPk = t.primaryKeys.map(col(_))
     if (needFull) {
-      writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
+      sink match {
+        case b: BucketedParquetStore =>
+          b.writeFull(t.name, ChangeCapture.fullCopy(src), t.primaryKeys)
+        case _ =>
+          writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
+      }
     } else {
       // pull bounded to the recorded maxVersion: the range and the
       // watermark we persist must describe the same set of rows even
@@ -141,17 +147,49 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       // see ChangeCapture.incrementalPull on snapshot isolation)
       val changes = ChangeCapture.incrementalPull(
         src, version, st.lastSeenVersion, upperBound = Some(maxVersion))
-      if (!changes.isEmpty)
-        writeTarget(t.name,
-          Merge.upsert(readTarget(t.name), changes, t.primaryKeys)
-            .repartition(parts, byPk: _*))
+      if (!changes.isEmpty) sink match {
+        case b: BucketedParquetStore =>
+          // O(batch) merge: read ONLY the partitions the change batch
+          // touches (partition-pruned scan) and swap only those back
+          val gbOf = BucketedLayout.bucketExpr(t.primaryKeys, b.nBuckets)
+          val affected = changes.select(gbOf.as("gb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val base = b.readWithBuckets(t.name)
+            .filter(col(BucketedLayout.GB).isin(affected: _*))
+            .drop(BucketedLayout.GB)
+          b.overwriteBuckets(t.name, Merge.upsert(base, changes, t.primaryKeys),
+            t.primaryKeys)
+        case _ =>
+          writeTarget(t.name,
+            Merge.upsert(readTarget(t.name), changes, t.primaryKeys)
+              .repartition(parts, byPk: _*))
+      }
     }
     state.setVersion(t.name, maxVersion)
   }
 
   // -- deletes -------------------------------------------------------
 
-  def syncDeletes(t: TableConfig): Unit = {
+  def syncDeletes(t: TableConfig): Unit = sink match {
+    case b: BucketedParquetStore =>
+      // Bucket-aligned delete sync: the diff's hash buckets ARE the
+      // sink's storage partitions, so "divergent bucket" maps 1:1 to
+      // "partition to reload" — rewrite exactly those directories,
+      // O(divergence) I/O instead of a full-table stage-and-swap.
+      val src = readSource(t)
+      val tgt = readTarget(t.name)
+      val diff = RangeHashDiff.hashBucketDiff(src, tgt, t.primaryKeys, b.nBuckets)
+      if (!diff.isEmpty) {
+        val affected = diff.select("bucket").collect().map(_.getLong(0).toInt).toSeq
+        val reload = RangeHashDiff.changedHashBucketRows(src, diff, t.primaryKeys, b.nBuckets)
+        // clearBuckets handles buckets whose source rows vanished
+        // entirely (no staged dir to swap in — just drop the partition)
+        b.overwriteBuckets(t.name, reload, t.primaryKeys, clearBuckets = affected)
+      }
+    case _ => syncDeletesFullRewrite(t)
+  }
+
+  private def syncDeletesFullRewrite(t: TableConfig): Unit = {
     val src = readSource(t)
     val tgt = readTarget(t.name)
     if (t.primaryKeys.size == 1) {

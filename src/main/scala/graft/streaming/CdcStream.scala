@@ -16,9 +16,11 @@ import graft.cdc.Merge
   * progress; `maxFilesPerTrigger` is the throttle knob
   * (reference: throttlePercentage).
   *
-  * At scale the target would be a transactional table format; with
-  * plain parquet we stage-and-swap per batch, which keeps the demo
-  * self-contained while the merge plan itself is the production one.
+  * At scale the target is hash-bucket partitioned (`nBuckets`): each
+  * micro-batch reads and rewrites ONLY the partitions its keys hash
+  * into — O(batch) I/O per trigger. A flat parquet target (the
+  * stage-and-swap branch) remains for small tables; a transactional
+  * table format would replace the swap with MERGE INTO.
   */
 object CdcStream {
 
@@ -35,7 +37,8 @@ object CdcStream {
   def upsertStream(spark: SparkSession, sourceDir: String, targetPath: String,
                    checkpoint: String, pkCols: Seq[String],
                    maxFilesPerTrigger: Int = 10,
-                   versionColumn: Option[String] = None): StreamingQuery = {
+                   versionColumn: Option[String] = None,
+                   nBuckets: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val feed = spark.readStream
       .schema(schema)
@@ -49,16 +52,35 @@ object CdcStream {
         val vcol = versionColumn.getOrElse(
           batch.columns.filterNot(pkCols.contains).head)
         val latest = Merge.latestByKey(batch, pkCols, vcol)
-        val merged =
-          if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
-            Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
-          } else latest
-        // stage then MOVE (not re-write): the merged frame reads the
-        // files the overwrite would replace, and a second Spark write
-        // would double the I/O per micro-batch
-        val staging = s"$targetPath.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        graft.util.Fs.replace(spark, staging, targetPath)
+        nBuckets match {
+          case Some(n) =>
+            // bucketed target: merge touches ONLY the partitions this
+            // micro-batch's keys hash into — O(batch) I/O per trigger,
+            // not O(target). This is the scale shape; the flat-target
+            // branch below survives for small tables and demos.
+            import graft.cdc.BucketedLayout
+            if (graft.util.Fs.existsNonEmpty(spark, targetPath)) {
+              val affected = latest
+                .select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              val base = spark.read.parquet(targetPath)
+                .filter(col(BucketedLayout.GB).isin(affected: _*))
+                .drop(BucketedLayout.GB)
+              BucketedLayout.overwriteBuckets(spark,
+                Merge.upsert(base, latest, pkCols), pkCols, n, targetPath)
+            } else BucketedLayout.writeFull(spark, latest, pkCols, n, targetPath)
+          case None =>
+            val merged =
+              if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
+                Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
+              } else latest
+            // stage then MOVE (not re-write): the merged frame reads the
+            // files the overwrite would replace, and a second Spark write
+            // would double the I/O per micro-batch
+            val staging = s"$targetPath.staging"
+            merged.write.mode("overwrite").parquet(staging)
+            graft.util.Fs.replace(spark, staging, targetPath)
+        }
         ()
       }
       .start()

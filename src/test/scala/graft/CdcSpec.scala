@@ -84,6 +84,91 @@ class CdcSpec extends SparkSpec {
     assert(evolved.join(tgt, Seq("l_orderkey", "l_linenumber"), "left_anti").count() == 0)
   }
 
+  /** All committed parquet part files under a table dir: path → (bytes, mtime). */
+  private def partFiles(tableDir: String): Map[String, (Long, Long)] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) Option(d.listFiles()).toSeq.flatten.flatMap(walk) else Seq(d)
+    walk(new java.io.File(tableDir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("bucketed sink: incremental cycle leaves untouched partitions byte-identical") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val sink = new BucketedParquetStore(spark, tgtDir, 8)
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    assert(sink.read("events").count() == events.count())
+    val before = partFiles(s"$tgtDir/events.parquet")
+    assert(before.keySet.exists(_.contains("graft_bucket=")), "sink must be bucket-partitioned")
+
+    // 5 new rows land; only their hash buckets may be rewritten
+    val extra = events.limit(5).withColumn("event_id", $"event_id" + 70000L).cache()
+    events.unionByName(extra).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    val after = partFiles(s"$tgtDir/events.parquet")
+
+    val touched = extra.select(BucketedLayout.bucketExpr(Seq("event_id"), 8).as("gb"))
+      .distinct().as[Int].collect().toSet
+    assert(touched.size < 8, "fixture must leave some buckets untouched")
+    def untouchedOf(m: Map[String, (Long, Long)]) =
+      m.filter { case (p, _) => !touched.exists(k => p.contains(s"graft_bucket=$k/")) }
+    assert(untouchedOf(after) == untouchedOf(before),
+      "partitions outside the change batch's buckets must keep their exact files")
+    assert(sink.read("events").count() == events.count() + 5)
+    assert(sink.read("events").columns.sameElements(events.columns))
+  }
+
+  test("bucketed sink: partition-pruned read only touches the filtered bucket dirs") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val sink = new BucketedParquetStore(spark, tgtDir, 8)
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    val pruned = sink.readWithBuckets("events")
+      .filter(col(BucketedLayout.GB).isin(2, 5))
+    // the bucket predicate must land in the scan's PartitionFilters
+    // (directory-level pruning), not as a post-scan data filter
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val partFilters = "(?s).*PartitionFilters: \\[(.*?)\\].*".r
+    planStr match {
+      case partFilters(inside) =>
+        assert(inside.contains("graft_bucket"), s"bucket filter not pushed: $inside")
+      case _ => fail(s"no PartitionFilters in plan:\n$planStr")
+    }
+    assert(pruned.count() > 0 && pruned.count() < Tables.events(spark, sfDir).count())
+  }
+
+  test("bucketed sink: delete sync rewrites only divergent buckets, drops emptied ones") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val sink = new BucketedParquetStore(spark, tgtDir, 8)
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    val before = partFiles(s"$tgtDir/events.parquet")
+
+    val gb = BucketedLayout.bucketExpr(Seq("event_id"), 8)
+    val byBucket = events.select($"event_id", gb.as("gb")).cache()
+    // bucket 3: half its rows vanish (rewrite); bucket 6: ALL vanish (drop)
+    val victims = byBucket.filter($"gb" === 3 && $"event_id" % 2 === 0)
+      .unionByName(byBucket.filter($"gb" === 6))
+      .select("event_id").as[Long].collect().toSet
+    assert(victims.nonEmpty)
+    val evolved = events.filter(!$"event_id".isin(victims.toSeq: _*)).cache()
+    evolved.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    val after = partFiles(s"$tgtDir/events.parquet")
+
+    def outside(m: Map[String, (Long, Long)]) =
+      m.filter { case (p, _) => !p.contains("graft_bucket=3/") && !p.contains("graft_bucket=6/") }
+    assert(outside(after) == outside(before),
+      "buckets with no divergence must keep their exact files")
+    assert(!after.keySet.exists(_.contains("graft_bucket=6/")), "emptied bucket must be dropped")
+    val tgt = sink.read("events")
+    assert(tgt.count() == evolved.count())
+    assert(tgt.join(evolved, Seq("event_id"), "left_anti").count() == 0)
+  }
+
   test("replicator: multi-table sync runs concurrently and converges both tables") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     val events = Tables.events(spark, sfDir)

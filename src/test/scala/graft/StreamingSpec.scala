@@ -33,6 +33,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed streaming upsert rewrites only the partitions a micro-batch touches") {
+    import graft.cdc.BucketedLayout
+    val feedDir = tmp(); val target = s"${tmp()}/events.parquet"; val cp = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+    events.filter($"event_id" < 400).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("event_id"),
+      versionColumn = Some("event_id"), nBuckets = Some(8))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).drop(BucketedLayout.GB).count() == 400)
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) Option(d.listFiles()).toSeq.flatten.flatMap(walk) else Seq(d)
+      def files() = walk(new java.io.File(target))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      val before = files()
+
+      // micro-batch 2: 5 fresh keys — only their buckets may change
+      val extra = events.limit(5).withColumn("event_id", $"event_id" + 90000L).cache()
+      extra.coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val after = files()
+      val touched = extra.select(BucketedLayout.bucketExpr(Seq("event_id"), 8).as("gb"))
+        .distinct().as[Int].collect().toSet
+      assert(touched.size < 8)
+      def untouchedOf(m: Map[String, (Long, Long)]) =
+        m.filter { case (p, _) => !touched.exists(k => p.contains(s"graft_bucket=$k/")) }
+      assert(untouchedOf(after) == untouchedOf(before),
+        "micro-batch must not rewrite partitions outside its key buckets")
+      assert(spark.read.parquet(target).drop(BucketedLayout.GB).count() == 405)
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert collapses duplicate PKs within one micro-batch by version") {
     val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
     // one file → one micro-batch carrying THREE change rows for PK 1
