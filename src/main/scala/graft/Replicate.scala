@@ -1,0 +1,106 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+import org.apache.spark.sql.SparkSession
+import graft.cdc._
+
+/** Replication CLI — the runnable the reference ships as its binary
+  * (reference: main.go:20-82): load a JSON config, build the job, run
+  * one cycle or poll continuously (`-c`), and shut down cleanly on
+  * SIGINT/SIGTERM (a shutdown hook flips the stop flag; the poll wait
+  * is interruptible, so the current cycle finishes and the loop exits
+  * instead of dying mid-write).
+  *
+  *   runMain graft.Replicate -cfg sslr.json [-c]
+  *
+  * Source/target strings: a `jdbc:` URL builds a [[JdbcStore]]
+  * (checkpointDir required); `<format>:<dir>` (csv/json/orc/avro)
+  * builds a [[FormatStore]]; anything else is a parquet directory —
+  * bucketed ([[BucketedParquetStore]]) when `targetBuckets` > 0.
+  */
+object Replicate {
+
+  def makeStore(spark: SparkSession, uri: String, cfg: GraftConfig,
+                buckets: Int = 0): TableStore = {
+    val formats = Set("csv", "json", "orc", "avro")
+    val prefix = uri.takeWhile(_ != ':')
+    if (uri.startsWith("jdbc:")) {
+      if (cfg.checkpointDir.isEmpty)
+        throw new IllegalArgumentException("jdbc stores need 'checkpointDir' in the config")
+      new JdbcStore(spark, uri, Map.empty, cfg.checkpointDir)
+    } else if (formats.contains(prefix)) {
+      val dir = uri.drop(prefix.length + 1)
+      // text formats carry weak types; header+inferSchema makes the
+      // common csv replication case work out of the box
+      new FormatStore(spark, dir, prefix,
+        readOptions = Map("header" -> "true", "inferSchema" -> "true"),
+        writeOptions = Map("header" -> "true"))
+    } else if (buckets > 0) new BucketedParquetStore(spark, uri, buckets)
+    else new ParquetStore(spark, uri)
+  }
+
+  /** Run cycles until `stop` fires, `maxCycles` is reached, or (non
+    * continuous) one cycle completes. Returns cycles run.
+    */
+  def run(spark: SparkSession, cfg: GraftConfig, continuous: Boolean,
+          maxCycles: Int = Int.MaxValue,
+          stop: () => Boolean = () => false): Int = {
+    val source = makeStore(spark, cfg.source, cfg)
+    val sink = makeStore(spark, cfg.target, cfg, cfg.targetBuckets)
+    val rep = new Replicator(spark, cfg.replication, source, sink)
+    var n = 0
+    var go = true
+    while (go && n < maxCycles && !stop()) {
+      rep.run()
+      n += 1
+      if (!continuous) go = false
+      else if (n < maxCycles) {
+        // interruptible wait (reference: select on timer vs ctx.Done)
+        val deadline = System.nanoTime() + cfg.waitBetweenJobsMs * 1000000L
+        while (!stop() && System.nanoTime() < deadline) Thread.sleep(50L)
+      }
+    }
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    var cfgPath = "sslr.json"
+    var continuous = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-cfg" if i + 1 < args.length => cfgPath = args(i + 1); i += 2
+        case "-c" => continuous = true; i += 1
+        case other =>
+          System.err.println(s"usage: graft.Replicate [-cfg <file>] [-c]  (got $other)")
+          sys.exit(1)
+      }
+    }
+    val cfg =
+      try ConfigLoader.load(cfgPath)
+      catch { case e: Exception =>
+        System.err.println(s"Failed to load config: ${e.getMessage}")
+        sys.exit(1)
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stopFlag = new AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => stopFlag.set(true)))
+    try {
+      val cycles = run(spark, cfg, continuous, stop = () => stopFlag.get())
+      println(s"[replicate] completed $cycles cycle(s)")
+    } catch { case e: Exception =>
+      System.err.println(s"Job failed: ${e.getMessage}")
+      sys.exit(3)
+    } finally spark.stop()
+  }
+}

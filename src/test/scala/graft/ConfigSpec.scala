@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.util.Tables
+
+/** Config-file loading (reference config.go LoadConfig semantics) and
+  * the Replicate CLI loop driven from a file.
+  */
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-cfg").toString
+
+  /** The reference's own sslr.json example, translated: postgres URLs
+    * become store dirs, catalog pkeys become the `keys` section.
+    */
+  private def exampleJson(src: String, tgt: String): String =
+    s"""{
+       |  "/* Connection URLS ": "*/",
+       |  "source": "$src",
+       |  "target": "$tgt",
+       |  "tables": ["events"],
+       |  "filteredTables": {
+       |    "orders": {
+       |      "wheres": ["o_orderkey > 0", "AND o_custkey >= 0"],
+       |      "uses": ["events"]
+       |    }
+       |  },
+       |  "keys": {
+       |    "events": {"primaryKeys": ["event_id"]},
+       |    "orders": {"primaryKeys": ["o_orderkey"], "versionColumn": "o_orderkey"}
+       |  },
+       |  "updateChunkSize": 10000,
+       |  "deleteChunkSize": 50000,
+       |  "minDeleteChunkSize": 250,
+       |  "throttlePercentage": 75,
+       |  "fullCopyThreshold": 0.5,
+       |  "syncUpdates": true,
+       |  "syncDeletes": true,
+       |  "resyncOnSchemaChange": false,
+       |  "stateTable": "__sslr_state"
+       |}""".stripMargin
+
+  test("config: loads the translated reference example with defaults and wheres join") {
+    val cfg = ConfigLoader.loadString(exampleJson("/src", "/tgt"))
+    assert(cfg.source == "/src" && cfg.target == "/tgt")
+    assert(cfg.replication.updateChunkSize == 10000)
+    assert(cfg.replication.deleteChunkSize == 50000L)
+    assert(cfg.replication.fullCopyThreshold == 0.5)
+    assert(cfg.replication.syncUpdates && cfg.replication.syncDeletes)
+    assert(!cfg.replication.resyncOnSchemaChange)
+    assert(cfg.throttlePercentage == 75.0)
+    assert(cfg.minDeleteChunkSize == 250L)
+    assert(cfg.stateTable == "__sslr_state")
+    assert(cfg.waitBetweenJobsMs == 5000L) // default
+    val names = cfg.replication.tables.map(_.name)
+    assert(names == Seq("events", "orders"))
+    val orders = cfg.replication.tables.find(_.name == "orders").get
+    // wheres [] lines join into ONE clause (reference config.go:139-145)
+    assert(orders.where.contains("o_orderkey > 0 AND o_custkey >= 0"))
+    assert(orders.uses == Seq("events"))
+    val events = cfg.replication.tables.find(_.name == "events").get
+    assert(events.primaryKeys == Seq("event_id"))
+    assert(events.versionColumn == "event_id") // defaults to first pk
+    assert(events.where.isEmpty)
+  }
+
+  test("config: unknown fields, where+wheres conflict, bad uses all rejected") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](ConfigLoader.loadString(json))
+      assert(e.getMessage.contains(fragment), s"got: ${e.getMessage}")
+    }
+    bad("""{"source":"a","target":"b","tables":[],"bogus":1}""", "bogus")
+    bad("""{"source":"a","target":"b",
+          |"filteredTables":{"t":{"where":"x","typo":1}},
+          |"keys":{"t":{"primaryKeys":["id"]}}}""".stripMargin, "typo")
+    bad("""{"source":"a","target":"b",
+          |"filteredTables":{"t":{"where":"x > 0","wheres":["y > 0"]}},
+          |"keys":{"t":{"primaryKeys":["id"]}}}""".stripMargin,
+      "cannot set both 'where' and 'wheres'")
+    bad("""{"source":"a","target":"b",
+          |"filteredTables":{"t":{"where":"x","uses":["nope"]}},
+          |"keys":{"t":{"primaryKeys":["id"]}}}""".stripMargin, "unknown table")
+    bad("""{"source":"a","target":"b","tables":["t"]}""", "missing \"keys\"")
+    bad("""{"target":"b","tables":[]}""", "missing 'source'")
+  }
+
+  test("config: comment-hack keys are ignored (reference sslr.json style)") {
+    val cfg = ConfigLoader.loadString(
+      """{
+        |  "/* this is a comment ": "*/",
+        |  "source": "s", "target": "t",
+        |  "tables": ["x"],
+        |  "keys": {"x": {"primaryKeys": ["id"]}}
+        |}""".stripMargin)
+    assert(cfg.replication.tables.map(_.name) == Seq("x"))
+  }
+
+  test("replicate CLI loop: bounded continuous run from a config file converges") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    val orders = Tables.orders(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    orders.write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+
+    val cfgFile = Paths.get(tmpDir(), "sslr.json")
+    Files.writeString(cfgFile, exampleJson(srcDir, tgtDir))
+    val cfg = ConfigLoader.load(cfgFile.toString)
+      .copy(waitBetweenJobsMs = 0L)
+
+    val cycles = Replicate.run(spark, cfg, continuous = true, maxCycles = 2)
+    assert(cycles == 2)
+    val tgtEvents = spark.read.parquet(s"$tgtDir/events.parquet")
+    assert(tgtEvents.count() == events.count())
+    val tgtOrders = spark.read.parquet(s"$tgtDir/orders.parquet")
+    assert(tgtOrders.count() == orders.filter(expr("o_orderkey > 0 AND o_custkey >= 0")).count())
+  }
+
+  test("replicate CLI: stop flag ends the continuous loop after the current cycle") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val cfg = ConfigLoader.loadString(
+      s"""{"source":"$srcDir","target":"$tgtDir","tables":["events"],
+         |"keys":{"events":{"primaryKeys":["event_id"]}},
+         |"waitBetweenJobs": 0}""".stripMargin)
+    // stop fires as soon as the target exists — i.e. right after cycle 1
+    // completes; the loop must finish that cycle and exit, not die mid-run
+    val n = Replicate.run(spark, cfg, continuous = true, maxCycles = 100,
+      stop = () => graft.util.Fs.existsNonEmpty(spark, s"$tgtDir/events.parquet"))
+    assert(n == 1, s"expected exactly one cycle before the stop flag, got $n")
+    assert(spark.read.parquet(s"$tgtDir/events.parquet").count() ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("config: targetBuckets routes the sink to a bucketed layout") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val cfg = ConfigLoader.loadString(
+      s"""{"source":"$srcDir","target":"$tgtDir","tables":["events"],
+         |"keys":{"events":{"primaryKeys":["event_id"]}},
+         |"targetBuckets": 8}""".stripMargin)
+    val n = Replicate.run(spark, cfg, continuous = false)
+    assert(n == 1)
+    val files = new java.io.File(s"$tgtDir/events.parquet").list()
+    assert(files.exists(_.startsWith("graft_bucket=")), files.mkString(","))
+  }
+}
