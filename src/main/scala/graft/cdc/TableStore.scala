@@ -79,16 +79,26 @@ class JdbcStore(spark: SparkSession, url: String,
                 extraOptions: Map[String, String] = Map.empty)
     extends TableStore {
 
-  private def reader(query: Option[String], table: Option[String]) = {
-    val base = spark.read.format("jdbc").option("url", url)
-    val withConn = connProps.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
-    val withExtra = extraOptions.foldLeft(withConn) { case (r, (k, v)) => r.option(k, v) }
+  /** The assembled reader option map — the exact options handed to
+    * Spark's jdbc source. Factored out so specs can assert the
+    * plumbing (url/driver/partitionColumn passthrough, query vs
+    * dbtable precedence) without a live database.
+    */
+  def readerOptions(query: Option[String], table: Option[String]): Map[String, String] = {
+    val base = Map("url" -> url) ++ connProps ++ extraOptions
     (query, table) match {
-      case (Some(q), _) => withExtra.option("query", q)
-      case (_, Some(t)) => withExtra.option("dbtable", t)
+      case (Some(q), _) => base + ("query" -> q)
+      case (_, Some(t)) => base + ("dbtable" -> t)
       case _ => throw new IllegalArgumentException("query or table required")
     }
   }
+
+  /** Writer options for the truncate-overwrite apply step. */
+  def writerOptions(table: String): Map[String, String] =
+    Map("url" -> url, "dbtable" -> table, "truncate" -> "true") ++ connProps
+
+  private def reader(query: Option[String], table: Option[String]) =
+    spark.read.format("jdbc").options(readerOptions(query, table))
 
   override def read(table: String): DataFrame =
     reader(None, Some(table)).load()
@@ -100,14 +110,23 @@ class JdbcStore(spark: SparkSession, url: String,
   override def write(table: String, df: DataFrame): Unit = {
     // stage to parquet: a JDBC overwrite truncates the table the plan
     // may still be reading from
-    val tmp = s"$checkpointDir/__staging_$table"
+    val tmp = stagingPath(table)
     df.write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
-    val base = staged.write.format("jdbc").option("url", url)
-      .option("dbtable", table).option("truncate", "true").mode("overwrite")
-    connProps.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
+    jdbcSave(staged, table)
     graft.util.Fs.delete(spark, tmp)
   }
+
+  /** The one step that needs a live database — the staged frame's
+    * truncate-overwrite into the target table. Overridable so specs
+    * drive the full write sequence (stage → read-back → save →
+    * cleanup) against a recorder instead of a DB.
+    */
+  protected def jdbcSave(staged: DataFrame, table: String): Unit =
+    staged.write.format("jdbc").options(writerOptions(table))
+      .mode("overwrite").save()
+
+  def stagingPath(table: String): String = s"$checkpointDir/__staging_$table"
 
   override def statePath: String = s"$checkpointDir/__graft_state"
 }

@@ -250,6 +250,56 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("jdbc store: reader/writer option assembly and query-vs-dbtable precedence") {
+    val store = new JdbcStore(spark, "jdbc:postgresql://db:5432/x",
+      connProps = Map("user" -> "u", "password" -> "p", "driver" -> "org.postgresql.Driver"),
+      checkpointDir = tmpDir(),
+      extraOptions = Map("partitionColumn" -> "id", "numPartitions" -> "16",
+        "lowerBound" -> "0", "upperBound" -> "1000000"))
+    val r = store.readerOptions(None, Some("events"))
+    assert(r("url") == "jdbc:postgresql://db:5432/x")
+    assert(r("dbtable") == "events" && !r.contains("query"))
+    assert(r("user") == "u" && r("driver") == "org.postgresql.Driver")
+    // parallel-extraction options must pass through to the jdbc source
+    assert(r("partitionColumn") == "id" && r("numPartitions") == "16")
+    val q = store.readerOptions(Some("SELECT 1"), Some("ignored"))
+    assert(q("query") == "SELECT 1" && !q.contains("dbtable"),
+      "query must win over dbtable — jdbc rejects both together")
+    intercept[IllegalArgumentException](store.readerOptions(None, None))
+    val w = store.writerOptions("events")
+    assert(w("truncate") == "true" && w("dbtable") == "events" && w("user") == "u")
+  }
+
+  test("jdbc store: staged write materializes before save and cleans up after") {
+    val ckpt = tmpDir()
+    var saved: Option[(Long, String)] = None
+    var stagedExistedAtSave = false
+    val store = new JdbcStore(spark, "jdbc:postgresql://db:5432/x",
+      Map("user" -> "u"), ckpt) {
+      override protected def jdbcSave(staged: org.apache.spark.sql.DataFrame,
+                                      table: String): Unit = {
+        // at save time the frame must already be parquet-backed (not a
+        // plan over the jdbc table being truncated) and fully staged
+        stagedExistedAtSave = graft.util.Fs.existsNonEmpty(spark, stagingPath(table))
+        assert(staged.inputFiles.forall(_.contains("__staging_")),
+          "save must read the STAGED copy, not the source plan")
+        saved = Some((staged.count(), table))
+      }
+    }
+    val df = Tables.events(spark, sfDir).limit(123)
+    store.write("events", df)
+    assert(stagedExistedAtSave, "staging parquet must exist when the jdbc save runs")
+    assert(saved.contains((123L, "events")))
+    assert(!graft.util.Fs.existsNonEmpty(spark, store.stagingPath("events")),
+      "staging must be cleaned up after the save")
+  }
+
+  test("jdbc store: exists() degrades to false on an unreachable database") {
+    val store = new JdbcStore(spark, "jdbc:postgresql://127.0.0.1:1/nope",
+      Map("connectTimeout" -> "1"), tmpDir())
+    assert(!store.exists("whatever"))
+  }
+
   test("state store: upsert and read-back semantics") {
     val store = new StateStore(spark, s"${tmpDir()}/state")
     assert(store.get("t1").isEmpty)
