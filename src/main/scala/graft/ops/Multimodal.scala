@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample plumbing a
   * training-data pipeline runs over them.
   *
-  * The container has no codec libraries, so the byte-level decode is a
-  * clearly marked DETERMINISTIC STUB (`stubDecode`) — but everything
-  * Spark-side is real and load-bearing: the schema contract, the typed
-  * Dataset plumbing, mapPartitions batching (the shape a vectorized
-  * codec UDF needs: reuse one decoder instance per partition, process
-  * in fixed-size batches), and partition sizing so one partition's
-  * batch of media fits executor memory at 100 TB.
+  * IMAGE decode is real — `javax.imageio` ships in the JDK (PNG, BMP,
+  * GIF, JPEG), see [[decodeImage]]. Audio/video decode remains a
+  * clearly marked DETERMINISTIC STUB (`stubDecode`; the container has
+  * no av codec libraries) — and everything Spark-side is real and
+  * load-bearing either way: the schema contract, the typed Dataset
+  * plumbing, mapPartitions batching (the shape a vectorized codec UDF
+  * needs: reuse one decoder instance per partition, process in
+  * fixed-size batches), and partition sizing so one partition's batch
+  * of media fits executor memory at 100 TB.
   */
 object Multimodal {
 
@@ -33,6 +35,62 @@ object Multimodal {
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     Array.tabulate(featureDim)(i => (((d(i % 16) & 0xff) - 128) / 128.0f))
+  }
+
+  /** REAL image decode for the formats the JDK ships codecs for —
+    * PNG/BMP/GIF/JPEG via `javax.imageio`, no external libraries, no
+    * egress. Returns (width, height, features): features are a
+    * deterministic 4×4 luminance mean-pool (16 = featureDim values in
+    * [-1, 1)) — the classic cheap visual fingerprint, and partition-
+    * order independent. `None` for payloads ImageIO can't parse
+    * (audio/video/unknown bytes) — callers fall back to [[stubDecode]],
+    * which remains the documented stand-in for codecs the container
+    * lacks.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = 4
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) * 0.299 +
+              ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+            val cell = math.min(grid - 1, y * grid / h) * grid + math.min(grid - 1, x * grid / w)
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(featureDim) { i =>
+          if (counts(i) == 0) 0f
+          else ((sums(i) / counts(i)) / 127.5 - 1.0).toFloat
+        }
+        Some((w, h, feats))
+      }
+    } catch { case _: Exception => None }
+
+  /** Refresh image rows' metadata from the real decoded dimensions
+    * (rows whose payload doesn't decode keep their declared meta).
+    */
+  def probeImageMeta(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind != "image") r
+      else decodeImage(r.payload) match {
+        case Some((w, h, _)) => r.copy(meta = r.meta.copy(width = w, height = h))
+        case None => r
+      }
+    })
   }
 
   /** Build a media table with binary payloads + typed metadata from any
@@ -64,7 +122,15 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (amortized once)
       rows.grouped(decodeBatchSize).flatMap { batch =>
-        batch.map(r => MediaFeatures(r.mediaId, r.kind, stubDecode(r.payload)))
+        batch.map { r =>
+          // image payloads decode for real (JDK codecs); audio/video
+          // and undecodable bytes take the documented stub
+          val feats =
+            if (r.kind == "image") decodeImage(r.payload).map(_._3)
+              .getOrElse(stubDecode(r.payload))
+            else stubDecode(r.payload)
+          MediaFeatures(r.mediaId, r.kind, feats)
+        }
       }
     }
   }

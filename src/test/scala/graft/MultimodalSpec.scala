@@ -27,6 +27,56 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(_.size == Multimodal.featureDim))
   }
 
+  /** A real PNG: left half black, right half white, `w`×`h`. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads decode to true dimensions and luminance features") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(32, 16),
+        Multimodal.MediaMeta("image/png", 0, 0, 0L)),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"),
+        Multimodal.MediaMeta("application/octet-stream", 5, 5, 0L)))
+    val ds = spark.createDataset(rows)
+
+    val probed = Multimodal.probeImageMeta(ds).collect().map(r => r.mediaId -> r.meta).toMap
+    assert(probed(1L).width == 32 && probed(1L).height == 16,
+      "decoded dimensions must come from the actual PNG header")
+    assert(probed(2L).width == 5 && probed(2L).height == 5,
+      "undecodable payloads keep their declared metadata")
+
+    val feats = Multimodal.extractFeatures(ds).collect().map(f => f.mediaId -> f.features).toMap
+    // 4x4 mean-pool of a half-black/half-white image: cell columns 0-1
+    // are pure black (-1), columns 2-3 pure white (+1)
+    val f = feats(1L)
+    assert(f.length == Multimodal.featureDim)
+    for (row <- 0 until 4; c <- 0 until 4) {
+      val expected = if (c < 2) -1.0f else 1.0f
+      assert(math.abs(f(row * 4 + c) - expected) < 0.02f,
+        s"cell ($row,$c) = ${f(row * 4 + c)}, expected ~$expected")
+    }
+    // the fallback path still yields fixed-dimension deterministic features
+    assert(feats(2L).length == Multimodal.featureDim)
+    assert(feats(2L).toSeq == Multimodal.stubDecode("not an image".getBytes("UTF-8")).toSeq)
+  }
+
+  test("jpeg roundtrip decodes via the same JDK codec path") {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val decoded = Multimodal.decodeImage(out.toByteArray)
+    assert(decoded.isDefined)
+    val (w, h, f) = decoded.get
+    assert(w == 8 && h == 8 && f.length == Multimodal.featureDim)
+  }
+
   test("resize rewrites metadata and bounds payloads") {
     val r = Multimodal.resize(media, 8, 8).collect()
     assert(r.forall(m => m.meta.width == 8 && m.meta.height == 8))
