@@ -234,6 +234,60 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Star-contraction connected components — the O(log n)-round
+    * alternative for ADVERSARIAL graphs. Min-label propagation above
+    * needs O(component diameter) rounds: right for dup clusters (tiny
+    * diameter), hopeless for a 10⁶-long chain. Alternating
+    * large-star/small-star contraction (the classic MapReduce-CC
+    * construction, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") halves long paths every round:
+    *
+    *  - large-star: every node links its LARGER neighbors to its
+    *    smallest neighbor-or-self;
+    *  - small-star: every node links its smaller neighbors and itself
+    *    to its minimum neighbor.
+    *
+    * Both steps are one groupBy(min) + one join — partial-aggregated,
+    * shuffle-bounded by the live edge count, which shrinks as stars
+    * collapse. Converges when the edge set is stable, at which point
+    * every edge is (vertex → component minimum).
+    *
+    * Same contract as [[connectedComponents]]: (id_a,id_b) pairs in,
+    * (id, cluster=component min id) out.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric edge list
+      val s = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = s.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterL = s.join(minsL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the now big→small directed edges
+      val minsS = afterL.groupBy("u").agg(min("v").as("m"))
+      val e2 = afterL.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint() // truncate lineage per round (see above)
+      converged = e2.count() == edges.count() &&
+        e2.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = e2
+      i += 1
+    }
+    val verts = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    verts.join(edges.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** The end-to-end dedup pass: MinHash-LSH near-dup pairs → duplicate
     * clusters → keep ONE canonical doc (smallest id) per cluster.
     * Exact duplicates are J = 1.0, so they are subsumed by the near-dup

@@ -52,6 +52,40 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC matches union-find on random graphs and deep chains") {
+    // naive union-find reference
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new Random(1234)
+    (1 to rounds).foreach { _ =>
+      val random = Seq.fill(rnd.nextInt(300) + 10)(
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter(e => e._1 != e._2)
+      // a depth-200 chain: min-label propagation with maxIter=20 would
+      // truncate; star contraction must converge in ~log2(200) rounds
+      val base = 10000L
+      val chain = (0L until 200L).map(i => (base + i, base + i + 1))
+      val edges = random ++ chain
+      val got = graft.ops.Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val expect = ufComponents(edges)
+      assert(got == expect)
+      // the chain's far end must carry the chain-head label — the
+      // multi-hop case a bounded label propagation gets wrong
+      assert(got(base + 200L) == base)
+    }
+  }
+
   test("as-of join equals per-row scan reference on random event streams") {
     val rnd = new Random(99)
     (1 to rounds).foreach { _ =>
