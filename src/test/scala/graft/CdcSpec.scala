@@ -250,6 +250,34 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("catalog sink: replicator cycles converge through a bucketed managed table") {
+    val srcDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val layout = SchemaSync.layoutFor(
+      Seq(SchemaSync.IndexSpec("events_pkey", primary = true, Seq("event_id")),
+        SchemaSync.IndexSpec("events_user_idx", primary = false, Seq("user_id"))), 8).get
+    val sink = new CatalogStore(spark, Map("events" -> layout),
+      statePath = s"${tmpDir()}/state", tablePrefix = "cdcspec_")
+    val rep = new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink)
+    rep.run()
+    assert(sink.read("events").count() == events.count())
+    // the catalog records the bucket spec the layout derived
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED cdcspec_events").collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("8"), desc)
+    assert(desc.contains("event_id"), "bucket column must be the primary key")
+
+    // incremental cycle: new rows + a deletion still converge
+    val extra = events.limit(30).withColumn("event_id", $"event_id" + 40000L)
+    val evolved = events.filter($"event_id" % 53 =!= 0).unionByName(extra).cache()
+    evolved.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink).run()
+    val tgt = sink.read("events")
+    assert(tgt.count() == evolved.count())
+    assert(tgt.join(evolved, Seq("event_id"), "left_anti").count() == 0)
+  }
+
   test("jdbc store: reader/writer option assembly and query-vs-dbtable precedence") {
     val store = new JdbcStore(spark, "jdbc:postgresql://db:5432/x",
       connProps = Map("user" -> "u", "password" -> "p", "driver" -> "org.postgresql.Driver"),

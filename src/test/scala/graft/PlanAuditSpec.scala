@@ -54,4 +54,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "all q5 joins are dim joins and must broadcast")
   }
+
+  test("catalog sink: cycle-2 merge plans with NO exchange on the bucketed base side") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.cdc.{CatalogStore, Merge, SchemaSync}
+    import graft.util.Tables
+
+    val layout = SchemaSync.layoutFor(
+      Seq(SchemaSync.IndexSpec("events_pkey", primary = true, Seq("event_id"))), 8).get
+    val store = new CatalogStore(spark, Map("events" -> layout),
+      statePath = java.nio.file.Files.createTempDirectory("audit-state").toString,
+      tablePrefix = "audit_")
+    val events = Tables.events(spark, sfDir)
+    store.write("events", events)
+
+    // steady-state cycle: a small change batch merges into the target.
+    // Force the worst case for the claim — no broadcast escape hatch —
+    // so the anti-join must use the base table's own distribution.
+    val changes = events.filter(col("event_id") > 900)
+      .withColumn("value", col("value") + 1.0)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val merged = Merge.upsert(store.read("events"), changes, Seq("event_id"))
+      merged.count()
+      def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
+        case other => other +: (other.children.flatMap(collectAll) ++
+          other.subqueries.flatMap(collectAll))
+      }
+      val nodes = collectAll(merged.queryExecution.executedPlan)
+      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty, "the change-batch side must shuffle to align")
+      // no shuffle subtree may contain the bucketed base table's scan
+      val baseShuffled = shuffles.exists(s =>
+        collectAll(s.asInstanceOf[SparkPlan]).exists(_.toString.contains("audit_events")))
+      assert(!baseShuffled,
+        "the bucketed base table must be read in place — merging must not reshuffle the target")
+    }
+  }
 }
