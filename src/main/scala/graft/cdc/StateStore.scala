@@ -1,60 +1,172 @@
 package graft.cdc
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Per-table replication state — the Spark-native form of sslr's
   * `__sslr_state` table (reference: internal/state.go).
   *
-  * Same schema and upsert semantics: (table_name PK, last_seen_version,
-  * where_clause), persisted as parquet under `path`. Writes rewrite the
-  * (tiny) state table via the same Merge.upsert used for data tables;
-  * reads are a single-file scan. On a cluster this lives on shared
-  * storage next to the target dataset, exactly as the reference keeps
-  * state in the target database.
+  * Stored as an APPEND LOG of JSON-line files, not a rewritten table:
+  * every mutation creates ONE tiny uniquely-named file holding one
+  * record (table_name, last_seen_version?, where_clause?, seq), with
+  * the two value fields nullable so `setVersion` and `setWhere` append
+  * independent records. Current state is, per table, the highest-seq
+  * non-null value of each field.
+  *
+  * Appends write through the Hadoop FS API directly (create + rename),
+  * NOT a Spark write job: concurrent Spark jobs appending one
+  * directory race on the shared `_temporary` committer dir, and the
+  * Replicator syncs tables in parallel. Distinct files per append mean
+  * there is no read-modify-write window at all — no writer can lose
+  * another's update. Same write-ahead shape as Structured Streaming's
+  * checkpoint log, and like it one writer PROCESS per state path.
+  *
+  * The log self-compacts past `compactAfter` files (latest-per-table
+  * rewritten as one file) so reads stay a single-file scan.
   */
 class StateStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  def stateTable(): DataFrame =
+  private val compactAfter = 64
+
+  // seq: strictly increasing within this process; the coarse ms-epoch
+  // base keeps a RESTARTED process above everything it wrote before
+  private val seq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() * 1000000L)
+
+  private val schema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("last_seen_version", LongType, nullable = true),
+    StructField("where_clause", StringType, nullable = true),
+    StructField("seq", LongType, nullable = false)))
+
+  private def log(): DataFrame =
     if (graft.util.Fs.existsNonEmpty(spark, path))
-      spark.read.parquet(path)
-    else
-      Seq.empty[(String, Long, String)]
-        .toDF("table_name", "last_seen_version", "where_clause")
+      spark.read.schema(schema).json(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Latest state per table (the logical `__sslr_state` view):
+    * per-field latest non-null record. struct-max aggregation is
+    * partial-aggregatable and skips nulls, so this stays one tiny
+    * shuffle however many appends accumulated between compactions.
+    */
+  def stateTable(): DataFrame =
+    log().groupBy("table_name")
+      .agg(
+        max(when(col("last_seen_version").isNotNull,
+          struct(col("seq"), col("last_seen_version")))).as("mv"),
+        max(when(col("where_clause").isNotNull,
+          struct(col("seq"), col("where_clause")))).as("mw"))
+      .select(col("table_name"),
+        coalesce(col("mv.last_seen_version"), lit(0L)).as("last_seen_version"),
+        coalesce(col("mw.where_clause"), lit("")).as("where_clause"))
 
   case class TableState(lastSeenVersion: Long, whereClause: String) {
     def isEmpty: Boolean = lastSeenVersion == 0L && whereClause.isEmpty
   }
 
-  def get(table: String): TableState = synchronized {
+  def get(table: String): TableState = {
     val rows = stateTable().filter($"table_name" === table)
       .select("last_seen_version", "where_clause").collect()
     if (rows.isEmpty) TableState(0L, "")
     else TableState(rows.head.getLong(0), Option(rows.head.getString(1)).getOrElse(""))
   }
 
-  // `synchronized`: state mutations are read-modify-write over one
-  // parquet path; the Replicator syncs tables CONCURRENTLY and two
-  // interleaved puts would lose one table's watermark. (Cross-process
-  // coordination, if ever needed, belongs to the driver — same as
-  // Structured Streaming's single-writer checkpoint rule.)
-  def put(table: String, state: TableState): Unit = synchronized {
-    val update = Seq((table, state.lastSeenVersion, state.whereClause))
-      .toDF("table_name", "last_seen_version", "where_clause")
-    val merged = Merge.upsert(stateTable(), update, Seq("table_name")).collect()
-    // two-phase rewrite: the state table is tiny, so collect + rewrite
-    // avoids read/overwrite-same-path races
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(merged.toIndexedSeq, 1), stateTable().schema)
-    out.write.mode("overwrite").parquet(path)
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def record(table: String, version: Option[Long], where: Option[String],
+                     s: Long): String = {
+    val fields = Seq(s"""\"table_name\": ${jsonStr(table)}""") ++
+      version.map(v => s"""\"last_seen_version\": $v""") ++
+      where.map(w => s"""\"where_clause\": ${jsonStr(w)}""") ++
+      Seq(s"""\"seq\": $s""")
+    fields.mkString("{", ", ", "}\n")
   }
 
-  def setVersion(table: String, version: Long): Unit = synchronized {
-    put(table, get(table).copy(lastSeenVersion = version))
+  /** Create one uniquely-named log file atomically (write hidden tmp,
+    * rename into place — readers never see a partial file).
+    */
+  private def writeLogFile(content: String, s: Long): Unit = {
+    val f = graft.util.Fs.fs(spark, path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir, s".tmp-$s-$id")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(dir, s"log-$s-$id.json")
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"state append rename failed: $dest")
   }
 
-  def setWhere(table: String, where: String): Unit = synchronized {
-    put(table, get(table).copy(whereClause = where))
+  // appends share the read lock; compaction takes the write lock so it
+  // can never delete a file an in-flight append is just writing
+  private val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  private def append(table: String, version: Option[Long], where: Option[String]): Unit = {
+    val rl = lock.readLock()
+    rl.lock()
+    // seq is allocated INSIDE the lock: allocated-but-unwritten records
+    // must not exist while a compaction (write lock) snapshots state,
+    // or the compacted full record would supersede them with a higher
+    // seq and silently drop the pending field value
+    try {
+      val s = seq.incrementAndGet()
+      writeLogFile(record(table, version, where, s), s)
+    } finally rl.unlock()
+    maybeCompact()
+  }
+
+  /** Set both fields at once (one full record). */
+  def put(table: String, state: TableState): Unit =
+    append(table, Some(state.lastSeenVersion), Some(state.whereClause))
+
+  def setVersion(table: String, version: Long): Unit =
+    append(table, Some(version), None)
+
+  def setWhere(table: String, where: String): Unit =
+    append(table, None, Some(where))
+
+  // Compaction is the one operation that rewrites the log dir. It runs
+  // under the write lock (no append can be in flight) and is rare —
+  // tryLock: if writers are busy, skip and let a later append compact.
+  private def maybeCompact(): Unit = {
+    def logFiles(): Int = {
+      val f = graft.util.Fs.fs(spark, path)
+      val p = new Path(path)
+      if (f.exists(p)) f.listStatus(p).count(_.getPath.getName.endsWith(".json")) else 0
+    }
+    if (logFiles() > compactAfter) {
+      val wl = lock.writeLock()
+      if (wl.tryLock()) {
+        try if (logFiles() > compactAfter) {
+          val f = graft.util.Fs.fs(spark, path)
+          val olds = f.listStatus(new Path(path))
+            .filter(_.getPath.getName.endsWith(".json")).map(_.getPath)
+          val latest = stateTable().collect()
+          val s = seq.incrementAndGet()
+          val lines = latest.map { r =>
+            record(r.getString(0), Some(r.getLong(1)),
+              Some(Option(r.getString(2)).getOrElse("")), s)
+          }.mkString
+          // write the compacted file FIRST, then drop the superseded
+          // ones — a crash in between leaves duplicates (harmless:
+          // latest-seq wins), never lost state
+          writeLogFile(lines, s)
+          olds.foreach(p => f.delete(p, false))
+        } finally wl.unlock()
+      }
+    }
   }
 }

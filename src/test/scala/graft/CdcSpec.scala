@@ -328,6 +328,49 @@ class CdcSpec extends SparkSpec {
     assert(!store.exists("whatever"))
   }
 
+  test("state store: 16 concurrent writers lose nothing, compaction included") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val store = new StateStore(spark, s"${tmpDir()}/state")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 16 writers × 6 appends = 96 records → crosses the 64-file
+      // compaction threshold WHILE other writers are appending
+      val jobs = (1 to 16).map { t => Future {
+        (1 to 5).foreach(v => store.setVersion(s"t$t", v * 100L + t))
+        store.setWhere(s"t$t", s"w$t")
+      }}
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally pool.shutdown()
+    (1 to 16).foreach { t =>
+      val st = store.get(s"t$t")
+      assert(st.lastSeenVersion == 500L + t, s"t$t watermark lost: $st")
+      assert(st.whereClause == s"w$t", s"t$t where lost: $st")
+    }
+    assert(store.stateTable().count() == 16)
+  }
+
+  test("replicator: 16 tables sync concurrently with no lost watermark") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    val slices = (0 until 16).map(i => i -> events.filter($"event_id" % 16 === i).cache())
+    slices.foreach { case (i, df) =>
+      df.write.mode("overwrite").parquet(s"$srcDir/slice$i.parquet")
+    }
+    val cfg = ReplicationConfig(tables = slices.map { case (i, _) =>
+      TableConfig(s"slice$i", Seq("event_id"), "event_id")
+    })
+    val rep = new Replicator(spark, cfg, srcDir, tgtDir)
+    rep.run()
+    slices.foreach { case (i, df) =>
+      assert(spark.read.parquet(s"$tgtDir/slice$i.parquet").count() == df.count())
+      val expected = df.agg(max($"event_id")).head().getLong(0)
+      assert(rep.state.get(s"slice$i").lastSeenVersion == expected,
+        s"slice$i watermark lost")
+    }
+  }
+
   test("state store: upsert and read-back semantics") {
     val store = new StateStore(spark, s"${tmpDir()}/state")
     assert(store.get("t1").isEmpty)
