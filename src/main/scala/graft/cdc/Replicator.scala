@@ -121,7 +121,12 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
     }
 
     val needFull = forceSync.contains(t.name) || st.lastSeenVersion == 0L || !targetExists(t.name) || {
-      val tgtCount = readTarget(t.name).count()
+      // the state-recorded count is the cheap path: counting a large
+      // object-store target on EVERY poll cycle is O(files) listing
+      // I/O; the recorded number is exact because this job is the
+      // target's only writer (checkpoint single-writer rule)
+      val tgtCount =
+        if (st.targetRows >= 0) st.targetRows else readTarget(t.name).count()
       tgtCount < srcCount * cfg.fullCopyThreshold
     }
 
@@ -140,6 +145,7 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
         case _ =>
           writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
       }
+      state.setTargetRows(t.name, srcCount) // full copy: count known for free
     } else {
       // pull bounded to the recorded maxVersion: the range and the
       // watermark we persist must describe the same set of rows even
@@ -147,22 +153,27 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       // see ChangeCapture.incrementalPull on snapshot isolation)
       val changes = ChangeCapture.incrementalPull(
         src, version, st.lastSeenVersion, upperBound = Some(maxVersion))
-      if (!changes.isEmpty) sink match {
-        case b: BucketedParquetStore =>
-          // O(batch) merge: read ONLY the partitions the change batch
-          // touches (partition-pruned scan) and swap only those back
-          val gbOf = BucketedLayout.bucketExpr(t.primaryKeys, b.nBuckets)
-          val affected = changes.select(gbOf.as("gb")).distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val base = b.readWithBuckets(t.name)
-            .filter(col(BucketedLayout.GB).isin(affected: _*))
-            .drop(BucketedLayout.GB)
-          b.overwriteBuckets(t.name, Merge.upsert(base, changes, t.primaryKeys),
-            t.primaryKeys)
-        case _ =>
-          writeTarget(t.name,
-            Merge.upsert(readTarget(t.name), changes, t.primaryKeys)
-              .repartition(parts, byPk: _*))
+      if (!changes.isEmpty) {
+        sink match {
+          case b: BucketedParquetStore =>
+            // O(batch) merge: read ONLY the partitions the change batch
+            // touches (partition-pruned scan) and swap only those back
+            val gbOf = BucketedLayout.bucketExpr(t.primaryKeys, b.nBuckets)
+            val affected = changes.select(gbOf.as("gb")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val base = b.readWithBuckets(t.name)
+              .filter(col(BucketedLayout.GB).isin(affected: _*))
+              .drop(BucketedLayout.GB)
+            b.overwriteBuckets(t.name, Merge.upsert(base, changes, t.primaryKeys),
+              t.primaryKeys)
+          case _ =>
+            writeTarget(t.name,
+              Merge.upsert(readTarget(t.name), changes, t.primaryKeys)
+                .repartition(parts, byPk: _*))
+        }
+        // one post-write metadata count per ACTUAL write (idle cycles
+        // never touch the target at all)
+        state.setTargetRows(t.name, readTarget(t.name).count())
       }
     }
     state.setVersion(t.name, maxVersion)
@@ -185,6 +196,7 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
         // clearBuckets handles buckets whose source rows vanished
         // entirely (no staged dir to swap in — just drop the partition)
         b.overwriteBuckets(t.name, reload, t.primaryKeys, clearBuckets = affected)
+        state.setTargetRows(t.name, readTarget(t.name).count())
       }
     case _ => syncDeletesFullRewrite(t)
   }
@@ -204,6 +216,7 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
           "left_anti")
         val reloaded = RangeHashDiff.changedRangeRows(src, diff, pk, cfg.deleteChunkSize)
         writeTarget(t.name, cleaned.unionByName(reloaded))
+        state.setTargetRows(t.name, readTarget(t.name).count())
       }
     } else {
       // composite pk: hash buckets — any key shape, same 2-scan diff
@@ -218,6 +231,7 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
           .drop("bucket")
         val reloaded = RangeHashDiff.changedHashBucketRows(src, diff, t.primaryKeys, nBuckets)
         writeTarget(t.name, cleaned.unionByName(reloaded))
+        state.setTargetRows(t.name, readTarget(t.name).count())
       }
     }
   }

@@ -40,6 +40,7 @@ class StateStore(spark: SparkSession, path: String) {
     StructField("table_name", StringType, nullable = false),
     StructField("last_seen_version", LongType, nullable = true),
     StructField("where_clause", StringType, nullable = true),
+    StructField("target_rows", LongType, nullable = true),
     StructField("seq", LongType, nullable = false)))
 
   private def log(): DataFrame =
@@ -58,20 +59,29 @@ class StateStore(spark: SparkSession, path: String) {
         max(when(col("last_seen_version").isNotNull,
           struct(col("seq"), col("last_seen_version")))).as("mv"),
         max(when(col("where_clause").isNotNull,
-          struct(col("seq"), col("where_clause")))).as("mw"))
+          struct(col("seq"), col("where_clause")))).as("mw"),
+        max(when(col("target_rows").isNotNull,
+          struct(col("seq"), col("target_rows")))).as("mr"))
       .select(col("table_name"),
         coalesce(col("mv.last_seen_version"), lit(0L)).as("last_seen_version"),
-        coalesce(col("mw.where_clause"), lit("")).as("where_clause"))
+        coalesce(col("mw.where_clause"), lit("")).as("where_clause"),
+        coalesce(col("mr.target_rows"), lit(-1L)).as("target_rows"))
 
-  case class TableState(lastSeenVersion: Long, whereClause: String) {
+  /** `targetRows` < 0 = unknown (never recorded): the fullCopy decision
+    * then falls back to counting the target — on a large object-store
+    * target the recorded count is the cheap path (VERDICT r1 item).
+    */
+  case class TableState(lastSeenVersion: Long, whereClause: String,
+                        targetRows: Long = -1L) {
     def isEmpty: Boolean = lastSeenVersion == 0L && whereClause.isEmpty
   }
 
   def get(table: String): TableState = {
     val rows = stateTable().filter($"table_name" === table)
-      .select("last_seen_version", "where_clause").collect()
+      .select("last_seen_version", "where_clause", "target_rows").collect()
     if (rows.isEmpty) TableState(0L, "")
-    else TableState(rows.head.getLong(0), Option(rows.head.getString(1)).getOrElse(""))
+    else TableState(rows.head.getLong(0),
+      Option(rows.head.getString(1)).getOrElse(""), rows.head.getLong(2))
   }
 
   private def jsonStr(s: String): String =
@@ -86,10 +96,11 @@ class StateStore(spark: SparkSession, path: String) {
     } + "\""
 
   private def record(table: String, version: Option[Long], where: Option[String],
-                     s: Long): String = {
+                     rows: Option[Long], s: Long): String = {
     val fields = Seq(s"""\"table_name\": ${jsonStr(table)}""") ++
       version.map(v => s"""\"last_seen_version\": $v""") ++
       where.map(w => s"""\"where_clause\": ${jsonStr(w)}""") ++
+      rows.map(r => s"""\"target_rows\": $r""") ++
       Seq(s"""\"seq\": $s""")
     fields.mkString("{", ", ", "}\n")
   }
@@ -114,7 +125,8 @@ class StateStore(spark: SparkSession, path: String) {
   // can never delete a file an in-flight append is just writing
   private val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
-  private def append(table: String, version: Option[Long], where: Option[String]): Unit = {
+  private def append(table: String, version: Option[Long], where: Option[String],
+                     rows: Option[Long] = None): Unit = {
     val rl = lock.readLock()
     rl.lock()
     // seq is allocated INSIDE the lock: allocated-but-unwritten records
@@ -123,20 +135,24 @@ class StateStore(spark: SparkSession, path: String) {
     // seq and silently drop the pending field value
     try {
       val s = seq.incrementAndGet()
-      writeLogFile(record(table, version, where, s), s)
+      writeLogFile(record(table, version, where, rows, s), s)
     } finally rl.unlock()
     maybeCompact()
   }
 
-  /** Set both fields at once (one full record). */
+  /** Set all fields at once (one full record). */
   def put(table: String, state: TableState): Unit =
-    append(table, Some(state.lastSeenVersion), Some(state.whereClause))
+    append(table, Some(state.lastSeenVersion), Some(state.whereClause),
+      Some(state.targetRows).filter(_ >= 0))
 
   def setVersion(table: String, version: Long): Unit =
     append(table, Some(version), None)
 
   def setWhere(table: String, where: String): Unit =
     append(table, None, Some(where))
+
+  def setTargetRows(table: String, rows: Long): Unit =
+    append(table, None, None, Some(rows))
 
   // Compaction is the one operation that rewrites the log dir. It runs
   // under the write lock (no append can be in flight) and is rare —
@@ -158,7 +174,8 @@ class StateStore(spark: SparkSession, path: String) {
           val s = seq.incrementAndGet()
           val lines = latest.map { r =>
             record(r.getString(0), Some(r.getLong(1)),
-              Some(Option(r.getString(2)).getOrElse("")), s)
+              Some(Option(r.getString(2)).getOrElse("")),
+              Some(r.getLong(3)).filter(_ >= 0), s)
           }.mkString
           // write the compacted file FIRST, then drop the superseded
           // ones — a crash in between leaves duplicates (harmless:

@@ -97,6 +97,15 @@ object CdcQueries {
     SnapshotDiff.diff(old, newSnap, Seq("o_orderkey"))
   }
 
+  /** Change-batch collapse: one row per PK keeping the highest version
+    * (the streaming micro-batch dedup step). PK here is user_id, so a
+    * real multi-row-per-key distribution: each user's latest event.
+    */
+  def latestByKeyQ(spark: SparkSession, sfDir: String): DataFrame =
+    Merge.latestByKey(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id"), "event_id")
+
   def tableLengthQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.05)
       .agg(count(lit(1)).as("row_count"))
@@ -125,6 +134,7 @@ object CdcQueries {
     "cdc_changed_range_resync" -> changedRangeResyncQ,
     "cdc_deleted_keys" -> deletedKeysQ,
     "cdc_snapshot_diff" -> snapshotDiffQ,
+    "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_table_length" -> tableLengthQ,
     "cdc_schema_fingerprint" -> schemaFingerprintQ)
 
@@ -202,6 +212,9 @@ object CdcQueries {
         |SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
         |UNION ALL
         |SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
+    "cdc_latest_by_key" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,
     "cdc_table_length" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05")
 }

@@ -68,6 +68,27 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Same dup-pair graph and cluster truth as `dedup_clusters`, solved
+    * by star contraction instead of label propagation — the two CC
+    * algorithms must agree bit-for-bit against the same oracle.
+    */
+  def dedupClustersStarQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val corpus = Seq(100000L, 200000L, 300000L).foldLeft(d) { (acc, off) =>
+      acc.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + off))
+    }
+    val hashed = corpus.select(col("doc_id"),
+      md5(TextAnalysis.normalize(col("text"))).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val edges = hashed.withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+    Dedup.connectedComponentsStar(edges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T, EMB_DIM)
 
@@ -134,6 +155,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramQ,
     "dedup_embedding" -> dedupEmbeddingQ,
     "dedup_clusters" -> dedupClustersQ,
+    "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
     "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
@@ -217,6 +239,16 @@ object PipelineQueries {
          |  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)
          |WHERE j >= $NGRAM_T""".stripMargin,
     "dedup_clusters" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 50 = 0),
+         |h AS (SELECT doc_id, md5($norm) AS h FROM corpus),
+         |grp AS (SELECT h, min(doc_id) AS cluster, count(*) AS n FROM h GROUP BY h)
+         |SELECT t.doc_id, g.cluster
+         |FROM h t JOIN grp g USING (h) WHERE g.n > 1""".stripMargin,
+    "dedup_clusters_star" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0

@@ -371,6 +371,30 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("replicator: records the target row count so idle cycles skip the target scan") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val rep = new Replicator(spark, eventsCfg, srcDir, tgtDir)
+    rep.run()
+    assert(rep.state.get("events").targetRows == events.count(),
+      "full copy must record the written row count")
+
+    // incremental append refreshes the recorded count
+    val extra = events.limit(10).withColumn("event_id", $"event_id" + 60000L)
+    events.unionByName(extra).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val rep2 = new Replicator(spark, eventsCfg, srcDir, tgtDir)
+    rep2.run()
+    assert(rep2.state.get("events").targetRows == events.count() + 10)
+
+    // a stale-looking recorded count must still trigger the full copy
+    rep2.state.setTargetRows("events", 1L)
+    val rep3 = new Replicator(spark, eventsCfg, srcDir, tgtDir)
+    rep3.run()
+    assert(rep3.state.get("events").targetRows == events.count() + 10,
+      "fullCopyThreshold decision must consult the recorded count and resync")
+  }
+
   test("state store: upsert and read-back semantics") {
     val store = new StateStore(spark, s"${tmpDir()}/state")
     assert(store.get("t1").isEmpty)
