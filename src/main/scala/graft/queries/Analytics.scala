@@ -82,6 +82,43 @@ object Analytics {
         .cast("double").as("revenue"))
   }
 
+  /** Grouping-sets rollup: per-(flag,status) totals plus per-flag and
+    * grand subtotals in one pass (Spark computes rollup with a single
+    * expand + partial aggregation — no re-scan per grouping set).
+    * Group keys are coalesced to 'ALL' sentinels: the source columns
+    * are non-null, and the driver's hash compare can't equate NULLs.
+    */
+  def q1Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"sum_qty", $"count_order")
+  }
+
+  /** Exact interpolated quantiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`; both sort the group and interpolate at
+    * p·(n−1)). Exact percentile buffers each group — right for grouped
+    * medians at bounded group counts; at 100 TB unbounded-cardinality
+    * use approx_percentile (t-digest, mergeable) instead.
+    */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Top-3 orders by total price within each order priority. */
   def qTopkWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -158,6 +195,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "q1_rollup" -> q1Rollup,
+    "q_percentiles" -> qPercentiles,
     "q3_join_agg" -> q3JoinAgg,
     "q5_multijoin" -> q5MultiJoin,
     "q_topk_window" -> qTopkWindow,
@@ -176,6 +215,21 @@ object Analytics {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q3_join_agg" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -142,6 +142,28 @@ object PipelineQueries {
       defaultRate = 0.1)
       .select("event_id", "user_id", "event_type")
 
+  /** Unigram-LM quality score: mean ln(df(token)/N) over each doc's
+    * tokens (with repetition), df = corpus document frequency — the
+    * cheap LM-perplexity stand-in data pipelines use to rank documents
+    * by "typicality". One explode + one broadcast vocab join + one
+    * per-doc aggregation; the vocab table is corpus-bounded (drop the
+    * broadcast hint if it outgrows memory — the join shuffles by token
+    * instead, still |tokens| rows).
+    */
+  def textUnigramLogprobQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val n = d.count()
+    val norm = TextAnalysis.normalize(col("text"))
+    val toks = d.select(col("doc_id"), explode(split(norm, " ")).as("tok"))
+    val dfreq = d.select(col("doc_id"), explode(array_distinct(split(norm, " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+    toks.join(broadcast(dfreq), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(log(col("doc_freq").cast("double") / n.toDouble)), 4).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   def textVocabQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), "text", "doc_id", 100)
 
@@ -165,6 +187,7 @@ object PipelineQueries {
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
     "text_vocab" -> textVocabQ,
+    "text_unigram_logprob" -> textUnigramLogprobQ,
     "sample_stratified" -> sampleStratifiedQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -372,6 +395,17 @@ object PipelineQueries {
          |              FROM documents)
          |SELECT token, count(*) AS doc_freq FROM toks
          |GROUP BY 1 ORDER BY doc_freq DESC, token ASC LIMIT 100""".stripMargin,
+    "text_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |              FROM documents),
+         |dtoks AS (SELECT doc_id, unnest(list_distinct(string_split($norm, ' '))) AS tok
+         |          FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS doc_freq FROM dtoks GROUP BY 1)
+         |SELECT t.doc_id,
+         |  round(avg(ln(doc_freq::DOUBLE / (SELECT count(*) FROM documents))), 4) AS mean_logprob,
+         |  count(*) AS n_tokens
+         |FROM toks t JOIN dfreq USING (tok)
+         |GROUP BY t.doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
