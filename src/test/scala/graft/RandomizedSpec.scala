@@ -52,6 +52,49 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("bucketed replication converges under random insert/update/delete cycles") {
+    import graft.cdc._
+    val rnd = new Random(2024)
+    val srcDir = java.nio.file.Files.createTempDirectory("fuzz-src").toString
+    val tgtDir = java.nio.file.Files.createTempDirectory("fuzz-tgt").toString
+    // in-memory truth: id -> (version, payload)
+    var truth: Map[Long, (Long, String)] =
+      (0L until 500L).map(i => i -> (i, s"v$i")).toMap
+    var maxVer = 499L
+    def writeSource(): Unit =
+      truth.toSeq.map { case (id, (ver, v)) => (id, ver, v) }
+        .toDF("id", "ver", "v").repartition(4)
+        .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    writeSource()
+    val sink = new BucketedParquetStore(spark, tgtDir, 8)
+    val cfg = ReplicationConfig(tables = Seq(TableConfig("t", Seq("id"), "ver")))
+    val rep = new Replicator(spark, cfg, new ParquetStore(spark, srcDir), sink)
+
+    (1 to 5).foreach { cycle =>
+      rep.run()
+      val got = sink.read("t").as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == truth, s"cycle $cycle diverged: ${got.size} vs ${truth.size} rows")
+
+      // mutate for the next cycle: deletes, version-bumped updates, inserts
+      val deleted = truth.keys.filter(_ => rnd.nextInt(10) == 0).toSet
+      truth --= deleted
+      truth = truth.map { case (id, (ver, v)) =>
+        if (rnd.nextInt(10) == 0) { maxVer += 1; id -> (maxVer, s"u$cycle-$id") }
+        else id -> (ver, v)
+      }
+      val inserts = (1 to rnd.nextInt(40) + 1).map { _ =>
+        maxVer += 1; (maxVer + 100000L) -> (maxVer, s"i$cycle")
+      }
+      truth ++= inserts
+      writeSource()
+    }
+    rep.run()
+    val finalGot = sink.read("t").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(finalGot == truth)
+  }
+
   test("star-contraction CC matches union-find on random graphs and deep chains") {
     // naive union-find reference
     def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
