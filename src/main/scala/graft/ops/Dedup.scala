@@ -63,16 +63,20 @@ object Dedup {
     * candidate pairs. groupBy buckets + within-bucket join — never a
     * global cross join.
     */
-  def lshCandidates(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
-    val bandSize = numHashes / numBands
-    // Band signature = sum of the band's min-hashes. Order-independent
-    // (so partial aggregation applies — no collect_list/sort), and
-    // overflow-safe: h < 2^60 (15 hex digits) so a sum of ≤ 8 fits in
-    // int64 on both engines. Collision odds ≈ 2⁻⁶³ per bucket pair.
-    val bands = signatures
-      .withColumn("band", expr(s"j div $bandSize"))
+  /** (id, band, sig) LSH bucket keys. Band signature = sum of the
+    * band's min-hashes: order-independent (so partial aggregation
+    * applies — no collect_list/sort) and overflow-safe (h < 2^60, sums
+    * of ≤ 8 fit int64 on both engines). Collision odds ≈ 2⁻⁶³ per
+    * bucket pair.
+    */
+  def bandSignatures(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame =
+    signatures
+      .withColumn("band", expr(s"j div ${numHashes / numBands}"))
       .groupBy("id", "band")
       .agg(sum("h").as("sig"))
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val bands = bandSignatures(signatures, numHashes, numBands)
     // Salt the self-join: a duplicate-dense corpus puts thousands of
     // docs in one (band, sig) bucket, and an unsalted equi-join emits
     // that bucket's m²/2 pairs from a single task. Salting the left
@@ -111,15 +115,8 @@ object Dedup {
     // is pure GC churn at millions of candidate pairs. Set sizes are
     // hash-set sizes on both engines so a (vanishing) collision
     // perturbs Spark and the oracle identically.
-    val sets = tokens
-      .select(col("id"), Hashing.portableHash64(col("tok")).as("h"))
-      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("toks"))
-      .select(col("id"), col("toks"), size(col("toks")).as("n"))
-    val interSize: (Column, Column) => Column =
-      if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_intersect_size"))
-        (a, b) => call_function("graft_intersect_size", a, b)
-      else
-        (a, b) => size(array_intersect(a, b))
+    val sets = tokenHashSets(tokens)
+    val interSize = interSizeFn
     val inter = candidates
       .join(broadcast(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
         col("n").as("n_a"))), Seq("id_a"))
@@ -131,6 +128,25 @@ object Dedup {
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
+
+  /** (id, toks = SORTED 60-bit token-hash array, n = |set|) per doc —
+    * the verify-stage form: long comparisons beat UTF8 and the sorted
+    * arrays feed the allocation-free native merge-intersect.
+    */
+  def tokenHashSets(tokens: DataFrame): DataFrame =
+    tokens
+      .select(col("id"), Hashing.portableHash64(col("tok")).as("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n"))
+
+  /** Sorted-array intersection size: the codegen'd native expression
+    * when registered, the built-in (slower, same result) otherwise.
+    */
+  def interSizeFn: (Column, Column) => Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_intersect_size"))
+      (a, b) => call_function("graft_intersect_size", a, b)
+    else
+      (a, b) => size(array_intersect(a, b))
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded
     * candidates → Jaccard-verified pairs ≥ threshold.

@@ -86,6 +86,89 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming NEAR-duplicate filter — the corpus-cleaning member of
+    * the dedup family for a continuously-arriving document feed: each
+    * micro-batch's docs are MinHash-banded and admitted only if no
+    * band bucket collides (Jaccard-verified ≥ threshold) with an
+    * already-admitted doc or a smaller-id doc of the same batch
+    * (greedy-by-id within a batch: a doc is dropped iff it matches ANY
+    * smaller admitted-or-earlier id — deterministic, no per-batch
+    * connected components).
+    *
+    * State = two append-only parquet stores (band signatures + sorted
+    * token-hash sets of admitted docs). Per batch the work is
+    * O(batch × collisions): the store side is probed through the band
+    * equi-join, never scanned pairwise. Admitted rows append to
+    * `outDir`; foreachBatch runs batches sequentially so the
+    * append-only state needs no locking.
+    */
+  def nearDupStream(spark: SparkSession, sourceDir: String, outDir: String,
+                    stateDir: String, checkpoint: String,
+                    textCol: String, idCol: String,
+                    numHashes: Int = 16, numBands: Int = 2,
+                    threshold: Double = 0.7,
+                    maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import graft.ops.Dedup
+    val schema = spark.read.parquet(sourceDir).schema
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val bandsPath = s"$stateDir/bands.parquet"
+    val setsPath = s"$stateDir/sets.parquet"
+
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = Dedup.tokenSet(batch, textCol, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toks.count() // materialize before fanning into two subtrees
+        val sigs = Dedup.bandSignatures(
+          Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
+        val sets = Dedup.tokenHashSets(toks)
+        val haveStore = graft.util.Fs.existsNonEmpty(spark, bandsPath)
+
+        // candidate pairs: batch×store plus batch×smaller-batch-id
+        val newSide = sigs.select(col("band"), col("sig"), col("id").as("id_new"))
+        val candBatch = newSide
+          .join(sigs.select(col("band"), col("sig"), col("id").as("id_old")),
+            Seq("band", "sig"))
+          .filter(col("id_old") < col("id_new"))
+        val cands = (if (haveStore)
+          candBatch.unionByName(newSide.join(
+            spark.read.parquet(bandsPath)
+              .select(col("band"), col("sig"), col("id").as("id_old")),
+            Seq("band", "sig")))
+        else candBatch).select("id_new", "id_old").distinct()
+
+        val oldSets = (if (haveStore)
+          spark.read.parquet(setsPath).unionByName(sets) else sets)
+          .select(col("id").as("id_old"), col("toks").as("toks_b"), col("n").as("n_b"))
+        val verified = cands
+          .join(sets.select(col("id").as("id_new"), col("toks").as("toks_a"),
+            col("n").as("n_a")), Seq("id_new"))
+          .join(oldSets, Seq("id_old"))
+          .withColumn("inter", Dedup.interSizeFn(col("toks_a"), col("toks_b")))
+          .filter(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")) >= threshold)
+        val dupIds = verified.select(col("id_new").as("__dup_id")).distinct()
+
+        val admitted = batch
+          .join(dupIds, batch(idCol) === dupIds("__dup_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        admitted.count()
+        admitted.write.mode("append").parquet(outDir)
+        val admIds = admitted.select(col(idCol).as("id"))
+        sigs.join(admIds, Seq("id")).write.mode("append").parquet(bandsPath)
+        sets.join(admIds, Seq("id")).write.mode("append").parquet(setsPath)
+        admitted.unpersist()
+        toks.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact dedup on a key within an event-time watermark —
     * the streaming member of the dedup family (SURVEY C-block):
     * `dropDuplicatesWithinWatermark` keeps state bounded, unlike a

@@ -156,6 +156,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter admits only novel docs across micro-batches") {
+    val feedDir = tmp(); val outDir = s"${tmp()}/out.parquet"
+    val stateDir = tmp(); val cp = tmp()
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different content about distributed query engines and parquet files"
+    val t3 = "training data pipelines need scalable deduplication across many document shards " +
+      "because web crawls repeat boilerplate text and templated pages at enormous rates daily"
+    val t3near = t3.replace("daily", "weekly") // 1 of ~24 distinct tokens, J ≈ 0.96
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    // 4 bands of 4 hashes: band-collision probability at J≈0.96 is
+    // ~1-(1-0.96⁴)⁴ ≈ 0.9996 — and the hash family is deterministic,
+    // so this either always passes or never does
+    val q = CdcStream.nearDupStream(spark, feedDir, outDir, stateDir, cp,
+      "text", "doc_id", numHashes = 16, numBands = 4)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L))
+
+      // batch 2: exact replay of t1 (new id), a novel doc, and a
+      // same-batch near-copy of the novel doc (one word changed)
+      Seq((3L, t1), (4L, t3), (5L, t3near)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 4L),
+        s"got $admitted: 3 dups stored 1; 5 dups same-batch 4")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
