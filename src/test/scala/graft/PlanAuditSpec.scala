@@ -55,6 +55,20 @@ class PlanAuditSpec extends SparkSpec {
       "all q5 joins are dim joins and must broadcast")
   }
 
+  test("ann_lsh_pairs: bucket equi-join with native dot, never a global cross join") {
+    val plan = formatted(q("ann_lsh_pairs"))
+    assert(plan.contains("graft_dot"), "pair cosine must use the codegen'd dot product")
+    assert(!plan.contains("CartesianProduct"),
+      "the pair scan must be bucket-bounded, not a global cross join")
+  }
+
+  test("text_unigram_logprob: broadcast vocab join, partial aggregation") {
+    val plan = formatted(q("text_unigram_logprob"))
+    assert(plan.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    assert(plan.contains("partial_avg") || plan.contains("partial_sum"),
+      "per-doc score must combine map-side")
+  }
+
   test("catalog sink: cycle-2 merge plans with NO exchange on the bucketed base side") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.SparkPlan
