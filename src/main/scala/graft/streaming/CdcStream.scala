@@ -135,11 +135,17 @@ object CdcStream {
           .join(sigs.select(col("band"), col("sig"), col("id").as("id_old")),
             Seq("band", "sig"))
           .filter(col("id_old") < col("id_new"))
+        // the batch side is small and the admitted store grows without
+        // bound: broadcast the batch so the store probe is a map-side
+        // hash join over the store scan, never a shuffle of the store.
+        // (At larger scale, lay the store out partitioned by a hash of
+        // (band, sig) — the same BucketedLayout trick the CDC sink
+        // uses — and the probe prunes to the batch's buckets.)
         val cands = (if (haveStore)
-          candBatch.unionByName(newSide.join(
+          candBatch.unionByName(
             spark.read.parquet(bandsPath)
-              .select(col("band"), col("sig"), col("id").as("id_old")),
-            Seq("band", "sig")))
+              .select(col("band"), col("sig"), col("id").as("id_old"))
+              .join(broadcast(newSide), Seq("band", "sig")))
         else candBatch).select("id_new", "id_old").distinct()
 
         val oldSets = (if (haveStore)
