@@ -94,7 +94,18 @@ object Replicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stopFlag = new AtomicBoolean(false)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => stopFlag.set(true)))
+    // the hook must JOIN the main thread after flipping the flag —
+    // a hook that only sets it returns immediately and the JVM halts
+    // mid-cycle (possibly mid stage-and-swap). Joining keeps the JVM
+    // up until the loop observes the flag and finishes the current
+    // cycle (best effort: Spark's own shutdown hooks run concurrently,
+    // so an extremely long cycle can still be cut short — bounded here
+    // at 10 minutes).
+    val mainThread = Thread.currentThread()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stopFlag.set(true)
+      mainThread.join(600000L)
+    }))
     try {
       val cycles = run(spark, cfg, continuous, stop = () => stopFlag.get())
       println(s"[replicate] completed $cycles cycle(s)")

@@ -76,6 +76,26 @@ object BucketedLayout {
     Fs.delete(spark, tmp)
   }
 
+  /** Partition-pruned upsert of a PK-unique change batch into a
+    * bucketed target: read ONLY the partitions the batch's keys hash
+    * into, merge, swap exactly those back. The single entry point for
+    * both the Replicator's incremental cycle and the streaming
+    * micro-batch merge — O(batch) I/O, not O(target).
+    *
+    * `batch` should be materialized (checkpointed/persisted) by the
+    * caller if it derives from a live source: it feeds the affected-
+    * bucket collect AND both sides of the merge write.
+    */
+  def upsertBuckets(spark: SparkSession, destPath: String, batch: DataFrame,
+                    pkCols: Seq[String], nBuckets: Int): Unit = {
+    val affected = batch.select(bucketExpr(pkCols, nBuckets).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val base = spark.read.parquet(destPath)
+      .filter(col(GB).isin(affected: _*))
+      .drop(GB)
+    overwriteBuckets(spark, Merge.upsert(base, batch, pkCols), pkCols, nBuckets, destPath)
+  }
+
   private def stagingPath(destPath: String): String = {
     val p = new Path(destPath)
     new Path(p.getParent, s"__staging_${p.getName}").toString
@@ -102,4 +122,8 @@ class BucketedParquetStore(spark: SparkSession, dir: String, val nBuckets: Int)
   def overwriteBuckets(table: String, df: DataFrame, pkCols: Seq[String],
                        clearBuckets: Seq[Int] = Nil): Unit =
     BucketedLayout.overwriteBuckets(spark, df, pkCols, nBuckets, path(table), clearBuckets)
+
+  /** Partition-pruned upsert of a PK-unique change batch. */
+  def upsert(table: String, batch: DataFrame, pkCols: Seq[String]): Unit =
+    BucketedLayout.upsertBuckets(spark, path(table), batch, pkCols, nBuckets)
 }

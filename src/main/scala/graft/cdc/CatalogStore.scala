@@ -14,10 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * onward only the (small) change batch shuffles — the target, however
   * large, is read in place. [[PlanAuditSpec]] pins that plan shape.
   *
-  * Writes stage to a `__staging_<t>` table then swap via catalog
-  * rename: the merged frame reads the very table it replaces, and
+  * Writes stage to a `__staging_<t>` table then swap via DROP +
+  * RENAME: the merged frame reads the very table it replaces, and
   * `saveAsTable(overwrite)` on a self-referential plan is rejected by
-  * Spark — the stage/rename keeps the swap atomic at catalog level.
+  * Spark. The swap is two catalog statements, NOT atomic — a crash
+  * between them leaves the live name missing while `__staging_<t>`
+  * holds the complete new data (recovery: rename it into place; the
+  * next cycle otherwise just re-runs a full copy). A metastore with a
+  * transactional exchange/rename-over op would close the window.
   */
 class CatalogStore(spark: SparkSession,
                    layouts: Map[String, SchemaSync.TableLayout],

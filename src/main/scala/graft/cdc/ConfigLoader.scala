@@ -74,7 +74,9 @@ object ConfigLoader {
     val plainTables = Option(root.get("tables")).toSeq
       .flatMap(_.elements().asScala).map(_.asText())
     val filtered = Option(root.get("filteredTables")).map { ft =>
-      ft.properties().asScala.map { e =>
+      ft.properties().asScala
+        .filterNot(_.getKey.startsWith("/*")) // comment hack applies at every level
+        .map { e =>
         checkFields(e.getValue, filteredFields, "filtered table")
         val where = Option(e.getValue.get("where")).map(_.asText()).getOrElse("")
         val wheres = Option(e.getValue.get("wheres")).toSeq
@@ -91,6 +93,10 @@ object ConfigLoader {
     }.getOrElse(Map.empty[String, (String, Seq[String])])
 
     val allNames = plainTables ++ filtered.keys.toSeq.sorted
+    // a table listed twice (or in both tables and filteredTables) would
+    // silently spawn two concurrent sync jobs racing on one staging dir
+    allNames.groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+      .headOption.foreach(n => fail(s"""table "$n" configured more than once"""))
     filtered.foreach { case (t, (_, uses)) =>
       uses.foreach(u =>
         if (!allNames.contains(u)) fail(s"""unknown table "$u" in uses list"""))
@@ -98,7 +104,9 @@ object ConfigLoader {
 
     val keys = Option(root.get("keys")).map { ks =>
       checkFields(ks, allNames.toSet, "keys")
-      ks.properties().asScala.map { e =>
+      ks.properties().asScala
+        .filterNot(_.getKey.startsWith("/*"))
+        .map { e =>
         checkFields(e.getValue, keyFields, "table keys")
         val pks = Option(e.getValue.get("primaryKeys")).toSeq
           .flatMap(_.elements().asScala).map(_.asText())

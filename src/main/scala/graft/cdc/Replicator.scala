@@ -150,22 +150,20 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       // pull bounded to the recorded maxVersion: the range and the
       // watermark we persist must describe the same set of rows even
       // if the source gains rows between the two actions (live feeds;
-      // see ChangeCapture.incrementalPull on snapshot isolation)
+      // see ChangeCapture.incrementalPull on snapshot isolation).
+      // localCheckpoint: the change batch feeds up to four actions
+      // (emptiness, affected-bucket collect, both merge sides) — ONE
+      // source extraction, not four (decisive on a JDBC source, and
+      // the reads can't disagree on a live one).
       val changes = ChangeCapture.incrementalPull(
         src, version, st.lastSeenVersion, upperBound = Some(maxVersion))
+        .localCheckpoint()
       if (!changes.isEmpty) {
         sink match {
           case b: BucketedParquetStore =>
             // O(batch) merge: read ONLY the partitions the change batch
             // touches (partition-pruned scan) and swap only those back
-            val gbOf = BucketedLayout.bucketExpr(t.primaryKeys, b.nBuckets)
-            val affected = changes.select(gbOf.as("gb")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            val base = b.readWithBuckets(t.name)
-              .filter(col(BucketedLayout.GB).isin(affected: _*))
-              .drop(BucketedLayout.GB)
-            b.overwriteBuckets(t.name, Merge.upsert(base, changes, t.primaryKeys),
-              t.primaryKeys)
+            b.upsert(t.name, changes, t.primaryKeys)
           case _ =>
             writeTarget(t.name,
               Merge.upsert(readTarget(t.name), changes, t.primaryKeys)

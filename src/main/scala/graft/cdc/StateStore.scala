@@ -76,12 +76,21 @@ class StateStore(spark: SparkSession, path: String) {
     def isEmpty: Boolean = lastSeenVersion == 0L && whereClause.isEmpty
   }
 
+  // get() holds the read lock across the collect: compaction deletes
+  // superseded log files, and an unlocked concurrent reader could list
+  // a file that vanishes before its scan task opens it. (stateTable()
+  // is lazy — callers running their own actions on it should not race
+  // a writer; the Replicator only reads through get().)
   def get(table: String): TableState = {
-    val rows = stateTable().filter($"table_name" === table)
-      .select("last_seen_version", "where_clause", "target_rows").collect()
-    if (rows.isEmpty) TableState(0L, "")
-    else TableState(rows.head.getLong(0),
-      Option(rows.head.getString(1)).getOrElse(""), rows.head.getLong(2))
+    val rl = lock.readLock()
+    rl.lock()
+    try {
+      val rows = stateTable().filter($"table_name" === table)
+        .select("last_seen_version", "where_clause", "target_rows").collect()
+      if (rows.isEmpty) TableState(0L, "")
+      else TableState(rows.head.getLong(0),
+        Option(rows.head.getString(1)).getOrElse(""), rows.head.getLong(2))
+    } finally rl.unlock()
   }
 
   private def jsonStr(s: String): String =
@@ -140,10 +149,14 @@ class StateStore(spark: SparkSession, path: String) {
     maybeCompact()
   }
 
-  /** Set all fields at once (one full record). */
+  /** Set all fields at once (one full record). targetRows is written
+    * even when negative: a recorded −1 SUPERSEDES an older count (read
+    * back as "unknown"), so callers can force a recount — filtering it
+    * out would leave the stale count winning the latest-non-null read.
+    */
   def put(table: String, state: TableState): Unit =
     append(table, Some(state.lastSeenVersion), Some(state.whereClause),
-      Some(state.targetRows).filter(_ >= 0))
+      Some(state.targetRows))
 
   def setVersion(table: String, version: Long): Unit =
     append(table, Some(version), None)

@@ -49,9 +49,13 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vcol = versionColumn.getOrElse(
-          batch.columns.filterNot(pkCols.contains).head)
-        val latest = Merge.latestByKey(batch, pkCols, vcol)
+        // a PK-only feed (presence-set replication) has no payload to
+        // version by — any row of a PK group is the same row, dedup by
+        // key; otherwise collapse to the highest version
+        val payload = batch.columns.filterNot(pkCols.contains)
+        val latest =
+          if (payload.isEmpty) batch.dropDuplicates(pkCols)
+          else Merge.latestByKey(batch, pkCols, versionColumn.getOrElse(payload.head))
         nBuckets match {
           case Some(n) =>
             // bucketed target: merge touches ONLY the partitions this
@@ -59,16 +63,9 @@ object CdcStream {
             // not O(target). This is the scale shape; the flat-target
             // branch below survives for small tables and demos.
             import graft.cdc.BucketedLayout
-            if (graft.util.Fs.existsNonEmpty(spark, targetPath)) {
-              val affected = latest
-                .select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
-                .distinct().collect().map(_.getInt(0)).toSeq
-              val base = spark.read.parquet(targetPath)
-                .filter(col(BucketedLayout.GB).isin(affected: _*))
-                .drop(BucketedLayout.GB)
-              BucketedLayout.overwriteBuckets(spark,
-                Merge.upsert(base, latest, pkCols), pkCols, n, targetPath)
-            } else BucketedLayout.writeFull(spark, latest, pkCols, n, targetPath)
+            if (graft.util.Fs.existsNonEmpty(spark, targetPath))
+              BucketedLayout.upsertBuckets(spark, targetPath, latest, pkCols, n)
+            else BucketedLayout.writeFull(spark, latest, pkCols, n, targetPath)
           case None =>
             val merged =
               if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
@@ -95,12 +92,19 @@ object CdcStream {
     * smaller admitted-or-earlier id — deterministic, no per-batch
     * connected components).
     *
-    * State = two append-only parquet stores (band signatures + sorted
-    * token-hash sets of admitted docs). Per batch the work is
-    * O(batch × collisions): the store side is probed through the band
-    * equi-join, never scanned pairwise. Admitted rows append to
-    * `outDir`; foreachBatch runs batches sequentially so the
-    * append-only state needs no locking.
+    * State = two parquet stores (band signatures + sorted token-hash
+    * sets of admitted docs). Per batch the work is O(batch ×
+    * collisions): the store side is probed through the band equi-join,
+    * never scanned pairwise.
+    *
+    * Replay-safe under foreachBatch's at-least-once contract: every
+    * write (output and both stores) lands in a DETERMINISTIC
+    * `batch=<id>` partition directory with mode=overwrite, so a
+    * replayed batch overwrites its own previous partial writes instead
+    * of double-appending — and store probes EXCLUDE the current
+    * batch's partition, so a replay can't collide with its own
+    * half-written signatures and drop everything as self-duplicates.
+    * Output rows therefore carry a `batch` partition column.
     */
   def nearDupStream(spark: SparkSession, sourceDir: String, outDir: String,
                     stateDir: String, checkpoint: String,
@@ -120,7 +124,7 @@ object CdcStream {
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val toks = Dedup.tokenSet(batch, textCol, idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         toks.count() // materialize before fanning into two subtrees
@@ -128,6 +132,11 @@ object CdcStream {
           Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
         val sets = Dedup.tokenHashSets(toks)
         val haveStore = graft.util.Fs.existsNonEmpty(spark, bandsPath)
+        // exclude this batch's own partition: a REPLAYED batch must not
+        // collide with its half-written signatures from the failed run
+        def readStore(path: String) =
+          spark.read.option("basePath", path).parquet(path)
+            .filter(col("batch") =!= batchId).drop("batch")
 
         // candidate pairs: batch×store plus batch×smaller-batch-id
         val newSide = sigs.select(col("band"), col("sig"), col("id").as("id_new"))
@@ -143,13 +152,13 @@ object CdcStream {
         // uses — and the probe prunes to the batch's buckets.)
         val cands = (if (haveStore)
           candBatch.unionByName(
-            spark.read.parquet(bandsPath)
+            readStore(bandsPath)
               .select(col("band"), col("sig"), col("id").as("id_old"))
               .join(broadcast(newSide), Seq("band", "sig")))
         else candBatch).select("id_new", "id_old").distinct()
 
         val oldSets = (if (haveStore)
-          spark.read.parquet(setsPath).unionByName(sets) else sets)
+          readStore(setsPath).unionByName(sets) else sets)
           .select(col("id").as("id_old"), col("toks").as("toks_b"), col("n").as("n_b"))
         val verified = cands
           .join(sets.select(col("id").as("id_new"), col("toks").as("toks_a"),
@@ -164,10 +173,15 @@ object CdcStream {
           .join(dupIds, batch(idCol) === dupIds("__dup_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         admitted.count()
-        admitted.write.mode("append").parquet(outDir)
+        // deterministic per-batch partitions, overwrite mode: a replay
+        // rewrites exactly its own directories (idempotent), never
+        // double-appends
+        admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         val admIds = admitted.select(col(idCol).as("id"))
-        sigs.join(admIds, Seq("id")).write.mode("append").parquet(bandsPath)
-        sets.join(admIds, Seq("id")).write.mode("append").parquet(setsPath)
+        sigs.join(admIds, Seq("id")).write.mode("overwrite")
+          .parquet(s"$bandsPath/batch=$batchId")
+        sets.join(admIds, Seq("id")).write.mode("overwrite")
+          .parquet(s"$setsPath/batch=$batchId")
         admitted.unpersist()
         toks.unpersist()
         ()

@@ -93,9 +93,19 @@ class ConfigSpec extends SparkSpec {
         |  "/* this is a comment ": "*/",
         |  "source": "s", "target": "t",
         |  "tables": ["x"],
-        |  "keys": {"x": {"primaryKeys": ["id"]}}
+        |  "keys": {"/* key section ": "*/", "x": {"primaryKeys": ["id"]}},
+        |  "filteredTables": {"/* filters ": "*/"}
         |}""".stripMargin)
-    assert(cfg.replication.tables.map(_.name) == Seq("x"))
+    assert(cfg.replication.tables.map(_.name) == Seq("x"),
+      "comment keys must be ignored at every nesting level")
+  }
+
+  test("config: a table configured twice is rejected") {
+    val e = intercept[IllegalArgumentException](ConfigLoader.loadString(
+      """{"source":"s","target":"t","tables":["x"],
+        |"filteredTables":{"x":{"where":"id > 0"}},
+        |"keys":{"x":{"primaryKeys":["id"]}}}""".stripMargin))
+    assert(e.getMessage.contains("more than once"))
   }
 
   test("replicate CLI loop: bounded continuous run from a config file converges") {

@@ -33,6 +33,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert handles a PK-only feed (presence sets)") {
+    val feedDir = tmp(); val target = s"${tmp()}/k.parquet"; val cp = tmp()
+    Seq(Tuple1(1L), Tuple1(2L), Tuple1(1L)).toDF("id")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("id"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).as[Long].collect().toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("bucketed streaming upsert rewrites only the partitions a micro-batch touches") {
     import graft.cdc.BucketedLayout
     val feedDir = tmp(); val target = s"${tmp()}/events.parquet"; val cp = tmp()
