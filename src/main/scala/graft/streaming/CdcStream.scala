@@ -125,68 +125,84 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val toks = Dedup.tokenSet(batch, textCol, idCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        toks.count() // materialize before fanning into two subtrees
-        val sigs = Dedup.bandSignatures(
-          Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
-        val sets = Dedup.tokenHashSets(toks)
-        val haveStore = graft.util.Fs.existsNonEmpty(spark, bandsPath)
-        // exclude this batch's own partition: a REPLAYED batch must not
-        // collide with its half-written signatures from the failed run
-        def readStore(path: String) =
-          spark.read.option("basePath", path).parquet(path)
-            .filter(col("batch") =!= batchId).drop("batch")
-
-        // candidate pairs: batch×store plus batch×smaller-batch-id
-        val newSide = sigs.select(col("band"), col("sig"), col("id").as("id_new"))
-        val candBatch = newSide
-          .join(sigs.select(col("band"), col("sig"), col("id").as("id_old")),
-            Seq("band", "sig"))
-          .filter(col("id_old") < col("id_new"))
-        // the batch side is small and the admitted store grows without
-        // bound: broadcast the batch so the store probe is a map-side
-        // hash join over the store scan, never a shuffle of the store.
-        // (At larger scale, lay the store out partitioned by a hash of
-        // (band, sig) — the same BucketedLayout trick the CDC sink
-        // uses — and the probe prunes to the batch's buckets.)
-        val cands = (if (haveStore)
-          candBatch.unionByName(
-            readStore(bandsPath)
-              .select(col("band"), col("sig"), col("id").as("id_old"))
-              .join(broadcast(newSide), Seq("band", "sig")))
-        else candBatch).select("id_new", "id_old").distinct()
-
-        val oldSets = (if (haveStore)
-          readStore(setsPath).unionByName(sets) else sets)
-          .select(col("id").as("id_old"), col("toks").as("toks_b"), col("n").as("n_b"))
-        val verified = cands
-          .join(sets.select(col("id").as("id_new"), col("toks").as("toks_a"),
-            col("n").as("n_a")), Seq("id_new"))
-          .join(oldSets, Seq("id_old"))
-          .withColumn("inter", Dedup.interSizeFn(col("toks_a"), col("toks_b")))
-          .filter(col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")) >= threshold)
-        val dupIds = verified.select(col("id_new").as("__dup_id")).distinct()
-
-        val admitted = batch
-          .join(dupIds, batch(idCol) === dupIds("__dup_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        admitted.count()
-        // deterministic per-batch partitions, overwrite mode: a replay
-        // rewrites exactly its own directories (idempotent), never
-        // double-appends
-        admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val admIds = admitted.select(col(idCol).as("id"))
-        sigs.join(admIds, Seq("id")).write.mode("overwrite")
-          .parquet(s"$bandsPath/batch=$batchId")
-        sets.join(admIds, Seq("id")).write.mode("overwrite")
-          .parquet(s"$setsPath/batch=$batchId")
-        admitted.unpersist()
-        toks.unpersist()
-        ()
+        nearDupBatch(spark, batch, batchId, outDir, stateDir, textCol, idCol,
+          numHashes, numBands, threshold)
       }
       .start()
+  }
+
+  /** One near-dup micro-batch step — public so its replay idempotence
+    * (same batchId processed twice == processed once) is directly
+    * spec-testable without killing a live stream mid-commit.
+    */
+  def nearDupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   outDir: String, stateDir: String,
+                   textCol: String, idCol: String,
+                   numHashes: Int = 16, numBands: Int = 2,
+                   threshold: Double = 0.7): Unit = {
+    import graft.ops.Dedup
+    val bandsPath = s"$stateDir/bands.parquet"
+    val setsPath = s"$stateDir/sets.parquet"
+    val toks = Dedup.tokenSet(batch, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // materialize before fanning into two subtrees
+    val sigs = Dedup.bandSignatures(
+      Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
+    val sets = Dedup.tokenHashSets(toks)
+    val haveStore = graft.util.Fs.existsNonEmpty(spark, bandsPath)
+    // exclude this batch's own partition: a REPLAYED batch must not
+    // collide with its half-written signatures from the failed run
+    def readStore(path: String) =
+      spark.read.option("basePath", path).parquet(path)
+        .filter(col("batch") =!= batchId).drop("batch")
+
+    // candidate pairs: batch×store plus batch×smaller-batch-id
+    val newSide = sigs.select(col("band"), col("sig"), col("id").as("id_new"))
+    val candBatch = newSide
+      .join(sigs.select(col("band"), col("sig"), col("id").as("id_old")),
+        Seq("band", "sig"))
+      .filter(col("id_old") < col("id_new"))
+    // the batch side is small and the admitted store grows without
+    // bound: broadcast the batch so the store probe is a map-side
+    // hash join over the store scan, never a shuffle of the store.
+    // (At larger scale, lay the store out partitioned by a hash of
+    // (band, sig) — the same BucketedLayout trick the CDC sink
+    // uses — and the probe prunes to the batch's buckets.)
+    val cands = (if (haveStore)
+      candBatch.unionByName(
+        readStore(bandsPath)
+          .select(col("band"), col("sig"), col("id").as("id_old"))
+          .join(broadcast(newSide), Seq("band", "sig")))
+    else candBatch).select("id_new", "id_old").distinct()
+
+    val oldSets = (if (haveStore)
+      readStore(setsPath).unionByName(sets) else sets)
+      .select(col("id").as("id_old"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val verified = cands
+      .join(sets.select(col("id").as("id_new"), col("toks").as("toks_a"),
+        col("n").as("n_a")), Seq("id_new"))
+      .join(oldSets, Seq("id_old"))
+      .withColumn("inter", Dedup.interSizeFn(col("toks_a"), col("toks_b")))
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+    val dupIds = verified.select(col("id_new").as("__dup_id")).distinct()
+
+    val admitted = batch
+      .join(dupIds, batch(idCol) === dupIds("__dup_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    admitted.count()
+    // deterministic per-batch partitions, overwrite mode: a replay
+    // rewrites exactly its own directories (idempotent), never
+    // double-appends
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val admIds = admitted.select(col(idCol).as("id"))
+    sigs.join(admIds, Seq("id")).write.mode("overwrite")
+      .parquet(s"$bandsPath/batch=$batchId")
+    sets.join(admIds, Seq("id")).write.mode("overwrite")
+      .parquet(s"$setsPath/batch=$batchId")
+    admitted.unpersist()
+    toks.unpersist()
+    ()
   }
 
   /** Streaming exact dedup on a key within an event-time watermark —

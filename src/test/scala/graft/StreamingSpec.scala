@@ -198,6 +198,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup batch step is replay-idempotent (at-least-once safe)") {
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    def admittedIds() = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    val b0 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    CdcStream.nearDupBatch(spark, b0, 0L, outDir, stateDir, "text", "doc_id",
+      numBands = 4)
+    assert(admittedIds() == Set(1L, 2L))
+
+    // REPLAY batch 0 (crash-after-partial-commit scenario): must not
+    // self-collide with its stored signatures nor duplicate output
+    CdcStream.nearDupBatch(spark, b0, 0L, outDir, stateDir, "text", "doc_id",
+      numBands = 4)
+    assert(admittedIds() == Set(1L, 2L), "replay must be a no-op")
+    assert(spark.read.parquet(outDir).count() == 2, "no double-admitted rows")
+
+    // batch 1 still dedups against the (singly-recorded) store
+    val b1 = Seq((3L, t1), (4L, "totally novel words appear here and nowhere else at all"))
+      .toDF("doc_id", "text")
+    CdcStream.nearDupBatch(spark, b1, 1L, outDir, stateDir, "text", "doc_id",
+      numBands = 4)
+    assert(admittedIds() == Set(1L, 2L, 4L))
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
