@@ -39,6 +39,20 @@ object Replicate {
     else new ParquetStore(spark, uri)
   }
 
+  /** The reference's utilization-budget throttle
+    * (throttle_enabled.go:36-50): keep sync busy-time at `level` of
+    * wall time by sleeping 2× the excess. Pure — the loop wires it,
+    * the spec checks the formula against the reference's arithmetic.
+    */
+  def throttleWaitMs(busyMs: Long, totalMs: Long, percentage: Double): Long = {
+    val level = math.max(1.0, math.min(percentage, 100.0)) / 100.0
+    if (level >= 1.0) 0L
+    else {
+      val limit = totalMs * level
+      if (busyMs > limit) (2.0 * (busyMs - limit)).toLong else 0L
+    }
+  }
+
   /** Run cycles until `stop` fires, `maxCycles` is reached, or (non
     * continuous) one cycle completes. Returns cycles run.
     */
@@ -50,13 +64,21 @@ object Replicate {
     val rep = new Replicator(spark, cfg.replication, source, sink)
     var n = 0
     var go = true
+    val t0 = System.nanoTime()
+    var busyMs = 0L
     while (go && n < maxCycles && !stop()) {
+      val c0 = System.nanoTime()
       rep.run()
+      busyMs += (System.nanoTime() - c0) / 1000000L
       n += 1
       if (!continuous) go = false
       else if (n < maxCycles) {
-        // interruptible wait (reference: select on timer vs ctx.Done)
-        val deadline = System.nanoTime() + cfg.waitBetweenJobsMs * 1000000L
+        // throttle (utilization budget) + poll pause, both
+        // interruptible (reference: select on timer vs ctx.Done)
+        val throttleMs = throttleWaitMs(busyMs,
+          (System.nanoTime() - t0) / 1000000L, cfg.throttlePercentage)
+        val deadline = System.nanoTime() +
+          (cfg.waitBetweenJobsMs + throttleMs) * 1000000L
         while (!stop() && System.nanoTime() < deadline) Thread.sleep(50L)
       }
     }

@@ -144,6 +144,15 @@ class ConfigSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("throttle formula matches the reference's utilization-budget arithmetic") {
+    // throttle_enabled.go: wait = 2 * (utilization - total*level) when over budget
+    assert(Replicate.throttleWaitMs(800L, 1000L, 75.0) == 100L) // 2*(800-750)
+    assert(Replicate.throttleWaitMs(700L, 1000L, 75.0) == 0L)   // under budget
+    assert(Replicate.throttleWaitMs(999L, 1000L, 100.0) == 0L)  // 100% = no throttle
+    assert(Replicate.throttleWaitMs(999L, 1000L, 150.0) == 0L)  // clamped to 100
+    assert(Replicate.throttleWaitMs(500L, 1000L, 0.5) == 980L)  // clamped up to 1%: 2*(500-10)
+  }
+
   test("config: targetBuckets routes the sink to a bucketed layout") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
