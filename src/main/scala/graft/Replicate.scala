@@ -124,15 +124,20 @@ object Replicate {
     // so an extremely long cycle can still be cut short — bounded here
     // at 10 minutes).
     val mainThread = Thread.currentThread()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val hook = new Thread(() => {
       stopFlag.set(true)
       mainThread.join(600000L)
-    }))
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
     try {
       val cycles = run(spark, cfg, continuous, stop = () => stopFlag.get())
       println(s"[replicate] completed $cycles cycle(s)")
     } catch { case e: Exception =>
       System.err.println(s"Job failed: ${e.getMessage}")
+      // deregister first: sys.exit runs hooks and would otherwise block
+      // the exiting main thread on the hook's join of... itself
+      Runtime.getRuntime.removeShutdownHook(hook)
+      spark.stop()
       sys.exit(3)
     } finally spark.stop()
   }

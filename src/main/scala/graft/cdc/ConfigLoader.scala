@@ -20,10 +20,14 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    out as a [[BucketedParquetStore]] with that many hash buckets —
   *    partition-pruned incremental writes.
   *  - `checkpointDir` (optional): staging/state dir for jdbc: targets.
-  *  - `stateTable`, `throttlePercentage`, `minDeleteChunkSize` are
-  *    accepted for config compatibility: state lives at the sink's
-  *    state path (checkpoint model), throttling maps to parallelism
-  *    sizing, and the one-pass bucket diff has no recursion floor.
+  *  - `throttlePercentage` IS enforced, at job granularity: the CLI's
+  *    continuous loop applies the reference's utilization-budget sleep
+  *    between cycles (`Replicate.throttleWaitMs`). Default 80, like
+  *    the reference; set 100 to disable.
+  *  - `stateTable` and `minDeleteChunkSize` are accepted for config
+  *    compatibility only: state lives at the sink's state path
+  *    (checkpoint model), and the one-pass bucket diff has no
+  *    recursion floor.
   */
 case class GraftConfig(
     source: String,

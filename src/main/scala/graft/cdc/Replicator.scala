@@ -19,10 +19,13 @@ case class TableConfig(
 
 /** Job-level knobs (reference: internal/config.go, sslr.json).
   * `updateChunkSize` maps to the incremental write's partition sizing;
-  * `deleteChunkSize` is the range-hash bucket width; throttling maps to
-  * Spark's own admission controls (maxFilesPerTrigger when streaming,
-  * AQE partition sizing when batch) — a cluster engine throttles by
-  * sizing parallelism, not by sleeping a single connection.
+  * `deleteChunkSize` is the range-hash bucket width. WITHIN a cycle,
+  * throttling maps to Spark's own admission controls
+  * (maxFilesPerTrigger when streaming, AQE partition sizing when
+  * batch) — a cluster engine throttles by sizing parallelism, not by
+  * sleeping a single connection; BETWEEN cycles the CLI additionally
+  * enforces the reference's utilization-budget sleep
+  * (`graft.Replicate.throttleWaitMs`).
   */
 case class ReplicationConfig(
     tables: Seq[TableConfig],

@@ -63,9 +63,12 @@ object CdcStream {
             // not O(target). This is the scale shape; the flat-target
             // branch below survives for small tables and demos.
             import graft.cdc.BucketedLayout
+            // materialize once: upsertBuckets reads the batch for the
+            // affected-bucket collect AND both merge sides
+            val latestM = latest.localCheckpoint()
             if (graft.util.Fs.existsNonEmpty(spark, targetPath))
-              BucketedLayout.upsertBuckets(spark, targetPath, latest, pkCols, n)
-            else BucketedLayout.writeFull(spark, latest, pkCols, n, targetPath)
+              BucketedLayout.upsertBuckets(spark, targetPath, latestM, pkCols, n)
+            else BucketedLayout.writeFull(spark, latestM, pkCols, n, targetPath)
           case None =>
             val merged =
               if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
@@ -112,14 +115,11 @@ object CdcStream {
                     numHashes: Int = 16, numBands: Int = 2,
                     threshold: Double = 0.7,
                     maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    import graft.ops.Dedup
     val schema = spark.read.parquet(sourceDir).schema
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val bandsPath = s"$stateDir/bands.parquet"
-    val setsPath = s"$stateDir/sets.parquet"
 
     feed.writeStream
       .option("checkpointLocation", checkpoint)
@@ -193,13 +193,16 @@ object CdcStream {
     admitted.count()
     // deterministic per-batch partitions, overwrite mode: a replay
     // rewrites exactly its own directories (idempotent), never
-    // double-appends
-    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // double-appends. WRITE ORDER MATTERS: bands last — its existence
+    // is the haveStore marker, so a crash part-way can never leave
+    // bands present while sets is missing (a replay would then read a
+    // nonexistent sets path and wedge the stream).
     val admIds = admitted.select(col(idCol).as("id"))
-    sigs.join(admIds, Seq("id")).write.mode("overwrite")
-      .parquet(s"$bandsPath/batch=$batchId")
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     sets.join(admIds, Seq("id")).write.mode("overwrite")
       .parquet(s"$setsPath/batch=$batchId")
+    sigs.join(admIds, Seq("id")).write.mode("overwrite")
+      .parquet(s"$bandsPath/batch=$batchId")
     admitted.unpersist()
     toks.unpersist()
     ()
