@@ -194,9 +194,19 @@ object Dedup {
       .crossJoin(fingerprints.sparkSession.range(bands).toDF("band"))
       .select(col("id"), col("band"),
         expr(s"(simhash div cast(pow(2, band * $width) as bigint)) % cast(pow(2, $width) as bigint)").as("piece"))
+    // Salted exactly like the MinHash band join (lshCandidates above):
+    // a duplicate-dense corpus puts thousands of fingerprints into one
+    // (band, piece) bucket, and an unsalted equi-join emits that
+    // bucket's m²/2 pairs from a single task. Each (id_a, id_b) pair
+    // still matches at exactly salt = hash(id_a) mod SALTS, so the
+    // output is identical.
+    val SALTS = 16
     val a = banded.select(col("band"), col("piece"), col("id").as("id_a"))
+      .withColumn("salt",
+        pmod(Hashing.portableHash64(col("id_a").cast("string")), lit(SALTS.toLong)))
     val b = banded.select(col("band"), col("piece"), col("id").as("id_b"))
-    a.join(b, Seq("band", "piece")).filter(col("id_a") < col("id_b"))
+      .crossJoin(fingerprints.sparkSession.range(SALTS).toDF("salt"))
+    a.join(b, Seq("band", "piece", "salt")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -272,9 +282,22 @@ object Dedup {
     * (id, cluster=component min id) out.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Convergence = this round's edge SET equals last round's. Compared
+    // by (count, xor of per-edge hashes) — an order-independent set
+    // checksum computed in ONE aggregation action per round, carrying
+    // the previous round's checksum forward instead of re-scanning
+    // `edges` with a count + anti-join (two extra actions per round).
+    // xor (not sum: ANSI long overflow) over a DISTINCT set never
+    // cancels, so checksum equality is set equality up to a ~2^-64
+    // hash collision — the standard fixpoint probe for iterative plans.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prevChk = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -293,8 +316,9 @@ object Dedup {
         .unionByName(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint() // truncate lineage per round (see above)
-      converged = e2.count() == edges.count() &&
-        e2.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      val chk = checksum(e2)
+      converged = chk == prevChk
+      prevChk = chk
       edges = e2
       i += 1
     }
@@ -321,22 +345,42 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Char-n-gram Jaccard near-dup pairs ≥ threshold, via the shared
-    * shingle inverted index (explode → join → count), never N².
+  /** Char-n-gram Jaccard near-dup pairs ≥ threshold: a df-BOUNDED
+    * shingle inverted index generates candidates, exact Jaccard over
+    * the FULL shingle sets verifies them.
+    *
+    * Why the bound: an unbounded inverted-index self-join emits
+    * Σ_tok df(tok)² rows — one frequent shingle (" the ") appears in
+    * nearly every document, so at corpus scale a single hot shingle
+    * group degenerates into an N² cross join running in one task.
+    * Prefix filtering (the standard fix): shingles with document
+    * frequency > `maxDf` are dropped from the CANDIDATE index only —
+    * near-dup pairs always share rare shingles too, and the verify
+    * stage still scores the full sets, so precision is exact and the
+    * join is bounded by maxDf² per shingle. The join is additionally
+    * salted like `lshCandidates`, so even a df-cap-sized bucket
+    * spreads across tasks.
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 5, threshold: Double = 0.6): DataFrame = {
+                   n: Int = 5, threshold: Double = 0.6,
+                   maxDf: Int = 1000): DataFrame = {
+    // the shingle set feeds the candidate index AND the verify sets;
+    // materialize once (same reasoning as minHashLsh's token set)
     val sh = shingleSet(df, textCol, idCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
-    val inter = sh.select(col("id").as("id_a"), col("tok"))
-      .join(sh.select(col("id").as("id_b"), col("tok")), Seq("tok"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "cnt" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "cnt" -> "n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val rareToks = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("tok")
+    val rare = sh.join(rareToks, Seq("tok"), "left_semi")
+    val SALTS = 16
+    val a = rare.select(col("tok"), col("id").as("id_a"))
+      .withColumn("salt",
+        pmod(Hashing.portableHash64(col("id_a").cast("string")), lit(SALTS.toLong)))
+    val b = rare.select(col("tok"), col("id").as("id_b"))
+      .crossJoin(df.sparkSession.range(SALTS).toDF("salt"))
+    val cands = a.join(b, Seq("tok", "salt")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

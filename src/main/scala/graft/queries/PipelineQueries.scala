@@ -18,6 +18,7 @@ object PipelineQueries {
   private val COS_T = 0.35   // embedding near-dup threshold (see data profile)
   private val JAC_T = 0.7    // minhash verify threshold
   private val NGRAM_T = 0.6  // n-gram jaccard threshold
+  private val NGRAM_MAXDF = 100 // shingle df cap (prefix filtering), mirrored in oracle
 
   /** documents ∪ copies of every 50th doc (ids offset by 100000). */
   def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
@@ -40,7 +41,7 @@ object PipelineQueries {
   def dedupNgramQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccard(
       dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
-      "text", "doc_id", n = 5, threshold = NGRAM_T)
+      "text", "doc_id", n = 5, threshold = NGRAM_T, maxDf = NGRAM_MAXDF)
 
   private val EMB_DIM = Some(64) // embeddings.parquet vector width (TESTDATA.md)
 
@@ -152,15 +153,19 @@ object PipelineQueries {
     */
   def textUnigramLogprobQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val n = d.count()
     val norm = TextAnalysis.normalize(col("text"))
     val toks = d.select(col("doc_id"), explode(split(norm, " ")).as("tok"))
+    // N (corpus size) rides along as a broadcast scalar subtree instead
+    // of a driver-side d.count(): one Spark action total, no extra
+    // full pass over documents per run.
+    val nDf = d.agg(count(lit(1)).cast("double").as("corpus_n"))
     val dfreq = d.select(col("doc_id"), explode(array_distinct(split(norm, " "))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(nDf))
     toks.join(broadcast(dfreq), Seq("tok"))
       .groupBy("doc_id")
       .agg(
-        round(avg(log(col("doc_freq").cast("double") / n.toDouble)), 4).as("mean_logprob"),
+        round(avg(log(col("doc_freq").cast("double") / col("corpus_n"))), 4).as("mean_logprob"),
         count(lit(1)).as("n_tokens"))
   }
 
@@ -254,9 +259,18 @@ object PipelineQueries {
          |sh AS (SELECT DISTINCT id, unnest(list_distinct(list_transform(
          |         generate_series(1, greatest(len(nt) - 4, 1)), i -> substr(nt, i, 5)))) AS tok
          |       FROM d),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+         |rare AS (SELECT tok FROM sh GROUP BY tok HAVING count(*) <= $NGRAM_MAXDF),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM (SELECT id, tok FROM sh SEMI JOIN rare USING (tok)) a
+         |          JOIN (SELECT id, tok FROM sh SEMI JOIN rare USING (tok)) b
+         |            ON a.tok = b.tok AND a.id < b.id),
+         |shh AS (SELECT DISTINCT id, ${h64("tok")} AS h FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |          FROM cands c
+         |          JOIN shh ta ON ta.id = c.id_a
+         |          JOIN shh tb ON tb.id = c.id_b AND tb.h = ta.h
+         |          GROUP BY 1, 2)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
          |  SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
          |  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)

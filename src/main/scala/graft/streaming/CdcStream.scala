@@ -49,6 +49,12 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // An EMPTY first micro-batch must not write at all: a zero-row
+        // overwrite leaves a schema-less shell (_SUCCESS only) that
+        // flips the exists gates below, after which every later merge
+        // fails to infer the parquet schema and permanently wedges the
+        // stream — replays hit the same error.
+        if (batch.isEmpty) return ()
         // a PK-only feed (presence-set replication) has no payload to
         // version by — any row of a PK group is the same row, dedup by
         // key; otherwise collapse to the highest version

@@ -59,6 +59,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("simhash candidates are unchanged on a duplicate-dense corpus (salted join)") {
+    // 40 identical docs all land in the SAME (band, piece) bucket —
+    // the case the salt exists for. Output must still be every pair.
+    val dense = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simHash(Dedup.tokenSet(dense, "text", "doc_id"))
+    val cands = Dedup.simHashCandidates(sh).as[(Long, Long)].collect().toSet
+    val expected = (for { a <- 0L until 40L; b <- a + 1 to 39L } yield (a, b)).toSet
+    assert(cands == expected, "salting must not change the candidate pair set")
+  }
+
+  test("ngram jaccard pair output is unchanged by the df cap (hot shingle)") {
+    // Every doc shares one long hot phrase (shingle df = ndocs, above
+    // the cap); each dup pair also shares rare unique shingles. The
+    // df-capped candidate index must surface the same verified pairs
+    // as an effectively-uncapped run.
+    // Unique material must dominate each doc so that pairs sharing
+    // ONLY the hot phrase sit well below the threshold — otherwise the
+    // cap legitimately removes hot-shingle-only pairs (recall loss by
+    // design) and the outputs differ. Per-doc codes are letter pairs,
+    // so no two docs share digit-fragment shingles.
+    val hot = "the quick brown fox"
+    def text(i: Long) = {
+      val u = s"${('a' + i / 10).toChar}${('a' + i % 10).toChar}"
+      s"$hot ${u}quj${u} ${u}worv${u} ${u}erlx${u} ${u}rizk${u} ${u}typw${u} ${u}ugbm${u}"
+    }
+    val base = (0L until 30L).map(i => (i, text(i)))
+    val dups = (0L until 30L by 3).map(i => (i + 1000L, text(i)))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    def run(cap: Int) =
+      Dedup.ngramJaccard(df, "text", "doc_id", n = 5, threshold = 0.6, maxDf = cap)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val capped = run(8)              // hot-phrase shingles (df ≈ 40) excluded
+    val uncapped = run(Int.MaxValue) // nothing excluded
+    assert(capped == uncapped, "df cap must not change the verified pair set")
+    val expected = (0L until 30L by 3).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(capped.map(p => (p._1, p._2))))
+  }
+
   test("ngram jaccard scores injected duplicates at 1.0") {
     val pairs = Dedup.ngramJaccard(corpus.filter(expr("doc_id % 10 = 0")), "text", "doc_id")
     val perfect = pairs.filter($"jaccard" === 1.0)
