@@ -53,39 +53,41 @@ object CdcStream {
         // overwrite leaves a schema-less shell (_SUCCESS only) that
         // flips the exists gates below, after which every later merge
         // fails to infer the parquet schema and permanently wedges the
-        // stream — replays hit the same error.
-        if (batch.isEmpty) return ()
-        // a PK-only feed (presence-set replication) has no payload to
-        // version by — any row of a PK group is the same row, dedup by
-        // key; otherwise collapse to the highest version
-        val payload = batch.columns.filterNot(pkCols.contains)
-        val latest =
-          if (payload.isEmpty) batch.dropDuplicates(pkCols)
-          else Merge.latestByKey(batch, pkCols, versionColumn.getOrElse(payload.head))
-        nBuckets match {
-          case Some(n) =>
-            // bucketed target: merge touches ONLY the partitions this
-            // micro-batch's keys hash into — O(batch) I/O per trigger,
-            // not O(target). This is the scale shape; the flat-target
-            // branch below survives for small tables and demos.
-            import graft.cdc.BucketedLayout
-            // materialize once: upsertBuckets reads the batch for the
-            // affected-bucket collect AND both merge sides
-            val latestM = latest.localCheckpoint()
-            if (graft.util.Fs.existsNonEmpty(spark, targetPath))
-              BucketedLayout.upsertBuckets(spark, targetPath, latestM, pkCols, n)
-            else BucketedLayout.writeFull(spark, latestM, pkCols, n, targetPath)
-          case None =>
-            val merged =
-              if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
-                Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
-              } else latest
-            // stage then MOVE (not re-write): the merged frame reads the
-            // files the overwrite would replace, and a second Spark write
-            // would double the I/O per micro-batch
-            val staging = s"$targetPath.staging"
-            merged.write.mode("overwrite").parquet(staging)
-            graft.util.Fs.replace(spark, staging, targetPath)
+        // stream — replays hit the same error. (Inverted guard, NOT an
+        // early return: `return` in a lambda is a non-local return.)
+        if (!batch.isEmpty) {
+          // a PK-only feed (presence-set replication) has no payload to
+          // version by — any row of a PK group is the same row, dedup by
+          // key; otherwise collapse to the highest version
+          val payload = batch.columns.filterNot(pkCols.contains)
+          val latest =
+            if (payload.isEmpty) batch.dropDuplicates(pkCols)
+            else Merge.latestByKey(batch, pkCols, versionColumn.getOrElse(payload.head))
+          nBuckets match {
+            case Some(n) =>
+              // bucketed target: merge touches ONLY the partitions this
+              // micro-batch's keys hash into — O(batch) I/O per trigger,
+              // not O(target). This is the scale shape; the flat-target
+              // branch below survives for small tables and demos.
+              import graft.cdc.BucketedLayout
+              // materialize once: upsertBuckets reads the batch for the
+              // affected-bucket collect AND both merge sides
+              val latestM = latest.localCheckpoint()
+              if (graft.util.Fs.existsNonEmpty(spark, targetPath))
+                BucketedLayout.upsertBuckets(spark, targetPath, latestM, pkCols, n)
+              else BucketedLayout.writeFull(spark, latestM, pkCols, n, targetPath)
+            case None =>
+              val merged =
+                if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
+                  Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
+                } else latest
+              // stage then MOVE (not re-write): the merged frame reads the
+              // files the overwrite would replace, and a second Spark write
+              // would double the I/O per micro-batch
+              val staging = s"$targetPath.staging"
+              merged.write.mode("overwrite").parquet(staging)
+              graft.util.Fs.replace(spark, staging, targetPath)
+          }
         }
         ()
       }
