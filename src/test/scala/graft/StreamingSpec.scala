@@ -78,6 +78,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("empty first micro-batch does not wedge a flat streaming target") {
+    val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+    // a zero-row parquet file → the stream's FIRST micro-batch is empty;
+    // without the guard the zero-row overwrite leaves a schema-less shell
+    // that flips the exists gate and wedges every later merge
+    events.limit(0).coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("event_id"))
+    try {
+      q.processAllAvailable()
+      assert(!new java.io.File(target).exists(), "empty batch must not write")
+
+      events.filter($"event_id" < 200).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 200)
+
+      // and a later merge (overlap + new) still works
+      events.filter($"event_id" >= 100 && $"event_id" < 300).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val tgt = spark.read.parquet(target)
+      assert(tgt.count() == 300)
+      assert(tgt.select("event_id").distinct().count() == 300)
+    } finally q.stop()
+  }
+
+  test("empty first micro-batch does not wedge a bucketed streaming target") {
+    import graft.cdc.BucketedLayout
+    val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
+    val events = Tables.events(spark, sfDir).cache()
+    events.limit(0).coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("event_id"),
+      versionColumn = Some("event_id"), nBuckets = Some(4))
+    try {
+      q.processAllAvailable()
+      assert(!new java.io.File(target).exists(), "empty batch must not write")
+
+      events.filter($"event_id" < 200).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).drop(BucketedLayout.GB).count() == 200)
+
+      events.filter($"event_id" >= 100 && $"event_id" < 300).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val tgt = spark.read.parquet(target).drop(BucketedLayout.GB)
+      assert(tgt.count() == 300)
+      assert(tgt.select("event_id").distinct().count() == 300)
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert collapses duplicate PKs within one micro-batch by version") {
     val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
     // one file → one micro-batch carrying THREE change rows for PK 1
