@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.cdc.Merge
@@ -104,25 +104,34 @@ object CdcStream {
     * connected components).
     *
     * State = two parquet stores (band signatures + sorted token-hash
-    * sets of admitted docs). Per batch the work is O(batch ×
-    * collisions): the store side is probed through the band equi-join,
-    * never scanned pairwise.
+    * sets of admitted docs), laid out as HASH PARTITIONS
+    * `gb=<k>/batch=<id>` — k = portable_hash(band:sig) mod
+    * `nStoreBuckets` for bands, portable_hash(id) for sets. Each
+    * trigger probes ONLY the buckets its batch hashes into (direct
+    * bucket-dir reads — listing and scan are both O(batch's buckets),
+    * never O(store)), and per-bucket compaction folds old `batch=`
+    * dirs into one base dir, so per-bucket listing stays bounded as
+    * the stream ages. Per batch the work is O(batch × collisions):
+    * the store side is probed through the band equi-join, never
+    * scanned pairwise.
     *
     * Replay-safe under foreachBatch's at-least-once contract: every
-    * write (output and both stores) lands in a DETERMINISTIC
-    * `batch=<id>` partition directory with mode=overwrite, so a
-    * replayed batch overwrites its own previous partial writes instead
-    * of double-appending — and store probes EXCLUDE the current
-    * batch's partition, so a replay can't collide with its own
-    * half-written signatures and drop everything as self-duplicates.
-    * Output rows therefore carry a `batch` partition column.
+    * write lands in DETERMINISTIC `(gb, batch)` partitions via
+    * dynamic-partition overwrite, so a replayed batch overwrites its
+    * own previous partial writes instead of double-appending — and
+    * store probes EXCLUDE the current batch's partitions, so a replay
+    * can't collide with its own half-written signatures and drop
+    * everything as self-duplicates. Output rows carry a `batch`
+    * partition column.
     */
   def nearDupStream(spark: SparkSession, sourceDir: String, outDir: String,
                     stateDir: String, checkpoint: String,
                     textCol: String, idCol: String,
                     numHashes: Int = 16, numBands: Int = 2,
                     threshold: Double = 0.7,
-                    maxFilesPerTrigger: Int = 10): StreamingQuery = {
+                    maxFilesPerTrigger: Int = 10,
+                    nStoreBuckets: Int = 64,
+                    maxStoreDirsPerBucket: Int = 8): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val feed = spark.readStream
       .schema(schema)
@@ -134,9 +143,97 @@ object CdcStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupBatch(spark, batch, batchId, outDir, stateDir, textCol, idCol,
-          numHashes, numBands, threshold)
+          numHashes, numBands, threshold, nStoreBuckets, maxStoreDirsPerBucket)
       }
       .start()
+  }
+
+  /** Store hash bucket for a band signature row: which `gb=` partition
+    * of the bands store a (band, sig) bucket key lives in.
+    */
+  private[graft] def bandBucket(nStoreBuckets: Int): Column =
+    pmod(graft.util.Hashing.portableHash64(
+      concat_ws(":", col("band"), col("sig"))), lit(nStoreBuckets.toLong)).cast("int")
+
+  /** Store hash bucket for a doc id: which `gb=` partition of the sets
+    * store the doc's token-hash set lives in.
+    */
+  private[graft] def idBucket(id: Column, nStoreBuckets: Int): Column =
+    pmod(graft.util.Hashing.portableHash64(id.cast("string")),
+      lit(nStoreBuckets.toLong)).cast("int")
+
+  /** Read ONLY the given hash buckets of a signature store, excluding
+    * the current batch's own partitions (a replayed batch must not
+    * collide with its half-written signatures). Direct bucket-dir
+    * reads: listing + scan are O(probed buckets), never O(store).
+    * None when no probed bucket exists yet (empty store included).
+    */
+  private[graft] def probeStore(spark: SparkSession, store: String,
+                                    buckets: Seq[Int], batchId: Long): Option[DataFrame] = {
+    val f = graft.util.Fs.fs(spark, store)
+    val dirs = buckets.sorted
+      .map(k => s"$store/gb=$k")
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", store).parquet(dirs: _*)
+      .filter(col("batch") =!= batchId).drop("batch", "gb"))
+  }
+
+  /** Write a batch's store rows into their `(gb, batch)` partitions.
+    * Dynamic-partition overwrite touches ONLY the partitions present
+    * in `df`, so a replay rewrites exactly its own directories and
+    * every other (bucket, batch) partition's files stay untouched.
+    */
+  private def writeStorePartitions(df: DataFrame, bucket: Column, batchId: Long,
+                                   store: String): Unit =
+    df.withColumn("gb", bucket).withColumn("batch", lit(batchId))
+      .repartition(col("gb"))
+      .write.partitionBy("gb", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(store)
+
+  /** Fold one store bucket's old `batch=` dirs into a single base dir
+    * when the bucket holds more than `maxDirs` of them — keeps
+    * per-bucket listing O(maxDirs) forever instead of O(stream age).
+    *
+    * Only dirs with id ≤ batchId-2 fold (anything newer may still be
+    * the subject of an at-least-once replay); prior base dirs
+    * (negative ids) fold too. The base id is derived from batchId, so
+    * a replayed trigger recomputes the same compaction. Crash safety,
+    * in write order:
+    *  1. merged base staged, then RENAMED to `batch=<baseId>` — a
+    *     crash before the rename leaves every source intact;
+    *  2. source dirs deleted only after the rename — a crash mid-way
+    *     leaves base + leftover sources, whose overlap is harmless
+    *     (probes dedup candidates; the replay's step 3 re-skips to
+    *     the deletes because the base already exists).
+    */
+  private[graft] def compactBucket(spark: SparkSession, store: String, k: Int,
+                                       batchId: Long, keyCols: Seq[String],
+                                       maxDirs: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val bucketDir = s"$store/gb=$k"
+    val f = graft.util.Fs.fs(spark, store)
+    if (f.exists(new Path(bucketDir))) {
+      val ids = f.listStatus(new Path(bucketDir)).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      val baseId = -batchId - 2 // distinct from every real id and every older base
+      val srcs = ids.filter(id => id != baseId && id <= batchId - 2)
+      if (ids.length > maxDirs && srcs.nonEmpty) {
+        val basePath = s"$bucketDir/batch=$baseId"
+        val staging = s"$bucketDir/__staging_compact"
+        if (!f.exists(new Path(basePath))) {
+          spark.read.parquet(srcs.map(id => s"$bucketDir/batch=$id").toIndexedSeq: _*)
+            .dropDuplicates(keyCols)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(staging)
+          if (!f.rename(new Path(staging), new Path(basePath)))
+            throw new java.io.IOException(s"rename $staging -> $basePath failed")
+        }
+        srcs.foreach(id => graft.util.Fs.delete(spark, s"$bucketDir/batch=$id"))
+        graft.util.Fs.delete(spark, staging)
+      }
+    }
   }
 
   /** One near-dup micro-batch step — public so its replay idempotence
@@ -147,22 +244,29 @@ object CdcStream {
                    outDir: String, stateDir: String,
                    textCol: String, idCol: String,
                    numHashes: Int = 16, numBands: Int = 2,
-                   threshold: Double = 0.7): Unit = {
+                   threshold: Double = 0.7,
+                   nStoreBuckets: Int = 64,
+                   maxStoreDirsPerBucket: Int = 8): Unit = if (!batch.isEmpty) {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import graft.ops.Dedup
     val bandsPath = s"$stateDir/bands.parquet"
     val setsPath = s"$stateDir/sets.parquet"
-    val toks = Dedup.tokenSet(batch, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = Dedup.tokenSet(batch, textCol, idCol).persist(MEMORY_AND_DISK)
     toks.count() // materialize before fanning into two subtrees
+    // sigs feeds the bucket collect, BOTH candidate-join sides and the
+    // store write; the collect below materializes it before the
+    // broadcast-exchange subtrees race the cache
     val sigs = Dedup.bandSignatures(
       Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
+      .persist(MEMORY_AND_DISK)
     val sets = Dedup.tokenHashSets(toks)
-    val haveStore = graft.util.Fs.existsNonEmpty(spark, bandsPath)
-    // exclude this batch's own partition: a REPLAYED batch must not
-    // collide with its half-written signatures from the failed run
-    def readStore(path: String) =
-      spark.read.option("basePath", path).parquet(path)
-        .filter(col("batch") =!= batchId).drop("batch")
+
+    // probe ONLY the store buckets this batch's band keys hash into —
+    // a bounded (≤ nStoreBuckets) collect, then direct bucket-dir
+    // reads; the rest of the store is never listed or scanned
+    val bandBkts = sigs.select(bandBucket(nStoreBuckets).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val storeBands = probeStore(spark, bandsPath, bandBkts, batchId)
 
     // candidate pairs: batch×store plus batch×smaller-batch-id
     val newSide = sigs.select(col("band"), col("sig"), col("id").as("id_new"))
@@ -170,21 +274,22 @@ object CdcStream {
       .join(sigs.select(col("band"), col("sig"), col("id").as("id_old")),
         Seq("band", "sig"))
       .filter(col("id_old") < col("id_new"))
-    // the batch side is small and the admitted store grows without
-    // bound: broadcast the batch so the store probe is a map-side
-    // hash join over the store scan, never a shuffle of the store.
-    // (At larger scale, lay the store out partitioned by a hash of
-    // (band, sig) — the same BucketedLayout trick the CDC sink
-    // uses — and the probe prunes to the batch's buckets.)
-    val cands = (if (haveStore)
-      candBatch.unionByName(
-        readStore(bandsPath)
-          .select(col("band"), col("sig"), col("id").as("id_old"))
+    // the batch side is small and the probed bucket slice may still
+    // dwarf it: broadcast the batch so the store probe is a map-side
+    // hash join over the bucket scan, never a shuffle of the store
+    val cands = (storeBands match {
+      case Some(st) => candBatch.unionByName(
+        st.select(col("band"), col("sig"), col("id").as("id_old"))
           .join(broadcast(newSide), Seq("band", "sig")))
-    else candBatch).select("id_new", "id_old").distinct()
+      case None => candBatch
+    }).select("id_new", "id_old").distinct().persist(MEMORY_AND_DISK)
 
-    val oldSets = (if (haveStore)
-      readStore(setsPath).unionByName(sets) else sets)
+    // sets store probe: only the buckets holding a candidate's id_old
+    val setBkts = cands.select(idBucket(col("id_old"), nStoreBuckets).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val storeSets = probeStore(spark, setsPath, setBkts, batchId)
+
+    val oldSets = storeSets.fold(sets)(_.unionByName(sets))
       .select(col("id").as("id_old"), col("toks").as("toks_b"), col("n").as("n_b"))
     val verified = cands
       .join(sets.select(col("id").as("id_new"), col("toks").as("toks_a"),
@@ -197,21 +302,31 @@ object CdcStream {
 
     val admitted = batch
       .join(dupIds, batch(idCol) === dupIds("__dup_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     admitted.count()
-    // deterministic per-batch partitions, overwrite mode: a replay
-    // rewrites exactly its own directories (idempotent), never
-    // double-appends. WRITE ORDER MATTERS: bands last — its existence
-    // is the haveStore marker, so a crash part-way can never leave
-    // bands present while sets is missing (a replay would then read a
-    // nonexistent sets path and wedge the stream).
+    // deterministic (gb, batch) partitions, dynamic overwrite: a
+    // replay rewrites exactly its own directories (idempotent), never
+    // double-appends. WRITE ORDER MATTERS: output first, bands last —
+    // a crash part-way can never leave a band key probe-visible while
+    // its sets row is missing (the verify join would silently drop
+    // the pair and over-admit on replay).
     val admIds = admitted.select(col(idCol).as("id"))
     admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    sets.join(admIds, Seq("id")).write.mode("overwrite")
-      .parquet(s"$setsPath/batch=$batchId")
-    sigs.join(admIds, Seq("id")).write.mode("overwrite")
-      .parquet(s"$bandsPath/batch=$batchId")
+    writeStorePartitions(sets.join(admIds, Seq("id")),
+      idBucket(col("id"), nStoreBuckets), batchId, setsPath)
+    writeStorePartitions(sigs.join(admIds, Seq("id")),
+      bandBucket(nStoreBuckets), batchId, bandsPath)
+    // fold old batch dirs in the buckets this trigger touched, so
+    // per-bucket dir counts stay bounded as the stream ages
+    val admSetBkts = admIds.select(idBucket(col("id"), nStoreBuckets).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    admSetBkts.foreach(k => compactBucket(spark, setsPath, k, batchId,
+      Seq("id"), maxStoreDirsPerBucket))
+    bandBkts.foreach(k => compactBucket(spark, bandsPath, k, batchId,
+      Seq("band", "sig", "id"), maxStoreDirsPerBucket))
     admitted.unpersist()
+    cands.unpersist()
+    sigs.unpersist()
     toks.unpersist()
     ()
   }

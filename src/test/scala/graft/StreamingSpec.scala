@@ -277,6 +277,70 @@ class StreamingSpec extends SparkSpec {
     assert(admittedIds() == Set(1L, 2L, 4L))
   }
 
+  test("near-dup store probe lists and scans only the batch's hash buckets") {
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    val nB = 8
+    def doc(i: Int) = (i.toLong, s"document number $i " +
+      (1 to 12).map(j => s"w${i}x$j unique").mkString(" "))
+    // two seed batches spread signatures across several store buckets
+    CdcStream.nearDupBatch(spark, Seq(doc(1), doc(2), doc(3)).toDF("doc_id", "text"),
+      0L, outDir, stateDir, "text", "doc_id", numBands = 4, nStoreBuckets = nB)
+    CdcStream.nearDupBatch(spark, Seq(doc(4), doc(5), doc(6)).toDF("doc_id", "text"),
+      1L, outDir, stateDir, "text", "doc_id", numBands = 4, nStoreBuckets = nB)
+    val bandsPath = s"$stateDir/bands.parquet"
+    val existing = new java.io.File(bandsPath).listFiles()
+      .filter(_.getName.startsWith("gb=")).map(_.getName).toSet
+    assert(existing.size > 1, s"fixture must span several buckets, got $existing")
+
+    // probe a strict subset of the existing buckets: every file the
+    // scan would read must live inside exactly those bucket dirs
+    val probed = existing.take(existing.size - 1)
+      .map(_.stripPrefix("gb=").toInt).toSeq
+    val df = CdcStream.probeStore(spark, bandsPath, probed, 2L).get
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => probed.exists(k => f.contains(s"gb=$k/"))),
+      s"probe read outside its buckets: ${files.mkString(",")}")
+
+    // and the current batch's own partitions are excluded from rows:
+    // probing as batch 1 must only surface batch-0 ids
+    val seen = CdcStream.probeStore(spark, bandsPath,
+      existing.map(_.stripPrefix("gb=").toInt).toSeq, 1L).get
+      .select("id").distinct().as[Long].collect().toSet
+    assert(seen == Set(1L, 2L, 3L), s"replay probe must exclude own batch, got $seen")
+  }
+
+  test("near-dup store compaction bounds per-bucket dirs and keeps old signatures") {
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    val nB = 2; val maxDirs = 3
+    def doc(i: Int) = (i.toLong, s"document number $i " +
+      (1 to 12).map(j => s"w${i}x$j unique").mkString(" "))
+    (0 until 8).foreach { b =>
+      CdcStream.nearDupBatch(spark, Seq(doc(b)).toDF("doc_id", "text"),
+        b.toLong, outDir, stateDir, "text", "doc_id", numBands = 4,
+        nStoreBuckets = nB, maxStoreDirsPerBucket = maxDirs)
+    }
+    // every bucket of both stores holds at most maxDirs batch dirs
+    for (store <- Seq("bands.parquet", "sets.parquet")) {
+      val buckets = Option(new java.io.File(s"$stateDir/$store").listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("gb="))
+      assert(buckets.nonEmpty)
+      buckets.foreach { bk =>
+        val dirs = bk.listFiles().filter(_.getName.startsWith("batch=")).map(_.getName)
+        assert(dirs.length <= maxDirs,
+          s"$store/${bk.getName} has ${dirs.toSeq}: compaction must bound listing")
+      }
+    }
+    // a signature admitted in batch 0 (long since folded into a base
+    // dir) still rejects an exact copy arriving in batch 8
+    CdcStream.nearDupBatch(spark, Seq((100L, doc(0)._2)).toDF("doc_id", "text"),
+      8L, outDir, stateDir, "text", "doc_id", numBands = 4,
+      nStoreBuckets = nB, maxStoreDirsPerBucket = maxDirs)
+    val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(admitted == (0L until 8L).toSet,
+      s"copy of a compacted doc must still be rejected, got $admitted")
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
