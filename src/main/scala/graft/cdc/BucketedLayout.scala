@@ -28,6 +28,28 @@ object BucketedLayout {
   /** The layout column / partition directory name. */
   val GB = "graft_bucket"
 
+  /** Marker file recording the bucket count a target was laid out
+    * with. Underscore prefix → invisible to Spark's file listing.
+    */
+  val MARKER = "_graft_buckets"
+
+  /** The bucket count a target was laid out with, if recorded. */
+  def readBucketCount(spark: SparkSession, destPath: String): Option[Int] = {
+    val f = Fs.fs(spark, destPath)
+    val p = new Path(destPath, MARKER)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
+    val out = Fs.fs(spark, dir).create(new Path(dir, MARKER), true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** bucket k for a row: portable 60-bit hash of the (injective)
     * pk-tuple encoding, mod nBuckets — any key shape, skew-free.
     */
@@ -46,6 +68,9 @@ object BucketedLayout {
     df.withColumn(GB, bucketExpr(pkCols, nBuckets))
       .repartition(nBuckets, col(GB))
       .write.partitionBy(GB).mode("overwrite").parquet(tmp)
+    // marker lands in staging BEFORE the swap: the published target is
+    // never visible without its bucket count
+    writeMarker(spark, tmp, nBuckets)
     Fs.replace(spark, tmp, destPath)
   }
 
@@ -62,6 +87,14 @@ object BucketedLayout {
   def overwriteBuckets(spark: SparkSession, df: DataFrame, pkCols: Seq[String],
                        nBuckets: Int, destPath: String,
                        clearBuckets: Seq[Int] = Nil): Unit = {
+    // the caller's merge/diff was computed under `nBuckets`; applying
+    // it to a target laid out with a DIFFERENT count would scatter
+    // duplicate PKs across partitions — fail loudly instead
+    readBucketCount(spark, destPath).foreach { recorded =>
+      require(recorded == nBuckets,
+        s"$destPath is laid out with $recorded buckets, not $nBuckets; " +
+          "re-layout via writeFull/upsertBuckets before partial overwrites")
+    }
     val tmp = stagingPath(destPath)
     df.withColumn(GB, bucketExpr(pkCols, nBuckets))
       .repartition(col(GB))
@@ -88,12 +121,21 @@ object BucketedLayout {
     */
   def upsertBuckets(spark: SparkSession, destPath: String, batch: DataFrame,
                     pkCols: Seq[String], nBuckets: Int): Unit = {
-    val affected = batch.select(bucketExpr(pkCols, nBuckets).as("gb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val base = spark.read.parquet(destPath)
-      .filter(col(GB).isin(affected: _*))
-      .drop(GB)
-    overwriteBuckets(spark, Merge.upsert(base, batch, pkCols), pkCols, nBuckets, destPath)
+    // a target laid out with a different bucket count (or a legacy one
+    // with no marker) CANNOT take a pruned merge: keys hash to other
+    // partitions and existing rows would be missed → duplicate PKs.
+    // Self-heal with one full re-layout under the requested count.
+    if (!readBucketCount(spark, destPath).contains(nBuckets)) {
+      val merged = Merge.upsert(spark.read.parquet(destPath).drop(GB), batch, pkCols)
+      writeFull(spark, merged, pkCols, nBuckets, destPath)
+    } else {
+      val affected = batch.select(bucketExpr(pkCols, nBuckets).as("gb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val base = spark.read.parquet(destPath)
+        .filter(col(GB).isin(affected: _*))
+        .drop(GB)
+      overwriteBuckets(spark, Merge.upsert(base, batch, pkCols), pkCols, nBuckets, destPath)
+    }
   }
 
   private def stagingPath(destPath: String): String = {

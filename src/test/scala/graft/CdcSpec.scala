@@ -120,6 +120,36 @@ class CdcSpec extends SparkSpec {
     assert(sink.read("events").columns.sameElements(events.columns))
   }
 
+  test("bucketed sink: changed bucket count forces full re-layout, never dup PKs") {
+    val tgt = s"${tmpDir()}/events.parquet"
+    val events = Tables.events(spark, sfDir).cache()
+    BucketedLayout.writeFull(spark, events, Seq("event_id"), 8, tgt)
+    assert(BucketedLayout.readBucketCount(spark, tgt).contains(8))
+
+    // upsert under a DIFFERENT bucket count: overlapping + new keys.
+    // Without the marker check the pruned merge would hash keys into
+    // the wrong partitions and write duplicate PKs silently.
+    val batch = events.filter($"event_id" < 100)
+      .unionByName(events.limit(5).withColumn("event_id", $"event_id" + 70000L))
+    BucketedLayout.upsertBuckets(spark, tgt, batch, Seq("event_id"), 4)
+
+    val out = spark.read.parquet(tgt)
+    assert(out.count() == events.count() + 5)
+    assert(out.select("event_id").distinct().count() == out.count(), "no duplicate PKs")
+    // forced re-layout observed: marker rewritten, dirs span the new count
+    assert(BucketedLayout.readBucketCount(spark, tgt).contains(4))
+    val gbDirs = new java.io.File(tgt).listFiles()
+      .filter(_.getName.startsWith(s"${BucketedLayout.GB}=")).map(_.getName).toSet
+    assert(gbDirs.nonEmpty &&
+      gbDirs.forall(_.stripPrefix(s"${BucketedLayout.GB}=").toInt < 4), s"$gbDirs")
+
+    // a PARTIAL overwrite computed under the wrong count must fail
+    // loudly — its bucket assignment contradicts the stored layout
+    intercept[IllegalArgumentException] {
+      BucketedLayout.overwriteBuckets(spark, batch, Seq("event_id"), 16, tgt)
+    }
+  }
+
   test("bucketed sink: partition-pruned read only touches the filtered bucket dirs") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
@@ -276,6 +306,33 @@ class CdcSpec extends SparkSpec {
     val tgt = sink.read("events")
     assert(tgt.count() == evolved.count())
     assert(tgt.join(evolved, Seq("event_id"), "left_anti").count() == 0)
+  }
+
+  test("catalog sink: crash between DROP and RENAME recovers on next touch") {
+    val store = new CatalogStore(spark, Map.empty,
+      statePath = s"${tmpDir()}/state", tablePrefix = "crashspec_")
+    try {
+      store.write("t", Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+
+      // simulate the crash window: the NEXT version is fully staged,
+      // the live table is dropped, the writer dies before the RENAME
+      Seq((1L, "new"), (2L, "new"), (3L, "new")).toDF("id", "v")
+        .write.format("parquet").saveAsTable("__staging_crashspec_t")
+      spark.sql("DROP TABLE `crashspec_t`")
+
+      // the next touch publishes the staged (complete) version
+      assert(store.exists("t"), "recovery must re-publish the staged table")
+      val rows = store.read("t").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "new"), (2L, "new"), (3L, "new")))
+      assert(!spark.catalog.tableExists("__staging_crashspec_t"))
+
+      // and the store still takes ordinary writes afterwards
+      store.write("t", Seq((9L, "x")).toDF("id", "v"))
+      assert(store.read("t").as[(Long, String)].collect().toSet == Set((9L, "x")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `crashspec_t`")
+      spark.sql("DROP TABLE IF EXISTS `__staging_crashspec_t`")
+    }
   }
 
   test("jdbc store: reader/writer option assembly and query-vs-dbtable precedence") {
