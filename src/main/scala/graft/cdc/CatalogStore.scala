@@ -19,9 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `saveAsTable(overwrite)` on a self-referential plan is rejected by
   * Spark. The swap is two catalog statements, NOT atomic — a crash
   * between them leaves the live name missing while `__staging_<t>`
-  * holds the complete new data (recovery: rename it into place; the
-  * next cycle otherwise just re-runs a full copy). A metastore with a
-  * transactional exchange/rename-over op would close the window.
+  * holds the complete new data. Every read/exists/write first runs
+  * [[recoverIfNeeded]], which detects exactly that state and renames
+  * the staging table into place, so the window costs nothing but the
+  * rename on the next touch. A metastore with a transactional
+  * exchange/rename-over op would remove the window entirely.
   */
 class CatalogStore(spark: SparkSession,
                    layouts: Map[String, SchemaSync.TableLayout],
@@ -30,12 +32,37 @@ class CatalogStore(spark: SparkSession,
 
   private def name(table: String): String = s"$tablePrefix$table"
 
-  override def read(table: String): DataFrame = spark.table(name(table))
+  /** Crash recovery for the non-atomic swap: live name missing while
+    * the staging table exists ⇒ the writer died between DROP and
+    * RENAME, and staging holds the COMPLETE new table — publish it.
+    * (Staging alongside a live table is the other crash shape — a
+    * death before the DROP; the live table is current and the stale
+    * staging copy is dropped by the next write.)
+    */
+  def recoverIfNeeded(table: String): Boolean = {
+    val staging = s"__staging_${name(table)}"
+    val orphaned = !spark.catalog.tableExists(name(table)) &&
+      spark.catalog.tableExists(staging)
+    if (orphaned)
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `${name(table)}`")
+    orphaned
+  }
 
-  override def exists(table: String): Boolean =
+  override def read(table: String): DataFrame = {
+    recoverIfNeeded(table)
+    spark.table(name(table))
+  }
+
+  override def exists(table: String): Boolean = {
+    recoverIfNeeded(table)
     spark.catalog.tableExists(name(table))
+  }
 
   override def write(table: String, df: DataFrame): Unit = {
+    // recover BEFORE the staging drop: if the previous writer crashed
+    // mid-swap, the staging table is the only complete copy — dropping
+    // it here would turn a recoverable crash into data loss
+    recoverIfNeeded(table)
     val staging = s"__staging_${name(table)}"
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
     val base = df.write.mode("overwrite").format("parquet")
