@@ -31,10 +31,24 @@ class StateStore(spark: SparkSession, path: String) {
 
   private val compactAfter = 64
 
-  // seq: strictly increasing within this process; the coarse ms-epoch
-  // base keeps a RESTARTED process above everything it wrote before
-  private val seq = new java.util.concurrent.atomic.AtomicLong(
-    System.currentTimeMillis() * 1000000L)
+  // seq: strictly increasing within this process. Seeded from
+  // max(existing log seq, ms-epoch base): the clock base alone keeps a
+  // restarted process above its own past writes ONLY while the clock
+  // never steps backwards — after a clock step (VM migration, NTP
+  // correction) fresh appends would sort BELOW existing records and be
+  // silently superseded. File names carry their seq, so the existing
+  // max is one listing, no scan.
+  private val seq = new java.util.concurrent.atomic.AtomicLong({
+    val f = graft.util.Fs.fs(spark, path)
+    val p = new Path(path)
+    val maxExisting =
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("log-") && n.endsWith(".json"))
+        .flatMap(_.stripPrefix("log-").takeWhile(_ != '-').toLongOption)
+        .foldLeft(0L)(math.max)
+    math.max(System.currentTimeMillis() * 1000000L, maxExisting)
+  })
 
   private val schema = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
@@ -44,9 +58,17 @@ class StateStore(spark: SparkSession, path: String) {
     StructField("seq", LongType, nullable = false)))
 
   private def log(): DataFrame =
-    if (graft.util.Fs.existsNonEmpty(spark, path))
+    if (graft.util.Fs.existsNonEmpty(spark, path)) {
+      // a pre-append-log state dir held a rewritten PARQUET table;
+      // reading it as JSON parses nothing, every watermark reads as 0,
+      // and the next cycle silently degrades to full copies — refuse
+      if (graft.util.Fs.hasFileWithSuffix(spark, path, ".parquet"))
+        throw new IllegalStateException(
+          s"$path holds parquet files — a legacy (pre-append-log) state " +
+            "table, not a JSON log. Migrate it: read the old state, " +
+            "put() it into a fresh path, and point the store there.")
       spark.read.schema(schema).json(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Latest state per table (the logical `__sslr_state` view):
     * per-field latest non-null record. struct-max aggregation is
