@@ -129,4 +129,90 @@ class JdbcStore(spark: SparkSession, url: String,
   def stagingPath(table: String): String = s"$checkpointDir/__staging_$table"
 
   override def statePath: String = s"$checkpointDir/__graft_state"
+
+  /** Extract the source table's indexes from JDBC metadata — the
+    * Spark-side twin of the reference's `extractTableIndices`
+    * (reference: internal/schemas.go:147): `getPrimaryKeys` rows
+    * become the primary [[SchemaSync.IndexSpec]], `getIndexInfo` rows
+    * the secondary ones. Feed the result to [[SchemaSync.layoutFor]]
+    * (the analogue of `applyIndices`, schemas.go:241) to derive the
+    * bucket/sort layout a [[CatalogStore]] target applies — a user
+    * pointing graft at a live database no longer hand-writes what the
+    * reference discovers.
+    *
+    * The cursor walk is thin; the row→spec mapping lives in
+    * [[JdbcIndexes.indexSpecs]] and the connection comes from the
+    * overridable [[withConnection]], so specs drive the whole path
+    * with recorded metadata, DB-free.
+    */
+  def extractIndices(table: String): Seq[SchemaSync.IndexSpec] =
+    withConnection { conn =>
+      val md = conn.getMetaData
+      var pkName: Option[String] = None
+      val pkRows = Seq.newBuilder[(String, Int)]
+      val pk = md.getPrimaryKeys(null, null, table)
+      try while (pk.next()) {
+        pkRows += ((pk.getString("COLUMN_NAME"), pk.getInt("KEY_SEQ")))
+        Option(pk.getString("PK_NAME")).foreach(n => pkName = Some(n))
+      } finally pk.close()
+      val idxRows = Seq.newBuilder[(String, String, Int)]
+      val ix = md.getIndexInfo(null, null, table, false, true)
+      try while (ix.next()) {
+        // tableIndexStatistic rows describe the table, not an index,
+        // and carry a null INDEX_NAME — skip them
+        Option(ix.getString("INDEX_NAME")).foreach { name =>
+          idxRows += ((name, ix.getString("COLUMN_NAME"), ix.getInt("ORDINAL_POSITION")))
+        }
+      } finally ix.close()
+      JdbcIndexes.indexSpecs(table, pkRows.result(), pkName, idxRows.result())
+    }
+
+  /** [[extractIndices]] piped through [[SchemaSync.layoutFor]]: the
+    * target layout this source's catalog implies.
+    */
+  def layoutFor(table: String, numBuckets: Int): Option[SchemaSync.TableLayout] =
+    SchemaSync.layoutFor(extractIndices(table), numBuckets)
+
+  /** Open a plain JDBC connection with the store's url/props. The one
+    * seam that needs a live database; overridable for recorded-
+    * metadata specs.
+    */
+  protected def withConnection[T](f: java.sql.Connection => T): T = {
+    connProps.get("driver").foreach(Class.forName(_))
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+}
+
+/** Pure mapping from JDBC metadata rows to [[SchemaSync.IndexSpec]]s —
+  * factored out of the cursor walk so it is directly testable.
+  */
+object JdbcIndexes {
+
+  /** @param pkRows  getPrimaryKeys rows as (COLUMN_NAME, KEY_SEQ)
+    * @param pkName  PK_NAME if the driver reports one
+    * @param idxRows getIndexInfo rows as
+    *                (INDEX_NAME, COLUMN_NAME, ORDINAL_POSITION)
+    */
+  def indexSpecs(table: String, pkRows: Seq[(String, Int)], pkName: Option[String],
+                 idxRows: Seq[(String, String, Int)]): Seq[SchemaSync.IndexSpec] = {
+    val pkCols = pkRows.sortBy(_._2).map(_._1)
+    val pk =
+      if (pkCols.isEmpty) None
+      else Some(SchemaSync.IndexSpec(pkName.getOrElse(s"${table}_pkey"),
+        primary = true, pkCols))
+    // the primary key's BACKING unique index shows up in getIndexInfo
+    // too (by pk name, or under another name with the pk's columns) —
+    // drop it rather than re-deriving the pk as a secondary index
+    val secondary = idxRows.groupBy(_._1).toSeq
+      .filterNot { case (name, _) => pkName.contains(name) }
+      .map { case (name, rows) =>
+        SchemaSync.IndexSpec(name, primary = false, rows.sortBy(_._3).map(_._2))
+      }
+      .filterNot(ix => pk.exists(_.columns == ix.columns))
+      .sortBy(_.name)
+    pk.toSeq ++ secondary
+  }
 }
