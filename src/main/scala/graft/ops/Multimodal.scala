@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * training-data pipeline runs over them.
   *
   * IMAGE decode is real — `javax.imageio` ships in the JDK (PNG, BMP,
-  * GIF, JPEG), see [[decodeImage]]. Audio/video decode remains a
-  * clearly marked DETERMINISTIC STUB (`stubDecode`; the container has
-  * no av codec libraries) — and everything Spark-side is real and
+  * GIF, JPEG), see [[decodeImage]] — and so is WAV AUDIO decode via
+  * `javax.sound.sampled` ([[decodeAudio]]). Only VIDEO decode remains
+  * a clearly marked DETERMINISTIC STUB (`stubDecode`; the container
+  * has no video codec libraries) — and everything Spark-side is real and
   * load-bearing either way: the schema contract, the typed Dataset
   * plumbing, mapPartitions batching (the shape a vectorized codec UDF
   * needs: reuse one decoder instance per partition, process in
@@ -79,6 +80,61 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode for the format the JDK ships a parser for —
+    * WAV (RIFF) with 16-bit signed PCM via `javax.sound.sampled`, no
+    * external libraries. Returns (durationMs, features): features are
+    * a deterministic 16-bin RMS energy envelope over the mono-mixed
+    * signal, mapped to [-1, 1) — the cheap audio fingerprint twin of
+    * [[decodeImage]]'s luminance pool. `None` for non-WAV / non-PCM16
+    * payloads — those fall back to [[stubDecode]], which now stands in
+    * for VIDEO codecs only.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Long, Array[Float])] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val channels = fmt.getChannels
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val durationMs = (nFrames * 1000L / fmt.getFrameRate).toLong
+            val sums = new Array[Double](featureDim)
+            val counts = new Array[Long](featureDim)
+            var i = 0
+            while (i < nFrames) {
+              var c = 0
+              var acc = 0.0
+              while (c < channels) {
+                val off = i * frameSize + c * 2
+                val s =
+                  if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                  else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+                acc += s / 32768.0
+                c += 1
+              }
+              val v = acc / channels
+              val cell = math.min(featureDim - 1, (i.toLong * featureDim / nFrames).toInt)
+              sums(cell) += v * v
+              counts(cell) += 1
+              i += 1
+            }
+            val feats = Array.tabulate(featureDim) { k =>
+              if (counts(k) == 0) -1f
+              else (math.sqrt(sums(k) / counts(k)) * 2.0 - 1.0).toFloat
+            }
+            Some((durationMs, feats))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Refresh image rows' metadata from the real decoded dimensions
     * (rows whose payload doesn't decode keep their declared meta).
     */
@@ -123,12 +179,16 @@ object Multimodal {
       // per-partition decoder init would go here (amortized once)
       rows.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { r =>
-          // image payloads decode for real (JDK codecs); audio/video
-          // and undecodable bytes take the documented stub
-          val feats =
-            if (r.kind == "image") decodeImage(r.payload).map(_._3)
+          // image (javax.imageio) and WAV audio (javax.sound.sampled)
+          // payloads decode for real; video and undecodable bytes take
+          // the documented stub
+          val feats = r.kind match {
+            case "image" => decodeImage(r.payload).map(_._3)
               .getOrElse(stubDecode(r.payload))
-            else stubDecode(r.payload)
+            case "audio" => decodeAudio(r.payload).map(_._2)
+              .getOrElse(stubDecode(r.payload))
+            case _ => stubDecode(r.payload)
+          }
           MediaFeatures(r.mediaId, r.kind, feats)
         }
       }

@@ -77,6 +77,57 @@ class MultimodalSpec extends SparkSpec {
     assert(w == 8 && h == 8 && f.length == Multimodal.featureDim)
   }
 
+  /** A real 16-bit PCM WAV via the JDK writer. */
+  private def wavBytes(samples: Array[Short], channels: Int,
+                       sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV payloads decode bit-exactly: duration and RMS envelope") {
+    // 1600 mono frames at 8 kHz = exactly 200 ms; 16 blocks of 100
+    // frames alternating amplitude 0 and 16384 (= 0.5 full-scale).
+    // Every intermediate is an exact binary fraction, so the envelope
+    // is BIT-exact: silent blocks → -1.0f, half-scale blocks → 0.0f.
+    val samples = Array.tabulate[Short](1600) { i =>
+      if ((i / 100) % 2 == 0) 0 else 16384.toShort
+    }
+    val (durationMs, feats) = Multimodal.decodeAudio(wavBytes(samples, 1, 8000f)).get
+    assert(durationMs == 200L)
+    val expected = Array.tabulate(Multimodal.featureDim)(k => if (k % 2 == 0) -1.0f else 0.0f)
+    assert(feats.toSeq == expected.toSeq, s"got ${feats.toSeq}")
+
+    // stereo: equal-and-opposite channels mix to digital silence
+    val stereo = Array.tabulate[Short](800)(i => if (i % 2 == 0) 16384 else -16384)
+    val (d2, f2) = Multimodal.decodeAudio(wavBytes(stereo, 2, 8000f)).get
+    assert(d2 == 50L && f2.forall(_ == -1.0f), s"got $d2 ${f2.toSeq}")
+
+    // non-WAV bytes refuse rather than mis-decode
+    assert(Multimodal.decodeAudio("just text".getBytes("UTF-8")).isEmpty)
+
+    // extractFeatures routes audio rows through the real decoder
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes(samples, 1, 8000f),
+        Multimodal.MediaMeta("audio/wav", 0, 0, 0L)),
+      Multimodal.MediaRow(2L, "audio", "just text".getBytes("UTF-8"),
+        Multimodal.MediaMeta("application/octet-stream", 0, 0, 0L)))
+    val byId = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    assert(byId(1L) == expected.toSeq, "audio rows must use the WAV decoder")
+    assert(byId(2L) == Multimodal.stubDecode("just text".getBytes("UTF-8")).toSeq,
+      "undecodable audio falls back to the documented stub")
+  }
+
   test("resize rewrites metadata and bounds payloads") {
     val r = Multimodal.resize(media, 8, 8).collect()
     assert(r.forall(m => m.meta.width == 8 && m.meta.height == 8))
