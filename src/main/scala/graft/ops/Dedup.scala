@@ -380,8 +380,16 @@ object Dedup {
       .crossJoin(df.sparkSession.range(SALTS).toDF("salt"))
     val cands = a.join(b, Seq("tok", "salt")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(sh, cands)
+    // eager localCheckpoint: the (small) verified pair set materializes
+    // HERE, so the shingle cache is released immediately instead of
+    // leaking one persisted set per call for the session lifetime; the
+    // checkpoint blocks themselves are GC-cleaned with the returned
+    // frame, unlike a persist pinned until an explicit unpersist.
+    val result = verifyJaccard(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint()
+    sh.unpersist()
+    result
   }
 }
