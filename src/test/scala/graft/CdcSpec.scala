@@ -385,6 +385,109 @@ class CdcSpec extends SparkSpec {
     assert(!store.exists("whatever"))
   }
 
+  test("jdbc store: index extraction from recorded metadata derives the catalog layout") {
+    import java.lang.reflect.Proxy
+    import graft.cdc.{JdbcIndexes, SchemaSync}
+    def proxy[T](cls: Class[T])(h: PartialFunction[(String, Seq[AnyRef]), AnyRef]): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+        (_, m, args) => {
+          val a = Option(args).map(_.toSeq).getOrElse(Seq.empty)
+          h.applyOrElse((m.getName, a), (_: (String, Seq[AnyRef])) => null)
+        }).asInstanceOf[T]
+    // a forward-only cursor over recorded metadata rows
+    def rsOf(rows: Seq[Map[String, Any]]): java.sql.ResultSet = {
+      var i = -1
+      proxy(classOf[java.sql.ResultSet]) {
+        case ("next", _) => i += 1; java.lang.Boolean.valueOf(i < rows.length)
+        case ("getString", Seq(k: String)) =>
+          rows(i).getOrElse(k, null).asInstanceOf[AnyRef] match {
+            case null => null; case v => v.toString
+          }
+        case ("getInt", Seq(k: String)) => Integer.valueOf(rows(i)(k).asInstanceOf[Int])
+      }
+    }
+    // recorded from the shape Postgres metadata takes for an events
+    // table: pk, its backing unique index (same name), a redundant
+    // unique index on the pk column (other name), one single-column
+    // and one composite secondary index, and a statistics row
+    val pkRows = Seq(Map[String, Any]("COLUMN_NAME" -> "event_id",
+      "KEY_SEQ" -> 1, "PK_NAME" -> "events_pkey"))
+    val idxRows = Seq(
+      Map[String, Any]("INDEX_NAME" -> null, "COLUMN_NAME" -> null,
+        "ORDINAL_POSITION" -> 0), // tableIndexStatistic
+      Map[String, Any]("INDEX_NAME" -> "events_pkey",
+        "COLUMN_NAME" -> "event_id", "ORDINAL_POSITION" -> 1),
+      Map[String, Any]("INDEX_NAME" -> "events_id_unique",
+        "COLUMN_NAME" -> "event_id", "ORDINAL_POSITION" -> 1),
+      Map[String, Any]("INDEX_NAME" -> "events_user_idx",
+        "COLUMN_NAME" -> "user_id", "ORDINAL_POSITION" -> 1),
+      Map[String, Any]("INDEX_NAME" -> "events_type_ts_idx",
+        "COLUMN_NAME" -> "ts", "ORDINAL_POSITION" -> 2),
+      Map[String, Any]("INDEX_NAME" -> "events_type_ts_idx",
+        "COLUMN_NAME" -> "event_type", "ORDINAL_POSITION" -> 1))
+    val md = proxy(classOf[java.sql.DatabaseMetaData]) {
+      case ("getPrimaryKeys", Seq(_, _, t)) => assert(t == "events"); rsOf(pkRows)
+      case ("getIndexInfo", _) => rsOf(idxRows)
+    }
+    val conn = proxy(classOf[java.sql.Connection]) {
+      case ("getMetaData", _) => md
+    }
+    val store = new JdbcStore(spark, "jdbc:postgresql://db:5432/x",
+      Map("user" -> "u"), tmpDir()) {
+      override protected def withConnection[T](f: java.sql.Connection => T): T = f(conn)
+    }
+
+    val specs = store.extractIndices("events")
+    assert(specs == Seq(
+      SchemaSync.IndexSpec("events_pkey", primary = true, Seq("event_id")),
+      SchemaSync.IndexSpec("events_type_ts_idx", primary = false,
+        Seq("event_type", "ts")),
+      SchemaSync.IndexSpec("events_user_idx", primary = false, Seq("user_id"))),
+      s"got $specs")
+
+    // the derived layout is exactly what the CatalogStore applies:
+    // pk → bucket columns, secondary index columns → sort order
+    val layout = store.layoutFor("events", 8).get
+    assert(layout == SchemaSync.TableLayout(Seq("event_id"), 8,
+      Seq("event_type", "ts", "user_id")))
+
+    // pk-less table → no layout (nothing to bucket by)
+    assert(JdbcIndexes.indexSpecs("t", Nil, None, Nil).isEmpty)
+    assert(SchemaSync.layoutFor(
+      JdbcIndexes.indexSpecs("t", Nil, None,
+        Seq(("t_x_idx", "x", 1))), 8).isEmpty)
+  }
+
+  test("state store: restart seq seeds above existing records (clock-step safe)") {
+    val dir = s"${tmpDir()}/state"
+    val store = new StateStore(spark, dir)
+    store.setVersion("t", 1L)
+    // simulate records written under a FASTER clock (or: this process
+    // restarted after a backwards clock step) — a log whose seq is far
+    // above anything the current wall clock would allocate
+    val highSeq = System.currentTimeMillis() * 1000000L * 2
+    val f = new java.io.File(dir, s"log-$highSeq-zz.json")
+    val w = new java.io.FileWriter(f)
+    try w.write(s"""{"table_name": "t", "last_seen_version": 99, "seq": $highSeq}\n""")
+    finally w.close()
+    assert(store.get("t").lastSeenVersion == 99L)
+
+    // a RESTARTED store must seed above the existing max, so its next
+    // append supersedes record 99 instead of being silently outranked
+    val restarted = new StateStore(spark, dir)
+    restarted.setVersion("t", 100L)
+    assert(restarted.get("t").lastSeenVersion == 100L,
+      "fresh append lost to a stale high-seq record")
+  }
+
+  test("state store: legacy parquet state dir fails loudly, never resets watermarks") {
+    val dir = s"${tmpDir()}/state"
+    spark.range(3).toDF("last_seen_version").write.parquet(dir)
+    val store = new StateStore(spark, dir)
+    val e = intercept[IllegalStateException](store.get("t"))
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("state store: 16 concurrent writers lose nothing, compaction included") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
