@@ -43,7 +43,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    System.gc() // drop warmup garbage outside the timed region
+    // Reset between trials: drop cached blocks a previous query leaked
+    // (minHashLsh's documented token cache) and collect garbage OUTSIDE
+    // the timed region — a later query must not pay an earlier query's
+    // memory pressure as GC pauses inside its measurement.
+    def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
+    reset() // drop warmup garbage outside the timed region
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query reports -1, not a misleading elapsed time
@@ -53,23 +58,31 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      reset()
       (name, fn, timed(name, fn))
     }
     // Contention guard: anything slow enough to be noise-dominated
     // (GC pauses, page-cache faults from a co-resident process) gets a
-    // second run; keep the best. min-of-2 measures plan cost, which is
-    // what the per-round numbers are compared on — a one-off stall in
-    // run 1 shouldn't read as a plan regression.
+    // second run from a reset state; keep the best, REPORT the spread.
+    // min-of-2 measures plan cost, which is what the per-round numbers
+    // are compared on — a one-off stall in run 1 shouldn't read as a
+    // plan regression — and the published (min, max) makes the noise
+    // visible instead of silently folded away.
     val results = firstPass.map { case (name, fn, t1) =>
       if (t1 > 1.5) {
+        reset()
         val t2 = timed(name, fn)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
-      } else name -> t1
+        if (t2 >= 0) (name, math.min(t1, t2), Some(math.max(t1, t2)))
+        else (name, t1, Some(t1))
+      } else (name, t1, None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = results.collect { case (k, v, Some(mx)) =>
+      s"\"" + k + "\":[" + v + "," + mx + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread_min_max":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
