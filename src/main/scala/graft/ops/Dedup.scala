@@ -39,6 +39,26 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-ranked keeper selection: group documents by an
+    * order-independent bag-of-tokens hash (catches token-shuffled /
+    * repetition-padded copies that defeat the exact content hash) and
+    * keep the HIGHEST-quality member — longest text, ties to smallest
+    * id — instead of blindly keeping min(id). The argmax is a
+    * struct-max aggregate: fully partial-aggregatable (map-side
+    * combine), no per-group sort, no window — the shape that holds at
+    * 100 TB where a window over every group would sort the corpus.
+    */
+  def keepBest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = TextAnalysis.normalize(col(textCol))
+    df.select(col(idCol).as("id"), length(col(textCol)).as("q"),
+        md5(array_join(array_sort(array_distinct(split(norm, " "))), " ")).as("bag_hash"))
+      .groupBy("bag_hash")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("id")).as("nid"))).as("m"))
+      .select(col("bag_hash"), (-col("m.nid")).cast("long").as("keeper_id"),
+        col("n_members"))
+  }
+
   /** MinHash signatures: `numHashes` min-hashes over the distinct
     * token set via the affine universal-hash family — ONE md5 per
     * token; the 16 per-j coefficients ride along in a broadcast
@@ -291,7 +311,7 @@ object Dedup {
     // cancels, so checksum equality is set equality up to a ~2^-64
     // hash collision — the standard fixpoint probe for iterative plans.
     def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edges = pairs

@@ -125,4 +125,59 @@ object TextAnalysis {
         md5(col("norm")).as("content_hash"),
         md5(array_join(array_sort(array_distinct(split(col("norm"), " "))), " ")).as("bag_hash"),
         md5(substring(col("norm"), 1, 64)).as("prefix_hash"))
+
+  /** Within-document repetition signals (the Gopher-rule family of
+    * quality filters): fraction of duplicated tokens and of duplicated
+    * bigrams. Pure per-row array expressions — map-only, no shuffle,
+    * codegen'd: at 100 TB this runs at scan speed.
+    */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), split(normalize(col(textCol)), " ").as("toks"))
+      .withColumn("bigrams", expr(
+        // guard: sequence(0, -1) would DESCEND, not be empty
+        """CASE WHEN size(toks) > 1
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |         i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+          |  ELSE array()
+          |END""".stripMargin))
+      .select(col(idCol),
+        size(col("toks")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("dup_token_frac"),
+        when(size(col("bigrams")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+            size(col("bigrams")), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+
+  /** Benchmark-contamination check: for each corpus document, the
+    * number of distinct word `n`-grams it shares with ANY document of
+    * the probe (benchmark) set, and a flag at `minShared`. The probe
+    * n-gram set is DISTINCT'd and broadcast — benchmark suites are
+    * tiny next to a training corpus — so the corpus side is a map-side
+    * semi-join over the scan followed by a partial-aggregated count:
+    * no corpus shuffle, no pairwise join. Documents sharing nothing
+    * are absent from the output (inner probe join).
+    */
+  def contamination(df: DataFrame, textCol: String, idCol: String,
+                    probe: Column, n: Int = 3, minShared: Int = 5): DataFrame = {
+    // per-doc array_distinct BEFORE the explode: (id, gram) rows come
+    // out unique without a corpus-wide distinct shuffle
+    val grams = df
+      .select(col(idCol), probe.as("__probe"),
+        split(normalize(col(textCol)), " ").as("toks"))
+      .withColumn("gram", explode(expr(
+        s"""array_distinct(CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |         i -> array_join(slice(toks, i + 1, $n), ' '))
+           |  ELSE array()
+           |END)""".stripMargin)))
+      .select(col(idCol), col("__probe"), col("gram"))
+    val probeGrams = grams.filter(col("__probe")).select("gram").distinct()
+    grams.filter(!col("__probe"))
+      .join(broadcast(probeGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .withColumn("contaminated",
+        (col("n_shared_ngrams") >= minShared).cast("int"))
+  }
 }

@@ -169,6 +169,22 @@ object PipelineQueries {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Gopher-style within-doc repetition fractions — map-only. */
+  def textRepetitionQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  /** Benchmark-contamination scan: every 97th doc plays the held-out
+    * benchmark; the rest of the corpus is checked for shared word
+    * trigrams against the broadcast probe set.
+    */
+  def textContaminationQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.contamination(Tables.documents(spark, sfDir), "text", "doc_id",
+      probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
+
+  /** Quality-ranked keeper per bag-hash group on the dup corpus. */
+  def dedupKeepBestQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.keepBest(dupCorpus(spark, sfDir), "text", "doc_id")
+
   def textVocabQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), "text", "doc_id", 100)
 
@@ -193,6 +209,9 @@ object PipelineQueries {
     "text_scrub" -> textScrubQ,
     "text_vocab" -> textVocabQ,
     "text_unigram_logprob" -> textUnigramLogprobQ,
+    "text_repetition" -> textRepetitionQ,
+    "text_contamination" -> textContaminationQ,
+    "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -420,6 +439,47 @@ object PipelineQueries {
          |  count(*) AS n_tokens
          |FROM toks t JOIN dfreq USING (tok)
          |GROUP BY t.doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS l FROM documents),
+         |b AS (SELECT doc_id, l,
+         |        CASE WHEN len(l) > 1
+         |          THEN list_transform(generate_series(1, len(l) - 1),
+         |                 i -> l[i] || ' ' || l[i + 1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS bg
+         |      FROM d)
+         |SELECT doc_id, len(l) AS n_tokens,
+         |  round(1 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_token_frac,
+         |  CASE WHEN len(bg) > 0
+         |    THEN round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM b""".stripMargin,
+    "text_contamination" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(l) >= 3
+         |          THEN list_transform(generate_series(1, len(l) - 2),
+         |                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+         |          ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         |      FROM d),
+         |p AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(*) AS n_shared_ngrams,
+         |  CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS contaminated
+         |FROM g JOIN p USING (gram)
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |d AS (SELECT doc_id, len(text) AS q,
+         |        md5(array_to_string(list_sort(list_distinct(string_split($norm, ' '))), ' ')) AS bag_hash
+         |      FROM corpus)
+         |SELECT bag_hash, keeper_id, n_members FROM (
+         |  SELECT bag_hash, doc_id AS keeper_id,
+         |    row_number() OVER (PARTITION BY bag_hash ORDER BY q DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY bag_hash) AS n_members
+         |  FROM d) WHERE rn = 1""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <

@@ -107,6 +107,53 @@ class PipelineSpec extends SparkSpec {
     assert(expected.subsetOf(perfect))
   }
 
+  test("repetition fractions: exact on crafted docs, safe on 1-token docs") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "a a a a"),            // 1 distinct of 4 toks; bigram "a a" ×3 → 1 distinct of 3
+      (2L, "w x y z"),            // no repetition at all
+      (3L, "solo"))               // single token: no bigrams, no division blowup
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4, 0.75, math.rint((1.0 - 1.0 / 3) * 1e6) / 1e6)))
+    assert(out(2L) == ((4, 0.0, 0.0)))
+    assert(out(3L) == ((1, 0.0, 0.0)))
+  }
+
+  test("contamination counts distinct shared ngrams against the probe set only") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),        // probe doc
+      (1L, "x alpha beta gamma y"),          // shares trigram "alpha beta gamma"
+      (2L, "alpha beta gamma delta epsilon"),// shares 2 trigrams with probe
+      (3L, "totally unrelated words here"))  // shares nothing → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(d, "text", "doc_id",
+      probe = expr("doc_id = 0"), n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(1L -> ((1L, 0)), 2L -> ((2L, 1))), s"got $out")
+  }
+
+  test("keep-best keeps the longest member per bag group, ties to min id") {
+    import graft.ops.Dedup
+    // same token BAG, different lengths: repetition-padded copy loses
+    val d = Seq(
+      (10L, "apple pear plum"),
+      (11L, "plum apple pear apple apple"),  // same bag, longer → keeper
+      (12L, "apple pear plum"),              // ties 10 on length → min id 10 loses to 11 anyway
+      (20L, "just one unique document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepBest(d, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 3L, 20L -> 1L), s"got $out")
+
+    // pure tie group: smallest id wins
+    val t = Seq((5L, "p q r"), (3L, "r q p"), (9L, "q p r")).toDF("doc_id", "text")
+    val keeper = Dedup.keepBest(t, "text", "doc_id").collect()
+    assert(keeper.length == 1 && keeper.head.getLong(1) == 3L && keeper.head.getLong(2) == 3L)
+  }
+
   test("cosine pairs finds a planted duplicate vector") {
     val e = Tables.embeddings(spark, sfDir)
     val planted = e.unionByName(
