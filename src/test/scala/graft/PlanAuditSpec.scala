@@ -69,6 +69,28 @@ class PlanAuditSpec extends SparkSpec {
       "per-doc score must combine map-side")
   }
 
+  test("text_repetition: zero exchanges — pure per-row expressions") {
+    val plan = formatted(q("text_repetition"))
+    assert(!plan.contains("Exchange"),
+      "repetition signals must run at scan speed with no shuffle")
+  }
+
+  test("text_contamination: probe set broadcasts, corpus side never shuffles pre-join") {
+    val plan = formatted(q("text_contamination"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the benchmark n-gram set must broadcast")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "shared-ngram counts must combine map-side")
+  }
+
+  test("dedup_keep_best: struct-max partial aggregation, no window sort") {
+    val plan = formatted(q("dedup_keep_best"))
+    assert(plan.contains("partial_max"),
+      "keeper argmax must be a partial-aggregatable struct max")
+    assert(!plan.contains("Window"),
+      "keeper selection must not sort groups through a window")
+  }
+
   test("catalog sink: cycle-2 merge plans with NO exchange on the bucketed base side") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.SparkPlan

@@ -160,4 +160,40 @@ class RandomizedSpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("streaming near-dup bucketed store matches greedy reference under churn + replays") {
+    import graft.streaming.CdcStream
+    val rnd = new Random(77)
+    val outDir = s"${java.nio.file.Files.createTempDirectory("fuzz-nd")}/out.parquet"
+    val stateDir = java.nio.file.Files.createTempDirectory("fuzz-nd-state").toString
+    // contents are token-disjoint (cross Jaccard ≈ 1/25) or exact
+    // copies (J = 1): candidate generation may do what it likes — the
+    // verify stage decides, so the greedy reference is exact
+    def content(c: Int) = s"content $c " + (1 to 12).map(j => s"c${c}tok$j").mkString(" ")
+    var nextId = 0L
+    var nextC = 0
+    val seenContents = scala.collection.mutable.ArrayBuffer[Int]()
+    val admitted = scala.collection.mutable.Map[Int, Long]() // content -> keeper id
+    (0 until 8).foreach { b =>
+      val docs = (0 until rnd.nextInt(4) + 1).map { _ =>
+        val c =
+          if (seenContents.nonEmpty && rnd.nextInt(3) == 0)
+            seenContents(rnd.nextInt(seenContents.length)) // dup of anything seen
+          else { nextC += 1; seenContents += nextC; nextC }
+        val id = nextId; nextId += 1
+        (id, c)
+      }
+      // reference: greedy by id — admit iff content not admitted yet
+      docs.foreach { case (id, c) => if (!admitted.contains(c)) admitted(c) = id }
+      val df = docs.map { case (id, c) => (id, content(c)) }.toDF("doc_id", "text")
+      def run() = CdcStream.nearDupBatch(spark, df, b.toLong, outDir, stateDir,
+        "text", "doc_id", numBands = 4, nStoreBuckets = 4, maxStoreDirsPerBucket = 2)
+      run()
+      if (rnd.nextInt(3) == 0) run() // at-least-once: replay the current batch
+    }
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == admitted.values.toSet,
+      s"admitted mismatch: extra=${got -- admitted.values}, missing=${admitted.values.toSet -- got}")
+    assert(spark.read.parquet(outDir).count() == admitted.size, "replays must not duplicate rows")
+  }
 }
