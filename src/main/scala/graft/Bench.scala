@@ -72,8 +72,10 @@ object Bench {
       if (t1 > 1.5) {
         reset()
         val t2 = timed(name, fn)
+        // a FAILED retry publishes as [t1, -1]: the -1 marks the crash
+        // instead of faking a perfectly-stable [t1, t1] spread
         if (t2 >= 0) (name, math.min(t1, t2), Some(math.max(t1, t2)))
-        else (name, t1, Some(t1))
+        else (name, t1, Some(-1.0))
       } else (name, t1, None)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

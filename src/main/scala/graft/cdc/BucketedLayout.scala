@@ -168,4 +168,15 @@ class BucketedParquetStore(spark: SparkSession, dir: String, val nBuckets: Int)
   /** Partition-pruned upsert of a PK-unique change batch. */
   def upsert(table: String, batch: DataFrame, pkCols: Seq[String]): Unit =
     BucketedLayout.upsertBuckets(spark, path(table), batch, pkCols, nBuckets)
+
+  /** Re-layout the stored table under THIS store's bucket count when
+    * its recorded layout disagrees (or predates the marker). The
+    * upsert path self-heals on its own; delete-only cycles go through
+    * partial overwrites whose bucket arithmetic silently disagrees
+    * with a stale layout — callers run this first.
+    */
+  def ensureLayout(table: String, pkCols: Seq[String]): Unit =
+    if (exists(table) &&
+      !BucketedLayout.readBucketCount(spark, path(table)).contains(nBuckets))
+      writeFull(table, read(table), pkCols)
 }

@@ -38,6 +38,13 @@ class CatalogStore(spark: SparkSession,
     * (Staging alongside a live table is the other crash shape — a
     * death before the DROP; the live table is current and the stale
     * staging copy is dropped by the next write.)
+    *
+    * Invoked from the WRITER-side entry points only (`exists`/`write`,
+    * i.e. the sync job that owns the swap) — `read` stays catalog-
+    * read-only, so a concurrent consumer can never rename staging into
+    * place in the middle of a healthy writer's own DROP→RENAME window.
+    * A reader that does hit the window gets a loud table-not-found and
+    * the next sync cycle repairs it.
     */
   def recoverIfNeeded(table: String): Boolean = {
     val staging = s"__staging_${name(table)}"
@@ -48,10 +55,7 @@ class CatalogStore(spark: SparkSession,
     orphaned
   }
 
-  override def read(table: String): DataFrame = {
-    recoverIfNeeded(table)
-    spark.table(name(table))
-  }
+  override def read(table: String): DataFrame = spark.table(name(table))
 
   override def exists(table: String): Boolean = {
     recoverIfNeeded(table)

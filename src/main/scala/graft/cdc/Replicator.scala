@@ -188,6 +188,10 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       // sink's storage partitions, so "divergent bucket" maps 1:1 to
       // "partition to reload" — rewrite exactly those directories,
       // O(divergence) I/O instead of a full-table stage-and-swap.
+      // A delete-ONLY cycle never passes through the upsert self-heal,
+      // so align a stale/changed bucket layout here first — the diff
+      // below assumes diff buckets == storage partitions.
+      b.ensureLayout(t.name, t.primaryKeys)
       val src = readSource(t)
       val tgt = readTarget(t.name)
       val diff = RangeHashDiff.hashBucketDiff(src, tgt, t.primaryKeys, b.nBuckets)

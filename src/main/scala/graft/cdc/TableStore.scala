@@ -145,24 +145,34 @@ class JdbcStore(spark: SparkSession, url: String,
     * overridable [[withConnection]], so specs drive the whole path
     * with recorded metadata, DB-free.
     */
-  def extractIndices(table: String): Seq[SchemaSync.IndexSpec] =
+  def extractIndices(table: String,
+                     schema: Option[String] = None): Seq[SchemaSync.IndexSpec] =
     withConnection { conn =>
       val md = conn.getMetaData
+      // pass the schema pattern when known: with null, JDBC matches
+      // EVERY schema, and a same-named table elsewhere (public vs
+      // archive) would interleave its pk/index rows into this one's
+      val schemaPat = schema.orNull
       var pkName: Option[String] = None
       val pkRows = Seq.newBuilder[(String, Int)]
-      val pk = md.getPrimaryKeys(null, null, table)
+      val pk = md.getPrimaryKeys(null, schemaPat, table)
       try while (pk.next()) {
-        pkRows += ((pk.getString("COLUMN_NAME"), pk.getInt("KEY_SEQ")))
+        Option(pk.getString("COLUMN_NAME")).foreach { c =>
+          pkRows += ((c, pk.getInt("KEY_SEQ")))
+        }
         Option(pk.getString("PK_NAME")).foreach(n => pkName = Some(n))
       } finally pk.close()
       val idxRows = Seq.newBuilder[(String, String, Int)]
-      val ix = md.getIndexInfo(null, null, table, false, true)
+      val ix = md.getIndexInfo(null, schemaPat, table, false, true)
       try while (ix.next()) {
-        // tableIndexStatistic rows describe the table, not an index,
-        // and carry a null INDEX_NAME — skip them
-        Option(ix.getString("INDEX_NAME")).foreach { name =>
-          idxRows += ((name, ix.getString("COLUMN_NAME"), ix.getInt("ORDINAL_POSITION")))
-        }
+        // tableIndexStatistic rows describe the table (null INDEX_NAME);
+        // functional/expression indexes report a null COLUMN_NAME — a
+        // cluster sink can't sort by an expression, so skip both rather
+        // than emit a spec with a null column that breaks every write
+        for {
+          name <- Option(ix.getString("INDEX_NAME"))
+          column <- Option(ix.getString("COLUMN_NAME"))
+        } idxRows += ((name, column, ix.getInt("ORDINAL_POSITION")))
       } finally ix.close()
       JdbcIndexes.indexSpecs(table, pkRows.result(), pkName, idxRows.result())
     }
@@ -170,8 +180,9 @@ class JdbcStore(spark: SparkSession, url: String,
   /** [[extractIndices]] piped through [[SchemaSync.layoutFor]]: the
     * target layout this source's catalog implies.
     */
-  def layoutFor(table: String, numBuckets: Int): Option[SchemaSync.TableLayout] =
-    SchemaSync.layoutFor(extractIndices(table), numBuckets)
+  def layoutFor(table: String, numBuckets: Int,
+                schema: Option[String] = None): Option[SchemaSync.TableLayout] =
+    SchemaSync.layoutFor(extractIndices(table, schema), numBuckets)
 
   /** Open a plain JDBC connection with the store's url/props. The one
     * seam that needs a live database; overridable for recorded-

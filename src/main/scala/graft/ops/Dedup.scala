@@ -48,16 +48,16 @@ object Dedup {
     * combine), no per-group sort, no window — the shape that holds at
     * 100 TB where a window over every group would sort the corpus.
     */
-  def keepBest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = TextAnalysis.normalize(col(textCol))
+  def keepBest(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"), length(col(textCol)).as("q"),
-        md5(array_join(array_sort(array_distinct(split(norm, " "))), " ")).as("bag_hash"))
+        TextAnalysis.bagHash(TextAnalysis.normalize(col(textCol))).as("bag_hash"))
       .groupBy("bag_hash")
+      // min of (negated quality, id): largest q wins, ties to the
+      // smallest id — and the id is never negated, so ANY id type
+      // works (negating a string id would null out every keeper)
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col("q"), (-col("id")).as("nid"))).as("m"))
-      .select(col("bag_hash"), (-col("m.nid")).cast("long").as("keeper_id"),
-        col("n_members"))
-  }
+        min(struct((-col("q")).as("nq"), col("id"))).as("m"))
+      .select(col("bag_hash"), col("m.id").as("keeper_id"), col("n_members"))
 
   /** MinHash signatures: `numHashes` min-hashes over the distinct
     * token set via the affine universal-hash family — ONE md5 per

@@ -102,9 +102,13 @@ object Multimodal {
           val frameSize = fmt.getFrameSize
           val channels = fmt.getChannels
           val nFrames = bytes.length / frameSize
-          if (nFrames == 0) None
+          val rate = fmt.getFrameRate
+          // rate can be AudioSystem.NOT_SPECIFIED (-1); and the
+          // division must run in Double — a Float quotient loses ms
+          // precision once nFrames*1000 passes 2^24
+          if (nFrames == 0 || rate <= 0) None
           else {
-            val durationMs = (nFrames * 1000L / fmt.getFrameRate).toLong
+            val durationMs = math.round(nFrames * 1000.0 / rate)
             val sums = new Array[Double](featureDim)
             val counts = new Array[Long](featureDim)
             var i = 0

@@ -119,11 +119,18 @@ object TextAnalysis {
     * bag-of-tokens hash (catches token-shuffled copies), and a prefix
     * hash (cheap candidate key for prefix-duplicate scans).
     */
+  /** Order-independent bag-of-tokens hash over a NORMALIZED text
+    * column — the one definition shared by [[fingerprints]] and
+    * `Dedup.keepBest`, so their groupings can never drift apart.
+    */
+  def bagHash(normCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(normCol, " "))), " "))
+
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), normalize(col(textCol)).as("norm"))
       .select(col(idCol),
         md5(col("norm")).as("content_hash"),
-        md5(array_join(array_sort(array_distinct(split(col("norm"), " "))), " ")).as("bag_hash"),
+        bagHash(col("norm")).as("bag_hash"),
         md5(substring(col("norm"), 1, 64)).as("prefix_hash"))
 
   /** Within-document repetition signals (the Gopher-rule family of

@@ -171,6 +171,17 @@ object CdcStream {
   private[graft] def probeStore(spark: SparkSession, store: String,
                                     buckets: Seq[Int], batchId: Long): Option[DataFrame] = {
     val f = graft.util.Fs.fs(spark, store)
+    val root = new org.apache.hadoop.fs.Path(store)
+    // a pre-bucketed store laid signatures out as flat batch=<id> dirs;
+    // silently seeing "no gb= dirs → empty store" would re-admit every
+    // previously-rejected duplicate after an upgrade — refuse instead
+    if (f.exists(root) &&
+      f.listStatus(root).exists(_.getPath.getName.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"$store holds a legacy flat batch=<id> signature layout, not " +
+          "gb=<bucket> hash partitions. Migrate: read each batch dir and " +
+          "rewrite through the bucketed writer, or start a fresh stateDir " +
+          "(re-admitting history through the filter).")
     val dirs = buckets.sorted
       .map(k => s"$store/gb=$k")
       .filter(d => f.exists(new org.apache.hadoop.fs.Path(d)))

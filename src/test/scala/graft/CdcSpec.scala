@@ -150,6 +150,28 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: delete-only cycle under a changed bucket count converges") {
+    val srcDir = tmpDir(); val tgtDir = tmpDir()
+    val events = Tables.events(spark, sfDir).cache()
+    events.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir),
+      new BucketedParquetStore(spark, tgtDir, 8)).run()
+
+    // rows vanish but no versions advance: the next cycle takes ONLY
+    // the delete-sync path, under a DIFFERENT bucket count — without
+    // the layout heal its partial overwrites would corrupt or wedge
+    val evolved = events.filter($"event_id" % 7 =!= 0).cache()
+    evolved.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val sink4 = new BucketedParquetStore(spark, tgtDir, 4)
+    new Replicator(spark, eventsCfg, new ParquetStore(spark, srcDir), sink4).run()
+
+    val tgt = sink4.read("events")
+    assert(tgt.count() == evolved.count())
+    assert(tgt.select("event_id").distinct().count() == evolved.count(), "no dup PKs")
+    assert(tgt.join(evolved, Seq("event_id"), "left_anti").count() == 0)
+    assert(BucketedLayout.readBucketCount(spark, s"$tgtDir/events.parquet").contains(4))
+  }
+
   test("bucketed sink: partition-pruned read only touches the filtered bucket dirs") {
     val srcDir = tmpDir(); val tgtDir = tmpDir()
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$srcDir/events.parquet")
@@ -415,6 +437,8 @@ class CdcSpec extends SparkSpec {
     val idxRows = Seq(
       Map[String, Any]("INDEX_NAME" -> null, "COLUMN_NAME" -> null,
         "ORDINAL_POSITION" -> 0), // tableIndexStatistic
+      Map[String, Any]("INDEX_NAME" -> "events_lower_src_idx",
+        "COLUMN_NAME" -> null, "ORDINAL_POSITION" -> 1), // functional index
       Map[String, Any]("INDEX_NAME" -> "events_pkey",
         "COLUMN_NAME" -> "event_id", "ORDINAL_POSITION" -> 1),
       Map[String, Any]("INDEX_NAME" -> "events_id_unique",

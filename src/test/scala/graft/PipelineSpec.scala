@@ -152,6 +152,14 @@ class PipelineSpec extends SparkSpec {
     val t = Seq((5L, "p q r"), (3L, "r q p"), (9L, "q p r")).toDF("doc_id", "text")
     val keeper = Dedup.keepBest(t, "text", "doc_id").collect()
     assert(keeper.length == 1 && keeper.head.getLong(1) == 3L && keeper.head.getLong(2) == 3L)
+
+    // STRING ids must survive the argmax (an id negation would null
+    // out every keeper silently)
+    val s = Seq(("urn:b", "m n o"), ("urn:a", "o n m m m m o n"), ("urn:c", "n m o"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.keepBest(s, "text", "doc_id").collect()
+    assert(sk.length == 1 && sk.head.getString(1) == "urn:a" && sk.head.getLong(2) == 3L,
+      s"got ${sk.toSeq}")
   }
 
   test("cosine pairs finds a planted duplicate vector") {

@@ -85,8 +85,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup_keep_best: struct-max partial aggregation, no window sort") {
     val plan = formatted(q("dedup_keep_best"))
-    assert(plan.contains("partial_max"),
-      "keeper argmax must be a partial-aggregatable struct max")
+    assert(plan.contains("partial_min"),
+      "keeper argmax must be a partial-aggregatable struct min")
     assert(!plan.contains("Window"),
       "keeper selection must not sort groups through a window")
   }

@@ -310,6 +310,20 @@ class StreamingSpec extends SparkSpec {
     assert(seen == Set(1L, 2L, 3L), s"replay probe must exclude own batch, got $seen")
   }
 
+  test("near-dup filter refuses a legacy flat signature store (no silent re-admission)") {
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    // a pre-bucketed store: flat batch=<id> dirs at the store root
+    new java.io.File(s"$stateDir/bands.parquet/batch=0").mkdirs()
+    new java.io.File(s"$stateDir/sets.parquet/batch=0").mkdirs()
+    val b = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      CdcStream.nearDupBatch(spark, b, 1L, outDir, stateDir, "text", "doc_id",
+        numBands = 4)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("near-dup store compaction bounds per-bucket dirs and keeps old signatures") {
     val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
     val nB = 2; val maxDirs = 3
