@@ -184,9 +184,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count()
     val cands = lshCandidates(minHashSignatures(toks, numHashes), numHashes, numBands)
-    verifyJaccard(toks, cands)
+    // eager localCheckpoint, then release the token cache: without it
+    // every call pinned a tokenized-corpus cache for the session
+    // lifetime (same hygiene as ngramJaccard; checkpoint blocks are
+    // GC-cleaned with the returned frame)
+    val result = verifyJaccard(toks, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint()
+    toks.unpersist()
+    result
   }
 
   /** 60-bit SimHash fingerprint over the distinct token set (bit b of
