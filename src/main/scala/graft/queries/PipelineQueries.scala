@@ -114,6 +114,21 @@ object PipelineQueries {
     Similarity.annLshPairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       COS_T, dim = EMB_DIM)
 
+  /** Embedding k-means clustering (rows-only check: the iterative
+    * floor-quantized Lloyd loop is not one SQL statement; determinism
+    * and nearest-centroid consistency are spec-pinned instead).
+    */
+  def embKmeansQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      k = 8, iters = 4, dim = EMB_DIM)
+
+  /** SemDeDup-style semantic near-dup: exact cosine within k-means
+    * clusters (rows-only; spec pins that it finds the planted dup).
+    */
+  def dedupSemanticQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDupPairs(Tables.embeddings(spark, sfDir), "embedding",
+      "vec_id", COS_T, k = 8, iters = 4, dim = EMB_DIM)
+
   def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text", "doc_id")
 
@@ -203,6 +218,8 @@ object PipelineQueries {
     "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_pairs" -> annLshPairsQ,
+    "emb_kmeans" -> embKmeansQ,
+    "dedup_semantic" -> dedupSemanticQ,
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,

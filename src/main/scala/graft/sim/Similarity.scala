@@ -194,6 +194,112 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Lloyd's k-means over quantized embeddings — the clustering stage
+    * of SemDeDup-style semantic dedup ([[semanticDupPairs]]) and of
+    * cluster-balanced data mixing. Assignment metric is cosine
+    * (consistent with [[ivfTopK]]).
+    *
+    * Deterministic end-to-end: centroids initialize from the k vectors
+    * with the smallest portable id-hash (TakeOrdered — per-partition
+    * heaps, never a global sort), assignment ties break to the
+    * smallest centroid index, and each centroid update is an exact
+    * integer sum divided once then floored — identical across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape per iteration: broadcast the k×dim centroid table,
+    * ONE map-side assignment (partial-aggregatable struct-max, no
+    * window), and one update shuffle carrying k×dim rows; k×dim longs
+    * collect to the driver (tiny). 100 TB corpora run the same loop
+    * with k in the thousands; beyond broadcast range the assignment
+    * becomes hierarchical exactly like IVF's quantizer.
+    */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int = 5, dim: Option[Int] = None): DataFrame = {
+    val (assigned, _) = kmeansFull(df, vecCol, idCol, k, iters, dim)
+    assigned.select(col("id"), col("cluster"),
+      round(col("ccos"), 6).as("centroid_cosine"))
+  }
+
+  /** Assignments (id, qv, n2, cluster, ccos) + final centroids — the
+    * full form [[semanticDupPairs]] and the specs build on.
+    */
+  private[graft] def kmeansFull(df: DataFrame, vecCol: String, idCol: String,
+                                k: Int, iters: Int, dim: Option[Int])
+      : (DataFrame, Array[(Long, Seq[Long])]) = {
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = prepared(df, vecCol, idCol).persist(MEMORY_AND_DISK)
+    p.count() // materialize before the iteration fans out
+    var cents: Array[(Long, Seq[Long])] = p
+      .withColumn("hk", graft.util.Hashing.portableHash64(col("id").cast("string")))
+      .orderBy(col("hk"), col("id"))
+      .select(col("qv")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }
+    require(cents.nonEmpty, "kmeans needs a non-empty input")
+    val dimN = dim.getOrElse(cents.head._2.length)
+
+    def assign(): DataFrame = {
+      val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, v) =>
+        (cid, v.toArray)
+      }).toDF("cid", "cqv")
+        .withColumn("cn2", qdot(col("cqv"), col("cqv"), Some(dimN)))
+      p.crossJoin(broadcast(centDf))
+        // zero-norm vectors/centroids score -2 everywhere → the tie
+        // break (smallest cid) decides deterministically, no NaNs
+        .withColumn("ccos", when(col("cn2") === 0 || col("n2") === 0, lit(-2.0))
+          .otherwise(cosine(qdot(col("qv"), col("cqv"), Some(dimN)), col("n2"), col("cn2"))))
+        .groupBy("id")
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+          first(col("qv")).as("qv"), first(col("n2")).as("n2"))
+        .select(col("id"), col("qv"), col("n2"),
+          (-col("m.ncid")).as("cluster"), col("m.ccos").as("ccos"))
+    }
+
+    for (_ <- 0 until iters) {
+      val sums = assign()
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCluster.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_.getInt(1)).toSeq
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong))
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    // final assignment under the converged centroids; localCheckpoint
+    // so the token... vector cache can be released (same hygiene as
+    // the dedup family)
+    val finalAssign = assign().localCheckpoint()
+    p.unpersist()
+    (finalAssign, cents)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: exact cosine, but only
+    * WITHIN k-means clusters — like [[annLshPairs]] with learned
+    * buckets instead of random hyperplanes, which concentrates true
+    * near-dups into far fewer candidate pairs on clustered corpora.
+    * Same verified-cosine output contract as [[cosinePairs]].
+    */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, k: Int, iters: Int = 5,
+                       dim: Option[Int] = None): DataFrame = {
+    val (assigned, _) = kmeansFull(df, vecCol, idCol, k, iters, dim)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("qv").as("qv_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(qdot(col("qv_a"), col("qv_b"), dim), col("n2_a"), col("n2_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** LSH-accelerated near-dup pairs: exact cosine, but only within
     * hyperplane buckets (candidate recall traded for the elimination
     * of the global N² join — the 100 TB path).

@@ -170,6 +170,50 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"id_a" === 0 && $"id_b" === 900000L).count() == 1)
   }
 
+  test("kmeans: deterministic across partitionings, assignments are nearest-centroid") {
+    val e = Tables.embeddings(spark, sfDir)
+    val a1 = Similarity.kmeans(e, "embedding", "vec_id", k = 8, iters = 3, dim = Some(64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.kmeans(e.repartition(13), "embedding", "vec_id",
+      k = 8, iters = 3, dim = Some(64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2, "clustering must not depend on partitioning")
+    assert(a1.values.toSet.size > 1, "fixture must spread across clusters")
+
+    // self-consistency: every vector's cluster is the argmax-cosine
+    // centroid (ties to smallest cid) among the FINAL centroids
+    val (assigned, cents) = Similarity.kmeansFull(e, "embedding", "vec_id",
+      k = 8, iters = 3, dim = Some(64))
+    val rows = assigned.select("id", "qv", "cluster")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (na == 0 || nb == 0) -2.0 else d / (na * nb)
+    }
+    rows.foreach { case (id, qv, cluster) =>
+      val best = cents.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+      assert(cluster == best, s"vec $id assigned $cluster, nearest is $best")
+    }
+  }
+
+  test("semantic dedup finds the planted duplicate inside its cluster") {
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.unionByName(
+      e.filter($"vec_id" === 0).withColumn("vec_id", lit(900000L)))
+    val pairs = Similarity.semanticDupPairs(planted, "embedding", "vec_id",
+      0.999, k = 8, iters = 3, dim = Some(64))
+    // an exact copy always lands in the same cluster as its original
+    assert(pairs.filter($"id_a" === 0 && $"id_b" === 900000L).count() == 1)
+    // and within-cluster pairs are a SUBSET of the exact pair scan
+    val exact = Similarity.cosinePairs(planted, "embedding", "vec_id", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"semantic pairs must be exact-verified: ${got -- exact}")
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val t = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "embedding", "vec_id", expr("id % 25 = 0"), 5)
