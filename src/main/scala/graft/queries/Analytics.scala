@@ -181,14 +181,23 @@ object Analytics {
       .withColumn("purchase_value", coalesce($"purchase_value", lit(-1.0)))
   }
 
-  /** Running cumulative quantity per supplier ordered by ship date. */
+  /** Running cumulative quantity per supplier ordered by ship date.
+    * The ORDER BY must be a TOTAL order for a ROWS frame to be
+    * deterministic: the synthetic lineitem duplicates
+    * (shipdate, orderkey, linenumber) within a supplier (one collision
+    * at sf0.1, different quantities), and engines then disagree — or a
+    * single engine disagrees with itself across parallel runs — on the
+    * tied rows' partial sums. quantity+extendedprice break the tie.
+    */
   def qRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_quantity".asc, $"l_extendedprice".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
-      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_quantity", "l_extendedprice")
       .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast("double"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
@@ -284,7 +293,8 @@ object Analytics {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
         |       OVER (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
     "q_asof_join" ->
