@@ -179,8 +179,8 @@ object CdcStream {
       f.listStatus(root).exists(_.getPath.getName.startsWith("batch=")))
       throw new IllegalStateException(
         s"$store holds a legacy flat batch=<id> signature layout, not " +
-          "gb=<bucket> hash partitions. Migrate: read each batch dir and " +
-          "rewrite through the bucketed writer, or start a fresh stateDir " +
+          "gb=<bucket> hash partitions. Run CdcStream.migrateNearDupStore(" +
+          "spark, stateDir, nStoreBuckets) once, or start a fresh stateDir " +
           "(re-admitting history through the filter).")
     val dirs = buckets.sorted
       .map(k => s"$store/gb=$k")
@@ -202,6 +202,37 @@ object CdcStream {
       .write.partitionBy("gb", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(store)
+
+  /** One-time migration of a LEGACY flat near-dup signature store
+    * (`batch=<id>` dirs at each store root) into the bucketed layout
+    * [[probeStore]] expects. Batch ids are preserved, so replay
+    * exclusion semantics carry over. The bucketed copy is staged next
+    * to the original and swapped in at the end — a crash mid-migration
+    * leaves the original store untouched and a re-run restarts cleanly
+    * (staging is rebuilt from scratch).
+    */
+  def migrateNearDupStore(spark: SparkSession, stateDir: String,
+                          nStoreBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq((s"$stateDir/bands.parquet", bandBucket(nStoreBuckets)),
+        (s"$stateDir/sets.parquet", idBucket(col("id"), nStoreBuckets)))
+      .foreach { case (root, bucket) =>
+        val f = graft.util.Fs.fs(spark, root)
+        if (f.exists(new Path(root))) {
+          val batchDirs = f.listStatus(new Path(root)).map(_.getPath.getName)
+            .filter(_.startsWith("batch=")).toSeq
+          if (batchDirs.nonEmpty) {
+            val staging = s"$root.__migrating"
+            graft.util.Fs.delete(spark, staging)
+            batchDirs.foreach { d =>
+              writeStorePartitions(spark.read.parquet(s"$root/$d"), bucket,
+                d.stripPrefix("batch=").toLong, staging)
+            }
+            graft.util.Fs.replace(spark, staging, root)
+          }
+        }
+      }
+  }
 
   /** Fold one store bucket's old `batch=` dirs into a single base dir
     * when the bucket holds more than `maxDirs` of them — keeps

@@ -324,6 +324,32 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("legacy"), e.getMessage)
   }
 
+  test("legacy near-dup store migrates to the bucketed layout with state intact") {
+    import graft.ops.Dedup
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // hand-build the LEGACY flat layout exactly as round-3 code wrote
+    // it: plain batch=<id> dirs holding (band,sig,id) / (id,toks,n)
+    val toks = Dedup.tokenSet(Seq((1L, t1)).toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.bandSignatures(Dedup.minHashSignatures(toks, 16), 16, 4)
+      .write.parquet(s"$stateDir/bands.parquet/batch=0")
+    Dedup.tokenHashSets(toks)
+      .write.parquet(s"$stateDir/sets.parquet/batch=0")
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$outDir/batch=0")
+
+    CdcStream.migrateNearDupStore(spark, stateDir, nStoreBuckets = 8)
+    // post-migration: gb= hash partitions, no flat batch dirs left
+    val dirs = new java.io.File(s"$stateDir/bands.parquet").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("gb=")) && !dirs.exists(_.startsWith("batch=")), dirs.toSeq)
+
+    // the migrated signatures still reject an exact copy (new id, batch 1)
+    CdcStream.nearDupBatch(spark, Seq((2L, t1), (3L, "totally different fresh words " +
+      "appearing nowhere else at all in anything")).toDF("doc_id", "text"),
+      1L, outDir, stateDir, "text", "doc_id", numBands = 4, nStoreBuckets = 8)
+    val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L), s"got $admitted: 2 must dedup against migrated state")
+  }
+
   test("near-dup store compaction bounds per-bucket dirs and keeps old signatures") {
     val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
     val nB = 2; val maxDirs = 3
