@@ -43,10 +43,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    // Reset between trials: drop cached blocks a previous query leaked
-    // (minHashLsh's documented token cache) and collect garbage OUTSIDE
-    // the timed region — a later query must not pay an earlier query's
-    // memory pressure as GC pauses inside its measurement.
+    // Reset between trials: drop whatever cached blocks a previous
+    // trial left behind (warmup residue, any operator persists) and
+    // collect garbage OUTSIDE the timed region — a later query must
+    // not pay an earlier query's memory pressure as GC pauses inside
+    // its measurement.
     def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
     reset() // drop warmup garbage outside the timed region
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -45,7 +45,7 @@ object BucketedLayout {
     }
   }
 
-  private def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
+  private[graft] def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
     val out = Fs.fs(spark, dir).create(new Path(dir, MARKER), true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
   }

@@ -293,11 +293,13 @@ object Similarity {
       col("qv").as("qv_a"), col("n2").as("n2_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
       col("qv").as("qv_b"), col("n2").as("n2_b"))
+    // no trailing distinct: each id has exactly ONE cluster row, so a
+    // pair can't be emitted twice — a dedup here would be a pure
+    // shuffle of the whole pair output
     a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(qdot(col("qv_a"), col("qv_b"), dim), col("n2_a"), col("n2_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-      .distinct()
   }
 
   /** LSH-accelerated near-dup pairs: exact cosine, but only within
@@ -311,10 +313,12 @@ object Similarity {
       .join(hyperplaneBuckets(df, vecCol, idCol, planes, seed, dim), "id")
     val a = p.select(col("bucket"), col("id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
     val b = p.select(col("bucket"), col("id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    // no trailing distinct: hyperplaneBuckets emits ONE bucket row per
+    // id, so a pair can't be emitted twice (a multi-probe layout would
+    // need the dedup back)
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(qdot(col("qv_a"), col("qv_b"), dim), col("n2_a"), col("n2_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-      .distinct()
   }
 }

@@ -190,26 +190,54 @@ object CdcStream {
       .filter(col("batch") =!= batchId).drop("batch", "gb"))
   }
 
+  /** The store's bucket count is part of its identity: probing or
+    * writing with a DIFFERENT count uses the wrong gb= dirs and
+    * silently misses stored signatures (historical dups re-admitted,
+    * no error). Stores record their count in the same `_graft_buckets`
+    * marker the bucketed CDC sinks use; a mismatch refuses loudly.
+    */
+  private[graft] def requireStoreBuckets(spark: SparkSession, store: String,
+                                         nStoreBuckets: Int): Unit =
+    graft.cdc.BucketedLayout.readBucketCount(spark, store).foreach { recorded =>
+      if (recorded != nStoreBuckets)
+        throw new IllegalStateException(
+          s"$store was written with $recorded store buckets; this stream is " +
+            s"configured with $nStoreBuckets — probes would silently miss " +
+            "stored signatures. Use the recorded count, or migrate the store.")
+    }
+
   /** Write a batch's store rows into their `(gb, batch)` partitions.
     * Dynamic-partition overwrite touches ONLY the partitions present
     * in `df`, so a replay rewrites exactly its own directories and
     * every other (bucket, batch) partition's files stay untouched.
+    * Stamps the store's bucket-count marker on first write.
     */
   private def writeStorePartitions(df: DataFrame, bucket: Column, batchId: Long,
-                                   store: String): Unit =
+                                   store: String, nStoreBuckets: Int): Unit = {
     df.withColumn("gb", bucket).withColumn("batch", lit(batchId))
       .repartition(col("gb"))
       .write.partitionBy("gb", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(store)
+    val spark = df.sparkSession
+    if (graft.cdc.BucketedLayout.readBucketCount(spark, store).isEmpty)
+      graft.cdc.BucketedLayout.writeMarker(spark, store, nStoreBuckets)
+  }
 
   /** One-time migration of a LEGACY flat near-dup signature store
     * (`batch=<id>` dirs at each store root) into the bucketed layout
-    * [[probeStore]] expects. Batch ids are preserved, so replay
-    * exclusion semantics carry over. The bucketed copy is staged next
-    * to the original and swapped in at the end — a crash mid-migration
-    * leaves the original store untouched and a re-run restarts cleanly
-    * (staging is rebuilt from scratch).
+    * [[probeStore]] expects, stamped with `nStoreBuckets` — which MUST
+    * match the stream's configured count (the marker makes a mismatch
+    * refuse loudly afterwards, never silently miss signatures).
+    *
+    * Batch ids are preserved (one basePath read recovers them as a
+    * partition column — ONE job per store, not one per batch dir), so
+    * replay exclusion semantics carry over. Crash safety: the bucketed
+    * copy is fully staged, the original is renamed ASIDE (never
+    * deleted before the new layout is in place), staging renamed in,
+    * and only then the original dropped. A re-run after any crash
+    * either restores the set-aside original and restarts, or finishes
+    * the cleanup — no window loses the store.
     */
   def migrateNearDupStore(spark: SparkSession, stateDir: String,
                           nStoreBuckets: Int = 64): Unit = {
@@ -218,18 +246,33 @@ object CdcStream {
         (s"$stateDir/sets.parquet", idBucket(col("id"), nStoreBuckets)))
       .foreach { case (root, bucket) =>
         val f = graft.util.Fs.fs(spark, root)
+        val staging = s"$root.__migrating"
+        val aside = s"$root.__premigration"
+        // crash between the two renames: the original sits aside and
+        // nothing owns the root — put the original back and redo
+        if (!f.exists(new Path(root)) && f.exists(new Path(aside))) {
+          if (!f.rename(new Path(aside), new Path(root)))
+            throw new java.io.IOException(s"restore $aside -> $root failed")
+        }
         if (f.exists(new Path(root))) {
-          val batchDirs = f.listStatus(new Path(root)).map(_.getPath.getName)
-            .filter(_.startsWith("batch=")).toSeq
-          if (batchDirs.nonEmpty) {
-            val staging = s"$root.__migrating"
+          val legacy = f.listStatus(new Path(root))
+            .exists(_.getPath.getName.startsWith("batch="))
+          if (legacy) {
             graft.util.Fs.delete(spark, staging)
-            batchDirs.foreach { d =>
-              writeStorePartitions(spark.read.parquet(s"$root/$d"), bucket,
-                d.stripPrefix("batch=").toLong, staging)
-            }
-            graft.util.Fs.replace(spark, staging, root)
+            spark.read.option("basePath", root).parquet(root)
+              .withColumn("gb", bucket)
+              .repartition(col("gb"))
+              .write.partitionBy("gb", "batch").mode("overwrite").parquet(staging)
+            graft.cdc.BucketedLayout.writeMarker(spark, staging, nStoreBuckets)
+            graft.util.Fs.delete(spark, aside) // stale from an older crash
+            if (!f.rename(new Path(root), new Path(aside)))
+              throw new java.io.IOException(s"set-aside $root -> $aside failed")
+            if (!f.rename(new Path(staging), new Path(root)))
+              throw new java.io.IOException(s"publish $staging -> $root failed")
           }
+          // cleanup — also finishes a crash after the publish rename
+          graft.util.Fs.delete(spark, aside)
+          graft.util.Fs.delete(spark, staging)
         }
       }
   }
@@ -293,6 +336,8 @@ object CdcStream {
     import graft.ops.Dedup
     val bandsPath = s"$stateDir/bands.parquet"
     val setsPath = s"$stateDir/sets.parquet"
+    requireStoreBuckets(spark, bandsPath, nStoreBuckets)
+    requireStoreBuckets(spark, setsPath, nStoreBuckets)
     val toks = Dedup.tokenSet(batch, textCol, idCol).persist(MEMORY_AND_DISK)
     toks.count() // materialize before fanning into two subtrees
     // sigs feeds the bucket collect, BOTH candidate-join sides and the
@@ -355,9 +400,9 @@ object CdcStream {
     val admIds = admitted.select(col(idCol).as("id"))
     admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     writeStorePartitions(sets.join(admIds, Seq("id")),
-      idBucket(col("id"), nStoreBuckets), batchId, setsPath)
+      idBucket(col("id"), nStoreBuckets), batchId, setsPath, nStoreBuckets)
     writeStorePartitions(sigs.join(admIds, Seq("id")),
-      bandBucket(nStoreBuckets), batchId, bandsPath)
+      bandBucket(nStoreBuckets), batchId, bandsPath, nStoreBuckets)
     // fold old batch dirs in the buckets this trigger touched, so
     // per-bucket dir counts stay bounded as the stream ages
     val admSetBkts = admIds.select(idBucket(col("id"), nStoreBuckets).as("gb"))

@@ -337,10 +337,29 @@ class StreamingSpec extends SparkSpec {
       .write.parquet(s"$stateDir/sets.parquet/batch=0")
     Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$outDir/batch=0")
 
+    // simulate a crash BETWEEN the two publish renames of an earlier
+    // attempt: the original store sits aside, nothing owns the root —
+    // migration must restore it and complete (no lost store)
+    val bandsRoot = new java.io.File(s"$stateDir/bands.parquet")
+    assert(bandsRoot.renameTo(new java.io.File(s"$stateDir/bands.parquet.__premigration")))
+
     CdcStream.migrateNearDupStore(spark, stateDir, nStoreBuckets = 8)
-    // post-migration: gb= hash partitions, no flat batch dirs left
-    val dirs = new java.io.File(s"$stateDir/bands.parquet").listFiles().map(_.getName)
+    // post-migration: gb= hash partitions, no flat batch dirs left,
+    // count recorded, crash artifacts cleaned up
+    val dirs = bandsRoot.listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("gb=")) && !dirs.exists(_.startsWith("batch=")), dirs.toSeq)
+    assert(graft.cdc.BucketedLayout.readBucketCount(
+      spark, s"$stateDir/bands.parquet").contains(8))
+    assert(!new java.io.File(s"$stateDir/bands.parquet.__premigration").exists())
+    assert(!new java.io.File(s"$stateDir/bands.parquet.__migrating").exists())
+
+    // a stream configured with a DIFFERENT store bucket count must
+    // refuse loudly — its probes would miss every stored signature
+    val mm = intercept[IllegalStateException] {
+      CdcStream.nearDupBatch(spark, Seq((9L, t1)).toDF("doc_id", "text"),
+        2L, outDir, stateDir, "text", "doc_id", numBands = 4, nStoreBuckets = 16)
+    }
+    assert(mm.getMessage.contains("store buckets"), mm.getMessage)
 
     // the migrated signatures still reject an exact copy (new id, batch 1)
     CdcStream.nearDupBatch(spark, Seq((2L, t1), (3L, "totally different fresh words " +
