@@ -41,4 +41,41 @@ object Sampling {
       pmod(Hashing.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))),
         lit(BUCKETS)) < (rateCol * BUCKETS).cast("long"))
   }
+
+  /** Mixture sampling to a per-stratum TOKEN budget — the actual
+    * data-mixing primitive: "at most B_s tokens of stratum s", with
+    * the sampling rate derived from the corpus itself
+    * (rate_s = min(1, B_s / total_tokens_s)) rather than hand-tuned.
+    *
+    * Two phases, both scale-flat: ONE partial-aggregatable groupBy
+    * computes per-stratum token totals (|strata| rows), which broadcast
+    * back onto the scan; the keep decision is then the same
+    * deterministic hash threshold as [[stratified]] — reproducible
+    * across runs/engines/partitionings, and the big side never
+    * shuffles. The realized token count concentrates tightly around
+    * the budget (Bernoulli over docs); pipelines wanting an exact cut
+    * sort-and-prefix within the ~B_s-token sample, which is then tiny.
+    *
+    * `tokensCol` is any per-row weight expression (whitespace tokens,
+    * BPE counts, chars).
+    */
+  def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+                  tokensCol: Column, budgets: Map[String, Long],
+                  defaultBudget: Long, salt: String = "graft"): DataFrame = {
+    val weighted = df.withColumn("__nt", tokensCol.cast("long"))
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val rates = weighted.groupBy(col(stratumCol))
+      .agg(sum(col("__nt")).as("__tot"))
+      .select(col(stratumCol),
+        least(lit(1.0), budgetCol.cast("double") / col("__tot").cast("double"))
+          .as("__rate"))
+    weighted.join(broadcast(rates), Seq(stratumCol))
+      .filter(
+        pmod(Hashing.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))),
+          lit(BUCKETS)) < (col("__rate") * BUCKETS).cast("long"))
+      .drop("__rate", "__tot")
+      .withColumnRenamed("__nt", "n_tokens")
+  }
 }

@@ -133,6 +133,27 @@ object TextAnalysis {
         bagHash(col("norm")).as("bag_hash"),
         md5(substring(col("norm"), 1, 64)).as("prefix_hash"))
 
+  /** Per-stratum corpus statistics — the reporting pass a data-mixing
+    * pipeline runs first: document counts, token totals/means, char
+    * totals per (e.g.) language × source. One partial-aggregatable
+    * groupBy over per-row expressions; at 100 TB this is a single
+    * map-side-combined shuffle of |strata| rows per partition. The
+    * token totals feed [[graft.ops.Sampling.tokenBudget]] directly.
+    */
+  def corpusStats(df: DataFrame, textCol: String, strata: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    df.select(strata.map(col) ++ Seq(
+        size(split(normalize(t), " ")).as("nt"),
+        length(t).as("nc")): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(avg(col("nt")), 4).as("mean_tokens"),
+        sum(col("nc")).as("total_chars"),
+        max(col("nc")).as("max_chars"))
+  }
+
   /** Within-document repetition signals (the Gopher-rule family of
     * quality filters): fraction of duplicated tokens and of duplicated
     * bigrams. Pure per-row array expressions — map-only, no shuffle,

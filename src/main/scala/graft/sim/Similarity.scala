@@ -302,6 +302,118 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product-quantization ANN top-k — the memory-compressed 100 TB
+    * path: each vector is encoded as `m` small codes (one per
+    * subspace), so the searchable corpus shrinks from dim×4 bytes to
+    * m bytes per vector (64-dim float → 8 bytes at m=8) and fits the
+    * cluster's memory at vector counts where raw floats cannot.
+    * Search is asymmetric distance computation (ADC): per query, an
+    * m×`codes` lookup table of exact subspace distances is built
+    * against the codebooks, broadcast, and each encoded vector's
+    * approximate distance is the sum of m table lookups — a map-side
+    * hash join + partial-aggregatable sum, never a full-precision scan.
+    *
+    * Deterministic and integer-exact end-to-end (oracle-replayable at
+    * iters=0): codebooks initialize from the `codes` vectors with the
+    * smallest portable id-hash, sliced per subspace; `iters` rounds of
+    * Lloyd refinement under squared-L2 (exact integer sums,
+    * floor-quantized centroid updates — same contract as [[kmeans]],
+    * but all m subspaces train inside the SAME shuffles, keyed by
+    * (sub, cid), so refinement cost does not grow with m); assignment
+    * ties break to the smallest code id; ranks tie-break on neighbor
+    * id. Approximate distances are exact BIGINTs.
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+             queryPred: Column, k: Int, m: Int = 8, codes: Int = 16,
+             iters: Int = 0, dim: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = prepared(df, vecCol, idCol)
+    val dimN = dim.getOrElse(p.select(size(col("qv"))).head().getInt(0))
+    require(dimN % m == 0, s"dim $dimN not divisible into $m subspaces")
+    val w = dimN / m
+
+    // (id, sub, sv, sn2): one row per vector per subspace
+    val subs = p
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $w + 1, $w))"))
+        .as(Seq("sub", "sv")))
+      .withColumn("sn2", qdot(col("sv"), col("sv"), Some(w)))
+      .persist(MEMORY_AND_DISK)
+    subs.count() // materialize once: init, refinement, and encode all read it
+
+    // Codebook init: subspace slices of the `codes` hash-ranked vectors
+    // (TakeOrdered — per-partition heaps, no global sort).
+    var cb: Seq[(Int, Int, Seq[Long])] = p
+      .withColumn("hk", graft.util.Hashing.portableHash64(col("id").cast("string")))
+      .orderBy(col("hk"), col("id"))
+      .select(col("qv")).limit(codes)
+      .collect().toSeq.zipWithIndex
+      .flatMap { case (r, ci) =>
+        val v = r.getSeq[Long](0)
+        (0 until m).map(s => (s, ci, v.slice(s * w, s * w + w)))
+      }
+    require(cb.nonEmpty, "pqTopK needs a non-empty input")
+
+    def cbDf() = spark.createDataFrame(
+      cb.map { case (s, ci, v) => (s, ci.toLong, v.toArray) })
+      .toDF("sub", "cid", "cqv")
+      .withColumn("cn2", qdot(col("cqv"), col("cqv"), Some(w)))
+
+    // argmin_{cid} ||sv - cqv||² = sn2 + cn2 - 2·⟨sv,cqv⟩ (exact ints),
+    // ties → smallest cid: min of (dist, cid) struct, partial-agg'd.
+    def assign(): DataFrame = subs
+      .join(broadcast(cbDf()), Seq("sub"))
+      .withColumn("dist",
+        col("sn2") + col("cn2") - lit(2L) * qdot(col("sv"), col("cqv"), Some(w)))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("a"), first(col("sv")).as("sv"))
+      .select(col("id"), col("sub"), col("a.cid").as("code"), col("sv"))
+
+    for (_ <- 0 until iters) {
+      // k×m×w longs to the driver — tiny at any corpus size
+      val sums = assign()
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cb = cb.map { case (s, ci, old) =>
+        byKey.get((s, ci.toLong)) match {
+          case Some(rows) => (s, ci, rows.sortBy(_.getInt(2)).toSeq
+            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong))
+          case None => (s, ci, old) // empty code keeps its centroid
+        }
+      }
+    }
+
+    val encoded = assign().select(col("id"), col("sub"), col("code"))
+
+    // ADC lookup table: exact subspace distance of every (query, sub,
+    // code) triple — |queries|·m·codes rows, broadcast.
+    val qtab = subs.filter(queryPred)
+      .select(col("id").as("query_id"), col("sub"),
+        col("sv").as("qsv"), col("sn2").as("qsn2"))
+      .join(broadcast(cbDf()), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        (col("qsn2") + col("cn2") - lit(2L) * qdot(col("qsv"), col("cqv"), Some(w)))
+          .as("qdist"))
+
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val out = encoded
+      .join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+      .localCheckpoint() // release the subspace cache eagerly
+    subs.unpersist()
+    out
+  }
+
   /** LSH-accelerated near-dup pairs: exact cosine, but only within
     * hyperplane buckets (candidate recall traded for the elimination
     * of the global N² join — the 100 TB path).
