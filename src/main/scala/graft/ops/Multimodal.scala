@@ -101,12 +101,16 @@ object Multimodal {
           val bytes = in.readAllBytes()
           val frameSize = fmt.getFrameSize
           val channels = fmt.getChannels
-          val nFrames = bytes.length / frameSize
           val rate = fmt.getFrameRate
-          // rate can be AudioSystem.NOT_SPECIFIED (-1); and the
-          // division must run in Double — a Float quotient loses ms
-          // precision once nFrames*1000 passes 2^24
-          if (nFrames == 0 || rate <= 0) None
+          // frameSize/rate/channels can each be
+          // AudioSystem.NOT_SPECIFIED (-1): a negative frameSize makes
+          // nFrames negative, which would slip past an == 0 guard and
+          // return a negative duration with all -1f features instead
+          // of None. Guard them all BEFORE deriving nFrames; and the
+          // duration division must run in Double — a Float quotient
+          // loses ms precision once nFrames*1000 passes 2^24
+          val nFrames = if (frameSize <= 0) 0 else bytes.length / frameSize
+          if (frameSize <= 0 || channels <= 0 || nFrames <= 0 || rate <= 0) None
           else {
             val durationMs = math.round(nFrames * 1000.0 / rate)
             val sums = new Array[Double](featureDim)

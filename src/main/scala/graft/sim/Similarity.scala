@@ -266,7 +266,10 @@ object Similarity {
       cents = cents.map { case (cid, old) =>
         byCluster.get(cid) match {
           case Some(rows) => (cid, rows.sortBy(_.getInt(1)).toSeq
-            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong))
+            // floorDiv on longs: the exact integer sum floored once —
+            // a Double quotient is no longer exact past 2^53 (counts
+            // are positive, so floorDiv == the floored rational)
+            .map(r => Math.floorDiv(r.getLong(2), r.getLong(3))))
           case None => (cid, old) // empty cluster keeps its centroid
         }
       }
@@ -381,7 +384,8 @@ object Similarity {
       cb = cb.map { case (s, ci, old) =>
         byKey.get((s, ci.toLong)) match {
           case Some(rows) => (s, ci, rows.sortBy(_.getInt(2)).toSeq
-            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong))
+            // same floorDiv-on-longs exactness as the kmeansFull update
+            .map(r => Math.floorDiv(r.getLong(3), r.getLong(4))))
           case None => (s, ci, old) // empty code keeps its centroid
         }
       }

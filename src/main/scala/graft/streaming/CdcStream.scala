@@ -210,18 +210,27 @@ object CdcStream {
     * Dynamic-partition overwrite touches ONLY the partitions present
     * in `df`, so a replay rewrites exactly its own directories and
     * every other (bucket, batch) partition's files stay untouched.
-    * Stamps the store's bucket-count marker on first write.
+    * Stamps the store's bucket-count marker BEFORE the first data
+    * write (mkdirs + marker): a crash between a data write and a
+    * trailing marker write would leave a bucketed store unmarked, so a
+    * restart configured with a different count would pass
+    * [[requireStoreBuckets]] and silently miss stored signatures —
+    * exactly the failure the marker exists to refuse. This mirrors
+    * writeFull's marker-in-staging ordering: the store is never
+    * visible without its bucket count.
     */
-  private def writeStorePartitions(df: DataFrame, bucket: Column, batchId: Long,
-                                   store: String, nStoreBuckets: Int): Unit = {
+  private[graft] def writeStorePartitions(df: DataFrame, bucket: Column, batchId: Long,
+                                          store: String, nStoreBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (graft.cdc.BucketedLayout.readBucketCount(spark, store).isEmpty) {
+      graft.util.Fs.fs(spark, store).mkdirs(new org.apache.hadoop.fs.Path(store))
+      graft.cdc.BucketedLayout.writeMarker(spark, store, nStoreBuckets)
+    }
     df.withColumn("gb", bucket).withColumn("batch", lit(batchId))
       .repartition(col("gb"))
       .write.partitionBy("gb", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(store)
-    val spark = df.sparkSession
-    if (graft.cdc.BucketedLayout.readBucketCount(spark, store).isEmpty)
-      graft.cdc.BucketedLayout.writeMarker(spark, store, nStoreBuckets)
   }
 
   /** One-time migration of a LEGACY flat near-dup signature store
@@ -308,8 +317,21 @@ object CdcStream {
         val basePath = s"$bucketDir/batch=$baseId"
         val staging = s"$bucketDir/__staging_compact"
         if (!f.exists(new Path(basePath))) {
-          spark.read.parquet(srcs.map(id => s"$bucketDir/batch=$id").toIndexedSeq: _*)
-            .dropDuplicates(keyCols)
+          // the keeper must be DETERMINISTIC: if one key was admitted in
+          // two folded batches (id reuse), dropDuplicates would keep an
+          // arbitrary row and a replayed trigger could compact to a
+          // different store. Recover the batch partition column
+          // (basePath read) and keep the max-batch row per key — the
+          // latest admission wins; prior bases carry negative ids, so
+          // real batches outrank them. The struct max leads with batch
+          // (unique per dir), so payload fields only break impossible
+          // ties — but they keep the keeper total either way.
+          val rows = spark.read.option("basePath", bucketDir)
+            .parquet(srcs.map(id => s"$bucketDir/batch=$id").toIndexedSeq: _*)
+          val payload = rows.columns.filterNot(c => keyCols.contains(c) || c == "batch")
+          rows.groupBy(keyCols.map(col): _*)
+            .agg(max(struct((col("batch") +: payload.map(col)): _*)).as("__keep"))
+            .select(keyCols.map(col) ++ payload.map(p => col(s"__keep.`$p`").as(p)): _*)
             .coalesce(1)
             .write.mode("overwrite").parquet(staging)
           if (!f.rename(new Path(staging), new Path(basePath)))

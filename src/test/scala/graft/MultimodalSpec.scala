@@ -128,6 +128,26 @@ class MultimodalSpec extends SparkSpec {
       "undecodable audio falls back to the documented stub")
   }
 
+  test("WAV with an unusable frame geometry returns None, never bogus features") {
+    // a hand-built RIFF/PCM header declaring 0 channels and 0
+    // blockAlign: frameSize is not positive, so the decoder must
+    // refuse (None) rather than divide by it — a NOT_SPECIFIED (-1)
+    // frameSize from a lax parser would otherwise yield a NEGATIVE
+    // frame count that slips past an == 0 guard and fabricates a
+    // negative duration with all -1f features.
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = new Array[Byte](64)
+    val fmtChunk = le16(1) ++ le16(0) ++ le32(8000) ++ le32(0) ++ le16(0) ++ le16(16)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmtChunk.length) ++ fmtChunk ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    assert(Multimodal.decodeAudio(wav).isEmpty,
+      "0-channel/0-blockAlign WAV must refuse, not fabricate features")
+  }
+
   test("resize rewrites metadata and bounds payloads") {
     val r = Multimodal.resize(media, 8, 8).collect()
     assert(r.forall(m => m.meta.width == 8 && m.meta.height == 8))

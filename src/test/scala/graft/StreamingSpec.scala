@@ -400,6 +400,49 @@ class StreamingSpec extends SparkSpec {
       s"copy of a compacted doc must still be rejected, got $admitted")
   }
 
+  test("near-dup store marker lands before the first data write") {
+    // a crash between the first data write and a trailing marker write
+    // would leave a bucketed store unmarked — a restart with a
+    // different nStoreBuckets would then pass requireStoreBuckets and
+    // silently miss stored signatures. Pin the ordering: when the data
+    // write itself fails, the marker must already be on disk.
+    val store = s"${tmp()}/bands.parquet"
+    val failing = Seq((1L, "x")).toDF("id", "payload")
+      .withColumn("boom", raise_error(lit("simulated mid-write crash")))
+    intercept[Exception] {
+      CdcStream.writeStorePartitions(failing, lit(0), 0L, store, nStoreBuckets = 8)
+    }
+    assert(graft.cdc.BucketedLayout.readBucketCount(spark, store).contains(8),
+      "bucket-count marker must be stamped before the first data write")
+    // and a later write with a different count refuses against it
+    intercept[IllegalStateException] {
+      CdcStream.requireStoreBuckets(spark, store, 16)
+    }
+  }
+
+  test("near-dup store compaction keeps the LATEST batch's row per key") {
+    // same id admitted in two folded batches with different token sets
+    // (id reuse): the compacted keeper must be the max-batch row, not
+    // an arbitrary dropDuplicates survivor — a replayed trigger must
+    // recompute the SAME compaction.
+    val store = s"${tmp()}/sets.parquet"
+    val bucketDir = s"$store/gb=0"
+    Seq((5L, Array(10L, 20L), 2L)).toDF("id", "toks", "n")
+      .coalesce(1).write.parquet(s"$bucketDir/batch=0")
+    Seq((5L, Array(30L, 40L, 50L), 3L)).toDF("id", "toks", "n")
+      .coalesce(1).write.parquet(s"$bucketDir/batch=1")
+    CdcStream.compactBucket(spark, store, 0, batchId = 3L,
+      keyCols = Seq("id"), maxDirs = 1)
+    val dirs = new java.io.File(bucketDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=-5"), s"both sources must fold into one base, got $dirs")
+    val kept = spark.read.parquet(s"$bucketDir/batch=-5")
+      .as[(Long, Array[Long], Long)].collect()
+    assert(kept.length == 1)
+    assert(kept.head._1 == 5L && kept.head._2.toSeq == Seq(30L, 40L, 50L) &&
+      kept.head._3 == 3L, s"keeper must be the batch-1 row, got ${kept.toSeq}")
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
