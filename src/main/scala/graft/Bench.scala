@@ -79,13 +79,20 @@ object Bench {
         else (name, t1, Some(-1.0))
       } else (name, t1, None)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of stdout: the whole
+    // JSON line must fit in that window (after sbt's trailing
+    // [success] line) or the head of the line is cut off and it can
+    // never parse. ms precision and spread-only-when-spread keep ~50
+    // queries around 1.5 kB.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val spread = results.collect { case (k, v, Some(mx)) =>
-      s"\"" + k + "\":[" + v + "," + mx + "]"
+    val spread = results.collect {
+      case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 =>
+        s"\"" + k + "\":[" + ms(v) + "," + ms(mx) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread_min_max":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
