@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval (range) join.
+  *
+  * A range predicate (`lo <= pt < hi`) has no equality key, so Spark's
+  * only built-in physical shapes are broadcast-nested-loop or a
+  * cartesian product — both compare every point against every interval,
+  * O(P·I) regardless of how few pairs match. The standard distributed
+  * fix is BINNING: quantize the domain into fixed-width bins, explode
+  * each interval into the bins it covers, map each point to its single
+  * bin, and equi-join on the bin — Catalyst then plans an ordinary
+  * hash join (broadcast when the interval side is small), and only
+  * same-bin candidates are ever compared. An exact containment filter
+  * removes same-bin non-matches.
+  *
+  * Each matching (point, interval) pair meets in EXACTLY one bin — the
+  * point's — so the output needs no dedup shuffle.
+  *
+  * `binWidth` trades fan-out for selectivity: intervals explode into
+  * `len/binWidth + 1` rows, and a point meets every interval sharing
+  * its bin. Set it near the TYPICAL interval length (fan-out ≈ 2 and
+  * candidate lists stay short). Skewed point-time distributions fall
+  * out as ordinary equi-join skew, which AQE's skew-join split handles
+  * — nothing here is skew-sensitive by construction.
+  */
+object RangeJoin {
+
+  /** Floor-division bin of a (positive or negative) long value —
+    * `pmod` keeps the remainder non-negative, so the quotient is the
+    * true floor, unlike `div`'s truncation toward zero.
+    */
+  private def bin(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Join `points` to every interval of `intervals` containing them:
+    * `lo <= pt < hi` (half-open, the time-window convention). Output =
+    * one row per matching pair, carrying all columns of both inputs
+    * (names must not collide).
+    *
+    * `broadcastIntervals` picks the 100 TB plan for the common
+    * many-points × few-intervals shape: the exploded interval side is
+    * broadcast and the point side streams through a single map-side
+    * stage — NO shuffle of the big side at all. With a large interval
+    * side, pass false: both sides shuffle once on the bin key.
+    */
+  def pointInInterval(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long,
+                      broadcastIntervals: Boolean = true): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // half-open [lo, hi): the last covered bin is the one holding hi-1;
+    // an empty interval (hi <= lo) covers no bins and joins nothing
+    val binned = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__bin",
+        explode(sequence(bin(col(loCol), binWidth), bin(col(hiCol) - 1, binWidth))))
+    val r = if (broadcastIntervals) broadcast(binned) else binned
+    points.withColumn("__bin", bin(col(ptCol), binWidth))
+      .join(r, "__bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -181,6 +181,29 @@ object Analytics {
       .withColumn("purchase_value", coalesce($"purchase_value", lit(-1.0)))
   }
 
+  /** Range (point-in-interval) join: clicks attributed to every 2-hour
+    * promo window they fall in (windows anchored at a deterministic
+    * subset of purchases). No equality key — the naive plan is a
+    * broadcast-nested-loop comparing every click against every window;
+    * `graft.ops.RangeJoin` bins the time axis so Catalyst plans an
+    * ordinary broadcast HASH join on the bin (plan-audited): the click
+    * side streams through one map-side stage, zero shuffles.
+    */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val winMs = 7200000L // 2 h, also the bin width (fan-out ≤ 2 bins/window)
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), unix_millis($"ts").as("ts_ms"), $"value")
+    val promos = ev.filter($"event_type" === "purchase" && $"event_id" % 50 === 0)
+      .select($"event_id".as("promo_id"), unix_millis($"ts").as("lo_ms"),
+        (unix_millis($"ts") + winMs).as("hi_ms"))
+    graft.ops.RangeJoin.pointInInterval(clicks, "ts_ms", promos, "lo_ms", "hi_ms", winMs)
+      .groupBy($"promo_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("click_value"))
+  }
+
   /** Running cumulative quantity per supplier ordered by ship date.
     * The ORDER BY must be a TOTAL order for a ROWS frame to be
     * deterministic: the synthetic lineitem duplicates
@@ -212,6 +235,7 @@ object Analytics {
     "q_events_window" -> qEventsWindow,
     "q_events_sessionize" -> qEventsSessionize,
     "q_running_sum" -> qRunningSum,
+    "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +321,16 @@ object Analytics {
         |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS promo_id, count(*) AS n_clicks,
+        |  CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |FROM events p
+        |JOIN events c
+        |  ON c.event_type = 'click'
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        | AND epoch_ms(c.ts) < epoch_ms(p.ts) + 7200000
+        |WHERE p.event_type = 'purchase' AND p.event_id % 50 = 0
+        |GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH t AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms, 1 AS side,

@@ -106,6 +106,29 @@ object CdcQueries {
       Tables.events(spark, sfDir).select("event_id", "user_id", "event_type", "value"),
       Seq("user_id"), "event_id")
 
+  /** Incremental aggregate maintenance through one CDC cycle: the
+    * per-customer (count, revenue) aggregate of orders maintained from
+    * a change batch (price updates on every 7th order, inserts cloned
+    * from every 23rd, deletes of every 31st not also updated) WITHOUT
+    * rescanning the base — signed deltas folded into the stored state
+    * (graft.cdc.AggMaintain). The oracle recomputes the aggregate over
+    * the post-cycle table, so equality IS the maintenance proof.
+    */
+  def aggMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val upserts = orders.filter(expr("o_orderkey % 7 = 0"))
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .unionByName(orders.filter(expr("o_orderkey % 23 = 0"))
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    val dels = orders
+      .filter(expr("o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0"))
+      .select("o_orderkey")
+    graft.cdc.AggMaintain.maintainSumCount(spark, orders, upserts, dels,
+      pkCols = Seq("o_orderkey"), grpCols = Seq("o_custkey"), valCol = "o_totalprice",
+      cntCol = "n_orders", sumCol = "revenue")
+      .withColumn("revenue", col("revenue").cast("double"))
+  }
+
   def tableLengthQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.05)
       .agg(count(lit(1)).as("row_count"))
@@ -135,6 +158,7 @@ object CdcQueries {
     "cdc_deleted_keys" -> deletedKeysQ,
     "cdc_snapshot_diff" -> snapshotDiffQ,
     "cdc_latest_by_key" -> latestByKeyQ,
+    "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_table_length" -> tableLengthQ,
     "cdc_schema_fingerprint" -> schemaFingerprintQ)
 
@@ -215,6 +239,21 @@ object CdcQueries {
     "cdc_latest_by_key" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,
+    "cdc_agg_maintain" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |final AS (
+        |  SELECT o_custkey, o_totalprice AS v FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 31 <> 0
+        |  UNION ALL SELECT o_custkey, v FROM upd
+        |  UNION ALL SELECT o_custkey, v FROM ins)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM final GROUP BY 1""".stripMargin,
     "cdc_table_length" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05")
 }

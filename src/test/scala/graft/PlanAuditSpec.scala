@@ -91,6 +91,25 @@ class PlanAuditSpec extends SparkSpec {
       "keeper selection must not sort groups through a window")
   }
 
+  test("q_range_join: binned broadcast hash join, never nested-loop or cartesian") {
+    val plan = formatted(q("q_range_join"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bin equi-join must plan as a broadcast hash join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "a range join must never fall back to an all-pairs physical join")
+    assert(plan.contains("partial_sum"),
+      "the per-window aggregate must combine map-side")
+  }
+
+  test("cdc_agg_maintain: touched keys broadcast, delta aggregation is partial") {
+    val plan = formatted(q("cdc_agg_maintain"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the replaced-row semi-join must broadcast the batch's keys, " +
+        "never shuffle the base")
+    assert(plan.contains("partial_sum"),
+      "delta folding must partial-aggregate (one O(batch) shuffle)")
+  }
+
   test("catalog sink: cycle-2 merge plans with NO exchange on the bucketed base side") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.SparkPlan

@@ -196,4 +196,79 @@ class RandomizedSpec extends SparkSpec {
       s"admitted mismatch: extra=${got -- admitted.values}, missing=${admitted.values.toSet -- got}")
     assert(spark.read.parquet(outDir).count() == admitted.size, "replays must not duplicate rows")
   }
+
+  test("binned range join equals the naive inequality join on adversarial intervals") {
+    import graft.ops.RangeJoin
+    val rnd = new Random(31)
+    (1 to rounds).foreach { _ =>
+      // adversarial shapes: negative coordinates (floor-division bins),
+      // empty intervals (hi <= lo), intervals spanning many bins,
+      // zero-length gaps, duplicate points
+      val pts = (0 until rnd.nextInt(200) + 1).map(i =>
+        (i.toLong, rnd.nextLong(2000) - 1000))
+      val ivs = (0 until rnd.nextInt(40) + 1).map { i =>
+        val lo = rnd.nextLong(2000) - 1000
+        val len = rnd.nextInt(5) match {
+          case 0 => 0L                        // empty
+          case 1 => rnd.nextLong(300)         // many bins (binWidth = 16)
+          case _ => rnd.nextLong(20)
+        }
+        (i.toLong, lo, lo + len)
+      }
+      val expect = (for {
+        (pid, x) <- pts; (iid, lo, hi) <- ivs if x >= lo && x < hi
+      } yield (pid, iid)).toSet
+      def run(bc: Boolean) = RangeJoin.pointInInterval(
+        pts.toDF("pid", "x"), "x", ivs.toDF("iid", "lo", "hi"), "lo", "hi",
+        binWidth = 16, broadcastIntervals = bc)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(run(true) == expect, "broadcast path diverged from naive join")
+      assert(run(false) == expect, "shuffle path diverged from naive join")
+    }
+  }
+
+  test("aggregate maintenance equals recompute across random CDC cycles") {
+    import graft.cdc.AggMaintain
+    val rnd = new Random(59)
+    // truth: pk -> (grp, value); values in exact quarter steps so the
+    // decimal(18,2) cast is lossless on both the maintained and the
+    // recomputed side
+    var truth: Map[Long, (Int, Double)] =
+      (0L until 300L).map(i => i -> (rnd.nextInt(12), rnd.nextInt(4000) / 4.0)).toMap
+    var nextPk = 300L
+    def df(m: Map[Long, (Int, Double)]) =
+      m.toSeq.map { case (pk, (g, v)) => (pk, g, v) }.toDF("pk", "grp", "v")
+    def recompute(m: Map[Long, (Int, Double)]): Map[Int, (Long, BigDecimal)] =
+      m.values.groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.size.toLong,
+          rows.map(r => BigDecimal(r._2).setScale(2)).sum)
+      }
+    // the stored state rides forward: cycle N's output is cycle N+1's
+    // oldAgg, so this also pins that maintenance COMPOSES
+    var agg = AggMaintain.maintainSumCount(spark, df(truth),
+      spark.emptyDataset[(Long, Int, Double)].toDF("pk", "grp", "v"),
+      Seq.empty[Long].toDF("pk"), Seq("pk"), Seq("grp"), "v")
+    (1 to rounds).foreach { cycle =>
+      val base = truth
+      val ups = (0 until rnd.nextInt(60)).map { _ =>
+        if (rnd.nextBoolean() && base.nonEmpty) {
+          val pk = base.keys.toSeq(rnd.nextInt(base.size)) // replace
+          (pk, rnd.nextInt(12), rnd.nextInt(4000) / 4.0)
+        } else { nextPk += 1; (nextPk, rnd.nextInt(12), rnd.nextInt(4000) / 4.0) }
+      }.distinctBy(_._1)
+      val upKeys = ups.map(_._1).toSet
+      // occasionally delete a whole group (its aggregate row must vanish)
+      val doomedGrp = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(12)) else None
+      val dels = base.keys.filter(pk => !upKeys.contains(pk) &&
+        (rnd.nextInt(8) == 0 || doomedGrp.contains(base(pk)._1))).toSeq
+      agg = AggMaintain.maintainSumCount(spark, df(base),
+        ups.toDF("pk", "grp", "v"), dels.map(Tuple1(_)).toDF("pk"),
+        Seq("pk"), Seq("grp"), "v", oldAggOpt = Some(agg))
+        .localCheckpoint() // the next cycle's base table rewrites underneath it
+      truth = (base -- dels) ++ ups.map(u => u._1 -> (u._2, u._3))
+      val got = agg.collect().map(r =>
+        r.getInt(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+      assert(got == recompute(truth), s"cycle $cycle diverged")
+    }
+  }
 }
