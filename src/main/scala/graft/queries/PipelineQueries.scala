@@ -184,6 +184,18 @@ object PipelineQueries {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Sequence packing: whole documents grouped into ~1024-token packs
+    * (sharded first-fit-with-overflow, `graft.ops.Packing`) — the
+    * context-window assembly step after cleaning/dedup. Deterministic
+    * hash shards + per-shard prefix sums; one shuffle, no driver state.
+    */
+  def textPackQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(split(TextAnalysis.normalize(col("text")), " ")).as("n_tokens"))
+    graft.ops.Packing.packSequences(toks, "doc_id", "n_tokens",
+      budget = 1024, nShards = 8)
+  }
+
   /** Gopher-style within-doc repetition fractions — map-only. */
   def textRepetitionQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(spark, sfDir), "text", "doc_id")
@@ -230,6 +242,7 @@ object PipelineQueries {
     "text_contamination" -> textContaminationQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
+    "text_pack" -> textPackQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -502,6 +515,18 @@ object PipelineQueries {
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
          |  CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
          |        WHEN 'error' THEN 0.0 ELSE 0.1 END) * 10000 AS BIGINT)""".stripMargin,
+    "text_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(${h64("doc_id::VARCHAR")} % 8 AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 1024)
+         |    AS BIGINT) AS pack_id
+         |FROM t""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(nt) AS content_hash,
          |  md5(array_to_string(list_sort(list_distinct(string_split(nt, ' '))), ' ')) AS bag_hash,

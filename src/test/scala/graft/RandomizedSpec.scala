@@ -227,6 +227,37 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing matches a scan reference and never splits documents") {
+    import graft.ops.Packing
+    val rnd = new Random(101)
+    val budget = 128L; val nShards = 4
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    (1 to rounds).foreach { _ =>
+      // include docs LARGER than the budget: they must still land whole
+      // in the pack their first token falls in (overflow, never split)
+      val docs = (0 until rnd.nextInt(300) + 1).map { i =>
+        val t = rnd.nextInt(60) + 1
+        (i.toLong, if (rnd.nextInt(10) == 0) t + 200 else t)
+      }
+      val got = Packing.packSequences(docs.toDF("id", "toks"), "id", "toks",
+        budget, nShards)
+        .select("id", "shard", "pack_id").as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expect = docs.groupBy { case (id, _) => (h64(id.toString) % nShards).toInt }
+        .flatMap { case (shard, ds) =>
+          var start = 0L
+          ds.sortBy(_._1).map { case (id, t) =>
+            val p = id -> (shard, start / budget); start += t; p
+          }
+        }
+      assert(got == expect)
+    }
+  }
+
   test("aggregate maintenance equals recompute across random CDC cycles") {
     import graft.cdc.AggMaintain
     val rnd = new Random(59)

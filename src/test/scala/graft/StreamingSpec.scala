@@ -443,6 +443,67 @@ class StreamingSpec extends SparkSpec {
       kept.head._3 == 3L, s"keeper must be the batch-1 row, got ${kept.toSeq}")
   }
 
+  test("streaming MV maintenance tracks recompute under churn, replays, and a crash window") {
+    import scala.util.Random
+    import graft.streaming.AggStream
+    val dir = tmp()
+    val basePath = s"$dir/base.parquet"; val aggPath = s"$dir/agg.parquet"
+    val rnd = new Random(83)
+    var truth = Map.empty[Long, (Int, Double)] // pk -> (grp, v)
+    var nextPk = 0L
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val s = Paths.get(src); val d = Paths.get(dst)
+      Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    def check(cycle: Int): Unit = {
+      val gotBase = spark.read.parquet(basePath)
+        .as[(Long, Int, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotBase == truth, s"cycle $cycle: base diverged")
+      val gotAgg = spark.read.parquet(aggPath).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+      val want = truth.values.groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.size.toLong, rows.map(r => BigDecimal(r._2).setScale(2)).sum)
+      }
+      assert(gotAgg == want, s"cycle $cycle: maintained aggregate diverged from recompute")
+    }
+    (0 until 6).foreach { b =>
+      val ups = (0 until rnd.nextInt(30) + 1).map { _ =>
+        val pk = if (truth.nonEmpty && rnd.nextBoolean())
+          truth.keys.toSeq(rnd.nextInt(truth.size))
+        else { nextPk += 1; nextPk }
+        (pk, rnd.nextInt(5), rnd.nextInt(400) / 4.0, b.toLong, false)
+      }.distinctBy(_._1)
+      val upKeys = ups.map(_._1).toSet
+      val dels = truth.keys.filter(pk => !upKeys.contains(pk) && rnd.nextInt(6) == 0)
+        .map(pk => (pk, 0, 0.0, b.toLong, true)).toSeq
+      val batch = (ups ++ dels).toDF("pk", "grp", "v", "ver", "del")
+      def run() = AggStream.foldBatch(spark, batch, b.toLong, basePath, aggPath,
+        Seq("pk"), Seq("grp"), "v", versionColumn = Some("ver"), deleteCol = Some("del"))
+      if (b == 3) {
+        // crash window: the agg swap published but the base upsert
+        // didn't — a replay must skip the fold (stamp) and re-run only
+        // the idempotent base merge
+        val save = s"$dir/base_save"
+        copyDir(basePath, save)
+        run()                                  // agg swapped AND base merged...
+        graft.util.Fs.delete(spark, basePath)  // ...now undo the base half
+        copyDir(save, basePath)
+      }
+      run()
+      if (rnd.nextInt(2) == 0) run() // plain at-least-once replay
+      truth = (truth -- dels.map(_._1)) ++ ups.map(u => u._1 -> (u._2, u._3))
+      check(b)
+    }
+    // the stamp is what made the replays safe: it must carry the last batch id
+    assert(AggStream.readStamp(spark, aggPath).contains(5L))
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
