@@ -84,7 +84,10 @@ object Bench {
     // [success] line) or the head of the line is cut off and it can
     // never parse. ms precision and spread-only-when-spread keep ~50
     // queries around 1.5 kB.
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: an f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val spread = results.collect {

@@ -40,13 +40,18 @@ object AggMaintain {
     */
   def deltas(oldRows: DataFrame, newRows: DataFrame,
              grpCols: Seq[String], valCol: String): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(18,2)")
+    // a NULL value contributes 0 to the sum (SQL SUM skips NULLs) but
+    // still ±1 to the count — without the coalesce, one NULL-valued
+    // row would NULL the whole group's delta and the maintained sum
+    val dec = (c: Column) =>
+      coalesce(c.cast("decimal(18,2)"), lit(BigDecimal(0)).cast("decimal(18,2)"))
     val signed = newRows
       .select(grpCols.map(col) :+ lit(1L).as("__dc") :+ dec(col(valCol)).as("__dv"): _*)
       .unionByName(oldRows
         .select(grpCols.map(col) :+ lit(-1L).as("__dc") :+ (-dec(col(valCol))).as("__dv"): _*))
     signed.groupBy(grpCols.map(col): _*)
-      .agg(sum(col("__dc")).as("d_count"), sum(col("__dv")).as("d_sum"))
+      .agg(sum(col("__dc")).as("d_count"),
+        sum(col("__dv")).cast("decimal(28,2)").as("d_sum"))
   }
 
   /** Fold per-group deltas into the stored aggregate: untouched groups
@@ -59,10 +64,11 @@ object AggMaintain {
     */
   def applyDeltas(oldAgg: DataFrame, delta: DataFrame, grpCols: Seq[String],
                   cntCol: String, sumCol: String): DataFrame = {
+    val zero = lit(BigDecimal(0)).cast("decimal(18,2)")
     val touched = delta.join(oldAgg, grpCols, "left")
       .select(grpCols.map(col) ++ Seq(
         (coalesce(col(cntCol), lit(0L)) + col("d_count")).as(cntCol),
-        (coalesce(col(sumCol), lit(BigDecimal(0)).cast("decimal(18,2)")) + col("d_sum"))
+        (coalesce(col(sumCol), zero) + coalesce(col("d_sum"), zero))
           .cast("decimal(18,2)").as(sumCol)): _*)
       .filter(col(cntCol) > 0)
     oldAgg.join(delta.select(grpCols.map(col): _*), grpCols, "left_anti")
@@ -76,23 +82,45 @@ object AggMaintain {
     * pruned when the target is bucketed by pk).
     *
     * Equivalent to (and spec/oracle-checked against) recomputing the
-    * aggregate over the post-cycle table.
+    * aggregate over the post-cycle table. Sums are NULL-free: a group
+    * of all-NULL values reports 0.00 (stored-state convention, and
+    * what the delta algebra preserves) where a from-scratch SQL SUM
+    * would report NULL.
+    *
+    * `broadcastKeys` picks the replaced-row read: broadcast semi-join
+    * for a normal (small) change batch; pass false for a bulk
+    * backfill/bootstrap batch whose key set would not fit a broadcast
+    * — the semi-join then shuffles both sides on the pk instead.
     */
   def maintainSumCount(spark: SparkSession, base: DataFrame, upserts: DataFrame,
                        deleteKeys: DataFrame, pkCols: Seq[String],
                        grpCols: Seq[String], valCol: String,
                        cntCol: String = "n_rows", sumCol: String = "sum_value",
-                       oldAggOpt: Option[DataFrame] = None): DataFrame = {
+                       oldAggOpt: Option[DataFrame] = None,
+                       broadcastKeys: Boolean = true): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(18,2)")
     // the stored state; a caller with a live MV passes it in and the
     // base is then touched ONLY by the pruned replaced-row read
     val oldAgg = oldAggOpt.getOrElse(
       base.groupBy(grpCols.map(col): _*)
-        .agg(count(lit(1)).as(cntCol), sum(dec(col(valCol))).as(sumCol)))
+        .agg(count(lit(1)).as(cntCol),
+          coalesce(sum(dec(col(valCol))), lit(BigDecimal(0)).cast("decimal(18,2)"))
+            .as(sumCol)))
+    applyDeltas(oldAgg,
+      deltas(replacedRows(base, upserts, deleteKeys, pkCols, broadcastKeys),
+        upserts, grpCols, valCol),
+      grpCols, cntCol, sumCol)
+  }
+
+  /** The base rows a change batch replaces or deletes — the retract
+    * side of [[deltas]]. Pruned read: pk semi-join against the batch's
+    * keys, broadcast unless the caller says the batch is huge.
+    */
+  def replacedRows(base: DataFrame, upserts: DataFrame, deleteKeys: DataFrame,
+                   pkCols: Seq[String], broadcastKeys: Boolean = true): DataFrame = {
     val touchedKeys = upserts.select(pkCols.map(col): _*)
       .unionByName(deleteKeys.select(pkCols.map(col): _*)).distinct()
-    val oldRows = base.join(broadcast(touchedKeys), pkCols, "left_semi")
-    applyDeltas(oldAgg, deltas(oldRows, upserts, grpCols, valCol),
-      grpCols, cntCol, sumCol)
+    base.join(if (broadcastKeys) broadcast(touchedKeys) else touchedKeys,
+      pkCols, "left_semi")
   }
 }

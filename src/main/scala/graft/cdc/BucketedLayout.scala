@@ -121,6 +121,10 @@ object BucketedLayout {
     */
   def upsertBuckets(spark: SparkSession, destPath: String, batch: DataFrame,
                     pkCols: Seq[String], nBuckets: Int): Unit = {
+    // heal a writeFull swap that crashed between its delete and its
+    // rename — otherwise the missing target reads as empty and the
+    // merge below silently restarts the table from this batch
+    recoverSwap(spark, destPath)
     // a target laid out with a different bucket count (or a legacy one
     // with no marker) CANNOT take a pruned merge: keys hash to other
     // partitions and existing rows would be missed → duplicate PKs.
@@ -137,6 +141,13 @@ object BucketedLayout {
       overwriteBuckets(spark, Merge.upsert(base, batch, pkCols), pkCols, nBuckets, destPath)
     }
   }
+
+  /** Heal a [[writeFull]] swap that crashed between Fs.replace's
+    * delete and rename: the target is gone but the staging dir holds
+    * the complete committed layout. See [[Fs.recoverReplace]].
+    */
+  def recoverSwap(spark: SparkSession, destPath: String): Boolean =
+    Fs.recoverReplace(spark, stagingPath(destPath), destPath)
 
   private def stagingPath(destPath: String): String = {
     val p = new Path(destPath)

@@ -43,7 +43,10 @@ object Packing {
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("pack_id",
-        floor(col("__start").cast("double") / budget).cast("long"))
+        // integer div, not a Double quotient: prefix sums of a large
+        // shard can pass 2^53, where Double rounding would misplace
+        // boundary docs (__start is non-negative, so div == floor)
+        expr(s"__start div ${budget}L"))
       .drop("__start")
   }
 }

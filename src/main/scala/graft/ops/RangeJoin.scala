@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor-division bin of a (positive or negative) long value —
-    * `pmod` keeps the remainder non-negative, so the quotient is the
-    * true floor, unlike `div`'s truncation toward zero.
+  /** Floor-division bin of a (positive or negative) long value.
+    * All-integer arithmetic: `pmod` makes the numerator an exact
+    * multiple of `w`, so SQL `div`'s truncation IS the floor — and
+    * unlike a Double quotient it stays exact past 2^53 (nanosecond
+    * timestamps, hash-derived coordinates). Domain bound: values must
+    * exceed Long.MinValue + w (the pmod subtraction would underflow).
     */
   private def bin(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Join `points` to every interval of `intervals` containing them:
     * `lo <= pt < hi` (half-open, the time-window convention). Output =

@@ -4,27 +4,40 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.cdc.{AggMaintain, Merge}
+import graft.cdc.{AggMaintain, BucketedLayout, Merge}
 import graft.util.Fs
 
 /** Streaming materialized-view maintenance: a CDC feed keeps BOTH a
   * base-table replica and a per-group (count, sum) aggregate of it up
-  * to date — the aggregate folded forward incrementally
-  * ([[graft.cdc.AggMaintain]], O(batch) per trigger), never recomputed
-  * from the base.
+  * to date — the aggregate maintained incrementally
+  * ([[graft.cdc.AggMaintain.deltas]]), never recomputed from the base.
   *
-  * Exactly-once fold under foreachBatch's at-least-once contract: the
-  * base upsert is idempotent (replaying a merge of the same rows is a
-  * no-op), but folding the same DELTA twice corrupts the view. So the
-  * aggregate store is swapped in atomically WITH a `_graft_batch`
-  * stamp of the batch id that produced it, and a replayed batch that
-  * finds its own (or a later) stamp skips the fold. Within a trigger
-  * the fold runs BEFORE the base upsert — the delta retracts against
-  * the PRE-batch base — so the crash windows replay cleanly:
-  *  - crash before the agg swap: nothing changed; replay refolds;
-  *  - crash between agg swap and base upsert: replay sees the stamp,
-  *    skips the fold, re-runs only the idempotent base merge;
-  *  - both swaps are staged+rename, so neither store is ever partial.
+  * The aggregate store is an APPEND-ONLY DELTA LOG, not a rewritten
+  * table: each trigger writes its batch's per-group deltas into a
+  * deterministic `batch=<id>` partition (dynamic-partition overwrite,
+  * so a replay rewrites exactly its own directory), and [[readAgg]]
+  * folds the log — count/sum deltas are associative, so the fold is
+  * one partial-aggregated pass. Per-trigger aggregate I/O is
+  * O(groups TOUCHED BY THE BATCH), never O(all groups) and never
+  * O(base); [[compactDeltas]] folds old partitions into a base dir so
+  * log listing stays bounded with stream age (same recipe as the
+  * near-dup store). The base replica is maintained alongside — flat
+  * stage-and-swap for small tables, or hash-bucketed partitions
+  * (`nBuckets`, reusing [[graft.cdc.BucketedLayout]]) where a trigger
+  * rewrites only the partitions its keys hash into.
+  *
+  * Exactly-once fold under foreachBatch's at-least-once contract:
+  * the delta for batch N is computed against the PRE-batch base, so
+  * it is only correct while the base hasn't advanced. The ordering
+  * makes that an invariant: delta write → `_graft_batch` stamp →
+  * base update. A replay that finds its stamp skips the delta
+  * (whether or not the base half finished) and re-runs only the
+  * idempotent base merge; a replay without the stamp recomputes an
+  * IDENTICAL delta (the base can't have advanced — base updates only
+  * run after stamping) and overwrites its own partition. Crash inside
+  * the flat base swap itself (destination deleted, rename pending) is
+  * healed by [[graft.util.Fs.recoverReplace]] before any base read,
+  * so a missing base is never misread as an empty one.
   */
 object AggStream {
 
@@ -42,9 +55,24 @@ object AggStream {
   }
 
   private[graft] def writeStamp(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val out = Fs.fs(spark, dir).create(new Path(dir, STAMP), true)
+    val f = Fs.fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, STAMP), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The maintained view: fold the delta log. One partial-aggregated
+    * pass over O(groups × retained dirs) delta rows; groups whose
+    * retractions cancelled out (count 0) have left the view.
+    */
+  def readAgg(spark: SparkSession, aggPath: String, grpCols: Seq[String],
+              cntCol: String = "n_rows", sumCol: String = "sum_value"): DataFrame =
+    spark.read.option("basePath", aggPath).parquet(aggPath)
+      .groupBy(grpCols.map(col): _*)
+      .agg(sum(col("d_count")).as(cntCol),
+        coalesce(sum(col("d_sum")), lit(BigDecimal(0)))
+          .cast("decimal(18,2)").as(sumCol))
+      .filter(col(cntCol) > 0)
 
   /** One maintenance micro-batch — public so replay idempotence and
     * the crash windows are directly spec-testable (same pattern as
@@ -52,13 +80,17 @@ object AggStream {
     *
     * `deleteCol`, when given, names a boolean tombstone column of the
     * feed: a key's latest change row with it true deletes the key.
+    * `nBuckets` lays the base replica out as hash-bucket partitions
+    * (O(batch) base I/O per trigger); None keeps a flat staged-swap
+    * target for small tables.
     */
   def foldBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                 basePath: String, aggPath: String,
                 pkCols: Seq[String], grpCols: Seq[String], valCol: String,
                 versionColumn: Option[String] = None,
                 deleteCol: Option[String] = None,
-                cntCol: String = "n_rows", sumCol: String = "sum_value"): Unit =
+                nBuckets: Option[Int] = None,
+                maxDeltaDirs: Int = 8): Unit =
     if (!batch.isEmpty) {
       // collapse to ONE action per key (last writer wins by version)
       val latest = Merge.latestByKey(batch, pkCols,
@@ -68,45 +100,127 @@ object AggStream {
       val delKeys = deleteCol.map(c => latest.filter(col(c)).select(pkCols.map(col): _*))
         .getOrElse(latest.limit(0).select(pkCols.map(col): _*))
 
-      val baseExists = Fs.hasFileWithSuffix(spark, basePath, ".parquet")
-      val base = if (baseExists) spark.read.parquet(basePath) else ups.limit(0)
+      // heal a base swap that crashed between delete and rename —
+      // otherwise this replay would mistake the missing base for a
+      // bootstrap and silently truncate the replica to this batch
+      if (nBuckets.isDefined) BucketedLayout.recoverSwap(spark, basePath)
+      else Fs.recoverReplace(spark, s"$basePath.staging", basePath)
+      val baseExists = Fs.existsNonEmpty(spark, basePath)
+      val base =
+        if (!baseExists) ups.limit(0)
+        else if (nBuckets.isDefined)
+          spark.read.parquet(basePath).drop(BucketedLayout.GB)
+        else spark.read.parquet(basePath)
 
-      // 1. fold the delta into the aggregate — but only once per batch
-      //    id: a replay that already published this fold must not
-      //    double-apply the delta
+      // 1. the batch's aggregate delta, computed against the PRE-batch
+      //    base — append it as this batch's own partition, compact,
+      //    THEN stamp. Replays with the stamp skip (the base may have
+      //    advanced); replays without it recompute the identical delta
+      //    and re-enter a half-finished compaction under the SAME
+      //    derived base id (whose exists-guard skips straight to the
+      //    source deletes — no delta is ever folded twice).
       if (!readStamp(spark, aggPath).exists(_ >= batchId)) {
-        val oldAgg =
-          if (Fs.hasFileWithSuffix(spark, aggPath, ".parquet"))
-            Some(spark.read.parquet(aggPath))
-          else None // bootstrap: computed from the (possibly empty) base
-        val newAgg = AggMaintain.maintainSumCount(spark, base, ups, delKeys,
-          pkCols, grpCols, valCol, cntCol, sumCol, oldAgg)
-        val staging = s"$aggPath.staging"
-        newAgg.write.mode("overwrite").parquet(staging)
-        writeStamp(spark, staging, batchId) // stamp rides the atomic swap
-        Fs.replace(spark, staging, aggPath)
+        AggMaintain.deltas(
+            AggMaintain.replacedRows(base, ups, delKeys, pkCols), ups, grpCols, valCol)
+          .withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(aggPath)
+        compactDeltas(spark, aggPath, batchId, grpCols, maxDeltaDirs)
+        writeStamp(spark, aggPath, batchId)
       }
 
-      // 2. idempotent base upsert (stage + swap, merge reads the files
-      //    the swap replaces)
-      val merged =
-        if (baseExists) Merge.applyDeletes(Merge.upsert(base, ups, pkCols), delKeys, pkCols)
-        else ups
-      val staging = s"$basePath.staging"
-      merged.write.mode("overwrite").parquet(staging)
-      Fs.replace(spark, staging, basePath)
+      // 2. idempotent base apply
+      nBuckets match {
+        case Some(n) =>
+          val upsM = ups.localCheckpoint()
+          if (baseExists) {
+            // partition-pruned: read ONLY the buckets the batch's keys
+            // hash into, merge + delete, swap exactly those back
+            val touched = upsM.select(pkCols.map(col): _*)
+              .unionByName(delKeys).distinct()
+              .select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val slice = spark.read.parquet(basePath)
+              .filter(col(BucketedLayout.GB).isin(touched: _*))
+              .drop(BucketedLayout.GB)
+            val merged = Merge.applyDeletes(
+              Merge.upsert(slice, upsM, pkCols), delKeys, pkCols).localCheckpoint()
+            val kept = merged.select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            BucketedLayout.overwriteBuckets(spark, merged, pkCols, n, basePath,
+              clearBuckets = touched.filterNot(kept))
+          } else BucketedLayout.writeFull(spark, upsM, pkCols, n, basePath)
+        case None =>
+          val merged =
+            if (baseExists)
+              Merge.applyDeletes(Merge.upsert(base, ups, pkCols), delKeys, pkCols)
+            else ups
+          val staging = s"$basePath.staging"
+          merged.write.mode("overwrite").parquet(staging)
+          Fs.replace(spark, staging, basePath)
+      }
       ()
     }
 
+  /** Fold delta partitions older than `batchId - 1` into a single base
+    * partition when more than `maxDirs` accumulated — log listing and
+    * the [[readAgg]] fold stay bounded as the stream ages. Same
+    * crash-safe recipe as the near-dup store's compaction: stage the
+    * fold, rename to `batch=<negative base id>`, only then delete the
+    * sources; a replayed trigger recomputes the same compaction, and
+    * count/sum deltas are associative so a crash that leaves base +
+    * undeleted sources only double-counts until the replay's delete
+    * step — which the `!exists(basePath)` guard re-skips to.
+    */
+  private[graft] def compactDeltas(spark: SparkSession, aggPath: String,
+                                   batchId: Long, grpCols: Seq[String],
+                                   maxDirs: Int): Unit = {
+    val f = Fs.fs(spark, aggPath)
+    val root = new Path(aggPath)
+    if (f.exists(root)) {
+      val ids = f.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      val baseId = -batchId - 2
+      val srcs = ids.filter(id => id != baseId && id <= batchId - 2)
+      val basePath = s"$aggPath/batch=$baseId"
+      val staging = s"$aggPath/__staging_compact"
+      if (f.exists(new Path(basePath))) {
+        // this batch's compaction already published its base (a replay
+        // after a crash mid-delete): the sources ARE folded — unlike
+        // the near-dup store's candidate overlap, a leftover delta
+        // source would DOUBLE-COUNT, so always finish the deletes,
+        // even if the dir count has meanwhile dropped under maxDirs
+        srcs.foreach(id => Fs.delete(spark, s"$aggPath/batch=$id"))
+        Fs.delete(spark, staging)
+      } else if (ids.length > maxDirs && srcs.nonEmpty) {
+        spark.read.parquet(srcs.map(id => s"$aggPath/batch=$id").toIndexedSeq: _*)
+          .groupBy(grpCols.map(col): _*)
+          .agg(sum(col("d_count")).as("d_count"),
+            sum(col("d_sum")).cast("decimal(28,2)").as("d_sum"))
+          // all-zero groups carry no information — drop them so the
+          // compacted base shrinks to the live group set
+          .filter(col("d_count") =!= 0L || col("d_sum") =!= lit(BigDecimal(0)))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        if (!f.rename(new Path(staging), new Path(basePath)))
+          throw new java.io.IOException(s"rename $staging -> $basePath failed")
+        srcs.foreach(id => Fs.delete(spark, s"$aggPath/batch=$id"))
+        Fs.delete(spark, staging)
+      }
+    }
+  }
+
   /** Continuous maintenance of base + aggregate from a file-based
     * change feed. Returns the running query; callers own its
-    * lifecycle.
+    * lifecycle. Read the maintained view with [[readAgg]].
     */
   def maintainStream(spark: SparkSession, sourceDir: String,
                      basePath: String, aggPath: String, checkpoint: String,
                      pkCols: Seq[String], grpCols: Seq[String], valCol: String,
                      versionColumn: Option[String] = None,
                      deleteCol: Option[String] = None,
+                     nBuckets: Option[Int] = None,
                      maxFilesPerTrigger: Int = 10): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val feed = spark.readStream
@@ -118,7 +232,7 @@ object AggStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(spark, batch, batchId, basePath, aggPath,
-          pkCols, grpCols, valCol, versionColumn, deleteCol)
+          pkCols, grpCols, valCol, versionColumn, deleteCol, nBuckets)
       }
       .start()
   }

@@ -70,6 +70,10 @@ object CdcStream {
               // not O(target). This is the scale shape; the flat-target
               // branch below survives for small tables and demos.
               import graft.cdc.BucketedLayout
+              // a writeFull swap interrupted between delete and rename
+              // must heal BEFORE the exists gate, or the replay
+              // restarts the target from this batch
+              BucketedLayout.recoverSwap(spark, targetPath)
               // materialize once: upsertBuckets reads the batch for the
               // affected-bucket collect AND both merge sides
               val latestM = latest.localCheckpoint()
@@ -77,6 +81,8 @@ object CdcStream {
                 BucketedLayout.upsertBuckets(spark, targetPath, latestM, pkCols, n)
               else BucketedLayout.writeFull(spark, latestM, pkCols, n, targetPath)
             case None =>
+              // same healing for the flat stage-and-swap target
+              graft.util.Fs.recoverReplace(spark, s"$targetPath.staging", targetPath)
               val merged =
                 if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
                   Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)

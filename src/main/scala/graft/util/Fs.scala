@@ -49,6 +49,28 @@ object Fs {
       throw new java.io.IOException(s"rename $stagingPath -> $destPath failed")
   }
 
+  /** Recover a [[replace]] that crashed between its delete and its
+    * rename: the destination is gone but the staging directory holds
+    * the COMPLETE intended content (its `_SUCCESS` commit marker
+    * proves the write finished — a crash mid-staging-write leaves no
+    * marker and must NOT be promoted). Callers of the stage-and-swap
+    * pattern run this before reading the destination, so "dest
+    * missing" can never be misread as "dest empty" (which would
+    * silently restart the dataset from the current batch).
+    *
+    * @return true if a completed staging dir was renamed into place
+    */
+  def recoverReplace(spark: SparkSession, stagingPath: String, destPath: String): Boolean = {
+    val f = fs(spark, destPath)
+    val dest = new Path(destPath)
+    val staging = new Path(stagingPath)
+    if (!f.exists(dest) && f.exists(new Path(stagingPath, "_SUCCESS"))) {
+      if (!f.rename(staging, dest))
+        throw new java.io.IOException(s"recovery rename $stagingPath -> $destPath failed")
+      true
+    } else false
+  }
+
   def delete(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val f = fs(spark, path)

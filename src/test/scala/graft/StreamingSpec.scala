@@ -460,19 +460,20 @@ class StreamingSpec extends SparkSpec {
         else Files.copy(p, t)
       }
     }
+    val maxDeltaDirs = 3
     def check(cycle: Int): Unit = {
       val gotBase = spark.read.parquet(basePath)
         .as[(Long, Int, Double, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
       assert(gotBase == truth, s"cycle $cycle: base diverged")
-      val gotAgg = spark.read.parquet(aggPath).collect()
+      val gotAgg = AggStream.readAgg(spark, aggPath, Seq("grp")).collect()
         .map(r => r.getInt(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
       val want = truth.values.groupBy(_._1).map { case (g, rows) =>
         g -> (rows.size.toLong, rows.map(r => BigDecimal(r._2).setScale(2)).sum)
       }
       assert(gotAgg == want, s"cycle $cycle: maintained aggregate diverged from recompute")
     }
-    (0 until 6).foreach { b =>
+    (0 until 8).foreach { b =>
       val ups = (0 until rnd.nextInt(30) + 1).map { _ =>
         val pk = if (truth.nonEmpty && rnd.nextBoolean())
           truth.keys.toSeq(rnd.nextInt(truth.size))
@@ -484,24 +485,72 @@ class StreamingSpec extends SparkSpec {
         .map(pk => (pk, 0, 0.0, b.toLong, true)).toSeq
       val batch = (ups ++ dels).toDF("pk", "grp", "v", "ver", "del")
       def run() = AggStream.foldBatch(spark, batch, b.toLong, basePath, aggPath,
-        Seq("pk"), Seq("grp"), "v", versionColumn = Some("ver"), deleteCol = Some("del"))
+        Seq("pk"), Seq("grp"), "v", versionColumn = Some("ver"), deleteCol = Some("del"),
+        maxDeltaDirs = maxDeltaDirs)
       if (b == 3) {
-        // crash window: the agg swap published but the base upsert
-        // didn't — a replay must skip the fold (stamp) and re-run only
-        // the idempotent base merge
+        // crash window: the delta published (stamped) but the base
+        // upsert didn't — a replay must skip the fold (the base has
+        // NOT advanced, but neither may the delta double-apply) and
+        // re-run only the idempotent base merge
         val save = s"$dir/base_save"
         copyDir(basePath, save)
-        run()                                  // agg swapped AND base merged...
+        run()                                  // delta stamped AND base merged...
         graft.util.Fs.delete(spark, basePath)  // ...now undo the base half
         copyDir(save, basePath)
       }
       run()
-      if (rnd.nextInt(2) == 0) run() // plain at-least-once replay
+      if (b == 5) {
+        // crash window INSIDE the base swap: destination deleted, the
+        // completed staging dir not yet renamed — the replay must
+        // promote staging instead of restarting the replica from this
+        // batch (the staging dir carries its _SUCCESS commit marker)
+        assert(new java.io.File(basePath).renameTo(new java.io.File(s"$basePath.staging")))
+      }
+      if (rnd.nextInt(2) == 0 || b == 5) run() // plain at-least-once replay
       truth = (truth -- dels.map(_._1)) ++ ups.map(u => u._1 -> (u._2, u._3))
       check(b)
     }
     // the stamp is what made the replays safe: it must carry the last batch id
-    assert(AggStream.readStamp(spark, aggPath).contains(5L))
+    assert(AggStream.readStamp(spark, aggPath).contains(7L))
+    // the delta log is compacted: listing stays bounded with stream age
+    val dirs = new java.io.File(aggPath).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.length <= maxDeltaDirs,
+      s"delta log must stay bounded, got ${dirs.toSeq}")
+  }
+
+  test("MV maintenance on a bucketed base rewrites only the touched partitions") {
+    import graft.streaming.AggStream
+    import graft.cdc.BucketedLayout
+    val dir = tmp()
+    val basePath = s"$dir/base.parquet"; val aggPath = s"$dir/agg.parquet"
+    val n = 8
+    def run(rows: Seq[(Long, Int, Double, Long, Boolean)], b: Long) =
+      AggStream.foldBatch(spark, rows.toDF("pk", "grp", "v", "ver", "del"), b,
+        basePath, aggPath, Seq("pk"), Seq("grp"), "v",
+        versionColumn = Some("ver"), deleteCol = Some("del"), nBuckets = Some(n))
+    run((0L until 64L).map(pk => (pk, (pk % 5).toInt, pk / 4.0, 0L, false)), 0L)
+    assert(BucketedLayout.readBucketCount(spark, basePath).contains(n))
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(basePath).listFiles().filter(_.getName.startsWith("graft_bucket="))
+        .map(d => d.getName -> d.listFiles().toSeq.map(f =>
+          (f.getName, f.length(), f.lastModified())).sortBy(_._1)).toMap
+    val before = snapshot()
+    // one upsert + one delete: at most 2 buckets may change
+    run(Seq((3L, 9, 99.0, 1L, false), (7L, 0, 0.0, 1L, true)), 1L)
+    val after = snapshot()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size <= 2, s"only touched partitions may change, got $changed")
+    // and the maintained view tracks the recompute over the bucketed base
+    val gotAgg = AggStream.readAgg(spark, aggPath, Seq("grp")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+    val truth = ((0L until 64L).filter(pk => pk != 3L && pk != 7L)
+      .map(pk => ((pk % 5).toInt, pk / 4.0)) :+ (9, 99.0))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> (rows.size.toLong, rows.map(r => BigDecimal(r._2).setScale(2)).sum)
+      }
+    assert(gotAgg == truth)
   }
 
   test("streaming dedup within watermark drops replayed keys") {
