@@ -114,6 +114,16 @@ object PipelineQueries {
     Similarity.annLshPairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       COS_T, dim = EMB_DIM)
 
+  /** Product-quantization ANN (the memory-compressed 100 TB path:
+    * m codes per vector instead of dim floats; ADC search). iters=0
+    * keeps the codebook at its deterministic hash-ranked init, so the
+    * WHOLE pipeline — init, subspace argmin assignment, ADC distance
+    * sums, ranking — is integer-exact and DuckDB-replayable.
+    */
+  def annPqQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      expr("id % 100 = 0"), k = 5, m = 8, codes = 16, iters = 0, dim = EMB_DIM)
+
   /** Embedding k-means clustering (rows-only check: the iterative
     * floor-quantized Lloyd loop is not one SQL statement; determinism
     * and nearest-centroid consistency are spec-pinned instead).
@@ -230,6 +240,7 @@ object PipelineQueries {
     "ann_ivf" -> annIvfQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_pairs" -> annLshPairsQ,
+    "ann_pq" -> annPqQ,
     "emb_kmeans" -> embKmeansQ,
     "dedup_semantic" -> dedupSemanticQ,
     "text_tokens" -> textTokensQ,
@@ -515,6 +526,41 @@ object PipelineQueries {
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
          |  CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
          |        WHEN 'error' THEN 0.0 ELSE 0.1 END) * 10000 AS BIGINT)""".stripMargin,
+    "ann_pq" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q QUALIFY cid < 16),
+         |cb AS (SELECT cid, s AS sub, list_slice(qv, s*8+1, s*8+8) AS cqv
+         |       FROM init, range(8) t(s)),
+         |cbn AS (SELECT cid, sub, cqv,
+         |          CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cn2 FROM cb),
+         |subs AS (SELECT vec_id AS id, s AS sub, list_slice(qv, s*8+1, s*8+8) AS sv
+         |         FROM q, range(8) t(s)),
+         |subn AS (SELECT id, sub, sv,
+         |           CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS sn2 FROM subs),
+         |asg AS (SELECT id, sub, cid AS code FROM (
+         |          SELECT v.id, v.sub, c.cid,
+         |            row_number() OVER (PARTITION BY v.id, v.sub
+         |              ORDER BY v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+         |                         list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) ASC,
+         |                       c.cid ASC) AS rn
+         |          FROM subn v JOIN cbn c ON c.sub = v.sub) WHERE rn = 1),
+         |qtab AS (SELECT v.id AS query_id, v.sub, c.cid AS code,
+         |           v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+         |             list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) AS qdist
+         |         FROM subn v JOIN cbn c ON c.sub = v.sub
+         |         WHERE v.id % 100 = 0),
+         |nd AS (SELECT t.query_id, e.id AS neighbor_id,
+         |         CAST(sum(t.qdist) AS BIGINT) AS adist
+         |       FROM asg e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
+         |       WHERE e.id <> t.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adist FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM nd) WHERE rank <= 5""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

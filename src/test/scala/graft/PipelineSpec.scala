@@ -170,6 +170,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"id_a" === 0 && $"id_b" === 900000L).count() == 1)
   }
 
+  test("pq ann: deterministic across partitionings, contiguous ranks, no self-match") {
+    val e = Tables.embeddings(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Similarity.pqTopK(df, "embedding", "vec_id", expr("id % 100 = 0"),
+        k = 5, m = 8, codes = 16, iters = iters, dim = Some(64))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val base = run(e, 0)
+    assert(base == run(e.repartition(17), 0), "PQ search must not depend on partitioning")
+    // Lloyd codebook refinement must stay deterministic too (the
+    // floor-quantized integer-update contract)
+    val refined = run(e, 2)
+    assert(refined == run(e.repartition(5), 2), "refined PQ diverged across partitionings")
+    for (res <- Seq(base, refined)) {
+      res.groupBy(_._1).foreach { case (q, rows) =>
+        assert(rows.map(_._3).toSeq.sorted == (1 to rows.size), s"ranks of $q not contiguous")
+        assert(!rows.exists(_._2 == q), s"query $q matched itself")
+        assert(rows.forall(_._4 >= 0L), "ADC distances are sums of squared L2 — never negative")
+      }
+    }
+  }
+
   test("kmeans: deterministic across partitionings, assignments are nearest-centroid") {
     val e = Tables.embeddings(spark, sfDir)
     val a1 = Similarity.kmeans(e, "embedding", "vec_id", k = 8, iters = 3, dim = Some(64))
