@@ -33,22 +33,15 @@ object BucketedLayout {
     */
   val MARKER = "_graft_buckets"
 
-  /** The bucket count a target was laid out with, if recorded. */
-  def readBucketCount(spark: SparkSession, destPath: String): Option[Int] = {
-    val f = Fs.fs(spark, destPath)
-    val p = new Path(destPath, MARKER)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
-      finally in.close()
-    }
-  }
+  /** The bucket count a target was laid out with, if recorded. A
+    * garbled marker reads as absent — the upsert path then self-heals
+    * with a full re-layout instead of crash-looping.
+    */
+  def readBucketCount(spark: SparkSession, destPath: String): Option[Int] =
+    Fs.readSmallText(spark, destPath, MARKER).flatMap(_.toIntOption)
 
-  private[graft] def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
-    val out = Fs.fs(spark, dir).create(new Path(dir, MARKER), true)
-    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private[graft] def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit =
+    Fs.writeSmallText(spark, dir, MARKER, nBuckets.toString)
 
   /** bucket k for a row: portable 60-bit hash of the (injective)
     * pk-tuple encoding, mod nBuckets — any key shape, skew-free.
@@ -95,7 +88,10 @@ object BucketedLayout {
         s"$destPath is laid out with $recorded buckets, not $nBuckets; " +
           "re-layout via writeFull/upsertBuckets before partial overwrites")
     }
-    val tmp = stagingPath(destPath)
+    // partition-swap staging has its OWN name: recovery must be able
+    // to tell "complete per-partition swaps" (safe to finish dir by
+    // dir) from a writeFull staging (only ever swapped whole)
+    val tmp = partitionStagingPath(destPath)
     df.withColumn(GB, bucketExpr(pkCols, nBuckets))
       .repartition(col(GB))
       .write.partitionBy(GB).mode("overwrite").parquet(tmp)
@@ -142,16 +138,48 @@ object BucketedLayout {
     }
   }
 
-  /** Heal a [[writeFull]] swap that crashed between Fs.replace's
-    * delete and rename: the target is gone but the staging dir holds
-    * the complete committed layout. See [[Fs.recoverReplace]].
+  /** Heal an interrupted swap before the target is next read.
+    *
+    * Two windows (single-writer stores, like every stage-and-swap
+    * here):
+    *  - [[writeFull]] crashed between Fs.replace's delete and rename:
+    *    the target is gone but staging holds the complete committed
+    *    layout — promote it whole ([[Fs.recoverReplace]]).
+    *  - [[overwriteBuckets]] crashed mid-way through its per-partition
+    *    swaps: the committed staging dir still holds exactly the
+    *    partitions that were NOT yet renamed in (a successful swap
+    *    MOVES the staged dir out of staging). Without healing, a
+    *    bucket whose live dir was deleted but whose staged dir wasn't
+    *    renamed reads as empty and a replayed merge would silently
+    *    drop every untouched row co-bucketed with the batch's keys.
+    *    Finish the remaining swaps, then drop staging.
     */
-  def recoverSwap(spark: SparkSession, destPath: String): Boolean =
-    Fs.recoverReplace(spark, stagingPath(destPath), destPath)
+  def recoverSwap(spark: SparkSession, destPath: String): Boolean = {
+    if (Fs.recoverReplace(spark, stagingPath(destPath), destPath)) true
+    else {
+      val tmp = partitionStagingPath(destPath)
+      val f = Fs.fs(spark, destPath)
+      if (f.exists(new Path(destPath)) &&
+        f.exists(new Path(tmp, "_SUCCESS"))) {
+        val staged = f.listStatus(new Path(tmp))
+          .filter(_.getPath.getName.startsWith(s"$GB="))
+        staged.foreach { st =>
+          Fs.replace(spark, st.getPath.toString, s"$destPath/${st.getPath.getName}")
+        }
+        Fs.delete(spark, tmp)
+        staged.nonEmpty
+      } else false
+    }
+  }
 
   private def stagingPath(destPath: String): String = {
     val p = new Path(destPath)
     new Path(p.getParent, s"__staging_${p.getName}").toString
+  }
+
+  private def partitionStagingPath(destPath: String): String = {
+    val p = new Path(destPath)
+    new Path(p.getParent, s"__stagingp_${p.getName}").toString
   }
 }
 
@@ -164,10 +192,16 @@ class BucketedParquetStore(spark: SparkSession, dir: String, val nBuckets: Int)
     extends ParquetStore(spark, dir) {
 
   override def read(table: String): DataFrame =
-    super.read(table).drop(BucketedLayout.GB)
+    readWithBuckets(table).drop(BucketedLayout.GB)
 
-  /** Read WITH the layout column, for partition-pruned merges. */
-  def readWithBuckets(table: String): DataFrame = super.read(table)
+  /** Read WITH the layout column, for partition-pruned merges. Every
+    * read first heals an interrupted swap (full or per-partition), so
+    * a crashed cycle can never surface a half-swapped table.
+    */
+  def readWithBuckets(table: String): DataFrame = {
+    BucketedLayout.recoverSwap(spark, path(table))
+    super.read(table)
+  }
 
   def writeFull(table: String, df: DataFrame, pkCols: Seq[String]): Unit =
     BucketedLayout.writeFull(spark, df, pkCols, nBuckets, path(table))

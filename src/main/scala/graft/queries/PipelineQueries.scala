@@ -568,9 +568,9 @@ object PipelineQueries {
          |    CAST(${h64("doc_id::VARCHAR")} % 8 AS INT) AS shard
          |  FROM documents)
          |SELECT doc_id, n_tokens, shard,
-         |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+         |  CAST(coalesce(sum(n_tokens) OVER (
          |    PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 1024)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024
          |    AS BIGINT) AS pack_id
          |FROM t""".stripMargin,
     "text_fingerprint" ->

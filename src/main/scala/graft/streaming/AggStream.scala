@@ -43,23 +43,16 @@ object AggStream {
 
   private val STAMP = "_graft_batch"
 
-  private[graft] def readStamp(spark: SparkSession, dir: String): Option[Long] = {
-    val f = Fs.fs(spark, dir)
-    val p = new Path(dir, STAMP)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  /** A missing OR garbled stamp reads as absent — absent means
+    * "refold", which is always safe: the base only advances after the
+    * stamp lands, so an attempt that died mid-stamp left the base
+    * pre-batch and the recomputed delta is identical.
+    */
+  private[graft] def readStamp(spark: SparkSession, dir: String): Option[Long] =
+    Fs.readSmallText(spark, dir, STAMP).flatMap(_.toLongOption)
 
-  private[graft] def writeStamp(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val f = Fs.fs(spark, dir)
-    f.mkdirs(new Path(dir))
-    val out = f.create(new Path(dir, STAMP), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private[graft] def writeStamp(spark: SparkSession, dir: String, batchId: Long): Unit =
+    Fs.writeSmallText(spark, dir, STAMP, batchId.toString)
 
   /** The maintained view: fold the delta log. One partial-aggregated
     * pass over O(groups × retained dirs) delta rows; groups whose
@@ -100,33 +93,76 @@ object AggStream {
       val delKeys = deleteCol.map(c => latest.filter(col(c)).select(pkCols.map(col): _*))
         .getOrElse(latest.limit(0).select(pkCols.map(col): _*))
 
-      // heal a base swap that crashed between delete and rename —
-      // otherwise this replay would mistake the missing base for a
-      // bootstrap and silently truncate the replica to this batch
+      // heal a base swap that crashed mid-way (full swap: destination
+      // deleted with the rename pending; bucketed: some partition dirs
+      // swapped, the rest still staged) — otherwise this replay would
+      // misread the base and truncate the replica or drop co-bucketed
+      // rows
       if (nBuckets.isDefined) BucketedLayout.recoverSwap(spark, basePath)
       else Fs.recoverReplace(spark, s"$basePath.staging", basePath)
-      val baseExists = Fs.existsNonEmpty(spark, basePath)
+      // "exists" must mean "holds a readable dataset": a marker-only
+      // shell (all rows deleted, or an aborted bootstrap) has no
+      // parquet footer to infer a schema from and would wedge every
+      // later trigger
+      val f = Fs.fs(spark, basePath)
+      val baseExists = nBuckets match {
+        case Some(_) => f.exists(new Path(basePath)) &&
+          f.listStatus(new Path(basePath))
+            .exists(_.getPath.getName.startsWith(s"${BucketedLayout.GB}="))
+        case None => Fs.hasFileWithSuffix(spark, basePath, ".parquet")
+      }
+      // the buckets this batch touches — prunes BOTH the step-1
+      // retract read and the step-2 merge read to O(batch) partitions
+      val touched: Seq[Int] = nBuckets match {
+        case Some(n) if baseExists =>
+          ups.select(pkCols.map(col): _*)
+            .unionByName(delKeys).distinct()
+            .select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        case _ => Nil
+      }
       val base =
         if (!baseExists) ups.limit(0)
-        else if (nBuckets.isDefined)
-          spark.read.parquet(basePath).drop(BucketedLayout.GB)
-        else spark.read.parquet(basePath)
+        else nBuckets match {
+          case Some(_) =>
+            spark.read.parquet(basePath)
+              .filter(col(BucketedLayout.GB).isin(touched: _*))
+              .drop(BucketedLayout.GB)
+          case None => spark.read.parquet(basePath)
+        }
 
       // 1. the batch's aggregate delta, computed against the PRE-batch
       //    base — append it as this batch's own partition, compact,
-      //    THEN stamp. Replays with the stamp skip (the base may have
-      //    advanced); replays without it recompute the identical delta
-      //    and re-enter a half-finished compaction under the SAME
-      //    derived base id (whose exists-guard skips straight to the
-      //    source deletes — no delta is ever folded twice).
-      if (!readStamp(spark, aggPath).exists(_ >= batchId)) {
-        AggMaintain.deltas(
-            AggMaintain.replacedRows(base, ups, delKeys, pkCols), ups, grpCols, valCol)
-          .withColumn("batch", lit(batchId))
-          .write.partitionBy("batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(aggPath)
-        compactDeltas(spark, aggPath, batchId, grpCols, maxDeltaDirs)
+      //    THEN stamp. A replay with the stamp skips (the base may
+      //    have advanced); one without it recomputes the identical
+      //    delta and re-enters a half-finished compaction under the
+      //    SAME derived base id (whose exists-guard skips straight to
+      //    the source deletes — no delta is ever folded twice). A
+      //    stamp AHEAD of the batch id means a fresh checkpoint was
+      //    pointed at an old store: folding would silently skip and
+      //    the view would diverge from the base — refuse instead.
+      val stamp = readStamp(spark, aggPath)
+      if (stamp.exists(_ > batchId))
+        throw new IllegalStateException(
+          s"$aggPath was maintained up to batch ${stamp.get}, but this stream is " +
+            s"at batch $batchId — a fresh checkpoint against an existing store " +
+            "would silently skip folds. Start a fresh aggPath/basePath, or keep " +
+            "the original checkpoint.")
+      if (!stamp.contains(batchId)) {
+        val delta = AggMaintain.deltas(
+          AggMaintain.replacedRows(base, ups, delKeys, pkCols), ups, grpCols, valCol)
+          .localCheckpoint() // materialize once: the emptiness gate AND the write
+        // an empty delta (e.g. an all-tombstone bootstrap batch) must
+        // not write: a zero-row partitioned write into a store that
+        // does not exist yet would publish a schema-less _SUCCESS
+        // shell that wedges readAgg's schema inference
+        if (!delta.isEmpty) {
+          delta.withColumn("batch", lit(batchId))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(aggPath)
+          compactDeltas(spark, aggPath, batchId, grpCols, maxDeltaDirs)
+        }
         writeStamp(spark, aggPath, batchId)
       }
 
@@ -135,22 +171,20 @@ object AggStream {
         case Some(n) =>
           val upsM = ups.localCheckpoint()
           if (baseExists) {
-            // partition-pruned: read ONLY the buckets the batch's keys
-            // hash into, merge + delete, swap exactly those back
-            val touched = upsM.select(pkCols.map(col): _*)
-              .unionByName(delKeys).distinct()
-              .select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
-              .distinct().collect().map(_.getInt(0)).toSeq
-            val slice = spark.read.parquet(basePath)
-              .filter(col(BucketedLayout.GB).isin(touched: _*))
-              .drop(BucketedLayout.GB)
+            // base is already pruned to the touched partitions; merge
+            // + delete, swap exactly those back
             val merged = Merge.applyDeletes(
-              Merge.upsert(slice, upsM, pkCols), delKeys, pkCols).localCheckpoint()
+              Merge.upsert(base, upsM, pkCols), delKeys, pkCols).localCheckpoint()
             val kept = merged.select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
               .distinct().collect().map(_.getInt(0)).toSet
             BucketedLayout.overwriteBuckets(spark, merged, pkCols, n, basePath,
               clearBuckets = touched.filterNot(kept))
-          } else BucketedLayout.writeFull(spark, upsM, pkCols, n, basePath)
+          } else if (!upsM.isEmpty) {
+            // an all-tombstone bootstrap batch has nothing to write —
+            // a partitioned write of zero rows would publish a
+            // schema-less marker shell
+            BucketedLayout.writeFull(spark, upsM, pkCols, n, basePath)
+          }
         case None =>
           val merged =
             if (baseExists)

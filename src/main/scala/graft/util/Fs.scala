@@ -76,4 +76,41 @@ object Fs {
     val f = fs(spark, path)
     if (f.exists(p)) f.delete(p, true)
   }
+
+  /** Read a small marker/stamp file as text. `None` when the file is
+    * missing OR unreadable/garbled — writers recover by rewriting, and
+    * every caller treats an absent marker conservatively (refold a
+    * delta, re-layout a store), so a half-written file must degrade to
+    * "absent", never to a crash loop.
+    */
+  def readSmallText(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Write a small marker/stamp file: temp file + rename, so a reader
+    * never observes a truncated in-place overwrite (create-with-
+    * overwrite truncates BEFORE writing). The delete-then-rename pair
+    * still leaves a tiny missing-file window, which [[readSmallText]]
+    * maps to `None` — safe for every marker here.
+    */
+  def writeSmallText(spark: SparkSession, dir: String, name: String, value: String): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val tmp = new Path(dir, s"$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(dir, name)
+    if (f.exists(dest)) f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+  }
 }

@@ -120,6 +120,32 @@ class CdcSpec extends SparkSpec {
     assert(sink.read("events").columns.sameElements(events.columns))
   }
 
+  test("bucketed sink: interrupted per-partition swap heals before the next read") {
+    // crash window inside overwriteBuckets: a bucket's live dir was
+    // deleted but its staged replacement not yet renamed in. Without
+    // healing, the bucket reads empty and a replayed merge silently
+    // drops every untouched row co-bucketed with the batch's keys.
+    val tgt = s"${tmpDir()}/events.parquet"
+    val events = Tables.events(spark, sfDir).filter($"event_id" < 1000).cache()
+    BucketedLayout.writeFull(spark, events, Seq("event_id"), 8, tgt)
+    val full = spark.read.parquet(tgt).drop(BucketedLayout.GB).collect().toSet
+
+    // simulate: pick a bucket, move its live dir into a committed
+    // partition-staging dir (exactly what the crash leaves behind)
+    val live = new java.io.File(tgt).listFiles()
+      .filter(_.getName.startsWith("graft_bucket=")).minBy(_.getName)
+    val staging = new java.io.File(s"${new java.io.File(tgt).getParent}/__stagingp_events.parquet")
+    assert(staging.mkdirs())
+    java.nio.file.Files.createFile(staging.toPath.resolve("_SUCCESS"))
+    assert(live.renameTo(new java.io.File(staging, live.getName)))
+
+    // any store read heals first — nothing is lost
+    val sink = new BucketedParquetStore(spark, new java.io.File(tgt).getParent, 8)
+    assert(sink.read("events").collect().toSet == full,
+      "interrupted partition swap must heal, not read the bucket as empty")
+    assert(!staging.exists(), "completed recovery must drop the staging dir")
+  }
+
   test("bucketed sink: changed bucket count forces full re-layout, never dup PKs") {
     val tgt = s"${tmpDir()}/events.parquet"
     val events = Tables.events(spark, sfDir).cache()

@@ -519,6 +519,45 @@ class StreamingSpec extends SparkSpec {
       s"delta log must stay bounded, got ${dirs.toSeq}")
   }
 
+  test("MV maintenance refuses a fresh checkpoint against an old store; tolerates stamp damage") {
+    import graft.streaming.AggStream
+    val dir = tmp()
+    val basePath = s"$dir/base.parquet"; val aggPath = s"$dir/agg.parquet"
+    def run(rows: Seq[(Long, Int, Double, Long, Boolean)], b: Long) =
+      AggStream.foldBatch(spark, rows.toDF("pk", "grp", "v", "ver", "del"), b,
+        basePath, aggPath, Seq("pk"), Seq("grp"), "v",
+        versionColumn = Some("ver"), deleteCol = Some("del"))
+    run(Seq((1L, 0, 1.0, 7L, false)), 7L)
+    // batch ids restarting BELOW the stamp = a fresh checkpoint pointed
+    // at an old store: folding would silently skip and diverge — refuse
+    val e = intercept[IllegalStateException] { run(Seq((2L, 0, 2.0, 0L, false)), 0L) }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+    // a truncated/garbled stamp reads as absent (refold is safe), not a
+    // crash loop
+    graft.util.Fs.writeSmallText(spark, aggPath, "_graft_batch", "")
+    assert(AggStream.readStamp(spark, aggPath).isEmpty)
+    run(Seq((2L, 1, 2.0, 8L, false)), 8L)
+    val agg = AggStream.readAgg(spark, aggPath, Seq("grp")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(agg == Map(0 -> 1L, 1 -> 1L), s"got $agg")
+
+    // an ALL-TOMBSTONE bootstrap batch must not wedge later triggers
+    // with a schema-less shell (neither store may become unreadable)
+    val dir2 = tmp()
+    AggStream.foldBatch(spark,
+      Seq((9L, 0, 0.0, 0L, true)).toDF("pk", "grp", "v", "ver", "del"), 0L,
+      s"$dir2/base.parquet", s"$dir2/agg.parquet", Seq("pk"), Seq("grp"), "v",
+      versionColumn = Some("ver"), deleteCol = Some("del"), nBuckets = Some(4))
+    AggStream.foldBatch(spark,
+      Seq((1L, 2, 8.0, 1L, false)).toDF("pk", "grp", "v", "ver", "del"), 1L,
+      s"$dir2/base.parquet", s"$dir2/agg.parquet", Seq("pk"), Seq("grp"), "v",
+      versionColumn = Some("ver"), deleteCol = Some("del"), nBuckets = Some(4))
+    val agg2 = AggStream.readAgg(spark, s"$dir2/agg.parquet", Seq("grp")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(agg2 == Map(2 -> 1L), s"got $agg2")
+    assert(spark.read.parquet(s"$dir2/base.parquet").count() == 1)
+  }
+
   test("MV maintenance on a bucketed base rewrites only the touched partitions") {
     import graft.streaming.AggStream
     import graft.cdc.BucketedLayout
