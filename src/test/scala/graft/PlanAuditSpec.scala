@@ -110,6 +110,16 @@ class PlanAuditSpec extends SparkSpec {
       "delta folding must partial-aggregate (one O(batch) shuffle)")
   }
 
+  test("text_pack: one shard shuffle, nothing else") {
+    // count node-detail headers ("(3) Exchange"), not raw substring
+    // hits — formatted explain prints every node twice (tree + detail)
+    val plan = formatted(q("text_pack"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"packing is one hash-shard shuffle + per-shard sort; got $exchanges exchanges")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("catalog sink: cycle-2 merge plans with NO exchange on the bucketed base side") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.SparkPlan
