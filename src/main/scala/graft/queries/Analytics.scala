@@ -225,6 +225,26 @@ object Analytics {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** Time-based rolling aggregate: each event annotated with the
+    * user's 24-hour trailing value sum and event count — a RANGE
+    * frame over event-time milliseconds, NOT a ROWS frame: the frame
+    * is defined by the ORDER-BY VALUE, so simultaneous events are
+    * always in or out together and the result needs no tie-break
+    * columns to be deterministic. One shuffle on user_id, per-user
+    * sort, frame evaluated in a single pass (sliding accumulator).
+    */
+  def qRollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms".asc)
+      .rangeBetween(-86400000L, 0L)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"), $"value")
+      .withColumn("rolling_value",
+        sum($"value".cast("decimal(18,4)")).over(w).cast("double"))
+      .withColumn("rolling_events", count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts_ms", "rolling_value", "rolling_events")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q1_rollup" -> q1Rollup,
@@ -235,6 +255,7 @@ object Analytics {
     "q_events_window" -> qEventsWindow,
     "q_events_sessionize" -> qEventsSessionize,
     "q_running_sum" -> qRunningSum,
+    "q_rolling_window" -> qRollingWindow,
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin)
 
@@ -321,6 +342,16 @@ object Analytics {
         |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "q_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
+        |             RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_value,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
+        |                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+        |    AS rolling_events
+        |FROM events""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id AS promo_id, count(*) AS n_clicks,
         |  CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
