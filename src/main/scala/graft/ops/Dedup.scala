@@ -198,18 +198,25 @@ object Dedup {
 
   /** 60-bit SimHash fingerprint over the distinct token set (bit b of
     * the fingerprint = sign of Σ_tokens ±1 by bit b of the token
-    * hash). explode × 60 bits → two partial-aggregatable groupBys.
+    * hash). One groupBy with `bits` wide sum columns — every sum is
+    * partial-aggregatable (map-side combine), the shuffle carries
+    * |docs| rows, and no row is ever replicated. (The textbook
+    * explode-×-bits formulation shuffles |tokens|×bits rows through
+    * TWO aggregations; at corpus scale that 60× row blowup is the
+    * whole cost of the operator.)
     */
-  def simHash(tokens: DataFrame, bits: Int = 60): DataFrame =
+  def simHash(tokens: DataFrame, bits: Int = 60): DataFrame = {
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
+    }
+    val fingerprint = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     tokens
       .select(col("id"), Hashing.portableHash64(col("tok")).as("h"))
-      .crossJoin(tokens.sparkSession.range(bits).toDF("b"))
-      .select(col("id"), col("b"),
-        (expr("(h div cast(pow(2, b) as bigint)) % 2") * 2 - 1).as("v"))
-      .groupBy("id", "b").agg(sum("v").as("s"))
-      .select(col("id"), col("b"),
-        expr("case when s > 0 then cast(pow(2, b) as bigint) else 0L end").as("bitval"))
-      .groupBy("id").agg(sum("bitval").as("simhash"))
+      .groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), fingerprint.as("simhash"))
+  }
 
   /** SimHash near-dup candidates: split the fingerprint into `bands`
     * bit-bands; fingerprints agreeing on any band are candidates
