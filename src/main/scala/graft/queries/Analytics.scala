@@ -245,7 +245,51 @@ object Analytics {
       .select("user_id", "event_id", "ts_ms", "rolling_value", "rolling_events")
   }
 
+  /** Join-key skew profile of orders.o_custkey: top-20 heaviest keys
+    * with corpus share — the diagnostic run before picking broadcast /
+    * salt / AQE-skew strategy for the customer⋈orders join. One
+    * shuffled aggregate (exchange reused for the total), ordered-limit
+    * top-k (TakeOrderedAndProject, no global sort).
+    */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.heavyHitters(
+      Tables.orders(spark, sfDir).select("o_custkey"), "o_custkey", 20)
+
+  /** Pivot: per-returnflag quantity totals spread across linestatus
+    * columns (explicit pivot values keep the schema static — at scale
+    * an inferred pivot would need an extra distinct pass). Absent
+    * cells surface as 0, not NULL (driver hash contract).
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec($"l_quantity")))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0)).cast("double").as("qty_f"),
+        coalesce($"O", lit(0)).cast("double").as("qty_o"))
+  }
+
+  /** Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+    * the multi-dimensional layout key `graft.ops.ZOrder.writeClustered`
+    * sorts by at write time so scan-time min/max pruning works for
+    * filters on EITHER column. Pure codegen'd integer arithmetic,
+    * bit-identical in DuckDB.
+    */
+  def qZorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .withColumn("zkey", graft.ops.ZOrder.zkey(
+        Seq(pmod($"l_partkey", lit(65536L)), pmod($"l_suppkey", lit(65536L))), 16))
+      .select("l_orderkey", "l_linenumber", "zkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_pivot" -> qPivot,
+    "q_zorder_key" -> qZorderKey,
     "q1_agg" -> q1Agg,
     "q1_rollup" -> q1Rollup,
     "q_percentiles" -> qPercentiles,
@@ -260,6 +304,26 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+        |     t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT o_custkey, cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM c, t
+        |ORDER BY cnt DESC, o_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+        |         THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_f,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+        |         THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.ZOrder.zkeySql(Seq("(l_partkey % 65536)", "(l_suppkey % 65536)"), 16)} AS zkey
+         |FROM lineitem""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -129,6 +129,32 @@ object CdcQueries {
       .withColumn("revenue", col("revenue").cast("double"))
   }
 
+  /** SCD type-2 history built from the full events change feed:
+    * per-user event_type version intervals, consecutive identical
+    * payloads collapsed (graft.cdc.Scd2). is_current exposed as 0/1
+    * (driver hash contract: NULL-free, engine-stable types).
+    */
+  def scd2Q(spark: SparkSession, sfDir: String): DataFrame =
+    graft.cdc.Scd2.buildHistory(
+      Tables.events(spark, sfDir).select("user_id", "event_id", "event_type"),
+      Seq("user_id"), "event_id", Seq("event_type"))
+      .withColumn("is_current", col("is_current").cast("long"))
+
+  /** SCD2 maintenance: history built at watermark 500, then ONE
+    * change batch (500, 900] folded in via Scd2.maintain — O(touched
+    * keys), untouched rows pass through. The oracle rebuilds the full
+    * history over event_id <= 900 from scratch, so hash equality IS
+    * the proof that incremental fold == full rebuild.
+    */
+  def scd2MaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_id", "event_type")
+    val base = graft.cdc.Scd2.buildHistory(
+      ev.filter(col("event_id") <= 500), Seq("user_id"), "event_id", Seq("event_type"))
+    val batch = ev.filter(col("event_id") > 500 && col("event_id") <= 900)
+    graft.cdc.Scd2.maintain(base, batch, Seq("user_id"), "event_id", Seq("event_type"))
+      .withColumn("is_current", col("is_current").cast("long"))
+  }
+
   def tableLengthQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.05)
       .agg(count(lit(1)).as("row_count"))
@@ -159,6 +185,8 @@ object CdcQueries {
     "cdc_snapshot_diff" -> snapshotDiffQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
+    "cdc_scd2" -> scd2Q,
+    "cdc_scd2_maintain" -> scd2MaintainQ,
     "cdc_table_length" -> tableLengthQ,
     "cdc_schema_fingerprint" -> schemaFingerprintQ)
 
@@ -170,7 +198,29 @@ object CdcQueries {
        |           FROM t LEFT JOIN s ON s.bucket = t.bucket
        |           WHERE coalesce(s.n, 0) <> t.n)""".stripMargin
 
+  /** SCD2 full-rebuild SQL over a change-feed source expression —
+    * shared by cdc_scd2 (whole feed) and cdc_scd2_maintain (feed
+    * truncated at the batch horizon; comparing the incremental fold
+    * against this full rebuild is the maintenance proof).
+    */
+  private def scd2Oracle(src: String) =
+    s"""WITH ch AS (SELECT user_id, event_id, event_type,
+       |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+       |  FROM $src),
+       |keep AS (SELECT user_id, event_id, event_type FROM ch
+       |         WHERE prev IS NULL OR event_type <> prev),
+       |h AS (SELECT user_id, event_type, event_id AS valid_from,
+       |  coalesce(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id),
+       |           9223372036854775807) AS valid_to
+       |  FROM keep)
+       |SELECT user_id, event_type, valid_from, valid_to,
+       |  CAST(CASE WHEN valid_to = 9223372036854775807 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       |FROM h""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "cdc_scd2" -> scd2Oracle("events"),
+    "cdc_scd2_maintain" ->
+      scd2Oracle("(SELECT * FROM events WHERE event_id <= 900)"),
     "cdc_update_range" ->
       """SELECT count(*) AS row_count, max(event_id) AS max_version
         |FROM events WHERE event_type <> 'error'""".stripMargin,

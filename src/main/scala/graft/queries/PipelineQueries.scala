@@ -228,7 +228,19 @@ object PipelineQueries {
   def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Frequency-decade profile of the dedup token key (graft.ops
+    * .Profile.keyDistribution): how many distinct tokens occur 1–9,
+    * 10–99, … times across the corpus. A power-law tail here is the
+    * signal that an inverted-index self-join needs df-capping/salting
+    * (exactly why ngramJaccard prefix-filters) — the profile IS the
+    * pre-flight check for every candidate-generation operator.
+    */
+  def textTokenDfProfileQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.keyDistribution(
+      Dedup.tokenSet(Tables.documents(spark, sfDir), "text", "doc_id"), "tok")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_df_profile" -> textTokenDfProfileQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash_lsh" -> dedupMinhashQ,
     "dedup_simhash" -> dedupSimhashQ,
@@ -267,6 +279,13 @@ object PipelineQueries {
       |     n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_token_df_profile" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
+         |              FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+         |SELECT CAST(length(CAST(cnt AS VARCHAR)) - 1 AS BIGINT) AS freq_decade,
+         |       count(*) AS n_keys
+         |FROM c GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Profile, ZOrder}
+
+class LayoutProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder: zkey matches the reference bit-interleave") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }.sum
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = rows.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zkey(Seq($"x", $"y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === ref(x, y, 16), s"($x,$y)") }
+  }
+
+  test("zorder: SQL text computes the identical key") {
+    val rows = Seq((7L, 11L), (0L, 65535L), (43210L, 1L)).toDF("x", "y")
+    rows.createOrReplaceTempView("zt")
+    val viaSql = sql(s"SELECT ${ZOrder.zkeySql(Seq("x", "y"), 16)} AS z FROM zt")
+      .as[Long].collect().toSeq
+    val viaCol = rows.select(ZOrder.zkey(Seq($"x", $"y"), 16)).as[Long].collect().toSeq
+    assert(viaSql === viaCol)
+  }
+
+  test("zorder: clustered layout makes BOTH dimensions prunable by file min/max") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    ZOrder.writeClustered(df, Seq("x", "y"), 6, s"$dir/z", numFiles = 16)
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    // a file can serve `y BETWEEN 8 AND 15` only if its [min,max] on y
+    // overlaps — count prunable files under each layout
+    def overlapping(path: String): Int = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length >= 12, s"expected ~16 files, got ${files.length}")
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).first()
+        r.getLong(0) <= 15L && r.getLong(1) >= 8L
+      }
+    }
+    val z = overlapping(s"$dir/z")
+    val lin = overlapping(s"$dir/linear")
+    assert(lin >= 12, s"x-sorted layout should be unprunable on y (got $lin)")
+    assert(z <= lin / 2, s"z-order should prune y ranges: $z vs $lin")
+    // and the clustered copy still holds exactly the input rows
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() === 4096 && back.exceptAll(df).isEmpty)
+  }
+
+  test("profile: heavyHitters ranks by count with corpus share") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")).toDF("k")
+    val top = Profile.heavyHitters(df, "k", 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(top === Seq(("a", 5L, 0.5), ("b", 3L, 0.3)))
+  }
+
+  test("profile: heavyHitters breaks count ties by key ascending") {
+    val df = Seq("z", "y", "y", "x", "x").toDF("k")
+    val top = Profile.heavyHitters(df, "k", 3).as[(String, Long, Double)].collect().toSeq
+    assert(top.map(_._1) === Seq("x", "y", "z"))
+  }
+
+  test("profile: keyDistribution buckets by frequency decade") {
+    val df = (Seq.fill(1)("k1") ++ Seq.fill(5)("k2") ++ Seq.fill(10)("k3") ++
+      Seq.fill(100)("k4")).toDF("k")
+    val got = Profile.keyDistribution(df, "k").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+}

@@ -160,4 +160,35 @@ class PlanAuditSpec extends SparkSpec {
         "the bucketed base table must be read in place — merging must not reshuffle the target")
     }
   }
+
+  private def exchanges(plan: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+
+  test("cdc_scd2: both windows share ONE exchange and ONE sort") {
+    val plan = formatted(q("cdc_scd2"))
+    assert(exchanges(plan) === 1,
+      "dedup-lag and interval-lead run over the same (partition, order) spec")
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).size === 1,
+      "the second window must reuse the first's sort order")
+  }
+
+  test("dedup_simhash: one shuffle, wide partial sums, no bit-replication join") {
+    val plan = formatted(q("dedup_simhash"))
+    assert(exchanges(plan) === 1,
+      "spread-by-id satisfies the groupBy(id) — fingerprints need no second shuffle")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the 60-bit fan-out must be wide agg columns, not a ×60 row join")
+    assert(plan.contains("partial_sum"), "bit sums must combine map-side")
+  }
+
+  test("q_heavy_hitters: total reuses the count exchange; top-k never global-sorts") {
+    // static reuse is visible with AQE off (AQE reuses at stage submit)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = formatted(q("q_heavy_hitters"))
+      assert(plan.contains("ReusedExchange"),
+        "the corpus total must fold over the SAME shuffled aggregate, not rescan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        "top-k must be per-partition heaps + driver merge, not a global sort")
+    }
+  }
 }
