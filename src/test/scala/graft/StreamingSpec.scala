@@ -592,6 +592,58 @@ class StreamingSpec extends SparkSpec {
     assert(gotAgg == truth)
   }
 
+  test("streaming SCD2 history converges to the batch rebuild") {
+    import graft.streaming.Scd2Stream
+    import graft.cdc.Scd2
+    val feedDir = tmp(); val hist = s"${tmp()}/history.parquet"; val cp = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type").cache()
+    // three feed files → at maxFilesPerTrigger=1 the stream folds
+    // three genuinely separate micro-batches in arrival order
+    for ((lo, hi) <- Seq((0L, 300L), (300L, 700L), (700L, 1000L)))
+      ev.filter($"event_id" >= lo && $"event_id" < hi).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+    val q = Scd2Stream.historyStream(spark, feedDir, hist, cp,
+      Seq("user_id"), "event_id", Seq("event_type"), maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(hist)
+    val want = Scd2.buildHistory(ev, Seq("user_id"), "event_id", Seq("event_type"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("SCD2 fold is replay-idempotent and heals a crashed swap") {
+    import graft.streaming.Scd2Stream
+    import graft.cdc.Scd2
+    val hist = s"${tmp()}/history.parquet"
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type").cache()
+    val b1 = ev.filter($"event_id" < 500)
+    val b2 = ev.filter($"event_id" >= 500 && $"event_id" < 900)
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Scd2Stream.foldBatch(spark, b, hist, Seq("user_id"), "event_id", Seq("event_type"))
+    run(b1)
+    run(b2)
+    run(b2) // at-least-once replay of the SAME batch
+    val want = Scd2.buildHistory(ev.filter($"event_id" < 900),
+      Seq("user_id"), "event_id", Seq("event_type"))
+    val got = spark.read.parquet(hist)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "replayed fold must be a fixpoint")
+    // crash window: live deleted, staged history present with _SUCCESS
+    // (exactly the state Fs.replace dies in between delete and rename)
+    val f = graft.util.Fs.fs(spark, hist)
+    val live = new org.apache.hadoop.fs.Path(hist)
+    val staging = new org.apache.hadoop.fs.Path(s"$hist.staging")
+    assert(f.rename(live, staging))
+    val b3 = ev.filter($"event_id" >= 900)
+    run(b3) // must heal the swap, then fold on the recovered history
+    val want3 = Scd2.buildHistory(ev, Seq("user_id"), "event_id", Seq("event_type"))
+    val got3 = spark.read.parquet(hist)
+    assert(got3.exceptAll(want3).isEmpty && want3.exceptAll(got3).isEmpty,
+      "post-crash fold must see the healed history, not restart from the batch")
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     val feedDir = tmp()
     val events = Tables.events(spark, sfDir).filter($"event_id" < 100).cache()
