@@ -95,8 +95,40 @@ object Dedup {
       .groupBy("id", "band")
       .agg(sum("h").as("sig"))
 
-  def lshCandidates(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
-    val bands = bandSignatures(signatures, numHashes, numBands)
+  /** Wide-form signatures-to-bands: the (id, band, sig) bucket keys of
+    * [[bandSignatures]]∘[[minHashSignatures]] computed in ONE
+    * aggregation with `numHashes` min columns — no ×numHashes row
+    * replication, no broadcast seed join, no second groupBy (same
+    * rewrite that took simHash from two shuffles over 60× rows to one
+    * shuffle over 1×). The per-seed affine coefficients are
+    * Scala-side constants derived from the identical md5 arithmetic
+    * ([[graft.util.Hashing.affineCoef]]), so band signatures are
+    * bit-identical to the long form — FunctionsSpec pins both
+    * equalities. The long form stays for incremental/streaming
+    * callers that want per-hash rows.
+    */
+  def minHashBandsWide(tokens: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val width = numHashes / numBands
+    val mins = (0 until numHashes).map { j =>
+      min(pmod(lit(Hashing.affineCoefConst("a", j)) * col("h30")
+        + lit(Hashing.affineCoefConst("b", j)), lit(Hashing.affinePrime))).as(s"h$j")
+    }
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (b * width until (b + 1) * width).map(j => col(s"h$j")).reduce(_ + _).as("sig"))
+    }
+    tokens
+      .select(col("id"), Hashing.portableHash30(col("tok")).as("h30"))
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame =
+    candidatesFromBands(bandSignatures(signatures, numHashes, numBands))
+
+  /** Salted within-bucket self-join over (id, band, sig) bucket keys. */
+  def candidatesFromBands(bands: DataFrame): DataFrame = {
     // Salt the self-join: a duplicate-dense corpus puts thousands of
     // docs in one (band, sig) bucket, and an unsalted equi-join emits
     // that bucket's m²/2 pairs from a single task. Salting the left
@@ -110,7 +142,7 @@ object Dedup {
       .withColumn("salt",
         pmod(Hashing.portableHash64(col("id_a").cast("string")), lit(SALTS.toLong)))
     val b = bands.select(col("band"), col("sig"), col("id").as("id_b"))
-      .crossJoin(signatures.sparkSession.range(SALTS).toDF("salt"))
+      .crossJoin(bands.sparkSession.range(SALTS).toDF("salt"))
     a.join(b, Seq("band", "sig", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -183,7 +215,7 @@ object Dedup {
     val toks = tokenSet(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count()
-    val cands = lshCandidates(minHashSignatures(toks, numHashes), numHashes, numBands)
+    val cands = candidatesFromBands(minHashBandsWide(toks, numHashes, numBands))
     // eager localCheckpoint, then release the token cache: without it
     // every call pinned a tokenized-corpus cache for the session
     // lifetime (same hygiene as ngramJaccard; checkpoint blocks are

@@ -115,6 +115,41 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Bigram-LM quality score: mean ln P(wᵢ | wᵢ₋₁) over each doc's
+    * word bigrams, with the LM estimated from the corpus itself
+    * (P(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w)) — the step up from the unigram
+    * typicality score: it penalizes improbable word ORDER, not just
+    * rare words, so shuffled/garbled text scores low even when its
+    * vocabulary is ordinary.
+    *
+    * Scale shape: one explode to bigram rows, one partial-aggregated
+    * count, the prefix totals derived from the (already tiny)
+    * aggregated bigram table — never a second corpus pass — and one
+    * broadcast LM join back onto the bigram rows. The LM table is
+    * O(distinct bigrams); for a web-scale vocabulary drop the
+    * broadcast hint and the join shuffles on the bigram key instead,
+    * same result. The probability is computed as ONE exact-int
+    * division then ln, identical IEEE ops on both engines.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = df
+      .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
+      .filter(size(col("arr")) >= 2) // sequence(2,1) would step BACKWARDS
+      .repartition(p, col("doc_id")) // spread: one parquet split must not serialize the explode
+    val bgs = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
+    val lm = withW1.join(c1, "w1")
+      .select(col("bg"), (col("c2").cast("double") / col("c1")).as("p"))
+    bgs.join(broadcast(lm), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("p"))), 4).as("mean_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Document fingerprints: exact content hash, order-independent
     * bag-of-tokens hash (catches token-shuffled copies), and a prefix
     * hash (cheap candidate key for prefix-duplicate scans).

@@ -239,7 +239,11 @@ object PipelineQueries {
     graft.ops.Profile.keyDistribution(
       Dedup.tokenSet(Tables.documents(spark, sfDir), "text", "doc_id"), "tok")
 
+  def textBigramLogprobQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir), "text", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_logprob" -> textBigramLogprobQ,
     "text_token_df_profile" -> textTokenDfProfileQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash_lsh" -> dedupMinhashQ,
@@ -279,6 +283,19 @@ object PipelineQueries {
       |     n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_logprob" ->
+      s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),
+         |                i -> arr[i-1] || ' ' || arr[i])) AS bg
+         |      FROM a WHERE len(arr) >= 2),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM e GROUP BY 1),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         |lm AS (SELECT bg, CAST(c2 AS DOUBLE) / c1 AS p
+         |       FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+         |SELECT e.doc_id, round(avg(ln(p)), 4) AS mean_logprob,
+         |       count(*) AS n_bigrams
+         |FROM e JOIN lm USING (bg)
+         |GROUP BY e.doc_id""".stripMargin,
     "text_token_df_profile" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
          |              FROM documents),

@@ -371,8 +371,10 @@ object CdcStream {
     // sigs feeds the bucket collect, BOTH candidate-join sides and the
     // store write; the collect below materializes it before the
     // broadcast-exchange subtrees race the cache
-    val sigs = Dedup.bandSignatures(
-      Dedup.minHashSignatures(toks, numHashes), numHashes, numBands)
+    // wide-form band derivation (one aggregation, no ×numHashes rows);
+    // values are bit-identical to the long form, so signatures stored
+    // by earlier triggers/rounds keep matching
+    val sigs = Dedup.minHashBandsWide(toks, numHashes, numBands)
       .persist(MEMORY_AND_DISK)
     val sets = Dedup.tokenHashSets(toks)
 

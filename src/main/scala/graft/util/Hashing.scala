@@ -54,6 +54,18 @@ object Hashing {
   def affineCoef(prefix: String, jCol: Column): Column =
     pmod(portableHash64(concat(lit(prefix + ":"), jCol.cast("string"))), lit(affineRange))
 
+  /** The same coefficient as a Scala constant — identical md5-derived
+    * arithmetic evaluated driver-side, so plan-time literals (the wide
+    * MinHash aggregation) match the Column/SQL family bit-for-bit
+    * (equality pinned in FunctionsSpec).
+    */
+  def affineCoefConst(prefix: String, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$prefix:$j".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % affineRange
+  }
+
   /** h_j(x) given a precomputed h₃₀ column and coefficient columns. */
   def affineHash(h30: Column, aj: Column, bj: Column): Column =
     pmod(aj * h30 + bj, lit(affinePrime))

@@ -60,4 +60,28 @@ class FunctionsSpec extends SparkSpec {
       .agg(sum("d")).head().getLong(0)
     assert(viaNative == viaHof)
   }
+
+  test("affineCoefConst equals the Column-side md5 coefficient family") {
+    import graft.util.Hashing
+    val viaCol = spark.range(32)
+      .select(Hashing.affineCoef("a", col("id")).as("a"),
+        Hashing.affineCoef("b", col("id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaConst = (0 until 32)
+      .map(j => (Hashing.affineCoefConst("a", j), Hashing.affineCoefConst("b", j)))
+    assert(viaCol.toSeq === viaConst)
+  }
+
+  test("wide MinHash bands are bit-identical to the long signature form") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"word${i % 7} token${i % 11} item${i % 5} thing${i % 3} extra$i common words"))
+      .toDF("doc_id", "text")
+    val toks = Dedup.tokenSet(docs, "text", "doc_id")
+    val long = Dedup.bandSignatures(Dedup.minHashSignatures(toks, 16), 16, 4)
+    val wide = Dedup.minHashBandsWide(toks, 16, 4)
+    assert(wide.count() === long.count())
+    assert(wide.exceptAll(long).isEmpty && long.exceptAll(wide).isEmpty)
+  }
 }
