@@ -86,16 +86,30 @@ object Bench {
     // queries around 1.5 kB.
     // Locale.ROOT: an f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
-    def ms(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val spread = results.collect {
-      case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 =>
-        s"\"" + k + "\":[" + ms(v) + "," + ms(mx) + "]"
-    }.mkString("{", ",", "}")
+    def fmt(v: Double, prec: Int): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"sf":"$sfDir"}""")
+    // spread entries widest-first, so truncation keeps the informative ones
+    val spreads = results.collect {
+      case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 => (k, v, mx)
+    }.sortBy { case (_, v, mx) => if (mx < 0) Double.MaxValue else -(mx / math.max(v, 1e-9)) }
+    def line(prec: Int, nSpread: Int): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      val sp = spreads.take(nSpread).map { case (k, v, mx) =>
+        "\"" + k + "\":[" + fmt(v, prec) + "," + fmt(mx, prec) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp,"sf":"$sfDir"}"""
+    }
+    // The query count grows every round; degrade verbosity (fewer
+    // spread entries, then coarser precision) until the line fits the
+    // budget instead of silently outgrowing the tail window again.
+    val MAX = 1900
+    val out = Iterator((3, spreads.size), (3, 6), (3, 0), (2, 0))
+      .map { case (p, n) => line(p, n) }
+      .find(_.length <= MAX)
+      .getOrElse(line(2, 0))
+    println(out)
     spark.stop()
   }
 }

@@ -115,6 +115,31 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Quality-band filter: keep documents whose score sits inside the
+    * [pLo, pHi] percentile band OF THEIR OWN STRATUM (language/source)
+    * — the standard trim that drops outliers per stratum instead of
+    * letting one language's distribution set a global cutoff. The
+    * band table is |strata| rows (exact interpolated percentiles,
+    * partial-aggregated) and broadcasts back onto the scan; the big
+    * side never shuffles. Scores and thresholds compare rounded to
+    * 1e-6 so the keep decision is engine-stable at band edges.
+    */
+  def qualityBand(df: DataFrame, textCol: String, idCol: String,
+                  stratumCol: String, pLo: Double = 0.1,
+                  pHi: Double = 0.9): DataFrame = {
+    val n = normalize(col(textCol))
+    val scored = df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+      (length(regexp_replace(n, " ", "")).cast("double") /
+        size(split(n, " "))).as("score"))
+    val bands = scored.groupBy("stratum").agg(
+      expr(s"percentile(score, $pLo)").as("lo"),
+      expr(s"percentile(score, $pHi)").as("hi"))
+    scored.join(broadcast(bands), Seq("stratum"))
+      .filter(round(col("score"), 6) >= round(col("lo"), 6) &&
+        round(col("score"), 6) <= round(col("hi"), 6))
+      .select(col("doc_id"), col("stratum"), round(col("score"), 6).as("score"))
+  }
+
   /** Bigram-LM quality score: mean ln P(wᵢ | wᵢ₋₁) over each doc's
     * word bigrams, with the LM estimated from the corpus itself
     * (P(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w)) — the step up from the unigram

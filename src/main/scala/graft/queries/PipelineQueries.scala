@@ -242,7 +242,28 @@ object PipelineQueries {
   def textBigramLogprobQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Token-budget mixture sampling (graft.ops.Sampling.tokenBudget):
+    * per-language token budgets, rates DERIVED from the corpus totals
+    * (one |strata|-row aggregate broadcast back onto the scan) rather
+    * than hand-tuned — the actual data-mixing primitive. The oracle
+    * replays totals, rates, and the hash threshold bit-for-bit
+    * (floor() mirrors Spark's double→long truncation).
+    */
+  def sampleTokenBudgetQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.tokenBudget(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text"),
+      "lang", "doc_id",
+      size(split(TextAnalysis.normalize(col("text")), " ")),
+      budgets = Map("en" -> 2000L, "de" -> 1000L), defaultBudget = 1500L)
+      .select("doc_id", "lang", "n_tokens")
+
+  /** Per-language quality-band trim on mean token length. */
+  def textQualityBandQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
+      .withColumnRenamed("stratum", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_band" -> textQualityBandQ,
     "text_bigram_logprob" -> textBigramLogprobQ,
     "text_token_df_profile" -> textTokenDfProfileQ,
     "dedup_exact" -> dedupExactQ,
@@ -269,6 +290,7 @@ object PipelineQueries {
     "text_contamination" -> textContaminationQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
+    "sample_token_budget" -> sampleTokenBudgetQ,
     "text_pack" -> textPackQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -283,6 +305,17 @@ object PipelineQueries {
       |     n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_quality_band" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |        CAST(len(replace(nt, ' ', '')) AS DOUBLE)
+         |          / len(string_split(nt, ' ')) AS score
+         |      FROM (SELECT doc_id, lang, $norm AS nt FROM documents)),
+         |b AS (SELECT lang, quantile_cont(score, 0.1) AS lo,
+         |             quantile_cont(score, 0.9) AS hi
+         |      FROM s GROUP BY 1)
+         |SELECT doc_id, lang, round(score, 6) AS score
+         |FROM s JOIN b USING (lang)
+         |WHERE round(score, 6) >= round(lo, 6) AND round(score, 6) <= round(hi, 6)""".stripMargin,
     "text_bigram_logprob" ->
       s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
          |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),
@@ -557,6 +590,18 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY bag_hash ORDER BY q DESC, doc_id ASC) AS rn,
          |    count(*) OVER (PARTITION BY bag_hash) AS n_members
          |  FROM d) WHERE rn = 1""".stripMargin,
+    "sample_token_budget" ->
+      s"""WITH w AS (SELECT doc_id, lang, len(string_split($norm, ' ')) AS n_tokens
+         |           FROM documents),
+         |t AS (SELECT lang, sum(n_tokens) AS tot FROM w GROUP BY 1),
+         |r AS (SELECT lang, least(1.0,
+         |        CAST((CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1000
+         |              ELSE 1500 END) AS DOUBLE) / CAST(tot AS DOUBLE)) AS rate
+         |      FROM t)
+         |SELECT doc_id, w.lang, n_tokens
+         |FROM w JOIN r USING (lang)
+         |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
+         |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
