@@ -286,7 +286,43 @@ object Analytics {
       .select("l_orderkey", "l_linenumber", "zkey")
   }
 
+  /** Existential (semi-join) shape: orders with at least one returned
+    * line item. The probe side is column-pruned to the join key before
+    * the shuffle and duplicates never cross the wire — a semi join
+    * ships ONE bit per key, where an inner-join + distinct would ship
+    * every matching row and re-shuffle to dedup.
+    */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val late = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+      .join(late, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** Negated-existential (anti-join) shape: customers with NO order
+    * above 300k — the NOT EXISTS plan, one shuffled anti join with
+    * the probe side pruned to its key (non-empty at every sf).
+    */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey".as("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment")
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_dormant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_pivot" -> qPivot,
     "q_zorder_key" -> qZorderKey,
@@ -304,6 +340,20 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_dormant
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_heavy_hitters" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
         |     t AS (SELECT sum(cnt) AS total FROM c)

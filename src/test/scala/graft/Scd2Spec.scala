@@ -54,6 +54,24 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("scd2: history composes across SEQUENTIAL maintain cycles") {
+    val rnd = new scala.util.Random(23)
+    val n = 600
+    val feed = (0 until n).map { v =>
+      (rnd.nextInt(15).toLong, v.toLong, s"p${rnd.nextInt(3)}")
+    }.toDF("pk", "ver", "payload")
+    // fold the tail through 4 successive batches on top of a base build
+    val cuts = Seq(150L, 300L, 420L, 500L, n.toLong)
+    var h = Scd2.buildHistory(feed.filter($"ver" < cuts.head), PK, "ver", PAY)
+    for (Seq(lo, hi) <- cuts.sliding(2)) {
+      h = Scd2.maintain(h, feed.filter($"ver" >= lo && $"ver" < hi), PK, "ver", PAY)
+        .localCheckpoint() // cycles compound; keep lineage flat like a real store
+    }
+    val want = Scd2.buildHistory(feed, PK, "ver", PAY)
+    assert(h.exceptAll(want).isEmpty && want.exceptAll(h).isEmpty,
+      "4 sequential folds must equal the one-shot rebuild")
+  }
+
   test("scd2: maintain handles brand-new keys and a no-op-only batch") {
     val base = Scd2.buildHistory(
       Seq((1L, 1L, "A")).toDF("pk", "ver", "payload"), PK, "ver", PAY)
