@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Explicit skew-mitigation join strategies.
+  *
+  * At 100 TB the failure mode of a shuffled equi-join is not
+  * throughput, it's STRAGGLERS: one reducer owning a heavy key runs
+  * for hours while the other 999 executors idle. AQE's skew-join
+  * split handles the sort-merge case adaptively, but two shapes still
+  * need explicit help, and both are here:
+  *
+  *  - [[salted]] — split each heavy key across N reducers by salting
+  *    (the classic fix when the small side is too big to broadcast
+  *    but cheap to replicate N×).
+  *  - [[bloomPruned]] — kill the shuffle volume itself: when a
+  *    selective dimension filter means most fact rows have NO match,
+  *    a Bloom filter of the surviving dim keys pruned map-side keeps
+  *    the non-matching fact rows from ever crossing the wire.
+  *
+  * Pair with [[Profile.heavyHitters]]: profile first, then pick
+  * broadcast < bloom < salt < AQE in roughly that order of preference.
+  */
+object SkewJoin {
+
+  /** Salted inner/left-outer equi-join: every row of `big` gets a
+    * deterministic salt in [0, nSalts) derived from hashing the FULL
+    * row (so a heavy key's rows spread across salts), and `small` is
+    * replicated once per salt value. The join key becomes
+    * (key, salt), so one logical reducer per heavy key becomes
+    * nSalts physical reducers.
+    *
+    * The result is row-identical to the plain join: each big row
+    * holds exactly one salt and meets the one replica of its matching
+    * small rows carrying that salt. Cost model: small side ships
+    * nSalts× — worth it exactly when max-key frequency × row width on
+    * the big side dwarfs |small| × nSalts.
+    *
+    * Join types: "inner" and "left_outer" (the replication argument
+    * above breaks for right/full outer — a small row must NOT emit
+    * one null-padded row per salt).
+    */
+  def salted(big: DataFrame, small: DataFrame, key: String,
+             nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"salted join supports inner/left_outer, got $joinType")
+    // hash over every big-side column: deterministic per row content,
+    // varies WITHIN a key (that's the whole point), and stable across
+    // runs/partitionings — unlike monotonically_increasing_id or rand
+    val saltOfRow = pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(nSalts))
+    val bigS = big.withColumn("__graft_salt", saltOfRow)
+    val smallS = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    bigS.join(smallS, Seq(key, "__graft_salt"), joinType)
+      .drop("__graft_salt")
+  }
+
+  /** Bloom-filter-pruned equi-join: build a Bloom filter over
+    * `dim`'s (already filtered) join keys, drop every `fact` row the
+    * filter rejects BEFORE the join, then run the exact join to
+    * remove the filter's false positives. The final result is exactly
+    * `fact ⋈ dim` — the bloom only changes WHERE non-matching rows
+    * die: map-side at the scan, instead of after a full shuffle.
+    *
+    * Scale shape: the filter is built by one aggregation over dim
+    * (mergeable bitsets, partial-aggregated), costs
+    * ~1.2·n·ln(1/fpp)/ln²2 bits on the driver (≈ 900 KB for 1 M keys
+    * at 3% fpp — broadcast-sized by construction), and the probe is a
+    * couple of cheap integer hashes per fact row. With a 1%-selective
+    * dim filter this removes ~99% of fact shuffle bytes. Spark's own
+    * runtime row-level filtering (spark.sql.optimizer.runtimeFilter)
+    * plans the same trick adaptively; this operator is the explicit,
+    * deterministic form a pipeline can rely on regardless of conf.
+    *
+    * Keys must be long or string (the sketch's hashable types; TPC-H
+    * surrogate keys are longs). `expectedItems` should overestimate
+    * |dim keys| — undersizing only raises fpp, never loses rows.
+    */
+  def bloomPruned(fact: DataFrame, dim: DataFrame,
+                  factKey: String, dimKey: String,
+                  expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val keyType = fact.schema(factKey).dataType
+    require(keyType == LongType || keyType == StringType,
+      s"bloomPruned supports long/string keys, got $keyType for $factKey")
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // closure ships the immutable bitset to executors like a broadcast;
+    // the probe is two integer hashes — negligible next to shuffle I/O
+    val mightContain: Column = keyType match {
+      case LongType   => udf((k: Long) => bloom.mightContainLong(k)).apply(col(factKey))
+      case StringType => udf((k: String) => k != null && bloom.mightContainString(k)).apply(col(factKey))
+      case other => throw new IllegalArgumentException(
+        s"bloomPruned supports long/string keys, got $other for $factKey")
+    }
+    fact.filter(mightContain)
+      .join(dim, fact(factKey) === dim(dimKey))
+  }
+}

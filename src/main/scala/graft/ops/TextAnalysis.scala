@@ -268,4 +268,37 @@ object TextAnalysis {
       .withColumn("contaminated",
         (col("n_shared_ngrams") >= minShared).cast("int"))
   }
+
+  /** Token-window document chunking: split each doc into fixed-size
+    * overlapping windows of whitespace tokens — the context-window
+    * assembly step before embedding or training (each chunk becomes
+    * one model input; `overlap` preserves cross-boundary context).
+    *
+    * Chunk i covers tokens [i·step, i·step + size) with
+    * step = size − overlap; the last chunk is allowed to be short
+    * (every token appears in ≥ 1 chunk, docs shorter than `size`
+    * yield exactly one). Deterministic chunk ids, pure per-row array
+    * arithmetic: ZERO shuffles, runs at scan speed, and the output
+    * is partitioned exactly like the input (doc-contiguous), so a
+    * downstream embed/write sees no exchange either.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val step = size - overlap
+    df.select(col(idCol), split(normalize(col(textCol)), " ").as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      // integer ceil on positives: 1 + (n - size + step - 1) div step
+      .withColumn("nch", when(col("n") <= size, lit(1L)).otherwise(
+        lit(1L) + call_function("div", col("n") - size + (step - 1), lit(step.toLong))))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("nch") - 1)))
+      // Slice wants int offsets; chunk counts are far below 2^31
+      .withColumn("start", (col("chunk_id") * step + 1).cast("int"))
+      .select(col(idCol), col("chunk_id"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("start"), lit(size))).as("n_tokens"),
+        array_join(
+          slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
+  }
 }

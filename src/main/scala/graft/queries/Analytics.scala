@@ -320,9 +320,67 @@ object Analytics {
       .agg(count(lit(1)).as("n_dormant"))
   }
 
+  /** Skewed fact⋈dim via explicit salting (`graft.ops.SkewJoin.salted`):
+    * the join key fans out ×8 so no single reducer owns a heavy part
+    * key; the aggregate on top is unchanged. Result is row-identical
+    * to the plain join — the oracle IS the plain join, so the gate
+    * proves the salting rewrite loses/duplicates nothing.
+    */
+  def qSkewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val pt = Tables.part(spark, sfDir)
+      .filter($"p_size" <= 15)
+      .select($"p_partkey".as("l_partkey"), $"p_brand")
+    graft.ops.SkewJoin.salted(li, pt, "l_partkey", nSalts = 8)
+      .groupBy("p_brand")
+      .agg(sum((dec($"l_extendedprice") * (lit(1.0) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Selective dim join with a Bloom-filter pre-prune
+    * (`graft.ops.SkewJoin.bloomPruned`): urgent orders are ~20% of the
+    * dim, so ~80% of lineitem rows die map-side at the scan instead of
+    * crossing the shuffle. The exact join above the filter removes
+    * Bloom false positives — the oracle is the plain join.
+    */
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")
+    val dim = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    graft.ops.SkewJoin.bloomPruned(fact, dim, "l_orderkey", "o_orderkey",
+        expectedItems = 1 << 20)
+      .groupBy("l_returnflag")
+      .agg(sum(dec($"l_extendedprice")).cast("double").as("urgent_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Distinct aggregate: distinct users + raw event count per type.
+    * Spark plans COUNT(DISTINCT) with an Expand + two-phase partial
+    * aggregation — the distinct set is reduced per-partition before
+    * the shuffle, so wire bytes are bounded by local distinct counts,
+    * not row counts. At truly unbounded cardinality swap in
+    * approx_count_distinct (HLL, constant-size mergeable sketch).
+    */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
+    "q_skew_salted_join" -> qSkewSaltedJoin,
+    "q_bloom_join" -> qBloomJoin,
+    "q_distinct_agg" -> qDistinctAgg,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_pivot" -> qPivot,
     "q_zorder_key" -> qZorderKey,
@@ -340,6 +398,24 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 15
+        |GROUP BY p_brand""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders

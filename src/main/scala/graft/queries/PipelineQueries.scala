@@ -228,6 +228,46 @@ object PipelineQueries {
   def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** 64-token windows with 16-token overlap — the pre-embedding
+    * context-window split (zero-shuffle; see TextAnalysis.chunk).
+    */
+  def textChunkQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(spark, sfDir), "text", "doc_id",
+      size = 64, overlap = 16)
+
+  /** End-to-end corpus cleaning — the composition the individual
+    * C-block operators exist FOR, gated as one query: quality filter
+    * (length + punctuation) → exact dedup (keep min doc_id per
+    * normalized text) → decontamination (drop docs sharing ≥5 word
+    * trigrams with the held-out probe slice, and the probes
+    * themselves). One scan feeds every stage; the only shuffles are
+    * the dedup groupBy and the contamination aggregate (probe n-grams
+    * broadcast). The oracle recomputes the whole pipeline in SQL, so
+    * the gate checks the COMPOSITION, not just the stages.
+    */
+  def pipelineCleanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = dupCorpus(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.normalize(col("text")).as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9A-Z ]", "")).cast("double") /
+          length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.2)
+      .select("doc_id", "lang", "norm", "n_tokens")
+    // exact dedup as an aggregate (min keeper id per text), not a
+    // window — partial-aggregatable, no per-group sort
+    val keepers = scored.groupBy(col("norm")).agg(min("doc_id").as("doc_id"))
+    val deduped = scored.join(keepers, Seq("norm", "doc_id"))
+    // contamination re-normalizes internally; normalize is idempotent
+    val bad = TextAnalysis.contamination(deduped, "norm", "doc_id",
+        probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
+      .filter(col("contaminated") === 1).select("doc_id")
+    deduped.filter(expr("doc_id % 97 <> 0"))
+      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_tokens")
+  }
+
   /** Frequency-decade profile of the dedup token key (graft.ops
     * .Profile.keyDistribution): how many distinct tokens occur 1–9,
     * 10–99, … times across the corpus. A power-law tail here is the
@@ -292,6 +332,8 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
     "text_pack" -> textPackQ,
+    "text_chunk" -> textChunkQ,
+    "pipeline_clean_corpus" -> pipelineCleanQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -577,6 +619,42 @@ object PipelineQueries {
          |FROM g JOIN p USING (gram)
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY g.doc_id""".stripMargin,
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        CASE WHEN len(toks) <= 64 THEN 1
+         |             ELSE 1 + (len(toks) - 64 + 47) // 48 END AS nch
+         |      FROM t),
+         |e AS (SELECT doc_id, toks, unnest(range(nch)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id,
+         |  len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+         |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk
+         |FROM e""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents WHERE doc_id % 50 = 0),
+         |scored AS (SELECT doc_id, lang, text, $norm AS nt FROM corpus),
+         |flt AS (SELECT doc_id, lang, nt, len(string_split(nt, ' ')) AS n_tokens
+         |        FROM scored
+         |        WHERE len(string_split(nt, ' ')) >= 20
+         |          AND CAST(len(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / len(text) < 0.2),
+         |ddp AS (SELECT doc_id, lang, nt, n_tokens FROM flt
+         |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nt)),
+         |d2 AS (SELECT doc_id, string_split(nt, ' ') AS l FROM ddp),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(l) >= 3
+         |          THEN list_transform(generate_series(1, len(l) - 2),
+         |                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+         |          ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         |      FROM d2),
+         |p AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |bad AS (SELECT g.doc_id FROM g JOIN p USING (gram)
+         |        WHERE g.doc_id % 97 <> 0
+         |        GROUP BY g.doc_id HAVING count(*) >= 5)
+         |SELECT doc_id, lang, n_tokens FROM ddp
+         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
