@@ -39,6 +39,32 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the ingestion-time shape: admit from a
+    * NEW batch only documents whose content is absent from the
+    * already-admitted corpus, collapsing in-batch copies to the
+    * min-id keeper first.
+    *
+    * Scale shape: the batch dedups against ITSELF with one O(batch)
+    * groupBy, then probes the corpus with a left-anti join on the
+    * content hash — the corpus side is key-only (one md5 column
+    * crosses the shuffle, never document text) and is never
+    * re-deduplicated. Per-cycle cost is O(batch + corpus keys), not
+    * O(corpus rows); with the corpus hash column stored bucketed by
+    * hash the probe becomes a co-located join with NO corpus shuffle
+    * at all (BucketedParquetStore's layout).
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val hashOf = (df: DataFrame) =>
+      df.select(col(idCol).as("id"),
+        md5(TextAnalysis.normalize(col(textCol))).as("content_hash"))
+    val batchKeepers = hashOf(batch)
+      .groupBy("content_hash")
+      .agg(min(col("id")).as("admitted_id"), count(lit(1)).as("n_batch_copies"))
+    batchKeepers.join(
+      hashOf(corpus).select("content_hash"), Seq("content_hash"), "left_anti")
+  }
+
   /** Quality-ranked keeper selection: group documents by an
     * order-independent bag-of-tokens hash (catches token-shuffled /
     * repetition-padded copies that defeat the exact content hash) and

@@ -228,6 +228,23 @@ object PipelineQueries {
   def textFingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Ingestion-time incremental dedup: a change batch of 1/50 corpus
+    * copies (rejected), 1/41 genuinely-new docs (admitted), and an
+    * in-batch duplicate of every new doc (collapsed to the min-id
+    * keeper) probed against the full corpus — see Dedup.incremental.
+    */
+  def dedupIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dups = d.filter(expr("doc_id % 50 = 0"))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val news = d.filter(expr("doc_id % 41 = 0"))
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" graft novel tail")).as("text"))
+    val copies = news.withColumn("doc_id", col("doc_id") + 100000L)
+    Dedup.incremental(d.select("doc_id", "text"),
+      dups.unionByName(news).unionByName(copies), "text", "doc_id")
+  }
+
   /** 64-token windows with 16-token overlap — the pre-embedding
     * context-window split (zero-shuffle; see TextAnalysis.chunk).
     */
@@ -333,6 +350,7 @@ object PipelineQueries {
     "sample_token_budget" -> sampleTokenBudgetQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
+    "dedup_incremental" -> dedupIncrementalQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -619,6 +637,20 @@ object PipelineQueries {
          |FROM g JOIN p USING (gram)
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY g.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text || ' graft novel tail' AS text
+         |  FROM documents WHERE doc_id % 41 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 600000 AS doc_id, text || ' graft novel tail' AS text
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |bk AS (SELECT md5($norm) AS content_hash, min(doc_id) AS admitted_id,
+         |         count(*) AS n_batch_copies
+         |       FROM batch GROUP BY 1)
+         |SELECT content_hash, admitted_id, n_batch_copies FROM bk
+         |WHERE content_hash NOT IN (SELECT md5($norm) FROM documents)""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

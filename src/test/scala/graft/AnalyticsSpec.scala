@@ -20,6 +20,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.count() == df.select("l_returnflag", "l_linestatus").distinct().count())
   }
 
+  test("approx_count_distinct tracks the exact distinct count within 5%") {
+    // q_distinct_agg is gated exact; this pins the documented
+    // unbounded-cardinality swap (HLL sketch) to a usable error bound
+    import org.apache.spark.sql.functions._
+    val rows = graft.util.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("q_topk_window keeps at most 3 rows per priority") {
     val df = Analytics.qTopkWindow(spark, sfDir)
     val max = df.groupBy("o_orderpriority").count()

@@ -21,6 +21,31 @@ class PipelineSpec extends SparkSpec {
     assert(d.filter($"n_copies" === 2 && $"keeper_id" >= 100000L).count() == 0)
   }
 
+  test("incremental dedup admits only novel content, collapsing in-batch copies") {
+    val novel = docs.filter(expr("doc_id % 41 = 0"))
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        concat($"text", lit(" graft novel tail")).as("text"))
+    val batch = docs.filter(expr("doc_id % 50 = 0"))
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")   // corpus dups
+      .unionByName(novel)                                     // genuinely new
+      .unionByName(novel.withColumn("doc_id", $"doc_id" + 100000L)) // in-batch copy
+    val admitted = Dedup.incremental(
+      docs.select("doc_id", "text"), batch, "text", "doc_id").cache()
+    val nNovel = novel.count()
+    assert(admitted.count() == nNovel, "exactly the novel docs are admitted")
+    // keeper is the min in-batch id (the +500000 row, never +600000)
+    assert(admitted.filter($"admitted_id" >= 600000L).count() == 0)
+    assert(admitted.filter($"n_batch_copies" =!= 2).count() == 0,
+      "each novel doc appeared twice in the batch")
+    // replaying the admitted docs as the next batch admits nothing new
+    val replay = Dedup.incremental(
+      docs.select("doc_id", "text").unionByName(
+        batch.join(admitted.select($"admitted_id".as("doc_id")), Seq("doc_id"))),
+      batch, "text", "doc_id")
+    assert(replay.count() == 0, "a second pass over the same batch is a no-op")
+    admitted.unpersist()
+  }
+
   test("minhash-lsh recovers injected exact duplicates at jaccard 1.0") {
     val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 16, 2, 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

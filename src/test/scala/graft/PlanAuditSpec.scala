@@ -191,4 +191,38 @@ class PlanAuditSpec extends SparkSpec {
         "top-k must be per-partition heaps + driver merge, not a global sort")
     }
   }
+
+  test("q_semi_join / q_anti_join: existential probes ship keys, not rows") {
+    val semi = formatted(q("q_semi_join"))
+    assert(semi.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(semi.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      "the probe side must scan only the key and the pushed filter column")
+    assert(semi.contains("PushedFilters") && semi.contains("l_returnflag"),
+      "the probe filter must reach the parquet reader")
+    val anti = formatted(q("q_anti_join"))
+    assert(anti.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
+  test("q_bloom_join: bloom probe filters the fact scan below the join") {
+    val plan = formatted(q("q_bloom_join"))
+    assert(plan.contains("UDF"),
+      "the bloom might-contain probe must appear in the plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_returnflag:string>"),
+      "the fact scan must stay column-pruned under the probe filter")
+    assert(plan.contains("partial_sum"), "aggregation must combine map-side")
+  }
+
+  test("q_skew_salted_join: the shuffle key carries the salt") {
+    val plan = formatted(q("q_skew_salted_join"))
+    assert(plan.contains("__graft_salt"),
+      "join keys must include the salt column so heavy keys split")
+    assert(plan.contains("partial_sum"), "aggregation must combine map-side")
+  }
+
+  test("dedup_incremental: corpus probe is key-only and never re-aggregated") {
+    val plan = formatted(q("dedup_incremental"))
+    assert(plan.contains("LeftAnti"),
+      "the corpus probe must be an anti join on the content hash")
+    assert(plan.contains("partial_min"), "batch keeper agg must be partial")
+  }
 }
