@@ -448,6 +448,84 @@ object CdcStream {
     ()
   }
 
+  /** Streaming EXACT-dedup ingestion against a persistent content-hash
+    * store — the streaming twin of `Dedup.incremental`, with UNBOUNDED
+    * history (vs [[dedupStream]]'s watermark-bounded state): a doc
+    * admitted a month ago still rejects today's copy. Per trigger the
+    * batch self-collapses to min-id keepers, probes ONLY the store
+    * buckets its hashes land in, and appends admitted (hash, id) rows
+    * into the same `gb=` bucketed layout [[nearDupBatch]] uses — probe
+    * listing + scan are O(batch buckets), compaction keeps per-bucket
+    * dir counts bounded with stream age, and a replayed trigger is a
+    * no-op (dynamic-partition overwrite + own-batch probe exclusion).
+    */
+  def exactDedupStream(spark: SparkSession, sourceDir: String, outDir: String,
+                       stateDir: String, checkpoint: String,
+                       textCol: String, idCol: String,
+                       maxFilesPerTrigger: Int = 10,
+                       nStoreBuckets: Int = 64,
+                       maxStoreDirsPerBucket: Int = 8): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactDedupBatch(spark, batch, batchId, outDir, stateDir, textCol, idCol,
+          nStoreBuckets, maxStoreDirsPerBucket)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[exactDedupStream]] (directly callable for
+    * batch-mode backfills). Write order matters: output first, store
+    * last — a crash in between replays to an identical recompute (the
+    * store probe excludes this batch's own rows), never to a store
+    * entry whose document was silently dropped.
+    */
+  def exactDedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                      outDir: String, stateDir: String,
+                      textCol: String, idCol: String,
+                      nStoreBuckets: Int = 64,
+                      maxStoreDirsPerBucket: Int = 8): Unit = if (!batch.isEmpty) {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashesPath = s"$stateDir/hashes.parquet"
+    requireStoreBuckets(spark, hashesPath, nStoreBuckets)
+    // in-batch collapse: min-id keeper per content hash (an aggregate,
+    // partial-combined map-side — never a per-group window sort)
+    val keepers = batch
+      .select(col(idCol).as("id"),
+        md5(graft.ops.TextAnalysis.normalize(col(textCol))).as("ch"))
+      .groupBy("ch").agg(min(col("id")).as("id"))
+      .persist(MEMORY_AND_DISK)
+    val bkts = keepers.select(idBucket(col("ch"), nStoreBuckets).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    // store-side duplicates: inner join over ONLY the probed bucket
+    // dirs with the batch broadcast — the store never shuffles, and the
+    // match set is ≤ |batch| rows, so the anti join below broadcasts it
+    val dupHashes = probeStore(spark, hashesPath, bkts, batchId) match {
+      case Some(st) => st.select(col("ch"))
+        .join(broadcast(keepers.select("ch")), Seq("ch")).distinct()
+      case None => keepers.select("ch").filter(lit(false))
+    }
+    val admittedKeys = keepers
+      .join(broadcast(dupHashes), Seq("ch"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    val admitted = batch.join(
+      admittedKeys.select(col("id").as(idCol)), Seq(idCol))
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    writeStorePartitions(admittedKeys,
+      idBucket(col("ch"), nStoreBuckets), batchId, hashesPath, nStoreBuckets)
+    bkts.foreach(k => compactBucket(spark, hashesPath, k, batchId,
+      Seq("ch"), maxStoreDirsPerBucket))
+    admittedKeys.unpersist()
+    keepers.unpersist()
+    ()
+  }
+
   /** Streaming exact dedup on a key within an event-time watermark —
     * the streaming member of the dedup family (SURVEY C-block):
     * `dropDuplicatesWithinWatermark` keeps state bounded, unlike a

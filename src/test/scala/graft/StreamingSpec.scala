@@ -250,6 +250,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup admits novel content only, across triggers and replays") {
+    val feedDir = tmp(); val outDir = s"${tmp()}/out.parquet"
+    val stateDir = tmp(); val cp = tmp()
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "one two three four five"
+    val t3 = "completely fresh words never seen before"
+    Seq((1L, t1), (2L, t2), (3L, t2)).toDF("doc_id", "text") // 3 dups 2 in-batch
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.exactDedupStream(spark, feedDir, outDir, stateDir, cp,
+      "text", "doc_id")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L))
+      // trigger 2: exact replay of t1 under a new id + one novel doc;
+      // whitespace/case variants of t2 must also hit the stored hash
+      Seq((4L, t1), (5L, t3), (6L, s"  ONE two   three FOUR five "))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 5L),
+        s"got $admitted: 4 dups stored 1; 6 normalizes to stored 2")
+    } finally q.stop()
+  }
+
+  test("exact-dedup batch step is replay-idempotent and probes only its buckets") {
+    val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
+    val t1 = "alpha beta gamma"; val t2 = "delta epsilon zeta"
+    def admittedIds() = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    val b0 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    CdcStream.exactDedupBatch(spark, b0, 0L, outDir, stateDir, "text", "doc_id")
+    assert(admittedIds() == Set(1L, 2L))
+    // replay after a crash-between-output-and-store: identical result,
+    // no double-admitted rows, store rows recorded once
+    CdcStream.exactDedupBatch(spark, b0, 0L, outDir, stateDir, "text", "doc_id")
+    assert(admittedIds() == Set(1L, 2L) && spark.read.parquet(outDir).count() == 2)
+    val store = spark.read.parquet(s"$stateDir/hashes.parquet")
+    assert(store.count() == 2, "replay must overwrite, not append, store rows")
+
+    // next batch still dedups against the store
+    CdcStream.exactDedupBatch(spark,
+      Seq((7L, t1), (8L, "brand new content here")).toDF("doc_id", "text"),
+      1L, outDir, stateDir, "text", "doc_id")
+    assert(admittedIds() == Set(1L, 2L, 8L))
+
+    // the store layout is hash-bucketed and marked with its count
+    assert(graft.cdc.BucketedLayout.readBucketCount(
+      spark, s"$stateDir/hashes.parquet").contains(64))
+  }
+
   test("near-dup batch step is replay-idempotent (at-least-once safe)") {
     val outDir = s"${tmp()}/out.parquet"; val stateDir = tmp()
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
