@@ -375,7 +375,57 @@ object Analytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * the first click AFTER the first view, then the first purchase
+    * AFTER that click; output = one row of stage-survivor counts.
+    *
+    * Scale shape: three chained (agg on user_id → join on user_id)
+    * stages all hash-partition by the SAME key, so after the first
+    * exchange the rest are co-located (no re-shuffle of events); the
+    * per-stage aggregates are partial min/count. No window over the
+    * whole event stream, no per-user sort.
+    */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"v_ts")
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"c_ts")
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Weekly cohort retention: cohort = week of a user's FIRST event,
+    * k = whole weeks since the cohort week; cell = distinct users of
+    * that cohort active in week k. First-event cohorts are one
+    * partial-min aggregate; the activity matrix dedups (user, week)
+    * pairs map-side (distinct over already user-partitioned rows),
+    * joins cohorts on the SAME user_id partitioning, and the final
+    * rollup is partial-counted. Week arithmetic is exact integer
+    * days/7 between Monday-truncated stamps — identical on every
+    * engine, no session-timezone dependence (UTC sessions).
+    */
+  def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select("user_id", "ts")
+    val cohorts = e.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val active = e.select($"user_id", date_trunc("week", $"ts").as("wk")).distinct()
+    active.join(cohorts, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("long").as("week_k"))
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -398,6 +448,25 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT cohort_week,
+        |       date_diff('day', cohort_week, wk) // 7 AS week_k,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT p_brand,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
