@@ -36,6 +36,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile brackets the exact grouped median (t-digest swap)") {
+    // q_percentiles is gated exact (bounded group count buffers fine);
+    // this pins the mergeable-sketch swap documented for unbounded
+    // cardinality to a tight bracket on real data
+    import org.apache.spark.sql.functions._
+    val rows = graft.util.Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx"),
+        expr("percentile(o_totalprice, 0.45)").as("lo"),
+        expr("percentile(o_totalprice, 0.55)").as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(a >= lo && a <= hi,
+        s"${r.getString(0)}: approx median $a outside [p45=$lo, p55=$hi]")
+    }
+  }
+
   test("q_topk_window keeps at most 3 rows per priority") {
     val df = Analytics.qTopkWindow(spark, sfDir)
     val max = df.groupBy("o_orderpriority").count()
