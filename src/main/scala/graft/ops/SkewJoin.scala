@@ -97,4 +97,49 @@ object SkewJoin {
     fact.filter(mightContain)
       .join(dim, fact(factKey) === dim(dimKey))
   }
+
+  /** Join-strategy advisor: one diagnostic pass over both sides that
+    * recommends the cheapest safe physical strategy for an equi-join —
+    * the decision procedure [[Profile.heavyHitters]] exists to feed,
+    * folded into a single deterministic row:
+    *
+    *  - `broadcast` — the small side fits under `broadcastRows`: ship
+    *    it to every executor, the big side never shuffles.
+    *  - `salt` — the big side's heaviest key exceeds `skewRowsPerTask`
+    *    (one reducer would own that many rows): use [[salted]].
+    *  - `bloom` — the small side's keys cover < `bloomCoverage` of the
+    *    big side's rows: most big rows have no match, prune them
+    *    map-side with [[bloomPruned]] before shuffling the rest.
+    *  - `shuffle` — no pathology: let the planner's sort-merge/AQE
+    *    handle it.
+    *
+    * Exact counts (not samples), so the advice is reproducible across
+    * runs and engines; cost is two partial-aggregated passes. At
+    * 100 TB run it on the PIPELINE'S key columns once and persist the
+    * decision with the job config — the shape of a key distribution
+    * moves far slower than the data.
+    */
+  def advise(big: DataFrame, small: DataFrame,
+             bigKey: String, smallKey: String,
+             broadcastRows: Long = 1000000L,
+             skewRowsPerTask: Long = 5000000L,
+             bloomCoverage: Double = 0.5): DataFrame = {
+    val counts = big.groupBy(col(bigKey)).agg(count(lit(1)).as("cnt"))
+    val keys = small.select(col(smallKey).as(bigKey)).distinct()
+    val stats = counts.agg(
+      sum("cnt").as("big_rows"),
+      max("cnt").as("max_key_rows"))
+      .crossJoin(keys.agg(count(lit(1)).as("small_keys")))
+      .crossJoin(counts.join(keys, Seq(bigKey), "left_semi")
+        .agg(coalesce(sum("cnt"), lit(0L)).as("matched_rows")))
+    stats.select(
+      col("big_rows"), col("small_keys"), col("max_key_rows"),
+      round(col("matched_rows").cast("double") / col("big_rows"), 6)
+        .as("match_coverage"),
+      when(col("small_keys") <= broadcastRows, lit("broadcast"))
+        .when(col("max_key_rows") > skewRowsPerTask, lit("salt"))
+        .when(col("matched_rows").cast("double") / col("big_rows") < bloomCoverage,
+          lit("bloom"))
+        .otherwise(lit("shuffle")).as("strategy"))
+  }
 }

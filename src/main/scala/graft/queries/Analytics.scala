@@ -423,7 +423,26 @@ object Analytics {
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
+  /** Join-strategy advisor on the lineitem⋈urgent-orders shape: two
+    * partial-aggregated diagnostic passes emit one decision row
+    * (broadcast / salt / bloom / shuffle) — see SkewJoin.advise.
+    * Thresholds picked so the decision itself is scale-dependent:
+    * at sf0.001 the urgent key set fits the broadcast budget, at
+    * sf0.01+ it overflows and the ~20% match coverage flips the
+    * recommendation to a Bloom prune.
+    */
+  def qJoinAdvise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.SkewJoin.advise(
+      Tables.lineitem(spark, sfDir).select("l_orderkey"),
+      Tables.orders(spark, sfDir)
+        .filter($"o_orderpriority" === "1-URGENT").select("o_orderkey"),
+      "l_orderkey", "o_orderkey",
+      broadcastRows = 1000L, skewRowsPerTask = 100L, bloomCoverage = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_advise" -> qJoinAdvise,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_semi_join" -> qSemiJoin,
@@ -448,6 +467,23 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_join_advise" ->
+      """WITH counts AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |         WHERE o_orderpriority = '1-URGENT'),
+        |s AS (SELECT
+        |  CAST((SELECT sum(cnt) FROM counts) AS BIGINT) AS big_rows,
+        |  (SELECT count(*) FROM keys) AS small_keys,
+        |  (SELECT max(cnt) FROM counts) AS max_key_rows,
+        |  CAST((SELECT coalesce(sum(cnt), 0) FROM counts
+        |        WHERE k IN (SELECT k FROM keys)) AS BIGINT) AS matched_rows)
+        |SELECT big_rows, small_keys, max_key_rows,
+        |  round(CAST(matched_rows AS DOUBLE) / big_rows, 6) AS match_coverage,
+        |  CASE WHEN small_keys <= 1000 THEN 'broadcast'
+        |       WHEN max_key_rows > 100 THEN 'salt'
+        |       WHEN CAST(matched_rows AS DOUBLE) / big_rows < 0.5 THEN 'bloom'
+        |       ELSE 'shuffle' END AS strategy
+        |FROM s""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

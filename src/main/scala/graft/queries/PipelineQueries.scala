@@ -245,6 +245,29 @@ object PipelineQueries {
       dups.unionByName(news).unionByName(copies), "text", "doc_id")
   }
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct document contents they share — the web-crawl overlap
+    * diagnostic that decides which dumps are worth ingesting at all
+    * (a mirror shares ~everything; a fresh crawl shares ~nothing).
+    * One partial-agg distinct on (source, hash), a self-join on the
+    * hash (uniformly distributed — md5 keys don't skew), and a
+    * partial-counted rollup; output is |sources|² at most. The test
+    * corpus mirrors every 50th doc under a synthetic 'mirror' source.
+    */
+  def dedupSourceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.select(col("source"), col("text")).unionByName(
+      d.filter(expr("doc_id % 50 = 0"))
+        .select(lit("mirror").as("source"), col("text")))
+    val h = corpus.select(col("source"),
+      md5(TextAnalysis.normalize(col("text"))).as("ch")).distinct()
+    h.select(col("source").as("source_a"), col("ch"))
+      .join(h.select(col("source").as("source_b"), col("ch")), Seq("ch"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-token windows with 16-token overlap — the pre-embedding
     * context-window split (zero-shuffle; see TextAnalysis.chunk).
     */
@@ -351,6 +374,7 @@ object PipelineQueries {
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
+    "dedup_source_overlap" -> dedupSourceOverlapQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -651,6 +675,15 @@ object PipelineQueries {
          |       FROM batch GROUP BY 1)
          |SELECT content_hash, admitted_id, n_batch_copies FROM bk
          |WHERE content_hash NOT IN (SELECT md5($norm) FROM documents)""".stripMargin,
+    "dedup_source_overlap" ->
+      s"""WITH corpus AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 50 = 0),
+         |h AS (SELECT DISTINCT source, md5($norm) AS ch FROM corpus)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -74,6 +74,27 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.bloomPruned(fact, dim, "fk", "dk", 10))
   }
 
+  test("join advisor picks each strategy from the stats that justify it") {
+    def strat(big: org.apache.spark.sql.DataFrame,
+              small: org.apache.spark.sql.DataFrame) =
+      SkewJoin.advise(big, small, "k", "k",
+        broadcastRows = 3, skewRowsPerTask = 50, bloomCoverage = 0.5)
+        .head().getString(4)
+
+    val uniform = (0L until 200L).map(k => (k, k)).toDF("k", "v")
+    // 2 distinct small keys <= 3 → broadcast wins regardless of shape
+    assert(strat(uniform, Seq(1L, 2L).map(Tuple1(_)).toDF("k")) == "broadcast")
+    // heavy key: 100 of 200 rows on k=0 > 50-row task budget → salt
+    val skewed = ((0 until 100).map(_ => (0L, 0L)) ++
+      (1L until 101L).map(k => (k, k))).toDF("k", "v")
+    val small = (0L until 10L).map(Tuple1(_)).toDF("k")
+    assert(strat(skewed, small) == "salt")
+    // 10 of 200 uniform keys match → 5% coverage < 50% → bloom
+    assert(strat(uniform, small) == "bloom")
+    // every big row matches → no pathology → shuffle
+    assert(strat(uniform, (0L until 200L).map(Tuple1(_)).toDF("k")) == "shuffle")
+  }
+
   test("chunk covers every token, respects overlap, and is deterministic") {
     val size = 8; val overlap = 3; val step = size - overlap
     val docs = Seq(
