@@ -302,4 +302,48 @@ class RandomizedSpec extends SparkSpec {
       assert(got == recompute(truth), s"cycle $cycle diverged")
     }
   }
+
+  test("salted join equals the plain join on random skew shapes and salt counts") {
+    val rnd = new Random(55)
+    (1 to 4).foreach { round =>
+      // skew profile varies per round: uniform → 95%-one-key
+      val hot = rnd.nextDouble()
+      val big = (0 until 800).map { i =>
+        val k = if (rnd.nextDouble() < hot) 0L else rnd.nextInt(40).toLong
+        (k, i.toLong, rnd.nextInt(1000).toDouble)
+      }.toDF("k", "seq", "v").repartition(1 + rnd.nextInt(7))
+      val small = (0 until 60).map { _ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(100))  // dup + missing keys
+      }.toDF("k", "attr")
+      val nSalts = 1 + rnd.nextInt(12)
+      val jt = if (rnd.nextBoolean()) "inner" else "left_outer"
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = graft.ops.SkewJoin.salted(big, small, "k", nSalts, jt)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"round $round: joinType=$jt nSalts=$nSalts hot=$hot diverged")
+    }
+  }
+
+  test("token chunking matches a sliding-window scan reference on random docs") {
+    val rnd = new Random(321)
+    val size = 2 + rnd.nextInt(12); val overlap = rnd.nextInt(size)
+    val step = size - overlap
+    val docs = (0 until 120).map { id =>
+      val n = 1 + rnd.nextInt(60)
+      (id.toLong, (0 until n).map(j => s"w${rnd.nextInt(30)}").mkString(" "))
+    }
+    val got = graft.ops.TextAnalysis.chunk(
+        docs.toDF("doc_id", "text"), "text", "doc_id", size, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val nch = if (toks.length <= size) 1
+        else 1 + (toks.length - size + step - 1) / step
+      (0 until nch).map(i =>
+        (id, i.toLong, toks.slice(i * step, i * step + size).mkString(" ")))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.length == want.length, s"size=$size overlap=$overlap")
+    assert(got.sameElements(want), s"size=$size overlap=$overlap diverged")
+  }
 }
