@@ -269,6 +269,38 @@ object TextAnalysis {
         (col("n_shared_ngrams") >= minShared).cast("int"))
   }
 
+  /** Document-frequency boilerplate pruning (the CCNet-style strip of
+    * tokens so common they carry no signal — navigation chrome,
+    * templated headers — before fingerprinting/minhashing): drop from
+    * every doc the tokens appearing in more than `maxDfShare` of all
+    * docs, preserving order and multiplicity of what remains.
+    *
+    * Scale shape: the ONLY shuffle is the df count (per-doc
+    * array_distinct before the explode — no corpus-wide distinct),
+    * the high-df set is a one-row broadcast (vocab above 75% df is
+    * tiny by Zipf), and the prune itself is a per-row lambda over the
+    * token array — scan speed, no second corpus pass.
+    */
+  def dfPrune(df: DataFrame, textCol: String, idCol: String,
+              maxDfShare: Double = 0.75): DataFrame = {
+    val d = df.select(col(idCol),
+      split(normalize(col(textCol)), " ").as("toks"))
+    val counts = d
+      .select(col(idCol), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val hd = counts
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+      .filter(col("df") > col("nd") * maxDfShare)
+      // sort for a deterministic plan literal; membership-only use
+      .agg(array_sort(collect_list("tok")).as("hs"))
+    d.crossJoin(broadcast(hd))
+      .withColumn("kept", expr("filter(toks, t -> NOT array_contains(hs, t))"))
+      .select(col(idCol),
+        (org.apache.spark.sql.functions.size(col("toks")) -
+          org.apache.spark.sql.functions.size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("pruned"))
+  }
+
   /** Token-window document chunking: split each doc into fixed-size
     * overlapping windows of whitespace tokens — the context-window
     * assembly step before embedding or training (each chunk becomes

@@ -245,6 +245,13 @@ object PipelineQueries {
       dups.unionByName(news).unionByName(copies), "text", "doc_id")
   }
 
+  /** df-threshold boilerplate strip over the corpus (see
+    * TextAnalysis.dfPrune): one df shuffle + a broadcast high-df set;
+    * the prune is a per-row array lambda at scan speed.
+    */
+  def textDfPruneQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.dfPrune(Tables.documents(spark, sfDir), "text", "doc_id")
+
   /** Cross-source duplication matrix: for every source pair, how many
     * distinct document contents they share — the web-crawl overlap
     * diagnostic that decides which dumps are worth ingesting at all
@@ -375,6 +382,7 @@ object PipelineQueries {
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
     "dedup_source_overlap" -> dedupSourceOverlapQ,
+    "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -675,6 +683,19 @@ object PipelineQueries {
          |       FROM batch GROUP BY 1)
          |SELECT content_hash, admitted_id, n_batch_copies FROM bk
          |WHERE content_hash NOT IN (SELECT md5($norm) FROM documents)""".stripMargin,
+    "text_df_prune" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+         |t AS (SELECT DISTINCT doc_id, tok
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+         |dfc AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |hd AS (SELECT coalesce(list(tok ORDER BY tok), CAST([] AS VARCHAR[])) AS hs
+         |       FROM dfc, n WHERE df > nd * 0.75)
+         |SELECT doc_id,
+         |  len(toks) - len(list_filter(toks, x -> NOT list_contains(hs, x))) AS n_removed,
+         |  coalesce(array_to_string(
+         |    list_filter(toks, x -> NOT list_contains(hs, x)), ' '), '') AS pruned
+         |FROM d, hd""".stripMargin,
     "dedup_source_overlap" ->
       s"""WITH corpus AS (
          |  SELECT source, text FROM documents

@@ -21,6 +21,27 @@ class PipelineSpec extends SparkSpec {
     assert(d.filter($"n_copies" === 2 && $"keeper_id" >= 100000L).count() == 0)
   }
 
+  test("df-prune strips only above-threshold tokens, preserving order and repeats") {
+    val docs = Seq(
+      (1L, "the cat the hat the end"),   // 'the' in 4/4 docs
+      (2L, "the dog runs fast"),
+      (3L, "the bird the bird"),         // only 'the' once stripped? no — both
+      (4L, "the")                        // nothing survives
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dfPrune(docs, "text", "doc_id", maxDfShare = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L) == (3, "cat hat end"), "order + multiplicity preserved")
+    assert(out(2L) == (1, "dog runs fast"))
+    assert(out(3L) == (2, "bird bird"), "repeats of kept tokens survive")
+    assert(out(4L) == (1, ""), "fully-boilerplate doc prunes to empty, not null")
+    // threshold is strict: a token in 3/4 docs (75%) stays at share 0.75
+    val loose = TextAnalysis.dfPrune(
+      Seq((1L, "x a"), (2L, "x b"), (3L, "x c"), (4L, "y d")).toDF("doc_id", "text"),
+      "text", "doc_id", maxDfShare = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(loose(1L) == "x a", "df == threshold share is NOT pruned (strict >)")
+  }
+
   test("incremental dedup admits only novel content, collapsing in-batch copies") {
     val novel = docs.filter(expr("doc_id % 41 = 0"))
       .select(($"doc_id" + 500000L).as("doc_id"),
