@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** LIVE-database end-to-end coverage: Apache Derby embedded (already
+  * on Spark's classpath as the Hive metastore's store) stands in for
+  * the reference's Postgres. This closes the "JdbcStore is
+  * code-complete but never touched a real database" residual: reads,
+  * existence probes, truncate-overwrite writes, full Replicator
+  * cycles (incremental updates AND range-hash delete sync) and
+  * live-catalog index extraction all run against real JDBC here.
+  */
+class JdbcLiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dbHome = {
+    val d = Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.system.home", d)  // keeps derby.log out of the repo
+    d
+  }
+  private lazy val url = s"jdbc:derby:$dbHome/db;create=true"
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def exec(stmts: String*): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try stmts.foreach { s => val st = conn.createStatement(); try st.execute(s) finally st.close() }
+    finally conn.close()
+  }
+
+  private def store(ckpt: String) =
+    new JdbcStore(spark, url, Map("driver" -> driver), ckpt)
+
+  test("Derby: read, exists, and truncate-overwrite write round-trip") {
+    exec("CREATE TABLE W (ID BIGINT NOT NULL PRIMARY KEY, V VARCHAR(100))",
+      "INSERT INTO W VALUES (1, 'stale'), (2, 'stale')")
+    val s = store(Files.createTempDirectory("graft-jdbc-ck").toString)
+    assert(s.exists("W") && !s.exists("NO_SUCH_TABLE"))
+    assert(s.read("W").count() == 2)
+
+    val fresh = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("ID", "V")
+    s.write("W", fresh)   // stage → truncate → insert (never drops the PK)
+    val back = s.read("W").as[(Long, String)].collect().toMap
+    assert(back == Map(10L -> "a", 11L -> "b", 12L -> "c"))
+    // the PK constraint survived the truncate path (a DROP+recreate
+    // overwrite would have lost it)
+    intercept[Exception](exec("INSERT INTO W VALUES (10, 'dup')"))
+  }
+
+  test("Derby → parquet: full Replicator cycles with updates and deletes") {
+    exec("CREATE TABLE T (ID BIGINT NOT NULL PRIMARY KEY, VER BIGINT, V VARCHAR(40))",
+      s"INSERT INTO T VALUES ${(0 until 60).map(i => s"($i, $i, 'v$i')").mkString(", ")}")
+    val tgtDir = Files.createTempDirectory("graft-jdbc-tgt").toString
+    val src = store(Files.createTempDirectory("graft-jdbc-ck2").toString)
+    val tgt = new ParquetStore(spark, tgtDir)
+    val cfg = ReplicationConfig(
+      tables = Seq(TableConfig("T", Seq("ID"), "VER")), deleteChunkSize = 16)
+    val rep = new Replicator(spark, cfg, src, tgt)
+
+    rep.run() // initial sync (full copy branch: empty target)
+    def target() = tgt.read("T").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(target() == (0 until 60).map(i => i.toLong -> (i.toLong, s"v$i")).toMap)
+
+    // live mutations: version-bumped updates, inserts, deletes
+    exec("UPDATE T SET VER = 100, V = 'patched' WHERE ID IN (3, 7)",
+      "INSERT INTO T VALUES (60, 101, 'new'), (61, 102, 'new')",
+      "DELETE FROM T WHERE ID IN (5, 11, 42)")
+    rep.run() // incremental branch: watermark pull + range-hash delete sync
+    val want = ((0 until 60).map(i => i.toLong -> (i.toLong, s"v$i")).toMap
+      -- Seq(5L, 11L, 42L)
+      ++ Map(3L -> (100L, "patched"), 7L -> (100L, "patched"),
+        60L -> (101L, "new"), 61L -> (102L, "new")))
+    assert(target() == want, "second cycle must apply updates AND deletes")
+
+    // a quiet third cycle is a no-op that leaves the target identical
+    rep.run()
+    assert(target() == want)
+  }
+
+  test("Derby: live-catalog index extraction maps to a bucketed layout") {
+    exec("CREATE TABLE IX (ID BIGINT NOT NULL, TS BIGINT, V VARCHAR(20), " +
+      "CONSTRAINT IX_PK PRIMARY KEY (ID))",
+      "CREATE INDEX IX_TS ON IX (TS)")
+    val s = store(Files.createTempDirectory("graft-jdbc-ck3").toString)
+    val specs = s.extractIndices("IX", schema = Some("APP"))
+    val pk = specs.find(_.primary).getOrElse(fail("no primary index extracted"))
+    assert(pk.columns == Seq("ID"))
+    assert(specs.exists(i => !i.primary && i.columns == Seq("TS")),
+      s"secondary index missing from $specs")
+    val layout = s.layoutFor("IX", numBuckets = 8, schema = Some("APP"))
+      .getOrElse(fail("no layout derived"))
+    assert(layout.bucketColumns == Seq("ID") && layout.numBuckets == 8)
+    assert(layout.sortColumns.contains("TS"))
+  }
+}
