@@ -80,6 +80,29 @@ class JdbcLiveSpec extends SparkSpec {
     assert(target() == want)
   }
 
+  test("config-driven CLI run replicates a live Derby source to parquet") {
+    exec("CREATE TABLE C (ID BIGINT NOT NULL PRIMARY KEY, VER BIGINT, V VARCHAR(40))",
+      s"INSERT INTO C VALUES ${(0 until 25).map(i => s"($i, $i, 'c$i')").mkString(", ")}")
+    val tgtDir = Files.createTempDirectory("graft-cli-tgt").toString
+    val ckpt = Files.createTempDirectory("graft-cli-ck").toString
+    // exactly the file a reference user would write: jdbc source URL,
+    // parquet target dir, declared keys (file/JDBC stores carry no xmin)
+    val cfg = ConfigLoader.loadString(
+      s"""{"source":"$url","target":"$tgtDir","tables":["C"],
+         |"keys":{"C":{"primaryKeys":["ID"],"versionColumn":"VER"}},
+         |"checkpointDir":"$ckpt"}""".stripMargin)
+    assert(graft.Replicate.run(spark, cfg, continuous = false) == 1)
+    def target() = spark.read.parquet(s"$tgtDir/C.parquet")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(target() == (0 until 25).map(i => i.toLong -> (i.toLong, s"c$i")).toMap)
+
+    exec("DELETE FROM C WHERE ID = 13",
+      "UPDATE C SET VER = 50, V = 'bumped' WHERE ID = 2")
+    assert(graft.Replicate.run(spark, cfg, continuous = false) == 1)
+    assert(target() == ((0 until 25).map(i => i.toLong -> (i.toLong, s"c$i")).toMap
+      - 13L + (2L -> (50L, "bumped"))))
+  }
+
   test("Derby: live-catalog index extraction maps to a bucketed layout") {
     exec("CREATE TABLE IX (ID BIGINT NOT NULL, TS BIGINT, V VARCHAR(20), " +
       "CONSTRAINT IX_PK PRIMARY KEY (ID))",
