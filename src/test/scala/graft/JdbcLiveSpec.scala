@@ -103,6 +103,22 @@ class JdbcLiveSpec extends SparkSpec {
       - 13L + (2L -> (50L, "bumped"))))
   }
 
+  test("Derby: partitioned parallel extraction returns the same rows across N connections") {
+    exec("CREATE TABLE P (ID BIGINT NOT NULL PRIMARY KEY, V VARCHAR(20))",
+      s"INSERT INTO P VALUES ${(0 until 97).map(i => s"($i, 'p$i')").mkString(", ")}")
+    // the 100 TB extraction shape: partitionColumn splits the scan into
+    // numPartitions range-predicate queries over parallel connections
+    val par = new JdbcStore(spark, url, Map("driver" -> driver),
+      Files.createTempDirectory("graft-jdbc-ck4").toString,
+      extraOptions = Map("partitionColumn" -> "ID", "lowerBound" -> "0",
+        "upperBound" -> "97", "numPartitions" -> "4"))
+    val df = par.read("P")
+    assert(df.rdd.getNumPartitions == 4, "extraction must fan out as configured")
+    assert(df.as[(Long, String)].collect().toMap ==
+      (0 until 97).map(i => i.toLong -> s"p$i").toMap,
+      "range-partitioned reads must cover every row exactly once")
+  }
+
   test("Derby: live-catalog index extraction maps to a bucketed layout") {
     exec("CREATE TABLE IX (ID BIGINT NOT NULL, TS BIGINT, V VARCHAR(20), " +
       "CONSTRAINT IX_PK PRIMARY KEY (ID))",
