@@ -124,14 +124,19 @@ object SkewJoin {
              broadcastRows: Long = 1000000L,
              skewRowsPerTask: Long = 5000000L,
              bloomCoverage: Double = 0.5): DataFrame = {
+    // ONE aggregation of the big side; the small key set broadcasts
+    // onto the per-key counts as a match flag, so total / max / matched
+    // all fold over the same exchange (plan-audited: one big-side scan)
     val counts = big.groupBy(col(bigKey)).agg(count(lit(1)).as("cnt"))
     val keys = small.select(col(smallKey).as(bigKey)).distinct()
-    val stats = counts.agg(
+    val flagged = counts.join(
+      broadcast(keys.withColumn("__matched", lit(1))), Seq(bigKey), "left_outer")
+    val stats = flagged.agg(
       sum("cnt").as("big_rows"),
-      max("cnt").as("max_key_rows"))
+      max("cnt").as("max_key_rows"),
+      sum(when(col("__matched") === 1, col("cnt")).otherwise(0L))
+        .as("matched_rows"))
       .crossJoin(keys.agg(count(lit(1)).as("small_keys")))
-      .crossJoin(counts.join(keys, Seq(bigKey), "left_semi")
-        .agg(coalesce(sum("cnt"), lit(0L)).as("matched_rows")))
     stats.select(
       col("big_rows"), col("small_keys"), col("max_key_rows"),
       round(col("matched_rows").cast("double") / col("big_rows"), 6)

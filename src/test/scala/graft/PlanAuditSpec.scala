@@ -219,6 +219,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "aggregation must combine map-side")
   }
 
+  test("q_join_advise: the big side is scanned and aggregated exactly once") {
+    val plan = formatted(q("q_join_advise"))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      "total/max/matched stats must fold over ONE pass of the big side")
+    assert(plan.contains("partial_count"),
+      "the per-key count must combine map-side")
+  }
+
   test("dedup_incremental: corpus probe is key-only and never re-aggregated") {
     val plan = formatted(q("dedup_incremental"))
     assert(plan.contains("LeftAnti"),
