@@ -305,7 +305,11 @@ object PipelineQueries {
     // exact dedup as an aggregate (min keeper id per text), not a
     // window — partial-aggregatable, no per-group sort
     val keepers = scored.groupBy(col("norm")).agg(min("doc_id").as("doc_id"))
-    val deduped = scored.join(keepers, Seq("norm", "doc_id"))
+    // the deduped corpus feeds BOTH the contamination index and the
+    // final anti-join; localCheckpoint materializes it once instead of
+    // re-running the scan + dedup shuffle per consumer (a cluster job
+    // would checkpoint() durably — same shape, plus fault tolerance)
+    val deduped = scored.join(keepers, Seq("norm", "doc_id")).localCheckpoint()
     // contamination re-normalizes internally; normalize is idempotent
     val bad = TextAnalysis.contamination(deduped, "norm", "doc_id",
         probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
