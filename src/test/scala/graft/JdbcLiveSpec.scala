@@ -103,6 +103,28 @@ class JdbcLiveSpec extends SparkSpec {
       - 13L + (2L -> (50L, "bumped"))))
   }
 
+  test("continuous polling mode tracks a live Derby source across cycles") {
+    exec("CREATE TABLE K (ID BIGINT NOT NULL PRIMARY KEY, VER BIGINT, V VARCHAR(20))",
+      "INSERT INTO K VALUES (1, 1, 'a'), (2, 2, 'b')")
+    val tgtDir = Files.createTempDirectory("graft-cont-tgt").toString
+    val src = store(Files.createTempDirectory("graft-cont-ck").toString)
+    val tgt = new ParquetStore(spark, tgtDir)
+    val rep = new Replicator(spark,
+      ReplicationConfig(tables = Seq(TableConfig("K", Seq("ID"), "VER"))), src, tgt)
+    // the reference's -c loop: mutate the live table BETWEEN polls via
+    // the onCycle hook and verify the replica tracks each cycle
+    var seen = Vector.empty[Set[Long]]
+    val cycles = rep.runContinuous(pollIntervalMs = 0L, maxCycles = 3,
+      afterCycle = { n =>
+        seen :+= tgt.read("K").as[(Long, Long, String)].collect().map(_._1).toSet
+        if (n == 1) exec("INSERT INTO K VALUES (3, 3, 'c')")
+        if (n == 2) exec("DELETE FROM K WHERE ID = 1")
+      })
+    assert(cycles == 3)
+    assert(seen == Vector(Set(1L, 2L), Set(1L, 2L, 3L), Set(2L, 3L)),
+      "each poll must observe the previous cycle's live mutations")
+  }
+
   test("Derby: partitioned parallel extraction returns the same rows across N connections") {
     exec("CREATE TABLE P (ID BIGINT NOT NULL PRIMARY KEY, V VARCHAR(20))",
       s"INSERT INTO P VALUES ${(0 until 97).map(i => s"($i, 'p$i')").mkString(", ")}")
