@@ -140,6 +140,18 @@ object CdcQueries {
       Seq("user_id"), "event_id", Seq("event_type"))
       .withColumn("is_current", col("is_current").cast("long"))
 
+  /** Point-in-time lookup over the SCD2 history: the state of every
+    * key at version 500 — one interval-containment filter, which a
+    * bucketed/Z-ordered history store answers with file skipping on
+    * valid_from/valid_to min/max (never a scan of closed history).
+    */
+  def scd2AsofQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.cdc.Scd2.asOf(
+      graft.cdc.Scd2.buildHistory(
+        Tables.events(spark, sfDir).select("user_id", "event_id", "event_type"),
+        Seq("user_id"), "event_id", Seq("event_type")),
+      version = 500L)
+
   /** SCD2 maintenance: history built at watermark 500, then ONE
     * change batch (500, 900] folded in via Scd2.maintain — O(touched
     * keys), untouched rows pass through. The oracle rebuilds the full
@@ -187,6 +199,7 @@ object CdcQueries {
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
     "cdc_scd2_maintain" -> scd2MaintainQ,
+    "cdc_scd2_asof" -> scd2AsofQ,
     "cdc_table_length" -> tableLengthQ,
     "cdc_schema_fingerprint" -> schemaFingerprintQ)
 
@@ -219,6 +232,10 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle("events"),
+    "cdc_scd2_asof" ->
+      s"""SELECT user_id, event_type, valid_from, valid_to
+         |FROM (${scd2Oracle("events")})
+         |WHERE valid_from <= 500 AND 500 < valid_to""".stripMargin,
     "cdc_scd2_maintain" ->
       scd2Oracle("(SELECT * FROM events WHERE event_id <= 900)"),
     "cdc_update_range" ->
