@@ -12,6 +12,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain` as JSON; by
+// default sbt relays a forked process's stdout through its logger,
+// prefixing every line with "[info] " which defeats that parse. Inherit
+// the JVM's stdout/stderr directly so Bench's JSON line lands raw.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" footer so the JSON
+// line is the literal last line of the driver's captured output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
