@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Explicit skew-mitigation join strategies.
@@ -85,17 +86,27 @@ object SkewJoin {
     val keyType = fact.schema(factKey).dataType
     require(keyType == LongType || keyType == StringType,
       s"bloomPruned supports long/string keys, got $keyType for $factKey")
-    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    // closure ships the immutable bitset to executors like a broadcast;
-    // the probe is two integer hashes — negligible next to shuffle I/O
-    val mightContain: Column = keyType match {
-      case LongType   => udf((k: Long) => bloom.mightContainLong(k)).apply(col(factKey))
-      case StringType => udf((k: String) => k != null && bloom.mightContainString(k)).apply(col(factKey))
-      case other => throw new IllegalArgumentException(
-        s"bloomPruned supports long/string keys, got $other for $factKey")
-    }
-    fact.filter(mightContain)
+    fact.filter(bloomProbe(dim, dimKey, col(factKey), expectedItems, fpp))
       .join(dim, fact(factKey) === dim(dimKey))
+  }
+
+  /** Probe column for a Bloom filter built over `dim(dimKey)`: true iff
+    * `probeKey` might be in the dim key set. The sketch is built by one
+    * partial-aggregated pass over dim, shipped ONCE per executor via an
+    * explicit `sparkContext.broadcast` (not re-serialized into every
+    * task binary the way a closure-captured filter is), and probed by a
+    * native codegen'd expression ([[graft.functions.BloomMightContain]])
+    * — the probe stays inside the whole-stage-codegen'd scan stage
+    * instead of crossing a UDF serialization fence.
+    */
+  def bloomProbe(dim: DataFrame, dimKey: String, probeKey: Column,
+                 expectedItems: Long, fpp: Double = 0.03): Column = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val bc = dim.sparkSession.sparkContext.broadcast(bytes.toByteArray)
+    ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(probeKey), new graft.functions.BloomProbe(bc)))
   }
 
   /** Join-strategy advisor: one diagnostic pass over both sides that
@@ -114,7 +125,8 @@ object SkewJoin {
     *    handle it.
     *
     * Exact counts (not samples), so the advice is reproducible across
-    * runs and engines; cost is two partial-aggregated passes. At
+    * runs and engines; cost is one partial-aggregated grouped pass over
+    * the union of both sides' key columns. At
     * 100 TB run it on the PIPELINE'S key columns once and persist the
     * decision with the job config — the shape of a key distribution
     * moves far slower than the data.
@@ -124,19 +136,22 @@ object SkewJoin {
              broadcastRows: Long = 1000000L,
              skewRowsPerTask: Long = 5000000L,
              bloomCoverage: Double = 0.5): DataFrame = {
-    // ONE aggregation of the big side; the small key set broadcasts
-    // onto the per-key counts as a match flag, so total / max / matched
-    // all fold over the same exchange (plan-audited: one big-side scan)
-    val counts = big.groupBy(col(bigKey)).agg(count(lit(1)).as("cnt"))
-    val keys = small.select(col(smallKey).as(bigKey)).distinct()
-    val flagged = counts.join(
-      broadcast(keys.withColumn("__matched", lit(1))), Seq(bigKey), "left_outer")
-    val stats = flagged.agg(
+    // ONE scan of each side, NO join: tag rows with their origin, group
+    // once by key (map-side partial agg reduces the wire to ~distinct
+    // keys per partition), then fold total / max / matched / small-key
+    // stats over the same per-key exchange. The previous shape joined a
+    // broadcast key set onto the counts AND re-aggregated the small
+    // side for its key count — two computations of the same distinct.
+    val tagged = big.select(col(bigKey).as("__k"), lit(1L).as("__is_big"))
+      .unionAll(small.select(col(smallKey).as("__k"), lit(0L).as("__is_big")))
+    val perKey = tagged.groupBy("__k").agg(
+      sum("__is_big").as("cnt"),
+      max(lit(1L) - col("__is_big")).as("__has_small"))
+    val stats = perKey.agg(
       sum("cnt").as("big_rows"),
-      max("cnt").as("max_key_rows"),
-      sum(when(col("__matched") === 1, col("cnt")).otherwise(0L))
-        .as("matched_rows"))
-      .crossJoin(keys.agg(count(lit(1)).as("small_keys")))
+      max(when(col("cnt") > 0, col("cnt"))).as("max_key_rows"),
+      sum(col("__has_small")).as("small_keys"),
+      sum(col("cnt") * col("__has_small")).as("matched_rows"))
     stats.select(
       col("big_rows"), col("small_keys"), col("max_key_rows"),
       round(col("matched_rows").cast("double") / col("big_rows"), 6)

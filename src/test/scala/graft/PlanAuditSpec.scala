@@ -205,8 +205,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_bloom_join: bloom probe filters the fact scan below the join") {
     val plan = formatted(q("q_bloom_join"))
-    assert(plan.contains("UDF"),
+    assert(plan.contains("graft_bloom_might_contain"),
       "the bloom might-contain probe must appear in the plan")
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      "the probe must be the native codegen'd expression, not a UDF")
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_returnflag:string>"),
       "the fact scan must stay column-pruned under the probe filter")
     assert(plan.contains("partial_sum"), "aggregation must combine map-side")
@@ -219,12 +221,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "aggregation must combine map-side")
   }
 
-  test("q_join_advise: the big side is scanned and aggregated exactly once") {
+  test("q_join_advise: each side is scanned exactly once, no join") {
     val plan = formatted(q("q_join_advise"))
     assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
       "total/max/matched stats must fold over ONE pass of the big side")
-    assert(plan.contains("partial_count"),
-      "the per-key count must combine map-side")
+    assert("orders\\.parquet".r.findAllIn(plan).size == 1,
+      "the small-side key set must be computed once, not per-statistic")
+    assert(plan.contains("partial_sum"),
+      "the per-key tag counts must combine map-side")
   }
 
   test("dedup_incremental: corpus probe is key-only and never re-aggregated") {

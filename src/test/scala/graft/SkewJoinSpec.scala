@@ -59,8 +59,7 @@ class SkewJoinSpec extends SparkSpec {
   test("bloom prune drops most non-matching rows before the join") {
     val fact = (0L until 10000L).map(i => (i, i)).toDF("fk", "payload")
     val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("dk", "attr")
-    val bloom = dim.stat.bloomFilter("dk", 100, 0.03)
-    val kept = fact.filter(udf((k: Long) => bloom.mightContainLong(k)).apply($"fk")).count()
+    val kept = fact.filter(SkewJoin.bloomProbe(dim, "dk", $"fk", 100)).count()
     // 100 true keys + ~3% fp on the other 9900 — far below the 10000 a
     // plain shuffle would move
     assert(kept < 1000, s"bloom should prune ~97% of misses, kept $kept")
