@@ -126,18 +126,37 @@ object PipelineQueries {
 
   /** Embedding k-means clustering (rows-only check: the iterative
     * floor-quantized Lloyd loop is not one SQL statement; determinism
-    * and nearest-centroid consistency are spec-pinned instead).
+    * and nearest-centroid consistency are spec-pinned instead —
+    * [[embKmeansInitQ]] hash-gates the shared init + assignment).
     */
   def embKmeansQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.kmeans(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       k = 8, iters = 4, dim = EMB_DIM)
 
+  /** K-means at iters=0: hash-ranked init + one nearest-centroid
+    * assignment, both pure md5/integer arithmetic — DuckDB-replayable,
+    * so the init and assignment stages the iterative `emb_kmeans`
+    * builds on are hash-gated (ann_pq established the pattern).
+    */
+  def embKmeansInitQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      k = 8, iters = 0, dim = EMB_DIM)
+
   /** SemDeDup-style semantic near-dup: exact cosine within k-means
-    * clusters (rows-only; spec pins that it finds the planted dup).
+    * clusters (rows-only; spec pins that it finds the planted dup.
+    * [[dedupSemanticInitQ]] hash-gates the same pipeline at iters=0).
     */
   def dedupSemanticQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.semanticDupPairs(Tables.embeddings(spark, sfDir), "embedding",
       "vec_id", COS_T, k = 8, iters = 4, dim = EMB_DIM)
+
+  /** Semantic near-dup at iters=0: clusters come straight from the
+    * deterministic init assignment, so cluster membership AND the
+    * within-cluster exact cosines are DuckDB-replayable end-to-end.
+    */
+  def dedupSemanticInitQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDupPairs(Tables.embeddings(spark, sfDir), "embedding",
+      "vec_id", COS_T, k = 8, iters = 0, dim = EMB_DIM)
 
   def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text", "doc_id")
@@ -370,7 +389,9 @@ object PipelineQueries {
     "ann_lsh_pairs" -> annLshPairsQ,
     "ann_pq" -> annPqQ,
     "emb_kmeans" -> embKmeansQ,
+    "emb_kmeans_init" -> embKmeansInitQ,
     "dedup_semantic" -> dedupSemanticQ,
+    "dedup_semantic_init" -> dedupSemanticInitQ,
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,
@@ -775,6 +796,47 @@ object PipelineQueries {
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
          |  CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
          |        WHEN 'error' THEN 0.0 ELSE 0.1 END) * 10000 AS BIGINT)""".stripMargin,
+    "emb_kmeans_init" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q QUALIFY cid < 8),
+         |c AS (SELECT cid, qv AS cqv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS cn2 FROM init),
+         |asg AS (SELECT v.vec_id AS id, c.cid,
+         |          CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |               ELSE CAST(list_sum(list_transform(
+         |                      list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                    / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |          END AS ccos
+         |        FROM n v, c)
+         |SELECT id, cluster, round(ccos, 6) AS centroid_cosine FROM (
+         |  SELECT id, cid AS cluster, ccos,
+         |    row_number() OVER (PARTITION BY id
+         |                       ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM asg) WHERE rn = 1""".stripMargin,
+    "dedup_semantic_init" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q QUALIFY cid < 8),
+         |c AS (SELECT cid, qv AS cqv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS cn2 FROM init),
+         |asg AS (SELECT id, cluster, qv, n2 FROM (
+         |  SELECT v.vec_id AS id, c.cid AS cluster, v.qv, v.n2,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |           ELSE CAST(list_sum(list_transform(
+         |                  list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |      END DESC, c.cid ASC) AS rn
+         |  FROM n v, c) WHERE rn = 1)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cosine
+         |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
     "ann_pq" ->
       s"""WITH $qPrep,
          |init AS (SELECT qv, row_number() OVER (
