@@ -81,9 +81,14 @@ object Scd2 {
     */
   def maintain(history: DataFrame, batch: DataFrame, pkCols: Seq[String],
                versionCol: String, payloadCols: Seq[String]): DataFrame = {
-    val keys = batch.select(pkCols.map(col): _*).distinct()
-    val affected = history.join(broadcast(keys), pkCols, "left_semi")
-    val untouched = history.join(broadcast(keys), pkCols, "left_anti")
+    // localCheckpoint: the distinct is computed ONCE for both probes
+    // (not re-derived per join), and the planner sizes the join from
+    // the materialized blocks — a normal batch broadcasts, but a huge
+    // catch-up/backfill batch falls back to a shuffle join instead of
+    // blowing the broadcast threshold or driver memory on a hint
+    val keys = batch.select(pkCols.map(col): _*).distinct().localCheckpoint()
+    val affected = history.join(keys, pkCols, "left_semi")
+    val untouched = history.join(keys, pkCols, "left_anti")
     // a history row is exactly one effective change at version = valid_from
     val affectedChanges = affected
       .select((pkCols ++ payloadCols).map(col) :+ col("valid_from").as(versionCol): _*)

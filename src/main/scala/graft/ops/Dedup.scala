@@ -115,11 +115,15 @@ object Dedup {
     * of ≤ 8 fit int64 on both engines). Collision odds ≈ 2⁻⁶³ per
     * bucket pair.
     */
-  def bandSignatures(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame =
+  def bandSignatures(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numBands must divide numHashes (got $numHashes hashes / $numBands bands): " +
+        "a remainder would strand trailing hashes in a partial band")
     signatures
       .withColumn("band", expr(s"j div ${numHashes / numBands}"))
       .groupBy("id", "band")
       .agg(sum("h").as("sig"))
+  }
 
   /** Wide-form signatures-to-bands: the (id, band, sig) bucket keys of
     * [[bandSignatures]]∘[[minHashSignatures]] computed in ONE
@@ -134,6 +138,10 @@ object Dedup {
     * callers that want per-hash rows.
     */
   def minHashBandsWide(tokens: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numBands must divide numHashes (got $numHashes hashes / $numBands bands): " +
+        "the wide form would silently drop the remainder hashes and diverge " +
+        "from bandSignatures, breaking stored-signature compatibility")
     val width = numHashes / numBands
     val mins = (0 until numHashes).map { j =>
       min(pmod(lit(Hashing.affineCoefConst("a", j)) * col("h30")

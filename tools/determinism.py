@@ -23,11 +23,16 @@ def rows(path):
 
 def main(d1, d2):
     bad = []
-    names = sorted(os.path.basename(d) for d in glob.glob(f"{d1}/*")
-                   if os.path.isdir(d))
+    # union of both roots: a query dir present in only ONE run (e.g. the
+    # other run crashed mid-way) is itself a stability failure, not a
+    # name to skip
+    names = sorted({os.path.basename(d)
+                    for root in (d1, d2) for d in glob.glob(f"{root}/*")
+                    if os.path.isdir(d)})
     for name in names:
-        if not os.path.isdir(f"{d2}/{name}"):
-            bad.append(f"{name} (missing in {d2})")
+        missing = [d for d in (d1, d2) if not os.path.isdir(f"{d}/{name}")]
+        if missing:
+            bad.append(f"{name} (missing in {missing[0]})")
             continue
         if rows(f"{d1}/{name}") != rows(f"{d2}/{name}"):
             bad.append(name)
