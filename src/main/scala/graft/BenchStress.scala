@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sim.Similarity
+
+/** In-process scale-stress harness: runs the most expensive operators
+  * at 1× and N× (default 10×) the base scale factor and reports the
+  * wall-time growth ratio per operator.
+  *
+  * Testdata is capped at sf0.1 (read-only), so scale is synthesized by
+  * unioning N id-offset copies of the base tables — with each copy
+  * DECORRELATED from the others so output (and therefore honest work)
+  * grows ~linearly instead of quadratically in N:
+  *
+  *  - documents: copy i > 0 applies a per-copy character bijection
+  *    (alphabet rotation). A bijection maps token sets AND character
+  *    shingle sets one-to-one, so every within-copy similarity —
+  *    jaccard, minhash bands, content hashes — is isomorphic to the
+  *    base corpus (identical pair structure, identical df profile),
+  *    while cross-copy shingles are disjoint.
+  *  - embeddings: copy i rotates the vector by i dimensions. Rotation
+  *    preserves norms and all WITHIN-copy pairwise cosines exactly,
+  *    while cross-copy cosines scatter like random pairs — so pair
+  *    output scales ~linearly and the distance arithmetic per row is
+  *    identical to the base run.
+  *
+  * A ratio ≈ N on a fixed-size executor pool means the operator's cost
+  * is linear in input+output — the property that survives a 100×
+  * cluster scale-up. A ratio ≫ N exposes a hidden superlinear shape
+  * (all-pairs joins, unsalted hot buckets, driver-side state). The
+  * summary line flags any operator whose ratio exceeds N × 1.5.
+  *
+  * Usage: `sbt "runMain graft.BenchStress [nCopies] [op ...]"` with
+  * `SPARK_GRAFT_SF_DIR` pointing at the base scale (default sf0.1).
+  */
+object BenchStress {
+
+  private val COPY_STRIDE = 10000000L // clears the +100k/+300k dup offsets
+
+  /** N decorrelated copies of documents (see object doc). */
+  def scaledDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val d = graft.util.Tables.documents(spark, sfDir)
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val di = "0123456789"
+    (0 until n).map { i =>
+      if (i == 0) d
+      else {
+        // shift 7i: coprime with 26, so every copy gets a distinct
+        // bijection; uppercase shifts identically so normalize()'s
+        // lowercasing can't re-align characters across copies
+        val from = lo + lo.toUpperCase + di
+        val to = rot(lo, 7 * i) + rot(lo, 7 * i).toUpperCase + rot(di, 3 * i)
+        d.select(
+          Seq((col("doc_id") + lit(i * COPY_STRIDE)).as("doc_id"),
+            translate(col("text"), from, to).as("text")) ++
+            d.columns.filterNot(c => c == "doc_id" || c == "text").map(col): _*)
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** N norm-preserving rotated copies of embeddings (see object doc). */
+  def scaledEmb(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val e = graft.util.Tables.embeddings(spark, sfDir)
+    val dim = 64 // embeddings.parquet vector width (TESTDATA.md)
+    (0 until n).map { i =>
+      if (i == 0) e
+      else e.select(
+        Seq((col("vec_id") + lit(i * COPY_STRIDE)).as("vec_id"),
+          concat(slice(col("embedding"), i + 1, dim - i),
+            slice(col("embedding"), 1, i)).as("embedding")) ++
+          e.columns.filterNot(c => c == "vec_id" || c == "embedding").map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The stress suite: the most expensive operators from the per-round
+    * bench, each as a function of its (already scaled) input. Chain
+    * edges for the CC stress mirror dedupClustersStarQ: consecutive
+    * ids per content hash, diameter ≥ 3 so contraction must iterate.
+    */
+  private def ccEdges(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Seq(100000L, 200000L, 300000L).foldLeft(docs) { (acc, off) =>
+      acc.unionByName(docs.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + off))
+    }
+    val hashed = corpus.select(col("doc_id"),
+      md5(TextAnalysis.normalize(col("text"))).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    hashed.withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+  }
+
+  private val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "dedup_minhash_lsh" -> ((d: DataFrame) =>
+      Dedup.minHashLsh(d, "text", "doc_id", numHashes = 16, numBands = 2,
+        threshold = 0.7)),
+    "dedup_simhash" -> ((d: DataFrame) =>
+      Dedup.simHash(Dedup.tokenSet(d, "text", "doc_id"))),
+    "dedup_ngram_jaccard" -> ((d: DataFrame) => {
+      // mirror dedup_ngram_jaccard's dupCorpus: every 50th doc copied
+      // at +100k so the verify stage has true pairs to confirm (the
+      // copy stride divides by 100k/50/20, so the injection and the
+      // %20 thinning behave identically inside every copy)
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.ngramJaccard(withDups.filter(expr("doc_id % 20 = 0")),
+        "text", "doc_id", n = 5, threshold = 0.6, maxDf = 100)
+    }),
+    "dedup_clusters_star" -> ((d: DataFrame) =>
+      Dedup.connectedComponentsStar(ccEdges(d))))
+
+  // emb ops take the copy count: dedup_semantic must scale its cluster
+  // COUNT with the corpus (fixed expected cluster size — how SemDeDup
+  // is run in practice; a fixed k makes within-cluster pair cost
+  // quadratic in corpus size no matter how the engine executes it).
+  // ann_ivf's centroids already scale automatically via centroidStep.
+  private val embOps: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+    "dedup_semantic" -> ((e: DataFrame, n: Int) =>
+      Similarity.semanticDupPairs(e, "embedding", "vec_id", 0.35, k = 8 * n,
+        iters = 4, dim = Some(64))),
+    "ann_ivf" -> ((e: DataFrame, _: Int) =>
+      Similarity.ivfTopK(e, "embedding", "vec_id", expr("id % 100 = 0"),
+        k = 5, centroidStep = 50L, nProbe = 2, dim = Some(64))))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val nCopies = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(10)
+    val opFilter = args.drop(if (args.headOption.exists(
+      a => scala.util.Try(a.toInt).isSuccess)) 1 else 0).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def timed(df: => DataFrame): (Double, Long) = {
+      reset()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val suite: Seq[(String, Int => DataFrame)] =
+      docOps.map { case (n, f) =>
+        (n, (c: Int) => f(scaledDocs(spark, sfDir, c))) } ++
+        embOps.map { case (n, f) =>
+          (n, (c: Int) => f(scaledEmb(spark, sfDir, c), c)) }
+    val selected = suite.filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
+
+    // JIT/page-cache warmup: one untimed base-scale pass of each op so
+    // the 1× measurement reflects plan cost, not JVM ramp-up
+    selected.foreach { case (_, fn) =>
+      try fn(1).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] warmup failed: ${e.getMessage}") }
+    }
+
+    val lines = selected.map { case (name, fn) =>
+      val (t1, r1) = timed(fn(1))
+      val (tn, rn) = timed(fn(nCopies))
+      val ratio = tn / math.max(t1, 1e-9)
+      val ok = ratio <= nCopies * 1.5
+      val line = f"""{"op":"$name","n":$nCopies,"t1":$t1%.2f,"tn":$tn%.2f,""" +
+        f""""ratio":$ratio%.2f,"rows1":$r1,"rowsn":$rn,"linear_ok":$ok}"""
+      println(line)
+      (name, ratio, ok)
+    }
+    val bad = lines.filterNot(_._3).map(_._1)
+    println(s"""{"metric":"stress","n":$nCopies,"ops":${lines.size},""" +
+      s""""superlinear":${bad.size},"flagged":${bad.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}}""")
+    spark.stop()
+  }
+}
