@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is real — `javax.imageio` ships in the JDK (PNG, BMP,
   * GIF, JPEG), see [[decodeImage]] — and so is WAV AUDIO decode via
-  * `javax.sound.sampled` ([[decodeAudio]]). Only VIDEO decode remains
-  * a clearly marked DETERMINISTIC STUB (`stubDecode`; the container
-  * has no video codec libraries) — and everything Spark-side is real and
-  * load-bearing either way: the schema contract, the typed Dataset
-  * plumbing, mapPartitions batching (the shape a vectorized codec UDF
-  * needs: reuse one decoder instance per partition, process in
-  * fixed-size batches), and partition sizing so one partition's batch
-  * of media fits executor memory at 100 TB.
+  * `javax.sound.sampled` ([[decodeAudio]]), and AVI/MJPEG VIDEO decode
+  * via a pure-JDK RIFF container walk + per-frame JPEG decode
+  * ([[decodeVideo]]). Non-AVI video containers (mp4/mkv — codecs the
+  * JDK does not ship) fall back to the deterministic [[stubDecode]],
+  * and everything Spark-side is real and load-bearing either way: the
+  * schema contract, the typed Dataset plumbing, mapPartitions batching
+  * (the shape a vectorized codec UDF needs: reuse one decoder instance
+  * per partition, process in fixed-size batches), and partition sizing
+  * so one partition's batch of media fits executor memory at 100 TB.
   */
 object Multimodal {
 
@@ -29,9 +30,11 @@ object Multimodal {
   val featureDim = 16
   val decodeBatchSize = 64
 
-  /** ======= STUB ======= deterministic fake decode: a real deployment
-    * swaps this one function for a codec call (JNI/ONNX/ffmpeg); the
-    * byte→feature contract and everything calling it stay unchanged.
+  /** ======= STUB ======= deterministic fake decode for codecs the JDK
+    * does not ship (non-AVI video containers, exotic image/audio
+    * formats): a real deployment swaps this one function for a codec
+    * call (JNI/ONNX/ffmpeg); the byte→feature contract and everything
+    * calling it stay unchanged.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -143,6 +146,121 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Parsed AVI container: header geometry + the byte ranges of the
+    * stream-0 video frame chunks (`00dc`/`00db`), in stream order.
+    */
+  case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+                     frameChunks: Vector[(Int, Int)]) {
+    def nFrames: Int = frameChunks.length
+    def durationMs: Long = math.round(nFrames * usPerFrame / 1000.0)
+  }
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video container parse for the format the JDK can take end to
+    * end — AVI (RIFF, same chunk discipline as WAV) holding MJPEG
+    * frames, each of which [[decodeImage]]'s `javax.imageio` JPEG codec
+    * decodes. Pure-JDK RIFF walk: `avih` supplies geometry and frame
+    * timing, the `movi` list supplies per-frame byte ranges. `None`
+    * for payloads that are not a well-formed AVI.
+    */
+  def parseAvi(payload: Array[Byte]): Option[AviInfo] =
+    try {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") None
+      else {
+        var usPerFrame = 0L
+        var w = 0
+        var h = 0
+        val frames = Vector.newBuilder[(Int, Int)]
+        def walk(start: Int, end: Int): Unit = {
+          var p = start
+          while (p + 8 <= end) {
+            val id = fourcc(payload, p)
+            val sz = u32le(payload, p + 4).toInt
+            val body = p + 8
+            if (sz < 0 || body + sz > end) return // truncated/corrupt: stop
+            if (id == "LIST" && sz >= 4) {
+              walk(body + 4, body + sz) // recurse into hdrl/strl/movi
+            } else if (id == "avih" && sz >= 40) {
+              usPerFrame = u32le(payload, body)
+              w = u32le(payload, body + 32).toInt
+              h = u32le(payload, body + 36).toInt
+            } else if (id.startsWith("00") &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += ((body, sz)) // stream-0 video frame (compressed/raw)
+            }
+            p = body + sz + (sz & 1) // RIFF chunks pad to even offsets
+          }
+        }
+        val riffEnd = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+        walk(12, riffEnd)
+        val fs = frames.result()
+        if (fs.isEmpty || w <= 0 || h <= 0) None
+        else Some(AviInfo(w, h, usPerFrame, fs))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL video decode: parse the AVI container, JPEG-decode up to 4
+    * evenly sampled frames through [[decodeImage]], and average their
+    * luminance-pool features. Returns (width, height, durationMs,
+    * features); `None` when the container doesn't parse or no sampled
+    * frame decodes — those payloads fall back to [[stubDecode]].
+    */
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    parseAvi(payload).flatMap { info =>
+      val feats = sampleIndices(info.nFrames, 4)
+        .flatMap { i =>
+          val (off, len) = info.frameChunks(i)
+          decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len)).map(_._3)
+        }
+      if (feats.isEmpty) None
+      else {
+        val avg = Array.tabulate(featureDim) { k =>
+          (feats.map(_(k).toDouble).sum / feats.length).toFloat
+        }
+        Some((info.width, info.height, info.durationMs, avg))
+      }
+    }
+
+  /** Up to `k` evenly spaced indices over [0, n): frame-sampling grid
+    * shared by [[decodeVideo]] and [[sampleFrames]].
+    */
+  private[graft] def sampleIndices(n: Int, k: Int): Vector[Int] =
+    if (n <= 0) Vector.empty
+    else if (n <= k) (0 until n).toVector
+    else (0 until k).map(j => (j.toLong * (n - 1) / (k - 1)).toInt).toVector
+
+  /** AVI/MJPEG container writer — the fixture generator twin of
+    * [[mediaTable]]: wraps pre-encoded JPEG frames in a minimal
+    * RIFF(hdrl(avih) movi(00dc...)) layout that [[parseAvi]] and any
+    * standard AVI reader accept.
+    */
+  def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ u32(body.length + 4L) ++
+        typ.getBytes("US-ASCII") ++ body
+    val avih = chunk("avih",
+      u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(frames.length.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih)
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+  }
+
   /** Refresh image rows' metadata from the real decoded dimensions
     * (rows whose payload doesn't decode keep their declared meta).
     */
@@ -187,13 +305,15 @@ object Multimodal {
       // per-partition decoder init would go here (amortized once)
       rows.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { r =>
-          // image (javax.imageio) and WAV audio (javax.sound.sampled)
-          // payloads decode for real; video and undecodable bytes take
-          // the documented stub
+          // image (javax.imageio), WAV audio (javax.sound.sampled) and
+          // AVI/MJPEG video (RIFF walk + per-frame JPEG) payloads
+          // decode for real; undecodable bytes take the documented stub
           val feats = r.kind match {
             case "image" => decodeImage(r.payload).map(_._3)
               .getOrElse(stubDecode(r.payload))
             case "audio" => decodeAudio(r.payload).map(_._2)
+              .getOrElse(stubDecode(r.payload))
+            case "video" => decodeVideo(r.payload).map(_._4)
               .getOrElse(stubDecode(r.payload))
             case _ => stubDecode(r.payload)
           }
@@ -217,17 +337,29 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: split the payload into `frames`
-    * evenly spaced chunks (stub for keyframe extraction), one output
-    * row per frame — the explode-shaped schema a vision pipeline
-    * trains on.
+  /** Frame sampling for video rows — one output row per sampled frame,
+    * the explode-shaped schema a vision pipeline trains on. AVI
+    * payloads emit REAL frames: up to `frames` evenly spaced `00dc`
+    * chunks (standalone JPEG images under MJPEG). Non-AVI containers
+    * fall back to evenly spaced byte slices so the schema contract
+    * holds for payloads whose codec the JDK lacks.
     */
   def sampleFrames(media: Dataset[MediaRow], frames: Int): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val n = math.max(1, r.payload.length / frames)
-      (0 until frames).map { i =>
-        MediaFrame(r.mediaId, i, r.payload.slice(i * n, math.min((i + 1) * n, r.payload.length)))
+      parseAvi(r.payload) match {
+        case Some(info) =>
+          sampleIndices(info.nFrames, frames).zipWithIndex.map { case (fi, outIdx) =>
+            val (off, len) = info.frameChunks(fi)
+            MediaFrame(r.mediaId, outIdx,
+              java.util.Arrays.copyOfRange(r.payload, off, off + len))
+          }
+        case None =>
+          val n = math.max(1, r.payload.length / frames)
+          (0 until frames).map { i =>
+            MediaFrame(r.mediaId, i,
+              r.payload.slice(i * n, math.min((i + 1) * n, r.payload.length)))
+          }
       }
     }
   }

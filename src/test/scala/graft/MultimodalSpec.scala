@@ -161,6 +161,62 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frameIdx).distinct().collect().toSet == Set(0, 1, 2, 3))
   }
 
+  /** A real JPEG frame: solid gray at `level` via the JDK encoder. */
+  private def jpegFrame(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("real AVI/MJPEG payloads decode bit-exactly: geometry, duration, features") {
+    val frames = (0 until 6).map(i => jpegFrame(16, 12, i * 40))
+    val avi = Multimodal.buildAvi(frames, 16, 12, usPerFrame = 40000L) // 25 fps
+    val info = Multimodal.parseAvi(avi).get
+    assert(info.width == 16 && info.height == 12)
+    assert(info.nFrames == 6)
+    assert(info.durationMs == 240L) // 6 frames x 40 ms
+    val (w, h, dur, feats) = Multimodal.decodeVideo(avi).get
+    assert(w == 16 && h == 12 && dur == 240L)
+    assert(feats.length == Multimodal.featureDim)
+    // bit-exact: the video features must equal the average of the
+    // sampled frames' image features computed independently here
+    val idxs = Multimodal.sampleIndices(6, 4)
+    val perFrame = idxs.map(i => Multimodal.decodeImage(frames(i)).get._3)
+    val expected = Array.tabulate(Multimodal.featureDim) { k =>
+      (perFrame.map(_(k).toDouble).sum / perFrame.length).toFloat
+    }
+    assert(feats.toSeq == expected.toSeq)
+  }
+
+  test("AVI frame sampling emits the container's real JPEG frame bytes") {
+    val frames = (0 until 6).map(i => jpegFrame(8, 8, 10 + i * 30))
+    val avi = Multimodal.buildAvi(frames, 8, 8, 33333L)
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(
+      1L, "video", avi, Multimodal.MediaMeta("video/avi", 8, 8, 0L))))
+    val out = Multimodal.sampleFrames(ds, 3).collect().sortBy(_.frameIdx)
+    val idxs = Multimodal.sampleIndices(6, 3)
+    assert(out.length == 3)
+    out.zip(idxs).foreach { case (fr, fi) =>
+      assert(fr.frame.toSeq == frames(fi).toSeq,
+        "sampled frames must be the container's JPEG bytes, not slices")
+      assert(Multimodal.decodeImage(fr.frame).isDefined)
+    }
+    // extractFeatures routes video rows through the real AVI decode
+    val feats = Multimodal.extractFeatures(ds).head().features
+    assert(feats.toSeq == Multimodal.decodeVideo(avi).get._4.toSeq)
+  }
+
+  test("non-AVI video payloads fall back cleanly, never crash") {
+    assert(Multimodal.parseAvi("not a riff container".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3)).isEmpty)
+    val avi = Multimodal.buildAvi(Seq(jpegFrame(8, 8, 50)), 8, 8, 40000L)
+    assert(Multimodal.parseAvi(avi.take(30)).isEmpty,
+      "a truncated container must parse to None, not a partial read")
+  }
+
   test("partition sizing bounds per-partition payload bytes") {
     val sized = Multimodal.sizePartitions(media, targetBytes = 4096)
     assert(sized.rdd.getNumPartitions > 1)
