@@ -27,7 +27,11 @@ object Replicate {
     if (uri.startsWith("jdbc:")) {
       if (cfg.checkpointDir.isEmpty)
         throw new IllegalArgumentException("jdbc stores need 'checkpointDir' in the config")
-      new JdbcStore(spark, uri, Map.empty, cfg.checkpointDir)
+      // Postgres URLs get the dialect-aware store (quoting, xmin pull);
+      // everything else speaks generic JDBC
+      if (uri.startsWith("jdbc:postgresql:"))
+        new PgStore(spark, uri, Map.empty, cfg.checkpointDir)
+      else new JdbcStore(spark, uri, Map.empty, cfg.checkpointDir)
     } else if (formats.contains(prefix)) {
       val dir = uri.drop(prefix.length + 1)
       // text formats carry weak types; header+inferSchema makes the
