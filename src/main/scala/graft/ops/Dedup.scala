@@ -492,4 +492,51 @@ object Dedup {
     sh.unpersist()
     result
   }
+
+  /** CCNet-style line-level deduplication: hash every line of every
+    * document, count each line hash across the WHOLE corpus, drop
+    * lines whose global count exceeds `maxCount`, and rebuild the
+    * documents from the surviving lines (original order preserved).
+    * This is the boilerplate-killer for web corpora — nav bars,
+    * cookie banners and footers repeat across pages verbatim, so
+    * corpus-global line counts separate them from body text that
+    * document-LOCAL signals cannot.
+    *
+    * Deterministic variant of CCNet (Wenzek et al. 2020): CCNet keeps
+    * the first occurrence in shard order, which depends on partition
+    * order; dropping ALL occurrences of an over-represented line is a
+    * pure function of the corpus, so results are stable across runs,
+    * partitionings and engines (DuckDB oracle replays it exactly).
+    *
+    * Scale shape (the canonical CCNet pipeline): posexplode is
+    * narrow; the duplicate-line set is ONE partial-aggregatable
+    * count over md5 line keys (uniform, no skew) FILTERED to
+    * offenders before it ever joins — the anti-join streams
+    * |lines| rows against the much smaller duplicate set instead of
+    * carrying a count onto every line; the rebuild is one groupBy on
+    * the original doc id. Three shuffles, all on uniform keys, no
+    * driver state — survives a 100× corpus.
+    *
+    * Output: (id, clean_text, n_lines_kept). Documents whose every
+    * line was boilerplate disappear (their clean_text would be
+    * empty); callers wanting them keep a left join on the input.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 maxCount: Long = 1L, sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("lh", md5(col("line")))
+    val dupHashes = lines.groupBy("lh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxCount).select("lh")
+    lines.join(dupHashes, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
 }

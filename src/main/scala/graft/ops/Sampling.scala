@@ -78,4 +78,52 @@ object Sampling {
       .drop("__rate", "__tot")
       .withColumnRenamed("__nt", "n_tokens")
   }
+
+  /** Mixture sampling to target PROPORTIONS — "make the output
+    * 50% src0, 30% src1, 10% everything else, totalling ~B tokens".
+    * This is the final data-mixing step of a training run (The Pile /
+    * LLaMA-style mixture weights), and differs from [[tokenBudget]]
+    * in that per-stratum budgets are DERIVED: budget_s =
+    * w_s / Σw · B, with Σw taken over the strata actually present —
+    * so the weights self-normalize and adding a stratum rescales the
+    * rest instead of silently overshooting the total.
+    *
+    * Weights are integer "parts" on purpose: Σw is then an exact
+    * long (no float-summation order sensitivity across engines or
+    * partitionings), and every rate is one fixed chain of double
+    * ops — w·B / Σw / tokens_s — that DuckDB replays bit-for-bit.
+    *
+    * Scale shape: one partial-aggregatable groupBy producing |strata|
+    * rows, a single-row exact Σw folded in via a broadcast cross
+    * join, the rate table broadcast back onto the scan, then the same
+    * deterministic hash-threshold keep as [[stratified]] — the big
+    * side never shuffles. Strata capped at rate 1.0 (can't upsample
+    * by filtering) contribute their full token mass; callers needing
+    * true upsampling union repeated hash-disjoint samples.
+    */
+  def mixture(df: DataFrame, stratumCol: String, idCol: String,
+              tokensCol: Column, weights: Map[String, Long],
+              defaultWeight: Long, totalBudget: Long,
+              salt: String = "graft"): DataFrame = {
+    val weighted = df.withColumn("__nt", tokensCol.cast("long"))
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    val totals = weighted.groupBy(col(stratumCol))
+      .agg(sum(col("__nt")).as("__tot"))
+      .withColumn("__w", wCol)
+    val sumW = totals.agg(sum(col("__w")).as("__sw"))
+    val rates = totals.crossJoin(broadcast(sumW))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          col("__w").cast("double") * lit(totalBudget.toDouble)
+            / col("__sw").cast("double") / col("__tot").cast("double"))
+          .as("__rate"))
+    weighted.join(broadcast(rates), Seq(stratumCol))
+      .filter(
+        pmod(Hashing.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))),
+          lit(BUCKETS)) < (col("__rate") * BUCKETS).cast("long"))
+      .drop("__rate")
+      .withColumnRenamed("__nt", "n_tokens")
+  }
 }

@@ -367,6 +367,45 @@ object PipelineQueries {
       budgets = Map("en" -> 2000L, "de" -> 1000L), defaultBudget = 1500L)
       .select("doc_id", "lang", "n_tokens")
 
+  /** Proportional mixture sampling (graft.ops.Sampling.mixture):
+    * target the output at 5:3:12:1… parts per source under one total
+    * token budget, with per-source rates derived by self-normalizing
+    * the integer weights against the corpus's own token totals. src2's
+    * weight is deliberately oversized so its derived rate caps at 1.0
+    * and the `least` branch is exercised. The oracle replays weights,
+    * exact Σw, the fixed double chain w·B/Σw/tot, and the hash
+    * threshold bit-for-bit.
+    */
+  def sampleMixtureQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.mixture(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"),
+      "source", "doc_id",
+      size(split(TextAnalysis.normalize(col("text")), " ")),
+      weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 12L),
+      defaultWeight = 1L, totalBudget = 6000L)
+      .select("doc_id", "source", "n_tokens")
+
+  /** CCNet-style line-level dedup (graft.ops.Dedup.dedupLines) over
+    * the dup-injected corpus. The synthetic corpus has no newlines, so
+    * the query first segments each document into 8-token "lines"
+    * (pure array arithmetic, replayed by the oracle via
+    * unnest(range)/list_slice) — every 50th doc's mirror copy then
+    * makes all of its lines corpus-global duplicates, which the
+    * operator must strip from BOTH copies, while boilerplate segments
+    * shared across otherwise-distinct docs vanish everywhere.
+    */
+  def dedupLinesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(TextAnalysis.normalize(col("text")), " ")
+    val seg = dupCorpus(spark, sfDir).select(col("doc_id"), col("text"))
+      .withColumn("lined",
+        array_join(
+          transform(
+            sequence(lit(0), ceil(size(words) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")),
+          "\n"))
+    Dedup.dedupLines(seg, "lined", "doc_id", maxCount = 1L)
+  }
+
   /** Per-language quality-band trim on mean token length. */
   def textQualityBandQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
@@ -403,6 +442,8 @@ object PipelineQueries {
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
+    "sample_mixture" -> sampleMixtureQ,
+    "dedup_lines" -> dedupLinesQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -791,6 +832,42 @@ object PipelineQueries {
          |FROM w JOIN r USING (lang)
          |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
          |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH w AS (SELECT doc_id, source, len(string_split($norm, ' ')) AS n_tokens
+         |           FROM documents),
+         |t AS (SELECT source, sum(n_tokens) AS tot FROM w GROUP BY 1),
+         |wt AS (SELECT source, tot,
+         |         CAST(CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+         |              WHEN 'src2' THEN 12 ELSE 1 END AS BIGINT) AS wgt
+         |       FROM t),
+         |r AS (SELECT source, least(1.0,
+         |        CAST(wgt AS DOUBLE) * 6000.0
+         |          / CAST((SELECT sum(wgt) FROM wt) AS DOUBLE)
+         |          / CAST(tot AS DOUBLE)) AS rate
+         |      FROM wt)
+         |SELECT doc_id, w.source, n_tokens
+         |FROM w JOIN r USING (source)
+         |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
+         |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM corpus),
+         |seg AS (SELECT doc_id, unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i, ws
+         |        FROM w),
+         |ls AS (SELECT doc_id, i AS line_no,
+         |         array_to_string(list_slice(ws, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ') AS line
+         |       FROM seg),
+         |nz AS (SELECT * FROM ls WHERE len(trim(line)) > 0),
+         |cnt AS (SELECT md5(line) AS lh, count(*) AS c FROM nz GROUP BY 1),
+         |kept AS (SELECT nz.doc_id, nz.line_no, nz.line
+         |         FROM nz JOIN cnt ON md5(nz.line) = cnt.lh WHERE cnt.c <= 1)
+         |SELECT doc_id,
+         |       array_to_string(list(line ORDER BY line_no), chr(10)) AS clean_text,
+         |       count(*) AS n_lines_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <

@@ -322,6 +322,52 @@ class PipelineSpec extends SparkSpec {
     assert(clickRate > 0.35 && clickRate < 0.65, s"click rate $clickRate")
   }
 
+  test("mixture sampling: self-normalized rates, 1.0 cap, zero-weight drop, monotone in budget") {
+    val rows = (for {
+      (s, n) <- Seq(("a", 40), ("b", 40), ("c", 3), ("z", 20))
+      i <- 0 until n
+    } yield (s"$s$i", s, 10)).toDF("id", "src", "nt")
+    def run(budget: Long, w: Map[String, Long], dw: Long = 0L) =
+      graft.ops.Sampling.mixture(rows, "src", "id", $"nt", w, dw, budget)
+        .select("id").as[String].collect().toSet
+    val w = Map("a" -> 6L, "b" -> 2L, "c" -> 2L)
+    val s1 = run(500L, w)
+    // c's derived budget (2/10·500 = 100) dwarfs its 30 tokens → rate caps
+    // at 1.0 and every c doc survives
+    assert((0 until 3).forall(i => s1.contains(s"c$i")))
+    // default weight 0 → stratum z's rate is 0 → drops out entirely
+    assert(!s1.exists(_.startsWith("z")))
+    // deterministic across partitionings
+    assert(graft.ops.Sampling.mixture(rows.repartition(7), "src", "id", $"nt", w, 0L, 500L)
+      .select("id").as[String].collect().toSet == s1)
+    // a outdraws b (rate .75 vs .25 over equal token mass)
+    assert(s1.count(_.startsWith("a")) > s1.count(_.startsWith("b")))
+    // hash-threshold keep is monotone in the budget: a bigger total only adds
+    assert(s1.subsetOf(run(800L, w)))
+  }
+
+  test("line dedup strips corpus-global duplicate lines, keeps order, drops empty docs") {
+    val d = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma"),
+      (3L, "boiler"),           // nothing but boilerplate → doc disappears
+      (4L, "delta\ndelta"),     // in-doc repeat counts toward the global tally
+      (5L, "eps\n\nzeta")       // blank lines never count as content
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("alpha\nbeta", 2L)), "boilerplate stripped, order kept")
+    assert(out(2L) == (("gamma", 1L)))
+    assert(!out.contains(3L), "fully-boilerplate doc vanishes")
+    assert(!out.contains(4L), "both copies of an in-doc repeat are dropped")
+    assert(out(5L) == (("eps\nzeta", 2L)), "blank line skipped, others rebuilt in order")
+    // maxCount=2 tolerates pairs: delta (2 occurrences) survives, boiler (3) not
+    val loose = Dedup.dedupLines(d, "text", "doc_id", maxCount = 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(4L) == "delta\ndelta")
+    assert(!loose.contains(3L))
+  }
+
   test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
     val d = Tables.documents(spark, sfDir)
     val withCopies = d.unionByName(
