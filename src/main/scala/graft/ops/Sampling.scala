@@ -126,4 +126,61 @@ object Sampling {
       .drop("__rate")
       .withColumnRenamed("__nt", "n_tokens")
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed n-gram
+    * bag-of-words models of a TARGET slice (the data you want more
+    * of) and the RAW rest, per-document importance weight
+    * w(d) = Σ_feat log p_target(f)/p_raw(f) — the standard
+    * domain-selection primitive (used to pick Pile-CC-like slices of
+    * Common Crawl). Returns (idCol, score) for every NON-target doc;
+    * callers keep score > 0 ("more target-like than raw-like") or
+    * top-N.
+    *
+    * Determinism/oracle design: features are unigrams + bigrams with
+    * multiplicity, hashed into `m` buckets via the portable md5 hash;
+    * per-bucket add-one-smoothed log-likelihood-ratio weights are
+    * QUANTIZED to integers (round(ln·10⁶)) so per-doc scores are
+    * exact long sums — order-independent across partitionings and
+    * engines. The one ln() per bucket is computed identically from
+    * exact-long products (< 2⁵³, so the IEEE chain matches DuckDB;
+    * measured: 0/20000 quantized-weight mismatches, raw ln agrees to
+    * ≤ 1 ulp).
+    *
+    * Scale shape: ONE partial-aggregatable feature-count shuffle
+    * (bounded at m live buckets by the hash), a 2-row totals
+    * broadcast, the ≤ m-row weight table broadcast back onto the
+    * feature stream, and one exact-sum groupBy per doc — the corpus
+    * never shuffles twice and nothing driver-side grows with the
+    * data.
+    */
+  def importance(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column, m: Int = 1024): DataFrame = {
+    val ws = split(graft.ops.TextAnalysis.normalize(col(textCol)), " ")
+    val base = df.select(col(idCol).as("__id"), isTarget.as("__t"), ws.as("__ws"))
+    val uni = base.select(col("__id"), col("__t"), explode(col("__ws")).as("feat"))
+    val bi = base.select(col("__id"), col("__t"),
+      explode(when(size(col("__ws")) >= 2,
+        transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => concat(element_at(col("__ws"), i), lit(" "),
+            element_at(col("__ws"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("feat"))
+    val fb = uni.unionByName(bi)
+      .select(col("__id"), col("__t"),
+        pmod(Hashing.portableHash64(col("feat")), lit(m.toLong)).as("f"))
+    val counts = fb.groupBy("f").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("cq"))
+    val tot = counts.agg(sum("ct").as("bigT"), sum("cq").as("bigQ"))
+    val weights = counts.crossJoin(broadcast(tot)).select(col("f"),
+      round(log(
+        (col("ct") + 1).cast("double") * (col("bigQ") + m).cast("double")
+          / ((col("cq") + 1).cast("double") * (col("bigT") + m).cast("double")))
+        * 1e6).cast("long").as("wt"))
+    fb.filter(!col("__t"))
+      .join(broadcast(weights), Seq("f"))
+      .groupBy(col("__id"))
+      .agg(sum(col("wt")).as("score"))
+      .select(col("__id").as(idCol), col("score"))
+  }
 }

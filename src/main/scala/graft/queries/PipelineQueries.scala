@@ -385,6 +385,23 @@ object PipelineQueries {
       defaultWeight = 1L, totalBudget = 6000L)
       .select("doc_id", "source", "n_tokens")
 
+  /** DSIR importance scoring (graft.ops.Sampling.importance): the
+    * exemplar "target distribution" is a CONTENT-defined slice (every
+    * 3rd doc that mentions 'join' — the corpus is distributionally
+    * homogeneous, so a random slice would separate nothing), the
+    * remaining pool is scored by the quantized hashed-n-gram
+    * log-likelihood ratio, and the target-like docs (score > 0) are
+    * kept. The oracle recomputes the bucket counts, totals, ln-ratio
+    * weight table and exact long score sums in SQL.
+    */
+  def sampleImportanceQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.importance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "text", "doc_id",
+      isTarget = expr("doc_id % 3 = 0") &&
+        array_contains(split(TextAnalysis.normalize(col("text")), " "), "join"))
+      .filter(col("score") > 0)
+
   /** CCNet-style line-level dedup (graft.ops.Dedup.dedupLines) over
     * the dup-injected corpus. The synthetic corpus has no newlines, so
     * the query first segments each document into 8-token "lines"
@@ -443,6 +460,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
     "sample_mixture" -> sampleMixtureQ,
+    "sample_importance" -> sampleImportanceQ,
     "dedup_lines" -> dedupLinesQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
@@ -849,6 +867,30 @@ object PipelineQueries {
          |FROM w JOIN r USING (source)
          |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
          |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
+    "sample_importance" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(ws) AS feat FROM nt
+         |  UNION ALL
+         |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
+         |tm AS (SELECT doc_id, doc_id % 3 = 0 AND list_contains(ws, 'join') AS t
+         |       FROM nt),
+         |fb AS (SELECT fx.doc_id, t, ${h64("feat")} % 1024 AS f
+         |       FROM feats fx JOIN tm USING (doc_id)),
+         |cnt AS (SELECT f, count(*) FILTER (WHERE t) AS ct,
+         |               count(*) FILTER (WHERE NOT t) AS cq
+         |        FROM fb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS bigt,
+         |               CAST(sum(cq) AS BIGINT) AS bigq FROM cnt),
+         |w AS (SELECT f, CAST(round(ln(
+         |        (CAST(ct+1 AS DOUBLE) * CAST(bigq+1024 AS DOUBLE))
+         |        / (CAST(cq+1 AS DOUBLE) * CAST(bigt+1024 AS DOUBLE))) * 1e6)
+         |        AS BIGINT) AS wt
+         |      FROM cnt, tot)
+         |SELECT fb.doc_id, CAST(sum(wt) AS BIGINT) AS score
+         |FROM fb JOIN w USING (f) WHERE NOT t
+         |GROUP BY 1 HAVING CAST(sum(wt) AS BIGINT) > 0""".stripMargin,
     "dedup_lines" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

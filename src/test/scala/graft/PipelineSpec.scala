@@ -346,6 +346,43 @@ class PipelineSpec extends SparkSpec {
     assert(s1.subsetOf(run(800L, w)))
   }
 
+  test("importance scoring: exact driver recompute, target-like ranking, determinism") {
+    val target = (0 until 6).map(i => (100L + i, "apple banana cherry apple banana"))
+    val likes = Seq((1L, "apple banana cherry date"), (2L, "banana apple"))
+    val unlikes = Seq((3L, "xylophone quartz vortex jumble"), (4L, "quartz vortex"))
+    val df = (target ++ likes ++ unlikes).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.importance(d, "text", "doc_id", expr("doc_id >= 100"))
+        .as[(Long, Long)].collect().toMap
+    val got = run(df)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "every non-target doc is scored")
+    assert(got(1L) > got(3L) && got(2L) > got(4L), "target-vocab docs outscore alien-vocab docs")
+    assert(got(1L) > 0 && got(3L) < 0, "sign separates target-like from target-unlike")
+    assert(run(df.repartition(5)) == got, "scores are partitioning-independent")
+    // independent driver-side recompute of the whole formula
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    def feats(text: String): Seq[Long] = {
+      val ws = text.toLowerCase.trim.split("\\s+").toSeq
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(f => h64(f) % 1024L)
+    }
+    val all = (target ++ likes ++ unlikes).map { case (id, t) => (id, feats(t), id >= 100L) }
+    val ct = all.filter(_._3).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cq = all.filterNot(_._3).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (bigT, bigQ) = (ct.values.sum, cq.values.sum)
+    def wt(f: Long): Long = {
+      val r = (ct.getOrElse(f, 0L) + 1).toDouble * (bigQ + 1024).toDouble /
+        ((cq.getOrElse(f, 0L) + 1).toDouble * (bigT + 1024).toDouble)
+      BigDecimal(math.log(r) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = all.filterNot(_._3).map { case (id, fs, _) => id -> fs.map(wt).sum }.toMap
+    assert(got == expected, "Spark scores equal the independent recompute")
+  }
+
   test("line dedup strips corpus-global duplicate lines, keeps order, drops empty docs") {
     val d = Seq(
       (1L, "alpha\nboiler\nbeta"),
