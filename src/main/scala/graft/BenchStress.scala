@@ -112,7 +112,21 @@ object BenchStress {
         "text", "doc_id", n = 5, threshold = 0.6, maxDf = 100)
     }),
     "dedup_clusters_star" -> ((d: DataFrame) =>
-      Dedup.connectedComponentsStar(ccEdges(d))))
+      Dedup.connectedComponentsStar(ccEdges(d))),
+    // mirrors dedupLinesQ: 8-token segmentation + dup injection (the
+    // +100k offset clears COPY_STRIDE, and 10^7 % 50 = 0 keeps the
+    // injection pattern identical inside every copy); rotated copies
+    // share no lines, so offender counts and output grow linearly
+    "dedup_lines" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val words = split(TextAnalysis.normalize(col("text")), " ")
+      val seg = withDups.select(col("doc_id"), col("text"))
+        .withColumn("lined", array_join(
+          transform(sequence(lit(0), ceil(size(words) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")), "\n"))
+      Dedup.dedupLines(seg, "lined", "doc_id")
+    }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
   // COUNT with the corpus (fixed expected cluster size — how SemDeDup

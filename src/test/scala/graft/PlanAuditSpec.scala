@@ -237,4 +237,31 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus probe must be an anti join on the content hash")
     assert(plan.contains("partial_min"), "batch keeper agg must be partial")
   }
+
+  test("sample_mixture: rate table broadcasts, the corpus side never shuffles") {
+    val plan = formatted(q("sample_mixture"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |strata|-row rate table must broadcast onto the scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the rate join")
+    assert(plan.contains("partial_sum"), "stratum totals must combine map-side")
+  }
+
+  test("sample_importance: weight table broadcasts, feature counts are partial") {
+    val plan = formatted(q("sample_importance"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=m-row weight table must broadcast onto the feature stream")
+    assert(plan.contains("partial_sum"),
+      "bucket counts and doc scores must combine map-side")
+    assert(!plan.contains("CartesianProduct"),
+      "the totals fold must be a broadcast nested loop, never cartesian")
+  }
+
+  test("dedup_lines: offender set anti-joins, line counts and rebuild are partial") {
+    val plan = formatted(q("dedup_lines"))
+    assert(plan.contains("LeftAnti"),
+      "duplicate lines must be removed by an anti join against offenders only")
+    assert(plan.contains("partial_count"),
+      "global line counts must combine map-side")
+  }
 }
