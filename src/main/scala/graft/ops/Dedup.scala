@@ -539,4 +539,67 @@ object Dedup {
           sep).as("clean_text"),
         count(lit(1)).as("n_lines_kept"))
   }
+
+  /** Exact-substring (span-level) dedup, the ExactSubstr step of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): any k-token window whose text occurs more than
+    * `maxCount` times ANYWHERE in the corpus is struck from every
+    * document that contains it, leaving the surrounding unique text
+    * in place. Sits between [[dedupLines]] (fixed line boundaries)
+    * and [[exact]] (whole documents): it catches quotes, licence
+    * blocks and templated passages embedded mid-document that neither
+    * boundary-aligned pass can see.
+    *
+    * Deterministic variant (same choice as [[dedupLines]]): the paper
+    * keeps one occurrence, which depends on suffix-array scan order;
+    * dropping ALL occurrences of a duplicated span is a pure function
+    * of the corpus, stable across runs/partitionings/engines, so the
+    * DuckDB oracle replays it exactly.
+    *
+    * Scale shape (vs the paper's monolithic suffix array, which needs
+    * the corpus on one machine): window hashes are computed INSIDE a
+    * per-row `transform` and only the (id, pos, md5) triple explodes —
+    * the token array is never replicated per window, so the exploded
+    * width is O(|tokens|) rows, the same class as [[dedupLines]].
+    * Duplicate-window detection is one partial-aggregatable count
+    * over uniform md5 keys FILTERED to offenders before the join;
+    * offending start positions flow back as one groupBy(id)
+    * collect_set (bounded by the doc's own window count); the strike
+    * itself is per-row array arithmetic over a positions bitmap.
+    * Three shuffles, all uniform keys, no driver state.
+    *
+    * Output: (id, clean_text, n_tokens_kept) — whitespace-joined
+    * surviving tokens in original order. Docs shorter than k tokens
+    * have no windows and pass through whole; docs whose every token
+    * is covered by duplicated spans disappear.
+    */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 k: Int, maxCount: Long = 1L): DataFrame = {
+    require(k >= 2, s"window width k must be >= 2, got $k")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) > 0)
+    // (id, start, window-hash) — hash computed inside transform so the
+    // explode carries a 32-char md5, never a slice of the token array.
+    val wins = toks
+      .filter(size(col("ws")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+          .as(Seq("start", "wh")))
+    val dupWins = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxCount).select("wh")
+    val badStarts = wins.join(dupWins, Seq("wh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("start")).as("bad"))
+    // covered = ∪ [s, s+k) over offending starts; strike those
+    // positions, keep the rest in order. Pure per-row arithmetic.
+    val covered = array_distinct(flatten(
+      transform(col("bad"), s => sequence(s, s + k - 1))))
+    toks.join(badStarts, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("bad").isNull, col("ws")).otherwise(
+          filter(col("ws"), (_, p) => !array_contains(covered, p))))
+      .filter(size(col("kept")) > 0)
+      .select(col(idCol), array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_tokens_kept"))
+  }
 }

@@ -45,4 +45,46 @@ object Profile {
       // where floor(log10(n)) rides on libm rounding at powers of 10
       .select((length(col("cnt").cast("string")) - 1).cast("long").as("freq_decade"))
       .groupBy("freq_decade").agg(count(lit(1)).as("n_keys"))
+
+  /** Per-stratum token-distribution drift: KL(stratum ‖ corpus) over
+    * unigram frequencies — the monitoring signal that tells a corpus
+    * pipeline one source/crawl-dump/date-bucket has shifted away from
+    * the mixture (new boilerplate, language drift, spam injection)
+    * BEFORE it trains into a model.
+    *
+    * Exact arithmetic (same DSIR trick as Sampling.importance): each
+    * token's log-ratio ln((c_st·N)/(c_t·N_s)) is quantized to an
+    * integer round(·1e6), so the per-stratum score
+    * kl_micro = Σ_t c_st·q_t is an EXACT long — summation order,
+    * engine and partitioning independent; real KL nats ≈
+    * kl_micro / (n_tokens·1e6), left to the consumer so the gated
+    * output stays integer-exact. No smoothing is needed: c_st > 0
+    * implies c_t > 0.
+    *
+    * Scale shape: ONE explode + one partial-aggregatable
+    * (stratum, token) count; corpus-wide token counts and stratum
+    * totals DERIVE from that same aggregate (never a second corpus
+    * pass). The token-level join keys are Zipf-skewed but
+    * pre-aggregated — each token carries at most |strata| rows, so
+    * there is no hot-key blowup. Stratum totals broadcast.
+    */
+  def tokenDrift(df: DataFrame, textCol: String, stratumCol: String): DataFrame = {
+    val cst = df
+      .select(col(stratumCol).as("stratum"),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+      .groupBy("stratum", "tok").agg(count(lit(1)).as("cst"))
+    val ct = cst.groupBy("tok").agg(sum("cst").as("ct"))
+    val ns = cst.groupBy("stratum").agg(sum("cst").as("ns"))
+    val n = ns.agg(sum("ns").as("n"))
+    cst.join(ct, Seq("tok"))
+      .join(broadcast(ns), Seq("stratum"))
+      .crossJoin(broadcast(n))
+      .select(col("stratum"), col("cst"),
+        round(log(col("cst").cast("double") * col("n").cast("double")
+          / (col("ct").cast("double") * col("ns").cast("double"))) * 1e6)
+          .cast("long").as("q"))
+      .groupBy("stratum")
+      .agg(sum(col("cst")).as("n_tokens"),
+        sum(col("cst") * col("q")).as("kl_micro"))
+  }
 }

@@ -183,4 +183,33 @@ object Sampling {
       .agg(sum(col("wt")).as("score"))
       .select(col("__id").as(idCol), col("score"))
   }
+
+  /** Deterministic training-shard assignment — the last step before a
+    * corpus is written out for a training run: every doc gets a
+    * (shard, pos) address that is a pure function of (salt, id), so
+    * the global example order is a reproducible pseudo-random shuffle.
+    * Re-running on the same corpus (or on a different cluster size)
+    * yields byte-identical shards; changing `salt` reshuffles — the
+    * per-epoch reshuffle knob.
+    *
+    * Shape: shard = hash mod S routes uniformly; pos = rank of the
+    * hash WITHIN the shard (ties broken by id for full determinism).
+    * One hash-partitioned exchange on shard + an in-partition sort —
+    * exactly the physical layout a shard writer needs anyway
+    * (`.repartition(S, shard).sortWithinPartitions` is this plan), so
+    * the ordering costs nothing extra at 100 TB. No global sort, no
+    * driver state; within-shard sort is bounded by corpus/S.
+    */
+  def shards(df: DataFrame, idCol: String, numShards: Int,
+             salt: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = Hashing.portableHash64(
+      concat(lit(salt + ":shard:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", key)
+      .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__k")
+  }
 }

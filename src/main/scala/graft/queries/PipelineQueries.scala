@@ -423,6 +423,36 @@ object PipelineQueries {
     Dedup.dedupLines(seg, "lined", "doc_id", maxCount = 1L)
   }
 
+  /** Exact-substring span dedup (graft.ops.Dedup.dedupSpans) over the
+    * dup-injected corpus, k=8 tokens: the mirror copies make every
+    * 8-token window of theirs corpus-duplicated (both copies vanish
+    * entirely), and any 8-gram shared verbatim between otherwise
+    * distinct docs is struck from each while the unique remainder
+    * survives — the mid-document granularity neither dedup_lines
+    * (fixed boundaries) nor dedup_exact (whole docs) can reach.
+    */
+  def dedupSpansQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupSpans(
+      dupCorpus(spark, sfDir)
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nt")),
+      "nt", "doc_id", k = 8, maxCount = 1L)
+
+  /** Per-source corpus-drift monitor (graft.ops.Profile.tokenDrift):
+    * KL(source ‖ corpus) as an integer-exact micro-nat sum.
+    */
+  def textKlDriftQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.tokenDrift(Tables.documents(spark, sfDir), "text", "source")
+      .withColumnRenamed("stratum", "source")
+
+  /** Deterministic training-shard addressing
+    * (graft.ops.Sampling.shards): every doc gets a reproducible
+    * (shard, pos) under the corpus-wide pseudo-random shuffle.
+    */
+  def sampleShardQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.shards(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      "doc_id", numShards = 8)
+
   /** Per-language quality-band trim on mean token length. */
   def textQualityBandQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
@@ -462,6 +492,9 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixtureQ,
     "sample_importance" -> sampleImportanceQ,
     "dedup_lines" -> dedupLinesQ,
+    "dedup_spans" -> dedupSpansQ,
+    "text_kl_drift" -> textKlDriftQ,
+    "sample_shard" -> sampleShardQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -910,6 +943,50 @@ object PipelineQueries {
          |       array_to_string(list(line ORDER BY line_no), chr(10)) AS clean_text,
          |       count(*) AS n_lines_kept
          |FROM kept GROUP BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM corpus),
+         |win AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS s, ws
+         |        FROM w WHERE len(ws) >= 8),
+         |wh AS (SELECT doc_id, s,
+         |         md5(array_to_string(list_slice(ws, CAST(s+1 AS INT), CAST(s+8 AS INT)), ' ')) AS h
+         |       FROM win),
+         |cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY 1),
+         |bad AS (SELECT wh.doc_id, wh.s FROM wh JOIN cnt USING (h) WHERE cnt.c > 1),
+         |cov AS (SELECT DISTINCT doc_id, p FROM
+         |          (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM bad)),
+         |pos AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.ws[CAST(pos.p + 1 AS INT)] AS tok
+         |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |         WHERE cov.p IS NULL)
+         |SELECT doc_id,
+         |       array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+         |       count(*) AS n_tokens_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
+    "text_kl_drift" ->
+      s"""WITH t AS (SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |           FROM documents),
+         |cst AS (SELECT source, tok, count(*) AS cst FROM t GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(sum(cst) AS BIGINT) AS ct FROM cst GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM cst GROUP BY 1),
+         |n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM ns),
+         |q AS (SELECT cst.source, cst.cst,
+         |        CAST(round(ln(CAST(cst.cst AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |          / (CAST(ct.ct AS DOUBLE) * CAST(ns.ns AS DOUBLE))) * 1e6) AS BIGINT) AS q
+         |      FROM cst JOIN ct USING (tok) JOIN ns USING (source), n)
+         |SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens,
+         |       CAST(sum(cst * q) AS BIGINT) AS kl_micro
+         |FROM q GROUP BY 1""".stripMargin,
+    "sample_shard" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |             ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k
+         |           FROM documents)
+         |SELECT doc_id, source, k % 8 AS shard,
+         |       row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
+         |FROM k""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <

@@ -405,6 +405,80 @@ class PipelineSpec extends SparkSpec {
     assert(!loose.contains(3L))
   }
 
+  test("span dedup strikes duplicated k-token windows, keeps unique remainder in order") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // shares window "a b c" with docs 2 and 5
+      (2L, "x y a b c z"),   // bad window mid-doc: unique prefix+suffix survive
+      (3L, "p q"),           // shorter than k: passes through whole
+      (4L, "m m m m"),       // in-doc repeated window: fully covered, vanishes
+      (5L, "a b c")          // nothing but the duplicated span, vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(d, "text", "doc_id", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("d e f", 3L)), "covered prefix struck, unique tail kept")
+    assert(out(2L) == (("x y z", 3L)), "mid-doc span struck, surrounding text rejoined")
+    assert(out(3L) == (("p q", 2L)), "sub-window doc untouched")
+    assert(!out.contains(4L), "in-doc window repeat covers the whole doc")
+    assert(!out.contains(5L), "doc that IS the duplicated span vanishes")
+    // maxCount=2 tolerates the pair (doc 4's two windows) but still
+    // strikes the triple-occurring "a b c"
+    val loose = Dedup.dedupSpans(d, "text", "doc_id", k = 3, maxCount = 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(4L) == "m m m m")
+    assert(!loose.contains(5L))
+    // pure function of the corpus: partitioning never changes the result
+    val a = Dedup.dedupSpans(d, "text", "doc_id", k = 3).collect().toSet
+    val b = Dedup.dedupSpans(d.repartition(7), "text", "doc_id", k = 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("token drift: integer-exact KL, zero for identical distributions, recompute parity") {
+    // hand-checkable: A = {a:2, b:1}, B = {b:2}; corpus = {a:2, b:3}, N=5
+    val d = Seq(("A", "a a b"), ("B", "b b")).toDF("src", "text")
+    val out = graft.ops.Profile.tokenDrift(d, "text", "src").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def q(cst: Long, ct: Long, ns: Long, n: Long): Long =
+      math.round(math.log(cst.toDouble * n.toDouble / (ct.toDouble * ns.toDouble)) * 1e6)
+    val klA = 2 * q(2, 2, 3, 5) + 1 * q(1, 3, 3, 5)
+    val klB = 2 * q(2, 3, 2, 5)
+    assert(out("A") == ((3L, klA)))
+    assert(out("B") == ((2L, klB)))
+    // sources with IDENTICAL token distributions sit at exactly zero:
+    // c_st·N == c_t·N_s holds term-by-term, so every quantized log is 0
+    val same = Seq(("A", "u v w"), ("B", "u v w"), ("B", "u v w")).toDF("src", "text")
+    val z = graft.ops.Profile.tokenDrift(same, "text", "src").collect()
+    assert(z.forall(_.getLong(2) == 0L), "identical distributions → kl_micro == 0 exactly")
+    // partitioning-independent (exact long sums, no float order sensitivity)
+    val big = docs.select($"source", $"text")
+    val r1 = graft.ops.Profile.tokenDrift(big, "text", "source").collect().toSet
+    val r2 = graft.ops.Profile.tokenDrift(big.repartition(13), "text", "source").collect().toSet
+    assert(r1 == r2)
+  }
+
+  test("shard assignment: dense per-shard positions, deterministic, salt reshuffles") {
+    val out = graft.ops.Sampling.shards(docs.select("doc_id"), "doc_id", 8).cache()
+    assert(out.count() == docs.count(), "every doc is addressed")
+    assert(out.filter($"shard" < 0 || $"shard" >= 8).count() == 0)
+    // positions are dense 0..n_s-1 within every shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("nd"))
+      .collect()
+    assert(byShard.length == 8, "all shards populated on a non-tiny corpus")
+    byShard.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) - 1 && r.getLong(3) == r.getLong(1))
+    }
+    // reproducible across runs and partitionings
+    val again = graft.ops.Sampling.shards(
+      docs.select("doc_id").repartition(11), "doc_id", 8)
+    assert(out.collect().toSet == again.collect().toSet)
+    // a different salt is a different permutation (epoch reshuffle)
+    val other = graft.ops.Sampling.shards(docs.select("doc_id"), "doc_id", 8, salt = "epoch1")
+    val moved = out.as[(Long, Long, Long)].collect().toSet
+      .diff(other.as[(Long, Long, Long)].collect().toSet)
+    assert(moved.nonEmpty)
+    out.unpersist()
+  }
+
   test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
     val d = Tables.documents(spark, sfDir)
     val withCopies = d.unionByName(

@@ -264,4 +264,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       "global line counts must combine map-side")
   }
+
+  test("dedup_spans: window hashes explode narrow, offender probe is a semi join") {
+    val plan = formatted(q("dedup_spans"))
+    assert(plan.contains("LeftSemi"),
+      "offending windows must be selected by a key-only semi join")
+    assert(plan.contains("partial_count"),
+      "corpus window counts must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+    // the exploded stream must carry (id, pos, md5) only — never the
+    // token array replicated per window
+    assert(!plan.contains("Generate explode(ws"),
+      "the token array itself must not be exploded")
+  }
+
+  test("text_kl_drift: one corpus explode, derived totals broadcast") {
+    val plan = formatted(q("text_kl_drift"))
+    assert(plan.contains("Generate"), "token stream is one explode")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "(stratum, token) counts must combine map-side")
+    assert(plan.contains("BroadcastHashJoin"),
+      "stratum totals must broadcast back onto the token aggregate")
+    assert(!plan.contains("CartesianProduct"),
+      "the grand-total fold must be a broadcast nested loop, never cartesian")
+  }
+
+  test("sample_shard: one exchange on the shard key, in-partition sort only") {
+    val plan = formatted(q("sample_shard"))
+    assert(plan.contains("Window"), "positions come from a per-shard window")
+    // exactly one exchange: the hashpartitioning on the shard key the
+    // writer needs anyway; a global sort would show a rangepartitioning
+    assert(!plan.contains("rangepartitioning"),
+      "shard addressing must never global-sort")
+  }
 }
