@@ -453,6 +453,38 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).select("doc_id", "source"),
       "doc_id", numShards = 8)
 
+  /** Random-projection dim reduction (graft.sim.Similarity.project):
+    * 64-d embeddings → 16 exact-integer JL components, exploded to
+    * (vec_id, j, v) scalars for the hash gate.
+    */
+  def embProjectQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.project(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+      k = 16, dim = EMB_DIM.get)
+      .select(col("id").as("vec_id"),
+        posexplode(col("proj")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+
+  /** BPE iteration-0 pair statistics (graft.ops.Bpe.pairCounts over
+    * the word-frequency table): top-50 adjacent character pairs in
+    * total order — the DuckDB-replayable slice of tokenizer training
+    * (the merge loop itself is spec-pinned and gated rows-only as
+    * bpe_merges).
+    */
+  def bpeTopPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Bpe
+    Bpe.pairCounts(
+      Bpe.wordFreq(Tables.documents(spark, sfDir), "text")
+        .select(col("freq"), Bpe.charSyms(col("word")).as("syms")))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(50)
+  }
+
+  /** Eight BPE merge rounds on the corpus (rows-only: the iterative
+    * argmax-and-merge loop is deterministic — spec-pinned — but not
+    * one SQL expression).
+    */
+  def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", iters = 8)
+
   /** Per-language quality-band trim on mean token length. */
   def textQualityBandQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
@@ -495,6 +527,9 @@ object PipelineQueries {
     "dedup_spans" -> dedupSpansQ,
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
+    "emb_project" -> embProjectQ,
+    "bpe_top_pairs" -> bpeTopPairsQ,
+    "bpe_merges" -> bpeMergesQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -987,6 +1022,28 @@ object PipelineQueries {
          |SELECT doc_id, source, k % 8 AS shard,
          |       row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
          |FROM k""".stripMargin,
+    "emb_project" ->
+      s"""WITH $qPrep,
+         |s AS (SELECT j, i,
+         |        CASE WHEN ${h64("'proj:' || j::VARCHAR || ':' || i::VARCHAR")} % 2 = 0
+         |             THEN 1 ELSE -1 END AS sgn
+         |      FROM generate_series(0, 15) AS t(j), generate_series(0, 63) AS u(i)),
+         |e AS (SELECT vec_id, unnest(range(64)) AS i, qv FROM q)
+         |SELECT e.vec_id, s.j,
+         |       CAST(sum(e.qv[CAST(e.i + 1 AS INT)] * s.sgn) AS BIGINT) AS v
+         |FROM e JOIN s ON e.i = s.i
+         |GROUP BY 1, 2""".stripMargin,
+    "bpe_top_pairs" ->
+      s"""WITH wf AS (SELECT word, count(*) AS freq FROM
+         |              (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+         |            WHERE len(word) > 0 GROUP BY 1),
+         |s AS (SELECT freq, string_split(word, '') AS syms FROM wf),
+         |px AS (SELECT freq, unnest(range(1, len(syms))) AS i, syms
+         |       FROM s WHERE len(syms) >= 2),
+         |p AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i + 1 AS INT)] AS b, freq
+         |      FROM px)
+         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <

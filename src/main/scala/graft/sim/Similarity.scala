@@ -437,4 +437,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Deterministic ±1 sign matrix for [[project]]: sign(j, i) from the
+    * parity of the portable md5 hash of "proj:j:i" — driver-side
+    * constants that the DuckDB oracle re-derives from the identical
+    * SQL md5 arithmetic.
+    */
+  def signMatrix(k: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until k).map { j =>
+      (0 until dim).map { i =>
+        if (graft.util.Hashing.portableHash64Const(s"proj:$j:$i") % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** Random-projection (Achlioptas ±1 / Johnson–Lindenstrauss)
+    * dimensionality reduction: each quantized input vector maps to k
+    * exact-integer components out_j = Σ_i qv_i · sign(j, i). The
+    * standard cheap pre-step before ANN indexing or near-dup search
+    * when embeddings are wider than the index wants — JL says pairwise
+    * distances survive to within ε at k = O(log n / ε²), and the ±1
+    * family (Achlioptas 2003) needs no floats at all, so the output is
+    * engine- and order-exact (DuckDB hash-gateable), unlike a Gaussian
+    * matrix.
+    *
+    * Scale shape: the sign matrix is a PLAN-TIME literal (k·dim
+    * values, ~1 KB — the same trick as the MinHash coefficient
+    * literals), so projection is a pure per-row codegen'd fold: zero
+    * shuffles, zero joins, output partitioned like the input. k·dim
+    * multiply-adds per row is the same work the first ANN probe would
+    * do anyway, paid once.
+    */
+  def project(df: DataFrame, vecCol: String, idCol: String,
+              k: Int, dim: Int): DataFrame = {
+    val signs = typedlit(signMatrix(k, dim))
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+            (acc, i) => acc + element_at(col("qv"), i + lit(1)) *
+              element_at(element_at(signs, j + lit(1)), i + lit(1))))
+          .as("proj"))
+  }
 }

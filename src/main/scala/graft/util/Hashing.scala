@@ -59,11 +59,19 @@ object Hashing {
     * MinHash aggregation) match the Column/SQL family bit-for-bit
     * (equality pinned in FunctionsSpec).
     */
-  def affineCoefConst(prefix: String, j: Int): Long = {
+  def affineCoefConst(prefix: String, j: Int): Long =
+    portableHash64Const(s"$prefix:$j") % affineRange
+
+  /** [[portableHash64]] evaluated driver-side — identical md5
+    * arithmetic, for plan-time literals (MinHash coefficients, the
+    * random-projection sign matrix) that must match the Column/SQL
+    * derivation bit-for-bit.
+    */
+  def portableHash64Const(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$prefix:$j".getBytes("UTF-8"))
+    val hex = md.digest(s.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % affineRange
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
   /** h_j(x) given a precomputed h₃₀ column and coefficient columns. */

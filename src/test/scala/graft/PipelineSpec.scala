@@ -479,6 +479,71 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bpe: greedy merge semantics, reference parity, deterministic across partitionings") {
+    import graft.ops.Bpe
+    // greedy left-to-right non-overlap: "aaa" under (a,a) → ["aa","a"]
+    val m = Seq("aaa", "abab", "xy").toDF("word")
+      .select(Bpe.mergeOnce(Bpe.charSyms($"word"), "a", "a").as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(m(0) == Seq("aa", "a"))
+    assert(m(1) == Seq("a", "b", "a", "b"), "non-matching word untouched")
+    assert(m(2) == Seq("x", "y"))
+    // scala reference: same greedy merge + total-ordered argmax
+    def refMerge(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+    def refTrain(words: Map[String, Long], iters: Int): List[(String, String, Long)] = {
+      var ws = words.map { case (w, f) => (w.map(_.toString).toList, f) }.toList
+      var out = List.empty[(String, String, Long)]
+      for (_ <- 0 until iters) {
+        val pc = ws.flatMap { case (s, f) => s.zip(s.drop(1)).map(p => (p, f)) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (pc.nonEmpty) {
+          val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+          if (c >= 2L) {
+            out :+= ((a, b, c))
+            ws = ws.map { case (s, f) => (refMerge(s, a, b), f) }
+          }
+        }
+      }
+      out
+    }
+    val corpus = Seq("low low low low low", "lower lower",
+      "newest newest newest newest newest newest", "widest widest widest")
+      .toDF("text")
+    val got = Bpe.train(corpus, "text", iters = 6).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    val wf = Bpe.wordFreq(corpus, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refTrain(wf, 6), "spark merges must equal the scala reference")
+    // deterministic across partitionings on the real corpus
+    val t1 = graft.ops.Bpe.train(docs, "text", iters = 4).collect().toSeq
+    val t2 = graft.ops.Bpe.train(docs.repartition(9), "text", iters = 4).collect().toSeq
+    assert(t1 == t2)
+    assert(t1.nonEmpty)
+  }
+
+  test("random projection: exact integers matching a driver-side reference, no reshuffle") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.project(emb, "embedding", "vec_id", k = 16, dim = 64)
+    val got = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.values.forall(_.length == 16))
+    // driver-side recompute from the same quantization + sign matrix
+    val signs = Similarity.signMatrix(16, 64)
+    val raw = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong))
+    raw.take(25).foreach { case (id, qv) =>
+      val want = signs.map(row => qv.zip(row).map { case (v, s) => v * s }.sum)
+      assert(got(id) == want, s"projection mismatch for vec $id")
+    }
+    // partition-independent (exact integer arithmetic end to end)
+    val again = Similarity.project(emb.repartition(7), "embedding", "vec_id", 16, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == got)
+  }
+
   test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
     val d = Tables.documents(spark, sfDir)
     val withCopies = d.unionByName(

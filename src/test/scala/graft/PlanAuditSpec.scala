@@ -289,6 +289,22 @@ class PlanAuditSpec extends SparkSpec {
       "the grand-total fold must be a broadcast nested loop, never cartesian")
   }
 
+  test("emb_project: literal sign matrix, zero exchanges, zero joins") {
+    val plan = formatted(q("emb_project"))
+    assert(!plan.contains("Exchange"),
+      "projection is per-row arithmetic and must not shuffle")
+    assert(!plan.contains("Join"),
+      "the sign matrix is a plan-time literal, never a joined table")
+  }
+
+  test("bpe_top_pairs: pair counts combine map-side, top-k never global-sorts") {
+    val plan = formatted(q("bpe_top_pairs"))
+    assert(plan.contains("partial_sum"),
+      "pair counts must combine map-side")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the ordered limit must be a per-partition top-k, not a global sort")
+  }
+
   test("sample_shard: one exchange on the shard key, in-partition sort only") {
     val plan = formatted(q("sample_shard"))
     assert(plan.contains("Window"), "positions come from a per-shard window")
