@@ -126,6 +126,16 @@ object BenchStress {
           transform(sequence(lit(0), ceil(size(words) / lit(8.0)).cast("int") - 1),
             i => array_join(slice(words, i * 8 + 1, lit(8)), " ")), "\n"))
       Dedup.dedupLines(seg, "lined", "doc_id")
+    }),
+    // mirrors dedupSpansQ: dup injection + k=8 windows; rotated copies
+    // share no 8-grams, so offending windows (and the struck spans)
+    // grow linearly with the copy count
+    "dedup_spans" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.dedupSpans(
+        withDups.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nt")),
+        "nt", "doc_id", k = 8)
     }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster

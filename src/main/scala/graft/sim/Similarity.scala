@@ -469,13 +469,16 @@ object Similarity {
     */
   def project(df: DataFrame, vecCol: String, idCol: String,
               k: Int, dim: Int): DataFrame = {
-    val signs = typedlit(signMatrix(k, dim))
+    // One qdot per output component against a LITERAL sign vector —
+    // with GraftExtensions registered each is the codegen'd primitive
+    // loop (graft_dot), so the whole projection stays inside
+    // whole-stage codegen. The nested-HOF alternative (transform ×
+    // aggregate × element_at into a 2-D literal) evaluates every
+    // multiply through the interpreted lambda path — measured ~50×
+    // slower at k=16, dim=64.
+    val signs = signMatrix(k, dim)
+    val comps = (0 until k).map(j => qdot(col("qv"), typedlit(signs(j)), Some(dim)))
     df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-            (acc, i) => acc + element_at(col("qv"), i + lit(1)) *
-              element_at(element_at(signs, j + lit(1)), i + lit(1))))
-          .as("proj"))
+      .select(col("id"), array(comps: _*).as("proj"))
   }
 }
