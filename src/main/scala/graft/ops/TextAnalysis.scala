@@ -333,4 +333,72 @@ object TextAnalysis {
         array_join(
           slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
   }
+
+  /** Symmetric-window token co-occurrence counts — the corpus
+    * statistic embedding training starts from (GloVe's X_ij matrix;
+    * word2vec's skip-gram pair stream): every ordered (center,
+    * context) pair with the context inside ±window positions, counted
+    * corpus-wide, thresholded at `minCount` (GloVe drops the huge
+    * low-count tail too — and it keeps the gated output deterministic
+    * in size).
+    *
+    * Scale shape: each doc builds its pair list in ONE per-row
+    * expression and explodes small (center, context) structs — the
+    * token array is never replicated per pair; the count is one
+    * partial-aggregatable groupBy (hot word-pairs are Zipf-skewed but
+    * pre-aggregated map-side, so reducers see at most |vocab-pair|
+    * rows). Output bounded by the pair vocabulary, not the corpus.
+    */
+  def cooccurrence(df: DataFrame, textCol: String,
+                   window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ws = split(normalize(col(textCol)), " ")
+    val n = org.apache.spark.sql.functions.size(ws)
+    val pairs = flatten(transform(sequence(lit(0), n - 1), i =>
+      transform(
+        filter(sequence(greatest(lit(0), i - window), least(n - 1, i + window)),
+          j => j =!= i),
+        j => struct(element_at(ws, i + lit(1)).as("center"),
+          element_at(ws, j + lit(1)).as("context")))))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Top-k tf·idf terms per document — the classic keyword/topic
+    * signal (salient-term extraction, near-dup explanation, index
+    * routing). Integer-exact: idf = round(ln(N/df)·10⁶) quantized to a
+    * long, score = tf · idf_q — no float summation anywhere, so
+    * output is engine- and partition-independent. Terms appearing in
+    * EVERY doc get idf 0 and rank last (never negative — tf·idf's
+    * standard smoothing-free form).
+    *
+    * Scale shape: one (doc, term) partial-agg count; document
+    * frequency DERIVES from it (one more partial agg, never a second
+    * corpus pass); doc count folds in as a broadcast single row; the
+    * per-doc top-k is a window over the doc partitioning the tf
+    * aggregate already has. Ties broken by term for total order.
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N = total input docs (standard tf·idf): a partial-agg count of
+    // the input, cheaper than a distinct over the tf table
+    val nDocs = df.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * round(log(col("n").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

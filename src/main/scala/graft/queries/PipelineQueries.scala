@@ -485,6 +485,15 @@ object PipelineQueries {
   def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", iters = 8)
 
+  /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
+  def textCooccurrenceQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
+      window = 2, minCount = 5L)
+
+  /** Top-5 tf·idf terms per doc, integer-exact scores. */
+  def textTfidfQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfidf(Tables.documents(spark, sfDir), "text", "doc_id", k = 5)
+
   /** Per-language quality-band trim on mean token length. */
   def textQualityBandQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
@@ -530,6 +539,8 @@ object PipelineQueries {
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
+    "text_cooccurrence" -> textCooccurrenceQ,
+    "text_tfidf" -> textTfidfQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -1033,6 +1044,31 @@ object PipelineQueries {
          |       CAST(sum(e.qv[CAST(e.i + 1 AS INT)] * s.sgn) AS BIGINT) AS v
          |FROM e JOIN s ON e.i = s.i
          |GROUP BY 1, 2""".stripMargin,
+    "text_cooccurrence" ->
+      s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
+         |pos AS (SELECT ws, unnest(range(len(ws))) AS i FROM w),
+         |ctx AS (SELECT ws, i,
+         |          unnest(range(greatest(0, i - 2), least(len(ws) - 1, i + 2) + 1)) AS j
+         |        FROM pos),
+         |pair AS (SELECT ws[CAST(i + 1 AS INT)] AS center,
+         |                ws[CAST(j + 1 AS INT)] AS context
+         |         FROM ctx WHERE j != i)
+         |SELECT center, context, count(*) AS cnt
+         |FROM pair GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |           FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE len(term) > 0 GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |        tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE)) * 1e6) AS BIGINT) AS score
+         |      FROM tf JOIN dft USING (term), n)
+         |SELECT doc_id, CAST(row_number() OVER (
+         |         PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+         |       term, score
+         |FROM s QUALIFY rank <= 5""".stripMargin,
     "bpe_top_pairs" ->
       s"""WITH wf AS (SELECT word, count(*) AS freq FROM
          |              (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)

@@ -544,6 +544,38 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("cooccurrence: exact window pairs, symmetric counts, threshold") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.cooccurrence(d, "text", window = 1, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L, ("c", "b") -> 1L))
+    val w2 = TextAnalysis.cooccurrence(d, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w2 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")))
+    // symmetric window ⇒ the corpus matrix is exactly symmetric
+    val m = TextAnalysis.cooccurrence(docs, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.nonEmpty)
+    m.foreach { case ((a, b), c) => assert(m((b, a)) == c, s"asymmetric at ($a,$b)") }
+    // threshold drops the low-count tail, keeps counts intact
+    val t = TextAnalysis.cooccurrence(docs, "text", window = 2, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t.values.forall(_ >= 5L) && t.forall { case (k, v) => m(k) == v })
+  }
+
+  test("tfidf: corpus-wide terms score zero, ranks total-ordered, partition-independent") {
+    val d = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(d, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // x is in every doc → idf 0 → ranks below the distinctive term
+    assert(out((1L, 1L))._1 == "y" && out((1L, 2L)) == (("x", 0L)))
+    assert(out((2L, 1L))._1 == "z" && out((2L, 2L)) == (("x", 0L)))
+    assert(out((1L, 1L))._2 == math.round(math.log(2.0) * 1e6), "score = tf · round(ln(N/df)·1e6)")
+    val r1 = TextAnalysis.tfidf(docs, "text", "doc_id", k = 5).collect().toSet
+    val r2 = TextAnalysis.tfidf(docs.repartition(13), "text", "doc_id", k = 5).collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
     val d = Tables.documents(spark, sfDir)
     val withCopies = d.unionByName(

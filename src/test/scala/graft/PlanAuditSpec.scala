@@ -305,6 +305,20 @@ class PlanAuditSpec extends SparkSpec {
       "the ordered limit must be a per-partition top-k, not a global sort")
   }
 
+  test("text_cooccurrence: one narrow explode, map-side pair counts, no join") {
+    val plan = formatted(q("text_cooccurrence"))
+    assert(plan.contains("Generate"), "pairs come from one per-row explode")
+    assert(plan.contains("partial_count"), "pair counts must combine map-side")
+    assert(!plan.contains("Join"), "the matrix is one aggregate, never a self-join")
+  }
+
+  test("text_tfidf: df derives from the tf aggregate, doc count broadcasts") {
+    val plan = formatted(q("text_tfidf"))
+    assert(plan.contains("partial_count"), "tf and df must combine map-side")
+    assert(!plan.contains("CartesianProduct"),
+      "the single-row doc count must fold in as a broadcast, never cartesian")
+  }
+
   test("sample_shard: one exchange on the shard key, in-partition sort only") {
     val plan = formatted(q("sample_shard"))
     assert(plan.contains("Window"), "positions come from a per-shard window")
