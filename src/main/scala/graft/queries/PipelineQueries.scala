@@ -485,6 +485,22 @@ object PipelineQueries {
   def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", iters = 8)
 
+  /** In-engine quality classifier (graft.ops.Classifier): hashed-BoW
+    * logistic regression trained one full-batch GD round on the DSIR
+    * content-defined target, then applied to the whole corpus. At
+    * iters=1 every arithmetic step is integer-exact (σ ≡ ½ at w = 0),
+    * so the oracle replays training AND scoring; deeper training is
+    * spec-pinned.
+    */
+  def qualityLrScoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Classifier
+    val d = Tables.documents(spark, sfDir)
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val w = Classifier.train(d, "text", "doc_id", target, m = 256, iters = 1)
+    Classifier.score(d, "text", "doc_id", w, m = 256)
+  }
+
   /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
   def textCooccurrenceQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
@@ -541,6 +557,7 @@ object PipelineQueries {
     "bpe_merges" -> bpeMergesQ,
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
+    "quality_lr_score" -> qualityLrScoreQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -1044,6 +1061,25 @@ object PipelineQueries {
          |       CAST(sum(e.qv[CAST(e.i + 1 AS INT)] * s.sgn) AS BIGINT) AS v
          |FROM e JOIN s ON e.i = s.i
          |GROUP BY 1, 2""".stripMargin,
+    "quality_lr_score" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(ws) AS feat FROM nt
+         |  UNION ALL
+         |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
+         |tm AS (SELECT doc_id, doc_id % 3 = 0 AND list_contains(ws, 'join') AS t
+         |       FROM nt),
+         |cnt AS (SELECT fx.doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y,
+         |               ${h64("feat")} % 256 AS f, count(*) AS x
+         |        FROM feats fx JOIN tm USING (doc_id) GROUP BY 1, 2, 3),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |g AS (SELECT f, CAST(sum(x * (1000000 * y - 500000)) AS BIGINT) AS g
+         |      FROM cnt GROUP BY 1),
+         |w AS (SELECT f, CAST(round(CAST(g AS DOUBLE) / (2.0 * nn.n)) AS BIGINT) AS wq
+         |      FROM g, nn)
+         |SELECT cnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
+         |FROM cnt JOIN w USING (f) GROUP BY 1""".stripMargin,
     "text_cooccurrence" ->
       s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
          |pos AS (SELECT ws, unnest(range(len(ws))) AS i FROM w),

@@ -576,6 +576,39 @@ class PipelineSpec extends SparkSpec {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("quality classifier: learns a planted signal, exact and partition-independent") {
+    import graft.ops.Classifier
+    // planted: docs containing 'goodtok' are positive; classifier must
+    // separate them after a few rounds
+    val rows = (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val body = s"filler${i % 7} common word ${if (pos) "goodtok" else "badtok"} tail${i % 5}"
+      (i.toLong, body, pos)
+    }
+    val d = rows.toDF("doc_id", "text", "pos")
+    val w3 = Classifier.train(d, "text", "doc_id", $"pos", m = 512, iters = 3)
+    val scored = Classifier.score(d, "text", "doc_id", w3, m = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posScores = rows.filter(_._3).map(r => scored(r._1))
+    val negScores = rows.filterNot(_._3).map(r => scored(r._1))
+    assert(posScores.min > negScores.max,
+      "three GD rounds must separate the planted classes completely")
+    // deterministic across partitionings (exact long gradient sums)
+    val w3b = Classifier.train(d.repartition(11), "text", "doc_id", $"pos", m = 512, iters = 3)
+    assert(w3.collect().toSet == w3b.collect().toSet)
+    // one-iteration weights equal a driver-side recompute (σ ≡ ½ at w=0)
+    val feat = Classifier.features(d, "text", "doc_id", $"pos", m = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.size
+    val gRef = feat.groupBy(_._3).map { case (f, fs) =>
+      f -> fs.map { case (_, y, _, x) => x * (1000000L * y - 500000L) }.sum
+    }
+    val wRef = gRef.map { case (f, g) => f -> math.round(g.toDouble / (2.0 * n)) }
+    val w1 = Classifier.train(d, "text", "doc_id", $"pos", m = 512, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wRef.foreach { case (f, wq) => assert(w1.getOrElse(f, 0L) == wq, s"weight mismatch at f=$f") }
+  }
+
   test("dedupedCorpus keeps exactly the smallest id of every duplicate group") {
     val d = Tables.documents(spark, sfDir)
     val withCopies = d.unionByName(

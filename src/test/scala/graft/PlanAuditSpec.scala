@@ -319,6 +319,15 @@ class PlanAuditSpec extends SparkSpec {
       "the single-row doc count must fold in as a broadcast, never cartesian")
   }
 
+  test("quality_lr_score: weight table broadcasts, logits and gradients are partial") {
+    val plan = formatted(q("quality_lr_score"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the m-row weight table must broadcast onto the feature stream")
+    assert(plan.contains("partial_sum"),
+      "per-doc scores must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("sample_shard: one exchange on the shard key, in-partition sort only") {
     val plan = formatted(q("sample_shard"))
     assert(plan.contains("Window"), "positions come from a per-shard window")
