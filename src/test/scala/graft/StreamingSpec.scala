@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcStream, EventStream}
+import graft.streaming.{CdcStream, DriftStream, EventStream}
 import graft.util.Tables
 
 class StreamingSpec extends SparkSpec {
@@ -710,5 +710,57 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 100)
     } finally q.stop()
+  }
+
+  test("drift monitor: exact recompute parity, novel tokens drift more, replay-idempotent") {
+    val docs = Tables.documents(spark, sfDir).cache()
+    val refModel = DriftStream.referenceModel(docs, "text").localCheckpoint()
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val got = DriftStream.drift(batch, refModel, "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side exact recompute of the quantized smoothed drift
+    def toks(t: String) = t.replaceAll("\\s+", " ").trim.toLowerCase.split(" ").filter(_.nonEmpty)
+    val refCounts = docs.select("text").collect()
+      .flatMap(r => toks(r.getString(0))).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nr = refCounts.values.sum
+    val v = refCounts.size.toLong
+    val byStratum = batch.select("source", "text").collect()
+      .flatMap(r => toks(r.getString(1)).map(t => (r.getString(0), t)))
+      .groupBy(_._1)
+    byStratum.foreach { case (src, pairs) =>
+      val cb = pairs.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+      val nb = cb.values.sum
+      val want = cb.map { case (t, c) =>
+        c * math.round(math.log(c.toDouble * (nr + v).toDouble
+          / ((refCounts.getOrElse(t, 0L) + 1).toDouble * nb.toDouble)) * 1e6)
+      }.sum
+      assert(got(src) == ((nb, want)), s"drift mismatch for stratum $src")
+    }
+    // a batch of reference-typical text drifts less per token than novel text
+    val typical = DriftStream.drift(docs.limit(50), refModel, "text", "source")
+      .agg((sum($"drift_micro") / sum($"n_tokens")).as("d")).head().getDouble(0)
+    val novelRows = Seq((1L, "zzq1 zzq2 zzq3 zzq4 zzq5", "novel")).toDF("doc_id", "text", "source")
+    val novel = DriftStream.drift(novelRows, refModel, "text", "source")
+      .agg((sum($"drift_micro") / sum($"n_tokens")).as("d")).head().getDouble(0)
+    assert(novel > typical, "unseen vocabulary must score as stronger drift")
+    // streaming end-to-end: two file drops → two batch partitions; a
+    // replayed batch overwrites to identical rows
+    val feedDir = tmp(); val refDir = tmp(); val monDir = tmp(); val ckpt = tmp()
+    docs.limit(200).coalesce(1).write.mode("overwrite").parquet(refDir)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(feedDir)
+    val q = DriftStream.driftStream(spark, feedDir, refDir, monDir, ckpt, "text", "source")
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = spark.read.parquet(monDir)
+    assert(mon.select("batch").distinct().count() == 2)
+    val before = mon.collect().toSet
+    val ref2 = DriftStream.referenceModel(spark.read.parquet(refDir), "text")
+    DriftStream.driftBatch(spark.read.parquet(feedDir).filter($"doc_id" % 2 === 0),
+      ref2, 0L, monDir, "text", "source")
+    assert(spark.read.parquet(monDir).collect().toSet == before,
+      "replaying batch 0 must rewrite identical monitor rows")
   }
 }
