@@ -366,6 +366,31 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Pointwise mutual information over the co-occurrence matrix:
+    * pmi(a, b) = ln( cnt(a,b)·T / (m(a)·m(b)) ) with T the total pair
+    * mass and m(·) the marginals — the association score word-vector
+    * pipelines factorize (PPMI-SVD lineage) and collocation mining
+    * thresholds on. Quantized to integer micro-nats so output is
+    * engine-exact.
+    *
+    * Scale shape: marginals and the total DERIVE from the (already
+    * thresholded) co-occurrence aggregate — one more partial agg each,
+    * never a corpus re-scan; the marginal join keys are single tokens
+    * (at most |vocab| rows each side after aggregation).
+    */
+  def pmi(cooc: DataFrame): DataFrame = {
+    val ma = cooc.groupBy(col("center").as("a")).agg(sum("cnt").as("m_a"))
+    val mb = cooc.groupBy(col("context").as("b")).agg(sum("cnt").as("m_b"))
+    val tot = cooc.agg(sum("cnt").as("t"))
+    cooc.select(col("center").as("a"), col("context").as("b"), col("cnt"))
+      .join(ma, Seq("a")).join(mb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cnt"),
+        round(log(col("cnt").cast("double") * col("t").cast("double")
+          / (col("m_a").cast("double") * col("m_b").cast("double"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+  }
+
   /** Top-k tf·idf terms per document — the classic keyword/topic
     * signal (salient-term extraction, near-dup explanation, index
     * routing). Integer-exact: idf = round(ln(N/df)·10⁶) quantized to a

@@ -506,6 +506,41 @@ object PipelineQueries {
     TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
       window = 2, minCount = 5L)
 
+  /** PMI association scores over the thresholded co-occurrence
+    * matrix (marginals derived from the matrix itself).
+    */
+  def textPmiQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.pmi(textCooccurrenceQ(spark, sfDir))
+
+  /** END-TO-END training-corpus assembly as ONE gated query — the
+    * composition of THIS round's additions: quality-classifier filter
+    * (iters=1, integer-exact) → span-level dedup of the kept docs →
+    * deterministic shard addressing of the survivors. The oracle
+    * replays the whole chain, so the gate checks the composition,
+    * not just each stage (pipeline_clean_corpus's sibling for the
+    * classifier/spans/shards third of the C-block).
+    */
+  def pipelineTrainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{Classifier, Sampling}
+    val d = Tables.documents(spark, sfDir)
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val w = Classifier.train(d, "text", "doc_id", target, m = 256, iters = 1)
+    // keep the above-mean half: score·N > Σscore is integer-exact on
+    // both engines (score > 0 keeps ~nothing — one GD round from w=0
+    // leaves most raw logits negative on an unbalanced target)
+    val scored = Classifier.score(d, "text", "doc_id", w, m = 256)
+    val tot = scored.agg(sum("score").as("ts"), count(lit(1)).as("nd"))
+    val kept = scored.crossJoin(broadcast(tot))
+      .filter(col("score") * col("nd") > col("ts")).select("doc_id")
+    val deduped = Dedup.dedupSpans(
+      d.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nt")),
+      "nt", "doc_id", k = 8)
+      .select("doc_id", "n_tokens_kept")
+    Sampling.shards(deduped, "doc_id", numShards = 8)
+  }
+
   /** Top-5 tf·idf terms per doc, integer-exact scores. */
   def textTfidfQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(spark, sfDir), "text", "doc_id", k = 5)
@@ -558,6 +593,8 @@ object PipelineQueries {
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
+    "text_pmi" -> textPmiQ,
+    "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
@@ -1080,6 +1117,68 @@ object PipelineQueries {
          |      FROM g, nn)
          |SELECT cnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
          |FROM cnt JOIN w USING (f) GROUP BY 1""".stripMargin,
+    "text_pmi" ->
+      s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
+         |pos AS (SELECT ws, unnest(range(len(ws))) AS i FROM w),
+         |ctx AS (SELECT ws, i,
+         |          unnest(range(greatest(0, i - 2), least(len(ws) - 1, i + 2) + 1)) AS j
+         |        FROM pos),
+         |pair AS (SELECT ws[CAST(i + 1 AS INT)] AS center,
+         |                ws[CAST(j + 1 AS INT)] AS context
+         |         FROM ctx WHERE j != i),
+         |cm AS (SELECT center, context, count(*) AS cnt
+         |       FROM pair GROUP BY 1, 2 HAVING count(*) >= 5),
+         |ma AS (SELECT center AS a, CAST(sum(cnt) AS BIGINT) AS m_a FROM cm GROUP BY 1),
+         |mb AS (SELECT context AS b, CAST(sum(cnt) AS BIGINT) AS m_b FROM cm GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cm)
+         |SELECT cm.center AS a, cm.context AS b, CAST(cm.cnt AS BIGINT) AS cnt,
+         |       CAST(round(ln(CAST(cm.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE)
+         |         / (CAST(ma.m_a AS DOUBLE) * CAST(mb.m_b AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_micro
+         |FROM cm JOIN ma ON cm.center = ma.a JOIN mb ON cm.context = mb.b, tot""".stripMargin,
+    "pipeline_train_corpus" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(ws) AS feat FROM nt
+         |  UNION ALL
+         |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
+         |tm AS (SELECT doc_id, doc_id % 3 = 0 AND list_contains(ws, 'join') AS t
+         |       FROM nt),
+         |fcnt AS (SELECT fx.doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y,
+         |                ${h64("feat")} % 256 AS f, count(*) AS x
+         |         FROM feats fx JOIN tm USING (doc_id) GROUP BY 1, 2, 3),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |g AS (SELECT f, CAST(sum(x * (1000000 * y - 500000)) AS BIGINT) AS g
+         |      FROM fcnt GROUP BY 1),
+         |w AS (SELECT f, CAST(round(CAST(g AS DOUBLE) / (2.0 * nn.n)) AS BIGINT) AS wq
+         |      FROM g, nn),
+         |sc AS (SELECT fcnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
+         |       FROM fcnt JOIN w USING (f) GROUP BY 1),
+         |st AS (SELECT CAST(sum(score) AS BIGINT) AS ts,
+         |              CAST(count(*) AS BIGINT) AS nd FROM sc),
+         |kw AS (SELECT nt.doc_id, nt.ws FROM nt
+         |       JOIN sc ON nt.doc_id = sc.doc_id, st
+         |       WHERE sc.score * st.nd > st.ts),
+         |win AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS s, ws
+         |        FROM kw WHERE len(ws) >= 8),
+         |wh AS (SELECT doc_id, s,
+         |         md5(array_to_string(list_slice(ws, CAST(s+1 AS INT), CAST(s+8 AS INT)), ' ')) AS h
+         |       FROM win),
+         |wc AS (SELECT h, count(*) AS c FROM wh GROUP BY 1),
+         |bad AS (SELECT wh.doc_id, wh.s FROM wh JOIN wc USING (h) WHERE wc.c > 1),
+         |cov AS (SELECT DISTINCT doc_id, p FROM
+         |          (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM bad)),
+         |tp AS (SELECT doc_id, unnest(range(len(ws))) AS p FROM kw),
+         |kt AS (SELECT tp.doc_id, tp.p
+         |       FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+         |       WHERE cov.p IS NULL),
+         |dd AS (SELECT doc_id, count(*) AS n_tokens_kept FROM kt GROUP BY 1),
+         |sk AS (SELECT doc_id, n_tokens_kept,
+         |         ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k
+         |       FROM dd)
+         |SELECT doc_id, n_tokens_kept, k % 8 AS shard,
+         |       row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
+         |FROM sk""".stripMargin,
     "text_cooccurrence" ->
       s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
          |pos AS (SELECT ws, unnest(range(len(ws))) AS i FROM w),

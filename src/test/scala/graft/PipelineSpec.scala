@@ -563,6 +563,21 @@ class PipelineSpec extends SparkSpec {
     assert(t.values.forall(_ >= 5L) && t.forall { case (k, v) => m(k) == v })
   }
 
+  test("pmi: hand-check, symmetry, marginals from the thresholded matrix") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m = TextAnalysis.pmi(TextAnalysis.cooccurrence(d, "text", window = 1, minCount = 1L))
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getLong(3)).toMap
+    // matrix: (a,b),(b,a),(b,c),(c,b) each 1; T=4, m(a)=m(c)=1, m(b)=2
+    // → every pair's pmi = ln(1·4 / (1·2)) = ln 2
+    val ln2 = math.round(math.log(2.0) * 1e6)
+    assert(m.size == 4 && m.values.forall(_ == ln2))
+    // symmetric matrix ⇒ symmetric pmi on the real corpus
+    val big = TextAnalysis.pmi(TextAnalysis.cooccurrence(docs, "text", window = 2, minCount = 5L))
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getLong(3)).toMap
+    assert(big.nonEmpty)
+    big.foreach { case ((a, b), p) => assert(big((b, a)) == p) }
+  }
+
   test("tfidf: corpus-wide terms score zero, ranks total-ordered, partition-independent") {
     val d = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidf(d, "text", "doc_id", k = 5)

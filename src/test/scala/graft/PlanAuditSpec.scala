@@ -328,6 +328,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("text_pmi: marginals derive from the matrix aggregate, total folds in broadcast") {
+    val plan = formatted(q("text_pmi"))
+    assert(plan.contains("partial_sum"), "marginals must combine map-side")
+    assert(!plan.contains("CartesianProduct"),
+      "the single-row total must fold in as a broadcast, never cartesian")
+  }
+
   test("sample_shard: one exchange on the shard key, in-partition sort only") {
     val plan = formatted(q("sample_shard"))
     assert(plan.contains("Window"), "positions come from a per-shard window")
