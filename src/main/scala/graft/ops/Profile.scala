@@ -46,6 +46,44 @@ object Profile {
       .select((length(col("cnt").cast("string")) - 1).cast("long").as("freq_decade"))
       .groupBy("freq_decade").agg(count(lit(1)).as("n_keys"))
 
+  /** Column-level data-quality profile — the validate-the-dump-before-
+    * ingesting pass (Deequ-lineage): per column, row count, null
+    * count, EXACT distinct count, and lexicographic min/max. A crawl
+    * dump whose `lang` column suddenly has 40% nulls or whose id
+    * column's distinct count ≠ row count gets caught here, before any
+    * downstream operator trains on it.
+    *
+    * One pass over the table: `stack` unpivots the profiled columns
+    * into (col_name, val) rows — the standard one-scan trade (×|cols|
+    * row inflation) against |cols| separate scans. Distinct counting
+    * groups on md5(val), NOT val, so only 32-hex-char digests cross
+    * the wire even when the column is document text; both engines
+    * group on the same digest, so (astronomically unlikely) collisions
+    * affect both identically. min/max track a 64-char prefix — prefix
+    * truncation is monotone under lexicographic order (strings
+    * differing within the prefix keep their order; strings equal
+    * through it tie), so `min(prefix)` IS the prefix of the true min —
+    * bounding the bytes per group by O(1) instead of the longest
+    * document. Two partial-aggregatable groupBys, shuffle bounded by
+    * Σ per-column distinct counts; output is |cols| rows.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val stackArgs = cols
+      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
+      .groupBy(col("col_name"), md5(col("val")).as("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(substring(col("val"), 1, 64)).as("vmin"),
+        max(substring(col("val"), 1, 64)).as("vmax"))
+      .groupBy("col_name")
+      .agg(sum("cnt").as("n_rows"),
+        coalesce(sum(when(col("h").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count(col("h")).as("n_distinct"),
+        min("vmin").as("min_prefix"),
+        max("vmax").as("max_prefix"))
+  }
+
   /** Per-stratum token-distribution drift: KL(stratum ‖ corpus) over
     * unigram frequencies — the monitoring signal that tells a corpus
     * pipeline one source/crawl-dump/date-bucket has shifted away from

@@ -212,4 +212,35 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__k")
   }
+
+  /** Per-group document cap — the Common-Crawl per-domain cap: keep at
+    * most `k` docs of each group (domain, source, site), chosen by
+    * deterministic hash order so the kept subset is a reproducible
+    * uniform sample of the group, not whichever rows a scan saw first.
+    * The standard guard against a single domain (a wiki mirror, a
+    * link farm) dominating the corpus no matter what the mixture
+    * weights say — caps bite per-GROUP where [[mixture]] rates bite
+    * per-STRATUM-in-aggregate.
+    *
+    * Shape: one hash-partition exchange on the group key + an
+    * in-partition sort feeding `row_number` — the same
+    * exchange-plus-sort the grouped writer downstream needs anyway.
+    * Group count (domains) is large so partitions stay balanced; for
+    * a pathological mega-group the uniform hash order admits a
+    * two-phase refinement (pre-filter on a loose hash threshold
+    * ≈ k/|group| before ranking) — not needed until a single group
+    * outgrows a partition.
+    */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String, k: Int,
+               salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val key = Hashing.portableHash64(
+      concat(lit(salt + ":cap:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", key)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .filter(col("pos") < k)
+      .drop("__k")
+  }
 }

@@ -453,6 +453,62 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).select("doc_id", "source"),
       "doc_id", numShards = 8)
 
+  /** Column-level data-quality profile (graft.ops.Profile
+    * .tableProfile) over documents with nulls deterministically
+    * injected into `lang` (every 97th doc) so the null-counting path
+    * is exercised, not just trivially zero.
+    */
+  def profileTableQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.tableProfile(
+      Tables.documents(spark, sfDir)
+        .withColumn("lang",
+          when(expr("doc_id % 97 = 0"), lit(null: String))
+            .otherwise(col("lang"))),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
+    * per source, chosen by deterministic hash order — the per-domain
+    * cap of a crawl-curation pipeline.
+    */
+  def sampleGroupCapQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.groupCap(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      "source", "doc_id", k = 7)
+
+  /** Integer-exact PageRank (graft.ops.Graph.pageRank) over a
+    * deterministic hash-synthesized link graph on the document id
+    * space: outdeg(v) = 1 + h("prdeg:"+v) mod 3, the j-th link target
+    * h("pr:"+j+":"+v) mod N — same augmented-corpus convention as
+    * text_scrub, so the DuckDB oracle derives the identical graph and
+    * replays all 3 integer power-iteration rounds bit-for-bit.
+    */
+  def graphPagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.pageRank(nodes, edges, iters = 3)
+      .select(col("id").as("doc_id"), col("rank_micro"))
+  }
+
+  /** The hash-synthesized (nodes, edges) graph behind `graph_pagerank`
+    * — split out so PlanAuditSpec can rebuild the per-iteration plan
+    * un-checkpointed.
+    */
+  def pagerankGraph(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val deg = nodes.select(col("id"),
+      (lit(1L) + pmod(graft.util.Hashing.portableHash64(
+        concat(lit("prdeg:"), col("id").cast("string"))), lit(3L))).as("outdeg"))
+    val edges = deg
+      .select(col("id").as("src"), col("outdeg"),
+        explode(sequence(lit(0L), col("outdeg") - 1L)).as("j"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("outdeg"),
+        pmod(graft.util.Hashing.portableHash64(
+          concat(lit("pr:"), col("j").cast("string"), lit(":"),
+            col("src").cast("string"))), col("n")).as("dst"))
+    (nodes, edges)
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -587,6 +643,9 @@ object PipelineQueries {
     "dedup_spans" -> dedupSpansQ,
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
+    "profile_table" -> profileTableQ,
+    "sample_group_cap" -> sampleGroupCapQ,
+    "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -1087,6 +1146,63 @@ object PipelineQueries {
          |SELECT doc_id, source, k % 8 AS shard,
          |       row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
          |FROM k""".stripMargin,
+    "profile_table" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
+         |             source, n_chars FROM documents),
+         |s AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM d
+         |      UNION ALL SELECT 'text', text FROM d
+         |      UNION ALL SELECT 'lang', lang FROM d
+         |      UNION ALL SELECT 'source', source FROM d
+         |      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM d),
+         |g AS (SELECT col_name, md5(val) AS h, count(*) AS cnt,
+         |             min(substr(val, 1, 64)) AS vmin,
+         |             max(substr(val, 1, 64)) AS vmax
+         |      FROM s GROUP BY 1, 2)
+         |SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       CAST(coalesce(sum(CASE WHEN h IS NULL THEN cnt END), 0) AS BIGINT)
+         |         AS n_nulls,
+         |       count(h) AS n_distinct,
+         |       min(vmin) AS min_prefix, max(vmax) AS max_prefix
+         |FROM g GROUP BY 1""".stripMargin,
+    "sample_group_cap" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |             ${h64("'graft:cap:' || doc_id::VARCHAR")} AS k
+         |           FROM documents)
+         |SELECT doc_id, source, pos FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1
+         |           AS pos
+         |  FROM k)
+         |WHERE pos < 7""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src, outdeg,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |i1 AS (SELECT deg.id, 150000 + (85 * coalesce(s.inb, 0)) // 100 AS r
+         |       FROM deg LEFT JOIN (
+         |         SELECT e.dst, sum(p.r // e.outdeg) AS inb
+         |         FROM e JOIN r0 p ON e.src = p.id GROUP BY 1) s
+         |       ON deg.id = s.dst),
+         |i2 AS (SELECT deg.id, 150000 + (85 * coalesce(s.inb, 0)) // 100 AS r
+         |       FROM deg LEFT JOIN (
+         |         SELECT e.dst, sum(p.r // e.outdeg) AS inb
+         |         FROM e JOIN i1 p ON e.src = p.id GROUP BY 1) s
+         |       ON deg.id = s.dst),
+         |i3 AS (SELECT deg.id, 150000 + (85 * coalesce(s.inb, 0)) // 100 AS r
+         |       FROM deg LEFT JOIN (
+         |         SELECT e.dst, sum(p.r // e.outdeg) AS inb
+         |         FROM e JOIN i2 p ON e.src = p.id GROUP BY 1) s
+         |       ON deg.id = s.dst)
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM i3""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

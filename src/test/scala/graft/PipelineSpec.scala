@@ -707,4 +707,68 @@ class PipelineSpec extends SparkSpec {
     val fp = TextAnalysis.fingerprints(corpus, "text", "doc_id")
     assert(fp.select("content_hash").distinct().count() == n)
   }
+
+  test("table profile: exact nulls/distincts/minmax incl. >64-char prefix truncation") {
+    val long1 = "a" * 70 + "zzz"   // shares a 64-char prefix with long2
+    val long2 = "a" * 70 + "bbb"   // ...so both truncate identically
+    val t = Seq(
+      (1L, Some("x"), long1),
+      (2L, Some("y"), long2),
+      (3L, None, "short"),
+      (4L, Some("x"), "short")
+    ).toDF("id", "tag", "body")
+    val p = graft.ops.Profile.tableProfile(t, Seq("id", "tag", "body"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("id") == (4L, 0L, 4L, "1", "4"))
+    assert(p("tag") == (4L, 1L, 2L, "x", "y"))
+    // 3 distinct bodies; min/max are 64-char prefixes: "a"*64 < "short"
+    assert(p("body") == (4L, 0L, 3L, "a" * 64, "short"))
+  }
+
+  test("group cap: at most k per group, deterministic, partition-independent, salted") {
+    val out = graft.ops.Sampling.groupCap(
+      docs.select("doc_id", "source"), "source", "doc_id", k = 7).cache()
+    val sizes = out.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(sizes.filter($"n" > 7).count() == 0)
+    assert(sizes.count() == 20 && out.count() == 140, "25-doc sources all cap at 7")
+    // kept set is a pure function of (salt, id): repartitioning the
+    // input must not change WHICH docs survive
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val again = graft.ops.Sampling.groupCap(
+      docs.select("doc_id", "source").repartition(13), "source", "doc_id", k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    val other = graft.ops.Sampling.groupCap(
+      docs.select("doc_id", "source"), "source", "doc_id", k = 7, salt = "epoch1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept != other, "salt is the reshuffle knob")
+  }
+
+  test("pagerank: matches exact integer driver recompute on a hand graph") {
+    // graph: 1->2, 1->3, 2->3, 3->1, 4 is isolated (teleport only)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 1L), (3L, 1L, 1L)
+    ).toDF("src", "dst", "outdeg")
+    val got = graft.ops.Graph.pageRank(nodes, edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // driver-side reference: same integer arithmetic, plain Scala
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L)
+    for (_ <- 0 until 3) {
+      val inbound = adj.toSeq
+        .flatMap { case (s, ds) => ds.map(_ -> r(s) / ds.size) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      r = r.keys.map(v => v -> (150000L + 85L * inbound.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == r)
+    assert(got(4L) == 150000L, "isolated node holds exactly the teleport mass")
+    // partition-independence: integer arithmetic owes nothing to the layout
+    val again = graft.ops.Graph.pageRank(
+      nodes.repartition(7), edges.repartition(5), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }

@@ -335,6 +335,35 @@ class PlanAuditSpec extends SparkSpec {
       "the single-row total must fold in as a broadcast, never cartesian")
   }
 
+  test("profile_table: hash-grouped distinct counting, partial aggregation throughout") {
+    val plan = formatted(q("profile_table"))
+    assert(plan.contains("md5"),
+      "distinct counting must group on the digest, not the raw value")
+    assert(plan.contains("partial_"), "both profile groupBys must combine map-side")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("CartesianProduct"))
+  }
+
+  test("sample_group_cap: per-group window on the group exchange, no global sort") {
+    val plan = formatted(q("sample_group_cap"))
+    assert(plan.contains("Window"), "the cap rank comes from a per-group window")
+    assert(!plan.contains("rangepartitioning"),
+      "group capping must never global-sort")
+  }
+
+  test("graph_pagerank iteration: partial-agg contribution sums, no cartesian") {
+    // the registered query localCheckpoints per round (lineage
+    // truncation), which hides the iteration plan — rebuild one
+    // un-truncated round on the same synthesized graph
+    spark.catalog.clearCache()
+    val (nodes, edges) = graft.queries.PipelineQueries.pagerankGraph(spark, sfDir)
+    val plan = formatted(
+      graft.ops.Graph.pageRank(nodes, edges, iters = 1, checkpoint = false))
+    assert(plan.contains("partial_sum"),
+      "inbound contribution sums must combine map-side before the dst shuffle")
+    assert(!plan.contains("CartesianProduct"),
+      "the node-count fold must broadcast, never cartesian")
+  }
+
   test("sample_shard: one exchange on the shard key, in-partition sort only") {
     val plan = formatted(q("sample_shard"))
     assert(plan.contains("Window"), "positions come from a per-shard window")
