@@ -354,12 +354,21 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     val ws = split(normalize(col(textCol)), " ")
     val n = org.apache.spark.sql.functions.size(ws)
-    val pairs = flatten(transform(sequence(lit(0), n - 1), i =>
-      transform(
-        filter(sequence(greatest(lit(0), i - window), least(n - 1, i + window)),
-          j => j =!= i),
-        j => struct(element_at(ws, i + lit(1)).as("center"),
-          element_at(ws, j + lit(1)).as("context")))))
+    // Per-row pair construction unrolled over the (literal, small)
+    // distance d: tokens at distance exactly d pair as
+    // zip(ws[0..n-d), ws[d..n)), emitted in both directions. slice +
+    // arrays_zip are plain expressions with native element loops — no
+    // per-element lambda dispatch, which is what made the nested
+    // transform/filter formulation of this ~40× slower (HOF lambdas
+    // evaluate interpreted; same lesson as Similarity.project's
+    // unrolling, PERF.md).
+    val pairs = concat((1 to window).flatMap { d =>
+      val len = greatest(lit(0), n - d)
+      val a = slice(ws, lit(1), len)
+      val b = slice(ws, lit(d + 1), len)
+      Seq(arrays_zip(a.as("center"), b.as("context")),
+        arrays_zip(b.as("center"), a.as("context")))
+    }: _*)
     df.select(explode(pairs).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
