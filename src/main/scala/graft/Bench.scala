@@ -99,19 +99,24 @@ object Bench {
     val spreads = results.collect {
       case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 => (k, v, mx)
     }.sortBy { case (_, v, mx) => if (mx < 0) Double.MaxValue else -(mx / math.max(v, 1e-9)) }
-    def line(prec: Int, nSpread: Int, topQ: Int): String = {
-      // when even 2-decimal full coverage overflows, keep the SLOWEST
-      // topQ per-query entries (the ones regression analysis reads;
-      // sub-ms queries carry no signal at coarse precision) — the
-      // total still covers every query
-      val qsel = if (topQ >= results.size) results
-                 else results.sortBy(-_._2).take(topQ)
+    def line(prec: Int, nSpread: Int, topQ: Int, minT: Double = 0.0): String = {
+      // two degrade axes before slowest-N: minT drops entries under a
+      // floor (a sub-50ms query cannot regress measurably while
+      // STAYING sub-50ms — the moment it regresses it reappears), topQ
+      // keeps only the slowest topQ. Failures (-1) always publish.
+      // The omitted count is explicit — a dropped entry must read as
+      // "dropped", never as "covered".
+      val floored = results.filter { case (_, v, _) => v < 0 || v >= minT }
+      val qsel = if (topQ >= floored.size) floored
+                 else floored.sortBy(-_._2).take(topQ)
+      val omitted = results.size - qsel.size
       val qs = qsel.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
       val sp = spreads.take(nSpread).map { case (k, v, mx) =>
         "\"" + k + "\":[" + fmt(v, prec) + "," + fmt(mx, prec) + "]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp,"sf":"$sfDir"}"""
+      val om = if (omitted > 0) s""","omitted_fast":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp$om,"sf":"$sfDir"}"""
     }
     // The query count grows every round; degrade verbosity (fewer
     // spread entries, coarser precision, then slowest-N-only per-query
@@ -125,9 +130,13 @@ object Bench {
     // full coverage at 1-decimal beats slowest-N at 2: the per-round
     // regression read sums per-query times with a 0.5 s noise floor,
     // so ±0.05 rounding is harmless but a missing query is a hole
-    val out = Iterator((3, spreads.size, all), (3, 6, all), (3, 0, all),
-        (2, 0, all), (1, 0, all), (2, 0, 60), (2, 0, 40), (2, 0, 25))
-      .map { case (p, n, t) => line(p, n, t) }
+    val out = Iterator((3, spreads.size, all, 0.0), (3, 6, all, 0.0),
+        (3, 0, all, 0.0), (2, 0, all, 0.0), (1, 0, all, 0.0),
+        // everything ≥ 50 ms + explicit omitted count beats slowest-N:
+        // regression-readable coverage of every query that CAN regress
+        (2, 0, all, 0.05), (1, 0, all, 0.05), (1, 0, all, 0.1),
+        (2, 0, 60, 0.0), (2, 0, 40, 0.0), (2, 0, 25, 0.0))
+      .map { case (p, n, t, m) => line(p, n, t, m) }
       .find(_.length <= MAX)
       .getOrElse(line(2, 0, 25))
     println(out)
