@@ -136,6 +136,21 @@ object BenchStress {
       Dedup.dedupSpans(
         withDups.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nt")),
         "nt", "doc_id", k = 8)
+    }),
+    // rotated copies share no tokens, so the pair vocabulary (and the
+    // thresholded matrix the PMI marginals derive from) grows linearly
+    "text_pmi" -> ((d: DataFrame) =>
+      TextAnalysis.pmi(TextAnalysis.cooccurrence(d, "text", window = 2,
+        minCount = 5L))),
+    // |E| grows linearly with the node set (outdeg ≤ 3); per-iteration
+    // cost is the |E|-row contribution shuffle + |V|-row teleport join.
+    // Copy ids aren't dense so most hash targets drop in the left join
+    // — the joins/shuffles/aggregates still process every edge, which
+    // is what the ratio measures
+    "graph_pagerank" -> ((d: DataFrame) => {
+      val (nodes, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      graft.ops.Graph.pageRank(nodes, edges, iters = 3)
     }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster

@@ -35,6 +35,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Deterministic hash-synthesized multigraph over a node set —
+    * outdeg(v) = 1 + h("prdeg:"+v) mod 3, j-th target
+    * h("pr:"+j+":"+v) mod N — the augmented-input convention (cf.
+    * text_scrub) that gives the PageRank gate a replayable edge list:
+    * the DuckDB oracle derives the identical graph from the same md5
+    * arithmetic. N folds in via a broadcast single-row aggregate, so
+    * nothing is collected driver-side.
+    */
+  def hashGraph(nodes: DataFrame): (DataFrame, DataFrame) = {
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val deg = nodes.select(col("id"),
+      (lit(1L) + pmod(graft.util.Hashing.portableHash64(
+        concat(lit("prdeg:"), col("id").cast("string"))), lit(3L))).as("outdeg"))
+    val edges = deg
+      .select(col("id").as("src"), col("outdeg"),
+        explode(sequence(lit(0L), col("outdeg") - 1L)).as("j"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("outdeg"),
+        pmod(graft.util.Hashing.portableHash64(
+          concat(lit("pr:"), col("j").cast("string"), lit(":"),
+            col("src").cast("string"))), col("n")).as("dst"))
+    (nodes, edges)
+  }
+
   /** Fixed-iteration integer PageRank.
     *
     * @param edges   (src, dst, outdeg) — outdeg MUST be the true

@@ -490,24 +490,11 @@ object PipelineQueries {
 
   /** The hash-synthesized (nodes, edges) graph behind `graph_pagerank`
     * — split out so PlanAuditSpec can rebuild the per-iteration plan
-    * un-checkpointed.
+    * un-checkpointed and BenchStress can scale the node set.
     */
-  def pagerankGraph(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-    val n = nodes.agg(count(lit(1)).as("n"))
-    val deg = nodes.select(col("id"),
-      (lit(1L) + pmod(graft.util.Hashing.portableHash64(
-        concat(lit("prdeg:"), col("id").cast("string"))), lit(3L))).as("outdeg"))
-    val edges = deg
-      .select(col("id").as("src"), col("outdeg"),
-        explode(sequence(lit(0L), col("outdeg") - 1L)).as("j"))
-      .crossJoin(broadcast(n))
-      .select(col("src"), col("outdeg"),
-        pmod(graft.util.Hashing.portableHash64(
-          concat(lit("pr:"), col("j").cast("string"), lit(":"),
-            col("src").cast("string"))), col("n")).as("dst"))
-    (nodes, edges)
-  }
+  def pagerankGraph(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    graft.ops.Graph.hashGraph(
+      Tables.documents(spark, sfDir).select(col("doc_id").as("id")))
 
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
