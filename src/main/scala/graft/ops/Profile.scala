@@ -46,6 +46,47 @@ object Profile {
       .select((length(col("cnt").cast("string")) - 1).cast("long").as("freq_decade"))
       .groupBy("freq_decade").agg(count(lit(1)).as("n_keys"))
 
+  /** Per-group z-score outlier scan — the metric-anomaly monitor
+    * ("this purchase amount is 8σ off for its event type") run over an
+    * event stream before it feeds dashboards or models.
+    *
+    * Determinism: values quantize to integer cents (round(·100)), so
+    * per-group n, Σq, Σq² are EXACT longs (order/partitioning/engine
+    * independent; longs hold to ~10⁹ rows per group at this value
+    * range — beyond that, shard the group key before profiling). The
+    * z-score is then ONE fixed chain of IEEE ops from those exact
+    * integers — (q·n − Σq) / √(n·Σq² − Σq²) — using only +,−,×,÷,√,
+    * every one correctly rounded, so DuckDB reproduces the doubles
+    * bit-for-bit (stronger than the ln-based scores, which lean on
+    * matching libm behavior).
+    *
+    * Scale shape: one partial-aggregatable groupBy to |groups| stat
+    * rows, broadcast back onto the scan; the event stream itself
+    * never shuffles. Output is the flagged tail only.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     zThreshold: Double): DataFrame = {
+    val q = round(col(valueCol) * 100).cast("long")
+    val stats = df.select(col(groupCol), q.as("q"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+    df.withColumn("q", q)
+      .join(broadcast(stats), Seq(groupCol))
+      // zero-variance guard, in EXACT long arithmetic: without it a
+      // constant group yields z = 0/0 = NaN, and BOTH engines order
+      // NaN above every number — abs(NaN) > t would flag the whole
+      // group
+      .filter(col("n") * col("s2") > col("s1") * col("s1"))
+      .withColumn("z",
+        (col("q").cast("double") * col("n") - col("s1"))
+          / sqrt(col("n").cast("double") * col("s2")
+            - col("s1").cast("double") * col("s1")))
+      .filter(abs(col("z")) > zThreshold)
+      .withColumn("z_milli", round(col("z") * 1000).cast("long"))
+      .drop("q", "n", "s1", "s2", "z")
+  }
+
   /** Column-level data-quality profile — the validate-the-dump-before-
     * ingesting pass (Deequ-lineage): per column, row count, null
     * count, EXACT distinct count, and lexicographic min/max. A crawl

@@ -245,6 +245,18 @@ object Analytics {
       .select("user_id", "event_id", "ts_ms", "rolling_value", "rolling_events")
   }
 
+  /** Metric-anomaly scan (graft.ops.Profile.zscoreOutliers): events
+    * whose value sits more than 3σ from their event type's mean —
+    * exact-long moment sums (cents quantization) + one fixed IEEE
+    * chain (×,−,÷,√ only, all correctly rounded), so the flagged set
+    * and milli-z scores replay bit-for-bit in DuckDB.
+    */
+  def qAnomalyZscore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.zscoreOutliers(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      "event_type", "value", zThreshold = 3.0)
+      .select("event_id", "event_type", "value", "z_milli")
+
   /** Join-key skew profile of orders.o_custkey: top-20 heaviest keys
     * with corpus share — the diagnostic run before picking broadcast /
     * salt / AQE-skew strategy for the customer⋈orders join. One
@@ -464,6 +476,7 @@ object Analytics {
     "q_running_sum" -> qRunningSum,
     "q_rolling_window" -> qRollingWindow,
     "q_range_join" -> qRangeJoin,
+    "q_anomaly_zscore" -> qAnomalyZscore,
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
@@ -637,6 +650,21 @@ object Analytics {
         |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH q AS (SELECT event_id, event_type, value,
+        |             CAST(round(value * 100) AS BIGINT) AS q FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(q) AS s1,
+        |             sum(q * q) AS s2
+        |      FROM q GROUP BY 1)
+        |SELECT event_id, q.event_type, value,
+        |       CAST(round(1000 * (CAST(q.q AS DOUBLE) * s.n - s.s1)
+        |         / sqrt(CAST(s.n AS DOUBLE) * s.s2
+        |                - CAST(s.s1 AS DOUBLE) * s.s1)) AS BIGINT) AS z_milli
+        |FROM q JOIN s USING (event_type)
+        |WHERE s.n * s.s2 > s.s1 * s.s1
+        |  AND abs((CAST(q.q AS DOUBLE) * s.n - s.s1)
+        |      / sqrt(CAST(s.n AS DOUBLE) * s.s2
+        |             - CAST(s.s1 AS DOUBLE) * s.s1)) > 3.0""".stripMargin,
     "q_rolling_window" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |  CAST(sum(CAST(value AS DECIMAL(18,4)))

@@ -572,7 +572,11 @@ object PipelineQueries {
     // keep the above-mean half: score·N > Σscore is integer-exact on
     // both engines (score > 0 keeps ~nothing — one GD round from w=0
     // leaves most raw logits negative on an unbalanced target)
+    // materialize once: `scored` (and the training pass feeding `w`)
+    // would otherwise recompute for BOTH the totals row and the filter
+    // (same fix as pipeline_clean_corpus's dedup stage)
     val scored = Classifier.score(d, "text", "doc_id", w, m = 256)
+      .localCheckpoint()
     val tot = scored.agg(sum("score").as("ts"), count(lit(1)).as("nd"))
     val kept = scored.crossJoin(broadcast(tot))
       .filter(col("score") * col("nd") > col("ts")).select("doc_id")

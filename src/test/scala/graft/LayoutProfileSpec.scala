@@ -74,4 +74,20 @@ class LayoutProfileSpec extends SparkSpec {
     val got = Profile.keyDistribution(df, "k").as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("profile: zscoreOutliers flags exactly the driver-recomputed tail") {
+    // group g: 20 values at 10.0 plus one at 1000.0 → the spike is the
+    // only |z| > 3; group h is uniform → no outliers (sd 0 gives z NaN,
+    // which must NOT be flagged)
+    val rows = (1 to 20).map(i => (i.toLong, "g", 10.0)) ++
+      Seq((21L, "g", 1000.0)) ++ (22 to 30).map(i => (i.toLong, "h", 5.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Profile.zscoreOutliers(df, "event_type", "value", 3.0)
+      .select("event_id", "z_milli").as[(Long, Long)].collect().toMap
+    // driver recompute with the identical exact-integer moments
+    val q = rows.filter(_._2 == "g").map(r => math.round(r._3 * 100))
+    val (n, s1, s2) = (q.size.toLong, q.sum, q.map(x => x * x).sum)
+    val zSpike = (1000 * 100.0 * n - s1) / math.sqrt(n.toDouble * s2 - s1.toDouble * s1)
+    assert(got == Map(21L -> math.round(zSpike * 1000)))
+  }
 }

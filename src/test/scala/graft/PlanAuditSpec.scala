@@ -335,6 +335,15 @@ class PlanAuditSpec extends SparkSpec {
       "the single-row total must fold in as a broadcast, never cartesian")
   }
 
+  test("q_anomaly_zscore: moment stats broadcast back, event stream never shuffle-joins") {
+    val plan = formatted(q("q_anomaly_zscore"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |groups|-row stats table must broadcast onto the scan")
+    assert(plan.contains("partial_sum"), "moment sums must combine map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "the event stream must never shuffle for the stats join")
+  }
+
   test("profile_table: hash-grouped distinct counting, partial aggregation throughout") {
     val plan = formatted(q("profile_table"))
     assert(plan.contains("md5"),
