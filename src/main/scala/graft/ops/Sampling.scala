@@ -243,4 +243,41 @@ object Sampling {
       .filter(col("pos") < k)
       .drop("__k")
   }
+
+  /** WEIGHTED per-group sample without replacement — [[groupCap]]'s
+    * quality-aware sibling: keep k docs per group with inclusion odds
+    * proportional to a weight column (keep the well-scored docs of
+    * each domain, not a uniform k). Deterministic A-ES (Efraimidis &
+    * Spirakis 2006): each row gets the exponential key
+    * e = −ln(u)/w with u ∈ (0,1] derived from the portable hash —
+    * the k smallest keys per group ARE a weighted sample without
+    * replacement, and the whole draw is a pure function of
+    * (salt, id, w), reproducible across runs/engines/partitionings.
+    *
+    * Keys are quantized to micro-units (round(·10⁶)) with id
+    * tiebreak, the same integer-total-order trick as the DSIR scores:
+    * both engines rank identical longs instead of trusting float
+    * comparison at the boundary (ln agrees to ≤ 1 ulp; a 1-ulp flip
+    * survives round() only ON a .5 boundary — same accepted risk as
+    * sample_importance).
+    *
+    * Shape: identical to [[groupCap]] — one group-key exchange + an
+    * in-partition sort. Weights must be strictly positive.
+    */
+  def weightedGroupSample(df: DataFrame, groupCol: String, idCol: String,
+                          weightCol: Column, k: Int,
+                          salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.portableHash64(
+      concat(lit(salt + ":wcap:"), col(idCol).cast("string")))
+    // u = (h+1)/2^60 ∈ (0, 1]: dyadic, exactly representable, never 0
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    val ekey = round(-log(u) / weightCol.cast("double") * 1e6).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__e"), col(idCol))
+    df.withColumn("__e", ekey)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .filter(col("pos") < k)
+      .withColumnRenamed("__e", "ekey_micro")
+  }
 }

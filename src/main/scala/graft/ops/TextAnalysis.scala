@@ -186,6 +186,34 @@ object TextAnalysis {
   def bagHash(normCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(normCol, " "))), " "))
 
+  /** Canonical-URL dedup — the FIRST dedup stage of a crawl pipeline,
+    * run before any content comparison: recrawls and link-decoration
+    * variants of one page collapse by URL alone, which is free
+    * compared to content hashing (no document bytes touched). The
+    * canonical form lowercases the URL, strips the query string and
+    * fragment (`[?#].*`), drops a `www.` host prefix, and trims
+    * trailing slashes. (Lowercasing the whole URL — not just the host
+    * — is a deliberate simplification; case-sensitive-path sites
+    * trade a few false merges for engine-portable string ops. All
+    * patterns are RE2-safe, same portability contract as [[scrub]].)
+    *
+    * Shape: per-row string expressions at scan speed, then ONE
+    * hash-partitioned groupBy on the canonical key — struct-min
+    * keeper selection, partial-aggregatable, no window sort (the
+    * dedup_exact shape with the URL as the key).
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col(urlCol)), "[?#].*$", ""),
+          "://www\\.", "://"),
+        "/+$", "")
+    df.select(canon.as("canonical_url"), col(idCol).cast("long").as("__id"))
+      .groupBy("canonical_url")
+      .agg(min(col("__id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), normalize(col(textCol)).as("norm"))
       .select(col(idCol),

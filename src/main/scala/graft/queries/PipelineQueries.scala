@@ -475,6 +475,36 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).select("doc_id", "source"),
       "source", "doc_id", k = 7)
 
+  /** Quality-weighted per-source sample (graft.ops.Sampling
+    * .weightedGroupSample): 5 docs per source with inclusion odds
+    * ∝ n_chars — deterministic A-ES exponential keys.
+    */
+  def sampleWeightedQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.weightedGroupSample(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars"),
+      "source", "doc_id", col("n_chars"), k = 5)
+
+  /** Canonical-URL dedup (graft.ops.TextAnalysis.urlDedup) over a
+    * deterministically synthesized URL column — recrawl variants
+    * (www prefix, case, query string, fragment, trailing slash) of
+    * the same page collapse to one canonical key.
+    */
+  def dedupUrlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(lit("https://"),
+      when(expr("doc_id % 3 = 0"), lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com/p/"),
+      // div 40, NOT mod: source is id-mod-correlated in the testdata,
+      // so a mod path would collapse everything into 40 giant groups;
+      // div gives per-source recrawl PAIRS (ids s+40b and s+20+40b)
+      expr("doc_id div 40").cast("string"),
+      when(expr("doc_id % 4 = 0"), lit("?utm_source=x"))
+        .when(expr("doc_id % 4 = 1"), lit("#frag"))
+        .when(expr("doc_id % 4 = 2"), lit("/"))
+        .otherwise(lit("")))
+    TextAnalysis.urlDedup(
+      Tables.documents(spark, sfDir).withColumn("url", url), "url", "doc_id")
+  }
+
   /** Integer-exact PageRank (graft.ops.Graph.pageRank) over a
     * deterministic hash-synthesized link graph on the document id
     * space: outdeg(v) = 1 + h("prdeg:"+v) mod 3, the j-th link target
@@ -636,6 +666,8 @@ object PipelineQueries {
     "sample_shard" -> sampleShardQ,
     "profile_table" -> profileTableQ,
     "sample_group_cap" -> sampleGroupCapQ,
+    "sample_weighted" -> sampleWeightedQ,
+    "dedup_url" -> dedupUrlQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
@@ -1166,6 +1198,31 @@ object PipelineQueries {
          |           AS pos
          |  FROM k)
          |WHERE pos < 7""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH e AS (SELECT doc_id, source, n_chars,
+         |        CAST(round(-ln(CAST(${h64("'graft:wcap:' || doc_id::VARCHAR")} + 1
+         |            AS DOUBLE) / 1152921504606846976.0)
+         |          / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS ekey_micro
+         |      FROM documents)
+         |SELECT doc_id, source, n_chars, ekey_micro, pos FROM (
+         |  SELECT e.*, row_number()
+         |      OVER (PARTITION BY source ORDER BY ekey_micro, doc_id) - 1 AS pos
+         |  FROM e)
+         |WHERE pos < 5""".stripMargin,
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+         |        'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         |          || source || '.example.com/p/' || (doc_id // 40)::VARCHAR
+         |          || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+         |                  WHEN doc_id % 4 = 1 THEN '#frag'
+         |                  WHEN doc_id % 4 = 2 THEN '/'
+         |                  ELSE '' END AS url
+         |      FROM documents)
+         |SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+         |         '[?#].*$$', ''), '://www\\.', '://'), '/+$$', '')
+         |         AS canonical_url,
+         |       min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM u GROUP BY 1""".stripMargin,
     "graph_pagerank" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

@@ -746,6 +746,44 @@ class PipelineSpec extends SparkSpec {
     assert(kept != other, "salt is the reshuffle knob")
   }
 
+  test("weighted group sample: matches the driver-side A-ES recompute exactly") {
+    val out = graft.ops.Sampling.weightedGroupSample(
+      docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", col("n_chars"), k = 5).cache()
+    assert(out.groupBy("source").count().filter($"count" > 5).count() == 0)
+    // exact driver recompute of the exponential keys and the selection
+    val rows = docs.select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val expect = rows.map { case (id, src, nc) =>
+      val h = graft.util.Hashing.portableHash64Const(s"graft:wcap:$id")
+      val u = (h + 1L).toDouble / math.pow(2.0, 60)
+      (src, math.round(-math.log(u) / nc.toDouble * 1e6), id)
+    }.groupBy(_._1).iterator.flatMap { case (_, g) =>
+      g.sortBy(r => (r._2, r._3)).take(5).map(_._3)
+    }.toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == expect)
+    // heavier docs are (statistically) favored: the kept docs' mean
+    // n_chars exceeds the corpus mean on this corpus
+    val keptMean = out.agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(keptMean > corpusMean)
+  }
+
+  test("url dedup: decoration variants collapse to one canonical key") {
+    val urls = Seq(
+      (1L, "https://WWW.Site.Example.com/a/b?utm=x"),
+      (2L, "https://site.example.com/a/b#frag"),
+      (3L, "https://site.example.com/a/b/"),
+      (4L, "https://site.example.com/a/b"),
+      (5L, "https://site.example.com/other")
+    ).toDF("doc_id", "url")
+    val got = graft.ops.TextAnalysis.urlDedup(urls, "url", "doc_id")
+      .as[(String, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      ("https://site.example.com/a/b", 1L, 4L),
+      ("https://site.example.com/other", 5L, 1L)))
+  }
+
   test("pagerank: matches exact integer driver recompute on a hand graph") {
     // graph: 1->2, 1->3, 2->3, 3->1, 4 is isolated (teleport only)
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")

@@ -359,6 +359,21 @@ class PlanAuditSpec extends SparkSpec {
       "group capping must never global-sort")
   }
 
+  test("sample_weighted: per-group window only, no global sort") {
+    val plan = formatted(q("sample_weighted"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("rangepartitioning"),
+      "weighted sampling must never global-sort")
+  }
+
+  test("dedup_url: one partial-aggregated groupBy on the canonical key, no window") {
+    val plan = formatted(q("dedup_url"))
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "keeper selection must combine map-side")
+    assert(!plan.contains("Window"),
+      "URL dedup is an aggregate, not a window sort")
+  }
+
   test("graph_pagerank iteration: partial-agg contribution sums, no cartesian") {
     // the registered query localCheckpoints per round (lineage
     // truncation), which hides the iteration plan — rebuild one
