@@ -65,13 +65,30 @@ object Profile {
     * never shuffles. Output is the flagged tail only.
     */
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                     zThreshold: Double): DataFrame = {
-    val q = round(col(valueCol) * 100).cast("long")
-    val stats = df.select(col(groupCol), q.as("q"))
+                     zThreshold: Double): DataFrame =
+    zscoreProbe(df, momentStats(df, groupCol, valueCol), groupCol, valueCol,
+      zThreshold)
+
+  /** Per-group exact moments (n, Σq, Σq²) of the cents-quantized
+    * value — the model half of the z-score scan, reusable as a STATIC
+    * reference (streaming monitors score new batches against moments
+    * of an already-admitted corpus).
+    */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol), round(col(valueCol) * 100).cast("long").as("q"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum("q").as("s1"),
         sum(col("q") * col("q")).as("s2"))
-    df.withColumn("q", q)
+
+  /** Probe half: flag rows of `df` whose value is > zThreshold σ from
+    * their group's mean under `stats` (a [[momentStats]] output —
+    * from the same data for the batch scan, or a frozen reference for
+    * the streaming monitor). Groups present in `df` but absent from
+    * `stats` are ignored (inner join): no model, no verdict.
+    */
+  def zscoreProbe(df: DataFrame, stats: DataFrame, groupCol: String,
+                  valueCol: String, zThreshold: Double): DataFrame =
+    df.withColumn("q", round(col(valueCol) * 100).cast("long"))
       .join(broadcast(stats), Seq(groupCol))
       // zero-variance guard, in EXACT long arithmetic: without it a
       // constant group yields z = 0/0 = NaN, and BOTH engines order
@@ -85,7 +102,6 @@ object Profile {
       .filter(abs(col("z")) > zThreshold)
       .withColumn("z_milli", round(col("z") * 1000).cast("long"))
       .drop("q", "n", "s1", "s2", "z")
-  }
 
   /** Column-level data-quality profile — the validate-the-dump-before-
     * ingesting pass (Deequ-lineage): per column, row count, null

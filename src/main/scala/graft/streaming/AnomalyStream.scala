@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Profile
+
+/** Streaming metric-anomaly monitor — the production twin of
+  * `Profile.zscoreOutliers` (SURVEY §2 B24), completing the
+  * monitoring quartet (batch drift / streaming drift / batch anomaly
+  * / streaming anomaly): every ingested micro-batch of events is
+  * scored against the FROZEN per-group moments of an already-admitted
+  * reference corpus, and the flagged tail lands in an append-only
+  * monitoring sink keyed by batch id. The alert an event pipeline
+  * wants: "this trigger carries 8σ values" BEFORE the batch reaches
+  * dashboards or models.
+  *
+  * Scoring against a frozen reference (not the batch's own moments)
+  * is deliberate: a batch that is wholesale anomalous would look
+  * self-consistent to its own statistics — exactly the failure mode a
+  * monitor exists to catch.
+  *
+  * Determinism/replay: the reference moments are exact longs, the
+  * z chain is the correctly-rounded IEEE chain of the batch scan, and
+  * the flagged rows are a pure function of (batch, reference) — the
+  * `batch=<id>` overwrite makes foreachBatch's at-least-once replays
+  * rewrite identical bytes (DriftStream's sink discipline).
+  *
+  * Scale shape: the reference is a |groups|-row broadcast; per
+  * trigger the batch never shuffles (scan → broadcast join → filter).
+  */
+object AnomalyStream {
+
+  /** One monitor micro-batch (directly callable for backfills). */
+  def anomalyBatch(batch: DataFrame, refStats: DataFrame, batchId: Long,
+                   monitorDir: String, groupCol: String, valueCol: String,
+                   zThreshold: Double): Unit = if (!batch.isEmpty) {
+    Profile.zscoreProbe(batch, refStats, groupCol, valueCol, zThreshold)
+      .write.mode("overwrite").parquet(s"$monitorDir/batch=$batchId")
+  }
+
+  /** File-fed monitor stream: reads new parquet event files under
+    * `sourceDir`, scores each trigger against the frozen moments of
+    * the reference corpus at `refDir`, appends flagged rows under
+    * `monitorDir`.
+    */
+  def anomalyStream(spark: SparkSession, sourceDir: String, refDir: String,
+                    monitorDir: String, checkpoint: String,
+                    groupCol: String, valueCol: String,
+                    zThreshold: Double = 3.0,
+                    maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    // |groups| rows, reused every trigger: materialize once
+    val refStats = Profile.momentStats(
+      spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        anomalyBatch(batch, refStats, batchId, monitorDir, groupCol,
+          valueCol, zThreshold)
+      }
+      .start()
+  }
+}

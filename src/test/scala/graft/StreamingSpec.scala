@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcStream, DriftStream, EventStream}
+import graft.streaming.{AnomalyStream, CdcStream, DriftStream, EventStream}
 import graft.util.Tables
 
 class StreamingSpec extends SparkSpec {
@@ -760,6 +760,55 @@ class StreamingSpec extends SparkSpec {
     val ref2 = DriftStream.referenceModel(spark.read.parquet(refDir), "text")
     DriftStream.driftBatch(spark.read.parquet(feedDir).filter($"doc_id" % 2 === 0),
       ref2, 0L, monDir, "text", "source")
+    assert(spark.read.parquet(monDir).collect().toSet == before,
+      "replaying batch 0 must rewrite identical monitor rows")
+  }
+
+  test("anomaly monitor: frozen-reference scoring, batch-parity, replay-idempotent") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").cache()
+    // reference = the full corpus; a probe of the corpus against its
+    // own frozen moments must equal the batch scan exactly
+    val refStats = graft.ops.Profile.momentStats(events, "event_type", "value")
+      .localCheckpoint()
+    val viaProbe = graft.ops.Profile
+      .zscoreProbe(events, refStats, "event_type", "value", 3.0)
+      .select("event_id", "z_milli").as[(Long, Long)].collect().toMap
+    val viaBatch = graft.ops.Profile
+      .zscoreOutliers(events, "event_type", "value", 3.0)
+      .select("event_id", "z_milli").as[(Long, Long)].collect().toMap
+    assert(viaProbe == viaBatch && viaProbe.nonEmpty)
+    // a wholesale-anomalous batch is INVISIBLE to its own moments but
+    // fully flagged against the frozen reference — the monitor's
+    // reason to exist
+    val shifted = events.limit(50).withColumn("value", col("value") + 10000.0)
+    assert(graft.ops.Profile
+      .zscoreOutliers(shifted, "event_type", "value", 3.0).count() == 0)
+    assert(graft.ops.Profile
+      .zscoreProbe(shifted, refStats, "event_type", "value", 3.0)
+      .count() == 50)
+    // streaming end-to-end: two file drops → two batch partitions; a
+    // replayed batch overwrites to identical rows
+    val feedDir = tmp(); val refDir = tmp(); val monDir = tmp(); val ckpt = tmp()
+    events.coalesce(1).write.mode("overwrite").parquet(refDir)
+    events.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q = AnomalyStream.anomalyStream(spark, feedDir, refDir, monDir, ckpt,
+      "event_type", "value")
+    try {
+      q.processAllAvailable()
+      events.filter($"event_id" % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = spark.read.parquet(monDir)
+    assert(mon.select("batch").distinct().count() == 2)
+    assert(mon.count() == viaProbe.size,
+      "the two triggers together must flag exactly the batch scan's tail")
+    val before = mon.collect().toSet
+    AnomalyStream.anomalyBatch(
+      spark.read.parquet(feedDir).filter($"event_id" % 2 === 0),
+      refStats, 0L, monDir, "event_type", "value", 3.0)
     assert(spark.read.parquet(monDir).collect().toSet == before,
       "replaying batch 0 must rewrite identical monitor rows")
   }
