@@ -151,7 +151,14 @@ object BenchStress {
       val (nodes, edges) = graft.ops.Graph.hashGraph(
         d.select(col("doc_id").as("id")))
       graft.ops.Graph.pageRank(nodes, edges, iters = 3)
-    }))
+    }),
+    // the full composed assembly chain (classifier train+score →
+    // above-mean filter → span dedup → shard addressing): stresses
+    // the STAGE COUPLING, not just each stage — a superlinear seam
+    // between stages (recomputed subtree, fan-out join) shows up here
+    // and nowhere else
+    "pipeline_train_corpus" -> ((d: DataFrame) =>
+      graft.queries.PipelineQueries.trainCorpusPipeline(d)))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
   // COUNT with the corpus (fixed expected cluster size — how SemDeDup

@@ -593,9 +593,15 @@ object PipelineQueries {
     * not just each stage (pipeline_clean_corpus's sibling for the
     * classifier/spans/shards third of the C-block).
     */
-  def pipelineTrainQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def pipelineTrainQ(spark: SparkSession, sfDir: String): DataFrame =
+    trainCorpusPipeline(Tables.documents(spark, sfDir))
+
+  /** The train-corpus assembly chain as a function of its input —
+    * shared by the gated query and BenchStress (which feeds it the
+    * 10× decorrelated corpus).
+    */
+  def trainCorpusPipeline(d: DataFrame): DataFrame = {
     import graft.ops.{Classifier, Sampling}
-    val d = Tables.documents(spark, sfDir)
     val target = expr("doc_id % 3 = 0") &&
       array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
     val w = Classifier.train(d, "text", "doc_id", target, m = 256, iters = 1)
