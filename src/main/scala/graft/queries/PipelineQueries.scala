@@ -505,6 +505,36 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).withColumn("url", url), "url", "doc_id")
   }
 
+  /** END-TO-END corpus health report as ONE gated query — the
+    * monitoring go/no-go sibling of the two assembly pipelines
+    * (C14/C18): column-profile checks over documents, per-source KL
+    * drift, and the per-type anomaly tally over events, normalized to
+    * (check, key, value_long) rows. One query an operator gates a
+    * training run on; the DuckDB oracle replays all three branches.
+    */
+  def pipelineMonitorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val prof = graft.ops.Profile.tableProfile(
+      Tables.documents(spark, sfDir), Seq("doc_id", "text", "lang", "source"))
+      .select(explode(array(
+        struct(lit("null_count").as("check"), col("col_name").as("key"),
+          col("n_nulls").as("value_long")),
+        struct(lit("distinct_count").as("check"), col("col_name").as("key"),
+          col("n_distinct").as("value_long")))).as("r"))
+      .select("r.*")
+    val drift = graft.ops.Profile
+      .tokenDrift(Tables.documents(spark, sfDir), "text", "source")
+      .select(lit("kl_drift_micro").as("check"), col("stratum").as("key"),
+        col("kl_micro").as("value_long"))
+    val anom = graft.ops.Profile.zscoreOutliers(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      "event_type", "value", zThreshold = 3.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("value_long"))
+      .select(lit("anomaly_count").as("check"), col("event_type").as("key"),
+        col("value_long"))
+    prof.unionByName(drift).unionByName(anom)
+  }
+
   /** Integer-exact PageRank (graft.ops.Graph.pageRank) over a
     * deterministic hash-synthesized link graph on the document id
     * space: outdeg(v) = 1 + h("prdeg:"+v) mod 3, the j-th link target
@@ -674,6 +704,7 @@ object PipelineQueries {
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
     "dedup_url" -> dedupUrlQ,
+    "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
@@ -1229,6 +1260,44 @@ object PipelineQueries {
          |         AS canonical_url,
          |       min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM u GROUP BY 1""".stripMargin,
+    "pipeline_monitor_corpus" ->
+      s"""WITH s AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+         |      UNION ALL SELECT 'text', text FROM documents
+         |      UNION ALL SELECT 'lang', lang FROM documents
+         |      UNION ALL SELECT 'source', source FROM documents),
+         |g AS (SELECT col_name, md5(val) AS h, count(*) AS cnt
+         |      FROM s GROUP BY 1, 2),
+         |p AS (SELECT col_name,
+         |        CAST(coalesce(sum(CASE WHEN h IS NULL THEN cnt END), 0) AS BIGINT)
+         |          AS n_nulls,
+         |        count(h) AS n_distinct
+         |      FROM g GROUP BY 1),
+         |t AS (SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |      FROM documents),
+         |cst AS (SELECT source, tok, count(*) AS cst FROM t GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(sum(cst) AS BIGINT) AS ct FROM cst GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM cst GROUP BY 1),
+         |n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM ns),
+         |dq AS (SELECT cst.source, cst.cst,
+         |         CAST(round(ln(CAST(cst.cst AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |           / (CAST(ct.ct AS DOUBLE) * CAST(ns.ns AS DOUBLE))) * 1e6) AS BIGINT) AS q
+         |       FROM cst JOIN ct USING (tok) JOIN ns USING (source), n),
+         |eq AS (SELECT event_id, event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS q FROM events),
+         |es AS (SELECT event_type, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2
+         |       FROM eq GROUP BY 1),
+         |flagged AS (SELECT eq.event_type
+         |            FROM eq JOIN es USING (event_type)
+         |            WHERE es.n * es.s2 > es.s1 * es.s1
+         |              AND abs((CAST(eq.q AS DOUBLE) * es.n - es.s1)
+         |                  / sqrt(CAST(es.n AS DOUBLE) * es.s2
+         |                         - CAST(es.s1 AS DOUBLE) * es.s1)) > 3.0)
+         |SELECT 'null_count' AS "check", col_name AS key, n_nulls AS value_long FROM p
+         |UNION ALL SELECT 'distinct_count', col_name, n_distinct FROM p
+         |UNION ALL SELECT 'kl_drift_micro', source,
+         |         CAST(sum(cst * q) AS BIGINT) FROM dq GROUP BY 2
+         |UNION ALL SELECT 'anomaly_count', event_type, count(*)
+         |         FROM flagged GROUP BY 2""".stripMargin,
     "graph_pagerank" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,
