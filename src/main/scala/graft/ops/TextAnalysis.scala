@@ -186,6 +186,40 @@ object TextAnalysis {
   def bagHash(normCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(normCol, " "))), " "))
 
+  /** Gopher-rule composite document filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1) at the PUBLISHED
+    * thresholds: 50 ≤ word count ≤ 100 000, mean word length in
+    * [3, 10], symbol ratio ≤ 0.1, digit ratio ≤ 0.15, and ≥ 2 common
+    * stopwords. Emits a per-rule BITMASK per doc (0 = keep) rather
+    * than the kept subset, so the downstream report can see WHY a doc
+    * failed and re-tune one rule without re-running the scan.
+    *
+    * Determinism: the counts are exact integers; the two ratio rules
+    * compare 1e-6-rounded doubles (quality_band's engine-stability
+    * convention). Pure per-row expressions — ZERO shuffles, runs at
+    * scan speed, output partitioned like the input.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), t.as("text"), normalize(t).as("norm"))
+      .select(col(idCol),
+        size(split(col("norm"), " ")).as("n_tokens"),
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") /
+          size(split(col("norm"), " "))).as("mtl"),
+        round(length(regexp_replace(col("text"), "[a-z0-9A-Z ]", ""))
+          .cast("double") / length(col("text")), 6).as("punct_r"),
+        round(length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / length(col("text")), 6).as("digit_r"),
+        stopwordCount("norm", stopwordsEn).as("n_stop"))
+      .select(col(idCol),
+        (when(col("n_tokens") < 50 || col("n_tokens") > 100000, 1).otherwise(0)
+          + when(round(col("mtl"), 6) < 3.0 || round(col("mtl"), 6) > 10.0, 2).otherwise(0)
+          + when(col("punct_r") > 0.1, 4).otherwise(0)
+          + when(col("digit_r") > 0.15, 8).otherwise(0)
+          + when(col("n_stop") < 2, 16).otherwise(0)).cast("long")
+          .as("gopher_mask"))
+  }
+
   /** Canonical-URL dedup — the FIRST dedup stage of a crawl pipeline,
     * run before any content comparison: recrawls and link-decoration
     * variants of one page collapse by URL alone, which is free

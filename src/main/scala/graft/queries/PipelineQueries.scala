@@ -475,6 +475,12 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).select("doc_id", "source"),
       "source", "doc_id", k = 7)
 
+  /** Gopher-rule composite filter (graft.ops.TextAnalysis
+    * .gopherFilter) at published thresholds — per-doc rule bitmask.
+    */
+  def textGopherQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherFilter(Tables.documents(spark, sfDir), "text", "doc_id")
+
   /** Quality-weighted per-source sample (graft.ops.Sampling
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
@@ -704,6 +710,7 @@ object PipelineQueries {
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
     "dedup_url" -> dedupUrlQ,
+    "text_gopher_filter" -> textGopherQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
@@ -1260,6 +1267,25 @@ object PipelineQueries {
          |         AS canonical_url,
          |       min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM u GROUP BY 1""".stripMargin,
+    "text_gopher_filter" ->
+      s"""WITH m AS (SELECT doc_id,
+         |        len(string_split(nt, ' ')) AS n_tokens,
+         |        CAST(len(replace(nt, ' ', '')) AS DOUBLE)
+         |          / len(string_split(nt, ' ')) AS mtl,
+         |        round(CAST(len(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g')) AS DOUBLE)
+         |          / len(text), 6) AS punct_r,
+         |        round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |          / len(text), 6) AS digit_r,
+         |        len(list_filter(string_split(nt, ' '),
+         |          t -> t in ('the','a','and','of','to','in','is','it'))) AS n_stop
+         |      FROM (SELECT doc_id, text, $norm AS nt FROM documents))
+         |SELECT doc_id,
+         |  CAST(CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END
+         |    + CASE WHEN round(mtl, 6) < 3.0 OR round(mtl, 6) > 10.0 THEN 2 ELSE 0 END
+         |    + CASE WHEN punct_r > 0.1 THEN 4 ELSE 0 END
+         |    + CASE WHEN digit_r > 0.15 THEN 8 ELSE 0 END
+         |    + CASE WHEN n_stop < 2 THEN 16 ELSE 0 END AS BIGINT) AS gopher_mask
+         |FROM m""".stripMargin,
     "pipeline_monitor_corpus" ->
       s"""WITH s AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
          |      UNION ALL SELECT 'text', text FROM documents

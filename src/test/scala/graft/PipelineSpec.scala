@@ -746,6 +746,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept != other, "salt is the reshuffle knob")
   }
 
+  test("gopher filter: each rule sets its own mask bit") {
+    val fifty = (1 to 50).map(_ => "the").mkString(" ") // 50 stopword tokens
+    val t = Seq(
+      // 48 8-char words + 2 stopwords: 50 tokens, mean len 7.8 — passes
+      (1L, (1 to 48).map(_ => "someword").mkString(" ") + " the and"),
+      (2L, "the it short doc"),                    // bit0: < 50 tokens
+      (3L, (1 to 50).map(_ => "it").mkString(" ") + " " + "a" * 600), // bit1: mean len > 10
+      (4L, fifty + " " + "!!!???###" * 40),        // bit2: symbol ratio
+      (5L, fifty + " " + "12345 67890" * 20),      // bit3: digit ratio
+      (6L, (1 to 60).map(_ => "elephant").mkString(" ")) // bit4: < 2 stopwords
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.gopherFilter(t, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L)
+    assert((got(2L) & 1L) == 1L)
+    assert((got(3L) & 2L) == 2L)
+    assert((got(4L) & 4L) == 4L)
+    assert((got(5L) & 8L) == 8L)
+    assert(got(6L) == 16L)
+    // the published thresholds bite on the real corpus: both verdicts
+    // occur, and the short-doc rule is the dominant failure
+    val corpus = graft.ops.TextAnalysis.gopherFilter(docs, "text", "doc_id").cache()
+    assert(corpus.filter($"gopher_mask" === 0).count() > 0)
+    assert(corpus.filter(($"gopher_mask" bitwiseAND 1L) === 1L).count() > 0)
+  }
+
   test("weighted group sample: matches the driver-side A-ES recompute exactly") {
     val out = graft.ops.Sampling.weightedGroupSample(
       docs.select("doc_id", "source", "n_chars"),

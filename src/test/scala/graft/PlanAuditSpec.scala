@@ -359,6 +359,12 @@ class PlanAuditSpec extends SparkSpec {
       "group capping must never global-sort")
   }
 
+  test("text_gopher_filter: pure per-row expressions, zero shuffles") {
+    val plan = formatted(q("text_gopher_filter"))
+    assert(!plan.contains("Exchange"),
+      "the composite filter must run at scan speed with no shuffle")
+  }
+
   test("sample_weighted: per-group window only, no global sort") {
     val plan = formatted(q("sample_weighted"))
     assert(plan.contains("Window"))
