@@ -346,4 +346,32 @@ class RandomizedSpec extends SparkSpec {
     assert(got.length == want.length, s"size=$size overlap=$overlap")
     assert(got.sameElements(want), s"size=$size overlap=$overlap diverged")
   }
+
+  test("pagerank equals the exact integer driver reference on random multigraphs") {
+    val rnd = new Random(777)
+    (1 to rounds).foreach { round =>
+      val nNodes = rnd.nextInt(150) + 20
+      val nodes = (0L until nNodes.toLong)
+      // random out-degrees incl. sinks (outdeg 0 → node emits nothing)
+      // and duplicate edges (multigraph semantics: every copy carries
+      // its own share)
+      val adj = nodes.map { v =>
+        v -> Seq.fill(rnd.nextInt(4))(rnd.nextInt(nNodes).toLong)
+      }.toMap
+      val edges = adj.toSeq.flatMap { case (s, ds) =>
+        ds.map(d => (s, d, ds.size.toLong))
+      }
+      val iters = rnd.nextInt(4) + 1
+      val got = graft.ops.Graph.pageRank(
+        nodes.toDF("id"), edges.toDF("src", "dst", "outdeg"), iters)
+        .as[(Long, Long)].collect().toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 0 until iters) {
+        val inbound = edges.map { case (s, d, od) => d -> r(s) / od }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        r = nodes.map(v => v -> (150000L + 85L * inbound.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got == r, s"round=$round nodes=$nNodes iters=$iters diverged")
+    }
+  }
 }
