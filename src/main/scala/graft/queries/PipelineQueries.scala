@@ -101,6 +101,24 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
 
+  /** Recall@5 of the probed-bucket IVF search vs the brute-force
+    * ground truth — the eval harness an ANN deployment tunes
+    * (nProbe, centroid count) against. Exact hit counts per query,
+    * queries with zero hits included (left join from the truth set);
+    * the DuckDB oracle replays BOTH search paths and the overlap.
+    * Scale: the two top-k outputs are |queries|·k rows — the join and
+    * count are negligible next to the searches themselves.
+    */
+  def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annTopkQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+  }
+
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       dim = EMB_DIM)
@@ -682,6 +700,7 @@ object PipelineQueries {
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
     "ann_ivf" -> annIvfQ,
+    "ann_recall" -> annRecallQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_pairs" -> annLshPairsQ,
     "ann_pq" -> annPqQ,
@@ -877,6 +896,40 @@ object PipelineQueries {
          |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
          |FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
          |QUALIFY rank <= 5""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $qPrep,
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) DESC, x.vec_id ASC) AS rank
+         |  FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |  QUALIFY rank <= 5),
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |  WHERE rank <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |         AS BIGINT) AS n_hits
+         |FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     "ann_ivf" ->
       s"""WITH $qPrep,
          |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
