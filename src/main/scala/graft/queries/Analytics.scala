@@ -257,6 +257,21 @@ object Analytics {
       "event_type", "value", zThreshold = 3.0)
       .select("event_id", "event_type", "value", "z_milli")
 
+  /** Semi-structured extraction: pull the numeric `k` field out of
+    * the events JSON props column and aggregate per event type —
+    * `get_json_object` is a codegen'd path expression, so extraction
+    * fuses into the scan (no UDF, no parse-to-struct materialization)
+    * and the aggregate is one partial-combined shuffle of |types|
+    * rows.
+    */
+  def qPropsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
   /** Join-key skew profile of orders.o_custkey: top-20 heaviest keys
     * with corpus share — the diagnostic run before picking broadcast /
     * salt / AQE-skew strategy for the customer⋈orders join. One
@@ -477,6 +492,7 @@ object Analytics {
     "q_rolling_window" -> qRollingWindow,
     "q_range_join" -> qRangeJoin,
     "q_anomaly_zscore" -> qAnomalyZscore,
+    "q_props_extract" -> qPropsExtract,
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
@@ -650,6 +666,14 @@ object Analytics {
         |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "q_props_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH q AS (SELECT event_id, event_type, value,
         |             CAST(round(value * 100) AS BIGINT) AS q FROM events),

@@ -764,6 +764,57 @@ class StreamingSpec extends SparkSpec {
       "replaying batch 0 must rewrite identical monitor rows")
   }
 
+  test("quota admission: cross-trigger caps, deterministic order, replay-idempotent") {
+    import graft.streaming.QuotaStream
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").cache()
+    val feedDir = tmp(); val outDir = tmp(); val stateDir = tmp(); val ckpt = tmp()
+    // source is doc_id-mod-20-correlated, so split on mod 40 to land
+    // ~13 docs/source in trigger 0 and ~12 in trigger 1 (a plain
+    // parity split would put entire sources in one trigger). Quota 20:
+    // trigger 0 admits all 13, trigger 1 only the remaining 7.
+    docs.filter($"doc_id" % 40 < 20).coalesce(1).write.mode("append").parquet(feedDir)
+    val q = QuotaStream.quotaStream(spark, feedDir, outDir, stateDir, ckpt,
+      "source", "doc_id", quota = 20)
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 40 >= 20).coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.option("basePath", outDir).parquet(outDir).cache()
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.values.forall(_ == 20L),
+      s"every 25-doc source must admit exactly the 20-quota: $bySource")
+    val b0 = out.filter($"batch" === 0).count()
+    val b1 = out.filter($"batch" === 1).count()
+    assert(b0 > b1, "trigger 0 admits freely; trigger 1 only the remainder")
+    // state versions: cumulative counts after batch 1 all equal 20
+    val st = spark.read.parquet(s"$stateDir/batch=1")
+      .as[(String, Long)].collect().toMap
+    assert(st.values.forall(_ == 20L))
+    // within-trigger admission is the deterministic hash order, not
+    // scan order — driver recompute of the trigger-0 selection
+    val batch0 = docs.filter($"doc_id" % 40 < 20)
+    val got0 = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    val rows0 = batch0.as[(Long, String)].collect()
+    val want0 = rows0.map { case (id, src) =>
+      (src, graft.util.Hashing.portableHash64Const(s"graft:quota:$id"), id)
+    }.groupBy(_._1).iterator.flatMap { case (_, g) =>
+      g.sortBy(r => (r._2, r._3)).take(20).map(_._3)
+    }.toSet
+    assert(got0 == want0, "trigger-0 admission must follow the hash order")
+    // at-least-once replay: re-running batch 0 against the post-batch-1
+    // state must see only versions < 0 (none) and rewrite identical bytes
+    val before = spark.read.parquet(s"$outDir/batch=0").collect().toSet
+    QuotaStream.quotaBatch(spark, batch0.toDF(), 0L, outDir, stateDir,
+      "source", "doc_id", 20)
+    assert(spark.read.parquet(s"$outDir/batch=0").collect().toSet == before,
+      "replaying batch 0 must rewrite identical admitted rows")
+    assert(spark.read.parquet(s"$stateDir/batch=0")
+      .as[(String, Long)].collect().toMap.values.forall(_ <= 20L))
+  }
+
   test("anomaly monitor: frozen-reference scoring, batch-parity, replay-idempotent") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "event_type", "value").cache()
