@@ -1,0 +1,150 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** Config-driven corpus-pipeline runner — the curation-side analogue
+  * of the `Replicate` CLI (which drives CDC from sslr.json): a JSON
+  * file names an input table, an ordered stage list, and an output
+  * path, and the engine assembles ONE composed DataFrame plan and
+  * writes the result. Stages compose lazily, so Catalyst optimizes
+  * across stage boundaries (a later stage's column pruning reaches
+  * the scan) and nothing materializes between stages unless a stage
+  * is explicitly iterative.
+  *
+  * Config shape:
+  * {{{
+  * { "input":  "/data/documents.parquet",
+  *   "output": "/data/clean",
+  *   "textCol": "text", "idCol": "doc_id",
+  *   "stages": [
+  *     {"op": "gopher_filter"},
+  *     {"op": "scrub"},
+  *     {"op": "dedup_exact"},
+  *     {"op": "df_prune", "maxDfShare": 0.5},
+  *     {"op": "quality_band", "stratum": "lang"},
+  *     {"op": "group_cap", "group": "source", "k": 100},
+  *     {"op": "sample", "rate": 0.5, "salt": "epoch0"},
+  *     {"op": "shard", "numShards": 8} ] }
+  * }}}
+  *
+  * Filter stages keep the full row schema; rewrite stages (`scrub`,
+  * `df_prune`) replace the text column in place; `shard` must be
+  * last (it fixes the physical layout) and the writer partitions by
+  * its shard column so downstream training readers get one dir per
+  * shard.
+  */
+object Pipeline {
+
+  /** Apply one named stage. Unknown ops fail loudly — a typo'd config
+    * must never silently skip a cleaning stage.
+    */
+  private[graft] def applyStage(df: DataFrame, op: String, node: JsonNode,
+                                textCol: String, idCol: String): DataFrame = {
+    def intOf(field: String, dflt: Int): Int =
+      if (node.has(field)) node.get(field).asInt() else dflt
+    def dblOf(field: String, dflt: Double): Double =
+      if (node.has(field)) node.get(field).asDouble() else dflt
+    def strOf(field: String, dflt: String): String =
+      if (node.has(field)) node.get(field).asText() else dflt
+    def reqStr(field: String): String =
+      if (node.has(field)) node.get(field).asText()
+      else throw new IllegalArgumentException(s"stage '$op' requires '$field'")
+    op match {
+      case "gopher_filter" =>
+        df.join(TextAnalysis.gopherFilter(df, textCol, idCol)
+            .filter(col("gopher_mask") === 0L).select(idCol),
+          Seq(idCol), "left_semi")
+      case "dedup_exact" =>
+        df.join(Dedup.exact(df, textCol, idCol)
+            .select(col("keeper_id").as(idCol)),
+          Seq(idCol), "left_semi")
+      case "scrub" =>
+        df.drop(textCol).join(
+          TextAnalysis.scrub(df, textCol, idCol)
+            .select(col(idCol), col("scrubbed").as(textCol)),
+          Seq(idCol))
+      case "df_prune" =>
+        df.drop(textCol).join(
+          TextAnalysis.dfPrune(df, textCol, idCol, dblOf("maxDfShare", 0.5))
+            .select(col(idCol), col("pruned").as(textCol)),
+          Seq(idCol))
+      case "quality_band" =>
+        df.join(TextAnalysis.qualityBand(df, textCol, idCol,
+            reqStr("stratum")).select(idCol),
+          Seq(idCol), "left_semi")
+      case "group_cap" =>
+        Sampling.groupCap(df, reqStr("group"), idCol, intOf("k", 100),
+          strOf("salt", "graft")).drop("pos")
+      case "sample" =>
+        Sampling.uniform(df, idCol, dblOf("rate", 1.0), strOf("salt", "graft"))
+      case "shard" =>
+        Sampling.shards(df, idCol, intOf("numShards", 8),
+          strOf("salt", "graft"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pipeline stage '$other' — a typo'd config must not " +
+            "silently skip a cleaning stage")
+    }
+  }
+
+  /** Assemble and run the configured pipeline; returns (rowsIn,
+    * rowsOut). The composed plan is written once at the end —
+    * partitioned by `shard` when a shard stage ran.
+    */
+  def run(spark: SparkSession, configJson: String): (Long, Long) = {
+    val root = new ObjectMapper().readTree(configJson)
+    def req(f: String): String =
+      if (root.has(f)) root.get(f).asText()
+      else throw new IllegalArgumentException(s"config requires '$f'")
+    val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
+    val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
+    val input = spark.read.parquet(req("input"))
+    val stages = root.get("stages")
+    require(stages != null && stages.isArray && stages.size() > 0,
+      "config requires a non-empty 'stages' array")
+    val it = (0 until stages.size()).map(stages.get)
+    it.zipWithIndex.foreach { case (n, i) =>
+      require(n.has("op"), s"stage $i is missing 'op'") }
+    // shard fixes the physical layout — nothing may run after it
+    val shardAt = it.indexWhere(_.get("op").asText() == "shard")
+    require(shardAt < 0 || shardAt == it.size - 1,
+      "'shard' must be the last stage (it fixes the output layout)")
+    val result = it.foldLeft(input) { (df, n) =>
+      applyStage(df, n.get("op").asText(), n, textCol, idCol)
+    }
+    val out = req("output")
+    val writer = result.write.mode("overwrite")
+    (if (result.columns.contains("shard")) writer.partitionBy("shard")
+     else writer).parquet(out)
+    (input.count(), spark.read.parquet(out).count())
+  }
+
+  /** CLI: `runMain graft.Pipeline -cfg /path/pipeline.json` (also
+    * accepts `-c`, matching the Replicate CLI's flags).
+    */
+  def main(args: Array[String]): Unit = {
+    val cfgPath = args.sliding(2).collectFirst {
+      case Array("-cfg", p) => p
+      case Array("-c", p) => p
+    }.getOrElse {
+      System.err.println("usage: graft.Pipeline -cfg <pipeline.json>")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfgPath)), java.nio.charset.StandardCharsets.UTF_8)
+    val (in, out) = run(spark, json)
+    println(s"""{"rows_in":$in,"rows_out":$out}""")
+    spark.stop()
+  }
+}

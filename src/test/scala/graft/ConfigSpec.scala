@@ -165,4 +165,46 @@ class ConfigSpec extends SparkSpec {
     val files = new java.io.File(s"$tgtDir/events.parquet").list()
     assert(files.exists(_.startsWith("graft_bucket=")), files.mkString(","))
   }
+
+  test("pipeline runner: config stages equal the hand-composed chain; bad configs fail loudly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    val outDir = tmpDir() + "/clean"
+    docs.write.mode("overwrite").parquet(inDir)
+    val (rin, rout) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [
+         |  {"op": "gopher_filter"},
+         |  {"op": "dedup_exact"},
+         |  {"op": "group_cap", "group": "source", "k": 5},
+         |  {"op": "shard", "numShards": 4}]}""".stripMargin)
+    assert(rin == docs.count())
+    // hand-compose the identical chain
+    val g = docs.join(graft.ops.TextAnalysis.gopherFilter(docs, "text", "doc_id")
+        .filter($"gopher_mask" === 0L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val d = g.join(graft.ops.Dedup.exact(g, "text", "doc_id")
+        .select($"keeper_id".as("doc_id")), Seq("doc_id"), "left_semi")
+    val c = graft.ops.Sampling.groupCap(d, "source", "doc_id", 5)
+    val want = c.select("doc_id").as[Long].collect().toSet
+    val out = spark.read.parquet(outDir)
+    assert(out.select("doc_id").as[Long].collect().toSet == want)
+    assert(rout == want.size.toLong)
+    // shard partitioning reached the writer
+    assert(new java.io.File(outDir).list().exists(_.startsWith("shard=")))
+    assert(out.columns.contains("pos"), "shard addressing columns survive")
+    // failure modes: unknown op, shard not last, missing required field
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",
+        |"stages": [{"op": "dedup_exactt"}]}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",
+        |"stages": [{"op": "shard"}, {"op": "dedup_exact"}]}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",
+        |"stages": [{"op": "quality_band"}]}""".stripMargin)
+    }
+  }
 }

@@ -344,6 +344,15 @@ class PlanAuditSpec extends SparkSpec {
       "the event stream must never shuffle for the stats join")
   }
 
+  test("q_props_extract: codegen'd path extraction fused into the scan, no UDF") {
+    val plan = formatted(q("q_props_extract"))
+    assert(plan.contains("get_json_object") || plan.contains("GetJsonObject"),
+      "extraction must be the native path expression")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      "no UDF in the extraction path")
+    assert(plan.contains("partial_"), "per-type aggregate must combine map-side")
+  }
+
   test("profile_table: hash-grouped distinct counting, partial aggregation throughout") {
     val plan = formatted(q("profile_table"))
     assert(plan.contains("md5"),
