@@ -80,6 +80,50 @@ object Pipeline {
           strOf("salt", "graft")).drop("pos")
       case "sample" =>
         Sampling.uniform(df, idCol, dblOf("rate", 1.0), strOf("salt", "graft"))
+      case "dedup_lines" =>
+        df.drop(textCol).join(
+          Dedup.dedupLines(df, textCol, idCol,
+              maxCount = intOf("maxCount", 1).toLong, sep = strOf("sep", "\n"))
+            .select(col(idCol), col("clean_text").as(textCol)),
+          Seq(idCol))
+      case "dedup_spans" =>
+        df.drop(textCol).join(
+          Dedup.dedupSpans(
+              df.withColumn(textCol, TextAnalysis.normalize(col(textCol))),
+              textCol, idCol, k = intOf("k", 8),
+              maxCount = intOf("maxCount", 1).toLong)
+            .select(col(idCol), col("clean_text").as(textCol)),
+          Seq(idCol))
+      case "lang_filter" =>
+        val keepNode = node.get("keep")
+        require(keepNode != null && keepNode.isArray && keepNode.size() > 0,
+          "stage 'lang_filter' requires a non-empty 'keep' array")
+        val keep = (0 until keepNode.size()).map(keepNode.get(_).asText())
+        df.join(TextAnalysis.langId(df, textCol, idCol)
+            .filter(col("lang_pred").isin(keep: _*)).select(idCol),
+          Seq(idCol), "left_semi")
+      case "decontaminate" =>
+        // probe rows carry a sentinel id: only their distinct n-grams
+        // are used (broadcast), never their ids or row identity
+        val probe = df.sparkSession.read.parquet(reqStr("probePath"))
+          .select(lit(-1L).as(idCol),
+            col(strOf("probeTextCol", textCol)).as(textCol))
+        val combined = df.select(col(idCol), col(textCol)).withColumn("__p", lit(false))
+          .unionByName(probe.withColumn("__p", lit(true)))
+        val flagged = TextAnalysis.contamination(combined, textCol, idCol,
+          col("__p"), n = intOf("n", 3), minShared = intOf("minShared", 5))
+          .filter(col("contaminated") === 1)
+        df.join(flagged.select(idCol), Seq(idCol), "left_anti")
+      case "token_budget" =>
+        Sampling.tokenBudget(df, reqStr("stratum"), idCol,
+          size(split(TextAnalysis.normalize(col(textCol)), " ")),
+          budgets = Map.empty,
+          defaultBudget = node.get("budget") match {
+            case null => throw new IllegalArgumentException(
+              "stage 'token_budget' requires 'budget'")
+            case b => b.asLong()
+          },
+          salt = strOf("salt", "graft")).drop("n_tokens")
       case "shard" =>
         Sampling.shards(df, idCol, intOf("numShards", 8),
           strOf("salt", "graft"))

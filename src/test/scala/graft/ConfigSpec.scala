@@ -193,6 +193,29 @@ class ConfigSpec extends SparkSpec {
     // shard partitioning reached the writer
     assert(new java.io.File(outDir).list().exists(_.startsWith("shard=")))
     assert(out.columns.contains("pos"), "shard addressing columns survive")
+    // rewrite + filter + decontaminate stages compose too: span dedup
+    // rewrites text in place, lang_filter keeps declared languages,
+    // decontaminate drops docs overlapping a probe file
+    val probeDir = tmpDir() + "/probe.parquet"
+    docs.filter($"doc_id" % 100 === 0).select("text")
+      .write.mode("overwrite").parquet(probeDir)
+    val out2Dir = tmpDir() + "/clean2"
+    val (_, rout2) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$out2Dir",
+         |"stages": [
+         |  {"op": "dedup_spans", "k": 8},
+         |  {"op": "lang_filter", "keep": ["en", "de"]},
+         |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5}]}"""
+        .stripMargin)
+    val out2 = spark.read.parquet(out2Dir)
+    assert(rout2 > 0 && rout2 < docs.count())
+    assert(out2.columns.contains("text") && out2.columns.contains("source"))
+    // every probe doc's exact self-match is gone (self-overlap ≥ 5 trigrams)
+    val probeIds = docs.filter($"doc_id" % 100 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = out2.select("doc_id").as[Long].collect().toSet
+    assert(kept2.intersect(probeIds).isEmpty,
+      "docs identical to probe rows must be decontaminated away")
     // failure modes: unknown op, shard not last, missing required field
     intercept[IllegalArgumentException] {
       Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",
