@@ -78,6 +78,12 @@ object Pipeline {
       case "group_cap" =>
         Sampling.groupCap(df, reqStr("group"), idCol, intOf("k", 100),
           strOf("salt", "graft")).drop("pos")
+      case "weighted_cap" =>
+        // per-group cap with inclusion odds ∝ doc length (A-ES):
+        // keep each domain's WELL-SIZED docs, not a uniform k
+        Sampling.weightedGroupSample(df, reqStr("group"), idCol,
+          length(col(textCol)).cast("double"), intOf("k", 100),
+          strOf("salt", "graft")).drop("pos", "ekey_micro")
       case "sample" =>
         Sampling.uniform(df, idCol, dblOf("rate", 1.0), strOf("salt", "graft"))
       case "dedup_lines" =>

@@ -103,6 +103,47 @@ object Profile {
       .withColumn("z_milli", round(col("z") * 1000).cast("long"))
       .drop("q", "n", "s1", "s2", "z")
 
+  /** Median/MAD robust outlier scan — [[zscoreOutliers]]'s
+    * heavy-tail-safe sibling: mean and σ are themselves dragged by the
+    * outliers they're meant to find, while the median and the median
+    * absolute deviation have a 50% breakdown point, so a batch that is
+    * 20% garbage still gets scored against the clean majority.
+    *
+    * Determinism: values quantize to integer cents, medians are exact
+    * interpolated percentiles over those integers with the SAME linear
+    * definition on both engines ((n−1)·p position), and both median
+    * and MAD round to 1e-6 before entering the score — quality_band's
+    * engine-stability convention; the score itself is then one fixed
+    * chain of correctly-rounded IEEE ops. Zero-MAD groups (> 50%
+    * identical values) are excluded exactly, like the zero-variance
+    * guard.
+    *
+    * Scale shape: TWO grouped exact percentiles (|groups| rows each,
+    * sort-based within group — the same cost class as quality_band's
+    * band edges; at extreme group sizes swap in approx_percentile and
+    * re-pin the oracle bracket) with the stat table broadcast back
+    * onto the scan; the event stream never shuffles.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val q = round(col(valueCol) * 100).cast("long")
+    val base = df.withColumn("q", q)
+    val med = base.groupBy(groupCol)
+      .agg(round(expr("percentile(q, 0.5)"), 6).as("med"))
+    val mad = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col("q") - col("med")))
+      .groupBy(groupCol)
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    base
+      .join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0.0)
+      .withColumn("score", abs(col("q") - col("med")) / col("mad"))
+      .filter(col("score") > k)
+      .withColumn("mad_score_milli", round(col("score") * 1000).cast("long"))
+      .drop("q", "med", "mad", "score")
+  }
+
   /** Column-level data-quality profile — the validate-the-dump-before-
     * ingesting pass (Deequ-lineage): per column, row count, null
     * count, EXACT distinct count, and lexicographic min/max. A crawl

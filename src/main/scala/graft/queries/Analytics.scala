@@ -257,6 +257,16 @@ object Analytics {
       "event_type", "value", zThreshold = 3.0)
       .select("event_id", "event_type", "value", "z_milli")
 
+  /** Robust (median/MAD) outlier scan — the heavy-tail-safe sibling
+    * of q_anomaly_zscore: flags events > 5 MAD from their type's
+    * median.
+    */
+  def qAnomalyMad(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.madOutliers(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      "event_type", "value", k = 5.0)
+      .select("event_id", "event_type", "value", "mad_score_milli")
+
   /** Semi-structured extraction: pull the numeric `k` field out of
     * the events JSON props column and aggregate per event type —
     * `get_json_object` is a codegen'd path expression, so extraction
@@ -492,6 +502,7 @@ object Analytics {
     "q_rolling_window" -> qRollingWindow,
     "q_range_join" -> qRangeJoin,
     "q_anomaly_zscore" -> qAnomalyZscore,
+    "q_anomaly_mad" -> qAnomalyMad,
     "q_props_extract" -> qPropsExtract,
     "q_asof_join" -> qAsofJoin)
 
@@ -666,6 +677,19 @@ object Analytics {
         |                      l_quantity ASC, l_extendedprice ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH q AS (SELECT event_id, event_type, value,
+        |             CAST(round(value * 100) AS BIGINT) AS q FROM events),
+        |med AS (SELECT event_type, round(quantile_cont(q, 0.5), 6) AS med
+        |        FROM q GROUP BY 1),
+        |mad AS (SELECT q.event_type,
+        |          round(quantile_cont(abs(q.q - med.med), 0.5), 6) AS mad
+        |        FROM q JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_id, q.event_type, value,
+        |       CAST(round(1000 * abs(q.q - med.med) / mad.mad) AS BIGINT)
+        |         AS mad_score_milli
+        |FROM q JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE mad.mad > 0.0 AND abs(q.q - med.med) / mad.mad > 5.0""".stripMargin,
     "q_props_extract" ->
       """SELECT event_type,
         |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -75,6 +75,26 @@ class LayoutProfileSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("profile: madOutliers keeps its breakdown point where the z-score collapses") {
+    // 20 clean values at 10.0 + FIVE spikes at 1000.0: the spikes drag
+    // the mean/σ enough that z-score misses them at z>3 on this shape,
+    // while the median (10) and MAD are untouched (50% breakdown)
+    val rows = (1 to 20).map(i => (i.toLong, "g", 10.0 + (i % 3) * 0.1)) ++
+      (21 to 25).map(i => (i.toLong, "g", 1000.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val mad = Profile.madOutliers(df, "event_type", "value", 5.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(mad == (21L to 25L).toSet,
+      "MAD must flag exactly the five spikes and nothing else")
+    val z = Profile.zscoreOutliers(df, "event_type", "value", 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(z.size < 5, "the contaminated σ lets some spikes hide from the z-score")
+    // zero-MAD guard: a > 50%-constant group is excluded, not flagged
+    val const = (1 to 9).map(i => (i.toLong, "h", 5.0)) ++ Seq((10L, "h", 500.0))
+    assert(Profile.madOutliers(const.toDF("event_id", "event_type", "value"),
+      "event_type", "value", 5.0).count() == 0)
+  }
+
   test("profile: zscoreOutliers flags exactly the driver-recomputed tail") {
     // group g: 20 values at 10.0 plus one at 1000.0 → the spike is the
     // only |z| > 3; group h is uniform → no outliers (sd 0 gives z NaN,

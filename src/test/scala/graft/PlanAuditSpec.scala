@@ -344,6 +344,14 @@ class PlanAuditSpec extends SparkSpec {
       "the event stream must never shuffle for the stats join")
   }
 
+  test("q_anomaly_mad: stat tables broadcast back, event stream never shuffle-joins") {
+    val plan = formatted(q("q_anomaly_mad"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "median/MAD tables must broadcast onto the scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the event stream must never shuffle for the stat joins")
+  }
+
   test("q_props_extract: codegen'd path extraction fused into the scan, no UDF") {
     val plan = formatted(q("q_props_extract"))
     assert(plan.contains("get_json_object") || plan.contains("GetJsonObject"),
@@ -372,6 +380,13 @@ class PlanAuditSpec extends SparkSpec {
     val plan = formatted(q("text_gopher_filter"))
     assert(!plan.contains("Exchange"),
       "the composite filter must run at scan speed with no shuffle")
+  }
+
+  test("pipeline_monitor_corpus: three branches union, no cartesian, partial aggs") {
+    val plan = formatted(q("pipeline_monitor_corpus"))
+    assert(plan.contains("Union"), "the health report is a three-branch union")
+    assert(plan.contains("partial_"), "each branch must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("sample_weighted: per-group window only, no global sort") {
