@@ -205,11 +205,14 @@ class ConfigSpec extends SparkSpec {
          |"stages": [
          |  {"op": "dedup_spans", "k": 8},
          |  {"op": "lang_filter", "keep": ["en", "de"]},
-         |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5}]}"""
+         |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5},
+         |  {"op": "weighted_cap", "group": "source", "k": 8}]}"""
         .stripMargin)
     val out2 = spark.read.parquet(out2Dir)
     assert(rout2 > 0 && rout2 < docs.count())
     assert(out2.columns.contains("text") && out2.columns.contains("source"))
+    assert(out2.groupBy("source").count().filter($"count" > 8).count() == 0,
+      "weighted_cap must bound every source at k")
     // every probe doc's exact self-match is gone (self-overlap ≥ 5 trigrams)
     val probeIds = docs.filter($"doc_id" % 100 === 0)
       .select("doc_id").as[Long].collect().toSet
