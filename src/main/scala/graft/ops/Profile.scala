@@ -125,24 +125,37 @@ object Profile {
     * onto the scan; the event stream never shuffles.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Double): DataFrame = {
-    val q = round(col(valueCol) * 100).cast("long")
-    val base = df.withColumn("q", q)
+                  k: Double): DataFrame =
+    madProbe(df, madStats(df, groupCol, valueCol), groupCol, valueCol, k)
+
+  /** Per-group (median, MAD) of the cents-quantized value — the model
+    * half of [[madOutliers]], reusable as a FROZEN reference for the
+    * streaming monitor (same split as [[momentStats]]/[[zscoreProbe]]).
+    */
+  def madStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.withColumn("q", round(col(valueCol) * 100).cast("long"))
     val med = base.groupBy(groupCol)
       .agg(round(expr("percentile(q, 0.5)"), 6).as("med"))
-    val mad = base.join(broadcast(med), Seq(groupCol))
+    base.join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col("q") - col("med")))
       .groupBy(groupCol)
-      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
-    base
-      .join(broadcast(med), Seq(groupCol))
-      .join(broadcast(mad), Seq(groupCol))
+      .agg(first(col("med")).as("med"),
+        round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+  }
+
+  /** Probe half of the MAD scan: flag rows of `df` whose value is
+    * > k MAD from the group median under `stats`. Zero-MAD groups are
+    * excluded exactly.
+    */
+  def madProbe(df: DataFrame, stats: DataFrame, groupCol: String,
+               valueCol: String, k: Double): DataFrame =
+    df.withColumn("q", round(col(valueCol) * 100).cast("long"))
+      .join(broadcast(stats), Seq(groupCol))
       .filter(col("mad") > 0.0)
       .withColumn("score", abs(col("q") - col("med")) / col("mad"))
       .filter(col("score") > k)
       .withColumn("mad_score_milli", round(col("score") * 1000).cast("long"))
       .drop("q", "med", "mad", "score")
-  }
 
   /** Column-level data-quality profile — the validate-the-dump-before-
     * ingesting pass (Deequ-lineage): per column, row count, null

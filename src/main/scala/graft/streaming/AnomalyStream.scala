@@ -39,6 +39,43 @@ object AnomalyStream {
       .write.mode("overwrite").parquet(s"$monitorDir/batch=$batchId")
   }
 
+  /** [[anomalyBatch]]'s robust sibling: median/MAD scoring against a
+    * frozen reference — the right monitor when a bad trigger can be
+    * MOSTLY garbage (the z-score's own σ would absorb it; MAD's 50%
+    * breakdown point doesn't).
+    */
+  def madAnomalyBatch(batch: DataFrame, refStats: DataFrame, batchId: Long,
+                      monitorDir: String, groupCol: String, valueCol: String,
+                      k: Double): Unit = if (!batch.isEmpty) {
+    Profile.madProbe(batch, refStats, groupCol, valueCol, k)
+      .write.mode("overwrite").parquet(s"$monitorDir/batch=$batchId")
+  }
+
+  /** File-fed robust monitor stream ([[anomalyStream]] with median/MAD
+    * scoring).
+    */
+  def madAnomalyStream(spark: SparkSession, sourceDir: String, refDir: String,
+                       monitorDir: String, checkpoint: String,
+                       groupCol: String, valueCol: String,
+                       k: Double = 5.0,
+                       maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val refStats = Profile.madStats(
+      spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        madAnomalyBatch(batch, refStats, batchId, monitorDir, groupCol,
+          valueCol, k)
+      }
+      .start()
+  }
+
   /** File-fed monitor stream: reads new parquet event files under
     * `sourceDir`, scores each trigger against the frozen moments of
     * the reference corpus at `refDir`, appends flagged rows under

@@ -815,6 +815,51 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap.values.forall(_ <= 20L))
   }
 
+  test("robust anomaly monitor: a mostly-garbage trigger is fully flagged via MAD") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").cache()
+    val refStats = graft.ops.Profile.madStats(events, "event_type", "value")
+      .localCheckpoint()
+    // probe ≡ batch scan on the reference's own corpus
+    val viaProbe = graft.ops.Profile
+      .madProbe(events, refStats, "event_type", "value", 5.0)
+      .select("event_id", "mad_score_milli").as[(Long, Long)].collect().toMap
+    val viaBatch = graft.ops.Profile
+      .madOutliers(events, "event_type", "value", 5.0)
+      .select("event_id", "mad_score_milli").as[(Long, Long)].collect().toMap
+    assert(viaProbe == viaBatch && viaProbe.nonEmpty)
+    // a 100%-shifted trigger: the shift is INVISIBLE to its own stats
+    // (median shifts with the data, deviations don't — the self-scan
+    // flags exactly the same internal outliers as unshifted), while
+    // the frozen reference flags every row
+    val slice = events.limit(40).cache()
+    val shifted = slice.withColumn("value", col("value") + 100000.0)
+    val selfShifted = graft.ops.Profile
+      .madOutliers(shifted, "event_type", "value", 5.0)
+      .select("event_id").as[Long].collect().toSet
+    val selfPlain = graft.ops.Profile
+      .madOutliers(slice, "event_type", "value", 5.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(selfShifted == selfPlain,
+      "a wholesale shift must be invisible to the batch's own MAD scan")
+    assert(graft.ops.Profile
+      .madProbe(shifted, refStats, "event_type", "value", 5.0).count() == 40)
+    // streaming e2e + replay
+    val feedDir = tmp(); val refDir = tmp(); val monDir = tmp(); val ckpt = tmp()
+    events.coalesce(1).write.mode("overwrite").parquet(refDir)
+    shifted.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = AnomalyStream.madAnomalyStream(spark, feedDir, refDir, monDir, ckpt,
+      "event_type", "value")
+    try q.processAllAvailable() finally q.stop()
+    val mon = spark.read.parquet(monDir)
+    assert(mon.count() == 40)
+    val before = mon.collect().toSet
+    AnomalyStream.madAnomalyBatch(shifted.toDF(), refStats, 0L, monDir,
+      "event_type", "value", 5.0)
+    assert(spark.read.parquet(monDir).collect().toSet == before,
+      "replaying batch 0 must rewrite identical monitor rows")
+  }
+
   test("anomaly monitor: frozen-reference scoring, batch-parity, replay-idempotent") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "event_type", "value").cache()
