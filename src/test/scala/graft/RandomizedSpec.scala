@@ -347,6 +347,40 @@ class RandomizedSpec extends SparkSpec {
     assert(got.sameElements(want), s"size=$size overlap=$overlap diverged")
   }
 
+  test("table profile equals a driver reference on random tables with nulls") {
+    val rnd = new Random(4242)
+    (1 to rounds).foreach { round =>
+      val n = rnd.nextInt(400) + 50
+      // skewed value space + nulls + strings longer than the 64-char
+      // prefix window, all in one string column and one long column
+      val rows = (0 until n).map { i =>
+        val s =
+          if (rnd.nextInt(10) == 0) null
+          else if (rnd.nextInt(5) == 0) ("x" * 70) + rnd.nextInt(3)
+          else s"v${rnd.nextInt(30)}"
+        val l: java.lang.Long =
+          if (rnd.nextInt(8) == 0) null else rnd.nextInt(100).toLong
+        (s, l)
+      }
+      val df = rows.toDF("s", "l")
+      val got = graft.ops.Profile.tableProfile(df, Seq("s", "l"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.getString(4)), Option(r.getString(5)))).toMap
+      def expect(vals: Seq[String]) = {
+        val nn = vals.filter(_ != null)
+        val prefixes = nn.map(_.take(64))
+        (vals.size.toLong, (vals.size - nn.size).toLong,
+          nn.distinct.size.toLong,
+          if (nn.isEmpty) None else Some(prefixes.min),
+          if (nn.isEmpty) None else Some(prefixes.max))
+      }
+      assert(got("s") == expect(rows.map(_._1)), s"round=$round col=s")
+      assert(got("l") == expect(rows.map(r =>
+        if (r._2 == null) null else r._2.toString)), s"round=$round col=l")
+    }
+  }
+
   test("pagerank equals the exact integer driver reference on random multigraphs") {
     val rnd = new Random(777)
     (1 to rounds).foreach { round =>
