@@ -381,6 +381,48 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("quota admission matches a driver ledger across random batch sequences") {
+    val rnd = new Random(9090)
+    val groups = Seq("a", "b", "c")
+    (1 to 3).foreach { round =>
+      val quota = rnd.nextInt(8) + 3
+      val outDir = java.nio.file.Files.createTempDirectory("qout").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("qstate").toString
+      // driver-simulated ledger with the same hash order
+      val admittedCount = scala.collection.mutable.Map.empty[String, Long]
+      var nextId = 0L
+      (0 until 4).foreach { b =>
+        val rows = (0 until rnd.nextInt(30) + 5).map { _ =>
+          nextId += 1
+          (nextId, groups(rnd.nextInt(groups.size)))
+        }
+        graft.streaming.QuotaStream.quotaBatch(spark,
+          rows.toDF("doc_id", "source"), b.toLong, outDir, stateDir,
+          "source", "doc_id", quota)
+        val want = rows.map { case (id, g) =>
+          (g, graft.util.Hashing.portableHash64Const(s"graft:quota:$id"), id)
+        }.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+          val room = quota - admittedCount.getOrElse(g, 0L)
+          rs.sortBy(r => (r._2, r._3)).take(math.max(0L, room).toInt).map(_._3)
+        }.toSet
+        want.groupBy(id => rows.find(_._1 == id).get._2).foreach {
+          case (g, ids) =>
+            admittedCount(g) = admittedCount.getOrElse(g, 0L) + ids.size
+        }
+        val got = spark.read.parquet(s"$outDir/batch=$b")
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == want, s"round=$round batch=$b quota=$quota diverged")
+      }
+      // lifetime caps hold
+      val all = spark.read.option("basePath", outDir).parquet(outDir)
+      val sizes = all.groupBy("source").count().as[(String, Long)].collect().toMap
+      assert(sizes.values.forall(_ <= quota.toLong),
+        s"round=$round quota=$quota exceeded: $sizes")
+      assert(sizes == admittedCount.toMap.filter(_._2 > 0),
+        s"round=$round ledger mismatch")
+    }
+  }
+
   test("pagerank equals the exact integer driver reference on random multigraphs") {
     val rnd = new Random(777)
     (1 to rounds).foreach { round =>
