@@ -169,6 +169,24 @@ object Pipeline {
     val writer = result.write.mode("overwrite")
     (if (result.columns.contains("shard")) writer.partitionBy("shard")
      else writer).parquet(out)
+    // optional side-channel health reports over the CLEANED corpus —
+    // the go/no-go artifacts (column profile, per-stratum drift) land
+    // next to the data they describe, from the same run
+    val reports = root.get("reports")
+    if (reports != null) {
+      val repDir =
+        if (reports.has("output")) reports.get("output").asText()
+        else s"$out.reports"
+      val cleaned = spark.read.parquet(out)
+      if (reports.path("profile").asBoolean(false))
+        graft.ops.Profile.tableProfile(cleaned,
+            cleaned.columns.filterNot(Set("shard", "pos")).toSeq)
+          .write.mode("overwrite").parquet(s"$repDir/profile")
+      if (reports.has("driftStratum"))
+        graft.ops.Profile.tokenDrift(cleaned, textCol,
+            reports.get("driftStratum").asText())
+          .write.mode("overwrite").parquet(s"$repDir/drift")
+    }
     (input.count(), spark.read.parquet(out).count())
   }
 

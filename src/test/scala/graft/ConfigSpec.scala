@@ -206,13 +206,22 @@ class ConfigSpec extends SparkSpec {
          |  {"op": "dedup_spans", "k": 8},
          |  {"op": "lang_filter", "keep": ["en", "de"]},
          |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5},
-         |  {"op": "weighted_cap", "group": "source", "k": 8}]}"""
+         |  {"op": "weighted_cap", "group": "source", "k": 8}],
+         |"reports": {"profile": true, "driftStratum": "source"}}"""
         .stripMargin)
     val out2 = spark.read.parquet(out2Dir)
     assert(rout2 > 0 && rout2 < docs.count())
     assert(out2.columns.contains("text") && out2.columns.contains("source"))
     assert(out2.groupBy("source").count().filter($"count" > 8).count() == 0,
       "weighted_cap must bound every source at k")
+    // health reports land next to the output, computed on the CLEANED corpus
+    val prof = spark.read.parquet(s"$out2Dir.reports/profile")
+    assert(prof.count() == out2.columns.length,
+      "one profile row per output column")
+    assert(prof.filter($"col_name" === "doc_id").head().getLong(3) == rout2,
+      "profile distinct count describes the cleaned corpus, not the input")
+    val drift = spark.read.parquet(s"$out2Dir.reports/drift")
+    assert(drift.count() > 0 && drift.columns.contains("kl_micro"))
     // every probe doc's exact self-match is gone (self-overlap ≥ 5 trigrams)
     val probeIds = docs.filter($"doc_id" % 100 === 0)
       .select("doc_id").as[Long].collect().toSet
