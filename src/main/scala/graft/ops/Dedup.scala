@@ -586,9 +586,14 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("ws")) - k),
           i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
           .as(Seq("start", "wh")))
-    val dupWins = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+    // wins feeds BOTH the offender count and the probe: cache it so
+    // the |tokens| window-hash computation runs once within the action
+    // (blocks populate during the first stage and are reused by the
+    // second — same pattern as minHashLsh's token cache)
+    val winsC = wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupWins = winsC.groupBy("wh").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxCount).select("wh")
-    val badStarts = wins.join(dupWins, Seq("wh"), "left_semi")
+    val badStarts = winsC.join(dupWins, Seq("wh"), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("start")).as("bad"))
     // covered = ∪ [s, s+k) over offending starts; strike those
     // positions, keep the rest in order. Pure per-row arithmetic.
