@@ -528,6 +528,9 @@ object Dedup {
         .as(Seq("line_no", "line")))
       .filter(length(trim(col("line"))) > 0)
       .withColumn("lh", md5(col("line")))
+      // feeds BOTH the offender count and the anti-join rebuild: cache
+      // so the corpus explodes once within the action (spans' pattern)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = lines.groupBy("lh").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxCount).select("lh")
     lines.join(dupHashes, Seq("lh"), "left_anti")
