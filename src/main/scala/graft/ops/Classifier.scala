@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Hashing
 
@@ -62,11 +62,19 @@ object Classifier {
     */
   def train(df: DataFrame, textCol: String, idCol: String,
             isTarget: Column, m: Int = 1024, iters: Int = 1): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = df.sparkSession
-    import spark.implicits._
     val feat = features(df, textCol, idCol, isTarget, m).localCheckpoint()
-    val nDocs = df.count()
+    trainOnFeatures(df.sparkSession, feat, df.count(), iters)
+  }
+
+  /** Train on an already-materialized [[features]] table — lets a
+    * train-then-score pipeline featurize the corpus ONCE (the feature
+    * explode is the dominant cost; scoring reuses the same rows since
+    * the weight sum ignores `y`).
+    */
+  def trainOnFeatures(spark: SparkSession, feat: DataFrame, nDocs: Long,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import spark.implicits._
     var w = Map.empty[Long, Long].withDefaultValue(0L)
     for (_ <- 0 until iters) {
       val wDf = w.toSeq match {
@@ -98,9 +106,25 @@ object Classifier {
     */
   def score(df: DataFrame, textCol: String, idCol: String,
             weights: DataFrame, m: Int): DataFrame =
-    features(df, textCol, idCol, lit(false), m)
-      .join(broadcast(weights), Seq("f"), "left")
+    scoreFeatures(features(df, textCol, idCol, lit(false), m), weights)
+
+  /** Score an already-materialized [[features]] table (the weight sum
+    * ignores `y`, so train-time features score as-is).
+    */
+  def scoreFeatures(feat: DataFrame, weights: DataFrame): DataFrame =
+    feat.join(broadcast(weights), Seq("f"), "left")
       .groupBy(col("id"))
       .agg(sum(col("x") * coalesce(col("wq"), lit(0L))).as("score"))
       .select(col("id").as("doc_id"), col("score"))
+
+  /** Train AND score with ONE feature pass — the composed-pipeline
+    * entry: featurize, localCheckpoint, run the GD rounds, then score
+    * the same materialized rows.
+    */
+  def trainScored(df: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, m: Int = 1024, iters: Int = 1): DataFrame = {
+    val feat = features(df, textCol, idCol, isTarget, m).localCheckpoint()
+    val w = trainOnFeatures(df.sparkSession, feat, df.count(), iters)
+    scoreFeatures(feat, w)
+  }
 }

@@ -624,8 +624,7 @@ object PipelineQueries {
     val d = Tables.documents(spark, sfDir)
     val target = expr("doc_id % 3 = 0") &&
       array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
-    val w = Classifier.train(d, "text", "doc_id", target, m = 256, iters = 1)
-    Classifier.score(d, "text", "doc_id", w, m = 256)
+    Classifier.trainScored(d, "text", "doc_id", target, m = 256, iters = 1)
   }
 
   /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
@@ -658,14 +657,13 @@ object PipelineQueries {
     import graft.ops.{Classifier, Sampling}
     val target = expr("doc_id % 3 = 0") &&
       array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
-    val w = Classifier.train(d, "text", "doc_id", target, m = 256, iters = 1)
     // keep the above-mean half: score·N > Σscore is integer-exact on
     // both engines (score > 0 keeps ~nothing — one GD round from w=0
-    // leaves most raw logits negative on an unbalanced target)
-    // materialize once: `scored` (and the training pass feeding `w`)
-    // would otherwise recompute for BOTH the totals row and the filter
-    // (same fix as pipeline_clean_corpus's dedup stage)
-    val scored = Classifier.score(d, "text", "doc_id", w, m = 256)
+    // leaves most raw logits negative on an unbalanced target).
+    // trainScored featurizes ONCE; the checkpoint stops the scored
+    // rows recomputing for both the totals row and the filter
+    val scored = Classifier.trainScored(d, "text", "doc_id", target, m = 256,
+        iters = 1)
       .localCheckpoint()
     val tot = scored.agg(sum("score").as("ts"), count(lit(1)).as("nd"))
     val kept = scored.crossJoin(broadcast(tot))
