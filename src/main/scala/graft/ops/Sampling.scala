@@ -168,6 +168,9 @@ object Sampling {
     val fb = uni.unionByName(bi)
       .select(col("__id"), col("__t"),
         pmod(Hashing.portableHash64(col("feat")), lit(m.toLong)).as("f"))
+      // feeds BOTH the bucket counts and the scoring join: cache so
+      // the feature explode runs once within the action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fb.groupBy("f").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("cq"))
