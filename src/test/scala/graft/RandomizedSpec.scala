@@ -381,6 +381,37 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("url dedup equals a driver canonicalizer on random decorated urls") {
+    val rnd = new Random(31337)
+    def driverCanon(u: String): String = {
+      val lower = u.toLowerCase
+      val noQf = lower.replaceFirst("[?#].*$", "")
+      val noWww = noQf.replaceFirst("://www\\.", "://")
+      noWww.replaceFirst("/+$", "")
+    }
+    (1 to rounds).foreach { round =>
+      val rows = (0 until rnd.nextInt(300) + 50).map { i =>
+        val host = s"${if (rnd.nextBoolean()) "WWW." else ""}site${rnd.nextInt(8)}.Example.com"
+        val path = s"/p${rnd.nextInt(12)}" + ("/" * rnd.nextInt(3))
+        val deco = rnd.nextInt(4) match {
+          case 0 => s"?q=${rnd.nextInt(100)}"
+          case 1 => s"#s${rnd.nextInt(100)}"
+          case 2 => s"?a=1#b"
+          case _ => ""
+        }
+        (i.toLong, s"https://$host$path$deco")
+      }
+      val got = graft.ops.TextAnalysis.urlDedup(
+          rows.toDF("doc_id", "url"), "url", "doc_id")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = rows.groupBy(r => driverCanon(r._2)).map { case (c, rs) =>
+        c -> (rs.map(_._1).min, rs.size.toLong)
+      }
+      assert(got == want, s"round=$round diverged")
+    }
+  }
+
   test("quota admission matches a driver ledger across random batch sequences") {
     val rnd = new Random(9090)
     val groups = Seq("a", "b", "c")
