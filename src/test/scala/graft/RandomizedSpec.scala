@@ -381,6 +381,74 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("mad outliers equal a driver percentile reference on random heavy tails") {
+    val rnd = new Random(5150)
+    // Spark's exact `percentile`: linear interpolation at (n-1)·p
+    def pctl(sorted: Seq[Double], p: Double): Double = {
+      val pos = (sorted.size - 1) * p
+      val (lo, hi) = (pos.toInt, math.ceil(pos).toInt)
+      val g = pos - lo
+      sorted(lo) * (1 - g) + sorted(hi) * g
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    (1 to rounds).foreach { round =>
+      val rows = (0 until rnd.nextInt(300) + 30).map { i =>
+        val v =
+          if (rnd.nextInt(10) == 0) rnd.nextDouble() * 10000 // heavy tail
+          else 50 + rnd.nextDouble() * 10
+        (i.toLong, s"g${rnd.nextInt(2)}", math.rint(v * 100) / 100)
+      }
+      val got = graft.ops.Profile.madOutliers(
+          rows.toDF("event_id", "event_type", "value"),
+          "event_type", "value", 4.0)
+        .select("event_id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val qs = rs.map(r => math.rint(r._3 * 100))
+        val med = r6(pctl(qs.sorted, 0.5))
+        val mad = r6(pctl(qs.map(q => math.abs(q - med)).sorted, 0.5))
+        if (mad <= 0.0) Seq.empty
+        else rs.filter(r => math.abs(math.rint(r._3 * 100) - med) / mad > 4.0)
+          .map(_._1)
+      }.toSet
+      assert(got == want, s"round=$round diverged")
+    }
+  }
+
+  test("gopher filter equals a driver rule evaluator on random documents") {
+    val rnd = new Random(60609)
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "it")
+    val vocab = Seq("the", "a", "to", "word", "elephant", "x1", "!!", "12345",
+      "supercalifragilistic", "b")
+    def driverMask(text: String): Long = {
+      val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+      val toks = norm.split(" ")
+      val mtl = toks.map(_.length).sum.toDouble / toks.length
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val punct = r6(text.count(c =>
+        !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+        .toDouble / text.length)
+      val digit = r6(text.count(_.isDigit).toDouble / text.length)
+      val nStop = toks.count(stop)
+      (if (toks.length < 50 || toks.length > 100000) 1L else 0L) +
+        (if (r6(mtl) < 3.0 || r6(mtl) > 10.0) 2L else 0L) +
+        (if (punct > 0.1) 4L else 0L) +
+        (if (digit > 0.15) 8L else 0L) +
+        (if (nStop < 2) 16L else 0L)
+    }
+    (1 to rounds).foreach { round =>
+      val rows = (0 until rnd.nextInt(150) + 30).map { i =>
+        val n = rnd.nextInt(120) + 5
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val got = graft.ops.TextAnalysis.gopherFilter(
+          rows.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val want = rows.map { case (id, t) => id -> driverMask(t) }.toMap
+      assert(got == want, s"round=$round diverged")
+    }
+  }
+
   test("url dedup equals a driver canonicalizer on random decorated urls") {
     val rnd = new Random(31337)
     def driverCanon(u: String): String = {
