@@ -140,11 +140,11 @@ object Pipeline {
     }
   }
 
-  /** Assemble and run the configured pipeline; returns (rowsIn,
-    * rowsOut). The composed plan is written once at the end —
-    * partitioned by `shard` when a shard stage ran.
+  /** Assemble the configured stage chain into ONE lazy DataFrame —
+    * split from [[run]] so tests can audit the composed plan the same
+    * way PlanAuditSpec audits individual queries.
     */
-  def run(spark: SparkSession, configJson: String): (Long, Long) = {
+  def assemble(spark: SparkSession, configJson: String): DataFrame = {
     val root = new ObjectMapper().readTree(configJson)
     def req(f: String): String =
       if (root.has(f)) root.get(f).asText()
@@ -162,9 +162,24 @@ object Pipeline {
     val shardAt = it.indexWhere(_.get("op").asText() == "shard")
     require(shardAt < 0 || shardAt == it.size - 1,
       "'shard' must be the last stage (it fixes the output layout)")
-    val result = it.foldLeft(input) { (df, n) =>
+    it.foldLeft(input) { (df, n) =>
       applyStage(df, n.get("op").asText(), n, textCol, idCol)
     }
+  }
+
+  /** Assemble and run the configured pipeline; returns (rowsIn,
+    * rowsOut). The composed plan is written once at the end —
+    * partitioned by `shard` when a shard stage ran.
+    */
+  def run(spark: SparkSession, configJson: String): (Long, Long) = {
+    val root = new ObjectMapper().readTree(configJson)
+    def req(f: String): String =
+      if (root.has(f)) root.get(f).asText()
+      else throw new IllegalArgumentException(s"config requires '$f'")
+    val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
+    val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
+    val input = spark.read.parquet(req("input"))
+    val result = assemble(spark, configJson)
     val out = req("output")
     val writer = result.write.mode("overwrite")
     (if (result.columns.contains("shard")) writer.partitionBy("shard")

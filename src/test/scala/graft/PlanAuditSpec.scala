@@ -382,6 +382,24 @@ class PlanAuditSpec extends SparkSpec {
       "the composite filter must run at scan speed with no shuffle")
   }
 
+  test("pipeline runner: the composed config chain keeps sane plan shapes") {
+    spark.catalog.clearCache()
+    val df = Pipeline.assemble(spark,
+      s"""{"input": "$sfDir/documents.parquet", "output": "/tmp/unused",
+         |"stages": [
+         |  {"op": "gopher_filter"},
+         |  {"op": "dedup_exact"},
+         |  {"op": "group_cap", "group": "source", "k": 5},
+         |  {"op": "shard", "numShards": 4}]}""".stripMargin)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      "stage composition must never produce a cartesian join")
+    assert(!plan.contains("rangepartitioning"),
+      "no stage may introduce a global sort")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"))
+    assert(plan.contains("partial_"), "aggregate stages keep map-side combine")
+  }
+
   test("pipeline_monitor_corpus: three branches union, no cartesian, partial aggs") {
     val plan = formatted(q("pipeline_monitor_corpus"))
     assert(plan.contains("Union"), "the health report is a three-branch union")
