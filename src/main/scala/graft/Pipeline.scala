@@ -167,6 +167,75 @@ object Pipeline {
     }
   }
 
+  /** Stages whose semantics are PER-ROW (pure functions of each doc):
+    * safe to apply per micro-batch. Everything else is corpus-global
+    * — running it per batch silently changes meaning (a per-batch
+    * "dedup_exact" only dedups within the trigger), so [[stream]]
+    * refuses and names the real streaming counterpart.
+    */
+  private val streamableOps = Set("gopher_filter", "scrub", "lang_filter", "sample")
+  private val streamingCounterpart = Map(
+    "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
+    "dedup_lines" -> "a corpus-global pass (batch Pipeline.run)",
+    "dedup_spans" -> "a corpus-global pass (batch Pipeline.run)",
+    "df_prune" -> "a corpus-global pass (batch Pipeline.run)",
+    "quality_band" -> "a corpus-global pass (batch Pipeline.run)",
+    "decontaminate" -> "a corpus-global pass (batch Pipeline.run)",
+    "token_budget" -> "a corpus-global pass (batch Pipeline.run)",
+    "group_cap" -> "graft.streaming.QuotaStream (lifetime caps)",
+    "weighted_cap" -> "graft.streaming.QuotaStream (lifetime caps)",
+    "shard" -> "batch Pipeline.run (shard fixes a corpus-wide layout)")
+
+  /** Streaming mode: apply the configured PER-ROW stages to every
+    * micro-batch of new parquet files under the config's `input`,
+    * writing admitted rows to deterministic `batch=<id>` overwrites
+    * (per-row stages are pure functions of each doc, so at-least-once
+    * replays rewrite identical bytes). A config naming a
+    * corpus-global stage fails loudly with the counterpart that HAS
+    * the right cross-batch semantics — per-batch "dedup" is a
+    * silent-meaning-change, not a smaller version of the same thing.
+    */
+  def stream(spark: SparkSession, configJson: String,
+             checkpoint: String,
+             maxFilesPerTrigger: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = new ObjectMapper().readTree(configJson)
+    def req(f: String): String =
+      if (root.has(f)) root.get(f).asText()
+      else throw new IllegalArgumentException(s"config requires '$f'")
+    val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
+    val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
+    val stages = root.get("stages")
+    require(stages != null && stages.isArray && stages.size() > 0,
+      "config requires a non-empty 'stages' array")
+    val it = (0 until stages.size()).map(stages.get)
+    it.foreach { n =>
+      val op = n.get("op").asText()
+      if (!streamableOps(op))
+        throw new IllegalArgumentException(
+          s"stage '$op' is corpus-global and cannot run per micro-batch " +
+            s"— use ${streamingCounterpart.getOrElse(op, "the batch runner")}")
+    }
+    val srcDir = req("input")
+    val outDir = req("output")
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleaned = it.foldLeft(batch) { (df, n) =>
+            applyStage(df, n.get("op").asText(), n, textCol, idCol)
+          }
+          cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Assemble and run the configured pipeline; returns (rowsIn,
     * rowsOut). The composed plan is written once at the end —
     * partitioned by `shard` when a shard stage ran.

@@ -764,6 +764,50 @@ class StreamingSpec extends SparkSpec {
       "replaying batch 0 must rewrite identical monitor rows")
   }
 
+  test("streaming pipeline: per-row stages per trigger, corpus-global stages refused") {
+    val docs = Tables.documents(spark, sfDir).cache()
+    val feedDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(feedDir)
+    val cfg = s"""{"input": "$feedDir", "output": "$outDir",
+      |"stages": [{"op": "gopher_filter"}, {"op": "lang_filter", "keep": ["en", "de"]}]}"""
+      .stripMargin
+    val q = Pipeline.stream(spark, cfg, ckpt)
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.option("basePath", outDir).parquet(outDir)
+    assert(out.select("batch").distinct().count() == 2)
+    // per-row stages per batch ≡ the same stages over the union
+    val g = docs.join(graft.ops.TextAnalysis.gopherFilter(docs, "text", "doc_id")
+        .filter($"gopher_mask" === 0L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val want = g.join(graft.ops.TextAnalysis.langId(g, "text", "doc_id")
+        .filter($"lang_pred".isin("en", "de")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == want)
+    // replay rewrites identical bytes
+    val before = spark.read.parquet(s"$outDir/batch=0").collect().toSet
+    // (re-run batch 0 through the same per-row stages directly)
+    val batch0 = spark.read.parquet(feedDir).filter($"doc_id" % 2 === 0)
+    val re = Seq("gopher_filter" -> "{}",
+      "lang_filter" -> """{"keep":["en","de"]}""")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val replayed = re.foldLeft(batch0.toDF()) { case (df, (op, json)) =>
+      graft.Pipeline.applyStage(df, op,
+        om.readTree(if (op == "lang_filter") json else "{}"), "text", "doc_id")
+    }
+    replayed.write.mode("overwrite").parquet(s"$outDir/batch=0")
+    assert(spark.read.parquet(s"$outDir/batch=0").collect().toSet == before)
+    // a corpus-global stage is refused, naming the counterpart
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "$outDir",
+        |"stages": [{"op": "dedup_exact"}]}""".stripMargin, tmp())
+    }
+    assert(bad.getMessage.contains("exactDedupStream"))
+  }
+
   test("quota admission: cross-trigger caps, deterministic order, replay-idempotent") {
     import graft.streaming.QuotaStream
     val docs = Tables.documents(spark, sfDir)
