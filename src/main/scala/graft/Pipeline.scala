@@ -80,9 +80,11 @@ object Pipeline {
           strOf("salt", "graft")).drop("pos")
       case "weighted_cap" =>
         // per-group cap with inclusion odds ∝ doc length (A-ES):
-        // keep each domain's WELL-SIZED docs, not a uniform k
+        // keep each domain's WELL-SIZED docs, not a uniform k. Floor
+        // the weight at 1: an empty doc's weight 0 would violate the
+        // sampler's strictly-positive precondition (-ln(u)/0 = ∞)
         Sampling.weightedGroupSample(df, reqStr("group"), idCol,
-          length(col(textCol)).cast("double"), intOf("k", 100),
+          greatest(lit(1), length(col(textCol))).cast("double"), intOf("k", 100),
           strOf("salt", "graft")).drop("pos", "ekey_micro")
       case "sample" =>
         Sampling.uniform(df, idCol, dblOf("rate", 1.0), strOf("salt", "graft"))
@@ -110,9 +112,11 @@ object Pipeline {
           Seq(idCol), "left_semi")
       case "decontaminate" =>
         // probe rows carry a sentinel id: only their distinct n-grams
-        // are used (broadcast), never their ids or row identity
+        // are used (broadcast), never their ids or row identity. The
+        // sentinel is cast to the INPUT's id type — only the __p flag
+        // distinguishes probe rows, so any id type works
         val probe = df.sparkSession.read.parquet(reqStr("probePath"))
-          .select(lit(-1L).as(idCol),
+          .select(lit(-1L).cast(df.schema(idCol).dataType).as(idCol),
             col(strOf("probeTextCol", textCol)).as(textCol))
         val combined = df.select(col(idCol), col(textCol)).withColumn("__p", lit(false))
           .unionByName(probe.withColumn("__p", lit(true)))
@@ -217,7 +221,16 @@ object Pipeline {
     }
     val srcDir = req("input")
     val outDir = req("output")
-    val schema = spark.read.parquet(srcDir).schema
+    // an ingestion dir is often EMPTY when the monitor launches —
+    // configs may name a schema source (any parquet with the feed's
+    // schema) or give the schema as a DDL string; eager inference is
+    // the fallback for dirs that already have files
+    val schema =
+      if (root.has("schemaDdl"))
+        org.apache.spark.sql.types.StructType.fromDDL(root.get("schemaDdl").asText())
+      else if (root.has("schemaSource"))
+        spark.read.parquet(root.get("schemaSource").asText()).schema
+      else graft.util.Fs.feedSchema(spark, srcDir, None)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -128,7 +128,10 @@ object TextAnalysis {
                   stratumCol: String, pLo: Double = 0.1,
                   pHi: Double = 0.9): DataFrame = {
     val n = normalize(col(textCol))
-    val scored = df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+    // id travels under a reserved alias and leaves under the CALLER'S
+    // idCol name — a custom idCol must survive the round-trip (the
+    // pipeline runner joins the output back on idCol)
+    val scored = df.select(col(idCol).as("__qb_id"), col(stratumCol).as("stratum"),
       (length(regexp_replace(n, " ", "")).cast("double") /
         size(split(n, " "))).as("score"))
     val bands = scored.groupBy("stratum").agg(
@@ -137,7 +140,7 @@ object TextAnalysis {
     scored.join(broadcast(bands), Seq("stratum"))
       .filter(round(col("score"), 6) >= round(col("lo"), 6) &&
         round(col("score"), 6) <= round(col("hi"), 6))
-      .select(col("doc_id"), col("stratum"), round(col("score"), 6).as("score"))
+      .select(col("__qb_id").as(idCol), col("stratum"), round(col("score"), 6).as("score"))
   }
 
   /** Bigram-LM quality score: mean ln P(wᵢ | wᵢ₋₁) over each doc's

@@ -255,8 +255,9 @@ object AggStream {
                      versionColumn: Option[String] = None,
                      deleteCol: Option[String] = None,
                      nBuckets: Option[Int] = None,
-                     maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                     maxFilesPerTrigger: Int = 10,
+                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

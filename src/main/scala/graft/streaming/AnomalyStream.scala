@@ -58,8 +58,9 @@ object AnomalyStream {
                        monitorDir: String, checkpoint: String,
                        groupCol: String, valueCol: String,
                        k: Double = 5.0,
-                       maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                       maxFilesPerTrigger: Int = 10,
+                       feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val refStats = Profile.madStats(
       spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()
     val feed = spark.readStream
@@ -85,8 +86,9 @@ object AnomalyStream {
                     monitorDir: String, checkpoint: String,
                     groupCol: String, valueCol: String,
                     zThreshold: Double = 3.0,
-                    maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                    maxFilesPerTrigger: Int = 10,
+                    feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     // |groups| rows, reused every trigger: materialize once
     val refStats = Profile.momentStats(
       spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()

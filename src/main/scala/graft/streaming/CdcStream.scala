@@ -38,8 +38,9 @@ object CdcStream {
                    checkpoint: String, pkCols: Seq[String],
                    maxFilesPerTrigger: Int = 10,
                    versionColumn: Option[String] = None,
-                   nBuckets: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                   nBuckets: Option[Int] = None,
+                   feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -137,8 +138,9 @@ object CdcStream {
                     threshold: Double = 0.7,
                     maxFilesPerTrigger: Int = 10,
                     nStoreBuckets: Int = 64,
-                    maxStoreDirsPerBucket: Int = 8): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                    maxStoreDirsPerBucket: Int = 8,
+                    feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -464,8 +466,9 @@ object CdcStream {
                        textCol: String, idCol: String,
                        maxFilesPerTrigger: Int = 10,
                        nStoreBuckets: Int = 64,
-                       maxStoreDirsPerBucket: Int = 8): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                       maxStoreDirsPerBucket: Int = 8,
+                       feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -82,8 +82,9 @@ object DriftStream {
   def driftStream(spark: SparkSession, sourceDir: String, refDir: String,
                   monitorDir: String, checkpoint: String,
                   textCol: String, stratumCol: String,
-                  maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                  maxFilesPerTrigger: Int = 10,
+                  feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     // vocab-sized, reused every trigger: materialize once
     val refModel = referenceModel(spark.read.parquet(refDir), textCol)
       .localCheckpoint()

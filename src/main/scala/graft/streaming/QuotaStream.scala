@@ -70,18 +70,27 @@ object QuotaStream {
     val h = Hashing.portableHash64(
       concat(lit(salt + ":quota:"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    // null-safe (<=>) joins throughout: a NULL group key is still ONE
+    // group — a plain equi-join never matches it, so every trigger
+    // would re-admit `quota` null-group rows and the state merge would
+    // stack duplicate null-key rows across versions
     val admitted = batch
       .withColumn("__h", h)
       .withColumn("__r", row_number().over(w).cast("long"))
-      .join(broadcast(prior), Seq(groupCol), "left")
+      .join(broadcast(prior.withColumnRenamed(groupCol, "__pg")),
+        col(groupCol) <=> col("__pg"), "left")
       .filter(col("__r") <= lit(quota.toLong) - coalesce(col("admitted"), lit(0L)))
-      .drop("__h", "__r", "admitted")
+      .drop("__h", "__r", "admitted", "__pg")
       .localCheckpoint() // feeds the output AND the count delta
     admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val next = prior
-      .join(admitted.groupBy(groupCol).agg(count(lit(1)).as("__d")),
-        Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+      .join(admitted.groupBy(groupCol).agg(count(lit(1)).as("__d"))
+          .withColumnRenamed(groupCol, "__dg"),
+        col(groupCol) <=> col("__dg"), "full_outer")
+      .select(
+        // the true key is null only when BOTH sides are null → coalesce
+        // yields null, which is exactly the null-key group's state row
+        coalesce(col(groupCol), col("__dg")).as(groupCol),
         (coalesce(col("admitted"), lit(0L)) + coalesce(col("__d"), lit(0L)))
           .as("admitted"))
     next.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
@@ -103,8 +112,9 @@ object QuotaStream {
   def quotaStream(spark: SparkSession, sourceDir: String, outDir: String,
                   stateDir: String, checkpoint: String,
                   groupCol: String, idCol: String, quota: Int,
-                  maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                  maxFilesPerTrigger: Int = 10,
+                  feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -64,8 +64,9 @@ object Scd2Stream {
   def historyStream(spark: SparkSession, sourceDir: String, historyPath: String,
                     checkpoint: String, pkCols: Seq[String], versionCol: String,
                     payloadCols: Seq[String],
-                    maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+                    maxFilesPerTrigger: Int = 10,
+                    feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -96,6 +96,27 @@ object Fs {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Schema for a file-fed stream: the explicit schema when given,
+    * else inferred eagerly from files already under `sourceDir`. An
+    * ingestion dir that only receives files AFTER the monitor starts
+    * is a normal state — inference throws there, so launch-time
+    * callers pass the schema explicitly and this maps the inference
+    * failure to an actionable message instead of a bare
+    * AnalysisException.
+    */
+  def feedSchema(spark: SparkSession, sourceDir: String,
+                 explicit: Option[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.types.StructType =
+    explicit.getOrElse {
+      try spark.read.parquet(sourceDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot infer the feed schema from '$sourceDir' (empty or " +
+              "missing at launch) — pass an explicit schema for a dir " +
+              "that receives files later", e)
+      }
+    }
+
   /** Write a small marker/stamp file: temp file + rename, so a reader
     * never observes a truncated in-place overwrite (create-with-
     * overwrite truncates BEFORE writing). The delete-then-rename pair

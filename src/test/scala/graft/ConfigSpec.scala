@@ -228,6 +228,31 @@ class ConfigSpec extends SparkSpec {
     val kept2 = out2.select("doc_id").as[Long].collect().toSet
     assert(kept2.intersect(probeIds).isEmpty,
       "docs identical to probe rows must be decontaminated away")
+    // a custom STRING idCol flows through every id-coupled stage
+    // (quality_band's band output, decontaminate's sentinel probe id,
+    // weighted_cap's hash key), and an empty doc cannot zero the A-ES
+    // weight
+    val docsCustom = docs
+      .select(concat(lit("d"), $"doc_id").as("id"), $"text", $"lang", $"source")
+      .unionByName(Seq(("dEMPTY", "", "xx", "empty-src"))
+        .toDF("id", "text", "lang", "source"))
+    val inCDir = tmpDir() + "/docs_custom.parquet"
+    val outCDir = tmpDir() + "/clean_custom"
+    docsCustom.write.mode("overwrite").parquet(inCDir)
+    val (rinC, routC) = Pipeline.run(spark,
+      s"""{"input": "$inCDir", "output": "$outCDir", "idCol": "id",
+         |"stages": [
+         |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5},
+         |  {"op": "weighted_cap", "group": "source", "k": 8},
+         |  {"op": "quality_band", "stratum": "lang"}]}""".stripMargin)
+    assert(rinC == docsCustom.count() && routC > 0)
+    val outC = spark.read.parquet(outCDir)
+    assert(outC.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType, "custom id keeps its type")
+    assert(outC.groupBy("source").count().filter($"count" > 8).count() == 0)
+    assert(outC.select("id").as[String].collect().toSet
+      .intersect(probeIds.map("d" + _)).isEmpty,
+      "decontamination applies under a custom id column too")
     // failure modes: unknown op, shard not last, missing required field
     intercept[IllegalArgumentException] {
       Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",

@@ -859,6 +859,64 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap.values.forall(_ <= 20L))
   }
 
+  test("quota admission: NULL group keys form one capped group, not a quota bypass") {
+    import graft.streaming.QuotaStream
+    val outDir = tmp(); val stateDir = tmp()
+    val b0 = Seq((1L, Option.empty[String]), (2L, None), (3L, None), (4L, Some("a")))
+      .toDF("doc_id", "source")
+    QuotaStream.quotaBatch(spark, b0, 0L, outDir, stateDir, "source", "doc_id", 2)
+    val out0 = spark.read.parquet(s"$outDir/batch=0")
+    assert(out0.filter($"source".isNull).count() == 2,
+      "the null group is capped at quota within a trigger")
+    // second trigger: the null group is already at its LIFETIME cap —
+    // a plain equi-join would never match the null state row and
+    // re-admit quota more nulls every trigger
+    val b1 = Seq((5L, Option.empty[String]), (6L, None), (7L, Some("a")))
+      .toDF("doc_id", "source")
+    QuotaStream.quotaBatch(spark, b1, 1L, outDir, stateDir, "source", "doc_id", 2)
+    val out1 = spark.read.parquet(s"$outDir/batch=1")
+    assert(out1.filter($"source".isNull).count() == 0,
+      "the lifetime quota must hold for the null group across triggers")
+    assert(out1.filter($"source" === "a").count() == 1)
+    // state carries exactly ONE null-key row with the true total — the
+    // full_outer merge must not stack duplicate null rows per version
+    val st = spark.read.parquet(s"$stateDir/batch=1")
+    assert(st.filter($"source".isNull).count() == 1)
+    assert(st.filter($"source".isNull).select("admitted").as[Long].head() == 2L)
+  }
+
+  test("streaming pipeline: explicit schema launches on an empty feed dir; inference fails loudly") {
+    val feedDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source").cache()
+    // eager inference on the empty dir: actionable failure, not a bare
+    // AnalysisException
+    val noSchema = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "$outDir",
+        |"stages": [{"op": "gopher_filter"}]}""".stripMargin, tmp())
+    }
+    assert(noSchema.getMessage.contains("explicit schema"))
+    // a DDL schema in the config launches the monitor BEFORE any file
+    // exists; files arriving later flow through normally
+    val ddl = docs.schema.toDDL
+    val q = Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "$outDir",
+      |"schemaDdl": "$ddl",
+      |"stages": [{"op": "gopher_filter"}]}""".stripMargin, ckpt)
+    try {
+      q.processAllAvailable() // zero files: no output, no crash
+      docs.limit(100).coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.option("basePath", outDir).parquet(outDir)
+    assert(out.count() > 0)
+    // the per-stream feedSchema param gives the same launch-on-empty
+    import graft.streaming.QuotaStream
+    val emptyFeed = tmp()
+    val q2 = QuotaStream.quotaStream(spark, emptyFeed, tmp(), tmp(), tmp(),
+      "source", "doc_id", quota = 5, feedSchema = Some(docs.schema))
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
   test("robust anomaly monitor: a mostly-garbage trigger is fully flagged via MAD") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "event_type", "value").cache()
