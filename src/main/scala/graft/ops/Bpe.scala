@@ -88,9 +88,8 @@ object Bpe {
             minCount: Long = 2L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var words = wordFreq(df, textCol)
-      .select(col("freq"), charSyms(col("word")).as("syms"))
-      .localCheckpoint()
+    var words = graft.util.Lineage.truncate(wordFreq(df, textCol)
+      .select(col("freq"), charSyms(col("word")).as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var done = false
@@ -102,9 +101,8 @@ object Bpe {
         val (a, b, c) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
           top(0).getAs[Long]("cnt"))
         merges += ((r, a, b, c))
-        words = words
-          .select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
-          .localCheckpoint()
+        words = graft.util.Lineage.truncate(words
+          .select(col("freq"), mergeOnce(col("syms"), a, b).as("syms")))
         r += 1
       }
     }

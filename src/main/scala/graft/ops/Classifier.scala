@@ -62,7 +62,7 @@ object Classifier {
     */
   def train(df: DataFrame, textCol: String, idCol: String,
             isTarget: Column, m: Int = 1024, iters: Int = 1): DataFrame = {
-    val feat = features(df, textCol, idCol, isTarget, m).localCheckpoint()
+    val feat = graft.util.Lineage.truncate(features(df, textCol, idCol, isTarget, m))
     trainOnFeatures(df.sparkSession, feat, df.count(), iters)
   }
 
@@ -123,7 +123,7 @@ object Classifier {
     */
   def trainScored(df: DataFrame, textCol: String, idCol: String,
                   isTarget: Column, m: Int = 1024, iters: Int = 1): DataFrame = {
-    val feat = features(df, textCol, idCol, isTarget, m).localCheckpoint()
+    val feat = graft.util.Lineage.truncate(features(df, textCol, idCol, isTarget, m))
     val w = trainOnFeatures(df.sparkSession, feat, df.count(), iters)
     scoreFeatures(feat, w)
   }

@@ -331,28 +331,29 @@ object Dedup {
     * that appears in at least one pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint, NOT persist: persist caches data but keeps the
+    // Lineage.truncate, NOT persist: persist caches data but keeps the
     // logical plan, so per-iteration lineage compounds and Catalyst
     // re-optimizes an exponentially growing plan on every action —
     // optimizer time, not execution, becomes the bottleneck within a
-    // handful of rounds. Checkpointing truncates the plan to the
-    // materialized partitions. (On a cluster with a checkpoint dir,
-    // `checkpoint()` adds executor-failure tolerance; same shape.)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // handful of rounds. Truncation is localCheckpoint by default;
+    // spark.graft.checkpointDir switches it to a reliable checkpoint
+    // that survives executor loss (see graft.util.Lineage).
+    val edges = graft.util.Lineage.truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = graft.util.Lineage.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("id")).agg(min("dst_label").as("nbr_label"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
-        .localCheckpoint()
+      val stepped = graft.util.Lineage.truncate(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label")))
       changed = stepped.filter(col("new_label") < col("label")).count()
       labels = stepped.select(col("id"), col("new_label").as("label"))
       i += 1
@@ -394,9 +395,9 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = pairs
+    var edges = graft.util.Lineage.truncate(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     var prevChk = checksum(edges)
     var converged = false
     var i = 0
@@ -410,12 +411,11 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
       // small-star over the now big→small directed edges
       val minsS = afterL.groupBy("u").agg(min("v").as("m"))
-      val e2 = afterL.join(minsS, "u")
+      val e2 = graft.util.Lineage.truncate(afterL.join(minsS, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minsS.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint() // truncate lineage per round (see above)
+        .filter(col("u") =!= col("v")).distinct()) // truncate lineage per round (see above)
       val chk = checksum(e2)
       converged = chk == prevChk
       prevChk = chk

@@ -91,7 +91,7 @@ object Graph {
             .as("rank_micro"))
       // checkpoint=false exists ONLY so PlanAuditSpec can inspect the
       // un-truncated per-iteration plan; real callers keep the default
-      ranks = if (checkpoint) ranks.localCheckpoint() else ranks
+      ranks = if (checkpoint) graft.util.Lineage.truncate(ranks) else ranks
     }
     ranks
   }

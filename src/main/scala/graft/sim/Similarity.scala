@@ -274,10 +274,9 @@ object Similarity {
         }
       }
     }
-    // final assignment under the converged centroids; localCheckpoint
-    // so the token... vector cache can be released (same hygiene as
-    // the dedup family)
-    val finalAssign = assign().localCheckpoint()
+    // final assignment under the converged centroids; truncated so the
+    // vector cache can be released (same hygiene as the dedup family)
+    val finalAssign = graft.util.Lineage.truncate(assign())
     p.unpersist()
     (finalAssign, cents)
   }
@@ -413,9 +412,9 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
-      .localCheckpoint() // release the subspace cache eagerly
+    val outM = graft.util.Lineage.truncate(out) // release the subspace cache eagerly
     subs.unpersist()
-    out
+    outM
   }
 
   /** LSH-accelerated near-dup pairs: exact cosine, but only within

@@ -1,0 +1,55 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators (connected components,
+  * PageRank, k-means, PQ refinement, BPE, classifier GD).
+  *
+  * Why truncate at all: `persist` caches data but keeps the logical
+  * plan, so per-round lineage compounds and Catalyst re-optimizes an
+  * exponentially growing plan on every action — optimizer time, not
+  * execution, becomes the bottleneck within a handful of rounds.
+  *
+  * Two modes, chosen by session config:
+  *
+  *  - DEFAULT (`localCheckpoint`): truncated blocks live on executor
+  *    block managers. Fastest, and fine on local[k] or a static
+  *    cluster — but an executor loss (spot kill, dynamic-allocation
+  *    decommission, OOM) makes truncated lineage UNRECOVERABLE: the
+  *    blocks are gone and the plan that could rebuild them was cut,
+  *    so the job dies. At 1000-executor scale this is the first
+  *    operational incident of any long iterative run.
+  *  - RELIABLE: set `spark.graft.checkpointDir` to a durable path
+  *    (HDFS/S3) and every iterative operator switches to
+  *    `Dataset.checkpoint()` against that directory. Blocks survive
+  *    executor loss; a lost partition re-reads from storage instead
+  *    of failing the job. Costs one durable write per round — the
+  *    right trade for any run whose round count × round cost exceeds
+  *    what you are willing to restart from zero.
+  *
+  * Results are IDENTICAL in both modes (LineageSpec pins this) —
+  * only the recovery story differs, which is why this is a session
+  * conf and not a per-operator argument: an orchestrator flips one
+  * knob for the whole pipeline.
+  */
+object Lineage {
+
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** Truncate `df`'s lineage; eager in both modes (the caller is
+    * about to iterate on the result, and lazy checkpoints re-run the
+    * full upstream plan once more on first use).
+    */
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // setCheckpointDir creates a fresh UUID subdir per call — set
+        // it once per app, not per round
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+}
