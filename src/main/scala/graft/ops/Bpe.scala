@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * the corpus — one corpus pass builds (word, freq), and every merge
   * round after that is vocab-sized (Zipf: the distinct-word table is
   * orders of magnitude smaller than the corpus, and bounded by it at
-  * 100 TB). Per round: one partial-aggregatable pair count, a 1-row
-  * TakeOrdered argmax to the driver (O(iters) driver state, the same
-  * bounded-collect class as the k-means centroid table), and a pure
-  * per-row greedy re-segmentation. `localCheckpoint` truncates the
-  * per-round lineage exactly like the connected-components loops.
+  * 100 TB). Per round: one partial-aggregatable pair count, a
+  * (batchK+1)-row TakeOrdered argmax to the driver (O(iters) driver
+  * state, the same bounded-collect class as the k-means centroid
+  * table), and a pure per-row greedy re-segmentation applying up to
+  * batchK provably-independent merges at once — so the driver
+  * round-trip count, the real cost of a 32k-merge vocabulary, shrinks
+  * by ~batchK while the learned table stays EXACTLY the sequential
+  * one. Lineage.truncate cuts the per-round lineage exactly like the
+  * connected-components loops (reliable-checkpoint aware).
   *
   * Determinism: the winning pair is the TOTAL order (count desc,
   * left asc, right asc), and the greedy left-to-right non-overlapping
@@ -80,32 +84,89 @@ object Bpe {
       acc => acc.getField("out"))
   }
 
-  /** Run `iters` merge rounds; returns the learned merge table
+  /** Learn up to `iters` merges; returns the merge table
     * (rank, left, right, pair_count). Stops early when no pair
     * reaches `minCount`.
+    *
+    * Merges are learned in BATCHED driver rounds ([[trainWithRounds]])
+    * — up to `batchK` merges per Spark round-trip instead of one —
+    * with the batch rule chosen so the learned table is IDENTICAL to
+    * one-merge-at-a-time training (spec-pinned). A production 32k-merge
+    * vocabulary at batchK=16 needs ~2k sequential Spark rounds instead
+    * of 32k; the data-side cost per round is unchanged (one pair count
+    * + one re-segmentation of the vocab-sized word table).
     */
   def train(df: DataFrame, textCol: String, iters: Int,
-            minCount: Long = 2L): DataFrame = {
+            minCount: Long = 2L, batchK: Int = 16): DataFrame =
+    trainWithRounds(df, textCol, iters, minCount, batchK)._1
+
+  /** [[train]] plus the number of driver round-trips taken — the
+    * batching spec asserts the reduction directly.
+    *
+    * Why a batch can be applied at once AND still equal sequential
+    * training: take the maximal pairwise-non-conflicting PREFIX of the
+    * candidate list sorted by (count desc, left, right) — stop at the
+    * first candidate sharing a symbol with an earlier selection — then
+    * keep only members whose count is STRICTLY above the first
+    * excluded candidate's count (`floor`). Disjoint merges cannot
+    * change each other's pair counts, so sequential training picks
+    * exactly this prefix in order; pairs CREATED by a merge (x, ab)
+    * are bounded by their pre-merge source pair (x, a), which shares a
+    * symbol, is therefore excluded, and so counts ≤ floor — the
+    * strict trim means no new or decreased pair can overtake a batch
+    * member, ties included. When the trim empties the batch (e.g. two
+    * equal-count conflicting candidates), fall back to the top-1
+    * merge, which is literally the sequential argmax.
+    */
+  private[graft] def trainWithRounds(df: DataFrame, textCol: String, iters: Int,
+                                     minCount: Long = 2L, batchK: Int = 16)
+      : (DataFrame, Int) = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = df.sparkSession
     import spark.implicits._
     var words = graft.util.Lineage.truncate(wordFreq(df, textCol)
       .select(col("freq"), charSyms(col("word")).as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 0
+    var rounds = 0
     var done = false
-    while (r < iters && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (top.isEmpty || top(0).getAs[Long]("cnt") < minCount) done = true
+    while (merges.size < iters && !done) {
+      val cand = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchK + 1).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
+      if (cand.isEmpty || cand(0)._3 < minCount) done = true
       else {
-        val (a, b, c) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
-          top(0).getAs[Long]("cnt"))
-        merges += ((r, a, b, c))
-        words = graft.util.Lineage.truncate(words
-          .select(col("freq"), mergeOnce(col("syms"), a, b).as("syms")))
-        r += 1
+        // maximal non-conflicting prefix, capped by batchK
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopped = false
+        while (!stopped && prefix.size < batchK && prefix.size < cand.length) {
+          val (a, b, _) = cand(prefix.size)
+          if (used(a) || used(b)) stopped = true
+          else { prefix += cand(prefix.size); used += a; used += b }
+        }
+        // floor = count of the first candidate NOT in the prefix (a
+        // conflict, or the batchK+1-th fetched); absent only when the
+        // whole pair table fit in the fetch conflict-free
+        val floor = if (cand.length > prefix.size) Some(cand(prefix.size)._3) else None
+        val eligible = prefix.takeWhile(_._3 >= minCount)
+          .take(iters - merges.size)
+        val batch = floor match {
+          case Some(f) =>
+            val strict = eligible.takeWhile(_._3 > f)
+            if (strict.isEmpty) eligible.take(1) else strict
+          case None => eligible
+        }
+        if (batch.isEmpty) done = true
+        else {
+          batch.foreach { case (a, b, c) => merges += ((merges.size, a, b, c)) }
+          words = graft.util.Lineage.truncate(words.select(col("freq"),
+            batch.foldLeft(col("syms")) { case (s, (a, b, _)) =>
+              mergeOnce(s, a, b) }.as("syms")))
+          rounds += 1
+        }
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    (merges.toSeq.toDF("rank", "left", "right", "pair_count"), rounds)
   }
 }

@@ -525,6 +525,29 @@ class PipelineSpec extends SparkSpec {
     assert(t1.nonEmpty)
   }
 
+  test("bpe batched rounds: identical merge table to one-at-a-time, fewer driver round-trips") {
+    import graft.ops.Bpe
+    val docs = Tables.documents(spark, sfDir).limit(300).cache()
+    // natural corpus: conflicts occur (shared letters across top pairs)
+    val (b8, roundsBatched) = Bpe.trainWithRounds(docs, "text", iters = 12, batchK = 8)
+    val (b1, roundsSeq) = Bpe.trainWithRounds(docs, "text", iters = 12, batchK = 1)
+    val gotB = b8.collect().map(_.toString).toSeq
+    val gotS = b1.collect().map(_.toString).toSeq
+    assert(gotB == gotS, "batched training must learn the sequential merge table")
+    assert(gotB.size == 12)
+    assert(roundsSeq == 12, "batchK=1 is one round-trip per merge")
+    assert(roundsBatched < roundsSeq,
+      s"batching must reduce driver round-trips (got $roundsBatched vs $roundsSeq)")
+    // engineered conflict: (e,s)/(s,t) tie at the top forces the
+    // strict-floor trim to fall back to a single sequential merge,
+    // and the post-merge round batches the now-independent tail
+    val conflict = Seq("abc abc abc", "abc abc", "de de de de", "fg fg fg").toDF("text")
+    val (cb, _) = Bpe.trainWithRounds(conflict, "text", iters = 6, batchK = 8)
+    val (cs, _) = Bpe.trainWithRounds(conflict, "text", iters = 6, batchK = 1)
+    assert(cb.collect().map(_.toString).toSeq == cs.collect().map(_.toString).toSeq,
+      "conflicting-tie corpus must still match sequential training exactly")
+  }
+
   test("random projection: exact integers matching a driver-side reference, no reshuffle") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.project(emb, "embedding", "vec_id", k = 16, dim = 64)
