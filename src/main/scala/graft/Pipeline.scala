@@ -30,11 +30,15 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *     {"op": "shard", "numShards": 8} ] }
   * }}}
   *
-  * Filter stages keep the full row schema; rewrite stages (`scrub`,
-  * `df_prune`) replace the text column in place; `shard` must be
-  * last (it fixes the physical layout) and the writer partitions by
-  * its shard column so downstream training readers get one dir per
-  * shard.
+  * Filter stages keep the full row schema (incl. the corpus-global
+  * `dedup_exact`/`dedup_minhash`/`decontaminate`); rewrite stages
+  * (`scrub`, `df_prune`, `dedup_lines`, `dedup_spans`) replace the
+  * text column in place; `chunk` changes granularity (doc rows →
+  * token-window chunk rows, metadata carried, chunk_key as the new
+  * row key) and may be followed only by `pack`; `pack`/`shard` must
+  * be last (they fix the physical layout) and the writer partitions
+  * by the shard column so downstream training readers get one dir
+  * per shard.
   */
 object Pipeline {
 
@@ -49,6 +53,8 @@ object Pipeline {
       if (node.has(field)) node.get(field).asDouble() else dflt
     def strOf(field: String, dflt: String): String =
       if (node.has(field)) node.get(field).asText() else dflt
+    def lngOf(field: String, dflt: Long): Long =
+      if (node.has(field)) node.get(field).asLong() else dflt
     def reqStr(field: String): String =
       if (node.has(field)) node.get(field).asText()
       else throw new IllegalArgumentException(s"stage '$op' requires '$field'")
@@ -134,6 +140,37 @@ object Pipeline {
             case b => b.asLong()
           },
           salt = strOf("salt", "graft")).drop("n_tokens")
+      case "dedup_minhash" =>
+        // corpus-global near-dup removal: MinHash-LSH pairs → connected
+        // components → keep the smallest id per cluster (left_anti on
+        // the losers keeps the full row schema)
+        graft.ops.Dedup.dedupedCorpus(df, textCol, idCol,
+          numHashes = intOf("numHashes", 16), numBands = intOf("numBands", 2),
+          threshold = dblOf("threshold", 0.7))
+      case "chunk" =>
+        // granularity change: doc rows → overlapping token-window chunk
+        // rows; metadata columns ride through the per-row explode
+        // (zero shuffle), the text column becomes the chunk text, and
+        // chunk_key is the new unique row key downstream pack orders by
+        val carry = df.columns.filterNot(c => c == idCol || c == textCol).toSeq
+        TextAnalysis.chunk(df, textCol, idCol,
+            intOf("size", 512), intOf("overlap", 64), carry)
+          .withColumn("chunk_key", concat(col(idCol).cast("string"),
+            lit("#"), col("chunk_id").cast("string")))
+          .withColumnRenamed("chunk", textCol)
+      case "pack" =>
+        // fixed-token-budget sequence packing; rows already chunked
+        // carry their n_tokens and unique chunk_key, whole docs fall
+        // back to idCol + a whitespace token count. One shard exchange,
+        // no assignment rejoin (carry columns ride the window)
+        val key = if (df.columns.contains("chunk_key")) "chunk_key" else idCol
+        val tok =
+          if (df.columns.contains("n_tokens")) col("n_tokens")
+          else size(split(TextAnalysis.normalize(col(textCol)), " "))
+        val carry = df.columns.filterNot(c => c == key || c == "n_tokens").toSeq
+        graft.ops.Packing.packSequences(
+          df.withColumn("n_tokens", tok.cast("long")), key, "n_tokens",
+          lngOf("budget", 2048L), intOf("nShards", 8), carry)
       case "shard" =>
         Sampling.shards(df, idCol, intOf("numShards", 8),
           strOf("salt", "graft"))
@@ -163,9 +200,22 @@ object Pipeline {
     it.zipWithIndex.foreach { case (n, i) =>
       require(n.has("op"), s"stage $i is missing 'op'") }
     // shard fixes the physical layout — nothing may run after it
-    val shardAt = it.indexWhere(_.get("op").asText() == "shard")
+    val ops = it.map(_.get("op").asText())
+    val shardAt = ops.indexOf("shard")
     require(shardAt < 0 || shardAt == it.size - 1,
       "'shard' must be the last stage (it fixes the output layout)")
+    // pack fixes the sequence layout (and emits the shard column the
+    // writer partitions by) — nothing may run after it
+    val packAt = ops.indexOf("pack")
+    require(packAt < 0 || packAt == it.size - 1,
+      "'pack' must be the last stage (it fixes the pack layout)")
+    // chunk rows are NOT doc rows: the doc id is no longer unique, so
+    // any id-keyed stage after chunk would mis-join — only pack (which
+    // orders by chunk_key) may follow
+    val chunkAt = ops.indexOf("chunk")
+    require(chunkAt < 0 || ops.drop(chunkAt + 1).forall(_ == "pack"),
+      "'chunk' may be followed only by 'pack' (chunk rows are not doc " +
+        "rows; id-keyed stages would mis-join)")
     it.foldLeft(input) { (df, n) =>
       applyStage(df, n.get("op").asText(), n, textCol, idCol)
     }
@@ -177,9 +227,11 @@ object Pipeline {
     * "dedup_exact" only dedups within the trigger), so [[stream]]
     * refuses and names the real streaming counterpart.
     */
-  private val streamableOps = Set("gopher_filter", "scrub", "lang_filter", "sample")
+  private val streamableOps = Set("gopher_filter", "scrub", "lang_filter", "sample", "chunk")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
+    "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",
+    "pack" -> "a corpus-global pass (batch Pipeline.run: packs are a corpus-wide prefix sum)",
     "dedup_lines" -> "a corpus-global pass (batch Pipeline.run)",
     "dedup_spans" -> "a corpus-global pass (batch Pipeline.run)",
     "df_prune" -> "a corpus-global pass (batch Pipeline.run)",

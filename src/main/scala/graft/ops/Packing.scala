@@ -33,12 +33,16 @@ object Packing {
     * and so the whole layout, total-order deterministic).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    budget: Long, nShards: Int): DataFrame = {
+                    budget: Long, nShards: Int,
+                    carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
     val shard = pmod(Hashing.portableHash64(col(idCol).cast("string")),
       lit(nShards.toLong)).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
-    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"), shard.as("shard"))
+    // `carry` rides through the one shard exchange (full-row pipelines
+    // keep text + metadata without a corpus-sized assignment rejoin)
+    df.select(col(idCol) +: col(tokensCol).cast("long").as("n_tokens")
+        +: shard.as("shard") +: carry.map(col): _*)
       .withColumn("__start",
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -380,11 +380,16 @@ object TextAnalysis {
     * downstream embed/write sees no exchange either.
     */
   def chunk(df: DataFrame, textCol: String, idCol: String,
-            size: Int, overlap: Int): DataFrame = {
+            size: Int, overlap: Int, carry: Seq[String] = Nil): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need size > overlap >= 0, got size=$size overlap=$overlap")
     val step = size - overlap
-    df.select(col(idCol), split(normalize(col(textCol)), " ").as("toks"))
+    // `carry` columns ride along unchanged (doc metadata onto each
+    // chunk row) — selected through the per-row explode, so the
+    // zero-shuffle shape survives instead of a corpus-sized metadata
+    // rejoin downstream
+    df.select(col(idCol) +: split(normalize(col(textCol)), " ").as("toks")
+        +: carry.map(col): _*)
       .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
       // integer ceil on positives: 1 + (n - size + step - 1) div step
       .withColumn("nch", when(col("n") <= size, lit(1L)).otherwise(
@@ -392,11 +397,12 @@ object TextAnalysis {
       .withColumn("chunk_id", explode(sequence(lit(0L), col("nch") - 1)))
       // Slice wants int offsets; chunk counts are far below 2^31
       .withColumn("start", (col("chunk_id") * step + 1).cast("int"))
-      .select(col(idCol), col("chunk_id"),
-        org.apache.spark.sql.functions.size(
-          slice(col("toks"), col("start"), lit(size))).as("n_tokens"),
-        array_join(
-          slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
+      .select(col(idCol) +: col("chunk_id")
+        +: org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("start"), lit(size))).as("n_tokens")
+        +: array_join(
+          slice(col("toks"), col("start"), lit(size)), " ").as("chunk")
+        +: carry.map(col): _*)
   }
 
   /** Symmetric-window token co-occurrence counts — the corpus

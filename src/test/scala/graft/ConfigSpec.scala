@@ -228,6 +228,45 @@ class ConfigSpec extends SparkSpec {
     val kept2 = out2.select("doc_id").as[Long].collect().toSet
     assert(kept2.intersect(probeIds).isEmpty,
       "docs identical to probe rows must be decontaminated away")
+    // the training-prep tail — near-dup removal, token-window
+    // chunking, budgeted packing — as config stages ≡ hand-composed
+    val packDir = tmpDir() + "/packed"
+    val (_, routP) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$packDir",
+         |"stages": [
+         |  {"op": "dedup_minhash", "threshold": 0.7},
+         |  {"op": "chunk", "size": 64, "overlap": 16},
+         |  {"op": "pack", "budget": 256, "nShards": 4}]}""".stripMargin)
+    val nd = graft.ops.Dedup.dedupedCorpus(docs, "text", "doc_id")
+    val carryC = nd.columns.filterNot(c => c == "doc_id" || c == "text").toSeq
+    val ch = graft.ops.TextAnalysis.chunk(nd, "text", "doc_id", 64, 16, carryC)
+      .withColumn("chunk_key", concat($"doc_id".cast("string"), lit("#"),
+        $"chunk_id".cast("string")))
+      .withColumnRenamed("chunk", "text")
+    val carryP = ch.columns.filterNot(c => c == "chunk_key" || c == "n_tokens").toSeq
+    val wantPack = graft.ops.Packing.packSequences(
+      ch.withColumn("n_tokens", $"n_tokens".cast("long")),
+      "chunk_key", "n_tokens", 256L, 4, carryP)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.select(d.columns.sorted.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toString).toSet
+    val outP = spark.read.parquet(packDir)
+    // the sf0.001 corpus is degenerately self-similar, so near-dup
+    // removal keeps few docs — assert ≥ 1 chunk per surviving doc,
+    // not a fraction of the raw corpus
+    assert(routP == outP.count() && routP >= nd.count() && routP > 0)
+    assert(rows(outP) == rows(wantPack),
+      "config chain must equal the hand-composed dedup_minhash→chunk→pack")
+    assert(new java.io.File(packDir).list().exists(_.startsWith("shard=")),
+      "pack's shard column must reach the partitioned writer")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$packDir",
+        |"stages": [{"op": "pack"}, {"op": "sample"}]}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$packDir",
+        |"stages": [{"op": "chunk"}, {"op": "gopher_filter"}]}""".stripMargin)
+    }
     // a custom STRING idCol flows through every id-coupled stage
     // (quality_band's band output, decontaminate's sentinel probe id,
     // weighted_cap's hash key), and an empty doc cannot zero the A-ES

@@ -806,6 +806,20 @@ class StreamingSpec extends SparkSpec {
         |"stages": [{"op": "dedup_exact"}]}""".stripMargin, tmp())
     }
     assert(bad.getMessage.contains("exactDedupStream"))
+    val badNd = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "$outDir",
+        |"stages": [{"op": "dedup_minhash"}]}""".stripMargin, tmp())
+    }
+    assert(badNd.getMessage.contains("nearDupStream"))
+    val badPack = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "$outDir",
+        |"stages": [{"op": "pack"}]}""".stripMargin, tmp())
+    }
+    assert(badPack.getMessage.contains("corpus-wide prefix sum"))
+    // chunk is a pure per-row granularity change: streamable
+    val qc = Pipeline.stream(spark, s"""{"input": "$feedDir", "output": "${tmp()}",
+      |"stages": [{"op": "chunk", "size": 32, "overlap": 8}]}""".stripMargin, tmp())
+    try qc.processAllAvailable() finally qc.stop()
   }
 
   test("quota admission: cross-trigger caps, deterministic order, replay-idempotent") {
