@@ -190,9 +190,16 @@ object Pipeline {
     def req(f: String): String =
       if (root.has(f)) root.get(f).asText()
       else throw new IllegalArgumentException(s"config requires '$f'")
+    assembleFrom(spark.read.parquet(req("input")), root)
+  }
+
+  /** [[assemble]] over a caller-provided input frame — [[run]] wires
+    * an observed input through here so the report counts ride the
+    * write job instead of costing extra passes.
+    */
+  private def assembleFrom(input: DataFrame, root: JsonNode): DataFrame = {
     val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
     val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
-    val input = spark.read.parquet(req("input"))
     val stages = root.get("stages")
     require(stages != null && stages.isArray && stages.size() > 0,
       "config requires a non-empty 'stages' array")
@@ -311,9 +318,19 @@ object Pipeline {
       if (root.has(f)) root.get(f).asText()
       else throw new IllegalArgumentException(s"config requires '$f'")
     val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
-    val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
+    // the report counts ride the write job as observed metrics — no
+    // separate count() pass over the input (a second scan of the
+    // corpus at 100 TB) or re-read of the output. Filters cannot be
+    // pushed below a CollectMetrics node, so rows_in is the true
+    // input cardinality; stage one of every vocabulary entry is an
+    // id-keyed join/window, not a pushable scan predicate, so the
+    // barrier costs the scan nothing.
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
     val input = spark.read.parquet(req("input"))
-    val result = assemble(spark, configJson)
+      .observe(obsIn, count(lit(1)).as("rows"))
+    val result = assembleFrom(input, root)
+      .observe(obsOut, count(lit(1)).as("rows"))
     val out = req("output")
     val writer = result.write.mode("overwrite")
     (if (result.columns.contains("shard")) writer.partitionBy("shard")
@@ -336,7 +353,7 @@ object Pipeline {
             reports.get("driftStratum").asText())
           .write.mode("overwrite").parquet(s"$repDir/drift")
     }
-    (input.count(), spark.read.parquet(out).count())
+    (obsIn.get("rows").asInstanceOf[Long], obsOut.get("rows").asInstanceOf[Long])
   }
 
   /** CLI: `runMain graft.Pipeline -cfg /path/pipeline.json` (also
