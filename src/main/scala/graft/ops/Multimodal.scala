@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * GIF, JPEG), see [[decodeImage]] — and so is WAV AUDIO decode via
   * `javax.sound.sampled` ([[decodeAudio]]), and AVI/MJPEG VIDEO decode
   * via a pure-JDK RIFF container walk + per-frame JPEG decode
-  * ([[decodeVideo]]). Non-AVI video containers (mp4/mkv — codecs the
-  * JDK does not ship) fall back to the deterministic [[stubDecode]],
+  * ([[decodeVideo]]). mp4/mov CONTAINERS parse for real too — a pure
+  * ISO-BMFF box walk ([[parseMp4]]: geometry, duration, frame count,
+  * codec fourcc) — so only the frame PIXELS of codecs the JDK does
+  * not ship (H.264/HEVC/VP9, and mkv containers entirely) fall back
+  * to the deterministic [[stubDecode]],
   * and everything Spark-side is real and load-bearing either way: the
   * schema contract, the typed Dataset plumbing, mapPartitions batching
   * (the shape a vectorized codec UDF needs: reuse one decoder instance
@@ -30,8 +33,10 @@ object Multimodal {
   val featureDim = 16
   val decodeBatchSize = 64
 
-  /** ======= STUB ======= deterministic fake decode for codecs the JDK
-    * does not ship (non-AVI video containers, exotic image/audio
+  /** ======= STUB ======= deterministic fake decode for the one thing
+    * pure JDK cannot do: FRAME PIXELS of codecs it does not ship
+    * (H.264/HEVC/VP9 inside mp4 — whose container metadata
+    * [[parseMp4]] reads for real — plus mkv and exotic image/audio
     * formats): a real deployment swaps this one function for a codec
     * call (JNI/ONNX/ffmpeg); the byte→feature contract and everything
     * calling it stay unchanged.
@@ -259,6 +264,154 @@ object Multimodal {
     val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+  }
+
+  /** Parsed ISO-BMFF (mp4/mov) container: video-track geometry,
+    * movie duration, sample (frame) count and the sample-entry codec
+    * fourcc — everything the CONTAINER declares, without decoding a
+    * frame (the codec boundary: the JDK ships no H.264/HEVC/VP9
+    * decoder, so frame PIXELS are the only part [[stubDecode]] still
+    * stands in for on mp4).
+    */
+  case class Mp4Info(width: Int, height: Int, durationMs: Long,
+                     nFrames: Long, codec: String)
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
+
+  /** REAL mp4/mov container parse — a pure-JDK ISO-BMFF box walk
+    * (`ftyp` gate, then `moov/mvhd` for timescale+duration and the
+    * first `trak` whose `mdia/hdlr` handler is `vide`: `tkhd` for
+    * 16.16-fixed geometry, `stbl/stsd` for the codec fourcc,
+    * `stbl/stsz` for the sample count). 64-bit largesize boxes and
+    * version-1 headers handled; `None` for anything that is not a
+    * well-formed ISO-BMFF file with a video track.
+    */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Info] =
+    try {
+      // (type, bodyStart, boxEnd) for each box in [start, end)
+      def children(start: Int, end: Int): Vector[(String, Int, Int)] = {
+        val out = Vector.newBuilder[(String, Int, Int)]
+        var p = start
+        var corrupt = false
+        while (!corrupt && p + 8 <= end) {
+          var sz = u32be(payload, p)
+          var body = p + 8
+          val typ = fourcc(payload, p + 4)
+          if (sz == 1 && p + 16 <= end) { sz = u64be(payload, p + 8); body = p + 16 }
+          else if (sz == 0) sz = (end - p).toLong
+          if (sz < (body - p).toLong || p.toLong + sz > end) corrupt = true
+          else { out += ((typ, body, (p + sz).toInt)); p = (p + sz).toInt }
+        }
+        out.result()
+      }
+      val top = children(0, payload.length)
+      if (!top.exists(_._1 == "ftyp")) None
+      else top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+        val moov = children(ms, me)
+        var durMs = 0L
+        moov.find(_._1 == "mvhd").foreach { case (_, s, _) =>
+          val v1 = (payload(s) & 0xff) == 1
+          val timescale = if (v1) u32be(payload, s + 20) else u32be(payload, s + 12)
+          val dur = if (v1) u64be(payload, s + 24) else u32be(payload, s + 16)
+          if (timescale > 0) durMs = math.round(dur * 1000.0 / timescale)
+        }
+        moov.filter(_._1 == "trak").iterator.flatMap { case (_, ts, te) =>
+          val trak = children(ts, te)
+          val mdia = trak.find(_._1 == "mdia")
+            .map { case (_, s, e) => children(s, e) }.getOrElse(Vector.empty)
+          val isVideo = mdia.find(_._1 == "hdlr").exists { case (_, s, e) =>
+            s + 12 <= e && fourcc(payload, s + 8) == "vide"
+          }
+          if (!isVideo) Iterator.empty
+          else {
+            val (w, h) = trak.find(_._1 == "tkhd").map { case (_, s, e) =>
+              // width/height are 16.16 fixed point after version+flags,
+              // ctimes/id/duration (v0: 20 B, v1: 32 B), 16 B of
+              // layer/volume reserveds, and the 36 B matrix
+              val base = s + 4 + (if ((payload(s) & 0xff) == 1) 32 else 20) + 16 + 36
+              if (base + 8 <= e)
+                ((u32be(payload, base) >> 16).toInt, (u32be(payload, base + 4) >> 16).toInt)
+              else (0, 0)
+            }.getOrElse((0, 0))
+            val stbl = mdia.find(_._1 == "minf")
+              .map { case (_, s, e) => children(s, e) }.getOrElse(Vector.empty)
+              .find(_._1 == "stbl")
+              .map { case (_, s, e) => children(s, e) }.getOrElse(Vector.empty)
+            val codec = stbl.find(_._1 == "stsd").collect {
+              case (_, s, e) if s + 16 <= e && u32be(payload, s + 4) >= 1 =>
+                fourcc(payload, s + 12)
+            }.getOrElse("")
+            val nFrames = stbl.find(_._1 == "stsz").collect {
+              case (_, s, e) if s + 12 <= e => u32be(payload, s + 8)
+            }.getOrElse(0L)
+            if (w <= 0 || h <= 0) Iterator.empty
+            else Iterator.single(Mp4Info(w, h, durMs, nFrames, codec))
+          }
+        }.nextOption()
+      }
+    } catch { case _: Exception => None }
+
+  /** ISO-BMFF fixture writer — the mp4 twin of [[buildAvi]]: a minimal
+    * ftyp + moov(mvhd, trak(tkhd, mdia(hdlr, minf(stbl(stsd, stsz)))))
+    * + mdat layout that [[parseMp4]] (and any box-walking reader)
+    * accepts.
+    */
+  def buildMp4(w: Int, h: Int, timescale: Long, duration: Long,
+               nFrames: Int, codec: String = "avc1"): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val unity = u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0x200) ++
+      "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++
+      u32(duration) ++ u32(0x00010000L) ++ u32(0x01000000L) ++ u32(0) ++ u32(0) ++
+      unity ++ Array.fill(24)(0.toByte) ++ u32(2))
+    val tkhd = box("tkhd", u32(7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(duration) ++ Array.fill(16)(0.toByte) ++ unity ++
+      u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val hdlr = box("hdlr", u32(0) ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(12)(0.toByte) ++ Array(0.toByte))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++
+      box(codec, Array.fill(78)(0.toByte)))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(nFrames.toLong) ++
+      (0 until nFrames).toArray.flatMap(_ => u32(100)))
+    val stbl = box("stbl", stsd ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array.fill(8)(0.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Refresh video rows' metadata from the real container parse — AVI
+    * via [[parseAvi]], mp4/mov via [[parseMp4]] (geometry, duration
+    * and a codec-tagged mime). Rows in neither container keep their
+    * declared meta.
+    */
+  def probeVideoMeta(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind != "video") r
+      else parseAvi(r.payload) match {
+        case Some(a) =>
+          r.copy(meta = MediaMeta("video/x-msvideo", a.width, a.height, a.durationMs))
+        case None => parseMp4(r.payload) match {
+          case Some(m) =>
+            r.copy(meta = MediaMeta(s"video/mp4;codec=${m.codec}", m.width, m.height, m.durationMs))
+          case None => r
+        }
+      }
+    })
   }
 
   /** Refresh image rows' metadata from the real decoded dimensions

@@ -217,6 +217,37 @@ class MultimodalSpec extends SparkSpec {
       "a truncated container must parse to None, not a partial read")
   }
 
+  test("mp4 container parse: geometry, duration, frame count and codec, bit-exact") {
+    // 640x360 avc1, timescale 1000 with duration 2500 -> 2500 ms, 75 frames
+    val mp4 = Multimodal.buildMp4(640, 360, timescale = 1000L,
+      duration = 2500L, nFrames = 75)
+    val info = Multimodal.parseMp4(mp4).get
+    assert(info == Multimodal.Mp4Info(640, 360, 2500L, 75L, "avc1"))
+    // a different timescale: 90k ticks, 3 s
+    val m2 = Multimodal.parseMp4(Multimodal.buildMp4(1920, 1080,
+      timescale = 90000L, duration = 270000L, nFrames = 90, codec = "hev1")).get
+    assert(m2 == Multimodal.Mp4Info(1920, 1080, 3000L, 90L, "hev1"))
+    // not ISO-BMFF / truncated / video-less payloads parse to None
+    assert(Multimodal.parseMp4("no boxes here".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(mp4.take(40)).isEmpty,
+      "a truncated moov must parse to None, not a partial read")
+    val avi = Multimodal.buildAvi(Seq(jpegFrame(8, 8, 50)), 8, 8, 40000L)
+    assert(Multimodal.parseMp4(avi).isEmpty, "an AVI is not an ISO-BMFF file")
+    // probeVideoMeta rewrites mp4 rows' meta from the real container
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", mp4,
+        Multimodal.MediaMeta("application/octet-stream", 1, 1, 0L)),
+      Multimodal.MediaRow(2L, "video", avi,
+        Multimodal.MediaMeta("application/octet-stream", 1, 1, 0L)),
+      Multimodal.MediaRow(3L, "video", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta("application/octet-stream", 1, 1, 0L))))
+    val probed = Multimodal.probeVideoMeta(ds).collect().sortBy(_.mediaId)
+    assert(probed(0).meta == Multimodal.MediaMeta("video/mp4;codec=avc1", 640, 360, 2500L))
+    assert(probed(1).meta == Multimodal.MediaMeta("video/x-msvideo", 8, 8, 40L))
+    assert(probed(2).meta.mime == "application/octet-stream",
+      "unparseable payloads keep their declared meta")
+  }
+
   test("partition sizing bounds per-partition payload bytes") {
     val sized = Multimodal.sizePartitions(media, targetBytes = 4096)
     assert(sized.rdd.getNumPartitions > 1)
