@@ -171,8 +171,11 @@ object CdcQueries {
     Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.05)
       .agg(count(lit(1)).as("row_count"))
 
-  /** Rows-only (no SQL oracle): DDL + fingerprint per table from the
-    * live Spark schemas (reference schemas.go:95).
+  /** DDL + fingerprint per table from the live Spark schemas
+    * (reference schemas.go:95). Hash-gated: the oracle pins the DDL
+    * render as catalog constants for the fixed test tables and has
+    * DuckDB compute md5(ddl) itself, so the fingerprint column is
+    * verified cross-engine rather than declared.
     */
   def schemaFingerprintQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -322,5 +325,21 @@ object CdcQueries {
         |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM final GROUP BY 1""".stripMargin,
     "cdc_table_length" ->
-      "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05")
+      "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05",
+    // catalog constants for the fixed test tables; DuckDB computes the
+    // md5 fingerprint from the same text Spark renders, so the
+    // fingerprint column is a real cross-engine check
+    "cdc_schema_fingerprint" ->
+      """WITH t(table_name, ddl) AS (VALUES
+        | ('customer', 'create table customer(c_custkey bigint null,c_name varchar null,c_nationkey int null,c_acctbal double null,c_mktsegment varchar null);'),
+        | ('documents', 'create table documents(doc_id bigint null,text varchar null,lang varchar null,source varchar null,n_chars bigint null);'),
+        | ('embeddings', 'create table embeddings(vec_id bigint null,embedding real[] null,label int null);'),
+        | ('events', 'create table events(event_id bigint null,ts bigint null,user_id bigint null,event_type varchar null,value double null,props varchar null);'),
+        | ('lineitem', 'create table lineitem(l_orderkey bigint null,l_partkey bigint null,l_suppkey bigint null,l_linenumber int null,l_quantity double null,l_extendedprice double null,l_discount double null,l_tax double null,l_returnflag varchar null,l_linestatus varchar null,l_shipdate timestamp_ntz null);'),
+        | ('nation', 'create table nation(n_nationkey int null,n_name varchar null,n_regionkey int null);'),
+        | ('orders', 'create table orders(o_orderkey bigint null,o_custkey bigint null,o_orderstatus varchar null,o_totalprice double null,o_orderdate timestamp_ntz null,o_orderpriority varchar null);'),
+        | ('part', 'create table part(p_partkey bigint null,p_name varchar null,p_brand varchar null,p_type varchar null,p_size int null,p_retailprice double null);'),
+        | ('region', 'create table region(r_regionkey int null,r_name varchar null);'),
+        | ('supplier', 'create table supplier(s_suppkey bigint null,s_name varchar null,s_nationkey int null,s_acctbal double null);'))
+        |SELECT table_name, ddl, md5(ddl) AS fingerprint FROM t""".stripMargin)
 }
