@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are isAdjustedToUTC=false; read them as
+      // TIMESTAMP in this UTC session (not TIMESTAMP_NTZ) so
+      // unix_millis and the DuckDB oracle see the same instants
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

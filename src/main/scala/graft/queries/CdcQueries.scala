@@ -334,10 +334,10 @@ object CdcQueries {
         | ('customer', 'create table customer(c_custkey bigint null,c_name varchar null,c_nationkey int null,c_acctbal double null,c_mktsegment varchar null);'),
         | ('documents', 'create table documents(doc_id bigint null,text varchar null,lang varchar null,source varchar null,n_chars bigint null);'),
         | ('embeddings', 'create table embeddings(vec_id bigint null,embedding real[] null,label int null);'),
-        | ('events', 'create table events(event_id bigint null,ts bigint null,user_id bigint null,event_type varchar null,value double null,props varchar null);'),
-        | ('lineitem', 'create table lineitem(l_orderkey bigint null,l_partkey bigint null,l_suppkey bigint null,l_linenumber int null,l_quantity double null,l_extendedprice double null,l_discount double null,l_tax double null,l_returnflag varchar null,l_linestatus varchar null,l_shipdate timestamp_ntz null);'),
+        | ('events', 'create table events(event_id bigint null,ts timestamp null,user_id bigint null,event_type varchar null,value double null,props varchar null);'),
+        | ('lineitem', 'create table lineitem(l_orderkey bigint null,l_partkey bigint null,l_suppkey bigint null,l_linenumber int null,l_quantity double null,l_extendedprice double null,l_discount double null,l_tax double null,l_returnflag varchar null,l_linestatus varchar null,l_shipdate timestamp null);'),
         | ('nation', 'create table nation(n_nationkey int null,n_name varchar null,n_regionkey int null);'),
-        | ('orders', 'create table orders(o_orderkey bigint null,o_custkey bigint null,o_orderstatus varchar null,o_totalprice double null,o_orderdate timestamp_ntz null,o_orderpriority varchar null);'),
+        | ('orders', 'create table orders(o_orderkey bigint null,o_custkey bigint null,o_orderstatus varchar null,o_totalprice double null,o_orderdate timestamp null,o_orderpriority varchar null);'),
         | ('part', 'create table part(p_partkey bigint null,p_name varchar null,p_brand varchar null,p_type varchar null,p_size int null,p_retailprice double null);'),
         | ('region', 'create table region(r_regionkey int null,r_name varchar null);'),
         | ('supplier', 'create table supplier(s_suppkey bigint null,s_name varchar null,s_nationkey int null,s_acctbal double null);'))
