@@ -484,6 +484,44 @@ object PipelineQueries {
             .otherwise(col("lang"))),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** Sketched column-distinct profile (graft.ops.Sketch
+    * .distinctCount) — profile_table's n_distinct re-asked with a
+    * k=64 KMV sketch over the SAME unpivoted corpus (including the
+    * injected lang nulls, which the sketch must skip like count(col)
+    * does). At gate scale both estimator branches run: doc_id/text
+    * saturate the sketch (estimated), lang/source stay under k
+    * (exact). Integer-exact end to end, so the estimate itself
+    * hash-gates against DuckDB.
+    */
+  def profileSketchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("lang",
+        when(expr("doc_id % 97 = 0"), lit(null: String))
+          .otherwise(col("lang")))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    graft.ops.Sketch.distinctCount(
+      d.selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)"),
+      "col_name", col("val"), k = 64)
+  }
+
+  /** Sketched cross-source overlap matrix (graft.ops.Sketch.overlap)
+    * — dedup_source_overlap's diagnostic from per-source k=64 KMV
+    * sketches instead of the corpus self-join: the same mirrored
+    * corpus, but only |sources|·k sketch rows survive the scan and
+    * the pair matrix is a product of sketches. est_shared
+    * approximates the exact query's n_shared within ~1/sqrt(k);
+    * unsaturated pairs are exact.
+    */
+  def dedupOverlapSketchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.select(col("source"), col("text")).unionByName(
+      d.filter(expr("doc_id % 50 = 0"))
+        .select(lit("mirror").as("source"), col("text")))
+    graft.ops.Sketch.overlap(corpus, "source",
+      TextAnalysis.normalize(col("text")), k = 64)
+  }
+
   /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
     * per source, chosen by deterministic hash order — the per-domain
     * cap of a crawl-curation pipeline.
@@ -724,6 +762,8 @@ object PipelineQueries {
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
     "profile_table" -> profileTableQ,
+    "profile_sketch" -> profileSketchQ,
+    "dedup_overlap_sketch" -> dedupOverlapSketchQ,
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
     "dedup_url" -> dedupUrlQ,
@@ -1283,6 +1323,71 @@ object PipelineQueries {
          |       count(h) AS n_distinct,
          |       min(vmin) AS min_prefix, max(vmax) AS max_prefix
          |FROM g GROUP BY 1""".stripMargin,
+    // the oracle replays the DIRECT bottom-k window; the Spark side's
+    // salted two-stage k-min equals it by construction (every global
+    // bottom-k hash ranks <= k within its own salt partition)
+    "profile_sketch" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
+         |             source, n_chars FROM documents),
+         |s AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM d
+         |      UNION ALL SELECT 'text', text FROM d
+         |      UNION ALL SELECT 'lang', lang FROM d
+         |      UNION ALL SELECT 'source', source FROM d
+         |      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM d),
+         |dh AS (SELECT DISTINCT col_name, ${h64("val")} AS h
+         |       FROM s WHERE val IS NOT NULL),
+         |rk AS (SELECT col_name, h,
+         |         row_number() OVER (PARTITION BY col_name ORDER BY h) AS r
+         |       FROM dh),
+         |ag AS (SELECT col_name, count(*) AS k_eff, max(h) AS h_k
+         |       FROM rk WHERE r <= 64 GROUP BY 1)
+         |SELECT col_name, CAST(k_eff AS BIGINT) AS k_eff,
+         |  CAST(h_k AS BIGINT) AS h_k,
+         |  CAST(CASE WHEN k_eff < 64 THEN k_eff
+         |       ELSE 63 * (1152921504606846976 // greatest(h_k, 1)) END
+         |    AS BIGINT) AS est_distinct
+         |FROM ag""".stripMargin,
+    "dedup_overlap_sketch" ->
+      s"""WITH corpus AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 50 = 0),
+         |dh AS (SELECT DISTINCT source, ${h64(norm)} AS h FROM corpus),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |         FROM dh)
+         |       WHERE r <= 64),
+         |gs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b
+         |       FROM gs a JOIN gs b ON a.source < b.source),
+         |sides AS (
+         |  SELECT pr.source_a, pr.source_b, sk.h, 1 AS in_a, 0 AS in_b
+         |  FROM pr JOIN sk ON sk.source = pr.source_a
+         |  UNION ALL
+         |  SELECT pr.source_a, pr.source_b, sk.h, 0, 1
+         |  FROM pr JOIN sk ON sk.source = pr.source_b),
+         |m AS (SELECT source_a, source_b, h,
+         |        max(in_a) AS in_a, max(in_b) AS in_b
+         |      FROM sides GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number()
+         |         OVER (PARTITION BY source_a, source_b ORDER BY h) AS r
+         |       FROM m),
+         |ag AS (SELECT source_a, source_b, count(*) AS k_eff,
+         |         sum(in_a * in_b) AS n_both, max(h) AS h_k
+         |       FROM rk WHERE r <= 64 GROUP BY 1, 2),
+         |fin AS (SELECT source_a, source_b, k_eff, n_both,
+         |          CASE WHEN k_eff < 64 THEN k_eff
+         |          ELSE 63 * (1152921504606846976 // greatest(h_k, 1)) END
+         |            AS est_union
+         |        FROM ag)
+         |SELECT source_a, source_b, CAST(k_eff AS BIGINT) AS k_eff,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST((n_both * 1000000) // k_eff AS BIGINT) AS jaccard_ppm,
+         |  CAST((n_both * est_union) // k_eff AS BIGINT) AS est_shared
+         |FROM fin""".stripMargin,
     "sample_group_cap" ->
       s"""WITH k AS (SELECT doc_id, source,
          |             ${h64("'graft:cap:' || doc_id::VARCHAR")} AS k
