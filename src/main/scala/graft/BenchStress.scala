@@ -152,6 +152,18 @@ object BenchStress {
         d.select(col("doc_id").as("id")))
       graft.ops.Graph.pageRank(nodes, edges, iters = 3)
     }),
+    // rotated copies add ~|docs| distinct hashes per source per copy,
+    // so the key-only distinct shuffle grows linearly while the
+    // sketch/pair side stays FIXED (|sources|·k rows, 210 pairs) —
+    // the ratio isolates the scan+distinct cost the sketch was built
+    // to bound
+    "dedup_overlap_sketch" -> ((d: DataFrame) => {
+      val corpus = d.select(col("source"), col("text")).unionByName(
+        d.filter(expr("doc_id % 50 = 0"))
+          .select(lit("mirror").as("source"), col("text")))
+      graft.ops.Sketch.overlap(corpus, "source",
+        TextAnalysis.normalize(col("text")), k = 64)
+    }),
     // the full composed assembly chain (classifier train+score →
     // above-mean filter → span dedup → shard addressing): stresses
     // the STAGE COUPLING, not just each stage — a superlinear seam

@@ -88,9 +88,9 @@ object Sketch {
     * null, and a guard both engines evaluate identically is cheaper
     * than either behavior.
     */
-  private def estimate(kEff: Column, hK: Column, k: Int): Column =
+  private[graft] def estimate(kEff: Column, hKName: String, k: Int): Column =
     when(kEff < k, kEff)
-      .otherwise(expr(s"${k - 1} * ($HashSpace div greatest(h_k, 1))"))
+      .otherwise(expr(s"${k - 1} * ($HashSpace div greatest($hKName, 1))"))
 
   /** Sketched per-group distinct count — `profile_table`'s
     * n_distinct at 100 TB: (group, k_eff, h_k, est_distinct), one
@@ -101,7 +101,7 @@ object Sketch {
     kmv(df, groupCol, value, k, salts)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("k_eff"), max(col("h")).as("h_k"))
-      .withColumn("est_distinct", estimate(col("k_eff"), col("h_k"), k))
+      .withColumn("est_distinct", estimate(col("k_eff"), "h_k", k))
 
   /** Sketched pairwise-overlap matrix — `dedup_source_overlap` at
     * 100 TB: for every group pair (a < b), the union sketch's size
@@ -140,7 +140,7 @@ object Sketch {
       .agg(count(lit(1)).as("k_eff"),
         sum(col("in_a") * col("in_b")).as("n_both"),
         max(col("h")).as("h_k"))
-      .withColumn("est_union", estimate(col("k_eff"), col("h_k"), k))
+      .withColumn("est_union", estimate(col("k_eff"), "h_k", k))
       .withColumn("jaccard_ppm", expr("n_both * 1000000 div k_eff"))
       .withColumn("est_shared", expr("n_both * est_union div k_eff"))
       .drop("h_k")

@@ -98,6 +98,102 @@ class SketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sketch").toString
+
+  test("cardinality monitor: cross-trigger merge equals the batch-union sketch") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 300).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+    val b1 = (150 until 450).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+    CardinalityStream.cardinalityBatch(spark, b0, 0L, out, st, "src", "v", k = 64)
+    CardinalityStream.cardinalityBatch(spark, b1, 1L, out, st, "src", "v", k = 64)
+    // state after trigger 1 IS the bottom-k sketch of the union corpus
+    val got = spark.read.parquet(s"$st/batch=1")
+      .select("src", "h").as[(String, Long)].collect().toSet
+    val want = Sketch.kmv(b0.unionByName(b1), "src", col("v"), k = 64)
+      .select("src", "h").as[(String, Long)].collect().toSet
+    assert(got == want, "merged state must equal the from-scratch sketch")
+    // trigger-1 report: lifetime totals and estimates over the union
+    val r1 = spark.read.parquet(s"$out/batch=1")
+      .select("src", "lifetime_rows", "est_distinct", "dup_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, lr, ed, dp) => s -> ((lr, ed, dp)) }.toMap
+    for ((src, (lifetime, est, dupPpm)) <- r1) {
+      assert(lifetime == 300L, s"$src lifetime $lifetime")
+      // per-group true distinct = 225 (union of 0..299 and 150..449 halves)
+      assert(math.abs(est - 225) < 80, s"$src est $est")
+      // true duplicated fraction = 75/300 = 250000 ppm
+      assert(dupPpm > 80000 && dupPpm < 420000, s"$src dup_ppm $dupPpm")
+    }
+  }
+
+  test("cardinality monitor: a replayed dump trips dup_ppm") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    // 200 distinct values under k=256: the sketch stays unsaturated,
+    // so the estimate is EXACT and the assertions are equalities
+    val fresh = (0 until 200).map(i => ("crawl", s"doc$i")).toDF("src", "v")
+    CardinalityStream.cardinalityBatch(spark, fresh, 0L, out, st, "src", "v")
+    CardinalityStream.cardinalityBatch(spark, fresh, 1L, out, st, "src", "v")
+    def dup(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select("dup_ppm").as[Long].head()
+    assert(dup(0) == 0L, s"fresh trigger dup_ppm ${dup(0)}")
+    assert(dup(1) == 500000L, s"replayed trigger dup_ppm ${dup(1)}")
+  }
+
+  test("cardinality monitor: at-least-once replay rewrites identical bytes") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 100).map(i => (s"s${i % 3}", s"v$i")).toDF("src", "v")
+    val b1 = (50 until 200).map(i => (s"s${i % 3}", s"v$i")).toDF("src", "v")
+    CardinalityStream.cardinalityBatch(spark, b0, 0L, out, st, "src", "v", k = 32)
+    CardinalityStream.cardinalityBatch(spark, b1, 1L, out, st, "src", "v", k = 32)
+    val report0 = spark.read.parquet(s"$out/batch=0").collect().toSet
+    val state0 = spark.read.parquet(s"$st/batch=0").collect().toSet
+    // replay batch 0 AFTER batch 1 committed: must see only state < 0
+    CardinalityStream.cardinalityBatch(spark, b0, 0L, out, st, "src", "v", k = 32)
+    assert(spark.read.parquet(s"$out/batch=0").collect().toSet == report0)
+    assert(spark.read.parquet(s"$st/batch=0").collect().toSet == state0)
+  }
+
+  test("cardinality monitor: NULL group keys form one monitored group") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    val b0 = ((0 until 20).map(i => (Option.empty[String], s"v$i")) ++
+      (0 until 10).map(i => (Some("s"), s"v$i"))).toDF("src", "v")
+    CardinalityStream.cardinalityBatch(spark, b0, 0L, out, st, "src", "v", k = 16)
+    CardinalityStream.cardinalityBatch(spark, b0, 1L, out, st, "src", "v", k = 16)
+    val r1 = spark.read.parquet(s"$out/batch=1")
+      .filter(col("src").isNull)
+      .select("batch_rows", "lifetime_rows").as[(Long, Long)].collect()
+    assert(r1.toSeq == Seq((20L, 40L)),
+      s"null group must accumulate across triggers: ${r1.toSeq}")
+    // and exactly one null-group state row set, capped at k
+    assert(spark.read.parquet(s"$st/batch=1")
+      .filter(col("src").isNull).count() <= 16L)
+  }
+
+  test("cardinality stream end-to-end over a file feed") {
+    import graft.streaming.CardinalityStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    (0 until 200).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = CardinalityStream.cardinalityStream(spark, feed, out, st, ckpt,
+      "src", "v", k = 64)
+    try {
+      q.processAllAvailable()
+      (100 until 300).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.read.option("basePath", out).parquet(out)
+    assert(reports.count() == 4L, "2 groups x 2 triggers")
+    val last = reports.filter(col("batch") === 1)
+      .select("lifetime_rows").as[Long].collect()
+    assert(last.toSeq == Seq(200L, 200L))
+  }
+
   test("profile_sketch exercises both estimator branches at sf0.001") {
     val rows = graft.queries.PipelineQueries.profileSketchQ(spark, sfDir)
       .select("col_name", "k_eff", "est_distinct")
