@@ -119,8 +119,14 @@ object Sketch {
               salts: Int = 16): DataFrame = {
     val ga = groupCol + "_a"
     val gb = groupCol + "_b"
+    // the sketch feeds FOUR consumers (the group list twice via the
+    // pair frame, then each join side): materialize its |groups|·k
+    // rows once — without this the whole kmv subtree (corpus scan +
+    // distinct shuffle included) replays per consumer, and exchange
+    // reuse can't dedup it across the window stages (plan-verified)
     val sk = kmv(df, groupCol, value, k, salts)
       .select(col(groupCol).as("__g"), col("h"))
+      .localCheckpoint()
     val gs = sk.select(col("__g")).distinct()
     val pairs = gs.select(col("__g").as(ga))
       .crossJoin(gs.select(col("__g").as(gb)))
