@@ -202,6 +202,39 @@ object TextAnalysis {
     * convention). Pure per-row expressions — ZERO shuffles, runs at
     * scan speed, output partitioned like the input.
     */
+  /** Per-document character-entropy quality signal — the
+    * compression-ratio proxy of a curation pipeline: Shannon entropy
+    * of the normalized character distribution, in integer micro-nats
+    * so the score is an EXACT long (ent_micro = Σ_c cnt_c · q_c with
+    * q_c = round(ln(n/cnt_c)·10⁶) — the DSIR/logprob quantization
+    * convention; real nats ≈ ent_micro / (n·10⁶)). Low entropy flags
+    * repeated boilerplate and padding (few characters dominate); the
+    * ceiling ln(alphabet) catches key-mash/random-noise docs sitting
+    * unusually close to it. Complements repetition (token-level) and
+    * gopher (lexical rules) with a distribution-level signal.
+    *
+    * Pure per-row array arithmetic — ZERO shuffles, runs at scan
+    * speed, output partitioned like the input (the repetition/gopher
+    * shape). The per-row cost is O(alphabet · chars); normalize()
+    * keeps the alphabet a few dozen symbols. Empty-string characters
+    * are stripped first: Spark's split keeps a trailing "" where
+    * DuckDB's does not, and a phantom character would shift every
+    * count.
+    */
+  def entropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        array_remove(split(normalize(col(textCol)), ""), "").as("cs"))
+      .select(col(idCol), size(col("cs")).as("n_chars"), col("cs"))
+      .withColumn("ent_micro", expr(
+        """CASE WHEN n_chars = 0 THEN 0L ELSE
+          |  aggregate(
+          |    transform(array_distinct(cs), c -> size(filter(cs, x -> x = c))),
+          |    0L,
+          |    (acc, cnt) -> acc + cnt * cast(round(
+          |      ln(n_chars / cast(cnt as double)) * 1000000) as bigint))
+          |END""".stripMargin))
+      .drop("cs")
+
   def gopherFilter(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t.as("text"), normalize(t).as("norm"))

@@ -537,6 +537,13 @@ object PipelineQueries {
   def textGopherQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherFilter(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Character-entropy quality signal (graft.ops.TextAnalysis
+    * .entropy): integer micro-nat Shannon entropy per doc —
+    * zero-shuffle, hash-gated including the quantized log sums.
+    */
+  def textEntropyQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.entropy(Tables.documents(spark, sfDir), "text", "doc_id")
+
   /** Quality-weighted per-source sample (graft.ops.Sampling
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
@@ -768,6 +775,7 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeightedQ,
     "dedup_url" -> dedupUrlQ,
     "text_gopher_filter" -> textGopherQ,
+    "text_entropy" -> textEntropyQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
@@ -1323,6 +1331,25 @@ object PipelineQueries {
          |       count(h) AS n_distinct,
          |       min(vmin) AS min_prefix, max(vmax) AS max_prefix
          |FROM g GROUP BY 1""".stripMargin,
+    // list_filter strips the phantom ''-char divergence (Spark split
+    // keeps a trailing empty element, DuckDB does not); both engines
+    // then quantize ln(n/cnt) identically (round-half-up, <=1 ulp —
+    // the sample_importance convention)
+    "text_entropy" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split($norm, ''), x -> x <> '') AS cs
+         |           FROM documents),
+         |c AS (SELECT doc_id, len(cs) AS n, unnest(cs) AS ch
+         |      FROM d WHERE len(cs) > 0),
+         |g AS (SELECT doc_id, n, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+         |e AS (SELECT doc_id, n, sum(cnt * CAST(round(
+         |         ln(n / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS ent
+         |      FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n AS INT) AS n_chars, CAST(ent AS BIGINT) AS ent_micro
+         |FROM e
+         |UNION ALL
+         |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
+         |FROM d WHERE len(cs) = 0""".stripMargin,
     // the oracle replays the DIRECT bottom-k window; the Spark side's
     // salted two-stage k-min equals it by construction (every global
     // bottom-k hash ranks <= k within its own salt partition)

@@ -167,6 +167,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((1, 0.0, 0.0)))
   }
 
+  test("entropy: exact micro-nat sums against a driver recompute") {
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      (1L, "aaaa"),                  // single-symbol doc: entropy 0
+      (2L, "ab ab"),                 // counts a:2 b:2 ' ':1 over n=5
+      (3L, "   "),                   // whitespace-only → normalize("") → (0, 0)
+      (4L, "The QUICK brown fox"))   // mixed case folds before counting
+    val out = TextAnalysis.entropy(texts.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    def ref(s: String): (Int, Long) = {
+      val norm = s.replaceAll("\\s+", " ").trim.toLowerCase
+      if (norm.isEmpty) (0, 0L)
+      else {
+        val n = norm.length
+        (n, norm.groupBy(identity).values.map(_.length)
+          .map(c => c.toLong * math.round(math.log(n.toDouble / c) * 1e6)).sum)
+      }
+    }
+    for ((id, t) <- texts) assert(out(id) == ref(t), s"doc $id")
+    // sanity: uniform alphabet maxes out at ln(distinct)
+    assert(out(2L)._2 < 5L * 1609438 && out(2L)._2 > 0L) // < 5·ln(5)·1e6
+  }
+
   test("contamination counts distinct shared ngrams against the probe set only") {
     import graft.ops.TextAnalysis
     val d = Seq(
