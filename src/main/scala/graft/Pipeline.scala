@@ -63,6 +63,23 @@ object Pipeline {
         df.join(TextAnalysis.gopherFilter(df, textCol, idCol)
             .filter(col("gopher_mask") === 0L).select(idCol),
           Seq(idCol), "left_semi")
+      case "entropy_filter" =>
+        // distribution-level quality gate: keep docs whose PER-CHAR
+        // entropy sits inside [min,max] micro-nats (low = boilerplate/
+        // padding, near ln(alphabet)·10⁶ ≈ 3.6M = key-mash noise).
+        // Thresholds are ABSOLUTE, so unlike quality_band's
+        // corpus-derived band edges this is a pure per-row function —
+        // streaming-safe. Compared multiplied out (ent ≥ lo·n) to stay
+        // integer-exact; a positive floor drops empty docs (their
+        // 0 ≥ lo·0 would otherwise sneak through a min-entropy gate)
+        val lo = lngOf("minMicroNatsPerChar", 0L)
+        val hi = lngOf("maxMicroNatsPerChar", 4000000L)
+        val band = col("ent_micro") >= lit(lo) * col("n_chars") &&
+          col("ent_micro") <= lit(hi) * col("n_chars") &&
+          (if (lo > 0L) col("n_chars") > 0 else lit(true))
+        df.join(TextAnalysis.entropy(df, textCol, idCol)
+            .filter(band).select(idCol),
+          Seq(idCol), "left_semi")
       case "dedup_exact" =>
         df.join(Dedup.exact(df, textCol, idCol)
             .select(col("keeper_id").as(idCol)),
@@ -234,7 +251,8 @@ object Pipeline {
     * "dedup_exact" only dedups within the trigger), so [[stream]]
     * refuses and names the real streaming counterpart.
     */
-  private val streamableOps = Set("gopher_filter", "scrub", "lang_filter", "sample", "chunk")
+  private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
+    "lang_filter", "sample", "chunk")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",

@@ -166,6 +166,43 @@ class ConfigSpec extends SparkSpec {
     assert(files.exists(_.startsWith("graft_bucket=")), files.mkString(","))
   }
 
+  test("pipeline runner: entropy_filter gates per-char entropy and streams per-row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      // a degenerate one-symbol doc the min-entropy gate MUST drop,
+      // and an empty doc the positive floor must also drop
+      .unionByName(Seq((999001L, "aaaa aaaa aaaa", "en", "synth", 14L),
+        (999002L, "", "en", "synth", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val inDir = tmpDir() + "/docs.parquet"
+    val outDir = tmpDir() + "/ent"
+    docs.write.mode("overwrite").parquet(inDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "entropy_filter", "minMicroNatsPerChar": 1500000}]}""".stripMargin)
+    val ent = graft.ops.TextAnalysis.entropy(docs, "text", "doc_id")
+    val want = ent.filter($"n_chars" > 0 &&
+        $"ent_micro" >= lit(1500000L) * $"n_chars" &&
+        $"ent_micro" <= lit(4000000L) * $"n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(!got.contains(999001L) && !got.contains(999002L),
+      "one-symbol and empty docs must fail a positive entropy floor")
+    assert(got.nonEmpty, "real docs must clear the floor")
+    // per-row semantics: the streaming pipeline accepts the stage
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut",
+         |"stages": [{"op": "entropy_filter", "minMicroNatsPerChar": 1500000}]}""".stripMargin,
+      ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == want, "streamed per-row gate must equal the batch gate")
+  }
+
   test("pipeline runner: config stages equal the hand-composed chain; bad configs fail loudly") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
