@@ -236,4 +236,37 @@ object Profile {
       .agg(sum(col("cst")).as("n_tokens"),
         sum(col("cst") * col("q")).as("kl_micro"))
   }
+
+  /** Sampled-quantile column profile — the quantile member of the
+    * sketched-profiling family (distinct → `Sketch.distinctCount`,
+    * overlap → `Sketch.overlap`): per numeric column, interpolated
+    * p50/p90/p99 over a DETERMINISTIC hash row-sample instead of the
+    * full-column percentile pass, whose per-group sort over every
+    * value IS the job at corpus scale. The keep rule is the
+    * stratified-sampling predicate (portable hash threshold on a row
+    * key), so it fuses into the scan, reproduces across
+    * runs/engines/partitionings — the quantile estimates themselves
+    * cross-engine gate — and the percentile runs on ~rate·|rows|
+    * values. Quantile error is distributional
+    * (O(1/sqrt(rate·n)) in rank), the classic sampled-quantile
+    * trade; exact `percentile`/1e-6 rounding is the quality_band
+    * engine-agreement convention.
+    */
+  def quantileSketch(df: DataFrame, keyCol: Column, cols: Seq[String],
+                     ratePpm: Long): DataFrame = {
+    require(cols.nonEmpty, "quantileSketch needs at least one column")
+    require(ratePpm > 0 && ratePpm <= 1000000L,
+      s"ratePpm must be in (0, 1000000], got $ratePpm")
+    val keep = pmod(graft.util.Hashing.portableHash64(
+      concat(lit("qsk:"), keyCol.cast("string"))), lit(1000000L)) < ratePpm
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    df.filter(keep)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
+      .filter(col("val").isNotNull)
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(val, 0.5)"), 6).as("p50"),
+        round(expr("percentile(val, 0.9)"), 6).as("p90"),
+        round(expr("percentile(val, 0.99)"), 6).as("p99"))
+  }
 }

@@ -522,6 +522,19 @@ object PipelineQueries {
       TextAnalysis.normalize(col("text")), k = 64)
   }
 
+  /** Sampled-quantile profile (graft.ops.Profile.quantileSketch):
+    * p50/p90/p99 of lineitem's numeric columns over a deterministic
+    * 10% hash row-sample — the quantile member of the sketched
+    * profiling family; the sample predicate fuses into the scan and
+    * the rounded estimates themselves cross-engine gate.
+    */
+  def profileQuantilesQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.quantileSketch(
+      Tables.lineitem(spark, sfDir),
+      expr("l_orderkey * 10 + l_linenumber"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      ratePpm = 100000L)
+
   /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
     * per source, chosen by deterministic hash order — the per-domain
     * cap of a crawl-curation pipeline.
@@ -770,6 +783,7 @@ object PipelineQueries {
     "sample_shard" -> sampleShardQ,
     "profile_table" -> profileTableQ,
     "profile_sketch" -> profileSketchQ,
+    "profile_quantiles_sketch" -> profileQuantilesQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
@@ -1350,6 +1364,21 @@ object PipelineQueries {
          |UNION ALL
          |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
          |FROM d WHERE len(cs) = 0""".stripMargin,
+    // percentile (Spark, exact interpolated) vs quantile_cont (DuckDB)
+    // at 1e-6 rounding is the quality_band engine-agreement convention
+    "profile_quantiles_sketch" ->
+      s"""WITH s AS (SELECT * FROM lineitem
+         |  WHERE ${h64("'qsk:' || (l_orderkey * 10 + l_linenumber)::VARCHAR")}
+         |          % 1000000 < 100000),
+         |u AS (SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS val FROM s
+         |      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM s
+         |      UNION ALL SELECT 'l_discount', l_discount FROM s
+         |      UNION ALL SELECT 'l_tax', l_tax FROM s)
+         |SELECT col_name, CAST(count(*) AS BIGINT) AS n_sample,
+         |  round(quantile_cont(val, 0.5), 6) AS p50,
+         |  round(quantile_cont(val, 0.9), 6) AS p90,
+         |  round(quantile_cont(val, 0.99), 6) AS p99
+         |FROM u WHERE val IS NOT NULL GROUP BY 1""".stripMargin,
     // the oracle replays the DIRECT bottom-k window; the Spark side's
     // salted two-stage k-min equals it by construction (every global
     // bottom-k hash ranks <= k within its own salt partition)

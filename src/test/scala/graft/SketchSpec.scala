@@ -98,6 +98,27 @@ class SketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("quantile sketch: deterministic sample, quantiles near exact") {
+    import graft.ops.Profile
+    val df = (1 to 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Profile.quantileSketch(df, col("id"), Seq("x"), ratePpm = 200000L)
+    val (n, p50, p90) = out.select("n_sample", "p50", "p90")
+      .as[(Long, Double, Double)].head()
+    // uniform hash keeps ~20%; quantiles of the sample track the
+    // uniform 1..10000 population's
+    assert(math.abs(n - 2000) < 300, s"sample size $n")
+    assert(math.abs(p50 - 5000) < 500, s"p50 $p50")
+    assert(math.abs(p90 - 9000) < 500, s"p90 $p90")
+    // partition-independent and null-skipping
+    val b = Profile.quantileSketch(df.repartition(7), col("id"), Seq("x"), 200000L)
+    assert(b.collect().toSet == out.collect().toSet)
+    val withNulls = df.withColumn("x",
+      when(col("id") % 2 === 0, col("x")))
+    val nn = Profile.quantileSketch(withNulls, col("id"), Seq("x"), 200000L)
+      .select("n_sample").as[Long].head()
+    assert(nn < n && nn > n / 3, s"nulls must be skipped, got $nn of $n")
+  }
+
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-sketch").toString
 
