@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * GIF, JPEG), see [[decodeImage]] — and so is WAV AUDIO decode via
   * `javax.sound.sampled` ([[decodeAudio]]), and AVI/MJPEG VIDEO decode
   * via a pure-JDK RIFF container walk + per-frame JPEG decode
-  * ([[decodeVideo]]). mp4/mov CONTAINERS parse for real too — a pure
-  * ISO-BMFF box walk ([[parseMp4]]: geometry, duration, frame count,
-  * codec fourcc) — so only the frame PIXELS of codecs the JDK does
-  * not ship (H.264/HEVC/VP9, and mkv containers entirely) fall back
-  * to the deterministic [[stubDecode]],
+  * ([[decodeVideo]]). mp4/mov and mkv/webm CONTAINERS parse for real
+  * too — a pure ISO-BMFF box walk ([[parseMp4]]) and a pure EBML walk
+  * ([[parseMkv]]): geometry, duration, frame count, codec tag — so
+  * only the frame PIXELS of codecs the JDK does not ship
+  * (H.264/HEVC/VP9) fall back to the deterministic [[stubDecode]],
   * and everything Spark-side is real and load-bearing either way: the
   * schema contract, the typed Dataset plumbing, mapPartitions batching
   * (the shape a vectorized codec UDF needs: reuse one decoder instance
@@ -393,10 +393,151 @@ object Multimodal {
     ftyp ++ moov ++ mdat
   }
 
+  /** Parsed Matroska/WebM container: video-track geometry, segment
+    * duration, block (frame) count for the video track, and the
+    * declared codec id — everything the CONTAINER declares, without
+    * decoding a frame (the same codec boundary as [[Mp4Info]]).
+    */
+  case class MkvInfo(width: Int, height: Int, durationMs: Long,
+                     nFrames: Long, codec: String)
+
+  /** REAL mkv/webm container parse — a pure-JDK EBML walk (`EBML`
+    * header gate, then `Segment`: `Info` for TimestampScale +
+    * Duration, the first `Tracks/TrackEntry` whose TrackType is
+    * video for TrackNumber/CodecID/`Video`(PixelWidth, PixelHeight),
+    * and a `Cluster` walk counting the video track's SimpleBlocks /
+    * BlockGroup Blocks). Unknown-size elements (all-ones VINT — the
+    * streamed-mkv convention) extend to the parent's end; `None` for
+    * anything that is not well-formed EBML with a video track.
+    */
+  def parseMkv(payload: Array[Byte]): Option[MkvInfo] =
+    try {
+      // EBML VINT: leading-zero count of the first byte gives the
+      // width; ids KEEP the marker bit (that's how they are specified),
+      // sizes strip it. Returns (value, width, allOnes).
+      def vint(off: Int, keepMarker: Boolean): (Long, Int, Boolean) = {
+        val first = payload(off) & 0xff
+        if (first == 0) throw new IllegalArgumentException("bad vint")
+        val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+        var v = (if (keepMarker) first else first & (0xff >>> len)).toLong
+        var ones = !keepMarker && (first & (0xff >>> len)) == (0xff >>> len)
+        for (i <- 1 until len) {
+          val b = payload(off + i) & 0xff
+          v = (v << 8) | b
+          ones &&= b == 0xff
+        }
+        (v, len, ones)
+      }
+      // (id, bodyStart, bodyEnd) for each element in [start, end)
+      def children(start: Int, end: Int): Vector[(Long, Int, Int)] = {
+        val out = Vector.newBuilder[(Long, Int, Int)]
+        var p = start
+        var corrupt = false
+        while (!corrupt && p < end) {
+          val (id, idLen, _) = vint(p, keepMarker = true)
+          val (sz, szLen, unknown) = vint(p + idLen, keepMarker = false)
+          val body = p + idLen + szLen
+          val bodyEnd = if (unknown) end else body + sz
+          if (body > end || bodyEnd > end || bodyEnd < body) corrupt = true
+          else { out += ((id, body, bodyEnd.toInt)); p = bodyEnd.toInt }
+        }
+        out.result()
+      }
+      def uint(s: Int, e: Int): Long =
+        (s until e).foldLeft(0L)((acc, i) => (acc << 8) | (payload(i) & 0xffL))
+      def float(s: Int, e: Int): Double = (e - s) match {
+        case 4 => java.lang.Float.intBitsToFloat(u32be(payload, s).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(u64be(payload, s))
+        case _ => 0.0
+      }
+      val top = children(0, payload.length)
+      if (!top.exists(_._1 == 0x1A45DFA3L)) None // EBML header
+      else top.find(_._1 == 0x18538067L).flatMap { case (_, ss, se) => // Segment
+        val seg = children(ss, se)
+        var scaleNs = 1000000L // TimestampScale default: 1 ms ticks
+        var durTicks = 0.0
+        seg.find(_._1 == 0x1549A966L).foreach { case (_, s, e) => // Info
+          val info = children(s, e)
+          info.find(_._1 == 0x2AD7B1L).foreach { case (_, a, b) => scaleNs = uint(a, b) }
+          info.find(_._1 == 0x4489L).foreach { case (_, a, b) => durTicks = float(a, b) }
+        }
+        val video = seg.find(_._1 == 0x1654AE6BL).toVector // Tracks
+          .flatMap { case (_, s, e) => children(s, e) }
+          .filter(_._1 == 0xAEL) // TrackEntry
+          .map { case (_, s, e) => children(s, e) }
+          .find(_.exists { case (id, a, b) => id == 0x83L && uint(a, b) == 1L })
+        video.flatMap { entry =>
+          val trackNum = entry.collectFirst {
+            case (0xD7L, a, b) => uint(a, b) }.getOrElse(1L)
+          val codec = entry.collectFirst { case (0x86L, a, b) =>
+            new String(payload.slice(a, b), "US-ASCII") }.getOrElse("")
+          val (w, h) = entry.collectFirst { case (0xE0L, a, b) => // Video
+            val v = children(a, b)
+            (v.collectFirst { case (0xB0L, x, y) => uint(x, y).toInt }.getOrElse(0),
+              v.collectFirst { case (0xBAL, x, y) => uint(x, y).toInt }.getOrElse(0))
+          }.getOrElse((0, 0))
+          // frame count: blocks of this track across all Clusters —
+          // a SimpleBlock/Block body starts with the track's VINT
+          val nFrames = seg.filter(_._1 == 0x1F43B366L).flatMap {
+            case (_, s, e) => children(s, e) }.count {
+            case (0xA3L, a, _) => vint(a, keepMarker = false)._1 == trackNum
+            case (0xA0L, a, b) => children(a, b).exists { // BlockGroup
+              case (0xA1L, x, _) => vint(x, keepMarker = false)._1 == trackNum
+              case _ => false
+            }
+            case _ => false
+          }.toLong
+          val durMs = math.round(durTicks * scaleNs / 1e6)
+          if (w <= 0 || h <= 0) None
+          else Some(MkvInfo(w, h, durMs, nFrames, codec))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** EBML fixture writer — the mkv twin of [[buildMp4]]: a minimal
+    * EBML + Segment(Info(TimestampScale, Duration), Tracks(TrackEntry(
+    * TrackNumber, TrackType=video, CodecID, Video(PixelWidth,
+    * PixelHeight))), Cluster(SimpleBlock...)) layout that [[parseMkv]]
+    * (and any EBML reader) accepts.
+    */
+  def buildMkv(w: Int, h: Int, scaleNs: Long, durTicks: Double,
+               nFrames: Int, codec: String = "V_VP9"): Array[Byte] = {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    def size(n: Int): Array[Byte] =
+      if (n < 127) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte) // < 16383
+    def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] =
+      idBytes ++ size(body.length) ++ body
+    val ebml = el(be(0x1A45DFA3L, 4), Array.empty)
+    val info = el(be(0x1549A966L, 4),
+      el(be(0x2AD7B1L, 3), be(scaleNs, 8)) ++
+        el(be(0x4489L, 2), be(java.lang.Double.doubleToLongBits(durTicks), 8)))
+    val entry = el(Array(0xAE.toByte),
+      el(Array(0xD7.toByte), be(1L, 1)) ++
+        el(Array(0x83.toByte), be(1L, 1)) ++
+        el(Array(0x86.toByte), codec.getBytes("US-ASCII")) ++
+        el(Array(0xE0.toByte),
+          el(Array(0xB0.toByte), be(w.toLong, 2)) ++
+            el(Array(0xBA.toByte), be(h.toLong, 2))))
+    val tracks = el(be(0x1654AE6BL, 4), entry)
+    val blocks = (0 until nFrames).toArray.flatMap { i =>
+      // SimpleBlock body: track VINT (0x81 = track 1), 2-byte relative
+      // timestamp, flags, then (here fake) frame bytes
+      el(Array(0xA3.toByte),
+        Array(0x81.toByte) ++ be(i.toLong, 2) ++ Array(0x80.toByte) ++
+          Array.fill(4)(0.toByte))
+    }
+    val cluster = el(be(0x1F43B366L, 4),
+      el(Array(0xE7.toByte), be(0L, 1)) ++ blocks)
+    val segment = el(be(0x18538067L, 4), info ++ tracks ++ cluster)
+    ebml ++ segment
+  }
+
   /** Refresh video rows' metadata from the real container parse — AVI
-    * via [[parseAvi]], mp4/mov via [[parseMp4]] (geometry, duration
-    * and a codec-tagged mime). Rows in neither container keep their
-    * declared meta.
+    * via [[parseAvi]], mp4/mov via [[parseMp4]], mkv/webm via
+    * [[parseMkv]] (geometry, duration and a codec-tagged mime). Rows
+    * in none of the containers keep their declared meta.
     */
   def probeVideoMeta(media: Dataset[MediaRow]): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -408,7 +549,12 @@ object Multimodal {
         case None => parseMp4(r.payload) match {
           case Some(m) =>
             r.copy(meta = MediaMeta(s"video/mp4;codec=${m.codec}", m.width, m.height, m.durationMs))
-          case None => r
+          case None => parseMkv(r.payload) match {
+            case Some(k) =>
+              r.copy(meta = MediaMeta(s"video/x-matroska;codec=${k.codec}",
+                k.width, k.height, k.durationMs))
+            case None => r
+          }
         }
       }
     })

@@ -248,6 +248,33 @@ class MultimodalSpec extends SparkSpec {
       "unparseable payloads keep their declared meta")
   }
 
+  test("mkv container parse: geometry, duration, frame count and codec, bit-exact") {
+    // 1280x720 VP9, 1 ms ticks, 4500 ticks -> 4500 ms, 48 SimpleBlocks
+    val mkv = Multimodal.buildMkv(1280, 720, scaleNs = 1000000L,
+      durTicks = 4500.0, nFrames = 48)
+    assert(Multimodal.parseMkv(mkv).get ==
+      Multimodal.MkvInfo(1280, 720, 4500L, 48L, "V_VP9"))
+    // a different timestamp scale: 0.5 ms ticks, 1000 ticks -> 500 ms
+    val m2 = Multimodal.parseMkv(Multimodal.buildMkv(640, 360,
+      scaleNs = 500000L, durTicks = 1000.0, nFrames = 10, codec = "V_AV1")).get
+    assert(m2 == Multimodal.MkvInfo(640, 360, 500L, 10L, "V_AV1"))
+    // not EBML / truncated / other-container payloads parse to None
+    assert(Multimodal.parseMkv("not ebml at all".getBytes).isEmpty)
+    assert(Multimodal.parseMkv(mkv.take(30)).isEmpty,
+      "a truncated Segment must parse to None, not a partial read")
+    assert(Multimodal.parseMkv(
+      Multimodal.buildMp4(64, 64, 1000L, 1000L, 3)).isEmpty,
+      "an ISO-BMFF file is not EBML")
+    assert(Multimodal.parseMp4(mkv).isEmpty, "and vice versa")
+    // probeVideoMeta routes mkv payloads through the EBML parse
+    val probed = Multimodal.probeVideoMeta(spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", mkv,
+        Multimodal.MediaMeta("application/octet-stream", 1, 1, 0L)))))
+      .collect()
+    assert(probed(0).meta ==
+      Multimodal.MediaMeta("video/x-matroska;codec=V_VP9", 1280, 720, 4500L))
+  }
+
   test("partition sizing bounds per-partition payload bytes") {
     val sized = Multimodal.sizePartitions(media, targetBytes = 4096)
     assert(sized.rdd.getNumPartitions > 1)
