@@ -549,4 +549,44 @@ class RandomizedSpec extends SparkSpec {
       assert(got == r, s"round=$round nodes=$nNodes iters=$iters diverged")
     }
   }
+
+  test("mp4 and mkv container builders roundtrip through the parsers") {
+    import graft.ops.Multimodal
+    val rnd = new Random(31)
+    (1 to 20).foreach { round =>
+      val (w, h) = (rnd.nextInt(4000) + 1, rnd.nextInt(4000) + 1)
+      val n = rnd.nextInt(200)
+      val tsc = rnd.nextInt(90000) + 1
+      val dur = rnd.nextInt(1000000)
+      val mp4 = Multimodal.parseMp4(Multimodal.buildMp4(
+        w, h, tsc.toLong, dur.toLong, n,
+        codec = Seq("avc1", "hev1", "vp09")(rnd.nextInt(3)))).get
+      assert((mp4.width, mp4.height, mp4.nFrames) == ((w, h, n.toLong)) &&
+        mp4.durationMs == math.round(dur * 1000.0 / tsc), s"mp4 round=$round")
+      // mkv scale in ns; ticks a whole number of scale units
+      val scaleNs = Seq(100000L, 500000L, 1000000L)(rnd.nextInt(3))
+      val ticks = rnd.nextInt(100000)
+      val mkv = Multimodal.parseMkv(Multimodal.buildMkv(
+        w, h, scaleNs, ticks.toDouble, n,
+        codec = Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")(rnd.nextInt(3)))).get
+      assert((mkv.width, mkv.height, mkv.nFrames) == ((w, h, n.toLong)) &&
+        mkv.durationMs == math.round(ticks.toDouble * scaleNs / 1e6),
+        s"mkv round=$round")
+    }
+  }
+
+  test("KMV distinct estimate stays inside 4-sigma across random cardinalities") {
+    import graft.ops.Sketch
+    val rnd = new Random(11)
+    (1 to 3).foreach { round =>
+      val n = rnd.nextInt(4000) + 1000
+      val k = Seq(128, 256)(rnd.nextInt(2))
+      val salt = rnd.nextInt(1000)
+      val df = (0 until n).map(i => ("g", s"r$round:$salt:$i")).toDF("g", "v")
+      val est = Sketch.distinctCount(df, "g", col("v"), k)
+        .select("est_distinct").as[Long].head()
+      val bound = 4.0 * n / math.sqrt(k)
+      assert(math.abs(est - n) < bound, s"round=$round n=$n k=$k est=$est")
+    }
+  }
 }
