@@ -291,6 +291,81 @@ object TextAnalysis {
         bagHash(col("norm")).as("bag_hash"),
         md5(substring(col("norm"), 1, 64)).as("prefix_hash"))
 
+  /** MOSS winnowing fingerprints (Schleimer et al. 2003) — the robust
+    * fingerprint SELECTION rule under local edits: hash every char
+    * `k`-gram of the normalized text, slide a `w`-hash window, keep
+    * each window's minimum. The selected set carries the winnowing
+    * guarantee: any substring SHARED between two documents of length
+    * ≥ k + w − 1 contributes at least one shared fingerprint, while
+    * only ~2/(w+1) of all gram hashes are kept — the sketch that
+    * makes substring-level matching pairwise-joinable without
+    * shipping every gram (text_fingerprint hashes the WHOLE doc;
+    * this survives partial overlap).
+    *
+    * One row per (doc, distinct selected hash). Pure per-row array
+    * arithmetic over the portable hash family — ZERO shuffles, runs
+    * at scan speed, engine-replayable (hash-gated). Docs shorter than
+    * k + w − 1 chars have no complete window and emit nothing.
+    */
+  def winnow(df: DataFrame, textCol: String, idCol: String,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2, s"gram size k must be >= 2, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    // portableHash64 rendered inside a HOF lambda (Hashing's column
+    // form can't reference the lambda variable)
+    val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
+    df.select(col(idCol), normalize(col(textCol)).as("nt"))
+      .filter(length(col("nt")) >= k + w - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(0, length(nt) - $k), i -> $h)"))
+      .withColumn("fp", explode(expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $w), " +
+          s"j -> array_min(slice(hs, j + 1, $w))))")))
+      .select(col(idCol), col("fp"))
+  }
+
+  /** Substring-level near-dup pairs from winnowed fingerprints: docs
+    * sharing ≥ `minShared` selected hashes — the plagiarism-detector
+    * shape (MOSS), catching documents that EMBED a common passage
+    * the doc-level hashes (exact/bag/simhash) and even token-set
+    * similarity miss when the surrounding text differs.
+    *
+    * Scale shape mirrors [[graft.ops.Dedup.ngramJaccard]]'s candidate
+    * index, but over the winnowed ~2/(w+1) subsample instead of every
+    * gram: df-capped fingerprints (a boilerplate hash shared by half
+    * the corpus indexes nothing, same reasoning as the shingle cap),
+    * the join salted 16 ways on the probe side so one hot fingerprint
+    * cannot pin a partition, pair counts partial-aggregated. The
+    * fingerprint set is materialized once and released (the
+    * persist + localCheckpoint hygiene of the other pair operators).
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnow(df, textCol, idCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count()
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    val SALTS = 16
+    val a = rare.select(col("fp"), col(idCol).as("id_a"))
+      .withColumn("salt", pmod(
+        graft.util.Hashing.portableHash64(col("id_a").cast("string")),
+        lit(SALTS.toLong)))
+    val b = rare.select(col("fp"), col(idCol).as("id_b"))
+      .crossJoin(df.sparkSession.range(SALTS).toDF("salt"))
+    val result = a.join(b, Seq("fp", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint()
+    fps.unpersist()
+    result
+  }
+
   /** Per-stratum corpus statistics — the reporting pass a data-mixing
     * pipeline runs first: document counts, token totals/means, char
     * totals per (e.g.) language × source. One partial-aggregatable

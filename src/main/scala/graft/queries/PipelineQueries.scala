@@ -557,6 +557,25 @@ object PipelineQueries {
   def textEntropyQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.entropy(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** MOSS winnowing fingerprints (TextAnalysis.winnow): per-doc
+    * selected char-8-gram hashes under a 4-hash window — zero
+    * shuffles, the selection itself hash-gates cross-engine.
+    */
+  def textWinnowQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.winnow(Tables.documents(spark, sfDir), "text", "doc_id",
+      k = 8, w = 4)
+
+  /** Substring-level near-dup pairs over winnowed fingerprints
+    * (TextAnalysis.winnowPairs) on the thinned dup-injected corpus —
+    * the %20 thinning keeps the %100==0 originals AND their +100000
+    * copies, so planted pairs exist (dedup_ngram_jaccard's corpus
+    * reasoning).
+    */
+  def dedupWinnowQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.winnowPairs(
+      dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
+      "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
+
   /** Quality-weighted per-source sample (graft.ops.Sampling
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
@@ -790,6 +809,8 @@ object PipelineQueries {
     "dedup_url" -> dedupUrlQ,
     "text_gopher_filter" -> textGopherQ,
     "text_entropy" -> textEntropyQ,
+    "text_winnow" -> textWinnowQ,
+    "dedup_winnow" -> dedupWinnowQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
@@ -1345,6 +1366,37 @@ object PipelineQueries {
          |       count(h) AS n_distinct,
          |       min(vmin) AS min_prefix, max(vmax) AS max_prefix
          |FROM g GROUP BY 1""".stripMargin,
+    "text_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
+         |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
+         |hs AS (SELECT doc_id, list_transform(generate_series(0, len(nt) - 8),
+         |         i -> ${h64("substr(nt, CAST(i + 1 AS INT), 8)")}) AS hl
+         |       FROM g)
+         |SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(hl) - 4),
+         |    j -> list_min(hl[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fp
+         |FROM hs""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 0),
+         |d AS (SELECT doc_id, $norm AS nt FROM corpus),
+         |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
+         |hs AS (SELECT doc_id, list_transform(generate_series(0, len(nt) - 8),
+         |         i -> ${h64("substr(nt, CAST(i + 1 AS INT), 8)")}) AS hl
+         |       FROM g),
+         |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(0, len(hl) - 4),
+         |         j -> list_min(hl[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fp
+         |       FROM hs),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
+         |         WHERE df <= 100),
+         |rf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
     // list_filter strips the phantom ''-char divergence (Spark split
     // keeps a trailing empty element, DuckDB does not); both engines
     // then quantize ln(n/cnt) identically (round-half-up, <=1 ulp —

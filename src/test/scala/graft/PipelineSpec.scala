@@ -190,6 +190,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._2 < 5L * 1609438 && out(2L)._2 > 0L) // < 5·ln(5)·1e6
   }
 
+  test("winnowing: shared-substring guarantee, exact driver reference, pair detector") {
+    import graft.ops.TextAnalysis
+    import graft.util.Hashing
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val solo = "zzzz yyyy xxxx wwww vvvv uuuu"
+    val d = Seq(
+      (1L, s"AAAA AAAA $shared BBBB BBBB"),
+      (2L, s"cccc dddd eeee $shared ffff"),
+      (3L, solo)).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnow(d, "text", "doc_id", k = 8, w = 4)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    // the winnowing guarantee: a shared passage >= k+w-1 chars yields
+    // at least one shared fingerprint regardless of surroundings
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs share nothing")
+    // exact driver recompute of the selection rule
+    def ref(s: String, k: Int, w: Int): Set[Long] = {
+      val norm = s.replaceAll("\\s+", " ").trim.toLowerCase
+      val hs = (0 to norm.length - k)
+        .map(i => Hashing.portableHash64Const(norm.substring(i, i + k)))
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    assert(byDoc(3L) == ref(solo, 8, 4))
+    assert(byDoc(3L).size < solo.length - 8 + 1,
+      "winnowing must SELECT, not keep every gram hash")
+    // the pair detector finds exactly the planted overlap
+    val pairs = TextAnalysis.winnowPairs(d, "text", "doc_id",
+        k = 8, w = 4, minShared = 1, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("contamination counts distinct shared ngrams against the probe set only") {
     import graft.ops.TextAnalysis
     val d = Seq(
