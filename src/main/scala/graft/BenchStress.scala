@@ -152,6 +152,15 @@ object BenchStress {
         d.select(col("doc_id").as("id")))
       graft.ops.Graph.pageRank(nodes, edges, iters = 3)
     }),
+    // rotated copies share no char 8-grams, so winnowed fingerprints
+    // (and the df-capped pair index) grow linearly; the dup injection
+    // mirrors dedupWinnowQ so true pairs exist inside every copy
+    "dedup_winnow" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      TextAnalysis.winnowPairs(withDups.filter(expr("doc_id % 20 = 0")),
+        "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
+    }),
     // rotated copies add ~|docs| distinct hashes per source per copy,
     // so the key-only distinct shuffle grows linearly while the
     // sketch/pair side stays FIXED (|sources|·k rows, 210 pairs) —
