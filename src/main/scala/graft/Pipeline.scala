@@ -164,6 +164,20 @@ object Pipeline {
         graft.ops.Dedup.dedupedCorpus(df, textCol, idCol,
           numHashes = intOf("numHashes", 16), numBands = intOf("numBands", 2),
           threshold = dblOf("threshold", 0.7))
+      case "dedup_winnow" =>
+        // corpus-global SUBSTRING-level near-dup removal (the MOSS
+        // shape): winnowed-fingerprint pairs → connected components →
+        // keep the smallest id per passage-sharing cluster. Catches
+        // docs embedding a common passage that dedup_minhash's
+        // token-set similarity scores below threshold
+        val pairs = TextAnalysis.winnowPairs(df, textCol, idCol,
+          k = intOf("k", 8), w = intOf("w", 4),
+          minShared = intOf("minShared", 10), maxDf = intOf("maxDf", 1000))
+        val losers = graft.ops.Dedup.connectedComponents(
+            pairs.select("id_a", "id_b"))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as(idCol))
+        df.join(losers, Seq(idCol), "left_anti")
       case "chunk" =>
         // granularity change: doc rows → overlapping token-window chunk
         // rows; metadata columns ride through the per-row explode
@@ -256,6 +270,8 @@ object Pipeline {
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",
+    "dedup_winnow" -> ("a corpus-global pass (batch Pipeline.run: " +
+      "fingerprint df and pair clusters are corpus-wide)"),
     "pack" -> "a corpus-global pass (batch Pipeline.run: packs are a corpus-wide prefix sum)",
     "dedup_lines" -> "a corpus-global pass (batch Pipeline.run)",
     "dedup_spans" -> "a corpus-global pass (batch Pipeline.run)",

@@ -203,6 +203,42 @@ class ConfigSpec extends SparkSpec {
     assert(streamed == want, "streamed per-row gate must equal the batch gate")
   }
 
+  test("pipeline runner: dedup_winnow stage drops passage-embedding copies; streaming refuses") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    // copies EMBED the original text behind a fresh intro — exact/bag
+    // hashes differ, but the winnowed passage fingerprints match
+    val withCopies = docs.unionByName(docs.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 5000L)
+      .withColumn("text", concat(lit("totally new intro paragraph "), $"text")))
+    val inDir = tmpDir() + "/docs.parquet"
+    val outDir = tmpDir() + "/wd"
+    withCopies.write.mode("overwrite").parquet(inDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "dedup_winnow", "minShared": 5, "maxDf": 100}]}""".stripMargin)
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    // hand-compose the identical stage
+    val pairs = graft.ops.TextAnalysis.winnowPairs(withCopies, "text", "doc_id",
+      k = 8, w = 4, minShared = 5, maxDf = 100)
+    val losers = graft.ops.Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .filter($"id" =!= $"cluster").select($"id".as("doc_id"))
+    val want = withCopies.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.forall(_ < 5000L), "every passage-embedding copy must drop")
+    assert(got.nonEmpty)
+    // corpus-global: the streaming pipeline refuses, naming the reason
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark,
+        s"""{"input": "${tmpDir()}", "output": "${tmpDir()}",
+           |"schemaDdl": "doc_id long, text string",
+           |"stages": [{"op": "dedup_winnow"}]}""".stripMargin, tmpDir())
+    }
+    assert(e.getMessage.contains("dedup_winnow") &&
+      e.getMessage.contains("corpus-global"))
+  }
+
   test("pipeline runner: config stages equal the hand-composed chain; bad configs fail loudly") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
