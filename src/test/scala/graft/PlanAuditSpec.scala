@@ -382,6 +382,28 @@ class PlanAuditSpec extends SparkSpec {
       "the composite filter must run at scan speed with no shuffle")
   }
 
+  test("text_entropy: pure per-row array arithmetic, zero shuffles") {
+    val plan = formatted(q("text_entropy"))
+    assert(!plan.contains("Exchange"),
+      "the entropy signal must run at scan speed with no shuffle")
+  }
+
+  test("text_winnow: per-row selection, zero exchanges") {
+    val plan = formatted(q("text_winnow"))
+    assert(!plan.contains("Exchange"),
+      "winnowed fingerprint selection must run at scan speed; the " +
+        "explode widens rows but must not repartition them")
+  }
+
+  test("profile_sketch: one key-only distinct exchange, then bounded windows") {
+    val plan = formatted(q("profile_sketch"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"distinct + salted k-min + final k-min = at most 3 exchanges, got $exchanges")
+    assert(plan.contains("WindowGroupLimit"),
+      "the bottom-k windows must take the rank-limit pushdown path")
+  }
+
   test("pipeline runner: the composed config chain keeps sane plan shapes") {
     spark.catalog.clearCache()
     val df = Pipeline.assemble(spark,
