@@ -575,6 +575,32 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee holds for random planted shared substrings") {
+    import graft.ops.TextAnalysis
+    val rnd = new Random(53)
+    val (k, w) = (8, 4)
+    // random surroundings from DISJOINT alphabets so only the planted
+    // passage can produce shared grams; passage length is the
+    // guarantee's exact threshold k+w-1 and above
+    def randStr(alpha: String, n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val rows = (1 to 15).flatMap { i =>
+      val passage = randStr("abcdef", k + w - 1 + rnd.nextInt(30))
+      Seq((i * 2L, s"${randStr("ghijkl", rnd.nextInt(40))} $passage " +
+            randStr("mnopqr", rnd.nextInt(40))),
+        (i * 2L + 1L, s"${randStr("stuvwx", rnd.nextInt(40))} $passage " +
+            randStr("yz", rnd.nextInt(40))))
+    }
+    val byDoc = TextAnalysis.winnow(rows.toDF("doc_id", "text"),
+        "text", "doc_id", k, w)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    (1 to 15).foreach { i =>
+      assert((byDoc(i * 2L) & byDoc(i * 2L + 1L)).nonEmpty,
+        s"pair $i must share a fingerprint (guarantee at >= k+w-1 chars)")
+    }
+  }
+
   test("KMV distinct estimate stays inside 4-sigma across random cardinalities") {
     import graft.ops.Sketch
     val rnd = new Random(11)
