@@ -339,13 +339,13 @@ object TextAnalysis {
     * fingerprint set is materialized once and released (the
     * persist + localCheckpoint hygiene of the other pair operators).
     */
-  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
-                  k: Int = 8, w: Int = 4, minShared: Int = 2,
-                  maxDf: Int = 1000): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fps = winnow(df, textCol, idCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.count()
+  /** Shared-fingerprint pair counts over a winnowed (id, fp) set:
+    * df-capped index, 16-way salted join, partial-aggregated counts
+    * — the candidate machinery behind [[winnowPairs]] and
+    * [[winnowContainment]]. Lazy; callers own persist/checkpoint.
+    */
+  private def sharedFpCounts(fps: DataFrame, idCol: String,
+                             minShared: Int, maxDf: Int): DataFrame = {
     val rare = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),
@@ -356,11 +356,55 @@ object TextAnalysis {
         graft.util.Hashing.portableHash64(col("id_a").cast("string")),
         lit(SALTS.toLong)))
     val b = rare.select(col("fp"), col(idCol).as("id_b"))
-      .crossJoin(df.sparkSession.range(SALTS).toDF("salt"))
-    val result = a.join(b, Seq("fp", "salt"))
+      .crossJoin(fps.sparkSession.range(SALTS).toDF("salt"))
+    a.join(b, Seq("fp", "salt"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnow(df, textCol, idCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count()
+    val result = sharedFpCounts(fps, idCol, minShared, maxDf)
+      .localCheckpoint()
+    fps.unpersist()
+    result
+  }
+
+  /** Asymmetric containment scores over winnowed fingerprints — the
+    * quotation detector: cont_a_ppm = |FP_A ∩ FP_B| · 10⁶ / |FP_A|
+    * tells how much of A's fingerprint set lives inside B (and vice
+    * versa). A document EMBEDDED whole in another scores exactly 10⁶
+    * on its side — every window of the contained doc is a window of
+    * the container, so FP_A ⊆ FP_B by construction — while mutual
+    * near-dups score high symmetrically; `dedup_winnow`'s n_shared
+    * alone can't tell the two apart. Denominators count ALL of each
+    * doc's fingerprints; the numerator's df cap can only understate
+    * (boilerplate shared by > maxDf docs indexes nothing), same
+    * reasoning as the pair index.
+    */
+  def winnowContainment(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 8, w: Int = 4, minShared: Int = 2,
+                        maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnow(df, textCol, idCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count()
+    val counts = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val result = sharedFpCounts(fps, idCol, minShared, maxDf)
+      .join(counts.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")),
+        Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        expr("n_shared * 1000000 div n_fp_a").as("cont_a_ppm"),
+        expr("n_shared * 1000000 div n_fp_b").as("cont_b_ppm"))
       .localCheckpoint()
     fps.unpersist()
     result

@@ -576,6 +576,15 @@ object PipelineQueries {
       dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
       "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
 
+  /** Asymmetric containment over the same thinned dup corpus
+    * (TextAnalysis.winnowContainment) — the quotation detector:
+    * exact copies score 10⁶ both sides, partial overlaps split.
+    */
+  def dedupWinnowContainQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.winnowContainment(
+      dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
+      "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
+
   /** Quality-weighted per-source sample (graft.ops.Sampling
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
@@ -811,6 +820,7 @@ object PipelineQueries {
     "text_entropy" -> textEntropyQ,
     "text_winnow" -> textWinnowQ,
     "dedup_winnow" -> dedupWinnowQ,
+    "dedup_winnow_containment" -> dedupWinnowContainQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
@@ -1397,6 +1407,34 @@ object PipelineQueries {
          |       CAST(count(*) AS BIGINT) AS n_shared
          |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+    "dedup_winnow_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 0),
+         |d AS (SELECT doc_id, $norm AS nt FROM corpus),
+         |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
+         |hs AS (SELECT doc_id, list_transform(generate_series(0, len(nt) - 8),
+         |         i -> ${h64("substr(nt, CAST(i + 1 AS INT), 8)")}) AS hl
+         |       FROM g),
+         |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(0, len(hl) - 4),
+         |         j -> list_min(hl[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fp
+         |       FROM hs),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
+         |         WHERE df <= 100),
+         |rf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 10)
+         |SELECT id_a, id_b, n_shared,
+         |  CAST(ca.n AS BIGINT) AS n_fp_a, CAST(cb.n AS BIGINT) AS n_fp_b,
+         |  CAST((n_shared * 1000000) // ca.n AS BIGINT) AS cont_a_ppm,
+         |  CAST((n_shared * 1000000) // cb.n AS BIGINT) AS cont_b_ppm
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+         |        JOIN cnt cb ON cb.doc_id = pr.id_b""".stripMargin,
     // list_filter strips the phantom ''-char divergence (Spark split
     // keeps a trailing empty element, DuckDB does not); both engines
     // then quantize ln(n/cnt) identically (round-half-up, <=1 ulp —

@@ -223,6 +223,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnow containment: an embedded doc scores exactly 10^6 on its side") {
+    import graft.ops.TextAnalysis
+    val inner = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, inner), // contained whole in doc 2
+      (2L, s"completely different opening here $inner plus a different close"),
+      (3L, "unrelated wombats parade through quiet streets at dawn"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowContainment(d, "text", "doc_id",
+        k = 8, w = 4, minShared = 1, maxDf = 10)
+      .select("id_a", "id_b", "cont_a_ppm", "cont_b_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, contA, contB) = rows.head
+    // every window of doc 1 is a window of doc 2, so FP_1 ⊆ FP_2 and
+    // the contained side reads exactly 10^6; the container side less
+    assert(contA == 1000000L, s"contained side must read 10^6, got $contA")
+    assert(contB < 1000000L && contB > 0L, s"container side $contB")
+  }
+
   test("contamination counts distinct shared ngrams against the probe set only") {
     import graft.ops.TextAnalysis
     val d = Seq(
