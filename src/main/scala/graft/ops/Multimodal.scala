@@ -476,17 +476,32 @@ object Multimodal {
             (v.collectFirst { case (0xB0L, x, y) => uint(x, y).toInt }.getOrElse(0),
               v.collectFirst { case (0xBAL, x, y) => uint(x, y).toInt }.getOrElse(0))
           }.getOrElse((0, 0))
-          // frame count: blocks of this track across all Clusters —
-          // a SimpleBlock/Block body starts with the track's VINT
-          val nFrames = seg.filter(_._1 == 0x1F43B366L).flatMap {
-            case (_, s, e) => children(s, e) }.count {
-            case (0xA3L, a, _) => vint(a, keepMarker = false)._1 == trackNum
-            case (0xA0L, a, b) => children(a, b).exists { // BlockGroup
-              case (0xA1L, x, _) => vint(x, keepMarker = false)._1 == trackNum
-              case _ => false
-            }
-            case _ => false
-          }.toLong
+          // frame count: blocks of this track across all Clusters. A
+          // Simple/Block body is track-VINT, 2-byte timestamp, flags;
+          // lace bits (0x06) add a frames-1 count byte the container
+          // declares without any frame decode. An UNKNOWN-size
+          // Cluster (the streamed-mkv convention) extends to the
+          // Segment end in this walk and swallows its successors as
+          // children — so recurse into nested Clusters/BlockGroups
+          // instead of assuming one flat Cluster level, or every
+          // cluster after the first would go uncounted.
+          def blockFrames(a: Int): Long = {
+            val (tn, tl, _) = vint(a, keepMarker = false)
+            if (tn != trackNum) 0L
+            else if ((payload(a + tl + 2) & 0x06) != 0)
+              1L + (payload(a + tl + 3) & 0xff)
+            else 1L
+          }
+          def countIn(start: Int, end: Int): Long =
+            children(start, end).map {
+              case (0xA3L, a, _) => blockFrames(a) // SimpleBlock
+              case (0xA1L, a, _) => blockFrames(a) // Block
+              case (0xA0L, a, b) => countIn(a, b) // BlockGroup
+              case (0x1F43B366L, a, b) => countIn(a, b) // nested Cluster
+              case _ => 0L
+            }.sum
+          val nFrames = seg.filter(_._1 == 0x1F43B366L)
+            .map { case (_, s, e) => countIn(s, e) }.sum
           val durMs = math.round(durTicks * scaleNs / 1e6)
           if (w <= 0 || h <= 0) None
           else Some(MkvInfo(w, h, durMs, nFrames, codec))
@@ -501,7 +516,9 @@ object Multimodal {
     * (and any EBML reader) accepts.
     */
   def buildMkv(w: Int, h: Int, scaleNs: Long, durTicks: Double,
-               nFrames: Int, codec: String = "V_VP9"): Array[Byte] = {
+               nFrames: Int, codec: String = "V_VP9",
+               clusters: Int = 1, unknownFirstClusterSize: Boolean = false,
+               laceExtraInLast: Int = 0): Array[Byte] = {
     def be(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
     def size(n: Int): Array[Byte] =
@@ -521,16 +538,36 @@ object Multimodal {
           el(Array(0xB0.toByte), be(w.toLong, 2)) ++
             el(Array(0xBA.toByte), be(h.toLong, 2))))
     val tracks = el(be(0x1654AE6BL, 4), entry)
-    val blocks = (0 until nFrames).toArray.flatMap { i =>
-      // SimpleBlock body: track VINT (0x81 = track 1), 2-byte relative
-      // timestamp, flags, then (here fake) frame bytes
+    // SimpleBlock body: track VINT (0x81 = track 1), 2-byte relative
+    // timestamp, flags (keyframe 0x80; Xiph lacing sets 0x02 + a
+    // frames-1 count byte + lace sizes), then (here fake) frame bytes
+    def simpleBlock(i: Int, laceExtra: Int): Array[Byte] =
       el(Array(0xA3.toByte),
-        Array(0x81.toByte) ++ be(i.toLong, 2) ++ Array(0x80.toByte) ++
+        Array(0x81.toByte) ++ be(i.toLong, 2) ++
+          (if (laceExtra > 0)
+            Array(0x82.toByte, laceExtra.toByte) ++
+              Array.fill(laceExtra)(1.toByte)
+          else Array(0x80.toByte)) ++
           Array.fill(4)(0.toByte))
+    val nC = math.max(1, clusters)
+    val per = math.max(1, math.ceil(nFrames.toDouble / nC).toInt)
+    val groups: Seq[Seq[Int]] = {
+      val g = (0 until nFrames).grouped(per).toSeq
+      if (g.isEmpty) Seq(Seq.empty) else g
     }
-    val cluster = el(be(0x1F43B366L, 4),
-      el(Array(0xE7.toByte), be(0L, 1)) ++ blocks)
-    val segment = el(be(0x18538067L, 4), info ++ tracks ++ cluster)
+    val clusterBytes = groups.zipWithIndex.map { case (g, ci) =>
+      val body = el(Array(0xE7.toByte), be(ci.toLong, 1)) ++
+        g.toArray.flatMap { i =>
+          simpleBlock(i, if (i == nFrames - 1) laceExtraInLast else 0)
+        }
+      // the streamed-mkv convention: an all-ones (unknown) size VINT;
+      // later clusters then parse as this one's CHILDREN
+      if (ci == 0 && unknownFirstClusterSize)
+        be(0x1F43B366L, 4) ++ Array(0xff.toByte) ++ body
+      else el(be(0x1F43B366L, 4), body)
+    }
+    val segment = el(be(0x18538067L, 4),
+      info ++ tracks ++ clusterBytes.flatten.toArray)
     ebml ++ segment
   }
 

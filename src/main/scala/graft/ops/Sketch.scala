@@ -58,17 +58,30 @@ object Sketch {
     * window — the oracle replays the direct form.
     */
   def kmv(df: DataFrame, groupCol: String, value: Column, k: Int,
-          salts: Int = 16): DataFrame = {
+          salts: Int = 16): DataFrame =
+    kmvFromHashes(
+      df.select(col(groupCol), Hashing.portableHash64(value).as("h"))
+        // null values hash to null, and the engines disagree on where
+        // nulls rank in a window (Spark NULLS FIRST, DuckDB NULLS
+        // LAST) — a sketch counts distinct NON-null values, like
+        // count(col)
+        .filter(col("h").isNotNull)
+        .distinct(),
+      groupCol, k, salts)
+
+  /** [[kmv]] over rows already carrying distinct non-null hashes in
+    * an `h` column — the entry point for callers that merge an
+    * existing sketch with fresh hashes (the streaming cardinality
+    * monitor's state update) and must apply the IDENTICAL selection
+    * rule.
+    */
+  def kmvFromHashes(hashed: DataFrame, groupCol: String, k: Int,
+                    salts: Int = 16): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
     require(salts >= 1, s"kmv needs salts >= 1, got $salts")
     val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(col("h"))
     val w2 = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    df.select(col(groupCol), Hashing.portableHash64(value).as("h"))
-      // null values hash to null, and the engines disagree on where
-      // nulls rank in a window (Spark NULLS FIRST, DuckDB NULLS LAST)
-      // — a sketch counts distinct NON-null values, like count(col)
-      .filter(col("h").isNotNull)
-      .distinct()
+    hashed
       .withColumn("__salt", pmod(col("h"), lit(salts.toLong)))
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= k)

@@ -344,12 +344,9 @@ object TextAnalysis {
     * — the candidate machinery behind [[winnowPairs]] and
     * [[winnowContainment]]. Lazy; callers own persist/checkpoint.
     */
-  private def sharedFpCounts(fps: DataFrame, idCol: String,
-                             minShared: Int, maxDf: Int): DataFrame = {
-    val rare = fps.join(
-      fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("fp"),
-      Seq("fp"), "left_semi")
+  private def sharedFpCounts(fps: DataFrame, rareFps: DataFrame,
+                             idCol: String, minShared: Int): DataFrame = {
+    val rare = fps.join(rareFps, Seq("fp"), "left_semi")
     val SALTS = 16
     val a = rare.select(col("fp"), col(idCol).as("id_a"))
       .withColumn("salt", pmod(
@@ -370,7 +367,9 @@ object TextAnalysis {
     val fps = winnow(df, textCol, idCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.count()
-    val result = sharedFpCounts(fps, idCol, minShared, maxDf)
+    val rareFps = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val result = sharedFpCounts(fps, rareFps, idCol, minShared)
       .localCheckpoint()
     fps.unpersist()
     result
@@ -380,13 +379,22 @@ object TextAnalysis {
     * quotation detector: cont_a_ppm = |FP_A ∩ FP_B| · 10⁶ / |FP_A|
     * tells how much of A's fingerprint set lives inside B (and vice
     * versa). A document EMBEDDED whole in another scores exactly 10⁶
-    * on its side — every window of the contained doc is a window of
-    * the container, so FP_A ⊆ FP_B by construction — while mutual
-    * near-dups score high symmetrically; `dedup_winnow`'s n_shared
-    * alone can't tell the two apart. Denominators count ALL of each
-    * doc's fingerprints; the numerator's df cap can only understate
-    * (boilerplate shared by > maxDf docs indexes nothing), same
-    * reasoning as the pair index.
+    * on its side WHILE its fingerprints stay under the df cap —
+    * every window of the contained doc is a window of the container,
+    * so FP_A ⊆ FP_B by construction — while mutual near-dups score
+    * high symmetrically; `dedup_winnow`'s n_shared alone can't tell
+    * the two apart.
+    *
+    * The df cap cuts both ways for containment: a passage quoted by
+    * MORE than maxDf documents indexes nothing, so the most-quoted
+    * passages would silently score low — exactly the wrong failure
+    * for a quotation detector. The n_capped_a/n_capped_b columns
+    * make that saturation VISIBLE (how many of each doc's
+    * fingerprints the cap excluded): a doc whose n_capped approaches
+    * n_fp is a heavily-boilerplate/heavily-quoted doc whose score is
+    * a floor, not an estimate, and the consumer can rerun with a
+    * higher cap for those. Denominators count ALL fingerprints; the
+    * numerator uses the capped index, so scores only understate.
     */
   def winnowContainment(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 8, w: Int = 4, minShared: Int = 2,
@@ -395,14 +403,28 @@ object TextAnalysis {
     val fps = winnow(df, textCol, idCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.count()
+    // the df aggregate feeds rare AND capped sides; both are
+    // post-shuffle aggregates, so exchange reuse dedups the scan
+    // (the tokenDrift lesson — no persist needed)
+    val dfAgg = fps.groupBy("fp").agg(count(lit(1)).as("df"))
     val counts = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
-    val result = sharedFpCounts(fps, idCol, minShared, maxDf)
+    val capped = fps
+      .join(dfAgg.filter(col("df") > maxDf).select("fp"), Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_capped"))
+    val result = sharedFpCounts(fps,
+        dfAgg.filter(col("df") <= maxDf).select("fp"), idCol, minShared)
       .join(counts.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")),
         Seq("id_a"))
       .join(counts.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")),
         Seq("id_b"))
+      .join(capped.select(col(idCol).as("id_a"), col("n_capped").as("n_capped_a")),
+        Seq("id_a"), "left")
+      .join(capped.select(col(idCol).as("id_b"), col("n_capped").as("n_capped_b")),
+        Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("n_fp_a"), col("n_fp_b"),
+        coalesce(col("n_capped_a"), lit(0L)).as("n_capped_a"),
+        coalesce(col("n_capped_b"), lit(0L)).as("n_capped_b"),
         expr("n_shared * 1000000 div n_fp_a").as("cont_a_ppm"),
         expr("n_shared * 1000000 div n_fp_b").as("cont_b_ppm"))
       .localCheckpoint()

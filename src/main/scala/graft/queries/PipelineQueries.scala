@@ -1422,19 +1422,26 @@ object PipelineQueries {
          |         j -> list_min(hl[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fp
          |       FROM hs),
          |cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
-         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
-         |         WHERE df <= 100),
-         |rf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+         |dfx AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+         |rf AS (SELECT f.doc_id, f.fp FROM fp f
+         |       JOIN (SELECT fp FROM dfx WHERE df <= 100) r USING (fp)),
+         |cap AS (SELECT f.doc_id, count(*) AS nc FROM fp f
+         |        JOIN (SELECT fp FROM dfx WHERE df > 100) h USING (fp)
+         |        GROUP BY 1),
          |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(count(*) AS BIGINT) AS n_shared
          |       FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2 HAVING count(*) >= 10)
          |SELECT id_a, id_b, n_shared,
          |  CAST(ca.n AS BIGINT) AS n_fp_a, CAST(cb.n AS BIGINT) AS n_fp_b,
+         |  CAST(coalesce(ka.nc, 0) AS BIGINT) AS n_capped_a,
+         |  CAST(coalesce(kb.nc, 0) AS BIGINT) AS n_capped_b,
          |  CAST((n_shared * 1000000) // ca.n AS BIGINT) AS cont_a_ppm,
          |  CAST((n_shared * 1000000) // cb.n AS BIGINT) AS cont_b_ppm
          |FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
-         |        JOIN cnt cb ON cb.doc_id = pr.id_b""".stripMargin,
+         |        JOIN cnt cb ON cb.doc_id = pr.id_b
+         |        LEFT JOIN cap ka ON ka.doc_id = pr.id_a
+         |        LEFT JOIN cap kb ON kb.doc_id = pr.id_b""".stripMargin,
     // list_filter strips the phantom ''-char divergence (Spark split
     // keeps a trailing empty element, DuckDB does not); both engines
     // then quantize ln(n/cnt) identically (round-half-up, <=1 ulp —

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -64,6 +63,15 @@ object CardinalityStream {
     * 10⁶·(1 − est_distinct/lifetime_rows), clamped at 0 for
     * estimator overshoot — all integer arithmetic, so replays and
     * recomputes are byte-identical.
+    *
+    * Row counts include NULL-valued rows; only the distinct sketch
+    * skips them (count(col) semantics). A feed that starts emitting
+    * nulls for a group therefore still advances batch_rows and
+    * lifetime_rows while est_distinct stalls — dup_ppm RISES, which
+    * is the alert (a monitor that dropped null rows from the volume
+    * axis would go silent on exactly that fault). A group whose
+    * sketch is empty persists in state as one h-null row so its
+    * lifetime count survives.
     */
   def cardinalityBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                        outDir: String, stateDir: String,
@@ -74,28 +82,20 @@ object CardinalityStream {
     // batch side: per-group row counts + distinct hash set, one scan
     val hashed = batch.select(col(groupCol),
         Hashing.portableHash64(col(valueCol)).as("h"))
-      .filter(col("h").isNotNull)
       .localCheckpoint() // feeds counts, the merge, AND batch_distinct
     val batchCounts = hashed.groupBy(groupCol)
       .agg(count(lit(1)).as("batch_rows"),
         count_distinct(col("h")).as("batch_distinct"))
     // merged sketch: bottom-k of (prior sketch hashes ∪ batch hashes)
+    // through the SAME selection rule as the batch operator
     val priorSketch = prior.map(_.select(col(groupCol), col("h")))
       .getOrElse(hashed.limit(0).select(col(groupCol), col("h")))
-    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(col("h"))
-    val w2 = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    val merged = hashed.select(col(groupCol), col("h"))
-      .unionByName(priorSketch)
-      .distinct()
-      // same salted two-stage k-min as Sketch.kmv: no group funnels
-      // through one partition even when a batch is one giant group
-      .withColumn("__salt", pmod(col("h"), lit(16L)))
-      .withColumn("__r", row_number().over(w1))
-      .filter(col("__r") <= k)
-      .drop("__salt", "__r")
-      .withColumn("__r", row_number().over(w2))
-      .filter(col("__r") <= k)
-      .drop("__r")
+    val merged = Sketch.kmvFromHashes(
+      hashed.select(col(groupCol), col("h"))
+        .unionByName(priorSketch)
+        .filter(col("h").isNotNull)
+        .distinct(),
+      groupCol, k).drop("pos")
     // lifetime rows: prior totals ∪ batch totals, summed per group —
     // a union-aggregate, not a join, so null groups need no <=> care
     val priorTotals = prior
@@ -105,14 +105,17 @@ object CardinalityStream {
     val totals = batchCounts.select(col(groupCol), col("batch_rows").as("n"))
       .unionByName(priorTotals)
       .groupBy(groupCol).agg(sum(col("n")).as("rows_seen"))
-    val state = merged
-      .join(totals.withColumnRenamed(groupCol, "__tg"),
-        col(groupCol) <=> col("__tg"))
-      .select(col(groupCol), col("h"), col("rows_seen"))
+    // totals drive the join (every group with history or batch rows),
+    // LEFT to the sketch: a sketch-less group keeps one h-null state
+    // row instead of losing its lifetime count
+    val state = totals.withColumnRenamed(groupCol, "__tg")
+      .join(merged.select(col(groupCol).as("__mg"), col("h")),
+        col("__tg") <=> col("__mg"), "left")
+      .select(col("__tg").as(groupCol), col("h"), col("rows_seen"))
       .localCheckpoint() // one computation feeds the report AND the state write
     // report: groups present in this batch, with lifetime estimates
     val est = state.groupBy(groupCol)
-      .agg(count(lit(1)).as("k_eff"), max(col("h")).as("h_k"),
+      .agg(count(col("h")).as("k_eff"), max(col("h")).as("h_k"),
         max(col("rows_seen")).as("lifetime_rows"))
       .withColumn("est_distinct", Sketch.estimate(col("k_eff"), "h_k", k))
       .drop("h_k")

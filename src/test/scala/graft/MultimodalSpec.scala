@@ -266,6 +266,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.buildMp4(64, 64, 1000L, 1000L, 3)).isEmpty,
       "an ISO-BMFF file is not EBML")
     assert(Multimodal.parseMp4(mkv).isEmpty, "and vice versa")
+    // multi-cluster files count blocks across ALL clusters
+    assert(Multimodal.parseMkv(Multimodal.buildMkv(640, 360, 1000000L,
+      100.0, nFrames = 30, clusters = 3)).get.nFrames == 30L)
+    // the streamed-mkv layout: an unknown-size first cluster swallows
+    // its successors as children in the walk — the recursive count
+    // must still see every later cluster's blocks
+    assert(Multimodal.parseMkv(Multimodal.buildMkv(640, 360, 1000000L,
+      100.0, nFrames = 30, clusters = 3,
+      unknownFirstClusterSize = true)).get.nFrames == 30L)
+    // Xiph lacing: one SimpleBlock carrying 1 + 5 frames
+    assert(Multimodal.parseMkv(Multimodal.buildMkv(640, 360, 1000000L,
+      100.0, nFrames = 10, laceExtraInLast = 5)).get.nFrames == 15L)
     // probeVideoMeta routes mkv payloads through the EBML parse
     val probed = Multimodal.probeVideoMeta(spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "video", mkv,

@@ -243,6 +243,28 @@ class PipelineSpec extends SparkSpec {
     assert(contB < 1000000L && contB > 0L, s"container side $contB")
   }
 
+  test("winnow containment: df-cap saturation is visible, not silent") {
+    import graft.ops.TextAnalysis
+    // docs 1 and 2 share a RARE passage (pair survives) and a HOT
+    // passage quoted by every doc (df > maxDf: indexes nothing) —
+    // the n_capped columns must expose the excluded hot part
+    val hot = "this boilerplate footer appears everywhere in the corpus"
+    val rare2 = "an unusual shared paragraph only these two contain"
+    val d = (Seq(
+      (1L, s"$rare2 $hot"),
+      (2L, s"something else entirely then $rare2 and then $hot")) ++
+      (3L to 9L).map(i => (i, s"unique content number $i padded out $hot")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowContainment(d, "text", "doc_id",
+        k = 8, w = 4, minShared = 1, maxDf = 4)
+      .select("id_a", "id_b", "n_capped_a", "n_capped_b")
+      .as[(Long, Long, Long, Long)].collect()
+    val pair = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"the rare passage must keep the pair alive: ${rows.toSeq}")
+    assert(pair.get._3 > 0L && pair.get._4 > 0L,
+      s"the hot passage's capped fingerprints must be reported: $pair")
+  }
+
   test("contamination counts distinct shared ngrams against the probe set only") {
     import graft.ops.TextAnalysis
     val d = Seq(

@@ -195,6 +195,32 @@ class SketchSpec extends SparkSpec {
       .filter(col("src").isNull).count() <= 16L)
   }
 
+  test("cardinality monitor: a feed gone null ALERTS instead of going silent") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    val healthy = (0 until 100).map(i => ("crawl", Some(s"doc$i")))
+      .toDF("src", "v")
+    val broken = (0 until 100).map(_ => ("crawl", Option.empty[String]))
+      .toDF("src", "v")
+    CardinalityStream.cardinalityBatch(spark, healthy, 0L, out, st, "src", "v")
+    CardinalityStream.cardinalityBatch(spark, broken, 1L, out, st, "src", "v")
+    val r1 = spark.read.parquet(s"$out/batch=1")
+      .select("batch_rows", "batch_distinct", "lifetime_rows", "est_distinct",
+        "dup_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // the all-null trigger still reports: full row volume, zero new
+    // distincts, lifetime advancing, dup_ppm rising to exactly half
+    assert(r1.toSeq == Seq((100L, 0L, 200L, 100L, 500000L)), r1.toSeq.toString)
+    // and an all-null FIRST sight of a group keeps its lifetime count
+    val out2 = tmp(); val st2 = tmp()
+    CardinalityStream.cardinalityBatch(spark, broken, 0L, out2, st2, "src", "v")
+    CardinalityStream.cardinalityBatch(spark, broken, 1L, out2, st2, "src", "v")
+    val r2 = spark.read.parquet(s"$out2/batch=1")
+      .select("lifetime_rows", "est_distinct", "dup_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(r2.toSeq == Seq((200L, 0L, 1000000L)), r2.toSeq.toString)
+  }
+
   test("cardinality stream end-to-end over a file feed") {
     import graft.streaming.CardinalityStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
