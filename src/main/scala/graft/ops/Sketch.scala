@@ -92,18 +92,34 @@ object Sketch {
 
   /** The KMV distinct estimate as an integer column expression:
     * exact k_eff when the sketch is unsaturated (it holds ALL
-    * distinct hashes), else (k-1)·(|H| div h_k) — integer division
-    * against the kth-smallest hash. The div's truncation error is
-    * ≤ h_k/|H| ≈ k/n relative, far below the sketch's own 1/sqrt(k)
-    * noise, and both engines truncate identically (all operands
-    * positive). greatest(h_k, 1) guards the measure-zero h = 0 hash:
+    * distinct hashes), else ⌊(k-1)·|H| / h_k⌋ — division against the
+    * kth-smallest hash, computed in 64-bit as quotient-plus-remainder:
+    *
+    *   (k-1)·(|H| div h) + ((k-1)·((|H| mod h) div k)) div (h div k)
+    *
+    * Flooring (|H| div h) BEFORE the multiply loses up to one full
+    * quotient unit — at n close to k the quotient is ~1, so the naive
+    * form underestimates by up to ~50% (e.g. k=64, n=70: est 63 vs
+    * ~69), which in the cardinality monitor reads as a false
+    * duplication alert. The remainder term recovers it; both its
+    * operands are pre-shifted down by k so (k-1)·((|H| mod h) div k)
+    * < |H| < 2⁶³ can never overflow Long for ANY k, at the cost of a
+    * remainder error ≤ (k-1)/(h div k) — relative error ~k/|H|,
+    * vanishing against the sketch's own 1/sqrt(k) noise. All operands
+    * positive, so both engines truncate identically and the oracle
+    * replays the same arithmetic verbatim. greatest(h, 1) and
+    * greatest(h div k, 1) guard the measure-zero tiny-hash cases:
     * DuckDB raises on integer division by zero where Spark yields
     * null, and a guard both engines evaluate identically is cheaper
     * than either behavior.
     */
-  private[graft] def estimate(kEff: Column, hKName: String, k: Int): Column =
+  private[graft] def estimate(kEff: Column, hKName: String, k: Int): Column = {
+    val h = s"greatest($hKName, 1)"
     when(kEff < k, kEff)
-      .otherwise(expr(s"${k - 1} * ($HashSpace div greatest($hKName, 1))"))
+      .otherwise(expr(
+        s"${k - 1} * ($HashSpace div $h) + " +
+          s"(${k - 1} * (($HashSpace % $h) div $k)) div greatest($h div $k, 1)"))
+  }
 
   /** Sketched per-group distinct count — `profile_table`'s
     * n_distinct at 100 TB: (group, k_eff, h_k, est_distinct), one
@@ -136,10 +152,16 @@ object Sketch {
     // pair frame, then each join side): materialize its |groups|·k
     // rows once — without this the whole kmv subtree (corpus scan +
     // distinct shuffle included) replays per consumer, and exchange
-    // reuse can't dedup it across the window stages (plan-verified)
-    val sk = kmv(df, groupCol, value, k, salts)
-      .select(col(groupCol).as("__g"), col("h"))
-      .localCheckpoint()
+    // reuse can't dedup it across the window stages (plan-verified).
+    // Eager truncation via Lineage.truncate (durable under the
+    // spark.graft.checkpointDir knob); the consumers run lazily when
+    // the RESULT executes, so the truncated blocks must outlive this
+    // call — retention is bounded at |groups|·k rows (k longs per
+    // group) and the blocks are GC-released with the returned frame,
+    // unlike a persist pinned until an explicit unpersist.
+    val sk = graft.util.Lineage.truncate(
+      kmv(df, groupCol, value, k, salts)
+        .select(col(groupCol).as("__g"), col("h")))
     val gs = sk.select(col("__g")).distinct()
     val pairs = gs.select(col("__g").as(ga))
       .crossJoin(gs.select(col("__g").as(gb)))

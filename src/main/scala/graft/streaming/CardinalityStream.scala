@@ -72,6 +72,15 @@ object CardinalityStream {
     * axis would go silent on exactly that fault). A group whose
     * sketch is empty persists in state as one h-null row so its
     * lifetime count survives.
+    *
+    * Estimator: [[graft.ops.Sketch.estimate]]'s quotient+remainder
+    * form — below saturation it is EXACT, above it carries no
+    * systematic bias at any n/k ratio (the earlier pre-multiply floor
+    * underestimated by up to ~50% for groups with n not far above k,
+    * which here read as a FALSE duplication alert of up to
+    * ~500000 ppm on a dup-free feed — the monitor's core failure
+    * mode, and one the cross-engine gate can't catch because the
+    * oracle replays the same arithmetic).
     */
   def cardinalityBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                        outDir: String, stateDir: String,

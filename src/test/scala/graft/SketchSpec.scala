@@ -144,8 +144,12 @@ class SketchSpec extends SparkSpec {
       assert(lifetime == 300L, s"$src lifetime $lifetime")
       // per-group true distinct = 225 (union of 0..299 and 150..449 halves)
       assert(math.abs(est - 225) < 80, s"$src est $est")
-      // true duplicated fraction = 75/300 = 250000 ppm
-      assert(dupPpm > 80000 && dupPpm < 420000, s"$src dup_ppm $dupPpm")
+      // dup_ppm is DERIVED from the estimate by exact integer
+      // arithmetic — assert the derivation (true fraction = 250000
+      // ppm is covered by the est band above; a fixed dup_ppm band
+      // would just re-tune itself to the estimator's noise)
+      assert(dupPpm == math.max(0L, 1000000L - est * 1000000L / 300L),
+        s"$src dup_ppm $dupPpm for est $est")
     }
   }
 
