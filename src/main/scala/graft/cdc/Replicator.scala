@@ -154,13 +154,15 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       // watermark we persist must describe the same set of rows even
       // if the source gains rows between the two actions (live feeds;
       // see ChangeCapture.incrementalPull on snapshot isolation).
-      // localCheckpoint: the change batch feeds up to four actions
+      // eager truncation: the change batch feeds up to four actions
       // (emptiness, affected-bucket collect, both merge sides) — ONE
       // source extraction, not four (decisive on a JDBC source, and
-      // the reads can't disagree on a live one).
-      val changes = ChangeCapture.incrementalPull(
-        src, version, st.lastSeenVersion, upperBound = Some(maxVersion))
-        .localCheckpoint()
+      // the reads can't disagree on a live one). Durable under
+      // spark.graft.checkpointDir: an executor loss mid-merge then
+      // re-reads the batch from storage instead of re-querying a
+      // source that has already moved past the recorded watermark.
+      val changes = graft.util.Lineage.truncate(ChangeCapture.incrementalPull(
+        src, version, st.lastSeenVersion, upperBound = Some(maxVersion)))
       if (!changes.isEmpty) {
         sink match {
           case b: BucketedParquetStore =>

@@ -81,12 +81,15 @@ object Scd2 {
     */
   def maintain(history: DataFrame, batch: DataFrame, pkCols: Seq[String],
                versionCol: String, payloadCols: Seq[String]): DataFrame = {
-    // localCheckpoint: the distinct is computed ONCE for both probes
-    // (not re-derived per join), and the planner sizes the join from
-    // the materialized blocks — a normal batch broadcasts, but a huge
-    // catch-up/backfill batch falls back to a shuffle join instead of
-    // blowing the broadcast threshold or driver memory on a hint
-    val keys = batch.select(pkCols.map(col): _*).distinct().localCheckpoint()
+    // eager truncation (Lineage.truncate; durable under the
+    // spark.graft.checkpointDir knob): the distinct is computed ONCE
+    // for both probes (not re-derived per join), and the planner sizes
+    // the join from the materialized blocks — a normal batch
+    // broadcasts, but a huge catch-up/backfill batch falls back to a
+    // shuffle join instead of blowing the broadcast threshold or
+    // driver memory on a hint
+    val keys = graft.util.Lineage.truncate(
+      batch.select(pkCols.map(col): _*).distinct())
     val affected = history.join(keys, pkCols, "left_semi")
     val untouched = history.join(keys, pkCols, "left_anti")
     // a history row is exactly one effective change at version = valid_from

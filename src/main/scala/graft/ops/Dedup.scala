@@ -250,14 +250,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count()
     val cands = candidatesFromBands(minHashBandsWide(toks, numHashes, numBands))
-    // eager localCheckpoint, then release the token cache: without it
-    // every call pinned a tokenized-corpus cache for the session
-    // lifetime (same hygiene as ngramJaccard; checkpoint blocks are
-    // GC-cleaned with the returned frame)
-    val result = verifyJaccard(toks, cands)
+    // eager truncation (Lineage.truncate — durable when the
+    // spark.graft.checkpointDir knob is set), then release the token
+    // cache: without it every call pinned a tokenized-corpus cache for
+    // the session lifetime (same hygiene as ngramJaccard; default-mode
+    // checkpoint blocks are GC-cleaned with the returned frame)
+    val result = graft.util.Lineage.truncate(verifyJaccard(toks, cands)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint()
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
     toks.unpersist()
     result
   }
@@ -480,15 +480,16 @@ object Dedup {
       .crossJoin(df.sparkSession.range(SALTS).toDF("salt"))
     val cands = a.join(b, Seq("tok", "salt")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // eager localCheckpoint: the (small) verified pair set materializes
-    // HERE, so the shingle cache is released immediately instead of
-    // leaking one persisted set per call for the session lifetime; the
-    // checkpoint blocks themselves are GC-cleaned with the returned
-    // frame, unlike a persist pinned until an explicit unpersist.
-    val result = verifyJaccard(sh, cands)
+    // eager truncation (Lineage.truncate, durable under the
+    // spark.graft.checkpointDir knob): the (small) verified pair set
+    // materializes HERE, so the shingle cache is released immediately
+    // instead of leaking one persisted set per call for the session
+    // lifetime; default-mode checkpoint blocks are GC-cleaned with the
+    // returned frame, unlike a persist pinned until an explicit
+    // unpersist.
+    val result = graft.util.Lineage.truncate(verifyJaccard(sh, cands)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint()
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
     sh.unpersist()
     result
   }

@@ -337,7 +337,8 @@ object TextAnalysis {
     * the join salted 16 ways on the probe side so one hot fingerprint
     * cannot pin a partition, pair counts partial-aggregated. The
     * fingerprint set is materialized once and released (the
-    * persist + localCheckpoint hygiene of the other pair operators).
+    * persist + Lineage.truncate hygiene of the other pair operators —
+    * durable under the spark.graft.checkpointDir knob).
     */
   /** Shared-fingerprint pair counts over a winnowed (id, fp) set:
     * df-capped index, 16-way salted join, partial-aggregated counts
@@ -369,8 +370,8 @@ object TextAnalysis {
     fps.count()
     val rareFps = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val result = sharedFpCounts(fps, rareFps, idCol, minShared)
-      .localCheckpoint()
+    val result = graft.util.Lineage.truncate(
+      sharedFpCounts(fps, rareFps, idCol, minShared))
     fps.unpersist()
     result
   }
@@ -411,7 +412,7 @@ object TextAnalysis {
     val capped = fps
       .join(dfAgg.filter(col("df") > maxDf).select("fp"), Seq("fp"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_capped"))
-    val result = sharedFpCounts(fps,
+    val result = graft.util.Lineage.truncate(sharedFpCounts(fps,
         dfAgg.filter(col("df") <= maxDf).select("fp"), idCol, minShared)
       .join(counts.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")),
         Seq("id_a"))
@@ -426,8 +427,7 @@ object TextAnalysis {
         coalesce(col("n_capped_a"), lit(0L)).as("n_capped_a"),
         coalesce(col("n_capped_b"), lit(0L)).as("n_capped_b"),
         expr("n_shared * 1000000 div n_fp_a").as("cont_a_ppm"),
-        expr("n_shared * 1000000 div n_fp_b").as("cont_b_ppm"))
-      .localCheckpoint()
+        expr("n_shared * 1000000 div n_fp_b").as("cont_b_ppm")))
     fps.unpersist()
     result
   }

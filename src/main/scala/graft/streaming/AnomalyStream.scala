@@ -61,8 +61,11 @@ object AnomalyStream {
                        maxFilesPerTrigger: Int = 10,
                        feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
-    val refStats = Profile.madStats(
-      spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()
+    // |groups| rows reused every trigger for the stream's lifetime —
+    // Lineage.truncate so a mid-stream executor loss doesn't strand
+    // the reference frame (durable under spark.graft.checkpointDir)
+    val refStats = graft.util.Lineage.truncate(Profile.madStats(
+      spark.read.parquet(refDir), groupCol, valueCol))
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -89,9 +92,10 @@ object AnomalyStream {
                     maxFilesPerTrigger: Int = 10,
                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
-    // |groups| rows, reused every trigger: materialize once
-    val refStats = Profile.momentStats(
-      spark.read.parquet(refDir), groupCol, valueCol).localCheckpoint()
+    // |groups| rows reused every trigger for the stream's lifetime:
+    // materialize once, durably under spark.graft.checkpointDir
+    val refStats = graft.util.Lineage.truncate(Profile.momentStats(
+      spark.read.parquet(refDir), groupCol, valueCol))
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -85,9 +85,11 @@ object DriftStream {
                   maxFilesPerTrigger: Int = 10,
                   feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
-    // vocab-sized, reused every trigger: materialize once
-    val refModel = referenceModel(spark.read.parquet(refDir), textCol)
-      .localCheckpoint()
+    // vocab-sized, reused every trigger for the stream's lifetime:
+    // materialize once, durably under spark.graft.checkpointDir (a
+    // mid-stream executor loss must not strand the reference model)
+    val refModel = graft.util.Lineage.truncate(
+      referenceModel(spark.read.parquet(refDir), textCol))
     val feed = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

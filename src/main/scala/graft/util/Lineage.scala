@@ -31,6 +31,18 @@ import org.apache.spark.sql.DataFrame
   * only the recovery story differs, which is why this is a session
   * conf and not a per-operator argument: an orchestrator flips one
   * knob for the whole pipeline.
+  *
+  * Scope: EVERY eager batch-path truncation routes through here —
+  * iterative rounds, pair-set materializations (minhash / ngram /
+  * winnow), sketch frames, pipeline mid-frames, CDC change batches,
+  * and stream-lifetime reference frames. The one deliberate
+  * exception is truncation INSIDE a `foreachBatch` trigger
+  * (CdcStream / AggStream / QuotaStream / CardinalityStream /
+  * DriftStream): those frames live only for the trigger, Structured
+  * Streaming re-runs a failed batch from the checkpointed source
+  * offsets anyway, and a durable write per trigger would add a
+  * storage round-trip to every micro-batch for recovery the engine
+  * already provides — they stay `localCheckpoint` by design.
   */
 object Lineage {
 
@@ -46,8 +58,12 @@ object Lineage {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
         // setCheckpointDir creates a fresh UUID subdir per call — set
-        // it once per app, not per round
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // it once per configured dir, not per round; re-point only
+        // when the session conf moved (an orchestrator redirecting
+        // checkpoints between jobs must be honored, not ignored
+        // because an earlier job already set a dir)
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -54,4 +54,31 @@ class LineageSpec extends SparkSpec {
     assert(rddFiles(new java.io.File(dir)) > 0,
       "reliable mode must write checkpoint blocks under the configured dir")
   }
+
+  test("eager pair/sketch truncations honor the durable-checkpoint knob") {
+    // the knob must cover EVERY eager truncation, not only the
+    // iterative loops: winnow pairs and the KMV overlap sketch
+    // materialize mid-operator, and a localCheckpoint there would be
+    // exactly the unrecoverable-on-executor-loss lineage the knob
+    // exists to prevent
+    import graft.ops.{Sketch, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir).limit(120).cache()
+    def runBoth(): Seq[Set[String]] = Seq(
+      TextAnalysis.winnowPairs(docs, "text", "doc_id",
+        k = 8, w = 4, minShared = 2, maxDf = 100).collect()
+        .map(_.toString).toSet,
+      Sketch.overlap(docs, "source", col("text"), k = 16).collect()
+        .map(_.toString).toSet)
+    val local = runBoth()
+    val dir = ckptDir()
+    val reliable = withSQLConf(Lineage.ConfKey -> dir)(runBoth())
+    local.zip(reliable).zipWithIndex.foreach { case ((l, r), i) =>
+      assert(l == r, s"operator #$i diverged between checkpoint modes")
+    }
+    def rddFiles(d: java.io.File): Long =
+      if (d.isDirectory) d.listFiles().map(rddFiles).sum
+      else if (d.getName.startsWith("part-")) 1L else 0L
+    assert(rddFiles(new java.io.File(dir)) > 0,
+      "reliable mode must write checkpoint blocks under the configured dir")
+  }
 }
