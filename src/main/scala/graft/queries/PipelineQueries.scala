@@ -343,10 +343,12 @@ object PipelineQueries {
     // window — partial-aggregatable, no per-group sort
     val keepers = scored.groupBy(col("norm")).agg(min("doc_id").as("doc_id"))
     // the deduped corpus feeds BOTH the contamination index and the
-    // final anti-join; localCheckpoint materializes it once instead of
-    // re-running the scan + dedup shuffle per consumer (a cluster job
-    // would checkpoint() durably — same shape, plus fault tolerance)
-    val deduped = scored.join(keepers, Seq("norm", "doc_id")).localCheckpoint()
+    // final anti-join; Lineage.truncate materializes it once instead
+    // of re-running the scan + dedup shuffle per consumer (durable
+    // checkpoint when spark.graft.checkpointDir is set — the cluster
+    // fault-tolerance story in one knob)
+    val deduped = graft.util.Lineage.truncate(
+      scored.join(keepers, Seq("norm", "doc_id")))
     // contamination re-normalizes internally; normalize is idempotent
     val bad = TextAnalysis.contamination(deduped, "norm", "doc_id",
         probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
@@ -585,6 +587,25 @@ object PipelineQueries {
       dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
       "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
 
+  /** End-to-end winnow curation composition — the Pipeline
+    * `dedup_winnow` stage (winnowed-fingerprint pairs →
+    * Dedup.connectedComponents → keep the min id per cluster) driven
+    * through the REAL config machinery (Pipeline.applyStage with a
+    * parsed JSON stage node) on the thinned dup corpus, so the whole
+    * pairs→clusters→keeper chain hash-gates as ONE query instead of
+    * only its pieces (pipeline_clean_corpus's sibling for
+    * substring-level dedup; the oracle replays the clusters with a
+    * recursive reachability CTE).
+    */
+  def pipelineWinnowQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"op": "dedup_winnow", "k": 8, "w": 4, "minShared": 10, "maxDf": 100}""")
+    graft.Pipeline.applyStage(
+        dupCorpus(spark, sfDir).filter(expr("doc_id % 20 = 0")),
+        "dedup_winnow", node, "text", "doc_id")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** Quality-weighted per-source sample (graft.ops.Sampling
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
@@ -746,11 +767,11 @@ object PipelineQueries {
     // keep the above-mean half: score·N > Σscore is integer-exact on
     // both engines (score > 0 keeps ~nothing — one GD round from w=0
     // leaves most raw logits negative on an unbalanced target).
-    // trainScored featurizes ONCE; the checkpoint stops the scored
+    // trainScored featurizes ONCE; the truncation stops the scored
     // rows recomputing for both the totals row and the filter
-    val scored = Classifier.trainScored(d, "text", "doc_id", target, m = 256,
-        iters = 1)
-      .localCheckpoint()
+    // (durable under spark.graft.checkpointDir like the GD loop)
+    val scored = graft.util.Lineage.truncate(
+      Classifier.trainScored(d, "text", "doc_id", target, m = 256, iters = 1))
     val tot = scored.agg(sum("score").as("ts"), count(lit(1)).as("nd"))
     val kept = scored.crossJoin(broadcast(tot))
       .filter(col("score") * col("nd") > col("ts")).select("doc_id")
@@ -821,6 +842,7 @@ object PipelineQueries {
     "text_winnow" -> textWinnowQ,
     "dedup_winnow" -> dedupWinnowQ,
     "dedup_winnow_containment" -> dedupWinnowContainQ,
+    "pipeline_winnow_corpus" -> pipelineWinnowQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "emb_project" -> embProjectQ,
@@ -1442,6 +1464,39 @@ object PipelineQueries {
          |        JOIN cnt cb ON cb.doc_id = pr.id_b
          |        LEFT JOIN cap ka ON ka.doc_id = pr.id_a
          |        LEFT JOIN cap kb ON kb.doc_id = pr.id_b""".stripMargin,
+    // winnow pairs replayed as in dedup_winnow, then the connected
+    // components via a recursive reachability CTE (cluster = min id
+    // reachable over the undirected pair graph — exactly what
+    // min-label propagation converges to), then the keeper anti-join
+    "pipeline_winnow_corpus" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, lang, n_chars, text FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |d AS (SELECT doc_id, $norm AS nt FROM corpus),
+         |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
+         |hs AS (SELECT doc_id, list_transform(generate_series(0, len(nt) - 8),
+         |         i -> ${h64("substr(nt, CAST(i + 1 AS INT), 8)")}) AS hl
+         |       FROM g),
+         |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(0, len(hl) - 4),
+         |         j -> list_min(hl[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fp
+         |       FROM hs),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
+         |         WHERE df <= 100),
+         |rf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 10),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT u AS id, u AS m FROM edges
+         |          UNION
+         |          SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id),
+         |lab AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+         |SELECT c.doc_id, c.lang, c.n_chars FROM corpus c
+         |WHERE c.doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)""".stripMargin,
     // list_filter strips the phantom ''-char divergence (Spark split
     // keeps a trailing empty element, DuckDB does not); both engines
     // then quantize ln(n/cnt) identically (round-half-up, <=1 ulp —
@@ -1498,7 +1553,9 @@ object PipelineQueries {
          |SELECT col_name, CAST(k_eff AS BIGINT) AS k_eff,
          |  CAST(h_k AS BIGINT) AS h_k,
          |  CAST(CASE WHEN k_eff < 64 THEN k_eff
-         |       ELSE 63 * (1152921504606846976 // greatest(h_k, 1)) END
+         |       ELSE 63 * (1152921504606846976 // greatest(h_k, 1))
+         |         + (63 * ((1152921504606846976 % greatest(h_k, 1)) // 64))
+         |           // greatest(greatest(h_k, 1) // 64, 1) END
          |    AS BIGINT) AS est_distinct
          |FROM ag""".stripMargin,
     "dedup_overlap_sketch" ->
@@ -1532,7 +1589,9 @@ object PipelineQueries {
          |       FROM rk WHERE r <= 64 GROUP BY 1, 2),
          |fin AS (SELECT source_a, source_b, k_eff, n_both,
          |          CASE WHEN k_eff < 64 THEN k_eff
-         |          ELSE 63 * (1152921504606846976 // greatest(h_k, 1)) END
+         |          ELSE 63 * (1152921504606846976 // greatest(h_k, 1))
+         |            + (63 * ((1152921504606846976 % greatest(h_k, 1)) // 64))
+         |              // greatest(greatest(h_k, 1) // 64, 1) END
          |            AS est_union
          |        FROM ag)
          |SELECT source_a, source_b, CAST(k_eff AS BIGINT) AS k_eff,
