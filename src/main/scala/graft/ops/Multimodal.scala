@@ -485,17 +485,24 @@ object Multimodal {
           // children — so recurse into nested Clusters/BlockGroups
           // instead of assuming one flat Cluster level, or every
           // cluster after the first would go uncounted.
-          def blockFrames(a: Int): Long = {
+          // bounds-checked against the block element's OWN bodyEnd: a
+          // truncated Simple/Block must count 0 like every other
+          // malformed-EBML path, not read flag/lace bytes that land
+          // inside the next sibling element (still within payload, so
+          // no exception would flag it)
+          def blockFrames(a: Int, end: Int): Long = {
             val (tn, tl, _) = vint(a, keepMarker = false)
             if (tn != trackNum) 0L
-            else if ((payload(a + tl + 2) & 0x06) != 0)
-              1L + (payload(a + tl + 3) & 0xff)
-            else 1L
+            else if (a + tl + 2 >= end) 0L // no room for ts + flags
+            else if ((payload(a + tl + 2) & 0x06) != 0) {
+              if (a + tl + 3 >= end) 0L // lacing declared, count missing
+              else 1L + (payload(a + tl + 3) & 0xff)
+            } else 1L
           }
           def countIn(start: Int, end: Int): Long =
             children(start, end).map {
-              case (0xA3L, a, _) => blockFrames(a) // SimpleBlock
-              case (0xA1L, a, _) => blockFrames(a) // Block
+              case (0xA3L, a, b) => blockFrames(a, b) // SimpleBlock
+              case (0xA1L, a, b) => blockFrames(a, b) // Block
               case (0xA0L, a, b) => countIn(a, b) // BlockGroup
               case (0x1F43B366L, a, b) => countIn(a, b) // nested Cluster
               case _ => 0L
@@ -521,9 +528,14 @@ object Multimodal {
                laceExtraInLast: Int = 0): Array[Byte] = {
     def be(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
-    def size(n: Int): Array[Byte] =
+    def size(n: Int): Array[Byte] = {
+      // 2-byte VINT ceiling: a bigger body would silently encode a
+      // WRONG length and yield a fixture parseMkv quietly miscounts —
+      // fail loudly at build time instead
+      require(n < 16383, s"buildMkv body of $n bytes exceeds 2-byte VINT")
       if (n < 127) Array((0x80 | n).toByte)
-      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte) // < 16383
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    }
     def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] =
       idBytes ++ size(body.length) ++ body
     val ebml = el(be(0x1A45DFA3L, 4), Array.empty)
