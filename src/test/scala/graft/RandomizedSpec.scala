@@ -601,6 +601,66 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("containment df-cap saturation is visible and scores only understate") {
+    import graft.ops.TextAnalysis
+    val rnd = new Random(29)
+    val (k, w) = (8, 4)
+    def randStr(alpha: String, n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val maxDf = 4
+    // a passage quoted by MORE docs than the cap: every fingerprint it
+    // yields has df > maxDf, so the capped index drops it entirely —
+    // the quotation detector's documented wrong-way failure, which
+    // n_capped must surface and which must only LOWER scores (floor,
+    // not estimate)
+    val hot = randStr("abcdef", k + w - 1 + 20)
+    // a rare passage shared by exactly one doc pair: stays under the cap
+    val rare = randStr("ghijkl", k + w - 1 + 20)
+    val quoters = (0 until 10).map { i =>
+      (i.toLong, s"${randStr("mnopqr", 10 + rnd.nextInt(20))} $hot " +
+        randStr("stuvwx", 10 + rnd.nextInt(20)))
+    }
+    // doc 100 is EMBEDDED whole in doc 101, and both quote `hot`
+    val pairDocs = Seq(
+      (100L, s"$rare $hot"),
+      (101L, s"${randStr("yz", 15)} $rare $hot"))
+    val df = (quoters ++ pairDocs).toDF("doc_id", "text")
+    def run(cap: Int): Map[(Long, Long), (Long, Long, Long, Long, Long, Long, Long)] =
+      TextAnalysis.winnowContainment(df, "text", "doc_id",
+          k, w, minShared = 1, maxDf = cap)
+        .select("id_a", "id_b", "n_shared", "n_fp_a", "n_fp_b",
+          "n_capped_a", "n_capped_b", "cont_a_ppm", "cont_b_ppm")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+        .toMap
+    val capped = run(maxDf)
+    val open = run(1000000)
+    // the rare-passage pair survives the cap, and the saturation of
+    // its hot-passage fingerprints is VISIBLE on both sides
+    val cp = capped((100L, 101L))
+    assert(cp._4 > 0 && cp._5 > 0,
+      s"cap-saturated docs must report n_capped > 0, got $cp")
+    // with the cap open nothing is excluded, and the embedded doc
+    // scores EXACTLY 10^6 on its side (FP_100 subset of FP_101)
+    val op = open((100L, 101L))
+    assert(op._4 == 0 && op._5 == 0, s"open run must cap nothing: $op")
+    assert(op._6 == 1000000L, s"embedded doc must score 10^6 uncapped: $op")
+    // monotonicity: every capped pair exists uncapped with n_shared
+    // and both scores >= the capped run's, on IDENTICAL denominators
+    // (n_fp counts all fingerprints regardless of cap)
+    capped.foreach { case (pair, c) =>
+      val o = open(pair)
+      assert(o._2 == c._2 && o._3 == c._3, s"$pair denominators moved: $c vs $o")
+      assert(o._1 >= c._1 && o._6 >= c._6 && o._7 >= c._7,
+        s"$pair capped scores must only understate: $c vs $o")
+    }
+    // the hot-only quoter pairs are invisible under the cap and
+    // reappear without it
+    assert(open.size > capped.size,
+      s"open ${open.size} pairs vs capped ${capped.size}")
+  }
+
   test("KMV distinct estimate stays inside 4-sigma across random cardinalities") {
     import graft.ops.Sketch
     val rnd = new Random(11)

@@ -899,6 +899,33 @@ class StreamingSpec extends SparkSpec {
     assert(st.filter($"source".isNull).select("admitted").as[Long].head() == 2L)
   }
 
+  test("monitor state stores prune versions to a flat bounded window") {
+    import graft.streaming.{CardinalityStream, QuotaStream}
+    val qOut = tmp(); val qSt = tmp(); val cOut = tmp(); val cSt = tmp()
+    for (b <- 0L until 8L) {
+      val batch = (0 until 20).map(i => (s"s${i % 2}", b * 100 + i))
+        .toDF("source", "doc_id")
+      QuotaStream.quotaBatch(spark, batch, b, qOut, qSt,
+        "source", "doc_id", quota = 50)
+      CardinalityStream.cardinalityBatch(spark,
+        batch.select($"source".as("src"), $"doc_id".cast("string").as("v")),
+        b, cOut, cSt, "src", "v", k = 16)
+    }
+    def versions(dir: String): Seq[Long] =
+      new java.io.File(dir).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .sorted
+    // after 8 triggers only the newest KEEP_VERSIONS (4) state dirs
+    // survive — the listing cost every trigger pays (and the storage
+    // footprint) stays FLAT with stream age, like the near-dup store's
+    // compaction; an unpruned store would hold one version per trigger
+    // forever
+    assert(versions(qSt) == Seq(4L, 5L, 6L, 7L), s"quota state: ${versions(qSt)}")
+    assert(versions(cSt) == Seq(4L, 5L, 6L, 7L), s"cardinality state: ${versions(cSt)}")
+    // reports are NOT state: every trigger's output dir stays published
+    assert(versions(qOut).size == 8 && versions(cOut).size == 8)
+  }
+
   test("streaming pipeline: explicit schema launches on an empty feed dir; inference fails loudly") {
     val feedDir = tmp(); val outDir = tmp(); val ckpt = tmp()
     val docs = Tables.documents(spark, sfDir)
