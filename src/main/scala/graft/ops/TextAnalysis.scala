@@ -631,8 +631,19 @@ object TextAnalysis {
     * thresholded) co-occurrence aggregate — one more partial agg each,
     * never a corpus re-scan; the marginal join keys are single tokens
     * (at most |vocab| rows each side after aggregation).
+    *
+    * The aggregate feeds FOUR consumers (the matrix itself, both
+    * marginals, the total), and exchange reuse does NOT dedup the
+    * subtree across them (plan-verified: four full scan+explode+agg
+    * branches, no ReusedExchange — the same failure Sketch.overlap
+    * hit, PERF.md round 7). Without truncation the corpus explode ran
+    * 4× and the query swung 5-23 s at sf0.1; with it, one pass. The
+    * materialized frame is bounded by the THRESHOLDED pair vocabulary
+    * — the operator's own output order — and truncation is durable
+    * under the `spark.graft.checkpointDir` knob.
     */
-  def pmi(cooc: DataFrame): DataFrame = {
+  def pmi(coocRaw: DataFrame): DataFrame = {
+    val cooc = graft.util.Lineage.truncate(coocRaw)
     val ma = cooc.groupBy(col("center").as("a")).agg(sum("cnt").as("m_a"))
     val mb = cooc.groupBy(col("context").as("b")).agg(sum("cnt").as("m_b"))
     val tot = cooc.agg(sum("cnt").as("t"))

@@ -333,6 +333,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "marginals must combine map-side")
     assert(!plan.contains("CartesianProduct"),
       "the single-row total must fold in as a broadcast, never cartesian")
+    // the co-occurrence aggregate feeds four consumers and exchange
+    // reuse does NOT dedup the subtree across them: before the
+    // Lineage.truncate fix the plan held FOUR full scan+explode+agg
+    // branches (5-23 s at sf0.1); truncation makes the corpus pass
+    // happen exactly once, so the downstream plan must contain no
+    // parquet scan at all
+    assert(!plan.contains("Scan parquet"),
+      "the corpus must be read once at truncation — a scan here means the 4x replay is back")
   }
 
   test("q_anomaly_zscore: moment stats broadcast back, event stream never shuffle-joins") {
