@@ -245,6 +245,138 @@ class SketchSpec extends SparkSpec {
     assert(last.toSeq == Seq(200L, 200L))
   }
 
+  /** Exact lower weighted quantile over (value, count) pairs — the
+    * driver-side reference for the quantile monitor's selection rule.
+    */
+  private def lowerQuantile(vals: Seq[(Double, Long)], p: Int): Double = {
+    val sorted = vals.sortBy(_._1)
+    val tot = sorted.map(_._2).sum
+    var cum = 0L
+    sorted.find { case (_, c) => cum += c; cum * 100 >= p * tot }
+      .map(_._1).getOrElse(sorted.last._1)
+  }
+
+  test("quantile monitor: unsaturated quantiles are EXACT over the whole history") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    // two triggers, 40 distinct values total under k=256: the sample
+    // holds the complete weighted histogram, quantiles are equalities
+    val b0 = (0 until 300).map(i => ("api", (i % 20).toDouble)).toDF("src", "ms")
+    val b1 = (0 until 300).map(i => ("api", (i % 40).toDouble)).toDF("src", "ms")
+    QuantileStream.quantileBatch(spark, b0, 0L, out, st, "src", "ms")
+    QuantileStream.quantileBatch(spark, b1, 1L, out, st, "src", "ms")
+    val union = ((0 until 300).map(i => (i % 20).toDouble) ++
+      (0 until 300).map(i => (i % 40).toDouble))
+      .groupBy(identity).map { case (v, o) => (v, o.size.toLong) }.toSeq
+    val r = spark.read.parquet(s"$out/batch=1")
+      .select("batch_rows", "rows_seen", "k_eff", "sampled_rows", "p50", "p90", "p99")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(r == ((300L, 600L, 40L, 600L,
+      lowerQuantile(union, 50), lowerQuantile(union, 90), lowerQuantile(union, 99))),
+      r.toString)
+  }
+
+  test("quantile monitor: surviving sample counts are exact lifetime counts; merge equals from-scratch") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    // k=4 over 30 distinct values: saturated — membership monotonicity
+    // must keep every SURVIVOR's count equal to its true total
+    val b0 = (0 until 60).map(i => ("g", (i % 30).toDouble)).toDF("src", "ms")
+    val b1 = (0 until 90).map(i => ("g", (i % 30).toDouble)).toDF("src", "ms")
+    QuantileStream.quantileBatch(spark, b0, 0L, out, st, "src", "ms", k = 4)
+    QuantileStream.quantileBatch(spark, b1, 1L, out, st, "src", "ms", k = 4)
+    val got = spark.read.parquet(s"$st/batch=1")
+      .select("v", "cnt").as[(Double, Long)].collect().toMap
+    val trueCounts = ((0 until 60) ++ (0 until 90)).map(i => (i % 30).toDouble)
+      .groupBy(identity).map { case (v, o) => (v, o.size.toLong) }
+    assert(got.size == 4)
+    for ((v, c) <- got) assert(c == trueCounts(v), s"value $v: cnt $c vs ${trueCounts(v)}")
+    // and the merged state equals one-shot ingestion of the union
+    val out2 = tmp(); val st2 = tmp()
+    QuantileStream.quantileBatch(spark, b0.unionByName(b1), 0L, out2, st2,
+      "src", "ms", k = 4)
+    val oneShot = spark.read.parquet(s"$st2/batch=0")
+      .select("v", "h", "cnt").collect().toSet
+    val merged = spark.read.parquet(s"$st/batch=1")
+      .select("v", "h", "cnt").collect().toSet
+    assert(merged == oneShot, "merge must equal the from-scratch sample")
+  }
+
+  test("quantile monitor: at-least-once replay rewrites identical bytes") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 100).map(i => (s"s${i % 3}", (i % 17).toDouble)).toDF("src", "ms")
+    val b1 = (50 until 200).map(i => (s"s${i % 3}", (i % 23).toDouble)).toDF("src", "ms")
+    QuantileStream.quantileBatch(spark, b0, 0L, out, st, "src", "ms", k = 8)
+    QuantileStream.quantileBatch(spark, b1, 1L, out, st, "src", "ms", k = 8)
+    val report0 = spark.read.parquet(s"$out/batch=0").collect().toSet
+    val state0 = spark.read.parquet(s"$st/batch=0").collect().toSet
+    QuantileStream.quantileBatch(spark, b0, 0L, out, st, "src", "ms", k = 8)
+    assert(spark.read.parquet(s"$out/batch=0").collect().toSet == report0)
+    assert(spark.read.parquet(s"$st/batch=0").collect().toSet == state0)
+  }
+
+  test("quantile monitor: null values advance volume but not the sample") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val healthy = (0 until 100).map(i => ("api", Some((i % 10).toDouble))).toDF("src", "ms")
+    val broken = (0 until 100).map(_ => ("api", Option.empty[Double])).toDF("src", "ms")
+    QuantileStream.quantileBatch(spark, healthy, 0L, out, st, "src", "ms")
+    QuantileStream.quantileBatch(spark, broken, 1L, out, st, "src", "ms")
+    val r = spark.read.parquet(s"$out/batch=1")
+      .select("batch_rows", "rows_seen", "sampled_rows")
+      .as[(Long, Long, Long)].head()
+    // volume keeps counting; the sample freezes — the visible gap IS the alert
+    assert(r == ((100L, 200L, 100L)), r.toString)
+    // an all-null FIRST sight still persists the group's lifetime count
+    val out2 = tmp(); val st2 = tmp()
+    QuantileStream.quantileBatch(spark, broken, 0L, out2, st2, "src", "ms")
+    val r2 = spark.read.parquet(s"$out2/batch=0")
+      .select("rows_seen", "k_eff").as[(Long, Long)].head()
+    assert(r2 == ((100L, 0L)), r2.toString)
+  }
+
+  test("quantile monitor: a tail shift moves p99 at the trigger it arrives") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    // healthy latency ~ 1..100; the degraded trigger adds a 5% tail at 10x
+    val healthy = (1 to 1000).map(i => ("api", (i % 100 + 1).toDouble)).toDF("src", "ms")
+    val degraded = ((1 to 950).map(i => ("api", (i % 100 + 1).toDouble)) ++
+      (1 to 50).map(i => ("api", 1000.0 + i))).toDF("src", "ms")
+    QuantileStream.quantileBatch(spark, healthy, 0L, out, st, "src", "ms", k = 512)
+    QuantileStream.quantileBatch(spark, degraded, 1L, out, st, "src", "ms", k = 512)
+    def q(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select("p50", "p99").as[(Double, Double)].head()
+    val (p50h, p99h) = q(0)
+    val (p50d, p99d) = q(1)
+    // the median barely moves (the tail is 2.5% of lifetime mass)…
+    assert(math.abs(p50d - p50h) <= 2.0,
+      s"the median must stay put on a tail-only shift: $p50h -> $p50d")
+    // …while p99 jumps clear into the injected tail — the signal a
+    // mean/sigma monitor would smear across the whole distribution
+    assert(p99h <= 100.0 && p99d > 1000.0,
+      s"p99 must jump into the injected tail: $p99h -> $p99d")
+  }
+
+  test("quantile stream end-to-end over a file feed") {
+    import graft.streaming.QuantileStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    (0 until 200).map(i => (s"s${i % 2}", (i % 50).toDouble)).toDF("src", "ms")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = QuantileStream.quantileStream(spark, feed, out, st, ckpt,
+      "src", "ms", k = 64)
+    try {
+      q.processAllAvailable()
+      (0 until 200).map(i => (s"s${i % 2}", (i % 80).toDouble)).toDF("src", "ms")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.read.option("basePath", out).parquet(out)
+    assert(reports.count() == 4L, "2 groups x 2 triggers")
+    assert(reports.filter(col("batch") === 1)
+      .select("rows_seen").as[Long].collect().toSeq == Seq(200L, 200L))
+  }
+
   test("profile_sketch exercises both estimator branches at sf0.001") {
     val rows = graft.queries.PipelineQueries.profileSketchQ(spark, sfDir)
       .select("col_name", "k_eff", "est_distinct")
