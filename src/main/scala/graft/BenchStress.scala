@@ -62,6 +62,20 @@ object BenchStress {
     }.reduce(_ unionByName _)
   }
 
+  /** N id-offset copies of lineitem: the offset key feeds the
+    * hash-sample predicate (quantile sketch), so each copy samples
+    * independently at the same rate — sampled-row work grows linearly
+    * while the per-copy value distribution (and so the sort work per
+    * sampled row) is identical to the base table.
+    */
+  def scaledLineitem(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val li = graft.util.Tables.lineitem(spark, sfDir)
+    (0 until n).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * COPY_STRIDE))
+    }.reduce(_ unionByName _)
+  }
+
   /** N norm-preserving rotated copies of embeddings (see object doc). */
   def scaledEmb(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val e = graft.util.Tables.embeddings(spark, sfDir)
@@ -173,6 +187,32 @@ object BenchStress {
       graft.ops.Sketch.overlap(corpus, "source",
         TextAnalysis.normalize(col("text")), k = 64)
     }),
+    // zero-exchange per-row fingerprinting: the ratio isolates the
+    // scan + md5-per-gram cost (PERF.md's top bench entry), which must
+    // stay embarrassingly parallel — any exchange creeping into the
+    // plan shows up as a superlinear tail here first
+    "text_winnow" -> ((d: DataFrame) =>
+      TextAnalysis.winnow(d, "text", "doc_id", k = 8, w = 4)),
+    // same thinned dup-injected corpus as dedup_winnow, asymmetric
+    // containment scoring on top: stresses the per-side fingerprint
+    // totals join that pairs alone doesn't exercise
+    "dedup_winnow_containment" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      TextAnalysis.winnowContainment(withDups.filter(expr("doc_id % 20 = 0")),
+        "text", "doc_id", k = 8, w = 4, minShared = 10, maxDf = 100)
+    }),
+    // FIXED 5-row output; rotated copies contribute fresh doc_id/text
+    // values, so the key-only distinct exchange (the one unbounded
+    // stage in the sketch plan) grows linearly while everything after
+    // it stays |cols|·k·salts-bounded
+    "profile_sketch" -> ((d: DataFrame) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+      graft.ops.Sketch.distinctCount(
+        d.selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)"),
+        "col_name", col("val"), k = 64)
+    }),
     // the full composed assembly chain (classifier train+score →
     // above-mean filter → span dedup → shard addressing): stresses
     // the STAGE COUPLING, not just each stage — a superlinear seam
@@ -193,6 +233,16 @@ object BenchStress {
     "ann_ivf" -> ((e: DataFrame, _: Int) =>
       Similarity.ivfTopK(e, "embedding", "vec_id", expr("id % 100 = 0"),
         k = 5, centroidStep = 50L, nProbe = 2, dim = Some(64))))
+
+  // lineitem ops: offset copies sample independently under the hash
+  // predicate, so the sampled row count (and the per-column percentile
+  // sort input) grows linearly; output stays 4 rows
+  private val liOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "profile_quantiles_sketch" -> ((li: DataFrame) =>
+      graft.ops.Profile.quantileSketch(li,
+        expr("l_orderkey * 10 + l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        ratePpm = 100000L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -226,7 +276,9 @@ object BenchStress {
       docOps.map { case (n, f) =>
         (n, (c: Int) => f(scaledDocs(spark, sfDir, c))) } ++
         embOps.map { case (n, f) =>
-          (n, (c: Int) => f(scaledEmb(spark, sfDir, c), c)) }
+          (n, (c: Int) => f(scaledEmb(spark, sfDir, c), c)) } ++
+        liOps.map { case (n, f) =>
+          (n, (c: Int) => f(scaledLineitem(spark, sfDir, c))) }
     val selected = suite.filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/page-cache warmup: one untimed base-scale pass of each op so
