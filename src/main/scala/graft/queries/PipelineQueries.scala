@@ -142,6 +142,16 @@ object PipelineQueries {
     Similarity.pqTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, m = 8, codes = 16, iters = 0, dim = EMB_DIM)
 
+  /** Two-stage cascade retrieval (Similarity.cascadeTopK): PQ/ADC
+    * shortlist of 25 candidates per query, exact-cosine rerank to
+    * top-5 — the recall/precision split a production vector store
+    * deploys; the DuckDB oracle replays shortlist AND rerank.
+    */
+  def annCascadeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cascadeTopK(Tables.embeddings(spark, sfDir), "embedding",
+      "vec_id", expr("id % 100 = 0"), k = 5, shortlist = 25, m = 8,
+      codes = 16, iters = 0, dim = EMB_DIM)
+
   /** Embedding k-means clustering (rows-only check: the iterative
     * floor-quantized Lloyd loop is not one SQL statement; determinism
     * and nearest-centroid consistency are spec-pinned instead —
@@ -809,6 +819,7 @@ object PipelineQueries {
     "ann_lsh" -> annLshQ,
     "ann_lsh_pairs" -> annLshPairsQ,
     "ann_pq" -> annPqQ,
+    "ann_cascade" -> annCascadeQ,
     "emb_kmeans" -> embKmeansQ,
     "emb_kmeans_init" -> embKmeansInitQ,
     "dedup_semantic" -> dedupSemanticQ,
@@ -1929,6 +1940,51 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY adist ASC, neighbor_id ASC) AS rank
          |  FROM nd) WHERE rank <= 5""".stripMargin,
+    "ann_cascade" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q QUALIFY cid < 16),
+         |cb AS (SELECT cid, s AS sub, list_slice(qv, s*8+1, s*8+8) AS cqv
+         |       FROM init, range(8) t(s)),
+         |cbn AS (SELECT cid, sub, cqv,
+         |          CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cn2 FROM cb),
+         |subs AS (SELECT vec_id AS id, s AS sub, list_slice(qv, s*8+1, s*8+8) AS sv
+         |         FROM q, range(8) t(s)),
+         |subn AS (SELECT id, sub, sv,
+         |           CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS sn2 FROM subs),
+         |asg AS (SELECT id, sub, cid AS code FROM (
+         |          SELECT v.id, v.sub, c.cid,
+         |            row_number() OVER (PARTITION BY v.id, v.sub
+         |              ORDER BY v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+         |                         list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) ASC,
+         |                       c.cid ASC) AS rn
+         |          FROM subn v JOIN cbn c ON c.sub = v.sub) WHERE rn = 1),
+         |qtab AS (SELECT v.id AS query_id, v.sub, c.cid AS code,
+         |           v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+         |             list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) AS qdist
+         |         FROM subn v JOIN cbn c ON c.sub = v.sub
+         |         WHERE v.id % 100 = 0),
+         |nd AS (SELECT t.query_id, e.id AS neighbor_id,
+         |         CAST(sum(t.qdist) AS BIGINT) AS adist
+         |       FROM asg e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
+         |       WHERE e.id <> t.query_id
+         |       GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adist ASC, neighbor_id ASC) AS prank
+         |  FROM nd) WHERE prank <= 25)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))) DESC,
+         |      s.neighbor_id ASC) AS rank,
+         |    round(CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))), 6) AS cosine
+         |  FROM short s JOIN n x ON x.vec_id = s.neighbor_id
+         |               JOIN n qq ON qq.vec_id = s.query_id) WHERE rank <= 5""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

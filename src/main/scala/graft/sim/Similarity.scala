@@ -417,6 +417,47 @@ object Similarity {
     outM
   }
 
+  /** Cascade ANN — the deployed two-stage retrieval shape: a cheap
+    * PQ/ADC pass shortlists `shortlist` candidates per query, then
+    * EXACT cosine reranks ONLY the shortlisted pairs and keeps the
+    * top `k`. PQ's compressed distances order candidates well but
+    * rank poorly near the top (quantization error ~ codebook cell
+    * size); the rerank restores exact top-k precision while reading
+    * full-precision vectors for just |queries|·shortlist rows instead
+    * of the whole corpus — the recall/precision split every
+    * production vector store runs (FAISS IVFADC + refine, ScaNN's
+    * reorder stage).
+    *
+    * Scale shape: the shortlist (|queries|·shortlist id pairs) and
+    * the query vectors broadcast; the corpus contributes exactly one
+    * scan, map-side — the rerank never shuffles the corpus. With
+    * iters=0 the whole cascade is deterministic integer/md5
+    * arithmetic + one double cosine per surviving pair, so the
+    * DuckDB oracle replays it end-to-end.
+    */
+  def cascadeTopK(df: DataFrame, vecCol: String, idCol: String,
+                  queryPred: Column, k: Int, shortlist: Int,
+                  m: Int = 8, codes: Int = 16, iters: Int = 0,
+                  dim: Option[Int] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqTopK(df, vecCol, idCol, queryPred, shortlist, m, codes,
+        iters, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val p = prepared(df, vecCol, idCol)
+    val qs = p.filter(queryPred)
+      .select(col("id").as("query_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    broadcast(short)
+      .join(p, col("neighbor_id") === col("id")) // fetch shortlist vectors only
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(qdot(col("qqv"), col("qv"), dim), col("qn2"), col("n2")).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("c"), 6).as("cosine"))
+  }
+
   /** LSH-accelerated near-dup pairs: exact cosine, but only within
     * hyperplane buckets (candidate recall traded for the elimination
     * of the global N² join — the 100 TB path).

@@ -335,6 +335,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cascade ann: rerank restores exact top-k; pairs come from the PQ shortlist") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = expr("id % 100 = 0")
+    // with the shortlist covering the whole corpus, the exact rerank
+    // IS brute force — the cascade must equal bruteForceTopK verbatim
+    val n = e.count().toInt
+    val full = Similarity.cascadeTopK(e, "embedding", "vec_id", q,
+      k = 5, shortlist = n + 1, m = 8, codes = 16, iters = 0, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 5, Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute, "full-shortlist cascade must equal brute force")
+    // with a tight shortlist, every returned pair must come FROM the
+    // PQ shortlist (the rerank never invents candidates), ranked by
+    // exact cosine in proper order
+    val casc = Similarity.cascadeTopK(e, "embedding", "vec_id", q,
+      k = 5, shortlist = 25, m = 8, codes = 16, iters = 0, dim = Some(64))
+    val cascRows = casc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val shortSet = Similarity.pqTopK(e, "embedding", "vec_id", q,
+      k = 25, m = 8, codes = 16, iters = 0, dim = Some(64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(cascRows.forall { case (qid, nid, _, _) => shortSet((qid, nid)) },
+      "cascade results must be shortlisted pairs")
+    cascRows.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size).toSeq,
+        s"ranks of $qid not contiguous")
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"cosines of $qid not descending: ${byRank.toSeq}")
+    }
+    // determinism across partitionings (the PQ + window + join chain)
+    val re = Similarity.cascadeTopK(e.repartition(11), "embedding", "vec_id",
+      q, k = 5, shortlist = 25, m = 8, codes = 16, iters = 0, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(re == cascRows.toSet, "cascade must not depend on partitioning")
+  }
+
   test("kmeans: deterministic across partitionings, assignments are nearest-centroid") {
     val e = Tables.embeddings(spark, sfDir)
     val a1 = Similarity.kmeans(e, "embedding", "vec_id", k = 8, iters = 3, dim = Some(64))
