@@ -361,8 +361,20 @@ object Pipeline {
     // barrier costs the scan nothing.
     val obsIn = org.apache.spark.sql.Observation()
     val obsOut = org.apache.spark.sql.Observation()
-    val input = spark.read.parquet(req("input"))
-      .observe(obsIn, count(lit(1)).as("rows"))
+    // inputFormat "wet" points `input` at WARC/WET crawl shards
+    // (graft.sources.Warc) instead of a parquet table — raw Common
+    // Crawl dumps feed the same curation chain with one config line;
+    // "warc" exposes the full envelope for metadata-level pipelines
+    val inputFormat =
+      if (root.has("inputFormat")) root.get("inputFormat").asText() else "parquet"
+    val raw = inputFormat match {
+      case "parquet" => spark.read.parquet(req("input"))
+      case "wet" => graft.sources.Warc.wet(spark, req("input"))
+      case "warc" => graft.sources.Warc.read(spark, req("input"))
+      case other => throw new IllegalArgumentException(
+        s"unknown inputFormat '$other' (expected parquet, wet, or warc)")
+    }
+    val input = raw.observe(obsIn, count(lit(1)).as("rows"))
     val result = assembleFrom(input, root)
       .observe(obsOut, count(lit(1)).as("rows"))
     val out = req("output")

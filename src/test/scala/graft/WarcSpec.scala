@@ -174,6 +174,35 @@ class WarcSpec extends SparkSpec {
     assert(Warc.read(spark, f.toString).count() === 0)
   }
 
+  test("wet shards feed the config-driven curation pipeline end-to-end") {
+    import spark.implicits._
+    // two normalization-equivalent docs (case + whitespace variants)
+    // plus one distinct doc and a non-conversion record to ignore
+    val recs =
+      record("warcinfo", "<urn:uuid:w-0>", "", "2026-08-14T00:00:00Z",
+        "application/warc-fields", "software: graft-test\r\n".getBytes(UTF_8)) ++
+        record("conversion", "<urn:uuid:w-1>", "https://example.org/1",
+          "2026-08-14T00:00:01Z", "text/plain", "alpha beta gamma".getBytes(UTF_8)) ++
+        record("conversion", "<urn:uuid:w-2>", "https://example.org/2",
+          "2026-08-14T00:00:02Z", "text/plain", "Alpha  beta   GAMMA".getBytes(UTF_8)) ++
+        record("conversion", "<urn:uuid:w-3>", "https://example.org/3",
+          "2026-08-14T00:00:03Z", "text/plain", "something else entirely".getBytes(UTF_8))
+    val f = tmpFile("shard.warc", recs)
+    val out = Files.createTempDirectory("graft-wet-out").resolve("clean").toString
+    val cfg = s"""{"input": "$f", "inputFormat": "wet", "output": "$out",
+      "stages": [{"op": "dedup_exact"}]}"""
+    val (rowsIn, rowsOut) = graft.Pipeline.run(spark, cfg)
+    assert(rowsIn === 3L, "only conversion records enter the pipeline")
+    assert(rowsOut === 2L, "the normalization-equivalent pair collapses")
+    val texts = spark.read.parquet(out).select("text").as[String].collect().toSet
+    assert(texts.contains("something else entirely"))
+    assert(texts.size === 2)
+    // an unknown input format fails loudly, like an unknown stage
+    val bad = intercept[IllegalArgumentException](graft.Pipeline.run(spark,
+      s"""{"input": "$f", "inputFormat": "tar", "output": "$out", "stages": []}"""))
+    assert(bad.getMessage.contains("unknown inputFormat"))
+  }
+
   test("a short payload (EOF mid-record) drops only the partial record") {
     val full = record("conversion", "<urn:uuid:short>", "https://example.org/x",
       "2026-08-14T00:00:00Z", "text/plain", "0123456789".getBytes(UTF_8))
