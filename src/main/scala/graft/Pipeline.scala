@@ -84,6 +84,11 @@ object Pipeline {
         df.join(Dedup.exact(df, textCol, idCol)
             .select(col("keeper_id").as(idCol)),
           Seq(idCol), "left_semi")
+      case "html_extract" =>
+        // per-row in-place rewrite (raw markup column → extracted
+        // text): metadata columns ride along, zero exchanges added —
+        // the stage between a warc/responses feed and the text chain
+        df.withColumn(textCol, TextAnalysis.htmlTextExpr(col(textCol)))
       case "scrub" =>
         df.drop(textCol).join(
           TextAnalysis.scrub(df, textCol, idCol)
@@ -266,7 +271,7 @@ object Pipeline {
     * refuses and names the real streaming counterpart.
     */
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
-    "lang_filter", "sample", "chunk")
+    "html_extract", "lang_filter", "sample", "chunk")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",

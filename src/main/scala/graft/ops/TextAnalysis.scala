@@ -102,6 +102,54 @@ object TextAnalysis {
       regexp_count(t, lit(urlRe)).as("n_url"))
   }
 
+  /** Regex-level HTML → text extraction — the step between
+    * `Warc.responses` (raw HTTP bodies) and every text operator in
+    * this file: strip script/style blocks and comments, drop the
+    * remaining tags, decode the six entities that dominate real
+    * markup, collapse whitespace; the `<title>` rides along as its
+    * own column. This is the CURATION-grade extractor (CCNet/C4
+    * lineage — regex strip, not a DOM): per-row, zero shuffles, runs
+    * at scan speed, and every pattern is RE2-safe with explicit `g`
+    * semantics on the oracle side, so extraction itself hash-gates
+    * cross-engine. A browser-grade DOM walk (malformed-tag recovery,
+    * CSS visibility) is a deliberate non-goal — at corpus scale the
+    * regex pass is what the published pipelines run.
+    */
+  /** The extraction expression alone — [[htmlExtract]]'s text column
+    * as a per-row Column, for callers that rewrite markup in place
+    * (the Pipeline `html_extract` stage: metadata columns ride along,
+    * zero exchanges added).
+    */
+  def htmlTextExpr(h: Column): Column = {
+    // the whole <head> block leaves the text flow (title/meta/style
+    // are chrome, not content — the title is extracted separately
+    // from the RAW markup in htmlExtract); then script/style for
+    // in-body blocks, comments, and finally every remaining tag
+    val stripped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+      "(?is)<head(\\s[^>]*)?>.*?</head>", " "), // (\s…)? so <header> can't match
+      "(?is)<(script|style)(\\s[^>]*)?>.*?</(script|style)>", " "),
+      "(?s)<!--.*?-->", " "),
+      "<[^>]+>", " ")
+    // entity decode: specific entities first, the ampersand LAST so
+    // double-escaped text (&amp;lt;) decodes one level per pass like
+    // every published extractor. The entity strings carry no regex
+    // metacharacters, so regexp_replace is a literal replace-all on
+    // both engines (Spark replaces all by default, the oracle passes
+    // 'g').
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def htmlExtract(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val txt = htmlTextExpr(col(htmlCol))
+    df.select(col(idCol),
+      regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
+      txt.as("text"),
+      length(txt).cast("long").as("n_chars"))
+  }
+
   /** Corpus vocabulary by document frequency: for each token, the
     * number of documents containing it, top-k by (df desc, token asc).
     * Per-doc `array_distinct` before explode (no shuffle for the

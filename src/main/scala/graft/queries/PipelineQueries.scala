@@ -199,6 +199,26 @@ object PipelineQueries {
     * (both engines construct the identical text) so the redaction has
     * true positives to hit.
     */
+  /** Regex-level HTML→text extraction (TextAnalysis.htmlExtract) over
+    * a deterministically synthesized markup wrapper — script/style
+    * blocks, comments, entities, a title, and a script body that
+    * CONTAINS markup (the classic extractor trap) around each doc's
+    * text (text_scrub's augmentation convention); the DuckDB oracle
+    * replays the synthesis and the whole strip/decode chain.
+    */
+  def textHtmlExtractQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</title><style type=\"text/css\">p { margin: 0; }</style></head>" +
+        "<body><!-- crawl marker --><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><p>First &amp; foremost: 1 &lt; 2, &quot;it&#39;s&quot;&nbsp;true.</p><div class=\"c\">"),
+      col("text"),
+      lit("</div><script>if (1 < 2) { var x = \"</p>\"; }</script></body></html>"))
+    TextAnalysis.htmlExtract(
+      d.select(col("doc_id"), html.as("html")), "html", "doc_id")
+  }
+
   def textScrubQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .withColumn("text", concat(col("text"),
@@ -828,6 +848,7 @@ object PipelineQueries {
     "text_quality" -> textQualityQ,
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
+    "text_html_extract" -> textHtmlExtractQ,
     "text_vocab" -> textVocabQ,
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
@@ -1145,6 +1166,30 @@ object PipelineQueries {
          |             || '@example.com via https://ex.com/p?id=' || doc_id::VARCHAR
          |             || ' ref 1234567' || doc_id::VARCHAR AS t
          |      FROM documents)""".stripMargin,
+    "text_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id::VARCHAR
+         |    || ' &amp; friends</title><style type="text/css">p { margin: 0; }</style></head><body><!-- crawl marker --><h1>Doc '
+         |    || doc_id::VARCHAR
+         |    || '</h1><p>First &amp; foremost: 1 &lt; 2, &quot;it&#39;s&quot;&nbsp;true.</p><div class="c">'
+         |    || text
+         |    || '</div><script>if (1 < 2) { var x = "</p>"; }</script></body></html>' AS html
+         |  FROM documents),
+         |s AS (SELECT doc_id, html,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<head(\\s[^>]*)?>.*?</head>', ' ', 'g'),
+         |    '(?is)<(script|style)(\\s[^>]*)?>.*?</(script|style)>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '<[^>]+>', ' ', 'g') AS t FROM h),
+         |d AS (SELECT doc_id, html,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t2 FROM s),
+         |f AS (SELECT doc_id, html, trim(regexp_replace(t2, '\\s+', ' ', 'g')) AS text FROM d)
+         |SELECT doc_id,
+         |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+         |  text, CAST(len(text) AS BIGINT) AS n_chars
+         |FROM f""".stripMargin,
     "text_vocab" ->
       s"""WITH toks AS (SELECT unnest(list_distinct(string_split($norm, ' '))) AS token
          |              FROM documents)

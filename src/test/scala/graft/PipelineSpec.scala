@@ -306,6 +306,32 @@ class PipelineSpec extends SparkSpec {
       s"got ${sk.toSeq}")
   }
 
+  test("html extraction strips chrome, decodes entities, survives the script trap") {
+    val html = "<html><head><title>T &amp; U</title>" +
+      "<style>body { color: red; }</style></head>" +
+      "<body><!-- note --><p>a &lt;b&gt; c&#39;d &quot;e&quot;&nbsp;f</p>" +
+      "<script type=\"text/javascript\">var s = \"</p><p>fake\"; if (1<2) {}</script>" +
+      "<div>tail &amp;amp; double</div><header>real content</header></body></html>"
+    val r = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "html", "doc_id").head()
+    // the title column carries the RAW title (entity decode is the
+    // text flow's concern); the head block leaves the text entirely,
+    // the script body's fake markup does not terminate the strip,
+    // &amp;amp; decodes exactly one level, and <header> content
+    // SURVIVES the head strip (the (\s…)? tightening)
+    assert(r.getAs[String]("title") === "T &amp; U")
+    assert(r.getAs[String]("text") === "a <b> c'd \"e\" f tail &amp; double real content")
+    assert(r.getAs[Long]("n_chars") === r.getAs[String]("text").length.toLong)
+    // the pipeline stage rewrites in place: metadata rides along
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"op": "html_extract"}""")
+    val staged = graft.Pipeline.applyStage(
+      Seq((1L, html, "en")).toDF("doc_id", "text", "lang"),
+      "html_extract", node, "text", "doc_id").head()
+    assert(staged.getAs[String]("text") === "a <b> c'd \"e\" f tail &amp; double real content")
+    assert(staged.getAs[String]("lang") === "en")
+  }
+
   test("cosine pairs finds a planted duplicate vector") {
     val e = Tables.embeddings(spark, sfDir)
     val planted = e.unionByName(

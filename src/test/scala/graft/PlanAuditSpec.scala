@@ -396,6 +396,14 @@ class PlanAuditSpec extends SparkSpec {
       "the entropy signal must run at scan speed with no shuffle")
   }
 
+  test("text_html_extract: pure per-row regex chain, zero exchanges") {
+    val plan = formatted(q("text_html_extract"))
+    assert(!plan.contains("Exchange"),
+      "extraction must fuse into the scan — markup never repartitions")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      "the strip/decode chain must stay native regexp expressions")
+  }
+
   test("text_winnow: per-row selection, zero exchanges") {
     val plan = formatted(q("text_winnow"))
     assert(!plan.contains("Exchange"),
