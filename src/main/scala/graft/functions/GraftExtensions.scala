@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[LongSortedIntersectSize].getName, "graft_intersect_size"),
       (children: Seq[Expression]) => LongSortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => BpeEncodeExpr(children(0), children(1))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) — the
@@ -168,5 +168,112 @@ object Bpe {
       }
     }
     (merges.toSeq.toDF("rank", "left", "right", "pair_count"), rounds)
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Greedy BPE ENCODE of a word column against a fixed merge table
+    * (rank = list index): min-rank leftmost merge to fixpoint, the
+    * inference twin of [[train]]. The loop is data-dependent (a fold
+    * applies each merge a fixed number of times, the encode must
+    * iterate until no pair applies), so built-ins can't express it —
+    * this is the native expression `graft_bpe_encode`
+    * ([[graft.functions.BpeEncodeExpr]]), a per-row walk inside
+    * whole-stage codegen with the table as one plan literal (bounded
+    * by the vocabulary, the PQ-codebook class of driver state).
+    */
+  def encodeCol(word: Column, merges: Seq[(String, String)]): Column = {
+    val tableLit = typedLit(merges)
+    if (SparkSession.active.catalog.functionExists("graft_bpe_encode"))
+      call_function("graft_bpe_encode", word, tableLit)
+    else {
+      // Identical results through the same helper, interpreted per row
+      // — registration affects only speed (GraftExtensions contract).
+      val table = {
+        val t = new java.util.HashMap[(String, String), Integer]()
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          t.putIfAbsent((a, b), Integer.valueOf(i))
+        }
+        t
+      }
+      val f = udf { (w: String) =>
+        if (w == null) null
+        else {
+          val arr = graft.functions.BpeEncodeExpr.encode(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+          (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+        }
+      }
+      f(word)
+    }
+  }
+
+  /** Top-k adjacent pairs of a (freq, syms) table by the training
+    * total order (count desc, left, right) — rank = position. Bounded
+    * k-row collect, the argmax class [[trainWithRounds]] uses.
+    */
+  private def topPairs(syms: DataFrame, k: Int): Seq[(String, String)] =
+    pairCounts(syms)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+
+  /** A merge table derivable in PURE SQL — the oracle-gate twin of a
+    * trained table: top-k1 character pairs by (count desc, a, b), then
+    * top-k2 pairs of the k1-encoded vocabulary (ranks k1..k1+k2-1).
+    * Level 2 makes multi-character symbols participate in ranks, so
+    * the gate exercises the same min-rank/leftmost/fixpoint mechanics
+    * as a trained table while DuckDB can replay the derivation.
+    */
+  def twinMerges(words: DataFrame, k1: Int, k2: Int): Seq[(String, String)] = {
+    val cs = words.select(col("freq"), charSyms(col("word")).as("syms"))
+    val m0 = topPairs(cs, k1)
+    val e0 = words.select(col("freq"), encodeCol(col("word"), m0).as("syms"))
+    m0 ++ topPairs(e0, k2)
+  }
+
+  /** Vocabulary-level encode under a fixed merge table:
+    * (word, freq, n_tokens, seg). The corpus pass is [[wordFreq]];
+    * everything after is vocab-sized (the Zipf shape every Bpe
+    * operator rides).
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"), col("freq"),
+        encodeCol(col("word"), merges).as("syms"))
+      .select(col("word"), col("freq"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("syms")).as("seg"))
+
+  /** Per-document REAL token counts under a fixed merge table — what
+    * token-budget sampling and packing should be denominated in once
+    * a vocabulary is trained. The corpus explodes to (doc_id, word)
+    * once; the encode itself runs on the DISTINCT word table and joins
+    * back broadcast (the vocabulary is bounded — Zipf — while the
+    * corpus is not, so the big side never re-shuffles).
+    */
+  def encodeDocs(df: DataFrame, textCol: String, idCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val docWords = df.select(col(idCol),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val wordTokens = docWords.groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), size(encodeCol(col("word"), merges))
+        .cast("long").as("n_tokens"))
+    docWords.join(broadcast(wordTokens), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("bpe_tokens"))
+  }
+
+  /** Encode with a TRAINED merge table ([[train]] output): collects
+    * the (rank, left, right) rows — bounded by the learned vocabulary,
+    * the same driver-state class as the centroid tables — and applies
+    * [[encodeCol]]. Not SQL-oracle-expressible (the batched training
+    * loop isn't); parity with the column-fold semantics is spec-pinned
+    * instead, and the gate covers the encoder itself through
+    * [[twinMerges]].
+    */
+  def encodeWithTrained(words: DataFrame, trained: DataFrame): DataFrame = {
+    val merges = trained.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    encodeWords(words, merges)
   }
 }

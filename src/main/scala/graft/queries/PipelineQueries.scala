@@ -749,6 +749,32 @@ object PipelineQueries {
   def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", iters = 8)
 
+  /** Greedy BPE ENCODE of the vocabulary under the SQL-derivable
+    * two-level twin merge table (graft.ops.Bpe.encodeWords /
+    * twinMerges): min-rank leftmost merge to fixpoint per word via the
+    * native graft_bpe_encode expression. The word-frequency aggregate
+    * feeds three consumers (level-0 ranks, level-1 ranks, the final
+    * encode), so it truncates once — the PMI lesson.
+    */
+  def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Bpe
+    val words = graft.util.Lineage.truncate(
+      Bpe.wordFreq(Tables.documents(spark, sfDir), "text"))
+    Bpe.encodeWords(words, Bpe.twinMerges(words, 24, 24))
+  }
+
+  /** Per-document REAL token counts under the twin merge table
+    * (graft.ops.Bpe.encodeDocs): the encode runs on the distinct-word
+    * table and joins back broadcast, so the corpus explode is the only
+    * corpus-sized frame.
+    */
+  def bpeEncodeDocsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val words = graft.util.Lineage.truncate(Bpe.wordFreq(docs, "text"))
+    Bpe.encodeDocs(docs, "text", "doc_id", Bpe.twinMerges(words, 24, 24))
+  }
+
   /** In-engine quality classifier (graft.ops.Classifier): hashed-BoW
     * logistic regression trained one full-batch GD round on the DSIR
     * content-defined target, then applied to the whole corpus. At
@@ -880,6 +906,8 @@ object PipelineQueries {
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
+    "bpe_encode" -> bpeEncodeQ,
+    "bpe_encode_docs" -> bpeEncodeDocsQ,
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
@@ -902,6 +930,59 @@ object PipelineQueries {
     """q AS (SELECT vec_id, list_transform(embedding,
       |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
       |     n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q)""".stripMargin
+
+  /** One recursive greedy-encode step template for the bpe_encode
+    * oracles: the best position is the leftmost occurrence of the
+    * lowest-ranked adjacent pair (rank = 1-based position in the key
+    * list, so min (rank, pos) struct sort IS the tie order), and each
+    * recursion row applies exactly one merge — the same
+    * min-rank/leftmost/fixpoint loop as graft_bpe_encode.
+    */
+  private def bpeEncRec(encName: String, src: String, keys: String): String =
+    s"""$encName AS (
+       |  SELECT word, freq, syms, 0 AS step FROM $src
+       |  UNION ALL
+       |  SELECT word, freq,
+       |    syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:], step + 1
+       |  FROM (
+       |    SELECT e.word, e.freq, e.syms, e.step,
+       |      (list_sort(list_filter(
+       |         list_transform(generate_series(1, len(e.syms)-1),
+       |           i -> struct_pack(r := list_position(k.ks,
+       |                  struct_pack(a := e.syms[i], b := e.syms[i+1])), p := i)),
+       |         s -> s.r IS NOT NULL AND s.r > 0)))[1].p AS bp
+       |    FROM $encName e, $keys k
+       |  ) WHERE bp IS NOT NULL
+       |)""".stripMargin
+
+  /** Shared CTE chain deriving the two-level twin merge table
+    * (top-24 char pairs, then top-24 pairs of the 24-encoded vocab —
+    * graft.ops.Bpe.twinMerges) and replaying the final encode.
+    */
+  private val bpeEncCte: String =
+    s"""wf AS (SELECT word, count(*) AS freq FROM
+       |         (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+       |       WHERE len(word) > 0 GROUP BY 1),
+       |cs AS (SELECT word, freq, string_split(word, '') AS syms FROM wf),
+       |pc0 AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i+1 AS INT)] AS b,
+       |          CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM cs
+       |              WHERE len(syms) >= 2) GROUP BY 1, 2),
+       |k0 AS (SELECT list(struct_pack(a := a, b := b)) AS ks
+       |       FROM (SELECT * FROM pc0 ORDER BY cnt DESC, a, b LIMIT 24)),
+       |${bpeEncRec("enc0", "cs", "k0")},
+       |f0 AS (SELECT word, freq, syms FROM enc0 e1
+       |       WHERE step = (SELECT max(step) FROM enc0 e2 WHERE e2.word = e1.word)),
+       |pc1 AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i+1 AS INT)] AS b,
+       |          CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM f0
+       |              WHERE len(syms) >= 2) GROUP BY 1, 2),
+       |kf AS (SELECT (SELECT ks FROM k0) ||
+       |              (SELECT list(struct_pack(a := a, b := b)) FROM
+       |                (SELECT * FROM pc1 ORDER BY cnt DESC, a, b LIMIT 24)) AS ks),
+       |${bpeEncRec("enc1", "cs", "kf")},
+       |f1 AS (SELECT word, freq, syms FROM enc1 e1
+       |       WHERE step = (SELECT max(step) FROM enc1 e2 WHERE e2.word = e1.word))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality_band" ->
@@ -1904,6 +1985,23 @@ object PipelineQueries {
          |      FROM px)
          |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
          |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH RECURSIVE
+         |$bpeEncCte
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |       CAST(len(syms) AS BIGINT) AS n_tokens,
+         |       array_to_string(syms, ' ') AS seg
+         |FROM f1""".stripMargin,
+    "bpe_encode_docs" ->
+      s"""WITH RECURSIVE
+         |$bpeEncCte,
+         |dw AS (SELECT doc_id, word FROM
+         |         (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+         |          FROM documents)
+         |       WHERE len(word) > 0)
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(f1.syms)) AS BIGINT) AS bpe_tokens
+         |FROM dw JOIN f1 USING (word) GROUP BY 1""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <

@@ -710,6 +710,97 @@ class PipelineSpec extends SparkSpec {
       "conflicting-tie corpus must still match sequential training exactly")
   }
 
+  test("bpe encode: min-rank leftmost fixpoint, reference parity, trained-table idempotence") {
+    import graft.ops.Bpe
+    // scala reference of the expression's loop: lowest rank wins, then
+    // leftmost; repeat until no table pair is adjacent
+    def refEncode(w: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.groupMapReduce(_._1)(_._2)(math.min)
+      var syms = w.map(_.toString).toList
+      var done = false
+      while (!done) {
+        val cands = syms.zip(syms.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.min
+          syms = syms.take(i) ++ List(syms(i) + syms(i + 1)) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    def enc(words: Seq[String], merges: Seq[(String, String)]): Seq[Seq[String]] =
+      words.toDF("word").select(Bpe.encodeCol($"word", merges).as("s"))
+        .collect().map(_.getSeq[String](0)).toSeq
+    // greedy overlap: one-at-a-time leftmost, NOT pairwise re-scan
+    assert(enc(Seq("aaaa"), Seq(("a", "a"))) == Seq(Seq("aa", "aa")))
+    assert(enc(Seq("aaa"), Seq(("a", "a"), ("aa", "a"))) == Seq(Seq("aaa")))
+    // rank priority beats position: (b,c) outranks (a,b) → leftmost loses
+    assert(enc(Seq("abc"), Seq(("b", "c"), ("a", "b"))) == Seq(Seq("a", "bc")))
+    assert(enc(Seq("abc"), Seq(("a", "b"), ("b", "c"))) == Seq(Seq("ab", "c")))
+    // degenerate: single char, no applicable merges
+    assert(enc(Seq("x", "xyz"), Seq(("a", "b"))) ==
+      Seq(Seq("x"), Seq("x", "y", "z")))
+    // real corpus + twin table: expression == scala reference, and the
+    // result is partitioning-invariant
+    val words = Bpe.wordFreq(docs, "text")
+    val twin = Bpe.twinMerges(words, 24, 24)
+    assert(twin.nonEmpty && twin.size <= 48)
+    val got = Bpe.encodeWords(words, twin)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    got.foreach { case (w, seg) =>
+      assert(seg == refEncode(w, twin).mkString(" "), s"word '$w'")
+    }
+    val got2 = Bpe.encodeWords(
+        Bpe.wordFreq(docs.repartition(7), "text"), twin)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got == got2)
+    // trained merge table: encode reaches a true fixpoint (no learned
+    // pair stays adjacent) and equals the classic apply-in-rank-order
+    // formulation (created pairs always rank later in trained tables)
+    val trained = Bpe.train(docs, "text", iters = 12)
+    val encT = Bpe.encodeWithTrained(words, trained).collect()
+      .map(r => r.getString(0) -> r.getString(3).split(" ").toList).toMap
+    val mergesT = trained.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val pairSet = mergesT.toSet
+    encT.values.foreach { syms =>
+      syms.zip(syms.drop(1)).foreach(p => assert(!pairSet(p), s"unmerged pair $p"))
+    }
+    def classicEncode(w: String): List[String] = {
+      var syms = w.map(_.toString).toList
+      def applyAll(s: List[String], a: String, b: String): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: applyAll(rest, a, b)
+        case x :: rest => x :: applyAll(rest, a, b)
+        case Nil => Nil
+      }
+      var changed = true
+      while (changed) {
+        val before = syms
+        mergesT.foreach { case (a, b) => syms = applyAll(syms, a, b) }
+        changed = syms != before
+      }
+      syms
+    }
+    encT.foreach { case (w, syms) => assert(syms == classicEncode(w), s"word '$w'") }
+    // per-doc counts reconcile with the vocabulary-level encode
+    val wordTok = Bpe.encodeWords(words, twin).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val perDoc = Bpe.encodeDocs(docs, "text", "doc_id", twin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perDoc.nonEmpty)
+    val docWords = docs.select($"doc_id",
+        explode(split(graft.ops.TextAnalysis.normalize($"text"), " ")).as("w"))
+      .filter(length($"w") > 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    perDoc.foreach { case (id, nw, bt) =>
+      val ws = docWords(id)
+      assert(nw == ws.length)
+      assert(bt == ws.map(wordTok).sum, s"doc $id")
+    }
+  }
+
   test("random projection: exact integers matching a driver-side reference, no reshuffle") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.project(emb, "embedding", "vec_id", k = 16, dim = 64)
