@@ -775,6 +775,16 @@ object PipelineQueries {
     Bpe.encodeDocs(docs, "text", "doc_id", Bpe.twinMerges(words, 24, 24))
   }
 
+  /** BM25 top-5 retrieval (graft.ops.Retrieval): every 100th document
+    * probes the corpus with its first 8 distinct tokens — the lexical
+    * query-by-document search decontamination and duplicate triage
+    * run. Integer micro-unit scores (rational k1/b form), probe side
+    * broadcast, corpus never self-joins.
+    */
+  def textBm25Q(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Retrieval.bm25SelfProbe(Tables.documents(spark, sfDir),
+      "text", "doc_id", col("doc_id") % 100 === 0)
+
   /** In-engine quality classifier (graft.ops.Classifier): hashed-BoW
     * logistic regression trained one full-batch GD round on the DSIR
     * content-defined target, then applied to the whole corpus. At
@@ -908,6 +918,7 @@ object PipelineQueries {
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_encode_docs" -> bpeEncodeDocsQ,
+    "text_bm25" -> textBm25Q,
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
@@ -1992,6 +2003,35 @@ object PipelineQueries {
          |       CAST(len(syms) AS BIGINT) AS n_tokens,
          |       array_to_string(syms, ' ') AS seg
          |FROM f1""".stripMargin,
+    "text_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk WHERE len(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+         |       FROM dl),
+         |qt AS (SELECT doc_id AS query_id,
+         |         unnest(list_distinct(list_filter(string_split($norm, ' '),
+         |           w -> len(w) > 0)[1:8])) AS term
+         |       FROM documents WHERE doc_id % 100 = 0),
+         |qi AS (SELECT q.query_id, q.term, nt.n, nt.t,
+         |         CAST(round(ln((nt.n - d.df + 0.5) / (d.df + 0.5) + 1) * 1e6)
+         |           AS BIGINT) AS qidf
+         |       FROM qt q JOIN dft d USING (term), nt),
+         |s AS (SELECT qi.query_id, tf.doc_id,
+         |        CAST(round(CAST(qi.qidf * 22 * tf.tf AS DOUBLE) * qi.t /
+         |          CAST(10 * qi.t * tf.tf + 3 * qi.t + 9 * dl.dl * qi.n
+         |            AS DOUBLE)) AS BIGINT) AS st
+         |      FROM qi JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(st) AS BIGINT) AS score_micro
+         |        FROM s GROUP BY 1, 2)
+         |SELECT query_id, doc_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+         |       score_micro
+         |FROM agg QUALIFY rank <= 5""".stripMargin,
     "bpe_encode_docs" ->
       s"""WITH RECURSIVE
          |$bpeEncCte,

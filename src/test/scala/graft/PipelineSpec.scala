@@ -801,6 +801,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bm25: exact micro-unit scores matching a driver-side reference, top-k ties stable") {
+    import graft.ops.{Retrieval, TextAnalysis}
+    val got = Retrieval.bm25SelfProbe(docs, "text", "doc_id",
+        $"doc_id" % 50 === 0, nQueryTerms = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.nonEmpty)
+    // driver-side reference with the same rational k1=1.2/b=0.75 form
+    val texts = docs.select($"doc_id",
+        TextAnalysis.normalize($"text").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val tf = texts.map { case (id, ws) =>
+      id -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val bigN = dl.size.toLong
+    val bigT = dl.values.sum
+    val dfT = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = texts.filter(_._1 % 50 == 0).flatMap { case (qid, ws) =>
+      val terms = ws.take(8).distinct
+      val scores = tf.keys
+        .filter(did => terms.exists(tf(did).contains))
+        .map { did =>
+          did -> terms.map { term =>
+            tf(did).get(term).fold(0L) { f =>
+              val qidf = math.round(math.log(
+                (bigN - dfT(term) + 0.5) / (dfT(term) + 0.5) + 1) * 1e6)
+              math.round((qidf * 22L * f).toDouble * bigT /
+                (10L * bigT * f + 3L * bigT + 9L * dl(did) * bigN).toDouble)
+            }
+          }.sum
+        }.toSeq
+      scores.sortBy { case (did, s) => (-s, did) }.take(5).zipWithIndex
+        .map { case ((did, s), i) => (qid, did, i + 1L, s) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq == expected.toSeq,
+      "spark bm25 must equal the scala reference exactly")
+    // ranks are dense 1..k per query and scores non-increasing
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, s"query $qid")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+    }
+  }
+
   test("random projection: exact integers matching a driver-side reference, no reshuffle") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.project(emb, "embedding", "vec_id", k = 16, dim = 64)
