@@ -377,6 +377,90 @@ class SketchSpec extends SparkSpec {
       .select("rows_seen").as[Long].collect().toSeq == Seq(200L, 200L))
   }
 
+  test("topk monitor: exact below k, MG bounds above, heavy item never lost") {
+    import graft.streaming.TopKStream
+    // exact mode: <= k distinct items per group -> counters EXACT
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 300).map(i => (s"s${i % 2}", s"i${i % 5}")).toDF("src", "it")
+    val b1 = (0 until 200).map(i => (s"s${i % 2}", s"i${i % 4}")).toDF("src", "it")
+    TopKStream.topkBatch(spark, b0, 0L, out, st, "src", "it", k = 8)
+    TopKStream.topkBatch(spark, b1, 1L, out, st, "src", "it", k = 8)
+    val got = spark.read.parquet(s"$out/batch=1")
+      .select("src", "item", "est_min", "decremented", "lifetime_rows", "hh_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val want = b0.unionByName(b1).groupBy("src", "it").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, i, c) => (s, i) -> c }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (s, i, est, dec, lr, ppm) =>
+      assert(dec == 0L, s"unsaturated summary must not decrement ($s,$i)")
+      assert(est == want((s, i)), s"($s,$i) est $est vs ${want((s, i))}")
+      assert(lr == 250L)
+      assert(ppm == est * 1000000L / lr)
+    }
+    // saturating tail: planted heavy item + per-batch-unique tail
+    // under k=8 -> the heavy item survives every trigger with
+    // est_min <= true <= est_min + decremented
+    val out2 = tmp(); val st2 = tmp()
+    def tail(b: Int) = (0 until 120).map(i => ("g", s"t$b-$i"))
+    def heavy(n: Int) = (0 until n).map(_ => ("g", "HOT"))
+    for (b <- 0 until 3)
+      TopKStream.topkBatch(spark, (heavy(80) ++ tail(b)).toDF("src", "it"),
+        b.toLong, out2, st2, "src", "it", k = 8)
+    val rep = spark.read.parquet(s"$out2/batch=2")
+      .select("item", "est_min", "decremented", "rank")
+      .as[(String, Long, Long, Long)].collect()
+    val hot = rep.find(_._1 == "HOT")
+    assert(hot.isDefined, "240/600-frequency item must survive k=8 MG")
+    val (_, est, dec, rank) = hot.get
+    assert(rank == 1L)
+    assert(est <= 240L && 240L <= est + dec,
+      s"MG bound violated: est $est dec $dec true 240")
+  }
+
+  test("topk monitor: at-least-once replay rewrites identical bytes; state bounded and pruned") {
+    import graft.streaming.TopKStream
+    val out = tmp(); val st = tmp()
+    val batches = (0 until 6).map(b =>
+      (0 until 100).map(i => (s"s${i % 2}", s"i$b-${i % 30}")).toDF("src", "it"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TopKStream.topkBatch(spark, b, i.toLong, out, st, "src", "it", k = 16)
+    }
+    // replay the LAST batch (the only one streaming redelivers) after
+    // its own state committed: exclude-own-writes must reproduce it
+    val report5 = spark.read.parquet(s"$out/batch=5").collect().toSet
+    val state5 = spark.read.parquet(s"$st/batch=5").collect().toSet
+    TopKStream.topkBatch(spark, batches(5), 5L, out, st, "src", "it", k = 16)
+    assert(spark.read.parquet(s"$out/batch=5").collect().toSet == report5)
+    assert(spark.read.parquet(s"$st/batch=5").collect().toSet == state5)
+    // state: <= k counter rows per group per version; versions pruned
+    val perGroup = spark.read.parquet(s"$st/batch=5")
+      .filter(col("item").isNotNull)
+      .groupBy("src").count().as[(String, Long)].collect()
+    perGroup.foreach { case (g, n) => assert(n <= 16L, s"$g has $n counters") }
+    val dirs = new java.io.File(st).list().count(_.startsWith("batch="))
+    assert(dirs <= 4, s"state versions must prune to KEEP_VERSIONS, got $dirs")
+  }
+
+  test("topk monitor: NULL group forms one group; null items advance volume only") {
+    import graft.streaming.TopKStream
+    val out = tmp(); val st = tmp()
+    val b = ((0 until 20).map(_ => (Option.empty[String], Option("x"))) ++
+      (0 until 10).map(_ => (Some("s"), Option("y"))) ++
+      (0 until 5).map(_ => (Some("s"), Option.empty[String])))
+      .toDF("src", "it")
+    TopKStream.topkBatch(spark, b, 0L, out, st, "src", "it", k = 4)
+    TopKStream.topkBatch(spark, b, 1L, out, st, "src", "it", k = 4)
+    val r1 = spark.read.parquet(s"$out/batch=1")
+    assert(r1.filter(col("src").isNull)
+      .select("item", "est_min", "lifetime_rows")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("x", 40L, 40L)))
+    // null item rows counted in lifetime volume, never as counters
+    assert(r1.filter(col("src") === "s")
+      .select("item", "est_min", "lifetime_rows")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("y", 20L, 30L)))
+  }
+
   test("profile_sketch exercises both estimator branches at sf0.001") {
     val rows = graft.queries.PipelineQueries.profileSketchQ(spark, sfDir)
       .select("col_name", "k_eff", "est_distinct")
