@@ -219,7 +219,48 @@ object BenchStress {
     // between stages (recomputed subtree, fan-out join) shows up here
     // and nowhere else
     "pipeline_train_corpus" -> ((d: DataFrame) =>
-      graft.queries.PipelineQueries.trainCorpusPipeline(d)))
+      graft.queries.PipelineQueries.trainCorpusPipeline(d)),
+    // bijected copies multiply the vocabulary ~linearly while the
+    // merge table stays 48 plan literals, so the ratio isolates the
+    // corpus explode + broadcast join + per-word encode loop — the
+    // parts that must stay linear at 100 TB (the two topPairs
+    // collects are 24-row constants regardless of scale)
+    "bpe_encode_docs" -> ((d: DataFrame) => {
+      import graft.ops.Bpe
+      val words = graft.util.Lineage.truncate(Bpe.wordFreq(d, "text"))
+      Bpe.encodeDocs(d, "text", "doc_id", Bpe.twinMerges(words, 24, 24))
+    }),
+    // probes scale with the corpus (COPY_STRIDE % 100 = 0 keeps the
+    // per-copy probe fraction identical) but bijected copies share no
+    // tokens, so each probe only matches its own copy — candidate
+    // work per probe is constant and total work linear, the property
+    // the broadcast-probe design must preserve
+    "text_bm25" -> ((d: DataFrame) =>
+      graft.ops.Retrieval.bm25SelfProbe(d, "text", "doc_id",
+        expr("doc_id % 100 = 0"))),
+    // zero-shuffle per-row markup strip (the text_winnow class): the
+    // ratio isolates scan + regex cost, and any exchange creeping
+    // into the plan shows up as a superlinear tail here first
+    "text_html_extract" -> ((d: DataFrame) => {
+      val html = concat(lit("<html><head><title>D</title><style>p{}</style>"),
+        lit("</head><body><!-- m --><h1>D</h1><p>1 &lt; 2 &amp; true.</p><div>"),
+        col("text"),
+        lit("</div><script>var x = \"</p>\";</script></body></html>"))
+      TextAnalysis.htmlExtract(
+        d.select(col("doc_id"), html.as("html")), "html", "doc_id")
+    }),
+    // the composed winnow curation chain (pairs → CC → keeper) as one
+    // plan: stresses the stage coupling of the config-driven runner
+    // the same way pipeline_train_corpus does for the classifier chain
+    "pipeline_winnow_corpus" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"op": "dedup_winnow", "k": 8, "w": 4, "minShared": 10, "maxDf": 100}""")
+      graft.Pipeline.applyStage(withDups.filter(expr("doc_id % 20 = 0")),
+        "dedup_winnow", node, "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
   // COUNT with the corpus (fixed expected cluster size — how SemDeDup
@@ -232,7 +273,16 @@ object BenchStress {
         iters = 4, dim = Some(64))),
     "ann_ivf" -> ((e: DataFrame, _: Int) =>
       Similarity.ivfTopK(e, "embedding", "vec_id", expr("id % 100 = 0"),
-        k = 5, centroidStep = 50L, nProbe = 2, dim = Some(64))))
+        k = 5, centroidStep = 50L, nProbe = 2, dim = Some(64))),
+    // PINNED probe set (copy-0 queries only — a deployment's query
+    // workload doesn't grow with its corpus; the ann_ivf lesson made
+    // a sizing doctrine): DB side scales, ADC scoring per query is
+    // O(N), so total work is linear in the corpus
+    "ann_cascade" -> ((e: DataFrame, _: Int) =>
+      Similarity.cascadeTopK(e, "embedding", "vec_id",
+        expr(s"id % 100 = 0 AND id < $COPY_STRIDE"),
+        k = 5, shortlist = 25, m = 8, codes = 16, iters = 0,
+        dim = Some(64))))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile

@@ -153,8 +153,22 @@ object Pipeline {
           .filter(col("contaminated") === 1)
         df.join(flagged.select(idCol), Seq(idCol), "left_anti")
       case "token_budget" =>
-        Sampling.tokenBudget(df, reqStr("stratum"), idCol,
-          size(split(TextAnalysis.normalize(col(textCol)), " ")),
+        // denomination: whitespace tokens by default; "tokenizer":
+        // "bpe" + "merges": <parquet path of a graft.ops.Bpe.train
+        // table> prices admission in REAL tokenizer tokens — the unit
+        // the training budget is actually spent in
+        val tokens = strOf("tokenizer", "whitespace") match {
+          case "whitespace" =>
+            size(split(TextAnalysis.normalize(col(textCol)), " "))
+          case "bpe" =>
+            graft.ops.Bpe.tokenCountCol(col(textCol),
+              graft.ops.Bpe.collectMerges(
+                df.sparkSession.read.parquet(reqStr("merges"))))
+          case other => throw new IllegalArgumentException(
+            s"stage 'token_budget': unknown tokenizer '$other' " +
+              "(expected 'whitespace' or 'bpe')")
+        }
+        Sampling.tokenBudget(df, reqStr("stratum"), idCol, tokens,
           budgets = Map.empty,
           defaultBudget = node.get("budget") match {
             case null => throw new IllegalArgumentException(

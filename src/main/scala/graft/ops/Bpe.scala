@@ -263,6 +263,28 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("bpe_tokens"))
   }
 
+  /** Per-row REAL token count as a single Column — the shape stage
+    * plumbing needs (graft.Pipeline's `token_budget` takes a token
+    * Column, not a joined table). The per-word encode runs inside a
+    * higher-order fold (interpreted per row — fine for an
+    * admission-control count; the codegen'd vocab-join path for bulk
+    * corpus encoding is [[encodeDocs]]).
+    */
+  def tokenCountCol(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      filter(split(TextAnalysis.normalize(text), " "), w => length(w) > 0),
+      lit(0L),
+      (acc, w) => acc + size(encodeCol(w, merges)).cast("long"))
+
+  /** Collect a TRAINED merge table ([[train]] output schema
+    * rank/left/right) into the Seq form the encoders take — bounded
+    * by the learned vocabulary, the centroid-table class of driver
+    * state.
+    */
+  def collectMerges(trained: DataFrame): Seq[(String, String)] =
+    trained.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
   /** Encode with a TRAINED merge table ([[train]] output): collects
     * the (rank, left, right) rows — bounded by the learned vocabulary,
     * the same driver-state class as the centroid tables — and applies
@@ -271,9 +293,6 @@ object Bpe {
     * instead, and the gate covers the encoder itself through
     * [[twinMerges]].
     */
-  def encodeWithTrained(words: DataFrame, trained: DataFrame): DataFrame = {
-    val merges = trained.orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    encodeWords(words, merges)
-  }
+  def encodeWithTrained(words: DataFrame, trained: DataFrame): DataFrame =
+    encodeWords(words, collectMerges(trained))
 }

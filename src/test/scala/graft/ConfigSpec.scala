@@ -336,6 +336,41 @@ class ConfigSpec extends SparkSpec {
       Pipeline.run(spark, s"""{"input": "$inDir", "output": "$packDir",
         |"stages": [{"op": "pack"}, {"op": "sample"}]}""".stripMargin)
     }
+    // token_budget denominated in REAL BPE tokens: train a merge
+    // table, point the stage at it, and the admitted set must equal
+    // the hand-composed budget run priced by Bpe.tokenCountCol
+    val mergesDir = tmpDir() + "/merges.parquet"
+    val trained = graft.ops.Bpe.train(docs, "text", iters = 12)
+    trained.write.mode("overwrite").parquet(mergesDir)
+    val bpeDir = tmpDir() + "/bpe_budget"
+    val (_, routB) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$bpeDir",
+         |"stages": [
+         |  {"op": "token_budget", "stratum": "source", "budget": 500,
+         |   "tokenizer": "bpe", "merges": "$mergesDir"}]}""".stripMargin)
+    val wantB = graft.ops.Sampling.tokenBudget(docs, "source", "doc_id",
+        graft.ops.Bpe.tokenCountCol($"text",
+          graft.ops.Bpe.collectMerges(trained)),
+        budgets = Map.empty, defaultBudget = 500L, salt = "graft")
+      .select("doc_id").as[Long].collect().toSet
+    assert(spark.read.parquet(bpeDir).select("doc_id").as[Long]
+      .collect().toSet == wantB)
+    assert(routB == wantB.size.toLong && routB > 0)
+    // BPE admission differs from whitespace admission on this corpus
+    // (merged tokens price docs cheaper) — the knob must matter
+    val wsDir = tmpDir() + "/ws_budget"
+    val (_, routW) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$wsDir",
+         |"stages": [
+         |  {"op": "token_budget", "stratum": "source", "budget": 500}]}"""
+        .stripMargin)
+    assert(routW != routB,
+      s"bpe pricing must change admission (ws $routW vs bpe $routB)")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$bpeDir",
+        |"stages": [{"op": "token_budget", "stratum": "source",
+        |"budget": 500, "tokenizer": "wordpiece"}]}""".stripMargin)
+    }
     intercept[IllegalArgumentException] {
       Pipeline.run(spark, s"""{"input": "$inDir", "output": "$packDir",
         |"stages": [{"op": "chunk"}, {"op": "gopher_filter"}]}""".stripMargin)
