@@ -712,6 +712,122 @@ object Multimodal {
     }
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of an image payload — the classic
+    * perceptual fingerprint: 8×8 luminance mean-pool, one bit per
+    * cell set when the cell is at or above the grid's mean. Decode is
+    * REAL for the JDK's codecs (PNG/BMP/GIF/JPEG); `None` for
+    * undecodable bytes. Deterministic and resolution-invariant (the
+    * pool normalizes geometry), so re-encodes and small edits land
+    * within a few bits of hamming distance.
+    */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = 8
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) * 0.299 +
+              ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+            val cell = math.min(grid - 1, y * grid / h) * grid +
+              math.min(grid - 1, x * grid / w)
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(grid * grid)(i =>
+          if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+        val mean = means.sum / means.length
+        var bits = 0L
+        var i = 0
+        while (i < means.length) {
+          if (means(i) >= mean) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** (mediaId, ahash, decoded) perceptual fingerprints for a media
+    * table. Decodable images take the real [[aHash64]]; everything
+    * else hashes its raw bytes (md5-derived 64 bits) — random-looking
+    * bits whose hamming distance to anything is ~32, so the degraded
+    * semantics are EXACT-duplicate-only for payloads without a codec,
+    * never false near-dups. Same mapPartitions batching as
+    * [[extractFeatures]] (one decoder context per partition).
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          aHash64(r.payload) match {
+            case Some(h) => (r.mediaId, h, true)
+            case None =>
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(r.payload)
+              val h = (0 until 8).foldLeft(0L)((acc, i) =>
+                (acc << 8) | (d(i) & 0xffL))
+              (r.mediaId, h, false)
+          }
+        }
+      }
+    }.toDF("mediaId", "ahash", "decoded")
+  }
+
+  /** Perceptual near-duplicate media pairs: hamming(aHash) ≤
+    * `maxHamming`. Candidates come from `bands` bit-bands of the hash
+    * (pigeonhole: d-close hashes agree on ≥ 1 of d+1 bands — require
+    * bands > maxHamming); band extraction uses UNSIGNED shifts so a
+    * set bit 63 (a bright lower-right cell) cannot skew a div-based
+    * band the way a signed divide would. The bucket self-join is
+    * salted exactly like the SimHash/MinHash band joins (a corpus of
+    * re-encoded copies piles thousands of hashes into one bucket;
+    * 16-way salting splits the m²/2 emission across tasks, output
+    * identical), and the verify is one codegen'd bit_count(xor).
+    * Output: (id_a, id_b, hamming) — feed Dedup.connectedComponents
+    * for the keep-one-per-cluster step, like every other dup-pair op.
+    */
+  def mediaDupPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
+                    bands: Int = 8): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole needs bands > maxHamming (got $bands bands, $maxHamming)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val spark = media.sparkSession
+    val fp = graft.util.Lineage.truncate(imageHashes(media))
+    val banded = fp
+      .crossJoin(spark.range(bands).toDF("band"))
+      .select(col("mediaId").as("id"), col("ahash"), col("band"),
+        expr(s"shiftrightunsigned(ahash, cast(band * $width as int)) " +
+          s"& ${(1L << width) - 1}L").as("piece"))
+    val SALTS = 16
+    val a = banded.select(col("band"), col("piece"),
+        col("id").as("id_a"), col("ahash").as("h_a"))
+      .withColumn("salt", pmod(
+        graft.util.Hashing.portableHash64(col("id_a").cast("string")),
+        lit(SALTS.toLong)))
+    val b = banded.select(col("band"), col("piece"),
+        col("id").as("id_b"), col("ahash").as("h_b"))
+      .crossJoin(spark.range(SALTS).toDF("salt"))
+    a.join(b, Seq("band", "piece", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a") bitwiseXOR col("h_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Partition sizing guard: repartition so each partition carries at
     * most `targetBytes` of payload (estimate via avg payload size) —
     * the knob that keeps codec batches inside executor memory.

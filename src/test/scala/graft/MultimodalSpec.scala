@@ -287,6 +287,70 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaMeta("video/x-matroska;codec=V_VP9", 1280, 720, 4500L))
   }
 
+  test("perceptual media dedup: aHash is scale-invariant, pairs equal brute-force hamming") {
+    def gradient(w: Int, h: Int, invert: Boolean, blankCorner: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255 / w + y * 255 / h) / 2
+        val v = if (invert) 255 - v0 else v0
+        val vv = if (blankCorner && x < w / 8 && y < h / 8) 255 else v
+        img.setRGB(x, y, (vv << 16) | (vv << 8) | vv)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def mr(id: Long, p: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", p, Multimodal.MediaMeta("x", 0, 0, 0L))
+    val base = gradient(64, 64, invert = false, blankCorner = false)
+    val scaled = gradient(128, 128, invert = false, blankCorner = false)
+    val corner = gradient(64, 64, invert = false, blankCorner = true)
+    val inverted = gradient(64, 64, invert = true, blankCorner = false)
+    val blob = "definitely not an image at all".getBytes("UTF-8")
+    val rows = Seq(mr(1, base), mr(2, scaled), mr(3, corner), mr(4, inverted),
+      mr(5, blob), mr(6, blob.clone()))
+    val ds = spark.createDataset(rows)
+
+    // hash invariants, driver-side
+    val hBase = Multimodal.aHash64(base).get
+    assert(Multimodal.aHash64(base).get == hBase, "deterministic")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hBase, Multimodal.aHash64(scaled).get) <= 6,
+      "mean-pool must make the hash resolution-invariant")
+    assert(ham(hBase, Multimodal.aHash64(inverted).get) >= 32,
+      "an inverted image must be far in hamming space")
+    assert(Multimodal.aHash64(blob).isEmpty)
+
+    // distributed hashes: real for images, md5-fallback for the blob
+    val hs = Multimodal.imageHashes(ds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(hs(1L) == ((hBase, true)))
+    assert(!hs(5L)._2 && hs(5L) == hs(6L), "same bytes, same fallback hash")
+
+    // banded+salted pairs must EQUAL brute-force hamming (pigeonhole
+    // completeness at 8 bands / maxHamming 6), on any partitioning
+    val want = (for {
+      a <- rows; b <- rows if a.mediaId < b.mediaId
+      d = ham(hs(a.mediaId)._1, hs(b.mediaId)._1) if d <= 6
+    } yield (a.mediaId, b.mediaId, d.toLong)).toSet
+    val got = Multimodal.mediaDupPairs(ds, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"pairs $got vs brute-force $want")
+    assert(got.contains((5L, 6L, 0L)), "exact binary dup must pair via fallback")
+    assert(got.exists { case (a, b, _) => a == 1L && b == 2L },
+      "re-scaled copy must pair with its original")
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
+    val got2 = Multimodal.mediaDupPairs(
+        spark.createDataset(rows).repartition(5), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == got, "partitioning must not change the pair set")
+    // bad band configs fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaDupPairs(ds, maxHamming = 8, bands = 8)
+    }
+  }
+
   test("partition sizing bounds per-partition payload bytes") {
     val sized = Multimodal.sizePartitions(media, targetBytes = 4096)
     assert(sized.rdd.getNumPartitions > 1)
