@@ -245,6 +245,30 @@ class SketchSpec extends SparkSpec {
     assert(last.toSeq == Seq(200L, 200L))
   }
 
+  test("topk stream end-to-end over a file feed") {
+    import graft.streaming.TopKStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    (0 until 200).map(i => (s"s${i % 2}", s"i${i % 6}")).toDF("src", "it")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = TopKStream.topkStream(spark, feed, out, st, ckpt,
+      "src", "it", k = 16)
+    try {
+      q.processAllAvailable()
+      (0 until 100).map(i => (s"s${i % 2}", s"i${i % 3}")).toDF("src", "it")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.read.option("basePath", out).parquet(out)
+    val got = reports.filter(col("batch") === 1)
+      .select("src", "item", "est_min").as[(String, String, Long)]
+      .collect().map { case (s, i, c) => (s, i) -> c }.toMap
+    val want = ((0 until 200).map(i => (s"s${i % 2}", s"i${i % 6}")) ++
+      (0 until 100).map(i => (s"s${i % 2}", s"i${i % 3}")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, "unsaturated stream counts must be exact lifetime counts")
+    assert(got.size == want.size && got.nonEmpty)
+  }
+
   /** Exact lower weighted quantile over (value, count) pairs — the
     * driver-side reference for the quantile monitor's selection rule.
     */
