@@ -195,6 +195,40 @@ object Profile {
         max("vmax").as("max_prefix"))
   }
 
+  /** Equi-width histograms per numeric column — the binned
+    * distribution view tableProfile's min/max/distinct summary and
+    * the quantile sketches don't give: skew bumps, empty ranges and
+    * outlier mass are visible per bin. Two passes over the stacked
+    * (col_name, v) frame — a bounds aggregate, then binned counts —
+    * deliberately NOT materialized between them: the stack is
+    * corpus-sized, so re-scanning the (column-pruned) source is
+    * cheaper than truncating it (the PMI lesson applies to BOUNDED
+    * aggregates; this intermediate isn't one). The bounds table is
+    * |cols| rows, broadcast. Bin arithmetic is one deterministic
+    * double expression evaluated identically cross-engine; max lands
+    * in the last bin by the least() clamp, degenerate min==max
+    * columns take bin 0.
+    */
+  def histogram(df: DataFrame, cols: Seq[String], nBins: Int): DataFrame = {
+    require(cols.nonEmpty, "histogram needs at least one column")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val stackArgs = cols
+      .map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val stacked = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, v)")
+      .filter(col("v").isNotNull)
+    val bounds = stacked.groupBy("col_name")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    stacked.join(broadcast(bounds), Seq("col_name"))
+      .select(col("col_name"),
+        when(col("mx") > col("mn"),
+          least(lit(nBins - 1L),
+            floor((col("v") - col("mn")) * nBins / (col("mx") - col("mn")))))
+          .otherwise(lit(0L)).as("bin"))
+      .groupBy("col_name", "bin")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Per-stratum token-distribution drift: KL(stratum ‖ corpus) over
     * unigram frequencies — the monitoring signal that tells a corpus
     * pipeline one source/crawl-dump/date-bucket has shifted away from

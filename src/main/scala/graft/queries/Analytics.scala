@@ -102,6 +102,24 @@ object Analytics {
         $"sum_qty", $"count_order")
   }
 
+  /** Full grouping-sets CUBE: per-(priority, status) totals plus BOTH
+    * single-dimension subtotals and the grand total — the cross-tab
+    * q1_rollup's hierarchy can't express — still ONE expand +
+    * partial-aggregation pass (2ⁿ grouping sets expand map-side; no
+    * re-scan per set). Same 'ALL' sentinel convention as q1_rollup.
+    */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        $"n_orders", $"sum_price")
+  }
+
   /** Exact interpolated quantiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`; both sort the group and interpolate at
     * p·(n−1)). Exact percentile buffers each group — right for grouped
@@ -492,6 +510,7 @@ object Analytics {
     "q_zorder_key" -> qZorderKey,
     "q1_agg" -> q1Agg,
     "q1_rollup" -> q1Rollup,
+    "q_cube" -> qCube,
     "q_percentiles" -> qPercentiles,
     "q3_join_agg" -> q3JoinAgg,
     "q5_multijoin" -> q5MultiJoin,
@@ -612,6 +631,13 @@ object Analytics {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -516,6 +516,14 @@ object PipelineQueries {
             .otherwise(col("lang"))),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** Equi-width 16-bin histograms over lineitem's numeric columns
+    * (graft.ops.Profile.histogram) — the binned distribution view of
+    * the profiling family.
+    */
+  def profileHistogramQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.histogram(Tables.lineitem(spark, sfDir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), nBins = 16)
+
   /** Sketched column-distinct profile (graft.ops.Sketch
     * .distinctCount) — profile_table's n_distinct re-asked with a
     * k=64 KMV sketch over the SAME unpivoted corpus (including the
@@ -899,6 +907,7 @@ object PipelineQueries {
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
     "profile_table" -> profileTableQ,
+    "profile_histogram" -> profileHistogramQ,
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
@@ -1546,6 +1555,20 @@ object PipelineQueries {
          |       count(h) AS n_distinct,
          |       min(vmin) AS min_prefix, max(vmax) AS max_prefix
          |FROM g GROUP BY 1""".stripMargin,
+    "profile_histogram" ->
+      s"""WITH s AS (
+         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem),
+         |sn AS (SELECT * FROM s WHERE v IS NOT NULL),
+         |mm AS (SELECT col_name, min(v) AS mn, max(v) AS mx FROM sn GROUP BY 1)
+         |SELECT sn.col_name,
+         |       CAST(CASE WHEN mm.mx > mm.mn
+         |         THEN least(15, CAST(floor((sn.v - mm.mn) * 16 / (mm.mx - mm.mn)) AS BIGINT))
+         |         ELSE 0 END AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_rows
+         |FROM sn JOIN mm USING (col_name) GROUP BY 1, 2""".stripMargin,
     "text_winnow" ->
       s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
          |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
