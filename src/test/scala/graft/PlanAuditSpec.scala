@@ -482,4 +482,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       "shard addressing must never global-sort")
   }
+
+  test("text_bm25: probe idf broadcasts into the tf join, no cartesian, scoring combines map-side") {
+    val plan = formatted(q("text_bm25"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe terms + idf must broadcast against the tf table")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row totals frame may cross-join (broadcast)")
+    assert(plan.contains("partial_sum"),
+      "per-(query,doc) score totals must combine map-side")
+    // the truncated tf aggregate is the only CORPUS-SIDE
+    // materialization, so the sole remaining documents scan is the
+    // (filtered, pushed-down) probe selection — never a re-tokenize
+    // of the corpus for dl/dft/scoring
+    assert(plan.split("documents\\.parquet").length - 1 == 1,
+      "exactly one documents scan (the probe side) may remain post-truncation")
+  }
+
+  test("bpe_encode_docs: vocab joins back broadcast, native encode in the plan") {
+    val plan = formatted(q("bpe_encode_docs"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the word→n_tokens table must broadcast, the corpus side never reshuffles for it")
+    assert(plan.contains("graft_bpe_encode"),
+      "the native encode expression must be in the plan (not a UDF fallback)")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-doc token totals must combine map-side")
+  }
+
+  test("profile_histogram: bounds broadcast, binned counts combine map-side") {
+    val plan = formatted(q("profile_histogram"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |cols|-row bounds table must broadcast")
+    assert(plan.contains("partial_count"),
+      "bin counts must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
