@@ -80,6 +80,15 @@ object Pipeline {
         df.join(TextAnalysis.entropy(df, textCol, idCol)
             .filter(band).select(idCol),
           Seq(idCol), "left_semi")
+      case "bpe_tokens" =>
+        // annotation, not a filter: adds the REAL tokenizer token
+        // count per doc from a trained merge table ("merges": parquet
+        // path of a graft.ops.Bpe.train output). With the table fixed
+        // on disk this is a pure per-row function — streaming-safe —
+        // and downstream budget/pack stages can price rows in the
+        // unit the training run actually spends
+        graft.ops.Bpe.annotateTokens(df, textCol,
+          strOf("outCol", "bpe_tokens"), reqStr("merges"))
       case "dedup_exact" =>
         df.join(Dedup.exact(df, textCol, idCol)
             .select(col("keeper_id").as(idCol)),
@@ -285,7 +294,7 @@ object Pipeline {
     * refuses and names the real streaming counterpart.
     */
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
-    "html_extract", "lang_filter", "sample", "chunk")
+    "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",
@@ -390,8 +399,21 @@ object Pipeline {
       case "parquet" => spark.read.parquet(req("input"))
       case "wet" => graft.sources.Warc.wet(spark, req("input"))
       case "warc" => graft.sources.Warc.read(spark, req("input"))
+      case "jsonl" =>
+        // newline-delimited JSON dumps (the other format corpora
+        // actually arrive in). Schema is REQUIRED, not inferred: at
+        // 100 TB an inference pass is a full extra scan, and a
+        // schema drifting under sampling is a silent-meaning-change
+        val schema = root.get("schema") match {
+          case null => throw new IllegalArgumentException(
+            "inputFormat 'jsonl' requires 'schema' (DDL string, e.g. " +
+              "\"doc_id BIGINT, text STRING\"): schema inference is a " +
+              "full extra scan at corpus scale")
+          case s => org.apache.spark.sql.types.StructType.fromDDL(s.asText())
+        }
+        spark.read.schema(schema).json(req("input"))
       case other => throw new IllegalArgumentException(
-        s"unknown inputFormat '$other' (expected parquet, wet, or warc)")
+        s"unknown inputFormat '$other' (expected parquet, jsonl, wet, or warc)")
     }
     val input = raw.observe(obsIn, count(lit(1)).as("rows"))
     val result = assembleFrom(input, root)

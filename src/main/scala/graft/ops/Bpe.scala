@@ -276,6 +276,17 @@ object Bpe {
       lit(0L),
       (acc, w) => acc + size(encodeCol(w, merges)).cast("long"))
 
+  /** Annotate a corpus with per-row real-token counts from a trained
+    * merge table stored at `mergesPath` ([[train]] output written as
+    * parquet) — the pipeline-stage entry point. The table is read
+    * once on the driver (vocab-bounded); rows then price themselves
+    * with a pure per-row count, so the stage is streaming-safe.
+    */
+  def annotateTokens(df: DataFrame, textCol: String, outCol: String,
+                     mergesPath: String): DataFrame =
+    df.withColumn(outCol, tokenCountCol(col(textCol),
+      collectMerges(df.sparkSession.read.parquet(mergesPath))))
+
   /** Collect a TRAINED merge table ([[train]] output schema
     * rank/left/right) into the Seq form the encoders take — bounded
     * by the learned vocabulary, the centroid-table class of driver

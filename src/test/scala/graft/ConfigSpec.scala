@@ -203,6 +203,57 @@ class ConfigSpec extends SparkSpec {
     assert(streamed == want, "streamed per-row gate must equal the batch gate")
   }
 
+  test("pipeline runner: bpe_tokens annotates real token counts; jsonl input requires a schema") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    val mergesDir = tmpDir() + "/merges.parquet"
+    val outDir = tmpDir() + "/annot"
+    docs.write.mode("overwrite").parquet(inDir)
+    val trained = graft.ops.Bpe.train(docs, "text", iters = 10)
+    trained.write.mode("overwrite").parquet(mergesDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "bpe_tokens", "merges": "$mergesDir"}]}""".stripMargin)
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    val want = docs.select($"doc_id",
+        graft.ops.Bpe.tokenCountCol($"text",
+          graft.ops.Bpe.collectMerges(trained)).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_ > 0))
+    // streaming-safe: per-row annotation from a fixed merges file
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut",
+         |"stages": [{"op": "bpe_tokens", "merges": "$mergesDir"}]}""".stripMargin,
+      ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(streamed == want, "streamed annotation must equal the batch run")
+    // jsonl ingestion: explicit DDL schema, same curation chain
+    val jsonDir = tmpDir() + "/dump"
+    docs.select("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").json(jsonDir)
+    val jOut = tmpDir() + "/fromjson"
+    val (jin, _) = Pipeline.run(spark,
+      s"""{"input": "$jsonDir", "inputFormat": "jsonl",
+         |"schema": "doc_id BIGINT, text STRING, source STRING",
+         |"output": "$jOut",
+         |"stages": [{"op": "bpe_tokens", "merges": "$mergesDir"}]}""".stripMargin)
+    assert(jin == docs.count())
+    val gotJ = spark.read.parquet(jOut)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(gotJ == want, "jsonl input must feed the identical chain")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$jsonDir", "inputFormat": "jsonl",
+        |"output": "$jOut", "stages": []}""".stripMargin)
+    }
+  }
+
   test("pipeline runner: dedup_winnow stage drops passage-embedding copies; streaming refuses") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
