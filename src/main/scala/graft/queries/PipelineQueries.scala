@@ -119,6 +119,26 @@ object PipelineQueries {
         coalesce(sum("hit"), lit(0L)).as("n_hits"))
   }
 
+  /** recall@5 of the cascade path against the exact brute-force
+    * top-k — the harness that tells a deployment whether shortlist=25
+    * buys back the recall PQ's quantization gives up (the ann_recall
+    * sibling for the two-stage path). At the gate's iters=0
+    * hash-init codebook it measures 2/5 per query at sf0.01 — the
+    * honest number for an untrained codebook, and precisely the
+    * signal that says "train the codebook / widen the shortlist"
+    * before deploying; the gate pins the MEASUREMENT, not a recall
+    * target.
+    */
+  def annRecallCascadeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annTopkQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val approx = annCascadeQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+  }
+
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       dim = EMB_DIM)
@@ -880,6 +900,7 @@ object PipelineQueries {
     "ann_topk" -> annTopkQ,
     "ann_ivf" -> annIvfQ,
     "ann_recall" -> annRecallQ,
+    "ann_recall_cascade" -> annRecallCascadeQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_pairs" -> annLshPairsQ,
     "ann_pq" -> annPqQ,
@@ -1003,6 +1024,56 @@ object PipelineQueries {
        |${bpeEncRec("enc1", "cs", "kf")},
        |f1 AS (SELECT word, freq, syms FROM enc1 e1
        |       WHERE step = (SELECT max(step) FROM enc1 e2 WHERE e2.word = e1.word))""".stripMargin
+
+  /** The PQ-shortlist → exact-rerank cascade as a reusable CTE chain
+    * ending in `casc(query_id, neighbor_id, rank, cosine)` — shared
+    * verbatim by the ann_cascade gate and the ann_recall_cascade
+    * harness so the two oracles can never drift apart.
+    */
+  private lazy val cascadeCtes: String =
+    s"""init AS (SELECT qv, row_number() OVER (
+       |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+       |         FROM q QUALIFY cid < 16),
+       |cb AS (SELECT cid, s AS sub, list_slice(qv, s*8+1, s*8+8) AS cqv
+       |       FROM init, range(8) t(s)),
+       |cbn AS (SELECT cid, sub, cqv,
+       |          CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cn2 FROM cb),
+       |subs AS (SELECT vec_id AS id, s AS sub, list_slice(qv, s*8+1, s*8+8) AS sv
+       |         FROM q, range(8) t(s)),
+       |subn AS (SELECT id, sub, sv,
+       |           CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS sn2 FROM subs),
+       |asg AS (SELECT id, sub, cid AS code FROM (
+       |          SELECT v.id, v.sub, c.cid,
+       |            row_number() OVER (PARTITION BY v.id, v.sub
+       |              ORDER BY v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+       |                         list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) ASC,
+       |                       c.cid ASC) AS rn
+       |          FROM subn v JOIN cbn c ON c.sub = v.sub) WHERE rn = 1),
+       |qtab AS (SELECT v.id AS query_id, v.sub, c.cid AS code,
+       |           v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+       |             list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) AS qdist
+       |         FROM subn v JOIN cbn c ON c.sub = v.sub
+       |         WHERE v.id % 100 = 0),
+       |nd AS (SELECT t.query_id, e.id AS neighbor_id,
+       |         CAST(sum(t.qdist) AS BIGINT) AS adist
+       |       FROM asg e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
+       |       WHERE e.id <> t.query_id
+       |       GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adist ASC, neighbor_id ASC) AS prank
+       |  FROM nd) WHERE prank <= 25),
+       |casc AS (SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))) DESC,
+       |      s.neighbor_id ASC) AS rank,
+       |    round(CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))), 6) AS cosine
+       |  FROM short s JOIN n x ON x.vec_id = s.neighbor_id
+       |               JOIN n qq ON qq.vec_id = s.query_id) WHERE rank <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality_band" ->
@@ -2148,49 +2219,23 @@ object PipelineQueries {
          |  FROM nd) WHERE rank <= 5""".stripMargin,
     "ann_cascade" ->
       s"""WITH $qPrep,
-         |init AS (SELECT qv, row_number() OVER (
-         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
-         |         FROM q QUALIFY cid < 16),
-         |cb AS (SELECT cid, s AS sub, list_slice(qv, s*8+1, s*8+8) AS cqv
-         |       FROM init, range(8) t(s)),
-         |cbn AS (SELECT cid, sub, cqv,
-         |          CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cn2 FROM cb),
-         |subs AS (SELECT vec_id AS id, s AS sub, list_slice(qv, s*8+1, s*8+8) AS sv
-         |         FROM q, range(8) t(s)),
-         |subn AS (SELECT id, sub, sv,
-         |           CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS sn2 FROM subs),
-         |asg AS (SELECT id, sub, cid AS code FROM (
-         |          SELECT v.id, v.sub, c.cid,
-         |            row_number() OVER (PARTITION BY v.id, v.sub
-         |              ORDER BY v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-         |                         list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) ASC,
-         |                       c.cid ASC) AS rn
-         |          FROM subn v JOIN cbn c ON c.sub = v.sub) WHERE rn = 1),
-         |qtab AS (SELECT v.id AS query_id, v.sub, c.cid AS code,
-         |           v.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-         |             list_zip(v.sv, c.cqv), z -> z[1]*z[2])) AS BIGINT) AS qdist
-         |         FROM subn v JOIN cbn c ON c.sub = v.sub
-         |         WHERE v.id % 100 = 0),
-         |nd AS (SELECT t.query_id, e.id AS neighbor_id,
-         |         CAST(sum(t.qdist) AS BIGINT) AS adist
-         |       FROM asg e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
-         |       WHERE e.id <> t.query_id
-         |       GROUP BY 1, 2),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY adist ASC, neighbor_id ASC) AS prank
-         |  FROM nd) WHERE prank <= 25)
-         |SELECT query_id, neighbor_id, rank, cosine FROM (
-         |  SELECT s.query_id, s.neighbor_id,
-         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
-         |      CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
-         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))) DESC,
-         |      s.neighbor_id ASC) AS rank,
-         |    round(CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
-         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))), 6) AS cosine
-         |  FROM short s JOIN n x ON x.vec_id = s.neighbor_id
-         |               JOIN n qq ON qq.vec_id = s.query_id) WHERE rank <= 5""".stripMargin,
+         |$cascadeCtes
+         |SELECT query_id, neighbor_id, rank, cosine FROM casc""".stripMargin,
+    "ann_recall_cascade" ->
+      s"""WITH $qPrep,
+         |$cascadeCtes,
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) DESC, x.vec_id ASC) AS rank
+         |  FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |  QUALIFY rank <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |         AS BIGINT) AS n_hits
+         |FROM exact e LEFT JOIN casc c USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,
