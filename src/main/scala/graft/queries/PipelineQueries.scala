@@ -828,6 +828,30 @@ object PipelineQueries {
     Classifier.trainScored(d, "text", "doc_id", target, m = 256, iters = 1)
   }
 
+  /** Confusion matrix of the classifier's above-mean admission rule
+    * against its own training labels — the in-engine eval a filter
+    * deployment reads before trusting the cut (per-(label, pred)
+    * counts; integer-exact: the cut compares score·N > Σscore in
+    * longs, the pipeline_train_corpus rule). Self-evaluation on
+    * training labels bounds optimism, it doesn't estimate held-out
+    * accuracy — split the corpus by hash for that; the harness gates
+    * the MEASUREMENT machinery.
+    */
+  def qualityLrEvalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val scored = graft.ops.Classifier.trainScored(
+      d, "text", "doc_id", target, m = 256, iters = 1)
+    val tot = scored.agg(sum("score").as("stot"), count(lit(1)).as("ns"))
+    scored
+      .join(d.select(col("doc_id"), target.cast("int").as("y")), Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("y"),
+        (col("score") * col("ns") > col("stot")).cast("int").as("pred"))
+      .groupBy("y", "pred").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
   def textCooccurrenceQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
@@ -952,6 +976,7 @@ object PipelineQueries {
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
+    "quality_lr_eval" -> qualityLrEvalQ,
     "text_pmi" -> textPmiQ,
     "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
@@ -1074,6 +1099,31 @@ object PipelineQueries {
        |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))), 6) AS cosine
        |  FROM short s JOIN n x ON x.vec_id = s.neighbor_id
        |               JOIN n qq ON qq.vec_id = s.query_id) WHERE rank <= 5)""".stripMargin
+
+  /** The hashed-BoW logistic classifier's iters=1 replay as a
+    * reusable CTE chain ending in `s(doc_id, score)` (labels ride
+    * `cnt.y`) — shared by the score gate and the eval harness so the
+    * two oracles can never drift.
+    */
+  private lazy val lrCtes: String =
+    s"""nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |feats AS (
+       |  SELECT doc_id, unnest(ws) AS feat FROM nt
+       |  UNION ALL
+       |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
+       |tm AS (SELECT doc_id, doc_id % 3 = 0 AND list_contains(ws, 'join') AS t
+       |       FROM nt),
+       |cnt AS (SELECT fx.doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y,
+       |               ${h64("feat")} % 256 AS f, count(*) AS x
+       |        FROM feats fx JOIN tm USING (doc_id) GROUP BY 1, 2, 3),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |g AS (SELECT f, CAST(sum(x * (1000000 * y - 500000)) AS BIGINT) AS g
+       |      FROM cnt GROUP BY 1),
+       |w AS (SELECT f, CAST(round(CAST(g AS DOUBLE) / (2.0 * nn.n)) AS BIGINT) AS wq
+       |      FROM g, nn),
+       |s AS (SELECT cnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
+       |      FROM cnt JOIN w USING (f) GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality_band" ->
@@ -1974,24 +2024,16 @@ object PipelineQueries {
          |FROM e JOIN s ON e.i = s.i
          |GROUP BY 1, 2""".stripMargin,
     "quality_lr_score" ->
-      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
-         |feats AS (
-         |  SELECT doc_id, unnest(ws) AS feat FROM nt
-         |  UNION ALL
-         |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
-         |tm AS (SELECT doc_id, doc_id % 3 = 0 AND list_contains(ws, 'join') AS t
-         |       FROM nt),
-         |cnt AS (SELECT fx.doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y,
-         |               ${h64("feat")} % 256 AS f, count(*) AS x
-         |        FROM feats fx JOIN tm USING (doc_id) GROUP BY 1, 2, 3),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |g AS (SELECT f, CAST(sum(x * (1000000 * y - 500000)) AS BIGINT) AS g
-         |      FROM cnt GROUP BY 1),
-         |w AS (SELECT f, CAST(round(CAST(g AS DOUBLE) / (2.0 * nn.n)) AS BIGINT) AS wq
-         |      FROM g, nn)
-         |SELECT cnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
-         |FROM cnt JOIN w USING (f) GROUP BY 1""".stripMargin,
+      s"""WITH $lrCtes
+         |SELECT doc_id, score FROM s""".stripMargin,
+    "quality_lr_eval" ->
+      s"""WITH $lrCtes,
+         |st AS (SELECT CAST(sum(score) AS BIGINT) AS stot,
+         |              CAST(count(*) AS BIGINT) AS ns FROM s)
+         |SELECT cnt2.y, CASE WHEN s.score * st.ns > st.stot THEN 1 ELSE 0 END AS pred,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s JOIN (SELECT DISTINCT doc_id, y FROM cnt) cnt2 USING (doc_id), st
+         |GROUP BY 1, 2""".stripMargin,
     "text_pmi" ->
       s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
          |pos AS (SELECT ws, unnest(range(len(ws))) AS i FROM w),

@@ -675,4 +675,50 @@ class RandomizedSpec extends SparkSpec {
       assert(math.abs(est - n) < bound, s"round=$round n=$n k=$k est=$est")
     }
   }
+
+  test("bpe encode equals the min-rank reference on random words and merge tables") {
+    val rnd = new Random(8080)
+    def refEncode(w: String, rank: Map[(String, String), Int]): List[String] = {
+      var syms = w.map(_.toString).toList
+      var done = false
+      while (!done) {
+        val cands = syms.zip(syms.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.min
+          syms = syms.take(i) ++ List(syms(i) + syms(i + 1)) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    (1 to rounds).foreach { round =>
+      // adversarial alphabet: 3 letters force overlapping runs
+      // ("aaab…") and duplicate pairs at many positions; merge tables
+      // mix char pairs with multi-char symbols built from them, so
+      // rank priority vs leftmost position genuinely competes
+      val alpha = Seq("a", "b", "c")
+      val words = Seq.fill(rnd.nextInt(150) + 30)(
+        (1 to (rnd.nextInt(10) + 1)).map(_ => alpha(rnd.nextInt(3))).mkString)
+        .distinct
+      val syms = scala.collection.mutable.ArrayBuffer[String](alpha: _*)
+      val merges = (1 to rnd.nextInt(12) + 4).map { _ =>
+        val a = syms(rnd.nextInt(syms.length))
+        val b = syms(rnd.nextInt(syms.length))
+        syms += (a + b)
+        (a, b)
+      }
+      // first occurrence wins on duplicate pairs — pin the table rule
+      val rank = merges.zipWithIndex.groupMapReduce(_._1)(_._2)(math.min)
+      val got = words.toDF("word")
+        .repartition(rnd.nextInt(6) + 1)
+        .select($"word", graft.ops.Bpe.encodeCol($"word", merges).as("s"))
+        .as[(String, Seq[String])].collect().toMap
+      words.foreach { w =>
+        assert(got(w) == refEncode(w, rank),
+          s"round=$round word='$w' merges=$merges got=${got(w)}")
+        assert(got(w).mkString("") == w, "encode must preserve the word")
+      }
+    }
+  }
 }
