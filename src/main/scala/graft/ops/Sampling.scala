@@ -127,6 +127,53 @@ object Sampling {
       .withColumnRenamed("__nt", "n_tokens")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual/multi-
+    * source rebalance rule: p_i ∝ share_i^(1/T), Conneau & Lample's
+    * exponent-smoothed sampling) — [[mixture]] with weights DERIVED
+    * from the corpus instead of configured: T = 1 reproduces natural
+    * proportions, T → ∞ approaches uniform, the standard T ∈ [2, 5]
+    * band upsamples low-resource strata. One totals aggregate
+    * (|strata| rows) → quantized micro-weights → per-stratum rates →
+    * the same deterministic hash-threshold keep as every sampler
+    * (big side never shuffles).
+    *
+    * Engine-exactness: weights quantize to round(·10⁶) integers so
+    * the rate chain is exact-long-over-double like [[mixture]]'s. At
+    * T = 2 the weight is `sqrt` — correctly rounded by IEEE-754 on
+    * BOTH engines, so the gate is exact by construction; other T go
+    * through `pow`, where cross-libm last-ulp differences can flip a
+    * micro-weight's rounding on adversarial shares (the ln-quantize
+    * caveat of C11q, measured-zero in practice).
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+                         tokensCol: Column, temperature: Double,
+                         totalBudget: Long,
+                         salt: String = "graft"): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val weighted = df.withColumn("__nt", tokensCol.cast("long"))
+    val totals = weighted.groupBy(col(stratumCol))
+      .agg(sum(col("__nt")).as("__tot"))
+    val gtot = totals.agg(sum(col("__tot")).as("__g"))
+    val share = col("__tot").cast("double") / col("__g").cast("double")
+    val w = if (temperature == 2.0) sqrt(share)
+      else pow(share, 1.0 / temperature)
+    val wq = totals.crossJoin(broadcast(gtot))
+      .withColumn("__wq", round(w * lit(1e6)).cast("long"))
+    val sumW = wq.agg(sum(col("__wq")).as("__sw"))
+    val rates = wq.crossJoin(broadcast(sumW))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          col("__wq").cast("double") * lit(totalBudget.toDouble)
+            / col("__sw").cast("double") / col("__tot").cast("double"))
+          .as("__rate"))
+    weighted.join(broadcast(rates), Seq(stratumCol))
+      .filter(
+        pmod(Hashing.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))),
+          lit(BUCKETS)) < (col("__rate") * BUCKETS).cast("long"))
+      .drop("__rate")
+      .withColumnRenamed("__nt", "n_tokens")
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed n-gram
     * bag-of-words models of a TARGET slice (the data you want more

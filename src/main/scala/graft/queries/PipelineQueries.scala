@@ -455,6 +455,19 @@ object PipelineQueries {
       defaultWeight = 1L, totalBudget = 6000L)
       .select("doc_id", "source", "n_tokens")
 
+  /** Temperature-scaled mixture at T=2 (graft.ops.Sampling
+    * .temperatureMixture): weights √share per source — the sqrt path
+    * is correctly rounded on both engines, so the gate is exact by
+    * construction.
+    */
+  def sampleTemperatureQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.temperatureMixture(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"),
+      "source", "doc_id",
+      size(split(TextAnalysis.normalize(col("text")), " ")),
+      temperature = 2.0, totalBudget = 6000L)
+      .select("doc_id", "source", "n_tokens")
+
   /** DSIR importance scoring (graft.ops.Sampling.importance): the
     * exemplar "target distribution" is a CONTENT-defined slice (every
     * 3rd doc that mentions 'join' — the corpus is distributionally
@@ -946,6 +959,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
     "sample_mixture" -> sampleMixtureQ,
+    "sample_temperature" -> sampleTemperatureQ,
     "sample_importance" -> sampleImportanceQ,
     "dedup_lines" -> dedupLinesQ,
     "dedup_spans" -> dedupSpansQ,
@@ -1567,6 +1581,24 @@ object PipelineQueries {
          |          / CAST(tot AS DOUBLE)) AS rate
          |      FROM wt)
          |SELECT doc_id, w.source, n_tokens
+         |FROM w JOIN r USING (source)
+         |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
+         |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH w AS (SELECT doc_id, source, len(string_split($norm, ' ')) AS n_tokens
+         |           FROM documents),
+         |t AS (SELECT source, sum(n_tokens) AS tot FROM w GROUP BY 1),
+         |g AS (SELECT CAST(sum(tot) AS BIGINT) AS gt FROM t),
+         |wt AS (SELECT source, tot,
+         |         CAST(round(sqrt(CAST(tot AS DOUBLE) / CAST(g.gt AS DOUBLE)) * 1e6)
+         |           AS BIGINT) AS wq
+         |       FROM t, g),
+         |r AS (SELECT source, least(1.0,
+         |        CAST(wq AS DOUBLE) * 6000.0
+         |          / CAST((SELECT sum(wq) FROM wt) AS DOUBLE)
+         |          / CAST(tot AS DOUBLE)) AS rate
+         |      FROM wt)
+         |SELECT doc_id, w.source, CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM w JOIN r USING (source)
          |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
          |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
