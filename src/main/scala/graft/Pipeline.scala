@@ -161,6 +161,19 @@ object Pipeline {
           col("__p"), n = intOf("n", 3), minShared = intOf("minShared", 5))
           .filter(col("contaminated") === 1)
         df.join(flagged.select(idCol), Seq(idCol), "left_anti")
+      case "temperature_mixture" =>
+        // corpus-global rebalance: p_stratum ∝ share^(1/T); rates
+        // derive from the corpus token totals, so this cannot run
+        // per micro-batch (streamableOps excludes it)
+        Sampling.temperatureMixture(df, reqStr("stratum"), idCol,
+          size(split(TextAnalysis.normalize(col(textCol)), " ")),
+          temperature = dblOf("temperature", 2.0),
+          totalBudget = lngOf("budget", 0L) match {
+            case 0L => throw new IllegalArgumentException(
+              "stage 'temperature_mixture' requires 'budget'")
+            case b => b
+          },
+          salt = strOf("salt", "graft")).drop("n_tokens")
       case "token_budget" =>
         // denomination: whitespace tokens by default; "tokenizer":
         // "bpe" + "merges": <parquet path of a graft.ops.Bpe.train
@@ -307,6 +320,8 @@ object Pipeline {
     "quality_band" -> "a corpus-global pass (batch Pipeline.run)",
     "decontaminate" -> "a corpus-global pass (batch Pipeline.run)",
     "token_budget" -> "a corpus-global pass (batch Pipeline.run)",
+    "temperature_mixture" -> ("a corpus-global pass (batch Pipeline.run: " +
+      "rates derive from corpus token totals)"),
     "group_cap" -> "graft.streaming.QuotaStream (lifetime caps)",
     "weighted_cap" -> "graft.streaming.QuotaStream (lifetime caps)",
     "shard" -> "batch Pipeline.run (shard fixes a corpus-wide layout)")

@@ -252,6 +252,27 @@ class ConfigSpec extends SparkSpec {
       Pipeline.run(spark, s"""{"input": "$jsonDir", "inputFormat": "jsonl",
         |"output": "$jOut", "stages": []}""".stripMargin)
     }
+    // temperature_mixture stage ≡ hand-composed; corpus-global, so
+    // streaming refuses it by name
+    val tOut = tmpDir() + "/temp"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$tOut",
+         |"stages": [{"op": "temperature_mixture", "stratum": "source",
+         |"temperature": 2.0, "budget": 2000}]}""".stripMargin)
+    val wantT = graft.ops.Sampling.temperatureMixture(docs, "source", "doc_id",
+        size(split(graft.ops.TextAnalysis.normalize($"text"), " ")), 2.0, 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spark.read.parquet(tOut).select("doc_id").as[Long]
+      .collect().toSet == wantT && wantT.nonEmpty)
+    val eT = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark,
+        s"""{"input": "${tmpDir()}", "output": "${tmpDir()}",
+           |"schemaDdl": "doc_id long, text string, source string",
+           |"stages": [{"op": "temperature_mixture", "stratum": "source",
+           |"budget": 2000}]}""".stripMargin, tmpDir())
+    }
+    assert(eT.getMessage.contains("temperature_mixture") &&
+      eT.getMessage.contains("corpus-global"))
   }
 
   test("pipeline runner: dedup_winnow stage drops passage-embedding copies; streaming refuses") {
