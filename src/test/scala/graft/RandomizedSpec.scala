@@ -676,6 +676,45 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("bm25 equals the exact reference on random tie-heavy corpora") {
+    val rnd = new Random(4711)
+    (1 to rounds).foreach { round =>
+      // tiny vocab + repeated docs force score ties, so the
+      // (score desc, doc_id) total order genuinely decides ranks
+      val vocab = Seq("x", "y", "z", "w", "q")
+      val docs = (0L until (rnd.nextInt(40) + 20).toLong).map { id =>
+        (id, (1 to (rnd.nextInt(12) + 2))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(rnd.nextInt(5) + 1)
+      val got = graft.ops.Retrieval.bm25SelfProbe(df, "text", "doc_id",
+          $"doc_id" % 7 === 0, nQueryTerms = 3, topK = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // exact reference
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val tf = toks.view.mapValues(_.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+      val dl = tf.view.mapValues(_.values.sum).toMap
+      val n = dl.size.toLong; val t = dl.values.sum
+      val dfT = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = docs.filter(_._1 % 7 == 0).flatMap { case (qid, _) =>
+        val terms = toks(qid).take(3).distinct
+        val scores = tf.keys.filter(d => terms.exists(tf(d).contains)).map { d =>
+          d -> terms.map { term =>
+            tf(d).get(term).fold(0L) { f =>
+              val qidf = math.round(math.log(
+                (n - dfT(term) + 0.5) / (dfT(term) + 0.5) + 1) * 1e6)
+              math.round((qidf * 22L * f).toDouble * t /
+                (10L * t * f + 3L * t + 9L * dl(d) * n).toDouble)
+            }
+          }.sum
+        }.toSeq
+        scores.sortBy { case (d, s) => (-s, d) }.take(4).zipWithIndex
+          .map { case ((d, s), i) => (qid, d, i + 1L, s) }
+      }.toSet
+      assert(got == want, s"round=$round")
+    }
+  }
+
   test("bpe encode equals the min-rank reference on random words and merge tables") {
     val rnd = new Random(8080)
     def refEncode(w: String, rank: Map[(String, String), Int]): List[String] = {
