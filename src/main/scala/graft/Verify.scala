@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name filter (substring match)
+    // for fast single-query iteration; the driver passes two args.
+    val Array(sfDir, outDir) = args.take(2)
+    val nameFilter: String => Boolean =
+      if (args.length > 2) { val pats = args(2).split(",").toSeq
+        (n: String) => pats.exists(n.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -29,7 +35,8 @@ object Verify {
     import scala.concurrent.{ExecutionContext, Future, Await}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val jobs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val jobs = SparkEntry.queries.toSeq.filter(t => nameFilter(t._1))
+      .map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -52,7 +59,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(t => nameFilter(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

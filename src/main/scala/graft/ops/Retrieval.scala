@@ -88,4 +88,38 @@ object Retrieval {
                     topK: Int = 5): DataFrame =
     bm25(df, textCol, idCol, df.filter(pick), textCol, idCol,
       nQueryTerms, topK)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of per-query ranked lists — the standard hybrid-retrieval merge
+    * of a lexical (BM25) and a semantic (embedding-ANN) ranking, which
+    * consistently beats either list alone without ever comparing their
+    * incommensurable scores: only RANKS enter the fusion.
+    *
+    * Each input list is (query_id, doc_id, rank) with ranks dense from
+    * 1 per query. A document's fused score is Σ_lists 1/(kConst+rank);
+    * kConst = 60 is the paper's constant. Engine-exactness: each
+    * contribution is the INTEGER quotient 10⁶ div (kConst + rank) —
+    * floor division of positive integers, bit-identical on any engine,
+    * order-independent under the long sum (vs summing 1/(60+r) doubles,
+    * whose value depends on addition order). Ties broken by doc_id.
+    *
+    * Scale shape: the inputs are |queries|·k rows — the searches that
+    * produced them are the expensive part (each audited on its own);
+    * fusion itself is a union + one |queries|·k-row partial agg + a
+    * per-query window. At 100 TB of corpus this stage is noise.
+    */
+  def rrf(lists: Seq[DataFrame], kConst: Int = 60,
+          topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrf: need at least one ranked list")
+    val tagged = lists.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000 DIV (${kConst}L + rank)").as("contrib")))
+    val unioned = tagged.reduce(_.unionByName(_))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    unioned.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum("contrib").as("rrf_micro"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select("query_id", "doc_id", "fused_rank", "n_lists", "rrf_micro")
+  }
 }

@@ -826,6 +826,43 @@ object PipelineQueries {
     graft.ops.Retrieval.bm25SelfProbe(Tables.documents(spark, sfDir),
       "text", "doc_id", col("doc_id") % 100 === 0)
 
+  private val RRF_KEACH = 20 // per-list depth fed into the fusion
+
+  /** Hybrid retrieval: BM25 lexical ranking over `documents` fused
+    * with exact-cosine semantic ranking over the PARALLEL `embeddings`
+    * table (vec_id ≡ doc_id for the shared id range) by reciprocal
+    * rank — the deployed two-tower search shape. Probes are the ids
+    * that exist in BOTH tables (vec_id % 100 = 0), so every query has
+    * both lists. The lexical list drops the probe's self-hit and
+    * re-ranks the survivors (the semantic side excludes self by
+    * construction), so both lists rank 1..kEach over non-self docs.
+    * The fusion arithmetic is integer-exact (see Retrieval.rrf); the
+    * DuckDB oracle replays BOTH searches and the fusion.
+    */
+  def textRrfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = docs.join(
+      broadcast(emb.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("doc_id"))), Seq("doc_id"))
+    // lexical: one extra rank of headroom so dropping the self-hit
+    // still leaves kEach true non-self candidates, then re-rank
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = graft.ops.Retrieval.bm25(docs, "text", "doc_id",
+        probes, "text", "doc_id", nQueryTerms = 8, topK = RRF_KEACH + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wLex).cast("long"))
+      .filter(col("rank") <= RRF_KEACH)
+      .select("query_id", "doc_id", "rank")
+    val sem = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        expr("id % 100 = 0"), k = RRF_KEACH, dim = EMB_DIM)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    graft.ops.Retrieval.rrf(Seq(lex, sem), kConst = 60, topK = 10)
+  }
+
   /** In-engine quality classifier (graft.ops.Classifier): hashed-BoW
     * logistic regression trained one full-batch GD round on the DSIR
     * content-defined target, then applied to the whole corpus. At
@@ -987,6 +1024,7 @@ object PipelineQueries {
     "bpe_encode" -> bpeEncodeQ,
     "bpe_encode_docs" -> bpeEncodeDocsQ,
     "text_bm25" -> textBm25Q,
+    "text_rrf" -> textRrfQ,
     "text_cooccurrence" -> textCooccurrenceQ,
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
@@ -1005,6 +1043,36 @@ object PipelineQueries {
 
   private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val h64 = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** The BM25 corpus/probe/scoring CTE chain (ends at `agg`:
+    * (query_id, doc_id, score_micro)), parameterized only by the probe
+    * predicate — shared verbatim between the `text_bm25` gate and the
+    * `text_rrf` fusion oracle so the two scoring replays cannot drift.
+    */
+  private def bm25Ctes(probeWhere: String): String =
+    s"""tk AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+       |            FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk WHERE len(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+       |       FROM dl),
+       |qt AS (SELECT doc_id AS query_id,
+       |         unnest(list_distinct(list_filter(string_split($norm, ' '),
+       |           w -> len(w) > 0)[1:8])) AS term
+       |       FROM documents WHERE $probeWhere),
+       |qi AS (SELECT q.query_id, q.term, nt.n, nt.t,
+       |         CAST(round(ln((nt.n - d.df + 0.5) / (d.df + 0.5) + 1) * 1e6)
+       |           AS BIGINT) AS qidf
+       |       FROM qt q JOIN dft d USING (term), nt),
+       |s AS (SELECT qi.query_id, tf.doc_id,
+       |        CAST(round(CAST(qi.qidf * 22 * tf.tf AS DOUBLE) * qi.t /
+       |          CAST(10 * qi.t * tf.tf + 3 * qi.t + 9 * dl.dl * qi.n
+       |            AS DOUBLE)) AS BIGINT) AS st
+       |      FROM qi JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(st) AS BIGINT) AS score_micro
+       |        FROM s GROUP BY 1, 2)""".stripMargin
 
   private val qPrep =
     """q AS (SELECT vec_id, list_transform(embedding,
@@ -2172,34 +2240,39 @@ object PipelineQueries {
          |       array_to_string(syms, ' ') AS seg
          |FROM f1""".stripMargin,
     "text_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
-         |            FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tk WHERE len(term) > 0 GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
-         |       FROM dl),
-         |qt AS (SELECT doc_id AS query_id,
-         |         unnest(list_distinct(list_filter(string_split($norm, ' '),
-         |           w -> len(w) > 0)[1:8])) AS term
-         |       FROM documents WHERE doc_id % 100 = 0),
-         |qi AS (SELECT q.query_id, q.term, nt.n, nt.t,
-         |         CAST(round(ln((nt.n - d.df + 0.5) / (d.df + 0.5) + 1) * 1e6)
-         |           AS BIGINT) AS qidf
-         |       FROM qt q JOIN dft d USING (term), nt),
-         |s AS (SELECT qi.query_id, tf.doc_id,
-         |        CAST(round(CAST(qi.qidf * 22 * tf.tf AS DOUBLE) * qi.t /
-         |          CAST(10 * qi.t * tf.tf + 3 * qi.t + 9 * dl.dl * qi.n
-         |            AS DOUBLE)) AS BIGINT) AS st
-         |      FROM qi JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(st) AS BIGINT) AS score_micro
-         |        FROM s GROUP BY 1, 2)
+      s"""WITH ${bm25Ctes("doc_id % 100 = 0")}
          |SELECT query_id, doc_id,
          |       CAST(row_number() OVER (PARTITION BY query_id
          |         ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
          |       score_micro
          |FROM agg QUALIFY rank <= 5""".stripMargin,
+    "text_rrf" ->
+      s"""WITH ${bm25Ctes(
+              "doc_id % 100 = 0 AND doc_id IN (SELECT vec_id FROM embeddings)")},
+         |$qPrep,
+         |lex AS (SELECT query_id, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |        FROM agg WHERE doc_id <> query_id
+         |        QUALIFY rank <= $RRF_KEACH),
+         |sem AS (SELECT qq.vec_id AS query_id, x.vec_id AS doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |            CAST(list_sum(list_transform(list_zip(x.qv, qq.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |            / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))) DESC,
+         |            x.vec_id ASC) AS BIGINT) AS rank
+         |        FROM n x JOIN n qq ON qq.vec_id % 100 = 0 AND x.vec_id <> qq.vec_id
+         |        QUALIFY rank <= $RRF_KEACH),
+         |u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS contrib FROM lex
+         |      UNION ALL
+         |      SELECT query_id, doc_id, 1000000 // (60 + rank) FROM sem),
+         |f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |        CAST(sum(contrib) AS BIGINT) AS rrf_micro
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS fused_rank,
+         |       n_lists, rrf_micro
+         |FROM f QUALIFY fused_rank <= 10""".stripMargin,
     "bpe_encode_docs" ->
       s"""WITH RECURSIVE
          |$bpeEncCte,

@@ -1215,4 +1215,61 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == got)
   }
+
+  test("rrf fusion: integer-exact contributions, both-list docs dominate, doc_id tie break") {
+    import graft.ops.Retrieval
+    def c(r: Long) = 1000000L / (60L + r)
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrf(Seq(lex, sem), kConst = 60, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    // doc 11 (lex rank 2 + sem rank 1) must beat every single-list doc
+    val expected = Seq(
+      (1L, 11L, 1L, 2L, c(2) + c(1)),
+      (1L, 10L, 2L, 1L, c(1)),
+      (1L, 13L, 3L, 1L, c(2)),
+      (1L, 12L, 4L, 1L, c(3)))
+    assert(got.toSeq == expected)
+    // equal fused scores break by doc_id ascending
+    val a = Seq((7L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tie = Retrieval.rrf(Seq(a, b), topK = 2)
+      .orderBy("fused_rank").select("doc_id").as[Long].collect().toSeq
+    assert(tie == Seq(20L, 21L))
+    // fusion owes nothing to the physical layout
+    val again = Retrieval.rrf(Seq(lex.repartition(5), sem.repartition(3)),
+        kConst = 60, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    assert(again.toSeq == expected)
+  }
+
+  test("text_rrf: hybrid lexical+semantic fusion is well-formed end-to-end") {
+    val out = PipelineQueries.textRrfQ(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    def c(r: Long) = 1000000L / (60L + r)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // dense 1..k ranks, scores non-increasing in fused rank
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, s"query $qid")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq, s"query $qid")
+      // contributions bound the fused score: a doc sits in 1 or 2 lists,
+      // each contributing between c(kEach) and c(1)
+      rows.foreach { case (_, did, _, nLists, micro) =>
+        assert(nLists >= 1L && nLists <= 2L, s"$qid/$did n_lists $nLists")
+        assert(micro >= nLists * c(1000L) && micro <= nLists * c(1L),
+          s"$qid/$did micro $micro outside bounds for $nLists lists")
+        assert(did != qid, "self-hits are excluded from both lists")
+      }
+    }
+    // at least one query fuses evidence from both lists on this corpus
+    assert(out.exists(_._4 == 2L), "no doc ranked by both lexical and semantic lists")
+  }
 }
