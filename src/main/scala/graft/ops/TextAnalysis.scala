@@ -524,6 +524,56 @@ object TextAnalysis {
             size(col("bigrams")), 6))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
 
+  /** Fuzzy decontamination by n-gram COVERAGE ratio — the deployed
+    * variant of [[contamination]] (the PaLM/GPT-4 eval-decontamination
+    * rule flags a document when ≥ ~70% of its n-grams appear in a
+    * benchmark set; an absolute shared count can't express that for
+    * variable-length docs). For every non-probe document: its distinct
+    * n-gram count, how many of those appear anywhere in the probe set,
+    * and the coverage in ppm — the integer quotient
+    * n_matched·10⁶ div n_grams, exact on any engine — with a flag at
+    * `flagPpm`. Documents shorter than n tokens surface with
+    * n_grams = 0, cov_ppm = 0 (a filter decision needs every doc, so
+    * no inner-join disappearance here).
+    *
+    * Scale shape: identical to [[contamination]] — per-doc
+    * array_distinct before the explode, DISTINCT'd probe gram set
+    * broadcast (benchmarks are tiny next to a training corpus), one
+    * partial-aggregated count — plus one id-keyed left join back to
+    * the doc list so empty docs survive. No corpus self-join, no
+    * corpus-wide distinct.
+    */
+  def ngramCoverage(df: DataFrame, textCol: String, idCol: String,
+                    probe: Column, n: Int = 8,
+                    flagPpm: Long = 700000L): DataFrame = {
+    val grams = df
+      .select(col(idCol), probe.as("__probe"),
+        split(normalize(col(textCol)), " ").as("toks"))
+      .withColumn("gram", explode(expr(
+        s"""array_distinct(CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |         i -> array_join(slice(toks, i + 1, $n), ' '))
+           |  ELSE array()
+           |END)""".stripMargin)))
+      .select(col(idCol), col("__probe"), col("gram"))
+    val probeGrams = grams.filter(col("__probe")).select("gram").distinct()
+    val counts = grams.filter(!col("__probe"))
+      .join(broadcast(probeGrams.withColumn("__hit", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__hit"), lit(0L)).as("n_matched"))
+    df.filter(!probe).select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("cov_ppm",
+        when(col("n_grams") > 0, expr("n_matched * 1000000 DIV n_grams"))
+          .otherwise(lit(0L)))
+      .withColumn("flagged", (col("cov_ppm") >= flagPpm).cast("int"))
+  }
+
   /** Benchmark-contamination check: for each corpus document, the
     * number of distinct word `n`-grams it shares with ANY document of
     * the probe (benchmark) set, and a flag at `minShared`. The probe

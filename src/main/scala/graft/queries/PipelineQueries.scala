@@ -305,6 +305,13 @@ object PipelineQueries {
     TextAnalysis.contamination(Tables.documents(spark, sfDir), "text", "doc_id",
       probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
 
+  /** Coverage-ratio twin of text_contamination on the same probe set,
+    * at the same n = 3 (the synthetic docs are short); flag at 60%.
+    */
+  def textNgramCoverageQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.ngramCoverage(Tables.documents(spark, sfDir), "text", "doc_id",
+      probe = expr("doc_id % 97 = 0"), n = 3, flagPpm = 600000L)
+
   /** Quality-ranked keeper per bag-hash group on the dup corpus. */
   def dedupKeepBestQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.keepBest(dupCorpus(spark, sfDir), "text", "doc_id")
@@ -992,6 +999,7 @@ object PipelineQueries {
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
     "text_contamination" -> textContaminationQ,
+    "text_ngram_coverage" -> textNgramCoverageQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
@@ -1538,6 +1546,28 @@ object PipelineQueries {
          |FROM g JOIN p USING (gram)
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY g.doc_id""".stripMargin,
+    "text_ngram_coverage" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(l) >= 3
+         |          THEN list_transform(generate_series(1, len(l) - 2),
+         |                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+         |          ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         |      FROM d),
+         |p AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        CAST(count(p.gram) AS BIGINT) AS n_matched
+         |      FROM g LEFT JOIN p ON g.gram = p.gram
+         |      WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+         |SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+         |  coalesce(c.n_matched, 0) AS n_matched,
+         |  CASE WHEN coalesce(c.n_grams, 0) > 0
+         |       THEN c.n_matched * 1000000 // c.n_grams ELSE 0 END AS cov_ppm,
+         |  CASE WHEN (CASE WHEN coalesce(c.n_grams, 0) > 0
+         |             THEN c.n_matched * 1000000 // c.n_grams ELSE 0 END) >= 600000
+         |       THEN 1 ELSE 0 END AS flagged
+         |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 97 <> 0""".stripMargin,
     "dedup_incremental" ->
       s"""WITH batch AS (
          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0

@@ -1216,6 +1216,33 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("ngram coverage: exact ppm ratio, short docs surface with zero grams, flag threshold") {
+    val df = Seq(
+      (0L, "a b c d e f"),  // probe: grams abc bcd cde def
+      (1L, "a b c d x y"),  // 2 of 4 grams shared -> 500000 ppm
+      (2L, "z z"),          // < n tokens: zero grams, still present
+      (3L, "a b c d e f"),  // identical to probe -> 1000000 ppm, flagged
+      (4L, "q w e r t")     // nothing shared
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramCoverage(df, "text", "doc_id",
+        expr("doc_id = 0"), n = 3, flagPpm = 600000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 500000L, 0),
+      (2L, 0L, 0L, 0L, 0),
+      (3L, 4L, 4L, 1000000L, 1),
+      (4L, 3L, 0L, 0L, 0)))
+    // partition-independence: the ratio owes nothing to the layout
+    val again = TextAnalysis.ngramCoverage(df.repartition(4), "text", "doc_id",
+        expr("doc_id = 0"), n = 3, flagPpm = 600000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("rrf fusion: integer-exact contributions, both-list docs dominate, doc_id tie break") {
     import graft.ops.Retrieval
     def c(r: Long) = 1000000L / (60L + r)
