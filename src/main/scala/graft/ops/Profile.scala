@@ -229,6 +229,63 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Pearson correlation matrix over numeric columns — the
+    * relationship member of the profiling family (histogram: shape;
+    * quantiles: spread; this: which columns move together — the
+    * pre-flight check before treating features as independent, and the
+    * leakage probe before training a quality classifier on them).
+    *
+    * Exactness: values quantize once to cents (round(v·100), the
+    * q_anomaly convention), every moment — n, Σx, Σx², Σxy — is an
+    * exact integer (pair products fit a long at cents scale; sums
+    * accumulate as decimal(38,0), DuckDB HUGEINT), and
+    * corr = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²) is
+    * evaluated as ONE deterministic double expression over those exact
+    * integers, rounded to 6 — engine- and order-independent.
+    * Zero-variance columns yield NULL corr (no 0/0). Rows with a null
+    * in ANY profiled column are dropped once (listwise deletion), so
+    * every pair shares the same n — the matrix stays positive
+    * semidefinite, which pairwise deletion silently breaks.
+    *
+    * Scale shape: ONE map-side-combined aggregate producing a single
+    * row of |cols|·2 + |pairs| + 1 exact sums; the pair frame then
+    * derives from that row by a literal-struct explode — the corpus is
+    * scanned exactly once, nothing corpus-sized shuffles, and the
+    * output is |cols|²/2 rows regardless of data size.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val q = df.na.drop(cols)
+      .select(cols.map(c => round(col(c) * 100).cast("long").as(c)): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(dec(col(c))).as(s"s_$c"),
+        sum(dec(col(c) * col(c))).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(dec(col(a) * col(b))).as(s"sp_${a}__$b") }
+    val m = q.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        (dec(col(s"sp_${a}__$b")) * dec(col("n")) -
+          dec(col(s"s_$a")) * dec(col(s"s_$b"))).as("num"),
+        (dec(col(s"ss_$a")) * dec(col("n")) -
+          dec(col(s"s_$a")) * dec(col(s"s_$a"))).as("d1"),
+        (dec(col(s"ss_$b")) * dec(col("n")) -
+          dec(col(s"s_$b")) * dec(col(s"s_$b"))).as("d2"))
+    }
+    m.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("n"),
+        when(col("p.d1") > 0 && col("p.d2") > 0,
+          round(col("p.num").cast("double") /
+            (sqrt(col("p.d1").cast("double")) *
+             sqrt(col("p.d2").cast("double"))), 6)).as("corr"))
+  }
+
   /** Per-stratum token-distribution drift: KL(stratum ‖ corpus) over
     * unigram frequencies — the monitoring signal that tells a corpus
     * pipeline one source/crawl-dump/date-bucket has shifted away from

@@ -564,6 +564,10 @@ object PipelineQueries {
     graft.ops.Profile.histogram(Tables.lineitem(spark, sfDir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), nBins = 16)
 
+  def profileCorrQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.corrMatrix(Tables.lineitem(spark, sfDir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Sketched column-distinct profile (graft.ops.Sketch
     * .distinctCount) — profile_table's n_distinct re-asked with a
     * k=64 KMV sketch over the SAME unpivoted corpus (including the
@@ -1012,6 +1016,7 @@ object PipelineQueries {
     "sample_shard" -> sampleShardQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
+    "profile_corr" -> profileCorrQ,
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
@@ -1081,6 +1086,42 @@ object PipelineQueries {
        |      FROM qi JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
        |agg AS (SELECT query_id, doc_id, CAST(sum(st) AS BIGINT) AS score_micro
        |        FROM s GROUP BY 1, 2)""".stripMargin
+
+  /** profile_corr oracle: the same exact-integer moment chain as
+    * Profile.corrMatrix, generated for the gated column list (HUGEINT
+    * plays decimal(38,0); products fit BIGINT at cents scale).
+    */
+  private def corrOracle(cs: Seq[String]): String = {
+    val idx = cs.indices
+    val qcols = idx.map(i => s"CAST(round(${cs(i)} * 100) AS BIGINT) AS c$i")
+      .mkString(", ")
+    val nn = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val sums = idx.map(i =>
+      s"sum(CAST(c$i AS HUGEINT)) AS s$i, sum(CAST(c$i * c$i AS HUGEINT)) AS ss$i")
+      .mkString(",\n        ")
+    val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+    val sps = pairs.map { case (i, j) =>
+      s"sum(CAST(c$i * c$j AS HUGEINT)) AS sp${i}_$j" }.mkString(",\n        ")
+    val branches = pairs.map { case (i, j) =>
+      s"""SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y,
+         |    CAST(m.n AS BIGINT) AS n,
+         |    sp${i}_$j * m.n - s$i * s$j AS num,
+         |    ss$i * m.n - s$i * s$i AS d1, ss$j * m.n - s$j * s$j AS d2
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH q AS (SELECT $qcols FROM lineitem WHERE $nn),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |        $sums,
+       |        $sps FROM q),
+       |p AS (
+       |  $branches)
+       |SELECT col_x, col_y, n,
+       |  CASE WHEN d1 > 0 AND d2 > 0
+       |       THEN round(CAST(num AS DOUBLE) /
+       |         (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 6)
+       |  END AS corr
+       |FROM p""".stripMargin
+  }
 
   private val qPrep =
     """q AS (SELECT vec_id, list_transform(embedding,
@@ -1820,6 +1861,8 @@ object PipelineQueries {
          |         ELSE 0 END AS BIGINT) AS bin,
          |       CAST(count(*) AS BIGINT) AS n_rows
          |FROM sn JOIN mm USING (col_name) GROUP BY 1, 2""".stripMargin,
+    "profile_corr" -> corrOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "text_winnow" ->
       s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
          |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),

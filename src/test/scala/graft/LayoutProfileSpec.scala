@@ -110,4 +110,39 @@ class LayoutProfileSpec extends SparkSpec {
     val zSpike = (1000 * 100.0 * n - s1) / math.sqrt(n.toDouble * s2 - s1.toDouble * s1)
     assert(got == Map(21L -> math.round(zSpike * 1000)))
   }
+
+  test("profile: corrMatrix is ±1 on linear columns, NULL on zero variance, listwise-complete") {
+    import graft.ops.Profile
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(-1.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(-2.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(-3.0), Some(5.0)),
+      (Some(4.0), Some(8.0), Some(-4.0), Some(5.0)),
+      (Some(9.0), None, Some(9.0), Some(9.0)) // any-null row drops everywhere
+    ).toDF("x", "y", "z", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.corrMatrix(d, Seq("x", "y", "z", "w")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+    val got = run(df)
+    assert(got.size == 6)
+    assert(got.values.forall(_._1 == 4L), "listwise deletion: one shared n")
+    assert(got(("x", "y")) == ((4L, Some(1.0))))
+    assert(got(("x", "z")) == ((4L, Some(-1.0))))
+    assert(got(("y", "z")) == ((4L, Some(-1.0))))
+    assert(got(("x", "w"))._2.isEmpty, "zero-variance column has no correlation")
+    assert(got(("z", "w"))._2.isEmpty)
+    // a non-degenerate value against a driver recompute on cents
+    val xs = Seq(1L, 2L, 3L, 4L).map(_ * 100)
+    val ys = Seq(2L, 4L, 6L, 8L).map(_ * 100)
+    val (n, sx, sy) = (4L, xs.sum, ys.sum)
+    val num = (xs, ys).zipped.map(_ * _).sum * n - sx * sy
+    val d1 = xs.map(v => v * v).sum * n - sx * sx
+    val d2 = ys.map(v => v * v).sum * n - sy * sy
+    val ref = BigDecimal(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x", "y"))._2.contains(ref))
+    assert(run(df.repartition(5)) == got, "moments owe nothing to the layout")
+  }
 }
