@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: irregular event streams onto fixed
+  * per-key time grids. Feature pipelines, monitoring backfills and
+  * as-of feature joins all want a row per (key, bucket) even when
+  * nothing happened in the bucket — the gap IS the signal — with the
+  * last observation carried forward across it.
+  */
+object TimeSeries {
+
+  /** Per-key fixed-step grid from the key's first to last observation
+    * (bucket = epoch-seconds floor-divided by `stepSeconds` — the grid
+    * is absolute, not phase-shifted per key), with:
+    *  - `filled_value`: last-observation-carried-forward at each grid
+    *    point (NULL before the key's first value — the honest answer,
+    *    never a synthetic zero);
+    *  - `n_events`: observations inside that bucket (0 = the gap).
+    *
+    * LOCF is the union trick — events and grid points interleave in
+    * ONE per-key ordered pass (`last(value, ignoreNulls)` over rows
+    * unbounded-preceding), not an as-of join per grid point. Ties are
+    * total-ordered: same-instant events sort before their grid point
+    * (an observation AT the boundary is visible to it), equal-ts
+    * events order by value so exact duplicates can't flap between
+    * runs; a null-valued observation never overwrites a carried value
+    * (ignoreNulls), and its position among same-ts rows provably can't
+    * change which non-null value is last.
+    *
+    * Scale shape: one per-key bounds aggregate (partial, |keys| rows),
+    * a grid explode of span/step rows per key, ONE shuffle on the key
+    * for the ordered LOCF pass, and a partial-aggregated per-bucket
+    * count joined back on (key, bucket). Everything partitions by key;
+    * a single key's window holds its grid+events rows only — the same
+    * hot-key caveat as sessionize, bounded by retention/step.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val ev = df.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(valueCol).as("v"))
+    val vType = ev.schema("v").dataType
+    val bucket = (c: String) =>
+      expr(s"timestamp_seconds(unix_timestamp($c) div $stepSeconds * $stepSeconds)")
+    val bounds = ev.groupBy("k").agg(min("t").as("t0"), max("t").as("t1"))
+    val grid = bounds.select(col("k"),
+      explode(expr(
+        s"""sequence(timestamp_seconds(unix_timestamp(t0) div $stepSeconds * $stepSeconds),
+           |         timestamp_seconds(unix_timestamp(t1) div $stepSeconds * $stepSeconds),
+           |         interval $stepSeconds second)""".stripMargin)).as("t"))
+    val unioned = ev.withColumn("is_grid", lit(0))
+      .unionByName(grid.select(col("k"), col("t"),
+        lit(null).cast(vType).as("v"), lit(1).as("is_grid")))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("is_grid").asc, col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+    val counts = ev.select(col("k"), bucket("t").as("t"))
+      .groupBy("k", "t").agg(count(lit(1)).as("n_events"))
+    filled.join(counts, Seq("k", "t"), "left")
+      .select(col("k").as(keyCol), col("t").as("bucket_ts"),
+        col("fv").as("filled_value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+}

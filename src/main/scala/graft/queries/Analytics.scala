@@ -496,7 +496,23 @@ object Analytics {
       broadcastRows = 1000L, skewRowsPerTask = 100L, bloomCoverage = 0.5)
   }
 
+  /** Hourly LOCF resample of the event stream per user — B-block
+    * time-series regularization (graft.ops.TimeSeries.gapFill).
+    */
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.gapFill(Tables.events(spark, sfDir),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+      // gate hygiene: grid points before a key's first observation are
+      // honestly NULL; the hash gate compares sorted tuples, so encode
+      // null as (has_value = 0, value = 0.0) instead of a NaN that
+      // breaks tuple ordering
+      .select(col("user_id"), col("bucket_ts"),
+        (col("filled_value").isNotNull).cast("int").as("has_value"),
+        coalesce(col("filled_value"), lit(0.0)).as("filled_value"),
+        col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> qGapFill,
     "q_join_advise" -> qJoinAdvise,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
@@ -678,6 +694,32 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id AS k, ts AS t, value AS v FROM events),
+        |b AS (SELECT k, min(t) AS t0, max(t) AS t1 FROM e GROUP BY 1),
+        |g AS (SELECT k, unnest(generate_series(
+        |        make_timestamp(CAST(floor(date_part('epoch', t0)) AS BIGINT)
+        |          // 3600 * 3600 * 1000000),
+        |        make_timestamp(CAST(floor(date_part('epoch', t1)) AS BIGINT)
+        |          // 3600 * 3600 * 1000000),
+        |        INTERVAL 3600 SECOND)) AS t FROM b),
+        |u AS (SELECT k, t, v, 0 AS is_grid FROM e
+        |      UNION ALL SELECT k, t, NULL, 1 FROM g),
+        |w AS (SELECT k, t, is_grid,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY k
+        |          ORDER BY t, is_grid, v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |      FROM u),
+        |c AS (SELECT k, make_timestamp(CAST(floor(date_part('epoch', t)) AS BIGINT)
+        |          // 3600 * 3600 * 1000000) AS t,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY 1, 2)
+        |SELECT w.k AS user_id, w.t AS bucket_ts,
+        |  CASE WHEN w.fv IS NULL THEN 0 ELSE 1 END AS has_value,
+        |  coalesce(w.fv, 0.0) AS filled_value,
+        |  coalesce(c.n_events, 0) AS n_events
+        |FROM w LEFT JOIN c ON w.k = c.k AND w.t = c.t
+        |WHERE w.is_grid = 1""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,

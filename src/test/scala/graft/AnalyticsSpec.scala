@@ -94,4 +94,47 @@ class AnalyticsSpec extends SparkSpec {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("gapFill: absolute grid, LOCF across gaps, null before first value, bucket counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "s", "value")
+        .select($"user_id", $"s".cast("timestamp").as("ts"), $"value")
+    val got = graft.ops.TimeSeries.gapFill(
+        mk(Seq(
+          (1L, "2024-01-01 00:30:00", 10.0),
+          (1L, "2024-01-01 02:15:00", 20.0),
+          (2L, "2024-01-01 05:59:59", 7.0))),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      // grid instant 00:00 precedes the 00:30 event: honest NULL fill,
+      // but the bucket still counts its one event
+      (1L, "2024-01-01T00:00:00Z", None, 1L),
+      (1L, "2024-01-01T01:00:00Z", Some(10.0), 0L),
+      (1L, "2024-01-01T02:00:00Z", Some(10.0), 1L),
+      (2L, "2024-01-01T05:00:00Z", None, 1L)))
+    // an observation exactly AT the grid instant is visible to it
+    val atBoundary = graft.ops.TimeSeries.gapFill(
+        mk(Seq((3L, "2024-01-01 04:00:00", 5.0),
+               (3L, "2024-01-01 05:00:00", 6.0))),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+      .collect().map(r => (r.getTimestamp(1).toInstant.toString,
+        r.get(2).asInstanceOf[Double])).sortBy(_._1)
+    assert(atBoundary.toSeq == Seq(
+      ("2024-01-01T04:00:00Z", 5.0), ("2024-01-01T05:00:00Z", 6.0)))
+    // equal-ts duplicates resolve deterministically (max value last)
+    // and the layout owes nothing to partitioning
+    val dup = mk(Seq((4L, "2024-01-01 06:00:00", 1.0),
+                     (4L, "2024-01-01 06:00:00", 9.0)))
+    Seq(dup, dup.repartition(4)).foreach { d =>
+      val r = graft.ops.TimeSeries.gapFill(d, "user_id", "ts", "value", 3600L)
+        .collect().map(r => (r.get(2).asInstanceOf[Double], r.getLong(3)))
+      assert(r.toSeq == Seq((9.0, 2L)))
+    }
+  }
 }

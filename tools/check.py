@@ -13,8 +13,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # always a string: NaN/None floats break tuple sorting (nan is
+    # neither < nor == anything), and a None among floats would make
+    # positions mixed-type — strings keep every position orderable
     if isinstance(v, float):
-        return round(v, 6)
+        return "__nan__" if v != v else str(round(v, 6))
+    if v is None:
+        return "__none__"
     return str(v)
 
 def main(out_dir, sf_dir):
