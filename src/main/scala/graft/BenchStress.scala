@@ -76,6 +76,19 @@ object BenchStress {
     }.reduce(_ unionByName _)
   }
 
+  /** N user-offset copies of events: each copy contributes its own
+    * users with the base table's per-user event pattern, so per-key
+    * window inputs stay constant-sized while key count (and the LOCF
+    * grid) grows linearly.
+    */
+  def scaledEvents(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val ev = graft.util.Tables.events(spark, sfDir)
+    (0 until n).map { i =>
+      if (i == 0) ev
+      else ev.withColumn("user_id", col("user_id") + lit(i * COPY_STRIDE))
+    }.reduce(_ unionByName _)
+  }
+
   /** N norm-preserving rotated copies of embeddings (see object doc). */
   def scaledEmb(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val e = graft.util.Tables.embeddings(spark, sfDir)
@@ -238,6 +251,14 @@ object BenchStress {
     "text_bm25" -> ((d: DataFrame) =>
       graft.ops.Retrieval.bm25SelfProbe(d, "text", "doc_id",
         expr("doc_id % 100 = 0"))),
+    // PINNED probe set (copy-0 — a benchmark suite doesn't grow with
+    // the training corpus): the corpus gram explode grows linearly,
+    // the broadcast probe-gram set stays fixed, so the left join +
+    // per-doc count must stay linear
+    "text_ngram_coverage" -> ((d: DataFrame) =>
+      TextAnalysis.ngramCoverage(d, "text", "doc_id",
+        expr(s"doc_id % 97 = 0 AND doc_id < $COPY_STRIDE"), n = 3,
+        flagPpm = 600000L)),
     // zero-shuffle per-row markup strip (the text_winnow class): the
     // ratio isolates scan + regex cost, and any exchange creeping
     // into the plan shows up as a superlinear tail here first
@@ -292,7 +313,20 @@ object BenchStress {
       graft.ops.Profile.quantileSketch(li,
         expr("l_orderkey * 10 + l_linenumber"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        ratePpm = 100000L)))
+        ratePpm = 100000L)),
+    // ONE map-side-combined moment aggregate, fixed 6-row output: the
+    // ratio isolates pure scan + per-row integer arithmetic — any
+    // second corpus pass or corpus-sized shuffle would surface here
+    "profile_corr" -> ((li: DataFrame) =>
+      graft.ops.Profile.corrMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+
+  // events ops: user-offset copies add keys, not per-key depth — the
+  // LOCF shuffle and grid explode must grow linearly with key count
+  private val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "q_gap_fill" -> ((ev: DataFrame) =>
+      graft.ops.TimeSeries.gapFill(ev, "user_id", "ts", "value",
+        stepSeconds = 3600L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -328,7 +362,9 @@ object BenchStress {
         embOps.map { case (n, f) =>
           (n, (c: Int) => f(scaledEmb(spark, sfDir, c), c)) } ++
         liOps.map { case (n, f) =>
-          (n, (c: Int) => f(scaledLineitem(spark, sfDir, c))) }
+          (n, (c: Int) => f(scaledLineitem(spark, sfDir, c))) } ++
+        evOps.map { case (n, f) =>
+          (n, (c: Int) => f(scaledEvents(spark, sfDir, c))) }
     val selected = suite.filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/page-cache warmup: one untimed base-scale pass of each op so

@@ -517,4 +517,41 @@ class PlanAuditSpec extends SparkSpec {
       "bin counts must combine map-side")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("profile_corr: one corpus scan, moments combine map-side, column-pruned read") {
+    val plan = formatted(q("profile_corr"))
+    assert(plan.split("lineitem\\.parquet").length - 1 == 1,
+      "the moment aggregate is ONE pass — a second scan means the pair frame re-reads the corpus")
+    assert(plan.contains("partial_sum"),
+      "exact decimal moments must combine map-side")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+      "the scan must read only the four profiled columns")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("text_rrf: both searches broadcast their bounded side, fusion aggregates partially") {
+    val plan = formatted(q("text_rrf"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe ids / probe idf / query vectors must broadcast")
+    assert(plan.contains("graft_dot"),
+      "the semantic side must use the codegen'd dot product")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-vs-corpus shuffle join anywhere in the fused plan")
+    assert(plan.contains("partial_sum"),
+      "rrf contributions must combine map-side")
+  }
+
+  test("q_gap_fill: one shuffle keyed by user for LOCF, counts combine map-side") {
+    val plan = formatted(q("q_gap_fill"))
+    assert(plan.contains("partial_count"),
+      "per-bucket event counts must combine map-side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "grid join must be keyed, never a loop join")
+    // the ordered LOCF pass partitions by key only — a global sort
+    // (range-partitioned exchange) would serialize the stream at scale
+    assert(plan.contains("hashpartitioning(k"),
+      "LOCF window must shuffle on the key")
+    assert(!plan.contains("rangepartitioning"),
+      "no global sort: ordering lives inside the per-key window")
+  }
 }
