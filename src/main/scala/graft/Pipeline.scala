@@ -31,7 +31,8 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * }}}
   *
   * Filter stages keep the full row schema (incl. the corpus-global
-  * `dedup_exact`/`dedup_minhash`/`decontaminate`); rewrite stages
+  * `dedup_exact`/`dedup_minhash` and the probe-file-driven
+  * `decontaminate`/`coverage_filter`); rewrite stages
   * (`scrub`, `df_prune`, `dedup_lines`, `dedup_spans`) replace the
   * text column in place; `chunk` changes granularity (doc rows →
   * token-window chunk rows, metadata carried, chunk_key as the new
@@ -161,6 +162,24 @@ object Pipeline {
           col("__p"), n = intOf("n", 3), minShared = intOf("minShared", 5))
           .filter(col("contaminated") === 1)
         df.join(flagged.select(idCol), Seq(idCol), "left_anti")
+      case "coverage_filter" =>
+        // ratio sibling of decontaminate (same sentinel-probe
+        // pattern): drop docs whose distinct-n-gram COVERAGE by the
+        // probe file's gram set reaches maxCovPpm — the
+        // variable-length-safe decontamination rule. Probe grams
+        // derive solely from the probe file, so this is a pure
+        // per-doc function: streaming-safe.
+        val cprobe = df.sparkSession.read.parquet(reqStr("probePath"))
+          .select(lit(-1L).cast(df.schema(idCol).dataType).as(idCol),
+            col(strOf("probeTextCol", textCol)).as(textCol))
+        val ccombined = df.select(col(idCol), col(textCol))
+          .withColumn("__p", lit(false))
+          .unionByName(cprobe.withColumn("__p", lit(true)))
+        val kept = TextAnalysis.ngramCoverage(ccombined, textCol, idCol,
+          col("__p"), n = intOf("n", 8),
+          flagPpm = lngOf("maxCovPpm", 700000L))
+          .filter(col("flagged") === 0)
+        df.join(kept.select(idCol), Seq(idCol), "left_semi")
       case "temperature_mixture" =>
         // corpus-global rebalance: p_stratum ∝ share^(1/T); rates
         // derive from the corpus token totals, so this cannot run
@@ -306,8 +325,13 @@ object Pipeline {
     * "dedup_exact" only dedups within the trigger), so [[stream]]
     * refuses and names the real streaming counterpart.
     */
+  // decontaminate/coverage_filter qualify even though they read a
+  // probe FILE: the probe gram set derives from that file alone (the
+  // sentinel __p rows), never from the batch, so each doc's verdict is
+  // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
-    "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens")
+    "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
+    "decontaminate", "coverage_filter")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",
@@ -318,7 +342,6 @@ object Pipeline {
     "dedup_spans" -> "a corpus-global pass (batch Pipeline.run)",
     "df_prune" -> "a corpus-global pass (batch Pipeline.run)",
     "quality_band" -> "a corpus-global pass (batch Pipeline.run)",
-    "decontaminate" -> "a corpus-global pass (batch Pipeline.run)",
     "token_budget" -> "a corpus-global pass (batch Pipeline.run)",
     "temperature_mixture" -> ("a corpus-global pass (batch Pipeline.run: " +
       "rates derive from corpus token totals)"),

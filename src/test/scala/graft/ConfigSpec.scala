@@ -203,6 +203,55 @@ class ConfigSpec extends SparkSpec {
     assert(streamed == want, "streamed per-row gate must equal the batch gate")
   }
 
+  test("pipeline runner: coverage_filter gates by probe coverage; probe-file stages stream per-row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val probeDir = tmpDir() + "/probe.parquet"
+    docs.filter($"doc_id" % 100 === 0).select("text")
+      .write.mode("overwrite").parquet(probeDir)
+    val inDir = tmpDir() + "/in.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+    val outDir = tmpDir() + "/cov"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "coverage_filter", "probePath": "$probeDir",
+         |            "n": 3, "maxCovPpm": 600000}]}""".stripMargin)
+    // hand-composed truth via the op on the same sentinel union
+    val probe = spark.read.parquet(probeDir)
+      .select(lit(-1L).as("doc_id"), col("text"))
+    val combined = docs.select("doc_id", "text").withColumn("__p", lit(false))
+      .unionByName(probe.withColumn("__p", lit(true)))
+    val want = graft.ops.TextAnalysis.ngramCoverage(combined, "text", "doc_id",
+        col("__p"), n = 3, flagPpm = 600000L)
+      .filter($"flagged" === 0).select("doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    val probeIds = docs.filter($"doc_id" % 100 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.intersect(probeIds).isEmpty,
+      "probe-identical docs sit at coverage 10^6 and must drop")
+    assert(got.nonEmpty, "clean docs must survive the coverage gate")
+    // both probe-file stages are pure per-doc functions (probe grams
+    // derive from the FILE, never the batch): streaming accepts them
+    // and equals the batch chain
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut",
+         |"stages": [
+         |  {"op": "coverage_filter", "probePath": "$probeDir", "n": 3, "maxCovPpm": 600000},
+         |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5}]}"""
+        .stripMargin, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id").as[Long].collect().toSet
+    val deconDropped = graft.ops.TextAnalysis.contamination(combined, "text",
+        "doc_id", col("__p"), n = 3, minShared = 5)
+      .filter($"contaminated" === 1).select("doc_id").as[Long].collect().toSet
+    assert(streamed == (want -- deconDropped),
+      "streamed probe-file gates must equal the composed batch chain")
+  }
+
   test("pipeline runner: bpe_tokens annotates real token counts; jsonl input requires a schema") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
