@@ -568,6 +568,10 @@ object PipelineQueries {
     graft.ops.Profile.corrMatrix(Tables.lineitem(spark, sfDir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  def profileEmbeddingsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embProfile(Tables.embeddings(spark, sfDir),
+      "embedding", "vec_id", dim = 64)
+
   /** Sketched column-distinct profile (graft.ops.Sketch
     * .distinctCount) — profile_table's n_distinct re-asked with a
     * k=64 KMV sketch over the SAME unpivoted corpus (including the
@@ -1017,6 +1021,7 @@ object PipelineQueries {
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
+    "profile_embeddings" -> profileEmbeddingsQ,
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
@@ -1863,6 +1868,25 @@ object PipelineQueries {
          |FROM sn JOIN mm USING (col_name) GROUP BY 1, 2""".stripMargin,
     "profile_corr" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "profile_embeddings" ->
+      s"""WITH b AS (SELECT embedding AS v,
+         |        (embedding IS NOT NULL AND len(embedding) = 64) AS ok
+         |      FROM embeddings),
+         |q AS (SELECT v, ok, CASE WHEN ok THEN list_transform(v,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) END AS qv
+         |      FROM b),
+         |n AS (SELECT v, ok, CASE WHEN ok
+         |        THEN list_sum(list_transform(qv, x -> x * x)) END AS n2
+         |      FROM q)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bad_dim,
+         |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  round(quantile_cont(n2, 0.5), 4) AS n2_p50,
+         |  round(quantile_cont(n2, 0.95), 4) AS n2_p95,
+         |  CAST(sum(n2) AS DECIMAL(38,0)) AS sum_n2
+         |FROM n""".stripMargin,
     "text_winnow" ->
       s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
          |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),

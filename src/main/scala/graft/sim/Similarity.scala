@@ -521,4 +521,38 @@ object Similarity {
     df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .select(col("id"), array(comps: _*).as("proj"))
   }
+
+  /** Embedding-table health profile — the pre-ANN QA gate every
+    * similarity deployment runs before trusting cosine arithmetic:
+    * null vectors, wrong-width vectors and all-zero vectors (each of
+    * which silently poisons cosine: 0-norm divides, truncated dots),
+    * plus the squared-norm distribution (quantized-integer n2, the
+    * exact quantity every op in this file scores with): p50/p95
+    * percentiles and the exact total. An embedding dump whose n2_p50
+    * drifts between snapshots was re-normalized or re-trained —
+    * re-cluster before reusing centroids/codebooks.
+    *
+    * Exactness: n2 is the exact integer Σ(floor(x·10⁴))²; counts are
+    * longs; the percentiles are the exact interpolated form
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles
+    * precedent) rounded to 4; the total accumulates as decimal(38,0)
+    * (DuckDB HUGEINT). One map-side-combined aggregate, one row out —
+    * scan-bound at any corpus size.
+    */
+  def embProfile(df: DataFrame, vecCol: String, idCol: String,
+                 dim: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("ok", col("v").isNotNull && size(col("v")) === dim)
+      .withColumn("qv", when(col("ok"), quantize(col("v"))))
+      .withColumn("n2", when(col("ok"), qdot(col("qv"), col("qv"), Some(dim))))
+    base.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("v").isNotNull && size(col("v")) =!= dim, 1L)
+        .otherwise(0L)).as("n_bad_dim"),
+      sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+      round(expr("percentile(n2, 0.5)"), 4).as("n2_p50"),
+      round(expr("percentile(n2, 0.95)"), 4).as("n2_p95"),
+      sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+  }
 }

@@ -1216,6 +1216,28 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("embProfile: counts null/bad-dim/zero vectors, exact n2 percentiles and total") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 0.0, 0.0, 0.0))),  // n2 = 1e8
+      (2L, Some(Seq(0.0, 0.0, 0.0, 0.0))),  // all-zero
+      (3L, None),                           // null vector
+      (4L, Some(Seq(1.0, 1.0))),            // wrong width
+      (5L, Some(Seq(2.0, 0.0, 0.0, 0.0)))   // n2 = 4e8
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embProfile(df, "embedding", "vec_id", dim = 4).head()
+    assert(r.getLong(0) == 5L, "n_vecs")
+    assert(r.getLong(1) == 1L, "n_null")
+    assert(r.getLong(2) == 1L, "n_bad_dim")
+    assert(r.getLong(3) == 1L, "n_zero")
+    // exact interpolated percentiles over n2 ∈ {0, 1e8, 4e8}
+    assert(r.getDouble(4) == 1.0e8, "p50")
+    assert(r.getDouble(5) == 1.0e8 + 0.9 * 3.0e8, "p95")
+    assert(r.getDecimal(6).longValueExact() == 500000000L, "sum_n2")
+    // layout independence
+    val again = Similarity.embProfile(df.repartition(3), "embedding", "vec_id", 4).head()
+    assert(again.toSeq == r.toSeq)
+  }
+
   test("ngram coverage: exact ppm ratio, short docs surface with zero grams, flag threshold") {
     val df = Seq(
       (0L, "a b c d e f"),  // probe: grams abc bcd cde def
