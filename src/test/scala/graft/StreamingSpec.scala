@@ -1051,4 +1051,121 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(monDir).collect().toSet == before,
       "replaying batch 0 must rewrite identical monitor rows")
   }
+
+  private def freshRows(rows: Seq[(String, String, Option[Double])]) =
+    rows.toDF("k", "s", "value")
+      .select($"k", $"s".cast("timestamp").as("ts"), $"value")
+
+  test("freshness monitor: silent keys stay reported, LOCF value survives, two staleness axes") {
+    import graft.streaming.FreshnessStream
+    val out = tmp(); val st = tmp()
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 10:00:00", Some(1.0)),
+                    ("b", "2024-01-01 10:30:00", Some(5.0)))),
+      0L, out, st, "k", "ts", "value")
+    // trigger 1: only `a` arrives — and with a NULL value (transport
+    // alive, value dead); `b` is fully silent
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 12:30:00", None))),
+      1L, out, st, "k", "ts", "value")
+    val r = spark.read.parquet(s"$out/batch=1")
+      .select("k", "batch_rows", "rows_seen", "stale_ms", "buckets_missed",
+        "last_value", "value_stale_ms", "stale")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("a", "b"),
+      "every known key reports each trigger, silent ones included")
+    val a = r("a"); val b = r("b")
+    // a: transport fresh (it IS the clock), value stale 2.5 h
+    assert(a.getLong(1) == 1L && a.getLong(2) == 2L)
+    assert(a.getLong(3) == 0L && a.getLong(4) == 0L && a.getInt(7) == 0)
+    assert(a.getDouble(5) == 1.0, "LOCF value survives a null-value row")
+    assert(a.getLong(6) == 9000000L, "value staleness = 2.5 h")
+    // b: silent 2 h = 2 missed hourly buckets -> stale at the default
+    assert(b.getLong(1) == 0L && b.getLong(2) == 1L)
+    assert(b.getLong(3) == 7200000L && b.getLong(4) == 2L && b.getInt(7) == 1)
+    assert(b.getDouble(5) == 5.0 && b.getLong(6) == 7200000L)
+    // replay: re-running trigger 1 rewrites identical report and state
+    val rep = spark.read.parquet(s"$out/batch=1").collect().toSet
+    val stt = spark.read.parquet(s"$st/batch=1").collect().toSet
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 12:30:00", None))),
+      1L, out, st, "k", "ts", "value")
+    assert(spark.read.parquet(s"$out/batch=1").collect().toSet == rep)
+    assert(spark.read.parquet(s"$st/batch=1").collect().toSet == stt)
+  }
+
+  test("freshness monitor: retirement bounds state, ties resolve by (ts, value), null rows count") {
+    import graft.streaming.FreshnessStream
+    val out = tmp(); val st = tmp()
+    // same-timestamp duplicate observations: the (ts, value) struct
+    // max picks 9.0 deterministically; a null-ts row only counts
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 10:00:00", Some(1.0)),
+                    ("a", "2024-01-01 10:00:00", Some(9.0)),
+                    ("b", "2024-01-01 10:00:00", Some(2.0)))),
+      0L, out, st, "k", "ts", "value",
+      retireAfterBuckets = Some(3L))
+    val nullTs = Seq(("a", null.asInstanceOf[String], Some(3.0)))
+      .toDF("k", "s", "value")
+      .select($"k", $"s".cast("timestamp").as("ts"), $"value")
+    FreshnessStream.freshnessBatch(spark, nullTs,
+      1L, out, st, "k", "ts", "value", retireAfterBuckets = Some(3L))
+    val r1 = spark.read.parquet(s"$out/batch=1")
+      .select("k", "rows_seen", "last_value", "stale_ms")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r1("a").getLong(1) == 3L, "null-ts rows advance rows_seen")
+    assert(r1("a").getDouble(2) == 9.0,
+      "same-ts duplicates pick the struct max, never the arrival order")
+    assert(r1("a").getLong(3) == 0L, "a null-ts row cannot move the clock")
+    // trigger 2: a jumps 4+ hours ahead; b exceeds retireAfter=3 ->
+    // reported once as retired, then dropped from state and reports
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 14:30:00", Some(4.0)))),
+      2L, out, st, "k", "ts", "value", retireAfterBuckets = Some(3L))
+    val r2 = spark.read.parquet(s"$out/batch=2")
+      .select("k", "buckets_missed", "retired")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r2("b").getLong(1) == 4L && r2("b").getInt(2) == 1,
+      "the retiring key reports one final time")
+    assert(!spark.read.parquet(s"$st/batch=2")
+      .select("k").as[String].collect().contains("b"))
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 15:00:00", Some(5.0)))),
+      3L, out, st, "k", "ts", "value", retireAfterBuckets = Some(3L))
+    assert(spark.read.parquet(s"$out/batch=3")
+      .select("k").as[String].collect().toSeq == Seq("a"),
+      "retired keys leave the report population")
+    // state versions stay pruned like every monitor store
+    for (b <- 4L until 10L)
+      FreshnessStream.freshnessBatch(spark,
+        freshRows(Seq(("a", "2024-01-01 15:00:00", Some(5.0)))),
+        b, out, st, "k", "ts", "value", retireAfterBuckets = Some(3L))
+    val vers = new java.io.File(st).listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    assert(vers == Seq(6L, 7L, 8L, 9L), s"state versions: $vers")
+  }
+
+  test("freshness stream end-to-end over a file feed") {
+    import graft.streaming.FreshnessStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    freshRows(Seq(("a", "2024-01-01 10:00:00", Some(1.0)),
+                  ("b", "2024-01-01 10:00:00", Some(2.0))))
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = FreshnessStream.freshnessStream(spark, feed, out, st, ckpt,
+      "k", "ts", "value")
+    try {
+      q.processAllAvailable()
+      freshRows(Seq(("a", "2024-01-01 13:00:00", Some(3.0))))
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.read.option("basePath", out).parquet(out)
+      .filter(col("batch") === 1)
+      .select("k", "buckets_missed", "stale", "last_value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(last("a") == ((0L, 0, 3.0)))
+    assert(last("b") == ((3L, 1, 2.0)),
+      "the silent key surfaces stale through the file feed too")
+  }
 }
