@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,5 +66,55 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("t").as("bucket_ts"),
         col("fv").as("filled_value"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Last-touch attribution: each conversion event attributed to the
+    * key's most recent touch event at-or-before it, within a lookback
+    * window — the funnel-closing query of behavioral analytics (and an
+    * as-of join where both sides are the SAME stream, so the
+    * per-grid-point join collapses into one ordered pass: touches
+    * carry their identity forward LOCF-style, conversions read it).
+    *
+    * Determinism: the per-key order is (ts, kind, event id) with
+    * touches before conversions at the same instant (a touch AT the
+    * conversion timestamp is attributable, age 0) and same-instant
+    * touches resolved to the highest id. Conversions with no touch
+    * inside `lookbackSeconds` report has_touch = 0 with −1 sentinels
+    * (never NULLs — the tuple-hash gate convention).
+    *
+    * Scale shape: one filtered scan (only touch/conversion types
+    * survive — the filter pushes into the scan), ONE shuffle on the
+    * key for the ordered pass, per-row arithmetic after. Same hot-key
+    * caveat as sessionize.
+    */
+  def lastTouch(df: DataFrame, keyCol: String, tsCol: String,
+                typeCol: String, idCol: String,
+                touchType: String, convType: String,
+                lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    val tagged = df
+      .filter(col(typeCol).isin(touchType, convType))
+      .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
+        when(col(typeCol) === convType, 1).otherwise(0).as("is_conv"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("is_conv").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchAt = (c: Column) =>
+      last(when(col("is_conv") === 0, c), ignoreNulls = true).over(w)
+    tagged
+      .withColumn("touch_ts", touchAt(col("t")))
+      .withColumn("touch_id", touchAt(col("id")))
+      .filter(col("is_conv") === 1)
+      .withColumn("age_ms",
+        expr("unix_millis(t)") - expr("unix_millis(touch_ts)"))
+      .withColumn("has_touch",
+        (col("touch_id").isNotNull &&
+          col("age_ms") <= lookbackSeconds * 1000L).cast("int"))
+      .select(col("id").as("conversion_id"), col("k").as(keyCol),
+        col("t").as("conv_ts"), col("has_touch"),
+        when(col("has_touch") === 1, col("touch_id"))
+          .otherwise(lit(-1L)).as("touch_id"),
+        when(col("has_touch") === 1, col("age_ms"))
+          .otherwise(lit(-1L)).as("touch_age_ms"))
   }
 }

@@ -511,7 +511,15 @@ object Analytics {
         coalesce(col("filled_value"), lit(0.0)).as("filled_value"),
         col("n_events"))
 
+  /** Last-touch attribution of purchases to clicks within 6 hours. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.lastTouch(Tables.events(spark, sfDir),
+      "user_id", "ts", "event_type", "event_id",
+      touchType = "click", convType = "purchase",
+      lookbackSeconds = 6L * 3600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution,
     "q_gap_fill" -> qGapFill,
     "q_join_advise" -> qJoinAdvise,
     "q_funnel" -> qFunnel,
@@ -694,6 +702,28 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS k, ts AS t, event_id AS id,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+        |      FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT k, t, id, is_conv,
+        |        last_value(CASE WHEN is_conv = 0 THEN t END IGNORE NULLS)
+        |          OVER (PARTITION BY k ORDER BY t, is_conv, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_ts,
+        |        last_value(CASE WHEN is_conv = 0 THEN id END IGNORE NULLS)
+        |          OVER (PARTITION BY k ORDER BY t, is_conv, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_id
+        |      FROM e),
+        |c AS (SELECT k, t, id, touch_id,
+        |        epoch_ms(t) - epoch_ms(touch_ts) AS age_ms,
+        |        CASE WHEN touch_id IS NOT NULL
+        |                  AND epoch_ms(t) - epoch_ms(touch_ts) <= 21600000
+        |             THEN 1 ELSE 0 END AS has_touch
+        |      FROM w WHERE is_conv = 1)
+        |SELECT id AS conversion_id, k AS user_id, t AS conv_ts, has_touch,
+        |  CASE WHEN has_touch = 1 THEN touch_id ELSE -1 END AS touch_id,
+        |  CASE WHEN has_touch = 1 THEN age_ms ELSE -1 END AS touch_age_ms
+        |FROM c""".stripMargin,
     "q_gap_fill" ->
       """WITH e AS (SELECT user_id AS k, ts AS t, value AS v FROM events),
         |b AS (SELECT k, min(t) AS t0, max(t) AS t1 FROM e GROUP BY 1),

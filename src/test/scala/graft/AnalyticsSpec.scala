@@ -95,6 +95,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("lastTouch: window bounds, same-instant ties, sentinel for unattributed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 10L, "click", "2024-01-01 09:00:00"),
+      (1L, 11L, "click", "2024-01-01 09:00:00"),  // same-ts tie -> max id
+      (1L, 12L, "purchase", "2024-01-01 10:00:00"),
+      (1L, 13L, "purchase", "2024-01-01 16:30:00"), // 7.5 h after: outside 6 h
+      (2L, 20L, "purchase", "2024-01-01 08:00:00"), // no touch before
+      (2L, 21L, "click", "2024-01-01 08:30:00"),
+      (3L, 30L, "click", "2024-01-01 12:00:00"),
+      (3L, 31L, "purchase", "2024-01-01 12:00:00"), // touch AT conv ts: age 0
+      (1L, 14L, "error", "2024-01-01 09:30:00")     // other types ignored
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .select($"user_id", $"event_id", $"event_type",
+        $"s".cast("timestamp").as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.lastTouch(d, "user_id", "ts", "event_type",
+          "event_id", "click", "purchase", lookbackSeconds = 6L * 3600L)
+        .select("conversion_id", "has_touch", "touch_id", "touch_age_ms")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val got = run(ev)
+    assert(got == Set(
+      (12L, 1, 11L, 3600000L),  // tie resolved to the higher click id
+      (13L, 0, -1L, -1L),       // stale touch: outside the window
+      (20L, 0, -1L, -1L),       // later touch can't attribute backwards
+      (31L, 1, 30L, 0L)))       // same-instant touch attributes, age 0
+    assert(run(ev.repartition(5)) == got, "attribution owes nothing to layout")
+  }
+
   test("gapFill: absolute grid, LOCF across gaps, null before first value, bucket counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
