@@ -95,4 +95,53 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over the undirected simple graph —
+    * the local-clustering signal link-spam detection keys on (organic
+    * neighborhoods close triangles; link farms are near-bipartite and
+    * don't), complementing [[pageRank]]'s global-centrality axis.
+    *
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii,
+    * WWW'11). Every undirected edge orients from its lower endpoint in
+    * the total (degree, id) order to the higher; each triangle then
+    * has EXACTLY one vertex with out-edges to the other two, so
+    * enumerating wedges from out-neighborhoods and closing them
+    * against the canonical edge set counts each triangle once — no
+    * post-hoc dedup, no double counting.
+    *
+    * Scale shape: the orientation bounds every node's wedge fan-out by
+    * its ORIENTED out-degree squared, and the max oriented out-degree
+    * is O(√E) on any graph (a node of degree d only keeps out-edges to
+    * ≥-degree nodes, and there are ≤ 2E/d of those) — the hot
+    * celebrity node that makes naive wedge counting quadratic
+    * contributes almost nothing oriented. Cost: two |E|-row hash joins
+    * (degree attach), one self-join on the wedge apex, one closing
+    * semi-join against the canonical edges, all partial-aggregated;
+    * nothing materializes beyond wedge candidates.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lower = when(
+      struct(col("da"), col("a")) < struct(col("db"), col("b")),
+      col("a")).otherwise(col("b"))
+    val higher = when(
+      struct(col("da"), col("a")) < struct(col("db"), col("b")),
+      col("b")).otherwise(col("a"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(lower.as("u"), higher.as("v"))
+    val wedges = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val tri = wedges.join(und,
+      wedges("v") === und("a") && wedges("w") === und("b"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

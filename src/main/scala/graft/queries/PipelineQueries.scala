@@ -773,6 +773,18 @@ object PipelineQueries {
     graft.ops.Graph.hashGraph(
       Tables.documents(spark, sfDir).select(col("doc_id").as("id")))
 
+  /** Degree-oriented triangle counts on the same hash-synthesized
+    * link graph as graph_pagerank (shared derivation, shared oracle
+    * CTEs); the oracle counts triangles by the naive a<b<c triple
+    * join — algorithm-independent truth the oriented wedge count must
+    * reproduce exactly.
+    */
+  def graphTrianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.triangles(edges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1036,6 +1048,7 @@ object PipelineQueries {
     "pipeline_winnow_corpus" -> pipelineWinnowQ,
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
+    "graph_triangles" -> graphTrianglesQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -2209,6 +2222,24 @@ object PipelineQueries {
          |         FROM e JOIN i2 p ON e.src = p.id GROUP BY 1) s
          |       ON deg.id = s.dst)
          |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM i3""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS id FROM t) GROUP BY 1""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

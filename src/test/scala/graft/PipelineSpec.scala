@@ -1216,6 +1216,29 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("triangles: oriented wedge count equals triple truth on K4, ignores loops/dups/direction") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + a
+    // self-loop + duplicate and reversed edges that must canonicalize
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L),   // reversed duplicates
+      (1L, 2L),             // exact duplicate
+      (5L, 1L),             // pendant: no triangle
+      (6L, 6L)              // self-loop: dropped
+    ).toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Graph.triangles(d).as[(Long, Long)].collect().toMap
+    val got = run(edges)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(run(edges.repartition(7)) == got, "count owes nothing to layout")
+    // hub stress: a star closes no triangles no matter the fan-out;
+    // adding one rim edge closes exactly one at the hub and both rim ends
+    val star = (1 to 30).map(i => (0L, i.toLong)).toDF("src", "dst")
+    assert(run(star).isEmpty)
+    assert(run(star.unionByName(Seq((7L, 8L)).toDF("src", "dst"))) ==
+      Map(0L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
   test("embProfile: counts null/bad-dim/zero vectors, exact n2 percentiles and total") {
     val df = Seq(
       (1L, Some(Seq(1.0, 0.0, 0.0, 0.0))),  // n2 = 1e8
