@@ -127,6 +127,49 @@ object Sampling {
       .withColumnRenamed("__nt", "n_tokens")
   }
 
+  /** Mixture EPOCH planning — the scheduling REPORT behind [[mixture]]
+    * (which samples DOWN): given target weights and a total token
+    * budget, each stratum's natural token mass, budgeted target, and
+    * repeat factor `epochs_ppm = target·10⁶ div natural`. A value
+    * above 10⁶ means the stratum must REPEAT to meet its share — the
+    * quantity scaling-law practice bounds (~4 epochs before repeated
+    * data stops helping, Muennighoff et al. 2023), so strata tripping
+    * `maxEpochsPpm` flag `over_cap`: the mixture wants more of them
+    * than exists, and the planner should rebalance rather than loop a
+    * small source dozens of times.
+    *
+    * All integer arithmetic (exact floor quotients), one partial-agg
+    * pass over the corpus, |strata| rows out; the weight-sum folds via
+    * a broadcast single-row aggregate. Empty strata (0 natural tokens)
+    * report epochs_ppm = −1: an infinite repeat factor is a config
+    * error, not a big number.
+    */
+  def epochPlan(df: DataFrame, stratumCol: String, tokensCol: Column,
+                weights: Map[String, Long], defaultWeight: Long,
+                totalBudget: Long, maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    val totals = df.withColumn("__nt", tokensCol.cast("long"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("natural_tokens"))
+      .withColumn("__w", wCol)
+    val sumW = totals.agg(sum(col("__w")).as("__sw"))
+    totals.crossJoin(broadcast(sumW))
+      .withColumn("target_tokens",
+        expr(s"${totalBudget}L * __w div __sw"))
+      .withColumn("epochs_ppm",
+        when(col("natural_tokens") > 0,
+          expr("target_tokens * 1000000L div natural_tokens"))
+          .otherwise(lit(-1L)))
+      .withColumn("over_cap",
+        (col("epochs_ppm") > maxEpochsPpm || col("epochs_ppm") === -1L)
+          .cast("int"))
+      .select(col(stratumCol), col("n_docs"), col("natural_tokens"),
+        col("target_tokens"), col("epochs_ppm"), col("over_cap"))
+  }
+
   /** Temperature-scaled mixture sampling (the multilingual/multi-
     * source rebalance rule: p_i ∝ share_i^(1/T), Conneau & Lample's
     * exponent-smoothed sampling) — [[mixture]] with weights DERIVED

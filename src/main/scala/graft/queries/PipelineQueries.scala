@@ -696,6 +696,17 @@ object PipelineQueries {
     * .weightedGroupSample): 5 docs per source with inclusion odds
     * ∝ n_chars — deterministic A-ES exponential keys.
     */
+  /** Epoch planning over the same strata/weights/budget as
+    * sample_mixture — the report the sampler's rates derive from.
+    */
+  def sampleEpochsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.epochPlan(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"),
+      "source",
+      size(split(TextAnalysis.normalize(col("text")), " ")),
+      weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 12L),
+      defaultWeight = 1L, totalBudget = 6000L)
+
   def sampleWeightedQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Sampling.weightedGroupSample(
       Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars"),
@@ -1024,6 +1035,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
     "sample_mixture" -> sampleMixtureQ,
+    "sample_epochs" -> sampleEpochsQ,
     "sample_temperature" -> sampleTemperatureQ,
     "sample_importance" -> sampleImportanceQ,
     "dedup_lines" -> dedupLinesQ,
@@ -1741,6 +1753,27 @@ object PipelineQueries {
          |FROM w JOIN r USING (source)
          |WHERE ${h64("'graft:' || doc_id::VARCHAR")} % 10000 <
          |      CAST(floor(rate * 10000) AS BIGINT)""".stripMargin,
+    "sample_epochs" ->
+      s"""WITH w AS (SELECT source, len(string_split($norm, ' ')) AS nt
+         |           FROM documents),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(nt) AS BIGINT) AS natural_tokens
+         |      FROM w GROUP BY 1),
+         |wt AS (SELECT *, CAST(CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+         |             WHEN 'src2' THEN 12 ELSE 1 END AS BIGINT) AS wgt
+         |       FROM t),
+         |p AS (SELECT source, n_docs, natural_tokens,
+         |        6000 * wgt // (SELECT sum(wgt) FROM wt) AS target_tokens
+         |      FROM wt)
+         |SELECT source, n_docs, natural_tokens,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(CASE WHEN natural_tokens > 0
+         |       THEN target_tokens * 1000000 // natural_tokens
+         |       ELSE -1 END AS BIGINT) AS epochs_ppm,
+         |  CASE WHEN natural_tokens = 0 THEN 1
+         |       WHEN target_tokens * 1000000 // natural_tokens > 4000000
+         |       THEN 1 ELSE 0 END AS over_cap
+         |FROM p""".stripMargin,
     "sample_temperature" ->
       s"""WITH w AS (SELECT doc_id, source, len(string_split($norm, ' ')) AS n_tokens
          |           FROM documents),

@@ -1216,6 +1216,24 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("epochPlan: exact targets and repeat factors, over-cap and empty-stratum flags") {
+    import graft.ops.Sampling
+    val df = Seq(("a", 100L), ("a", 200L), ("b", 10L), ("c", 0L))
+      .toDF("source", "nt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.epochPlan(d, "source", col("nt"),
+          weights = Map("b" -> 8L), defaultWeight = 1L, totalBudget = 1000L)
+        .as[(String, Long, Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> r).toMap
+    val got = run(df)
+    // weight sum 10: a -> 100 of 300 natural (0.33 epochs), b -> 800
+    // of 10 natural (80 epochs: over), c -> empty (sentinel, over)
+    assert(got("a") == (("a", 2L, 300L, 100L, 333333L, 0)))
+    assert(got("b") == (("b", 1L, 10L, 800L, 80000000L, 1)))
+    assert(got("c") == (("c", 1L, 0L, 100L, -1L, 1)))
+    assert(run(df.repartition(3)) == got)
+  }
+
   test("triangles: oriented wedge count equals triple truth on K4, ignores loops/dups/direction") {
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + a
     // self-loop + duplicate and reversed edges that must canonicalize
