@@ -1145,6 +1145,77 @@ class StreamingSpec extends SparkSpec {
     assert(vers == Seq(6L, 7L, 8L, 9L), s"state versions: $vers")
   }
 
+  test("semantic dedup stream: same-cell near-dups drop across triggers, cell-boundary miss pinned, replay-idempotent") {
+    import graft.streaming.SemanticDupStream
+    val out = tmp(); val st = tmp()
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+                    (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    def vecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    def step(rows: Seq[(Long, Seq[Double])], id: Long) =
+      SemanticDupStream.semanticDupBatch(spark, vecs(rows), id, out, st,
+        cents, "embedding", "vec_id", threshold = 0.95, dim = Some(4),
+        nStoreBuckets = 8)
+    // trigger 0: two originals in different cells, plus a same-batch
+    // near-copy of the first (greedy by id: the copy drops)
+    step(Seq(
+      1L -> Seq(0.9, 0.1, 0.0, 0.0),   // cell 0, admitted
+      2L -> Seq(0.1, 0.9, 0.0, 0.0),   // cell 1, admitted
+      3L -> Seq(0.9, 0.1, 0.0, 0.0)),  // == vec 1, same cell: dropped
+      0L)
+    def ids(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids(0L) == Set(1L, 2L))
+    // trigger 1: a cross-trigger near-copy of an ADMITTED vector
+    // drops via the store; a novel vector admits; a near-identical
+    // pair STRADDLING the cell boundary is never compared — both
+    // admit (the SemDeDup trade, pinned)
+    step(Seq(
+      10L -> Seq(0.9, 0.1001, 0.0, 0.0),  // ~vec 1, cell 0: dropped
+      11L -> Seq(0.0, 0.05, 0.95, 0.0),   // novel, cell 1: admitted
+      12L -> Seq(0.71, 0.70, 0.0, 0.0),   // cell 0 \ near-identical
+      13L -> Seq(0.70, 0.71, 0.0, 0.0)),  // cell 1 / both admit
+      1L)
+    assert(ids(1L) == Set(11L, 12L, 13L),
+      "store rejects the same-cell copy; the boundary pair is the documented miss")
+    // replay trigger 1: identical output, store not self-colliding
+    val before = spark.read.parquet(s"$out/batch=1").collect().toSet
+    step(Seq(
+      10L -> Seq(0.9, 0.1001, 0.0, 0.0),
+      11L -> Seq(0.0, 0.05, 0.95, 0.0),
+      12L -> Seq(0.71, 0.70, 0.0, 0.0),
+      13L -> Seq(0.70, 0.71, 0.0, 0.0)),
+      1L)
+    assert(spark.read.parquet(s"$out/batch=1").collect().toSet == before)
+    // trigger 2: the boundary survivors now live in the store — a new
+    // copy of each still drops within its own cell
+    step(Seq(20L -> Seq(0.71, 0.70, 0.0, 0.0)), 2L)
+    assert(ids(2L).isEmpty, "stored boundary vector rejects its same-cell copy")
+  }
+
+  test("semantic dedup stream end-to-end over a file feed") {
+    import graft.streaming.SemanticDupStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = SemanticDupStream.semanticDupStream(spark, feed, out, st, ckpt,
+      cents, "embedding", "vec_id", threshold = 0.95, dim = Some(2),
+      nStoreBuckets = 4)
+    try {
+      q.processAllAvailable()
+      Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.5, 0.86)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.option("basePath", out).parquet(out)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 11L),
+      "the cross-trigger copy must drop through the file feed too")
+  }
+
   test("freshness stream end-to-end over a file feed") {
     import graft.streaming.FreshnessStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
