@@ -372,6 +372,60 @@ object TextAnalysis {
       .select(col(idCol), col("fp"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync boundary rule, Muthitacharoen
+    * et al. SOSP'01): split each document at positions where the
+    * portable hash of the trailing `k`-char gram ≡ 0 (mod `modulus`) —
+    * boundaries are a function of LOCAL content, so inserting or
+    * deleting a passage shifts only the chunks it touches while every
+    * other chunk (and its hash) survives byte-identical. That is the
+    * property fixed-width chunking ([[chunk]]) lacks: one edit
+    * re-frames every window after it; here chunk-level dedup stays
+    * robust under edits — the rsync/backup-dedup trick applied to
+    * corpus curation. Expected chunk length ≈ modulus + k chars.
+    *
+    * Emits (id, chunk_idx, start_pos, chunk_len, chunk_md5) rows; the
+    * chunk hash chain reuses [[winnow]]'s gram-hash arithmetic, so the
+    * selection itself hash-gates cross-engine. Documents shorter than
+    * k chars form one chunk; empty documents emit none. No min/max
+    * chunk clamps: a boundary-free doc is ONE chunk row (never an
+    * executor hazard — the explode is per-doc bounded by doc length).
+    *
+    * Scale shape: pure per-row array arithmetic + one explode — ZERO
+    * shuffles, scan speed, the text_winnow class.
+    */
+  def cdcChunk(df: DataFrame, textCol: String, idCol: String,
+               k: Int = 8, modulus: Int = 16): DataFrame = {
+    require(k >= 2, s"gram size k must be >= 2, got $k")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
+    df.select(col(idCol), normalize(col(textCol)).as("nt"))
+      .filter(length(col("nt")) > 0)
+      // cut AFTER the last char of each boundary gram (0-based gram
+      // start i → char index i + k); the length guard keeps
+      // sequence() from descending on sub-k docs
+      .withColumn("cuts", expr(
+        s"""CASE WHEN length(nt) >= $k
+           |  THEN transform(
+           |    filter(sequence(0, length(nt) - $k), i -> $h % $modulus = 0),
+           |    i -> i + $k)
+           |  ELSE array()
+           |END""".stripMargin))
+      .withColumn("bounds", expr(
+        "array_sort(array_distinct(concat(array(0), cuts, array(length(nt)))))"))
+      .withColumn("ch", explode(expr(
+        """CASE WHEN size(bounds) >= 2
+          |  THEN transform(sequence(1, size(bounds) - 1),
+          |         j -> struct(j AS idx, element_at(bounds, j) AS s,
+          |                     element_at(bounds, j + 1) AS e))
+          |  ELSE array()
+          |END""".stripMargin)))
+      .select(col(idCol),
+        col("ch.idx").cast("long").as("chunk_idx"),
+        col("ch.s").cast("long").as("start_pos"),
+        (col("ch.e") - col("ch.s")).cast("long").as("chunk_len"),
+        md5(expr("substr(nt, ch.s + 1, ch.e - ch.s)")).as("chunk_md5"))
+  }
+
   /** Substring-level near-dup pairs from winnowed fingerprints: docs
     * sharing ≥ `minShared` selected hashes — the plagiarism-detector
     * shape (MOSS), catching documents that EMBED a common passage

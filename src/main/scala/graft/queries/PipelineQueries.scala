@@ -305,6 +305,23 @@ object PipelineQueries {
     TextAnalysis.contamination(Tables.documents(spark, sfDir), "text", "doc_id",
       probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
 
+  def textCdcChunkQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.cdcChunk(Tables.documents(spark, sfDir), "text", "doc_id",
+      k = 8, modulus = 16)
+
+  /** Chunk-level dedup over the dup-injected corpus: content-defined
+    * chunks shared by more than one doc — the edit-robust granularity
+    * between span-level (dedup_spans) and doc-level dedup.
+    */
+  def dedupCdcChunksQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.cdcChunk(dupCorpus(spark, sfDir), "text", "doc_id",
+        k = 8, modulus = 16)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") > 1)
+
   /** Coverage-ratio twin of text_contamination on the same probe set,
     * at the same n = 3 (the synthetic docs are short); flag at 60%.
     */
@@ -1031,6 +1048,8 @@ object PipelineQueries {
     "text_repetition" -> textRepetitionQ,
     "text_contamination" -> textContaminationQ,
     "text_ngram_coverage" -> textNgramCoverageQ,
+    "text_cdc_chunk" -> textCdcChunkQ,
+    "dedup_cdc_chunks" -> dedupCdcChunksQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
@@ -1152,6 +1171,40 @@ object PipelineQueries {
        |  END AS corr
        |FROM p""".stripMargin
   }
+
+  /** Content-defined chunk derivation CTEs (ends at `cch`: doc_id,
+    * chunk_idx, start_pos, chunk_len, chunk_md5), parameterized by the
+    * corpus CTE name — shared between the text_cdc_chunk gate and the
+    * dedup_cdc_chunks oracle so the boundary rule cannot drift.
+    */
+  private def cdcChunkCtes(src: String): String =
+    s"""cd AS (SELECT doc_id, $norm AS nt FROM $src),
+       |cg AS (SELECT doc_id, nt,
+       |        CASE WHEN len(nt) >= 8 THEN
+       |          list_transform(
+       |            list_filter(generate_series(0, len(nt) - 8),
+       |              i -> ${h64("substr(nt, CAST(i + 1 AS INT), 8)")} % 16 = 0),
+       |            i -> i + 8)
+       |        ELSE CAST([] AS BIGINT[]) END AS cuts
+       |       FROM cd WHERE len(nt) > 0),
+       |cb AS (SELECT doc_id, nt,
+       |        list_sort(list_distinct([0::BIGINT] || cuts || [len(nt)::BIGINT]))
+       |          AS bounds
+       |       FROM cg),
+       |cx AS (SELECT doc_id, nt, unnest(
+       |        CASE WHEN len(bounds) >= 2 THEN
+       |          list_transform(generate_series(1, len(bounds) - 1),
+       |            j -> struct_pack(idx := j,
+       |                   s := bounds[CAST(j AS INT)],
+       |                   e := bounds[CAST(j + 1 AS INT)]))
+       |        ELSE [] END) AS ch
+       |       FROM cb),
+       |cch AS (SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+       |         CAST(ch.s AS BIGINT) AS start_pos,
+       |         CAST(ch.e - ch.s AS BIGINT) AS chunk_len,
+       |         md5(substr(nt, CAST(ch.s + 1 AS INT), CAST(ch.e - ch.s AS INT)))
+       |           AS chunk_md5
+       |        FROM cx)""".stripMargin
 
   private val qPrep =
     """q AS (SELECT vec_id, list_transform(embedding,
@@ -1617,6 +1670,21 @@ object PipelineQueries {
          |FROM g JOIN p USING (gram)
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY g.doc_id""".stripMargin,
+    "text_cdc_chunk" ->
+      s"""WITH ${cdcChunkCtes("documents")}
+         |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5
+         |FROM cch""".stripMargin,
+    "dedup_cdc_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |${cdcChunkCtes("corpus")}
+         |SELECT chunk_md5,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(min(chunk_len) AS BIGINT) AS chunk_len
+         |FROM cch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     "text_ngram_coverage" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS l FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(

@@ -1216,6 +1216,46 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("cdcChunk: partition of the text, local boundaries survive edits, degenerate docs") {
+    def chunks(rows: Seq[(Long, String)]) =
+      TextAnalysis.cdcChunk(rows.toDF("doc_id", "text"), "text", "doc_id",
+          k = 8, modulus = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val base = (1 to 12).map(i =>
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i").mkString(" ")
+    val edited = {
+      val mid = base.length / 2
+      base.substring(0, mid) + " INSERTED PASSAGE HERE " + base.substring(mid)
+    }
+    val cb = chunks(Seq((1L, base)))
+    val ce = chunks(Seq((2L, edited)))
+    assert(cb.length > 5, s"need several chunks, got ${cb.length}")
+    // the chunks partition the normalized text exactly
+    val norm = base.toLowerCase.trim.replaceAll("\\s+", " ")
+    assert(cb.map(_._4).sum == norm.length, "chunk lengths must tile the text")
+    val rebuilt = cb.sortBy(_._3).map(c =>
+      norm.substring(c._3.toInt, (c._3 + c._4).toInt)).mkString
+    assert(rebuilt == norm, "chunks reassemble the document")
+    // LOCALITY: the insertion re-frames only the chunks it touches —
+    // every chunk hash outside the edited region survives identically
+    // (fixed-width chunking would lose every window after the edit)
+    val shared = cb.map(_._5).toSet.intersect(ce.map(_._5).toSet)
+    assert(shared.size >= cb.length - 3,
+      s"only the edited chunks may change: ${shared.size} of ${cb.length} survive")
+    // degenerate docs: sub-k text is one whole chunk, empty emits none
+    val tiny = chunks(Seq((3L, "abc"), (4L, "")))
+    assert(tiny.toSeq == Seq((3L, 1L, 0L, 3L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("abc"))))
+    // layout independence
+    val again = TextAnalysis.cdcChunk(
+        Seq((1L, base)).toDF("doc_id", "text").repartition(4),
+        "text", "doc_id", k = 8, modulus = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(again.sortBy(_._2).toSeq == cb.sortBy(_._2).toSeq)
+  }
+
   test("epochPlan: exact targets and repeat factors, over-cap and empty-stratum flags") {
     import graft.ops.Sampling
     val df = Seq(("a", 100L), ("a", 200L), ("b", 10L), ("c", 0L))
