@@ -259,6 +259,19 @@ object BenchStress {
       TextAnalysis.ngramCoverage(d, "text", "doc_id",
         expr(s"doc_id % 97 = 0 AND doc_id < $COPY_STRIDE"), n = 3,
         flagPpm = 600000L)),
+    // bijected copies share no char 8-grams, so chunk hashes are
+    // disjoint across copies: the dup-injected shared-chunk output
+    // grows linearly, and the chunking itself is zero-shuffle per-row
+    // arithmetic (the text_winnow class)
+    "dedup_cdc_chunks" -> ((d: DataFrame) => {
+      val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      TextAnalysis.cdcChunk(withDups, "text", "doc_id", k = 8, modulus = 16)
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)
+    }),
     // zero-shuffle per-row markup strip (the text_winnow class): the
     // ratio isolates scan + regex cost, and any exchange creeping
     // into the plan shows up as a superlinear tail here first
