@@ -68,6 +68,45 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Interval union per key (the gaps-and-islands problem): merge
+    * overlapping-or-touching [start, end) intervals into maximal
+    * islands — the coverage question behind uptime/downtime math,
+    * session-coverage billing, and crawl-window accounting, where
+    * naive SUM(end−start) double-counts every overlap.
+    *
+    * One ordered pass per key: the running maximum of `end` over all
+    * PRECEDING intervals decides whether the current one opens a new
+    * island (start strictly beyond everything seen) or extends the
+    * current; island ids are the running sum of those flags. Touching
+    * intervals (start == previous max end) MERGE — [a,b)+[b,c) covers
+    * [a,c) with no gap. All comparisons on the caller's (integer)
+    * units: deterministic under ties, duplicate intervals collapse
+    * into whichever island run the order visits first with identical
+    * island output either way.
+    *
+    * Scale shape: ONE shuffle on the key, per-key window + one partial
+    * agg; the same hot-key caveat as sessionize.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val iv = df.select(col(keyCol).as("k"),
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+    val wPrev = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("__pmax", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island_idx", sum(col("__new")).over(wCum))
+      .groupBy(col("k"), col("island_idx"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k").as(keyCol), col("island_idx"),
+        col("island_start"), col("island_end"), col("n_intervals"))
+  }
+
   /** Last-touch attribution: each conversion event attributed to the
     * key's most recent touch event at-or-before it, within a lookback
     * window — the funnel-closing query of behavioral analytics (and an

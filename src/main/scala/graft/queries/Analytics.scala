@@ -518,7 +518,24 @@ object Analytics {
       touchType = "click", convType = "purchase",
       lookbackSeconds = 6L * 3600L)
 
+  /** Coverage accounting: events open 30-minute activity windows;
+    * merged per-user islands give exact covered time (overlaps never
+    * double-counted), island count and the longest stretch.
+    */
+  def qGapsIslands(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.mergeIntervals(
+        Tables.events(spark, sfDir).select(col("user_id"),
+          expr("unix_millis(ts)").as("s"),
+          (expr("unix_millis(ts)") + lit(1800000L)).as("e")),
+        "user_id", "s", "e")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).as("covered_ms"),
+        max(col("island_end") - col("island_start")).as("max_island_ms"),
+        sum(col("n_intervals")).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
     "q_gap_fill" -> qGapFill,
     "q_join_advise" -> qJoinAdvise,
@@ -702,6 +719,28 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH iv AS (SELECT user_id AS k, epoch_ms(ts) AS s,
+        |        epoch_ms(ts) + 1800000 AS e FROM events),
+        |m AS (SELECT k, s, e,
+        |        max(e) OVER (PARTITION BY k ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |f AS (SELECT k, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+        |      FROM m),
+        |isl AS (SELECT k, s, e,
+        |          sum(nw) OVER (PARTITION BY k ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_idx
+        |        FROM f),
+        |g AS (SELECT k, island_idx, min(s) AS island_start,
+        |        max(e) AS island_end, count(*) AS n_intervals
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(island_end - island_start) AS BIGINT) AS covered_ms,
+        |  CAST(max(island_end - island_start) AS BIGINT) AS max_island_ms,
+        |  CAST(sum(n_intervals) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id AS k, ts AS t, event_id AS id,
         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv

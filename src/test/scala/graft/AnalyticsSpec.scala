@@ -95,6 +95,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("mergeIntervals: overlaps merge, touching intervals merge, gaps split, exact coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> one island [0,20)
+      (1L, 20L, 30L),                 // touches at 20 -> still island 1
+      (1L, 40L, 50L),                 // gap -> island 2
+      (2L, 0L, 5L), (2L, 0L, 5L),    // duplicate intervals, one island
+      (3L, 7L, 8L)
+    ).toDF("user_id", "s", "e")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.mergeIntervals(d, "user_id", "s", "e")
+        .select("user_id", "island_idx", "island_start", "island_end", "n_intervals")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(iv)
+    assert(got == Set(
+      (1L, 1L, 0L, 30L, 3L),
+      (1L, 2L, 40L, 50L, 1L),
+      (2L, 1L, 0L, 5L, 2L),
+      (3L, 1L, 7L, 8L, 1L)))
+    assert(run(iv.repartition(5)) == got, "islands owe nothing to layout")
+    // a fully-contained interval extends nothing and splits nothing
+    val contained = run(Seq((9L, 0L, 100L), (9L, 10L, 20L), (9L, 150L, 160L))
+      .toDF("user_id", "s", "e"))
+    assert(contained == Set((9L, 1L, 0L, 100L, 2L), (9L, 2L, 150L, 160L, 1L)))
+  }
+
   test("lastTouch: window bounds, same-instant ties, sentinel for unattributed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
