@@ -162,6 +162,12 @@ object Pipeline {
           col("__p"), n = intOf("n", 3), minShared = intOf("minShared", 5))
           .filter(col("contaminated") === 1)
         df.join(flagged.select(idCol), Seq(idCol), "left_anti")
+      case "canary" =>
+        // memorization-audit canary injection: pure per-row function
+        // of (salt, id) — streaming-safe, ground truth recomputable
+        TextAnalysis.canary(df, textCol, idCol,
+          ratePpm = lngOf("ratePpm", 10000L),
+          salt = strOf("salt", "graft"))
       case "coverage_filter" =>
         // ratio sibling of decontaminate (same sentinel-probe
         // pattern): drop docs whose distinct-n-gram COVERAGE by the
@@ -331,7 +337,7 @@ object Pipeline {
   // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
-    "decontaminate", "coverage_filter")
+    "decontaminate", "coverage_filter", "canary")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",

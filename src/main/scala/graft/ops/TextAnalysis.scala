@@ -372,6 +372,33 @@ object TextAnalysis {
       .select(col(idCol), col("fp"))
   }
 
+  /** Canary injection for memorization auditing (the secret-sharer
+    * methodology, Carlini et al. USENIX Sec'19): deterministically
+    * select `ratePpm` of documents by id hash and append a per-doc
+    * canary token derived from the same hash. Because selection AND
+    * token are pure functions of (salt, id), the audit can always
+    * recompute exactly which documents carry which canary — no
+    * side-channel list to store, replays inject identical bytes
+    * (streaming-safe), and post-training extraction rates measure
+    * memorization against recomputable ground truth. Non-selected
+    * rows pass through byte-identical.
+    *
+    * Zero shuffles: one hash + one conditional concat per row.
+    */
+  def canary(df: DataFrame, textCol: String, idCol: String,
+             ratePpm: Long = 10000L, salt: String = "graft"): DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000L,
+      s"ratePpm must be in [0, 1000000], got $ratePpm")
+    val key = concat(lit(s"$salt-canary:"), col(idCol).cast("string"))
+    val sel = pmod(graft.util.Hashing.portableHash64(key),
+      lit(1000000L)) < ratePpm
+    val token = concat(lit("canary-"), substring(md5(key), 1, 12))
+    df.withColumn("has_canary", sel.cast("int"))
+      .withColumn(textCol,
+        when(sel, concat(col(textCol), lit(" "), token))
+          .otherwise(col(textCol)))
+  }
+
   /** Content-defined chunking (the LBFS/rsync boundary rule, Muthitacharoen
     * et al. SOSP'01): split each document at positions where the
     * portable hash of the trailing `k`-char gram ≡ 0 (mod `modulus`) —

@@ -305,6 +305,16 @@ object PipelineQueries {
     TextAnalysis.contamination(Tables.documents(spark, sfDir), "text", "doc_id",
       probe = expr("doc_id % 97 = 0"), n = 3, minShared = 5)
 
+  /** Canary inject→extract roundtrip: the regex pulls the injected
+    * token back out of the rewritten text, proving selection, token
+    * derivation and injection agree cross-engine.
+    */
+  def textCanaryQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.canary(Tables.documents(spark, sfDir), "text", "doc_id",
+        ratePpm = 40000L, salt = "graft")
+      .select(col("doc_id"), col("has_canary"),
+        regexp_extract(col("text"), "canary-([0-9a-f]{12})", 0).as("found"))
+
   def textCdcChunkQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.cdcChunk(Tables.documents(spark, sfDir), "text", "doc_id",
       k = 8, modulus = 16)
@@ -1050,6 +1060,7 @@ object PipelineQueries {
     "text_ngram_coverage" -> textNgramCoverageQ,
     "text_cdc_chunk" -> textCdcChunkQ,
     "dedup_cdc_chunks" -> dedupCdcChunksQ,
+    "text_canary" -> textCanaryQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
@@ -1670,6 +1681,14 @@ object PipelineQueries {
          |FROM g JOIN p USING (gram)
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY g.doc_id""".stripMargin,
+    "text_canary" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${h64("'graft-canary:' || doc_id::VARCHAR")} % 1000000 < 40000
+         |       THEN 1 ELSE 0 END AS has_canary,
+         |  CASE WHEN ${h64("'graft-canary:' || doc_id::VARCHAR")} % 1000000 < 40000
+         |       THEN 'canary-' || substr(md5('graft-canary:' || doc_id::VARCHAR), 1, 12)
+         |       ELSE '' END AS found
+         |FROM documents""".stripMargin,
     "text_cdc_chunk" ->
       s"""WITH ${cdcChunkCtes("documents")}
          |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5

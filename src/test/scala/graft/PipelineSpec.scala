@@ -1216,6 +1216,34 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("canary: recomputable selection and token, non-selected rows byte-identical") {
+    val injected = TextAnalysis.canary(docs, "text", "doc_id",
+      ratePpm = 40000L, salt = "graft")
+    val n = docs.count()
+    val hit = injected.filter($"has_canary" === 1).count()
+    // ~4% selection, loose band (hash noise at |docs|=500)
+    assert(hit > 0 && hit < n / 5, s"$hit of $n selected")
+    // ground truth recomputes: token is a pure function of (salt, id)
+    val got = injected.filter($"has_canary" === 1)
+      .select($"doc_id", regexp_extract($"text", "canary-([0-9a-f]{12})", 0))
+      .as[(Long, String)].collect()
+    got.foreach { case (id, tok) =>
+      val md5 = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"graft-canary:$id")
+      assert(tok == "canary-" + md5.substring(0, 12), s"doc $id")
+    }
+    // non-selected rows pass through byte-identical
+    val untouched = injected.filter($"has_canary" === 0)
+      .select("doc_id", "text")
+      .except(docs.select("doc_id", "text"))
+    assert(untouched.count() == 0)
+    // per-row purity: the pipeline stage streams (replay-identical)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"op": "canary", "ratePpm": 40000}""")
+    val staged = graft.Pipeline.applyStage(docs, "canary", node, "text", "doc_id")
+    assert(staged.filter($"has_canary" === 1).count() == hit)
+  }
+
   test("cdcChunk: partition of the text, local boundaries survive edits, degenerate docs") {
     def chunks(rows: Seq[(Long, String)]) =
       TextAnalysis.cdcChunk(rows.toDF("doc_id", "text"), "text", "doc_id",
