@@ -163,6 +163,63 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf-slope corpus-health fit: OLS slope of log-frequency against
+    * log-rank over the token frequency table — natural language sits
+    * near −1 (Zipf's law); a corpus drifting toward 0 is template/
+    * boilerplate-flooded (flat head), one plunging far below −1 lost
+    * its tail (over-aggressive df-pruning, truncated vocab). One
+    * scalar per corpus, cheap to track per crawl snapshot next to
+    * [[tokenDrift]].
+    *
+    * Exactness AND scale: a token-level rank window would be a global
+    * single-partition sort of the vocab — but same-frequency tokens
+    * all share y = ln(freq), so the OLS moments only need the SUM of
+    * x = round(ln rank·10⁶) over each frequency group's rank RANGE,
+    * never which token holds which rank. Ranks therefore derive
+    * without any token-level ordering: per-frequency group sizes (one
+    * partial agg), rank offsets from a running sum over the
+    * |distinct frequencies| table (bounded ≪ vocab — the only window,
+    * ordered by the unique freq), then a two-level chunked explode of
+    * the rank ranges (inner arrays ≤ 64 Ki, so no group materializes
+    * an unbounded sequence) feeding one exact-decimal moment
+    * aggregate. ln quantizes once (the C11q ulp precedent); the slope
+    * is one deterministic double division rounded to 6. Only tokens
+    * with freq ≥ `minCount` enter (the fit is about the body, and the
+    * floor bounds the exploded row count by the corpus token count).
+    */
+  def zipfSlope(df: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CH = 65536L
+    val counts = df
+      .select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+    val groups = counts.groupBy("freq").agg(count(lit(1)).as("g"))
+    val wOff = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = groups
+      .withColumn("off", coalesce(sum(col("g")).over(wOff), lit(0L)))
+      .withColumn("c", explode(expr(s"sequence(0L, (g - 1) div $CH)")))
+      .select(col("freq"), explode(expr(
+        s"sequence(off + c * $CH + 1, off + least((c + 1) * $CH, g))"))
+        .as("rank"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = ranks.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    q.agg(count(lit(1)).as("n_tokens"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+      .select(col("n_tokens"),
+        when(dec(col("n_tokens")) * col("sxx") - col("sx") * col("sx") > 0,
+          round((dec(col("n_tokens")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (dec(col("n_tokens")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6)).as("zipf_slope"))
+  }
+
   /** Quality-band filter: keep documents whose score sits inside the
     * [pLo, pHi] percentile band OF THEIR OWN STRATUM (language/source)
     * — the standard trim that drops outliers per stratum instead of

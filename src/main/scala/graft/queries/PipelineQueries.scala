@@ -319,6 +319,9 @@ object PipelineQueries {
     TextAnalysis.cdcChunk(Tables.documents(spark, sfDir), "text", "doc_id",
       k = 8, modulus = 16)
 
+  def textZipfSlopeQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables.documents(spark, sfDir), "text", minCount = 2L)
+
   /** Chunk-level dedup over the dup-injected corpus: content-defined
     * chunks shared by more than one doc — the edit-robust granularity
     * between span-level (dedup_spans) and doc-level dedup.
@@ -1061,6 +1064,7 @@ object PipelineQueries {
     "text_cdc_chunk" -> textCdcChunkQ,
     "dedup_cdc_chunks" -> dedupCdcChunksQ,
     "text_canary" -> textCanaryQ,
+    "text_zipf_slope" -> textZipfSlopeQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
@@ -1689,6 +1693,32 @@ object PipelineQueries {
          |       THEN 'canary-' || substr(md5('graft-canary:' || doc_id::VARCHAR), 1, 12)
          |       ELSE '' END AS found
          |FROM documents""".stripMargin,
+    "text_zipf_slope" ->
+      s"""WITH tk AS (SELECT unnest(string_split($norm, ' ')) AS token
+         |            FROM documents),
+         |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tk
+         |       WHERE len(token) > 0 GROUP BY 1 HAVING count(*) >= 2),
+         |g AS (SELECT freq, CAST(count(*) AS BIGINT) AS g FROM tc GROUP BY 1),
+         |o AS (SELECT freq, g, CAST(coalesce(sum(g) OVER (ORDER BY freq DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS off
+         |      FROM g),
+         |r AS (SELECT freq, unnest(generate_series(off + 1, off + g)) AS rank
+         |      FROM o),
+         |q AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |        CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |      FROM r),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(CAST(x * x AS HUGEINT)) AS sxx,
+         |        sum(CAST(x * y AS HUGEINT)) AS sxy
+         |      FROM q)
+         |SELECT CAST(n AS BIGINT) AS n_tokens,
+         |  CASE WHEN n * sxx - sx * sx > 0
+         |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |              / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         |  END AS zipf_slope
+         |FROM m""".stripMargin,
     "text_cdc_chunk" ->
       s"""WITH ${cdcChunkCtes("documents")}
          |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5

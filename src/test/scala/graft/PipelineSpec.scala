@@ -1216,6 +1216,43 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("zipfSlope: exact moment recompute, zipfian corpus near -1, uniform corpus flat") {
+    def mk(words: Seq[String]) =
+      words.grouped(40).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+    // freq(w_i) = max(2, 100/i): a zipf-ish body over 50 tokens
+    val zipfWords = (1 to 50).flatMap(i => Seq.fill(math.max(2, 100 / i))(s"w$i"))
+    val r = TextAnalysis.zipfSlope(mk(zipfWords), "text", minCount = 2L).head()
+    // driver recompute with the identical group-range rank assignment
+    val freqs = zipfWords.groupBy(identity).values.map(_.size.toLong)
+      .filter(_ >= 2).toSeq
+    val byFreq = freqs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(-_._1)
+    var off = 0L
+    val xy = byFreq.flatMap { case (f, g) =>
+      val y = math.round(math.log(f.toDouble) * 1e6)
+      val out = (off + 1 to off + g).map(rk =>
+        (math.round(math.log(rk.toDouble) * 1e6), y))
+      off += g; out
+    }
+    val n = xy.size.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(t => BigInt(t._1) * BigInt(t._1)).sum
+    val sxy = xy.map(t => BigInt(t._1) * BigInt(t._2)).sum
+    val slope = BigDecimal(
+        (BigInt(n) * sxy - BigInt(sx) * BigInt(sy)).toDouble /
+        (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == slope, s"got ${r.getDouble(1)} want $slope")
+    assert(slope < -0.5 && slope > -1.6, s"zipf-ish corpus slope: $slope")
+    // uniform frequencies: y constant, the fit is exactly flat
+    val flat = TextAnalysis.zipfSlope(
+      mk((1 to 30).flatMap(i => Seq.fill(5)(s"u$i"))), "text", 2L).head()
+    assert(flat.getLong(0) == 30L && flat.getDouble(1) == 0.0)
+  }
+
   test("canary: recomputable selection and token, non-selected rows byte-identical") {
     val injected = TextAnalysis.canary(docs, "text", "doc_id",
       ratePpm = 40000L, salt = "graft")
