@@ -760,4 +760,67 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("interval merge equals a sweep-line reference on random overlap shapes") {
+    val rnd = new Random(4242)
+    for (round <- 1 to rounds) {
+      val ivs = (0 until 120).map { _ =>
+        val k = rnd.nextInt(4).toLong
+        val s = rnd.nextInt(200).toLong
+        (k, s, s + 1 + rnd.nextInt(30).toLong) // short+long, heavy overlap
+      }
+      val got = graft.ops.TimeSeries.mergeIntervals(
+          ivs.toDF("user_id", "s", "e").repartition(1 + rnd.nextInt(6)),
+          "user_id", "s", "e")
+        .select("user_id", "island_start", "island_end", "n_intervals")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // sweep-line reference: sort, extend while s <= current max end
+      val want = ivs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+        val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        for ((s, e) <- sorted) {
+          if (islands.nonEmpty && s <= islands.last._2) {
+            val (is, ie, n) = islands.last
+            islands(islands.length - 1) = (is, math.max(ie, e), n + 1)
+          } else islands += ((s, e, 1L))
+        }
+        islands.map { case (is, ie, n) => (k, is, ie, n) }
+      }.toSet
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("gap-fill LOCF equals a per-key scan reference on random sparse streams") {
+    val rnd = new Random(777)
+    for (round <- 1 to rounds) {
+      val step = 60L // 1-minute grid over a ~2-hour span
+      val evs = (0 until 80).map { i =>
+        val k = rnd.nextInt(3).toLong
+        val sec = rnd.nextInt(7200).toLong
+        val v = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(50).toDouble)
+        (k, sec, v, i)
+      }
+      val df = evs.toDF("user_id", "sec", "value", "i")
+        .select($"user_id", expr("timestamp_seconds(sec)").as("ts"), $"value")
+      val got = graft.ops.TimeSeries.gapFill(
+          df.repartition(1 + rnd.nextInt(5)), "user_id", "ts", "value", step)
+        .select($"user_id", expr("unix_timestamp(bucket_ts)").as("b"),
+          $"filled_value", $"n_events")
+        .as[(Long, Long, Option[Double], Long)].collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val t0 = rows.map(_._2).min / step * step
+        val t1 = rows.map(_._2).max / step * step
+        // LOCF at each grid instant: last non-null value among events
+        // with ts <= grid, ties by (ts, value) — value max last
+        val obs = rows.collect { case (_, s, Some(v), _) => (s, v) }
+          .sortBy(identity)
+        (t0 to t1 by step).map { b =>
+          val fill = obs.filter(_._1 <= b).lastOption.map(_._2)
+          val n = rows.count(r => r._2 / step * step == b)
+          (k, b, fill, n.toLong)
+        }
+      }.toSet
+      assert(got == want, s"round $round")
+    }
+  }
 }
