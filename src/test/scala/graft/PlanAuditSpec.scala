@@ -541,6 +541,25 @@ class PlanAuditSpec extends SparkSpec {
       "rrf contributions must combine map-side")
   }
 
+  test("text_cdc_chunk: pure per-row boundary arithmetic, zero exchanges") {
+    val plan = formatted(q("text_cdc_chunk"))
+    assert(!plan.contains("Exchange"),
+      "content-defined chunking is per-row selection + explode: any exchange is a regression")
+  }
+
+  test("text_canary: per-row injection, zero exchanges") {
+    val plan = formatted(q("text_canary"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("q_gaps_islands: key-hash exchanges only, no range partitioning, no loop join") {
+    val plan = formatted(q("q_gaps_islands"))
+    assert(plan.contains("hashpartitioning(k") || plan.contains("hashpartitioning(user_id"),
+      "island windows must shuffle on the key")
+    assert(!plan.contains("rangepartitioning"), "no global sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_gap_fill: one shuffle keyed by user for LOCF, counts combine map-side") {
     val plan = formatted(q("q_gap_fill"))
     assert(plan.contains("partial_count"),
