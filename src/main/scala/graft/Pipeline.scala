@@ -483,6 +483,11 @@ object Pipeline {
         graft.ops.Profile.tokenDrift(cleaned, textCol,
             reports.get("driftStratum").asText())
           .write.mode("overwrite").parquet(s"$repDir/drift")
+      // one-scalar distribution health: slope drifting toward 0
+      // between snapshots = template flooding survived the filters
+      if (reports.path("zipf").asBoolean(false))
+        TextAnalysis.zipfSlope(cleaned, textCol)
+          .write.mode("overwrite").parquet(s"$repDir/zipf")
     }
     (obsIn.get("rows").asInstanceOf[Long], obsOut.get("rows").asInstanceOf[Long])
   }

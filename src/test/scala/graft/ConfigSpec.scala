@@ -401,7 +401,7 @@ class ConfigSpec extends SparkSpec {
          |  {"op": "lang_filter", "keep": ["en", "de"]},
          |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5},
          |  {"op": "weighted_cap", "group": "source", "k": 8}],
-         |"reports": {"profile": true, "driftStratum": "source"}}"""
+         |"reports": {"profile": true, "driftStratum": "source", "zipf": true}}"""
         .stripMargin)
     val out2 = spark.read.parquet(out2Dir)
     assert(rout2 > 0 && rout2 < docs.count())
@@ -416,6 +416,8 @@ class ConfigSpec extends SparkSpec {
       "profile distinct count describes the cleaned corpus, not the input")
     val drift = spark.read.parquet(s"$out2Dir.reports/drift")
     assert(drift.count() > 0 && drift.columns.contains("kl_micro"))
+    val zipf = spark.read.parquet(s"$out2Dir.reports/zipf")
+    assert(zipf.count() == 1 && zipf.columns.contains("zipf_slope"))
     // every probe doc's exact self-match is gone (self-overlap ≥ 5 trigrams)
     val probeIds = docs.filter($"doc_id" % 100 === 0)
       .select("doc_id").as[Long].collect().toSet
