@@ -761,6 +761,51 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic-dup store matches greedy reference under churn + replays") {
+    import graft.streaming.SemanticDupStream
+    val rnd = new Random(88)
+    val outDir = s"${java.nio.file.Files.createTempDirectory("fuzz-sd")}/out.parquet"
+    val stateDir = java.nio.file.Files.createTempDirectory("fuzz-sd-state").toString
+    val D = 64 // > max distinct contents: one-hots can never collide
+    // contents are one-hot (cross cosine 0) or exact copies (cosine
+    // 1): identical vectors always assign to the same cell, so the
+    // boundary miss can't fire and the greedy reference is exact
+    def content(c: Int): Seq[Double] =
+      (0 until D).map(j => if (j == c % D) 1.0 else 0.0)
+    val cents = Seq(
+      (0L, (0 until D).map(j => if (j < 8) 1.0 else 0.0)),
+      (1L, (0 until D).map(j => if (j >= 8 && j < 16) 1.0 else 0.0)),
+      (2L, (0 until D).map(j => if (j >= 16 && j < 24) 1.0 else 0.0)),
+      (3L, (0 until D).map(j => if (j >= 24) 1.0 else 0.0))
+    ).toDF("cid", "cvec")
+    var nextId = 0L
+    var nextC = 0
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val admitted = scala.collection.mutable.Map[Int, Long]()
+    (0 until 8).foreach { b =>
+      val docs = (0 until rnd.nextInt(4) + 1).map { _ =>
+        val c =
+          if (seen.nonEmpty && rnd.nextInt(3) == 0) seen(rnd.nextInt(seen.length))
+          else { val fresh = nextC; nextC += 1; seen += fresh; fresh }
+        val id = nextId; nextId += 1
+        (id, c)
+      }
+      docs.foreach { case (id, c) => if (!admitted.contains(c)) admitted(c) = id }
+      val df = docs.map { case (id, c) => (id, content(c)) }
+        .toDF("vec_id", "embedding")
+      def run() = SemanticDupStream.semanticDupBatch(spark, df, b.toLong,
+        outDir, stateDir, cents, "embedding", "vec_id", threshold = 0.95,
+        dim = Some(D), nStoreBuckets = 4, maxStoreDirsPerBucket = 2)
+      run()
+      if (rnd.nextInt(3) == 0) run() // at-least-once replay
+    }
+    val got = spark.read.parquet(outDir).select("vec_id").as[Long].collect().toSet
+    assert(got == admitted.values.toSet,
+      s"admitted mismatch: extra=${got -- admitted.values}, missing=${admitted.values.toSet -- got}")
+    assert(spark.read.parquet(outDir).count() == admitted.size,
+      "replays must not duplicate rows")
+  }
+
   test("interval merge equals a sweep-line reference on random overlap shapes") {
     val rnd = new Random(4242)
     for (round <- 1 to rounds) {
