@@ -97,6 +97,14 @@ object PipelineQueries {
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, dim = EMB_DIM)
 
+  /** Same-label filtered search: each probe retrieves only within its
+    * own label partition (the multi-tenant shape).
+    */
+  def annFilteredQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopKFiltered(Tables.embeddings(spark, sfDir),
+      "embedding", "vec_id", "label", expr("id % 100 = 0"), k = 5,
+      dim = EMB_DIM)
+
   def annIvfQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
@@ -1040,6 +1048,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersQ,
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
+    "ann_filtered" -> annFilteredQ,
     "ann_ivf" -> annIvfQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -1491,6 +1500,22 @@ object PipelineQueries {
          |       round(CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
          |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
          |FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |QUALIFY rank <= 5""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH fq AS (SELECT vec_id, label, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         |fn AS (SELECT vec_id, label, qv,
+         |         list_sum(list_transform(qv, x -> x * x)) AS n2 FROM fq)
+         |SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |         CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |         / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) DESC,
+         |         x.vec_id ASC) AS BIGINT) AS rank,
+         |       round(CAST(list_sum(list_transform(list_zip(x.qv, q.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
+         |FROM fn x JOIN fn q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |  AND x.label IS NOT DISTINCT FROM q.label
          |QUALIFY rank <= 5""".stripMargin,
     "ann_recall" ->
       s"""WITH $qPrep,

@@ -100,6 +100,38 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** FILTERED vector search — the multi-tenant / faceted shape every
+    * deployed ANN system grows ("nearest neighbors WHERE tenant = X"):
+    * top-k cosine neighbors restricted to candidates sharing the
+    * query's `attrCol` value. The predicate applies BEFORE scoring
+    * (join condition, not post-filter), so the scan prunes
+    * non-matching candidates without paying their dot products and —
+    * unlike post-filtering a plain top-k — the result can never come
+    * back short because the unfiltered top-k happened to be all
+    * other-tenant vectors. Same broadcast-query / map-side-scan shape
+    * as [[bruteForceTopK]].
+    */
+  def bruteForceTopKFiltered(df: DataFrame, vecCol: String, idCol: String,
+                             attrCol: String, queryPred: Column, k: Int,
+                             dim: Option[Int] = None): DataFrame = {
+    val p = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+        col(attrCol).as("attr"))
+      .withColumn("n2", qdot(col("qv"), col("qv"), dim))
+    val q = p.filter(queryPred)
+      .select(col("id").as("query_id"), col("qv").as("qv_q"),
+        col("n2").as("n2_q"), col("attr").as("attr_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    p.join(broadcast(q), col("attr") <=> col("attr_q"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(qdot(col("qv"), col("qv_q"), dim), col("n2"), col("n2_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Seeded random-hyperplane LSH: `planes` pseudo-hyperplanes with
     * INTEGER weights w(p,i) = portableHash(seed:p:i) mod 2001 − 1000 ∈
     * [−1000, 1000]; bucket bit p = sign⟨qv, w(p)⟩. The dot product is

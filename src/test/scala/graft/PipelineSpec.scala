@@ -1362,6 +1362,32 @@ class PipelineSpec extends SparkSpec {
       Map(0L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("filtered ANN: equals per-label brute force, never comes back post-filter-short") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.bruteForceTopKFiltered(emb, "embedding", "vec_id",
+        "label", expr("id % 100 = 0"), k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: plain top-k run inside each label slice separately
+    val want = emb.select("label").distinct().as[Int].collect().flatMap { l =>
+      Similarity.bruteForceTopK(emb.filter($"label" === l), "embedding",
+          "vec_id", expr("id % 100 = 0"), k = 5, dim = Some(64))
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    }.toSet
+    assert(got == want, "filtered search must equal the per-partition truth")
+    assert(got.nonEmpty)
+    // every query with >= 5 same-label candidates gets a full page —
+    // the guarantee post-filtering a plain top-k cannot give
+    val labelSizes = emb.groupBy("label").count().as[(Int, Long)].collect().toMap
+    val qLabels = emb.filter($"vec_id" % 100 === 0)
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    val pages = got.groupBy(_._1).view.mapValues(_.size).toMap
+    qLabels.foreach { case (qid, l) =>
+      if (labelSizes(l) > 5) assert(pages.getOrElse(qid, 0) == 5, s"query $qid")
+    }
+  }
+
   test("embProfile: counts null/bad-dim/zero vectors, exact n2 percentiles and total") {
     val df = Seq(
       (1L, Some(Seq(1.0, 0.0, 0.0, 0.0))),  // n2 = 1e8
