@@ -93,6 +93,26 @@ object PipelineQueries {
   def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T, EMB_DIM)
 
+  /** Threshold-tuning curve for embedding dedup: pair counts per
+    * 0.05-wide cosine bucket from ONE pair scan, with the cumulative
+    * pairs-at-or-above count — the curve a deployment reads to pick
+    * SemDeDup's threshold (where does the dup mass fall off?) instead
+    * of re-running the scan per candidate T. The cumulative window
+    * runs over the ≤ 16 bucket rows, not the pairs.
+    */
+  def dedupThresholdCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Similarity.cosinePairs(Tables.embeddings(spark, sfDir),
+      "embedding", "vec_id", threshold = 0.2, dim = EMB_DIM)
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs.select(floor(col("cosine") * 20).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+      .select((col("bucket") * 5L).as("cos_lo_centi"),
+        col("n_pairs"), col("n_pairs_ge"))
+  }
+
   def annTopkQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, dim = EMB_DIM)
@@ -1045,6 +1065,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhashQ,
     "dedup_ngram_jaccard" -> dedupNgramQ,
     "dedup_embedding" -> dedupEmbeddingQ,
+    "dedup_threshold_curve" -> dedupThresholdCurveQ,
     "dedup_clusters" -> dedupClustersQ,
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
@@ -1501,6 +1522,21 @@ object PipelineQueries {
          |             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
          |FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
          |QUALIFY rank <= 5""".stripMargin,
+    "dedup_threshold_curve" ->
+      s"""WITH $qPrep,
+         |p AS (SELECT round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cosine
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |      WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |            / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.2),
+         |bk AS (SELECT CAST(floor(cosine * 20) AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM p GROUP BY 1)
+         |SELECT bucket * 5 AS cos_lo_centi, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_ge
+         |FROM bk""".stripMargin,
     "ann_filtered" ->
       s"""WITH fq AS (SELECT vec_id, label, list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

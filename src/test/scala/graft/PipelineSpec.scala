@@ -1362,6 +1362,21 @@ class PipelineSpec extends SparkSpec {
       Map(0L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("threshold curve: running cumulative, reconciles with the gated pair scan at 0.35") {
+    val curve = PipelineQueries.dedupThresholdCurveQ(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(-_._1)
+    assert(curve.nonEmpty)
+    var run = 0L
+    curve.foreach { case (_, n, ge) =>
+      run += n
+      assert(ge == run, "cumulative must be the running sum from the top bucket")
+    }
+    // pairs at-or-above 0.35 must equal what the dedup_embedding gate
+    // finds at its threshold — one curve scan answers every T
+    val ge35 = curve.filter(_._1 >= 35).map(_._2).sum
+    assert(ge35 == PipelineQueries.dedupEmbeddingQ(spark, sfDir).count())
+  }
+
   test("filtered ANN: equals per-label brute force, never comes back post-filter-short") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = Similarity.bruteForceTopKFiltered(emb, "embedding", "vec_id",
