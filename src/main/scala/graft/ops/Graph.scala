@@ -96,6 +96,39 @@ object Graph {
     ranks
   }
 
+  /** k-core peel (fixed rounds): repeatedly drop nodes whose degree
+    * in the SURVIVING graph falls below `k` — the dense-subgraph
+    * detector (a link farm's mutually-linking core survives peels
+    * that strip the organic periphery; conversely a page kept only by
+    * low-degree spam chains peels away). Fixed `rounds` for
+    * deterministic cost and a replayable oracle (the pagerank/kmeans
+    * convention — convergence is reached when a round removes
+    * nothing; production iterates to fixpoint, the gate pins the
+    * mechanism). Returns surviving nodes with their residual degree.
+    *
+    * Scale shape per round: one |E|-row partial-agg degree count and
+    * two key-only semi joins pruning the edge list; the shrinking
+    * frontier routes through Lineage.truncate (durable under
+    * spark.graft.checkpointDir) so the plan stays O(1) per round.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val degrees = (e: DataFrame) =>
+      e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val alive = degrees(und).filter(col("degree") >= k).select("id")
+      und = graft.util.Lineage.truncate(
+        und.join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+    }
+    degrees(und)
+  }
+
   /** Per-node triangle counts over the undirected simple graph —
     * the local-clustering signal link-spam detection keys on (organic
     * neighborhoods close triangles; link farms are near-bipartite and

@@ -854,6 +854,15 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** 2-core of the hash link graph after 3 peel rounds (fixed rounds
+    * gate the mechanism; the oracle chains the same three peels).
+    */
+  def graphKcoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.kcore(edges, k = 2, rounds = 3)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1125,6 +1134,7 @@ object PipelineQueries {
     "pipeline_monitor_corpus" -> pipelineMonitorQ,
     "graph_pagerank" -> graphPagerankQ,
     "graph_triangles" -> graphTrianglesQ,
+    "graph_kcore" -> graphKcoreQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -2451,6 +2461,33 @@ object PipelineQueries {
          |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS id FROM t) GROUP BY 1""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM e WHERE src <> dst),
+         |a1 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e0)
+         |       GROUP BY 1 HAVING count(*) >= 2),
+         |e1 AS (SELECT a, b FROM e0
+         |       WHERE a IN (SELECT id FROM a1) AND b IN (SELECT id FROM a1)),
+         |a2 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e1)
+         |       GROUP BY 1 HAVING count(*) >= 2),
+         |e2 AS (SELECT a, b FROM e1
+         |       WHERE a IN (SELECT id FROM a2) AND b IN (SELECT id FROM a2)),
+         |a3 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e2)
+         |       GROUP BY 1 HAVING count(*) >= 2),
+         |e3 AS (SELECT a, b FROM e2
+         |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

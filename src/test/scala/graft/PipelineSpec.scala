@@ -1339,6 +1339,27 @@ class PipelineSpec extends SparkSpec {
     assert(run(df.repartition(3)) == got)
   }
 
+  test("kcore: chains peel away round by round, cycles survive, residual degrees honest") {
+    // lollipop: triangle {1,2,3} with tail 3-4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(rounds: Int) =
+      graft.ops.Graph.kcore(edges, k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    // round 1 drops only the tail's end; 4's residual degree 1 is
+    // reported honestly (fixed rounds gate the mechanism)
+    assert(run(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // two rounds reach the 2-core; a third changes nothing
+    assert(run(2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(3) == run(2), "converged peel is a fixpoint")
+    // a pure chain has no 2-core at all
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(graft.ops.Graph.kcore(chain, 2, 5).count() == 0)
+    // layout independence
+    assert(graft.ops.Graph.kcore(edges.repartition(4), 2, 3)
+      .as[(Long, Long)].collect().toMap == run(3))
+  }
+
   test("triangles: oriented wedge count equals triple truth on K4, ignores loops/dups/direction") {
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + a
     // self-loop + duplicate and reversed edges that must canonicalize
