@@ -162,6 +162,22 @@ object Pipeline {
           col("__p"), n = intOf("n", 3), minShared = intOf("minShared", 5))
           .filter(col("contaminated") === 1)
         df.join(flagged.select(idCol), Seq(idCol), "left_anti")
+      case "wordlist_filter" =>
+        // C4-lineage policy-term drop: per-row against literal lists
+        val ln = node.get("lists")
+        require(ln != null && ln.isObject && ln.size() > 0,
+          "stage 'wordlist_filter' requires a non-empty 'lists' object")
+        val it = ln.fields()
+        val lists = scala.collection.mutable.Map[String, Seq[String]]()
+        while (it.hasNext) {
+          val e = it.next()
+          lists(e.getKey) =
+            (0 until e.getValue.size()).map(e.getValue.get(_).asText())
+        }
+        val wlFlagged = TextAnalysis.wordlistScan(df, textCol, idCol,
+            lists.toMap, lngOf("flagPpm", 0L))
+          .filter(col("flagged") === 1).select(idCol).distinct()
+        df.join(wlFlagged, Seq(idCol), "left_anti")
       case "canary" =>
         // memorization-audit canary injection: pure per-row function
         // of (salt, id) — streaming-safe, ground truth recomputable
@@ -337,7 +353,7 @@ object Pipeline {
   // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
-    "decontaminate", "coverage_filter", "canary")
+    "decontaminate", "coverage_filter", "canary", "wordlist_filter")
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",

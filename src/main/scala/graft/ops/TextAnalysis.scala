@@ -429,6 +429,48 @@ object TextAnalysis {
       .select(col(idCol), col("fp"))
   }
 
+  /** Categorized wordlist scan (the C4 badwords / policy-term filter
+    * lineage): per document, the token-hit count and ppm rate against
+    * each configured category's term list, plus a per-category flag —
+    * compared as the exact rational n_hits·10⁶ ≥ flagPpm·n_tokens
+    * (never the floored ppm, which under-flags huge docs), with
+    * flagPpm = 0 meaning C4's any-occurrence drop and fraction
+    * thresholds the Gopher-style soft variant. Counts are occurrence
+    * counts (multiplicity, not distinct), so a document repeating one
+    * term 50 times reads as saturated, not as one hit.
+    *
+    * The lists ride the plan as literals (policy lists are small by
+    * construction — broadcast-free), matching is a per-row
+    * array-filter lambda, and the output is LONG format (one row per
+    * doc × category) so adding a category never changes the schema.
+    * Zero shuffles: scan speed, the gopher_filter class.
+    */
+  def wordlistScan(df: DataFrame, textCol: String, idCol: String,
+                   lists: Map[String, Seq[String]],
+                   flagPpm: Long = 0L): DataFrame = {
+    require(lists.nonEmpty, "wordlistScan needs at least one category")
+    val base = df.select(col(idCol),
+        split(normalize(col(textCol)), " ").as("toks"))
+      .withColumn("n_tokens",
+        size(filter(col("toks"), t => length(t) > 0)).cast("long"))
+    val cats = lists.toSeq.sortBy(_._1).map { case (cat, terms) =>
+      val hits = size(filter(col("toks"),
+        t => array_contains(typedlit(terms), t))).cast("long")
+      struct(lit(cat).as("category"), hits.as("n_hits"))
+    }
+    base.select(col(idCol), col("n_tokens"),
+        explode(array(cats: _*)).as("c"))
+      .select(col(idCol), col("c.category").as("category"), col("n_tokens"),
+        col("c.n_hits").as("n_hits"))
+      .withColumn("hit_ppm",
+        when(col("n_tokens") > 0, expr("n_hits * 1000000 DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("flagged",
+        (col("n_hits") > 0 &&
+          col("n_hits") * lit(1000000L) >= lit(flagPpm) * col("n_tokens"))
+          .cast("int"))
+  }
+
   /** Canary injection for memorization auditing (the secret-sharer
     * methodology, Carlini et al. USENIX Sec'19): deterministically
     * select `ratePpm` of documents by id hash and append a per-doc

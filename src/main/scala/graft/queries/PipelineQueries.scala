@@ -347,6 +347,12 @@ object PipelineQueries {
     TextAnalysis.cdcChunk(Tables.documents(spark, sfDir), "text", "doc_id",
       k = 8, modulus = 16)
 
+  def textWordlistQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.wordlistScan(Tables.documents(spark, sfDir), "text", "doc_id",
+      lists = Map("sql" -> Seq("select", "drop", "merge"),
+        "perf" -> Seq("slow", "fast")),
+      flagPpm = 100000L)
+
   def textZipfSlopeQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.zipfSlope(Tables.documents(spark, sfDir), "text", minCount = 2L)
 
@@ -1104,6 +1110,7 @@ object PipelineQueries {
     "dedup_cdc_chunks" -> dedupCdcChunksQ,
     "text_canary" -> textCanaryQ,
     "text_zipf_slope" -> textZipfSlopeQ,
+    "text_wordlist" -> textWordlistQ,
     "dedup_keep_best" -> dedupKeepBestQ,
     "sample_stratified" -> sampleStratifiedQ,
     "sample_token_budget" -> sampleTokenBudgetQ,
@@ -1764,6 +1771,26 @@ object PipelineQueries {
          |       THEN 'canary-' || substr(md5('graft-canary:' || doc_id::VARCHAR), 1, 12)
          |       ELSE '' END AS found
          |FROM documents""".stripMargin,
+    "text_wordlist" ->
+      s"""WITH d AS (SELECT doc_id,
+         |        list_filter(string_split($norm, ' '), t -> len(t) > 0) AS toks
+         |      FROM documents),
+         |c AS (
+         |  SELECT doc_id, 'perf' AS category, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(['slow', 'fast'], t)))
+         |      AS BIGINT) AS n_hits
+         |  FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'sql', CAST(len(toks) AS BIGINT),
+         |    CAST(len(list_filter(toks, t -> list_contains(['select', 'drop', 'merge'], t)))
+         |      AS BIGINT)
+         |  FROM d)
+         |SELECT doc_id, category, n_tokens, n_hits,
+         |  CASE WHEN n_tokens > 0 THEN n_hits * 1000000 // n_tokens
+         |       ELSE 0 END AS hit_ppm,
+         |  CASE WHEN n_hits > 0 AND n_hits * 1000000 >= 100000 * n_tokens
+         |       THEN 1 ELSE 0 END AS flagged
+         |FROM c""".stripMargin,
     "text_zipf_slope" ->
       s"""WITH tk AS (SELECT unnest(string_split($norm, ' ')) AS token
          |            FROM documents),

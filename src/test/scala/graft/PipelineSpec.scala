@@ -1216,6 +1216,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("wordlistScan: multiplicity counts, exact-rational flag boundary, stage drops flagged") {
+    val df = Seq(
+      (1L, "bad bad bad ok ok"),   // 3/5 hits: saturation visible
+      (2L, "ok ok fine"),          // clean
+      (3L, "one bad two"),         // 1/3: the 333333-ppm knife edge
+      (4L, "")                     // empty: zero tokens, zero flags
+    ).toDF("doc_id", "text")
+    def scan(ppm: Long) =
+      TextAnalysis.wordlistScan(df, "text", "doc_id",
+          Map("pol" -> Seq("bad")), flagPpm = ppm)
+        .select("doc_id", "n_tokens", "n_hits", "hit_ppm", "flagged")
+        .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val s = scan(0L)
+    assert(s(1L) == ((1L, 5L, 3L, 600000L, 1)))
+    assert(s(2L) == ((2L, 3L, 0L, 0L, 0)), "clean docs never flag at any-occurrence")
+    assert(s(3L) == ((3L, 3L, 1L, 333333L, 1)))
+    assert(s(4L) == ((4L, 0L, 0L, 0L, 0)))
+    // the flag compares the exact rational, not the floored ppm:
+    // 1/3 = 333333.3 ppm sits ABOVE 333333 but BELOW 333334
+    assert(scan(333333L)(3L)._5 == 1)
+    assert(scan(333334L)(3L)._5 == 0)
+    // the pipeline stage drops exactly the flagged docs
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"op": "wordlist_filter", "lists": {"pol": ["bad"]}}""")
+    val kept = graft.Pipeline.applyStage(df, "wordlist_filter", node,
+        "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("zipfSlope: exact moment recompute, zipfian corpus near -1, uniform corpus flat") {
     def mk(words: Seq[String]) =
       words.grouped(40).zipWithIndex
