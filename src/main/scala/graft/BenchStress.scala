@@ -263,6 +263,17 @@ object BenchStress {
     // disjoint across copies: the dup-injected shared-chunk output
     // grows linearly, and the chunking itself is zero-shuffle per-row
     // arithmetic (the text_winnow class)
+    // hash-synthesized graph over the scaled node set (targets
+    // h mod N, so density stays constant as N grows): oriented wedge
+    // work and peel rounds must both grow ~linearly with |V|+|E|
+    "graph_triangles" -> ((d: DataFrame) => {
+      val (_, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      graft.ops.Graph.triangles(e)
+    }),
+    "graph_kcore" -> ((d: DataFrame) => {
+      val (_, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      graft.ops.Graph.kcore(e, k = 2, rounds = 3)
+    }),
     "dedup_cdc_chunks" -> ((d: DataFrame) => {
       val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
         .withColumn("doc_id", col("doc_id") + 100000L))

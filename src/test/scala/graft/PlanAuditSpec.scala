@@ -541,6 +541,16 @@ class PlanAuditSpec extends SparkSpec {
       "rrf contributions must combine map-side")
   }
 
+  test("ann_filtered: attribute predicate joins broadcast, native dot, no cartesian") {
+    val plan = formatted(q("ann_filtered"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query side must broadcast with the attribute as a join key")
+    assert(plan.contains("graft_dot"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the filter must be a hash-join predicate, not a loop-join filter")
+  }
+
   test("text_cdc_chunk: pure per-row boundary arithmetic, zero exchanges") {
     val plan = formatted(q("text_cdc_chunk"))
     assert(!plan.contains("Exchange"),
