@@ -321,6 +321,19 @@ object PipelineQueries {
       budget = 1024, nShards = 8)
   }
 
+  /** Packing-efficiency report over text_pack's assignment: per pack
+    * its doc count, token fill and utilization vs the budget — the
+    * number a training pipeline watches (waste = idle accelerator
+    * time; chronic >10⁶ ppm packs mean the straddling docs are too
+    * long for the context budget). One partial agg over the pack
+    * assignment; output bounded by Σtokens/budget rows.
+    */
+  def packEfficiencyQ(spark: SparkSession, sfDir: String): DataFrame =
+    textPackQ(spark, sfDir)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .withColumn("util_ppm", expr("pack_tokens * 1000000 DIV 1024"))
+
   /** Gopher-style within-doc repetition fractions — map-only. */
   def textRepetitionQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(spark, sfDir), "text", "doc_id")
@@ -1156,6 +1169,7 @@ object PipelineQueries {
     "text_pmi" -> textPmiQ,
     "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
+    "pack_efficiency" -> packEfficiencyQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
     "dedup_source_overlap" -> dedupSourceOverlapQ,
@@ -2798,6 +2812,22 @@ object PipelineQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024
          |    AS BIGINT) AS pack_id
          |FROM t""".stripMargin,
+    "pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(${h64("doc_id::VARCHAR")} % 8 AS INT) AS shard
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_tokens, shard,
+         |  CAST(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024
+         |    AS BIGINT) AS pack_id
+         |  FROM t)
+         |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(n_tokens) * 1000000 // 1024 AS BIGINT) AS util_ppm
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(nt) AS content_hash,
          |  md5(array_to_string(list_sort(list_distinct(string_split(nt, ' '))), ' ')) AS bag_hash,
