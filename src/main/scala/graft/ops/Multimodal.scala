@@ -725,33 +725,105 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val grid = 8
-        val sums = new Array[Double](grid * grid)
-        val counts = new Array[Long](grid * grid)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = ((rgb >> 16) & 0xff) * 0.299 +
-              ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
-            val cell = math.min(grid - 1, y * grid / h) * grid +
-              math.min(grid - 1, x * grid / w)
-            sums(cell) += lum
-            counts(cell) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val means = Array.tabulate(grid * grid)(i =>
-          if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+        val means = lumaGrid(img, 8)
         val mean = means.sum / means.length
         var bits = 0L
         var i = 0
         while (i < means.length) {
           if (means(i) >= mean) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** n×n mean-pooled luminance grid of an image (row-major). */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+                       grid: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) * 0.299 +
+          ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+        val cell = math.min(grid - 1, y * grid / h) * grid +
+          math.min(grid - 1, x * grid / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) — the frequency-domain
+    * upgrade of [[aHash64]]: 32×32 mean-pooled luminance → 2-D DCT-II
+    * → the low-frequency 8×8 corner, one bit per coefficient above
+    * the median of the 63 AC coefficients. Because a UNIFORM
+    * brightness shift moves only the DC coefficient, the 63 AC bits
+    * are provably invariant to global exposure changes (spec-pinned
+    * hamming ≤ 1 — the DC bit alone may flip), where aHash's
+    * spatial-mean bits survive only because the mean shifts with the
+    * pixels; pHash additionally shrugs off smooth gradients and gamma
+    * nudges that tilt several aHash cells at once. Deterministic: the
+    * DCT is a fixed-order double loop, no FFT reordering. Caveat for
+    * SYNTHETIC imagery: a sparse spectrum (flat fills, exact
+    * checkers) parks many coefficients exactly at the median, where
+    * bit assignment rides 1e-14 cosine residue — natural images have
+    * dense spectra and don't; prefer aHash for flat-color fixtures.
+    */
+  def pHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val n = 32
+        val g = lumaGrid(img, n)
+        // separable DCT-II restricted to the 8×8 output corner
+        val cos = Array.tabulate(8, n)((u, x) =>
+          math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+        val a = (u: Int) =>
+          if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+        // rows first: t(u, y) = a(u) Σx g(x, y) cos(u, x)
+        val t = Array.ofDim[Double](8, n)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < n) {
+            var s = 0.0
+            var x = 0
+            while (x < n) { s += g(y * n + x) * cos(u)(x); x += 1 }
+            t(u)(y) = a(u) * s
+            y += 1
+          }
+          u += 1
+        }
+        val coef = new Array[Double](64)
+        var v = 0
+        while (v < 8) {
+          var uu = 0
+          while (uu < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < n) { s += t(uu)(y) * cos(v)(y); y += 1 }
+            coef(v * 8 + uu) = a(v) * s
+            uu += 1
+          }
+          v += 1
+        }
+        val ac = coef.drop(1).sorted
+        val med = ac(31) // true median of the 63 AC coefficients
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (coef(i) > med) bits |= (1L << i)
           i += 1
         }
         Some(bits)
@@ -766,12 +838,17 @@ object Multimodal {
     * never false near-dups. Same mapPartitions batching as
     * [[extractFeatures]] (one decoder context per partition).
     */
-  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+  def imageHashes(media: Dataset[MediaRow],
+                  method: String = "ahash"): DataFrame = {
     import media.sparkSession.implicits._
+    require(method == "ahash" || method == "phash",
+      s"unknown perceptual hash method '$method' (ahash|phash)")
+    val hashFn: Array[Byte] => Option[Long] =
+      if (method == "phash") pHash64 else aHash64
     media.mapPartitions { rows =>
       rows.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { r =>
-          aHash64(r.payload) match {
+          hashFn(r.payload) match {
             case Some(h) => (r.mediaId, h, true)
             case None =>
               val d = java.security.MessageDigest.getInstance("MD5")
@@ -799,13 +876,13 @@ object Multimodal {
     * for the keep-one-per-cluster step, like every other dup-pair op.
     */
   def mediaDupPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
-                    bands: Int = 8): DataFrame = {
+                    bands: Int = 8, method: String = "ahash"): DataFrame = {
     require(bands > maxHamming,
       s"pigeonhole needs bands > maxHamming (got $bands bands, $maxHamming)")
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val spark = media.sparkSession
-    val fp = graft.util.Lineage.truncate(imageHashes(media))
+    val fp = graft.util.Lineage.truncate(imageHashes(media, method))
     val banded = fp
       .crossJoin(spark.range(bands).toDF("band"))
       .select(col("mediaId").as("id"), col("ahash"), col("band"),

@@ -351,6 +351,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual media dedup: pHash AC bits are exposure-invariant, pairs work through the DCT path") {
+    def pattern(w: Int, h: Int, shift: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // mid-range deterministic TEXTURE (dense distinct DCT coefs —
+        // a flat checker would park half the spectrum exactly at the
+        // median, where 1e-14 cosine residue flips bits); scaled
+        // coordinates so resolutions render the same image
+        val (sx, sy) = (x * 64 / w, y * 64 / h)
+        val v0 = 70 + ((sx * 13 + sy * 29 + (sx / 4) * (sy / 4) * 7) % 97)
+        val v1 = if (invert) 255 - v0 else v0
+        val v = math.max(0, math.min(255, v1 + shift))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = pattern(64, 64, 0, invert = false)
+    val h0 = Multimodal.pHash64(base).get
+    assert(Multimodal.pHash64(base).get == h0, "deterministic")
+    // a uniform brightness shift moves ONLY the DC coefficient: the
+    // 63 AC bits are provably unchanged, so at most bit 0 may flip
+    assert(ham(h0, Multimodal.pHash64(pattern(64, 64, 25, invert = false)).get) <= 1,
+      "exposure shift must touch at most the DC bit")
+    // resolution invariance through the 32x32 pool
+    assert(ham(h0, Multimodal.pHash64(pattern(128, 128, 0, invert = false)).get) <= 6,
+      "re-scale must stay within a few bits")
+    // structurally different content is far
+    assert(ham(h0, Multimodal.pHash64(pattern(64, 64, 0, invert = true)).get) >= 20,
+      "inverted structure must be far in hamming space")
+    assert(Multimodal.pHash64("not an image".getBytes("UTF-8")).isEmpty)
+    // the pair machinery runs the DCT path end-to-end: the exposure-
+    // shifted copy pairs with its original, the inverted one doesn't
+    def mr(id: Long, p: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", p, Multimodal.MediaMeta("x", 0, 0, 0L))
+    val ds = spark.createDataset(Seq(
+      mr(1, base), mr(2, pattern(64, 64, 25, invert = false)),
+      mr(3, pattern(64, 64, 0, invert = true))))
+    val pairs = Multimodal.mediaDupPairs(ds, maxHamming = 6, method = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageHashes(ds, method = "dhash")
+    }
+  }
+
   test("partition sizing bounds per-partition payload bytes") {
     val sized = Multimodal.sizePartitions(media, targetBytes = 4096)
     assert(sized.rdd.getNumPartitions > 1)
