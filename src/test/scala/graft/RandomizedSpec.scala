@@ -806,6 +806,38 @@ class RandomizedSpec extends SparkSpec {
       "replays must not duplicate rows")
   }
 
+  test("content-defined chunking: random edits invalidate at most 3 chunks each") {
+    val rnd = new Random(2025)
+    def chunkBag(text: String): Map[String, Int] =
+      graft.ops.TextAnalysis.cdcChunk(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          k = 8, modulus = 16)
+        .select("chunk_md5").as[String].collect()
+        .groupBy(identity).view.mapValues(_.size).toMap
+    for (round <- 1 to rounds) {
+      val base = (0 until 300).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+      val nEdits = 1 + rnd.nextInt(3)
+      var edited = base
+      for (_ <- 1 to nEdits) {
+        val pos = 1 + rnd.nextInt(edited.length - 3)
+        edited =
+          if (rnd.nextBoolean())
+            edited.substring(0, pos) + "zq" + edited.substring(pos)
+          else edited.substring(0, pos) + edited.substring(pos + 2)
+      }
+      val cb = chunkBag(base)
+      val ce = chunkBag(edited)
+      val shared = cb.map { case (h, n) => math.min(n, ce.getOrElse(h, 0)) }.sum
+      val total = cb.values.sum
+      // each contiguous edit can invalidate the chunk it lands in plus
+      // at most its two neighbors (a boundary gram within k-1 chars);
+      // everything else must survive byte-identical
+      assert(shared >= total - 3 * nEdits,
+        s"round $round: $shared of $total survive after $nEdits edits")
+      assert(total > 10, s"round $round: fixture too short to mean anything")
+    }
+  }
+
   test("interval merge equals a sweep-line reference on random overlap shapes") {
     val rnd = new Random(4242)
     for (round <- 1 to rounds) {
