@@ -117,10 +117,16 @@ object FreshnessStream {
         expr(s"stale_ms div ${stepSeconds * 1000L}"))
       .withColumn("value_stale_ms",
         col("__clock_ms") - expr("unix_millis(obs.ts)"))
+      // a key with NO timestamped row ever (all-null ts) has null
+      // staleness: it carries no transport evidence, so it is neither
+      // stale nor retirable — coalesce keeps it visible and in state
+      // (a null `retired` would silently fail the =0 state filter and
+      // drop the key)
       .withColumn("stale",
-        (col("buckets_missed") >= maxMissedBuckets).cast("int"))
+        coalesce((col("buckets_missed") >= maxMissedBuckets).cast("int"),
+          lit(0)))
       .withColumn("retired", retireAfterBuckets
-        .map(r => (col("buckets_missed") > r).cast("int"))
+        .map(r => coalesce((col("buckets_missed") > r).cast("int"), lit(0)))
         .getOrElse(lit(0)))
     val report = scored.select(k, col("batch_rows"), col("rows_seen"),
       col("last_ts"), col("stale_ms"), col("buckets_missed"),

@@ -1216,6 +1216,33 @@ class StreamingSpec extends SparkSpec {
       "the cross-trigger copy must drop through the file feed too")
   }
 
+  test("freshness monitor: a never-timestamped key is visible, unstale, and never retired") {
+    import graft.streaming.FreshnessStream
+    val out = tmp(); val st = tmp()
+    def nullTsBatch(k: String, v: Double) =
+      Seq((k, null.asInstanceOf[String], Some(v)))
+        .toDF("k", "s", "value")
+        .select($"k", $"s".cast("timestamp").as("ts"), $"value")
+    // key `ghost` only ever sends null-ts rows; key `a` drives the clock
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 10:00:00", Some(1.0))))
+        .unionByName(nullTsBatch("ghost", 7.0)),
+      0L, out, st, "k", "ts", "value", retireAfterBuckets = Some(2L))
+    FreshnessStream.freshnessBatch(spark,
+      freshRows(Seq(("a", "2024-01-01 15:00:00", Some(2.0)))),
+      1L, out, st, "k", "ts", "value", retireAfterBuckets = Some(2L))
+    val r = spark.read.parquet(s"$out/batch=1")
+      .select("k", "rows_seen", "stale", "retired")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // no transport evidence => neither stale nor retirable: the key
+    // must stay visible (a null retired would silently drop it)
+    assert(r.contains("ghost"), "never-timestamped key must keep reporting")
+    assert(r("ghost").getLong(1) == 1L)
+    assert(r("ghost").getInt(2) == 0 && r("ghost").getInt(3) == 0)
+    assert(spark.read.parquet(s"$st/batch=1")
+      .select("k").as[String].collect().contains("ghost"))
+  }
+
   test("freshness stream end-to-end over a file feed") {
     import graft.streaming.FreshnessStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
