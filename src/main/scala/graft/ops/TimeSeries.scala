@@ -90,7 +90,10 @@ object TimeSeries {
   def mergeIntervals(df: DataFrame, keyCol: String,
                      startCol: String, endCol: String): DataFrame = {
     val iv = df.select(col(keyCol).as("k"),
-      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      // an unbounded interval has no merge semantics; dropping beats
+      // letting nulls sort to an arbitrary island
+      .filter(col("s").isNotNull && col("e").isNotNull)
     val wPrev = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
@@ -146,9 +149,11 @@ object TimeSeries {
       .filter(col("is_conv") === 1)
       .withColumn("age_ms",
         expr("unix_millis(t)") - expr("unix_millis(touch_ts)"))
+      // coalesce: a null-ts touch or conversion yields null age, and
+      // a null flag would leak into the output instead of an honest 0
       .withColumn("has_touch",
-        (col("touch_id").isNotNull &&
-          col("age_ms") <= lookbackSeconds * 1000L).cast("int"))
+        coalesce((col("touch_id").isNotNull &&
+          col("age_ms") <= lookbackSeconds * 1000L).cast("int"), lit(0)))
       .select(col("id").as("conversion_id"), col("k").as(keyCol),
         col("t").as("conv_ts"), col("has_touch"),
         when(col("has_touch") === 1, col("touch_id"))
