@@ -645,6 +645,10 @@ object PipelineQueries {
     graft.ops.Profile.corrMatrix(Tables.lineitem(spark, sfDir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  def embQuantizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, sfDir),
+      "embedding", "vec_id")
+
   def profileEmbeddingsQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.embProfile(Tables.embeddings(spark, sfDir),
       "embedding", "vec_id", dim = 64)
@@ -1139,6 +1143,7 @@ object PipelineQueries {
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
     "profile_embeddings" -> profileEmbeddingsQ,
+    "emb_quantize" -> embQuantizeQ,
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
@@ -2143,6 +2148,19 @@ object PipelineQueries {
          |FROM sn JOIN mm USING (col_name) GROUP BY 1, 2""".stripMargin,
     "profile_corr" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "emb_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS v,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |          AS amax
+         |      FROM embeddings WHERE embedding IS NOT NULL),
+         |e AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS j, v, amax
+         |      FROM v)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |  CAST(CASE WHEN amax > 0
+         |       THEN round(CAST(v[CAST(j AS INT)] AS DOUBLE) * 127 / amax)
+         |       ELSE 0 END AS INT) AS code,
+         |  CAST(round(amax * 1e6) AS BIGINT) AS scale_micro
+         |FROM e""".stripMargin,
     "profile_embeddings" ->
       s"""WITH b AS (SELECT embedding AS v,
          |        (embedding IS NOT NULL AND len(embedding) = 64) AS ok

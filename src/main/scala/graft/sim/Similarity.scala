@@ -554,6 +554,33 @@ object Similarity {
       .select(col("id"), array(comps: _*).as("proj"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * storage/bandwidth form a 100 TB vector corpus actually ships
+    * (4× smaller than float32, SIMD-friendly dot products): per
+    * vector, scale = max|x| and code_j = round(x_j·127/scale) ∈
+    * [−127, 127], with the scale kept in micro-units for exact
+    * round-tripping of the dequant factor. Zero vectors quantize to
+    * all-zero codes with scale 0. Reconstruction error is bounded by
+    * scale/254 per component (spec-pinned).
+    *
+    * Engine-exact: one double multiply + divide per component in a
+    * fixed order, and `round` is half-away-from-zero on BOTH engines,
+    * so codes hash-gate; output explodes to (vec_id, j, code) scalars
+    * (the emb_project gate convention). Pure per-row arithmetic, zero
+    * shuffles — scan speed at any corpus size.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("amax",
+        expr("array_max(transform(v, x -> abs(cast(x as double))))"))
+      .withColumn("j", explode(expr("sequence(1, size(v))")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        when(col("amax") > 0,
+          expr("round(cast(element_at(v, j) as double) * 127 / amax)"))
+          .otherwise(lit(0)).cast("int").as("code"),
+        round(col("amax") * 1e6).cast("long").as("scale_micro"))
+
   /** Embedding-table health profile — the pre-ANN QA gate every
     * similarity deployment runs before trusting cosine arithmetic:
     * null vectors, wrong-width vectors and all-zero vectors (each of

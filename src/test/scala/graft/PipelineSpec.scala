@@ -1454,6 +1454,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: exact codes with half-away rounding, zero vector, reconstruction bound") {
+    val vecs = Seq(
+      (1L, Seq(1.0, -2.0, 0.5, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-0.3, 0.3, 0.1, -0.1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // amax 2: 1.0 -> 63.5 rounds AWAY to 64; -2 -> -127; 0.5 -> 32
+    assert(got((1L, 1L)) == ((64, 2000000L)))
+    assert(got((1L, 2L)) == ((-127, 2000000L)))
+    assert(got((1L, 3L)) == ((32, 2000000L)))
+    assert(got((1L, 4L)) == ((0, 2000000L)))
+    (1L to 4L).foreach(j => assert(got((2L, j)) == ((0, 0L)), "zero vector"))
+    // reconstruction bound: |code*scale/127 - x| <= scale/254
+    vecs.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        val (code, sm) = got((id, i + 1L))
+        val scale = sm / 1e6
+        assert(math.abs(code * scale / 127 - x) <= scale / 254 + 1e-9,
+          s"vec $id dim $i")
+      }
+    }
+    assert(Similarity.quantizeInt8(df.repartition(3), "embedding", "vec_id")
+      .as[(Long, Long, Int, Long)].collect().toSet ==
+      Similarity.quantizeInt8(df, "embedding", "vec_id")
+        .as[(Long, Long, Int, Long)].collect().toSet)
+  }
+
   test("embProfile: counts null/bad-dim/zero vectors, exact n2 percentiles and total") {
     val df = Seq(
       (1L, Some(Seq(1.0, 0.0, 0.0, 0.0))),  // n2 = 1e8
