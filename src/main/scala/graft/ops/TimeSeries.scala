@@ -68,6 +68,64 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Nearest-in-time join: each left event matched to the same key's
+    * CLOSEST right event in EITHER direction — the sensor-alignment /
+    * measurement-pairing join that as-of (backward-only) can't
+    * express. Two ordered passes over the union (a forward LOCF for
+    * the latest right at-or-before, a reversed one for the earliest
+    * right at-or-after — never a per-row range probe), then one
+    * comparison picks the closer side; exact |Δms| ties prefer the
+    * backward match (the as-of convention). Same-instant rights count
+    * for both directions with Δ = 0. Lefts with no right at all
+    * report −1 sentinels (the tuple-hash gate convention).
+    *
+    * Scale shape: ONE shuffle on the key, two windows over the same
+    * partitioning (Catalyst shares the exchange), per-row arithmetic
+    * after. The sessionize hot-key caveat applies.
+    */
+  def nearestJoin(df: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, idCol: String,
+                  leftType: String, rightType: String): DataFrame = {
+    val tagged = df
+      .filter(col(typeCol).isin(leftType, rightType))
+      .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
+        when(col(typeCol) === leftType, 1).otherwise(0).as("is_left"))
+      .withColumn("ms", expr("unix_millis(t)"))
+    // backward pass: rights sort before lefts at the same instant so
+    // a same-ts right is visible (Δ = 0); ties at one instant resolve
+    // to the highest right id
+    val wB = Window.partitionBy("k")
+      .orderBy(col("ms").asc, col("is_left").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward pass: scan from the future; rights at the same instant
+    // again come first, ties resolve to the lowest right id
+    val wF = Window.partitionBy("k")
+      .orderBy(col("ms").desc, col("is_left").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightAt = (w: org.apache.spark.sql.expressions.WindowSpec, c: Column) =>
+      last(when(col("is_left") === 0, c), ignoreNulls = true).over(w)
+    val scored = tagged
+      .withColumn("b_ms", rightAt(wB, col("ms")))
+      .withColumn("b_id", rightAt(wB, col("id")))
+      .withColumn("f_ms", rightAt(wF, col("ms")))
+      .withColumn("f_id", rightAt(wF, col("id")))
+      .filter(col("is_left") === 1)
+      .withColumn("db", col("ms") - col("b_ms"))   // >= 0
+      .withColumn("df", col("ms") - col("f_ms"))   // <= 0
+      .withColumn("pick_b",
+        col("b_id").isNotNull &&
+          (col("f_id").isNull || col("db") <= -col("df")))
+    scored.select(col("id").as("left_id"), col("k").as(keyCol),
+      col("t").as("left_ts"),
+      coalesce((col("b_id").isNotNull || col("f_id").isNotNull).cast("int"),
+        lit(0)).as("has_nearest"),
+      when(col("pick_b"), col("b_id"))
+        .otherwise(coalesce(col("f_id"), lit(-1L))).as("nearest_id"),
+      when(col("pick_b"), col("db"))
+        .otherwise(when(col("f_id").isNotNull, col("df")).otherwise(lit(-1L)))
+        .as("delta_ms"))
+  }
+
   /** Interval union per key (the gaps-and-islands problem): merge
     * overlapping-or-touching [start, end) intervals into maximal
     * islands — the coverage question behind uptime/downtime math,

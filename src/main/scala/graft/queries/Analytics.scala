@@ -534,7 +534,16 @@ object Analytics {
         max(col("island_end") - col("island_start")).as("max_island_ms"),
         sum(col("n_intervals")).as("n_events"))
 
+  /** Each click matched to the user's closest purchase in either
+    * direction (ties prefer the backward/as-of match).
+    */
+  def qNearestJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.nearestJoin(Tables.events(spark, sfDir),
+      "user_id", "ts", "event_type", "event_id",
+      leftType = "click", rightType = "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
     "q_gap_fill" -> qGapFill,
@@ -719,6 +728,37 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_nearest_join" ->
+      """WITH e AS (SELECT user_id AS k, ts AS t, epoch_ms(ts) AS ms,
+        |        event_id AS id,
+        |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left
+        |      FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT k, t, ms, id, is_left,
+        |  last_value(CASE WHEN is_left = 0 THEN ms END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY ms, is_left, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ms,
+        |  last_value(CASE WHEN is_left = 0 THEN id END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY ms, is_left, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id,
+        |  last_value(CASE WHEN is_left = 0 THEN ms END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY ms DESC, is_left, id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_ms,
+        |  last_value(CASE WHEN is_left = 0 THEN id END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY ms DESC, is_left, id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_id
+        |  FROM e),
+        |c AS (SELECT k, t, id, b_id, f_id,
+        |        ms - b_ms AS db, ms - f_ms AS df,
+        |        (b_id IS NOT NULL AND (f_id IS NULL OR ms - b_ms <= -(ms - f_ms)))
+        |          AS pick_b
+        |      FROM w WHERE is_left = 1)
+        |SELECT id AS left_id, k AS user_id, t AS left_ts,
+        |  CASE WHEN b_id IS NOT NULL OR f_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS has_nearest,
+        |  CASE WHEN pick_b THEN b_id ELSE coalesce(f_id, -1) END AS nearest_id,
+        |  CASE WHEN pick_b THEN db
+        |       WHEN f_id IS NOT NULL THEN df ELSE -1 END AS delta_ms
+        |FROM c""".stripMargin,
     "q_gaps_islands" ->
       """WITH iv AS (SELECT user_id AS k, epoch_ms(ts) AS s,
         |        epoch_ms(ts) + 1800000 AS e FROM events),

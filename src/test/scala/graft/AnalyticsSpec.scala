@@ -95,6 +95,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("nearestJoin: closer side wins, exact ties prefer backward, sentinels without rights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 100L, "purchase", "2024-01-01 10:00:00"),
+      (1L, 10L, "click", "2024-01-01 10:30:00"),  // back 30 m vs fwd 10 m
+      (1L, 101L, "purchase", "2024-01-01 10:40:00"),
+      (1L, 11L, "click", "2024-01-01 10:05:00"),  // back 5 m vs fwd 35 m
+      (2L, 200L, "purchase", "2024-01-01 09:00:00"),
+      (2L, 20L, "click", "2024-01-01 09:10:00"),  // exact 10 m tie both ways
+      (2L, 201L, "purchase", "2024-01-01 09:20:00"),
+      (3L, 250L, "purchase", "2024-01-01 08:00:00"),
+      (3L, 30L, "click", "2024-01-01 08:00:00"),  // same instant
+      (4L, 40L, "click", "2024-01-01 07:00:00"),  // no purchase at all
+      (1L, 900L, "error", "2024-01-01 10:31:00")  // other types ignored
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .select($"user_id", $"event_id", $"event_type",
+        $"s".cast("timestamp").as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.nearestJoin(d, "user_id", "ts", "event_type",
+          "event_id", "click", "purchase")
+        .select("left_id", "has_nearest", "nearest_id", "delta_ms")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val got = run(ev)
+    assert(got == Set(
+      (10L, 1, 101L, -600000L),  // forward is closer
+      (11L, 1, 100L, 300000L),   // backward is closer
+      (20L, 1, 200L, 600000L),   // exact tie -> backward (as-of convention)
+      (30L, 1, 250L, 0L),        // same instant counts, delta 0
+      (40L, 0, -1L, -1L)))       // no right: sentinels
+    assert(run(ev.repartition(5)) == got)
+  }
+
   test("mergeIntervals: overlaps merge, touching intervals merge, gaps split, exact coverage") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
