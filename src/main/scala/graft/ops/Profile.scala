@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-distribution profiling — the diagnostic pass a 100 TB job
@@ -109,11 +110,16 @@ object Profile {
     * absolute deviation have a 50% breakdown point, so a batch that is
     * 20% garbage still gets scored against the clean majority.
     *
-    * Determinism: values quantize to integer cents, medians are exact
-    * interpolated percentiles over those integers with the SAME linear
-    * definition on both engines ((n−1)·p position), and both median
-    * and MAD round to 1e-6 before entering the score — quality_band's
-    * engine-stability convention; the score itself is then one fixed
+    * Determinism: values quantize to integer cents, and the medians
+    * are interpolated percentiles over those integers AT p = 0.5 —
+    * which is ulp-exact cross-engine, unlike general interpolated
+    * percentiles (the round-8 profile_embeddings failure class):
+    * the position fraction (n−1)·0.5 is exactly 0 or ½, so
+    * lo + (hi−lo)·frac over longs < 2⁵³ involves only exact IEEE ops
+    * (a halving is a power-of-two scale), and the result is exactly
+    * k or k+0.5 — on which round(·, 6) is the identity. This
+    * exactness argument holds ONLY at p = 0.5 over integer inputs;
+    * never copy this shape for other p. The score is then one fixed
     * chain of correctly-rounded IEEE ops. Zero-MAD groups (> 50%
     * identical values) are excluded exactly, like the zero-variance
     * guard.
@@ -337,11 +343,19 @@ object Profile {
     * stratified-sampling predicate (portable hash threshold on a row
     * key), so it fuses into the scan, reproduces across
     * runs/engines/partitionings — the quantile estimates themselves
-    * cross-engine gate — and the percentile runs on ~rate·|rows|
+    * cross-engine gate — and the quantile pass runs on ~rate·|rows|
     * values. Quantile error is distributional
-    * (O(1/sqrt(rate·n)) in rank), the classic sampled-quantile
-    * trade; exact `percentile`/1e-6 rounding is the quality_band
-    * engine-agreement convention.
+    * (O(1/sqrt(rate·n)) in rank), the classic sampled-quantile trade.
+    *
+    * Output contract (round 9): p50/p90/p99 are the LOWER exact
+    * quantiles of the sample — the value at 0-based rank
+    * floor(p·(m−1)), an ACTUAL sampled double carried through
+    * untouched, bit-exact on both engines. (The round-8 form —
+    * interpolated `percentile` under round(·, 6) — is the cross-build
+    * ulp-drift class that hash-FAILED profile_embeddings.) Rank
+    * thresholds are pure integer division. The quantile pass is a
+    * per-(col, value) count aggregate + one per-col ordered cumulative
+    * pass over distinct values — no full-group sort buffer.
     */
   def quantileSketch(df: DataFrame, keyCol: Column, cols: Seq[String],
                      ratePpm: Long): DataFrame = {
@@ -351,13 +365,22 @@ object Profile {
     val keep = pmod(graft.util.Hashing.portableHash64(
       concat(lit("qsk:"), keyCol.cast("string"))), lit(1000000L)) < ratePpm
     val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
-    df.filter(keep)
+    val sample = df.filter(keep)
       .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
       .filter(col("val").isNotNull)
+    val counts = sample.groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+    val totals = sample.groupBy("col_name").agg(count(lit(1)).as("n_sample"))
+    val wCum = Window.partitionBy("col_name").orderBy(col("val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(totals), Seq("col_name"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
       .groupBy("col_name")
-      .agg(count(lit(1)).as("n_sample"),
-        round(expr("percentile(val, 0.5)"), 6).as("p50"),
-        round(expr("percentile(val, 0.9)"), 6).as("p90"),
-        round(expr("percentile(val, 0.99)"), 6).as("p99"))
+      .agg(max(col("n_sample")).as("n_sample"),
+        min(when(col("cum") >= expr("(n_sample - 1) div 2 + 1"), col("val")))
+          .as("p50"),
+        min(when(col("cum") >= expr("((n_sample - 1) * 9) div 10 + 1"), col("val")))
+          .as("p90"),
+        min(when(col("cum") >= expr("((n_sample - 1) * 99) div 100 + 1"), col("val")))
+          .as("p99"))
   }
 }

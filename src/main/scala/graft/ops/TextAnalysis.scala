@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-training-data pipelines: language
@@ -223,11 +224,25 @@ object TextAnalysis {
   /** Quality-band filter: keep documents whose score sits inside the
     * [pLo, pHi] percentile band OF THEIR OWN STRATUM (language/source)
     * — the standard trim that drops outliers per stratum instead of
-    * letting one language's distribution set a global cutoff. The
-    * band table is |strata| rows (exact interpolated percentiles,
-    * partial-aggregated) and broadcasts back onto the scan; the big
-    * side never shuffles. Scores and thresholds compare rounded to
-    * 1e-6 so the keep decision is engine-stable at band edges.
+    * letting one language's distribution set a global cutoff.
+    *
+    * Integer-exact output contract (round 9): the score is mean token
+    * length in MICRO units — (chars · 10⁶) div words, pure integer
+    * division — and the band edges are the LOWER exact quantiles of
+    * that long (the score at 0-based rank floor(p·(n−1)) of the
+    * stratum's ascending order, an actual sampled value). The round-8
+    * form (interpolated `percentile` doubles compared under
+    * round(·, 6)) is the fragility class that hash-FAILED
+    * profile_embeddings on the driver: cross-build ulp drift in the
+    * interpolation. A sampled long compared with long `>=` cannot
+    * drift. The only float op left is floor(p·(n−1)) — ONE IEEE
+    * multiply, identical on both engines.
+    *
+    * Scale shape: band edges come from a per-(stratum, score) count
+    * aggregate (partial, |strata|·|distinct scores| rows) plus one
+    * per-stratum ordered cumulative pass over those counts — never a
+    * full-group sort buffer — and the |strata|-row band table
+    * broadcasts back onto the scan; the big side never shuffles.
     */
   def qualityBand(df: DataFrame, textCol: String, idCol: String,
                   stratumCol: String, pLo: Double = 0.1,
@@ -236,16 +251,29 @@ object TextAnalysis {
     // id travels under a reserved alias and leaves under the CALLER'S
     // idCol name — a custom idCol must survive the round-trip (the
     // pipeline runner joins the output back on idCol)
-    val scored = df.select(col(idCol).as("__qb_id"), col(stratumCol).as("stratum"),
-      (length(regexp_replace(n, " ", "")).cast("double") /
-        size(split(n, " "))).as("score"))
-    val bands = scored.groupBy("stratum").agg(
-      expr(s"percentile(score, $pLo)").as("lo"),
-      expr(s"percentile(score, $pHi)").as("hi"))
+    val scored = df.select(col(idCol).as("__qb_id"),
+        col(stratumCol).as("stratum"),
+        (length(regexp_replace(n, " ", "")).cast("long") * 1000000L)
+          .as("__chars_m"),
+        size(split(n, " ")).cast("long").as("__nw"))
+      .select(col("__qb_id"), col("stratum"),
+        expr("__chars_m div __nw").as("score_micro"))
+    val counts = scored.groupBy("stratum", "score_micro")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = scored.groupBy("stratum").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("stratum").orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bands = counts.join(totals, Seq("stratum"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .groupBy("stratum")
+      .agg(
+        min(when(col("cum") >= floor(lit(pLo) * (col("n") - 1)) + 1,
+          col("score_micro"))).as("lo"),
+        min(when(col("cum") >= floor(lit(pHi) * (col("n") - 1)) + 1,
+          col("score_micro"))).as("hi"))
     scored.join(broadcast(bands), Seq("stratum"))
-      .filter(round(col("score"), 6) >= round(col("lo"), 6) &&
-        round(col("score"), 6) <= round(col("hi"), 6))
-      .select(col("__qb_id").as(idCol), col("stratum"), round(col("score"), 6).as("score"))
+      .filter(col("score_micro") >= col("lo") && col("score_micro") <= col("hi"))
+      .select(col("__qb_id").as(idCol), col("stratum"), col("score_micro"))
   }
 
   /** Bigram-LM quality score: mean ln P(wᵢ | wᵢ₋₁) over each doc's

@@ -40,8 +40,14 @@ object TimeSeries {
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
               valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    // a null-ts observation has no place on a time grid — and Spark
+    // sorts nulls FIRST ascending, so without this filter its value
+    // would seed LOCF before the key's first real event (and DuckDB,
+    // nulls-last, would disagree); FreshnessStream's explicit null-ts
+    // convention, applied batch-side
     val ev = df.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(valueCol).as("v"))
+      .filter(col("t").isNotNull)
     val vType = ev.schema("v").dataType
     val bucket = (c: String) =>
       expr(s"timestamp_seconds(unix_timestamp($c) div $stepSeconds * $stepSeconds)")
@@ -87,7 +93,10 @@ object TimeSeries {
                   typeCol: String, idCol: String,
                   leftType: String, rightType: String): DataFrame = {
     val tagged = df
-      .filter(col(typeCol).isin(leftType, rightType))
+      // null-ts rows have no position on the time axis: Spark sorts
+      // nulls first ascending (DuckDB last), so an unfiltered null-ts
+      // right would diverge between engines — drop them like gapFill
+      .filter(col(typeCol).isin(leftType, rightType) && col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
         when(col(typeCol) === leftType, 1).otherwise(0).as("is_left"))
       .withColumn("ms", expr("unix_millis(t)"))
@@ -193,7 +202,9 @@ object TimeSeries {
                 lookbackSeconds: Long): DataFrame = {
     require(lookbackSeconds > 0, "lookbackSeconds must be positive")
     val tagged = df
-      .filter(col(typeCol).isin(touchType, convType))
+      // null-ts rows are unplaceable on the axis (see nearestJoin) —
+      // a null-ts touch must never win an attribution
+      .filter(col(typeCol).isin(touchType, convType) && col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
         when(col(typeCol) === convType, 1).otherwise(0).as("is_conv"))
     val w = Window.partitionBy("k")

@@ -120,21 +120,39 @@ object Analytics {
         $"n_orders", $"sum_price")
   }
 
-  /** Exact interpolated quantiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`; both sort the group and interpolate at
-    * p·(n−1)). Exact percentile buffers each group — right for grouped
-    * medians at bounded group counts; at 100 TB unbounded-cardinality
-    * use approx_percentile (t-digest, mergeable) instead.
+  /** Exact LOWER quantiles per group: the price at 0-based rank
+    * floor(p·(n−1)) of the group's ascending order — an actual sampled
+    * double, carried through untouched, so the output is bit-exact on
+    * both engines (the round-9 output contract: interpolated
+    * `percentile`/`quantile_cont` doubles drift by ulps across engine
+    * builds — the class that hash-FAILED profile_embeddings in round
+    * 8; a sampled value cannot). Rank thresholds are pure integer
+    * division (p·(n−1) at p = k/4 is (n−1)·k div 4).
+    *
+    * Scale shape: a per-(group, value) count aggregate (partial) plus
+    * ONE per-group ordered cumulative pass over the distinct values —
+    * no full-group sort buffer, unlike Spark's `percentile`, which
+    * collects each group; this plan also survives unbounded group
+    * sizes (the window is over distinct values). At extreme distinct
+    * counts use approx_percentile (t-digest, mergeable) instead.
     */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, sfDir)
-      .groupBy($"o_orderpriority")
+    val pr = Tables.orders(spark, sfDir)
+      .select($"o_orderpriority".as("g"), $"o_totalprice".as("v"))
+    val counts = pr.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val totals = pr.groupBy("g").agg(count(lit(1)).as("n_orders"))
+    val wCum = Window.partitionBy("g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(totals), Seq("g"))
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .groupBy($"g")
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        count(lit(1)).as("n_orders"))
+        min(when($"cum" >= expr("(n_orders - 1) div 4 + 1"), $"v")).as("p25"),
+        min(when($"cum" >= expr("(n_orders - 1) div 2 + 1"), $"v")).as("p50"),
+        min(when($"cum" >= expr("((n_orders - 1) * 3) div 4 + 1"), $"v")).as("p75"),
+        max($"n_orders").as("n_orders"))
+      .withColumnRenamed("g", "o_orderpriority")
   }
 
   /** Top-3 orders by total price within each order priority. */
@@ -689,12 +707,19 @@ object Analytics {
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q_percentiles" ->
-      """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-        |  count(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+      """WITH pr AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_orders FROM pr GROUP BY 1),
+        |w AS (SELECT c.g, v,
+        |        CAST(sum(cnt) OVER (PARTITION BY c.g ORDER BY v) AS BIGINT) AS cum,
+        |        n.n_orders
+        |      FROM c JOIN n ON c.g = n.g)
+        |SELECT g AS o_orderpriority,
+        |  min(CASE WHEN cum >= (n_orders - 1) // 4 + 1 THEN v END) AS p25,
+        |  min(CASE WHEN cum >= (n_orders - 1) // 2 + 1 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= ((n_orders - 1) * 3) // 4 + 1 THEN v END) AS p75,
+        |  max(n_orders) AS n_orders
+        |FROM w GROUP BY 1""".stripMargin,
     "q3_join_agg" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

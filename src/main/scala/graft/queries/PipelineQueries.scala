@@ -1423,15 +1423,25 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "text_quality_band" ->
       s"""WITH s AS (SELECT doc_id, lang,
-         |        CAST(len(replace(nt, ' ', '')) AS DOUBLE)
-         |          / len(string_split(nt, ' ')) AS score
+         |        (CAST(len(replace(nt, ' ', '')) AS BIGINT) * 1000000)
+         |          // len(string_split(nt, ' ')) AS score_micro
          |      FROM (SELECT doc_id, lang, $norm AS nt FROM documents)),
-         |b AS (SELECT lang, quantile_cont(score, 0.1) AS lo,
-         |             quantile_cont(score, 0.9) AS hi
-         |      FROM s GROUP BY 1)
-         |SELECT doc_id, lang, round(score, 6) AS score
+         |c AS (SELECT lang, score_micro, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM s GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+         |w AS (SELECT c.lang, score_micro,
+         |        CAST(sum(cnt) OVER (PARTITION BY c.lang ORDER BY score_micro)
+         |          AS BIGINT) AS cum, n.n
+         |      FROM c JOIN n ON c.lang = n.lang),
+         |b AS (SELECT lang,
+         |        min(CASE WHEN cum >= CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1
+         |            THEN score_micro END) AS lo,
+         |        min(CASE WHEN cum >= CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+         |            THEN score_micro END) AS hi
+         |      FROM w GROUP BY 1)
+         |SELECT doc_id, lang, score_micro
          |FROM s JOIN b USING (lang)
-         |WHERE round(score, 6) >= round(lo, 6) AND round(score, 6) <= round(hi, 6)""".stripMargin,
+         |WHERE score_micro >= lo AND score_micro <= hi""".stripMargin,
     "text_bigram_logprob" ->
       s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
          |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),
@@ -2170,16 +2180,27 @@ object PipelineQueries {
          |      FROM b),
          |n AS (SELECT v, ok, CASE WHEN ok
          |        THEN list_sum(list_transform(qv, x -> x * x)) END AS n2
-         |      FROM q)
-         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |      FROM q),
+         |c AS (SELECT n2, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM n WHERE n2 IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM c),
+         |w AS (SELECT n2, CAST(sum(cnt) OVER (ORDER BY n2) AS BIGINT) AS cum, m
+         |      FROM c, t),
+         |qs AS (SELECT
+         |    CAST(min(CASE WHEN cum >= (m - 1) // 2 + 1 THEN n2 END)
+         |      AS BIGINT) AS n2_p50,
+         |    CAST(min(CASE WHEN cum >= ((m - 1) * 19) // 20 + 1 THEN n2 END)
+         |      AS BIGINT) AS n2_p95
+         |  FROM w),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_bad_dim,
          |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-         |  round(quantile_cont(n2, 0.5), 4) AS n2_p50,
-         |  round(quantile_cont(n2, 0.95), 4) AS n2_p95,
          |  CAST(sum(n2) AS DECIMAL(38,0)) AS sum_n2
-         |FROM n""".stripMargin,
+         |FROM n)
+         |SELECT s.n_vecs, s.n_null, s.n_bad_dim, s.n_zero,
+         |  qs.n2_p50, qs.n2_p95, s.sum_n2 FROM s, qs""".stripMargin,
     "text_winnow" ->
       s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
          |g AS (SELECT doc_id, nt FROM d WHERE len(nt) >= 11),
@@ -2298,8 +2319,10 @@ object PipelineQueries {
          |UNION ALL
          |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
          |FROM d WHERE len(cs) = 0""".stripMargin,
-    // percentile (Spark, exact interpolated) vs quantile_cont (DuckDB)
-    // at 1e-6 rounding is the quality_band engine-agreement convention
+    // p50/p90/p99 are the LOWER exact quantiles of the sample — actual
+    // sampled doubles at rank floor(p·(m−1)), bit-exact cross-engine
+    // (the round-9 contract; interpolated quantile_cont drifted by
+    // ulps across builds)
     "profile_quantiles_sketch" ->
       s"""WITH s AS (SELECT * FROM lineitem
          |  WHERE ${h64("'qsk:' || (l_orderkey * 10 + l_linenumber)::VARCHAR")}
@@ -2307,12 +2330,21 @@ object PipelineQueries {
          |u AS (SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS val FROM s
          |      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM s
          |      UNION ALL SELECT 'l_discount', l_discount FROM s
-         |      UNION ALL SELECT 'l_tax', l_tax FROM s)
-         |SELECT col_name, CAST(count(*) AS BIGINT) AS n_sample,
-         |  round(quantile_cont(val, 0.5), 6) AS p50,
-         |  round(quantile_cont(val, 0.9), 6) AS p90,
-         |  round(quantile_cont(val, 0.99), 6) AS p99
-         |FROM u WHERE val IS NOT NULL GROUP BY 1""".stripMargin,
+         |      UNION ALL SELECT 'l_tax', l_tax FROM s),
+         |uv AS (SELECT col_name, val FROM u WHERE val IS NOT NULL),
+         |c AS (SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM uv GROUP BY 1, 2),
+         |n AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_sample
+         |      FROM uv GROUP BY 1),
+         |w AS (SELECT c.col_name, val,
+         |        CAST(sum(cnt) OVER (PARTITION BY c.col_name ORDER BY val)
+         |          AS BIGINT) AS cum, n.n_sample
+         |      FROM c JOIN n ON c.col_name = n.col_name)
+         |SELECT col_name, max(n_sample) AS n_sample,
+         |  min(CASE WHEN cum >= (n_sample - 1) // 2 + 1 THEN val END) AS p50,
+         |  min(CASE WHEN cum >= ((n_sample - 1) * 9) // 10 + 1 THEN val END) AS p90,
+         |  min(CASE WHEN cum >= ((n_sample - 1) * 99) // 100 + 1 THEN val END) AS p99
+         |FROM w GROUP BY 1""".stripMargin,
     // the oracle replays the DIRECT bottom-k window; the Spark side's
     // salted two-stage k-min equals it by construction (every global
     // bottom-k hash ranks <= k within its own salt partition)

@@ -592,11 +592,22 @@ object Similarity {
     * re-cluster before reusing centroids/codebooks.
     *
     * Exactness: n2 is the exact integer Σ(floor(x·10⁴))²; counts are
-    * longs; the percentiles are the exact interpolated form
-    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles
-    * precedent) rounded to 4; the total accumulates as decimal(38,0)
-    * (DuckDB HUGEINT). One map-side-combined aggregate, one row out —
-    * scan-bound at any corpus size.
+    * longs; the percentiles are the LOWER exact quantiles — the n2
+    * value at 0-based rank floor(p·(m−1)) of the ascending non-null
+    * order, i.e. an actual sampled long, computed with integer
+    * arithmetic end-to-end (rank thresholds via `div`, never a
+    * double). Interpolated percentiles (round 8) hash-FAILED the
+    * driver's gate: Spark `percentile` and DuckDB `quantile_cont`
+    * interpolate in different ulp paths across builds, and
+    * round(double, k) is not a stable output contract. A sampled long
+    * is. The total accumulates as decimal(38,0) (DuckDB HUGEINT).
+    *
+    * Scale shape: one map-side-combined stats aggregate, plus the
+    * exact-quantile side plan — a per-value count aggregate (partial,
+    * |distinct n2| rows) and ONE ordered cumulative pass over those
+    * distinct values. The global-order window is over value counts,
+    * not rows, so it stays small; at extreme distinct-value counts the
+    * sketch path (profile_quantiles_sketch) is the alternative.
     */
   def embProfile(df: DataFrame, vecCol: String, idCol: String,
                  dim: Int): DataFrame = {
@@ -604,14 +615,30 @@ object Similarity {
       .withColumn("ok", col("v").isNotNull && size(col("v")) === dim)
       .withColumn("qv", when(col("ok"), quantize(col("v"))))
       .withColumn("n2", when(col("ok"), qdot(col("qv"), col("qv"), Some(dim))))
-    base.agg(
+    val stats = base.agg(
       count(lit(1)).as("n_vecs"),
       sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
       sum(when(col("v").isNotNull && size(col("v")) =!= dim, 1L)
         .otherwise(0L)).as("n_bad_dim"),
       sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
-      round(expr("percentile(n2, 0.5)"), 4).as("n2_p50"),
-      round(expr("percentile(n2, 0.95)"), 4).as("n2_p95"),
       sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+    val counts = base.filter(col("n2").isNotNull)
+      .groupBy("n2").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("m"))
+    val wCum = Window.orderBy(col("n2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rank k is covered once the cumulative count reaches k+1; the
+    // smallest such n2 is the quantile. p95 threshold 19/20 in exact
+    // integer division — no float ever touches the rank math.
+    val qs = counts.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .agg(
+        min(when(col("cum") >= expr("(m - 1) div 2 + 1"), col("n2")))
+          .as("n2_p50"),
+        min(when(col("cum") >= expr("((m - 1) * 19) div 20 + 1"), col("n2")))
+          .as("n2_p95"))
+    stats.crossJoin(qs)
+      .select(col("n_vecs"), col("n_null"), col("n_bad_dim"), col("n_zero"),
+        col("n2_p50"), col("n2_p95"), col("sum_n2"))
   }
 }

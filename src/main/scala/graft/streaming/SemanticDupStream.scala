@@ -41,6 +41,11 @@ import graft.sim.Similarity
   * dot products every ANN op in graft.sim uses (codegen'd graft_dot
   * when registered); cell argmax is total-ordered by (cosine desc,
   * cid asc) with the −2.0 zero-norm sentinel, so ties can't flap.
+  * Zero-norm vectors (no cosine) dedup by EXACT CODE equality: a
+  * zero norm forces an all-zero quantized code, so all such vectors
+  * are mutual exact duplicates and land in one cell — the first is
+  * admitted, the rest drop (a mixed zero/non-zero pair is never a
+  * dup: cosine is undefined and the codes differ).
   */
 object SemanticDupStream {
 
@@ -105,11 +110,20 @@ object SemanticDupStream {
           .join(broadcast(newSide), Seq("cid")))
       case None => candBatch
     }
+    // zero-norm vectors have no cosine, but their quantized codes are
+    // ALL-ZERO by construction (n2 = Σqv² = 0 ⟺ qv ≡ 0) — i.e. every
+    // zero-norm vector is an exact code duplicate of every other, and
+    // they all argmax into the same cell (−2.0 sentinel ties resolve
+    // to the lowest cid). Admit the first, drop the rest by exact
+    // code equality — without this branch the zero-norm feed was an
+    // unbounded always-admitted duplicate path (round-8 advice).
     val dupIds = cands
-      .filter(col("n_a") > 0 && col("n_b") > 0)
-      .filter(Similarity.qdot(col("qv_a"), col("qv_b"), dim).cast("double") /
-        (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))
-        >= threshold)
+      .filter(
+        (col("n_a") === 0 && col("n_b") === 0) ||
+        (col("n_a") > 0 && col("n_b") > 0 &&
+          Similarity.qdot(col("qv_a"), col("qv_b"), dim).cast("double") /
+            (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))
+          >= threshold))
       .select(col("id_new").as("__dup_id")).distinct()
 
     val admitted = batch

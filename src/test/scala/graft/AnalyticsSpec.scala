@@ -227,4 +227,43 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.toSeq == Seq((9.0, 2L)))
     }
   }
+
+  test("time-series ops drop null-timestamp rows: no LOCF seeding, no phantom matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a null-ts observation sorts FIRST in Spark ascending order — if
+    // admitted, its value would seed LOCF before the key's first real
+    // event (and DuckDB, nulls-last, would disagree). Round-9 contract:
+    // unplaceable rows are dropped everywhere on the time axis.
+    val obs = Seq(
+      (1L, Some("2024-01-01 01:00:00"), 5.0),
+      (1L, None, 99.0),                    // must not seed LOCF
+      (2L, None, 42.0)                     // a key with ONLY null ts vanishes
+    ).toDF("user_id", "s", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"value")
+    val gf = graft.ops.TimeSeries.gapFill(obs, "user_id", "ts", "value", 3600L)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getLong(3)))
+    assert(gf.toSeq == Seq((1L, Some(5.0), 1L)))
+
+    val ev = Seq(
+      (1L, 10L, "click", Some("2024-01-01 10:00:00")),
+      (1L, 100L, "purchase", None),        // unplaceable right: never matches
+      (1L, 11L, "click", None),            // unplaceable left: no output row
+      (2L, 20L, "purchase", None),
+      (2L, 21L, "click", Some("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .select($"user_id", $"event_id", $"event_type",
+        $"s".cast("timestamp").as("ts"))
+    val nj = graft.ops.TimeSeries.nearestJoin(ev, "user_id", "ts",
+        "event_type", "event_id", "click", "purchase")
+      .select("left_id", "has_nearest", "nearest_id", "delta_ms")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(nj == Set((10L, 0, -1L, -1L), (21L, 0, -1L, -1L)))
+
+    val lt = graft.ops.TimeSeries.lastTouch(ev, "user_id", "ts",
+        "event_type", "event_id", "click", "purchase", 6L * 3600L)
+      .select("conversion_id", "has_touch", "touch_id", "touch_age_ms")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(lt.isEmpty) // the only conversions are null-ts: dropped
+  }
 }

@@ -900,4 +900,52 @@ class RandomizedSpec extends SparkSpec {
       assert(got == want, s"round $round")
     }
   }
+
+  test("nearestJoin equals per-row scan reference incl. same-instant duplicate rights") {
+    val rnd = new Random(4242)
+    (1 to rounds).foreach { round =>
+      // a dense ts range (0..11 s) forces constant same-instant
+      // collisions — duplicate rights at one instant, rights AT a
+      // left's own instant, rights tied on |delta| both sides — the
+      // tie grid the two window orders must resolve deterministically:
+      // backward picks the HIGHEST right id at the max ts <= t,
+      // forward the LOWEST right id at the min ts >= t, and exact
+      // |delta| ties prefer backward (the as-of convention)
+      var id = 0L
+      val rows = Seq.fill(rnd.nextInt(120) + 30) {
+        id += 1
+        (rnd.nextInt(4).toLong, id, if (rnd.nextBoolean()) "L" else "R",
+          rnd.nextInt(12).toLong)
+      }
+      val df = rows.toDF("k", "event_id", "typ", "sec")
+        .select($"k", $"event_id", $"typ",
+          expr("timestamp_seconds(sec)").as("ts"))
+      val got = graft.ops.TimeSeries.nearestJoin(
+          df.repartition(1 + rnd.nextInt(5)), "k", "ts", "typ", "event_id",
+          "L", "R")
+        .select($"left_id", $"has_nearest", $"nearest_id", $"delta_ms")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val want = rows.filter(_._3 == "L").map { case (k, lid, _, ls) =>
+        val rights = rows.filter(r => r._1 == k && r._3 == "R")
+        val b = rights.filter(_._4 <= ls) match {
+          case Seq() => None
+          case cs => Some(cs.maxBy(r => (r._4, r._2)))
+        }
+        val f = rights.filter(_._4 >= ls) match {
+          case Seq() => None
+          case cs => Some(cs.minBy(r => (r._4, r._2)))
+        }
+        (b, f) match {
+          case (None, None)     => (lid, 0, -1L, -1L)
+          case (Some(bb), None) => (lid, 1, bb._2, (ls - bb._4) * 1000L)
+          case (None, Some(ff)) => (lid, 1, ff._2, (ls - ff._4) * 1000L)
+          case (Some(bb), Some(ff)) =>
+            val db = (ls - bb._4) * 1000L
+            val dfm = (ls - ff._4) * 1000L
+            if (db <= -dfm) (lid, 1, bb._2, db) else (lid, 1, ff._2, dfm)
+        }
+      }.toSet
+      assert(got == want, s"round $round")
+    }
+  }
 }

@@ -1193,6 +1193,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids(2L).isEmpty, "stored boundary vector rejects its same-cell copy")
   }
 
+  test("semantic dedup stream: zero-norm vectors dedup by exact code equality") {
+    import graft.streaming.SemanticDupStream
+    val out = tmp(); val st = tmp()
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+                    (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    def step(rows: Seq[(Long, Seq[Double])], id: Long) =
+      SemanticDupStream.semanticDupBatch(spark, rows.toDF("vec_id", "embedding"),
+        id, out, st, cents, "embedding", "vec_id", threshold = 0.95,
+        dim = Some(4), nStoreBuckets = 8)
+    def ids(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select("vec_id").as[Long].collect().toSet
+    // trigger 0: two all-zero vectors in one batch — a zero norm
+    // forces an all-zero quantized code, so they are exact code
+    // duplicates: the first admits, the second drops (pre-round-9
+    // both were admitted forever); a normal vector rides along
+    step(Seq(
+      1L -> Seq(0.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 0.0, 0.0, 0.0),
+      3L -> Seq(0.9, 0.1, 0.0, 0.0)), 0L)
+    assert(ids(0L) == Set(1L, 3L))
+    // trigger 1: the admitted zero vector rejects later ones via the
+    // store; sub-quantization-step vectors (|x| < 1e-4 floors to 0)
+    // are zero-CODE too and drop the same way; a normal vector near
+    // the zero boundary is NOT a code-dup of zero — it admits
+    step(Seq(
+      10L -> Seq(0.0, 0.0, 0.0, 0.0),      // store zero-dup: drops
+      11L -> Seq(5e-5, 0.0, 0.0, 0.0),     // quantizes to zero code: drops
+      12L -> Seq(0.1, 0.9, 0.0, 0.0)), 1L) // normal: admits
+    assert(ids(1L) == Set(12L))
+  }
+
   test("semantic dedup stream end-to-end over a file feed") {
     import graft.streaming.SemanticDupStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()

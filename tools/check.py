@@ -15,9 +15,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     # always a string: NaN/None floats break tuple sorting (nan is
     # neither < nor == anything), and a None among floats would make
-    # positions mixed-type — strings keep every position orderable
+    # positions mixed-type — strings keep every position orderable.
+    # Floats compare at FULL precision (the driver's gate hashes exact
+    # values — round(v, 6) here let a cross-engine ulp slip through in
+    # round 8); `+ 0.0` collapses -0.0 to 0.0 first so a signed zero
+    # isn't a false mismatch.
     if isinstance(v, float):
-        return "__nan__" if v != v else str(round(v, 6))
+        return "__nan__" if v != v else str(v + 0.0)
     if v is None:
         return "__none__"
     return str(v)
