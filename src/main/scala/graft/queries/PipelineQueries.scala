@@ -492,6 +492,42 @@ object PipelineQueries {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** WET-ingestion composition, end-to-end under the oracle gate:
+    * a deterministic `.wet.gz` fixture (payload bytes = the documents
+    * subset's texts, original ids in the Target-URI — see
+    * [[graft.sources.WetFixture]]) is parsed by the Warc source, then
+    * runs the curation chain — length floor, exact text dedup (min
+    * keeper id per md5), portable-hash shard assignment. The DuckDB
+    * oracle replays the chain straight from the documents table: if
+    * gzip framing, WARC header parsing, Content-Length payload
+    * slicing, or the UTF-8 byte round-trip bent a single byte, the
+    * md5 dedup groups and n_chars would split and the hash gate
+    * fails. This closes the one C-block seam (the crawl-source
+    * boundary) that had spec-only coverage.
+    *
+    * Scale shape: file-level parallel WET parse (the unsplittable-gzip
+    * contract), per-row stages, one partial-agg dedup groupBy. The
+    * fixture writer's driver-side collect is fixture AUTHORING, not
+    * part of the operator.
+    */
+  def pipelineWetQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.WetFixture.write(spark, sfDir)
+    val parsed = graft.sources.Warc.wet(spark, s"$dir/*.wet.gz")
+      .select(
+        expr("cast(regexp_extract(url, 'doc/([0-9]+)', 1) as bigint)")
+          .as("doc_id"),
+        col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    parsed.filter(col("n_chars") >= 50)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"), col("n_copies"), col("n_chars"),
+        pmod(graft.util.Hashing.portableHash64(
+          concat(lit("graft:shard:"), col("doc_id").cast("string"))), lit(8L))
+          .as("shard"))
+  }
+
   /** Frequency-decade profile of the dedup token key (graft.ops
     * .Profile.keyDistribution): how many distinct tokens occur 1–9,
     * 10–99, … times across the corpus. A power-law tail here is the
@@ -1180,6 +1216,7 @@ object PipelineQueries {
     "dedup_source_overlap" -> dedupSourceOverlapQ,
     "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
+    "pipeline_wet_corpus" -> pipelineWetQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -1955,6 +1992,23 @@ object PipelineQueries {
          |        GROUP BY g.doc_id HAVING count(*) >= 5)
          |SELECT doc_id, lang, n_tokens FROM ddp
          |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    // replays the WET chain straight from documents: the fixture's
+    // payload bytes ARE these texts, so any byte bent by gzip/WARC
+    // framing or the UTF-8 round-trip splits the md5 dedup groups
+    "pipeline_wet_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |q AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+         |      FROM corpus WHERE len(text) >= 50),
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id,
+         |             CAST(count(*) AS BIGINT) AS n_copies,
+         |             min(n_chars) AS n_chars
+         |      FROM q GROUP BY 1)
+         |SELECT doc_id, n_copies, n_chars,
+         |       ${h64("'graft:shard:' || doc_id::VARCHAR")} % 8 AS shard
+         |FROM k""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
