@@ -149,6 +149,51 @@ object Profile {
         round(expr("percentile(dev, 0.5)"), 6).as("mad"))
   }
 
+  /** Robust scaling — the feature-normalization transform every
+    * model-input pipeline runs where z-scores break: (value − median)
+    * / IQR, with median and quartiles immune to the heavy tails that
+    * drag mean/σ (sklearn RobustScaler lineage; the transform sibling
+    * of [[madOutliers]], which only FLAGS).
+    *
+    * Integer-exact contract (round 9): values quantize to cents,
+    * median/Q1/Q3 are the LOWER exact quantiles (sampled longs at rank
+    * floor(p·(n−1)), integer rank arithmetic — the cross-engine-stable
+    * quantile form), and the output is ((q − med)·1000) div IQR. The
+    * numerator can be NEGATIVE — which is fine because Spark's `div`
+    * and DuckDB's `//` BOTH truncate toward zero (verified: −999 // 2
+    * = −499 on both engines); had either floored, the two would split
+    * on every below-median row. Zero-IQR groups (> 50% identical
+    * values) are excluded exactly, the zero-MAD convention.
+    *
+    * Scale shape: quantiles from a per-(group, value) count aggregate
+    * + one per-group ordered cumulative pass over distinct values (no
+    * full-group sort buffer); the |groups|-row stat table broadcasts
+    * back onto the scan — the event stream never shuffles.
+    */
+  def robustScale(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(idCol),
+      round(col(valueCol) * 100).cast("long").as("q"))
+    val counts = base.groupBy(col(groupCol), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(groupCol).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = counts.join(broadcast(totals), Seq(groupCol))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) div 4 + 1"), col("q"))).as("q1"),
+        min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("q"))).as("med"),
+        min(when(col("cum") >= expr("((n - 1) * 3) div 4 + 1"), col("q"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    base.join(broadcast(stats), Seq(groupCol))
+      .filter(col("iqr") > 0L)
+      .withColumn("num", (col("q") - col("med")) * 1000L)
+      .select(col(idCol), col(groupCol),
+        expr("num div iqr").as("robust_milli"))
+  }
+
   /** Probe half of the MAD scan: flag rows of `df` whose value is
     * > k MAD from the group median under `stats`. Zero-MAD groups are
     * excluded exactly.

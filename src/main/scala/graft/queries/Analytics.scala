@@ -303,6 +303,41 @@ object Analytics {
       "event_type", "value", k = 5.0)
       .select("event_id", "event_type", "value", "mad_score_milli")
 
+  /** Robust feature scaling (graft.ops.Profile.robustScale): every
+    * event's value re-expressed as milli-units of its type's IQR from
+    * the type median — the model-input normalization that survives
+    * the heavy tails that drag z-scores. Integer-exact: cents
+    * quantization, LOWER exact quantiles, explicit floor division for
+    * the signed deviation.
+    */
+  def qRobustScale(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.robustScale(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      "event_type", "event_id", "value")
+
+  /** Exact integer percent-rank per group — the distribution
+    * normalizer behind quantile features and per-segment score
+    * calibration: each order's price position inside its priority as
+    * micro-units of [0, 1]. Total order (value, key) makes ranks
+    * unique, so pr_micro = ((rn − 1)·10⁶) div (n − 1) is pure integer
+    * arithmetic — no interpolated doubles anywhere. Scale shape: ONE
+    * shuffle on the group key, per-group sort window (the standard
+    * rank plan; the same hot-key caveat as topk_window).
+    */
+  def qPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    val wc = Window.partitionBy($"o_orderpriority")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .select($"o_orderkey", $"o_orderpriority",
+        when($"n" > 1L, expr("((rn - 1) * 1000000) div (n - 1)"))
+          .otherwise(lit(0L)).as("pr_micro"))
+  }
+
   /** Semi-structured extraction: pull the numeric `k` field out of
     * the events JSON props column and aggregate per event type —
     * `get_json_object` is a codegen'd path expression, so extraction
@@ -590,6 +625,8 @@ object Analytics {
     "q_range_join" -> qRangeJoin,
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_anomaly_mad" -> qAnomalyMad,
+    "q_robust_scale" -> qRobustScale,
+    "q_percent_rank" -> qPercentRank,
     "q_props_extract" -> qPropsExtract,
     "q_asof_join" -> qAsofJoin)
 
@@ -892,6 +929,39 @@ object Analytics {
         |         AS mad_score_milli
         |FROM q JOIN med USING (event_type) JOIN mad USING (event_type)
         |WHERE mad.mad > 0.0 AND abs(q.q - med.med) / mad.mad > 5.0""".stripMargin,
+    // DuckDB // and Spark div BOTH truncate toward zero, so the signed
+    // deviation divides identically on both engines
+    "q_robust_scale" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS q FROM events),
+        |c AS (SELECT event_type, q, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1),
+        |w AS (SELECT c.event_type, q,
+        |        CAST(sum(cnt) OVER (PARTITION BY c.event_type ORDER BY q)
+        |          AS BIGINT) AS cum, n.n
+        |      FROM c JOIN n ON c.event_type = n.event_type),
+        |s AS (SELECT event_type,
+        |        min(CASE WHEN cum >= (n - 1) // 4 + 1 THEN q END) AS q1,
+        |        min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN q END) AS med,
+        |        min(CASE WHEN cum >= ((n - 1) * 3) // 4 + 1 THEN q END) AS q3
+        |      FROM w GROUP BY 1)
+        |SELECT event_id, b.event_type,
+        |       CAST(((b.q - s.med) * 1000) // (s.q3 - s.q1) AS BIGINT)
+        |         AS robust_milli
+        |FROM b JOIN s ON b.event_type = s.event_type
+        |WHERE s.q3 - s.q1 > 0""".stripMargin,
+    "q_percent_rank" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority,
+        |      CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |    FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+        |       ELSE 0 END AS BIGINT) AS pr_micro
+        |FROM r""".stripMargin,
     "q_props_extract" ->
       """SELECT event_type,
         |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -922,6 +922,32 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Connected components on a SPARSIFIED undirected view of the hash
+    * link graph (keep edges whose cc-hash ≡ 0 mod 3, so the graph
+    * fragments into many non-trivial components instead of one giant
+    * one) — the general graph-CC member the family was missing:
+    * pagerank/triangles/kcore score within structure, CC finds the
+    * structure. Runs the star-contraction components
+    * (Dedup.connectedComponentsStar — the two-hop MapReduce CC with
+    * per-round convergence checksums, the same engine dedup clustering
+    * uses); isolated nodes label themselves. The oracle derives the
+    * identical edge set from the shared md5 arithmetic and labels
+    * components by min reachable id via a recursive CTE — exactly what
+    * star contraction converges to.
+    */
+  def graphCcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val cc = Dedup.connectedComponentsStar(sparse)
+    nodes.join(cc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster"), col("id")).as("component"))
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1196,6 +1222,7 @@ object PipelineQueries {
     "graph_pagerank" -> graphPagerankQ,
     "graph_triangles" -> graphTrianglesQ,
     "graph_kcore" -> graphKcoreQ,
+    "graph_cc" -> graphCcQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -2633,6 +2660,29 @@ object PipelineQueries {
          |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
          |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
          |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin,
+    // min-reachable-id labels ARE what star contraction converges to;
+    // the recursive CTE is the algorithm-independent truth
+    "graph_cc" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |eu AS (SELECT src AS a, dst AS b FROM ef
+         |       UNION SELECT dst, src FROM ef),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT eu.b, reach.m FROM reach JOIN eu ON reach.id = eu.a)
+         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS component
+         |FROM reach GROUP BY id""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

@@ -266,4 +266,43 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(lt.isEmpty) // the only conversions are null-ts: dropped
   }
+
+  test("robustScale: exact quartile scaling, truncated signed division, zero-IQR exclusion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a: cents 0..8 -> q1=2, med=4, q3=6, iqr=4
+    // group b: constant -> iqr 0, excluded entirely
+    val df = ((0 to 8).map(i => ("a", i.toLong, i / 100.0)) ++
+      (20 to 24).map(i => ("b", i.toLong, 7.77)))
+      .toDF("event_type", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.robustScale(d, "event_type", "event_id", "value")
+        .as[(Long, String, Long)].collect().toSet
+    val got = run(df)
+    assert(got.forall(_._2 == "a"), "zero-IQR group must be excluded")
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(0L) == -1000L && byId(8L) == 1000L && byId(4L) == 0L)
+    // (3-4)*1000 div 4 truncates toward zero: -250 exactly; and the
+    // sub-unit case (5-4)*1000 div 4 = 250
+    assert(byId(3L) == -250L && byId(5L) == 250L)
+    assert(run(df.repartition(5)) == got, "scaling owes nothing to layout")
+  }
+
+  test("percent rank: exact micro units, endpoints, single-row group, deterministic ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = graft.queries.Analytics.qPercentRank(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "pr_micro")
+      .as[(Long, String, Long)].collect()
+    assert(q.nonEmpty)
+    val byG = q.groupBy(_._2)
+    byG.foreach { case (g, rows) =>
+      val prs = rows.map(_._3)
+      assert(prs.min == 0L && prs.max == 1000000L,
+        s"group $g endpoints must be exact 0 and 1e6")
+      assert(prs.forall(p => p >= 0L && p <= 1000000L))
+      // unique ranks: pr values within a group are distinct iff n <= 1e6+1
+      assert(prs.toSet.size == prs.length, s"group $g has duplicate ranks")
+    }
+  }
 }
