@@ -305,6 +305,22 @@ object BenchStress {
       graft.Pipeline.applyStage(withDups.filter(expr("doc_id % 20 = 0")),
         "dedup_winnow", node, "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
+    }),
+    // |E| grows linearly (outdeg ≤ 3, 1/3 kept by the cc-hash); star
+    // contraction's per-round shuffles are bounded by the live edge
+    // count, which SHRINKS as stars collapse — rounds grow only with
+    // component diameter (log-ish), so total must stay near-linear
+    "graph_cc" -> ((d: DataFrame) => {
+      val (nodes, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      val sparse = edges.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      nodes.join(Dedup.connectedComponentsStar(sparse), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster"), col("id")).as("component"))
     }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
@@ -350,7 +366,12 @@ object BenchStress {
   private val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
     "q_gap_fill" -> ((ev: DataFrame) =>
       graft.ops.TimeSeries.gapFill(ev, "user_id", "ts", "value",
-        stepSeconds = 3600L)))
+        stepSeconds = 3600L)),
+    // copies multiply rows per event type; the quantile side plan is
+    // bounded by DISTINCT cents values per type (sublinear), the probe
+    // side is one broadcast join over the scan — total must stay linear
+    "q_robust_scale" -> ((ev: DataFrame) =>
+      graft.ops.Profile.robustScale(ev, "event_type", "event_id", "value")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

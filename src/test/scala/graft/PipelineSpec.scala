@@ -1497,9 +1497,11 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(1) == 1L, "n_null")
     assert(r.getLong(2) == 1L, "n_bad_dim")
     assert(r.getLong(3) == 1L, "n_zero")
-    // exact interpolated percentiles over n2 ∈ {0, 1e8, 4e8}
-    assert(r.getDouble(4) == 1.0e8, "p50")
-    assert(r.getDouble(5) == 1.0e8 + 0.9 * 3.0e8, "p95")
+    // LOWER exact quantiles over n2 ∈ {0, 1e8, 4e8} (m = 3): rank
+    // floor(0.5·2) = 1 → 1e8; rank floor(0.95·2) = 1 → 1e8 — sampled
+    // longs, the round-9 integer-exact contract
+    assert(r.getLong(4) == 100000000L, "p50")
+    assert(r.getLong(5) == 100000000L, "p95")
     assert(r.getDecimal(6).longValueExact() == 500000000L, "sum_n2")
     // layout independence
     val again = Similarity.embProfile(df.repartition(3), "embedding", "vec_id", 4).head()

@@ -583,4 +583,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       "no global sort: ordering lives inside the per-key window")
   }
+
+  test("q_percent_rank: one key-hash exchange, in-partition sort, no interpolation") {
+    val plan = formatted(q("q_percent_rank"))
+    assert(plan.contains("hashpartitioning(o_orderpriority"),
+      "rank window must shuffle on the group key")
+    assert(!plan.contains("rangepartitioning"),
+      "no global sort: ordering lives inside the per-group window")
+    assert(!plan.contains("percentile"),
+      "percent rank is pure integer rank arithmetic — no percentile agg")
+  }
+
+  test("q_robust_scale: stat table broadcasts back, event stream never shuffles for the probe") {
+    val plan = formatted(q("q_robust_scale"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |groups|-row stat table must broadcast onto the scan")
+    assert(plan.contains("partial_count"),
+      "quantile value counts must combine map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "the probe join must never sort-merge the event stream")
+  }
 }
