@@ -98,6 +98,21 @@ object Multimodal {
     * for VIDEO codecs only.
     */
   def decodeAudio(payload: Array[Byte]): Option[(Long, Array[Float])] =
+    pcmEnvelope(payload, featureDim).map { case (durationMs, rms) =>
+      // same arithmetic chain as always: rms·2−1 into [-1, 1), empty
+      // cells keep the -1f sentinel
+      (durationMs, rms.map(r =>
+        if (r < 0) -1f else (r * 2.0 - 1.0).toFloat))
+    }
+
+  /** Shared WAV/PCM16 parse + per-bin RMS energy envelope: the
+    * primitive under [[decodeAudio]] (16 feature bins) and
+    * [[audioHash64]] (64 signature bins). Returns (durationMs,
+    * rms-per-bin) with −1.0 marking bins no frame landed in (shorter
+    * clip than bins); `None` for non-WAV / non-PCM16 payloads.
+    */
+  private def pcmEnvelope(payload: Array[Byte],
+                          bins: Int): Option[(Long, Array[Double])] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
@@ -113,7 +128,7 @@ object Multimodal {
           // frameSize/rate/channels can each be
           // AudioSystem.NOT_SPECIFIED (-1): a negative frameSize makes
           // nFrames negative, which would slip past an == 0 guard and
-          // return a negative duration with all -1f features instead
+          // return a negative duration with all -1 bins instead
           // of None. Guard them all BEFORE deriving nFrames; and the
           // duration division must run in Double — a Float quotient
           // loses ms precision once nFrames*1000 passes 2^24
@@ -121,8 +136,8 @@ object Multimodal {
           if (frameSize <= 0 || channels <= 0 || nFrames <= 0 || rate <= 0) None
           else {
             val durationMs = math.round(nFrames * 1000.0 / rate)
-            val sums = new Array[Double](featureDim)
-            val counts = new Array[Long](featureDim)
+            val sums = new Array[Double](bins)
+            val counts = new Array[Long](bins)
             var i = 0
             while (i < nFrames) {
               var c = 0
@@ -136,20 +151,47 @@ object Multimodal {
                 c += 1
               }
               val v = acc / channels
-              val cell = math.min(featureDim - 1, (i.toLong * featureDim / nFrames).toInt)
+              val cell = math.min(bins - 1, (i.toLong * bins / nFrames).toInt)
               sums(cell) += v * v
               counts(cell) += 1
               i += 1
             }
-            val feats = Array.tabulate(featureDim) { k =>
-              if (counts(k) == 0) -1f
-              else (math.sqrt(sums(k) / counts(k)) * 2.0 - 1.0).toFloat
+            val rms = Array.tabulate(bins) { k =>
+              if (counts(k) == 0) -1.0
+              else math.sqrt(sums(k) / counts(k))
             }
-            Some((durationMs, feats))
+            Some((durationMs, rms))
           }
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** 64-bit audio fingerprint — [[aHash64]]'s time-domain sibling for
+    * WAV payloads: the 64-bin RMS energy envelope of the mono-mixed
+    * signal, bit k set iff envelope(k) > the envelope's lower median.
+    * Median (not mean) so one transient spike can't tilt every bit,
+    * and the hash is volume-SHAPE driven: re-encoded/resampled copies
+    * keep their loudness contour, so they land within small hamming
+    * distance, while the envelope's 64-way time slicing makes
+    * unrelated clips agree on ~32 bits — the same contract the image
+    * hashes carry into [[mediaDupPairs]]. Empty bins (clip shorter
+    * than 64 frames) count as silence (0). Deterministic pure-JDK
+    * arithmetic; `None` for non-WAV/non-PCM16 payloads (callers fall
+    * back to the md5 exact-only hash, the imageHashes convention).
+    */
+  def audioHash64(payload: Array[Byte]): Option[Long] =
+    pcmEnvelope(payload, 64).map { case (_, rmsRaw) =>
+      val rms = rmsRaw.map(r => if (r < 0) 0.0 else r)
+      val sorted = rms.sorted
+      val med = sorted(31) // lower median of 64
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        if (rms(k) > med) bits |= (1L << k)
+        k += 1
+      }
+      bits
+    }
 
   /** Parsed AVI container: header geometry + the byte ranges of the
     * stream-0 video frame chunks (`00dc`/`00db`), in stream order.
@@ -831,20 +873,25 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** (mediaId, ahash, decoded) perceptual fingerprints for a media
-    * table. Decodable images take the real [[aHash64]]; everything
-    * else hashes its raw bytes (md5-derived 64 bits) — random-looking
-    * bits whose hamming distance to anything is ~32, so the degraded
-    * semantics are EXACT-duplicate-only for payloads without a codec,
-    * never false near-dups. Same mapPartitions batching as
-    * [[extractFeatures]] (one decoder context per partition).
+    * table; `method` ∈ ahash | phash (images) | audio (the
+    * [[audioHash64]] energy envelope). Decodable payloads take the
+    * real fingerprint; everything else hashes its raw bytes
+    * (md5-derived 64 bits) — random-looking bits whose hamming
+    * distance to anything is ~32, so the degraded semantics are
+    * EXACT-duplicate-only for payloads without a codec, never false
+    * near-dups. Same mapPartitions batching as [[extractFeatures]]
+    * (one decoder context per partition).
     */
   def imageHashes(media: Dataset[MediaRow],
                   method: String = "ahash"): DataFrame = {
     import media.sparkSession.implicits._
-    require(method == "ahash" || method == "phash",
-      s"unknown perceptual hash method '$method' (ahash|phash)")
-    val hashFn: Array[Byte] => Option[Long] =
-      if (method == "phash") pHash64 else aHash64
+    require(method == "ahash" || method == "phash" || method == "audio",
+      s"unknown perceptual hash method '$method' (ahash|phash|audio)")
+    val hashFn: Array[Byte] => Option[Long] = method match {
+      case "phash" => pHash64
+      case "audio" => audioHash64
+      case _       => aHash64
+    }
     media.mapPartitions { rows =>
       rows.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { r =>
@@ -874,6 +921,9 @@ object Multimodal {
     * identical), and the verify is one codegen'd bit_count(xor).
     * Output: (id_a, id_b, hamming) — feed Dedup.connectedComponents
     * for the keep-one-per-cluster step, like every other dup-pair op.
+    * `method` picks the fingerprint: `ahash`/`phash` (images) or
+    * `audio` ([[audioHash64]]'s energy-envelope bits) — the band join
+    * and verify are signature-agnostic 64-bit machinery either way.
     */
   def mediaDupPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
                     bands: Int = 8, method: String = "ahash"): DataFrame = {

@@ -405,4 +405,57 @@ class MultimodalSpec extends SparkSpec {
     assert(sized.rdd.getNumPartitions > 1)
     assert(sized.count() == media.count())
   }
+
+  test("audio fingerprint: volume-invariant envelope bits, dedup pairs through the audio path") {
+    // 64 blocks of 100 constant-valued mono frames at 8 kHz: the RMS
+    // envelope bins land exactly on the blocks, loud (amp) vs soft
+    // (amp/8) patterns drive the bits. All-exact binary arithmetic.
+    def wavPattern(loud: Int => Boolean, amp: Short): Array[Byte] = {
+      val samples = Array.tabulate(6400) { i =>
+        val block = i / 100
+        if (loud(block)) amp else (amp / 8).toShort
+      }
+      wavBytes(samples, 1, 8000f)
+    }
+    val base = wavPattern(_ % 3 == 0, 16384)
+    val halfVol = wavPattern(_ % 3 == 0, 8192)
+    val unrelated = wavPattern(_ % 5 == 0, 16384)
+    val blob = "definitely not audio".getBytes("UTF-8")
+
+    val hBase = Multimodal.audioHash64(base).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(Multimodal.audioHash64(base).get == hBase, "deterministic")
+    // the envelope scales uniformly with volume and so does its
+    // median: the bit pattern is volume-INVARIANT
+    assert(ham(hBase, Multimodal.audioHash64(halfVol).get) == 0,
+      "half-volume copy must fingerprint identically")
+    // loud sets {3k} vs {5k} differ on 25 of 64 blocks
+    assert(ham(hBase, Multimodal.audioHash64(unrelated).get) >= 8,
+      "a different loudness contour must be far in hamming space")
+    assert(Multimodal.audioHash64(blob).isEmpty, "non-WAV refuses")
+    // exactly the loud blocks set bits: 22 of {0,3,6,...,63}
+    assert(java.lang.Long.bitCount(hBase) == 22, "bits = loud blocks")
+
+    def mr(id: Long, p: Array[Byte]) =
+      Multimodal.MediaRow(id, "audio", p, Multimodal.MediaMeta("audio/wav", 0, 0, 0L))
+    val rows = Seq(mr(1, base), mr(2, halfVol), mr(3, unrelated),
+      mr(4, blob), mr(5, blob.clone()))
+    val ds = spark.createDataset(rows)
+    val hs = Multimodal.imageHashes(ds, method = "audio").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(hs(1L) == ((hBase, true)))
+    assert(!hs(4L)._2 && hs(4L) == hs(5L), "same bytes, same fallback hash")
+    // banded pairs equal brute-force hamming through the audio method
+    val want = (for {
+      a <- rows; b <- rows if a.mediaId < b.mediaId
+      d = ham(hs(a.mediaId)._1, hs(b.mediaId)._1) if d <= 6
+    } yield (a.mediaId, b.mediaId, d.toLong)).toSet
+    val got = Multimodal.mediaDupPairs(ds, maxHamming = 6, method = "audio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"pairs $got vs brute-force $want")
+    assert(got.contains((1L, 2L, 0L)), "volume-scaled copy must pair")
+    assert(got.contains((4L, 5L, 0L)), "exact binary dup pairs via fallback")
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) },
+      "different contours must not pair")
+  }
 }
