@@ -1193,6 +1193,80 @@ class StreamingSpec extends SparkSpec {
     assert(ids(2L).isEmpty, "stored boundary vector rejects its same-cell copy")
   }
 
+  test("profile drift monitor: ppm shares vs cumulative baseline, cold start, replay-idempotent") {
+    import graft.streaming.ProfileStream
+    val out = tmp(); val st = tmp()
+    def rows(n: Int, nullEvery: Int, blankEvery: Int) =
+      (0 until n).map { i =>
+        val lang = if (nullEvery > 0 && i % nullEvery == 0) null
+                   else "en"
+        val text = if (blankEvery > 0 && i % blankEvery == 0) "" else s"doc $i"
+        (i.toLong, lang, text)
+      }.toDF("id", "lang", "text")
+    def step(df: org.apache.spark.sql.DataFrame, id: Long) =
+      ProfileStream.profileBatch(spark, df, id, out, st, Seq("lang", "text"),
+        tolerancePpm = 50000L, minBaseRows = 100L)
+    def rep(b: Long) = spark.read.parquet(s"$out/batch=$b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // trigger 0: 200 rows, 10% null lang — exact ppm, and the COLD
+    // START guard: no baseline yet, so nothing may flag
+    step(rows(200, 10, 0), 0L)
+    val r0 = rep(0L)
+    assert(r0("lang").getAs[Long]("batch_null_ppm") == 100000L)
+    assert(r0("lang").getAs[Long]("base_rows") == 0L)
+    assert(r0("lang").getAs[Int]("null_drift") == 0, "cold start never flags")
+    assert(r0("text").getAs[Long]("batch_blank_ppm") == 0L)
+    // trigger 1: same profile vs a 200-row baseline — quiet
+    step(rows(100, 10, 0), 1L)
+    val r1 = rep(1L)
+    assert(r1("lang").getAs[Long]("base_rows") == 200L)
+    assert(r1("lang").getAs[Long]("base_null_ppm") == 100000L)
+    assert(r1("lang").getAs[Int]("null_drift") == 0)
+    // trigger 2: the crawler regression — 50% null lang, 25% blank
+    // text — both axes trip against the exact cumulative baseline
+    step(rows(100, 2, 4), 2L)
+    val r2 = rep(2L)
+    assert(r2("lang").getAs[Long]("batch_null_ppm") == 500000L)
+    assert(r2("lang").getAs[Long]("base_null_ppm") == 100000L)
+    assert(r2("lang").getAs[Int]("null_drift") == 1, "null share jump must flag")
+    assert(r2("text").getAs[Int]("blank_drift") == 1, "blank share jump must flag")
+    assert(r2("text").getAs[Int]("null_drift") == 0, "text nulls did not move")
+    // replay trigger 2: byte-identical report, state not double-counted
+    val before = spark.read.parquet(s"$out/batch=2").collect().toSet
+    step(rows(100, 2, 4), 2L)
+    assert(spark.read.parquet(s"$out/batch=2").collect().toSet == before)
+    assert(spark.read.parquet(s"$st/batch=2")
+      .filter($"col_name" === "lang").select("rows_total")
+      .as[Long].head() == 400L, "replay must not double-count the baseline")
+    // state versions stay pruned like every monitor store
+    for (b <- 3L until 9L) step(rows(50, 10, 0), b)
+    val vers = new java.io.File(st).listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    assert(vers == Seq(5L, 6L, 7L, 8L), s"state versions: $vers")
+  }
+
+  test("profile drift monitor end-to-end over a file feed") {
+    import graft.streaming.ProfileStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    (0 until 200).map(i => (i.toLong, if (i % 10 == 0) null else "en"))
+      .toDF("id", "lang")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = ProfileStream.profileStream(spark, feed, out, st, ckpt,
+      Seq("lang"), tolerancePpm = 50000L, minBaseRows = 100L)
+    try {
+      q.processAllAvailable()
+      (0 until 100).map(i => (i.toLong, if (i % 2 == 0) null else "en"))
+        .toDF("id", "lang")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.read.option("basePath", out).parquet(out)
+      .filter($"col_name" === "lang")
+      .select("base_rows", "null_drift").as[(Long, Int)].collect().toSet
+    assert(reports == Set((0L, 0), (200L, 1)),
+      "the 50%-null batch must flag against the 10%-null baseline")
+  }
+
   test("semantic dedup stream: zero-norm vectors dedup by exact code equality") {
     import graft.streaming.SemanticDupStream
     val out = tmp(); val st = tmp()
