@@ -492,6 +492,44 @@ object PipelineQueries {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** Referential-integrity audit of the documents ↔ embeddings pair —
+    * the pre-training join check every multimodal/embedding pipeline
+    * runs before a training job silently inner-joins away 15% of its
+    * corpus: docs with no vector, vectors with no doc, wrong-width
+    * vectors, empty texts, each counted exactly. The gate injects the
+    * misalignment (drop doc_id % 7 = 3 docs, drop vec_id % 11 = 5
+    * vectors, truncate vec_id % 13 = 2 embeddings to half width — the
+    * dup-injection convention) so the audit provably FINDS it.
+    *
+    * Scale shape: both sides project to (key, flag) before the ONE
+    * full-outer key join (only keys and two longs cross the shuffle;
+    * the embedding arrays and document texts never leave their scans
+    * — size() and length() are per-row, scan-fused), then a single
+    * partial-combined aggregate to one row.
+    */
+  def pipelineIntegrityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 7 <> 3"))
+      .select(col("doc_id").as("id"), lit(1L).as("is_doc"),
+        (length(trim(col("text"))) === 0).cast("long").as("empty_text"))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 11 <> 5"))
+      .withColumn("emb", when(expr("vec_id % 13 = 2"),
+        expr("slice(embedding, 1, 32)")).otherwise(col("embedding")))
+      .select(col("vec_id").as("id"), lit(1L).as("is_vec"),
+        (size(col("emb")) =!= 64).cast("long").as("bad_dim"))
+    docs.join(vecs, Seq("id"), "full")
+      .agg(
+        sum(coalesce(col("is_doc"), lit(0L))).as("n_docs"),
+        sum(coalesce(col("is_vec"), lit(0L))).as("n_vecs"),
+        sum(when(col("is_doc").isNotNull && col("is_vec").isNull, 1L)
+          .otherwise(0L)).as("n_docs_no_vec"),
+        sum(when(col("is_vec").isNotNull && col("is_doc").isNull, 1L)
+          .otherwise(0L)).as("n_vecs_no_doc"),
+        sum(coalesce(col("bad_dim"), lit(0L))).as("n_bad_dim"),
+        sum(coalesce(col("empty_text"), lit(0L))).as("n_empty_text"))
+  }
+
   /** WET-ingestion composition, end-to-end under the oracle gate:
     * a deterministic `.wet.gz` fixture (payload bytes = the documents
     * subset's texts, original ids in the Target-URI — see
@@ -1244,6 +1282,7 @@ object PipelineQueries {
     "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "pipeline_wet_corpus" -> pipelineWetQ,
+    "pipeline_integrity" -> pipelineIntegrityQ,
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
@@ -2019,6 +2058,24 @@ object PipelineQueries {
          |        GROUP BY g.doc_id HAVING count(*) >= 5)
          |SELECT doc_id, lang, n_tokens FROM ddp
          |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "pipeline_integrity" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |        CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END AS empty_text
+         |      FROM documents WHERE doc_id % 7 <> 3),
+         |v AS (SELECT vec_id AS id,
+         |        CASE WHEN len(CASE WHEN vec_id % 13 = 2
+         |                      THEN embedding[1:32] ELSE embedding END) <> 64
+         |             THEN 1 ELSE 0 END AS bad_dim
+         |      FROM embeddings WHERE vec_id % 11 <> 5)
+         |SELECT CAST(count(d.id) AS BIGINT) AS n_docs,
+         |  CAST(count(v.id) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN d.id IS NOT NULL AND v.id IS NULL
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_no_vec,
+         |  CAST(sum(CASE WHEN v.id IS NOT NULL AND d.id IS NULL
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_no_doc,
+         |  CAST(coalesce(sum(bad_dim), 0) AS BIGINT) AS n_bad_dim,
+         |  CAST(coalesce(sum(empty_text), 0) AS BIGINT) AS n_empty_text
+         |FROM d FULL JOIN v ON d.id = v.id""".stripMargin,
     // replays the WET chain straight from documents: the fixture's
     // payload bytes ARE these texts, so any byte bent by gzip/WARC
     // framing or the UTF-8 round-trip splits the md5 dedup groups
