@@ -306,6 +306,48 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Curriculum ordering — the training-order counterpart of
+    * [[shards]]: every doc gets a (band, pos) address where `band` is
+    * its quality bucket (integer micro mean-token-length, the
+    * quality_band score, floor-divided into `bandWidthMicro` buckets
+    * and capped at `maxBand`) and `pos` is a deterministic hash
+    * shuffle position WITHIN the band. A curriculum run visits bands
+    * in order (easy → hard or the reverse — the band index is the
+    * knob) while each band stays a reproducible pseudo-random
+    * shuffle; changing `salt` reshuffles within bands without moving
+    * any doc across bands.
+    *
+    * Integer-exact end-to-end: score = (chars·10⁶) div words, band =
+    * min(maxBand, score div width), pos from a (hash, id) total
+    * order — no doubles anywhere. Shape: per-row scoring fused into
+    * the scan, ONE hash-partition exchange on the band + in-partition
+    * sort — exactly the layout a banded shard writer needs anyway
+    * (the [[shards]] argument). Bands are few and large; the
+    * within-band sort is bounded by corpus/|bands| per partition —
+    * at extreme corpus sizes sub-shard each band with [[shards]].
+    */
+  def curriculum(df: DataFrame, textCol: String, idCol: String,
+                 bandWidthMicro: Long = 2000000L, maxBand: Int = 4,
+                 salt: String = "graft"): DataFrame = {
+    require(bandWidthMicro > 0, s"bandWidthMicro must be positive")
+    require(maxBand >= 0, s"maxBand must be non-negative, got $maxBand")
+    import org.apache.spark.sql.expressions.Window
+    val n = TextAnalysis.normalize(col(textCol))
+    val scored = df.select(col(idCol),
+        (length(regexp_replace(n, " ", "")).cast("long") * 1000000L)
+          .as("__cm"),
+        size(split(n, " ")).cast("long").as("__nw"))
+      .select(col(idCol), expr("__cm div __nw").as("score_micro"))
+      .withColumn("band",
+        least(lit(maxBand.toLong), expr(s"score_micro div $bandWidthMicro")))
+      .withColumn("__k", Hashing.portableHash64(
+        concat(lit(salt + ":curr:"), col(idCol).cast("string"))))
+    val w = Window.partitionBy(col("band")).orderBy(col("__k"), col(idCol))
+    scored
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("band"), col("score_micro"), col("pos"))
+  }
+
   /** Per-group document cap — the Common-Crawl per-domain cap: keep at
     * most `k` docs of each group (domain, source, site), chosen by
     * deterministic hash order so the kept subset is a reproducible

@@ -694,6 +694,14 @@ object PipelineQueries {
       Tables.documents(spark, sfDir).select("doc_id", "source"),
       "doc_id", numShards = 8)
 
+  /** Curriculum training order (graft.ops.Sampling.curriculum):
+    * quality bands from the integer micro mean-token-length score,
+    * deterministic hash shuffle within each band.
+    */
+  def sampleCurriculumQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.curriculum(Tables.documents(spark, sfDir),
+      "text", "doc_id")
+
   /** Column-level data-quality profile (graft.ops.Profile
     * .tableProfile) over documents with nulls deterministically
     * injected into `lang` (every 97th doc) so the null-counting path
@@ -1239,6 +1247,7 @@ object PipelineQueries {
     "dedup_spans" -> dedupSpansQ,
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
+    "sample_curriculum" -> sampleCurriculumQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -2261,6 +2270,19 @@ object PipelineQueries {
          |SELECT doc_id, source, k % 8 AS shard,
          |       row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
          |FROM k""".stripMargin,
+    "sample_curriculum" ->
+      s"""WITH s AS (SELECT doc_id,
+         |        (CAST(len(replace(nt, ' ', '')) AS BIGINT) * 1000000)
+         |          // len(string_split(nt, ' ')) AS score_micro
+         |      FROM (SELECT doc_id, $norm AS nt FROM documents)),
+         |b AS (SELECT doc_id, score_micro,
+         |        least(4, score_micro // 2000000) AS band,
+         |        ${h64("'graft:curr:' || doc_id::VARCHAR")} AS k
+         |      FROM s)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band, score_micro,
+         |  CAST(row_number() OVER (PARTITION BY band ORDER BY k, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM b""".stripMargin,
     "profile_table" ->
       s"""WITH d AS (SELECT doc_id, text,
          |             CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,

@@ -1624,4 +1624,38 @@ class PipelineSpec extends SparkSpec {
     assert(h2 == 40L,
       s"trained codebook must separate the planted clusters fully, got $h2 of 40")
   }
+
+  test("curriculum: exact band boundaries, salt reshuffles within bands only, layout-independent") {
+    import graft.ops.Sampling
+    // mean token lengths 1, 3, 5, 9 -> micro scores 1e6/3e6/5e6/9e6
+    // -> bands 0/1/2/4 at width 2e6, cap 4
+    val docs = Seq(
+      (1L, "a b c d"),                 // len 1 -> band 0
+      (2L, "aaa bbb ccc"),             // len 3 -> band 1
+      (3L, "aaaaa bbbbb"),             // len 5 -> band 2
+      (4L, "aaaaaaaaa"),               // len 9 -> band 4 (9e6 div 2e6 = 4)
+      (5L, "bbbbbbbbb bbbbbbbbb"),     // len 9 -> band 4
+      (6L, "ccc ddd")                  // len 3 -> band 1
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.curriculum(d, "text", "doc_id", salt = salt)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(docs, "graft")
+    val bands = got.map(t => t._1 -> t._2).toMap
+    assert(bands == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L,
+      5L -> 4L, 6L -> 1L))
+    // positions are a 0-based dense order within each band
+    got.groupBy(_._2).foreach { case (b, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (0L until rows.size).toSeq,
+        s"band $b positions not dense")
+    }
+    assert(run(docs.repartition(5), "graft") == got,
+      "curriculum owes nothing to layout")
+    // a different salt reshuffles WITHIN bands but moves no doc across
+    val reshuffled = run(docs, "epoch2")
+    assert(reshuffled.map(t => t._1 -> t._2).toMap == bands,
+      "salt must not move docs across bands")
+    assert(reshuffled.map(t => (t._1, t._4)) != got.map(t => (t._1, t._4)),
+      "salt must reshuffle within-band positions")
+  }
 }

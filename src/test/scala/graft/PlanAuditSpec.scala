@@ -603,4 +603,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "the probe join must never sort-merge the event stream")
   }
+
+  test("pipeline_integrity: column-pruned scans, key-only join, no loop join") {
+    val plan = formatted(q("pipeline_integrity"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must read ONLY the key and the flag source column")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the audit join must be keyed, never a loop join")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "audit counters must combine map-side")
+  }
 }
