@@ -287,6 +287,16 @@ object Pipeline {
       case "shard" =>
         Sampling.shards(df, idCol, intOf("numShards", 8),
           strOf("salt", "graft"))
+      case "curriculum" =>
+        // training-order address like `shard`, but band-first: the
+        // quality band rides along as a column; the salt is the
+        // per-epoch within-band reshuffle knob
+        df.join(
+          Sampling.curriculum(df, textCol, idCol,
+            bandWidthMicro = intOf("bandWidthMicro", 2000000).toLong,
+            maxBand = intOf("maxBand", 4), salt = strOf("salt", "graft"))
+            .select(col(idCol), col("band"), col("pos")),
+          Seq(idCol))
       case other =>
         throw new IllegalArgumentException(
           s"unknown pipeline stage '$other' — a typo'd config must not " +
@@ -329,6 +339,11 @@ object Pipeline {
     val packAt = ops.indexOf("pack")
     require(packAt < 0 || packAt == it.size - 1,
       "'pack' must be the last stage (it fixes the pack layout)")
+    // curriculum positions are dense over the corpus AT the stage —
+    // a later filter would punch holes in the training order
+    val currAt = ops.indexOf("curriculum")
+    require(currAt < 0 || currAt == it.size - 1,
+      "'curriculum' must be the last stage (it fixes the training order)")
     // chunk rows are NOT doc rows: the doc id is no longer unique, so
     // any id-keyed stage after chunk would mis-join — only pack (which
     // orders by chunk_key) may follow

@@ -537,4 +537,36 @@ class ConfigSpec extends SparkSpec {
         |"stages": [{"op": "quality_band"}]}""".stripMargin)
     }
   }
+
+  test("pipeline curriculum stage: banded training order rides along, must be last") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs_curr.parquet"
+    val outDir = tmpDir() + "/curr_out"
+    docs.write.mode("overwrite").parquet(inDir)
+    val (rin, rout) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [
+         |  {"op": "dedup_exact"},
+         |  {"op": "curriculum", "salt": "epoch1"}]}""".stripMargin)
+    assert(rin == docs.count() && rout > 0)
+    val out = spark.read.parquet(outDir)
+    // the stage output equals the operator run on the post-dedup corpus
+    val direct = graft.ops.Sampling.curriculum(
+        out.select("doc_id", "text"), "text", "doc_id", salt = "epoch1")
+      .select("doc_id", "band", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.select("doc_id", "band", "pos")
+      .as[(Long, Long, Long)].collect().toSet == direct)
+    // positions are dense per band over the FINAL corpus
+    out.groupBy("band").agg(count(lit(1)).as("n"), max($"pos").as("mx"))
+      .collect().foreach(r =>
+        assert(r.getLong(2) == r.getLong(1) - 1, s"band ${r.get(0)} not dense"))
+    // curriculum mid-chain is rejected: later filters would punch
+    // holes in the training order
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, s"""{"input": "$inDir", "output": "$outDir",
+        |"stages": [{"op": "curriculum"}, {"op": "dedup_exact"}]}""".stripMargin)
+    }
+  }
 }
