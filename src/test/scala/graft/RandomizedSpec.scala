@@ -948,4 +948,70 @@ class RandomizedSpec extends SparkSpec {
       assert(got == want, s"round $round")
     }
   }
+
+  test("lower exact quantiles equal the sort-based reference: quantileSketch, robustScale, qualityBand") {
+    val rnd = new Random(9191)
+    def lowerQ(sorted: Seq[Long], p: Double): Long =
+      sorted(math.floor(p * (sorted.size - 1)).toInt)
+    (1 to rounds).foreach { round =>
+      // --- robustScale vs in-memory reference (signed truncation) ---
+      val evs = Seq.fill(rnd.nextInt(300) + 50)(
+        (rnd.nextInt(3).toString, rnd.nextLong().abs % 10000,
+          rnd.nextInt(200) - 100))
+        .zipWithIndex.map { case ((g, _, v), i) => (g, i.toLong, v / 100.0) }
+      val df = evs.toDF("event_type", "event_id", "value")
+      val got = graft.ops.Profile.robustScale(
+          df.repartition(1 + rnd.nextInt(5)), "event_type", "event_id", "value")
+        .as[(Long, String, Long)].collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (g, rows) =>
+        val cents = rows.map(r => math.round(r._3 * 100)).sorted
+        val (q1, med, q3) = (lowerQ(cents, 0.25), lowerQ(cents, 0.5),
+          lowerQ(cents, 0.75))
+        val iqr = q3 - q1
+        if (iqr <= 0) Seq.empty
+        else rows.map(r =>
+          (r._2, g, (math.round(r._3 * 100) - med) * 1000L / iqr))
+      }.toSet
+      assert(got == want, s"robustScale round $round")
+
+      // --- quantileSketch at full rate vs sorted sample ---
+      val xs = Seq.fill(rnd.nextInt(400) + 20)((rnd.nextLong().abs % 1000).toLong)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v + rnd.nextDouble()) }
+      val xdf = xs.toDF("id", "x")
+      val sk = graft.ops.Profile.quantileSketch(
+          xdf.repartition(1 + rnd.nextInt(4)),
+          org.apache.spark.sql.functions.col("id"), Seq("x"), 1000000L)
+        .as[(String, Long, Double, Double, Double)].head()
+      val sortedX = xs.map(_._2).sorted
+      def lowerD(p: Double) = sortedX(math.floor(p * (sortedX.size - 1)).toInt)
+      assert(sk._2 == xs.size.toLong)
+      assert(sk._3 == lowerD(0.5) && sk._4 == lowerD(0.9) && sk._5 == lowerD(0.99),
+        s"quantileSketch round $round")
+
+      // --- qualityBand membership vs in-memory band reference ---
+      val docs = Seq.fill(rnd.nextInt(200) + 30) {
+        val lang = s"l${rnd.nextInt(2)}"
+        val words = Seq.fill(rnd.nextInt(10) + 1)(
+          "a" * (rnd.nextInt(8) + 1)).mkString(" ")
+        (lang, words)
+      }.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      val ddf = docs.toDF("doc_id", "lang", "text")
+      val gotB = graft.ops.TextAnalysis.qualityBand(
+          ddf.repartition(1 + rnd.nextInt(4)), "text", "doc_id", "lang")
+        .as[(Long, String, Long)].collect().toSet
+      val wantB = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+        val scored = rows.map { case (id, _, t) =>
+          val chars = t.replace(" ", "").length.toLong
+          val words = t.split(" ", -1).length.toLong
+          (id, chars * 1000000L / words)
+        }
+        val sortedS = scored.map(_._2).sorted
+        val lo = lowerQ(sortedS, 0.1)
+        val hi = lowerQ(sortedS, 0.9)
+        scored.filter(s => s._2 >= lo && s._2 <= hi)
+          .map(s => (s._1, lang, s._2))
+      }.toSet
+      assert(gotB == wantB, s"qualityBand round $round")
+    }
+  }
 }
