@@ -611,4 +611,76 @@ object Dedup {
       .select(col(idCol), array_join(col("kept"), " ").as("clean_text"),
         size(col("kept")).cast("long").as("n_tokens_kept"))
   }
+
+  /** Incremental MinHash-LSH: near-dup screen of a NEW ingest batch
+    * against an already-admitted corpus — the production shape for a
+    * continuously-fed training corpus, where re-running [[minHashLsh]]
+    * over corpus ∪ batch would redo O(corpus) work (and re-find every
+    * existing corpus-internal pair) per cycle.
+    *
+    * Scale shape: candidates come from a batch-bands ⋈ corpus-bands
+    * equi-join on (band, sig) — the corpus NEVER self-joins and is
+    * touched once to (re)derive its band keys; with the band table
+    * persisted (it is exactly the LSH index a vector store would keep,
+    * |corpus|·numBands narrow rows, appendable because signatures are
+    * per-doc), the per-cycle cost is O(batch + matching buckets).
+    * Bucket skew (a viral template with thousands of corpus copies)
+    * is salted on the CORPUS id with the small batch side replicated
+    * SALTS× — the mirror of candidatesFromBands' self-join salt, so a
+    * hot bucket fans across SALTS reducers instead of one. Verification
+    * is the exact [[verifyJaccard]] contract (sorted-hash-array
+    * intersect, candidate-pair-bound work), and the final keep-best is
+    * a struct-max aggregate (map-side combine, no window).
+    *
+    * Returns one row per REJECTED batch doc: (batch_id, match_id,
+    * jaccard) of its best corpus match (max Jaccard, ties to smallest
+    * corpus id). Batch docs absent from the output are admitted;
+    * in-batch near-dups are [[minHashLsh]] over the batch alone.
+    */
+  def incrementalLsh(corpus: DataFrame, batch: DataFrame,
+                     textCol: String, idCol: String,
+                     numHashes: Int = 16, numBands: Int = 2,
+                     threshold: Double = 0.7): DataFrame = {
+    val SALTS = 16
+    val corpusToks = tokenSet(corpus, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchToks = tokenSet(batch, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: both token tables feed a band build AND a
+    // broadcast set build whose jobs race an unmaterialized cache
+    // (minHashLsh's documented hygiene)
+    corpusToks.count(); batchToks.count()
+    val corpusBands = minHashBandsWide(corpusToks, numHashes, numBands)
+      .select(col("band"), col("sig"), col("id").as("match_id"))
+      .withColumn("salt",
+        pmod(Hashing.portableHash64(col("match_id").cast("string")), lit(SALTS.toLong)))
+    val batchBands = minHashBandsWide(batchToks, numHashes, numBands)
+      .select(col("band"), col("sig"), col("id").as("batch_id"))
+      .crossJoin(corpus.sparkSession.range(SALTS).toDF("salt"))
+    val cands = batchBands.join(corpusBands, Seq("band", "sig", "salt"))
+      .select("batch_id", "match_id").distinct()
+    val bSets = tokenHashSets(batchToks)
+      .select(col("id").as("batch_id"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val cSets = tokenHashSets(corpusToks)
+      .select(col("id").as("match_id"), col("toks").as("toks_c"), col("n").as("n_c"))
+    val interSize = interSizeFn
+    // batch sets broadcast (a batch fits); corpus sets join by key —
+    // only candidate corpus ids' token arrays ever cross the wire.
+    val verified = cands
+      .join(broadcast(bSets), Seq("batch_id"))
+      .join(cSets, Seq("match_id"))
+      .withColumn("inter", interSize(col("toks_b"), col("toks_c")))
+      .select(col("batch_id"), col("match_id"),
+        (col("inter").cast("double") /
+          (col("n_b") + col("n_c") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val best = verified
+      .groupBy("batch_id")
+      .agg(max(struct(col("jaccard"), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("batch_id"), (-col("m.nid")).as("match_id"),
+        round(col("m.jaccard"), 6).as("jaccard"))
+    val result = graft.util.Lineage.truncate(best)
+    corpusToks.unpersist(); batchToks.unpersist()
+    result
+  }
 }

@@ -415,4 +415,58 @@ object Sampling {
       .filter(col("pos") < k)
       .withColumnRenamed("__e", "ekey_micro")
   }
+
+  /** Train/val/test split assignment + cross-split duplicate-leakage
+    * audit — the eval-hygiene gate every training corpus needs: a
+    * held-out set is only held out if no training document shares its
+    * content, and a hash split alone cannot guarantee that (exact
+    * copies land in different splits whenever their ids hash apart).
+    *
+    * Assignment is the deterministic hash threshold ([[keepExpr]]'s
+    * convention): bucket = hash(salt:id) mod 10000, test < testPm ≤
+    * val < testPm+valPm ≤ train — a pure per-row function of the id,
+    * so membership is stable under corpus growth (new docs never move
+    * old docs between splits, unlike modulo-on-row-number schemes).
+    *
+    * Leakage = documents whose normalized content hash appears in ≥ 2
+    * distinct splits. Shape: ONE partial-aggregatable groupBy to
+    * (content_hash, split) counts, a second groupBy to per-hash split
+    * fan-out, and a hash-key join back — both sides of that join come
+    * off the SAME (content_hash, split) aggregate, so they are
+    * co-partitioned (ReusedExchange, no second corpus shuffle). The
+    * per-split report is |splits| rows.
+    *
+    * Returns one row per split: (split, n_docs, n_chars, n_leak_docs)
+    * where n_leak_docs counts this split's members of cross-split
+    * content groups — the docs a decontamination pass must drop from
+    * train (or move) before the val/test numbers mean anything.
+    */
+  def splitWithLeakage(df: DataFrame, textCol: String, idCol: String,
+                       valPm: Long = 500L, testPm: Long = 100L,
+                       salt: String = "split"): DataFrame = {
+    require(valPm + testPm < BUCKETS,
+      s"val+test per-mille must leave room for train (got $valPm+$testPm)")
+    val bucket = pmod(Hashing.portableHash64(
+      concat(lit(salt + ":"), col(idCol).cast("string"))), lit(BUCKETS))
+    val split = when(bucket < testPm, lit("test"))
+      .when(bucket < testPm + valPm, lit("val"))
+      .otherwise(lit("train"))
+    val base = df.select(
+      split.as("split"),
+      md5(TextAnalysis.normalize(col(textCol))).as("content_hash"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val perHashSplit = base.groupBy("content_hash", "split")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val crossHash = perHashSplit.groupBy("content_hash")
+      .agg(count(lit(1)).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .select("content_hash")
+    val leak = perHashSplit.join(crossHash, Seq("content_hash"), "left_semi")
+      .groupBy("split").agg(sum(col("n")).as("n_leak_docs"))
+    perHashSplit.groupBy("split")
+      .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("n_chars"))
+      .join(leak, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_chars"),
+        coalesce(col("n_leak_docs"), lit(0L)).as("n_leak_docs"))
+  }
 }

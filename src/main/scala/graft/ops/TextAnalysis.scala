@@ -103,6 +103,55 @@ object TextAnalysis {
       regexp_count(t, lit(urlRe)).as("n_url"))
   }
 
+  /** RE2-safe detectors for [[piiProfile]] — octet runs for IPv4
+    * (word-bounded so a version string "1.2.3.4.5" still matches once,
+    * deterministically, on both engines) and the NANP-ish dashed/
+    * spaced phone shape. No backrefs/lookaround.
+    */
+  val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Corpus PII audit — the REPORT side of [[scrub]]: per-source
+    * detection rates for emails, IPv4s, phone numbers and long id-like
+    * digit runs, the numbers a privacy review reads before deciding
+    * what the redaction pass must cover (scrub transforms text;
+    * this measures exposure). Detector categories can overlap on
+    * adversarial text (a long id inside an email local part counts in
+    * both) — each column answers its own "how many would THIS detector
+    * fire on" question, identically on both engines.
+    *
+    * Shape: four `regexp_count`s fused into the scan (per-row, no UDF,
+    * no shuffle) and ONE partial-aggregatable groupBy to |sources|
+    * rows. `hits_per_mchar` is integer micro-rate arithmetic
+    * (hits·10⁶ div chars) — no cross-engine float division in the
+    * contract.
+    */
+  def piiProfile(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = df.select(col(srcCol).as("source"),
+      length(t).cast("long").as("n_chars"),
+      regexp_count(t, lit(emailRe)).cast("long").as("e"),
+      regexp_count(t, lit(ipRe)).cast("long").as("i"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("p"),
+      regexp_count(t, lit(numRe)).cast("long").as("d"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("e") + col("i") + col("p") + col("d") > 0, 1L)
+        .otherwise(0L)).as("n_docs_pii"),
+      sum(col("e")).as("n_emails"),
+      sum(col("i")).as("n_ips"),
+      sum(col("p")).as("n_phones"),
+      sum(col("d")).as("n_idnums"),
+      sum(col("e") + col("i") + col("p") + col("d")).as("__hits"),
+      sum(col("n_chars")).as("__chars"))
+      // integer micro-rate: `div` truncates identically on both
+      // engines (the q_robust_scale portability note) — never a
+      // double division in a hashed contract
+      .select(col("source"), col("n_docs"), col("n_docs_pii"),
+        col("n_emails"), col("n_ips"), col("n_phones"), col("n_idnums"),
+        expr("(__hits * 1000000L) div __chars").as("hits_per_mchar"))
+  }
+
   /** Regex-level HTML → text extraction — the step between
     * `Warc.responses` (raw HTTP bodies) and every text operator in
     * this file: strip script/style blocks and comments, drop the

@@ -416,6 +416,79 @@ object PipelineQueries {
       dups.unionByName(news).unionByName(copies), "text", "doc_id")
   }
 
+  /** Incremental MinHash-LSH near-dup screen (Dedup.incrementalLsh):
+    * the batch re-issues every 25th doc with three appended tokens —
+    * a near-dup whose content hash CHANGED, invisible to the exact
+    * incremental probe — plus every 40th doc rewritten as synthetic
+    * md5 text (genuinely new, shares no tokens). Only the re-issues
+    * should surface, each matched back to its source doc; the oracle
+    * replays the full seeded-minhash → band → Jaccard → keep-best
+    * chain on both relations.
+    */
+  def dedupIncrementalLshQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val near = d.filter(expr("doc_id % 25 = 0"))
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" graftbatch extra token")).as("text"))
+    val fresh = d.filter(expr("doc_id % 40 = 0"))
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        concat(lit("nova "), md5(col("doc_id").cast("string")), lit(" "),
+          md5((col("doc_id") * 7).cast("string"))).as("text"))
+    Dedup.incrementalLsh(d.select("doc_id", "text"),
+      near.unionByName(fresh), "text", "doc_id",
+      numHashes = 16, numBands = 2, threshold = JAC_T)
+  }
+
+  /** Train/val/test split + leakage audit (Sampling.splitWithLeakage)
+    * over the mirrored corpus (every 50th doc duplicated at +300000,
+    * the dedup-family convention) — the mirrors' ids hash into
+    * different splits, so the cross-split leakage counters have true
+    * positives to find.
+    */
+  def sampleSplitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
+      .withColumn("doc_id", col("doc_id") + 300000L))
+    graft.ops.Sampling.splitWithLeakage(corpus, "text", "doc_id")
+  }
+
+  /** Corpus PII audit (TextAnalysis.piiProfile) over documents
+    * augmented with planted emails / IPv4s / phones / id runs on
+    * disjoint-ish doc_id residues (both engines construct identical
+    * text — text_scrub's convention), so every detector has true
+    * positives and the per-source rates are non-degenerate.
+    */
+  def textPiiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val aug = concat(col("text"),
+      when(expr("doc_id % 7 = 0"), concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(expr("doc_id % 11 = 0"), concat(lit(" host 10."),
+        (col("doc_id") % 256).cast("string"), lit(".7."),
+        (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(expr("doc_id % 13 = 0"), concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(expr("doc_id % 17 = 0"), concat(lit(" ref "),
+        lpad((col("doc_id") % 100000).cast("string"), 9, "0"))).otherwise(lit("")))
+    TextAnalysis.piiProfile(d.withColumn("text", aug), "text", "source")
+  }
+
+  /** Exact covariance sufficient statistics of the embedding corpus
+    * (Similarity.gramStats): second moments, first moments, count —
+    * integer-exact, hash-gated; the distributed half of [[embPcaQ]].
+    */
+  def embGramQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.gramStats(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
+
+  /** Top principal component by power iteration over emb_gram's exact
+    * moments (rows-only: the iterative eigen-solve is not one SQL
+    * statement; determinism and recovery of a planted direction are
+    * spec-pinned, and the distributed pass is hash-gated as emb_gram —
+    * the kmeans/_init twin convention).
+    */
+  def embPcaQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pca1(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
+
   /** df-threshold boilerplate strip over the corpus (see
     * TextAnalysis.dfPrune): one df shuffle + a broadcast high-df set;
     * the prune is a per-row array lambda at scan speed.
@@ -1248,6 +1321,11 @@ object PipelineQueries {
     "text_kl_drift" -> textKlDriftQ,
     "sample_shard" -> sampleShardQ,
     "sample_curriculum" -> sampleCurriculumQ,
+    "sample_split" -> sampleSplitQ,
+    "text_pii" -> textPiiQ,
+    "dedup_incremental_lsh" -> dedupIncrementalLshQ,
+    "emb_gram" -> embGramQ,
+    "emb_pca" -> embPcaQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -2283,6 +2361,115 @@ object PipelineQueries {
          |  CAST(row_number() OVER (PARTITION BY band ORDER BY k, doc_id) - 1
          |    AS BIGINT) AS pos
          |FROM b""".stripMargin,
+    "sample_split" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 50 = 0),
+         |b AS (SELECT CASE WHEN bucket < 100 THEN 'test'
+         |             WHEN bucket < 600 THEN 'val' ELSE 'train' END AS split,
+         |        md5($norm) AS content_hash, length(text)::BIGINT AS n_chars
+         |      FROM (SELECT doc_id, text,
+         |              ${h64("'split:' || doc_id::VARCHAR")} % 10000 AS bucket
+         |            FROM corpus)),
+         |phs AS (SELECT content_hash, split, count(*) AS n, sum(n_chars) AS chars
+         |        FROM b GROUP BY 1, 2),
+         |x AS (SELECT content_hash FROM phs GROUP BY 1 HAVING count(*) > 1),
+         |leak AS (SELECT split, CAST(sum(n) AS BIGINT) AS n_leak_docs
+         |         FROM phs JOIN x USING (content_hash) GROUP BY 1),
+         |tot AS (SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+         |          CAST(sum(chars) AS BIGINT) AS n_chars
+         |        FROM phs GROUP BY 1)
+         |SELECT t.split, t.n_docs, t.n_chars,
+         |  COALESCE(l.n_leak_docs, 0)::BIGINT AS n_leak_docs
+         |FROM tot t LEFT JOIN leak l USING (split)""".stripMargin,
+    "text_pii" ->
+      s"""WITH aug AS (SELECT source, text
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR
+         |          || '@example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR
+         |          || '.7.' || (doc_id % 250)::VARCHAR ELSE '' END
+         |  || CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-'
+         |          || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 17 = 0 THEN ' ref '
+         |          || lpad((doc_id % 100000)::VARCHAR, 9, '0') ELSE '' END AS t
+         |  FROM documents),
+         |d AS (SELECT source, length(t)::BIGINT AS c,
+         |        len(regexp_extract_all(t, '${TextAnalysis.emailRe}'))::BIGINT AS e,
+         |        len(regexp_extract_all(t, '${TextAnalysis.ipRe}'))::BIGINT AS i,
+         |        len(regexp_extract_all(t, '${TextAnalysis.phoneRe}'))::BIGINT AS p,
+         |        len(regexp_extract_all(t, '${TextAnalysis.numRe}'))::BIGINT AS q
+         |      FROM aug)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN e + i + p + q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_pii,
+         |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips,
+         |  CAST(sum(p) AS BIGINT) AS n_phones, CAST(sum(q) AS BIGINT) AS n_idnums,
+         |  (CAST(sum(e + i + p + q) AS BIGINT) * 1000000)
+         |    // CAST(sum(c) AS BIGINT) AS hits_per_mchar
+         |FROM d GROUP BY 1""".stripMargin,
+    "dedup_incremental_lsh" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, $norm AS t FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 500000 AS id,
+         |    lower(trim(regexp_replace(text || ' graftbatch extra token',
+         |      '\\s+', ' ', 'g'))) AS t
+         |  FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000,
+         |    'nova ' || md5(doc_id::VARCHAR) || ' ' || md5((doc_id * 7)::VARCHAR)
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |uni AS (SELECT 'c' AS side, id, t FROM corpus
+         |        UNION ALL SELECT 'b', id, t FROM batch),
+         |toks AS (SELECT DISTINCT side, id, unnest(string_split(t, ' ')) AS tok
+         |         FROM uni),
+         |seeds AS (SELECT j, ${h64("'a:' || j::VARCHAR")} % 1073741824 AS aj,
+         |                 ${h64("'b:' || j::VARCHAR")} % 1073741824 AS bj
+         |          FROM range(16) s(j)),
+         |mh AS (SELECT side, id, j,
+         |         min((aj * (${h64("tok")} % 1073741824) + bj) % 2147483647) AS h
+         |       FROM toks, seeds GROUP BY 1, 2, 3),
+         |bands AS (SELECT side, id, j // 8 AS band, sum(h)::BIGINT AS sig
+         |          FROM mh GROUP BY side, id, j // 8),
+         |cands AS (SELECT DISTINCT b.id AS batch_id, c.id AS match_id
+         |          FROM bands b JOIN bands c
+         |            ON b.band = c.band AND b.sig = c.sig
+         |          WHERE b.side = 'b' AND c.side = 'c'),
+         |toksh AS (SELECT DISTINCT side, id, ${h64("tok")} AS h FROM toks),
+         |sizes AS (SELECT side, id, count(*) AS n FROM toksh GROUP BY 1, 2),
+         |inter AS (SELECT c.batch_id, c.match_id, count(*) AS i
+         |          FROM cands c
+         |          JOIN toksh tb ON tb.side = 'b' AND tb.id = c.batch_id
+         |          JOIN toksh tc ON tc.side = 'c' AND tc.id = c.match_id
+         |            AND tc.h = tb.h
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT i.batch_id, i.match_id,
+         |          CAST(i.i AS DOUBLE) / (sb.n + sc.n - i.i) AS j
+         |        FROM inter i
+         |        JOIN sizes sb ON sb.side = 'b' AND sb.id = i.batch_id
+         |        JOIN sizes sc ON sc.side = 'c' AND sc.id = i.match_id)
+         |SELECT batch_id, match_id, round(j, 6) AS jaccard FROM (
+         |  SELECT batch_id, match_id, j,
+         |    row_number() OVER (PARTITION BY batch_id
+         |      ORDER BY j DESC, match_id ASC) AS rn
+         |  FROM jac WHERE j >= $JAC_T)
+         |WHERE rn = 1""".stripMargin,
+    "emb_gram" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |       FROM embeddings
+         |       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |a AS (SELECT vec_id, unnest(qv) AS qi,
+         |        unnest(range(0, len(qv))) AS i FROM q),
+         |sec AS (SELECT CAST(x.i AS BIGINT) AS i, CAST(y.i AS BIGINT) AS j,
+         |          CAST(sum(x.qi * y.qi) AS BIGINT) AS g
+         |        FROM a x JOIN a y ON x.vec_id = y.vec_id AND y.i >= x.i
+         |        GROUP BY 1, 2),
+         |fst AS (SELECT CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+         |          CAST(sum(qi) AS BIGINT) AS g
+         |        FROM a GROUP BY 1),
+         |cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+         |          count(*)::BIGINT AS g FROM q)
+         |SELECT * FROM sec UNION ALL SELECT * FROM fst
+         |UNION ALL SELECT * FROM cnt""".stripMargin,
     "profile_table" ->
       s"""WITH d AS (SELECT doc_id, text,
          |             CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,

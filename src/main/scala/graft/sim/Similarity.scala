@@ -641,4 +641,105 @@ object Similarity {
       .select(col("n_vecs"), col("n_null"), col("n_bad_dim"), col("n_zero"),
         col("n2_p50"), col("n2_p95"), col("sum_n2"))
   }
+
+  /** Exact covariance sufficient statistics of the embedding corpus —
+    * the distributed-linear-algebra primitive under PCA, whitening and
+    * Mahalanobis outlier scoring: the full second-moment (Gram)
+    * matrix Σxᵢxⱼ, the first-moment vector Σxᵢ, and the row count, in
+    * ONE pass. Everything downstream (covariance, eigenvectors) is
+    * driver-side d×d arithmetic on these d(d+1)/2 + d + 1 numbers.
+    *
+    * Exactness: components quantize to integers (floor(x·10⁴), the
+    * file-wide convention), so every sum is an order-independent
+    * integer total — bit-identical in DuckDB regardless of partition
+    * or join order; no float ever accumulates.
+    *
+    * Scale shape: the upper-triangle products are built per row as
+    * ONE flat struct array (nested transform over a foldable index
+    * sequence — no self-join, no per-(i,j) array re-allocation) and
+    * exploded straight into a partial-aggregatable groupBy: map-side
+    * combine collapses every partition to ≤ d(d+1)/2 rows, so the
+    * shuffle carries O(partitions·d²) tiny rows no matter how many
+    * vectors the corpus holds — the same reduction treeAggregate-based
+    * Gramians perform, expressed declaratively. The d× explode factor
+    * is the honest per-row cost (d²/2 products must be computed
+    * somewhere); nothing wide ever crosses the wire.
+    *
+    * Output rows: (i, j, g) with 0 ≤ i ≤ j < d the second moments;
+    * (i, -1, Σxᵢ) the first moments; (-1, -1, n) the count.
+    */
+  def gramStats(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val q = df.select(quantize(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qv"), i + lit(1)) *
+            element_at(col("qv"), j + lit(1))).as("p")))))
+    val second = q.select(explode(pairs).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.p")).as("g"))
+    val first = q.select(posexplode(col("qv")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi")).as("g"))
+      .select(col("i"), lit(-1).as("j"), col("g"))
+    val cnt = q.agg(count(lit(1)).as("g"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("g"))
+    second.select(col("i"), col("j"), col("g"))
+      .unionAll(first).unionAll(cnt)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g").cast("long").as("g"))
+  }
+
+  /** Top principal component by power iteration over [[gramStats]]'
+    * exact moments — embedding-drift/structure analysis at corpus
+    * scale: ONE distributed pass collects the d(d+1)/2+d+1 sufficient
+    * statistics, then the eigen-solve is a driver-side d×d loop (d is
+    * the embedding width — 64 here — so the driver work is microscopic
+    * and the cluster never iterates).
+    *
+    * Determinism (spec-pinned, rows-only gate — the kmeans/bpe_merges
+    * convention, with [[gramStats]] as the hash-gated distributed
+    * twin): covariance entries derive from exact integer moments; the
+    * start vector is the standard basis vector of the LARGEST diagonal
+    * variance (ties → lowest index — a data-derived deterministic
+    * seed, never RNG); a FIXED iteration count (no float-threshold
+    * convergence test to flip across platforms); and the sign is
+    * normalized so the largest-|loading| component is positive.
+    * Returns one row per dimension: (i, loading_micro, ev_share_micro)
+    * — loadings of the unit eigenvector in micro units, plus the
+    * explained-variance share λ₁/trace (same value on every row).
+    */
+  def pca1(df: DataFrame, vecCol: String, dim: Int,
+           iters: Int = 24): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val rows = gramStats(df, vecCol, dim).collect()
+    var n = 0.0
+    val s = new Array[Double](dim)
+    val g = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble)
+      if (i == -1) n = v
+      else if (j == -1) s(i) = v
+      else { g(i)(j) = v; g(j)(i) = v }
+    }
+    require(n > 1, s"pca1 needs at least 2 valid vectors, got ${n.toLong}")
+    // covariance (population): C = G/n − (s/n)(s/n)ᵀ
+    val c = Array.tabulate(dim, dim)((i, j) => g(i)(j) / n - (s(i) / n) * (s(j) / n))
+    var v = new Array[Double](dim)
+    val seed = (0 until dim).maxBy(i => (c(i)(i), -i))
+    v(seed) = 1.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm == 0.0) v else w.map(_ / norm)
+    }
+    val lambda = (0 until dim).map(i => (0 until dim).map(j => v(i) * c(i)(j) * v(j)).sum).sum
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    val flip = if (v(v.indices.maxBy(i => (math.abs(v(i)), -i))) < 0) -1.0 else 1.0
+    val share = math.floor(lambda / trace * 1e6).toLong
+    import spark.implicits._
+    v.indices.map(i => (i.toLong, math.floor(v(i) * flip * 1e6).toLong, share))
+      .toDF("i", "loading_micro", "ev_share_micro")
+  }
 }

@@ -1658,4 +1658,136 @@ class PipelineSpec extends SparkSpec {
     assert(reshuffled.map(t => (t._1, t._4)) != got.map(t => (t._1, t._4)),
       "salt must reshuffle within-band positions")
   }
+
+  test("splitWithLeakage: totals partition the corpus, leak counts cross-split dup members exactly") {
+    import graft.ops.Sampling
+    val d = docs.select($"doc_id", $"text")
+    val noDup = Sampling.splitWithLeakage(d, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(noDup.values.map(_._1).sum == d.count(), "splits must partition the corpus")
+    assert(noDup.values.forall(_._3 == 0L), "a dup-free corpus has zero leakage")
+    // mirror every 10th doc under a new id: each mirrored pair is a
+    // content group; it leaks iff the two ids hash to different splits
+    val mirrored = d.unionByName(d.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L))
+    val got = Sampling.splitWithLeakage(mirrored, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // independent truth: recompute split per id with the same hash,
+    // group by text, count members of groups spanning >1 split
+    val bucket = pmod(graft.util.Hashing.portableHash64(
+      concat(lit("split:"), $"doc_id".cast("string"))), lit(10000L))
+    val split = when(bucket < 100, "test").when(bucket < 600, "val").otherwise("train")
+    val truth = mirrored.select(split.as("s"), TextAnalysis.normalize($"text").as("t"))
+      .groupBy("t").agg(collect_list($"s").as("ss"))
+      .filter(size(array_distinct($"ss")) > 1)
+      .select(explode($"ss").as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    Seq("train", "val", "test").foreach { s =>
+      assert(got(s)._4 == truth.getOrElse(s, 0L), s"leak count for $s")
+    }
+    assert(got.values.map(_._2).sum == mirrored.count())
+    // layout independence
+    val re = Sampling.splitWithLeakage(mirrored.repartition(7), "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(re == got, "split report owes nothing to layout")
+  }
+
+  test("piiProfile: per-type detector counts and micro-rate arithmetic are exact") {
+    val d = Seq(
+      (1L, "s1", "write a@b.io or c.d+x@e.co today"),          // 2 emails
+      (2L, "s1", "from 10.0.0.1 to 192.168.255.250 end"),      // 2 ips
+      (3L, "s1", "call 415-555-0123 or +1 650 555 1234 now"),  // 2 phones (2nd: '650 555 1234')
+      (4L, "s2", "ref 1234567 and 89012"),                     // 2 id runs
+      (5L, "s2", "clean text, no identifiers at all")          // nothing
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.piiProfile(d, "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    val chars = d.as[(Long, String, String)].collect()
+      .groupBy(_._2).map { case (s, rows) => s -> rows.map(_._3.length.toLong).sum }
+    assert(got("s1") == (("s1", 3L, 3L, 2L, 2L, 2L, 0L,
+      (2L + 2L + 2L) * 1000000L / chars("s1"))))
+    assert(got("s2") == (("s2", 2L, 1L, 0L, 0L, 0L, 2L,
+      2L * 1000000L / chars("s2"))))
+    // version strings with >4 octet groups still count deterministically
+    val v = Seq((1L, "s", "v 1.2.3.4.5 x")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.piiProfile(v, "text", "source")
+      .select("n_ips").as[Long].head() == 1L)
+  }
+
+  test("incrementalLsh: near-dups match their source, fresh docs are admitted, ties break to min corpus id") {
+    val mk = (s: String, n: Int) => (1 to n).map(i => s"$s$i").mkString(" ")
+    val corpusD = Seq(
+      (10L, mk("tok", 40)),             // base doc
+      (11L, mk("tok", 40) + " pad"),    // its sibling (still ~0.97 to base)
+      (20L, mk("other", 40))
+    ).toDF("doc_id", "text")
+    val batchD = Seq(
+      (100L, mk("tok", 40) + " extra"), // near-dup of 10 and 11
+      (101L, mk("other", 40)),          // exact copy of 20
+      (102L, mk("fresh", 40))           // genuinely new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalLsh(corpusD, batchD, "text", "doc_id",
+      numHashes = 16, numBands = 2, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got.keySet == Set(100L, 101L), "fresh doc must be admitted")
+    assert(got(101L)._2 == 20L && got(101L)._3 == 1.0)
+    assert(got(100L)._2 == 10L, "best-match tie/ranking must pick corpus id 10")
+    assert(got(100L)._3 > 0.9)
+    // equal-Jaccard tie: batch doc equidistant from two corpus docs
+    val c2 = Seq((1L, mk("w", 30)), (2L, mk("w", 30))).toDF("doc_id", "text")
+    val b2 = Seq((9L, mk("w", 30))).toDF("doc_id", "text")
+    val tie = Dedup.incrementalLsh(c2, b2, "text", "doc_id")
+      .as[(Long, Long, Double)].head()
+    assert(tie == ((9L, 1L, 1.0)), "exact tie must resolve to the smallest corpus id")
+  }
+
+  test("gramStats: hand-computed exact moments; layout-independent") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(0.1f, 0.0f, -0.5f)),
+      (3L, null.asInstanceOf[Array[Float]]) // excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.gramStats(vecs, "embedding", dim = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // q1 = (5000, -2500, 10000), q2 = (1000, 0, -5000)
+    val expected = Set(
+      (0L, 0L, 5000L * 5000 + 1000L * 1000),
+      (0L, 1L, 5000L * -2500 + 0L),
+      (0L, 2L, 5000L * 10000 + 1000L * -5000),
+      (1L, 1L, 2500L * 2500),
+      (1L, 2L, -2500L * 10000),
+      (2L, 2L, 10000L * 10000 + 5000L * 5000),
+      (0L, -1L, 6000L), (1L, -1L, -2500L), (2L, -1L, 5000L),
+      (-1L, -1L, 2L))
+    assert(got == expected)
+    assert(Similarity.gramStats(vecs.repartition(5), "embedding", dim = 3)
+      .as[(Long, Long, Long)].collect().toSet == expected,
+      "moments owe nothing to layout")
+  }
+
+  test("pca1: recovers a planted principal direction, deterministic, sign-normalized") {
+    // corpus stretched along u = (3,1,0)/√10 with small orthogonal jitter
+    val u = Array(3.0, 1.0, 0.0).map(_ / math.sqrt(10.0))
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21) - 10.0            // spread along u
+      val o = ((k * 7) % 5 - 2.0) * 0.02 // tiny jitter along (−1,3,0)/√10
+      (k.toLong, Array(
+        (t * u(0) + o * -u(1)).toFloat,
+        (t * u(1) + o * u(0)).toFloat,
+        ((k % 3 - 1.0) * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pca1(rows, "embedding", dim = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val v = got.map(_._2.toDouble / 1e6)
+    val cos = (0 until 3).map(i => v(i) * u(i)).sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.999, s"recovered direction off: ${v.toSeq}")
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0, "sign convention")
+    assert(got.head._3 > 900000L, "planted direction dominates variance")
+    val again = Similarity.pca1(rows.repartition(5), "embedding", dim = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq, "pca1 must be deterministic and layout-independent")
+  }
 }
