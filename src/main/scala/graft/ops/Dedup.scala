@@ -640,16 +640,22 @@ object Dedup {
   def incrementalLsh(corpus: DataFrame, batch: DataFrame,
                      textCol: String, idCol: String,
                      numHashes: Int = 16, numBands: Int = 2,
-                     threshold: Double = 0.7): DataFrame = {
+                     threshold: Double = 0.7,
+                     materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the WHOLE composition one lazy plan
+    // (token caches and final truncation skipped) — for plan audits
+    // and callers that persist/checkpoint at their own boundary.
     val SALTS = 16
-    val corpusToks = tokenSet(corpus, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchToks = tokenSet(batch, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maybeCache = (df: DataFrame) =>
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val corpusToks = maybeCache(tokenSet(corpus, textCol, idCol))
+    val batchToks = maybeCache(tokenSet(batch, textCol, idCol))
     // eager materialization: both token tables feed a band build AND a
     // broadcast set build whose jobs race an unmaterialized cache
     // (minHashLsh's documented hygiene)
-    corpusToks.count(); batchToks.count()
+    if (materialize) { corpusToks.count(); batchToks.count() }
     val corpusBands = minHashBandsWide(corpusToks, numHashes, numBands)
       .select(col("band"), col("sig"), col("id").as("match_id"))
       .withColumn("salt",
@@ -679,8 +685,11 @@ object Dedup {
       .agg(max(struct(col("jaccard"), (-col("match_id")).as("nid"))).as("m"))
       .select(col("batch_id"), (-col("m.nid")).as("match_id"),
         round(col("m.jaccard"), 6).as("jaccard"))
-    val result = graft.util.Lineage.truncate(best)
-    corpusToks.unpersist(); batchToks.unpersist()
-    result
+    if (!materialize) best
+    else {
+      val result = graft.util.Lineage.truncate(best)
+      corpusToks.unpersist(); batchToks.unpersist()
+      result
+    }
   }
 }

@@ -429,17 +429,21 @@ object Sampling {
     * old docs between splits, unlike modulo-on-row-number schemes).
     *
     * Leakage = documents whose normalized content hash appears in ≥ 2
-    * distinct splits. Shape: ONE partial-aggregatable groupBy to
-    * (content_hash, split) counts, a second groupBy to per-hash split
-    * fan-out, and a hash-key join back — both sides of that join come
-    * off the SAME (content_hash, split) aggregate, so they are
-    * co-partitioned (ReusedExchange, no second corpus shuffle). The
-    * per-split report is |splits| rows.
+    * distinct splits. The split vocabulary is FIXED (train/val/test),
+    * so the whole audit is conditional sums — no join anywhere: ONE
+    * partial-aggregatable groupBy collapses the corpus to per-hash
+    * rows carrying a (count, chars) pair per split, a per-row flag
+    * marks hashes spanning > 1 split, and a second tiny aggregate over
+    * the |splits| exploded legs emits the report. The corpus is
+    * scanned ONCE and shuffled once (on the content hash); the
+    * join-back formulation would re-derive the corpus aggregate per
+    * consumer. |splits| rows out.
     *
-    * Returns one row per split: (split, n_docs, n_chars, n_leak_docs)
-    * where n_leak_docs counts this split's members of cross-split
-    * content groups — the docs a decontamination pass must drop from
-    * train (or move) before the val/test numbers mean anything.
+    * Returns one row per non-empty split: (split, n_docs, n_chars,
+    * n_leak_docs) where n_leak_docs counts this split's members of
+    * cross-split content groups — the docs a decontamination pass must
+    * drop from train (or move) before the val/test numbers mean
+    * anything.
     */
   def splitWithLeakage(df: DataFrame, textCol: String, idCol: String,
                        valPm: Long = 500L, testPm: Long = 100L,
@@ -455,18 +459,22 @@ object Sampling {
       split.as("split"),
       md5(TextAnalysis.normalize(col(textCol))).as("content_hash"),
       length(col(textCol)).cast("long").as("n_chars"))
-    val perHashSplit = base.groupBy("content_hash", "split")
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-    val crossHash = perHashSplit.groupBy("content_hash")
-      .agg(count(lit(1)).as("n_splits"))
-      .filter(col("n_splits") > 1)
-      .select("content_hash")
-    val leak = perHashSplit.join(crossHash, Seq("content_hash"), "left_semi")
-      .groupBy("split").agg(sum(col("n")).as("n_leak_docs"))
-    perHashSplit.groupBy("split")
-      .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("n_chars"))
-      .join(leak, Seq("split"), "left")
-      .select(col("split"), col("n_docs"), col("n_chars"),
-        coalesce(col("n_leak_docs"), lit(0L)).as("n_leak_docs"))
+    val names = Seq("test", "val", "train")
+    val aggs = names.flatMap { s => Seq(
+      sum(when(col("split") === s, 1L).otherwise(0L)).as(s"n_$s"),
+      sum(when(col("split") === s, col("n_chars")).otherwise(0L)).as(s"c_$s"))
+    }
+    val perHash = base.groupBy("content_hash").agg(aggs.head, aggs.tail: _*)
+    val nSplits = names.map(s => when(col(s"n_$s") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val legs = perHash.withColumn("leaky", nSplits > 1)
+      .select(explode(array(names.map(s => struct(
+        lit(s).as("split"), col(s"n_$s").as("n"), col(s"c_$s").as("c"),
+        when(col("leaky"), col(s"n_$s")).otherwise(lit(0L)).as("lk"))): _*))
+        .as("r"))
+      .filter(col("r.n") > 0)
+    legs.groupBy(col("r.split").as("split")).agg(
+      sum(col("r.n")).as("n_docs"), sum(col("r.c")).as("n_chars"),
+      sum(col("r.lk")).as("n_leak_docs"))
   }
 }

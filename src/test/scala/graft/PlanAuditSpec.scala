@@ -614,4 +614,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       "audit counters must combine map-side")
   }
+
+  test("emb_gram: moments combine map-side, embedding-only scan, no join anywhere") {
+    val plan = formatted(q("emb_gram"))
+    assert(plan.contains("partial_sum"),
+      "Gram entries must partial-aggregate so the shuffle carries <= d(d+1)/2 rows per partition")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      "gramStats must read ONLY the embedding column")
+    assert(!plan.contains("Join"), "sufficient statistics need no join")
+  }
+
+  // numbered operator occurrences in formatted explain (the tree AND
+  // the details section both print each op; details entries are
+  // uniquely numbered, so count those)
+  private def ops(plan: String, name: String): Int =
+    ("""\(\d+\) """ + name + """\b""").r.findAllIn(plan).size
+
+  test("dedup_incremental_lsh: no corpus self-join shape, batch sets broadcast, native intersect") {
+    // materialize=false keeps the op's real composition one lazy plan
+    // (the gated query truncates lineage, which hides it from explain)
+    spark.catalog.clearCache()
+    val d = graft.util.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val batch = d.filter(org.apache.spark.sql.functions.expr("doc_id % 25 = 0"))
+    val plan = formatted(graft.ops.Dedup.incrementalLsh(
+      d, batch, "text", "doc_id", materialize = false))
+    assert(plan.contains("graft_intersect_size"),
+      "Jaccard verify must use the codegen'd merge-intersect")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the batch token-set side must broadcast into the verify join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a (band, sig) equi-join")
+    assert(plan.contains("partial_min"),
+      "minhash signatures must combine map-side (wide-form bands)")
+  }
+
+  test("sample_split: join-free conditional-sum shape, one corpus exchange") {
+    val plan = formatted(q("sample_split"))
+    assert(!plan.contains("Join"),
+      "the fixed split vocabulary makes the whole audit conditional sums — no join")
+    assert(plan.contains("partial_sum"),
+      "per-hash split counters must combine map-side")
+    assert(ops(plan, "Exchange") <= 2,
+      "one content-hash exchange + one |splits|-leg exchange only")
+  }
+
+  test("text_pii: detectors fuse into the scan — one exchange total, no UDF") {
+    val plan = formatted(q("text_pii"))
+    assert(plan.contains("partial_sum"), "per-source rates must combine map-side")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLFunction"),
+      "detection must stay codegen'd regexp_count, never a UDF")
+    assert(ops(plan, "Exchange") <= 1,
+      "PII profile is scan + ONE aggregate exchange")
+  }
 }
