@@ -321,6 +321,18 @@ object BenchStress {
       nodes.join(Dedup.connectedComponentsStar(sparse), Seq("id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("cluster"), col("id")).as("component"))
+    }),
+    // the per-copy character bijection decorrelates token sets across
+    // copies, so batch→corpus band candidates stay WITHIN each copy:
+    // candidate count and verify work grow linearly with copies, and
+    // the corpus-side band build is one linear pass — any accidental
+    // corpus self-join or cross-copy bucket blowup would surface here
+    "dedup_incremental_lsh" -> ((d: DataFrame) => {
+      val batch = d.filter(expr("doc_id % 25 = 0"))
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" graftbatch extra token")).as("text"))
+      Dedup.incrementalLsh(d.select("doc_id", "text"), batch,
+        "text", "doc_id")
     }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
@@ -343,7 +355,13 @@ object BenchStress {
       Similarity.cascadeTopK(e, "embedding", "vec_id",
         expr(s"id % 100 = 0 AND id < $COPY_STRIDE"),
         k = 5, shortlist = 25, m = 8, codes = 16, iters = 0,
-        dim = Some(64))))
+        dim = Some(64))),
+    // fixed d(d+1)/2-row output; the d²/2-per-row explode is the cost
+    // under watch — map-side combine must keep the shuffle at
+    // O(partitions·d²) rows so the ratio reads the scan, not a
+    // corpus-sized exchange
+    "emb_gram" -> ((e: DataFrame, _: Int) =>
+      Similarity.gramStats(e, "embedding", dim = 64)))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile
