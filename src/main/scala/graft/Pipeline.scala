@@ -90,6 +90,15 @@ object Pipeline {
         // unit the training run actually spends
         graft.ops.Bpe.annotateTokens(df, textCol,
           strOf("outCol", "bpe_tokens"), reqStr("merges"))
+      case "split" =>
+        // annotation: train/val/test membership as a column — a pure
+        // per-row hash threshold (Sampling.splitAssign), so it is
+        // streaming-safe and stable under corpus growth; run the
+        // sample_split AUDIT (leakage counters) before trusting the
+        // held-out sets of a corpus with near-dups
+        df.withColumn(strOf("outCol", "split"),
+          Sampling.splitAssign(col(idCol), lngOf("valPm", 500L),
+            lngOf("testPm", 100L), strOf("salt", "split")))
       case "dedup_exact" =>
         df.join(Dedup.exact(df, textCol, idCol)
             .select(col("keeper_id").as(idCol)),
@@ -368,7 +377,10 @@ object Pipeline {
   // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
-    "decontaminate", "coverage_filter", "canary", "wordlist_filter")
+    "decontaminate", "coverage_filter", "canary", "wordlist_filter", "split")
+
+  /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
+  private[graft] def streamableOp(op: String): Boolean = streamableOps(op)
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",

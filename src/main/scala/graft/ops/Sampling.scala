@@ -445,18 +445,27 @@ object Sampling {
     * drop from train (or move) before the val/test numbers mean
     * anything.
     */
-  def splitWithLeakage(df: DataFrame, textCol: String, idCol: String,
-                       valPm: Long = 500L, testPm: Long = 100L,
-                       salt: String = "split"): DataFrame = {
+  /** The split-name column alone — a pure per-row function of
+    * (salt, id), for pipelines annotating rows in place (the
+    * Pipeline `split` stage; streaming-safe: a doc's split never
+    * depends on what else is in the batch).
+    */
+  def splitAssign(idCol: Column, valPm: Long = 500L, testPm: Long = 100L,
+                  salt: String = "split"): Column = {
     require(valPm + testPm < BUCKETS,
       s"val+test per-mille must leave room for train (got $valPm+$testPm)")
     val bucket = pmod(Hashing.portableHash64(
-      concat(lit(salt + ":"), col(idCol).cast("string"))), lit(BUCKETS))
-    val split = when(bucket < testPm, lit("test"))
+      concat(lit(salt + ":"), idCol.cast("string"))), lit(BUCKETS))
+    when(bucket < testPm, lit("test"))
       .when(bucket < testPm + valPm, lit("val"))
       .otherwise(lit("train"))
+  }
+
+  def splitWithLeakage(df: DataFrame, textCol: String, idCol: String,
+                       valPm: Long = 500L, testPm: Long = 100L,
+                       salt: String = "split"): DataFrame = {
     val base = df.select(
-      split.as("split"),
+      splitAssign(col(idCol), valPm, testPm, salt).as("split"),
       md5(TextAnalysis.normalize(col(textCol))).as("content_hash"),
       length(col(textCol)).cast("long").as("n_chars"))
     val names = Seq("test", "val", "train")

@@ -569,4 +569,27 @@ class ConfigSpec extends SparkSpec {
         |"stages": [{"op": "curriculum"}, {"op": "dedup_exact"}]}""".stripMargin)
     }
   }
+
+  test("pipeline split stage: per-row assignment rides along, matches splitAssign, streaming-safe") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs_split.parquet"
+    val outDir = tmpDir() + "/split_out"
+    docs.write.mode("overwrite").parquet(inDir)
+    val (rin, rout) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "split", "valPm": 200, "testPm": 50,
+         |            "salt": "v1"}]}""".stripMargin)
+    assert(rin == docs.count() && rout == rin, "split annotates, never filters")
+    val out = spark.read.parquet(outDir)
+    val direct = docs.select($"doc_id",
+        graft.ops.Sampling.splitAssign($"doc_id", 200L, 50L, "v1").as("split"))
+      .as[(Long, String)].collect().toSet
+    assert(out.select("doc_id", "split").as[(Long, String)].collect().toSet
+      == direct)
+    assert(out.select("split").distinct().count() == 3)
+    // per-row purity => the stage is accepted in streaming configs
+    assert(Pipeline.streamableOp("split"),
+      "split must be streamable: a doc's split never depends on the batch")
+  }
 }

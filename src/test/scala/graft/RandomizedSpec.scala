@@ -1014,4 +1014,44 @@ class RandomizedSpec extends SparkSpec {
       assert(gotB == wantB, s"qualityBand round $round")
     }
   }
+
+  test("incremental LSH equals the batch-corpus slice of the full minhash run") {
+    // both paths share the identical seeded hash family, so the
+    // incremental probe must produce EXACTLY the keep-best of the
+    // full run's cross pairs — no extra candidates, none lost
+    val rnd = new Random(4242)
+    val vocab = (0 until 60).map(i => s"w$i")
+    (1 to 4).foreach { round =>
+      def doc() = Seq.fill(15 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0 until 30).map(i => (i.toLong, doc()))
+      // batch: mutated corpus docs (drop/append tokens) + fresh docs
+      val batch = corpus.filter(_._1 % 3 == 0).map { case (id, t) =>
+        val toks = t.split(" ")
+        val mutated = (toks.drop(rnd.nextInt(2)) :+ s"x$id").mkString(" ")
+        (id + 1000L, mutated)
+      } ++ (0 until 5).map(i => (2000L + i, doc()))
+      val cdf = corpus.toDF("doc_id", "text")
+      val bdf = batch.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.incrementalLsh(cdf, bdf, "text", "doc_id",
+        numHashes = 16, numBands = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: full self-run over corpus ∪ batch, keep cross pairs
+      val full = graft.ops.Dedup.minHashLsh(
+        cdf.unionByName(bdf), "text", "doc_id",
+        numHashes = 16, numBands = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      val isBatch = batch.map(_._1).toSet
+      val cross = full.flatMap { case (a, b, j) =>
+        if (isBatch(a) && !isBatch(b)) Some((a, b, j))
+        else if (isBatch(b) && !isBatch(a)) Some((b, a, j))
+        else None
+      }
+      val want = cross.groupBy(_._1).map { case (bid, ms) =>
+        val best = ms.minBy(m => (-m._3, m._2))
+        (bid, best._2, best._3)
+      }.toSet
+      assert(got == want, s"incrementalLsh round $round")
+    }
+  }
 }
