@@ -230,4 +230,49 @@ object TimeSeries {
         when(col("has_touch") === 1, col("age_ms"))
           .otherwise(lit(-1L)).as("touch_age_ms"))
   }
+
+  /** Trailing exponentially-weighted moving average per key — the
+    * metric smoother monitors and anomaly scans read instead of raw
+    * points: the j-th most recent of the last `k` events weighs
+    * 2^(k−1−j), so influence halves per step back (the classic
+    * α = 1/2 EWMA, TRUNCATED to a k-event horizon, which is what
+    * makes it exact: the infinite recurrence never is).
+    *
+    * Integer-exact contract (round-9 convention): values quantize to
+    * cents, the weighted numerator and the weight sum of the AVAILABLE
+    * lags accumulate as longs, and the output is
+    * (num·10) div den milli-units — matched truncation on both
+    * engines, no float recurrence anywhere. Early rows (< k
+    * predecessors) renormalize over the lags that exist, reported as
+    * `n_window`; null-timestamp rows are dropped up front (engines
+    * disagree on null ordering — the gapFill hardening).
+    *
+    * Scale shape: ONE key-hash exchange, one ordered window pass
+    * computing all k lags (one sort, k row-buffer reads); pure per-row
+    * arithmetic after — the q_rolling_window cost model with a k-row
+    * frame instead of a time range.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           idCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    // null ts: engines disagree on null ordering (the gapFill
+    // hardening); null value: an all-null lag window would divide by
+    // zero — both are dropped, not guessed at
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        expr(s"unix_millis($tsCol)").as("ts_ms"),
+        round(col(valueCol) * 100).cast("long").as("__q"))
+    val w = Window.partitionBy(keyCol).orderBy(col("ts_ms"), col(idCol))
+    val lagged = base.select(Seq(col(keyCol), col(idCol), col("ts_ms")) ++
+      (0 until k).map(j => lag(col("__q"), j).over(w).as(s"__l$j")): _*)
+    val num = (0 until k).map(j => when(col(s"__l$j").isNotNull,
+      col(s"__l$j") * lit(1L << (k - 1 - j))).otherwise(lit(0L))).reduce(_ + _)
+    val den = (0 until k).map(j => when(col(s"__l$j").isNotNull,
+      lit(1L << (k - 1 - j))).otherwise(lit(0L))).reduce(_ + _)
+    val nw = (0 until k).map(j =>
+      when(col(s"__l$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    lagged.withColumn("__num", num).withColumn("__den", den)
+      .select(col(keyCol), col(idCol), col("ts_ms"), nw.as("n_window"),
+        expr("(__num * 10L) div __den").as("smoothed_milli"))
+  }
 }

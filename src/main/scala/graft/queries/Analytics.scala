@@ -595,7 +595,14 @@ object Analytics {
       "user_id", "ts", "event_type", "event_id",
       leftType = "click", rightType = "purchase")
 
+  /** Per-user trailing EWMA of event values (TimeSeries.ewma, k = 4
+    * lags, halving weights, integer milli output). */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
+      "user_id", "ts", "value", "event_id", k = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> qEwma,
     "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
@@ -790,6 +797,26 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
+        |        CAST(round(value * 100) AS BIGINT) AS q
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT k, id, ms,
+        |        lag(q, 0) OVER w AS l0, lag(q, 1) OVER w AS l1,
+        |        lag(q, 2) OVER w AS l2, lag(q, 3) OVER w AS l3
+        |      FROM e WINDOW w AS (PARTITION BY k ORDER BY ms, id))
+        |SELECT k AS user_id, id AS event_id, ms AS ts_ms,
+        |  CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_window,
+        |  ((COALESCE(l0, 0) * 8 + COALESCE(l1, 0) * 4
+        |    + COALESCE(l2, 0) * 2 + COALESCE(l3, 0)) * 10)
+        |  // (CASE WHEN l0 IS NULL THEN 0 ELSE 8 END
+        |     + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+        |     + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+        |     + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS smoothed_milli
+        |FROM l""".stripMargin,
     "q_nearest_join" ->
       """WITH e AS (SELECT user_id AS k, ts AS t, epoch_ms(ts) AS ms,
         |        event_id AS id,

@@ -305,4 +305,45 @@ class AnalyticsSpec extends SparkSpec {
       assert(prs.toSet.size == prs.length, s"group $g has duplicate ranks")
     }
   }
+
+  test("ewma: halving weights, early-row renormalization, signed truncation, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:01", 1.0),
+      (1L, 11L, "2024-01-01 00:00:02", 2.0),
+      (1L, 12L, "2024-01-01 00:00:03", 4.0),
+      (1L, 13L, "2024-01-01 00:00:04", 8.0),
+      (1L, 14L, "2024-01-01 00:00:05", 8.0),
+      (2L, 20L, "2024-01-01 00:00:01", -1.0),
+      (2L, 21L, "2024-01-01 00:00:02", 0.0)
+    ).toDF("user_id", "event_id", "s", "value")
+      .select($"user_id", $"event_id", $"s".cast("timestamp").as("ts"), $"value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.ewma(d, "user_id", "ts", "value", "event_id", k = 4)
+        .select("event_id", "n_window", "smoothed_milli")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(ev)
+    assert(got == Seq(
+      // cents: 100, 200, 400, 800, 800; weights newest-first 8,4,2,1
+      (10L, 1L, 100L * 10 / 1),                               // 1000
+      (11L, 2L, (200L * 8 + 100 * 4) * 10 / 12),              // 1666
+      (12L, 3L, (400L * 8 + 200 * 4 + 100 * 2) * 10 / 14),    // 3000
+      (13L, 4L, (800L * 8 + 400 * 4 + 200 * 2 + 100) * 10 / 15),
+      (14L, 4L, (800L * 8 + 800 * 4 + 400 * 2 + 200) * 10 / 15),
+      // signed numerator: Spark div truncates toward zero, so
+      // (-100*8 + 0*... = -800)*10 div (8+4) = -666, not -667
+      (20L, 1L, -1000L),
+      (21L, 2L, (0L * 8 - 100 * 4) * 10 / 12)))
+    assert(-4000L * 10 / 12 == -3333L, "sanity: Scala / matches div toward zero")
+    assert(run(ev.repartition(5)) == got, "ewma owes nothing to layout")
+    // null ts / null value rows drop instead of poisoning the window
+    val withNulls = ev.unionByName(Seq(
+      (1L, 15L, null.asInstanceOf[String], java.lang.Double.valueOf(5.0)),
+      (1L, 16L, "2024-01-01 00:00:06", null.asInstanceOf[java.lang.Double])
+    ).toDF("user_id", "event_id", "s", "value")
+      .select($"user_id", $"event_id", $"s".cast("timestamp").as("ts"),
+        $"value".cast("double")))
+    assert(run(withNulls) == got)
+  }
 }
