@@ -489,6 +489,15 @@ object PipelineQueries {
   def embPcaQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.pca1(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
 
+  /** Corrupted-vector scan (Similarity.embOutliers): top-25 diagonal
+    * Mahalanobis outliers against the corpus' own exact moments —
+    * the gate proves the integer z² contract cross-engine on the real
+    * distribution; the spec plants corruption to prove detection.
+    */
+  def embOutliersQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embOutliers(Tables.embeddings(spark, sfDir), "embedding",
+      "vec_id", dim = 64, topK = 25)
+
   /** df-threshold boilerplate strip over the corpus (see
     * TextAnalysis.dfPrune): one df shuffle + a broadcast high-df set;
     * the prune is a per-row array lambda at scan speed.
@@ -1326,6 +1335,7 @@ object PipelineQueries {
     "dedup_incremental_lsh" -> dedupIncrementalLshQ,
     "emb_gram" -> embGramQ,
     "emb_pca" -> embPcaQ,
+    "emb_outliers" -> embOutliersQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -2452,6 +2462,28 @@ object PipelineQueries {
          |      ORDER BY j DESC, match_id ASC) AS rn
          |  FROM jac WHERE j >= $JAC_T)
          |WHERE rn = 1""".stripMargin,
+    "emb_outliers" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |       FROM embeddings
+         |       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |st AS (SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n,
+         |         list(s ORDER BY i) AS sv, list(g ORDER BY i) AS gv
+         |       FROM (SELECT i, CAST(sum(qi) AS BIGINT) AS s,
+         |               CAST(sum(qi * qi) AS BIGINT) AS g
+         |             FROM (SELECT unnest(qv) AS qi,
+         |                     unnest(range(0, len(qv))) AS i FROM q)
+         |             GROUP BY i)),
+         |sc AS (SELECT vec_id,
+         |         CAST(list_sum(list_transform(range(0, 64), i ->
+         |           CASE WHEN (n * gv[i + 1] - sv[i + 1] * sv[i + 1]) // (n * n) > 0
+         |             THEN ((qv[i + 1] - (sv[i + 1] // n))
+         |                   * (qv[i + 1] - (sv[i + 1] // n)) * 1000000)
+         |               // ((n * gv[i + 1] - sv[i + 1] * sv[i + 1]) // (n * n))
+         |             ELSE 0 END)) AS BIGINT) AS score_micro
+         |       FROM q, st)
+         |SELECT vec_id, score_micro FROM sc
+         |ORDER BY score_micro DESC, vec_id ASC LIMIT 25""".stripMargin,
     "emb_gram" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

@@ -690,6 +690,70 @@ object Similarity {
         col("g").cast("long").as("g"))
   }
 
+  /** Embedding outlier scan — corrupted-vector detection for a
+    * training corpus (a truncated write, a wrong-model batch, a
+    * zeroed row): per-vector diagonal Mahalanobis score against the
+    * corpus' own exact moments, top-k by score. The diagonal form is
+    * the deliberate scale choice: it needs only d variances (one
+    * [[gramStats]]-style aggregate), catches the per-dimension
+    * excursions corruption actually produces, and never inverts a
+    * d×d matrix per row.
+    *
+    * Integer-exact contract: with n, s_i = Σq_i, g_i = Σq_i² exact
+    * longs, the mean and variance are floored to the quantized unit
+    * first — μ̂_i = s_i div n, σ̂²_i = (n·g_i − s_i²) div n² (matched
+    * toward-zero truncation on both engines) — and each dimension's
+    * term is (q_i − μ̂_i)²·10⁶ div σ̂²_i: per-dim z² in micro units
+    * with every intermediate product bounded by ~4·10¹⁴ (deviation ≤
+    * 2·10⁴ quanta), far inside a signed 64-bit. The integer division
+    * per dimension makes the per-vector sum a sum of longs —
+    * order-independent, bit-identical cross-engine. Dimensions whose
+    * floored variance is ≤ 0 (constant to within one quantum)
+    * contribute 0 — no signal, no division. At n beyond ~10⁹ rows the
+    * moment sums move to decimal(38,0) (the embProfile convention);
+    * the per-row arithmetic is unchanged.
+    *
+    * Scale shape: ONE wide moment aggregate (2d+1 partial-aggregated
+    * sums, |1| row) broadcast back onto the scan; per-row scoring is
+    * a d-step fold fused into the projection; top-k is
+    * TakeOrderedAndProject (never a global sort). Two passes over the
+    * corpus, both linear, no shuffle of vector rows.
+    */
+  def embOutliers(df: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, topK: Int = 25): DataFrame = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val statAggs = Seq(count(lit(1)).as("n")) ++
+      (0 until dim).flatMap { i =>
+        Seq(sum(element_at(col("qv"), i + 1)).as(s"s$i"),
+          sum(element_at(col("qv"), i + 1) * element_at(col("qv"), i + 1))
+            .as(s"g$i"))
+      }
+    val stats = q.agg(statAggs.head, statAggs.tail: _*)
+      .select(col("n"),
+        array((0 until dim).map(i => col(s"s$i")): _*).as("sv"),
+        array((0 until dim).map(i => col(s"g$i")): _*).as("gv"))
+    // the per-dim term needs integer `div` INSIDE the fold lambda;
+    // `div` has no Column-API form and expr() can't see lambda
+    // variables, so the whole fold is one SQL lambda expression
+    val scored = q.crossJoin(broadcast(stats))
+      .select(col("id").as("vec_id"),
+        expr(s"""aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) ->
+          acc + (CASE WHEN (n * element_at(gv, i + 1)
+                            - element_at(sv, i + 1) * element_at(sv, i + 1))
+                           div (n * n) > 0
+            THEN ((element_at(qv, i + 1) - (element_at(sv, i + 1) div n))
+                  * (element_at(qv, i + 1) - (element_at(sv, i + 1) div n))
+                  * 1000000L)
+              div ((n * element_at(gv, i + 1)
+                    - element_at(sv, i + 1) * element_at(sv, i + 1))
+                   div (n * n))
+            ELSE 0L END))""").as("score_micro"))
+    scored
+      .orderBy(col("score_micro").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Top principal component by power iteration over [[gramStats]]'
     * exact moments — embedding-drift/structure analysis at corpus
     * scale: ONE distributed pass collects the d(d+1)/2+d+1 sufficient

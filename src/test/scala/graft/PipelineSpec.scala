@@ -1767,6 +1767,36 @@ class PipelineSpec extends SparkSpec {
       "moments owe nothing to layout")
   }
 
+  test("embOutliers: planted corruption tops the ranking, constant dims contribute zero") {
+    // 100 well-behaved vectors around (0.1, 0.2, 0.5) with small spread,
+    // one zeroed row (dropout corruption), one 10x-scaled row (wrong
+    // normalization) — the two real corruption modes
+    val rows = (0 until 100).map { k =>
+      val j = (k % 7 - 3) * 0.004
+      (k.toLong, Array((0.1 + j).toFloat, (0.2 - j).toFloat, 0.5f))
+    } ++ Seq(
+      (900L, Array(0.0f, 0.0f, 0.5f)),
+      (901L, Array(1.0f, 2.0f, 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.embOutliers(df, "embedding", "vec_id", dim = 3, topK = 4)
+      .as[(Long, Long)].collect()
+    assert(got.take(2).map(_._1).toSet == Set(900L, 901L),
+      s"planted corruption must rank first, got ${got.toSeq}")
+    assert(got(0)._2 > got(2)._2 * 5,
+      "corrupted scores must dominate the inlier tail")
+    // dim 2 is constant (0.5 everywhere): its variance floors to <= 0
+    // and contributes nothing — scores derive from dims 0/1 only, so
+    // an all-constant corpus scores exactly 0
+    val const = (0 until 20).map(k => (k.toLong, Array(0.3f, 0.3f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.embOutliers(const, "embedding", "vec_id", dim = 3, topK = 5)
+      .as[(Long, Long)].collect()
+    assert(cs.forall(_._2 == 0L), "constant corpus has no outliers")
+    assert(Similarity.embOutliers(df.repartition(7), "embedding", "vec_id",
+        dim = 3, topK = 4).as[(Long, Long)].collect().toSeq == got.toSeq,
+      "outlier ranking owes nothing to layout")
+  }
+
   test("pca1: recovers a planted principal direction, deterministic, sign-normalized") {
     // corpus stretched along u = (3,1,0)/√10 with small orthogonal jitter
     val u = Array(3.0, 1.0, 0.0).map(_ / math.sqrt(10.0))
