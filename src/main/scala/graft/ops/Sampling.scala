@@ -306,6 +306,42 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Per-shard export manifest — the integrity record a training-data
+    * hand-off ships next to its shards (the corpus-export sibling of
+    * the CDC range hash): doc count, char total, id range, and an
+    * order-independent content checksum per shard, so the consumer of
+    * a copied/moved/re-materialized export can verify every shard
+    * without re-reading the producer's copy — re-run the manifest,
+    * compare rows.
+    *
+    * The checksum is bit_xor over per-doc fingerprints
+    * hash(id ‖ md5(normalized text)) — XOR is commutative/associative
+    * (partition-order independent, partial-aggregatable, no overflow
+    * semantics to match across engines), and binding the doc id into
+    * the fingerprint keeps exact-duplicate documents from cancelling
+    * pairwise. Any flipped byte, dropped doc, or id remap changes the
+    * shard's checksum.
+    *
+    * Shape: shard routing is [[shards]]' hash mod S; ONE
+    * partial-aggregatable groupBy to |shards| rows. No window — the
+    * manifest doesn't need positions.
+    */
+  def shardManifest(df: DataFrame, textCol: String, idCol: String,
+                    numShards: Int, salt: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val key = Hashing.portableHash64(
+      concat(lit(salt + ":shard:"), col(idCol).cast("string")))
+    val fp = Hashing.portableHash64(concat(col(idCol).cast("string"), lit(":"),
+      md5(TextAnalysis.normalize(col(textCol)))))
+    df.select(pmod(key, lit(numShards.toLong)).as("shard"),
+        col(idCol).as("id"), length(col(textCol)).cast("long").as("nc"),
+        fp.as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        bit_xor(col("fp")).as("content_xor"))
+  }
+
   /** Curriculum ordering — the training-order counterpart of
     * [[shards]]: every doc gets a (band, pos) address where `band` is
     * its quality bucket (integer micro mean-token-length, the

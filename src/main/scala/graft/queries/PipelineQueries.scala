@@ -489,6 +489,15 @@ object PipelineQueries {
   def embPcaQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.pca1(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
 
+  /** Per-shard export manifest (Sampling.shardManifest): counts, char
+    * totals, id ranges, and the order-independent XOR content
+    * checksum per shard — the hand-off integrity record.
+    */
+  def shardManifestQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.shardManifest(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "text", "doc_id", numShards = 8, salt = "graft")
+
   /** Corrupted-vector scan (Similarity.embOutliers): top-25 diagonal
     * Mahalanobis outliers against the corpus' own exact moments —
     * the gate proves the integer z² contract cross-engine on the real
@@ -1336,6 +1345,7 @@ object PipelineQueries {
     "emb_gram" -> embGramQ,
     "emb_pca" -> embPcaQ,
     "emb_outliers" -> embOutliersQ,
+    "shard_manifest" -> shardManifestQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -2462,6 +2472,17 @@ object PipelineQueries {
          |      ORDER BY j DESC, match_id ASC) AS rn
          |  FROM jac WHERE j >= $JAC_T)
          |WHERE rn = 1""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH k AS (SELECT doc_id, text,
+         |             ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k
+         |           FROM documents)
+         |SELECT k % 8 AS shard, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(" +
+                  "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")})
+         |    AS content_xor
+         |FROM k GROUP BY 1""".stripMargin,
     "emb_outliers" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

@@ -1767,6 +1767,39 @@ class PipelineSpec extends SparkSpec {
       "moments owe nothing to layout")
   }
 
+  test("shardManifest: detects tampering, duplicate docs never cancel, matches shards routing") {
+    import graft.ops.Sampling
+    val d = docs.select($"doc_id", $"text")
+    val base = Sampling.shardManifest(d, "text", "doc_id", numShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base.map(_._2).sum == d.count())
+    // routing agrees with shards(): same hash, same mod
+    val routed = Sampling.shards(d, "doc_id", numShards = 4)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    base.foreach { m => assert(routed(m._1) == m._2, s"shard ${m._1} count") }
+    // re-run on a copy => byte-identical manifest (the hand-off check)
+    assert(Sampling.shardManifest(d.repartition(9), "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      == base)
+    // one flipped character changes exactly that shard's checksum
+    val tampered = d.withColumn("text",
+      when($"doc_id" === 17L, concat($"text", lit("x"))).otherwise($"text"))
+    val tm = Sampling.shardManifest(tampered, "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tm.count(m => !base.contains(m)) == 1, "exactly one shard differs")
+    assert(tm.zip(base).forall { case (a, b) =>
+      (a == b) || (a._1 == b._1 && a._2 == b._2 && a._6 != b._6) })
+    // a doc and its exact duplicate land with DIFFERENT fingerprints
+    // (id-bound), so a pair of dups cannot XOR-cancel to the original
+    val twoDups = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val oneDoc = Seq((1L, "same text")).toDF("doc_id", "text")
+    val x2 = Sampling.shardManifest(twoDups, "text", "doc_id", 1)
+      .select("content_xor").as[Long].head()
+    val x1 = Sampling.shardManifest(oneDoc, "text", "doc_id", 1)
+      .select("content_xor").as[Long].head()
+    assert(x2 != x1 && x2 != 0L, "duplicate fingerprints must not cancel")
+  }
+
   test("embOutliers: planted corruption tops the ranking, constant dims contribute zero") {
     // 100 well-behaved vectors around (0.1, 0.2, 0.5) with small spread,
     // one zeroed row (dropout corruption), one 10x-scaled row (wrong
