@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate string (edit-distance) join — the record-linkage /
+  * entity-resolution primitive: pair rows of two tables whose string
+  * keys are within Levenshtein distance `maxDist`, without ever
+  * forming the cross product.
+  *
+  * Blocking is the classic q-gram count filter (Gravano et al., VLDB
+  * 2001) and it is LOSSLESS: one edit destroys at most q of a
+  * string's positional q-grams, so two strings within distance d
+  * share at least max(|a|,|b|) − q + 1 − q·d q-grams AS A BAG; any
+  * pair below the bound is provably farther than d and skips the
+  * exact distance entirely. Bag semantics matter — "aaaa" has three
+  * positional 'aaa' grams but one distinct — so each gram occurrence
+  * carries its ORDINAL (2nd 'aaa', 3rd 'aaa'): an equi-join on
+  * (gram, ordinal) counts exactly Σ_g min(m_a, m_b), the bag
+  * intersection, and repetitive strings can't slip the bound.
+  * Survivors get one exact `levenshtein` verification — the same
+  * integer DP on both engines.
+  *
+  * Scale shape: grams explode each side (|s|−q+1 rows per string),
+  * candidates come from a (gram, ordinal) equi-join + a
+  * partial-aggregatable shared-count groupBy — never a cross join —
+  * and the DP runs once per surviving pair. The join's cost IS the
+  * blocking selectivity: pairs sharing any gram are enumerated, so
+  * template-heavy key populations (every value beginning with the
+  * same literal prefix) degrade toward the pairs that share the
+  * template — raise q (longer grams discriminate template tails) or
+  * strip the known-constant prefix before joining; both keep the
+  * bound lossless, unlike df-capped gram dropping. Pairs whose longer
+  * string is under q·(maxDist+1) chars — where the count bound
+  * degenerates to ≤ 0 and a gram join is blind — pair through a
+  * broadcast brute channel over that (by construction tiny)
+  * near-empty-string population instead.
+  */
+object FuzzyJoin {
+
+  /** Positional q-grams with per-string occurrence ordinals: rows
+    * (id, key, len, g, occ). The O(L²) ordinal scan is per-row over
+    * short join keys — it fuses into the scan and never shuffles.
+    */
+  private def grams(df: DataFrame, id: String, key: String, q: Int,
+                    idOut: String, keyOut: String, lenOut: String): DataFrame =
+    df.select(col(id).as(idOut), col(key).as(keyOut),
+        length(col(key)).as(lenOut))
+      .filter(col(lenOut) >= q)
+      // occ scans 0..i−1 and drops j=0 in the lambda: sequence(1, i−1)
+      // at i=1 is Spark's DESCENDING [1, 0] — not empty — and
+      // substring(·, 0, q) aliases position 1, which silently gave
+      // every first gram a phantom self-match (ordinal 2) until the
+      // brute-force cross-check caught the lost candidates
+      .withColumn("__g", explode(expr(
+        s"""transform(sequence(1, $lenOut - ${q - 1}), i -> struct(
+           |  substring($keyOut, i, $q) AS g,
+           |  size(filter(sequence(0, i - 1),
+           |       j -> j >= 1 AND
+           |            substring($keyOut, j, $q) = substring($keyOut, i, $q)))
+           |    AS occ))""".stripMargin)))
+      .select(col(idOut), col(keyOut), col(lenOut),
+        col("__g.g").as("g"), col("__g.occ").as("occ"))
+
+  /** (id, key) pairs of `left` × `right` with
+    * levenshtein(key_l, key_r) ≤ maxDist, plus the distance.
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftId: String, leftKey: String,
+           rightId: String, rightKey: String,
+           maxDist: Int = 1, q: Int = 3): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"bad maxDist=$maxDist / q=$q")
+    val lg = grams(left, leftId, leftKey, q, "id_l", "k_l", "len_l")
+    val rg = grams(right, rightId, rightKey, q, "id_r", "k_r", "len_r")
+    val shared = lg.join(rg, Seq("g", "occ"))
+      .groupBy("id_l", "k_l", "len_l", "id_r", "k_r", "len_r")
+      .agg(count(lit(1)).as("n_shared"))
+    // The count bound max(len) − q + 1 − q·d is only a FILTER when it
+    // is ≥ 1; at max(len) ≤ q(d+1) − 1 it degenerates to ≤ 0 — such
+    // pairs may share ZERO grams and a gram join cannot enumerate
+    // them (the RandomizedSpec brute-force cross-check caught exactly
+    // this). Partition instead of clamp: pairs with max(len) ≥ q(d+1)
+    // always share ≥ bound ≥ 1 grams (and their partner is ≥ q chars,
+    // so both sides HAVE grams); pairs with both sides below q(d+1)
+    // go through the brute channel — a by-construction tiny,
+    // broadcast population of near-empty strings.
+    val cut = q * (maxDist + 1)
+    val bound = greatest(col("len_l"), col("len_r")) - lit(q - 1) -
+      lit(q * maxDist)
+    val verified = shared
+      .filter(greatest(col("len_l"), col("len_r")) >= cut &&
+        col("n_shared") >= bound)
+      .withColumn("dist", levenshtein(col("k_l"), col("k_r")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_l"), col("k_l"), col("id_r"), col("k_r"),
+        col("dist").cast("long").as("dist"))
+    val shortL = left.select(col(leftId).as("id_l"), col(leftKey).as("k_l"))
+      .filter(length(col("k_l")) < cut)
+    val shortR = right.select(col(rightId).as("id_r"), col(rightKey).as("k_r"))
+      .filter(length(col("k_r")) < cut)
+    val shortPairs = shortL.crossJoin(broadcast(shortR))
+      .withColumn("dist", levenshtein(col("k_l"), col("k_r")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_l"), col("k_l"), col("id_r"), col("k_r"),
+        col("dist").cast("long").as("dist"))
+    verified.unionByName(shortPairs)
+  }
+}

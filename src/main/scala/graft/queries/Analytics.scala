@@ -601,7 +601,27 @@ object Analytics {
     graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
       "user_id", "ts", "value", "event_id", k = 4)
 
+  /** Edit-distance record linkage (FuzzyJoin.join): suppliers vs a
+    * deterministically corrupted re-issue of their names (one char
+    * substituted at an id-derived position — both engines construct
+    * the identical corruption), q-gram blocked, levenshtein-verified.
+    * Digit-region corruptions also legitimately match suppliers one
+    * digit away from the source — richer, still deterministic.
+    */
+  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    val mutated = s
+      .withColumn("p", col("id") % 12 + lit(3))
+      .select((col("id") + 100000L).as("id"),
+        expr("concat(substr(name, 1, p - 1), 'z', " +
+          "substr(name, p + 1, length(name)))").as("name"))
+    graft.ops.FuzzyJoin.join(s, mutated, "id", "name", "id", "name",
+      maxDist = 1, q = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
     "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
@@ -797,6 +817,35 @@ object Analytics {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH l AS (SELECT s_suppkey AS id_l, s_name AS k_l FROM supplier),
+        |r AS (SELECT s_suppkey + 100000 AS id_r,
+        |        concat(substr(s_name, 1, p - 1), 'z',
+        |               substr(s_name, p + 1, length(s_name))) AS k_r
+        |      FROM (SELECT s_suppkey, s_name,
+        |              (s_suppkey % 12 + 3) AS p FROM supplier)),
+        |le AS (SELECT id_l, k_l, length(k_l) AS len_l,
+        |         unnest(range(1, length(k_l) - 1)) AS i FROM l),
+        |lg AS (SELECT id_l, k_l, len_l, substr(k_l, i, 3) AS g,
+        |         row_number() OVER (PARTITION BY id_l, substr(k_l, i, 3)
+        |                            ORDER BY i) - 1 AS occ
+        |       FROM le),
+        |re AS (SELECT id_r, k_r, length(k_r) AS len_r,
+        |         unnest(range(1, length(k_r) - 1)) AS i FROM r),
+        |rg AS (SELECT id_r, k_r, len_r, substr(k_r, i, 3) AS g,
+        |         row_number() OVER (PARTITION BY id_r, substr(k_r, i, 3)
+        |                            ORDER BY i) - 1 AS occ
+        |       FROM re),
+        |sh AS (SELECT id_l, k_l, len_l, id_r, k_r, len_r,
+        |         count(*) AS n_shared
+        |       FROM lg JOIN rg USING (g, occ)
+        |       GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT id_l, k_l, id_r, k_r,
+        |  CAST(levenshtein(k_l, k_r) AS BIGINT) AS dist
+        |FROM sh
+        |WHERE greatest(len_l, len_r) >= 6
+        |  AND n_shared >= greatest(len_l, len_r) - 5
+        |  AND levenshtein(k_l, k_r) <= 1""".stripMargin,
     "q_ewma" ->
       """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
         |        CAST(round(value * 100) AS BIGINT) AS q

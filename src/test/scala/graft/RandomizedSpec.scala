@@ -1054,4 +1054,42 @@ class RandomizedSpec extends SparkSpec {
       assert(got == want, s"incrementalLsh round $round")
     }
   }
+
+  test("fuzzy join equals brute-force levenshtein on random repetitive/short strings") {
+    // tiny alphabet => heavy gram repetition (the bag-ordinal case) and
+    // accidental near-matches; lengths 0..8 exercise the sub-q channel
+    val rnd = new Random(777)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (1 to 3).foreach { round =>
+      def s() = Seq.fill(rnd.nextInt(9))("ab".charAt(rnd.nextInt(2))).mkString
+      val left = (0 until 40).map(i => (i.toLong, s()))
+      val right = (0 until 40).map(i => (100L + i, s()))
+      (0 to 2).foreach { d =>
+        val got = graft.ops.FuzzyJoin.join(
+          left.toDF("id", "k"), right.toDF("id", "k"),
+          "id", "k", "id", "k", maxDist = d, q = 3)
+          .as[(Long, String, Long, String, Long)].collect()
+          .map(t => (t._1, t._3, t._5)).toSet
+        val want = (for {
+          (li, lk) <- left; (ri, rk) <- right
+          dist = lev(lk, rk) if dist <= d
+        } yield (li, ri, dist.toLong)).toSet
+        val lm = left.toMap; val rm = right.toMap
+        val missing = (want -- got).take(5)
+          .map(t => (t, lm(t._1), rm(t._2)))
+        val extra = (got -- want).take(5)
+          .map(t => (t, lm(t._1), rm(t._2)))
+        assert(got == want,
+          s"round $round maxDist $d missing=$missing extra=$extra")
+      }
+    }
+  }
 }
