@@ -659,6 +659,27 @@ class PlanAuditSpec extends SparkSpec {
       "one content-hash exchange + one |splits|-leg exchange only")
   }
 
+  test("q_ewma: one key exchange, one window pass, no join") {
+    val plan = formatted(q("q_ewma"))
+    assert(ops(plan, "Exchange") == 1,
+      "EWMA is scan -> ONE key-hash exchange -> ordered window")
+    assert(ops(plan, "Window") == 1, "all k lags share one window pass")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q_fuzzy_join: gram path is an equi-join, the only loop join is the tiny brute channel") {
+    val plan = formatted(q("q_fuzzy_join"))
+    assert(!plan.contains("CartesianProduct"),
+      "blocking must never form the cross product")
+    assert(ops(plan, "BroadcastNestedLoopJoin") <= 1,
+      "at most the broadcast brute channel over sub-q(d+1) strings")
+    assert(ops(plan, "SortMergeJoin") + ops(plan, "ShuffledHashJoin") +
+      ops(plan, "BroadcastHashJoin") >= 1,
+      "the (gram, ordinal) candidates must come from an equi-join")
+    assert(plan.contains("partial_count"),
+      "shared-gram counts must combine map-side")
+  }
+
   test("text_pii: detectors fuse into the scan — one exchange total, no UDF") {
     val plan = formatted(q("text_pii"))
     assert(plan.contains("partial_sum"), "per-source rates must combine map-side")
