@@ -1372,4 +1372,81 @@ class StreamingSpec extends SparkSpec {
     assert(last("b") == ((3L, 1, 2.0)),
       "the silent key surfaces stale through the file feed too")
   }
+
+  test("ewma monitor: exact integer fold, first-obs seed, carry-forward, warmup-gated drift") {
+    import graft.streaming.EwmaStream
+    val out = tmp(); val st = tmp()
+    def b(rows: (String, Double)*) = rows.toSeq.toDF("k", "v")
+    // key a: 10.0 → 20.0 → 100.0; key b observed once then silent
+    EwmaStream.ewmaBatch(spark, b("a" -> 10.0, "a" -> 10.0, "b" -> 5.0),
+      0L, out, st, "k", "v", toleranceMilli = 3000L, minBatches = 2L)
+    EwmaStream.ewmaBatch(spark, b("a" -> 20.0),
+      1L, out, st, "k", "v", toleranceMilli = 3000L, minBatches = 2L)
+    EwmaStream.ewmaBatch(spark, b("a" -> 100.0),
+      2L, out, st, "k", "v", toleranceMilli = 3000L, minBatches = 2L)
+    def report(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("k", "batch_rows", "obs_milli", "level_prev_milli",
+        "level_milli", "n_batches", "drift")
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    val r0 = report(0)
+    assert(r0("a") == (("a", 2L, 10000L, -1L, 10000L, 1L, 0)),
+      "first observation seeds the level, sentinel prev, no flag")
+    assert(r0("b") == (("b", 1L, 5000L, -1L, 5000L, 1L, 0)))
+    val r1 = report(1)
+    assert(r1("a") == (("a", 1L, 20000L, 10000L, 15000L, 2L, 0)),
+      "halving fold; prev_n=1 < minBatches so the jump is warmup, not drift")
+    assert(!r1.contains("b"), "silent keys are unreported")
+    val r2 = report(2)
+    assert(r2("a") == (("a", 1L, 100000L, 15000L, 57500L, 3L, 1)),
+      "|100000 - 15000| > 3000 with prev_n=2 >= minBatches: drift")
+    // b's state carried forward untouched through both silent batches
+    assert(spark.read.parquet(s"$st/batch=2")
+      .filter(col("k") === "b")
+      .select("level_milli", "n_batches", "rows_seen")
+      .as[(Long, Long, Long)].head() == ((5000L, 1L, 1L)))
+  }
+
+  test("ewma monitor: at-least-once replay rewrites identical bytes; versions pruned") {
+    import graft.streaming.EwmaStream
+    val out = tmp(); val st = tmp()
+    def b(n: Int) = (0 until 30).map(i => (s"k${i % 3}", (i % 7 + n).toDouble))
+      .toDF("k", "v")
+    (0L to 5L).foreach(id =>
+      EwmaStream.ewmaBatch(spark, b(id.toInt), id, out, st, "k", "v", 500L))
+    val report5 = spark.read.parquet(s"$out/batch=5").collect().toSet
+    val state5 = spark.read.parquet(s"$st/batch=5").collect().toSet
+    // replay the newest batch (the only one Structured Streaming ever
+    // re-runs — retention keeps its prior version): reads state < 5,
+    // recomputes the identical integers — no float drift, no double
+    // count
+    EwmaStream.ewmaBatch(spark, b(5), 5L, out, st, "k", "v", 500L)
+    assert(spark.read.parquet(s"$out/batch=5").collect().toSet == report5)
+    assert(spark.read.parquet(s"$st/batch=5").collect().toSet == state5)
+    val versions = graft.util.Fs.fs(spark, st)
+      .listStatus(new org.apache.hadoop.fs.Path(st))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    assert(versions <= 4, s"state versions must stay pruned, got $versions")
+  }
+
+  test("ewma stream end-to-end over a file feed") {
+    import graft.streaming.EwmaStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    Seq(("a", 10.0), ("a", 10.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = EwmaStream.ewmaStream(spark, feed, out, st, ckpt, "k", "v",
+      toleranceMilli = 1000L, minBatches = 1L)
+    try {
+      q.processAllAvailable()
+      Seq(("a", 50.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.read.option("basePath", out).parquet(out)
+      .filter(col("batch") === 1)
+      .select("obs_milli", "level_prev_milli", "level_milli", "drift")
+      .as[(Long, Long, Long, Int)].head()
+    assert(last == ((50000L, 10000L, 30000L, 1)),
+      "the level shift surfaces through the file feed")
+  }
 }
