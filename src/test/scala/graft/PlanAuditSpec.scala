@@ -680,6 +680,24 @@ class PlanAuditSpec extends SparkSpec {
       "shared-gram counts must combine map-side")
   }
 
+  test("emb_outliers: broadcast moment row, top-k never a global sort") {
+    val plan = formatted(q("emb_outliers"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not Sort + Limit")
+    assert(plan.contains("BroadcastExchange"),
+      "the one-row moment aggregate must broadcast onto the scan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "moments must combine map-side")
+  }
+
+  test("shard_manifest: one partial-aggregated exchange, no window") {
+    val plan = formatted(q("shard_manifest"))
+    assert(ops(plan, "Exchange") <= 1, "manifest is scan + ONE aggregate")
+    assert(!plan.contains("Window"), "the manifest never needs positions")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-shard counters must combine map-side")
+  }
+
   test("text_pii: detectors fuse into the scan — one exchange total, no UDF") {
     val plan = formatted(q("text_pii"))
     assert(plan.contains("partial_sum"), "per-source rates must combine map-side")

@@ -1055,6 +1055,41 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("ewma equals the per-key scan reference on random streams with duplicate timestamps") {
+    val rnd = new Random(909)
+    (1 to 4).foreach { round =>
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until 150).map { i =>
+        (rnd.nextInt(5).toLong, i.toLong,
+          1700000000000L + rnd.nextInt(40) * 1000L, // many exact ts ties
+          (rnd.nextInt(4001) - 2000) / 100.0)       // exact cents incl. negatives
+      }
+      val df = rows.toDF("k", "id", "ms", "v")
+        .select($"k", $"id", timestamp_millis($"ms").as("ts"), $"v")
+      val got = graft.ops.TimeSeries.ewma(df, "k", "ts", "v", "id", k = k)
+        .select("id", "n_window", "smoothed_milli")
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      // reference: per key, (ms, id)-sorted scan with halving weights
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        ordered.zipWithIndex.map { case ((_, id, _, _), i) =>
+          val lags = (0 until math.min(k, i + 1))
+            .map(j => math.round(ordered(i - j)._4 * 100))
+          val ws = lags.indices.map(j => 1L << (k - 1 - j))
+          val num = lags.zip(ws).map { case (q, w) => q * w }.sum
+          val den = ws.sum
+          val div = num * 10L / den // both positive den; / truncates like div
+          (id, (id, lags.size.toLong, div))
+        }
+      }
+      assert(got.size == want.size)
+      want.foreach { case (id, (_, nw, sm)) =>
+        assert(got(id) == ((nw, sm)), s"round $round k=$k id=$id")
+      }
+    }
+  }
+
   test("fuzzy join equals brute-force levenshtein on random repetitive/short strings") {
     // tiny alphabet => heavy gram repetition (the bag-ordinal case) and
     // accidental near-matches; lengths 0..8 exercise the sub-q channel
