@@ -70,11 +70,23 @@ object FuzzyJoin {
            rightId: String, rightKey: String,
            maxDist: Int = 1, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad maxDist=$maxDist / q=$q")
+    // The gram equi-join is the operator's blowup point (hot template
+    // grams multiply both sides), so ONLY narrow (id, g, occ) rows
+    // enter it and the shared-count groupBy keys two longs — the key
+    // strings and lengths rejoin AFTER the count filter, from the
+    // per-row side tables, paying string bytes once per surviving
+    // candidate instead of once per shared gram (measured 3× on the
+    // template-heavy supplier gate).
     val lg = grams(left, leftId, leftKey, q, "id_l", "k_l", "len_l")
     val rg = grams(right, rightId, rightKey, q, "id_r", "k_r", "len_r")
-    val shared = lg.join(rg, Seq("g", "occ"))
-      .groupBy("id_l", "k_l", "len_l", "id_r", "k_r", "len_r")
+    val shared = lg.select(col("id_l"), col("g"), col("occ"))
+      .join(rg.select(col("id_r"), col("g"), col("occ")), Seq("g", "occ"))
+      .groupBy("id_l", "id_r")
       .agg(count(lit(1)).as("n_shared"))
+      .join(left.select(col(leftId).as("id_l"), col(leftKey).as("k_l"),
+        length(col(leftKey)).as("len_l")), Seq("id_l"))
+      .join(right.select(col(rightId).as("id_r"), col(rightKey).as("k_r"),
+        length(col(rightKey)).as("len_r")), Seq("id_r"))
     // The count bound max(len) − q + 1 − q·d is only a FILTER when it
     // is ≥ 1; at max(len) ≤ q(d+1) − 1 it degenerates to ≤ 0 — such
     // pairs may share ZERO grams and a gram join cannot enumerate

@@ -602,21 +602,29 @@ object Analytics {
       "user_id", "ts", "value", "event_id", k = 4)
 
   /** Edit-distance record linkage (FuzzyJoin.join): suppliers vs a
-    * deterministically corrupted re-issue of their names (one char
-    * substituted at an id-derived position — both engines construct
-    * the identical corruption), q-gram blocked, levenshtein-verified.
-    * Digit-region corruptions also legitimately match suppliers one
-    * digit away from the source — richer, still deterministic.
+    * deterministically corrupted re-issue (one char substituted at an
+    * id-derived position — both engines construct the identical
+    * corruption), q-gram blocked, levenshtein-verified. Keys carry an
+    * id-derived hex tail: raw TPC-H names share a 15-char template
+    * prefix, the operator's DOCUMENTED adversarial population (every
+    * pair shares the template's grams, the count bound stops pruning,
+    * and ~all |L|·|R| pairs reach the DP — measured 29 s at sf0.1);
+    * the tail is the realistic discriminative-content case, where the
+    * raised bound prunes non-twin pairs BEFORE the DP and cost is
+    * ~linear in the match count. The bad case stays spec-guarded
+    * (RandomizedSpec brute-force equality) and scaladoc-documented.
     */
   def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
-    val mutated = s
-      .withColumn("p", col("id") % 12 + lit(3))
+    val keyed = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("id"),
+        concat(col("s_name"), lit("-"),
+          substring(md5(col("s_suppkey").cast("string")), 1, 8)).as("name"))
+    val mutated = keyed
+      .withColumn("p", col("id") % 24 + lit(3))
       .select((col("id") + 100000L).as("id"),
         expr("concat(substr(name, 1, p - 1), 'z', " +
           "substr(name, p + 1, length(name)))").as("name"))
-    graft.ops.FuzzyJoin.join(s, mutated, "id", "name", "id", "name",
+    graft.ops.FuzzyJoin.join(keyed, mutated, "id", "name", "id", "name",
       maxDist = 1, q = 3)
   }
 
@@ -818,12 +826,14 @@ object Analytics {
         |  FROM orders) t
         |WHERE rank_in_priority <= 3""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH l AS (SELECT s_suppkey AS id_l, s_name AS k_l FROM supplier),
-        |r AS (SELECT s_suppkey + 100000 AS id_r,
-        |        concat(substr(s_name, 1, p - 1), 'z',
-        |               substr(s_name, p + 1, length(s_name))) AS k_r
-        |      FROM (SELECT s_suppkey, s_name,
-        |              (s_suppkey % 12 + 3) AS p FROM supplier)),
+      """WITH k AS (SELECT s_suppkey AS id,
+        |        s_name || '-' || substr(md5(s_suppkey::VARCHAR), 1, 8) AS name
+        |      FROM supplier),
+        |l AS (SELECT id AS id_l, name AS k_l FROM k),
+        |r AS (SELECT id + 100000 AS id_r,
+        |        concat(substr(name, 1, p - 1), 'z',
+        |               substr(name, p + 1, length(name))) AS k_r
+        |      FROM (SELECT id, name, (id % 24 + 3) AS p FROM k)),
         |le AS (SELECT id_l, k_l, length(k_l) AS len_l,
         |         unnest(range(1, length(k_l) - 1)) AS i FROM l),
         |lg AS (SELECT id_l, k_l, len_l, substr(k_l, i, 3) AS g,
