@@ -428,4 +428,63 @@ object Profile {
         min(when(col("cum") >= expr("((n_sample - 1) * 99) div 100 + 1"), col("val")))
           .as("p99"))
   }
+
+  /** Snapshot-to-snapshot column-profile regression — the statistical
+    * complement of `cdc_snapshot_diff` (which says WHICH rows changed;
+    * this says whether the DATA still looks the same) and the batch
+    * twin of `ProfileStream`'s null-share axis: per numeric column,
+    * exact row/null counts and cents-quantized mean between a current
+    * and a reference snapshot, with integer drift flags — the check a
+    * corpus release runs against the previous release before shipping
+    * (a re-extraction that nulled a field or rescaled a unit shifts
+    * these numbers even when row counts match).
+    *
+    * Integer contract: null shares in ppm (cnt·10⁶ div n), means in
+    * milli (sum_cents·10 div non-null count, matched truncation),
+    * mean drift flagged when |Δmean_milli| exceeds
+    * `meanTolMilli` and null drift when |Δnull_ppm| exceeds
+    * `nullTolPpm` — no float anywhere. Moment sums accumulate as
+    * decimal(38,0) (the corrMatrix convention) so 100 TB row counts
+    * cannot overflow.
+    *
+    * Scale shape: ONE wide partial-aggregated pass over each
+    * snapshot (2·|cols|+1 sums), the per-column legs exploded from
+    * the two one-row aggregates and equi-joined on column name —
+    * |cols| rows out, the snapshots are never joined row-wise.
+    */
+  def profileDiff(cur: DataFrame, ref: DataFrame, cols: Seq[String],
+                  meanTolMilli: Long = 1000L,
+                  nullTolPpm: Long = 10000L): DataFrame = {
+    require(cols.nonEmpty, "profileDiff needs at least one column")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val side = (df: DataFrame) => {
+      val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          sum(dec(round(col(c) * 100).cast("long"))).as(s"s_$c"))
+      }
+      val legs = cols.map { c =>
+        struct(lit(c).as("col_name"), col("n").as("n"),
+          col(s"nn_$c").as("nulls"),
+          expr(s"CASE WHEN n - nn_$c > 0 THEN CAST(s_$c * 10 AS BIGINT)" +
+            s" div (n - nn_$c) ELSE 0 END").as("mean_milli"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(legs: _*)).as("l"))
+        .select(col("l.col_name").as("col_name"), col("l.n").as("n"),
+          expr("(l.nulls * 1000000L) div l.n").as("null_ppm"),
+          col("l.mean_milli").as("mean_milli"))
+    }
+    side(cur).select(col("col_name"), col("n").as("n_cur"),
+        col("null_ppm").as("null_ppm_cur"), col("mean_milli").as("mean_milli_cur"))
+      .join(side(ref).select(col("col_name"), col("n").as("n_ref"),
+        col("null_ppm").as("null_ppm_ref"), col("mean_milli").as("mean_milli_ref")),
+        Seq("col_name"))
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        col("null_ppm_ref"), col("null_ppm_cur"),
+        col("mean_milli_ref"), col("mean_milli_cur"),
+        (abs(col("mean_milli_cur") - col("mean_milli_ref")) > meanTolMilli)
+          .cast("int").as("mean_drift"),
+        (abs(col("null_ppm_cur") - col("null_ppm_ref")) > nullTolPpm)
+          .cast("int").as("null_drift"))
+  }
 }

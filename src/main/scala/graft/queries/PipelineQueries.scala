@@ -489,6 +489,23 @@ object PipelineQueries {
   def embPcaQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.pca1(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
 
+  /** Snapshot-to-snapshot profile regression (Profile.profileDiff):
+    * the "current" snapshot deterministically re-extracts lineitem
+    * with a unit shift on l_quantity (+5 for orderkey % 7) and a
+    * nulled-out l_tax (orderkey % 13) — the two release-regression
+    * modes the diff must flag, with the untouched columns clean.
+    */
+  def profileDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ref = Tables.lineitem(spark, sfDir)
+    val cur = ref
+      .withColumn("l_quantity", when(expr("l_orderkey % 7 = 0"),
+        col("l_quantity") + 5).otherwise(col("l_quantity")))
+      .withColumn("l_tax", when(expr("l_orderkey % 13 <> 0"), col("l_tax")))
+    graft.ops.Profile.profileDiff(cur, ref,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      meanTolMilli = 500L)
+  }
+
   /** Per-shard export manifest (Sampling.shardManifest): counts, char
     * totals, id ranges, and the order-independent XOR content
     * checksum per shard — the hand-off integrity record.
@@ -1346,6 +1363,7 @@ object PipelineQueries {
     "emb_pca" -> embPcaQ,
     "emb_outliers" -> embOutliersQ,
     "shard_manifest" -> shardManifestQ,
+    "profile_diff" -> profileDiffQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -1431,6 +1449,24 @@ object PipelineQueries {
     * Profile.corrMatrix, generated for the gated column list (HUGEINT
     * plays decimal(38,0); products fit BIGINT at cents scale).
     */
+
+  /** One side of the profile_diff oracle: per-column legs of the wide
+    * exact-moment aggregate over relation `rel` (the Spark op's
+    * explode, spelled as a UNION of |cols| scalar branches).
+    */
+  private def diffSide(rel: String): String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cs.map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n,
+         |    ((count(*) - count($c)) * 1000000) // count(*) AS null_ppm,
+         |    CASE WHEN count($c) > 0
+         |      THEN CAST(sum(CAST(round($c * 100) AS HUGEINT)) * 10 AS BIGINT)
+         |           // count($c)
+         |      ELSE 0 END AS mean_milli
+         |  FROM $rel""".stripMargin
+    }.mkString("\n  UNION ALL ")
+  }
+
   private def corrOracle(cs: Seq[String]): String = {
     val idx = cs.indices
     val qcols = idx.map(i => s"CAST(round(${cs(i)} * 100) AS BIGINT) AS c$i")
@@ -2472,6 +2508,23 @@ object PipelineQueries {
          |      ORDER BY j DESC, match_id ASC) AS rn
          |  FROM jac WHERE j >= $JAC_T)
          |WHERE rn = 1""".stripMargin,
+    "profile_diff" ->
+      s"""WITH cur AS (SELECT
+         |    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 5
+         |         ELSE l_quantity END AS l_quantity,
+         |    l_extendedprice, l_discount,
+         |    CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_tax END AS l_tax
+         |  FROM lineitem),
+         |sc AS (${diffSide("cur")}),
+         |sr AS (${diffSide("lineitem")})
+         |SELECT sc.col_name, sr.n AS n_ref, sc.n AS n_cur,
+         |  sr.null_ppm AS null_ppm_ref, sc.null_ppm AS null_ppm_cur,
+         |  sr.mean_milli AS mean_milli_ref, sc.mean_milli AS mean_milli_cur,
+         |  CASE WHEN abs(sc.mean_milli - sr.mean_milli) > 500
+         |       THEN 1 ELSE 0 END AS mean_drift,
+         |  CASE WHEN abs(sc.null_ppm - sr.null_ppm) > 10000
+         |       THEN 1 ELSE 0 END AS null_drift
+         |FROM sc JOIN sr USING (col_name)""".stripMargin,
     "shard_manifest" ->
       s"""WITH k AS (SELECT doc_id, text,
          |             ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k

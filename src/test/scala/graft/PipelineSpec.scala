@@ -1767,6 +1767,36 @@ class PipelineSpec extends SparkSpec {
       "moments owe nothing to layout")
   }
 
+  test("profileDiff: identical snapshots are clean, planted regressions flag exactly") {
+    import graft.ops.Profile
+    val ref = Seq(
+      (1L, 10.0, 1.0), (2L, 20.0, 2.0), (3L, 30.0, 3.0), (4L, 40.0, 4.0)
+    ).toDF("id", "a", "b")
+    val clean = Profile.profileDiff(ref, ref, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(clean("a") == (("a", 4L, 4L, 0L, 0L, 25000L, 25000L, 0, 0)))
+    assert(clean("b") == (("b", 4L, 4L, 0L, 0L, 2500L, 2500L, 0, 0)))
+    // regression: unit shift on a, one null injected into b
+    val cur = ref
+      .withColumn("a", $"a" * 2)
+      .withColumn("b", when($"id" =!= 1L, $"b"))
+    val got = Profile.profileDiff(cur, ref, Seq("a", "b"),
+        meanTolMilli = 1000L, nullTolPpm = 100000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().map(t => t._1 -> t).toMap
+    // a: mean 25 -> 50 units (50000 milli), flagged; no nulls
+    assert(got("a") == (("a", 4L, 4L, 0L, 0L, 25000L, 50000L, 1, 0)))
+    // b: one of four null (250000 ppm > tol); mean over the REMAINING
+    // values ((2+3+4)/3 = 3000 milli), 500 under the mean tolerance
+    assert(got("b") == (("b", 4L, 4L, 0L, 250000L, 2500L, 3000L, 0, 1)))
+    assert(Profile.profileDiff(cur.repartition(5), ref.repartition(3),
+        Seq("a", "b"), 1000L, 100000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().map(t => t._1 -> t).toMap == got,
+      "profile diff owes nothing to layout")
+  }
+
   test("shardManifest: detects tampering, duplicate docs never cancel, matches shards routing") {
     import graft.ops.Sampling
     val d = docs.select($"doc_id", $"text")

@@ -1090,6 +1090,39 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("embOutliers scores equal the integer z² reference on random quantized vectors") {
+    val rnd = new Random(1313)
+    (1 to 3).foreach { round =>
+      val dim = 2 + rnd.nextInt(4)
+      val n = 30 + rnd.nextInt(50)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f))
+      }
+      val got = graft.sim.Similarity.embOutliers(
+        vecs.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        dim = dim, topK = n)
+        .as[(Long, Long)].collect().toMap
+      // reference: replicate quantization, floored moments, per-dim
+      // integer division chain exactly
+      val q = vecs.map { case (id, v) =>
+        (id, v.map(x => math.floor(x.toDouble * 10000).toLong))
+      }
+      val s = (0 until dim).map(i => q.map(_._2(i)).sum)
+      val g = (0 until dim).map(i => q.map(r => r._2(i) * r._2(i)).sum)
+      val nn = q.size.toLong
+      val want = q.map { case (id, qv) =>
+        id -> (0 until dim).map { i =>
+          val vr = (nn * g(i) - s(i) * s(i)) / (nn * nn)
+          if (vr > 0) {
+            val d = qv(i) - s(i) / nn
+            d * d * 1000000L / vr
+          } else 0L
+        }.sum
+      }.toMap
+      assert(got == want, s"round $round dim=$dim n=$n")
+    }
+  }
+
   test("fuzzy join equals brute-force levenshtein on random repetitive/short strings") {
     // tiny alphabet => heavy gram repetition (the bag-ordinal case) and
     // accidental near-matches; lengths 0..8 exercise the sub-q channel
