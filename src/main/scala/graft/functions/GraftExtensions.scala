@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncodeExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncodeExpr].getName, "graft_unigram_encode"),
+      (children: Seq[Expression]) => UnigramEncodeExpr(children(0), children(1))))
   }
 }

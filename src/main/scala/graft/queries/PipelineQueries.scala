@@ -489,6 +489,24 @@ object PipelineQueries {
   def embPcaQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.pca1(Tables.embeddings(spark, sfDir), "embedding", dim = 64)
 
+  /** Unigram-LM tokenizer seed vocabulary (Unigram.initVocab):
+    * freq-weighted substring counts with the deterministic
+    * all-singles + top-multis selection — the SQL-replayable half of
+    * the unigram family (the train loop is unigram_train, rows-only).
+    */
+  def unigramInitQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Unigram.initVocab(Tables.documents(spark, sfDir), "text",
+      maxPieceLen = 6, vocabSize = 256)
+
+  /** EM-refined unigram vocabulary (Unigram.train, 2 Viterbi rounds —
+    * rows-only: the EM loop is not one SQL statement; byte-stability
+    * is roundgate-checked and the DP/selection semantics spec-pinned,
+    * with unigram_init the hash-gated seed).
+    */
+  def unigramTrainQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Unigram.train(Tables.documents(spark, sfDir), "text",
+      maxPieceLen = 6, vocabSize = 256, iters = 2)
+
   /** Snapshot-to-snapshot profile regression (Profile.profileDiff):
     * the "current" snapshot deterministically re-extracts lineitem
     * with a unit shift on l_quantity (+5 for orderkey % 7) and a
@@ -1364,6 +1382,8 @@ object PipelineQueries {
     "emb_outliers" -> embOutliersQ,
     "shard_manifest" -> shardManifestQ,
     "profile_diff" -> profileDiffQ,
+    "unigram_init" -> unigramInitQ,
+    "unigram_train" -> unigramTrainQ,
     "profile_table" -> profileTableQ,
     "profile_histogram" -> profileHistogramQ,
     "profile_corr" -> profileCorrQ,
@@ -2508,6 +2528,28 @@ object PipelineQueries {
          |      ORDER BY j DESC, match_id ASC) AS rn
          |  FROM jac WHERE j >= $JAC_T)
          |WHERE rn = 1""".stripMargin,
+    "unigram_init" ->
+      s"""WITH w AS (SELECT unnest(string_split($norm, ' ')) AS word
+         |           FROM documents),
+         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM w
+         |       WHERE length(word) > 0 GROUP BY 1),
+         |e1 AS (SELECT word, freq,
+         |         unnest(range(1, length(word) + 1)) AS i FROM wf),
+         |e2 AS (SELECT word, freq, i,
+         |         unnest(range(i, least(length(word), i + 5) + 1)) AS j
+         |       FROM e1),
+         |subs AS (SELECT substr(word, CAST(i AS INT),
+         |                  CAST(j - i + 1 AS INT)) AS piece,
+         |           CAST(sum(freq) AS BIGINT) AS cnt
+         |         FROM e2 GROUP BY 1),
+         |s AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+         |m AS (SELECT piece, cnt FROM (
+         |        SELECT piece, cnt, row_number() OVER
+         |          (ORDER BY cnt DESC, piece ASC) AS r
+         |        FROM subs WHERE length(piece) > 1) x,
+         |        (SELECT count(*) AS ns FROM s) t
+         |      WHERE x.r <= 256 - t.ns)
+         |SELECT piece, cnt FROM s UNION ALL SELECT piece, cnt FROM m""".stripMargin,
     "profile_diff" ->
       s"""WITH cur AS (SELECT
          |    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 5

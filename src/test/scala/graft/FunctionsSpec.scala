@@ -84,4 +84,67 @@ class FunctionsSpec extends SparkSpec {
     assert(wide.count() === long.count())
     assert(wide.exceptAll(long).isEmpty && long.exceptAll(wide).isEmpty)
   }
+
+  test("graft_unigram_encode: min-cost segmentation vs exhaustive reference, ties and fallback pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Seq(("a", 100L), ("b", 150L), ("ab", 120L), ("ba", 120L),
+      ("aba", 260L), ("bab", 500L), ("abab", 460L))
+    val tab = array(vocab.map { case (p, c) =>
+      struct(lit(p).as("piece"), lit(c).as("cost")) }: _*)
+    val costs = vocab.toMap
+    val unk = vocab.map(_._2).max + 1000000L
+    // exhaustive reference: all segmentations, min cost, tie -> the
+    // one whose REVERSED piece-length list is lexicographically
+    // smallest (shortest last piece at every decision point)
+    def segs(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq())
+      else (1 to s.length).flatMap { l =>
+        val p = s.take(l)
+        if (costs.contains(p) || l == 1)
+          segs(s.drop(l)).map(p +: _)
+        else Seq()
+      }
+    def cost(seg: Seq[String]): Long =
+      seg.map(p => costs.getOrElse(p, unk)).sum
+    import scala.math.Ordering.Implicits._
+    def best(s: String): Seq[String] =
+      segs(s).minBy(seg => (cost(seg), seg.reverse.map(_.length.toLong).toList))
+    val words = Seq("ababab", "abba", "aabba", "bababa", "a", "xax", "")
+    val got = words.toDF("w")
+      .select(col("w"), call_function("graft_unigram_encode", col("w"), tab)
+        .as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+    words.filter(_.nonEmpty).foreach { w =>
+      assert(cost(got(w)) == cost(best(w)), s"$w: ${got(w)} vs ${best(w)}")
+      assert(got(w) == best(w), s"tie-break for $w: ${got(w)} vs ${best(w)}")
+      assert(got(w).mkString("") == w, s"pieces must concatenate back to $w")
+    }
+    assert(got("") == Seq())
+    assert(got("xax").contains("x"), "unknown chars fall back to single-symbol pieces")
+  }
+
+  test("unigram train: recovers planted words as pieces, deterministic under layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 80).map(i =>
+      (i.toLong, "hello world " * 4 + s"rare$i")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Unigram.train(d, "text", maxPieceLen = 6, vocabSize = 64,
+        iters = 2).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(docs)
+    val pieces = got.map(_._1).toSet
+    assert(pieces.contains("hello") && pieces.contains("world"),
+      s"planted words must become pieces, got $pieces")
+    // the dominant words out-count every fragment
+    val byCnt = got.sortBy(-_._2).map(_._1)
+    assert(Set(byCnt(0), byCnt(1)) == Set("hello", "world"))
+    assert(got.size <= 64)
+    // every corpus character survives as a piece (coverage rule)
+    val chars = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).flatMap(_.toCharArray).map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    assert(run(docs.repartition(7)) == got,
+      "unigram training owes nothing to layout")
+  }
 }
