@@ -90,6 +90,13 @@ object Pipeline {
         // unit the training run actually spends
         graft.ops.Bpe.annotateTokens(df, textCol,
           strOf("outCol", "bpe_tokens"), reqStr("merges"))
+      case "unigram_tokens" =>
+        // annotation: real unigram-LM token counts from a trained
+        // piece table ("vocab": parquet path of graft.ops.Unigram
+        // .train output) — bpe_tokens' sibling; fixed table on disk =>
+        // pure per-row function, streaming-safe
+        graft.ops.Unigram.annotateTokens(df, textCol,
+          strOf("outCol", "unigram_tokens"), reqStr("vocab"))
       case "split" =>
         // annotation: train/val/test membership as a column — a pure
         // per-row hash threshold (Sampling.splitAssign), so it is
@@ -377,7 +384,8 @@ object Pipeline {
   // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
-    "decontaminate", "coverage_filter", "canary", "wordlist_filter", "split")
+    "decontaminate", "coverage_filter", "canary", "wordlist_filter", "split",
+    "unigram_tokens")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)

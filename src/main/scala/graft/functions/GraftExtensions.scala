@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_unigram_encode"),
       new ExpressionInfo(classOf[UnigramEncodeExpr].getName, "graft_unigram_encode"),
       (children: Seq[Expression]) => UnigramEncodeExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unigram_count"),
+      new ExpressionInfo(classOf[UnigramCountExpr].getName, "graft_unigram_count"),
+      (children: Seq[Expression]) => UnigramCountExpr(children(0), children(1))))
   }
 }

@@ -75,7 +75,62 @@ case class UnigramEncodeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-text unigram token COUNT: normalize-split the input on
+  * single spaces and sum the Viterbi piece count of every word — one
+  * top-level native call per row, so pipeline stages can price rows
+  * without nesting the DP inside a higher-order lambda (an embedded
+  * custom expression under an unresolved lambda variable trips the
+  * analyzer's function-resolution ordering; a dedicated expression
+  * doesn't). Input is expected pre-normalized (the caller applies
+  * TextAnalysis.normalize); empty words contribute nothing.
+  */
+case class UnigramCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    UnigramEncodeExpr(left, right).checkInputDataTypes()
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_unigram_count"
+
+  @transient private lazy val table: UnigramEncodeExpr.Table =
+    UnigramEncodeExpr.buildTable(right.eval(null).asInstanceOf[ArrayData])
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    UnigramEncodeExpr.countTokens(t.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramEncodeExpr.Table].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.UnigramEncodeExpr.countTokens($t, $tbl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object UnigramEncodeExpr {
+
+  /** Token count over space-separated words (see [[UnigramCountExpr]]). */
+  def countTokens(text: UTF8String, table: Table): Long = {
+    var total = 0L
+    var start = 0
+    val s = text.toString
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start)
+          total += encode(UTF8String.fromString(s.substring(start, i)), table)
+            .numElements()
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
 
   /** Piece costs + derived constants, built once per instance. */
   final class Table(val costs: java.util.HashMap[String, java.lang.Long],

@@ -135,4 +135,29 @@ object Unigram {
     spark.createDataFrame(rows.toSeq)
       .toDF("piece", "cnt", "cost_micro")
   }
+
+  /** Per-row REAL token count under a trained vocabulary stored at
+    * `vocabPath` ([[train]] output parquet) — the pipeline-stage
+    * entry point, `Bpe.annotateTokens`' unigram sibling: the piece
+    * table is read once on the driver (vocab-bounded state), each row
+    * then prices itself with one Viterbi pass per word inside a pure
+    * per-row fold — no shuffle, streaming-safe.
+    */
+  def annotateTokens(df: DataFrame, textCol: String, outCol: String,
+                     vocabPath: String): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.catalog.functionExists("graft_unigram_encode"),
+      "graft_unigram_encode is not registered: add " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val vocab = spark.read.parquet(vocabPath)
+      .select(col("piece"), col("cost_micro")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val tab = tableLit(vocab)
+    // ONE top-level native call per row (graft_unigram_count walks
+    // the words itself): nesting the DP expression inside a
+    // higher-order lambda trips the analyzer's function-resolution
+    // ordering, a dedicated whole-text expression doesn't
+    df.withColumn(outCol, call_function("graft_unigram_count",
+      TextAnalysis.normalize(col(textCol)), tab))
+  }
 }

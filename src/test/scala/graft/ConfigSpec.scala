@@ -592,4 +592,33 @@ class ConfigSpec extends SparkSpec {
     assert(Pipeline.streamableOp("split"),
       "split must be streamable: a doc's split never depends on the batch")
   }
+
+  test("pipeline unigram_tokens stage: real Viterbi token counts ride along") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val inDir = tmpDir() + "/docs_ut.parquet"
+    val vocabDir = tmpDir() + "/uvocab.parquet"
+    val outDir = tmpDir() + "/ut_out"
+    docs.write.mode("overwrite").parquet(inDir)
+    graft.ops.Unigram.train(docs, "text", maxPieceLen = 6,
+      vocabSize = 128, iters = 1).write.mode("overwrite").parquet(vocabDir)
+    val (rin, rout) = Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "unigram_tokens", "vocab": "$vocabDir"}]}""".stripMargin)
+    assert(rin == 100 && rout == 100, "annotation never filters")
+    val out = spark.read.parquet(outDir)
+    val direct = graft.ops.Unigram.annotateTokens(
+        docs.select("doc_id", "text"), "text", "unigram_tokens", vocabDir)
+      .select("doc_id", "unigram_tokens")
+      .as[(Long, Long)].collect().toMap
+    val got = out.select("doc_id", "unigram_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(got == direct)
+    // pieces beat characters: the learned vocab compresses real text
+    val chars = docs.select(sum(length(regexp_replace($"text", " ", ""))))
+      .as[Long].head()
+    assert(got.values.sum < chars, "token count must undercut char count")
+    assert(got.values.forall(_ > 0))
+    assert(Pipeline.streamableOp("unigram_tokens"))
+  }
 }

@@ -122,6 +122,18 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(got("") == Seq())
     assert(got("xax").contains("x"), "unknown chars fall back to single-symbol pieces")
+    // the whole-text count expression equals the sum of per-word
+    // encode sizes (same table, same DP)
+    val texts = Seq("abab ba xax", "  a  bab ", "", "ababab")
+    val cnt = texts.toDF("t")
+      .select(col("t"),
+        call_function("graft_unigram_count", col("t"), tab).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    texts.foreach { t =>
+      val wantC = t.split(" ").filter(_.nonEmpty)
+        .map(w => got.getOrElse(w, best(w)).size.toLong).sum
+      assert(cnt(t) == wantC, s"count for '$t'")
+    }
   }
 
   test("unigram train: recovers planted words as pieces, deterministic under layout") {
