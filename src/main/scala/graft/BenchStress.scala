@@ -333,7 +333,14 @@ object BenchStress {
           concat(col("text"), lit(" graftbatch extra token")).as("text"))
       Dedup.incrementalLsh(d.select("doc_id", "text"), batch,
         "text", "doc_id")
-    }))
+    }),
+    // the EM iterates on the distinct-WORD aggregate (Zipf-bounded);
+    // copies add bijected words linearly while the vocab stays fixed,
+    // so seed count + per-round Viterbi must grow linearly — a hidden
+    // corpus-sized pass per round would surface here
+    "unigram_train" -> ((d: DataFrame) =>
+      graft.ops.Unigram.train(d, "text", maxPieceLen = 6,
+        vocabSize = 256, iters = 1)))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
   // COUNT with the corpus (fixed expected cluster size — how SemDeDup

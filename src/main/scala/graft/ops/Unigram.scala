@@ -42,7 +42,8 @@ object Unigram {
     * explode + one partial-aggregated count.
     */
   def initVocab(df: DataFrame, textCol: String,
-                maxPieceLen: Int = 6, vocabSize: Int = 256): DataFrame = {
+                maxPieceLen: Int = 6, vocabSize: Int = 256,
+                materialize: Boolean = true): DataFrame = {
     require(maxPieceLen >= 1 && vocabSize >= 1,
       s"bad maxPieceLen=$maxPieceLen / vocabSize=$vocabSize")
     val wf = Bpe.wordFreq(df, textCol)
@@ -53,8 +54,9 @@ object Unigram {
             col("word").substr(i, j - i + lit(1)))))).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
     // one materialization feeds the single-char slice, its count, and
-    // the multi-char top-N (three consumers of the substring count)
-    val subsT = graft.util.Lineage.truncate(subs)
+    // the multi-char top-N (three consumers of the substring count);
+    // materialize=false keeps the lazy plan for audits
+    val subsT = if (materialize) graft.util.Lineage.truncate(subs) else subs
     val singles = subsT.filter(length(col("piece")) === 1)
     // top-N multis via orderBy+limit (TakeOrderedAndProject — the
     // substring table is corpus-sized, a global rank window is not);

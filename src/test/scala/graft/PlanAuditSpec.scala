@@ -698,6 +698,21 @@ class PlanAuditSpec extends SparkSpec {
       "per-shard counters must combine map-side")
   }
 
+  test("unigram_init: substring counts combine map-side, top-N is TakeOrdered, never a global sort/rank") {
+    // materialize=false: the gated query truncates mid-op, which
+    // hides the build plan from explain (the incrementalLsh pattern)
+    spark.catalog.clearCache()
+    val plan = formatted(graft.ops.Unigram.initVocab(
+      graft.util.Tables.documents(spark, sfDir), "text",
+      maxPieceLen = 6, vocabSize = 256, materialize = false))
+    assert(plan.contains("partial_sum"),
+      "substring counts must combine map-side")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the multi-char top-N must be TakeOrderedAndProject")
+    assert(!plan.contains("Window"),
+      "seed selection must not rank the corpus-sized substring table")
+  }
+
   test("text_pii: detectors fuse into the scan — one exchange total, no UDF") {
     val plan = formatted(q("text_pii"))
     assert(plan.contains("partial_sum"), "per-source rates must combine map-side")
