@@ -275,4 +275,72 @@ object TimeSeries {
       .select(col(keyCol), col(idCol), col("ts_ms"), nw.as("n_window"),
         expr("(__num * 10L) div __den").as("smoothed_milli"))
   }
+
+  /** Offline changepoint localization per key — WHERE did the level
+    * shift? The batch complement of [[graft.streaming.EwmaStream]]'s
+    * online drift flag (which says THAT a key's level moved, one
+    * trigger late): given a key's full history, find the split that
+    * best separates "before" from "after" — the CUSUM-style
+    * maximum-deviation estimator (Page 1954 lineage; the single-
+    * changepoint least-squares split), the question an incident
+    * post-mortem or a corpus-release diff actually asks.
+    *
+    * Statistic, integer-exact end-to-end: values quantize to cents
+    * (q_i as longs), and for a split after position i (of n, ordered
+    * by (ts, id)) the scaled deviation is
+    * `D_i = |n·P_i − i·T|` where P_i is the prefix sum and T the key's
+    * total — algebraically n·i·|mean(1..i) − mean(1..n)|, the CUSUM
+    * curve's distance from the zero-change diagonal, with all the
+    * divisions cleared so no float (or rational) ever appears. The
+    * changepoint is argmax_i D_i over i ∈ [1, n−1], ties to the
+    * EARLIEST split; before/after means report in milli-units via
+    * matched truncation (`div` ≡ DuckDB `//`, toward zero — the signed
+    * contract every integer gate uses). Keys with n < 2 have no split
+    * and are excluded. Overflow bound (documented, not checked row-wise):
+    * n²·max|q| must stay under 2^63 — cents values to ±10⁹ are safe
+    * through n ≈ 2 M events per key.
+    *
+    * Null ts/value rows are dropped up front (the ewma/gapFill
+    * hardening: engines disagree on null ordering, and a null value
+    * has no place in a mean).
+    *
+    * Scale shape: ONE key-hash exchange; the ordered window pass
+    * computes prefix sums, and the per-key argmax is a struct-max
+    * aggregate over the SAME partitioning (Catalyst reuses the
+    * exchange — no second shuffle, no row_number re-sort), |keys| rows
+    * out. The sessionize hot-key caveat applies to the window sort.
+    */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, idCol: String): DataFrame = {
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(idCol).as("id"),
+        expr(s"unix_millis($tsCol)").as("ms"),
+        round(col(valueCol) * 100).cast("long").as("q"))
+    val w = Window.partitionBy("k").orderBy(col("ms"), col("id"))
+    val scored = base
+      .withColumn("p", sum(col("q")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("t", sum(col("q")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("i") < col("n"))
+      .withColumn("d", abs(col("n") * col("p") - col("i") * col("t")))
+    // lexicographic struct max: best D first, then EARLIEST split
+    // (max of −i), remaining fields determined by (d, i) — one
+    // aggregate on the window's own partitioning, no second sort
+    scored
+      .groupBy(col("k"))
+      .agg(max(struct(col("d"), (-col("i")).as("ni"), col("id"), col("p"),
+        col("n"), col("t"))).as("best"))
+      .select(col("k").as(keyCol),
+        col("best.n").as("n_events"),
+        (-col("best.ni")).cast("long").as("cp_pos"),
+        col("best.id").as("cp_event_id"),
+        col("best.d").as("cusum_score"),
+        expr("(best.p * 10L) div (-best.ni)").as("mean_before_milli"),
+        expr("((best.t - best.p) * 10L) div (best.n + best.ni)")
+          .as("mean_after_milli"))
+  }
 }

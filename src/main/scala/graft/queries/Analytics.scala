@@ -601,6 +601,14 @@ object Analytics {
     graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
       "user_id", "ts", "value", "event_id", k = 4)
 
+  /** Per-user CUSUM changepoint: the split of the user's value history
+    * that maximizes the scaled before/after mean separation
+    * (TimeSeries.changepoint — integer-exact, ties to the earliest
+    * split, before/after means in milli-units). */
+  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.changepoint(Tables.events(spark, sfDir),
+      "user_id", "ts", "value", "event_id")
+
   /** Edit-distance record linkage (FuzzyJoin.join): suppliers vs a
     * deterministically corrupted re-issue (one char substituted at an
     * id-derived position — both engines construct the identical
@@ -631,6 +639,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
+    "q_changepoint" -> qChangepoint,
     "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
@@ -856,6 +865,27 @@ object Analytics {
         |WHERE greatest(len_l, len_r) >= 6
         |  AND n_shared >= greatest(len_l, len_r) - 5
         |  AND levenshtein(k_l, k_r) <= 1""".stripMargin,
+    "q_changepoint" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
+        |        CAST(round(value * 100) AS BIGINT) AS q
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT k, id,
+        |        sum(q) OVER (PARTITION BY k ORDER BY ms, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |        row_number() OVER (PARTITION BY k ORDER BY ms, id) AS i,
+        |        count(*) OVER (PARTITION BY k) AS n,
+        |        sum(q) OVER (PARTITION BY k) AS t
+        |      FROM e),
+        |c AS (SELECT k, id, i, n, p, t, abs(n * p - i * t) AS d
+        |      FROM w WHERE i < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY d DESC, i ASC) AS rn FROM c)
+        |SELECT k AS user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(i AS BIGINT) AS cp_pos, id AS cp_event_id,
+        |  CAST(d AS BIGINT) AS cusum_score,
+        |  CAST((p * 10) // i AS BIGINT) AS mean_before_milli,
+        |  CAST(((t - p) * 10) // (n - i) AS BIGINT) AS mean_after_milli
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_ewma" ->
       """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
         |        CAST(round(value * 100) AS BIGINT) AS q

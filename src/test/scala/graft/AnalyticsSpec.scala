@@ -346,4 +346,45 @@ class AnalyticsSpec extends SparkSpec {
         $"value".cast("double")))
     assert(run(withNulls) == got)
   }
+
+  test("changepoint: planted shift localized, earliest-split ties, n<2 excluded, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      // key 1: clean level shift 10.0 -> 50.0 after position 3
+      (1L, 10L, "2024-01-01 00:00:01", 10.0),
+      (1L, 11L, "2024-01-01 00:00:02", 10.0),
+      (1L, 12L, "2024-01-01 00:00:03", 10.0),
+      (1L, 13L, "2024-01-01 00:00:04", 50.0),
+      (1L, 14L, "2024-01-01 00:00:05", 50.0),
+      // key 2: symmetric spike — D_1 = D_2 = 1000, tie goes EARLIEST
+      (2L, 20L, "2024-01-01 00:00:01", 0.0),
+      (2L, 21L, "2024-01-01 00:00:02", 10.0),
+      (2L, 22L, "2024-01-01 00:00:03", 0.0),
+      // key 3: single event — no split exists
+      (3L, 30L, "2024-01-01 00:00:01", 7.0)
+    ).toDF("user_id", "event_id", "s", "value")
+      .select($"user_id", $"event_id", $"s".cast("timestamp").as("ts"), $"value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.changepoint(d, "user_id", "ts", "value", "event_id")
+        .select("user_id", "n_events", "cp_pos", "cp_event_id",
+          "cusum_score", "mean_before_milli", "mean_after_milli")
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val got = run(ev)
+    assert(got == Seq(
+      // cents 1000,1000,1000,5000,5000: T=13000, D_3=|5*3000-3*13000|=24000
+      (1L, 5L, 3L, 12L, 24000L, 10000L, 50000L),
+      // cents 0,1000,0: D_1=|3*0-1000|=1000 = D_2=|3*1000-2000| -> pos 1
+      (2L, 3L, 1L, 20L, 1000L, 0L, 5000L)))
+    assert(run(ev.repartition(7)) == got, "changepoint owes nothing to layout")
+    // null ts / null value rows drop, not poison
+    val withNulls = ev.unionByName(Seq(
+      (1L, 15L, null.asInstanceOf[String], java.lang.Double.valueOf(99.0)),
+      (2L, 23L, "2024-01-01 00:00:09", null.asInstanceOf[java.lang.Double])
+    ).toDF("user_id", "event_id", "s", "value")
+      .select($"user_id", $"event_id", $"s".cast("timestamp").as("ts"),
+        $"value".cast("double")))
+    assert(run(withNulls) == got)
+  }
 }

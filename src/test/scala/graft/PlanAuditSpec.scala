@@ -667,6 +667,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q_changepoint: one key exchange, argmax reuses the window's partitioning") {
+    val plan = formatted(q("q_changepoint"))
+    assert(ops(plan, "Exchange") == 1,
+      "prefix sums AND the struct-max argmax must share one key-hash exchange")
+    assert(!plan.contains("Join"))
+    assert(plan.contains("partial_max"),
+      "the per-key argmax must combine map-side as a struct max")
+  }
+
   test("q_fuzzy_join: gram path is an equi-join, the only loop join is the tiny brute channel") {
     val plan = formatted(q("q_fuzzy_join"))
     assert(!plan.contains("CartesianProduct"),
