@@ -96,6 +96,66 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — the BIPARTITE
+    * centrality pageRank can't express: an authority is a page many
+    * good hubs point TO, a hub is a page pointing to many good
+    * authorities. On a crawl graph the two roles separate cleanly
+    * (link directories / "awesome lists" are hubs with near-zero
+    * authority; canonical documentation is the reverse), and the
+    * authority score is the better quality prior for corpus curation
+    * — a spam page can MAKE itself a hub by linking out, but it can't
+    * make good hubs link in.
+    *
+    * Integer-exact mutual recursion, fixed `iters` (the pageRank
+    * convention — deterministic cost, a replayable oracle): each round
+    * is `auth_raw(v) = Σ_{u→v} hub(u)` then L∞ renormalization
+    * `auth(v) = (auth_raw·1e6) div max(auth_raw)` (the one
+    * normalization expressible in pure long arithmetic — an L2 norm
+    * would need a square root), then the same for hubs against the NEW
+    * authorities (the standard in-iteration ordering). Parallel edges
+    * count multiply (the multigraph convention of [[hashGraph]]).
+    * All-long overflow bound: max in/out-degree · 1e12 < 2^63, i.e.
+    * degrees to ~9 M are safe.
+    *
+    * Scale shape per round: two |E|-row contribution shuffles with
+    * map-side partial sums (identical cost to one pageRank round,
+    * twice), each normalization a ONE-ROW global max broadcast back
+    * onto the |V|-row update (never a driver collect); the score
+    * frontier routes through [[graft.util.Lineage.truncate]] so the
+    * plan stays O(1) per round.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
+           checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var scores = nodes.select(col("id"),
+      lit(1000000L).as("hub_micro"), lit(1000000L).as("auth_micro"))
+    for (_ <- 0 until iters) {
+      val authRaw = edges
+        .join(scores.select(col("id").as("src"), col("hub_micro")), Seq("src"))
+        .groupBy("dst").agg(sum("hub_micro").as("araw"))
+      // greatest(…, 1): an edgeless graph has no max — never div-null
+      val amax = authRaw.agg(greatest(max("araw"), lit(1L)).as("mx"))
+      val auth = nodes
+        .join(authRaw, nodes("id") === authRaw("dst"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("id"),
+          expr("(coalesce(araw, 0L) * 1000000L) div mx").as("auth_micro"))
+      val hubRaw = edges
+        .join(auth.select(col("id").as("dst"), col("auth_micro")), Seq("dst"))
+        .groupBy("src").agg(sum("auth_micro").as("hraw"))
+      val hmax = hubRaw.agg(greatest(max("hraw"), lit(1L)).as("mx"))
+      val next = nodes
+        .join(hubRaw, nodes("id") === hubRaw("src"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(nodes("id"),
+          expr("(coalesce(hraw, 0L) * 1000000L) div mx").as("hub_micro"))
+        .join(auth, Seq("id"))
+        .select(col("id"), col("hub_micro"), col("auth_micro"))
+      scores = if (checkpoint) graft.util.Lineage.truncate(next) else next
+    }
+    scores
+  }
+
   /** k-core peel (fixed rounds): repeatedly drop nodes whose degree
     * in the SURVIVING graph falls below `k` — the dense-subgraph
     * detector (a link farm's mutually-linking core survives peels

@@ -1120,6 +1120,17 @@ object PipelineQueries {
         coalesce(col("cluster"), col("id")).as("component"))
   }
 
+  /** HITS hubs/authorities on the shared hash link graph (2 rounds,
+    * integer L∞ renormalization each half-step — the oracle replays
+    * both rounds' mutual recursion bit-for-bit through the same
+    * greatest(max, 1) guard).
+    */
+  def graphHitsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.hits(nodes, edges.select("src", "dst"), iters = 2)
+      .select(col("id").as("doc_id"), col("hub_micro"), col("auth_micro"))
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1406,6 +1417,7 @@ object PipelineQueries {
     "graph_triangles" -> graphTrianglesQ,
     "graph_kcore" -> graphKcoreQ,
     "graph_cc" -> graphCcQ,
+    "graph_hits" -> graphHitsQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -3074,6 +3086,39 @@ object PipelineQueries {
          |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
          |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
          |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin,
+    "graph_hits" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |a1r AS (SELECT dst, sum(1000000) AS araw FROM e GROUP BY 1),
+         |a1m AS (SELECT greatest(max(araw), 1) AS mx FROM a1r),
+         |a1 AS (SELECT d.id, (coalesce(r.araw, 0) * 1000000) // m.mx AS a
+         |       FROM deg d LEFT JOIN a1r r ON d.id = r.dst, a1m m),
+         |h1r AS (SELECT e.src, sum(a1.a) AS hraw
+         |        FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+         |h1m AS (SELECT greatest(max(hraw), 1) AS mx FROM h1r),
+         |h1 AS (SELECT d.id, (coalesce(r.hraw, 0) * 1000000) // m.mx AS h
+         |       FROM deg d LEFT JOIN h1r r ON d.id = r.src, h1m m),
+         |a2r AS (SELECT e.dst, sum(h1.h) AS araw
+         |        FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+         |a2m AS (SELECT greatest(max(araw), 1) AS mx FROM a2r),
+         |a2 AS (SELECT d.id, (coalesce(r.araw, 0) * 1000000) // m.mx AS a
+         |       FROM deg d LEFT JOIN a2r r ON d.id = r.dst, a2m m),
+         |h2r AS (SELECT e.src, sum(a2.a) AS hraw
+         |        FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+         |h2m AS (SELECT greatest(max(hraw), 1) AS mx FROM h2r),
+         |h2 AS (SELECT d.id, (coalesce(r.hraw, 0) * 1000000) // m.mx AS h
+         |       FROM deg d LEFT JOIN h2r r ON d.id = r.src, h2m m)
+         |SELECT d.id AS doc_id, CAST(h2.h AS BIGINT) AS hub_micro,
+         |       CAST(a2.a AS BIGINT) AS auth_micro
+         |FROM deg d JOIN h2 ON d.id = h2.id JOIN a2 ON d.id = a2.id""".stripMargin,
     // min-reachable-id labels ARE what star contraction converges to;
     // the recursive CTE is the algorithm-independent truth
     "graph_cc" ->

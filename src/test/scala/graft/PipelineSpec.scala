@@ -1413,6 +1413,34 @@ class PipelineSpec extends SparkSpec {
       Map(0L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("hits: hub/authority roles separate, L-inf renorm exact, parallel edges count, layout-independent") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    def run(n: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame, iters: Int) =
+      graft.ops.Graph.hits(n, e, iters)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // round 1: araw 10=2e6, 11=1e6 -> auth 1e6 / 5e5; hraw 1=1.5e6,
+    // 2=1e6 -> hub 1e6 / 666666. round 2: araw 10=1666666, 11=1e6 ->
+    // auth 1e6 / 600000; hraw 1=1.6e6, 2=1e6 -> hub 1e6 / 625000.
+    val got = run(nodes, edges, 2)
+    assert(got == Map(
+      1L -> (1000000L, 0L), 2L -> (625000L, 0L), 3L -> (0L, 0L),
+      10L -> (0L, 1000000L), 11L -> (0L, 600000L)))
+    assert(run(nodes, edges.repartition(4), 2) == got,
+      "scores owe nothing to layout")
+    // iters=0 is the uniform start
+    assert(run(nodes, edges, 0).values.toSet == Set((1000000L, 1000000L)))
+    // a parallel edge contributes multiply (the hashGraph multigraph
+    // convention): doubling 2->10 lifts 11's relative authority share
+    val par = edges.unionByName(Seq((2L, 10L)).toDF("src", "dst"))
+    val g2 = run(nodes, par, 1)
+    // araw 10=3e6, 11=1e6 -> auth 333333 for 11
+    assert(g2(11L)._2 == 333333L && g2(10L)._2 == 1000000L)
+    // edgeless graph: guard div (max, 1), everything honestly zero
+    assert(run(nodes, edges.limit(0), 1).values.toSet == Set((0L, 0L)))
+  }
+
   test("threshold curve: running cumulative, reconciles with the gated pair scan at 0.35") {
     val curve = PipelineQueries.dedupThresholdCurveQ(spark, sfDir)
       .as[(Long, Long, Long)].collect().sortBy(-_._1)
