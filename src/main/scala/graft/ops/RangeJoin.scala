@@ -66,4 +66,49 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pair every left interval with every right
+    * interval of the same key whose half-open span intersects it
+    * (`lLo < rHi && rLo < lHi`) — the two-interval-relation member of
+    * the range-join family that [[pointInInterval]] (point×interval)
+    * can't express: session×session overlap, downtime×maintenance
+    * reconciliation, crawl-window×license-window accounting.
+    *
+    * Same binning idea, both sides exploded: overlapping pairs share
+    * every bin their intersection covers, so a naive bin equi-join
+    * would emit duplicates. The dedup is FREE, not a shuffle: a pair's
+    * shared bins start exactly at `bin(greatest(lLo, rLo))` (bin() is
+    * monotone, and the intersection of two overlapping half-open
+    * spans begins at the later start), so keeping only the meeting at
+    * THAT bin counts each pair once — no `distinct`, no window.
+    *
+    * Scale shape: both sides explode into `len/binWidth + 1` rows
+    * (size binWidth near the typical interval length: fan-out ≈ 2),
+    * then ONE (key, bin) equi-join — hash-partitioned, or map-side
+    * with `broadcastRight` for the big-facts × small-windows shape.
+    * Key skew is ordinary equi-join skew (AQE splits it). Column
+    * names of the two inputs must not collide.
+    */
+  def overlapJoin(left: DataFrame, lLo: String, lHi: String,
+                  right: DataFrame, rLo: String, rHi: String,
+                  keyCols: Seq[(String, String)], binWidth: Long,
+                  broadcastRight: Boolean = false): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // distinct bin names (not one ambiguous "__bin"): both sides often
+    // derive from the same base relation, and qualified df("col")
+    // references across a self-join are fragile in that case
+    def explodeBins(df: DataFrame, lo: String, hi: String, as: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn(as,
+        explode(sequence(bin(col(lo), binWidth), bin(col(hi) - 1, binWidth))))
+    val l = explodeBins(left, lLo, lHi, "__lbin")
+    val rb = explodeBins(right, rLo, rHi, "__rbin")
+    val r = if (broadcastRight) broadcast(rb) else rb
+    val keyEq = keyCols.map { case (lk, rk) => col(lk) === col(rk) }
+      .foldLeft(col("__lbin") === col("__rbin"))(_ && _)
+    l.join(r, keyEq)
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__lbin") === bin(greatest(col(lLo), col(rLo)), binWidth))
+      .drop("__lbin", "__rbin")
+  }
 }

@@ -601,6 +601,30 @@ object Analytics {
     graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
       "user_id", "ts", "value", "event_id", k = 4)
 
+  /** Interval-overlap join (RangeJoin.overlapJoin): each click opens a
+    * 10-minute activity window, each purchase a 10-minute settlement
+    * window; pair every overlapping (click, purchase) window per user
+    * with the exact overlap length. binWidth = the window length, so
+    * interval fan-out is exactly 2 bins.
+    */
+  def qIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def side(t: String, key: String, id: String) =
+      ev.filter($"event_type" === t && $"ts".isNotNull)
+        .select(col("user_id").as(key), col("event_id").as(id),
+          expr("unix_millis(ts)").as(s"${id}_s"),
+          (expr("unix_millis(ts)") + lit(600000L)).as(s"${id}_e"))
+    graft.ops.RangeJoin.overlapJoin(
+        side("click", "k_l", "click_id"), "click_id_s", "click_id_e",
+        side("purchase", "k_r", "purchase_id"), "purchase_id_s", "purchase_id_e",
+        Seq(("k_l", "k_r")), binWidth = 600000L)
+      .select(col("k_l").as("user_id"), col("click_id"), col("purchase_id"),
+        greatest(col("click_id_s"), col("purchase_id_s")).as("o_start_ms"),
+        (least(col("click_id_e"), col("purchase_id_e"))
+          - greatest(col("click_id_s"), col("purchase_id_s"))).as("overlap_ms"))
+  }
+
   /** Per-user CUSUM changepoint: the split of the user's value history
     * that maximizes the scaled before/after mean separation
     * (TimeSeries.changepoint — integer-exact, ties to the earliest
@@ -640,6 +664,7 @@ object Analytics {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
     "q_changepoint" -> qChangepoint,
+    "q_interval_join" -> qIntervalJoin,
     "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
@@ -865,6 +890,19 @@ object Analytics {
         |WHERE greatest(len_l, len_r) >= 6
         |  AND n_shared >= greatest(len_l, len_r) - 5
         |  AND levenshtein(k_l, k_r) <= 1""".stripMargin,
+    // algorithm-independent truth: the plain overlap predicate —
+    // the binning + first-shared-bin dedup must reproduce it exactly
+    "q_interval_join" ->
+      """WITH l AS (SELECT user_id AS k, event_id AS lid, epoch_ms(ts) AS s,
+        |        epoch_ms(ts) + 600000 AS e
+        |      FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+        |r AS (SELECT user_id AS k, event_id AS rid, epoch_ms(ts) AS s,
+        |        epoch_ms(ts) + 600000 AS e
+        |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+        |SELECT l.k AS user_id, l.lid AS click_id, r.rid AS purchase_id,
+        |  greatest(l.s, r.s) AS o_start_ms,
+        |  least(l.e, r.e) - greatest(l.s, r.s) AS overlap_ms
+        |FROM l JOIN r ON l.k = r.k AND l.s < r.e AND r.s < l.e""".stripMargin,
     "q_changepoint" ->
       """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
         |        CAST(round(value * 100) AS BIGINT) AS q

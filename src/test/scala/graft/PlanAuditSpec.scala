@@ -667,6 +667,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q_interval_join: bin-blocked equi-join, no cross product, no dedup shuffle") {
+    val plan = formatted(q("q_interval_join"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the overlap predicate must ride the bin equi-join, never a loop join")
+    assert(ops(plan, "SortMergeJoin") + ops(plan, "ShuffledHashJoin") +
+      ops(plan, "BroadcastHashJoin") == 1,
+      "exactly one (key, bin) equi-join")
+    assert(!plan.contains("HashAggregate") || !plan.contains("distinct"),
+      "first-shared-bin filter replaces any distinct/dedup aggregation")
+  }
+
   test("q_changepoint: one key exchange, argmax reuses the window's partitioning") {
     val plan = formatted(q("q_changepoint"))
     assert(ops(plan, "Exchange") == 1,

@@ -1160,4 +1160,37 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("overlap join equals the brute-force overlap predicate, each pair exactly once") {
+    val rnd = new Random(4096)
+    (1 to rounds).foreach { round =>
+      // adversarial widths: from sub-bin slivers to 10-bin monsters,
+      // touching endpoints common (multiples of 7 collide often)
+      def iv() = { val s = rnd.nextInt(400) * 7L
+        (s, s + 7L * (1 + rnd.nextInt(70))) }
+      val left = (0 until 120).map { i =>
+        val k = rnd.nextInt(5).toLong; val (s, e) = iv(); (k, i.toLong, s, e) }
+      val right = (0 until 120).map { i =>
+        val k = rnd.nextInt(5).toLong; val (s, e) = iv(); (k, 1000L + i, s, e) }
+      val got = graft.ops.RangeJoin.overlapJoin(
+          left.toDF("k_l", "lid", "l_s", "l_e"), "l_s", "l_e",
+          right.toDF("k_r", "rid", "r_s", "r_e"), "r_s", "r_e",
+          Seq(("k_l", "k_r")), binWidth = 100L)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"round $round: first-shared-bin dedup emitted a duplicate pair")
+      val want = (for {
+        (lk, lid, ls, le) <- left; (rk, rid, rs, re) <- right
+        if lk == rk && ls < re && rs < le
+      } yield (lid, rid)).toSet
+      assert(got.toSet == want, s"round $round: overlap set diverges " +
+        s"(missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)})")
+    }
+    // touching half-open intervals [a,b) [b,c) do NOT overlap
+    val t = graft.ops.RangeJoin.overlapJoin(
+      Seq((1L, 1L, 0L, 100L)).toDF("k_l", "lid", "l_s", "l_e"), "l_s", "l_e",
+      Seq((1L, 2L, 100L, 200L)).toDF("k_r", "rid", "r_s", "r_e"), "r_s", "r_e",
+      Seq(("k_l", "k_r")), binWidth = 50L)
+    assert(t.count() == 0, "touching endpoints must not pair")
+  }
 }
