@@ -60,6 +60,40 @@ object TextAnalysis {
           size(split(col("norm"), " "))).as("mean_token_len"))
   }
 
+  /** Integer readability proxies — the grade-level axis of quality
+    * filtering that [[qualityScores]]' ratio features don't carry (a
+    * doc can have perfect punctuation ratios and still be either
+    * see-spot-run or impenetrable legalese; curriculum ordering and
+    * audience-targeted corpus cuts both want the grade signal).
+    *
+    * Flesch–Kincaid grade and Flesch reading ease over PROXY counts,
+    * all-integer: words = whitespace tokens, sentences = terminal-
+    * punctuation runs `[.!?]+` (clamped ≥ 1 so headline-style docs
+    * divide safely), syllables ≈ vowel GROUPS `[aeiouy]+` (the classic
+    * cheap estimator: one vowel cluster per syllable nucleus —
+    * English-calibrated like the formulas themselves, documented
+    * proxy not phonology). Published coefficients scaled to
+    * milli-units with every division a matched truncation
+    * (`div` ≡ `//` toward zero):
+    * `fk_milli = (390·w) div s + (11800·y) div w − 15590`,
+    * `fre_milli = 206835 − (1015·w) div s − (84600·y) div w`.
+    * Patterns are RE2-safe; the whole thing is per-row scan work with
+    * zero shuffles — 100 TB cost is the read itself.
+    */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), normalize(col(textCol)).as("norm"))
+      .select(col(idCol),
+        size(split(col("norm"), " ")).cast("long").as("n_words"),
+        greatest(regexp_count(col("norm"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        regexp_count(col("norm"), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        expr("(390L * n_words) div n_sentences + (11800L * n_syllables) div n_words - 15590L")
+          .as("fk_grade_milli"),
+        expr("206835L - (1015L * n_words) div n_sentences - (84600L * n_syllables) div n_words")
+          .as("fre_milli"))
+
   /** Stopword-profile language ID over a fixed 5-language family.
     * Deterministic argmax with a fixed priority order on ties (the
     * n-gram-profile classic, reduced to its portable core).

@@ -243,6 +243,9 @@ object PipelineQueries {
   def textLangidQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  def textReadabilityQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(spark, sfDir), "text", "doc_id")
+
   /** Scrub corpus: documents augmented with synthetic emails/URLs/ids
     * (both engines construct the identical text) so the redaction has
     * true positives to hit.
@@ -1360,6 +1363,7 @@ object PipelineQueries {
     "dedup_semantic_init" -> dedupSemanticInitQ,
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
+    "text_readability" -> textReadabilityQ,
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
     "text_html_extract" -> textHtmlExtractQ,
@@ -1976,6 +1980,18 @@ object PipelineQueries {
          |    / len(string_split(nt, ' ')) AS stopword_ratio,
          |  CAST(len(replace(nt, ' ', '')) AS DOUBLE) / len(string_split(nt, ' ')) AS mean_token_len
          |FROM (SELECT doc_id, text, $norm AS nt FROM documents)""".stripMargin,
+    "text_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    len(string_split(nt, ' '))::BIGINT AS w,
+         |    greatest(len(regexp_extract_all(nt, '[.!?]+')), 1)::BIGINT AS s,
+         |    len(regexp_extract_all(nt, '[aeiouy]+'))::BIGINT AS y
+         |  FROM (SELECT doc_id, $norm AS nt FROM documents))
+         |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+         |  CAST((390 * w) // s + (11800 * y) // w - 15590 AS BIGINT)
+         |    AS fk_grade_milli,
+         |  CAST(206835 - (1015 * w) // s - (84600 * y) // w AS BIGINT)
+         |    AS fre_milli
+         |FROM c""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
          |  CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'

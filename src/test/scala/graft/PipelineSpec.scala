@@ -1088,6 +1088,32 @@ class PipelineSpec extends SparkSpec {
     assert(fp.select("content_hash").distinct().count() == n)
   }
 
+  test("readability: proxy counts exact, sentence clamp, integer formula truncation") {
+    val t = Seq(
+      // 6 words, 2 sentence runs ('.' and '!'), vowel groups counted
+      (1L, "See spot run. See spot go!"),
+      // no terminal punctuation: sentence count clamps to 1
+      (2L, "headline without punctuation"),
+      // no vowels at all: syllable proxy 0, formulas stay defined
+      (3L, "zzz grr pfft")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(t, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // doc 1: w=6 s=2 y: see(2: e-e? 'ee' one group + ...) count groups:
+    // see=1(ee), spot=1(o), run=1(u), see=1, spot=1, go=1 -> 6
+    assert(r(1L) == ((1L, 6L, 2L, 6L,
+      (390L * 6) / 2 + (11800L * 6) / 6 - 15590,
+      206835L - (1015L * 6) / 2 - (84600L * 6) / 6)))
+    val (_, w2, s2, y2, _, _) = r(2L)
+    assert(w2 == 3L && s2 == 1L, "clamped sentence count")
+    // headline: ea,i,e (3); without: i,ou (2); punctuation: u,ua,io (3)
+    assert(y2 == 8L)
+    val (_, w3, s3, y3, fk3, _) = r(3L)
+    assert(w3 == 3L && s3 == 1L && y3 == 0L)
+    assert(fk3 == (390L * 3) / 1 + 0 - 15590, "zero syllables stay defined")
+  }
+
   test("table profile: exact nulls/distincts/minmax incl. >64-char prefix truncation") {
     val long1 = "a" * 70 + "zzz"   // shares a 64-char prefix with long2
     val long2 = "a" * 70 + "bbb"   // ...so both truncate identically
