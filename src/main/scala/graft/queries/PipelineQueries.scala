@@ -545,6 +545,24 @@ object PipelineQueries {
     Similarity.embOutliers(Tables.embeddings(spark, sfDir), "embedding",
       "vec_id", dim = 64, topK = 25)
 
+  /** Per-dimension snapshot drift (Similarity.embDrift): reference =
+    * even vec_ids, current = odd vec_ids with a planted +0.5 shift on
+    * dimension 3 (both engines build the identical perturbation —
+    * 0.5 is exactly representable, so the double add is bit-stable) —
+    * the drift flag must fire on exactly that dimension at the 0.25
+    * tolerance while even/odd sampling noise stays under it.
+    */
+  def embDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val ref = e.filter(col("vec_id") % 2 === 0)
+    val cur = e.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN i = 3 THEN CAST(x AS DOUBLE) + 0.5d
+          |       ELSE CAST(x AS DOUBLE) END)""".stripMargin))
+    Similarity.embDrift(ref, cur, "embedding", toleranceMicro = 250000L)
+  }
+
   /** df-threshold boilerplate strip over the corpus (see
     * TextAnalysis.dfPrune): one df shuffle + a broadcast high-df set;
     * the prune is a per-row array lambda at scan speed.
@@ -1395,6 +1413,7 @@ object PipelineQueries {
     "emb_gram" -> embGramQ,
     "emb_pca" -> embPcaQ,
     "emb_outliers" -> embOutliersQ,
+    "emb_drift" -> embDriftQ,
     "shard_manifest" -> shardManifestQ,
     "profile_diff" -> profileDiffQ,
     "unigram_init" -> unigramInitQ,
@@ -2606,6 +2625,37 @@ object PipelineQueries {
                   "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")})
          |    AS content_xor
          |FROM k GROUP BY 1""".stripMargin,
+    "emb_drift" ->
+      s"""WITH re AS (SELECT unnest(range(64)) AS i, embedding AS v
+         |        FROM embeddings WHERE vec_id % 2 = 0),
+         |rq AS (SELECT 'ref' AS side, i,
+         |         CAST(floor(CAST(v[CAST(i + 1 AS INT)] AS DOUBLE) * 10000)
+         |           AS BIGINT) AS q FROM re),
+         |ce AS (SELECT unnest(range(64)) AS i, embedding AS v
+         |        FROM embeddings WHERE vec_id % 2 = 1),
+         |cq AS (SELECT 'cur' AS side, i,
+         |         CAST(floor((CAST(v[CAST(i + 1 AS INT)] AS DOUBLE)
+         |           + CASE WHEN i = 3 THEN 0.5 ELSE 0 END) * 10000)
+         |           AS BIGINT) AS q FROM ce),
+         |u AS (SELECT * FROM rq UNION ALL SELECT * FROM cq),
+         |a AS (SELECT i,
+         |        CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |        CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+         |        CAST(sum(CASE WHEN side = 'ref' THEN q ELSE 0 END) AS BIGINT) AS s_ref,
+         |        CAST(sum(CASE WHEN side = 'cur' THEN q ELSE 0 END) AS BIGINT) AS s_cur,
+         |        CAST(sum(CASE WHEN side = 'ref' THEN q * q ELSE 0 END) AS BIGINT) AS ss_ref,
+         |        CAST(sum(CASE WHEN side = 'cur' THEN q * q ELSE 0 END) AS BIGINT) AS ss_cur
+         |      FROM u GROUP BY 1),
+         |m AS (SELECT i AS dim_i, n_ref, n_cur,
+         |        CAST((s_ref * 100) // greatest(n_ref, 1) AS BIGINT) AS mean_ref_micro,
+         |        CAST((s_cur * 100) // greatest(n_cur, 1) AS BIGINT) AS mean_cur_micro,
+         |        CAST(ss_ref // greatest(n_ref, 1) AS BIGINT) AS msq_ref_e8,
+         |        CAST(ss_cur // greatest(n_cur, 1) AS BIGINT) AS msq_cur_e8
+         |      FROM a)
+         |SELECT *, abs(mean_ref_micro - mean_cur_micro) AS delta_micro,
+         |  CASE WHEN abs(mean_ref_micro - mean_cur_micro) > 250000
+         |       THEN 1 ELSE 0 END AS drifted
+         |FROM m""".stripMargin,
     "emb_outliers" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

@@ -642,6 +642,55 @@ object Similarity {
         col("n2_p50"), col("n2_p95"), col("sum_n2"))
   }
 
+  /** Per-dimension drift between two embedding snapshots — the
+    * embedding twin of `profile_diff` (which watches numeric COLUMNS;
+    * an embedding column is d numeric columns hiding in an array):
+    * a re-embedding with a different model, an unnormalized writer
+    * batch, or a preprocessing change shifts per-dimension means and
+    * magnitudes long before any retrieval metric notices. Reports, per
+    * dimension: side counts, means (micro-units) and mean squared
+    * magnitudes (1e-8 units), plus an integer drift flag at
+    * `toleranceMicro` on the mean delta.
+    *
+    * Integer-exact: components quantize floor(x·10⁴) (the file-wide
+    * convention), all sums long and order-independent, means via
+    * matched-truncation division — byte-identical on both engines.
+    *
+    * Scale shape: ONE union scan, posexplode to (side, i, q) narrow
+    * rows, ONE partial-aggregatable groupBy(i) — map-side combine
+    * collapses every partition to ≤ 2d rows, so the shuffle carries
+    * O(partitions·d) tiny rows at any corpus size; d rows out. The
+    * snapshots are never joined row-to-row.
+    */
+  def embDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+               toleranceMicro: Long): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      df.select(lit(s).as("side"),
+        posexplode(quantize(col(vecCol))).as(Seq("i", "q")))
+    val agg = side(ref, "ref").unionByName(side(cur, "cur"))
+      .groupBy("i").agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("side") === "ref", col("q")).otherwise(0L)).as("s_ref"),
+        sum(when(col("side") === "cur", col("q")).otherwise(0L)).as("s_cur"),
+        sum(when(col("side") === "ref", col("q") * col("q")).otherwise(0L))
+          .as("ss_ref"),
+        sum(when(col("side") === "cur", col("q") * col("q")).otherwise(0L))
+          .as("ss_cur"))
+    // greatest(n, 1): a missing side reads mean 0 with its honest
+    // n = 0 — never a null that breaks the tuple-hash gate
+    agg.select(col("i").cast("long").as("dim_i"),
+        col("n_ref"), col("n_cur"),
+        expr("(s_ref * 100L) div greatest(n_ref, 1L)").as("mean_ref_micro"),
+        expr("(s_cur * 100L) div greatest(n_cur, 1L)").as("mean_cur_micro"),
+        expr("ss_ref div greatest(n_ref, 1L)").as("msq_ref_e8"),
+        expr("ss_cur div greatest(n_cur, 1L)").as("msq_cur_e8"))
+      .withColumn("delta_micro",
+        abs(col("mean_ref_micro") - col("mean_cur_micro")))
+      .withColumn("drifted",
+        (col("delta_micro") > toleranceMicro).cast("int"))
+  }
+
   /** Exact covariance sufficient statistics of the embedding corpus —
     * the distributed-linear-algebra primitive under PCA, whitening and
     * Mahalanobis outlier scoring: the full second-moment (Gram)

@@ -1088,6 +1088,31 @@ class PipelineSpec extends SparkSpec {
     assert(fp.select("content_hash").distinct().count() == n)
   }
 
+  test("embDrift: planted shift flagged on its dimension only, empty side honest, layout-independent") {
+    val mk = (rows: Seq[(Long, Seq[Float])]) =>
+      rows.toDF("vec_id", "embedding")
+    val ref = mk(Seq(
+      (1L, Seq(1.0f, 0.0f, -2.0f)), (2L, Seq(1.0f, 0.2f, -2.0f))))
+    val cur = mk(Seq(
+      (3L, Seq(1.0f, 0.1f, -1.0f)), (4L, Seq(1.0f, 0.1f, -1.0f))))
+    def run(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      graft.sim.Similarity.embDrift(r, c, "embedding", toleranceMicro = 500000L)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Int)]
+        .collect().map(x => x._1 -> x).toMap
+    val got = run(ref, cur)
+    // dim 0: identical means, msq 1e8 each side. dim 1: ref mean
+    // (0+2000)*100/2 = 100000µ, cur 100000µ — no drift. dim 2: ref
+    // -2e6µ vs cur -1e6µ -> delta 1e6 > 5e5 tolerance
+    assert(got(0L) == ((0L, 2L, 2L, 1000000L, 1000000L, 100000000L, 100000000L, 0L, 0)))
+    assert(got(1L)._8 == 0L && got(1L)._9 == 0)
+    assert(got(2L) == ((2L, 2L, 2L, -2000000L, -1000000L, 400000000L, 100000000L, 1000000L, 1)))
+    assert(run(ref.repartition(3), cur.repartition(2)) == got,
+      "drift owes nothing to layout")
+    // an empty current side reads n_cur = 0, mean 0 — honest, not null
+    val g2 = run(ref, cur.limit(0))
+    assert(g2(0L)._3 == 0L && g2(0L)._5 == 0L)
+  }
+
   test("readability: proxy counts exact, sentence clamp, integer formula truncation") {
     val t = Seq(
       // 6 words, 2 sentence runs ('.' and '!'), vowel groups counted
