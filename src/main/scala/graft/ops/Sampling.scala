@@ -327,16 +327,19 @@ object Sampling {
     * manifest doesn't need positions.
     */
   def shardManifest(df: DataFrame, textCol: String, idCol: String,
-                    numShards: Int, salt: String = "graft"): DataFrame = {
+                    numShards: Int, salt: String = "graft",
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val key = Hashing.portableHash64(
       concat(lit(salt + ":shard:"), col(idCol).cast("string")))
     val fp = Hashing.portableHash64(concat(col(idCol).cast("string"), lit(":"),
       md5(TextAnalysis.normalize(col(textCol)))))
-    df.select(pmod(key, lit(numShards.toLong)).as("shard"),
+    df.select(extraKeys.map(col) ++ Seq(
+        pmod(key, lit(numShards.toLong)).as("shard"),
         col(idCol).as("id"), length(col(textCol)).cast("long").as("nc"),
-        fp.as("fp"))
-      .groupBy("shard")
+        fp.as("fp")): _*)
+      // extraKeys first: a release manifest addresses (split, shard)
+      .groupBy((extraKeys :+ "shard").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"),
         bit_xor(col("fp")).as("content_xor"))

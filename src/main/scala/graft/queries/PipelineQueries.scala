@@ -1345,6 +1345,32 @@ object PipelineQueries {
     Sampling.shards(deduped, "doc_id", numShards = 8)
   }
 
+  /** END-TO-END release hand-off as ONE gated query — the composition
+    * of the round-9 export operators: readability gate (keep docs with
+    * ≥ 10 words and non-negative reading ease — the audience cut) →
+    * deterministic train/val/test assignment (hash threshold, stable
+    * under corpus growth) → per-(split, shard) export manifests with
+    * XOR content checksums. The oracle replays the whole chain, so the
+    * gate checks the composition (pipeline_train_corpus's sibling for
+    * the release/export third: what actually ships to a training run).
+    */
+  def pipelineReleaseQ(spark: SparkSession, sfDir: String): DataFrame =
+    releaseCorpusPipeline(Tables.documents(spark, sfDir))
+
+  /** The release chain as a function of its input — shared by the
+    * gated query and BenchStress.
+    */
+  def releaseCorpusPipeline(d: DataFrame): DataFrame = {
+    import graft.ops.Sampling
+    val kept = TextAnalysis.readability(d, "text", "doc_id")
+      .filter(col("n_words") >= 10L && col("fre_milli") >= 0L)
+      .select("doc_id")
+    val assigned = d.join(kept, Seq("doc_id"), "left_semi")
+      .withColumn("split", Sampling.splitAssign(col("doc_id")))
+    Sampling.shardManifest(assigned, "text", "doc_id", numShards = 4,
+      extraKeys = Seq("split"))
+  }
+
   /** Top-5 tf·idf terms per doc, integer-exact scores. */
   def textTfidfQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(spark, sfDir), "text", "doc_id", k = 5)
@@ -1462,6 +1488,7 @@ object PipelineQueries {
     "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "pipeline_wet_corpus" -> pipelineWetQ,
+    "pipeline_release_corpus" -> pipelineReleaseQ,
     "pipeline_integrity" -> pipelineIntegrityQ,
     "text_fingerprint" -> textFingerprintQ)
 
@@ -2614,6 +2641,28 @@ object PipelineQueries {
          |  CASE WHEN abs(sc.null_ppm - sr.null_ppm) > 10000
          |       THEN 1 ELSE 0 END AS null_drift
          |FROM sc JOIN sr USING (col_name)""".stripMargin,
+    "pipeline_release_corpus" ->
+      s"""WITH c AS (SELECT doc_id, text, $norm AS nt FROM documents),
+         |r AS (SELECT doc_id FROM (
+         |        SELECT doc_id,
+         |          len(string_split(nt, ' '))::BIGINT AS w,
+         |          greatest(len(regexp_extract_all(nt, '[.!?]+')), 1)::BIGINT AS s,
+         |          len(regexp_extract_all(nt, '[aeiouy]+'))::BIGINT AS y
+         |        FROM c)
+         |      WHERE w >= 10
+         |        AND 206835 - (1015 * w) // s - (84600 * y) // w >= 0),
+         |k AS (SELECT c.doc_id, c.text, c.nt,
+         |        CASE WHEN bucket < 100 THEN 'test'
+         |             WHEN bucket < 600 THEN 'val' ELSE 'train' END AS split,
+         |        ${h64("'graft:shard:' || c.doc_id::VARCHAR")} % 4 AS shard
+         |      FROM c JOIN r USING (doc_id),
+         |      LATERAL (SELECT ${h64("'split:' || c.doc_id::VARCHAR")} % 10000
+         |               AS bucket) b)
+         |SELECT split, shard, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(nt)")}) AS content_xor
+         |FROM k GROUP BY 1, 2""".stripMargin,
     "shard_manifest" ->
       s"""WITH k AS (SELECT doc_id, text,
          |             ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k

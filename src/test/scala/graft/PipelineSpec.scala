@@ -1088,6 +1088,43 @@ class PipelineSpec extends SparkSpec {
     assert(fp.select("content_hash").distinct().count() == n)
   }
 
+  test("release manifest: (split, shard) rows reconcile with flat manifests and flag cross-split moves") {
+    import graft.ops.Sampling
+    val docs = (1L to 200L).map(i => (i, s"doc $i body " + ("x " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+      .withColumn("split", Sampling.splitAssign($"doc_id"))
+    val by = Sampling.shardManifest(docs, "text", "doc_id", numShards = 4,
+      extraKeys = Seq("split"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // rolls up: per-split doc totals match a direct count
+    val nBySplit = docs.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(by.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == nBySplit)
+    // the flat manifest is the extraKeys = Nil special case, unchanged
+    val flat = Sampling.shardManifest(docs, "text", "doc_id", numShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(flat.size == 4 && flat.map(_._2).sum == 200L)
+    // moving one doc across splits changes exactly the two touched
+    // (split, shard) rows — the checksum catches the move even though
+    // the flat per-shard manifest cannot (same shard, same content)
+    val moved = docs.withColumn("split",
+      when($"doc_id" === 7L, lit("val")).otherwise($"split"))
+    val by2 = Sampling.shardManifest(moved, "text", "doc_id", numShards = 4,
+      extraKeys = Seq("split"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val srcSplit = docs.filter($"doc_id" === 7L)
+      .select("split").as[String].head()
+    assert(srcSplit != "val", "fixture: doc 7 must actually move")
+    val changed = (by.toSet diff by2.toSet) ++ (by2.toSet diff by.toSet)
+    assert(changed.map(_._2).size == 1 || changed.map(_._2).toSet.size == 1,
+      "only doc 7's shard is touched")
+    assert(changed.map(_._1).toSet == Set(srcSplit, "val"),
+      "exactly the source and destination splits change")
+    assert(Sampling.shardManifest(moved, "text", "doc_id", 4).as[
+      (Long, Long, Long, Long, Long, Long)].collect().toSet == flat,
+      "the flat manifest is blind to the move — the split axis is the point")
+  }
+
   test("embDrift: planted shift flagged on its dimension only, empty side honest, layout-independent") {
     val mk = (rows: Seq[(Long, Seq[Float])]) =>
       rows.toDF("vec_id", "embedding")
