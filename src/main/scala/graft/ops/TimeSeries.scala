@@ -276,6 +276,49 @@ object TimeSeries {
         expr("(__num * 10L) div __den").as("smoothed_milli"))
   }
 
+  /** Trailing-window distinct-entity counts per day — "7-day active
+    * users" and its siblings, the retention/reach metric family. The
+    * naive plan is a calendar × events range join with a per-day
+    * COUNT(DISTINCT) — every event re-counted `windowDays` times and a
+    * distinct shuffle per day. This one never re-counts: each entity's
+    * distinct activity days become [d, d+window) COVERAGE intervals,
+    * [[mergeIntervals]] unions them into disjoint islands per entity
+    * (the LINEAR pass), and exploding islands into days yields each
+    * (entity, day) at most once BY CONSTRUCTION — so the final count
+    * is a plain partial-aggregatable sum, no distinct at all.
+    *
+    * Day = unix_millis div 86 400 000 (integer; matched truncation,
+    * and modern timestamps are positive anyway). Output days clamp to
+    * the observed global max day (no counts projected past the data);
+    * days with zero coverage are absent, not zero rows. Null
+    * timestamps drop (the gapFill hardening).
+    *
+    * Scale shape: one distinct on (entity, day) — the only full-data
+    * shuffle, map-side combined; islands per entity via ONE ordered
+    * window pass; the explode emits ≤ window rows per distinct
+    * activity day (fewer after merging — dense entities collapse to
+    * few long islands); the day count is a tiny partial agg. The
+    * hot-ENTITY window caveat is bounded: an entity has at most
+    * (days-of-history) interval rows.
+    */
+  def slidingDistinct(df: DataFrame, entityCol: String, tsCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3650,
+      s"windowDays in [1, 3650], got $windowDays")
+    val ud = df.filter(col(tsCol).isNotNull)
+      .select(col(entityCol).as("u"),
+        expr(s"unix_millis($tsCol) div 86400000L").as("d"))
+      .distinct()
+    val islands = mergeIntervals(
+      ud.select(col("u"), col("d").as("s"),
+        (col("d") + windowDays.toLong).as("e")), "u", "s", "e")
+    val bounds = ud.agg(max("d").as("dmax"))
+    islands.crossJoin(broadcast(bounds))
+      .select(explode(sequence(col("island_start"),
+        least(col("island_end") - 1, col("dmax")))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+  }
+
   /** Offline changepoint localization per key — WHERE did the level
     * shift? The batch complement of [[graft.streaming.EwmaStream]]'s
     * online drift flag (which says THAT a key's level moved, one

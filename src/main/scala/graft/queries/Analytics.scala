@@ -625,6 +625,14 @@ object Analytics {
           - greatest(col("click_id_s"), col("purchase_id_s"))).as("overlap_ms"))
   }
 
+  /** Trailing 7-day active users per day (TimeSeries.slidingDistinct):
+    * coverage-island plan — no per-day COUNT(DISTINCT), no calendar
+    * range join; the oracle IS that naive plan.
+    */
+  def qSlidingDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.slidingDistinct(Tables.events(spark, sfDir),
+      "user_id", "ts", windowDays = 7)
+
   /** Per-user CUSUM changepoint: the split of the user's value history
     * that maximizes the scaled before/after mean separation
     * (TimeSeries.changepoint — integer-exact, ties to the earliest
@@ -665,6 +673,7 @@ object Analytics {
     "q_ewma" -> qEwma,
     "q_changepoint" -> qChangepoint,
     "q_interval_join" -> qIntervalJoin,
+    "q_sliding_distinct" -> qSlidingDistinct,
     "q_nearest_join" -> qNearestJoin,
     "q_gaps_islands" -> qGapsIslands,
     "q_attribution" -> qAttribution,
@@ -890,6 +899,17 @@ object Analytics {
         |WHERE greatest(len_l, len_r) >= 6
         |  AND n_shared >= greatest(len_l, len_r) - 5
         |  AND levenshtein(k_l, k_r) <= 1""".stripMargin,
+    // algorithm-independent truth: calendar x events range join with
+    // per-day COUNT(DISTINCT) — the naive plan the islands replace
+    "q_sliding_distinct" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u,
+        |        epoch_ms(ts) // 86400000 AS d
+        |      FROM events WHERE ts IS NOT NULL),
+        |cal AS (SELECT unnest(generate_series(
+        |          (SELECT min(d) FROM e), (SELECT max(d) FROM e))) AS day)
+        |SELECT c.day, count(DISTINCT e.u) AS n_active
+        |FROM cal c JOIN e ON e.d BETWEEN c.day - 6 AND c.day
+        |GROUP BY 1""".stripMargin,
     // algorithm-independent truth: the plain overlap predicate —
     // the binning + first-shared-bin dedup must reproduce it exactly
     "q_interval_join" ->

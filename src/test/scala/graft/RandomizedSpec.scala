@@ -1186,6 +1186,31 @@ class RandomizedSpec extends SparkSpec {
       assert(got.toSet == want, s"round $round: overlap set diverges " +
         s"(missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)})")
     }
+  }
+
+  test("sliding distinct equals the per-day trailing-window scan on gappy histories") {
+    val rnd = new Random(777)
+    (1 to rounds).foreach { round =>
+      // sparse + bursty: gaps longer than the window must leave holes
+      val ev = (0 until 300).map { _ =>
+        val u = rnd.nextInt(12).toLong
+        val day = rnd.nextInt(60) + (if (rnd.nextInt(4) == 0) 200 else 0)
+        (u, new java.sql.Timestamp(day * 86400000L + rnd.nextInt(86400000)))
+      }
+      val got = graft.ops.TimeSeries.slidingDistinct(
+          ev.toDF("user_id", "ts"), "user_id", "ts", windowDays = 7)
+        .as[(Long, Long)].collect().toMap
+      val byDay = ev.map { case (u, t) => (u, t.getTime / 86400000L) }.distinct
+      val dmax = byDay.map(_._2).max
+      val want = (byDay.map(_._2).min to dmax).map { d =>
+        d -> byDay.filter(x => x._2 >= d - 6 && x._2 <= d).map(_._1).distinct.size.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"round $round: " +
+        s"diff=${(want.toSet diff got.toSet).take(3)} ${(got.toSet diff want.toSet).take(3)}")
+    }
+  }
+
+  test("overlap join half-open boundary: touching intervals never pair") {
     // touching half-open intervals [a,b) [b,c) do NOT overlap
     val t = graft.ops.RangeJoin.overlapJoin(
       Seq((1L, 1L, 0L, 100L)).toDF("k_l", "lid", "l_s", "l_e"), "l_s", "l_e",
