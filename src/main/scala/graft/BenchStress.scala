@@ -310,6 +310,13 @@ object BenchStress {
     // contraction's per-round shuffles are bounded by the live edge
     // count, which SHRINKS as stars collapse — rounds grow only with
     // component diameter (log-ish), so total must stay near-linear
+    "graph_hits" -> ((d: DataFrame) => {
+      val (nodes, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      graft.ops.Graph.hits(nodes, edges.select("src", "dst"), iters = 2)
+    }),
+    "pipeline_release_corpus" -> ((d: DataFrame) =>
+      graft.queries.PipelineQueries.releaseCorpusPipeline(d)),
     "graph_cc" -> ((d: DataFrame) => {
       val (nodes, edges) = graft.ops.Graph.hashGraph(
         d.select(col("doc_id").as("id")))
@@ -396,7 +403,29 @@ object BenchStress {
     // bounded by DISTINCT cents values per type (sublinear), the probe
     // side is one broadcast join over the scan — total must stay linear
     "q_robust_scale" -> ((ev: DataFrame) =>
-      graft.ops.Profile.robustScale(ev, "event_type", "event_id", "value")))
+      graft.ops.Profile.robustScale(ev, "event_type", "event_id", "value")),
+    // copies multiply per-user history length, so the window sort and
+    // the prefix/argmax passes stress superlinearly per key if the
+    // exchange-reuse ever breaks
+    "q_changepoint" -> ((ev: DataFrame) =>
+      graft.ops.TimeSeries.changepoint(ev, "user_id", "ts", "value", "event_id")),
+    // island merging caps the explode: denser histories MERGE more, so
+    // covered-day rows grow sublinearly while distinct (u, d) grows
+    "q_sliding_distinct" -> ((ev: DataFrame) =>
+      graft.ops.TimeSeries.slidingDistinct(ev, "user_id", "ts", 7)),
+    // candidate pairs grow with same-bin density — the documented
+    // blocking-selectivity cost, linear only while bins stay sparse
+    "q_interval_join" -> ((ev: DataFrame) => {
+      def side(t: String, key: String, id: String) =
+        ev.filter(col("event_type") === t && col("ts").isNotNull)
+          .select(col("user_id").as(key), col("event_id").as(id),
+            expr("unix_millis(ts)").as(s"${id}_s"),
+            (expr("unix_millis(ts)") + lit(600000L)).as(s"${id}_e"))
+      graft.ops.RangeJoin.overlapJoin(
+        side("click", "k_l", "click_id"), "click_id_s", "click_id_e",
+        side("purchase", "k_r", "purchase_id"), "purchase_id_s", "purchase_id_e",
+        Seq(("k_l", "k_r")), binWidth = 600000L)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
