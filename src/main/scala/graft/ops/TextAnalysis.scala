@@ -186,6 +186,49 @@ object TextAnalysis {
         expr("(__hits * 1000000L) div __chars").as("hits_per_mchar"))
   }
 
+  /** Code-vs-prose detection — the routing axis quality filters don't
+    * carry: code in a text corpus changes the right tokenizer, the
+    * dedup granularity (line-level beats shingles on code) and the
+    * mixture weights, so a pipeline wants the split BEFORE those
+    * stages. Heuristic, integer-exact, per-row:
+    *  - `n_syms`: structural punctuation runs `[{}();=<>\[\]]`
+    *    (brace-language surface; RE2-safe),
+    *  - `n_kw`: exact-token hits on a fixed cross-language keyword
+    *    list (the stopwordCount machinery pointed at code),
+    *  - `n_indent`: lines opening with 4+ spaces or a tab — the
+    *    one signal that needs the RAW text (normalize() collapses it),
+    *    via multiline `(?m)^(    |\t)`,
+    *  - `sym_ppm` = n_syms·10⁶ div chars, `kw_ppm` = n_kw·10⁶ div
+    *    words (matched truncation),
+    *  - `is_code`: sym_ppm > 40 000 ∧ (n_kw ≥ 2 ∨ n_indent ≥ 2) —
+    *    symbol density alone misfires on math/tables; requiring a
+    *    corroborating signal is the C4-lineage conservative cut.
+    * Zero shuffles; thresholds are the documented contract, tune per
+    * corpus.
+    */
+  val codeKeywords = Seq("def", "return", "import", "var", "const",
+    "function", "class", "void", "int", "if", "else", "for", "while")
+
+  def codeDetect(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), t.as("text"), normalize(t).as("norm"))
+      .select(col(idCol),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("norm"), " ")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[{}();=<>\\[\\]]+")).cast("long")
+          .as("n_syms"),
+        stopwordCount("norm", codeKeywords).cast("long").as("n_kw"),
+        regexp_count(col("text"), lit("(?m)^(    |\\t)")).cast("long")
+          .as("n_indent"))
+      .select(col(idCol), col("n_chars"), col("n_words"), col("n_syms"),
+        col("n_kw"), col("n_indent"),
+        expr("(n_syms * 1000000L) div greatest(n_chars, 1L)").as("sym_ppm"),
+        expr("(n_kw * 1000000L) div greatest(n_words, 1L)").as("kw_ppm"))
+      .withColumn("is_code",
+        (col("sym_ppm") > 40000L &&
+          (col("n_kw") >= 2L || col("n_indent") >= 2L)).cast("int"))
+  }
+
   /** Regex-level HTML → text extraction — the step between
     * `Warc.responses` (raw HTTP bodies) and every text operator in
     * this file: strip script/style blocks and comments, drop the

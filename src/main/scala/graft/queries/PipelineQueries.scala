@@ -246,6 +246,20 @@ object PipelineQueries {
   def textReadabilityQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.readability(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** Code-vs-prose routing (TextAnalysis.codeDetect) over a corpus
+    * where doc_id % 9 = 0 docs carry an appended 8-line code block
+    * (both engines construct the identical augmentation — the text_pii
+    * convention) so the flag has true positives; the natural corpus is
+    * pure prose (sym_ppm 0), so the gate proves both sides of the cut.
+    */
+  def textCodeDetectQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = Tables.documents(spark, sfDir).withColumn("text",
+      when(col("doc_id") % 9 === 0, concat(col("text"), expr(
+        "repeat(chr(10) || '    var x = f(a[i]); const y = {b: (c < d)};', 8)")))
+        .otherwise(col("text")))
+    TextAnalysis.codeDetect(aug, "text", "doc_id")
+  }
+
   /** Scrub corpus: documents augmented with synthetic emails/URLs/ids
     * (both engines construct the identical text) so the redaction has
     * true positives to hit.
@@ -1408,6 +1422,7 @@ object PipelineQueries {
     "text_tokens" -> textTokensQ,
     "text_quality" -> textQualityQ,
     "text_readability" -> textReadabilityQ,
+    "text_code_detect" -> textCodeDetectQ,
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
     "text_html_extract" -> textHtmlExtractQ,
@@ -2026,6 +2041,33 @@ object PipelineQueries {
          |    / len(string_split(nt, ' ')) AS stopword_ratio,
          |  CAST(len(replace(nt, ' ', '')) AS DOUBLE) / len(string_split(nt, ' ')) AS mean_token_len
          |FROM (SELECT doc_id, text, $norm AS nt FROM documents)""".stripMargin,
+    "text_code_detect" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN text ||
+         |      repeat(chr(10) || '    var x = f(a[i]); const y = {b: (c < d)};', 8)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+         |      FROM aug),
+         |f AS (SELECT doc_id,
+         |        length(text)::BIGINT AS n_chars,
+         |        len(string_split(nt, ' '))::BIGINT AS n_words,
+         |        len(regexp_extract_all(text, '[{}();=<>\\[\\]]+'))::BIGINT AS n_syms,
+         |        len(list_filter(string_split(nt, ' '), t -> t in
+         |          ('def','return','import','var','const','function',
+         |           'class','void','int','if','else','for','while')))::BIGINT AS n_kw,
+         |        len(regexp_extract_all(text, '(?m)^(    |\\t)'))::BIGINT AS n_indent
+         |      FROM c),
+         |g AS (SELECT *,
+         |        (n_syms * 1000000) // greatest(n_chars, 1) AS sym_ppm,
+         |        (n_kw * 1000000) // greatest(n_words, 1) AS kw_ppm
+         |      FROM f)
+         |SELECT doc_id, n_chars, n_words, n_syms, n_kw, n_indent,
+         |  CAST(sym_ppm AS BIGINT) AS sym_ppm, CAST(kw_ppm AS BIGINT) AS kw_ppm,
+         |  CASE WHEN sym_ppm > 40000 AND (n_kw >= 2 OR n_indent >= 2)
+         |       THEN 1 ELSE 0 END AS is_code
+         |FROM g""".stripMargin,
     "text_readability" ->
       s"""WITH c AS (SELECT doc_id,
          |    len(string_split(nt, ' '))::BIGINT AS w,

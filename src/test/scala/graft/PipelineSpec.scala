@@ -1150,6 +1150,25 @@ class PipelineSpec extends SparkSpec {
     assert(g2(0L)._3 == 0L && g2(0L)._5 == 0L)
   }
 
+  test("codeDetect: code flagged, symbol-heavy math without corroboration is not, counts exact") {
+    val t = Seq(
+      (1L, "def add(a, b):\n    return a + b;\nclass Foo {\n    int x = (1);\n}"),
+      // dense symbols but NO keywords and NO indented lines: the
+      // corroboration requirement keeps math/tables out
+      (2L, "x=(1); y=(2); z=(3); w=(4); v=(5); u=(6); t=(7); s=(8);"),
+      (3L, "plain prose about the weather and the sea today")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.codeDetect(t, "text", "doc_id")
+      .select("doc_id", "n_kw", "n_indent", "sym_ppm", "is_code")
+      .as[(Long, Long, Long, Long, Int)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._5 == 1, s"real code must flag: ${r(1L)}")
+    assert(r(1L)._2 >= 4, "def/return/class/int all hit")
+    assert(r(1L)._3 == 2L, "two 4-space-indented lines")
+    assert(r(2L)._5 == 0 && r(2L)._4 > 40000L,
+      "symbols alone must not flag without keywords or indentation")
+    assert(r(3L)._5 == 0 && r(3L)._4 == 0L)
+  }
+
   test("readability: proxy counts exact, sentence clamp, integer formula truncation") {
     val t = Seq(
       // 6 words, 2 sentence runs ('.' and '!'), vowel groups counted
