@@ -189,6 +189,58 @@ object Graph {
     degrees(und)
   }
 
+  /** Structural node similarity: neighbor-set Jaccard over the simple
+    * undirected graph — the LINK-side near-dup detector (two mirror
+    * hosts share their outlink/inlink neighborhoods even when their
+    * TEXT was rewritten past the content dedups; conversely a link
+    * farm's satellites all point at the same core). The graph sibling
+    * of dedup_minhash_lsh's content axis.
+    *
+    * Exactness contract: HUB NODES (degree > `degCap`) are removed
+    * from the graph FIRST — a node linked by everything carries no
+    * discriminative signal (the CCNet-lineage stopword argument, in
+    * link space), and every downstream number (degrees, shared
+    * counts, Jaccard) is then EXACT on that filtered graph — not an
+    * approximation of the unfiltered one (the contract the oracle
+    * replays). `jac_milli = (1000·shared) div (deg_a + deg_b −
+    * shared)`, matched truncation; pairs below `minShared` common
+    * neighbors are not emitted.
+    *
+    * Scale shape: shared-neighbor counting is inherently
+    * Σ_apex deg(apex)² — the cap makes that ≤ cap·2|E| (linear in the
+    * edge count with cap constant), which is exactly why the cap is a
+    * semantic parameter and not a tuning knob: without it one
+    * celebrity apex contributes deg² wedges. One degree partial agg,
+    * two semi-join prunes, one adjacency self-join on the apex, one
+    * partial-agg pair count, one |V|-row degree join back.
+    */
+  def neighborJaccard(edges: DataFrame, degCap: Int,
+                      minShared: Int = 2): DataFrame = {
+    require(degCap >= 1 && minShared >= 1, "need degCap >= 1, minShared >= 1")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val keep = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") <= degCap).select("u")
+    val adjF = adj
+      .join(keep, Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+    val degF = adjF.groupBy("u").agg(count(lit(1)).as("dg"))
+    val shared = adjF.select(col("u"), col("v").as("x"))
+      .join(adjF.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(degF.select(col("u").as("x"), col("dg").as("da")), Seq("x"))
+      .join(degF.select(col("u").as("y"), col("dg").as("db")), Seq("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"), col("shared"),
+        expr("(1000L * shared) div (da + db - shared)").as("jac_milli"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph —
     * the local-clustering signal link-spam detection keys on (organic
     * neighborhoods close triangles; link farms are near-bipartite and

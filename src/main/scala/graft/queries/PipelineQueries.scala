@@ -1166,6 +1166,17 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("hub_micro"), col("auth_micro"))
   }
 
+  /** Link-structure near-dup pairs on the shared hash graph
+    * (Graph.neighborJaccard, degCap 16, minShared 2): the exact
+    * neighbor-set Jaccard contract on the hub-filtered graph, oracled
+    * by the plain adjacency self-join.
+    */
+  def graphNeighborJaccardQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.neighborJaccard(edges.select("src", "dst"),
+      degCap = 16, minShared = 2)
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1482,6 +1493,7 @@ object PipelineQueries {
     "graph_kcore" -> graphKcoreQ,
     "graph_cc" -> graphCcQ,
     "graph_hits" -> graphHitsQ,
+    "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -3243,6 +3255,31 @@ object PipelineQueries {
          |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
          |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
          |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin,
+    "graph_neighbor_jaccard" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst),
+         |adj AS (SELECT a AS u, b AS v FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |keep AS (SELECT u FROM adj GROUP BY 1 HAVING count(*) <= 16),
+         |adjf AS (SELECT u, v FROM adj
+         |         WHERE u IN (SELECT u FROM keep) AND v IN (SELECT u FROM keep)),
+         |degf AS (SELECT u, count(*) AS dg FROM adjf GROUP BY 1),
+         |sh AS (SELECT a1.v AS x, a2.v AS y, count(*) AS s
+         |       FROM adjf a1 JOIN adjf a2 ON a1.u = a2.u AND a1.v < a2.v
+         |       GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT sh.x AS id_a, sh.y AS id_b, CAST(sh.s AS BIGINT) AS shared,
+         |  CAST((1000 * sh.s) // (da.dg + db.dg - sh.s) AS BIGINT) AS jac_milli
+         |FROM sh JOIN degf da ON sh.x = da.u JOIN degf db ON sh.y = db.u""".stripMargin,
     "graph_hits" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

@@ -1520,6 +1520,35 @@ class PipelineSpec extends SparkSpec {
       Map(0L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("neighborJaccard: mirrors score 1000, hub edges carry no signal, minShared prunes") {
+    // 1 and 2 are perfect mirrors {10,11,12}; 3 shares {10,11}
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 10L), (3L, 11L)
+    ).toDF("src", "dst")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.ops.Graph.neighborJaccard(e, degCap = 4, minShared = 2)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = run(edges)
+    assert(got((1L, 2L)) == ((3L, 1000L)), "identical neighborhoods = 1000")
+    // 1-3: shared {10,11} = 2, deg 3 + 2 - 2 = 3 -> 666
+    assert(got((1L, 3L)) == ((2L, 666L)))
+    assert(got((2L, 3L)) == ((2L, 666L)))
+    // pairs of leaf nodes (10,11,12) share apexes 1,2,3 too: (10,11)
+    // share {1,2,3} -> deg 3+3-3 -> 1000; present and exact
+    assert(got((10L, 11L)) == ((3L, 1000L)))
+    // a celebrity hub (degree > cap) adds NO pairs and changes NO
+    // scores: its edges leave the graph before anything is counted
+    val hub = (1L to 12L).map(i => (99L, i)).toDF("src", "dst")
+    assert(run(edges.unionByName(hub)) == got,
+      "hub edges must carry no structural signal")
+    assert(run(edges.repartition(5)) == got, "layout independence")
+    // minShared prunes: nothing below 2 shared neighbors appears
+    assert(got.values.forall(_._1 >= 2L))
+  }
+
   test("hits: hub/authority roles separate, L-inf renorm exact, parallel edges count, layout-independent") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
