@@ -310,6 +310,14 @@ object BenchStress {
     // contraction's per-round shuffles are bounded by the live edge
     // count, which SHRINKS as stars collapse — rounds grow only with
     // component diameter (log-ish), so total must stay near-linear
+    // wedge cost is cap-bounded (<= cap * 2E): copies add nodes/edges
+    // linearly and the apex fan-out stays constant by construction
+    "graph_neighbor_jaccard" -> ((d: DataFrame) => {
+      val (_, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      graft.ops.Graph.neighborJaccard(edges.select("src", "dst"),
+        degCap = 16, minShared = 2)
+    }),
     "graph_hits" -> ((d: DataFrame) => {
       val (nodes, edges) = graft.ops.Graph.hashGraph(
         d.select(col("doc_id").as("id")))
