@@ -81,6 +81,31 @@ object Pipeline {
         df.join(TextAnalysis.entropy(df, textCol, idCol)
             .filter(band).select(idCol),
           Seq(idCol), "left_semi")
+      case "readability_filter" =>
+        // audience cut on the integer Flesch–Kincaid grade band:
+        // absolute thresholds over a pure per-row function (the
+        // entropy_filter pattern) — streaming-safe; minWords floors
+        // out headline fragments whose grade is meaningless
+        val loG = lngOf("minGradeMilli", Long.MinValue)
+        val hiG = lngOf("maxGradeMilli", Long.MaxValue)
+        val minW = lngOf("minWords", 1L)
+        df.join(TextAnalysis.readability(df, textCol, idCol)
+            .filter(col("n_words") >= minW &&
+              col("fk_grade_milli") >= loG && col("fk_grade_milli") <= hiG)
+            .select(idCol),
+          Seq(idCol), "left_semi")
+      case "code_filter" =>
+        // route code: mode=drop removes flagged docs, mode=keep keeps
+        // ONLY them (the split a mixed corpus runs before tokenizer
+        // choice). Pure per-row flag — streaming-safe
+        val keepCode = strOf("mode", "drop") match {
+          case "keep" => 1; case "drop" => 0
+          case other => throw new IllegalArgumentException(
+            s"stage 'code_filter' mode must be keep|drop, got '$other'")
+        }
+        df.join(TextAnalysis.codeDetect(df, textCol, idCol)
+            .filter(col("is_code") === keepCode).select(idCol),
+          Seq(idCol), "left_semi")
       case "bpe_tokens" =>
         // annotation, not a filter: adds the REAL tokenizer token
         // count per doc from a trained merge table ("merges": parquet
@@ -385,7 +410,7 @@ object Pipeline {
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
     "decontaminate", "coverage_filter", "canary", "wordlist_filter", "split",
-    "unigram_tokens")
+    "unigram_tokens", "readability_filter", "code_filter")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)

@@ -203,6 +203,43 @@ class ConfigSpec extends SparkSpec {
     assert(streamed == want, "streamed per-row gate must equal the batch gate")
   }
 
+  test("pipeline runner: readability_filter and code_filter gate per-row and stream") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      // one planted code doc the drop-mode filter MUST remove
+      .unionByName(Seq((999003L,
+        "def f(x):\n    return (x * 2);\n    var y = {1};\n    const z = [2];",
+        "en", "synth", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val inDir = tmpDir() + "/docs.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+    // chain both: grade band keeps mid-grade prose, code drops
+    val outDir = tmpDir() + "/rc"
+    val stages = """[{"op": "code_filter", "mode": "drop"},
+      |{"op": "readability_filter", "minWords": 10,
+      | "maxGradeMilli": 30000}]""".stripMargin
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir", "stages": $stages""".stripMargin + "}")
+    val notCode = graft.ops.TextAnalysis.codeDetect(docs, "text", "doc_id")
+      .filter($"is_code" === 0).select("doc_id")
+    val want = graft.ops.TextAnalysis.readability(
+        docs.join(notCode, Seq("doc_id"), "left_semi"), "text", "doc_id")
+      .filter($"n_words" >= 10 && $"fk_grade_milli" <= 30000)
+      .select("doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty && !got.contains(999003L))
+    // both are per-row pure: the streaming pipeline accepts the chain
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut", "stages": $stages""".stripMargin + "}",
+      ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == want, "streamed per-row gates must equal the batch gates")
+  }
+
   test("pipeline runner: coverage_filter gates by probe coverage; probe-file stages stream per-row") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
