@@ -37,4 +37,57 @@ object SnapshotDiff {
       .filter(col("change_type") =!= "unchanged")
       .select(pkCols.map(col) :+ col("change_type"): _*)
   }
+
+  /** Three-way merge classification: two writers diverged from a
+    * common base snapshot — which keys merge cleanly and which
+    * CONFLICT? The branch-reconciliation question behind dual-master
+    * repair, A/B backfills and "replay the other region's edits",
+    * which one-way replication ([[diff]], the merge upsert) cannot
+    * answer: it sees that the sides differ, not whether they differ
+    * FROM BASE in incompatible ways.
+    *
+    * Git merge semantics per key (insert/delete = presence change,
+    * same md5 row-identity convention as [[diff]] — per-column md5
+    * with NULL sentinels, so NULL↔value shifts can't alias):
+    *  - neither side changed vs base → `unchanged`
+    *  - exactly one side changed → `left` / `right` (clean pick-up)
+    *  - both changed identically (same payload, or both deleted) →
+    *    `agree` (clean; convergent writes are not conflicts)
+    *  - both changed, differently → `conflict` (needs a policy)
+    * Keys absent from base and inserted on one side only are clean
+    * `left`/`right`; inserted on BOTH sides they `agree`/`conflict`
+    * by payload.
+    *
+    * Scale shape: each snapshot collapses to (pk, hash) in its own
+    * scan (payload never crosses a join), then ONE 3-way full-outer
+    * join chain on the pk — hash-partitioned once, both joins reuse
+    * the exchange; |keys| rows out, `unchanged` filtered before the
+    * wire. At 100 TB bucket all three snapshots by pk and the joins
+    * are co-located.
+    */
+  def threeWay(base: DataFrame, left: DataFrame, right: DataFrame,
+               pkCols: Seq[String]): DataFrame = {
+    val payloadCols = base.columns.filterNot(pkCols.contains).sorted.toSeq
+    require(payloadCols.nonEmpty, "three-way merge needs a non-PK column")
+    def hashed(df: DataFrame, tag: String) =
+      df.select(pkCols.map(col) :+
+        md5(concat_ws("|",
+          payloadCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+          .as(s"${tag}_hash"): _*)
+    // presence-aware equality: NULL hash = key absent on that side;
+    // <=> (null-safe equality) makes "both deleted" compare equal
+    val j = hashed(base, "b")
+      .join(hashed(left, "l"), pkCols, "full_outer")
+      .join(hashed(right, "r"), pkCols, "full_outer")
+    j.withColumn("l_changed", !(col("l_hash") <=> col("b_hash")))
+      .withColumn("r_changed", !(col("r_hash") <=> col("b_hash")))
+      .withColumn("outcome",
+        when(!col("l_changed") && !col("r_changed"), lit("unchanged"))
+          .when(col("l_changed") && !col("r_changed"), lit("left"))
+          .when(!col("l_changed") && col("r_changed"), lit("right"))
+          .when(col("l_hash") <=> col("r_hash"), lit("agree"))
+          .otherwise(lit("conflict")))
+      .filter(col("outcome") =!= "unchanged")
+      .select(pkCols.map(col) :+ col("outcome"): _*)
+  }
 }

@@ -97,6 +97,33 @@ object CdcQueries {
     SnapshotDiff.diff(old, newSnap, Seq("o_orderkey"))
   }
 
+  /** Three-way merge classification (SnapshotDiff.threeWay): two
+    * branches diverge from orders — left updates %5 (+1.0), deletes
+    * %13, inserts %29-derived keys; right updates %7 (+2.0), deletes
+    * %19, inserts %23-derived keys; both insert the SAME %17-derived
+    * rows. Every outcome class has deterministic true positives
+    * (both-deleted and both-inserted-same → agree, crossing
+    * update/delete → conflict); the oracle derives outcomes from the
+    * construction predicates — algorithm-independent truth.
+    */
+  def threeWayQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    def branch(updMod: Int, updDelta: Double, delMod: Int,
+               insMod: Int, insOffset: Long, extraMod: Int, extraOffset: Long) =
+      base.filter(k % delMod =!= 0)
+        .withColumn("o_totalprice",
+          when(k % updMod === 0, col("o_totalprice") + updDelta)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(k % insMod === 0)
+          .withColumn("o_orderkey", k + insOffset))
+        .unionByName(base.filter(k % extraMod === 0)
+          .withColumn("o_orderkey", k + extraOffset))
+    val left = branch(5, 1.0, 13, 17, 20000000L, 29, 30000000L)
+    val right = branch(7, 2.0, 19, 17, 20000000L, 23, 40000000L)
+    SnapshotDiff.threeWay(base, left, right, Seq("o_orderkey"))
+  }
+
   /** Change-batch collapse: one row per PK keeping the highest version
     * (the streaming micro-batch dedup step). PK here is user_id, so a
     * real multi-row-per-key distribution: each user's latest event.
@@ -198,6 +225,7 @@ object CdcQueries {
     "cdc_changed_range_resync" -> changedRangeResyncQ,
     "cdc_deleted_keys" -> deletedKeysQ,
     "cdc_snapshot_diff" -> snapshotDiffQ,
+    "cdc_three_way_merge" -> threeWayQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
@@ -306,6 +334,26 @@ object CdcQueries {
         |SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
         |UNION ALL
         |SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
+    // outcomes derived from the branch-construction predicates: the
+    // hash-classification must reproduce set logic exactly
+    "cdc_three_way_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |        o_orderkey % 13 = 0 AS ld, o_orderkey % 19 = 0 AS rd,
+        |        o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0 AS lu,
+        |        o_orderkey % 19 <> 0 AND o_orderkey % 7 = 0 AS ru
+        |      FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN (ld OR lu) AND NOT (rd OR ru) THEN 'left'
+        |       WHEN (rd OR ru) AND NOT (ld OR lu) THEN 'right'
+        |       WHEN ld AND rd THEN 'agree'
+        |       ELSE 'conflict' END AS outcome
+        |FROM b WHERE (ld OR lu) OR (rd OR ru)
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'agree' FROM orders WHERE o_orderkey % 17 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 'left' FROM orders WHERE o_orderkey % 29 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, 'right' FROM orders WHERE o_orderkey % 23 = 0""".stripMargin,
     "cdc_latest_by_key" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,

@@ -703,6 +703,48 @@ class CdcSpec extends SparkSpec {
     assert(out == Map(1L -> "delete", 2L -> "update", 4L -> "insert"))
   }
 
+  test("three-way merge: every outcome class, convergent writes agree, null-shift conflicts") {
+    val base = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, Some("d")),
+      (5L, Some("e")), (6L, Some("f")), (7L, Some("g")), (8L, None: Option[String])
+    ).toDF("id", "v")
+    val left = Seq(
+      (1L, Some("a")),            // untouched
+      (2L, Some("B")),            // left-only update
+      (3L, Some("c")),            // right updates this one
+      (4L, Some("X")),            // both update, differently -> conflict
+      (5L, Some("same")),         // both update identically -> agree
+      // 6 deleted on both sides -> agree
+      (7L, Some("L")),            // left updates, right deletes -> conflict
+      (8L, Some("x")),            // NULL -> value vs value stays NULL
+      (10L, Some("new")),         // both insert same -> agree
+      (11L, Some("li"))           // left-only insert
+    ).toDF("id", "v")
+    val right = Seq(
+      (1L, Some("a")),
+      (2L, Some("b")),
+      (3L, Some("C")),
+      (4L, Some("Y")),
+      (5L, Some("same")),
+      // 6 deleted
+      // 7 deleted
+      (8L, None: Option[String]), // right untouched on the null row
+      (10L, Some("new")),
+      (12L, Some("ri"))           // right-only insert
+    ).toDF("id", "v")
+    def run(b: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame) =
+      SnapshotDiff.threeWay(b, l, r, Seq("id"))
+        .as[(Long, String)].collect().toMap
+    val got = run(base, left, right)
+    assert(got == Map(
+      2L -> "left", 3L -> "right", 4L -> "conflict", 5L -> "agree",
+      6L -> "agree", 7L -> "conflict", 8L -> "left",
+      10L -> "agree", 11L -> "left", 12L -> "right"))
+    assert(run(base.repartition(5), left.repartition(3), right.repartition(2))
+      == got, "classification owes nothing to layout")
+  }
+
   test("range hash diff finds exactly the divergent buckets") {
     val src = spark.range(0, 10000).toDF("id")
     val tgt = src.filter(expr("NOT (id % 617 = 0 AND id > 3000)"))
