@@ -189,6 +189,34 @@ object Graph {
     degrees(und)
   }
 
+  /** Per-node link reciprocity — what fraction of a node's distinct
+    * out-links are returned? Organic link neighborhoods reciprocate at
+    * moderate rates; link farms are near-100% mutual (the core links
+    * back to every satellite by construction) and scraped one-way
+    * mirrors near-0% — both tails are curation signals, complementing
+    * [[triangles]]' closure axis with the DIRECTED axis closure can't
+    * see.
+    *
+    * Distinct directed edges only (parallel repeats don't inflate the
+    * rate), self-loops dropped. `recip_ppm = (n_recip·10⁶) div
+    * out_deg`, matched truncation. Scale shape: one distinct on the
+    * edge list, ONE self-equi-join on the reversed key (hash join,
+    * both sides the same narrow relation), one partial-agg groupBy —
+    * |V| rows out.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val recip = e.join(e.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("n_recip"))
+    e.groupBy("u").agg(count(lit(1)).as("out_deg"))
+      .join(recip, Seq("u"), "left")
+      .select(col("u").as("id"), col("out_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr("(coalesce(n_recip, 0L) * 1000000L) div out_deg").as("recip_ppm"))
+  }
+
   /** Structural node similarity: neighbor-set Jaccard over the simple
     * undirected graph — the LINK-side near-dup detector (two mirror
     * hosts share their outlink/inlink neighborhoods even when their

@@ -487,4 +487,41 @@ object Profile {
         (abs(col("null_ppm_cur") - col("null_ppm_ref")) > nullTolPpm)
           .cast("int").as("null_drift"))
   }
+
+  /** Functional-dependency audit: does determinant → dependent hold,
+    * and where does it break? The key/constraint-discovery question a
+    * schema review asks of data that arrived WITHOUT constraints (is
+    * `url` → `domain` clean? does `order_id` really determine
+    * `customer_id`?) — [[tableProfile]] says what's IN each column,
+    * this says how columns bind to each other.
+    *
+    * Per determinant value: the number of distinct dependent values
+    * (1 = the FD holds there), row count, and for violating
+    * determinants the min/max dependent (two concrete witnesses — the
+    * repair side wants examples, not just counts). NULL dependents
+    * count as a distinct value via a sentinel (a determinant mapping
+    * to both NULL and a value IS a violation — the SnapshotDiff NULL
+    * lesson); NULL determinants are grouped like any other value.
+    * Emits only violations (`n_dependents > 1`): the clean majority
+    * would swamp the report at corpus scale.
+    *
+    * Scale shape: one distinct on (det, dep) (partial-agg), one
+    * groupBy(det) — both shuffles on the determinant; witnesses ride
+    * the same aggregate as min/max, no window, no join. |violating
+    * determinants| rows out.
+    */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val pairs = df.select(col(detCol).as("det"),
+        coalesce(col(depCol).cast("string"), lit(" NULL")).as("dep"))
+      .distinct()
+    val counts = pairs.groupBy("det").agg(
+      count(lit(1)).as("n_dependents"),
+      min("dep").as("dep_lo"), max("dep").as("dep_hi"))
+    val rows = df.groupBy(col(detCol).as("det"))
+      .agg(count(lit(1)).as("n_rows"))
+    counts.filter(col("n_dependents") > 1)
+      .join(rows, Seq("det"))
+      .select(col("det").as(detCol), col("n_rows"), col("n_dependents"),
+        col("dep_lo"), col("dep_hi"))
+  }
 }

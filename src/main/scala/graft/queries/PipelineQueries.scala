@@ -559,6 +559,15 @@ object PipelineQueries {
     Similarity.embOutliers(Tables.embeddings(spark, sfDir), "embedding",
       "vec_id", dim = 64, topK = 25)
 
+  /** FD audit l_orderkey → l_shipdate over lineitem: multi-line
+    * orders shipping on different dates violate, single-date orders
+    * hold — a real mixed population, witnesses gated exactly.
+    */
+  def profileFdQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.fdViolations(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate"),
+      "l_orderkey", "l_shipdate")
+
   /** Per-dimension snapshot drift (Similarity.embDrift): reference =
     * even vec_ids, current = odd vec_ids with a planted +0.5 shift on
     * dimension 3 (both engines build the identical perturbation —
@@ -1177,6 +1186,20 @@ object PipelineQueries {
       degCap = 16, minShared = 2)
   }
 
+  /** Per-node link reciprocity on the hash graph, with mutual links
+    * planted by reversing every src % 10 = 0 edge (a uniform random
+    * digraph reciprocates ~never — both engines build the identical
+    * augmentation so every rate bucket has members).
+    */
+  def graphReciprocityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    val e = edges.select("src", "dst")
+    val planted = e.filter(col("src") % 10 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.ops.Graph.reciprocity(e.unionByName(planted))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -1494,6 +1517,8 @@ object PipelineQueries {
     "graph_cc" -> graphCcQ,
     "graph_hits" -> graphHitsQ,
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
+    "graph_reciprocity" -> graphReciprocityQ,
+    "profile_fd" -> profileFdQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -3280,6 +3305,37 @@ object PipelineQueries {
          |SELECT sh.x AS id_a, sh.y AS id_b, CAST(sh.s AS BIGINT) AS shared,
          |  CAST((1000 * sh.s) // (da.dg + db.dg - sh.s) AS BIGINT) AS jac_milli
          |FROM sh JOIN degf da ON sh.x = da.u JOIN degf db ON sh.y = db.u""".stripMargin,
+    "profile_fd" ->
+      s"""WITH p AS (SELECT DISTINCT l_orderkey AS det,
+         |        coalesce(CAST(l_shipdate AS VARCHAR), ' NULL') AS dep
+         |      FROM lineitem),
+         |c AS (SELECT det, count(*) AS nd, min(dep) AS lo, max(dep) AS hi
+         |      FROM p GROUP BY 1 HAVING count(*) > 1),
+         |r AS (SELECT l_orderkey AS det, count(*) AS nr FROM lineitem GROUP BY 1)
+         |SELECT c.det AS l_orderkey, CAST(r.nr AS BIGINT) AS n_rows,
+         |  CAST(c.nd AS BIGINT) AS n_dependents, lo AS dep_lo, hi AS dep_hi
+         |FROM c JOIN r USING (det)""".stripMargin,
+    "graph_reciprocity" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |e2 AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst, src FROM e WHERE src % 10 = 0),
+         |d AS (SELECT DISTINCT src AS u, dst AS v FROM e2 WHERE src <> dst),
+         |od AS (SELECT u, count(*) AS out_deg FROM d GROUP BY 1),
+         |rc AS (SELECT d1.u, count(*) AS nr FROM d d1
+         |       JOIN d d2 ON d2.u = d1.v AND d2.v = d1.u GROUP BY 1)
+         |SELECT od.u AS doc_id, CAST(out_deg AS BIGINT) AS out_deg,
+         |  CAST(coalesce(nr, 0) AS BIGINT) AS n_recip,
+         |  CAST((coalesce(nr, 0) * 1000000) // out_deg AS BIGINT) AS recip_ppm
+         |FROM od LEFT JOIN rc USING (u)""".stripMargin,
     "graph_hits" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,
