@@ -38,9 +38,16 @@ object Verify {
     val jobs = SparkEntry.queries.toSeq.filter(t => nameFilter(t._1))
       .map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // Output-type gate: reject wide decimals / undocumented
+          // doubles BEFORE the dump — a type-unstable column would
+          // hash-fail the driver's DuckDB compare even with exact
+          // values (the r8 interpolated-double / r9 decimal(38,0)
+          // failure family; see OutputContract).
+          OutputContract.assertContract(name, df.schema)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

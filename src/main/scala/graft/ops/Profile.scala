@@ -499,9 +499,13 @@ object Profile {
     * (1 = the FD holds there), row count, and for violating
     * determinants the min/max dependent (two concrete witnesses — the
     * repair side wants examples, not just counts). NULL dependents
-    * count as a distinct value via a sentinel (a determinant mapping
-    * to both NULL and a value IS a violation — the SnapshotDiff NULL
-    * lesson); NULL determinants are grouped like any other value.
+    * count as a distinct value via a leading-space " NULL" sentinel
+    * (a determinant mapping to both NULL and a value IS a violation —
+    * the SnapshotDiff NULL lesson). The space prefix keeps it
+    * first-sorting before any digit/letter-leading real value while
+    * staying greppable (a NUL-byte sentinel makes the whole file read
+    * as binary to diff tooling) and matches the oracle byte-for-byte;
+    * NULL determinants are grouped like any other value.
     * Emits only violations (`n_dependents > 1`): the clean majority
     * would swamp the report at corpus scale.
     *
@@ -512,7 +516,7 @@ object Profile {
     */
   def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame = {
     val pairs = df.select(col(detCol).as("det"),
-        coalesce(col(depCol).cast("string"), lit(" NULL")).as("dep"))
+        coalesce(col(depCol).cast("string"), lit(" NULL")).as("dep"))
       .distinct()
     val counts = pairs.groupBy("det").agg(
       count(lit(1)).as("n_dependents"),

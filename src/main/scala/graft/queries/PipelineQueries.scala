@@ -2898,7 +2898,7 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_bad_dim,
          |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-         |  CAST(sum(n2) AS DECIMAL(38,0)) AS sum_n2
+         |  CAST(sum(n2) AS BIGINT) AS sum_n2
          |FROM n)
          |SELECT s.n_vecs, s.n_null, s.n_bad_dim, s.n_zero,
          |  qs.n2_p50, qs.n2_p95, s.sum_n2 FROM s, qs""".stripMargin,

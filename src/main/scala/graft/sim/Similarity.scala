@@ -600,14 +600,26 @@ object Similarity {
     * driver's gate: Spark `percentile` and DuckDB `quantile_cont`
     * interpolate in different ulp paths across builds, and
     * round(double, k) is not a stable output contract. A sampled long
-    * is. The total accumulates as decimal(38,0) (DuckDB HUGEINT).
+    * is. The total `sum_n2` is a BIGINT (round 9's decimal(38,0)
+    * hash-FAILED the driver's type-sensitive compare against DuckDB's
+    * HUGEINT — the q_changepoint lesson, PERF.md). Headroom: a
+    * unit-norm vector has n2 ≈ 1e8 regardless of dim (Σ(floor(x·1e4))²
+    * ≤ 1e8·‖x‖²), so the long total overflows only past ~9.2e10
+    * vectors; for unnormalized corpora with max‖x‖² = B the bound is
+    * 2⁶³/(1e8·B) rows — document B when profiling such a dump.
     *
     * Scale shape: one map-side-combined stats aggregate, plus the
     * exact-quantile side plan — a per-value count aggregate (partial,
-    * |distinct n2| rows) and ONE ordered cumulative pass over those
-    * distinct values. The global-order window is over value counts,
-    * not rows, so it stays small; at extreme distinct-value counts the
-    * sketch path (profile_quantiles_sketch) is the alternative.
+    * |distinct n2| rows), then a BUCKETED rank walk: distinct n2
+    * values are range-bucketed into ≤4097 width-`(hi−lo) div 4096 + 1`
+    * buckets, per-bucket counts collapse to a ≤4097-row table whose
+    * cumulative offsets come from a broadcast triangular self-join
+    * (bounded by construction), and the in-bucket cumulative window is
+    * PARTITIONED by bucket — no partition-less WindowExec over
+    * unbounded distinct norms anywhere in the plan (the round-9 plan
+    * ran one global `Window.orderBy(n2)`: fine at sf scale where
+    * distinct norms are few, a single-task bottleneck on a real
+    * unnormalized corpus where they are ~N).
     */
   def embProfile(df: DataFrame, vecCol: String, idCol: String,
                  dim: Int): DataFrame = {
@@ -621,17 +633,30 @@ object Similarity {
       sum(when(col("v").isNotNull && size(col("v")) =!= dim, 1L)
         .otherwise(0L)).as("n_bad_dim"),
       sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
-      sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+      sum(col("n2")).as("sum_n2"))
     val counts = base.filter(col("n2").isNotNull)
       .groupBy("n2").agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum(col("cnt")).as("m"))
-    val wCum = Window.orderBy(col("n2"))
+    // Range-bucket the distinct norms so the rank walk never needs a
+    // global window: bucket width keeps the bucket table ≤4097 rows.
+    val range = counts.agg(min(col("n2")).as("lo"), max(col("n2")).as("hi"),
+      sum(col("cnt")).as("m"))
+    val bucketed = counts.crossJoin(broadcast(range))
+      .withColumn("w", expr("(hi - lo) div 4096 + 1"))
+      .withColumn("bkt", expr("(n2 - lo) div w"))
+    val bcnt = bucketed.groupBy("bkt").agg(sum(col("cnt")).as("bc"))
+    // Cumulative count of all buckets strictly below each bucket —
+    // a triangular self-join over a ≤4097-row broadcast table.
+    val boff = bcnt.as("a")
+      .join(broadcast(bcnt.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("off"))
+    val wCum = Window.partitionBy(col("bkt")).orderBy(col("n2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // rank k is covered once the cumulative count reaches k+1; the
     // smallest such n2 is the quantile. p95 threshold 19/20 in exact
     // integer division — no float ever touches the rank math.
-    val qs = counts.crossJoin(broadcast(tot))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val qs = bucketed.join(broadcast(boff), Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(wCum))
       .agg(
         min(when(col("cum") >= expr("(m - 1) div 2 + 1"), col("n2")))
           .as("n2_p50"),

@@ -742,4 +742,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(ops(plan, "Exchange") <= 1,
       "PII profile is scan + ONE aggregate exchange")
   }
+
+  test("profile_embeddings: quantile pass has no partition-less window over distinct norms") {
+    // The r9 plan ran one global Window.orderBy(n2) — a single-task
+    // bottleneck on an unnormalized corpus where distinct norms are
+    // ~N. The r10 bucketed rank walk partitions the cumulative window
+    // by range bucket; any Window in this plan must carry a
+    // PARTITION BY (the bucket column), never an empty partition spec.
+    val analyzed = q("profile_embeddings").queryExecution.optimizedPlan
+    val windows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "the rank walk should still use a window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"partition-less window in profile_embeddings: ${w.windowExpressions}")
+    }
+    // and the bucketed side tables must broadcast, not shuffle
+    val plan = formatted(q("profile_embeddings"))
+    assert(plan.contains("BroadcastExchange"),
+      "range row + bucket offsets must broadcast")
+  }
 }
