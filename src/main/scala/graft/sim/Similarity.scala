@@ -213,10 +213,14 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"), col("cid"))
-    // search only the probed buckets
+    // search only the probed buckets: the probe table is |queries|·
+    // nProbe rows and BROADCASTS onto the corpus-sized assignment —
+    // without the hint AQE sometimes picks a sort-merge join here,
+    // shuffling the whole corpus on cid (r9 bench regression, ~1.3 s
+    // vs 0.76; adjudicated round 10). The corpus side never shuffles.
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(assigned, Seq("cid"))
+    broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         cosine(qdot(col("qqv"), col("qv"), dim), col("qn2"), col("n2")).as("cosine"))

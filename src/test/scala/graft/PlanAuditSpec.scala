@@ -743,6 +743,16 @@ class PlanAuditSpec extends SparkSpec {
       "PII profile is scan + ONE aggregate exchange")
   }
 
+  test("ann_ivf: probed-bucket join broadcasts the probe table, corpus never sort-merges") {
+    // r9 bench regression: AQE dropped the probe-side broadcast and
+    // sort-merged the corpus-sized assignment on cid. The hint pins it.
+    val plan = formatted(q("ann_ivf"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe table must broadcast onto the assignment")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus-side assignment must never shuffle for the bucket probe")
+  }
+
   test("profile_embeddings: quantile pass has no partition-less window over distinct norms") {
     // The r9 plan ran one global Window.orderBy(n2) — a single-task
     // bottleneck on an unnormalized corpus where distinct norms are
