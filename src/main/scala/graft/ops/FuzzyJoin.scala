@@ -64,11 +64,60 @@ object FuzzyJoin {
 
   /** (id, key) pairs of `left` × `right` with
     * levenshtein(key_l, key_r) ≤ maxDist, plus the distance.
+    *
+    * `stripPrefix`: the template-degradation knob made real (SURVEY
+    * B35 documented it as advice; round 10 ships it). On a
+    * template-heavy key population ("ACME-SUPPLIER-…" on every row)
+    * the hot template grams dominate the equi-join — every pair
+    * shares the template's grams, so blocking degrades toward the
+    * template population squared. Stripping the known-constant prefix
+    * BEFORE gram blocking removes those grams while staying LOSSLESS,
+    * by the unit-cost Levenshtein prefix-cancellation lemma: when
+    * s[0] == t[0], d(s,t) = d(s[1:], t[1:]) EXACTLY (equal chars take
+    * the diagonal; the DP matrix is non-decreasing along diagonals,
+    * so the ≤ from alignment-reuse meets the ≥ from monotonicity) —
+    * induction cancels the whole shared prefix, so distances computed
+    * on stripped keys ARE the full-key distances. Keys NOT carrying
+    * the prefix can't use the lemma and route through the full-key
+    * join instead: stripped-pair population (both sides prefixed)
+    * joins on stripped keys, the remaining three quadrants join on
+    * full keys — in the template-heavy corpus the knob targets, the
+    * non-prefixed populations are tiny by construction. Original
+    * (unstripped) keys are restored in the output either way.
     */
   def join(left: DataFrame, right: DataFrame,
            leftId: String, leftKey: String,
            rightId: String, rightKey: String,
-           maxDist: Int = 1, q: Int = 3): DataFrame = {
+           maxDist: Int = 1, q: Int = 3,
+           stripPrefix: Option[String] = None): DataFrame =
+    stripPrefix.filter(_.nonEmpty) match {
+      case None =>
+        joinImpl(left, right, leftId, leftKey, rightId, rightKey, maxDist, q)
+      case Some(p) =>
+        val pl = p.length
+        def strip(df: DataFrame, key: String) =
+          df.withColumn(key, substring(col(key), pl + 1, Int.MaxValue))
+        val hasL = col(leftKey).startsWith(p)
+        val hasR = col(rightKey).startsWith(p)
+        val stripped = joinImpl(
+          strip(left.filter(hasL), leftKey),
+          strip(right.filter(hasR), rightKey),
+          leftId, leftKey, rightId, rightKey, maxDist, q)
+          .withColumn("k_l", concat(lit(p), col("k_l")))
+          .withColumn("k_r", concat(lit(p), col("k_r")))
+        // the three quadrants with a non-prefixed side: full keys
+        // (L × R¬P covers LP×R¬P and L¬P×R¬P; L¬P × RP the rest)
+        val rest = joinImpl(left, right.filter(!hasR),
+            leftId, leftKey, rightId, rightKey, maxDist, q)
+          .unionByName(joinImpl(left.filter(!hasL), right.filter(hasR),
+            leftId, leftKey, rightId, rightKey, maxDist, q))
+        stripped.unionByName(rest)
+    }
+
+  private def joinImpl(left: DataFrame, right: DataFrame,
+           leftId: String, leftKey: String,
+           rightId: String, rightKey: String,
+           maxDist: Int, q: Int): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad maxDist=$maxDist / q=$q")
     // The gram equi-join is the operator's blowup point (hot template
     // grams multiply both sides), so ONLY narrow (id, g, occ) rows

@@ -1161,6 +1161,62 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join stripPrefix stays lossless on template-heavy mixed populations") {
+    // the degradation knob (SURVEY B35): stripping a known-constant
+    // template prefix before gram blocking must not change the result
+    // set — prefix-cancellation lemma for the both-prefixed quadrant,
+    // full-key routing for the rest. Population: 80% template keys
+    // whose tails are near-identical (the worst case for unstripped
+    // blocking), 20% free keys, some shorter than the prefix itself.
+    val rnd = new Random(4242)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val P = "acme-supplier-"
+    (1 to 3).foreach { round =>
+      def tail() = Seq.fill(2 + rnd.nextInt(4))("ab".charAt(rnd.nextInt(2))).mkString
+      def key() = rnd.nextInt(10) match {
+        case n if n < 8 => P + tail()                  // template
+        case 8 => tail()                               // free short key
+        case _ => P.substring(0, rnd.nextInt(P.length)) // prefix fragment
+      }
+      val left = (0 until 40).map(i => (i.toLong, key()))
+      val right = (0 until 40).map(i => (100L + i, key()))
+      (0 to 2).foreach { d =>
+        val got = graft.ops.FuzzyJoin.join(
+          left.toDF("id", "k"), right.toDF("id", "k"),
+          "id", "k", "id", "k", maxDist = d, q = 3,
+          stripPrefix = Some(P))
+          .as[(Long, String, Long, String, Long)].collect()
+        // original keys restored in the output
+        val lm = left.toMap; val rm = right.toMap
+        got.foreach { t =>
+          assert(t._2 == lm(t._1) && t._4 == rm(t._3),
+            s"stripped keys leaked into output: $t")
+        }
+        val gotSet = got.map(t => (t._1, t._3, t._5)).toSet
+        val want = (for {
+          (li, lk) <- left; (ri, rk) <- right
+          dist = lev(lk, rk) if dist <= d
+        } yield (li, ri, dist.toLong)).toSet
+        val missing = (want -- gotSet).take(5)
+          .map(t => (t, lm(t._1), rm(t._2)))
+        val extra = (gotSet -- want).take(5)
+          .map(t => (t, lm(t._1), rm(t._2)))
+        assert(gotSet == want,
+          s"round $round maxDist $d missing=$missing extra=$extra")
+        assert(got.length == gotSet.size,
+          s"round $round maxDist $d duplicate pairs across quadrants")
+      }
+    }
+  }
+
   test("overlap join equals the brute-force overlap predicate, each pair exactly once") {
     val rnd = new Random(4096)
     (1 to rounds).foreach { round =>
