@@ -129,6 +129,15 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
 
+  /** NN-descent k-NN graph: hash-ring init, one full local-join
+    * round, exact scoring — the graph-ANN build stage gated
+    * end-to-end (the oracle replays init, candidate generation, and
+    * the top-k merge).
+    */
+  def annNnDescentQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.nnDescent(Tables.embeddings(spark, sfDir), "embedding",
+      "vec_id", k = 5, iters = 1, buckets = 50, dim = EMB_DIM)
+
   /** Recall@5 of the probed-bucket IVF search vs the brute-force
     * ground truth — the eval harness an ANN deployment tunes
     * (nProbe, centroid count) against. Exact hit counts per query,
@@ -1482,6 +1491,7 @@ object PipelineQueries {
     "ann_topk" -> annTopkQ,
     "ann_filtered" -> annFilteredQ,
     "ann_ivf" -> annIvfQ,
+    "ann_nndescent" -> annNnDescentQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
     "ann_lsh" -> annLshQ,
@@ -1978,6 +1988,31 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
+    "ann_nndescent" ->
+      s"""WITH $qPrep,
+         |h AS (SELECT vec_id AS id,
+         |        ${h64("vec_id::VARCHAR")} AS hid FROM n),
+         |i AS (SELECT id, hid, hid % 50 AS bkt FROM h),
+         |seed AS (SELECT a.id, b.id AS nid,
+         |    row_number() OVER (PARTITION BY a.id ORDER BY b.hid, b.id) AS rn
+         |  FROM i a JOIN i b ON a.bkt = b.bkt AND a.id <> b.id),
+         |cur AS (SELECT id, nid FROM seed WHERE rn <= 5),
+         |rev AS (SELECT nid AS id, id AS nid FROM cur),
+         |two AS (SELECT x.id, y.nid FROM cur x JOIN cur y ON x.nid = y.id
+         |        WHERE x.id <> y.nid),
+         |cand AS (SELECT DISTINCT id, nid FROM
+         |  (SELECT * FROM cur UNION ALL SELECT * FROM rev
+         |   UNION ALL SELECT * FROM two)),
+         |sc AS (SELECT c.id, c.nid,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.id JOIN n b ON b.vec_id = c.nid),
+         |top AS (SELECT id, nid, cos,
+         |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM sc)
+         |SELECT id AS vec_id, nid AS neighbor_id, rank,
+         |  round(cos, 6) AS cosine
+         |FROM top WHERE rank <= 5""".stripMargin,
     "ann_topk" ->
       s"""WITH $qPrep
          |SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,

@@ -884,4 +884,87 @@ object Similarity {
     v.indices.map(i => (i.toLong, math.floor(v(i) * flip * 1e6).toLong, share))
       .toDF("i", "loading_micro", "ev_share_micro")
   }
+
+  /** NN-descent k-NN graph construction (Dong et al., WWW 2011) — the
+    * build stage of graph-based ANN (HNSW/NSG lineage), the modern
+    * default where IVF/PQ's cell boundaries cost recall: start from an
+    * arbitrary k-neighbor graph and repeatedly let every node meet its
+    * neighbors' neighbors, keeping the best k — converges toward the
+    * true k-NN graph in O(log n)-ish rounds because "a neighbor of my
+    * neighbor is likely my neighbor" on real metric data.
+    *
+    * Deterministic, oracle-replayable construction:
+    *  - init: hash-ring — nodes bucket by portable-hash(id) mod
+    *    `buckets`; each node's seed neighbors are its bucket's k
+    *    smallest (hash, id) peers. No global rank, no randomness, and
+    *    the same md5 arithmetic replays in DuckDB. (Production NN-
+    *    descent inits uniformly at random; any arbitrary graph works —
+    *    the hash ring is the deterministic choice.)
+    *  - one round: candidates = current ∪ reversed ∪ two-hop
+    *    (neighbor-of-neighbor) edges, dedup'd, scored exactly
+    *    (integer qdot, the file-wide convention), merged with the
+    *    incumbents, top-k by (cosine desc, id asc) per node. This is
+    *    the textbook local join; the published sampling knob ρ (score
+    *    only a ρ-fraction of candidates per round) is the production
+    *    lever against the k² candidate factor — the gated variant
+    *    scores all candidates so both engines replay bit-for-bit.
+    *
+    * Scale shape per round: candidate generation is one self-join of
+    * the k·N edge table on the shared key (~k²·N rows out), candidate
+    * dedup and the top-k window both partition by node id — every
+    * shuffle is id-keyed and partial-aggregatable, nothing global,
+    * no broadcast of anything corpus-sized; lineage truncated per
+    * round (the Graph.pageRank discipline). Output k·N rows.
+    */
+  def nnDescent(df: DataFrame, vecCol: String, idCol: String,
+                k: Int, iters: Int, buckets: Int,
+                dim: Option[Int] = None): DataFrame = {
+    require(k >= 1 && iters >= 0 && buckets >= 1,
+      s"bad k=$k iters=$iters buckets=$buckets")
+    val p = prepared(
+      df.filter(col(vecCol).isNotNull &&
+        dim.map(d => size(col(vecCol)) === d).getOrElse(lit(true))),
+      vecCol, idCol)
+    val hid = graft.util.Hashing.portableHash64(col("id").cast("string"))
+    val ids = p.select(col("id"), pmod(hid, lit(buckets.toLong)).as("bkt"),
+      hid.as("hid"))
+    val wSeed = Window.partitionBy(col("id")).orderBy(col("nhid"), col("nid"))
+    var cur: DataFrame = ids.as("a")
+      .join(ids.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        col("b.hid").as("nhid"))
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= k)
+      .select(col("id"), col("nid"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(p.select(col("id"), col("qv").as("qv_a"), col("n2").as("n2_a")),
+          Seq("id"))
+        .join(p.select(col("id").as("nid"), col("qv").as("qv_b"),
+          col("n2").as("n2_b")), Seq("nid"))
+        .select(col("id"), col("nid"),
+          cosine(qdot(col("qv_a"), col("qv_b"), dim),
+            col("n2_a"), col("n2_b")).as("cos"))
+    var scored = score(cur)
+    val wTop = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    (1 to iters).foreach { _ =>
+      val edges = scored.select(col("id"), col("nid"))
+      val rev = edges.select(col("nid").as("id"), col("id").as("nid"))
+      val two = edges.as("x")
+        .join(edges.select(col("id").as("nid"), col("nid").as("far")).as("y"),
+          Seq("nid"))
+        .select(col("id"), col("far").as("nid"))
+        .filter(col("id") =!= col("nid"))
+      val cand = edges.unionByName(rev).unionByName(two).distinct()
+        .join(scored.select(col("id"), col("nid")), Seq("id", "nid"),
+          "left_anti")
+      scored = graft.util.Lineage.truncate(
+        score(cand).unionByName(scored)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+          .drop("rn"))
+    }
+    scored.withColumn("rank", row_number().over(wTop))
+      .select(col("id").as("vec_id"), col("nid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
 }

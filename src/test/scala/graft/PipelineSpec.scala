@@ -2047,4 +2047,43 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(again.toSeq == got.toSeq, "pca1 must be deterministic and layout-independent")
   }
+
+  test("nn-descent: each local-join round strictly improves graph recall, k-bound holds") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // sf0.01: 500 vectors — at sf0.001's 50 the hash-ring buckets are
+    // near-singletons and the seed graph is too sparse to measure
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // truth: exact k-NN for every node (every node is a query)
+    val truth = Similarity.bruteForceTopK(e, "embedding", "vec_id",
+        expr("true"), k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): (Double, Long) = {
+      val g = Similarity.nnDescent(e, "embedding", "vec_id",
+        k = 5, iters = iters, buckets = 50, dim = Some(64))
+      val rows = g.select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val perNode = rows.groupBy(_._1).map(_._2.length)
+      assert(perNode.forall(_ <= 5), "more than k neighbors for a node")
+      (rows.count(truth.contains).toDouble / truth.size, rows.length.toLong)
+    }
+    val (r0, _) = recall(0)
+    val (r1, _) = recall(1)
+    val (r2, _) = recall(2)
+    // the hash-ring seed is metric-blind, so its recall is near-random;
+    // each neighbor-of-neighbor round must climb toward the true graph.
+    // The synthetic corpus is near-isotropic — the hardest case for
+    // NN-descent's locality premise — so the bar is RELATIVE growth,
+    // not an absolute recall level (real embedded corpora cluster and
+    // converge in a handful of rounds; Dong et al. WWW'11 §5)
+    assert(r1 > r0 * 1.2, s"round 1 must improve recall: $r0 -> $r1")
+    assert(r2 > r1, s"round 2 must keep improving: $r1 -> $r2")
+    // determinism and layout independence (the oracle's contract)
+    val a = Similarity.nnDescent(e, "embedding", "vec_id", 5, 1, 50, Some(64))
+      .collect().map(_.toString).sorted
+    val b = Similarity.nnDescent(e.repartition(7, col("vec_id")),
+        "embedding", "vec_id", 5, 1, 50, Some(64))
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq, "nnDescent must be layout-independent")
+  }
 }
