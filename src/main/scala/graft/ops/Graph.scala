@@ -171,6 +171,53 @@ object Graph {
     * frontier routes through Lineage.truncate (durable under
     * spark.graft.checkpointDir) so the plan stays O(1) per round.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection: every node starts labeled with its own id; each round
+    * it adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label (deterministic — published LPA breaks ties
+    * uniformly at random, which neither replays nor layout-stabilizes;
+    * min-tie is the standard deterministic variant). Fixed `rounds`
+    * (the pagerank/kcore convention: deterministic cost, replayable
+    * oracle; production iterates until labels stop moving). The
+    * community axis the family lacks: CC finds CONNECTED structure,
+    * LPA splits a connected mirror-farm+organic blob along its dense
+    * cores without a density parameter.
+    *
+    * Simple undirected view (parallel edges would double-vote; a
+    * repeated link is not a stronger community bond in a crawl graph),
+    * isolated nodes keep their own label. The neighbor vote
+    * deliberately EXCLUDES self — published semi-synchronous variants
+    * differ here; excluding self is what lets a fringe node be
+    * captured by its neighborhood in round 1.
+    *
+    * Scale shape per round: one |E|-row label join (shuffle on the
+    * neighbor key), one (node, label) partial-agg count, one
+    * struct-max argmax groupBy(node) — all key-partitioned, nothing
+    * global, label frontier through Lineage.truncate. |V| rows out.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val eu = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    (1 to rounds).foreach { _ =>
+      val votes = eu.join(labels.select(col("id").as("b"), col("lab")),
+          Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val adopted = votes.groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("new_lab"))
+      labels = graft.util.Lineage.truncate(
+        labels.join(adopted, Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab")))
+    }
+    labels.select(col("id"), col("lab").as("community"))
+  }
+
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
     var und = edges

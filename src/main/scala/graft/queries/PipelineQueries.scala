@@ -1173,6 +1173,22 @@ object PipelineQueries {
         coalesce(col("cluster"), col("id")).as("component"))
   }
 
+  /** Label-propagation communities on the SAME sparsified undirected
+    * view as graph_cc (shared derivation, shared oracle CTEs): 2
+    * synchronous min-tie rounds; the oracle replays both voting
+    * rounds through identical argmax tie order.
+    */
+  def graphLpaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    graft.ops.Graph.labelPropagation(nodes, sparse, rounds = 2)
+      .select(col("id").as("doc_id"), col("community"))
+  }
+
   /** HITS hubs/authorities on the shared hash link graph (2 rounds,
     * integer L∞ renormalization each half-step — the oracle replays
     * both rounds' mutual recursion bit-for-bit through the same
@@ -1564,6 +1580,7 @@ object PipelineQueries {
     "graph_triangles" -> graphTrianglesQ,
     "graph_kcore" -> graphKcoreQ,
     "graph_cc" -> graphCcQ,
+    "graph_lpa" -> graphLpaQ,
     "graph_hits" -> graphHitsQ,
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
@@ -3477,6 +3494,37 @@ object PipelineQueries {
          |FROM deg d JOIN h2 ON d.id = h2.id JOIN a2 ON d.id = a2.id""".stripMargin,
     // min-reachable-id labels ARE what star contraction converges to;
     // the recursive CTE is the algorithm-independent truth
+    "graph_lpa" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |eu AS (SELECT src AS a, dst AS b FROM ef
+         |       UNION SELECT dst, src FROM ef),
+         |l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+         |v1 AS (SELECT eu.a, l0.lab, count(*) AS cnt
+         |       FROM eu JOIN l0 ON eu.b = l0.id GROUP BY 1, 2),
+         |p1 AS (SELECT a, lab FROM (SELECT a, lab,
+         |    row_number() OVER (PARTITION BY a ORDER BY cnt DESC, lab ASC) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT l0.id, coalesce(p1.lab, l0.lab) AS lab
+         |       FROM l0 LEFT JOIN p1 ON l0.id = p1.a),
+         |v2 AS (SELECT eu.a, l1.lab, count(*) AS cnt
+         |       FROM eu JOIN l1 ON eu.b = l1.id GROUP BY 1, 2),
+         |p2 AS (SELECT a, lab FROM (SELECT a, lab,
+         |    row_number() OVER (PARTITION BY a ORDER BY cnt DESC, lab ASC) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT l1.id, coalesce(p2.lab, l1.lab) AS lab
+         |       FROM l1 LEFT JOIN p2 ON l1.id = p2.a)
+         |SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l2""".stripMargin,
     "graph_cc" ->
       s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

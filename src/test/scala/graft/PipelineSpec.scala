@@ -1497,6 +1497,35 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == run(3))
   }
 
+  test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {
+    // two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10,
+    // a pendant 13 hanging off 12, and an isolated node 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (3L, 10L), (12L, 13L)).toDF("src", "dst")
+    def run(rounds: Int, e: org.apache.spark.sql.DataFrame = edges) =
+      graft.ops.Graph.labelPropagation(nodes, e, rounds)
+        .as[(Long, Long)].collect().toMap
+    val r1 = run(1)
+    // round 1: everyone adopts the min neighbor label (all votes tie
+    // at cnt 1 or agree); isolated 20 keeps its own
+    assert(r1(1L) == 2L && r1(2L) == 1L && r1(3L) == 1L, s"left clique: $r1")
+    assert(r1(10L) == 3L && r1(11L) == 10L && r1(12L) == 10L && r1(13L) == 12L)
+    assert(r1(20L) == 20L, "isolated node must keep its own label")
+    // round 2: the left clique coalesces on 1 (2 and 3 both carry 1,
+    // so node 1's neighbors vote 1 twice)
+    val r2 = run(2)
+    assert(r2(1L) == 1L && r2(2L) == 1L && r2(3L) == 1L, s"left clique r2: $r2")
+    assert(r2(20L) == 20L)
+    // parallel edges and direction must not double-vote: duplicating
+    // and reversing every edge changes nothing
+    val doubled = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    assert(run(2, doubled) == r2, "simple-graph semantics: no double votes")
+    // layout independence
+    assert(run(2, edges.repartition(4)) == r2)
+  }
+
   test("triangles: oriented wedge count equals triple truth on K4, ignores loops/dups/direction") {
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + a
     // self-loop + duplicate and reversed edges that must canonicalize
