@@ -90,4 +90,51 @@ object SnapshotDiff {
       .filter(col("outcome") =!= "unchanged")
       .select(pkCols.map(col) :+ col("outcome"): _*)
   }
+
+  /** [[threeWay]]'s RESOLUTION: apply a conflict policy and emit the
+    * merged snapshot itself — the table a dual-master repair actually
+    * writes back. Per-key semantics (git merge with a chosen side on
+    * conflicts): `unchanged` keys keep the base row, clean one-side
+    * changes adopt that side's STATE (its row, or its absence — a
+    * clean delete stays deleted), `agree` adopts the shared state,
+    * `conflict` adopts the preferred side's state (`preferLeft`;
+    * last-writer-wins by timestamp is this with the fresher branch
+    * passed as the preferred side). Deletes resolve structurally: a
+    * key whose winning side lacks it simply has no row to join — no
+    * tombstone bookkeeping.
+    *
+    * Scale shape: the [[threeWay]] hash classification (payload never
+    * crosses the 3-way key join), then each source contributes rows
+    * through ONE key-only left_semi join against its decision slice —
+    * payload bytes move once, on the winning side only. Bucket all
+    * three snapshots by pk at 100 TB and every join co-locates.
+    */
+  def threeWayResolve(base: DataFrame, left: DataFrame, right: DataFrame,
+                      pkCols: Seq[String],
+                      preferLeft: Boolean = true): DataFrame = {
+    val payloadCols = base.columns.filterNot(pkCols.contains).sorted.toSeq
+    require(payloadCols.nonEmpty, "three-way merge needs a non-PK column")
+    def hashed(df: DataFrame, tag: String) =
+      df.select(pkCols.map(col) :+
+        md5(concat_ws("|",
+          payloadCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+          .as(s"${tag}_hash"): _*)
+    val j = hashed(base, "b")
+      .join(hashed(left, "l"), pkCols, "full_outer")
+      .join(hashed(right, "r"), pkCols, "full_outer")
+    val winner = j
+      .withColumn("l_changed", !(col("l_hash") <=> col("b_hash")))
+      .withColumn("r_changed", !(col("r_hash") <=> col("b_hash")))
+      .withColumn("src",
+        when(!col("l_changed") && !col("r_changed"), lit("b"))
+          .when(col("l_changed") && !col("r_changed"), lit("l"))
+          .when(!col("l_changed") && col("r_changed"), lit("r"))
+          .when(col("l_hash") <=> col("r_hash"), lit("l")) // agree
+          .otherwise(lit(if (preferLeft) "l" else "r")))   // conflict
+      .select(pkCols.map(col) :+ col("src"): _*)
+    def take(df: DataFrame, tag: String) =
+      df.join(winner.filter(col("src") === tag).select(pkCols.map(col): _*),
+        pkCols, "left_semi")
+    take(base, "b").unionByName(take(left, "l")).unionByName(take(right, "r"))
+  }
 }

@@ -106,7 +106,8 @@ object CdcQueries {
     * update/delete → conflict); the oracle derives outcomes from the
     * construction predicates — algorithm-independent truth.
     */
-  def threeWayQ(spark: SparkSession, sfDir: String): DataFrame = {
+  private def threeWayBranches(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.orders(spark, sfDir)
     val k = col("o_orderkey")
     def branch(updMod: Int, updDelta: Double, delMod: Int,
@@ -119,9 +120,25 @@ object CdcQueries {
           .withColumn("o_orderkey", k + insOffset))
         .unionByName(base.filter(k % extraMod === 0)
           .withColumn("o_orderkey", k + extraOffset))
-    val left = branch(5, 1.0, 13, 17, 20000000L, 29, 30000000L)
-    val right = branch(7, 2.0, 19, 17, 20000000L, 23, 40000000L)
+    (base, branch(5, 1.0, 13, 17, 20000000L, 29, 30000000L),
+      branch(7, 2.0, 19, 17, 20000000L, 23, 40000000L))
+  }
+
+  def threeWayQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, left, right) = threeWayBranches(spark, sfDir)
     SnapshotDiff.threeWay(base, left, right, Seq("o_orderkey"))
+  }
+
+  /** The SAME diverged branches RESOLVED prefer-left into the merged
+    * snapshot (SnapshotDiff.threeWayResolve): left's deletes/updates
+    * win every conflict, right's clean changes are adopted, both-side
+    * inserts land once — the oracle derives the whole merged table
+    * from the construction predicates (algorithm-independent truth).
+    */
+  def threeWayResolveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, left, right) = threeWayBranches(spark, sfDir)
+    SnapshotDiff.threeWayResolve(base, left, right, Seq("o_orderkey"),
+      preferLeft = true)
   }
 
   /** Change-batch collapse: one row per PK keeping the highest version
@@ -226,6 +243,7 @@ object CdcQueries {
     "cdc_deleted_keys" -> deletedKeysQ,
     "cdc_snapshot_diff" -> snapshotDiffQ,
     "cdc_three_way_merge" -> threeWayQ,
+    "cdc_conflict_resolve" -> threeWayResolveQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
@@ -354,6 +372,32 @@ object CdcQueries {
         |SELECT o_orderkey + 30000000, 'left' FROM orders WHERE o_orderkey % 29 = 0
         |UNION ALL
         |SELECT o_orderkey + 40000000, 'right' FROM orders WHERE o_orderkey % 23 = 0""".stripMargin,
+    // prefer-left resolution derived from the construction predicates:
+    // ld(k%13) -> absent (left delete wins conflicts too); else
+    // lu(k%5) -> +1.0 (left change wins); else clean right delete
+    // (k%19) -> absent; else ru(k%7) -> +2.0; else base. Inserts land
+    // once each (both-side %17 agree, one-side %29/%23 clean).
+    "cdc_conflict_resolve" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         WHEN o_orderkey % 19 <> 0 AND o_orderkey % 7 = 0
+        |           THEN o_totalprice + 2.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 19 = 0))
+        |SELECT * FROM kept
+        |UNION ALL SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 17 = 0
+        |UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 29 = 0
+        |UNION ALL SELECT o_orderkey + 40000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin,
     "cdc_latest_by_key" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,

@@ -743,6 +743,28 @@ class CdcSpec extends SparkSpec {
       10L -> "agree", 11L -> "left", 12L -> "right"))
     assert(run(base.repartition(5), left.repartition(3), right.repartition(2))
       == got, "classification owes nothing to layout")
+
+    // resolution over the same scenario: prefer-left vs prefer-right
+    // flip exactly the conflict keys (4: X vs Y; 7: update vs delete),
+    // everything else resolves identically
+    def resolve(preferLeft: Boolean) =
+      SnapshotDiff.threeWayResolve(base, left, right, Seq("id"), preferLeft)
+        .as[(Long, Option[String])].collect().toMap
+    val pl = resolve(preferLeft = true)
+    assert(pl == Map(
+      1L -> Some("a"),      // unchanged
+      2L -> Some("B"),      // clean left update
+      3L -> Some("C"),      // clean right update
+      4L -> Some("X"),      // conflict -> left
+      5L -> Some("same"),   // agree
+      // 6: both deleted -> absent; 7: conflict -> left's update
+      7L -> Some("L"),
+      8L -> Some("x"),      // clean left null->value
+      10L -> Some("new"), 11L -> Some("li"), 12L -> Some("ri")),
+      s"prefer-left merge: $pl")
+    val pr = resolve(preferLeft = false)
+    assert(pr == pl - 7L - 4L + (4L -> Some("Y")),
+      s"prefer-right must flip only the conflicts: $pr")
   }
 
   test("range hash diff finds exactly the divergent buckets") {
