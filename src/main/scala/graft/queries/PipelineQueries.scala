@@ -577,6 +577,15 @@ object PipelineQueries {
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate"),
       "l_orderkey", "l_shipdate")
 
+  /** Benford first-digit audit over a natural multi-scale column
+    * (l_extendedprice — near-Benford) and a bounded uniform one
+    * (l_quantity, 1..50 — strongly anti-Benford): the contrast IS the
+    * detector demonstration, gated digit-by-digit.
+    */
+  def profileBenfordQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.benford(Tables.lineitem(spark, sfDir),
+      Seq("l_extendedprice", "l_quantity"))
+
   /** Per-dimension snapshot drift (Similarity.embDrift): reference =
     * even vec_ids, current = odd vec_ids with a planted +0.5 shift on
     * dimension 3 (both engines build the identical perturbation —
@@ -1585,6 +1594,7 @@ object PipelineQueries {
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
     "profile_fd" -> profileFdQ,
+    "profile_benford" -> profileBenfordQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
@@ -3428,6 +3438,29 @@ object PipelineQueries {
          |SELECT sh.x AS id_a, sh.y AS id_b, CAST(sh.s AS BIGINT) AS shared,
          |  CAST((1000 * sh.s) // (da.dg + db.dg - sh.s) AS BIGINT) AS jac_milli
          |FROM sh JOIN degf da ON sh.x = da.u JOIN degf db ON sh.y = db.u""".stripMargin,
+    "profile_benford" ->
+      s"""WITH s AS (
+         |  SELECT 'l_extendedprice' AS col_name,
+         |         CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem),
+         |d AS (SELECT col_name, CAST(floor(abs(v) * 100) AS BIGINT) AS iv
+         |      FROM s WHERE v IS NOT NULL),
+         |g AS (SELECT col_name,
+         |        CAST(substr(iv::VARCHAR, 1, 1) AS BIGINT) AS digit,
+         |        count(*) AS n
+         |      FROM d WHERE iv > 0 GROUP BY 1, 2),
+         |t AS (SELECT col_name, sum(n) AS n_total FROM g GROUP BY 1),
+         |e(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091),
+         |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+         |  (8, 51152), (9, 45757))
+         |SELECT g.col_name, g.digit, CAST(g.n AS BIGINT) AS n,
+         |  CAST(t.n_total AS BIGINT) AS n_total,
+         |  CAST((g.n * 1000000) // t.n_total AS BIGINT) AS obs_ppm,
+         |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(abs((g.n * 1000000) // t.n_total - e.exp_ppm) AS BIGINT)
+         |    AS dev_ppm
+         |FROM g JOIN t USING (col_name) JOIN e ON g.digit = e.digit""".stripMargin,
     "profile_fd" ->
       s"""WITH p AS (SELECT DISTINCT l_orderkey AS det,
          |        coalesce(CAST(l_shipdate AS VARCHAR), ' NULL') AS dep

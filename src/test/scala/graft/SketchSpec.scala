@@ -496,4 +496,34 @@ class SketchSpec extends SparkSpec {
     for ((c, (kEff, est)) <- rows if kEff < 64)
       assert(est == exact(c), s"unsaturated $c: est $est vs ${exact(c)}")
   }
+
+  test("benford: exact digit histogram, zero/null skipped, negatives folded, uniform flagged over geometric") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(Some(1.0), Some(2.0), Some(3.0), Some(19.0), Some(0.0),
+      None, Some(-25.5)).toDF("v")
+    val got = graft.ops.Profile.benford(rows, Seq("v"))
+      .select("digit", "n", "n_total", "obs_ppm", "exp_ppm", "dev_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // cents: 100, 200, 300, 1900, 2550 -> digits 1,2,3,1,2 over n=5
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 2L, 5L, 400000L, 301029L, 98971L)))
+    assert(got(2L) == ((2L, 2L, 5L, 400000L, 176091L, 223909L)))
+    assert(got(3L) == ((3L, 1L, 5L, 200000L, 124938L, 75062L)))
+    // detector direction: a geometric (scale-free) column must score a
+    // smaller total deviation than a bounded uniform one
+    val geo = (0 until 200).map(i => math.pow(1.1, i)).toDF("g")
+    val uni = (0 until 200).map(i => 10.0 + i * 0.4).toDF("u")
+    def totalDev(df: org.apache.spark.sql.DataFrame, c: String) =
+      graft.ops.Profile.benford(df, Seq(c))
+        .agg(org.apache.spark.sql.functions.sum("dev_ppm"))
+        .as[Long].head()
+    val (devG, devU) = (totalDev(geo, "g"), totalDev(uni, "u"))
+    assert(devG * 2 < devU,
+      s"geometric ($devG ppm) must sit far under uniform ($devU ppm)")
+    // layout independence
+    val again = graft.ops.Profile.benford(rows.repartition(3), Seq("v"))
+      .select("digit", "n").as[(Long, Long)].collect().toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
 }
