@@ -386,4 +386,40 @@ object TimeSeries {
         expr("((best.t - best.p) * 10L) div (best.n + best.ni)")
           .as("mean_after_milli"))
   }
+
+  /** Weekly-phase seasonal decomposition of per-key daily volume —
+    * the seasonality axis the level/changepoint monitors deliberately
+    * ignore (EWMA smooths THROUGH a weekend dip every week and a
+    * z-score flags every Monday; the right baseline for periodic
+    * traffic is the same-phase mean): per (key, day) the observed
+    * count, the expected count for that day's weekly phase (mean of
+    * the key's same-phase days, in exact milli-units), and the
+    * integer residual — the number anomaly detection should consume
+    * INSTEAD of the raw count on anything with a weekly pulse
+    * (crawls, user events, ingestion feeds).
+    *
+    * The phase is `epoch_day mod 7` — a pure 7-bucket phase label, not
+    * a calendar weekday claim: seasonality needs alignment, not
+    * naming, and calendar/timezone arithmetic is exactly the
+    * cross-engine divergence surface this file avoids (the unix_millis
+    * convention). All arithmetic is long (milli-unit matched
+    * truncation) — replays and engines agree bit-for-bit.
+    *
+    * Scale shape: one (key, day) partial-agg count over the scan, the
+    * ≤ 7·|keys|-row phase table re-aggregated FROM those rows and
+    * broadcast back — no window, no second scan; |key·days| rows out.
+    */
+  def seasonality(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        expr(s"unix_millis($tsCol) div 86400000L").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+      .withColumn("phase", pmod(col("day"), lit(7L)))
+    val phases = days.groupBy("k", "phase")
+      .agg(sum(col("n")).as("pn"), count(lit(1)).as("pd"))
+    days.join(broadcast(phases), Seq("k", "phase"))
+      .select(col("k").as(keyCol), col("day"), col("phase"), col("n"),
+        expr("(pn * 1000L) div pd").as("expected_milli"),
+        expr("n * 1000L - (pn * 1000L) div pd").as("resid_milli"))
+  }
 }

@@ -601,6 +601,14 @@ object Analytics {
     graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
       "user_id", "ts", "value", "event_id", k = 4)
 
+  /** Weekly-phase seasonal decomposition of per-type daily event
+    * volume: observed vs same-phase expected counts, exact integer
+    * residuals.
+    */
+  def qSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.seasonality(Tables.events(spark, sfDir),
+      "event_type", "ts")
+
   /** Interval-overlap join (RangeJoin.overlapJoin): each click opens a
     * 10-minute activity window, each purchase a 10-minute settlement
     * window; pair every overlapping (click, purchase) window per user
@@ -671,6 +679,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
+    "q_seasonality" -> qSeasonality,
     "q_changepoint" -> qChangepoint,
     "q_interval_join" -> qIntervalJoin,
     "q_sliding_distinct" -> qSlidingDistinct,
@@ -944,6 +953,20 @@ object Analytics {
         |  CAST((p * 10) // i AS BIGINT) AS mean_before_milli,
         |  CAST(((t - p) * 10) // (n - i) AS BIGINT) AS mean_after_milli
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_seasonality" ->
+      """WITH d AS (SELECT event_type,
+        |        epoch_ms(ts) // 86400000 AS day
+        |      FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+        |p AS (SELECT event_type, day % 7 AS phase, sum(n) AS pn,
+        |        count(*) AS pd
+        |      FROM g GROUP BY 1, 2)
+        |SELECT g.event_type, g.day, g.day % 7 AS phase,
+        |  CAST(g.n AS BIGINT) AS n,
+        |  CAST((p.pn * 1000) // p.pd AS BIGINT) AS expected_milli,
+        |  CAST(g.n * 1000 - (p.pn * 1000) // p.pd AS BIGINT) AS resid_milli
+        |FROM g JOIN p ON g.event_type = p.event_type
+        |  AND g.day % 7 = p.phase""".stripMargin,
     "q_ewma" ->
       """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_ms(ts) AS ms,
         |        CAST(round(value * 100) AS BIGINT) AS q

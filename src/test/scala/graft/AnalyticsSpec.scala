@@ -347,6 +347,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(withNulls) == got)
   }
 
+  test("seasonality: periodic pulse has zero residuals, a spike surfaces only on its own day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 weeks of daily events for one key: phase 0 carries 6 events,
+    // all other phases 2 — a perfect weekly pulse — plus ONE spike day
+    // (week 3, phase 2) with 10 extra events
+    val rows = for {
+      week <- 0 until 4; phase <- 0 until 7
+      n = (if (phase == 0) 6 else 2) +
+        (if (week == 3 && phase == 2) 10 else 0)
+      i <- 0 until n
+    } yield ("t", (week * 7 + phase).toLong * 86400000L + i)
+    val ev = rows.toDF("event_type", "ms")
+      .select($"event_type", timestamp_millis($"ms").as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.seasonality(d, "event_type", "ts")
+        .select("day", "phase", "n", "expected_milli", "resid_milli")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(ev)
+    assert(got.size == 28)
+    // the perfectly periodic phases decompose to zero residual —
+    // including the 3x phase-0 pulse the raw-count monitors would flag
+    got.filterNot(r => r._2 == 2L).foreach { r =>
+      assert(r._5 == 0L, s"periodic day must have zero residual: $r")
+    }
+    // phase 2's mean absorbs the spike: (2*3 + 12)/4 = 4.5 -> 4500
+    got.filter(_._2 == 2L).foreach { r =>
+      assert(r._4 == 4500L)
+      if (r._1 == 23L) assert(r._5 == 12L * 1000 - 4500L, s"spike day: $r")
+      else assert(r._5 == 2000L - 4500L, s"spike's phase-mates: $r")
+    }
+    assert(run(ev.repartition(5)) == got, "layout independence")
+  }
+
   test("changepoint: planted shift localized, earliest-split ties, n<2 excluded, layout-independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
