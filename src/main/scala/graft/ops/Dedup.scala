@@ -65,6 +65,44 @@ object Dedup {
       hashOf(corpus).select("content_hash"), Seq("content_hash"), "left_anti")
   }
 
+  /** [[incremental]] behind a Bloom prefilter — the shape that holds
+    * when the corpus is 100 TB and the batch is a crawl shard:
+    * `incremental`'s anti-join shuffles the corpus hash table every
+    * batch; here the corpus's content hashes build a Bloom sketch ONCE
+    * (persistable across batches — the mergeable, rebuild-free
+    * ingestion index), the batch probes it per-row (broadcast bits,
+    * codegen'd `might_contain`), and only bloom-POSITIVE batch rows —
+    * the true duplicates plus the fpp tail — reach the exact
+    * confirmation. The confirmation never shuffles the corpus either:
+    * the positive hash set broadcasts onto the corpus scan (left_semi)
+    * and the surviving (tiny) match list broadcasts back for the
+    * anti-join. Bloom filters have NO false negatives, so the result
+    * is EXACTLY `incremental`'s — the driver gate runs both against
+    * the same oracle SQL; fpp only moves the confirmation's size.
+    */
+  def incrementalBloom(corpus: DataFrame, batch: DataFrame,
+                       textCol: String, idCol: String,
+                       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val hashOf = (df: DataFrame) =>
+      df.select(col(idCol).as("id"),
+        md5(TextAnalysis.normalize(col(textCol))).as("content_hash"))
+    val batchKeepers = hashOf(batch)
+      .groupBy("content_hash")
+      .agg(min(col("id")).as("admitted_id"), count(lit(1)).as("n_batch_copies"))
+    val corpusHashes = hashOf(corpus).select("content_hash")
+    val probe = graft.ops.SkewJoin.bloomProbe(corpusHashes, "content_hash",
+      col("content_hash"), expectedItems, fpp)
+    val positives = batchKeepers.filter(probe)
+    val negatives = batchKeepers.filter(!probe)
+    val corpusMatches = corpusHashes
+      .join(broadcast(positives.select("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .distinct()
+    val confirmedNew = positives
+      .join(broadcast(corpusMatches), Seq("content_hash"), "left_anti")
+    negatives.unionByName(confirmedNew)
+  }
+
   /** Quality-ranked keeper selection: group documents by an
     * order-independent bag-of-tokens hash (catches token-shuffled /
     * repetition-padded copies that defeat the exact content hash) and

@@ -431,6 +431,12 @@ object PipelineQueries {
     * keeper) probed against the full corpus — see Dedup.incremental.
     */
   def dedupIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, batch) = incrementalScenario(spark, sfDir)
+    Dedup.incremental(corpus, batch, "text", "doc_id")
+  }
+
+  private def incrementalScenario(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val d = Tables.documents(spark, sfDir)
     val dups = d.filter(expr("doc_id % 50 = 0"))
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -438,8 +444,19 @@ object PipelineQueries {
       .select((col("doc_id") + 500000L).as("doc_id"),
         concat(col("text"), lit(" graft novel tail")).as("text"))
     val copies = news.withColumn("doc_id", col("doc_id") + 100000L)
-    Dedup.incremental(d.select("doc_id", "text"),
-      dups.unionByName(news).unionByName(copies), "text", "doc_id")
+    (d.select("doc_id", "text"), dups.unionByName(news).unionByName(copies))
+  }
+
+  /** The SAME admission scenario through the Bloom-prefiltered path —
+    * same oracle SQL as dedup_incremental, because bloom + exact
+    * confirmation has no false negatives and the confirm join kills
+    * the false positives: hash-identical results, corpus-shuffle-free
+    * plan (the 100 TB ingestion shape).
+    */
+  def dedupBloomQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, batch) = incrementalScenario(spark, sfDir)
+    Dedup.incrementalBloom(corpus, batch, "text", "doc_id",
+      expectedItems = 1 << 16)
   }
 
   /** Incremental MinHash-LSH near-dup screen (Dedup.incrementalLsh):
@@ -1612,6 +1629,7 @@ object PipelineQueries {
     "pack_efficiency" -> packEfficiencyQ,
     "text_chunk" -> textChunkQ,
     "dedup_incremental" -> dedupIncrementalQ,
+    "dedup_bloom_prefilter" -> dedupBloomQ,
     "dedup_source_overlap" -> dedupSourceOverlapQ,
     "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
@@ -1622,6 +1640,21 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprintQ)
 
   // ---- oracles ----------------------------------------------------
+
+  private lazy val incrementalOracle: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text || ' graft novel tail' AS text
+       |  FROM documents WHERE doc_id % 41 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 600000 AS doc_id, text || ' graft novel tail' AS text
+       |  FROM documents WHERE doc_id % 41 = 0),
+       |bk AS (SELECT md5($norm) AS content_hash, min(doc_id) AS admitted_id,
+       |         count(*) AS n_batch_copies
+       |       FROM batch GROUP BY 1)
+       |SELECT content_hash, admitted_id, n_batch_copies FROM bk
+       |WHERE content_hash NOT IN (SELECT md5($norm) FROM documents)""".stripMargin
 
   private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val h64 = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -2435,20 +2468,11 @@ object PipelineQueries {
          |       THEN 1 ELSE 0 END AS flagged
          |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
          |WHERE d.doc_id % 97 <> 0""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH batch AS (
-         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 500000 AS doc_id, text || ' graft novel tail' AS text
-         |  FROM documents WHERE doc_id % 41 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 600000 AS doc_id, text || ' graft novel tail' AS text
-         |  FROM documents WHERE doc_id % 41 = 0),
-         |bk AS (SELECT md5($norm) AS content_hash, min(doc_id) AS admitted_id,
-         |         count(*) AS n_batch_copies
-         |       FROM batch GROUP BY 1)
-         |SELECT content_hash, admitted_id, n_batch_copies FROM bk
-         |WHERE content_hash NOT IN (SELECT md5($norm) FROM documents)""".stripMargin,
+    "dedup_incremental" -> incrementalOracle,
+    // bloom prefilter + exact confirm == exact incremental admission
+    // (no false negatives; the confirm join kills the fp tail) — the
+    // SAME oracle gates both paths
+    "dedup_bloom_prefilter" -> incrementalOracle,
     "text_df_prune" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
          |t AS (SELECT DISTINCT doc_id, tok

@@ -2077,6 +2077,28 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq, "pca1 must be deterministic and layout-independent")
   }
 
+  test("bloom-prefiltered incremental dedup equals the exact path even under forced false positives") {
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc $i body"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (0L until 40L).map(i => (1000L + i, s"corpus doc ${i * 5} body")) ++ // dups
+      (0L until 30L).map(i => (2000L + i, s"fresh doc $i payload")) ++     // new
+      (0L until 30L).map(i => (3000L + i, s"fresh doc $i payload"))        // in-batch copies
+    ).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = collect(graft.ops.Dedup.incremental(corpus, batch, "text", "doc_id"))
+    assert(exact.nonEmpty && exact.forall(_._2 >= 2000L))
+    // expectedItems 4 on a 200-hash corpus -> the sketch saturates and
+    // nearly every probe is a false positive; the confirm join must
+    // still reduce to the exact admission set
+    for (items <- Seq(4L, 1L << 16)) {
+      val got = collect(graft.ops.Dedup.incrementalBloom(
+        corpus, batch, "text", "doc_id", expectedItems = items))
+      assert(got == exact, s"expectedItems=$items diverged from exact")
+    }
+  }
+
   test("nn-descent: each local-join round strictly improves graph recall, k-bound holds") {
     import org.apache.spark.sql.functions.{col, expr}
     // sf0.01: 500 vectors — at sf0.001's 50 the hash-ring buckets are

@@ -743,6 +743,16 @@ class PlanAuditSpec extends SparkSpec {
       "PII profile is scan + ONE aggregate exchange")
   }
 
+  test("dedup_bloom_prefilter: codegen'd bloom probe, corpus confirmed via broadcast only") {
+    val plan = formatted(q("dedup_bloom_prefilter"))
+    assert(plan.contains("graft_bloom_might_contain"),
+      "the batch must probe the corpus sketch natively in-scan")
+    assert(plan.contains("BroadcastExchange"),
+      "positive hashes / match list must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the confirmation")
+  }
+
   test("ann_ivf: probed-bucket join broadcasts the probe table, corpus never sort-merges") {
     // r9 bench regression: AQE dropped the probe-side broadcast and
     // sort-merged the corpus-sized assignment on cid. The hint pins it.
