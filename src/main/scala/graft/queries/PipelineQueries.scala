@@ -920,6 +920,18 @@ object PipelineQueries {
             .otherwise(col("lang"))),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** Value-distribution entropy per column over the same null-injected
+    * documents view as profile_table: doc_id ≈ ln(n) (unique), lang /
+    * source low and skew-sensitive, the null axis exercised.
+    */
+  def profileEntropyQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.columnEntropy(
+      Tables.documents(spark, sfDir)
+        .withColumn("lang",
+          when(expr("doc_id % 97 = 0"), lit(null: String))
+            .otherwise(col("lang"))),
+      Seq("doc_id", "lang", "source"))
+
   /** Equi-width 16-bin histograms over lineitem's numeric columns
     * (graft.ops.Profile.histogram) — the binned distribution view of
     * the profiling family.
@@ -1611,6 +1623,7 @@ object PipelineQueries {
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
     "profile_fd" -> profileFdQ,
+    "profile_entropy" -> profileEntropyQ,
     "profile_benford" -> profileBenfordQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
@@ -3462,6 +3475,29 @@ object PipelineQueries {
          |SELECT sh.x AS id_a, sh.y AS id_b, CAST(sh.s AS BIGINT) AS shared,
          |  CAST((1000 * sh.s) // (da.dg + db.dg - sh.s) AS BIGINT) AS jac_milli
          |FROM sh JOIN degf da ON sh.x = da.u JOIN degf db ON sh.y = db.u""".stripMargin,
+    "profile_entropy" ->
+      s"""WITH src AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
+         |    source FROM documents),
+         |st AS (
+         |  SELECT 'doc_id' AS col_name, md5(doc_id::VARCHAR) AS digest FROM src
+         |  UNION ALL SELECT 'lang', md5(lang) FROM src
+         |  UNION ALL SELECT 'source', md5(source) FROM src),
+         |c AS (SELECT col_name, digest, count(*) AS cnt FROM st GROUP BY 1, 2),
+         |t AS (SELECT col_name, sum(cnt) AS n FROM c
+         |      WHERE digest IS NOT NULL GROUP BY 1),
+         |nv AS (SELECT col_name, sum(cnt) AS nn FROM c
+         |       WHERE digest IS NULL GROUP BY 1),
+         |agg AS (SELECT c.col_name, t.n, count(*) AS n_distinct,
+         |    sum(c.cnt * CAST(round(ln(t.n / CAST(c.cnt AS DOUBLE)) * 1000000)
+         |        AS BIGINT)) AS tot
+         |  FROM c JOIN t USING (col_name) WHERE c.digest IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT agg.col_name, CAST(agg.n AS BIGINT) AS n,
+         |  CAST(agg.n_distinct AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(nv.nn, 0) AS BIGINT) AS n_null,
+         |  CAST(agg.tot // agg.n AS BIGINT) AS ent_micro
+         |FROM agg LEFT JOIN nv USING (col_name)""".stripMargin,
     "profile_benford" ->
       s"""WITH s AS (
          |  SELECT 'l_extendedprice' AS col_name,

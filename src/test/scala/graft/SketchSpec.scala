@@ -497,6 +497,35 @@ class SketchSpec extends SparkSpec {
       assert(est == exact(c), s"unsaturated $c: est $est vs ${exact(c)}")
   }
 
+  test("column entropy: constant zero, uniform ln(k), skew below uniform, nulls on their own axis") {
+    val df = (0 until 120).map { i =>
+      (i.toLong,                                   // unique
+        "const",                                   // constant
+        s"u${i % 4}",                              // uniform 4
+        if (i < 117) "big" else s"rare$i",         // heavy skew, 4 distinct
+        if (i % 3 == 0) null else "x")             // nulls
+    }.toDF("id", "c", "u", "s", "nl")
+    val got = graft.ops.Profile.columnEntropy(df,
+        Seq("id", "c", "u", "s", "nl"))
+      .select("col_name", "n", "n_distinct", "n_null", "ent_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("c") == (("c", 120L, 1L, 0L, 0L)), "constant column")
+    // uniform over 4 values, 4 | 120: exactly round(ln(4)*1e6)
+    assert(got("u") == (("u", 120L, 4L, 0L, 1386294L)), s"uniform: ${got("u")}")
+    assert(got("id")._5 == math.round(math.log(120.0) * 1e6),
+      "unique column reaches ln(n)")
+    assert(got("s")._2 == 120L && got("s")._3 == 4L)
+    assert(got("s")._5 < got("u")._5,
+      "same distinct count, but skew must score below uniform")
+    assert(got("nl") == (("nl", 80L, 1L, 40L, 0L)), s"null axis: ${got("nl")}")
+    // layout independence
+    val again = graft.ops.Profile.columnEntropy(df.repartition(7),
+        Seq("u", "s")).select("col_name", "ent_micro")
+      .as[(String, Long)].collect().toMap
+    assert(again("u") == got("u")._5 && again("s") == got("s")._5)
+  }
+
   test("benford: exact digit histogram, zero/null skipped, negatives folded, uniform flagged over geometric") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(Some(1.0), Some(2.0), Some(3.0), Some(19.0), Some(0.0),
