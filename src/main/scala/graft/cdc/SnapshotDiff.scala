@@ -91,6 +91,52 @@ object SnapshotDiff {
       .select(pkCols.map(col) :+ col("outcome"): _*)
   }
 
+  /** Column-level audit changelog between two snapshots — WHAT
+    * changed inside each updated row, the shape an audit table or a
+    * downstream column-sensitive consumer ("re-embed only if `text`
+    * moved, ignore `fetched_at` churn") actually wants; [[diff]] says
+    * WHICH keys changed, this says which COLUMNS and from/to what.
+    * One (pk, column, old_value, new_value) row per changed cell of
+    * each key present in both snapshots (inserts/deletes are
+    * [[diff]]'s axis, not cell changes); null↔value shifts are cells
+    * too (null-safe inequality), rendered as NULL on their side.
+    *
+    * Values cross the wire as strings. Diff STRING/INTEGER columns
+    * directly; pre-scale FLOATING columns to integer units (cents,
+    * micro) before calling — double→string formatting is an engine's
+    * own shortest-representation choice, not a cross-engine contract
+    * (the OutputContract lesson applied to rendering).
+    *
+    * Scale shape: both snapshots first collapse to (pk, row-hash) in
+    * their own scans and ONLY changed keys' payloads cross the two
+    * semi joins + the pk join (the [[threeWayResolve]] discipline:
+    * payload moves once, changed keys only); the per-column stack is
+    * per-row, post-join. |changed keys|·|changed cols| rows out —
+    * at 100 TB bucket both snapshots by pk.
+    */
+  def columnDiff(oldDf: DataFrame, newDf: DataFrame,
+                 pkCols: Seq[String], cols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, tag: String) =
+      df.select(pkCols.map(col) :+
+        md5(concat_ws("|",
+          cols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+          .as(s"${tag}_hash"): _*)
+    val changed = hashed(oldDf, "o").join(hashed(newDf, "n"), pkCols)
+      .filter(col("o_hash") =!= col("n_hash"))
+      .select(pkCols.map(col): _*)
+    val o = oldDf.join(changed, pkCols, "left_semi")
+      .select(pkCols.map(col) ++
+        cols.map(c => col(c).cast("string").as(s"o_$c")): _*)
+    val n = newDf.join(changed, pkCols, "left_semi")
+      .select(pkCols.map(col) ++
+        cols.map(c => col(c).cast("string").as(s"n_$c")): _*)
+    val stackArgs = cols.map(c => s"'$c', `o_$c`, `n_$c`").mkString(", ")
+    o.join(n, pkCols)
+      .selectExpr(pkCols ++ Seq(
+        s"stack(${cols.size}, $stackArgs) as (column_name, old_value, new_value)"): _*)
+      .filter(!(col("old_value") <=> col("new_value")))
+  }
+
   /** [[threeWay]]'s RESOLUTION: apply a conflict policy and emit the
     * merged snapshot itself — the table a dual-master repair actually
     * writes back. Per-key semantics (git merge with a chosen side on

@@ -141,6 +141,25 @@ object CdcQueries {
       preferLeft = true)
   }
 
+  /** Column-level changelog orders→mutated-orders: status flips on %7
+    * (incl. a %21 overlap with the custkey change — multi-cell keys),
+    * custkey bumps on %3, a %42 null-out exercising the null→value
+    * axis; only STRING/BIGINT columns diffed (the double-rendering
+    * contract).
+    */
+  def columnDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    val mutated = base
+      .withColumn("o_orderstatus",
+        when(k % 42 === 0, lit(null: String))
+          .when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_custkey",
+        when(k % 3 === 0, col("o_custkey") + 1L).otherwise(col("o_custkey")))
+    SnapshotDiff.columnDiff(base, mutated, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
+  }
+
   /** Change-batch collapse: one row per PK keeping the highest version
     * (the streaming micro-batch dedup step). PK here is user_id, so a
     * real multi-row-per-key distribution: each user's latest event.
@@ -244,6 +263,7 @@ object CdcQueries {
     "cdc_snapshot_diff" -> snapshotDiffQ,
     "cdc_three_way_merge" -> threeWayQ,
     "cdc_conflict_resolve" -> threeWayResolveQ,
+    "cdc_column_diff" -> columnDiffQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
@@ -377,6 +397,22 @@ object CdcQueries {
     // lu(k%5) -> +1.0 (left change wins); else clean right delete
     // (k%19) -> absent; else ru(k%7) -> +2.0; else base. Inserts land
     // once each (both-side %17 agree, one-side %29/%23 clean).
+    "cdc_column_diff" ->
+      """WITH m AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 42 = 0 THEN NULL
+        |         WHEN o_orderkey % 7 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS n_status,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1
+        |         ELSE o_custkey END AS n_custkey,
+        |    o_orderstatus, o_custkey, o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, 'o_orderstatus' AS column_name,
+        |  o_orderstatus AS old_value, n_status AS new_value
+        |FROM m WHERE n_status IS DISTINCT FROM o_orderstatus
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', o_custkey::VARCHAR,
+        |  n_custkey::VARCHAR
+        |FROM m WHERE n_custkey <> o_custkey""".stripMargin,
     "cdc_conflict_resolve" ->
       """WITH kept AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -767,6 +767,37 @@ class CdcSpec extends SparkSpec {
       s"prefer-right must flip only the conflicts: $pr")
   }
 
+  test("column diff: changed cells only, null shifts both ways, unchanged keys never join") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),   // untouched
+      (2L, Some("b"), Some(20L)),   // one cell changes
+      (3L, Some("c"), Some(30L)),   // both cells change
+      (4L, None: Option[String], Some(40L)), // null -> value
+      (5L, Some("e"), Some(50L))    // value -> null
+    ).toDF("id", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("B"), Some(20L)),
+      (3L, Some("C"), Some(31L)),
+      (4L, Some("d"), Some(40L)),
+      (5L, Some("e"), None: Option[Long]),
+      (6L, Some("ins"), Some(60L))  // insert: not a cell change
+    ).toDF("id", "s", "v")
+    val got = SnapshotDiff.columnDiff(old, neu, Seq("id"), Seq("s", "v"))
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(got == Map(
+      (2L, "s") -> (Some("b"), Some("B")),
+      (3L, "s") -> (Some("c"), Some("C")),
+      (3L, "v") -> (Some("30"), Some("31")),
+      (4L, "s") -> (None, Some("d")),
+      (5L, "v") -> (Some("50"), None)), s"cells: $got")
+    assert(SnapshotDiff.columnDiff(old.repartition(3), neu.repartition(2),
+        Seq("id"), Seq("s", "v"))
+      .as[(Long, String, Option[String], Option[String])].collect().length
+      == got.size)
+  }
+
   test("range hash diff finds exactly the divergent buckets") {
     val src = spark.range(0, 10000).toDF("id")
     val tgt = src.filter(expr("NOT (id % 617 = 0 AND id > 3000)"))
