@@ -181,6 +181,23 @@ object PipelineQueries {
       dim = EMB_DIM)
       .withColumnRenamed("id", "vec_id")
 
+  /** Embedding-space diversity downsample: ONE representative (min id)
+    * per hyperplane-LSH cell plus the cell's mass — the coverage
+    * sampler (SemDeDup's "one per semantic cell" downsampling knob):
+    * where sample_stratified balances LABELED strata and
+    * dedup_semantic removes near-twins, this thins a corpus to at
+    * most 2^planes spread-out representatives with `planes` as the
+    * budget dial; the cell mass column is the reweighting factor a
+    * loss-weighted training run wants. Same seeded integer LSH as
+    * ann_lsh (shared oracle arithmetic); one bucket assignment scan +
+    * one partial-agg struct-min groupBy — no window, no pair join.
+    */
+  def sampleDiverseQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.hyperplaneBuckets(Tables.embeddings(spark, sfDir),
+        "embedding", "vec_id", dim = EMB_DIM)
+      .groupBy("bucket")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_members"))
+
   /** The 100 TB embedding-dedup path: exact cosine only WITHIN
     * hyperplane buckets (no global N² join). Same verified cosine as
     * `dedup_embedding`; the bucket stage is `ann_lsh`'s.
@@ -1549,6 +1566,7 @@ object PipelineQueries {
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
     "ann_lsh" -> annLshQ,
+    "sample_diverse" -> sampleDiverseQ,
     "ann_lsh_pairs" -> annLshPairsQ,
     "ann_pq" -> annPqQ,
     "ann_cascade" -> annCascadeQ,
@@ -2185,6 +2203,19 @@ object PipelineQueries {
          |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
          |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
          |WHERE rank <= 5""".stripMargin,
+    "sample_diverse" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+         |dots AS (SELECT vec_id, p,
+         |           list_sum(list_transform(qv, (x, i) ->
+         |             x * (${h64("'42' || ':' || p::VARCHAR || ':' || i::VARCHAR")} % 2001 - 1000))) AS dot
+         |         FROM q, range(8) t(p)),
+         |bk AS (SELECT vec_id,
+         |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+         |       FROM dots GROUP BY 1)
+         |SELECT bucket, CAST(min(vec_id) AS BIGINT) AS keeper_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM bk GROUP BY 1""".stripMargin,
     "ann_lsh" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
