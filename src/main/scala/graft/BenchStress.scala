@@ -355,7 +355,45 @@ object BenchStress {
     // corpus-sized pass per round would surface here
     "unigram_train" -> ((d: DataFrame) =>
       graft.ops.Unigram.train(d, "text", maxPieceLen = 6,
-        vocabSize = 256, iters = 1)))
+        vocabSize = 256, iters = 1)),
+    // per-round LPA is one |E| label join + two partial aggs; copies
+    // grow |V| and |E| linearly and rounds are fixed, so the ratio
+    // reads the edge shuffles — label-frontier lineage growth or a
+    // hidden global op would surface here
+    "graph_lpa" -> ((d: DataFrame) => {
+      val (nodes, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      val sparse = edges.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.labelPropagation(nodes, sparse, rounds = 2)
+    }),
+    // FIXED batch against a scaling corpus — the ingestion contract:
+    // the bloom build is one partial-agg corpus pass, the confirm is
+    // broadcast-only, so total must read as one linear corpus scan;
+    // a corpus shuffle sneaking into the confirm would surface here
+    "dedup_bloom_prefilter" -> ((d: DataFrame) => {
+      val batch = d.filter(expr(s"doc_id % 50 = 0 AND doc_id < $COPY_STRIDE"))
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      Dedup.incrementalBloom(d.select("doc_id", "text"), batch,
+        "text", "doc_id", expectedItems = 1 << 20)
+    }),
+    // two per-row feature scans (code flag, readability) + key-only
+    // semi joins + a 3-row aggregate: pure scan shape, must be linear
+    "pipeline_route_corpus" -> ((d: DataFrame) => {
+      val flags = graft.ops.TextAnalysis.codeDetect(d, "text", "doc_id")
+        .select(col("doc_id"), col("is_code"))
+      val prose = d.join(flags.filter(col("is_code") === 0)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val kept = graft.ops.TextAnalysis.readability(prose, "text", "doc_id")
+        .filter(col("n_words") >= 10L && col("fk_grade_milli") <= 14000L &&
+          col("fk_grade_milli") >= 0L)
+        .select(col("doc_id"), lit(1).as("kept"))
+      flags.join(kept, Seq("doc_id"), "left")
+        .groupBy(col("is_code"), col("kept")).agg(count(lit(1)).as("n"))
+    }))
 
   // emb ops take the copy count: dedup_semantic must scale its cluster
   // COUNT with the corpus (fixed expected cluster size — how SemDeDup
@@ -383,7 +421,14 @@ object BenchStress {
     // O(partitions·d²) rows so the ratio reads the scan, not a
     // corpus-sized exchange
     "emb_gram" -> ((e: DataFrame, _: Int) =>
-      Similarity.gramStats(e, "embedding", dim = 64)))
+      Similarity.gramStats(e, "embedding", dim = 64)),
+    // bucket COUNT scales with the corpus (fixed expected bucket
+    // size), so seed-graph edges stay k·N and the one descent round's
+    // candidate join is ~k²·N rows — any superlinear blowup means the
+    // hash-ring buckets degenerated or the candidate dedup regressed
+    "ann_nndescent" -> ((e: DataFrame, n: Int) =>
+      Similarity.nnDescent(e, "embedding", "vec_id", k = 5, iters = 1,
+        buckets = 50 * n, dim = Some(64))))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile

@@ -1695,7 +1695,9 @@ class PipelineSpec extends SparkSpec {
     // longs, the round-9 integer-exact contract
     assert(r.getLong(4) == 100000000L, "p50")
     assert(r.getLong(5) == 100000000L, "p95")
-    assert(r.getDecimal(6).longValueExact() == 500000000L, "sum_n2")
+    // BIGINT since round 10 (the decimal(38,0) output hash-failed the
+    // driver's type-sensitive compare against DuckDB's HUGEINT)
+    assert(r.getLong(6) == 500000000L, "sum_n2")
     // layout independence
     val again = Similarity.embProfile(df.repartition(3), "embedding", "vec_id", 4).head()
     assert(again.toSeq == r.toSeq)
