@@ -1429,6 +1429,89 @@ class StreamingSpec extends SparkSpec {
     assert(versions <= 4, s"state versions must stay pruned, got $versions")
   }
 
+  test("seasonality monitor: days close at the clock, phase baseline folds, late rows dropped") {
+    import graft.streaming.SeasonalityStream
+    val out = tmp(); val st = tmp()
+    def b(rows: (String, Long)*) = rows.toSeq.toDF("k", "ms")
+      .select(col("k"), timestamp_millis(col("ms") * 86400000L).as("ts"))
+    def run(id: Long, rows: (String, Long)*) =
+      SeasonalityStream.seasonalityBatch(spark, b(rows: _*), id, out, st,
+        "k", "ts", toleranceMilli = 500L, latenessDays = 0L,
+        minPhaseDays = 2L)
+    def report(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("day", "phase", "n", "expected_milli", "resid_milli",
+        "phase_days", "drift", "late_dropped_total")
+      .as[(Long, Long, Long, Long, Long, Long, Int, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // batch 0: two rows on day 0, one on day 7 -> clock 7 closes day 0
+    run(0L, "a" -> 0L, "a" -> 0L, "a" -> 7L)
+    val r0 = report(0L)
+    assert(r0.keySet == Set(0L))
+    assert(r0(0L) == ((0L, 0L, 2L, -1L, 0L, 0L, 0, 0L)),
+      "first phase-0 day: unseen-phase sentinel, no flag")
+    // batch 1: day 7 grows, day 14 opens (closes 7), day 1 is LATE
+    // (prior clock 7, lateness 0 -> frontier 6)
+    run(1L, "a" -> 7L, "a" -> 14L, "a" -> 14L, "a" -> 14L, "a" -> 1L)
+    val r1 = report(1L)
+    assert(r1.keySet == Set(7L))
+    assert(r1(7L) == ((7L, 0L, 2L, 2000L, 0L, 1L, 0, 1L)),
+      "day 7 folds both triggers' rows; warmup phase_days=1 gates drift; late counted")
+    // batch 2: day 21 closes day 14 against baseline mean (2+2)/2
+    run(2L, "a" -> 21L, "a" -> 21L, "a" -> 21L, "a" -> 21L, "a" -> 21L)
+    val r2 = report(2L)
+    assert(r2(14L) == ((14L, 0L, 3L, 2000L, 1000L, 2L, 1, 1L)),
+      "phase_days >= minPhaseDays and |resid| > tolerance: drift")
+    // state bound: 1 baseline phase row + 1 open day + 1 late row
+    val state = spark.read.parquet(s"$st/batch=2")
+    assert(state.count() == 3L, state.collect().mkString(","))
+    assert(state.filter(col("kind") === "b")
+      .select("c1", "c2").as[(Long, Long)].head() == ((7L, 3L)),
+      "baseline holds 3 closed phase-0 days totalling 7 rows")
+  }
+
+  test("seasonality monitor: replay rewrites identical bytes; versions pruned") {
+    import graft.streaming.SeasonalityStream
+    val out = tmp(); val st = tmp()
+    def b(n: Int) = (0 until 40).map(i =>
+        (s"k${i % 3}", ((n * 3 + i % 5).toLong * 86400000L + i)))
+      .toDF("k", "ms")
+      .select(col("k"), timestamp_millis(col("ms")).as("ts"))
+    (0L to 5L).foreach(id =>
+      SeasonalityStream.seasonalityBatch(spark, b(id.toInt), id, out, st,
+        "k", "ts", toleranceMilli = 500L))
+    val report5 = spark.read.parquet(s"$out/batch=5").collect().toSet
+    val state5 = spark.read.parquet(s"$st/batch=5").collect().toSet
+    SeasonalityStream.seasonalityBatch(spark, b(5), 5L, out, st,
+      "k", "ts", toleranceMilli = 500L)
+    assert(spark.read.parquet(s"$out/batch=5").collect().toSet == report5)
+    assert(spark.read.parquet(s"$st/batch=5").collect().toSet == state5)
+    val versions = graft.util.Fs.fs(spark, st)
+      .listStatus(new org.apache.hadoop.fs.Path(st))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    assert(versions <= 4, s"state versions must stay pruned, got $versions")
+  }
+
+  test("seasonality stream end-to-end over a file feed") {
+    import graft.streaming.SeasonalityStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    def rows(days: Long*) = days.map(d => ("a", d)).toDF("k", "ms")
+      .select(col("k"), timestamp_millis(col("ms") * 86400000L).as("ts"))
+    rows(0L, 0L, 7L).coalesce(1).write.mode("append").parquet(feed)
+    val q = SeasonalityStream.seasonalityStream(spark, feed, out, st, ckpt,
+      "k", "ts", toleranceMilli = 500L, latenessDays = 0L, minPhaseDays = 1L)
+    try {
+      q.processAllAvailable()
+      rows(14L).coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val day7 = spark.read.option("basePath", out).parquet(out)
+      .filter(col("day") === 7L)
+      .select("n", "expected_milli", "resid_milli", "drift")
+      .as[(Long, Long, Long, Int)].head()
+    assert(day7 == ((1L, 2000L, -1000L, 1)),
+      "the weekly under-run surfaces through the file feed")
+  }
+
   test("ewma stream end-to-end over a file feed") {
     import graft.streaming.EwmaStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
