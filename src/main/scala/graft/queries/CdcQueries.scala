@@ -160,6 +160,24 @@ object CdcQueries {
       Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
   }
 
+  /** Replication-lag report — the monitoring number a replication
+    * deployment watches between cycles (the reference's update-range
+    * read IS this check's first half, updates.go:44): against the
+    * recorded watermark, the source's max version, the exact number
+    * of rows still to pull, and the version distance. ONE
+    * column-pruned partial-agg scan, single-row result; at 100 TB the
+    * scan reads only the version column (plan-audited family).
+    */
+  def cdcLagQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= "error")
+      .agg(max(col("event_id")).as("max_version"),
+        count(lit(1)).as("row_count"),
+        sum(when(col("event_id") > W, 1L).otherwise(0L)).as("rows_behind"))
+      .select(lit(W).as("watermark"), col("max_version"), col("row_count"),
+        col("rows_behind"),
+        (col("max_version") - lit(W)).as("lag_versions"))
+
   /** Change-batch collapse: one row per PK keeping the highest version
     * (the streaming micro-batch dedup step). PK here is user_id, so a
     * real multi-row-per-key distribution: each user's latest event.
@@ -264,6 +282,7 @@ object CdcQueries {
     "cdc_three_way_merge" -> threeWayQ,
     "cdc_conflict_resolve" -> threeWayResolveQ,
     "cdc_column_diff" -> columnDiffQ,
+    "cdc_lag" -> cdcLagQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
@@ -397,6 +416,14 @@ object CdcQueries {
     // lu(k%5) -> +1.0 (left change wins); else clean right delete
     // (k%19) -> absent; else ru(k%7) -> +2.0; else base. Inserts land
     // once each (both-side %17 agree, one-side %29/%23 clean).
+    "cdc_lag" ->
+      """SELECT 500 AS watermark,
+        |  max(event_id) AS max_version,
+        |  count(*) AS row_count,
+        |  CAST(sum(CASE WHEN event_id > 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_behind,
+        |  max(event_id) - 500 AS lag_versions
+        |FROM events WHERE event_type <> 'error'""".stripMargin,
     "cdc_column_diff" ->
       """WITH m AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 42 = 0 THEN NULL

@@ -1547,6 +1547,33 @@ object PipelineQueries {
     TextAnalysis.qualityBand(Tables.documents(spark, sfDir), "text", "doc_id", "lang")
       .withColumnRenamed("stratum", "lang")
 
+  /** Calibration report for the integer-LR quality score — the
+    * reliability diagram a filter deployment reads before picking a
+    * cut: scores range-bucket into ≤9 integer bins (the benford /
+    * embProfile width rule: w = (hi−lo) div 8 + 1), per bin the doc
+    * count, positive count, exact positive ppm and score mass; a
+    * well-ordered score has pos_ppm rising with the bin index — if it
+    * doesn't, the cut threshold is meaningless no matter the accuracy.
+    * Self-calibration on training labels (the quality_lr_eval caveat:
+    * split by hash for held-out). One broadcast min/max row + one
+    * partial-agg groupBy over the scored table.
+    */
+  def qualityLrCalibrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val scored = graft.ops.Classifier.trainScored(
+      d, "text", "doc_id", target, m = 256, iters = 1)
+      .join(d.select(col("doc_id"), target.cast("int").as("y")), Seq("doc_id"))
+    val rng = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(rng))
+      .withColumn("bin", expr("(score - lo) div ((hi - lo) div 8 + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("score")).as("sum_score"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000L) div n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_band" -> textQualityBandQ,
     "text_bigram_logprob" -> textBigramLogprobQ,
@@ -1654,6 +1681,7 @@ object PipelineQueries {
     "text_tfidf" -> textTfidfQ,
     "quality_lr_score" -> qualityLrScoreQ,
     "quality_lr_eval" -> qualityLrEvalQ,
+    "quality_lr_calibration" -> qualityLrCalibrationQ,
     "text_pmi" -> textPmiQ,
     "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
@@ -3681,6 +3709,19 @@ object PipelineQueries {
          |       CAST(sum(e.qv[CAST(e.i + 1 AS INT)] * s.sgn) AS BIGINT) AS v
          |FROM e JOIN s ON e.i = s.i
          |GROUP BY 1, 2""".stripMargin,
+    "quality_lr_calibration" ->
+      s"""WITH $lrCtes,
+         |sy AS (SELECT s.doc_id, s.score, CASE WHEN tm.t THEN 1 ELSE 0 END AS y
+         |       FROM s JOIN tm USING (doc_id)),
+         |r AS (SELECT min(score) AS lo, max(score) AS hi FROM sy),
+         |b AS (SELECT (score - lo) // ((hi - lo) // 8 + 1) AS bin, y, score
+         |      FROM sy, r)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+         |FROM b GROUP BY 1""".stripMargin,
     "quality_lr_score" ->
       s"""WITH $lrCtes
          |SELECT doc_id, score FROM s""".stripMargin,
