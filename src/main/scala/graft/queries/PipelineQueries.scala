@@ -125,6 +125,15 @@ object PipelineQueries {
       "embedding", "vec_id", "label", expr("id % 100 = 0"), k = 5,
       dim = EMB_DIM)
 
+  /** Embedding-level eval-set contamination: every 100th vector plays
+    * the eval probe, hits at the dedup threshold counted per probe,
+    * top match in floored micro units; zero-hit probes report 0 (the
+    * release sign-off reads the absence).
+    */
+  def contaminationSemanticQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticContamination(Tables.embeddings(spark, sfDir),
+      "embedding", "vec_id", expr("id % 100 = 0"), COS_T, dim = EMB_DIM)
+
   def annIvfQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
@@ -262,6 +271,31 @@ object PipelineQueries {
 
   def textTokensQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  /** Context-length planning histogram: whitespace-token doc lengths
+    * in power-of-two buckets (floor(log2) via integer bit length — no
+    * float log), per bucket doc count, token mass, and the share of
+    * tokens a `maxLen` training context would TRUNCATE away from docs
+    * in that bucket — the one-glance table that picks chunk/pack
+    * budgets (the mass above the context is what text_chunk exists
+    * to recover).
+    */
+  def textLengthProfileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxLen = 64L
+    Tables.documents(spark, sfDir)
+      .select(size(split(TextAnalysis.normalize(col("text")), " "))
+        .cast("long").as("n"))
+      // floor(log2(n)) WITHOUT float logs (their ulp behavior at exact
+      // powers of two is not a cross-engine contract): the length of
+      // the binary string rendering minus one — bin()/length() agree
+      // everywhere
+      .withColumn("bucket", (length(expr("bin(n)")) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("token_mass"),
+        sum(greatest(col("n") - maxLen, lit(0L))).as("truncated_mass"))
+      .withColumn("truncated_ppm",
+        expr("(truncated_mass * 1000000L) div token_mass"))
+  }
 
   def textQualityQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityScores(Tables.documents(spark, sfDir), "text", "doc_id")
@@ -1602,6 +1636,7 @@ object PipelineQueries {
     "dedup_semantic" -> dedupSemanticQ,
     "dedup_semantic_init" -> dedupSemanticInitQ,
     "text_tokens" -> textTokensQ,
+    "text_length_profile" -> textLengthProfileQ,
     "text_quality" -> textQualityQ,
     "text_readability" -> textReadabilityQ,
     "text_code_detect" -> textCodeDetectQ,
@@ -1612,6 +1647,7 @@ object PipelineQueries {
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
     "text_contamination" -> textContaminationQ,
+    "contamination_semantic" -> contaminationSemanticQ,
     "text_ngram_coverage" -> textNgramCoverageQ,
     "text_cdc_chunk" -> textCdcChunkQ,
     "dedup_cdc_chunks" -> dedupCdcChunksQ,
@@ -2107,6 +2143,25 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
+    "contamination_semantic" ->
+      s"""WITH $qPrep,
+         |pr AS (SELECT vec_id AS eval_id, qv, n2 FROM n WHERE vec_id % 100 = 0),
+         |co AS (SELECT vec_id, qv, n2 FROM n WHERE vec_id % 100 <> 0),
+         |sc AS (SELECT pr.eval_id, co.vec_id AS id,
+         |    CAST(list_sum(list_transform(list_zip(co.qv, pr.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(co.n2 AS DOUBLE)) * sqrt(CAST(pr.n2 AS DOUBLE))) AS cos
+         |  FROM co, pr),
+         |f AS (SELECT eval_id, id, CAST(floor(cos * 1000000) AS BIGINT) AS cm
+         |      FROM sc WHERE cos >= $COS_T),
+         |h AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_hits FROM f GROUP BY 1),
+         |t AS (SELECT eval_id, cm, id,
+         |        row_number() OVER (PARTITION BY eval_id ORDER BY cm DESC, id ASC) AS rn
+         |      FROM f)
+         |SELECT pr.eval_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(t.cm, -2000000) AS top_cos_micro,
+         |  coalesce(t.id, -1) AS top_id
+         |FROM pr LEFT JOIN h USING (eval_id)
+         |LEFT JOIN (SELECT * FROM t WHERE rn = 1) t USING (eval_id)""".stripMargin,
     "ann_nndescent" ->
       s"""WITH $qPrep,
          |h AS (SELECT vec_id AS id,
@@ -2270,6 +2325,18 @@ object PipelineQueries {
          |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T""".stripMargin,
+    "text_length_profile" ->
+      s"""WITH d AS (SELECT len(string_split($norm, ' '))::BIGINT AS n
+         |           FROM documents),
+         |b AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket FROM d),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n) AS BIGINT) AS token_mass,
+         |        CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS truncated_mass
+         |      FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, token_mass, truncated_mass,
+         |  CAST((truncated_mass * 1000000) // token_mass AS BIGINT)
+         |    AS truncated_ppm
+         |FROM g""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len(string_split(nt, ' ')) AS ws_tokens,
          |       len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens

@@ -885,6 +885,49 @@ object Similarity {
       .toDF("i", "loading_micro", "ev_share_micro")
   }
 
+  /** SEMANTIC eval-set contamination scan — the embedding-level
+    * decontamination check n-gram matching can't do (text_contamination
+    * catches verbatim and near-verbatim leakage; a paraphrased or
+    * translated eval item shares no 8-grams but sits right next to its
+    * source in embedding space): for every probe (eval) vector, the
+    * number of corpus vectors with cosine ≥ `threshold`, plus the top
+    * match (cosine in floored micro units — an integer output, no
+    * cross-engine double contract — ties to the smallest corpus id;
+    * −2 000 000 sentinel when nothing clears the threshold). Probes
+    * with ZERO hits still report — the absence of contamination is the
+    * result the release sign-off reads.
+    *
+    * Scale shape: the probe set broadcasts (an eval set is small by
+    * construction) and the corpus never shuffles — one scan, one
+    * partial-agg per-probe fold. This is the brute per-pair baseline
+    * (the dedup_embedding convention); at corpus scales where even one
+    * broadcast scan per release is too slow, run the probes through
+    * [[hyperplaneBuckets]] and scan only shared buckets — the
+    * `ann_lsh_pairs` path with probes as one side.
+    */
+  def semanticContamination(df: DataFrame, vecCol: String, idCol: String,
+                            probePred: Column, threshold: Double,
+                            dim: Option[Int] = None): DataFrame = {
+    val p = prepared(df.filter(col(vecCol).isNotNull), vecCol, idCol)
+    val probes = p.filter(probePred)
+      .select(col("id").as("eval_id"), col("qv").as("pqv"),
+        col("n2").as("pn2"))
+    val hits = p.filter(!probePred)
+      .crossJoin(broadcast(probes))
+      .withColumn("cos",
+        cosine(qdot(col("qv"), col("pqv"), dim), col("n2"), col("pn2")))
+      .filter(col("cos") >= threshold)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(floor(col("cos") * 1e6).cast("long").as("cm"),
+          (-col("id")).as("nid"))).as("m"))
+    probes.select("eval_id").join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("m.cm"), lit(-2000000L)).as("top_cos_micro"),
+        coalesce((-col("m.nid")), lit(-1L)).as("top_id"))
+  }
+
   /** NN-descent k-NN graph construction (Dong et al., WWW 2011) — the
     * build stage of graph-based ANN (HNSW/NSG lineage), the modern
     * default where IVF/PQ's cell boundaries cost recall: start from an
