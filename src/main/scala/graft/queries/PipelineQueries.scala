@@ -1372,6 +1372,38 @@ object PipelineQueries {
     Bpe.encodeDocs(docs, "text", "doc_id", Bpe.twinMerges(words, 24, 24))
   }
 
+  /** Tokenizer fertility comparison — the report a pipeline reads
+    * before committing a tokenizer (and the budget bridge: every
+    * token_budget/pack decision prices in SOME tokenizer): per
+    * source, document/char/whitespace-token mass vs REAL trained-BPE
+    * token mass, with chars-per-BPE-token (compression) and
+    * BPE-per-whitespace-token (fertility) in exact milli units —
+    * a source whose fertility spikes is the one the tokenizer was
+    * not trained for (code in a prose tokenizer, the wrong script).
+    * Same trained twin-merge table as bpe_encode_docs (shared oracle
+    * CTEs); one encode scan + one partial-agg groupBy(source).
+    */
+  def tokenizerCompareQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val words = graft.util.Lineage.truncate(Bpe.wordFreq(docs, "text"))
+    val enc = Bpe.encodeDocs(docs, "text", "doc_id",
+      Bpe.twinMerges(words, 24, 24))
+    docs.select(col("doc_id"), col("source"),
+        length(TextAnalysis.normalize(col("text"))).cast("long").as("chars"),
+        size(split(TextAnalysis.normalize(col("text")), " ")).cast("long")
+          .as("ws_tokens"))
+      .join(enc.select(col("doc_id"), col("bpe_tokens")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(coalesce(col("bpe_tokens"), lit(0L))).as("bpe_tokens"))
+      .withColumn("chars_per_bpe_milli",
+        expr("(chars * 1000L) div greatest(bpe_tokens, 1L)"))
+      .withColumn("fertility_milli",
+        expr("(bpe_tokens * 1000L) div greatest(ws_tokens, 1L)"))
+  }
+
   /** BM25 top-5 retrieval (graft.ops.Retrieval): every 100th document
     * probes the corpus with its first 8 distinct tokens — the lexical
     * query-by-document search decontamination and duplicate triage
@@ -1711,6 +1743,7 @@ object PipelineQueries {
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_encode_docs" -> bpeEncodeDocsQ,
+    "tokenizer_compare" -> tokenizerCompareQ,
     "text_bm25" -> textBm25Q,
     "text_rrf" -> textRrfQ,
     "text_cooccurrence" -> textCooccurrenceQ,
@@ -3949,6 +3982,29 @@ object PipelineQueries {
          |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(len(f1.syms)) AS BIGINT) AS bpe_tokens
          |FROM dw JOIN f1 USING (word) GROUP BY 1""".stripMargin,
+    "tokenizer_compare" ->
+      s"""WITH RECURSIVE
+         |$bpeEncCte,
+         |dw AS (SELECT doc_id, word FROM
+         |         (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+         |          FROM documents)
+         |       WHERE len(word) > 0),
+         |de AS (SELECT dw.doc_id, CAST(sum(len(f1.syms)) AS BIGINT) AS bpe
+         |       FROM dw JOIN f1 USING (word) GROUP BY 1),
+         |dd AS (SELECT doc_id, source, length($norm)::BIGINT AS chars,
+         |         len(string_split($norm, ' '))::BIGINT AS ws
+         |       FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(chars) AS BIGINT) AS chars,
+         |        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |        CAST(sum(coalesce(de.bpe, 0)) AS BIGINT) AS bpe_tokens
+         |      FROM dd LEFT JOIN de USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, chars, ws_tokens, bpe_tokens,
+         |  CAST((chars * 1000) // greatest(bpe_tokens, 1) AS BIGINT)
+         |    AS chars_per_bpe_milli,
+         |  CAST((bpe_tokens * 1000) // greatest(ws_tokens, 1) AS BIGINT)
+         |    AS fertility_milli
+         |FROM g""".stripMargin,
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE ${h64("'graft:' || event_id::VARCHAR")} % 10000 <
