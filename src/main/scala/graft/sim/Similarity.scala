@@ -921,7 +921,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"),
         max(struct(floor(col("cos") * 1e6).cast("long").as("cm"),
           (-col("id")).as("nid"))).as("m"))
-    probes.select("eval_id").join(hits, Seq("eval_id"), "left")
+    probes.select("eval_id").join(broadcast(hits), Seq("eval_id"), "left")
       .select(col("eval_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("m.cm"), lit(-2000000L)).as("top_cos_micro"),

@@ -743,6 +743,40 @@ class PlanAuditSpec extends SparkSpec {
       "PII profile is scan + ONE aggregate exchange")
   }
 
+  test("q_seasonality: no window, phase table broadcasts, counts combine map-side") {
+    val plan = formatted(q("q_seasonality"))
+    assert(!plan.contains("Window"), "seasonality never needs positions")
+    assert(plan.contains("BroadcastExchange"),
+      "the <=7*|keys| phase table must broadcast back")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "day counts must combine map-side")
+  }
+
+  test("profile_benford and profile_entropy: single-scan partial-agg shapes, totals broadcast") {
+    for (name <- Seq("profile_benford", "profile_entropy")) {
+      val plan = formatted(q(name))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name counts must combine map-side")
+      assert(plan.contains("BroadcastExchange"),
+        s"$name per-column totals must broadcast")
+      assert(!plan.contains("SortMergeJoin"), s"$name must not sort-merge")
+    }
+  }
+
+  test("contamination_semantic: probes broadcast, corpus never shuffles, native dot") {
+    val plan = formatted(q("contamination_semantic"))
+    assert(plan.contains("graft_dot"), "scoring must use the codegen'd dot")
+    assert(plan.contains("BroadcastExchange"), "the probe set must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the scan")
+  }
+
+  test("cdc_conflict_resolve: one exchange family on the pk, payload via semi joins") {
+    val plan = formatted(q("cdc_conflict_resolve"))
+    assert(plan.contains("LeftSemi"),
+      "each source must contribute through a key-only semi join")
+  }
+
   test("dedup_bloom_prefilter: codegen'd bloom probe, corpus confirmed via broadcast only") {
     val plan = formatted(q("dedup_bloom_prefilter"))
     assert(plan.contains("graft_bloom_might_contain"),
