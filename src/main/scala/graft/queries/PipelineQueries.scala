@@ -1404,6 +1404,46 @@ object PipelineQueries {
         expr("(bpe_tokens * 1000L) div greatest(ws_tokens, 1L)"))
   }
 
+  /** END-TO-END EMBEDDING-SIDE release composition (the C14 pattern
+    * on the vector axis): documents keep only rows with a VALID
+    * 64-wide embedding (the integrity cut pipeline_integrity audits,
+    * applied), then ONE bucketed LSH pair scan drives BOTH semantic
+    * screens — near-dup removal (the larger id of any non-probe pair
+    * at cosine ≥ T drops) and eval contamination (the held-out probe
+    * slice doc_id % 100 never ships, and any doc pairing with a probe
+    * at ≥ T drops with it) — and the survivors export through the
+    * XOR-checksum shard manifest. The oracle replays integrity →
+    * buckets → pairs → both drop sets → manifest in one chain, so a
+    * single byte bent anywhere in the composition fails the hash.
+    * Scale: the pair scan is the ann_lsh_pairs bucketed path (never
+    * N²), drops are key-only anti-joins, the manifest one partial
+    * agg.
+    */
+  def pipelineSemanticQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Sampling
+    val d = Tables.documents(spark, sfDir)
+    val valid = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val docs = d.select("doc_id", "text").join(valid, Seq("doc_id"))
+    val pairs = Similarity.annLshPairs(
+      docs.select(col("doc_id"), col("embedding")), "embedding", "doc_id",
+      COS_T, dim = EMB_DIM)
+    val isProbe = (c: org.apache.spark.sql.Column) => c % 100 === 0
+    val dropDup = pairs
+      .filter(!isProbe(col("id_a")) && !isProbe(col("id_b")))
+      .select(col("id_b").as("doc_id"))
+    val dropContam = pairs.filter(isProbe(col("id_a")))
+      .select(col("id_b").as("doc_id"))
+      .unionByName(pairs.filter(isProbe(col("id_b")))
+        .select(col("id_a").as("doc_id")))
+    val survivors = docs.select("doc_id", "text")
+      .filter(!isProbe(col("doc_id")))
+      .join(dropDup.unionByName(dropContam).distinct(),
+        Seq("doc_id"), "left_anti")
+    Sampling.shardManifest(survivors, "text", "doc_id", numShards = 4)
+  }
+
   /** BM25 top-5 retrieval (graft.ops.Retrieval): every 100th document
     * probes the corpus with its first 8 distinct tokens — the lexical
     * query-by-document search decontamination and duplicate triage
@@ -1763,6 +1803,7 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "pipeline_wet_corpus" -> pipelineWetQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
+    "pipeline_semantic_corpus" -> pipelineSemanticQ,
     "pipeline_route_corpus" -> pipelineRouteQ,
     "pipeline_integrity" -> pipelineIntegrityQ,
     "text_fingerprint" -> textFingerprintQ)
@@ -3049,6 +3090,42 @@ object PipelineQueries {
          |  CASE WHEN abs(sc.null_ppm - sr.null_ppm) > 10000
          |       THEN 1 ELSE 0 END AS null_drift
          |FROM sc JOIN sr USING (col_name)""".stripMargin,
+    "pipeline_semantic_corpus" ->
+      s"""WITH $qPrep,
+         |v AS (SELECT vec_id FROM embeddings
+         |      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |dots AS (SELECT n.vec_id, p,
+         |           list_sum(list_transform(n.qv, (x, i) ->
+         |             x * (${h64("'42' || ':' || p::VARCHAR || ':' || i::VARCHAR")} % 2001 - 1000))) AS dot
+         |         FROM n JOIN v USING (vec_id), range(8) t(p)),
+         |bk AS (SELECT vec_id,
+         |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+         |       FROM dots GROUP BY 1),
+         |nb AS (SELECT n.vec_id, n.qv, n.n2, bk.bucket
+         |       FROM n JOIN bk USING (vec_id)),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |       FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |       WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $COS_T),
+         |drop0 AS (
+         |  SELECT id_b AS doc_id FROM pr
+         |  WHERE id_a % 100 <> 0 AND id_b % 100 <> 0
+         |  UNION SELECT id_b FROM pr WHERE id_a % 100 = 0
+         |  UNION SELECT id_a FROM pr WHERE id_b % 100 = 0),
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |         JOIN v ON v.vec_id = d.doc_id
+         |         WHERE d.doc_id % 100 <> 0
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM drop0)),
+         |k AS (SELECT doc_id, text,
+         |        ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k
+         |      FROM surv)
+         |SELECT k % 4 AS shard, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(" +
+                "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")})
+         |    AS content_xor
+         |FROM k GROUP BY 1""".stripMargin,
     "pipeline_release_corpus" ->
       s"""WITH c AS (SELECT doc_id, text, $norm AS nt FROM documents),
          |r AS (SELECT doc_id FROM (
