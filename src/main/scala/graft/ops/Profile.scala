@@ -429,6 +429,60 @@ object Profile {
           .as("p99"))
   }
 
+  /** Equi-DEPTH histogram — [[histogram]]'s skew-proof sibling: equal-
+    * WIDTH bins put 99% of a zipfian column in one bar and the whole
+    * story in the tail; equal-depth bins (each holding ~n/k rows)
+    * show where the mass actually sits, and their edges are what a
+    * range-partitioner or a bucketed layout wants as split points.
+    * Values enter integer space as floor(v·100) cents (the benford
+    * convention — one IEEE op, engine-exact); a distinct value's bin
+    * is the bin of its FIRST global rank, bin(r) = (r·k) div n in
+    * pure integer arithmetic, so heavy ties land wholly in one bin
+    * (reported honestly by the bin's min/max edges) rather than being
+    * split by an arbitrary tiebreak.
+    *
+    * Scale shape — the round-10 bucketed rank walk, per column: one
+    * (col, cents) partial-agg count, cents range-bucketed into ≤4097
+    * buckets by construction, per-(col, bucket) offsets from a
+    * broadcast triangular self-join, and the cumulative window
+    * PARTITIONED by (col, bucket) — no partition-less window over
+    * unbounded distinct values (the embProfile discipline,
+    * generalized per group). Output ≤ k·|cols| rows.
+    */
+  def equiDepthHistogram(df: DataFrame, cols: Seq[String],
+                         bins: Int): DataFrame = {
+    require(cols.nonEmpty && bins >= 1, s"need cols and bins >= 1")
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val counts = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
+      .filter(col("val").isNotNull)
+      .select(col("col_name"),
+        expr("cast(floor(val * 100) as bigint)").as("cents"))
+      .groupBy("col_name", "cents").agg(count(lit(1)).as("cnt"))
+    val range = counts.groupBy("col_name")
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        sum(col("cnt")).as("n"))
+    val bucketed = counts.join(broadcast(range), Seq("col_name"))
+      .withColumn("w", expr("(hi - lo) div 4096 + 1"))
+      .withColumn("bkt", expr("(cents - lo) div w"))
+    val bcnt = bucketed.groupBy("col_name", "bkt").agg(sum(col("cnt")).as("bc"))
+    val boff = bcnt.as("a")
+      .join(broadcast(bcnt.as("b")),
+        col("a.col_name") === col("b.col_name") && col("b.bkt") < col("a.bkt"),
+        "left")
+      .groupBy(col("a.col_name").as("col_name"), col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("off"))
+    val wCum = Window.partitionBy(col("col_name"), col("bkt"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(boff), Seq("col_name", "bkt"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(wCum))
+      .withColumn("bin", expr(s"((cum - cnt) * ${bins}L) div n"))
+      .groupBy("col_name", "bin")
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+  }
+
   /** Snapshot-to-snapshot column-profile regression — the statistical
     * complement of `cdc_snapshot_diff` (which says WHICH rows changed;
     * this says whether the DATA still looks the same) and the batch

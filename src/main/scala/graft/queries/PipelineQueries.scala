@@ -983,6 +983,14 @@ object PipelineQueries {
             .otherwise(col("lang"))),
       Seq("doc_id", "lang", "source"))
 
+  /** Equi-depth 8-bin histograms over lineitem numerics — the
+    * skew-proof distribution view; edges double as range-partition
+    * split points.
+    */
+  def profileHistogramEqQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(Tables.lineitem(spark, sfDir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 8)
+
   /** Equi-width 16-bin histograms over lineitem's numeric columns
     * (graft.ops.Profile.histogram) — the binned distribution view of
     * the profiling family.
@@ -1777,6 +1785,7 @@ object PipelineQueries {
     "graph_reciprocity" -> graphReciprocityQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
+    "profile_histogram_eq" -> profileHistogramEqQ,
     "profile_benford" -> profileBenfordQ,
     "emb_project" -> embProjectQ,
     "bpe_top_pairs" -> bpeTopPairsQ,
@@ -3711,6 +3720,25 @@ object PipelineQueries {
          |SELECT sh.x AS id_a, sh.y AS id_b, CAST(sh.s AS BIGINT) AS shared,
          |  CAST((1000 * sh.s) // (da.dg + db.dg - sh.s) AS BIGINT) AS jac_milli
          |FROM sh JOIN degf da ON sh.x = da.u JOIN degf db ON sh.y = db.u""".stripMargin,
+    "profile_histogram_eq" ->
+      s"""WITH st AS (
+         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+         |c AS (SELECT col_name, CAST(floor(val * 100) AS BIGINT) AS cents,
+         |        count(*) AS cnt
+         |      FROM st WHERE val IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT col_name, sum(cnt) AS n FROM c GROUP BY 1),
+         |w AS (SELECT c.col_name, cents, cnt, n,
+         |        sum(cnt) OVER (PARTITION BY c.col_name ORDER BY cents) AS cum
+         |      FROM c JOIN t USING (col_name)),
+         |b AS (SELECT col_name, cents, cnt,
+         |        ((cum - cnt) * 8) // n AS bin FROM w)
+         |SELECT col_name, CAST(bin AS BIGINT) AS bin,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(min(cents) AS BIGINT) AS lo_cents,
+         |  CAST(max(cents) AS BIGINT) AS hi_cents
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "profile_entropy" ->
       s"""WITH src AS (SELECT doc_id,
          |    CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,

@@ -797,6 +797,18 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus-side assignment must never shuffle for the bucket probe")
   }
 
+  test("profile_histogram_eq: every window is bucket-partitioned (the generalized rank walk)") {
+    val analyzed = q("profile_histogram_eq").queryExecution.optimizedPlan
+    val windows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"window must partition by (col, bucket): ${w.partitionSpec}")
+    }
+  }
+
   test("profile_embeddings: quantile pass has no partition-less window over distinct norms") {
     // The r9 plan ran one global Window.orderBy(n2) — a single-task
     // bottleneck on an unnormalized corpus where distinct norms are

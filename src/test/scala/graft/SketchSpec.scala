@@ -497,6 +497,31 @@ class SketchSpec extends SparkSpec {
       assert(est == exact(c), s"unsaturated $c: est $est vs ${exact(c)}")
   }
 
+  test("equi-depth histogram: near-equal bin mass, heavy ties land whole in one bin") {
+    import org.apache.spark.sql.functions.col
+    // 80 distinct uniform values -> 4 bins of exactly 20 rows
+    val uni = (0 until 80).map(i => i.toDouble).toDF("v")
+    val gotU = graft.ops.Profile.equiDepthHistogram(uni, Seq("v"), bins = 4)
+      .select("bin", "n_rows", "lo_cents", "hi_cents")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotU.map(_._2) == Seq(20L, 20L, 20L, 20L), s"uniform: $gotU")
+    assert(gotU.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(gotU.head._3 == 0L && gotU.last._4 == 7900L, "edges in cents")
+    // 90 copies of one value + 10 singletons: the tie block stays
+    // whole in bin 0 (first-rank rule), the tail fills the last bin
+    val skew = (Seq.fill(90)(1.0) ++ (0 until 10).map(i => 100.0 + i)).toDF("v")
+    val gotS = graft.ops.Profile.equiDepthHistogram(skew, Seq("v"), bins = 4)
+      .select("bin", "n_rows").as[(Long, Long)].collect().toMap
+    assert(gotS(0L) == 90L, s"tie block must land whole in bin 0: $gotS")
+    assert(gotS(3L) == 10L, "the distinct tail fills its rank bin")
+    assert(gotS.values.sum == 100L)
+    // layout independence
+    val again = graft.ops.Profile.equiDepthHistogram(
+        skew.repartition(5), Seq("v"), bins = 4)
+      .select("bin", "n_rows").as[(Long, Long)].collect().toMap
+    assert(again == gotS)
+  }
+
   test("column entropy: constant zero, uniform ln(k), skew below uniform, nulls on their own axis") {
     val df = (0 until 120).map { i =>
       (i.toLong,                                   // unique
