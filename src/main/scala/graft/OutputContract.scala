@@ -58,6 +58,7 @@ object OutputContract {
     ("cdc_incremental_pull", "value"), ("cdc_latest_by_key", "value"),
     ("cdc_merge_upsert", "o_totalprice"),
     ("cdc_conflict_resolve", "o_totalprice"),
+    ("cdc_apply_changelog", "o_totalprice"),
     ("cdc_changed_range_resync", "o_totalprice"),
     ("q_topk_window", "o_totalprice"), ("q_asof_join", "purchase_value"),
     ("q_anomaly_zscore", "value"), ("q_anomaly_mad", "value"),

@@ -137,6 +137,39 @@ object SnapshotDiff {
       .filter(!(col("old_value") <=> col("new_value")))
   }
 
+  /** [[columnDiff]]'s INVERSE: apply a (pk, column, old, new) cell
+    * changelog to a snapshot — the consumer side of the audit table
+    * (replay an upstream's cell edits without re-shipping full rows;
+    * at column-diff granularity the wire carries changed CELLS only).
+    * A change row with a NULL `new_value` sets the cell to NULL (the
+    * presence flag, not the value, decides application — the
+    * columnDiff null-axis round-trips). Cells are cast back to the
+    * snapshot column's own type; `applyCellChanges(snap,
+    * columnDiff(snap, next, pk, cols), pk, cols) == next` on the
+    * shared keys is the spec-pinned identity.
+    *
+    * Scale shape: the changelog collapses to ONE row per touched key
+    * (partial-agg pivot by known column list), then one pk join
+    * against the snapshot — untouched keys stream through the join's
+    * left side unmodified; per-cell conditionals are per-row.
+    */
+  def applyCellChanges(snap: DataFrame, changes: DataFrame,
+                       pkCols: Seq[String], cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(max(when(col("column_name") === c, lit(1))).as(s"has_$c"),
+        max(when(col("column_name") === c, col("new_value"))).as(s"nv_$c"))
+    }
+    val perKey = changes.groupBy(pkCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val applied = snap.join(perKey, pkCols, "left")
+    snap.columns.foldLeft(applied) { (df, c) =>
+      if (!cols.contains(c)) df
+      else df.withColumn(c,
+        when(col(s"has_$c") === 1,
+          col(s"nv_$c").cast(snap.schema(c).dataType)).otherwise(col(c)))
+    }.select(snap.columns.map(col): _*)
+  }
+
   /** [[threeWay]]'s RESOLUTION: apply a conflict policy and emit the
     * merged snapshot itself — the table a dual-master repair actually
     * writes back. Per-key semantics (git merge with a chosen side on

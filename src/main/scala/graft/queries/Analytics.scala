@@ -601,6 +601,29 @@ object Analytics {
     graft.ops.TimeSeries.ewma(Tables.events(spark, sfDir),
       "user_id", "ts", "value", "event_id", k = 4)
 
+  /** Period-over-period volume report — the release-dashboard number
+    * next to q_seasonality's residuals: per event type, row counts in
+    * the trailing 7 stream-days vs the 7 before, with the exact
+    * integer delta ppm. The period anchor is STREAM time (global max
+    * epoch-day, one broadcast row), never wall clock — reruns are
+    * byte-identical. One scan, one conditional-sum groupBy.
+    */
+  def qPeriodCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000L").as("day"))
+    val maxd = days.agg(max(col("day")).as("maxd"))
+    days.crossJoin(broadcast(maxd))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("day") > col("maxd") - 7L, 1L).otherwise(0L)).as("cur"),
+        sum(when(col("day") <= col("maxd") - 7L &&
+          col("day") > col("maxd") - 14L, 1L).otherwise(0L)).as("prev"))
+      .withColumn("delta_ppm",
+        expr("((cur - prev) * 1000000L) div greatest(prev, 1L)"))
+  }
+
   /** Weekly-phase seasonal decomposition of per-type daily event
     * volume: observed vs same-phase expected counts, exact integer
     * residuals.
@@ -680,6 +703,7 @@ object Analytics {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
     "q_seasonality" -> qSeasonality,
+    "q_period_compare" -> qPeriodCompare,
     "q_changepoint" -> qChangepoint,
     "q_interval_join" -> qIntervalJoin,
     "q_sliding_distinct" -> qSlidingDistinct,
@@ -953,6 +977,20 @@ object Analytics {
         |  CAST((p * 10) // i AS BIGINT) AS mean_before_milli,
         |  CAST(((t - p) * 10) // (n - i) AS BIGINT) AS mean_after_milli
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_period_compare" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day
+        |           FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT max(day) AS maxd FROM d)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN day > maxd - 7 THEN 1 ELSE 0 END) AS BIGINT) AS cur,
+        |  CAST(sum(CASE WHEN day <= maxd - 7 AND day > maxd - 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS prev,
+        |  CAST(((sum(CASE WHEN day > maxd - 7 THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN day <= maxd - 7 AND day > maxd - 14 THEN 1 ELSE 0 END))
+        |    * 1000000)
+        |    // greatest(sum(CASE WHEN day <= maxd - 7 AND day > maxd - 14
+        |        THEN 1 ELSE 0 END), 1) AS BIGINT) AS delta_ppm
+        |FROM d, m GROUP BY 1""".stripMargin,
     "q_seasonality" ->
       """WITH d AS (SELECT event_type,
         |        epoch_ms(ts) // 86400000 AS day

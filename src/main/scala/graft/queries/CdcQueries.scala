@@ -178,6 +178,17 @@ object CdcQueries {
         col("rows_behind"),
         (col("max_version") - lit(W)).as("lag_versions"))
 
+  /** The column-diff changelog APPLIED BACK to the base snapshot —
+    * diff → apply must reproduce the mutated table exactly (the
+    * oracle IS the mutation), proving the changelog is actionable,
+    * null-outs included.
+    */
+  def applyChangelogQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    SnapshotDiff.applyCellChanges(base, columnDiffQ(spark, sfDir),
+      Seq("o_orderkey"), Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
+  }
+
   /** Change-batch collapse: one row per PK keeping the highest version
     * (the streaming micro-batch dedup step). PK here is user_id, so a
     * real multi-row-per-key distribution: each user's latest event.
@@ -283,6 +294,7 @@ object CdcQueries {
     "cdc_conflict_resolve" -> threeWayResolveQ,
     "cdc_column_diff" -> columnDiffQ,
     "cdc_lag" -> cdcLagQ,
+    "cdc_apply_changelog" -> applyChangelogQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_scd2" -> scd2Q,
@@ -416,6 +428,14 @@ object CdcQueries {
     // lu(k%5) -> +1.0 (left change wins); else clean right delete
     // (k%19) -> absent; else ru(k%7) -> +2.0; else base. Inserts land
     // once each (both-side %17 agree, one-side %29/%23 clean).
+    "cdc_apply_changelog" ->
+      """SELECT o_orderkey, o_custkey + CASE WHEN o_orderkey % 3 = 0
+        |    THEN 1 ELSE 0 END AS o_custkey,
+        |  CASE WHEN o_orderkey % 42 = 0 THEN NULL
+        |       WHEN o_orderkey % 7 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     "cdc_lag" ->
       """SELECT 500 AS watermark,
         |  max(event_id) AS max_version,

@@ -798,6 +798,26 @@ class CdcSpec extends SparkSpec {
       == got.size)
   }
 
+  test("column diff then apply is the identity on shared keys") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, None: Option[String], Some(30L)), (4L, Some("d"), Some(40L))
+    ).toDF("id", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),              // untouched
+      (2L, Some("B"), None: Option[Long]),     // change + value->null
+      (3L, Some("c"), Some(30L)),              // null->value
+      (4L, Some("D"), Some(41L))               // both cells
+    ).toDF("id", "s", "v")
+    val log = SnapshotDiff.columnDiff(old, neu, Seq("id"), Seq("s", "v"))
+    val applied = SnapshotDiff.applyCellChanges(old, log, Seq("id"),
+        Seq("s", "v"))
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    val want = neu.as[(Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(applied == want, s"apply(diff) must reproduce the target: $applied")
+  }
+
   test("range hash diff finds exactly the divergent buckets") {
     val src = spark.range(0, 10000).toDF("id")
     val tgt = src.filter(expr("NOT (id % 617 = 0 AND id > 3000)"))
