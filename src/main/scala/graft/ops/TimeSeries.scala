@@ -422,4 +422,70 @@ object TimeSeries {
         expr("(pn * 1000L) div pd").as("expected_milli"),
         expr("n * 1000L - (pn * 1000L) div pd").as("resid_milli"))
   }
+
+  /** Lag autocorrelation sufficient statistics of per-key daily
+    * volume — the period DETECTOR complementing [[seasonality]]'s
+    * known-period decomposition: seasonality assumes the pulse is
+    * weekly; this reports, for every lag 1..`maxLag`, the exact
+    * integer sufficient statistics of the (xₜ, xₜ₊L) pair series, from
+    * which r(L) = cov_num / √(varx_num·vary_num) — the lag whose
+    * normalized autocorrelation peaks IS the feed's period (r(7)
+    * spiking says "weekly", r(1) high says "trending/bursty"). The
+    * division and square root are left to the READER (one |keys|·maxLag
+    * row table) because they are the two ops with cross-engine ulp
+    * surface; everything emitted is BIGINT: n_pairs, Σx, Σy, Σxy, Σx²,
+    * Σy², and the centered numerators n·Σxy−ΣxΣy / n·Σx²−(Σx)² /
+    * n·Σy²−(Σy)² (counts are day volumes, far inside 2⁶³ headroom —
+    * overflow needs Σx² ≈ 9.2e18, i.e. ~3e9 events/day for a year).
+    *
+    * Missing days count as ZERO, not absent — autocorrelation over a
+    * gappy series without the grid silently correlates "adjacent
+    * observations" instead of "adjacent days" and a perfectly weekly
+    * feed with quiet Sundays would lose its own period. The grid is
+    * per-key [min_day, max_day].
+    *
+    * Scale shape: one (key, day) partial-agg count, a bounded
+    * per-key span explode (days, not events), then ONE window
+    * partitioned by key producing all `maxLag` leads in a single
+    * pass — no self-join, no per-lag scan; the stack explode is
+    * maxLag narrow integer rows per grid day, into a partial-agg
+    * groupBy(key, lag) of |keys|·maxLag rows.
+    */
+  def autocorr(df: DataFrame, keyCol: String, tsCol: String,
+               maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag in [1,60], got $maxLag")
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        expr(s"unix_millis($tsCol) div 86400000L").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+    val span = days.groupBy("k").agg(min("day").as("lo"), max("day").as("hi"))
+    val grid = span.select(col("k"),
+      explode(expr("sequence(lo, hi)")).as("day"))
+    val filled = grid.join(days, Seq("k", "day"), "left")
+      .select(col("k"), col("day"), coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.partitionBy("k").orderBy("day")
+    val withLeads = (1 to maxLag).foldLeft(filled) { (acc, l) =>
+      acc.withColumn(s"y$l", lead(col("x"), l).over(w))
+    }
+    val stacked = withLeads.select(col("k"), col("x"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l.toLong).as("lag"), col(s"y$l").as("y"))): _*))
+        .as("p"))
+      .select(col("k"), col("p.lag").as("lag"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    stacked.groupBy("k", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("k").as(keyCol), col("lag"), col("n_pairs"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .as("cov_num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+          .as("varx_num"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+          .as("vary_num"))
+  }
 }

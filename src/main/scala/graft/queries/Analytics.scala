@@ -632,6 +632,16 @@ object Analytics {
     graft.ops.TimeSeries.seasonality(Tables.events(spark, sfDir),
       "event_type", "ts")
 
+  /** Lag-autocorrelation period detection (TimeSeries.autocorr) over
+    * per-event-type daily volume: exact integer sufficient statistics
+    * for lags 1..10 — the report that says WHAT period q_seasonality
+    * should decompose at. Zero-filled per-key day grid; one window
+    * pass, one groupBy.
+    */
+  def qAutocorr(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.autocorr(Tables.events(spark, sfDir),
+      "event_type", "ts", maxLag = 10)
+
   /** Interval-overlap join (RangeJoin.overlapJoin): each click opens a
     * 10-minute activity window, each purchase a 10-minute settlement
     * window; pair every overlapping (click, purchase) window per user
@@ -703,6 +713,7 @@ object Analytics {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
     "q_seasonality" -> qSeasonality,
+    "q_autocorr" -> qAutocorr,
     "q_period_compare" -> qPeriodCompare,
     "q_changepoint" -> qChangepoint,
     "q_interval_join" -> qIntervalJoin,
@@ -991,6 +1002,33 @@ object Analytics {
         |    // greatest(sum(CASE WHEN day <= maxd - 7 AND day > maxd - 14
         |        THEN 1 ELSE 0 END), 1) AS BIGINT) AS delta_ppm
         |FROM d, m GROUP BY 1""".stripMargin,
+    // the oracle replays the zero-filled grid and generates the lag
+    // pairs by a self-join (b.day in (a.day, a.day+10]) — the same
+    // pair set the Spark side derives from one multi-lead window
+    "q_autocorr" ->
+      """WITH d AS (SELECT event_type AS k,
+        |        epoch_ms(ts) // 86400000 AS day
+        |      FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |s AS (SELECT k, min(day) AS lo, max(day) AS hi FROM g GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS day FROM s),
+        |f AS (SELECT grid.k, grid.day, coalesce(g.n, 0) AS x
+        |      FROM grid LEFT JOIN g ON grid.k = g.k AND grid.day = g.day),
+        |p AS (SELECT a.k, b.day - a.day AS lag, a.x, b.x AS y
+        |      FROM f a JOIN f b
+        |        ON a.k = b.k AND b.day > a.day AND b.day <= a.day + 10),
+        |st AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT k AS event_type, lag, n_pairs, sx, sy, sxy, sxx, syy,
+        |  n_pairs * sxy - sx * sy AS cov_num,
+        |  n_pairs * sxx - sx * sx AS varx_num,
+        |  n_pairs * syy - sy * sy AS vary_num
+        |FROM st""".stripMargin,
     "q_seasonality" ->
       """WITH d AS (SELECT event_type,
         |        epoch_ms(ts) // 86400000 AS day

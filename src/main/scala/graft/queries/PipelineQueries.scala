@@ -822,6 +822,90 @@ object PipelineQueries {
           .as("shard"))
   }
 
+  /** TFRecord export round-trip, end-to-end under the oracle gate —
+    * the training-side boundary mirroring `pipeline_wet_corpus`'s
+    * crawl-side one: the documents subset (with a real int64 feature,
+    * so the varint path is load-bearing) exports through
+    * [[graft.sources.TfRecord]] (hand-coded Example wire format +
+    * masked-crc32c framing), reads BACK through the frame parser, and
+    * aggregates per-language counts, char/token mass, id range, and
+    * the shard_manifest XOR content fingerprint. The DuckDB oracle
+    * computes the same aggregates straight from the documents table:
+    * one byte bent anywhere in protobuf encode/decode, UTF-8
+    * round-trip, varint arithmetic, or CRC framing splits a
+    * fingerprint and the hash gate fails.
+    *
+    * Scale shape: the export is one streamed file per partition
+    * (constant memory), the read-back is file-parallel, and the
+    * verification aggregate is ONE partial-agg groupBy to |langs|
+    * rows — exactly how a real export job self-verifies (write,
+    * re-read, compare manifests) without any driver-side row loop.
+    */
+  def pipelineTfrecordQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr").toString
+    val docs = Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(TextAnalysis.normalize(col("text")), " "))
+          .cast("long").as("n_tokens"))
+    graft.sources.TfRecord.write(docs.repartition(4), dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("n_tokens", LongType)))
+    val back = graft.sources.TfRecord.read(
+      spark, s"$dir/*.tfrecord", schema)
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("doc_id").cast("string"), lit(":"), md5(col("text"))))
+    back.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      sum(col("n_tokens")).as("n_tokens"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"),
+      bit_xor(fp).as("content_xor"))
+  }
+
+  /** The float_list arm of the TFRecord boundary under the gate:
+    * embeddings export to tfrecord (packed little-endian float32
+    * lists), read back, and verify via the 1e-4 integer quantization
+    * the sim/ operators use — per 8-way id bucket, vector count,
+    * dimension-sum mass, and an XOR fingerprint over (id ‖ quantized
+    * vector). float32 → wire → float32 is bit-identity, so the oracle
+    * replays the fingerprints from the embeddings parquet directly;
+    * any mantissa bent by the packed-float encode/decode fails the
+    * hash. Same one-groupBy self-verification shape as the documents
+    * export.
+    */
+  def pipelineTfrecordEmbQ(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfre").toString
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 2 = 0"))
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.TfRecord.write(vecs.repartition(4), dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val back = graft.sources.TfRecord.read(
+      spark, s"$dir/*.tfrecord", schema)
+    val qv = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 10000)" +
+        " as bigint))")
+    val qvStr = expr(
+      "concat_ws(',', transform(embedding, x -> cast(cast(floor(" +
+        "cast(x as double) * 10000) as bigint) as string)))")
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("vec_id").cast("string"), lit(":"), md5(qvStr)))
+    back.select(pmod(col("vec_id"), lit(8L)).as("bucket"),
+        col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        aggregate(qv, lit(0L), (a, x) => a + x).as("qsum"), fp.as("fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dim")).as("dim_mass"),
+        sum(col("qsum")).as("qsum_mass"), bit_xor(col("fp")).as("content_xor"))
+  }
+
   /** Frequency-decade profile of the dedup token key (graft.ops
     * .Profile.keyDistribution): how many distinct tokens occur 1–9,
     * 10–99, … times across the corpus. A power-law tail here is the
@@ -1811,6 +1895,8 @@ object PipelineQueries {
     "text_df_prune" -> textDfPruneQ,
     "pipeline_clean_corpus" -> pipelineCleanQ,
     "pipeline_wet_corpus" -> pipelineWetQ,
+    "pipeline_export_tfrecord" -> pipelineTfrecordQ,
+    "pipeline_export_embeddings" -> pipelineTfrecordEmbQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
     "pipeline_semantic_corpus" -> pipelineSemanticQ,
     "pipeline_route_corpus" -> pipelineRouteQ,
@@ -2788,6 +2874,40 @@ object PipelineQueries {
          |SELECT doc_id, n_copies, n_chars,
          |       ${h64("'graft:shard:' || doc_id::VARCHAR")} % 8 AS shard
          |FROM k""".stripMargin,
+    // replays the tfrecord export's self-verification straight from
+    // documents: any byte bent in Example encode/decode, varint
+    // arithmetic, UTF-8, or CRC framing splits a fingerprint
+    "pipeline_export_tfrecord" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |        CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents WHERE doc_id % 3 = 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(text)")})
+         |    AS content_xor
+         |FROM d GROUP BY 1""".stripMargin,
+    // the float_list arm: float32 → packed wire → float32 must be
+    // bit-identity, so the 1e-4-quantized fingerprints recompute
+    // identically from the embeddings parquet
+    "pipeline_export_embeddings" ->
+      s"""WITH v AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+         |          AS qv,
+         |        CAST(len(embedding) AS BIGINT) AS dim
+         |      FROM embeddings WHERE vec_id % 2 = 0),
+         |f AS (SELECT vec_id % 8 AS bucket, dim,
+         |        CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS qsum,
+         |        ${h64("vec_id::VARCHAR || ':' || md5(array_to_string(qv, ','))")}
+         |          AS fp
+         |      FROM v)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dim) AS BIGINT) AS dim_mass,
+         |  CAST(sum(qsum) AS BIGINT) AS qsum_mass,
+         |  bit_xor(fp) AS content_xor
+         |FROM f GROUP BY 1""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -381,6 +381,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(ev.repartition(5)) == got, "layout independence")
   }
 
+  test("autocorr: exact stats, zero-filled gaps, weekly pulse peaks at lag 7, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ev(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ms")
+      .select($"event_type", timestamp_millis($"ms").as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame, maxLag: Int) =
+      graft.ops.TimeSeries.autocorr(d, "event_type", "ts", maxLag)
+        .select("lag", "n_pairs", "sx", "sy", "sxy", "sxx", "syy",
+          "cov_num", "varx_num", "vary_num")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    // hand-checked exact stats on x = [1, 2, 4] (days 0,1,2; day 1
+    // has 2 events, day 2 has 4)
+    val tiny = ev(Seq.tabulate(1)(_ => ("t", 0L)) ++
+      Seq.tabulate(2)(i => ("t", 86400000L + i)) ++
+      Seq.tabulate(4)(i => ("t", 2 * 86400000L + i)))
+    val got = run(tiny, 2)
+    assert(got === Seq(
+      (1L, 2L, 3L, 6L, 10L, 5L, 20L, 2L, 1L, 4L),
+      (2L, 1L, 1L, 4L, 4L, 1L, 16L, 0L, 0L, 0L)))
+    // a skipped day enters as ZERO: days 0 and 2 observed, day 1 not
+    val gappy = ev(Seq(("g", 0L), ("g", 2 * 86400000L)))
+    val gg = run(gappy, 2)
+    assert(gg === Seq(
+      (1L, 2L, 1L, 1L, 0L, 1L, 1L, -1L, 1L, 1L),
+      (2L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L)))
+    // weekly pulse over 5 weeks: normalized r peaks at lag 7
+    val weekly = ev(for {
+      week <- 0 until 5; phase <- 0 until 7
+      n = if (phase == 0) 9 else 1
+      i <- 0 until n
+    } yield ("w", (week * 7 + phase).toLong * 86400000L + i))
+    val wk = run(weekly, 10)
+    def r(t: (Long, Long, Long, Long, Long, Long, Long, Long, Long,
+              Long)): Double =
+      t._8.toDouble / math.sqrt(t._9.toDouble * t._10.toDouble)
+    val best = wk.maxBy(r)
+    assert(best._1 === 7L, s"weekly pulse must peak at lag 7: " +
+      wk.map(t => t._1 -> r(t)).mkString(", "))
+    assert(r(best) > 0.9)
+    assert(run(weekly.repartition(5), 10) === wk, "layout independence")
+  }
+
   test("changepoint: planted shift localized, earliest-split ties, n<2 excluded, layout-independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
