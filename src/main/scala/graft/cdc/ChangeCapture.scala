@@ -72,4 +72,55 @@ object ChangeCapture {
     */
   def fullCopy(source: DataFrame, filter: Column = lit(true)): DataFrame =
     source.filter(filter)
+
+  /** Equi-depth chunk plan over an integer primary key — the planning
+    * step in front of a chunked initial copy: the reference streams a
+    * full copy over one connection so it never needs boundaries, but
+    * a parallel extractor (JDBC partitionColumn bounds, a backfill
+    * fanning out range scans, a resync driving [[RangeHashDiff]] per
+    * chunk) wants `chunks` key ranges with ~n/`chunks` ROWS each —
+    * equal-WIDTH ranges on a typical auto-increment key with deleted
+    * eras or a hot recent segment put most rows in few chunks and
+    * idle workers on the rest. Returns one row per chunk: `chunk_id`,
+    * `n_rows`, `lo_key`/`hi_key` (inclusive bounds; consecutive
+    * chunks abut on distinct keys so `k >= lo AND k <= hi` partitions
+    * exactly).
+    *
+    * A duplicated key (non-unique "pk") lands WHOLE in one chunk —
+    * its first global rank decides, the honest choice when chunk
+    * queries predicate on key ranges. All arithmetic is integer rank
+    * walking ((cum − cnt)·chunks div n).
+    *
+    * Scale shape: the profile_histogram_eq rank walk on one column
+    * with no cents quantization (keys are already integers): (key)
+    * partial-agg counts, ≤4097 range buckets by construction,
+    * broadcast triangular bucket offsets, cumulative window
+    * PARTITIONED by bucket — no partition-less window, nothing
+    * corpus-sized moves except the first distinct-key groupBy.
+    */
+  def chunkPlan(df: DataFrame, pkCol: String, chunks: Int): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(pkCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val range = counts.agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+      sum(col("cnt")).as("n"))
+    val bucketed = counts.crossJoin(broadcast(range))
+      .withColumn("w", expr("(hi - lo) div 4096 + 1"))
+      .withColumn("bkt", expr("(k - lo) div w"))
+    val bcnt = bucketed.groupBy("bkt").agg(sum(col("cnt")).as("bc"))
+    val boff = bcnt.as("a")
+      .join(broadcast(bcnt.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("off"))
+    val wCum = Window.partitionBy(col("bkt")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(boff), Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(wCum))
+      .withColumn("chunk_id", expr(s"((cum - cnt) * ${chunks}L) div n"))
+      .groupBy("chunk_id")
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("k")).as("lo_key"), max(col("k")).as("hi_key"))
+  }
 }

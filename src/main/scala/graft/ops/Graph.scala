@@ -218,6 +218,53 @@ object Graph {
     labels.select(col("id"), col("lab").as("community"))
   }
 
+  /** Multi-source BFS hop distances — the reachability axis the other
+    * graph operators don't carry: given a SEED set (known-good portal
+    * docs, flagged spam cores, license-verified roots), every node's
+    * minimum hop distance to any seed and WHICH seed (crawl-frontier
+    * prioritization, spam-distance features à la TrustRank, blast-
+    * radius audits all read exactly this table). Bounded depth is the
+    * honest distributed contract: `maxDepth` rounds, nodes beyond it
+    * stay absent (on a web-scale graph the interesting band is ≤ a few
+    * hops; unbounded BFS is [[labelPropagation]]'s CC cousin instead).
+    *
+    * Determinism: `root` is min-id among nearest seeds — the state
+    * fold is min over struct(dist, root), so ties can't flap. Walks
+    * vs paths is immaterial under a min fold (every shortest path IS
+    * a walk of its own length arriving in its own round).
+    *
+    * Scale shape: the LPA envelope — per round ONE |E|-row equi-join
+    * of the undirected edge list against the reached set + one
+    * struct-min partial-agg groupBy, lineage truncated per round;
+    * frontier mass is bounded by |reached|·avg-degree, nothing
+    * broadcasts except what AQE picks, cost is rounds·|E| joins
+    * key-partitioned on the node id.
+    */
+  def bfs(sources: DataFrame, edges: DataFrame,
+          maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"maxDepth in [1,16], got $maxDepth")
+    val e = edges.filter(col("src") =!= col("dst"))
+    val eu = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    var state = sources.select(col("id"), lit(0L).as("dist"),
+      col("id").as("root"))
+    (1 to maxDepth).foreach { _ =>
+      val cand = eu.join(
+          state.select(col("id").as("a"), col("dist"), col("root")),
+          Seq("a"))
+        .select(col("b").as("id"), (col("dist") + 1L).as("dist"),
+          col("root"))
+      state = graft.util.Lineage.truncate(
+        state.unionByName(cand).groupBy("id")
+          .agg(min(struct(col("dist"), col("root"))).as("m"))
+          .select(col("id"), col("m.dist").as("dist"),
+            col("m.root").as("root")))
+    }
+    state
+  }
+
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
     var und = edges

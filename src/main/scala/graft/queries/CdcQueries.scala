@@ -168,6 +168,15 @@ object CdcQueries {
     * column-pruned partial-agg scan, single-row result; at 100 TB the
     * scan reads only the version column (plan-audited family).
     */
+  /** Equi-depth chunk plan (ChangeCapture.chunkPlan) over the orders
+    * pk — 16 key ranges with ~n/16 rows each, the boundaries a
+    * parallel initial copy / per-chunk resync fans out over. Gated on
+    * a key space with structure (o_orderkey is a strided TPC-H key,
+    * so equal-width would misbalance).
+    */
+  def chunkPlanQ(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeCapture.chunkPlan(Tables.orders(spark, sfDir), "o_orderkey", 16)
+
   def cdcLagQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .filter(col("event_type") =!= "error")
@@ -294,6 +303,7 @@ object CdcQueries {
     "cdc_conflict_resolve" -> threeWayResolveQ,
     "cdc_column_diff" -> columnDiffQ,
     "cdc_lag" -> cdcLagQ,
+    "cdc_chunk_plan" -> chunkPlanQ,
     "cdc_apply_changelog" -> applyChangelogQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
@@ -341,6 +351,19 @@ object CdcQueries {
     "cdc_update_range" ->
       """SELECT count(*) AS row_count, max(event_id) AS max_version
         |FROM events WHERE event_type <> 'error'""".stripMargin,
+    // replays the equi-depth rank walk with a plain cumulative sum
+    // over distinct keys — same ((cum-cnt)·16) div n bin arithmetic
+    "cdc_chunk_plan" ->
+      """WITH k AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM orders GROUP BY 1),
+        |w AS (SELECT k, cnt,
+        |        CAST(sum(cnt) OVER (ORDER BY k) AS BIGINT) AS cum,
+        |        CAST((SELECT sum(cnt) FROM k) AS BIGINT) AS n
+        |      FROM k)
+        |SELECT ((cum - cnt) * 16) // n AS chunk_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(k) AS lo_key, max(k) AS hi_key
+        |FROM w GROUP BY 1""".stripMargin,
     "cdc_incremental_pull" ->
       s"""SELECT event_id, user_id, event_type, value FROM events
          |WHERE event_id > $W AND event_type <> 'error'""".stripMargin,

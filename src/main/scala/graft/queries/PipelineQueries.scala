@@ -1359,6 +1359,23 @@ object PipelineQueries {
     * synchronous min-tie rounds; the oracle replays both voting
     * rounds through identical argmax tie order.
     */
+  /** Multi-source BFS (Graph.bfs) on the cc-sparsified shared hash
+    * graph: seeds = doc_id % 23 = 0, 3 rounds; per reached node the
+    * hop distance and min-id nearest seed. The oracle replays the
+    * three frontier rounds as explicit struct-min CTEs.
+    */
+  def graphBfsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    val seeds = nodes.filter(expr("id % 23 = 0"))
+    graft.ops.Graph.bfs(seeds, sparse, maxDepth = 3)
+      .select(col("id").as("doc_id"), col("dist"), col("root"))
+  }
+
   def graphLpaQ(spark: SparkSession, sfDir: String): DataFrame = {
     val (nodes, edges) = pagerankGraph(spark, sfDir)
     val sparse = edges.filter(col("src") =!= col("dst"))
@@ -1864,6 +1881,7 @@ object PipelineQueries {
     "graph_kcore" -> graphKcoreQ,
     "graph_cc" -> graphCcQ,
     "graph_lpa" -> graphLpaQ,
+    "graph_bfs" -> graphBfsQ,
     "graph_hits" -> graphHitsQ,
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
@@ -4002,6 +4020,46 @@ object PipelineQueries {
          |l2 AS (SELECT l1.id, coalesce(p2.lab, l1.lab) AS lab
          |       FROM l1 LEFT JOIN p2 ON l1.id = p2.a)
          |SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l2""".stripMargin,
+    // replays the three frontier rounds as struct-min CTEs on the
+    // same sparsified edge derivation as graph_lpa/graph_cc
+    "graph_bfs" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |eu AS (SELECT src AS a, dst AS b FROM ef
+         |       UNION SELECT dst, src FROM ef),
+         |d0 AS (SELECT doc_id AS id, 0 AS dist, doc_id AS root
+         |       FROM documents WHERE doc_id % 23 = 0),
+         |c1 AS (SELECT id, dist, root FROM d0 UNION ALL
+         |       SELECT eu.b, d0.dist + 1, d0.root
+         |       FROM eu JOIN d0 ON eu.a = d0.id),
+         |d1 AS (SELECT id, dist, root FROM (SELECT id, dist, root,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, root) AS rn
+         |  FROM c1) WHERE rn = 1),
+         |c2 AS (SELECT id, dist, root FROM d1 UNION ALL
+         |       SELECT eu.b, d1.dist + 1, d1.root
+         |       FROM eu JOIN d1 ON eu.a = d1.id),
+         |d2 AS (SELECT id, dist, root FROM (SELECT id, dist, root,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, root) AS rn
+         |  FROM c2) WHERE rn = 1),
+         |c3 AS (SELECT id, dist, root FROM d2 UNION ALL
+         |       SELECT eu.b, d2.dist + 1, d2.root
+         |       FROM eu JOIN d2 ON eu.a = d2.id),
+         |d3 AS (SELECT id, dist, root FROM (SELECT id, dist, root,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, root) AS rn
+         |  FROM c3) WHERE rn = 1)
+         |SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist,
+         |  CAST(root AS BIGINT) AS root
+         |FROM d3""".stripMargin,
     "graph_cc" ->
       s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

@@ -818,6 +818,43 @@ class CdcSpec extends SparkSpec {
     assert(applied == want, s"apply(diff) must reproduce the target: $applied")
   }
 
+  test("chunk plan: equal depth on skewed keys, whole-tie placement, exact range partition") {
+    import spark.implicits._
+    // skewed key space: a dense early era, a deleted middle, a hot
+    // sparse tail — equal-width chunking would misbalance badly
+    val keys = (0L until 800L) ++ (100000L to 100200L) ++
+      (500000L until 500000L + 999L)
+    val df = keys.toDF("id")
+    val plan = ChangeCapture.chunkPlan(df, "id", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plan.map(_._1) == (0L until 10L).toSeq)
+    // equi-depth: every chunk holds floor-to-ceil of n/10 rows
+    val n = keys.size.toLong
+    plan.foreach { case (_, rows, _, _) =>
+      assert(rows >= n / 10 && rows <= n / 10 + 1, s"depth off: $plan")
+    }
+    assert(plan.map(_._2).sum == n)
+    // inclusive bounds abut and partition the key set exactly
+    plan.sliding(2).foreach {
+      case Seq((_, _, _, hiA), (_, _, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+    val recovered = plan.flatMap { case (_, _, lo, hi) =>
+      keys.filter(k => k >= lo && k <= hi)
+    }
+    assert(recovered.sorted == keys.sorted)
+    // a massively duplicated key lands WHOLE in one chunk
+    val dup = (Seq.fill(500)(42L) ++ (1000L until 1500L)).toDF("id")
+    val dplan = ChangeCapture.chunkPlan(dup, "id", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val holding = dplan.filter(c => c._3 <= 42L && 42L <= c._4)
+    assert(holding.size == 1 && holding.head._2 >= 500L)
+    // layout independence
+    val re = ChangeCapture.chunkPlan(df.repartition(7), "id", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == plan)
+  }
+
   test("range hash diff finds exactly the divergent buckets") {
     val src = spark.range(0, 10000).toDF("id")
     val tgt = src.filter(expr("NOT (id % 617 = 0 AND id > 3000)"))

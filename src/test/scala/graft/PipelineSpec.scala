@@ -1526,6 +1526,32 @@ class PipelineSpec extends SparkSpec {
     assert(run(2, edges.repartition(4)) == r2)
   }
 
+  test("bfs: hop distances exact, min-id root ties, depth bound honest, undirected/dup-proof") {
+    // path 1-2-3-4-5-6 with seeds {1, 5}: true distances
+    // 1:0(1) 2:1(1) 3:2(1) 4:1(5) 5:0(5) 6:1(5)
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    def run(e: org.apache.spark.sql.DataFrame, depth: Int) =
+      graft.ops.Graph.bfs(seeds, e, depth)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+        .toMap
+    val got = run(edges, 3)
+    assert(got == Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L),
+      4L -> (1L, 5L), 5L -> (0L, 5L), 6L -> (1L, 5L)), s"got $got")
+    // depth bound is honest: depth 1 leaves node 3 unreached
+    val d1 = run(edges, 1)
+    assert(!d1.contains(3L) && d1.size == 5)
+    // equidistant tie takes the MIN seed id: node 3 is 2 from seed 1
+    // and 2 from seed 5 — root must be 1
+    assert(got(3L) == (2L, 1L))
+    // direction, duplicates and self-loops change nothing
+    val noisy = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(Seq((2L, 2L), (1L, 2L)).toDF("src", "dst"))
+    assert(run(noisy, 3) == got, "undirected simple-graph semantics")
+    assert(run(edges.repartition(4), 3) == got, "layout independence")
+  }
+
   test("triangles: oriented wedge count equals triple truth on K4, ignores loops/dups/direction") {
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + a
     // self-loop + duplicate and reversed edges that must canonicalize
