@@ -866,6 +866,39 @@ object PipelineQueries {
       bit_xor(fp).as("content_xor"))
   }
 
+  /** WebDataset (tar-shard) export round-trip under the gate — the
+    * third ingest/export boundary after WET (crawl-in) and TFRecord
+    * (Example-out): documents export as `<doc_id>.txt` + `<doc_id>
+    * .lang` members in per-partition ustar shards, read back through
+    * the streaming tar walk + first-dot sample grouping, and verify
+    * with the same per-lang XOR manifest as the tfrecord gate —
+    * shared oracle construction, so the two export formats are held
+    * to the identical byte-fidelity bar. Any header-arithmetic,
+    * padding, UTF-8, or grouping fault splits a fingerprint.
+    */
+  def pipelineWebdatasetQ(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wd").toString
+    val docs = Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id").cast("string").as("key"),
+        col("text").as("txt"), col("lang"))
+    graft.sources.WebDataset.write(docs.repartition(4), "key", dir)
+    val back = graft.sources.WebDataset
+      .read(spark, s"$dir/*.tar", Seq("txt", "lang"))
+      .select(col("key").cast("long").as("doc_id"),
+        decode(col("txt"), "UTF-8").as("text"),
+        decode(col("lang"), "UTF-8").as("lang"))
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("doc_id").cast("string"), lit(":"), md5(col("text"))))
+    back.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"),
+      bit_xor(fp).as("content_xor"))
+  }
+
   /** The float_list arm of the TFRecord boundary under the gate:
     * embeddings export to tfrecord (packed little-endian float32
     * lists), read back, and verify via the 1e-4 integer quantization
@@ -1915,6 +1948,7 @@ object PipelineQueries {
     "pipeline_wet_corpus" -> pipelineWetQ,
     "pipeline_export_tfrecord" -> pipelineTfrecordQ,
     "pipeline_export_embeddings" -> pipelineTfrecordEmbQ,
+    "pipeline_export_webdataset" -> pipelineWebdatasetQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
     "pipeline_semantic_corpus" -> pipelineSemanticQ,
     "pipeline_route_corpus" -> pipelineRouteQ,
@@ -2902,6 +2936,17 @@ object PipelineQueries {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(text)")})
+         |    AS content_xor
+         |FROM d GROUP BY 1""".stripMargin,
+    // the tar-shard export held to the same manifest bar (no n_tokens
+    // axis: the tar carries text+lang members only)
+    "pipeline_export_webdataset" ->
+      s"""WITH d AS (SELECT doc_id, lang, text
+         |      FROM documents WHERE doc_id % 3 = 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
          |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(text)")})
          |    AS content_xor
