@@ -140,6 +140,10 @@ object Pipeline {
         // text): metadata columns ride along, zero exchanges added —
         // the stage between a warc/responses feed and the text chain
         df.withColumn(textCol, TextAnalysis.htmlTextExpr(col(textCol)))
+      case "markdown_extract" =>
+        // the markdown half of the markup boundary, same in-place
+        // per-row contract as html_extract
+        df.withColumn(textCol, TextAnalysis.markdownTextExpr(col(textCol)))
       case "scrub" =>
         df.drop(textCol).join(
           TextAnalysis.scrub(df, textCol, idCol)
@@ -408,9 +412,10 @@ object Pipeline {
   // sentinel __p rows), never from the batch, so each doc's verdict is
   // a pure function of the doc — replay-identical, batch-composable.
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
-    "html_extract", "lang_filter", "sample", "chunk", "bpe_tokens",
-    "decontaminate", "coverage_filter", "canary", "wordlist_filter", "split",
-    "unigram_tokens", "readability_filter", "code_filter")
+    "html_extract", "markdown_extract", "lang_filter", "sample", "chunk",
+    "bpe_tokens", "decontaminate", "coverage_filter", "canary",
+    "wordlist_filter", "split", "unigram_tokens", "readability_filter",
+    "code_filter")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)

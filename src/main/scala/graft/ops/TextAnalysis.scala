@@ -277,6 +277,56 @@ object TextAnalysis {
       length(txt).cast("long").as("n_chars"))
   }
 
+  /** Markdown → plain text as a per-row Column — [[htmlTextExpr]]'s
+    * sibling for the OTHER markup half of a crawl (READMEs, forum
+    * posts, doc sites ship markdown; quality scoring over raw
+    * markdown counts ``` and ### as words). Ordered rewrite chain,
+    * all RE2-safe (no lookarounds/backrefs — the oracle engine doesn't
+    * have them): fenced code blocks leave the prose flow entirely
+    * (code is [[codeDetect]]'s axis, not prose mass), inline code
+    * keeps its content, images collapse to alt text, links to anchor
+    * text, then the line-anchored chrome (ATX headers, setext/hr
+    * lines, blockquote markers, list bullets) and `**`/`__`/`~~`/`*`
+    * emphasis markers strip. Single underscores stay — snake_case
+    * identifiers outnumber `_emphasis_` in crawled corpora and RE2
+    * offers no word-boundary lookaround to split the difference
+    * (documented non-goal).
+    */
+  def markdownTextExpr(m: Column): Column = {
+    val stripped = Seq(
+      "(?s)```.*?```" -> " ",                       // fenced code
+      "`([^`]*)`" -> "$1",                          // inline code
+      "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",        // images → alt
+      "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",         // links → anchor
+      "(?m)^#{1,6}[ \\t]*" -> "",                   // ATX headers
+      "(?m)^(=+|-{2,}|\\*{3,})[ \\t]*$" -> " ",     // setext / hr
+      "(?m)^[ \\t]*>[ \\t]?" -> "",                 // blockquote
+      "(?m)^[ \\t]*[-*+][ \\t]+" -> "",             // bullets
+      "(?m)^[ \\t]*[0-9]+\\.[ \\t]+" -> "",         // ordered lists
+      "\\*\\*|__|~~|\\*" -> ""                      // emphasis marks
+    ).foldLeft(m) { case (c, (re, to)) => regexp_replace(c, re, to) }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
+  /** Markdown extraction report: extracted prose, its length, and the
+    * structural counts a routing stage reads (fence/link/image mass
+    * distinguishes a README from prose that merely mentions code).
+    * Counts are over the RAW markdown, before any stripping.
+    */
+  def markdownExtract(df: DataFrame, mdCol: String,
+                      idCol: String): DataFrame = {
+    val txt = markdownTextExpr(col(mdCol))
+    df.select(col(idCol),
+      txt.as("text"),
+      length(txt).cast("long").as("n_chars"),
+      regexp_count(col(mdCol), lit("(?s)```.*?```")).cast("long")
+        .as("n_code_blocks"),
+      regexp_count(col(mdCol), lit("\\]\\(")).cast("long")
+        .as("n_links"),
+      regexp_count(col(mdCol), lit("!\\[")).cast("long")
+        .as("n_images"))
+  }
+
   /** Corpus vocabulary by document frequency: for each token, the
     * number of documents containing it, top-k by (df desc, token asc).
     * Per-doc `array_distinct` before explode (no shuffle for the

@@ -344,6 +344,27 @@ object PipelineQueries {
       d.select(col("doc_id"), html.as("html")), "html", "doc_id")
   }
 
+  /** Markdown extraction gate: documents wrapped in a markdown
+    * template exercising every rewrite arm — ATX header, blockquote,
+    * emphasis, inline code, link + image, bullet + ordered item, a
+    * fenced block whose contents ('# not a header') must NOT leak
+    * into prose, an hr — then extracted via the shared RE2-safe
+    * chain. The oracle rebuilds the same template and replays the
+    * chain; structural counts come off the raw markdown.
+    */
+  def textMarkdownExtractQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val id = col("doc_id").cast("string")
+    val md = concat(
+      lit("# Doc "), id, lit("\n\n> intro quote\nFirst *em* **strong** " +
+        "`inline(code)` [go](https://ex.invalid/"), id,
+      lit(") ![logo](l.png)\n- item one\n2. item two\n```\nif (1 < 2) " +
+        "{ x = \"# not a header\"; }\n```\n"),
+      col("text"), lit("\n---\n"))
+    TextAnalysis.markdownExtract(
+      d.select(col("doc_id"), md.as("md")), "md", "doc_id")
+  }
+
   def textScrubQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .withColumn("text", concat(col("text"),
@@ -1857,6 +1878,7 @@ object PipelineQueries {
     "text_langid" -> textLangidQ,
     "text_scrub" -> textScrubQ,
     "text_html_extract" -> textHtmlExtractQ,
+    "text_markdown_extract" -> textMarkdownExtractQ,
     "text_vocab" -> textVocabQ,
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
@@ -2692,6 +2714,40 @@ object PipelineQueries {
          |SELECT doc_id,
          |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
          |  text, CAST(len(text) AS BIGINT) AS n_chars
+         |FROM f""".stripMargin,
+    "text_markdown_extract" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10)
+         |    || '> intro quote' || chr(10)
+         |    || 'First *em* **strong** `inline(code)` [go](https://ex.invalid/'
+         |    || doc_id::VARCHAR || ') ![logo](l.png)' || chr(10)
+         |    || '- item one' || chr(10) || '2. item two' || chr(10)
+         |    || '```' || chr(10) || 'if (1 < 2) { x = "# not a header"; }'
+         |    || chr(10) || '```' || chr(10) || text || chr(10) || '---'
+         |    || chr(10) AS md
+         |  FROM documents),
+         |s AS (SELECT doc_id, md,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(md,
+         |    '(?s)${"```"}.*?${"```"}', ' ', 'g'),
+         |    '`([^`]*)`', '\\1', 'g'),
+         |    '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+         |    '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+         |    '(?m)^#{1,6}[ \\t]*', '', 'g'),
+         |    '(?m)^(=+|-{2,}|\\*{3,})[ \\t]*$$', ' ', 'g'),
+         |    '(?m)^[ \\t]*>[ \\t]?', '', 'g'),
+         |    '(?m)^[ \\t]*[-*+][ \\t]+', '', 'g'),
+         |    '(?m)^[ \\t]*[0-9]+\\.[ \\t]+', '', 'g'),
+         |    '\\*\\*|__|~~|\\*', '', 'g') AS t FROM m),
+         |f AS (SELECT doc_id, md,
+         |        trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+         |      FROM s)
+         |SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(md, '(?s)${"```"}.*?${"```"}'))
+         |    AS BIGINT) AS n_code_blocks,
+         |  CAST(len(regexp_extract_all(md, '\\]\\(')) AS BIGINT) AS n_links,
+         |  CAST(len(regexp_extract_all(md, '!\\[')) AS BIGINT) AS n_images
          |FROM f""".stripMargin,
     "text_vocab" ->
       s"""WITH toks AS (SELECT unnest(list_distinct(string_split($norm, ' '))) AS token

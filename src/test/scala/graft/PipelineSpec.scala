@@ -332,6 +332,35 @@ class PipelineSpec extends SparkSpec {
     assert(staged.getAs[String]("lang") === "en")
   }
 
+  test("markdown extraction: every arm rewrites, fence contents never leak, counts off raw") {
+    val md = "# Title\n\n> quoted line\nkeep *em* **strong** ~~gone~~ " +
+      "`let x = 1` and [anchor](https://e/x) plus ![alt text](i.png)\n" +
+      "- first bullet\n+ second\n12. ordered item\n\n" +
+      "```scala\n# not a header\n- not a bullet\n[not](a-link)\n```\n" +
+      "snake_case survives\n---\ntail\n"
+    val r = TextAnalysis.markdownExtract(
+      Seq((1L, md)).toDF("doc_id", "md"), "md", "doc_id").head()
+    assert(r.getAs[String]("text") ===
+      "Title quoted line keep em strong gone let x = 1 and anchor " +
+        "plus alt text first bullet second ordered item " +
+        "snake_case survives tail")
+    assert(r.getAs[Long]("n_chars") ===
+      r.getAs[String]("text").length.toLong)
+    // counts are over the RAW markdown: the fenced [not](a-link)
+    // still counts as a link, the image counts as both
+    assert(r.getAs[Long]("n_code_blocks") === 1L)
+    assert(r.getAs[Long]("n_links") === 3L)
+    assert(r.getAs[Long]("n_images") === 1L)
+    // the pipeline stage rewrites in place; metadata rides along
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"op": "markdown_extract"}""")
+    val staged = graft.Pipeline.applyStage(
+      Seq((1L, "# H\n*hi*", "en")).toDF("doc_id", "text", "lang"),
+      "markdown_extract", node, "text", "doc_id").head()
+    assert(staged.getAs[String]("text") === "H hi")
+    assert(staged.getAs[String]("lang") === "en")
+  }
+
   test("cosine pairs finds a planted duplicate vector") {
     val e = Tables.embeddings(spark, sfDir)
     val planted = e.unionByName(
