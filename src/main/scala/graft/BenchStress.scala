@@ -380,6 +380,33 @@ object BenchStress {
       Dedup.incrementalBloom(d.select("doc_id", "text"), batch,
         "text", "doc_id", expectedItems = 1 << 20)
     }),
+    // rounds are fixed, |E| grows with copies (hashGraph targets span
+    // the scaled node set) — must read as rounds·|E| linear joins
+    "graph_bfs" -> ((d: DataFrame) => {
+      val (nodes, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      val sparse = edges.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.bfs(nodes.filter(expr("id % 23 = 0")), sparse,
+        maxDepth = 3)
+    }),
+    // write + CRC-verified read-back + manifest agg: the export path
+    // is one streamed pass each way — must be scan-linear
+    "pipeline_export_tfrecord" -> ((d: DataFrame) => {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tfr_stress").toString
+      val docs = d.select(col("doc_id"), col("text"))
+      graft.sources.TfRecord.write(docs.repartition(8), dir)
+      graft.sources.TfRecord.read(d.sparkSession, s"$dir/*.tfrecord",
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("nc"))
+    }),
     // two per-row feature scans (code flag, readability) + key-only
     // semi joins + a 3-row aggregate: pure scan shape, must be linear
     "pipeline_route_corpus" -> ((d: DataFrame) => {
@@ -444,7 +471,11 @@ object BenchStress {
     // second corpus pass or corpus-sized shuffle would surface here
     "profile_corr" -> ((li: DataFrame) =>
       graft.ops.Profile.corrMatrix(li,
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // copies multiply distinct keys; the rank walk's bucket tables
+    // stay ≤4097 rows, so cost must read as the one key groupBy
+    "cdc_chunk_plan" -> ((li: DataFrame) =>
+      graft.cdc.ChangeCapture.chunkPlan(li, "l_orderkey", 64)))
 
   // events ops: user-offset copies add keys, not per-key depth — the
   // LOCF shuffle and grid explode must grow linearly with key count
@@ -452,6 +483,10 @@ object BenchStress {
     "q_gap_fill" -> ((ev: DataFrame) =>
       graft.ops.TimeSeries.gapFill(ev, "user_id", "ts", "value",
         stepSeconds = 3600L)),
+    // copies multiply KEYS (same per-key day span), so grid rows,
+    // the multi-lead window, and the lag explode all scale with keys
+    "q_autocorr" -> ((ev: DataFrame) =>
+      graft.ops.TimeSeries.autocorr(ev, "user_id", "ts", maxLag = 10)),
     // copies multiply rows per event type; the quantile side plan is
     // bounded by DISTINCT cents values per type (sublinear), the probe
     // side is one broadcast join over the scan — total must stay linear

@@ -241,7 +241,7 @@ object Graph {
     * key-partitioned on the node id.
     */
   def bfs(sources: DataFrame, edges: DataFrame,
-          maxDepth: Int): DataFrame = {
+          maxDepth: Int, checkpoint: Boolean = true): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 16,
       s"maxDepth in [1,16], got $maxDepth")
     val e = edges.filter(col("src") =!= col("dst"))
@@ -256,11 +256,11 @@ object Graph {
           Seq("a"))
         .select(col("b").as("id"), (col("dist") + 1L).as("dist"),
           col("root"))
-      state = graft.util.Lineage.truncate(
-        state.unionByName(cand).groupBy("id")
-          .agg(min(struct(col("dist"), col("root"))).as("m"))
-          .select(col("id"), col("m.dist").as("dist"),
-            col("m.root").as("root")))
+      val folded = state.unionByName(cand).groupBy("id")
+        .agg(min(struct(col("dist"), col("root"))).as("m"))
+        .select(col("id"), col("m.dist").as("dist"),
+          col("m.root").as("root"))
+      state = if (checkpoint) graft.util.Lineage.truncate(folded) else folded
     }
     state
   }

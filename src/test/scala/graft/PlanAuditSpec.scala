@@ -829,4 +829,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       "range row + bucket offsets must broadcast")
   }
+
+  test("q_autocorr: one key-partitioned window for all lags, counts combine map-side") {
+    val analyzed = q("q_autocorr").queryExecution.optimizedPlan
+    val windows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // all maxLag leads must fuse into a single window over the key —
+    // a window per lag would be maxLag sorts of the day grid
+    assert(windows.size == 1,
+      s"expected ONE fused multi-lead window, got ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty, "window partitions by key")
+    val plan = formatted(q("q_autocorr"))
+    assert(plan.contains("partial_count"), "day counts combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cdc_chunk_plan: bucket-partitioned rank walk, bounded side tables broadcast") {
+    val analyzed = q("cdc_chunk_plan").queryExecution.optimizedPlan
+    val windows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"partition-less window in chunk plan: ${w.windowExpressions}")
+    }
+    assert(formatted(q("cdc_chunk_plan")).contains("BroadcastExchange"),
+      "range row + bucket offsets must broadcast")
+  }
+
+  test("graph_bfs round: equi-join frontier, struct-min combines map-side, no window") {
+    // the registered query truncates per round; rebuild one round
+    // un-truncated (the pagerank audit pattern)
+    spark.catalog.clearCache()
+    val (nodes, edges) = graft.queries.PipelineQueries.pagerankGraph(spark, sfDir)
+    val seeds = nodes.filter(org.apache.spark.sql.functions.expr("id % 23 = 0"))
+    val plan = formatted(graft.ops.Graph.bfs(
+      seeds, edges.select("src", "dst"), maxDepth = 1, checkpoint = false))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"),
+      "the struct-min fold is an aggregate, never a rank window")
+    assert(plan.contains("partial_min"), "struct-min combines map-side")
+  }
 }
