@@ -327,6 +327,66 @@ object TextAnalysis {
         .as("n_images"))
   }
 
+  /** Per-group line-frequency boilerplate removal (CCNet/RefinedWeb
+    * lineage) — the STRUCTURAL cleaning axis the dedup family doesn't
+    * carry: [[graft.ops.Dedup.dedupLines]] strikes lines duplicated
+    * more than a GLOBAL count, but boilerplate is a RATIO-per-origin
+    * property — a nav line in 90% of one domain's pages is chrome
+    * even if globally rare, while a famous quote in 100 documents of
+    * a million-doc corpus is content. Lines (normalized, nonblank)
+    * whose doc-frequency within their `groupCol` (domain/source)
+    * reaches `ratioPpm` of that group's doc count AND ≥ `minDocs`
+    * docs are struck from every doc of the group; surviving lines
+    * reassemble in order. Every doc rows out (a doc that was ALL
+    * boilerplate reports empty text with its drop count — the
+    * visible-not-vanished rule).
+    *
+    * The threshold compare is exact integer cross-multiplication
+    * (df·10⁶ ≥ ratioPpm·n_docs). Scale shape: one posexplode,
+    * line-df by (group, line-hash) partial agg after a per-doc
+    * distinct, group doc totals broadcast (|groups| rows), ONE
+    * marking join on (group, hash), per-doc reassembly via the
+    * dedupLines sort_array(collect_list) pattern — bounded by doc
+    * size. The exploded lines persist so corpus text explodes once.
+    */
+  def boilerplate(df: DataFrame, textCol: String, idCol: String,
+                  groupCol: String, ratioPpm: Long = 500000L,
+                  minDocs: Long = 2L): DataFrame = {
+    require(ratioPpm >= 1L && ratioPpm <= 1000000L && minDocs >= 1L,
+      s"ratioPpm in [1,1e6], minDocs >= 1")
+    val lines = df
+      .select(col(idCol), col(groupCol).as("grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("lh", md5(normalize(col("line"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docCounts = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("nd"))
+    val lineDf = lines.select(col("grp"), col("lh"), col(idCol)).distinct()
+      .groupBy("grp", "lh").agg(count(lit(1)).as("df"))
+    val flagged = lineDf.join(broadcast(docCounts), Seq("grp"))
+      .filter(col("df") >= minDocs &&
+        col("df") * 1000000L >= lit(ratioPpm) * col("nd"))
+      .select(col("grp"), col("lh"), lit(1L).as("bp"))
+    val marked = lines.join(flagged, Seq("grp", "lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("bp").isNull,
+              struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(coalesce(col("bp"), lit(0L))).as("n_lines_dropped"))
+    df.select(col(idCol), col(groupCol))
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("clean_text"), lit("")).as("text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("n_lines_dropped"), lit(0L)).as("n_lines_dropped"))
+  }
+
   /** Corpus vocabulary by document frequency: for each token, the
     * number of documents containing it, top-k by (df desc, token asc).
     * Per-doc `array_distinct` before explode (no shuffle for the

@@ -365,6 +365,26 @@ object PipelineQueries {
       d.select(col("doc_id"), md.as("md")), "md", "doc_id")
   }
 
+  /** Boilerplate-removal gate on the augmented-input convention:
+    * every doc of a source gains that source's nav + footer lines
+    * (100% in-group df → struck) and 30% gain a promo line (under
+    * the 50% threshold → stays, proving the ratio bites as a ratio);
+    * the body rides through untouched. Oracle replays lines, in-group
+    * df, the integer cross-multiplied threshold, and the ordered
+    * reassembly.
+    */
+  def textBoilerplateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("text", concat(
+        lit("NAV "), col("source"), lit(" HOME\n"),
+        when(expr("doc_id % 10 < 3"),
+          concat(lit("PROMO "), col("source"), lit(" SALE\n")))
+          .otherwise(lit("")),
+        col("text"), lit("\nCOPYRIGHT "), col("source"), lit(" FOOTER")))
+    TextAnalysis.boilerplate(d.select("doc_id", "source", "text"),
+      "text", "doc_id", "source", ratioPpm = 500000L, minDocs = 2L)
+  }
+
   def textScrubQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .withColumn("text", concat(col("text"),
@@ -1879,6 +1899,7 @@ object PipelineQueries {
     "text_scrub" -> textScrubQ,
     "text_html_extract" -> textHtmlExtractQ,
     "text_markdown_extract" -> textMarkdownExtractQ,
+    "text_boilerplate" -> textBoilerplateQ,
     "text_vocab" -> textVocabQ,
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
@@ -2715,6 +2736,46 @@ object PipelineQueries {
          |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
          |  text, CAST(len(text) AS BIGINT) AS n_chars
          |FROM f""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |        'NAV ' || source || ' HOME' || chr(10)
+         |          || CASE WHEN doc_id % 10 < 3
+         |             THEN 'PROMO ' || source || ' SALE' || chr(10)
+         |             ELSE '' END
+         |          || text || chr(10)
+         |          || 'COPYRIGHT ' || source || ' FOOTER' AS t
+         |      FROM documents),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+         |       FROM d GROUP BY 1),
+         |ls AS (SELECT doc_id, source, string_split(t, chr(10)) AS a
+         |       FROM d),
+         |l AS (SELECT doc_id, source, i, a[i] AS line
+         |      FROM ls, unnest(generate_series(1, len(a))) AS u(i)
+         |      WHERE len(trim(a[i])) > 0),
+         |lh AS (SELECT doc_id, source, i, line,
+         |        md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+         |          AS h
+         |       FROM l),
+         |lf AS (SELECT source, h,
+         |        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM lh GROUP BY 1, 2),
+         |flag AS (SELECT source, h FROM lf JOIN nd USING (source)
+         |         WHERE df >= 2 AND df * 1000000 >= 500000 * nd),
+         |m AS (SELECT lh.doc_id, lh.source, lh.i, lh.line,
+         |        CASE WHEN flag.h IS NOT NULL THEN 1 ELSE 0 END AS bp
+         |      FROM lh LEFT JOIN flag
+         |        ON lh.source = flag.source AND lh.h = flag.h),
+         |agg AS (SELECT doc_id, source,
+         |        coalesce(string_agg(CASE WHEN bp = 0 THEN line END,
+         |          chr(10) ORDER BY i), '') AS text,
+         |        CAST(sum(CASE WHEN bp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_lines_kept,
+         |        CAST(sum(bp) AS BIGINT) AS n_lines_dropped
+         |      FROM m GROUP BY 1, 2)
+         |SELECT d.doc_id, d.source, coalesce(agg.text, '') AS text,
+         |  coalesce(agg.n_lines_kept, 0) AS n_lines_kept,
+         |  coalesce(agg.n_lines_dropped, 0) AS n_lines_dropped
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "text_markdown_extract" ->
       s"""WITH m AS (SELECT doc_id,
          |  '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10)
