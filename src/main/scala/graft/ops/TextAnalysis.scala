@@ -414,9 +414,13 @@ object TextAnalysis {
     * x = round(ln rank·10⁶) over each frequency group's rank RANGE,
     * never which token holds which rank. Ranks therefore derive
     * without any token-level ordering: per-frequency group sizes (one
-    * partial agg), rank offsets from a running sum over the
-    * |distinct frequencies| table (bounded ≪ vocab — the only window,
-    * ordered by the unique freq), then a two-level chunked explode of
+    * partial agg), rank offsets from the bucketed rank walk (the
+    * profile_histogram_eq discipline — freq range-bucketed into
+    * ≤4097 buckets, per-bucket totals, broadcast triangular-join
+    * offsets, cumulative window PARTITIONED by bucket; the distinct-
+    * frequency axis is bounded by √(2·total tokens) which is ~7M
+    * single-task rows at 100 TB, so even this soft bound never rides
+    * one partition), then a two-level chunked explode of
     * the rank ranges (inner arrays ≤ 64 Ki, so no group materializes
     * an unbounded sequence) feeding one exact-decimal moment
     * aggregate. ln quantizes once (the C11q ulp precedent); the slope
@@ -433,10 +437,19 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
     val groups = counts.groupBy("freq").agg(count(lit(1)).as("g"))
-    val wOff = Window.orderBy(col("freq").desc)
+    val range = groups.agg(min(col("freq")).as("lo"), max(col("freq")).as("hi"))
+    val bucketed = groups.crossJoin(broadcast(range))
+      .withColumn("bkt", expr("(freq - lo) div ((hi - lo) div 4096 + 1)"))
+    val bcnt = bucketed.groupBy("bkt").agg(sum(col("g")).as("bc"))
+    val boff = bcnt.as("a")
+      .join(broadcast(bcnt.as("b")), col("b.bkt") > col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("boff"))
+    val wOff = Window.partitionBy(col("bkt")).orderBy(col("freq").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = groups
-      .withColumn("off", coalesce(sum(col("g")).over(wOff), lit(0L)))
+    val ranks = bucketed.join(broadcast(boff), Seq("bkt"))
+      .withColumn("off",
+        col("boff") + coalesce(sum(col("g")).over(wOff), lit(0L)))
       .withColumn("c", explode(expr(s"sequence(0L, (g - 1) div $CH)")))
       .select(col("freq"), explode(expr(
         s"sequence(off + c * $CH + 1, off + least((c + 1) * $CH, g))"))

@@ -872,4 +872,27 @@ class PlanAuditSpec extends SparkSpec {
       "the struct-min fold is an aggregate, never a rank window")
     assert(plan.contains("partial_min"), "struct-min combines map-side")
   }
+
+  test("no gated query plans a partition-less window (global sweep)") {
+    // A window with an empty partitionSpec executes as ONE task over
+    // its whole input — the scale failure class embProfile (r10) and
+    // zipfSlope (r11) were individually purged of. This sweeps every
+    // registered query's optimized plan so the class can't re-enter.
+    // Whitelist: partition-less windows over provably tiny relations.
+    //  - dedup_threshold_curve: cumulative sum over the ≤21-row
+    //    cosine-bucket table (PipelineQueries.dedupThresholdCurveQ).
+    val whitelist = Set("dedup_threshold_curve")
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !whitelist(name) =>
+        val windows = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        if (windows.isEmpty) Nil
+        else Seq(s"$name: ${windows.size} partition-less window(s)")
+      case _ => Nil
+    }
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
 }
