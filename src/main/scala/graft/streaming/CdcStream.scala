@@ -33,30 +33,77 @@ object CdcStream {
     * given (last-writer-wins), else by an arbitrary-but-deterministic
     * struct max over the payload — pass the version column whenever
     * the feed has one.
+    *
+    * Schema drift (`onSchemaDrift`): the file source pins the feed
+    * schema at start, so a mid-stream source DDL change would
+    * otherwise be INVISIBLE — added columns silently read as dropped,
+    * dropped columns as nulls, type changes as read errors deep in
+    * the merge. Instead each trigger compares the batch's ACTUAL
+    * parquet footer schema (re-read from the trigger's input files,
+    * mergeSchema across them) against the live target and routes the
+    * drift through the same policy switch the batch Replicator uses
+    * ([[graft.cdc.SchemaSync.decide]], mirroring the reference's
+    * resyncOnSchemaChange):
+    *   - `"abort"` (default — the reference's errSchemaMismatch):
+    *     fail the stream loudly with both canonical DDLs; the
+    *     checkpoint replays the batch after the operator intervenes.
+    *   - `"resync"`: evolve the target in place — existing rows are
+    *     projected onto the new schema (added columns null, dropped
+    *     columns removed, matching names cast) via one staged full
+    *     rewrite, then the batch upserts normally. O(target) once per
+    *     drift EVENT, never per trigger (the next compare is InSync).
+    *   - `"ignore"`: round-10 behavior, no footer read.
+    * The drift check costs one footer read per trigger (metadata
+    * only, no row scan). A batch mixing pre- and post-drift files
+    * with an incompatible type change fails the mergeSchema read —
+    * loudly, by design.
     */
   def upsertStream(spark: SparkSession, sourceDir: String, targetPath: String,
                    checkpoint: String, pkCols: Seq[String],
                    maxFilesPerTrigger: Int = 10,
                    versionColumn: Option[String] = None,
                    nBuckets: Option[Int] = None,
-                   feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+                   feedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                   onSchemaDrift: String = "abort"): StreamingQuery = {
+    require(Set("ignore", "abort", "resync")(onSchemaDrift),
+      s"onSchemaDrift must be ignore|abort|resync, got $onSchemaDrift")
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
-    val feed = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
+    // the drift check needs the trigger's file list, and the batch
+    // DataFrame foreachBatch hands over reports no inputFiles — ride
+    // the file-source metadata column through instead
+    val feed =
+      if (onSchemaDrift == "ignore") raw
+      else raw.withColumn(SrcFileCol, col("_metadata.file_path"))
 
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (pinned: DataFrame, _: Long) =>
         // An EMPTY first micro-batch must not write at all: a zero-row
         // overwrite leaves a schema-less shell (_SUCCESS only) that
         // flips the exists gates below, after which every later merge
         // fails to infer the parquet schema and permanently wedges the
         // stream — replays hit the same error. (Inverted guard, NOT an
         // early return: `return` in a lambda is a non-local return.)
-        if (!batch.isEmpty) {
+        if (!pinned.isEmpty) {
+          import graft.cdc.BucketedLayout
+          // Heal interrupted swaps BEFORE anything reads the target —
+          // including the drift compare: a swap that crashed between
+          // delete and rename leaves the target missing, and a drift
+          // check against the void would route a post-drift replay
+          // down CreateTarget while recovery then restores the OLD
+          // schema underneath it.
+          nBuckets match {
+            case Some(_) => BucketedLayout.recoverSwap(spark, targetPath)
+            case None =>
+              graft.util.Fs.recoverReplace(spark, s"$targetPath.staging", targetPath)
+          }
+          val batch =
+            resolveDrift(spark, pinned, targetPath, pkCols, nBuckets, onSchemaDrift)
           // a PK-only feed (presence-set replication) has no payload to
           // version by — any row of a PK group is the same row, dedup by
           // key; otherwise collapse to the highest version
@@ -70,11 +117,6 @@ object CdcStream {
               // micro-batch's keys hash into — O(batch) I/O per trigger,
               // not O(target). This is the scale shape; the flat-target
               // branch below survives for small tables and demos.
-              import graft.cdc.BucketedLayout
-              // a writeFull swap interrupted between delete and rename
-              // must heal BEFORE the exists gate, or the replay
-              // restarts the target from this batch
-              BucketedLayout.recoverSwap(spark, targetPath)
               // materialize once: upsertBuckets reads the batch for the
               // affected-bucket collect AND both merge sides
               val latestM = latest.localCheckpoint()
@@ -82,8 +124,6 @@ object CdcStream {
                 BucketedLayout.upsertBuckets(spark, targetPath, latestM, pkCols, n)
               else BucketedLayout.writeFull(spark, latestM, pkCols, n, targetPath)
             case None =>
-              // same healing for the flat stage-and-swap target
-              graft.util.Fs.recoverReplace(spark, s"$targetPath.staging", targetPath)
               val merged =
                 if (graft.util.Fs.hasFileWithSuffix(spark, targetPath, ".parquet")) {
                   Merge.upsert(spark.read.parquet(targetPath), latest, pkCols)
@@ -99,6 +139,77 @@ object CdcStream {
         ()
       }
       .start()
+  }
+
+  /** Per-trigger drift decision for [[upsertStream]]. Returns the
+    * batch to merge: the pinned-schema micro-batch when drift checking
+    * is off, else a DIRECT read of the trigger's input files (so a
+    * just-added column's VALUES survive — the pinned schema would
+    * silently null them). Nullability is normalized before the
+    * compare: parquet footers flip nullable bits freely (partition
+    * writes, lit(null) evolution) and a nullability-only "drift"
+    * re-triggering a full-target resync every trigger would be an
+    * O(target)-per-trigger failure mode, not a safety feature.
+    */
+  /** Name of the injected per-row source-file column ([[upsertStream]]
+    * drift checking); stripped before any merge or write.
+    */
+  private[graft] val SrcFileCol = "__graft_src_file"
+
+  private[graft] def resolveDrift(spark: SparkSession, pinned: DataFrame,
+                                  targetPath: String, pkCols: Seq[String],
+                                  nBuckets: Option[Int],
+                                  policy: String): DataFrame = {
+    import graft.cdc.{BucketedLayout, SchemaSync}
+    import org.apache.spark.sql.types.StructType
+    if (policy == "ignore") return pinned
+    val files = pinned.select(SrcFileCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return pinned.drop(SrcFileCol)
+    val live = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val relax = (s: StructType) => StructType(s.map(_.copy(nullable = true)))
+    val targetSchema: Option[StructType] = scala.util.Try {
+      relax(StructType(spark.read.parquet(targetPath)
+        .schema.filterNot(_.name == BucketedLayout.GB)))
+    }.toOption
+    val drift = SchemaSync.compare("target", relax(live.schema), targetSchema)
+    SchemaSync.decide(drift, resyncOnSchemaChange = policy == "resync") match {
+      case SchemaSync.NoAction | SchemaSync.CreateTarget => live
+      case SchemaSync.Abort =>
+        val SchemaSync.Mismatch(s, t) = drift: @unchecked
+        throw new IllegalStateException(
+          s"schema drift on $targetPath (onSchemaDrift=abort): feed=$s target=$t")
+      case SchemaSync.ForceResync =>
+        require(pkCols.forall(live.columns.contains),
+          s"schema drift dropped pk column(s) ${pkCols.filterNot(live.columns.contains)
+            .mkString(",")} — cannot resync $targetPath")
+        evolveTarget(spark, targetPath, relax(live.schema), pkCols, nBuckets)
+        live
+    }
+  }
+
+  /** Project every existing target row onto `newSchema` (matching
+    * names cast, added columns null, dropped columns removed) through
+    * one staged full rewrite — the streaming form of the Replicator's
+    * ForceResync. Runs once per drift EVENT: after the swap the next
+    * trigger's compare is InSync.
+    */
+  private def evolveTarget(spark: SparkSession, targetPath: String,
+                           newSchema: org.apache.spark.sql.types.StructType,
+                           pkCols: Seq[String], nBuckets: Option[Int]): Unit = {
+    import graft.cdc.BucketedLayout
+    val cur = spark.read.parquet(targetPath).drop(BucketedLayout.GB)
+    val projected = cur.select(newSchema.fields.toSeq.map { f =>
+      if (cur.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    nBuckets match {
+      case Some(n) => BucketedLayout.writeFull(spark, projected, pkCols, n, targetPath)
+      case None =>
+        val staging = s"$targetPath.staging"
+        projected.write.mode("overwrite").parquet(staging)
+        graft.util.Fs.replace(spark, staging, targetPath)
+    }
   }
 
   /** Streaming NEAR-duplicate filter — the corpus-cleaning member of

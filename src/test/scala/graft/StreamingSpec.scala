@@ -1532,4 +1532,69 @@ class StreamingSpec extends SparkSpec {
     assert(last == ((50000L, 10000L, 30000L, 1)),
       "the level shift surfaces through the file feed")
   }
+
+  test("streaming schema drift: abort policy fails the stream loudly, target untouched") {
+    val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("id"),
+      versionColumn = Some("v"))  // onSchemaDrift defaults to abort
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 2)
+
+      // mid-stream source DDL change: a column appears in new feed files
+      Seq((3L, "c", 30L)).toDF("id", "v", "extra")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("schema drift") && msgs.contains("extra"),
+        s"abort must name the drift and both DDLs, got: $msgs")
+      // the failed trigger must not have half-applied anything
+      val tgt = spark.read.parquet(target)
+      assert(tgt.columns.toSet == Set("id", "v") && tgt.count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming schema drift: resync policy evolves the target and keeps upserting") {
+    import graft.cdc.BucketedLayout
+    val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
+    Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("id", "ver", "v")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    val q = CdcStream.upsertStream(spark, feedDir, target, cp, Seq("id"),
+      versionColumn = Some("ver"), nBuckets = Some(4), onSchemaDrift = "resync")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).drop(BucketedLayout.GB).count() == 2)
+
+      // drift: column add, with one row REPLAYING pk=2 at a higher version
+      Seq((2L, 20L, "b2", 200L), (3L, 20L, "c", 300L))
+        .toDF("id", "ver", "v", "extra")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val evolved = spark.read.parquet(target).drop(BucketedLayout.GB)
+      assert(evolved.columns.toSet == Set("id", "ver", "v", "extra"))
+      val rows = evolved.select("id", "ver", "v", "extra")
+        .as[(Long, Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(rows == Seq((1L, 10L, "a", None), (2L, 20L, "b2", Some(200L)),
+        (3L, 20L, "c", Some(300L))),
+        "pre-drift rows get null in the added column; the drift batch upserts normally")
+
+      // post-drift steady state: the next trigger is InSync (no rewrite)
+      Seq((4L, 30L, "d", 400L)).toDF("id", "ver", "v", "extra")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).drop(BucketedLayout.GB).count() == 4)
+
+      // drift the OTHER way: new files drop `extra` — resync removes it
+      Seq((5L, 40L, "e")).toDF("id", "ver", "v")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val dropped = spark.read.parquet(target).drop(BucketedLayout.GB)
+      assert(dropped.columns.toSet == Set("id", "ver", "v") && dropped.count() == 5)
+    } finally q.stop()
+  }
 }
