@@ -253,6 +253,30 @@ object PipelineQueries {
     Similarity.kmeans(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       k = 8, iters = 0, dim = EMB_DIM)
 
+  /** Incremental IVF index maintenance (sim.IvfIndex): the quantizer
+    * trains on the EVEN vec_ids (iters=0 → deterministic hash-ranked
+    * init, DuckDB-replayable) and persists; the ODD half then arrives
+    * as an ingestion batch assigned against the PERSISTED centroids
+    * read back from parquet — the round-trip is part of what this
+    * gates — and appended to the `gb=`-bucketed inverted file. Output
+    * is the whole store: every id's (batch, cluster, cosine), so the
+    * oracle replays init + both assignment passes and any divergence
+    * in the persisted path (quantization loss, wrong bucket, replay
+    * duplication) hash-fails.
+    */
+  def annIvfAssignQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    graft.sim.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 8, iters = 0, dim = EMB_DIM.get,
+      store, nStoreBuckets = 4)
+    graft.sim.IvfIndex.append(spark, e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", store, batchId = 1L, dim = EMB_DIM.get)
+    graft.sim.IvfIndex.assignments(spark, store)
+      .select(col("id"), col("batch").cast("long").as("batch"),
+        col("cid").as("cluster"), col("ccos").as("centroid_cosine"))
+  }
+
   /** SemDeDup-style semantic near-dup: exact cosine within k-means
     * clusters (rows-only; spec pins that it finds the planted dup.
     * [[dedupSemanticInitQ]] hash-gates the same pipeline at iters=0).
@@ -1888,6 +1912,7 @@ object PipelineQueries {
     "ann_cascade" -> annCascadeQ,
     "emb_kmeans" -> embKmeansQ,
     "emb_kmeans_init" -> embKmeansInitQ,
+    "ann_ivf_assign" -> annIvfAssignQ,
     "dedup_semantic" -> dedupSemanticQ,
     "dedup_semantic_init" -> dedupSemanticInitQ,
     "text_tokens" -> textTokensQ,
@@ -4471,6 +4496,25 @@ object PipelineQueries {
          |        FROM n v, c)
          |SELECT id, cluster, round(ccos, 6) AS centroid_cosine FROM (
          |  SELECT id, cid AS cluster, ccos,
+         |    row_number() OVER (PARTITION BY id
+         |                       ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM asg) WHERE rn = 1""".stripMargin,
+    "ann_ivf_assign" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q WHERE vec_id % 2 = 0 QUALIFY cid < 8),
+         |c AS (SELECT cid, qv AS cqv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS cn2 FROM init),
+         |asg AS (SELECT v.vec_id AS id, v.vec_id % 2 AS batch, c.cid,
+         |          CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |               ELSE CAST(list_sum(list_transform(
+         |                      list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                    / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |          END AS ccos
+         |        FROM n v, c)
+         |SELECT id, batch, cluster, round(ccos, 6) AS centroid_cosine FROM (
+         |  SELECT id, batch, cid AS cluster, ccos,
          |    row_number() OVER (PARTITION BY id
          |                       ORDER BY ccos DESC, cid ASC) AS rn
          |  FROM asg) WHERE rn = 1""".stripMargin,

@@ -1,0 +1,183 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF index maintenance — the ingestion-time form of
+  * [[Similarity.ivfTopK]] (which re-derives its coarse quantizer per
+  * run; fine for one-shot queries, wasteful for a continuously-fed
+  * corpus where the quantizer is the expensive, slowly-moving part).
+  *
+  * Store layout (all parquet under `store`):
+  *   - `centroids/` — the PERSISTED coarse quantizer: K rows
+  *     (cid, cqv: array<bigint>, cn2) in the file-wide floor(x·10⁴)
+  *     quantization. Written once at [[build]]/[[recluster]]; every
+  *     [[append]] broadcasts it — K×dim longs, never reshuffled.
+  *   - `profile/` — per-dimension integer moments (n, Σq, Σq²) of the
+  *     SEED corpus: the drift reference [[reclusterDecision]] compares
+  *     new batches against (the [[Similarity.embDrift]] arithmetic,
+  *     persisted so the seed itself need not be kept).
+  *   - `assign/gb=<k>/batch=<id>/` — the inverted file: (id, cid,
+  *     ccos) rows in the near-dup store discipline
+  *     (streaming/CdcStream.scala:134): gb = cid mod nStoreBuckets so
+  *     a search probing centroid c lists and reads ONLY its bucket
+  *     dir; `batch=<id>` dynamic-partition overwrite makes a replayed
+  *     append rewrite exactly its own directories (at-least-once
+  *     safe); the bucket-count marker refuses a mismatched reader.
+  *
+  * Scale shape: build = one kmeans (broadcast centroids, partial-agg
+  * struct-max assignment, k×dim update shuffle per iter); append =
+  * ONE batch-sized assignment scan against the broadcast persisted
+  * centroids + an O(batch) partitioned write — the corpus is never
+  * rescanned; decision = one batch-sized partial agg joined to the
+  * broadcast d-row profile. Only [[recluster]] is O(corpus), and the
+  * decision exists precisely to run it rarely.
+  */
+object IvfIndex {
+
+  import Similarity.{prepared, qdot}
+
+  private def centroidsPath(store: String) = s"$store/centroids"
+  private def profilePath(store: String) = s"$store/profile"
+  private def assignPath(store: String) = s"$store/assign"
+
+  /** Deterministic nearest-centroid assignment of `df` against a
+    * (cid, cqv, cn2) centroid table: argmax cosine, ties to the
+    * smallest cid, zero norms pinned at the −2.0 sentinel — the exact
+    * [[Similarity.kmeansFull]] assignment convention, so an
+    * iters=0-built index is DuckDB-replayable end-to-end.
+    * Partial-aggregatable struct-max; the centroid side broadcasts.
+    */
+  def assign(df: DataFrame, vecCol: String, idCol: String,
+             cents: DataFrame, dim: Int): DataFrame =
+    prepared(df, vecCol, idCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        when(col("cn2") === 0 || col("n2") === 0, lit(-2.0))
+          .otherwise(qdot(col("qv"), col("cqv"), Some(dim)).cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double")))))
+      .groupBy("id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("id"), (-col("m.ncid")).as("cid"),
+        round(col("m.ccos"), 6).as("ccos"))
+
+  /** Per-dimension integer moments of the quantized vectors — the
+    * persisted drift reference ([[Similarity.embDrift]]'s per-side
+    * aggregate, kept instead of the vectors).
+    */
+  private def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(Similarity.quantize(col(vecCol))).as(Seq("i", "q")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .select(col("i").cast("long").as("dim_i"), col("n"), col("s"), col("ss"))
+
+  /** Build the index from a seed corpus: train the quantizer
+    * (k-means, deterministic hash-ranked init — iters=0 keeps it at
+    * the init, making the whole index oracle-replayable), persist
+    * centroids + drift profile, and write the seed's assignments as
+    * `batch=0`.
+    */
+  def build(spark: SparkSession, seed: DataFrame, vecCol: String, idCol: String,
+            k: Int, iters: Int, dim: Int, store: String,
+            nStoreBuckets: Int): Unit = {
+    val (_, cents) = Similarity.kmeansFull(seed, vecCol, idCol, k, iters, Some(dim))
+    val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, v) =>
+        (cid, v.toArray)
+      }).toDF("cid", "cqv")
+      .withColumn("cn2", qdot(col("cqv"), col("cqv"), Some(dim)))
+    graft.util.Fs.delete(spark, assignPath(store))
+    centDf.coalesce(1).write.mode("overwrite").parquet(centroidsPath(store))
+    dimStats(seed, vecCol).coalesce(1)
+      .write.mode("overwrite").parquet(profilePath(store))
+    // the seed's own assignment recomputes against the PERSISTED
+    // centroids — one code path for every batch in the store
+    append(spark, seed, vecCol, idCol, store, batchId = 0L, dim = dim,
+      nStoreBuckets = Some(nStoreBuckets))
+  }
+
+  /** Read back the persisted quantizer. */
+  def centroids(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(centroidsPath(store))
+
+  /** Assign one ingestion batch against the persisted quantizer and
+    * append it to the inverted file as `batch=<batchId>` — O(batch)
+    * work, corpus never touched. Replay-idempotent: a re-delivered
+    * batch overwrites exactly its own `(gb, batch)` partitions.
+    * Returns the batch's (id, cid, ccos) assignment.
+    */
+  def append(spark: SparkSession, batch: DataFrame, vecCol: String,
+             idCol: String, store: String, batchId: Long, dim: Int,
+             nStoreBuckets: Option[Int] = None): DataFrame = {
+    val nB = nStoreBuckets
+      .orElse(graft.cdc.BucketedLayout.readBucketCount(spark, assignPath(store)))
+      .getOrElse(throw new IllegalStateException(
+        s"$store has no assignment store yet — build() it, or pass nStoreBuckets"))
+    graft.streaming.CdcStream.requireStoreBuckets(spark, assignPath(store), nB)
+    val asg = assign(batch, vecCol, idCol, centroids(spark, store), dim)
+    graft.streaming.CdcStream.writeStorePartitions(
+      asg, pmod(col("cid"), lit(nB.toLong)).cast("int"), batchId,
+      assignPath(store), nB)
+    asg
+  }
+
+  /** The whole inverted file (every batch), with `gb`/`batch` riding
+    * along — the search side's full view.
+    */
+  def assignments(spark: SparkSession, store: String): DataFrame =
+    spark.read.option("basePath", assignPath(store)).parquet(assignPath(store))
+
+  /** Posting lists for the probed centroids only: lists and reads
+    * exactly the `gb=` dirs those cids hash to — O(probed buckets)
+    * I/O, never O(store) (the IVF search contract).
+    */
+  def probe(spark: SparkSession, store: String, cids: Seq[Long]): DataFrame = {
+    val nB = graft.cdc.BucketedLayout.readBucketCount(spark, assignPath(store))
+      .getOrElse(throw new IllegalStateException(s"$store has no assignment store"))
+    val buckets = cids.map(c => ((c % nB) + nB) % nB).map(_.toInt).distinct
+    graft.streaming.CdcStream
+      .probeStore(spark, assignPath(store), buckets, batchId = -1L)
+      .map(_.filter(col("cid").isin(cids: _*)))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Should the quantizer retrain? Compares an incoming batch's
+    * per-dimension means against the persisted seed profile with
+    * [[Similarity.embDrift]]'s integer arithmetic (micro-unit means,
+    * matched truncation): one row out — (n_drifted, n_dims, decision)
+    * with decision `recluster` iff at least `minDriftedDims`
+    * dimensions moved more than `toleranceMicro`. A drifted embedding
+    * distribution makes the frozen centroids a bad partition of the
+    * new data (assignment cosines sag, posting lists skew) — that is
+    * the moment to pay the O(corpus) [[recluster]], and not before.
+    */
+  def reclusterDecision(spark: SparkSession, store: String, batch: DataFrame,
+                        vecCol: String, toleranceMicro: Long,
+                        minDriftedDims: Long = 1L): DataFrame = {
+    val ref = spark.read.parquet(profilePath(store))
+      .select(col("dim_i"), col("n").as("n_ref"), col("s").as("s_ref"))
+    dimStats(batch, vecCol)
+      .join(broadcast(ref), Seq("dim_i"))
+      .select(col("dim_i"),
+        expr("(s_ref * 100L) div greatest(n_ref, 1L)").as("mean_ref_micro"),
+        expr("(s * 100L) div greatest(n, 1L)").as("mean_cur_micro"))
+      .withColumn("drifted",
+        (abs(col("mean_ref_micro") - col("mean_cur_micro")) > toleranceMicro)
+          .cast("long"))
+      .agg(sum(col("drifted")).as("n_drifted"), count(lit(1)).as("n_dims"))
+      .select(col("n_drifted"), col("n_dims"),
+        when(col("n_drifted") >= minDriftedDims, "recluster")
+          .otherwise("keep").as("decision"))
+  }
+
+  /** Retrain the quantizer over the CURRENT corpus and rebuild the
+    * inverted file from scratch (assign dir cleared first — stale
+    * `batch=` dirs under old centroid ids must not survive a
+    * re-partitioning of the space). The O(corpus) operation
+    * [[reclusterDecision]] gates.
+    */
+  def recluster(spark: SparkSession, corpus: DataFrame, vecCol: String,
+                idCol: String, k: Int, iters: Int, dim: Int, store: String,
+                nStoreBuckets: Int): Unit =
+    build(spark, corpus, vecCol, idCol, k, iters, dim, store, nStoreBuckets)
+}

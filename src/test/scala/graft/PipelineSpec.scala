@@ -472,6 +472,69 @@ class PipelineSpec extends SparkSpec {
     assert(got.subsetOf(exact), s"semantic pairs must be exact-verified: ${got -- exact}")
   }
 
+  test("IvfIndex: persisted quantizer, idempotent appends, bucket-confined probes") {
+    import graft.sim.IvfIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    IvfIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding", "vec_id",
+      k = 8, iters = 2, dim = 64, store, nStoreBuckets = 4)
+
+    // persisted centroids == the trained ones (round-trip, no quantization loss)
+    val (_, cents) = Similarity.kmeansFull(e.filter($"vec_id" % 2 === 0),
+      "embedding", "vec_id", k = 8, iters = 2, Some(64))
+    val stored = IvfIndex.centroids(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.toMap.view.mapValues(_.toSeq).toMap == stored.view.mapValues(_.toSeq).toMap)
+
+    // append assigns against the PERSISTED centroids — same result as
+    // a direct assignment, and a replayed append does not duplicate
+    val odd = e.filter($"vec_id" % 2 === 1)
+    IvfIndex.append(spark, odd, "embedding", "vec_id", store, batchId = 1L, dim = 64)
+    IvfIndex.append(spark, odd, "embedding", "vec_id", store, batchId = 1L, dim = 64)
+    val all = IvfIndex.assignments(spark, store)
+    assert(all.count() == e.count(), "replayed append must overwrite, not duplicate")
+    assert(all.select("id").distinct().count() == e.count())
+
+    // probe confinement: posting lists come back equal to a full-read
+    // filter, and each row sits in its cid's gb= dir
+    val probed = IvfIndex.probe(spark, store, Seq(2L, 5L))
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    val full = all.filter($"cid".isin(2L, 5L))
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    assert(probed == full && probed.nonEmpty)
+    val gbDirs = new java.io.File(s"$store/assign").listFiles()
+      .filter(_.getName.startsWith("gb=")).map(_.getName).toSet
+    assert(gbDirs.subsetOf(Set("gb=0", "gb=1", "gb=2", "gb=3")))
+
+    // recluster decision: an undrifted batch keeps the quantizer...
+    val keep = IvfIndex.reclusterDecision(spark, store, odd, "embedding",
+      toleranceMicro = 250000L)
+      .select("decision").as[String].head()
+    assert(keep == "keep", "even/odd sampling noise must stay under tolerance")
+    // ...a re-embedded feed (planted +0.5 shift on dim 3) trips it
+    val shifted = odd.withColumn("embedding", expr(
+      """transform(embedding, (x, i) ->
+        |  CASE WHEN i = 3 THEN CAST(x AS DOUBLE) + 0.5d
+        |       ELSE CAST(x AS DOUBLE) END)""".stripMargin))
+    val dec = IvfIndex.reclusterDecision(spark, store, shifted, "embedding",
+      toleranceMicro = 250000L).head()
+    assert(dec.getAs[String]("decision") == "recluster" &&
+      dec.getAs[Long]("n_drifted") == 1L && dec.getAs[Long]("n_dims") == 64L,
+      s"exactly the planted dimension must drift: $dec")
+
+    // recluster rebuilds the store over the new corpus: batch dirs
+    // reset, the new quantizer reflects the shifted distribution
+    IvfIndex.recluster(spark, e.unionByName(shifted.withColumn("vec_id",
+        $"vec_id" + 1000000L)), "embedding", "vec_id",
+      k = 8, iters = 2, dim = 64, store, nStoreBuckets = 4)
+    val batches = IvfIndex.assignments(spark, store)
+      .select("batch").distinct().as[Int].collect().toSet
+    assert(batches == Set(0), "recluster must clear stale batch dirs")
+    assert(IvfIndex.assignments(spark, store).count() ==
+      e.count() + odd.count())
+    e.unpersist(); ()
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val t = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "embedding", "vec_id", expr("id % 25 = 0"), 5)
