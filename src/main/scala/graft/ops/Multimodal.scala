@@ -308,6 +308,47 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
   }
 
+  /** 24-bit uncompressed BMP writer — the still-image fixture twin of
+    * [[buildAvi]]: `gray` supplies one 0–255 luma per pixel in
+    * row-major TOP-DOWN order (re-ordered here into BMP's bottom-up
+    * rows), written as B=G=R. Every byte is assembled here, so the
+    * output is deterministic by construction and its length is a pure
+    * function of geometry (54 + h·ceil4(3w) bytes) — which is what
+    * lets a cross-engine oracle pin the byte mass of an image export
+    * without an image codec. ImageIO decodes it ([[decodeImage]]),
+    * so downstream hashing/dedup treat it as a real image.
+    */
+  def buildBmp(w: Int, h: Int, gray: Seq[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"buildBmp: need $w*$h=${w * h} pixels, got ${gray.length}")
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val stride = ((3 * w + 3) / 4) * 4
+    val imageSize = stride * h
+    val header =
+      "BM".getBytes("US-ASCII") ++ u32(54L + imageSize) ++ u32(0) ++ u32(54) ++
+        u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++ u16(24) ++
+        u32(0) ++ u32(imageSize.toLong) ++ u32(2835) ++ u32(2835) ++
+        u32(0) ++ u32(0)
+    val px = new Array[Byte](imageSize)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val g = (gray(srcRow * w + x) & 0xff).toByte
+        val o = y * stride + 3 * x
+        px(o) = g; px(o + 1) = g; px(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
   /** Parsed ISO-BMFF (mp4/mov) container: video-track geometry,
     * movie duration, sample (frame) count and the sample-entry codec
     * fourcc — everything the CONTAINER declares, without decoding a

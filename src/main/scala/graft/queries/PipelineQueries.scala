@@ -964,6 +964,60 @@ object PipelineQueries {
       bit_xor(fp).as("content_xor"))
   }
 
+  /** The IMAGE arm of the WebDataset boundary (the LAION shard
+    * convention: per sample an image member + a `.json` metadata
+    * member keyed by the same basename). Image bytes are deterministic
+    * 8×8 24-bit BMPs built pixel-by-pixel from the quantized
+    * embedding (Multimodal.buildBmp — a real ImageIO-decodable image
+    * whose byte LENGTH is a pure function of geometry, which is what
+    * a cross-engine oracle can pin without a codec); metadata is a
+    * JSON string both engines can render. Self-verifying round trip:
+    * shards are read back with the committed tar reader, the json XOR
+    * fingerprint replays in DuckDB, the per-image byte mass must be
+    * exactly 246·n, and `n_img_mismatch` counts read-back image
+    * members that differ byte-for-byte from a regeneration — the
+    * oracle pins it at ZERO, so any tar-layer corruption of binary
+    * members hash-fails the gate.
+    */
+  def pipelineWdsImgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wdi").toString
+    val src = Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 4 = 0"))
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    def bmpOf(qv: Seq[Long]): Array[Byte] =
+      graft.ops.Multimodal.buildBmp(8, 8,
+        qv.take(64).map(q => (((q % 256) + 256) % 256).toInt))
+    val jsonExpr = concat(lit("{\"vec_id\":"), col("vec_id").cast("string"),
+      lit(",\"dim\":"), size(col("qv")).cast("string"),
+      lit(",\"qsum\":"), aggregate(col("qv"), lit(0L), _ + _).cast("string"),
+      lit("}"))
+    val samplesDf = src.withColumn("json", jsonExpr)
+      .select(col("vec_id"), col("qv"), col("json"))
+      .as[(Long, Seq[Long], String)]
+      .map { case (id, qv, js) => (id.toString, bmpOf(qv), js) }
+      .toDF("key", "bmp", "json")
+    graft.sources.WebDataset.write(samplesDf.repartition(4), "key", dir)
+    val back = graft.sources.WebDataset
+      .read(spark, s"$dir/*.tar", Seq("bmp", "json"))
+      .select(col("key").cast("long").as("vec_id"), col("bmp"),
+        decode(col("json"), "UTF-8").as("js"))
+    val regen = src.as[(Long, Seq[Long])]
+      .map { case (id, qv) => (id, bmpOf(qv)) }
+      .toDF("vec_id", "bmp_expected")
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("vec_id").cast("string"), lit(":"), md5(col("js"))))
+    back.join(regen, Seq("vec_id"))
+      .select(pmod(col("vec_id"), lit(8L)).as("bucket"),
+        length(col("bmp")).cast("long").as("img_len"), fp.as("fp"),
+        when(col("bmp") === col("bmp_expected"), 0L).otherwise(1L).as("mm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("img_len")).as("img_bytes"),
+        bit_xor(col("fp")).as("json_xor"),
+        sum(col("mm")).as("n_img_mismatch"))
+  }
+
   /** The float_list arm of the TFRecord boundary under the gate:
     * embeddings export to tfrecord (packed little-endian float32
     * lists), read back, and verify via the 1e-4 integer quantization
@@ -2017,6 +2071,7 @@ object PipelineQueries {
     "pipeline_export_tfrecord" -> pipelineTfrecordQ,
     "pipeline_export_embeddings" -> pipelineTfrecordEmbQ,
     "pipeline_export_webdataset" -> pipelineWebdatasetQ,
+    "pipeline_export_wds_img" -> pipelineWdsImgQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
     "pipeline_semantic_corpus" -> pipelineSemanticQ,
     "pipeline_route_corpus" -> pipelineRouteQ,
@@ -3096,6 +3151,22 @@ object PipelineQueries {
     // the float_list arm: float32 → packed wire → float32 must be
     // bit-identity, so the 1e-4-quantized fingerprints recompute
     // identically from the embeddings parquet
+    "pipeline_export_wds_img" ->
+      s"""WITH v AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+         |          AS qv
+         |      FROM embeddings WHERE vec_id % 4 = 0),
+         |j AS (SELECT vec_id,
+         |        '{"vec_id":' || vec_id || ',"dim":' || len(qv) ||
+         |          ',"qsum":' || CAST(coalesce(list_sum(qv), 0) AS BIGINT) ||
+         |          '}' AS js
+         |      FROM v)
+         |SELECT vec_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(count(*) * 246 AS BIGINT) AS img_bytes,
+         |  bit_xor(${h64("vec_id::VARCHAR || ':' || md5(js)")}) AS json_xor,
+         |  CAST(0 AS BIGINT) AS n_img_mismatch
+         |FROM j GROUP BY 1""".stripMargin,
     "pipeline_export_embeddings" ->
       s"""WITH v AS (SELECT vec_id,
          |        list_transform(embedding,

@@ -168,4 +168,33 @@ class WebDatasetSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("image arm: bmp members survive the tar byte-for-byte and decode as real images") {
+    import spark.implicits._
+    val dir = tmp()
+    // deterministic gradient images + LAION-style json metadata
+    val rows = (0L until 6L).map { id =>
+      val gray = (0 until 64).map(i => (id * 37 + i * 3).toInt % 256)
+      (id.toString, graft.ops.Multimodal.buildBmp(8, 8, gray),
+        s"""{"id":$id,"w":8,"h":8}""")
+    }
+    val df = rows.toDF("key", "bmp", "json")
+    graft.sources.WebDataset.write(df.repartition(2), "key", dir)
+    val back = graft.sources.WebDataset
+      .read(spark, s"$dir/*.tar", Seq("bmp", "json"))
+      .collect().map(r => (r.getString(1).toLong,
+        r.getAs[Array[Byte]](2), new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    assert(back.length == 6)
+    back.foreach { case (id, bmp, js) =>
+      val expected = rows(id.toInt)
+      assert(java.util.Arrays.equals(bmp, expected._2),
+        s"sample $id image member corrupted in the tar layer")
+      assert(js == expected._3)
+      // the member is a REAL image: ImageIO decodes it with the
+      // declared geometry and the top-left pixel's luma round-trips
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      assert((img.getRGB(0, 0) & 0xff) == (id * 37).toInt % 256)
+    }
+  }
 }
