@@ -47,6 +47,9 @@ object IvfIndex {
     * [[Similarity.kmeansFull]] assignment convention, so an
     * iters=0-built index is DuckDB-replayable end-to-end.
     * Partial-aggregatable struct-max; the centroid side broadcasts.
+    * Keeps the quantized vector and norm: the posting lists ARE the
+    * inverted file [[searchTopK]] reranks from, so the vectors live
+    * in the store (the actual IVF design), not in a side table.
     */
   def assign(df: DataFrame, vecCol: String, idCol: String,
              cents: DataFrame, dim: Int): DataFrame =
@@ -57,9 +60,10 @@ object IvfIndex {
           .otherwise(qdot(col("qv"), col("cqv"), Some(dim)).cast("double") /
             (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double")))))
       .groupBy("id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("qv")).as("qv"), first(col("n2")).as("n2"))
       .select(col("id"), (-col("m.ncid")).as("cid"),
-        round(col("m.ccos"), 6).as("ccos"))
+        round(col("m.ccos"), 6).as("ccos"), col("qv"), col("n2"))
 
   /** Per-dimension integer moments of the quantized vectors — the
     * persisted drift reference ([[Similarity.embDrift]]'s per-side
@@ -168,6 +172,53 @@ object IvfIndex {
       .select(col("n_drifted"), col("n_dims"),
         when(col("n_drifted") >= minDriftedDims, "recluster")
           .otherwise("keep").as("decision"))
+  }
+
+  /** Top-k search over the PERSISTED index — [[Similarity.ivfTopK]]'s
+    * search half against the store instead of a per-run derivation:
+    * queries rank the broadcast persisted centroids (|q|×K rows, one
+    * window partitioned by query id), and ONLY the probed centroids'
+    * posting lists are read — bucket-dir-confined I/O through
+    * [[probe]], exact cosine rerank from the vectors the postings
+    * carry, rank ties to the smallest neighbor id. The corpus is
+    * never rescanned, never shuffled: the |q|·nProbe probe table
+    * broadcasts onto the posting read (the in-plan pin the r9 AQE
+    * adjudication established for ivfTopK).
+    */
+  def searchTopK(spark: SparkSession, store: String, queries: DataFrame,
+                 vecCol: String, idCol: String, k: Int, nProbe: Int,
+                 dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(spark, store)
+    val qc = prepared(queries, vecCol, idCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        when(col("cn2") === 0 || col("n2") === 0, lit(-2.0))
+          .otherwise(qdot(col("qv"), col("cqv"), Some(dim)).cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double")))))
+    val probeW = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qc.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("id").as("qid"), col("qv").as("qqv"),
+        col("n2").as("qn2"), col("cid"))
+    // probed centroid ids: ≤ K rows (the bounded-collect doctrine)
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val posting = probe(spark, store, cids)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(posting, Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        when(col("qn2") === 0 || col("n2") === 0, lit(-2.0))
+          .otherwise(qdot(col("qqv"), col("qv"), Some(dim)).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** Retrain the quantizer over the CURRENT corpus and rebuild the

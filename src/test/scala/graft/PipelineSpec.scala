@@ -506,6 +506,18 @@ class PipelineSpec extends SparkSpec {
       .filter(_.getName.startsWith("gb=")).map(_.getName).toSet
     assert(gbDirs.subsetOf(Set("gb=0", "gb=1", "gb=2", "gb=3")))
 
+    // search over the persisted index: a planted near-identical vector
+    // (appended as its own batch) must come back as the top neighbor
+    val planted = e.filter($"vec_id" === 0).withColumn("vec_id", lit(999999L))
+    IvfIndex.append(spark, planted, "embedding", "vec_id", store,
+      batchId = 2L, dim = 64)
+    val hits = IvfIndex.searchTopK(spark, store, e.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 3, nProbe = 2, dim = 64)
+      .orderBy($"rank").collect()
+    assert(hits.head.getLong(1) == 999999L && hits.head.getDouble(3) >= 0.9999,
+      s"planted copy must rank first: ${hits.toSeq}")
+    assert(hits.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+
     // recluster decision: an undrifted batch keeps the quantizer...
     val keep = IvfIndex.reclusterDecision(spark, store, odd, "embedding",
       toleranceMicro = 250000L)

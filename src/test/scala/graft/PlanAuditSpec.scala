@@ -873,6 +873,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"), "struct-min combines map-side")
   }
 
+  test("ann_ivf_search: persisted centroids and probes broadcast, postings never shuffle") {
+    val plan = formatted(q("ann_ivf_search"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe table must broadcast onto the posting read")
+    assert(!plan.contains("SortMergeJoin"),
+      "the posting side must never shuffle for the probe join")
+    assert(plan.contains("graft_dot"), "rerank uses the codegen'd dot product")
+  }
+
+  test("IvfIndex.assign: centroids broadcast onto the batch scan, partial struct-max") {
+    // the registered ann_ivf_assign query returns the store READ-BACK
+    // (its build/append run eagerly), so audit the assignment plan
+    // itself — the per-batch hot path every append executes
+    spark.catalog.clearCache()
+    val e = graft.util.Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.IvfIndex.assign(
+      e, "embedding", "vec_id",
+      e.limit(8).select(
+        org.apache.spark.sql.functions.col("vec_id").as("cid"),
+        graft.sim.Similarity.quantize(
+          org.apache.spark.sql.functions.col("embedding")).as("cqv"))
+        .withColumn("cn2", org.apache.spark.sql.functions.expr(
+          "aggregate(cqv, 0L, (a, x) -> a + x * x)")),
+      dim = 64)
+    val plan = formatted(cents)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the persisted centroid table must broadcast onto the batch scan")
+    assert(plan.contains("partial_max"), "argmax combines map-side")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("no gated query plans a partition-less window (global sweep)") {
     // A window with an empty partitionSpec executes as ONE task over
     // its whole input — the scale failure class embProfile (r10) and
