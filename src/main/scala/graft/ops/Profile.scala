@@ -449,6 +449,36 @@ object Profile {
     * unbounded distinct values (the embProfile discipline,
     * generalized per group). Output ≤ k·|cols| rows.
     */
+  /** Top-k frequent values per column — the classic profiler output
+    * [[profileTable]]'s min/max/null counts don't carry: WHICH values
+    * dominate (the categorical-skew view that decides salting keys,
+    * dictionary candidates and suspicious constants). Values render
+    * as strings (one profiler schema for any column type); ties break
+    * on the string ascending, so the result is deterministic on both
+    * engines.
+    *
+    * Scale shape, per column: one (col, value) partial-agg count,
+    * then `orderBy(...).limit(k)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-k heaps, NO global
+    * sort: a high-cardinality column never funnels its distinct
+    * values through one task — the zipfSlope lesson as a planner
+    * guarantee, plan-audited). The final rank window runs over the
+    * ≤ k·|cols| surviving rows, partitioned by column.
+    */
+  def frequentValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "need cols and k >= 1")
+    val perCol = cols.map { c =>
+      df.select(lit(c).as("col_name"), col(c).cast("string").as("value"))
+        .filter(col("value").isNotNull)
+        .groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value").asc)
+        .limit(k)
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value").asc)
+    perCol.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def equiDepthHistogram(df: DataFrame, cols: Seq[String],
                          bins: Int): DataFrame = {
     require(cols.nonEmpty && bins >= 1, s"need cols and bins >= 1")

@@ -277,6 +277,36 @@ object TextAnalysis {
       length(txt).cast("long").as("n_chars"))
   }
 
+  /** Outlink/host extraction from raw HTML — the link-structure feed
+    * [[htmlExtract]] throws away and the [[graft.ops.Graph]] family
+    * consumes: every `<a ... href="...">` target, rolled up per HOST
+    * (the crawl frontier's unit of politeness, blocklists and
+    * PageRank nodes). Absolute http(s) hrefs key by their authority
+    * component; anything else (relative paths, mailto:, fragments)
+    * reports under the `(relative)` marker — visible, not vanished.
+    *
+    * RE2-safe patterns (the oracle engine has no lookarounds), double
+    * quotes only (the dominant crawl form; single-quoted attrs are a
+    * documented non-goal shared with the regex-level extractor
+    * class). Scale shape: per-row regexp_extract_all + one explode
+    * (zero shuffles), a (host, doc) partial-agg dedup, then the
+    * |hosts|-row rollup carrying link and distinct-doc counts.
+    */
+  def outlinks(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val links = df.select(col(idCol).as("doc"),
+      explode(expr(
+        s"""regexp_extract_all(`$htmlCol`, '<a[^>]*href="([^"]*)"', 1)"""))
+        .as("href"))
+      .withColumn("host",
+        when(col("href").rlike("^https?://"),
+          regexp_extract(col("href"), "^https?://([^/?#]+)", 1))
+          .otherwise(lit("(relative)")))
+    links.groupBy(col("host"), col("doc"))
+      .agg(count(lit(1)).as("l"))
+      .groupBy("host")
+      .agg(sum(col("l")).as("n_links"), count(lit(1)).as("n_docs"))
+  }
+
   /** Markdown → plain text as a per-row Column — [[htmlTextExpr]]'s
     * sibling for the OTHER markup half of a crawl (READMEs, forum
     * posts, doc sites ship markdown; quality scoring over raw

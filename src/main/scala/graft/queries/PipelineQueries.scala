@@ -410,6 +410,37 @@ object PipelineQueries {
       d.select(col("doc_id"), md.as("md")), "md", "doc_id")
   }
 
+  /** Outlink/host extraction gate: documents wrapped in an HTML
+    * template carrying four anchors each — two to a per-lang mirror
+    * host (same host, one with a fragment — n_links must count both
+    * while n_docs counts the doc once), one to a per-source host, and
+    * one relative path (the `(relative)` marker row). The oracle
+    * rebuilds the template and replays extraction + host rollup.
+    */
+  def textOutlinksQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"https://m-"), col("lang"),
+      lit(".example/doc/"), id,
+      lit("\">m</a><p><a class=\"x\" href=\"http://"), col("source"),
+      lit(".example/?id="), id,
+      lit("\">s</a></p><a href=\"/local/"), id,
+      lit("\">l</a><a href=\"https://m-"), col("lang"),
+      lit(".example/doc/"), id, lit("#top\">again</a></body></html>"))
+    TextAnalysis.outlinks(
+      d.select(col("doc_id"), html.as("html")), "html", "doc_id")
+  }
+
+  /** Frequent-values profiler gate over one low-cardinality column
+    * (event_type — exercises the full-ranking arm) and one
+    * high-cardinality column (user_id — exercises the top-k heap arm
+    * where count ties break on the string value).
+    */
+  def profileFreqQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.frequentValues(Tables.events(spark, sfDir),
+      Seq("event_type", "user_id"), k = 5)
+
   /** Boilerplate-removal gate on the augmented-input convention:
     * every doc of a source gains that source's nav + footer lines
     * (100% in-group df → struck) and 30% gain a promo line (under
@@ -2001,6 +2032,8 @@ object PipelineQueries {
     "text_html_extract" -> textHtmlExtractQ,
     "text_markdown_extract" -> textMarkdownExtractQ,
     "text_boilerplate" -> textBoilerplateQ,
+    "text_outlinks" -> textOutlinksQ,
+    "profile_freq" -> profileFreqQ,
     "text_vocab" -> textVocabQ,
     "text_unigram_logprob" -> textUnigramLogprobQ,
     "text_repetition" -> textRepetitionQ,
@@ -3206,6 +3239,42 @@ object PipelineQueries {
          |  CAST(sum(qsum) AS BIGINT) AS qsum_mass,
          |  bit_xor(fp) AS content_xor
          |FROM f GROUP BY 1""".stripMargin,
+    "text_outlinks" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><body><a href="https://m-' || lang || '.example/doc/' ||
+         |    doc_id || '">m</a><p><a class="x" href="http://' || source ||
+         |    '.example/?id=' || doc_id || '">s</a></p><a href="/local/' ||
+         |    doc_id || '">l</a><a href="https://m-' || lang ||
+         |    '.example/doc/' || doc_id || '#top">again</a></body></html>'
+         |    AS html FROM documents),
+         |l AS (SELECT doc_id AS doc,
+         |        unnest(regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1)) AS href
+         |      FROM h),
+         |k AS (SELECT CASE WHEN regexp_matches(href, '^https?://')
+         |               THEN regexp_extract(href, '^https?://([^/?#]+)', 1)
+         |               ELSE '(relative)' END AS host, doc
+         |      FROM l),
+         |g AS (SELECT host, doc, CAST(count(*) AS BIGINT) AS l FROM k GROUP BY 1, 2)
+         |SELECT host, CAST(sum(l) AS BIGINT) AS n_links,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1""".stripMargin,
+    "profile_freq" ->
+      s"""WITH f AS (
+         |  SELECT * FROM (
+         |    SELECT 'event_type' AS col_name, event_type::VARCHAR AS value,
+         |      CAST(count(*) AS BIGINT) AS n
+         |    FROM events WHERE event_type IS NOT NULL
+         |    GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 5)
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT 'user_id' AS col_name, user_id::VARCHAR AS value,
+         |      CAST(count(*) AS BIGINT) AS n
+         |    FROM events WHERE user_id IS NOT NULL
+         |    GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 5))
+         |SELECT col_name, value, n,
+         |  CAST(row_number() OVER (PARTITION BY col_name
+         |                          ORDER BY n DESC, value ASC) AS BIGINT) AS rank
+         |FROM f""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -332,6 +332,36 @@ class PipelineSpec extends SparkSpec {
     assert(staged.getAs[String]("lang") === "en")
   }
 
+  test("outlinks: hosts roll up, fragments share a host, non-http lands in (relative)") {
+    val html =
+      "<body><a href=\"https://a.example/x\">1</a>" +
+        "<a class=\"z\" href=\"https://a.example/y#f\">2</a>" +
+        "<a href=\"http://b.example:8080/p?q=1\">3</a>" +
+        "<a href=\"/rel/path\">4</a><a href=\"mailto:x@y\">5</a>" +
+        "<a name=\"no-href\">6</a></body>"
+    val r = TextAnalysis.outlinks(
+      Seq((1L, html), (2L, html)).toDF("doc_id", "html"), "html", "doc_id")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // port stays in the authority; two same-host links count once per doc
+    assert(r == Map(
+      "a.example" -> ((4L, 2L)),        // 2 links × 2 docs, 2 docs
+      "b.example:8080" -> ((2L, 2L)),
+      "(relative)" -> ((4L, 2L))))      // /rel + mailto per doc
+  }
+
+  test("frequentValues: string ties break ascending, nulls drop, ranks are per-column") {
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 3L), ("c", 1L),
+      (null, 9L)).toDF("s", "v")
+    val r = graft.ops.Profile.frequentValues(d, Seq("s", "v"), k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val byCol = r.groupBy(_._1)
+    assert(byCol("s").sortBy(_._4).toSeq ==
+      Seq(("s", "a", 2L, 1L), ("s", "b", 2L, 2L)))
+    assert(byCol("v").sortBy(_._4).toSeq ==
+      Seq(("v", "1", 3L, 1L), ("v", "2", 1L, 2L)),
+      s"numeric renders as string; count ties break on value asc: ${byCol("v").toSeq}")
+  }
+
   test("markdown extraction: every arm rewrites, fence contents never leak, counts off raw") {
     val md = "# Title\n\n> quoted line\nkeep *em* **strong** ~~gone~~ " +
       "`let x = 1` and [anchor](https://e/x) plus ![alt text](i.png)\n" +

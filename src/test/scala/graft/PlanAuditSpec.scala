@@ -904,6 +904,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("profile_freq: per-column top-k is TakeOrdered heaps, never a global sort") {
+    val plan = formatted(q("profile_freq"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy().limit(k) must plan as per-partition top-k heaps")
+    assert(plan.contains("partial_count"), "value counts combine map-side")
+    val analyzed = q("profile_freq").queryExecution.optimizedPlan
+    val sorts = analyzed.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }
+    // the only global orderings are the ones TakeOrdered consumes
+    assert(sorts.forall(_.child.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+  }
+
+  test("text_outlinks: zero joins, extraction at scan speed, partial-agg rollup") {
+    val plan = formatted(q("text_outlinks"))
+    assert(!plan.contains("Join"), "outlinks is scan + aggregate, never a join")
+    assert(plan.contains("partial_count"), "per-(host, doc) counts combine map-side")
+  }
+
   test("no gated query plans a partition-less window (global sweep)") {
     // A window with an empty partitionSpec executes as ONE task over
     // its whole input — the scale failure class embProfile (r10) and
