@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_unigram_count"),
       new ExpressionInfo(classOf[UnigramCountExpr].getName, "graft_unigram_count"),
       (children: Seq[Expression]) => UnigramCountExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wordpiece_encode"),
+      new ExpressionInfo(classOf[WordPieceEncodeExpr].getName, "graft_wordpiece_encode"),
+      (children: Seq[Expression]) => WordPieceEncodeExpr(children(0), children(1))))
   }
 }

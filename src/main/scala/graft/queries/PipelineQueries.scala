@@ -1666,6 +1666,24 @@ object PipelineQueries {
     * feeds three consumers (level-0 ranks, level-1 ranks, the final
     * encode), so it truncates once — the PMI lesson.
     */
+  /** WordPiece greedy longest-match segmentation of the corpus
+    * vocabulary (ops.WordPiece / native graft_wordpiece_encode) —
+    * the BERT-family tokenizer next to BPE and unigram. Vocabulary =
+    * every corpus character in initial AND continuation form (full
+    * coverage, so the gate exercises real segmentation, never the
+    * [UNK] escape hatch — which the spec covers instead) + the top-32
+    * words as whole pieces. The oracle rebuilds the vocabulary and
+    * replays the greedy scan as a recursive CTE (the bpe_encode
+    * pattern): longest matching piece at each position, continuation
+    * pieces rendered ##x.
+    */
+  def wordpieceEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{Bpe, WordPiece}
+    val words = graft.util.Lineage.truncate(
+      Bpe.wordFreq(Tables.documents(spark, sfDir), "text"))
+    WordPiece.encodeWords(words, WordPiece.vocab(words, 32))
+  }
+
   def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Bpe
     val words = graft.util.Lineage.truncate(
@@ -2103,6 +2121,7 @@ object PipelineQueries {
     "bpe_top_pairs" -> bpeTopPairsQ,
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
+    "wordpiece_encode" -> wordpieceEncodeQ,
     "bpe_encode_docs" -> bpeEncodeDocsQ,
     "tokenizer_compare" -> tokenizerCompareQ,
     "text_bm25" -> textBm25Q,
@@ -4563,6 +4582,32 @@ object PipelineQueries {
          |      FROM px)
          |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
          |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+    "wordpiece_encode" ->
+      s"""WITH RECURSIVE
+         |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+         |         (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+         |       WHERE len(word) > 0 GROUP BY 1),
+         |chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS c FROM wf),
+         |topw AS (SELECT word AS p FROM wf ORDER BY freq DESC, word ASC LIMIT 32),
+         |vv AS (SELECT
+         |         (SELECT list(p) FROM (SELECT p FROM topw UNION SELECT c FROM chars)) AS iv,
+         |         (SELECT list(c) FROM chars) AS cv),
+         |rec AS (
+         |  SELECT word, freq, 0 AS pos, '' AS seg, 0 AS np FROM wf
+         |  UNION ALL
+         |  SELECT word, freq, pos + len(bp),
+         |    CASE WHEN pos = 0 THEN bp ELSE seg || ' ##' || bp END,
+         |    np + 1
+         |  FROM (
+         |    SELECT r.word, r.freq, r.pos, r.seg, r.np,
+         |      (list_sort(list_filter(list_transform(
+         |          CASE WHEN r.pos = 0 THEN v.iv ELSE v.cv END,
+         |          p -> struct_pack(nl := -len(p), p := p)),
+         |        s -> substr(r.word, r.pos + 1, len(s.p)) = s.p)))[1].p AS bp
+         |    FROM rec r, vv v WHERE r.pos < len(r.word))
+         |)
+         |SELECT word, freq, CAST(np AS BIGINT) AS n_pieces, seg
+         |FROM rec WHERE pos = len(word)""".stripMargin,
     "bpe_encode" ->
       s"""WITH RECURSIVE
          |$bpeEncCte

@@ -159,4 +159,42 @@ class FunctionsSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == got,
       "unigram training owes nothing to layout")
   }
+
+  test("graft_wordpiece_encode: longest match, continuation marking, whole-word UNK") {
+    import graft.ops.WordPiece
+    import spark.implicits._
+    val vocab = Seq("un", "unwanted", "want", "##want", "##ed", "##anted",
+      "u", "n", "w", "a", "t", "e", "d", "##u", "##n", "##w", "##a",
+      "##t", "##e", "##d")
+    def enc(w: String): Seq[String] =
+      Seq(Tuple1(w)).toDF("word")
+        .select(WordPiece.encodeCol(col("word"), vocab).as("p"))
+        .as[Seq[String]].head()
+    // longest INITIAL match wins over a shorter one plus continuations
+    assert(enc("unwanted") == Seq("unwanted"))
+    // 'ly' has no continuation pieces: the whole word reports [UNK]
+    // even though a prefix segmented — partial segmentations never leak
+    assert(enc("unwantedly") == Seq("[UNK]"))
+    // continuation pieces only match past position 0: "wanted" cannot
+    // use initial "want" at pos 0 then "##ed"; it CAN use w+##anted
+    assert(enc("wanted") == Seq("want", "##ed"))
+    assert(enc("nud") == Seq("n", "##u", "##d"))
+    assert(enc("") == Seq.empty)
+    // native and interpreted paths agree (GraftExtensions contract)
+    val words = Seq(("unwanted", 3L), ("wanted", 2L), ("nud", 1L),
+      ("zzz", 1L)).toDF("word", "freq")
+    val nat = WordPiece.encodeWords(words, vocab)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    val table = graft.functions.WordPieceEncodeExpr.buildTable(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        vocab.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+    val interp = words.collect().map { r =>
+      val arr = graft.functions.WordPieceEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), table)
+      (r.getString(0),
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString).mkString(" "))
+    }.toSet
+    assert(nat == interp)
+    assert(interp.toMap.apply("zzz") == "[UNK]")
+  }
 }
