@@ -76,6 +76,7 @@ object OutputContract {
     ("emb_kmeans_init", "centroid_cosine"),
     ("ann_ivf_assign", "centroid_cosine"),
     ("ann_ivf_search", "cosine"),
+    ("ann_hard_negatives", "cosine"),
     ("dedup_minhash_lsh", "jaccard"), ("dedup_ngram_jaccard", "jaccard"),
     ("dedup_incremental_lsh", "jaccard"),
     ("text_quality", "punct_ratio"), ("text_quality", "digit_ratio"),

@@ -138,6 +138,24 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2, dim = EMB_DIM)
 
+  /** Hard-negative mining gate (Similarity.hardNegatives): labeled
+    * positives are each query's successor vector (query q → positive
+    * q+1, the deterministic label table both engines build), the
+    * shortlist is the same IVF search ann_ivf gates (k+1 deep), the
+    * positive leaves via a broadcast anti-join and survivors re-rank
+    * to k — the oracle replays search, exclusion and re-rank, ranking
+    * stage two by the ROUNDED cosine exactly as the engine does.
+    */
+  def annHardNegativesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1L).as("positive_id"))
+    Similarity.hardNegatives(e, "embedding", "vec_id", pairs,
+      expr("id % 100 = 0"), k = 5, slack = 1, centroidStep = 50L,
+      nProbe = 2, dim = EMB_DIM)
+  }
+
   /** NN-descent k-NN graph: hash-ring init, one full local-join
     * round, exact scoring — the graph-ANN build stage gated
     * end-to-end (the oracle replays init, candidate generation, and
@@ -2026,6 +2044,7 @@ object PipelineQueries {
     "ann_topk" -> annTopkQ,
     "ann_filtered" -> annFilteredQ,
     "ann_ivf" -> annIvfQ,
+    "ann_hard_negatives" -> annHardNegativesQ,
     "ann_nndescent" -> annNnDescentQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -2680,6 +2699,36 @@ object PipelineQueries {
          |         AS BIGINT) AS n_hits
          |FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH $qPrep,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2),
+         |cand AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) AS cosine,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |WHERE rank <= 6)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+         |  FROM cand WHERE neighbor_id <> query_id + 1)
+         |WHERE rank <= 5""".stripMargin,
     "ann_ivf" ->
       s"""WITH $qPrep,
          |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),

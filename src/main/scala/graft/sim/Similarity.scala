@@ -471,6 +471,34 @@ object Similarity {
     * arithmetic + one double cosine per surviving pair, so the
     * DuckDB oracle replays it end-to-end.
     */
+  /** Hard-negative mining for contrastive retrieval training — the
+    * training-pair factory: for every labeled (query, positive) pair,
+    * the top-k most-similar corpus vectors that are NOT the query and
+    * NOT among its labeled positives (the "hard" negatives a bi-encoder
+    * actually learns from; random negatives are too easy to move the
+    * loss). Composes [[ivfTopK]]: the candidate shortlist comes from
+    * the probed-bucket search at k + `slack` (slack ≥ the max
+    * positives a query carries, so dropping them can't starve the
+    * top-k), positives leave via one broadcast anti-join on
+    * (query, neighbor), survivors re-rank to k. Scale cost = the IVF
+    * search + an O(pairs) broadcast — the corpus still never shuffles.
+    */
+  def hardNegatives(df: DataFrame, vecCol: String, idCol: String,
+                    pairs: DataFrame, queryPred: Column, k: Int,
+                    slack: Int, centroidStep: Long, nProbe: Int,
+                    dim: Option[Int] = None): DataFrame = {
+    require(k >= 1 && slack >= 0, "need k >= 1, slack >= 0")
+    val cand = ivfTopK(df, vecCol, idCol, queryPred, k + slack,
+      centroidStep, nProbe, dim)
+    val pos = pairs.select(col("query_id"), col("positive_id").as("neighbor_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   def cascadeTopK(df: DataFrame, vecCol: String, idCol: String,
                   queryPred: Column, k: Int, shortlist: Int,
                   m: Int = 8, codes: Int = 16, iters: Int = 0,

@@ -577,6 +577,33 @@ class PipelineSpec extends SparkSpec {
     e.unpersist(); ()
   }
 
+  test("hardNegatives: labeled positives never surface, ranks re-close over survivors") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), ($"vec_id" + 1L).as("positive_id"))
+    val hn = Similarity.hardNegatives(e, "embedding", "vec_id", pairs,
+      expr("id % 100 = 0"), k = 5, slack = 1, centroidStep = 50L,
+      nProbe = 2, dim = Some(64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(hn.forall { case (q, nb, _, _) => nb != q + 1 && nb != q },
+      "positives and self must never surface as negatives")
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"ranks must re-close over survivors for query $q")
+    }
+    // equivalence: ivf top-(k+slack) minus the positive, re-ranked
+    val ivf = Similarity.ivfTopK(e, "embedding", "vec_id",
+      expr("id % 100 = 0"), k = 6, centroidStep = 50L, nProbe = 2,
+      dim = Some(64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter { case (q, nb, _) => nb != q + 1 }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, nb, c), i) => (q, nb, i + 1, c) }.toSeq
+      }.toSet
+    assert(hn.toSet == ivf, "hard negatives ≡ shortlist minus positives")
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val t = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sfDir), "embedding", "vec_id", expr("id % 25 = 0"), 5)
