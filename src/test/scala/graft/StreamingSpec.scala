@@ -1533,6 +1533,61 @@ class StreamingSpec extends SparkSpec {
       "the level shift surfaces through the file feed")
   }
 
+  test("IvfStream: continuous appends accumulate, replays overwrite, drift decision logs") {
+    import graft.sim.IvfIndex
+    import graft.streaming.IvfStream
+    val emb = graft.util.Tables.embeddings(spark, sfDir).cache()
+    val store = tmp()
+    IvfIndex.build(spark, emb.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 8, iters = 0, dim = 64, store, nStoreBuckets = 4)
+    val base = IvfIndex.assignments(spark, store).count()
+
+    // trigger 1: clean batch appends and decides "keep"
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val d1 = IvfStream.ivfBatch(spark, b1, "embedding", "vec_id", store,
+      storeBatchId = 1000000L, dim = 64, toleranceMicro = 250000L).head()
+    assert(d1.getAs[String]("decision") == "keep")
+    assert(IvfIndex.assignments(spark, store).count() == base + b1.count())
+
+    // replayed trigger (same store batch id): no duplication
+    IvfStream.ivfBatch(spark, b1, "embedding", "vec_id", store,
+      storeBatchId = 1000000L, dim = 64, toleranceMicro = 250000L)
+    assert(IvfIndex.assignments(spark, store).count() == base + b1.count(),
+      "a replayed trigger must overwrite its own partitions")
+
+    // trigger 2: a re-embedded feed (planted shift) decides "recluster"
+    val b2 = emb.filter($"vec_id" % 4 === 3).withColumn("embedding", expr(
+      """transform(embedding, (x, i) ->
+        |  CASE WHEN i = 3 THEN CAST(x AS DOUBLE) + 0.5d
+        |       ELSE CAST(x AS DOUBLE) END)""".stripMargin))
+    val d2 = IvfStream.ivfBatch(spark, b2, "embedding", "vec_id", store,
+      storeBatchId = 1000001L, dim = 64, toleranceMicro = 250000L).head()
+    assert(d2.getAs[String]("decision") == "recluster")
+
+    // the decision log carries one row per trigger, replay-stable
+    val log = IvfStream.decisions(spark, store)
+      .select("batch", "decision").as[(Long, String)].collect().toSet
+    assert(log == Set((1000000L, "keep"), (1000001L, "recluster")))
+
+    // e2e through a real file feed
+    val feedDir = tmp(); val cp = tmp(); val store2 = tmp()
+    IvfIndex.build(spark, emb.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 8, iters = 0, dim = 64, store2, nStoreBuckets = 4)
+    emb.filter($"vec_id" % 4 === 1).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q = IvfStream.ivfStream(spark, feedDir, store2, "embedding",
+      "vec_id", cp, dim = 64, toleranceMicro = 250000L)
+    try {
+      q.processAllAvailable()
+      emb.filter($"vec_id" % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(IvfIndex.assignments(spark, store2).count() == emb.count())
+      assert(IvfStream.decisions(spark, store2).count() == 2)
+    } finally q.stop()
+    emb.unpersist(); ()
+  }
+
   test("streaming schema drift: abort policy fails the stream loudly, target untouched") {
     val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
