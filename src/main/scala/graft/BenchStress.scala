@@ -294,6 +294,25 @@ object BenchStress {
       TextAnalysis.htmlExtract(
         d.select(col("doc_id"), html.as("html")), "html", "doc_id")
     }),
+    // per-row extract_all + explode + two partial aggs: link rows
+    // scale with docs, host cardinality stays fixed — the ratio reads
+    // the scan and the explode, never a host-skewed exchange
+    "text_outlinks" -> ((d: DataFrame) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(lit("<body><a href=\"https://m-"), col("lang"),
+        lit(".example/doc/"), id, lit("\">m</a><a href=\"/l/"), id,
+        lit("\">l</a></body>"))
+      TextAnalysis.outlinks(
+        d.select(col("doc_id"), col("lang"), html.as("html")), "html", "doc_id")
+    }),
+    // the greedy longest-match scan runs on the DISTINCT word table
+    // (bounded by the copy-bijected vocab, ~26× base) with a bounded
+    // driver vocab collect; the corpus explode is the linear term
+    "wordpiece_encode" -> ((d: DataFrame) => {
+      import graft.ops.{Bpe, WordPiece}
+      val words = graft.util.Lineage.truncate(Bpe.wordFreq(d, "text"))
+      WordPiece.encodeWords(words, WordPiece.vocab(words, 32))
+    }),
     // the composed winnow curation chain (pairs → CC → keeper) as one
     // plan: stresses the stage coupling of the config-driven runner
     // the same way pipeline_train_corpus does for the classifier chain
@@ -455,7 +474,34 @@ object BenchStress {
     // hash-ring buckets degenerated or the candidate dedup regressed
     "ann_nndescent" -> ((e: DataFrame, n: Int) =>
       Similarity.nnDescent(e, "embedding", "vec_id", k = 5, iters = 1,
-        buckets = 50 * n, dim = Some(64))))
+        buckets = 50 * n, dim = Some(64))),
+    // PINNED probe set + labeled positives (the ann_cascade doctrine):
+    // the IVF shortlist is the measured cost, the anti-join side is
+    // O(pairs) broadcast — the ratio must read the ivf search alone
+    "ann_hard_negatives" -> ((e: DataFrame, _: Int) => {
+      val pairs = e.filter(expr(s"vec_id % 100 = 0 AND vec_id < $COPY_STRIDE"))
+        .select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1L).as("positive_id"))
+      Similarity.hardNegatives(e, "embedding", "vec_id", pairs,
+        expr(s"id % 100 = 0 AND id < $COPY_STRIDE"), k = 5, slack = 1,
+        centroidStep = 50L, nProbe = 2, dim = Some(64))
+    }),
+    // index maintenance: build a persisted quantizer + inverted file
+    // from the SCALED corpus, then assign a FIXED batch (copy 0)
+    // against it. The ratio reads the linear build (one assignment
+    // scan + O(corpus) partitioned write — the incremental_lsh
+    // "corpus banding pass" doctrine); the appended batch's own cost
+    // is fixed, so any superlinear term means the build's write or
+    // the broadcast degenerated
+    "ann_ivf_append" -> ((e: DataFrame, n: Int) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivf-stress").toString
+      graft.sim.IvfIndex.build(e.sparkSession, e, "embedding", "vec_id",
+        k = 8, iters = 0, dim = 64, store, nStoreBuckets = 8)
+      graft.sim.IvfIndex.assign(
+        e.filter(expr(s"vec_id < $COPY_STRIDE")), "embedding", "vec_id",
+        graft.sim.IvfIndex.centroids(e.sparkSession, store), dim = 64)
+    }))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile
@@ -492,6 +538,12 @@ object BenchStress {
     // side is one broadcast join over the scan — total must stay linear
     "q_robust_scale" -> ((ev: DataFrame) =>
       graft.ops.Profile.robustScale(ev, "event_type", "event_id", "value")),
+    // one low- and one high-cardinality column: the user_id side's
+    // distinct values scale with copies, so the ratio reads the
+    // partial-agg count + TakeOrdered heaps — a global sort sneaking
+    // back in shows up as a superlinear tail immediately
+    "profile_freq" -> ((ev: DataFrame) =>
+      graft.ops.Profile.frequentValues(ev, Seq("event_type", "user_id"), k = 5)),
     // copies multiply per-user history length, so the window sort and
     // the prefix/argmax passes stress superlinearly per key if the
     // exchange-reuse ever breaks
