@@ -156,6 +156,21 @@ object PipelineQueries {
       nProbe = 2, dim = EMB_DIM)
   }
 
+  /** Retrieval-eval gate (Similarity.retrievalEval): MRR@5 and
+    * recall@5 of each query's labeled positive (successor vector, the
+    * ann_hard_negatives label table) in the gated IVF search — the
+    * index-quality scoreboard. Integer micro/ppm aggregation, one row.
+    */
+  def annMrrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1L).as("positive_id"))
+    Similarity.retrievalEval(e, "embedding", "vec_id", pairs,
+      expr("id % 100 = 0"), k = 5, centroidStep = 50L, nProbe = 2,
+      dim = EMB_DIM)
+  }
+
   /** NN-descent k-NN graph: hash-ring init, one full local-join
     * round, exact scoring — the graph-ANN build stage gated
     * end-to-end (the oracle replays init, candidate generation, and
@@ -2045,6 +2060,7 @@ object PipelineQueries {
     "ann_filtered" -> annFilteredQ,
     "ann_ivf" -> annIvfQ,
     "ann_hard_negatives" -> annHardNegativesQ,
+    "ann_mrr" -> annMrrQ,
     "ann_nndescent" -> annNnDescentQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -2729,6 +2745,39 @@ object PipelineQueries {
          |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
          |  FROM cand WHERE neighbor_id <> query_id + 1)
          |WHERE rank <= 5""".stripMargin,
+    "ann_mrr" ->
+      s"""WITH $qPrep,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2),
+         |cand AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |WHERE rank <= 5),
+         |lab AS (SELECT vec_id AS query_id, vec_id + 1 AS positive_id
+         |        FROM embeddings WHERE vec_id % 100 = 0),
+         |hit AS (SELECT l.query_id,
+         |          coalesce(1000000 // c.rank, 0) AS rr_micro,
+         |          CASE WHEN c.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |        FROM lab l LEFT JOIN cand c
+         |          ON c.query_id = l.query_id AND c.neighbor_id = l.positive_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+         |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM hit""".stripMargin,
     "ann_ivf" ->
       s"""WITH $qPrep,
          |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),

@@ -499,6 +499,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Retrieval-quality evaluation against labeled (query, positive)
+    * pairs — [[hardNegatives]]' measuring twin and the index-quality
+    * gate an ANN deployment watches: for each labeled pair, the rank
+    * of the positive in the top-k search results; aggregated to
+    * MRR@k in exact micro units (Σ 10⁶ div rank, then div n — integer
+    * end-to-end, so both engines agree bit-for-bit) and recall@k in
+    * ppm. A positive outside the top-k contributes reciprocal rank 0
+    * (the standard MRR@k convention). One row out.
+    *
+    * Scale: the search dominates (probed buckets); the label join is
+    * an O(pairs) broadcast onto the k·|queries| result rows.
+    */
+  def retrievalEval(df: DataFrame, vecCol: String, idCol: String,
+                    pairs: DataFrame, queryPred: Column, k: Int,
+                    centroidStep: Long, nProbe: Int,
+                    dim: Option[Int] = None): DataFrame = {
+    val cand = ivfTopK(df, vecCol, idCol, queryPred, k, centroidStep,
+      nProbe, dim)
+    val hit = broadcast(pairs
+        .select(col("query_id"), col("positive_id").as("neighbor_id")))
+      .join(cand, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        coalesce(expr("1000000L div rank"), lit(0L)).as("rr_micro"),
+        when(col("rank").isNotNull, 1L).otherwise(0L).as("hit"))
+    hit.agg(count(lit(1)).as("n_queries"),
+        sum(col("rr_micro")).as("srr"), sum(col("hit")).as("nhit"))
+      .select(col("n_queries"),
+        expr("srr div n_queries").as("mrr_micro"),
+        expr("(nhit * 1000000L) div n_queries").as("recall_ppm"))
+  }
+
   def cascadeTopK(df: DataFrame, vecCol: String, idCol: String,
                   queryPred: Column, k: Int, shortlist: Int,
                   m: Int = 8, codes: Int = 16, iters: Int = 0,
