@@ -590,6 +590,71 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each doc's
+    * LM cost routes it into the head / middle / tail TERCILE of the
+    * corpus — the published pre-training split where "head" feeds the
+    * model, "middle" gets a second look and "tail" is dropped or
+    * down-weighted. The LM here is the corpus-estimated bigram model
+    * [[bigramLogProb]] scores with; the cost is integer end-to-end:
+    * per-bigram round(−ln p ·10⁶) (nonnegative — p ≤ 1 — so integer
+    * division truncates identically on both engines), per-doc mean by
+    * exact div, tercile edges as exact LOWER quantiles (the value at
+    * 0-based rank floor(p·(n−1)) — the quality_band convention).
+    *
+    * Scale shape: the bigram scoring is [[bigramLogProb]]'s (one
+    * explode, partial-agg LM, broadcast join back); the tercile edges
+    * come from the bucketed rank walk over DISTINCT cost values
+    * (≤4097 range buckets, broadcast offsets, per-bucket cumulative
+    * window — no partition-less window, the global sweep's contract);
+    * the final label is one broadcast 1-row join onto the doc scores.
+    * Docs with fewer than two words carry no bigram evidence and do
+    * not appear (the bigramLogProb contract).
+    */
+  def pplBucket(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = df
+      .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .repartition(p, col("doc_id"))
+    val bgs = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
+    val lm = withW1.join(c1, "w1")
+      .select(col("bg"), (col("c2").cast("double") / col("c1")).as("p"))
+    val scored = bgs.join(broadcast(lm), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum(round(-log(col("p")) * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("nb"))
+      .select(col("doc_id"), expr("s div nb").as("cost_micro"))
+    val counts = scored.groupBy("cost_micro").agg(count(lit(1)).as("cnt"))
+    val range = counts.agg(min(col("cost_micro")).as("lo"),
+      max(col("cost_micro")).as("hi"), sum(col("cnt")).as("n"))
+    val bucketed = counts.crossJoin(broadcast(range))
+      .withColumn("bkt", expr("(cost_micro - lo) div ((hi - lo) div 4096 + 1)"))
+    val bcnt = bucketed.groupBy("bkt").agg(sum(col("cnt")).as("bc"))
+    val boff = bcnt.as("a")
+      .join(broadcast(bcnt.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("boff"))
+    val wCum = Window.partitionBy(col("bkt")).orderBy(col("cost_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edges = bucketed.join(broadcast(boff), Seq("bkt"))
+      .withColumn("cum", col("boff") + sum(col("cnt")).over(wCum))
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) div 3 + 1"), col("cost_micro")))
+          .as("q_lo"),
+        min(when(col("cum") >= expr("((n - 1) * 2) div 3 + 1"), col("cost_micro")))
+          .as("q_hi"))
+    scored.crossJoin(broadcast(edges))
+      .select(col("doc_id"), col("cost_micro"),
+        when(col("cost_micro") <= col("q_lo"), "head")
+          .when(col("cost_micro") <= col("q_hi"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Document fingerprints: exact content hash, order-independent
     * bag-of-tokens hash (catches token-shuffled copies), and a prefix
     * hash (cheap candidate key for prefix-duplicate scans).

@@ -1157,6 +1157,14 @@ object PipelineQueries {
   def textBigramLogprobQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir), "text", "doc_id")
 
+  /** CCNet perplexity-bucket routing (TextAnalysis.pplBucket): every
+    * scored doc labeled head/middle/tail by exact tercile of its
+    * integer bigram-LM cost — oracle replays LM, cost quantization,
+    * lower-quantile edges and the labels.
+    */
+  def textPplBucketQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.pplBucket(Tables.documents(spark, sfDir), "text", "doc_id")
+
   /** Token-budget mixture sampling (graft.ops.Sampling.tokenBudget):
     * per-language token budgets, rates DERIVED from the corpus totals
     * (one |strata|-row aggregate broadcast back onto the scan) rather
@@ -2047,6 +2055,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_band" -> textQualityBandQ,
     "text_bigram_logprob" -> textBigramLogprobQ,
+    "text_ppl_bucket" -> textPplBucketQ,
     "text_token_df_profile" -> textTokenDfProfileQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash_lsh" -> dedupMinhashQ,
@@ -2493,6 +2502,30 @@ object PipelineQueries {
          |       count(*) AS n_bigrams
          |FROM e JOIN lm USING (bg)
          |GROUP BY e.doc_id""".stripMargin,
+    "text_ppl_bucket" ->
+      s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),
+         |                i -> arr[i-1] || ' ' || arr[i])) AS bg
+         |      FROM a WHERE len(arr) >= 2),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM e GROUP BY 1),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         |lm AS (SELECT bg, CAST(c2 AS DOUBLE) / c1 AS p
+         |       FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+         |sc AS (SELECT e.doc_id,
+         |         CAST(sum(CAST(round(-ln(p) * 1000000) AS BIGINT))
+         |              // count(*) AS BIGINT) AS cost_micro
+         |       FROM e JOIN lm USING (bg) GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM sc),
+         |ed AS (SELECT
+         |  (SELECT cost_micro FROM sc ORDER BY cost_micro
+         |   LIMIT 1 OFFSET ((SELECT n FROM nn) - 1) // 3) AS q_lo,
+         |  (SELECT cost_micro FROM sc ORDER BY cost_micro
+         |   LIMIT 1 OFFSET (((SELECT n FROM nn) - 1) * 2) // 3) AS q_hi)
+         |SELECT doc_id, cost_micro,
+         |  CASE WHEN cost_micro <= (SELECT q_lo FROM ed) THEN 'head'
+         |       WHEN cost_micro <= (SELECT q_hi FROM ed) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc""".stripMargin,
     "text_token_df_profile" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
          |              FROM documents),
