@@ -284,6 +284,25 @@ object Pipeline {
             case b => b.asLong()
           },
           salt = strOf("salt", "graft")).drop("n_tokens")
+      case "ppl_bucket" =>
+        // corpus-global perplexity routing (CCNet head/middle/tail):
+        // annotates each doc's tercile bucket; "keep" (comma list,
+        // e.g. "head,middle") filters to those buckets — docs too
+        // short to score carry bucket "unscored" and survive only an
+        // unfiltered run (visible, not vanished). Two corpus passes
+        // (LM + edges) ⇒ batch-only; streamableOps excludes it.
+        val buckets = graft.ops.TextAnalysis.pplBucket(df, textCol, idCol)
+          .select(col("doc_id").as(idCol), col("bucket"))
+        val annotated = df.join(buckets, Seq(idCol), "left")
+          .withColumn(strOf("outCol", "ppl_bucket"),
+            coalesce(col("bucket"), lit("unscored")))
+          .drop("bucket")
+        node.get("keep") match {
+          case null => annotated
+          case k => annotated.filter(
+            col(strOf("outCol", "ppl_bucket"))
+              .isin(k.asText().split(",").map(_.trim).toSeq: _*))
+        }
       case "dedup_minhash" =>
         // corpus-global near-dup removal: MinHash-LSH pairs → connected
         // components → keep the smallest id per cluster (left_anti on

@@ -397,6 +397,46 @@ class ConfigSpec extends SparkSpec {
       e.getMessage.contains("corpus-global"))
   }
 
+  test("pipeline runner: ppl_bucket routes terciles, keeps buckets, streaming refuses") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+
+    // annotate-only: every doc survives, buckets partition the corpus
+    val outAll = tmpDir() + "/ppl_all"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outAll",
+         |"stages": [{"op": "ppl_bucket"}]}""".stripMargin)
+    val all = spark.read.parquet(outAll)
+    assert(all.count() == docs.count())
+    val byBucket = all.groupBy("ppl_bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet))
+    // exact terciles: head holds at least a third of the scored docs
+    val scored = byBucket.filterNot(_._1 == "unscored").values.sum
+    assert(byBucket("head") >= scored / 3)
+
+    // keep filter: only the named buckets survive
+    val outHm = tmpDir() + "/ppl_hm"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outHm",
+         |"stages": [{"op": "ppl_bucket", "keep": "head,middle"}]}""".stripMargin)
+    val kept = spark.read.parquet(outHm)
+    assert(kept.select("ppl_bucket").distinct().as[String].collect().toSet
+      == Set("head", "middle"))
+    assert(kept.count() == byBucket("head") + byBucket("middle"))
+
+    // corpus-global (two passes): the streaming pipeline refuses
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.stream(spark,
+        s"""{"input": "${tmpDir()}", "output": "${tmpDir()}",
+           |"schemaDdl": "doc_id long, text string",
+           |"stages": [{"op": "ppl_bucket"}]}""".stripMargin, tmpDir())
+    }
+    assert(e.getMessage.contains("ppl_bucket"))
+  }
+
   test("pipeline runner: config stages equal the hand-composed chain; bad configs fail loudly") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
