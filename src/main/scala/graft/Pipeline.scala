@@ -122,6 +122,13 @@ object Pipeline {
         // pure per-row function, streaming-safe
         graft.ops.Unigram.annotateTokens(df, textCol,
           strOf("outCol", "unigram_tokens"), reqStr("vocab"))
+      case "wordpiece_tokens" =>
+        // annotation: WordPiece token counts from a trained vocab
+        // ("vocab": parquet path of graft.ops.WordPiece.trainVocab
+        // output) — the third tokenizer-pricing sibling; fixed table
+        // on disk => pure per-row function, streaming-safe
+        graft.ops.WordPiece.annotateTokens(df, textCol,
+          strOf("outCol", "wordpiece_tokens"), reqStr("vocab"))
       case "split" =>
         // annotation: train/val/test membership as a column — a pure
         // per-row hash threshold (Sampling.splitAssign), so it is
@@ -433,7 +440,8 @@ object Pipeline {
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "markdown_extract", "lang_filter", "sample", "chunk",
     "bpe_tokens", "decontaminate", "coverage_filter", "canary",
-    "wordlist_filter", "split", "unigram_tokens", "readability_filter",
+    "wordlist_filter", "split", "unigram_tokens", "wordpiece_tokens",
+    "readability_filter",
     "code_filter")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */

@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_wordpiece_encode"),
       new ExpressionInfo(classOf[WordPieceEncodeExpr].getName, "graft_wordpiece_encode"),
       (children: Seq[Expression]) => WordPieceEncodeExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wordpiece_count"),
+      new ExpressionInfo(classOf[WordPieceCountExpr].getName, "graft_wordpiece_count"),
+      (children: Seq[Expression]) => WordPieceCountExpr(children(0), children(1))))
   }
 }

@@ -60,7 +60,61 @@ case class WordPieceEncodeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-text WordPiece token COUNT: normalize-split the input on
+  * single spaces and sum each word's greedy-segmentation piece count
+  * ([UNK] words count 1) — one top-level native call per row (the
+  * [[UnigramCountExpr]] rationale: a custom expression nested under a
+  * higher-order lambda trips the analyzer's resolution ordering, a
+  * dedicated whole-text expression doesn't). Input is expected
+  * pre-normalized; empty words contribute nothing.
+  */
+case class WordPieceCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    WordPieceEncodeExpr(left, right).checkInputDataTypes()
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_wordpiece_count"
+
+  @transient private lazy val table: WordPieceEncodeExpr.Table =
+    WordPieceEncodeExpr.buildTable(right.eval(null).asInstanceOf[ArrayData])
+
+  override def nullSafeEval(t: Any, v: Any): Any =
+    WordPieceEncodeExpr.countTokens(t.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("wordpieceTable", table,
+      classOf[WordPieceEncodeExpr.Table].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.WordPieceEncodeExpr.countTokens($t, $tbl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object WordPieceEncodeExpr {
+
+  /** Token count over space-separated words (see [[WordPieceCountExpr]]). */
+  def countTokens(text: UTF8String, table: Table): Long = {
+    val s = text.toString
+    var total = 0L
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start)
+          total += encode(UTF8String.fromString(s.substring(start, i)), table)
+            .numElements()
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
 
   /** Initial and continuation piece sets + max piece lengths (in code
     * points), built once per instance.

@@ -57,6 +57,38 @@ object WordPiece {
     }
   }
 
+  /** Train-and-persist: derive the [[vocab]] from a corpus and write
+    * it as a one-column `piece` parquet — the on-disk handoff
+    * [[annotateTokens]] and the pipeline stage read (the Bpe.train /
+    * Unigram.train convention: the trained table is a FILE, so a
+    * streaming run prices rows against a fixed artifact).
+    */
+  def trainVocab(docs: DataFrame, textCol: String, k: Int,
+                 path: String): Unit = {
+    val spark = docs.sparkSession
+    val words = Bpe.wordFreq(docs, textCol)
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(vocab(words, k).asJava)(
+        org.apache.spark.sql.Encoders.STRING)
+      .toDF("piece").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Annotation: per-row WordPiece token count from a persisted vocab
+    * — `bpe_tokens`/`unigram_tokens`' sibling; fixed table on disk ⇒
+    * pure per-row function, streaming-safe.
+    */
+  def annotateTokens(df: DataFrame, textCol: String, outCol: String,
+                     vocabPath: String): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.catalog.functionExists("graft_wordpiece_count"),
+      "graft_wordpiece_count is not registered: add " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val pieces = spark.read.parquet(vocabPath)
+      .select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
+    df.withColumn(outCol, call_function("graft_wordpiece_count",
+      TextAnalysis.normalize(col(textCol)), typedLit(pieces)))
+  }
+
   /** (word, freq, n_pieces, seg) over a distinct-word table — the
     * [[Bpe.encodeWords]] output convention, so tokenizer comparisons
     * join on the same shape.

@@ -361,6 +361,43 @@ class ConfigSpec extends SparkSpec {
       eT.getMessage.contains("corpus-global"))
   }
 
+  test("pipeline runner: wordpiece_tokens annotates from a trained vocab and streams") {
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    val vocabDir = tmpDir() + "/wp_vocab.parquet"
+    val outDir = tmpDir() + "/wp_annot"
+    docs.write.mode("overwrite").parquet(inDir)
+    graft.ops.WordPiece.trainVocab(docs, "text", k = 32, vocabDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "wordpiece_tokens", "vocab": "$vocabDir"}]}""".stripMargin)
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "wordpiece_tokens").as[(Long, Long)].collect().toMap
+    // hand-compose: sum of per-word piece counts under the same vocab
+    val words = graft.ops.Bpe.wordFreq(docs, "text")
+    val vocab = graft.ops.WordPiece.vocab(words, 32)
+    val perWord = graft.ops.WordPiece.encodeWords(words, vocab)
+      .select("word", "n_pieces").as[(String, Long)].collect().toMap
+    val want = docs.select($"doc_id",
+        split(graft.ops.TextAnalysis.normalize($"text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ws) =>
+        id -> ws.filter(_.nonEmpty).map(perWord).sum
+      }.toMap
+    assert(got == want && got.values.exists(_ > 0))
+    // streaming-safe: fixed vocab file => per-row function
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut",
+         |"stages": [{"op": "wordpiece_tokens", "vocab": "$vocabDir"}]}""".stripMargin,
+      ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id", "wordpiece_tokens").as[(Long, Long)].collect().toMap
+    assert(streamed == want, "streamed annotation must equal the batch run")
+  }
+
   test("pipeline runner: dedup_winnow stage drops passage-embedding copies; streaming refuses") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
