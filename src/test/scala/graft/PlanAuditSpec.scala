@@ -924,6 +924,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), "per-(host, doc) counts combine map-side")
   }
 
+  test("wordpiece_encode: native expression in the plan, encode on the distinct-word table") {
+    val plan = formatted(q("wordpiece_encode"))
+    assert(plan.contains("graft_wordpiece_encode"),
+      "the greedy scan must run as the codegen'd native expression")
+    // the word-frequency aggregation is deliberately lineage-truncated
+    // (the vocab collect already materialized it), so the audited plan
+    // is exactly: truncated word table -> one codegen'd projection
+    assert(plan.contains("Scan ExistingRDD"),
+      "encode must run on the truncated distinct-word table")
+  }
+
+  test("text_ppl_bucket: LM and edges broadcast, no corpus-sized join shuffle") {
+    val plan = formatted(q("text_ppl_bucket"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the LM table and the 1-row edge table must broadcast")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "bigram counts combine map-side")
+  }
+
   test("no gated query plans a partition-less window (global sweep)") {
     // A window with an empty partitionSpec executes as ONE task over
     // its whole input — the scale failure class embProfile (r10) and

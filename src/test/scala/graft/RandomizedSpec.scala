@@ -1274,4 +1274,109 @@ class RandomizedSpec extends SparkSpec {
       Seq(("k_l", "k_r")), binWidth = 50L)
     assert(t.count() == 0, "touching endpoints must not pair")
   }
+
+  test("wordpiece encode equals a driver greedy reference on random words and vocabs") {
+    val rnd = new Random(1311)
+    (1 to rounds).foreach { _ =>
+      val alpha = "abcde"
+      def randPiece(): String =
+        Seq.fill(rnd.nextInt(3) + 1)(alpha(rnd.nextInt(alpha.length))).mkString
+      // vocab: random pieces in both forms plus partial char coverage
+      // (so [UNK] genuinely fires on some words)
+      val vocab = (Seq.fill(12)(randPiece()) ++
+        Seq.fill(12)("##" + randPiece()) ++ Seq("a", "b", "##a", "##b")).distinct
+      val words = Seq.fill(60)(
+        Seq.fill(rnd.nextInt(8) + 1)(alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct
+      // driver reference: greedy longest-match-first, whole-word UNK
+      val init = vocab.filterNot(_.startsWith("##")).toSet
+      val cont = vocab.filter(_.startsWith("##")).map(_.drop(2)).toSet
+      def ref(w: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        while (pos < w.length) {
+          val set = if (pos == 0) init else cont
+          val l = (math.min(w.length - pos,
+            if (set.isEmpty) 0 else set.map(_.length).max) to 1 by -1)
+            .find(n => set.contains(w.substring(pos, pos + n)))
+          l match {
+            case Some(n) =>
+              out += (if (pos == 0) w.substring(pos, pos + n)
+                      else "##" + w.substring(pos, pos + n))
+              pos += n
+            case None => return Seq("[UNK]")
+          }
+        }
+        out.toSeq
+      }
+      val got = graft.ops.WordPiece.encodeWords(
+          words.map(w => (w, 1L)).toDF("word", "freq"), vocab)
+        .select("word", "seg").as[(String, String)].collect().toMap
+      words.foreach { w =>
+        assert(got(w) == ref(w).mkString(" "),
+          s"word '$w' vocab $vocab: got ${got(w)}, want ${ref(w)}")
+      }
+    }
+  }
+
+  test("frequent values equal a driver count-and-sort reference on random columns") {
+    val rnd = new Random(4242)
+    (1 to rounds).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(400) + 50)(
+        (s"v${rnd.nextInt(12)}", rnd.nextInt(6).toLong))
+      val k = rnd.nextInt(4) + 1
+      val got = graft.ops.Profile.frequentValues(
+          rows.toDF("s", "v"), Seq("s", "v"), k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      def refCol(name: String, vals: Seq[String]) =
+        vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (v, n) => (-n, v) }.take(k).zipWithIndex
+          .map { case ((v, n), i) => (name, v, n, (i + 1).toLong) }
+      val want = (refCol("s", rows.map(_._1)) ++
+        refCol("v", rows.map(_._2.toString))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("ppl bucket terciles equal a driver sorted-cut reference on random corpora") {
+    val rnd = new Random(777)
+    (1 to rounds).foreach { _ =>
+      val vocabW = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs = (0L until (rnd.nextInt(40) + 20).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(10) + 2)(
+          vocabW(rnd.nextInt(vocabW.length))).mkString(" "))
+      }
+      val got = graft.ops.TextAnalysis.pplBucket(
+          docs.toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "cost_micro", "bucket")
+        .as[(Long, Long, String)].collect()
+      // reference: recompute LM + costs, cut at exact lower terciles
+      val bgs = docs.flatMap { case (id, t) =>
+        val w = t.split(" ").toSeq
+        w.sliding(2).filter(_.size == 2).map(p => (id, p.mkString(" "))).toSeq
+      }
+      val c2 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c1 = c2.groupBy(_._1.split(" ")(0)).view
+        .mapValues(_.values.sum).toMap
+      val cost = bgs.groupBy(_._1).view.mapValues { bs =>
+        val s = bs.map { case (_, bg) =>
+          val p = c2(bg).toDouble / c1(bg.split(" ")(0))
+          math.round(-math.log(p) * 1e6)
+        }.sum
+        s / bs.size
+      }.toMap
+      val sorted = cost.values.toSeq.sorted
+      val n = sorted.length
+      val qLo = sorted(((n - 1) / 3).toInt)
+      val qHi = sorted((((n - 1) * 2) / 3).toInt)
+      got.foreach { case (id, c, b) =>
+        assert(c == cost(id), s"doc $id cost: got $c want ${cost(id)}")
+        val want = if (c <= qLo) "head" else if (c <= qHi) "middle" else "tail"
+        assert(b == want, s"doc $id (cost $c, edges $qLo/$qHi): got $b")
+      }
+      assert(got.length == cost.size)
+    }
+  }
 }
