@@ -94,11 +94,18 @@ object BenchStress {
     val e = graft.util.Tables.embeddings(spark, sfDir)
     val dim = 64 // embeddings.parquet vector width (TESTDATA.md)
     (0 until n).map { i =>
-      if (i == 0) e
-      else e.select(
+      // rotation amount mod dim: at ≥ dim copies a raw i would ask
+      // slice() for a negative length (the 100× lesson); multiplying
+      // by a dim-coprime step keeps consecutive copies' rotations
+      // distinct even after the wrap
+      val r = (i * 7) % dim
+      if (r == 0) {
+        if (i == 0) e
+        else e.withColumn("vec_id", col("vec_id") + lit(i * COPY_STRIDE))
+      } else e.select(
         Seq((col("vec_id") + lit(i * COPY_STRIDE)).as("vec_id"),
-          concat(slice(col("embedding"), i + 1, dim - i),
-            slice(col("embedding"), 1, i)).as("embedding")) ++
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)).as("embedding")) ++
           e.columns.filterNot(c => c == "vec_id" || c == "embedding").map(col): _*)
     }.reduce(_ unionByName _)
   }
