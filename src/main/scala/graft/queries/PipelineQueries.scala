@@ -171,6 +171,47 @@ object PipelineQueries {
       dim = EMB_DIM)
   }
 
+  /** Contrastive-training triplet EXPORT through the TFRecord
+    * boundary — the composition `ann_hard_negatives` exists for:
+    * (anchor, positive, negative, rank) int64 triplet rows from the
+    * gated hard-negative miner (k=3 per query), shipped as TFRecord
+    * Example shards, read back with the committed reader, and
+    * manifest-verified per query bucket (count + XOR fingerprint over
+    * the full tuple). int64 → varint wire → int64 is exact, so the
+    * oracle replays mining + manifest straight from the embeddings
+    * parquet; any wire corruption or row loss hash-fails.
+    */
+  def pipelineTripletsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1L).as("positive_id"))
+    val negs = Similarity.hardNegatives(e, "embedding", "vec_id", pairs,
+      expr("id % 100 = 0"), k = 3, slack = 1, centroidStep = 50L,
+      nProbe = 2, dim = EMB_DIM)
+    val triplets = negs.join(broadcast(pairs), Seq("query_id"))
+      .select(col("query_id"), col("positive_id"),
+        col("neighbor_id").as("negative_id"), col("rank").cast("long").as("rank"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip").toString
+    graft.sources.TfRecord.write(triplets.repartition(2), dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("positive_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("negative_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    val back = graft.sources.TfRecord.read(spark, s"$dir/*.tfrecord", schema)
+    val fp = graft.util.Hashing.portableHash64(concat_ws(":",
+      col("query_id"), col("positive_id"), col("negative_id"), col("rank")))
+    back.groupBy(expr("(query_id div 100) % 4").as("bucket"))
+      .agg(count(lit(1)).as("n_triplets"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+        bit_xor(fp).as("content_xor"))
+  }
+
   /** NN-descent k-NN graph: hash-ring init, one full local-join
     * round, exact scoring — the graph-ANN build stage gated
     * end-to-end (the oracle replays init, candidate generation, and
@@ -2070,6 +2111,7 @@ object PipelineQueries {
     "ann_ivf" -> annIvfQ,
     "ann_hard_negatives" -> annHardNegativesQ,
     "ann_mrr" -> annMrrQ,
+    "pipeline_export_triplets" -> pipelineTripletsQ,
     "ann_nndescent" -> annNnDescentQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -2778,6 +2820,43 @@ object PipelineQueries {
          |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
          |  FROM cand WHERE neighbor_id <> query_id + 1)
          |WHERE rank <= 5""".stripMargin,
+    "pipeline_export_triplets" ->
+      s"""WITH $qPrep,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |       / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) DESC, c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2),
+         |cand AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) AS cosine,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |WHERE rank <= 4),
+         |hn AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM cand WHERE neighbor_id <> query_id + 1)
+         |WHERE rank <= 3),
+         |t AS (SELECT query_id, query_id + 1 AS positive_id,
+         |        neighbor_id AS negative_id, rank FROM hn)
+         |SELECT (query_id // 100) % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_triplets,
+         |  min(rank) AS min_rank, max(rank) AS max_rank,
+         |  bit_xor(${h64("query_id::VARCHAR || ':' || positive_id::VARCHAR || ':' || negative_id::VARCHAR || ':' || rank::VARCHAR")})
+         |    AS content_xor
+         |FROM t GROUP BY 1""".stripMargin,
     "ann_mrr" ->
       s"""WITH $qPrep,
          |cents AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
