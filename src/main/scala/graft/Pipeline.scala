@@ -596,6 +596,13 @@ object Pipeline {
       if (reports.path("zipf").asBoolean(false))
         TextAnalysis.zipfSlope(cleaned, textCol)
           .write.mode("overwrite").parquet(s"$repDir/zipf")
+      // categorical-skew view: which values dominate each named
+      // column ("freqCols": comma list, "freqK": top-k, default 10)
+      if (reports.has("freqCols"))
+        graft.ops.Profile.frequentValues(cleaned,
+            reports.get("freqCols").asText().split(",").map(_.trim).toSeq,
+            if (reports.has("freqK")) reports.get("freqK").asInt() else 10)
+          .write.mode("overwrite").parquet(s"$repDir/freq")
     }
     (obsIn.get("rows").asInstanceOf[Long], obsOut.get("rows").asInstanceOf[Long])
   }

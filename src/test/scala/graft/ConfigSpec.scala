@@ -515,7 +515,8 @@ class ConfigSpec extends SparkSpec {
          |  {"op": "lang_filter", "keep": ["en", "de"]},
          |  {"op": "decontaminate", "probePath": "$probeDir", "minShared": 5},
          |  {"op": "weighted_cap", "group": "source", "k": 8}],
-         |"reports": {"profile": true, "driftStratum": "source", "zipf": true}}"""
+         |"reports": {"profile": true, "driftStratum": "source", "zipf": true,
+         |             "freqCols": "lang,source", "freqK": 3}}"""
         .stripMargin)
     val out2 = spark.read.parquet(out2Dir)
     assert(rout2 > 0 && rout2 < docs.count())
@@ -532,6 +533,11 @@ class ConfigSpec extends SparkSpec {
     assert(drift.count() > 0 && drift.columns.contains("kl_micro"))
     val zipf = spark.read.parquet(s"$out2Dir.reports/zipf")
     assert(zipf.count() == 1 && zipf.columns.contains("zipf_slope"))
+    val freq = spark.read.parquet(s"$out2Dir.reports/freq")
+    assert(freq.select("col_name").distinct().as[String].collect().toSet
+      == Set("lang", "source"))
+    assert(freq.groupBy("col_name").count().filter($"count" > 3).count() == 0,
+      "freq report is capped at freqK per column")
     // every probe doc's exact self-match is gone (self-overlap ≥ 5 trigrams)
     val probeIds = docs.filter($"doc_id" % 100 === 0)
       .select("doc_id").as[Long].collect().toSet
