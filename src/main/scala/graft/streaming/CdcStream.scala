@@ -53,8 +53,10 @@ object CdcStream {
     *     rewrite, then the batch upserts normally. O(target) once per
     *     drift EVENT, never per trigger (the next compare is InSync).
     *   - `"ignore"`: round-10 behavior, no footer read.
-    * The drift check costs one footer read per trigger (metadata
-    * only, no row scan). A batch mixing pre- and post-drift files
+    * The drift check costs, per trigger: one column-pruned pass over
+    * the batch to collect its distinct file paths (no data columns
+    * are read — the metadata column is a per-file constant) plus one
+    * footer read per file. A batch mixing pre- and post-drift files
     * with an incompatible type change fails the mergeSchema read —
     * loudly, by design.
     */
