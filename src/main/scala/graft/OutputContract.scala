@@ -65,6 +65,8 @@ object OutputContract {
     ("q_range_join", "click_value"), ("q_gap_fill", "filled_value"),
     ("q_percentiles", "p25"), ("q_percentiles", "p50"),
     ("q_percentiles", "p75"),
+    // exact weighted lower quantile = an actual stored price row
+    ("q_weighted_percentile", "value"),
     ("profile_quantiles_sketch", "p50"), ("profile_quantiles_sketch", "p90"),
     ("profile_quantiles_sketch", "p99"),
     // 2. one-op over exact integers

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped statistics over event sequences and measures:
+  * first-order Markov transition matrices, weighted quantiles, and
+  * grouped least-squares fits.
+  *
+  * All three follow the repo's cross-engine determinism doctrine:
+  * heavy arithmetic happens on exact integers (BIGINT counts/weights,
+  * cent-quantized measures, DECIMAL power sums), and any double is
+  * either an actual input value carried through untouched or a final
+  * ratio of exact integers quantized to micro/ppm units — so results
+  * replay bit-identically in DuckDB.
+  */
+object Stats {
+
+  /** First-order Markov transition matrix over per-key ordered state
+    * sequences (the product-analytics "what happens after X" table and
+    * the event-stream health profile in one op).
+    *
+    * Shape at scale: ONE shuffle of the event table on the sequence
+    * key for the `lead` window; the (state, next_state) counting is a
+    * partial aggregation, and the per-state normalization is a window
+    * over the |states|² transition table — never the event table.
+    * `p_ppm = floor(n·10⁶ / total)` stays integer-exact.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                       stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("state"), col("__next").as("next_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_ppm", expr(
+        "n_transitions * 1000000 DIV sum(n_transitions) OVER (PARTITION BY state)"))
+  }
+
+  /** Exact weighted lower quantiles per group: the smallest value
+    * whose cumulative weight reaches q·Σw, computed per requested
+    * q_ppm. Values are carried through untouched (bit-exact doubles);
+    * weights must be integral.
+    *
+    * Shape at scale: a (group, value) partial aggregation collapses
+    * duplicate values BEFORE the cumulative window, so the window runs
+    * over distinct values per group (partitioned by group — no global
+    * window), and the tiny quantile list joins via broadcast. The
+    * threshold test `cum_w·10⁶ ≥ q_ppm·tot_w` is all-BIGINT.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: Column, qPpm: Seq[Long]): DataFrame = {
+    val byVal = df
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("value"))
+      .agg(sum(weightCol.cast("long")).as("w"))
+    val grp = Window.partitionBy("grp")
+    val cum = byVal
+      .withColumn("cum_w", sum("w").over(grp.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_w", sum("w").over(grp))
+    val quants = df.sparkSession.createDataFrame(
+      qPpm.map(java.lang.Long.valueOf).map(Tuple1(_))).toDF("q_ppm")
+    cum.join(broadcast(quants),
+        col("cum_w") * lit(1000000L) >= col("q_ppm") * col("tot_w"))
+      .groupBy(col("grp").as(groupCol), col("q_ppm"))
+      .agg(min("value").as("value"), min("tot_w").as("total_weight"))
+  }
+
+  /** Grouped ordinary-least-squares fit y ~ x from exact integer
+    * inputs (callers quantize: e.g. cents for currency). Power sums
+    * accumulate in DECIMAL so Σy² cannot overflow BIGINT at corpus
+    * scale; the closed-form slope/intercept/R² then evaluate in double
+    * FROM those exact sums, quantized to micro units — deterministic
+    * IEEE arithmetic on identical exact inputs, so DuckDB (HUGEINT
+    * sums → DOUBLE) replays it bit-for-bit.
+    *
+    * Shape at scale: one partial aggregation (map-side combine) over
+    * the input; zero joins, zero windows.
+    */
+  def linReg(df: DataFrame, groupCol: String, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val x = xCol.cast("decimal(20,0)")
+    val y = yCol.cast("decimal(20,0)")
+    val sums = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).cast("decimal(20,0)").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    sums.select(col("grp").as(groupCol), col("n").cast("long").as("n_rows"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("deny"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("n").cast("double").as("nd"))
+      .select(col(groupCol), col("n_rows"),
+        // constant-x (denx=0) and constant-y (deny=0) groups emit NULL
+        // rather than Spark-NaN-vs-DuckDB-NULL divergence
+        when(col("denx") === 0d, lit(null))
+          .otherwise(round(col("num") / col("denx") * 1e6))
+          .cast("long").as("slope_micro"),
+        when(col("denx") === 0d, lit(null))
+          .otherwise(round((col("syd") - col("num") / col("denx") * col("sxd"))
+            / col("nd") * 1e6))
+          .cast("long").as("intercept_micro"),
+        when(col("denx") === 0d || col("deny") === 0d, lit(null))
+          .otherwise(round(col("num") * col("num")
+            / (col("denx") * col("deny")) * 1e6))
+          .cast("long").as("r2_ppm"))
+  }
+}

@@ -709,7 +709,50 @@ object Analytics {
       maxDist = 1, q = 3)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences (B42; graft.ops.Stats.transitionMatrix): which
+    * event_type follows which, with floor-ppm transition
+    * probabilities. One shuffle on user_id for the lead window; the
+    * normalization window runs over the |states|² table only.
+    */
+  def qMarkovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.transitionMatrix(
+      Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ts_ms")),
+      "user_id", Seq($"ts_ms".asc, $"event_id".asc), "event_type")
+  }
+
+  /** Exact weighted quantiles (B43; graft.ops.Stats.weightedQuantiles):
+    * quantity-weighted price quartile/median/tails per return flag —
+    * the "what price does the pth shipped unit pay" table. Duplicate
+    * prices collapse in a partial agg before the per-group cumulative
+    * window; thresholds are all-BIGINT; prices pass through bit-exact.
+    */
+  def qWeightedPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.weightedQuantiles(
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_extendedprice", "l_quantity"),
+      "l_returnflag", "l_extendedprice", col("l_quantity"),
+      Seq(250000L, 500000L, 900000L, 990000L))
+
+  /** Grouped OLS fit price ~ quantity per return flag (B44;
+    * graft.ops.Stats.linReg): slope/intercept/R² in micro units from
+    * DECIMAL-exact power sums of cent-quantized prices — one partial
+    * aggregation, no join, no window, DuckDB-replayable bit-for-bit.
+    */
+  def qLinReg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.linReg(
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_quantity", "l_extendedprice"),
+      "l_returnflag", col("l_quantity").cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_transitions" -> qMarkovTransitions,
+    "q_weighted_percentile" -> qWeightedPercentile,
+    "q_linreg" -> qLinReg,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_ewma" -> qEwma,
     "q_seasonality" -> qSeasonality,
@@ -753,6 +796,55 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) ASC, event_id ASC) AS next_state
+        |  FROM events),
+        |c AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n_transitions
+        |      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n_transitions,
+        |  CAST(n_transitions * 1000000
+        |       // sum(n_transitions) OVER (PARTITION BY state) AS BIGINT) AS p_ppm
+        |FROM c""".stripMargin,
+    "q_weighted_percentile" ->
+      """WITH byval AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS value,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, value,
+        |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY value ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+        |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tot_w
+        |  FROM byval),
+        |q AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS q_ppm)
+        |SELECT grp AS l_returnflag, q_ppm, min(value) AS value,
+        |       min(tot_w) AS total_weight
+        |FROM cum JOIN q ON cum_w * 1000000 >= q_ppm * tot_w
+        |GROUP BY 1, 2""".stripMargin,
+    "q_linreg" ->
+      """WITH q AS (SELECT l_returnflag AS grp,
+        |             CAST(l_quantity AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM q GROUP BY 1),
+        |d AS (SELECT grp, n,
+        |        CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+        |        CAST(n*sxx - sx*sx AS DOUBLE) AS denx,
+        |        CAST(n*syy - sy*sy AS DOUBLE) AS deny,
+        |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |        CAST(n AS DOUBLE) AS nd
+        |      FROM s)
+        |SELECT grp AS l_returnflag, n AS n_rows,
+        |  CAST(round(num / denx * 1e6) AS BIGINT) AS slope_micro,
+        |  CAST(round((syd - num / denx * sxd) / nd * 1e6) AS BIGINT) AS intercept_micro,
+        |  CAST(round(num * num / (denx * deny) * 1e6) AS BIGINT) AS r2_ppm
+        |FROM d""".stripMargin,
     "q_join_advise" ->
       """WITH counts AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
         |keys AS (SELECT DISTINCT o_orderkey AS k FROM orders

@@ -464,4 +464,72 @@ class AnalyticsSpec extends SparkSpec {
         $"value".cast("double")))
     assert(run(withNulls) == got)
   }
+
+  test("transitionMatrix: per-key sequences, tie-break order, floor ppm, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: A,B,A,B (by ms, event_id breaks the ms tie at 2)
+    // user 2: A,A
+    val ev = Seq(
+      (1L, 10L, 0L, "A"), (1L, 11L, 1L, "B"),
+      (1L, 12L, 2L, "A"), (1L, 13L, 2L, "B"), // same ms: event_id orders
+      (2L, 20L, 0L, "A"), (2L, 21L, 1L, "A"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Stats.transitionMatrix(d, "user_id",
+          Seq($"ts_ms".asc, $"event_id".asc), "event_type")
+        .as[(String, String, Long, Long)].collect().sorted.toSeq
+    val got = run(ev)
+    assert(got === Seq(
+      ("A", "A", 1L, 333333L), // user 2
+      ("A", "B", 2L, 666666L), // floor(2e6/3)
+      ("B", "A", 1L, 1000000L)))
+    assert(run(ev.repartition(5)) === got, "transitions owe nothing to layout")
+    // swapping the event_id tie-break flips the 12/13-ms pair: A,B,B,A
+    val swapped = ev.withColumn("event_id",
+      when($"event_id" === 12L, 13L).when($"event_id" === 13L, 12L)
+        .otherwise($"event_id"))
+    val got2 = run(swapped)
+    assert(got2.exists(t => t._1 == "B" && t._2 == "B"),
+      "tie-break must be part of the ordering contract")
+  }
+
+  test("weightedQuantiles: exact lower quantile, duplicate collapse, all-BIGINT thresholds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // g: value 1.0 w=2, 2.0 w=3 (as 1+2 duplicates), 3.0 w=5 -> tot 10
+    val df = Seq(("g", 1.0, 2L), ("g", 2.0, 1L), ("g", 2.0, 2L), ("g", 3.0, 5L),
+      ("h", 7.5, 4L)).toDF("grp", "price", "qty")
+    def run(d: org.apache.spark.sql.DataFrame, qs: Seq[Long]) =
+      graft.ops.Stats.weightedQuantiles(d, "grp", "price", col("qty"), qs)
+        .as[(String, Long, Double, Long)].collect().sorted.toSeq
+    val got = run(df, Seq(100000L, 250000L, 500000L, 1000000L))
+    assert(got === Seq(
+      ("g", 100000L, 1.0, 10L),  // cum 2e6 >= 1e5*10
+      ("g", 250000L, 2.0, 10L),  // cum 2e6 <  2.5e6; cum 5e6 >= 2.5e6
+      ("g", 500000L, 2.0, 10L),  // cum 5e6 >= 5e6 (boundary hits exactly)
+      ("g", 1000000L, 3.0, 10L),
+      ("h", 100000L, 7.5, 4L), ("h", 250000L, 7.5, 4L),
+      ("h", 500000L, 7.5, 4L), ("h", 1000000L, 7.5, 4L)))
+    assert(run(df.repartition(4), Seq(100000L, 250000L, 500000L, 1000000L)) === got)
+  }
+
+  test("linReg: perfect line exact micro units, constant-x and constant-y emit NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y = 2x + 1 exactly; plus a constant-y group and a constant-x group
+    val df = Seq(
+      ("line", 1L, 3L), ("line", 2L, 5L), ("line", 3L, 7L), ("line", 4L, 9L),
+      ("flaty", 1L, 4L), ("flaty", 2L, 4L), ("flaty", 3L, 4L),
+      ("flatx", 5L, 1L), ("flatx", 5L, 9L))
+      .toDF("grp", "x", "y")
+    val got = graft.ops.Stats.linReg(df, "grp", col("x"), col("y"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("flatx", 2L, None, None, None),
+      // slope 0, intercept 4, r2 = 0/0 -> NULL (deny = 0)
+      ("flaty", 3L, Some(0L), Some(4000000L), None),
+      ("line", 4L, Some(2000000L), Some(1000000L), Some(1000000L))))
+  }
 }
