@@ -411,4 +411,48 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Out-in degree assortativity (Newman r) over the DISTINCT directed
+    * edge set: the Pearson correlation, across edges (u→v), between
+    * u's out-degree and v's in-degree — positive means hubs link to
+    * hubs (a crawl-frontier / link-farm shape signal).
+    *
+    * Exact BIGINT sufficient statistics (m, Σj, Σk, Σjk, Σj², Σk²)
+    * via two degree joins on the edge list keyed by node id; the
+    * single-row fold evaluates r in double FROM those exact integers
+    * (IEEE +,−,×,÷,√ are correctly rounded → DuckDB replays the bits).
+    * Self-loops are excluded; duplicate edges collapse first.
+    *
+    * Shape at scale: degree tables are node-cardinality aggregations;
+    * both joins shuffle on node id (AQE may broadcast the degree
+    * side); the final fold is one partial agg to a single row.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("j"))
+    val inDeg = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("k"))
+    val sums = e
+      .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
+      .join(inDeg.withColumnRenamed("id", "dst"), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum("j").as("sj"), sum("k").as("sk"),
+        sum(col("j") * col("k")).as("sjk"),
+        sum(col("j") * col("j")).as("sjj"),
+        sum(col("k") * col("k")).as("skk"))
+    sums.select(col("n_edges"), col("sj"), col("sk"), col("sjk"),
+      col("sjj"), col("skk"),
+      when((col("n_edges") * col("sjj") - col("sj") * col("sj")) === 0L ||
+           (col("n_edges") * col("skk") - col("sk") * col("sk")) === 0L,
+        lit(null))
+        .otherwise(round(
+          (col("n_edges") * col("sjk") - col("sj") * col("sk")).cast("double")
+            / sqrt((col("n_edges") * col("sjj") - col("sj") * col("sj"))
+              .cast("double")
+              * (col("n_edges") * col("skk") - col("sk") * col("sk"))
+              .cast("double")) * 1e6))
+        .cast("long").as("r_micro"))
+  }
 }

@@ -701,4 +701,49 @@ object Profile {
         col("obs_ppm"), col("exp_ppm"),
         abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
+
+  /** Mutual information between two categorical columns, in the
+    * repo's count-weighted micro-nat convention (the `tokenDrift`
+    * integer doctrine): per joint cell, q = round(ln(c_ab·n /
+    * (c_a·c_b))·10⁶) as BIGINT, and mi_micro = Σ c_ab·q; the two
+    * marginal entropies accumulate the same way, so nmi_ppm =
+    * round(mi / min(H_a, H_b) · 10⁶) is a one-op double over exact
+    * longs. The leakage/relevance detector for metadata columns
+    * (e.g. does `source` predict `lang`?): NMI near 10⁶ means one
+    * column is a function of the other.
+    *
+    * Shape at scale: one (a, b) partial aggregation over the input;
+    * marginals are aggs of the |A|·|B| cell table; both joins back
+    * onto cells are broadcasts of marginal tables. No windows.
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = cells.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val cb = cells.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val n = cells.agg(sum("c_ab").as("n"))
+    val mi = cells
+      .join(broadcast(ca), Seq("a")).join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("n").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))) * 1e6)
+          .cast("long").as("q"))
+      .agg(sum(col("c_ab") * col("q")).as("mi_micro"))
+    def entropy(marg: DataFrame, c: String) = marg.crossJoin(broadcast(n))
+      .select(col(c),
+        round(log(col("n").cast("double") / col(c).cast("double")) * 1e6)
+          .cast("long").as("q"))
+      .agg(sum(col(c) * col("q")))
+    val ha = entropy(ca, "c_a").toDF("h_a_micro")
+    val hb = entropy(cb, "c_b").toDF("h_b_micro")
+    n.crossJoin(broadcast(mi)).crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .select(lit(colA).as("col_a"), lit(colB).as("col_b"), col("n"),
+        col("mi_micro"), col("h_a_micro"), col("h_b_micro"),
+        when(least(col("h_a_micro"), col("h_b_micro")) === 0L, lit(null))
+          .otherwise(round(col("mi_micro").cast("double")
+            / least(col("h_a_micro"), col("h_b_micro")).cast("double") * 1e6))
+          .cast("long").as("nmi_ppm"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeCapture, Merge, RangeHashDiff, SnapshotDiff, SchemaSync}
+import graft.cdc.{ChangeCapture, Compaction, Merge, RangeHashDiff, SnapshotDiff, SchemaSync}
 import graft.util.Tables
 
 /** Driver-checkable bindings of the CDC operator library (SURVEY §2
@@ -286,7 +286,24 @@ object CdcQueries {
     }.toDF("table_name", "ddl", "fingerprint")
   }
 
+  /** Small-file compaction plan (A39; graft.cdc.Compaction.plan) over
+    * a manifest synthesized from orders (file = orderkey DIV 64,
+    * bucket = file % 8, rows = keys per file): files under the
+    * 150-row threshold pack in file order into ~200-row merge groups,
+    * big files pass through as keeps. One window over the
+    * file-cardinality manifest — the data is never read.
+    */
+  def compactionPlanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = graft.util.Tables.orders(spark, sfDir)
+      .groupBy(expr("o_orderkey DIV 64").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bucket", pmod(col("file_id"), lit(8L)))
+    Compaction.plan(manifest, "bucket", "file_id", "n_rows",
+      targetRows = 200L, smallThreshold = 150L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_compaction_plan" -> compactionPlanQ,
     "cdc_update_range" -> updateRangeQ,
     "cdc_incremental_pull" -> incrementalPullQ,
     "cdc_merge_upsert" -> mergeUpsertQ,
@@ -341,6 +358,28 @@ object CdcQueries {
        |FROM h""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_compaction_plan" ->
+      """WITH m AS (SELECT o_orderkey // 64 AS file_id,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
+        |        (o_orderkey // 64) % 8 AS bucket
+        |      FROM orders GROUP BY 1),
+        |small AS (SELECT * FROM m WHERE n_rows < 150),
+        |big AS (SELECT * FROM m WHERE n_rows >= 150),
+        |g AS (SELECT bucket, file_id, n_rows,
+        |        CAST(sum(n_rows) OVER (PARTITION BY bucket ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM small),
+        |mg AS (SELECT bucket, (cum - n_rows) // 200 AS grp,
+        |        CAST(count(*) AS BIGINT) AS n_files,
+        |        CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |        min(file_id) AS file_lo, max(file_id) AS file_hi
+        |      FROM g GROUP BY 1, 2)
+        |SELECT bucket,
+        |  CASE WHEN n_files > 1 THEN 'merge' ELSE 'keep' END AS action,
+        |  n_files, rows_total, file_lo, file_hi
+        |FROM mg
+        |UNION ALL
+        |SELECT bucket, 'keep', 1, n_rows, file_id, file_id FROM big""".stripMargin,
     "cdc_scd2" -> scd2Oracle("events"),
     "cdc_scd2_asof" ->
       s"""SELECT user_id, event_type, valid_from, valid_to

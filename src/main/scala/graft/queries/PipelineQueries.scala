@@ -1709,6 +1709,25 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Out-in degree assortativity over the hash-synthesized link graph
+    * (C20j; graft.ops.Graph.assortativity): exact BIGINT sufficient
+    * statistics + a one-row IEEE fold to r_micro. Same edge CTE as
+    * the rest of the graph family.
+    */
+  def graphAssortativityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.assortativity(edges)
+  }
+
+  /** Metadata-leakage detector (C19m; graft.ops.Profile.mutualInfo):
+    * MI(lang; source) over documents in count-weighted micro-nats +
+    * normalized MI ppm — does one metadata column predict another.
+    */
+  def profileMutualInfoQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.mutualInfo(
+      Tables.documents(spark, sfDir).select("lang", "source"),
+      "lang", "source")
+
   /** Random-projection dim reduction (graft.sim.Similarity.project):
     * 64-d embeddings → 16 exact-integer JL components, exploded to
     * (vec_id, j, v) scalars for the hash gate.
@@ -2199,6 +2218,8 @@ object PipelineQueries {
     "graph_hits" -> graphHitsQ,
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
+    "graph_assortativity" -> graphAssortativityQ,
+    "profile_mutual_info" -> profileMutualInfoQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
     "profile_histogram_eq" -> profileHistogramEqQ,
@@ -4532,6 +4553,61 @@ object PipelineQueries {
          |  CAST(coalesce(nr, 0) AS BIGINT) AS n_recip,
          |  CAST((coalesce(nr, 0) * 1000000) // out_deg AS BIGINT) AS recip_ppm
          |FROM od LEFT JOIN rc USING (u)""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e0 AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS j FROM e GROUP BY 1),
+         |idg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS k FROM e GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |        CAST(sum(j) AS BIGINT) AS sj, CAST(sum(k) AS BIGINT) AS sk,
+         |        CAST(sum(j*k) AS BIGINT) AS sjk,
+         |        CAST(sum(j*j) AS BIGINT) AS sjj,
+         |        CAST(sum(k*k) AS BIGINT) AS skk
+         |      FROM e JOIN od ON e.src = od.id JOIN idg ON e.dst = idg.id)
+         |SELECT n_edges, sj, sk, sjk, sjj, skk,
+         |  CASE WHEN n_edges*sjj - sj*sj = 0 OR n_edges*skk - sk*sk = 0
+         |       THEN NULL
+         |       ELSE CAST(round(CAST(n_edges*sjk - sj*sk AS DOUBLE)
+         |            / sqrt(CAST(n_edges*sjj - sj*sj AS DOUBLE)
+         |                   * CAST(n_edges*skk - sk*sk AS DOUBLE)) * 1e6)
+         |            AS BIGINT)
+         |  END AS r_micro
+         |FROM s""".stripMargin,
+    "profile_mutual_info" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |        CAST(count(*) AS BIGINT) AS c_ab
+        |      FROM documents GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT CAST(sum(c_ab * CAST(round(ln(
+        |          CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |          / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+        |        AS BIGINT)) AS BIGINT) AS mi_micro
+        |      FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nn),
+        |ha AS (SELECT CAST(sum(c_a * CAST(round(ln(
+        |          CAST(n AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS BIGINT) AS h_a_micro FROM ca CROSS JOIN nn),
+        |hb AS (SELECT CAST(sum(c_b * CAST(round(ln(
+        |          CAST(n AS DOUBLE) / CAST(c_b AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS BIGINT) AS h_b_micro FROM cb CROSS JOIN nn)
+        |SELECT 'lang' AS col_a, 'source' AS col_b, n, mi_micro,
+        |  h_a_micro, h_b_micro,
+        |  CASE WHEN least(h_a_micro, h_b_micro) = 0 THEN NULL
+        |       ELSE CAST(round(CAST(mi_micro AS DOUBLE)
+        |            / CAST(least(h_a_micro, h_b_micro) AS DOUBLE) * 1e6)
+        |            AS BIGINT)
+        |  END AS nmi_ppm
+        |FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
     "graph_hits" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

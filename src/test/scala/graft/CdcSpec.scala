@@ -866,4 +866,35 @@ class CdcSpec extends SparkSpec {
     val deleted = RangeHashDiff.deletedKeys(tgt, src, Seq("id")).as[Long].collect().toSet
     assert(deleted == (1 to 16).map(_ * 617L).filter(k => k > 3000 && k < 10000).toSet)
   }
+
+  test("compaction plan: in-order packing, overflow closes group, big files keep, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket 0: small files 1(40) 2(40) 3(40) 4(90) 5(10); target 100,
+    // threshold 150. cum: 40 80 120 210 220; grp=(cum-rows)DIV 100:
+    // 0 0 0 1 2 -> [1..3]=120 merge, [4]=90 keep, [5]=10 keep.
+    // bucket 1: big file 6(200) keeps; smalls 7(60) 8(60) -> cum 60 120,
+    // grp 0 0 -> merge [7..8]=120.
+    val manifest = Seq(
+      (0L, 1L, 40L), (0L, 2L, 40L), (0L, 3L, 40L), (0L, 4L, 90L),
+      (0L, 5L, 10L), (1L, 6L, 200L), (1L, 7L, 60L), (1L, 8L, 60L))
+      .toDF("bucket", "file_id", "n_rows")
+    def run(m: org.apache.spark.sql.DataFrame) =
+      graft.cdc.Compaction.plan(m, "bucket", "file_id", "n_rows",
+          targetRows = 100L, smallThreshold = 150L)
+        .as[(Long, String, Long, Long, Long, Long)]
+        .collect().sortBy(t => (t._1, t._5)).toSeq
+    val got = run(manifest)
+    assert(got === Seq(
+      (0L, "merge", 3L, 120L, 1L, 3L),
+      (0L, "keep", 1L, 90L, 4L, 4L),
+      (0L, "keep", 1L, 10L, 5L, 5L),
+      (1L, "keep", 1L, 200L, 6L, 6L),
+      (1L, "merge", 2L, 120L, 7L, 8L)))
+    assert(run(manifest.repartition(5)) === got,
+      "the plan owes nothing to partition layout")
+    // every small file lands in exactly one group: coverage conservation
+    val planned = got.filter(_._2 != "x").map(_._4).sum
+    assert(planned === manifest.as[(Long, Long, Long)].collect().map(_._3).sum)
+  }
 }

@@ -2326,4 +2326,55 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.toSeq == b.toSeq, "nnDescent must be layout-independent")
   }
+
+  test("assortativity: hand graph exact stats, dup/self-loop collapse, degenerate NULL") {
+    import spark.implicits._
+    // star out of 0: 0->1, 0->2, 0->3 plus a chain edge 1->2.
+    // out-deg: 0:3, 1:1. in-deg: 1:1, 2:2, 3:1.
+    // edges (j,k): (0,1):(3,1) (0,2):(3,2) (0,3):(3,1) (1,2):(1,2)
+    // m=4 sj=10 sk=6 sjk=3+6+3+2=14 sjj=9+9+9+1=28 skk=1+4+1+4=10
+    // num=4*14-60=-4 denx=4*28-100=12 deny=4*10-36=4
+    // r = -4/sqrt(48) = -0.57735.. -> r_micro = -577350
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (1L, 2L), (7L, 7L)) // dup edge + self-loop must collapse/drop
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.assortativity(e)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got === Seq((4L, 10L, 6L, 14L, 28L, 10L, Some(-577350L))))
+    assert(graft.ops.Graph.assortativity(e.repartition(5))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq === got, "assortativity owes nothing to layout")
+    // constant out-degree (every node out-deg 1) -> denx = 0 -> NULL
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = graft.ops.Graph.assortativity(ring)
+      .select("r_micro").as[Option[Long]].collect().toSeq
+    assert(r === Seq(None))
+  }
+
+  test("mutualInfo: functional dependence gives NMI 1e6, independence gives 0") {
+    import spark.implicits._
+    // b = f(a): MI = H(a) = H(b) -> nmi_ppm = 1000000
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"), ("z", "w"))
+      .toDF("lang", "source")
+    val d = graft.ops.Profile.mutualInfo(dep, "lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    assert(d._1 == "lang" && d._2 == "source" && d._3 == 5L)
+    assert(d._4 == d._5 && d._5 == d._6, "H(a)=H(b)=MI under a bijection")
+    assert(d._7 === Some(1000000L))
+    // independent 2x2 uniform: every cell q = ln(1) = 0 -> MI 0, NMI 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("lang", "source")
+    val i = graft.ops.Profile.mutualInfo(ind, "lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    assert(i._4 === 0L)
+    assert(i._7 === Some(0L))
+    // single-value column: H = 0 -> NULL guard, not division blowup
+    val flat = Seq(("x", "u"), ("x", "v")).toDF("lang", "source")
+    val f = graft.ops.Profile.mutualInfo(flat, "lang", "source")
+      .select("nmi_ppm").as[Option[Long]].collect().head
+    assert(f === None)
+  }
 }
