@@ -1341,4 +1341,80 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** OCR-artifact scoring — the scan-corpus quality axis: digitized
+    * text degrades in characteristic ways (character confusions like
+    * o→0/e→3 yielding mixed alpha-digit tokens, shattered single-char
+    * tokens, hyphenated linebreak residue "xx- yy"). Per doc, ppm
+    * rates of each artifact class over the token count, and a flag at
+    * `flagPpm` on the confusion rate. Map-only (one projection, no
+    * shuffle); every rate is integer floor-ppm.
+    */
+  def ocrArtifacts(df: DataFrame, textCol: String, idCol: String,
+                   flagPpm: Long): DataFrame =
+    df.select(col(idCol), normalize(col(textCol)).as("__nt"))
+      .withColumn("__toks", split(col("__nt"), " "))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("mixed_ppm", expr(
+        """size(filter(__toks, x -> x rlike '[0-9]' AND x rlike '[a-z]'))
+          | * 1000000L DIV n_tokens""".stripMargin))
+      .withColumn("singleton_ppm", expr(
+        "size(filter(__toks, x -> length(x) = 1)) * 1000000L DIV n_tokens"))
+      .withColumn("hyphen_breaks",
+        (size(split(col("__nt"), "- ", -1)) - 1L).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("mixed_ppm"),
+        col("singleton_ppm"), col("hyphen_breaks"),
+        (col("mixed_ppm") >= flagPpm).as("flagged"))
+
+  /** C4-style page cleaning (the published Raffel et al. 2020
+    * heuristics, re-expressed as one projection): LINE rules — keep
+    * only lines that end in terminal punctuation, carry at least
+    * `minWordsPerLine` words, and don't contain "javascript";
+    * PAGE rules — a page survives only with ≥ `minLines` kept lines
+    * and no "lorem ipsum" / "{" anywhere. Emits the audit row per
+    * page (line counts in/kept, kept-text char count, survival flag)
+    * — map-only, no shuffle; the corpus-rewrite variant is
+    * `array_join` of the same kept-lines expression.
+    */
+  def c4Filter(df: DataFrame, textCol: String, idCol: String,
+               minWordsPerLine: Int, minLines: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__lines", split(col("__t"), "\n", -1))
+      .withColumn("__kept", expr(
+        s"""filter(__lines, l -> l rlike '[.!?"]$$'
+           |  AND size(split(l, ' ')) >= $minWordsPerLine
+           |  AND NOT l rlike 'javascript')""".stripMargin))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines_in"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        length(array_join(col("__kept"), "\n")).cast("long")
+          .as("clean_chars"),
+        (size(col("__kept")) >= minLines &&
+          !lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{")).as("kept"))
+
+  /** Chat-template rendering — the conversation→training-text step of
+    * an SFT data pipeline: per conversation, turns sort by `ordCol`
+    * and render alternately as user/assistant blocks
+    * (`<tag>\ntext\n<endTag>\n`), fingerprinted with md5 so ANY
+    * template drift (tag bytes, separator, turn order, role parity)
+    * splits the hash. One groupBy on the conversation key;
+    * sort_array puts the fold order under the plan's control (no
+    * collect_list order dependence).
+    */
+  def chatRender(df: DataFrame, convCol: String, ordCol: String,
+                 textCol: String, userTag: String, assistantTag: String,
+                 endTag: String): DataFrame =
+    df.groupBy(col(convCol).as("conv_id"))
+      .agg(sort_array(collect_list(struct(col(ordCol).as("o"),
+        col(textCol).as("t")))).as("__turns"))
+      .withColumn("__rendered", expr(
+        s"""array_join(transform(__turns, (x, i) ->
+           |  concat(CASE WHEN i % 2 = 0 THEN '$userTag'
+           |              ELSE '$assistantTag' END,
+           |    chr(10), x.t, chr(10), '$endTag', chr(10))), '')""".stripMargin))
+      .select(col("conv_id"),
+        size(col("__turns")).cast("long").as("n_turns"),
+        length(col("__rendered")).cast("long").as("n_chars"),
+        md5(col("__rendered")).as("fp"))
 }

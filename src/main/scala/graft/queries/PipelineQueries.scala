@@ -1709,6 +1709,61 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** OCR-artifact scoring over a corpus with deterministic scan-damage
+    * injection (every 7th doc gets o→0/e→3 character confusions, the
+    * classic OCR substitution class) — the detector must light up on
+    * exactly those docs (C11al; TextAnalysis.ocrArtifacts, map-only).
+    */
+  def textOcrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val corr = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, translate(col("text"), "oe", "03"))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.ocrArtifacts(corr, "text", "doc_id", flagPpm = 100000L)
+  }
+
+  /** The C4-gate corpus: single-line documents re-lined into 8-token
+    * lines with deterministic decorations — terminal '.' on lines
+    * where (doc_id+i) % 3 ≠ 0, a 'javascript.' suffix where
+    * (doc_id+i) % 11 = 0, a lorem-ipsum line on doc_id % 13 = 0 and a
+    * '{' line on doc_id % 17 = 0 — so every C4 rule has true
+    * positives AND true negatives. The oracle derives the identical
+    * corpus (same precedent as `dupCorpus`).
+    */
+  def c4Corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        split(TextAnalysis.normalize(col("text")), " ").as("__toks"))
+      .withColumn("__nch", expr("cast(ceil(size(__toks) / 8.0) as int)"))
+      .withColumn("__lines", expr(
+        """transform(sequence(0, __nch - 1), i ->
+          |  concat(array_join(slice(__toks, i * 8 + 1, 8), ' '),
+          |    CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
+          |         WHEN (doc_id + i) % 3 != 0 THEN '.'
+          |         ELSE '' END))""".stripMargin))
+      .select(col("doc_id"), concat(
+        array_join(col("__lines"), "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nfunction() {.")).otherwise(lit(""))).as("text"))
+
+  /** C4 page cleaning (C11am; TextAnalysis.c4Filter) over the re-lined
+    * corpus: per-page line-survival audit + page survival flag.
+    */
+  def textC4Q(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.c4Filter(c4Corpus(spark, sfDir), "text", "doc_id",
+      minWordsPerLine = 5, minLines = 3)
+
+  /** Chat-template rendering (C11an; TextAnalysis.chatRender):
+    * per-source doc sequences render as alternating user/assistant
+    * turns; the md5 fingerprint gates every template byte.
+    */
+  def textChatRenderQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chatRender(
+      Tables.documents(spark, sfDir).select("source", "doc_id", "text"),
+      "source", "doc_id", "text",
+      "<|user|>", "<|assistant|>", "<|end|>")
+
   /** Out-in degree assortativity over the hash-synthesized link graph
     * (C20j; graft.ops.Graph.assortativity): exact BIGINT sufficient
     * statistics + a one-row IEEE fold to r_micro. Same edge CTE as
@@ -2219,6 +2274,9 @@ object PipelineQueries {
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
     "graph_assortativity" -> graphAssortativityQ,
+    "text_ocr_artifacts" -> textOcrQ,
+    "text_c4_filter" -> textC4Q,
+    "text_chat_render" -> textChatRenderQ,
     "profile_mutual_info" -> profileMutualInfoQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
@@ -4553,6 +4611,74 @@ object PipelineQueries {
          |  CAST(coalesce(nr, 0) AS BIGINT) AS n_recip,
          |  CAST((coalesce(nr, 0) * 1000000) // out_deg AS BIGINT) AS recip_ppm
          |FROM od LEFT JOIN rc USING (u)""".stripMargin,
+    "text_ocr_artifacts" ->
+      """WITH c AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN translate(text, 'oe', '03')
+        |             ELSE text END AS t
+        |      FROM documents),
+        |n AS (SELECT doc_id,
+        |        lower(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS nt
+        |      FROM c),
+        |k AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM n)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]')
+        |       AND regexp_matches(x, '[a-z]'))) * 1000000
+        |       // len(toks) AS BIGINT) AS mixed_ppm,
+        |  CAST(len(list_filter(toks, x -> len(x) = 1)) * 1000000
+        |       // len(toks) AS BIGINT) AS singleton_ppm,
+        |  CAST(len(string_split(nt, '- ')) - 1 AS BIGINT) AS hyphen_breaks,
+        |  (CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]')
+        |       AND regexp_matches(x, '[a-z]'))) * 1000000
+        |       // len(toks) AS BIGINT) >= 100000) AS flagged
+        |FROM k""".stripMargin,
+    "text_c4_filter" ->
+      """WITH base AS (SELECT doc_id,
+        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |          ' ') AS toks
+        |      FROM documents),
+        |ln AS (SELECT doc_id, toks,
+        |        CAST(ceil(len(toks) / 8.0) AS INT) AS nch FROM base),
+        |ls AS (SELECT doc_id, list_transform(range(0, nch), i ->
+        |        array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') ||
+        |        CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
+        |             WHEN (doc_id + i) % 3 <> 0 THEN '.'
+        |             ELSE '' END) AS lines0
+        |      FROM ln),
+        |txt AS (SELECT doc_id, array_to_string(lines0, chr(10)) ||
+        |        CASE WHEN doc_id % 13 = 0
+        |             THEN chr(10) || 'lorem ipsum dolor sit amet.'
+        |             ELSE '' END ||
+        |        CASE WHEN doc_id % 17 = 0
+        |             THEN chr(10) || 'function() {.'
+        |             ELSE '' END AS t
+        |      FROM ls),
+        |f AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM txt),
+        |k AS (SELECT doc_id, t, lines,
+        |        list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+        |          AND len(string_split(l, ' ')) >= 5
+        |          AND NOT regexp_matches(l, 'javascript')) AS keptl
+        |      FROM f)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines_in,
+        |  CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+        |  CAST(coalesce(len(array_to_string(keptl, chr(10))), 0)
+        |       AS BIGINT) AS clean_chars,
+        |  (len(keptl) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |   AND NOT contains(t, '{')) AS kept
+        |FROM k""".stripMargin,
+    "text_chat_render" ->
+      """WITH t AS (SELECT source AS conv_id, text,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS i
+        |      FROM documents),
+        |r AS (SELECT conv_id,
+        |        string_agg(CASE WHEN i % 2 = 0 THEN '<|user|>'
+        |                        ELSE '<|assistant|>' END
+        |          || chr(10) || text || chr(10) || '<|end|>' || chr(10),
+        |          '' ORDER BY i) AS rendered,
+        |        CAST(count(*) AS BIGINT) AS n_turns
+        |      FROM t GROUP BY 1)
+        |SELECT conv_id, n_turns, CAST(len(rendered) AS BIGINT) AS n_chars,
+        |  md5(rendered) AS fp
+        |FROM r""".stripMargin,
     "graph_assortativity" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

@@ -2352,6 +2352,68 @@ class PipelineSpec extends SparkSpec {
     assert(r === Seq(None))
   }
 
+  test("ocrArtifacts: confusion/singleton ppm, hyphen breaks, flag threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w0rd a ok x9y clean"),      // mixed: w0rd,x9y; singleton: a
+      (2L, "hyphen- ated and co- ver"), // two linebreak residues
+      (3L, "all clean words here"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .ocrArtifacts(docs, "text", "doc_id", flagPpm = 300000L)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 5L, 400000L, 200000L, 0L, true),
+      (2L, 5L, 0L, 0L, 2L, false),
+      (3L, 4L, 0L, 0L, 0L, false)))
+  }
+
+  test("c4Filter: every published rule fires on its own line/page") {
+    import spark.implicits._
+    val page =
+      "this line ends with terminal punctuation mark.\n" + // kept
+      "too short.\n" +                                     // <5 words
+      "no terminal punctuation despite having many words\n" + // no punct
+      "a line mentioning javascript gets dropped here.\n" +   // javascript
+      "another good line with plenty of words!\n" +           // kept
+      "the third good line keeps this page alive?"            // kept
+    val loremPage = page.replace("alive?", "alive?") +
+      "\nlorem ipsum filler sentence appears right here."
+    val bracePage = page + "\ncode { block } markers."
+    val docs = Seq((1L, page), (2L, loremPage), (3L, bracePage))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .c4Filter(docs, "text", "doc_id", minWordsPerLine = 5, minLines = 3)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val cleanLen = ("this line ends with terminal punctuation mark.\n" +
+      "another good line with plenty of words!\n" +
+      "the third good line keeps this page alive?").length.toLong
+    assert(got(0) === (1L, 6L, 3L, cleanLen, true))
+    assert(got(1)._5 === false, "lorem ipsum kills the page")
+    assert(got(1)._3 === 4L, "the lorem line itself passes the line rules")
+    assert(got(2)._5 === false, "a brace kills the page")
+  }
+
+  test("chatRender: template bytes, role parity, order by key — fingerprint is exact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("c1", 2L, "second turn"), ("c1", 1L, "first turn"),
+      ("c2", 5L, "solo"))
+      .toDF("conv", "ord", "text")
+    val got = graft.ops.TextAnalysis.chatRender(docs, "conv", "ord", "text",
+        "<|user|>", "<|assistant|>", "<|end|>")
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r1 = "<|user|>\nfirst turn\n<|end|>\n" +
+      "<|assistant|>\nsecond turn\n<|end|>\n"
+    val r2 = "<|user|>\nsolo\n<|end|>\n"
+    assert(got === Seq(
+      ("c1", 2L, r1.length.toLong, md5hex(r1)),
+      ("c2", 1L, r2.length.toLong, md5hex(r2))))
+  }
+
   test("mutualInfo: functional dependence gives NMI 1e6, independence gives 0") {
     import spark.implicits._
     // b = f(a): MI = H(a) = H(b) -> nmi_ppm = 1000000
