@@ -1709,6 +1709,47 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** JSONL.gz export round-trip under the gate — the fourth
+    * ingest/export boundary (after WET, TFRecord, WebDataset), and
+    * the one every public dataset release actually ships. The corpus
+    * is made ESCAPE-HOSTILE on purpose: every doc gets a suffix
+    * cycling through embedded quotes, backslashes, tab+newline,
+    * non-ASCII (é✓ь), and raw control bytes — each of the five RFC
+    * 8259 escape classes. Our hand-rolled writer serializes, Spark's
+    * independent JSON parser reads back (FAILFAST), and the per-lang
+    * XOR manifest must reproduce from the raw documents table in
+    * DuckDB — any escaping, gzip framing, or line-splitting fault
+    * splits a fingerprint.
+    */
+  def pipelineJsonlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val hostile = element_at(array(
+      lit(" \"quo\"ted\""),
+      lit(" back\\slash\\"),
+      lit(" tab\t nl\n end"),
+      lit(" uni é✓ь"),
+      concat(lit(" ctl"), expr("chr(1)"), expr("chr(31)"))),
+      (pmod(col("doc_id"), lit(5L)) + 1L).cast("int"))
+    val docs = Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 2 = 0"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), hostile).as("text"))
+    graft.sources.Jsonl.write(docs.repartition(4), dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val back = graft.sources.Jsonl.read(spark, s"$dir/*.jsonl.gz", schema)
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("doc_id").cast("string"), lit(":"), md5(col("text"))))
+    back.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"),
+      bit_xor(fp).as("content_xor"))
+  }
+
   /** OCR-artifact scoring over a corpus with deterministic scan-damage
     * injection (every 7th doc gets o→0/e→3 character confusions, the
     * classic OCR substitution class) — the detector must light up on
@@ -2274,6 +2315,7 @@ object PipelineQueries {
     "graph_neighbor_jaccard" -> graphNeighborJaccardQ,
     "graph_reciprocity" -> graphReciprocityQ,
     "graph_assortativity" -> graphAssortativityQ,
+    "pipeline_export_jsonl" -> pipelineJsonlQ,
     "text_ocr_artifacts" -> textOcrQ,
     "text_c4_filter" -> textC4Q,
     "text_chat_render" -> textChatRenderQ,
@@ -4611,6 +4653,25 @@ object PipelineQueries {
          |  CAST(coalesce(nr, 0) AS BIGINT) AS n_recip,
          |  CAST((coalesce(nr, 0) * 1000000) // out_deg AS BIGINT) AS recip_ppm
          |FROM od LEFT JOIN rc USING (u)""".stripMargin,
+    // replays the escape-hostile injection straight from documents:
+    // any byte bent by RFC 8259 escaping, gzip framing, or Spark's
+    // line-JSON re-parse splits a per-lang fingerprint
+    "pipeline_export_jsonl" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |        text || CASE (doc_id % 5)
+         |          WHEN 0 THEN ' "quo"ted"'
+         |          WHEN 1 THEN ' back\\slash\\'
+         |          WHEN 2 THEN ' tab' || chr(9) || ' nl' || chr(10) || ' end'
+         |          WHEN 3 THEN ' uni é✓ь'
+         |          ELSE ' ctl' || chr(1) || chr(31)
+         |        END AS text
+         |      FROM documents WHERE doc_id % 2 = 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(text)")})
+         |    AS content_xor
+         |FROM d GROUP BY 1""".stripMargin,
     "text_ocr_artifacts" ->
       """WITH c AS (SELECT doc_id,
         |        CASE WHEN doc_id % 7 = 0 THEN translate(text, 'oe', '03')
