@@ -897,4 +897,59 @@ class CdcSpec extends SparkSpec {
     val planned = got.filter(_._2 != "x").map(_._4).sum
     assert(planned === manifest.as[(Long, Long, Long)].collect().map(_._3).sum)
   }
+
+  test("compactStore: small files fold per bucket, content byte-identical, crash windows heal") {
+    import spark.implicits._
+    import graft.cdc.{BucketedLayout, Compaction}
+    val store = java.nio.file.Files.createTempDirectory("graft_fcomp").toString
+    val gb = BucketedLayout.GB
+    // 5 small appends into bucket 0, 3 into bucket 1 -> many part files
+    (0 until 5).foreach { i =>
+      Seq.tabulate(10)(j => (i * 10L + j, s"payload-$i-$j"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$store/$gb=0")
+    }
+    (0 until 3).foreach { i =>
+      Seq.tabulate(10)(j => (1000L + i * 10 + j, s"p1-$i-$j"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$store/$gb=1")
+    }
+    def content(dir: String) =
+      spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+    def nFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before0 = content(s"$store/$gb=0")
+    val before1 = content(s"$store/$gb=1")
+    assert(nFiles(s"$store/$gb=0") === 5)
+    // everything is "small": all files in a bucket fold to one
+    val summary = Compaction.compactStore(spark, store,
+      targetBytes = 1L << 30, smallBytes = 1L << 20)
+    assert(summary === Seq((0, 5, 1, 1), (1, 3, 1, 1)))
+    assert(nFiles(s"$store/$gb=0") === 1)
+    assert(content(s"$store/$gb=0") === before0, "bucket 0 rows must survive")
+    assert(content(s"$store/$gb=1") === before1, "bucket 1 rows must survive")
+    // re-run: nothing small enough to group twice -> no-op summary
+    val again = Compaction.compactStore(spark, store,
+      targetBytes = 1L << 30, smallBytes = 1L << 20)
+    assert(again === Seq((0, 1, 1, 0), (1, 1, 1, 0)))
+    // crash window A: mid-assembly (no _SUCCESS) — a live file was
+    // moved into staging; recovery must put it back untouched
+    val f = graft.util.Fs.fs(spark, store)
+    import org.apache.hadoop.fs.Path
+    val live = f.listStatus(new Path(s"$store/$gb=0")).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val stA = new Path(s"$store/__staging_filecompact/$gb=0")
+    f.mkdirs(stA)
+    assert(f.rename(live, new Path(stA, live.getName)))
+    assert(Compaction.recoverCompact(spark, store))
+    assert(content(s"$store/$gb=0") === before0, "recovery restores the move")
+    // crash window B: assembly complete (_SUCCESS), live dir deleted
+    // mid-swap — recovery promotes the staged dir whole
+    val stB = new Path(s"$store/__staging_filecompact/$gb=1")
+    f.mkdirs(stB.getParent)
+    assert(f.rename(new Path(s"$store/$gb=1"), stB))
+    f.create(new Path(stB, "_SUCCESS")).close()
+    assert(Compaction.recoverCompact(spark, store))
+    assert(content(s"$store/$gb=1") === before1, "recovery finishes the swap")
+  }
 }
