@@ -130,6 +130,53 @@ object BenchStress {
   }
 
   private val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // map-only ppm scoring with the gate's damage injection: pure
+    // scan + higher-order filter cost, zero exchanges — the flattest
+    // ratio in the suite or something is wrong
+    "text_ocr_artifacts" -> ((d: DataFrame) =>
+      TextAnalysis.ocrArtifacts(
+        d.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, translate(col("text"), "oe", "03"))
+            .otherwise(col("text")).as("text")),
+        "text", "doc_id", flagPpm = 100000L)),
+    // re-lining synthesis + line filter, both per-row: the transform/
+    // filter lambdas dominate; ratio reads array-expression cost
+    "text_c4_filter" -> ((d: DataFrame) =>
+      TextAnalysis.c4Filter(
+        graft.queries.PipelineQueries.c4CorpusOf(d), "text", "doc_id",
+        minWordsPerLine = 5, minLines = 3)),
+    // conversation groups: source cardinality is FIXED, so per-group
+    // turn lists grow ~linearly with copies — the sort_array and the
+    // render fold must stay linear in list length (n log n sort is
+    // invisible at these lengths; superlinear would mean the groupBy
+    // re-shuffles or the render re-materializes per turn)
+    "text_chat_render" -> ((d: DataFrame) =>
+      TextAnalysis.chatRender(d.select("source", "doc_id", "text"),
+        "source", "doc_id", "text", "<|user|>", "<|assistant|>", "<|end|>")),
+    // cells = |lang|·|source| stay fixed while the corpus grows: the
+    // ratio reads the one partial agg; marginal joins are broadcast
+    "profile_mutual_info" -> ((d: DataFrame) =>
+      graft.ops.Profile.mutualInfo(d.select("lang", "source"),
+        "lang", "source")),
+    // nodes (and so edges ≈ 2|V|) scale with copies; two degree aggs
+    // + two id-keyed joins + a one-row fold — linear in |E|
+    "graph_assortativity" -> ((d: DataFrame) => {
+      val (_, edges) = graft.ops.Graph.hashGraph(
+        d.select(col("doc_id").as("id")))
+      graft.ops.Graph.assortativity(edges)
+    }),
+    // the full export boundary: RFC 8259 serialize + gzip + Spark
+    // re-parse; IO-bound, linear in bytes — the manifest agg is noise
+    "pipeline_export_jsonl" -> ((d: DataFrame) => {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft_sjl").toString
+      graft.sources.Jsonl.write(
+        d.select(col("doc_id"), col("lang"), col("text")), dir)
+      graft.sources.Jsonl.read(d.sparkSession, s"$dir/*.jsonl.gz",
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("text", StringType))))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    }),
     "dedup_minhash_lsh" -> ((d: DataFrame) =>
       Dedup.minHashLsh(d, "text", "doc_id", numHashes = 16, numBands = 2,
         threshold = 0.7)),
@@ -514,6 +561,31 @@ object BenchStress {
   // predicate, so the sampled row count (and the per-column percentile
   // sort input) grows linearly; output stays 4 rows
   private val liOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // the cumulative window runs over DISTINCT (flag, price) — copies
+    // multiply ROWS but not distinct prices, so the window input is
+    // ~fixed while the collapse agg carries the linear term
+    "q_weighted_percentile" -> ((li: DataFrame) =>
+      graft.ops.Stats.weightedQuantiles(
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        "l_returnflag", "l_extendedprice", col("l_quantity"),
+        Seq(250000L, 500000L, 900000L, 990000L))),
+    // one partial agg to 3 rows: the flattest possible shape — any
+    // ratio drift here reads pure scan bandwidth
+    "q_linreg" -> ((li: DataFrame) =>
+      graft.ops.Stats.linReg(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_returnflag", col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))),
+    // copies extend the orderkey range, so manifest files (and plan
+    // groups) grow linearly; the bucket window runs on the manifest,
+    // never the data — wall should track the manifest agg
+    "cdc_compaction_plan" -> ((li: DataFrame) =>
+      graft.cdc.Compaction.plan(
+        li.groupBy(expr("l_orderkey DIV 64").as("file_id"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("bucket", pmod(col("file_id"), lit(8L))),
+        "bucket", "file_id", "n_rows",
+        targetRows = 800L, smallThreshold = 600L)),
     "profile_quantiles_sketch" -> ((li: DataFrame) =>
       graft.ops.Profile.quantileSketch(li,
         expr("l_orderkey * 10 + l_linenumber"),
@@ -533,6 +605,16 @@ object BenchStress {
   // events ops: user-offset copies add keys, not per-key depth — the
   // LOCF shuffle and grid explode must grow linearly with key count
   private val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // copies multiply USERS with the base per-user sequence length:
+    // the lead window shuffles linearly on user_id, the transition
+    // table stays |states|² — superlinear would mean the window sort
+    // stopped scaling with keys
+    "q_markov_transitions" -> ((ev: DataFrame) =>
+      graft.ops.Stats.transitionMatrix(
+        ev.select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ts_ms")),
+        "user_id", Seq(col("ts_ms").asc, col("event_id").asc),
+        "event_type")),
     "q_gap_fill" -> ((ev: DataFrame) =>
       graft.ops.TimeSeries.gapFill(ev, "user_id", "ts", "value",
         stepSeconds = 3600L)),

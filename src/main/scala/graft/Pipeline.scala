@@ -64,6 +64,16 @@ object Pipeline {
         df.join(TextAnalysis.gopherFilter(df, textCol, idCol)
             .filter(col("gopher_mask") === 0L).select(idCol),
           Seq(idCol), "left_semi")
+      case "c4_filter" =>
+        // the C4 page-cleaning REWRITE: surviving pages with text
+        // replaced by the kept lines (terminal punctuation, min words,
+        // no javascript; page: min lines, no lorem ipsum / braces)
+        TextAnalysis.c4Clean(df, textCol, idCol,
+          lngOf("minWordsPerLine", 5L).toInt, lngOf("minLines", 3L).toInt)
+      case "ocr_filter" =>
+        // drop docs whose OCR character-confusion rate crosses flagPpm
+        // (pure per-row — no join, streams)
+        TextAnalysis.ocrFilter(df, textCol, lngOf("flagPpm", 100000L))
       case "entropy_filter" =>
         // distribution-level quality gate: keep docs whose PER-CHAR
         // entropy sits inside [min,max] micro-nats (low = boilerplate/
@@ -442,7 +452,7 @@ object Pipeline {
     "bpe_tokens", "decontaminate", "coverage_filter", "canary",
     "wordlist_filter", "split", "unigram_tokens", "wordpiece_tokens",
     "readability_filter",
-    "code_filter")
+    "code_filter", "c4_filter", "ocr_filter")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)
@@ -571,9 +581,24 @@ object Pipeline {
     val result = assembleFrom(input, root)
       .observe(obsOut, count(lit(1)).as("rows"))
     val out = req("output")
-    val writer = result.write.mode("overwrite")
-    (if (result.columns.contains("shard")) writer.partitionBy("shard")
-     else writer).parquet(out)
+    // outputFormat "jsonl": ship the cleaned corpus as gzip JSONL
+    // shards (graft.sources.Jsonl) — the format downstream trainers
+    // actually consume; long/int/string/boolean columns only (the
+    // writer throws loudly on anything else). Default stays parquet.
+    val outputFormat =
+      if (root.has("outputFormat")) root.get("outputFormat").asText()
+      else "parquet"
+    outputFormat match {
+      case "parquet" =>
+        val writer = result.write.mode("overwrite")
+        (if (result.columns.contains("shard")) writer.partitionBy("shard")
+         else writer).parquet(out)
+      case "jsonl" =>
+        graft.util.Fs.delete(spark, out)
+        graft.sources.Jsonl.write(result, out)
+      case other => throw new IllegalArgumentException(
+        s"unknown outputFormat '$other' (expected parquet or jsonl)")
+    }
     // optional side-channel health reports over the CLEANED corpus —
     // the go/no-go artifacts (column profile, per-stratum drift) land
     // next to the data they describe, from the same run
@@ -582,7 +607,11 @@ object Pipeline {
       val repDir =
         if (reports.has("output")) reports.get("output").asText()
         else s"$out.reports"
-      val cleaned = spark.read.parquet(out)
+      val cleaned = outputFormat match {
+        case "jsonl" =>
+          graft.sources.Jsonl.read(spark, s"$out/*.jsonl.gz", result.schema)
+        case _ => spark.read.parquet(out)
+      }
       if (reports.path("profile").asBoolean(false))
         graft.ops.Profile.tableProfile(cleaned,
             cleaned.columns.filterNot(Set("shard", "pos")).toSeq)

@@ -1350,14 +1350,16 @@ object TextAnalysis {
     * `flagPpm` on the confusion rate. Map-only (one projection, no
     * shuffle); every rate is integer floor-ppm.
     */
+  private val ocrMixedPpm =
+    """size(filter(__toks, x -> x rlike '[0-9]' AND x rlike '[a-z]'))
+      | * 1000000L DIV size(__toks)""".stripMargin
+
   def ocrArtifacts(df: DataFrame, textCol: String, idCol: String,
                    flagPpm: Long): DataFrame =
     df.select(col(idCol), normalize(col(textCol)).as("__nt"))
       .withColumn("__toks", split(col("__nt"), " "))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("mixed_ppm", expr(
-        """size(filter(__toks, x -> x rlike '[0-9]' AND x rlike '[a-z]'))
-          | * 1000000L DIV n_tokens""".stripMargin))
+      .withColumn("mixed_ppm", expr(ocrMixedPpm))
       .withColumn("singleton_ppm", expr(
         "size(filter(__toks, x -> length(x) = 1)) * 1000000L DIV n_tokens"))
       .withColumn("hyphen_breaks",
@@ -1365,6 +1367,15 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("mixed_ppm"),
         col("singleton_ppm"), col("hyphen_breaks"),
         (col("mixed_ppm") >= flagPpm).as("flagged"))
+
+  /** The FILTER arm of [[ocrArtifacts]] (the pipeline stage): rows
+    * whose confusion rate stays under `flagPpm`, all columns
+    * preserved — pure per-row, so it streams.
+    */
+  def ocrFilter(df: DataFrame, textCol: String, flagPpm: Long): DataFrame =
+    df.withColumn("__toks", split(normalize(col(textCol)), " "))
+      .filter(expr(ocrMixedPpm) < flagPpm)
+      .drop("__toks")
 
   /** C4-style page cleaning (the published Raffel et al. 2020
     * heuristics, re-expressed as one projection): LINE rules — keep
@@ -1376,22 +1387,41 @@ object TextAnalysis {
     * — map-only, no shuffle; the corpus-rewrite variant is
     * `array_join` of the same kept-lines expression.
     */
+  private def c4KeptLines(minWordsPerLine: Int) = expr(
+    s"""filter(__lines, l -> l rlike '[.!?"]$$'
+       |  AND size(split(l, ' ')) >= $minWordsPerLine
+       |  AND NOT l rlike 'javascript')""".stripMargin)
+
+  private def c4PageKept(textCol: Column, minLines: Int): Column =
+    size(col("__kept")) >= minLines &&
+      !lower(textCol).contains("lorem ipsum") &&
+      !textCol.contains("{")
+
   def c4Filter(df: DataFrame, textCol: String, idCol: String,
                minWordsPerLine: Int, minLines: Int): DataFrame =
     df.select(col(idCol), col(textCol).as("__t"))
       .withColumn("__lines", split(col("__t"), "\n", -1))
-      .withColumn("__kept", expr(
-        s"""filter(__lines, l -> l rlike '[.!?"]$$'
-           |  AND size(split(l, ' ')) >= $minWordsPerLine
-           |  AND NOT l rlike 'javascript')""".stripMargin))
+      .withColumn("__kept", c4KeptLines(minWordsPerLine))
       .select(col(idCol),
         size(col("__lines")).cast("long").as("n_lines_in"),
         size(col("__kept")).cast("long").as("n_lines_kept"),
         length(array_join(col("__kept"), "\n")).cast("long")
           .as("clean_chars"),
-        (size(col("__kept")) >= minLines &&
-          !lower(col("__t")).contains("lorem ipsum") &&
-          !col("__t").contains("{")).as("kept"))
+        c4PageKept(col("__t"), minLines).as("kept"))
+
+  /** The corpus-REWRITE arm of [[c4Filter]] (the pipeline stage):
+    * surviving pages only, with text replaced by the kept lines —
+    * same line/page rules, same single-projection shape.
+    */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+              minWordsPerLine: Int, minLines: Int): DataFrame = {
+    val others = df.columns.filterNot(_ == textCol).toSeq
+    df.withColumn("__lines", split(col(textCol), "\n", -1))
+      .withColumn("__kept", c4KeptLines(minWordsPerLine))
+      .filter(c4PageKept(col(textCol), minLines))
+      .select(others.map(col) :+
+        array_join(col("__kept"), "\n").as(textCol): _*)
+  }
 
   /** Chat-template rendering — the conversation→training-text step of
     * an SFT data pipeline: per conversation, turns sort by `ordCol`

@@ -1771,9 +1771,17 @@ object PipelineQueries {
     * corpus (same precedent as `dupCorpus`).
     */
   def c4Corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        split(TextAnalysis.normalize(col("text")), " ").as("__toks"))
+    c4CorpusOf(Tables.documents(spark, sfDir))
+
+  /** The same synthesis over an arbitrary (doc_id, text) frame — the
+    * stress harness re-lines its decorrelated scaled corpus with it,
+    * and the composition gate passes `keep` metadata columns through.
+    */
+  def c4CorpusOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs
+      .select(Seq(col("doc_id"),
+        split(TextAnalysis.normalize(col("text")), " ").as("__toks")) ++
+        keep.map(col): _*)
       .withColumn("__nch", expr("cast(ceil(size(__toks) / 8.0) as int)"))
       .withColumn("__lines", expr(
         """transform(sequence(0, __nch - 1), i ->
@@ -1781,12 +1789,13 @@ object PipelineQueries {
           |    CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
           |         WHEN (doc_id + i) % 3 != 0 THEN '.'
           |         ELSE '' END))""".stripMargin))
-      .select(col("doc_id"), concat(
+      .select(Seq(col("doc_id"), concat(
         array_join(col("__lines"), "\n"),
         when(col("doc_id") % 13 === 0,
           lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
         when(col("doc_id") % 17 === 0,
-          lit("\nfunction() {.")).otherwise(lit(""))).as("text"))
+          lit("\nfunction() {.")).otherwise(lit(""))).as("text")) ++
+        keep.map(col): _*)
 
   /** C4 page cleaning (C11am; TextAnalysis.c4Filter) over the re-lined
     * corpus: per-page line-survival audit + page survival flag.
@@ -1794,6 +1803,34 @@ object PipelineQueries {
   def textC4Q(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.c4Filter(c4Corpus(spark, sfDir), "text", "doc_id",
       minWordsPerLine = 5, minLines = 3)
+
+  /** The C4 curation composition under ONE gate (C14g): re-lined
+    * corpus → deterministic OCR damage on every 7th doc → c4Clean
+    * page rewrite → ocr_filter drop of damaged docs → per-lang XOR
+    * manifest of the CLEANED text. The oracle replays the whole
+    * chain — synthesis, damage, line/page rules, rewrite, confusion
+    * ppm, manifest — so a fault in ANY stage splits a fingerprint.
+    * Same stages the config-driven runner exposes (`c4_filter`,
+    * `ocr_filter`).
+    */
+  def pipelineC4Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = c4CorpusOf(Tables.documents(spark, sfDir),
+      keep = Seq("lang"))
+    val damaged = corpus.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 7 === 0, translate(col("text"), "oe", "03"))
+        .otherwise(col("text")).as("text"))
+    val cleaned = TextAnalysis.c4Clean(damaged, "text", "doc_id",
+      minWordsPerLine = 5, minLines = 3)
+    val kept = TextAnalysis.ocrFilter(cleaned, "text", flagPpm = 100000L)
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("doc_id").cast("string"), lit(":"), md5(col("text"))))
+    kept.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"),
+      bit_xor(fp).as("content_xor"))
+  }
 
   /** Chat-template rendering (C11an; TextAnalysis.chatRender):
     * per-source doc sequences render as alternating user/assistant
@@ -2316,6 +2353,7 @@ object PipelineQueries {
     "graph_reciprocity" -> graphReciprocityQ,
     "graph_assortativity" -> graphAssortativityQ,
     "pipeline_export_jsonl" -> pipelineJsonlQ,
+    "pipeline_c4_corpus" -> pipelineC4Q,
     "text_ocr_artifacts" -> textOcrQ,
     "text_c4_filter" -> textC4Q,
     "text_chat_render" -> textChatRenderQ,
@@ -4726,6 +4764,60 @@ object PipelineQueries {
         |  (len(keptl) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
         |   AND NOT contains(t, '{')) AS kept
         |FROM k""".stripMargin,
+    // replays the WHOLE c4 curation chain: synthesis, OCR damage,
+    // line/page rules, page rewrite, confusion-ppm filter, manifest
+    "pipeline_c4_corpus" ->
+      s"""WITH base AS (SELECT doc_id, lang,
+         |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+         |          ' ') AS toks
+         |      FROM documents),
+         |ln AS (SELECT doc_id, lang, toks,
+         |        CAST(ceil(len(toks) / 8.0) AS INT) AS nch FROM base),
+         |ls AS (SELECT doc_id, lang, list_transform(range(0, nch), i ->
+         |        array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') ||
+         |        CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
+         |             WHEN (doc_id + i) % 3 <> 0 THEN '.'
+         |             ELSE '' END) AS lines0
+         |      FROM ln),
+         |txt AS (SELECT doc_id, lang, array_to_string(lines0, chr(10)) ||
+         |        CASE WHEN doc_id % 13 = 0
+         |             THEN chr(10) || 'lorem ipsum dolor sit amet.'
+         |             ELSE '' END ||
+         |        CASE WHEN doc_id % 17 = 0
+         |             THEN chr(10) || 'function() {.'
+         |             ELSE '' END AS t
+         |      FROM ls),
+         |dmg AS (SELECT doc_id, lang,
+         |        CASE WHEN doc_id % 7 = 0 THEN translate(t, 'oe', '03')
+         |             ELSE t END AS t
+         |      FROM txt),
+         |f AS (SELECT doc_id, lang, t, string_split(t, chr(10)) AS lines
+         |      FROM dmg),
+         |k AS (SELECT doc_id, lang, t,
+         |        list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+         |          AND len(string_split(l, ' ')) >= 5
+         |          AND NOT regexp_matches(l, 'javascript')) AS keptl
+         |      FROM f),
+         |pages AS (SELECT doc_id, lang,
+         |        array_to_string(keptl, chr(10)) AS ct
+         |      FROM k
+         |      WHERE len(keptl) >= 3
+         |        AND NOT contains(lower(t), 'lorem ipsum')
+         |        AND NOT contains(t, '{')),
+         |ocr AS (SELECT doc_id, lang, ct,
+         |        string_split(lower(trim(regexp_replace(ct, '\\s+', ' ', 'g'))),
+         |          ' ') AS toks
+         |      FROM pages),
+         |keep AS (SELECT doc_id, lang, ct FROM ocr
+         |      WHERE len(list_filter(toks, x -> regexp_matches(x, '[0-9]')
+         |            AND regexp_matches(x, '[a-z]'))) * 1000000
+         |            // len(toks) < 100000)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(ct)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(ct)")})
+         |    AS content_xor
+         |FROM keep GROUP BY 1""".stripMargin,
     "text_chat_render" ->
       """WITH t AS (SELECT source AS conv_id, text,
         |        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS i

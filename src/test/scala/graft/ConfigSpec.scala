@@ -741,4 +741,41 @@ class ConfigSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
     assert(Pipeline.streamableOp("unigram_tokens"))
   }
+
+  test("pipeline runner: c4_filter + ocr_filter stages equal the hand chain; jsonl output round-trips") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the C4-gate corpus with OCR damage on every 7th doc, as input
+    val corpus = graft.queries.PipelineQueries
+      .c4CorpusOf(graft.util.Tables.documents(spark, sfDir),
+        keep = Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, translate(col("text"), "oe", "03"))
+          .otherwise(col("text")).as("text"))
+    val inDir = tmpDir() + "/c4in.parquet"
+    val outDir = tmpDir() + "/c4out"
+    corpus.write.mode("overwrite").parquet(inDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir", "outputFormat": "jsonl",
+         |"stages": [{"op": "c4_filter"}, {"op": "ocr_filter"}]}""".stripMargin)
+    val want = graft.ops.TextAnalysis.ocrFilter(
+        graft.ops.TextAnalysis.c4Clean(corpus, "text", "doc_id", 5, 3),
+        "text", 100000L)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().toSet
+    assert(want.nonEmpty, "the chain must keep some pages")
+    // read back through the JSONL boundary: the sink escaped every
+    // synthesized newline, the reader restores them bit-for-bit
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val got = graft.sources.Jsonl.read(spark, s"$outDir/*.jsonl.gz", schema)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().toSet
+    assert(got === want, "config chain through jsonl == hand-composed chain")
+    // every 7th doc was damaged and must be gone
+    assert(got.forall(_._1 % 7 != 0), "ocr_filter must drop the damaged docs")
+    // both stages are per-row: streaming accepts them
+    assert(Pipeline.streamableOp("c4_filter"))
+    assert(Pipeline.streamableOp("ocr_filter"))
+  }
 }

@@ -944,6 +944,57 @@ class PlanAuditSpec extends SparkSpec {
       "bigram counts combine map-side")
   }
 
+  test("q_weighted_percentile: duplicate collapse is partial, windows partitioned, quantiles broadcast") {
+    val plan = formatted(q("q_weighted_percentile"))
+    assert(plan.contains("partial_sum"),
+      "the (group, value) weight collapse must combine map-side")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the tiny q_ppm list must broadcast into the theta join")
+    assert(!plan.contains("CartesianProduct"),
+      "never a cartesian: the quantile side is the broadcast side")
+  }
+
+  test("q_markov_transitions: one event shuffle for the lead window, counts partial") {
+    val plan = formatted(q("q_markov_transitions"))
+    assert(plan.contains("partial_count"),
+      "(state, next) counting must combine map-side")
+    // the event table shuffles ONCE (user window); the count agg and
+    // the ppm normalization run on the states-squared table
+    assert(exchanges(plan) <= 3,
+      s"expected <= 3 exchanges (window, agg, tiny window), got:\n$plan")
+  }
+
+  test("cdc_compaction_plan: manifest agg partial, bucket window partitioned, no data join") {
+    val plan = formatted(q("cdc_compaction_plan"))
+    assert(plan.contains("partial_count"),
+      "the per-file row manifest must combine map-side")
+    assert(!plan.contains("Join"),
+      "planning is windows + aggs over the manifest — no join anywhere")
+  }
+
+  test("profile_mutual_info: marginals broadcast back onto cells, corpus agg partial") {
+    val plan = formatted(q("profile_mutual_info"))
+    assert(plan.contains("partial_count"),
+      "the (a, b) cell count must combine map-side")
+    assert(plan.contains("BroadcastHashJoin"),
+      "marginal tables must broadcast onto the cell table")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing here is big enough to sort-merge")
+  }
+
+  test("graph_assortativity: degree joins are equi-joins, one-row folds broadcast, no cartesian") {
+    val plan = formatted(q("graph_assortativity"))
+    assert(!plan.contains("CartesianProduct"),
+      "the only cross shapes allowed are one-row broadcast folds")
+    // hashGraph's |V| fold is the repo's standard 1-row broadcast
+    // cross; the DEGREE joins themselves must be hash equi-joins
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"),
+      "degree joins must be equi-joins on node id")
+    assert(plan.contains("partial_sum"),
+      "the sufficient-statistics fold must combine map-side")
+  }
+
   test("no gated query plans a partition-less window (global sweep)") {
     // A window with an empty partitionSpec executes as ONE task over
     // its whole input — the scale failure class embProfile (r10) and
