@@ -67,6 +67,73 @@ object Stats {
       .agg(min("value").as("value"), min("tot_w").as("total_weight"))
   }
 
+  /** Theil–Sen robust trend per key: the LOWER MEDIAN of all pairwise
+    * slopes (y₂−y₁)/(x₂−x₁) over a per-key series — the slope
+    * estimator that shrugs off outliers OLS ([[linReg]]) chases.
+    * Slopes quantize to micro units (one IEEE multiply + divide over
+    * exact integer deltas); the median picks the value at 1-based
+    * rank ⌊(n+1)/2⌋, so ties and layout cannot flap it.
+    *
+    * Shape at scale: the pair self-join is keyed (one shuffle on the
+    * key) and the per-key series MUST be bounded (a windowed daily
+    * aggregate, not raw events) — cost is O(L²) pairs per key by
+    * definition of the estimator, which is the documented trade for
+    * its 29.3% breakdown point. Median rank runs in ONE window
+    * partitioned by key.
+    */
+  def theilSen(df: DataFrame, keyCol: String, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val pts = df.select(col(keyCol).as("k"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val a = pts.select(col("k"), col("x").as("x1"), col("y").as("y1"))
+    val b = pts.select(col("k"), col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("k")).filter(col("x2") > col("x1"))
+      .select(col("k"),
+        round((col("y2") - col("y1")).cast("double") * 1e6
+          / (col("x2") - col("x1")).cast("double"))
+          .cast("long").as("slope_micro"))
+    val w = Window.partitionBy("k")
+    slopes
+      .withColumn("rn", row_number().over(w.orderBy("slope_micro")))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("k").as(keyCol), col("n_pairs"), col("slope_micro"))
+  }
+
+  /** Top session paths: sessionize per-key event sequences (a gap
+    * over `gapMs` starts a new session), take each session's first
+    * `k` states in order, and count identical paths — the
+    * product-analytics "how do sessions start" table.
+    *
+    * Shape at scale: ONE shuffle of the event table on the sequence
+    * key drives every window (sessionize, intra-session rank — same
+    * partitioning, one sort); the path fold is a per-(key, session)
+    * partial agg and the final count groups the tiny path table.
+    */
+  def sessionPaths(df: DataFrame, keyCol: String, tsMsCol: Column,
+                   tieCol: Column, stateCol: String, gapMs: Long,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(tsMsCol.asc, tieCol.asc)
+    val sess = df
+      .withColumn("__ms", tsMsCol)
+      .withColumn("__prev", lag(tsMsCol, 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || (col("__ms") - col("__prev")) > gapMs,
+          1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__sess"))
+          .orderBy(tsMsCol.asc, tieCol.asc)))
+      .filter(col("__rn") <= k)
+    sess.groupBy(col(keyCol).as("__k"), col("__sess"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__rn"), col(stateCol).as("s")))),
+        x => x("s")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Grouped ordinary-least-squares fit y ~ x from exact integer
     * inputs (callers quantize: e.g. cents for currency). Power sums
     * accumulate in DECIMAL so Σy² cannot overflow BIGINT at corpus

@@ -749,7 +749,39 @@ object Analytics {
       "l_returnflag", col("l_quantity").cast("long"),
       round(col("l_extendedprice") * 100).cast("long"))
 
+  /** Theil–Sen robust trend per event type over the daily-volume
+    * series (B45; graft.ops.Stats.theilSen): the pairwise-slope lower
+    * median — outlier days can't drag it the way they drag OLS. The
+    * per-key series is the bounded daily aggregate, so the O(L²) pair
+    * join is by construction small; null timestamps drop.
+    */
+  def qTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Stats.theilSen(daily, "event_type", col("day"), col("n"))
+  }
+
+  /** Top session-opening paths (B46; graft.ops.Stats.sessionPaths):
+    * 30-minute sessionization, each session's first 3 event types as
+    * a '>'-joined path, counted corpus-wide. One event shuffle on
+    * user_id drives every window.
+    */
+  def qSessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.sessionPaths(
+      Tables.events(spark, sfDir).filter($"ts".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ts_ms")),
+      "user_id", col("ts_ms"), col("event_id"), "event_type",
+      gapMs = 1800000L, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> qTheilSen,
+    "q_session_paths" -> qSessionPaths,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_weighted_percentile" -> qWeightedPercentile,
     "q_linreg" -> qLinReg,
@@ -796,6 +828,43 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH d AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS x,
+        |        CAST(count(*) AS BIGINT) AS y
+        |      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.k,
+        |        CAST(round(CAST(b.y - a.y AS DOUBLE) * 1e6
+        |             / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_micro
+        |      FROM d a JOIN d b ON a.k = b.k AND b.x > a.x),
+        |r AS (SELECT k, slope_micro,
+        |        row_number() OVER (PARTITION BY k ORDER BY slope_micro) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_pairs
+        |      FROM p)
+        |SELECT k AS event_type, n_pairs, slope_micro
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |      FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |        CASE WHEN lag(ms) OVER w IS NULL
+        |                  OR ms - lag(ms) OVER w > 1800000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ms ASC, event_id ASC)),
+        |t AS (SELECT user_id, event_type, ms, event_id,
+        |        sum(new_s) OVER (PARTITION BY user_id
+        |          ORDER BY ms ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM s),
+        |r AS (SELECT user_id, sess, event_type,
+        |        row_number() OVER (PARTITION BY user_id, sess
+        |          ORDER BY ms ASC, event_id ASC) AS rn
+        |      FROM t),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1""".stripMargin,
     "q_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS state,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeCapture, Compaction, Merge, RangeHashDiff, SnapshotDiff, SchemaSync}
+import graft.cdc.{ChangeCapture, Compaction, Merge, RangeHashDiff, Retention, SnapshotDiff, SchemaSync}
 import graft.util.Tables
 
 /** Driver-checkable bindings of the CDC operator library (SURVEY §2
@@ -302,7 +302,20 @@ object CdcQueries {
       targetRows = 200L, smallThreshold = 150L)
   }
 
+  /** Calendar-tiered snapshot retention plan (A41;
+    * graft.cdc.Retention.plan): keep dailies 7 days, weeklies 4
+    * weeks, drop the rest — anchored to the NEWEST snapshot day, so
+    * reruns are byte-identical. Snapshot manifest synthesized from
+    * the distinct event days.
+    */
+  def retentionPlanQ(spark: SparkSession, sfDir: String): DataFrame =
+    Retention.plan(
+      Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+        .select(expr("unix_millis(ts) DIV 86400000").as("snap_day")),
+      "snap_day", keepDailyDays = 7, keepWeeklyWeeks = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_retention_plan" -> retentionPlanQ,
     "cdc_compaction_plan" -> compactionPlanQ,
     "cdc_update_range" -> updateRangeQ,
     "cdc_incremental_pull" -> incrementalPullQ,
@@ -358,6 +371,19 @@ object CdcQueries {
        |FROM h""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_retention_plan" ->
+      """WITH d AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS snap_day
+        |      FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT max(snap_day) AS mx FROM d),
+        |w AS (SELECT snap_day, mx - snap_day AS age_days,
+        |        snap_day // 7 AS wk FROM d, a),
+        |m AS (SELECT wk, max(snap_day) AS wk_max FROM w GROUP BY 1)
+        |SELECT w.snap_day, CAST(w.age_days AS BIGINT) AS age_days,
+        |  CASE WHEN w.age_days < 7 THEN 'keep-daily'
+        |       WHEN w.snap_day = m.wk_max AND w.age_days < 28
+        |            THEN 'keep-weekly'
+        |       ELSE 'drop' END AS action
+        |FROM w JOIN m USING (wk)""".stripMargin,
     "cdc_compaction_plan" ->
       """WITH m AS (SELECT o_orderkey // 64 AS file_id,
         |        CAST(count(*) AS BIGINT) AS n_rows,

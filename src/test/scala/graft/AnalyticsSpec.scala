@@ -514,6 +514,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(df.repartition(4), Seq(100000L, 250000L, 500000L, 1000000L)) === got)
   }
 
+  test("theilSen: outlier day cannot drag the median slope, lower-median rank exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y = 2x on days 0..2, then an outlier spike at day 3.
+    // slopes: [2e6, 2e6, 2e6, 33333333, 49500000, 96000000]
+    // lower median (rank (6+1) DIV 2 = 3) = 2e6 — OLS would be ~24e6.
+    val pts = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 100L)).toDF("k", "x", "y")
+    val got = graft.ops.Stats.theilSen(pts, "k", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("g", 6L, 2000000L)))
+    assert(graft.ops.Stats.theilSen(pts.repartition(4), "k",
+        col("x"), col("y"))
+      .as[(String, Long, Long)].collect().toSeq === got)
+  }
+
+  test("sessionPaths: gap splits sessions, first-k truncation, tie-break order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 10L, 0L, "A"), (1L, 11L, 1L, "B"),
+      (1L, 12L, 2L, "C"), (1L, 13L, 3L, "D"),      // one session, k=3 cuts D
+      (2L, 20L, 0L, "A"), (2L, 21L, 2000000L, "B")) // 33 min gap: two sessions
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    val got = graft.ops.Stats.sessionPaths(ev, "user_id", col("ts_ms"),
+        col("event_id"), "event_type", gapMs = 1800000L, k = 3)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("A", 1L), ("A>B>C", 1L), ("B", 1L)))
+  }
+
   test("linReg: perfect line exact micro units, constant-x and constant-y emit NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -898,6 +898,29 @@ class CdcSpec extends SparkSpec {
     assert(planned === manifest.as[(Long, Long, Long)].collect().map(_._3).sum)
   }
 
+  test("retention plan: daily window, weekly anchors, stream-time anchor — hand-checked tiers") {
+    import spark.implicits._
+    // days 0..9, 14, 20; keep dailies 3 days, weeklies 2 weeks.
+    // anchor = 20. Week DIV 7: {0..6}->0, {7..9}->1, {14,20}->2.
+    // 20: age 0 -> keep-daily. 14: week 2's max is 20 -> drop.
+    // 9: week-1 max, age 11 < 14 -> keep-weekly. 6: week-0 max but
+    // age 14 is NOT < 14 -> drop. Everything else drops.
+    val snaps = ((0L to 9L) ++ Seq(14L, 20L)).toDF("snap_day")
+    val got = graft.cdc.Retention.plan(snaps, "snap_day", 3, 2)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val want = ((0L to 9L) ++ Seq(14L, 20L)).map { d =>
+      val action = d match {
+        case 20L => "keep-daily"
+        case 9L => "keep-weekly"
+        case _ => "drop"
+      }
+      (d, 20L - d, action)
+    }
+    assert(got === want)
+    assert(graft.cdc.Retention.plan(snaps.repartition(5), "snap_day", 3, 2)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq === want)
+  }
+
   test("compactStore: small files fold per bucket, content byte-identical, crash windows heal") {
     import spark.implicits._
     import graft.cdc.{BucketedLayout, Compaction}
