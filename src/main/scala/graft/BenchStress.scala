@@ -605,6 +605,32 @@ object BenchStress {
   // events ops: user-offset copies add keys, not per-key depth — the
   // LOCF shuffle and grid explode must grow linearly with key count
   private val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // the O(L²) pair join runs on the DAILY AGGREGATE (days fixed,
+    // event types fixed) — copies only grow the pre-agg row count, so
+    // the ratio reads the partial agg, never the pair explosion
+    "q_theil_sen" -> ((ev: DataFrame) =>
+      graft.ops.Stats.theilSen(
+        ev.filter(col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) DIV 86400000").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", col("day"), col("n"))),
+    // users scale, per-user session structure is the base table's:
+    // both windows ride ONE user-keyed exchange, path table ~fixed
+    "q_session_paths" -> ((ev: DataFrame) =>
+      graft.ops.Stats.sessionPaths(
+        ev.filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_millis(ts)").as("ts_ms")),
+        "user_id", col("ts_ms"), col("event_id"), "event_type",
+        gapMs = 1800000L, k = 3)),
+    // snapshot days are FIXED while event rows grow: the ratio reads
+    // the distinct-day collapse; the plan itself is day-cardinality
+    "cdc_retention_plan" -> ((ev: DataFrame) =>
+      graft.cdc.Retention.plan(
+        ev.filter(col("ts").isNotNull)
+          .select(expr("unix_millis(ts) DIV 86400000").as("snap_day")),
+        "snap_day", keepDailyDays = 7, keepWeeklyWeeks = 4)),
     // copies multiply USERS with the base per-user sequence length:
     // the lead window shuffles linearly on user_id, the transition
     // table stays |states|² — superlinear would mean the window sort

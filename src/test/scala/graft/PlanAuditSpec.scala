@@ -995,6 +995,33 @@ class PlanAuditSpec extends SparkSpec {
       "the sufficient-statistics fold must combine map-side")
   }
 
+  test("q_theil_sen: keyed equi-join for pairs, day collapse partial, no cartesian") {
+    val plan = formatted(q("q_theil_sen"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the pair join must stay keyed on the trend key")
+    assert(plan.contains("partial_count"),
+      "the daily-volume collapse must combine map-side")
+  }
+
+  test("q_session_paths: both windows share one user-keyed exchange") {
+    val plan = formatted(q("q_session_paths"))
+    // sessionize + intra-session rank + path agg: the event table
+    // crosses the wire ONCE for the user windows; the path count
+    // groups the tiny path table
+    assert(exchanges(plan) <= 3,
+      s"expected <= 3 exchanges (user window, path agg, count), got:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cdc_retention_plan: week window partitioned, anchor broadcast, manifest-only") {
+    val plan = formatted(q("cdc_retention_plan"))
+    assert(plan.contains("partial_"),
+      "the distinct-day collapse must combine map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "the one-row anchor must broadcast, never sort-merge")
+  }
+
   test("no gated query plans a partition-less window (global sweep)") {
     // A window with an empty partitionSpec executes as ONE task over
     // its whole input — the scale failure class embProfile (r10) and
