@@ -1432,19 +1432,39 @@ object TextAnalysis {
     * sort_array puts the fold order under the plan's control (no
     * collect_list order dependence).
     */
-  def chatRender(df: DataFrame, convCol: String, ordCol: String,
-                 textCol: String, userTag: String, assistantTag: String,
-                 endTag: String): DataFrame =
+  private def chatTurns(df: DataFrame, convCol: String, ordCol: String,
+                        textCol: String): DataFrame =
     df.groupBy(col(convCol).as("conv_id"))
       .agg(sort_array(collect_list(struct(col(ordCol).as("o"),
         col(textCol).as("t")))).as("__turns"))
-      .withColumn("__rendered", expr(
-        s"""array_join(transform(__turns, (x, i) ->
-           |  concat(CASE WHEN i % 2 = 0 THEN '$userTag'
-           |              ELSE '$assistantTag' END,
-           |    chr(10), x.t, chr(10), '$endTag', chr(10))), '')""".stripMargin))
+
+  private def chatRendered(userTag: String, assistantTag: String,
+                           endTag: String) = expr(
+    s"""array_join(transform(__turns, (x, i) ->
+       |  concat(CASE WHEN i % 2 = 0 THEN '$userTag'
+       |              ELSE '$assistantTag' END,
+       |    chr(10), x.t, chr(10), '$endTag', chr(10))), '')""".stripMargin)
+
+  def chatRender(df: DataFrame, convCol: String, ordCol: String,
+                 textCol: String, userTag: String, assistantTag: String,
+                 endTag: String): DataFrame =
+    chatTurns(df, convCol, ordCol, textCol)
+      .withColumn("__rendered",
+        chatRendered(userTag, assistantTag, endTag))
       .select(col("conv_id"),
         size(col("__turns")).cast("long").as("n_turns"),
         length(col("__rendered")).cast("long").as("n_chars"),
         md5(col("__rendered")).as("fp"))
+
+  /** The TEXT-emitting arm of [[chatRender]] — the SFT pipeline's
+    * rendered training documents (conv_id, n_turns, text), same
+    * template expression byte-for-byte.
+    */
+  def chatRenderText(df: DataFrame, convCol: String, ordCol: String,
+                     textCol: String, userTag: String,
+                     assistantTag: String, endTag: String): DataFrame =
+    chatTurns(df, convCol, ordCol, textCol)
+      .withColumn("text", chatRendered(userTag, assistantTag, endTag))
+      .select(col("conv_id"),
+        size(col("__turns")).cast("long").as("n_turns"), col("text"))
 }

@@ -1832,6 +1832,33 @@ object PipelineQueries {
       bit_xor(fp).as("content_xor"))
   }
 
+  /** The SFT batch-assembly composition under ONE gate (C14h):
+    * per-source conversations render through the chat template
+    * (TextAnalysis.chatRenderText), rendered docs get whitespace
+    * token counts, and Packing.packSequences assembles them into
+    * 2048-token context windows — the manifest fingerprints every
+    * (shard, pack) with a conv-fp XOR, so template bytes, token
+    * arithmetic, shard hashing, and prefix-sum pack boundaries all
+    * sit under one hash. The chain a fine-tuning data pipeline runs
+    * between "conversations exist" and "batches ship".
+    */
+  def pipelineSftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val convs = TextAnalysis.chatRenderText(
+      Tables.documents(spark, sfDir).select("source", "doc_id", "text"),
+      "source", "doc_id", "text", "<|user|>", "<|assistant|>", "<|end|>")
+    val toks = convs.select(col("conv_id"),
+      size(split(TextAnalysis.normalize(col("text")), " "))
+        .cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"))
+    val packed = graft.ops.Packing.packSequences(toks, "conv_id",
+      "n_tokens", budget = 2048L, nShards = 4, carry = Seq("fp"))
+    packed.groupBy("shard", "pack_id").agg(
+      count(lit(1)).as("n_convs"),
+      sum("n_tokens").as("pack_tokens"),
+      bit_xor(graft.util.Hashing.portableHash64(
+        concat(col("conv_id"), lit(":"), col("fp")))).as("content_xor"))
+  }
+
   /** Chat-template rendering (C11an; TextAnalysis.chatRender):
     * per-source doc sequences render as alternating user/assistant
     * turns; the md5 fingerprint gates every template byte.
@@ -2354,6 +2381,7 @@ object PipelineQueries {
     "graph_assortativity" -> graphAssortativityQ,
     "pipeline_export_jsonl" -> pipelineJsonlQ,
     "pipeline_c4_corpus" -> pipelineC4Q,
+    "pipeline_sft_corpus" -> pipelineSftQ,
     "text_ocr_artifacts" -> textOcrQ,
     "text_c4_filter" -> textC4Q,
     "text_chat_render" -> textChatRenderQ,
@@ -4818,6 +4846,34 @@ object PipelineQueries {
          |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(ct)")})
          |    AS content_xor
          |FROM keep GROUP BY 1""".stripMargin,
+    // replays render → whitespace tokens → shard hash → prefix-sum
+    // packing → per-pack conv-fp XOR: the whole SFT assembly chain
+    "pipeline_sft_corpus" ->
+      s"""WITH t AS (SELECT source AS conv_id, text,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY doc_id) - 1 AS i
+         |      FROM documents),
+         |r AS (SELECT conv_id,
+         |        string_agg(CASE WHEN i % 2 = 0 THEN '<|user|>'
+         |                        ELSE '<|assistant|>' END
+         |          || chr(10) || text || chr(10) || '<|end|>' || chr(10),
+         |          '' ORDER BY i) AS rendered
+         |      FROM t GROUP BY 1),
+         |k AS (SELECT conv_id, md5(rendered) AS fp,
+         |        CAST(len(string_split(lower(trim(regexp_replace(rendered,
+         |          '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens,
+         |        CAST(${h64("conv_id")} % 4 AS INT) AS shard
+         |      FROM r),
+         |p AS (SELECT conv_id, fp, n_tokens, shard,
+         |        CAST(coalesce(sum(n_tokens) OVER (
+         |          PARTITION BY shard ORDER BY conv_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          // 2048 AS BIGINT) AS pack_id
+         |      FROM k)
+         |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_convs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  bit_xor(${h64("conv_id || ':' || fp")}) AS content_xor
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "text_chat_render" ->
       """WITH t AS (SELECT source AS conv_id, text,
         |        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS i

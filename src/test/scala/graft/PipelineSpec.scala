@@ -2412,6 +2412,11 @@ class PipelineSpec extends SparkSpec {
     assert(got === Seq(
       ("c1", 2L, r1.length.toLong, md5hex(r1)),
       ("c2", 1L, r2.length.toLong, md5hex(r2))))
+    // the text-emitting arm renders the identical bytes
+    val texts = graft.ops.TextAnalysis.chatRenderText(docs, "conv", "ord",
+        "text", "<|user|>", "<|assistant|>", "<|end|>")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(texts === Seq(("c1", 2L, r1), ("c2", 1L, r2)))
   }
 
   test("mutualInfo: functional dependence gives NMI 1e6, independence gives 0") {
