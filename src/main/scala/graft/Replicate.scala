@@ -89,18 +89,76 @@ object Replicate {
     n
   }
 
+  /** Offline store maintenance (the `-compact` mode): file-level
+    * small-file folding over every bucketed table under `storeDir` —
+    * a table is any child directory holding `graft_bucket=` partition
+    * dirs (or `storeDir` itself if it is one). Returns per-table
+    * (table, bucket, files_before, files_after, groups) rows.
+    * Single-writer offline contract — run it in the slot the
+    * replication cycle isn't using (crash windows heal on the next
+    * invocation, see [[graft.cdc.Compaction.compactStore]]).
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+               targetBytes: Long, smallBytes: Long)
+      : Seq[(String, Int, Int, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val f = graft.util.Fs.fs(spark, storeDir)
+    val root = new Path(storeDir)
+    def isBucketed(p: Path): Boolean =
+      f.exists(p) && f.getFileStatus(p).isDirectory &&
+        f.listStatus(p).exists(_.getPath.getName
+          .startsWith(s"${graft.cdc.BucketedLayout.GB}="))
+    val tables =
+      if (isBucketed(root)) Seq(root)
+      else if (f.exists(root))
+        f.listStatus(root).map(_.getPath).filter(isBucketed).toSeq
+      else Seq.empty
+    tables.flatMap { t =>
+      graft.cdc.Compaction.compactStore(spark, t.toString,
+          targetBytes, smallBytes)
+        .map { case (k, before, after, grps) =>
+          (t.getName, k, before, after, grps) }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     var cfgPath = "sslr.json"
     var continuous = false
+    var compactDir: String = null
+    var targetBytes = 128L << 20
+    var smallBytes = 16L << 20
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-cfg" if i + 1 < args.length => cfgPath = args(i + 1); i += 2
         case "-c" => continuous = true; i += 1
+        case "-compact" if i + 1 < args.length =>
+          compactDir = args(i + 1); i += 2
+        case "-targetBytes" if i + 1 < args.length =>
+          targetBytes = args(i + 1).toLong; i += 2
+        case "-smallBytes" if i + 1 < args.length =>
+          smallBytes = args(i + 1).toLong; i += 2
         case other =>
-          System.err.println(s"usage: graft.Replicate [-cfg <file>] [-c]  (got $other)")
+          System.err.println("usage: graft.Replicate [-cfg <file>] [-c] " +
+            s"| -compact <storeDir> [-targetBytes n] [-smallBytes n]  (got $other)")
           sys.exit(1)
       }
+    }
+    if (compactDir != null) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString)}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val rows = maintain(spark, compactDir, targetBytes, smallBytes)
+      rows.foreach { case (t, k, before, after, grps) =>
+        println(s"[replicate] compacted $t gb=$k: $before -> $after files" +
+          s" ($grps group(s))")
+      }
+      println(s"[replicate] maintenance done: ${rows.size} bucket(s)")
+      spark.stop()
+      return
     }
     val cfg =
       try ConfigLoader.load(cfgPath)

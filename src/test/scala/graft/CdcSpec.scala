@@ -921,6 +921,33 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().sortBy(_._1).toSeq === want)
   }
 
+  test("Replicate.maintain: discovers bucketed tables under a store, folds each") {
+    import spark.implicits._
+    import graft.cdc.BucketedLayout.GB
+    val store = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    Seq("orders", "events").foreach { t =>
+      (0 until 4).foreach { i =>
+        Seq.tabulate(5)(j => (i * 10L + j, s"$t-$i-$j")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(s"$store/$t/$GB=0")
+      }
+    }
+    // a non-bucketed sibling must be ignored, not mangled
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$store/plain")
+    def rows(t: String) =
+      spark.read.parquet(s"$store/$t/$GB=0").as[(Long, String)]
+        .collect().sorted.toSeq
+    val before = Seq("orders", "events").map(rows)
+    val got = Replicate.maintain(spark, store,
+      targetBytes = 1L << 30, smallBytes = 1L << 20)
+    assert(got.toSet === Set(("orders", 0, 4, 1, 1), ("events", 0, 4, 1, 1)))
+    assert(Seq("orders", "events").map(rows) === before,
+      "maintenance must not bend a row")
+    assert(spark.read.parquet(s"$store/plain").count() === 1L)
+    // idempotent second pass: nothing left to fold
+    assert(Replicate.maintain(spark, store, 1L << 30, 1L << 20).toSet ===
+      Set(("orders", 0, 1, 1, 0), ("events", 0, 1, 1, 0)))
+  }
+
   test("compactStore: small files fold per bucket, content byte-identical, crash windows heal") {
     import spark.implicits._
     import graft.cdc.{BucketedLayout, Compaction}
