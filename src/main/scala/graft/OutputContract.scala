@@ -77,7 +77,7 @@ object OutputContract {
     ("dedup_semantic_init", "cosine"), ("emb_kmeans", "centroid_cosine"),
     ("emb_kmeans_init", "centroid_cosine"),
     ("ann_ivf_assign", "centroid_cosine"),
-    ("ann_ivf_search", "cosine"),
+    ("ann_ivf_search", "cosine"), ("ann_ivf_delete", "cosine"),
     ("ann_hard_negatives", "cosine"),
     ("dedup_minhash_lsh", "jaccard"), ("dedup_ngram_jaccard", "jaccard"),
     ("dedup_incremental_lsh", "jaccard"),

@@ -372,6 +372,29 @@ object PipelineQueries {
       k = 5, nProbe = 2, dim = EMB_DIM.get)
   }
 
+  /** Index DELETION lifecycle under the gate (C7s): build + append as
+    * in ann_ivf_search, then tombstone every 10th vector and search —
+    * deleted vectors must vanish from every result list (query-time
+    * broadcast anti-join; the physical fold is [[IvfIndex.vacuum]],
+    * spec-pinned to produce the identical search). The oracle replays
+    * the search over the surviving corpus.
+    */
+  def annIvfDeleteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivfd").toString
+    graft.sim.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 8, iters = 0, dim = EMB_DIM.get,
+      store, nStoreBuckets = 4)
+    graft.sim.IvfIndex.append(spark, e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", store, batchId = 1L, dim = EMB_DIM.get)
+    graft.sim.IvfIndex.delete(spark,
+      e.filter(col("vec_id") % 10 === 0).select("vec_id"),
+      "vec_id", store, batchId = 2L)
+    graft.sim.IvfIndex.searchTopK(spark, store,
+      e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      k = 5, nProbe = 2, dim = EMB_DIM.get)
+  }
+
   /** SemDeDup-style semantic near-dup: exact cosine within k-means
     * clusters (rows-only; spec pins that it finds the planted dup.
     * [[dedupSemanticInitQ]] hash-gates the same pipeline at iters=0).
@@ -2303,6 +2326,7 @@ object PipelineQueries {
     "emb_kmeans_init" -> embKmeansInitQ,
     "ann_ivf_assign" -> annIvfAssignQ,
     "ann_ivf_search" -> annIvfSearchQ,
+    "ann_ivf_delete" -> annIvfDeleteQ,
     "dedup_semantic" -> dedupSemanticQ,
     "dedup_semantic_init" -> dedupSemanticInitQ,
     "text_tokens" -> textTokensQ,
@@ -5361,6 +5385,43 @@ object PipelineQueries {
          |                 / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) END DESC,
          |       c.cid ASC) AS rn
          |   FROM n v, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qqv, qn2, cid FROM (
+         |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |            ELSE CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                 / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) END DESC,
+         |       c.cid ASC) AS pr
+         |   FROM n v, cents c WHERE v.vec_id % 100 = 0) WHERE pr <= 2)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn2 = 0 OR a.n2 = 0 THEN -2.0
+         |         ELSE CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |              / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) END AS cosine,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      CASE WHEN p.qn2 = 0 OR a.n2 = 0 THEN -2.0
+         |           ELSE CAST(list_sum(list_transform(list_zip(p.qqv, a.qv), z -> z[1]*z[2])) AS DOUBLE)
+         |                / (sqrt(CAST(p.qn2 AS DOUBLE))*sqrt(CAST(a.n2 AS DOUBLE))) END DESC,
+         |      a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |WHERE rank <= 5""".stripMargin,
+    // ann_ivf_search's replay over the SURVIVING corpus: every 10th
+    // vector is tombstoned, so it must vanish from every result list
+    "ann_ivf_delete" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q WHERE vec_id % 2 = 0 QUALIFY cid < 8),
+         |cents AS (SELECT cid, qv AS cqv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS cn2 FROM init),
+         |asg AS (SELECT vec_id, qv, n2, cid FROM (
+         |   SELECT v.vec_id, v.qv, v.n2, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |            ELSE CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                 / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) END DESC,
+         |       c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1 AND vec_id % 10 <> 0),
          |probes AS (SELECT qid, qqv, qn2, cid FROM (
          |   SELECT v.vec_id AS qid, v.qv AS qqv, v.n2 AS qn2, c.cid,
          |     row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -40,6 +40,7 @@ object IvfIndex {
   private def centroidsPath(store: String) = s"$store/centroids"
   private def profilePath(store: String) = s"$store/profile"
   private def assignPath(store: String) = s"$store/assign"
+  private def tombsPath(store: String) = s"$store/tombs"
 
   /** Deterministic nearest-centroid assignment of `df` against a
     * (cid, cqv, cn2) centroid table: argmax cosine, ties to the
@@ -205,7 +206,13 @@ object IvfIndex {
     // probed centroid ids: ≤ K rows (the bounded-collect doctrine)
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val posting = probe(spark, store, cids)
+    // pending deletions filter at query time (the tombstone set is
+    // bounded between vacuums — broadcast anti-join)
+    val posting = tombstones(spark, store) match {
+      case Some(t) => probe(spark, store, cids)
+        .join(broadcast(t), Seq("id"), "left_anti")
+      case None => probe(spark, store, cids)
+    }
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(probes).join(posting, Seq("cid"))
@@ -219,6 +226,79 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Register deletions as ID TOMBSTONES (`tombs/batch=<id>`, one dir
+    * per deletion batch — replay-idempotent: a re-delivered batch
+    * overwrites its own dir). Deleting by id costs O(batch): the
+    * inverted file is bucketed by CENTROID, so a physical per-id
+    * delete would need an id→cid lookup the store doesn't carry —
+    * the FAISS/Milvus answer is query-time tombstone filtering
+    * ([[searchTopK]] anti-joins the broadcast tombstone set) plus a
+    * periodic [[vacuum]]. Returns the batch's distinct id count.
+    */
+  def delete(spark: SparkSession, ids: DataFrame, idCol: String,
+             store: String, batchId: Long): Long = {
+    val d = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .persist()
+    d.coalesce(1).write.mode("overwrite")
+      .parquet(s"${tombsPath(store)}/batch=$batchId")
+    val n = d.count(); d.unpersist(); n
+  }
+
+  /** The live tombstone set, if any deletions are pending. */
+  def tombstones(spark: SparkSession, store: String): Option[DataFrame] = {
+    val p = tombsPath(store)
+    if (graft.util.Fs.existsNonEmpty(spark, p))
+      Some(spark.read.parquet(p).select("id").distinct())
+    else None
+  }
+
+  /** Physically fold pending tombstones into the inverted file —
+    * offline maintenance (the VACUUM slot): affected buckets are
+    * found by a column-pruned id scan, each folds ALL its `batch=`
+    * dirs into one `batch=-(batchId+2)` base dir WITHOUT the
+    * tombstoned ids (exact-duplicate rows collapse, so the fold is
+    * safe even over a crash-overlapped base), then the tombstone dir
+    * drops. Crash recovery = re-run with the SAME batchId (the
+    * maintenance cycle id): an existing base dir skips its rebuild
+    * and the replay finishes the source deletes — the CdcStream
+    * replay-idempotence doctrine.
+    *
+    * @return per-bucket (bucket, rows_remaining)
+    */
+  def vacuum(spark: SparkSession, store: String, batchId: Long)
+      : Seq[(Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val f = graft.util.Fs.fs(spark, store)
+    val tombs = tombstones(spark, store).getOrElse(return Nil)
+    val affected = assignments(spark, store)
+      .join(broadcast(tombs), Seq("id"))
+      .select(col("gb")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val baseId = -batchId - 2
+    val out = affected.map { k =>
+      val bucketDir = s"${assignPath(store)}/gb=$k"
+      val basePath = s"$bucketDir/batch=$baseId"
+      val staging = s"$bucketDir/__staging_vacuum"
+      val srcIds = f.listStatus(new Path(bucketDir)).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .filter(_ != baseId)
+      if (!f.exists(new Path(basePath))) {
+        spark.read.option("basePath", bucketDir)
+          .parquet(srcIds.map(id => s"$bucketDir/batch=$id").toIndexedSeq: _*)
+          .join(broadcast(tombs), Seq("id"), "left_anti")
+          .drop("batch").dropDuplicates()
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        if (!f.rename(new Path(staging), new Path(basePath)))
+          throw new java.io.IOException(s"rename $staging -> $basePath failed")
+      }
+      srcIds.foreach(id =>
+        graft.util.Fs.delete(spark, s"$bucketDir/batch=$id"))
+      graft.util.Fs.delete(spark, staging)
+      (k, spark.read.parquet(basePath).count())
+    }
+    graft.util.Fs.delete(spark, tombsPath(store))
+    out
   }
 
   /** Retrain the quantizer over the CURRENT corpus and rebuild the

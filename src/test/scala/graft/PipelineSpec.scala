@@ -502,6 +502,47 @@ class PipelineSpec extends SparkSpec {
     assert(got.subsetOf(exact), s"semantic pairs must be exact-verified: ${got -- exact}")
   }
 
+  test("IvfIndex deletion: tombstones filter search, vacuum folds physically and idempotently") {
+    import graft.sim.IvfIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    IvfIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 8, iters = 0, dim = 64, store, nStoreBuckets = 4)
+    IvfIndex.append(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+      "vec_id", store, batchId = 1L, dim = 64)
+    val queries = e.filter($"vec_id" % 37 === 0)
+    def search() = IvfIndex.searchTopK(spark, store, queries,
+        "embedding", "vec_id", k = 5, nProbe = 2, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val before = search()
+    // tombstone every 10th id: gone from results at query time
+    val n = IvfIndex.delete(spark,
+      e.filter($"vec_id" % 10 === 0).select("vec_id"), "vec_id", store, 2L)
+    assert(n === e.filter($"vec_id" % 10 === 0).count())
+    val masked = search()
+    assert(masked !== before, "deletions must change the result lists")
+    assert(!IvfIndex.searchTopK(spark, store, queries, "embedding",
+        "vec_id", k = 5, nProbe = 2, dim = 64)
+      .filter($"neighbor_id" % 10 === 0).limit(1).collect().nonEmpty,
+      "no tombstoned id may appear as a neighbor")
+    // vacuum: physical fold produces the IDENTICAL search, clears
+    // tombstones, shrinks the inverted file, and replays idempotently
+    val total = IvfIndex.assignments(spark, store).count()
+    val folded = IvfIndex.vacuum(spark, store, batchId = 3L)
+    assert(folded.nonEmpty)
+    assert(IvfIndex.tombstones(spark, store).isEmpty, "tombstones consumed")
+    assert(IvfIndex.assignments(spark, store).count() === total - n)
+    assert(search() === masked, "vacuumed search == tombstone-masked search")
+    assert(IvfIndex.vacuum(spark, store, batchId = 4L) === Nil,
+      "no pending tombstones -> vacuum is a no-op")
+    // a vector deleted then vacuumed stays deletable-free even after
+    // a fresh append cycle lands next to the folded base
+    IvfIndex.append(spark, e.filter($"vec_id" === 1L), "embedding",
+      "vec_id", store, batchId = 5L, dim = 64)
+    assert(IvfIndex.assignments(spark, store)
+      .filter($"id" % 10 === 0).count() === 0L)
+  }
+
   test("IvfIndex: persisted quantizer, idempotent appends, bucket-confined probes") {
     import graft.sim.IvfIndex
     val e = Tables.embeddings(spark, sfDir).cache()
