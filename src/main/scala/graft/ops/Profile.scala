@@ -702,6 +702,28 @@ object Profile {
         abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Corpus novelty curve: per stream-day, total rows, FIRST-SEEN
+    * keys, and the cumulative distinct-key count — the saturation
+    * diagnostic a growing training corpus watches (new-key rate
+    * decaying toward zero = the source is exhausted; a spike = a new
+    * population arrived). First-seen is one (key → min day) partial
+    * aggregation; the cumulative fold runs over the day-cardinality
+    * table (bounded by the feed horizon — whitelisted tiny relation).
+    */
+  def noveltyCurve(df: DataFrame, keyCol: String, dayCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(keyCol).as("__k"), dayCol.as("day"))
+    val perDay = rows.groupBy("day").agg(count(lit(1)).as("n_rows"))
+    val firstSeen = rows.groupBy("__k").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    perDay.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_distinct", sum("n_new").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n_rows"), col("n_new"), col("cum_distinct"))
+  }
+
   /** Mutual information between two categorical columns, in the
     * repo's count-weighted micro-nat convention (the `tokenDrift`
     * integer doctrine): per joint cell, q = round(ln(c_ab·n /

@@ -134,6 +134,49 @@ object Stats {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Two-cohort Welch comparison per group — the A/B experimentation
+    * readout: exact integer sufficient statistics per (group, cohort)
+    * (count, Σy, Σy² in DECIMAL over cent-quantized values), then
+    * mean difference and Welch z evaluated in double FROM those exact
+    * sums, micro-quantized. Degenerate cohorts (n < 2 or zero
+    * combined variance) emit NULL z on both engines.
+    *
+    * Shape at scale: ONE partial aggregation over the input (cohort
+    * is a projection, not a join); the fold runs on |groups|·2 rows.
+    */
+  def abTest(df: DataFrame, groupCol: String, cohortCol: Column,
+             yCol: Column): DataFrame = {
+    val y = yCol.cast("decimal(20,0)")
+    val sums = df
+      .groupBy(col(groupCol).as("grp"), cohortCol.cast("boolean").as("__b"))
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum(y).as("sy"), sum(y * y).as("syy"))
+    def side(b: Boolean, suffix: String) =
+      sums.filter(col("__b") === b).select(col("grp"),
+        col("n").as(s"n$suffix"), col("sy").as(s"sy$suffix"),
+        col("syy").as(s"syy$suffix"))
+    val j = side(false, "a").join(side(true, "b"), Seq("grp"))
+      .select(col("grp"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("sya").cast("double").as("sa"), col("syb").cast("double").as("sb"),
+        col("na").cast("double").as("da"), col("nb").cast("double").as("db"),
+        // n·Σy² − (Σy)² stays exact in DECIMAL, casts once
+        (col("na") * col("syya") - col("sya") * col("sya"))
+          .cast("double").as("vna"),
+        (col("nb") * col("syyb") - col("syb") * col("syb"))
+          .cast("double").as("vnb"))
+    j.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      round((col("sb") / col("db") - col("sa") / col("da")) * 1e6)
+        .cast("long").as("diff_micro"),
+      when(col("n_a") < 2L || col("n_b") < 2L ||
+           (col("vna") === 0d && col("vnb") === 0d), lit(null))
+        .otherwise(round((col("sb") / col("db") - col("sa") / col("da"))
+          / sqrt(col("vna") / (col("da") * col("da") * (col("da") - 1d))
+               + col("vnb") / (col("db") * col("db") * (col("db") - 1d)))
+          * 1e6))
+        .cast("long").as("z_micro"))
+  }
+
   /** Grouped ordinary-least-squares fit y ~ x from exact integer
     * inputs (callers quantize: e.g. cents for currency). Power sums
     * accumulate in DECIMAL so Σy² cannot overflow BIGINT at corpus

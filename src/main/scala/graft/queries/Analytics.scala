@@ -779,7 +779,20 @@ object Analytics {
       gapMs = 1800000L, k = 3)
   }
 
+  /** Two-cohort Welch comparison per event type (B47;
+    * graft.ops.Stats.abTest): even/odd user split, cent-quantized
+    * values, exact DECIMAL sufficient statistics, micro-quantized
+    * mean difference and Welch z. One partial aggregation.
+    */
+  def qAbTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.abTest(
+      Tables.events(spark, sfDir).filter(col("value").isNotNull)
+        .select("event_type", "user_id", "value"),
+      "event_type", col("user_id") % 2 === 1,
+      round(col("value") * 100).cast("long"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> qAbTest,
     "q_theil_sen" -> qTheilSen,
     "q_session_paths" -> qSessionPaths,
     "q_markov_transitions" -> qMarkovTransitions,
@@ -828,6 +841,27 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
+        |        CAST(round(value * 100) AS BIGINT) AS y
+        |      FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT grp, b, CAST(count(*) AS BIGINT) AS n,
+        |        sum(y) AS sy, sum(y*y) AS syy
+        |      FROM e GROUP BY 1, 2),
+        |a AS (SELECT grp, n AS n_a, CAST(sy AS DOUBLE) AS sa,
+        |        CAST(n AS DOUBLE) AS da,
+        |        CAST(n*syy - sy*sy AS DOUBLE) AS vna FROM s WHERE NOT b),
+        |bb AS (SELECT grp, n AS n_b, CAST(sy AS DOUBLE) AS sb,
+        |        CAST(n AS DOUBLE) AS db,
+        |        CAST(n*syy - sy*sy AS DOUBLE) AS vnb FROM s WHERE b)
+        |SELECT grp AS event_type, n_a, n_b,
+        |  CAST(round((sb/db - sa/da) * 1e6) AS BIGINT) AS diff_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR (vna = 0 AND vnb = 0) THEN NULL
+        |       ELSE CAST(round((sb/db - sa/da)
+        |            / sqrt(vna/(da*da*(da-1)) + vnb/(db*db*(db-1)))
+        |            * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM a JOIN bb USING (grp)""".stripMargin,
     "q_theil_sen" ->
       """WITH d AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS x,
         |        CAST(count(*) AS BIGINT) AS y

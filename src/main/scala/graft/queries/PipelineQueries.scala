@@ -1902,6 +1902,16 @@ object PipelineQueries {
     graft.ops.Graph.assortativity(edges)
   }
 
+  /** Corpus novelty curve (C19n; graft.ops.Profile.noveltyCurve):
+    * per stream-day rows, first-seen users, cumulative distinct —
+    * the source-saturation diagnostic. The cumulative fold runs over
+    * the day-cardinality table (whitelisted tiny relation).
+    */
+  def profileNoveltyQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.noveltyCurve(
+      Tables.events(spark, sfDir).filter(col("ts").isNotNull),
+      "user_id", expr("unix_millis(ts) DIV 86400000"))
+
   /** Metadata-leakage detector (C19m; graft.ops.Profile.mutualInfo):
     * MI(lang; source) over documents in count-weighted micro-nats +
     * normalized MI ppm — does one metadata column predict another.
@@ -2410,6 +2420,7 @@ object PipelineQueries {
     "text_c4_filter" -> textC4Q,
     "text_chat_render" -> textChatRenderQ,
     "profile_mutual_info" -> profileMutualInfoQ,
+    "profile_novelty" -> profileNoveltyQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
     "profile_histogram_eq" -> profileHistogramEqQ,
@@ -4941,6 +4952,20 @@ object PipelineQueries {
          |            AS BIGINT)
          |  END AS r_micro
          |FROM s""".stripMargin,
+    "profile_novelty" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |      FROM events WHERE ts IS NOT NULL),
+        |pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM e GROUP BY 1),
+        |fs AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |      FROM (SELECT user_id, min(day) AS day FROM e GROUP BY 1)
+        |      GROUP BY 1)
+        |SELECT pd.day, n_rows,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY pd.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_distinct
+        |FROM pd LEFT JOIN fs USING (day)""".stripMargin,
     "profile_mutual_info" ->
       """WITH cells AS (SELECT lang AS a, source AS b,
         |        CAST(count(*) AS BIGINT) AS c_ab

@@ -544,6 +544,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("A", 1L), ("A>B>C", 1L), ("B", 1L)))
   }
 
+  test("abTest: Welch z from exact sums, degenerate cohorts NULL, diff always present") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g", 0L, 10L), ("g", 2L, 20L),              // cohort A (even)
+      ("g", 1L, 20L), ("g", 3L, 30L), ("g", 5L, 40L), // cohort B (odd)
+      ("tiny", 0L, 5L), ("tiny", 1L, 9L),          // n=1 per side -> z NULL
+      ("flat", 0L, 7L), ("flat", 2L, 7L),          // zero variance both
+      ("flat", 1L, 7L), ("flat", 3L, 7L))
+      .toDF("grp", "uid", "y")
+    val got = graft.ops.Stats.abTest(df, "grp", col("uid") % 2 === 1,
+        col("y"))
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // hand stats: A mean 15 (var-num 100), B mean 30 (var-num 600)
+    val z = (30.0 - 15.0) / math.sqrt(
+      100.0 / (2.0 * 2.0 * 1.0) + 600.0 / (3.0 * 3.0 * 2.0))
+    assert(got === Seq(
+      ("flat", 2L, 2L, 0L, None),
+      ("g", 2L, 3L, 15000000L, Some(math.round(z * 1e6))),
+      ("tiny", 1L, 1L, 4000000L, None)))
+  }
+
   test("linReg: perfect line exact micro units, constant-x and constant-y emit NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

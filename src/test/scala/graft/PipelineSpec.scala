@@ -2460,6 +2460,19 @@ class PipelineSpec extends SparkSpec {
     assert(texts === Seq(("c1", 2L, r1), ("c2", 1L, r2)))
   }
 
+  test("noveltyCurve: first-seen attribution, zero-new days, cumulative distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 1L), (2L, 2L))
+      .toDF("uid", "day")
+    val got = graft.ops.Profile.noveltyCurve(ev, "uid", col("day"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 0L, 3L)))
+    assert(graft.ops.Profile.noveltyCurve(ev.repartition(4), "uid",
+        col("day"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq === got)
+  }
+
   test("mutualInfo: functional dependence gives NMI 1e6, independence gives 0") {
     import spark.implicits._
     // b = f(a): MI = H(a) = H(b) -> nmi_ppm = 1000000

@@ -1030,7 +1030,9 @@ class PlanAuditSpec extends SparkSpec {
     // Whitelist: partition-less windows over provably tiny relations.
     //  - dedup_threshold_curve: cumulative sum over the ≤21-row
     //    cosine-bucket table (PipelineQueries.dedupThresholdCurveQ).
-    val whitelist = Set("dedup_threshold_curve")
+    //  - profile_novelty: cumulative fold over the day-cardinality
+    //    table (bounded by the feed horizon, Profile.noveltyCurve).
+    val whitelist = Set("dedup_threshold_curve", "profile_novelty")
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !whitelist(name) =>
