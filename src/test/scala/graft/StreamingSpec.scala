@@ -1652,4 +1652,49 @@ class StreamingSpec extends SparkSpec {
       assert(dropped.columns.toSet == Set("id", "ver", "v") && dropped.count() == 5)
     } finally q.stop()
   }
+
+  test("transition monitor: exact cross-batch continuity, replay idempotence, drift alert") {
+    import graft.streaming.TransitionStream
+    def dirs() = (tmp(), tmp())
+    val (out, st) = dirs()
+    def ev(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("user_id", "ts_ms", "event_id", "event_type")
+    // user 1's A->B pair is SPLIT across the two triggers: batch 0
+    // ends at A (ms 2), batch 1 opens with B (ms 3)
+    val b0 = ev(Seq((1L, 1L, 10L, "A"), (1L, 2L, 11L, "A"),
+      (2L, 1L, 20L, "A"), (2L, 2L, 21L, "B")))
+    val b1 = ev(Seq((1L, 3L, 12L, "B"), (2L, 3L, 22L, "A")))
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      TransitionStream.transitionBatch(spark, batch, id, out, st,
+        "user_id", "ts_ms", "event_id", "event_type",
+        tolPpm = 200000L, minCount = 1L)
+    run(b0, 0L); run(b1, 1L)
+    // lifetime matrix after both triggers == one-shot batch counts
+    val lifetime = spark.read.parquet(s"$st/counts/batch=1")
+      .as[(String, String, Long)].collect().toSet
+    val oneShot = graft.ops.Stats.transitionMatrix(
+        b0.unionByName(b1), "user_id",
+        Seq($"ts_ms".asc, $"event_id".asc), "event_type")
+      .select("state", "next_state", "n_transitions")
+      .as[(String, String, Long)].collect().toSet
+    assert(lifetime === oneShot,
+      "split-across-triggers must count exactly like one batch")
+    // replay of trigger 1 rewrites identical bytes (exclude-own-writes)
+    val before = spark.read.parquet(s"$out/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    run(b1, 1L)
+    assert(spark.read.parquet(s"$out/batch=1")
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(spark.read.parquet(s"$st/counts/batch=1")
+      .as[(String, String, Long)].collect().toSet === lifetime)
+    // drift: a batch that flips A's distribution to all A->A alerts
+    val drift = ev(Seq.tabulate(12)(i =>
+      (3L, 10L + i, 100L + i, "A")))
+    run(drift, 2L)
+    val alerts = spark.read.parquet(s"$out/batch=2")
+      .filter($"alert").select("state", "next_state")
+      .as[(String, String)].collect().toSet
+    assert(alerts === Set(("A", "A")),
+      "the flooded self-transition must alert, nothing else")
+  }
 }
