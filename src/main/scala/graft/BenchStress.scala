@@ -631,6 +631,20 @@ object BenchStress {
         ev.filter(col("ts").isNotNull)
           .select(expr("unix_millis(ts) DIV 86400000").as("snap_day")),
         "snap_day", keepDailyDays = 7, keepWeeklyWeeks = 4)),
+    // one partial agg to |groups|·2 rows, cohort is a projection:
+    // pure scan-bandwidth shape like q_linreg
+    "q_ab_test" -> ((ev: DataFrame) =>
+      graft.ops.Stats.abTest(
+        ev.filter(col("value").isNotNull)
+          .select("event_type", "user_id", "value"),
+        "event_type", col("user_id") % 2 === 1,
+        round(col("value") * 100).cast("long"))),
+    // first-seen = one (key, min day) partial agg over users that
+    // scale with copies; the cumulative fold stays day-cardinality
+    "profile_novelty" -> ((ev: DataFrame) =>
+      graft.ops.Profile.noveltyCurve(
+        ev.filter(col("ts").isNotNull), "user_id",
+        expr("unix_millis(ts) DIV 86400000"))),
     // copies multiply USERS with the base per-user sequence length:
     // the lead window shuffles linearly on user_id, the transition
     // table stays |states|² — superlinear would mean the window sort
