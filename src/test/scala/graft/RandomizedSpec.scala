@@ -1379,4 +1379,136 @@ class RandomizedSpec extends SparkSpec {
       assert(got.length == cost.size)
     }
   }
+
+  test("weightedQuantiles equals the scan reference on random weighted frames") {
+    val rnd = new Random(112)
+    val qs = Seq(100000L, 250000L, 500000L, 900000L, 1000000L)
+    (1 to rounds).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(300) + 5)(
+        ("g" + rnd.nextInt(3), (rnd.nextInt(20) * 25) / 10.0,
+          rnd.nextInt(5).toLong + 1L))
+      val got = graft.ops.Stats.weightedQuantiles(
+          rows.toDF("grp", "value", "w"), "grp", "value", col("w"), qs)
+        .as[(String, Long, Double, Long)].collect().toSet
+      val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val byVal = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byVal.map(_._2).sum
+        var cum = 0L
+        val cums = byVal.map { case (v, w) => cum += w; (v, cum) }
+        qs.map { q =>
+          val v = cums.find { case (_, c) => c * 1000000L >= q * tot }.get._1
+          (g, q, v, tot)
+        }
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("theilSen equals the brute-force pairwise median on random series") {
+    val rnd = new Random(113)
+    (1 to rounds).foreach { _ =>
+      val rows = (0 until 3).flatMap { g =>
+        val xs = rnd.shuffle((0 to 40).toList).take(rnd.nextInt(15) + 3)
+        xs.map(x => ("k" + g, x.toLong, rnd.nextInt(200).toLong - 50L))
+      }
+      val got = graft.ops.Stats.theilSen(
+          rows.toDF("k", "x", "y"), "k", col("x"), col("y"))
+        .as[(String, Long, Long)].collect().toSet
+      val expect = rows.groupBy(_._1).map { case (k, rs) =>
+        val pts = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val slopes = (for {
+          i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+        } yield java.math.BigDecimal.valueOf(
+            (pts(j)._2 - pts(i)._2).toDouble * 1e6
+              / (pts(j)._1 - pts(i)._1).toDouble)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sorted
+        (k, slopes.length.toLong, slopes((slopes.length - 1) / 2))
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("transitionMatrix equals the per-key scan reference on random sequences") {
+    val rnd = new Random(114)
+    (1 to rounds).foreach { _ =>
+      val rows = Seq.tabulate(rnd.nextInt(400) + 10)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong,
+          "s" + rnd.nextInt(4)))
+      val got = graft.ops.Stats.transitionMatrix(
+          rows.toDF("k", "ms", "eid", "st"), "k",
+          Seq(col("ms").asc, col("eid").asc), "st")
+        .as[(String, String, Long, Long)].collect().toSet
+      val pairs = rows.groupBy(_._1).values.flatMap { rs =>
+        rs.sortBy(r => (r._2, r._3)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.toSeq
+      val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      val totals = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+      val expect = counts.map { case ((a, b), n) =>
+        (a, b, n, n * 1000000L / totals(a))
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("compaction plan equals the scan reference and conserves every file") {
+    val rnd = new Random(115)
+    (1 to rounds).foreach { _ =>
+      val target = rnd.nextInt(400) + 100L
+      val thresh = rnd.nextInt(300) + 50L
+      val manifest = Seq.tabulate(rnd.nextInt(200) + 5)(i =>
+        (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(500).toLong + 1L))
+      val got = graft.cdc.Compaction.plan(
+          manifest.toDF("bucket", "file_id", "n_rows"),
+          "bucket", "file_id", "n_rows", target, thresh)
+        .as[(String, String, Long, Long, Long, Long)]
+        .collect().toSet
+      val expect = manifest.groupBy(_._1).flatMap { case (b, fs) =>
+        val (big, small) = fs.sortBy(_._2).partition(_._3 >= thresh)
+        var cum = 0L
+        val grouped = small.map { f =>
+          cum += f._3; ((cum - f._3) / target, f)
+        }.groupBy(_._1).values.map(_.map(_._2))
+        grouped.map { g =>
+          (b.toString, if (g.length > 1) "merge" else "keep",
+            g.length.toLong, g.map(_._3).sum, g.map(_._2).min,
+            g.map(_._2).max)
+        } ++ big.map(f => (b.toString, "keep", 1L, f._3, f._2, f._2))
+      }.toSet
+      assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) ==
+        expect.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)))
+      // conservation: every file's rows appear exactly once
+      assert(got.toSeq.map(_._4).sum == manifest.map(_._3).sum)
+    }
+  }
+
+  test("abTest equals the formula reference on random cohorts") {
+    val rnd = new Random(116)
+    (1 to rounds).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(200) + 8)(
+        ("g" + rnd.nextInt(3), rnd.nextInt(100).toLong,
+          rnd.nextInt(500).toLong))
+      val got = graft.ops.Stats.abTest(rows.toDF("grp", "uid", "y"),
+          "grp", col("uid") % 2 === 1, col("y"))
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+      val expect = rows.groupBy(_._1).collect {
+        case (g, rs) if rs.exists(_._2 % 2 == 0) && rs.exists(_._2 % 2 == 1) =>
+          val a = rs.filter(_._2 % 2 == 0).map(_._3)
+          val b = rs.filter(_._2 % 2 == 1).map(_._3)
+          def vn(s: Seq[Long]) =
+            (s.size.toLong * s.map(y => y * y).sum - s.sum * s.sum).toDouble
+          val (da, db) = (a.size.toDouble, b.size.toDouble)
+          val diff = b.sum / db - a.sum / da
+          def md(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          val z =
+            if (a.size < 2 || b.size < 2 || (vn(a) == 0 && vn(b) == 0)) None
+            else Some(md(diff / math.sqrt(
+              vn(a) / (da * da * (da - 1)) + vn(b) / (db * db * (db - 1)))))
+          (g, a.size.toLong, b.size.toLong, md(diff), z)
+      }.toSet
+      assert(got == expect)
+    }
+  }
 }
