@@ -702,6 +702,44 @@ object Profile {
         abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * sample of one categorical column — the standard model-monitoring
+    * drift statistic next to [[tokenDrift]]'s KL: per category,
+    * psi-term = (p_cur − p_ref)·ln(p_cur/p_ref), accumulated in the
+    * repo's integer micro-nat convention with Laplace-smoothed counts
+    * (add-one on BOTH sides, so a category present in only one sample
+    * contributes a finite, engine-exact term instead of ±∞).
+    * Emits the per-category audit rows (cur/ref counts, smoothed ppm
+    * shares, the signed micro term) — the single-row fold is the
+    * caller's trivial sum, and per-category rows are what an
+    * investigation actually reads. Two partial aggs + one join over
+    * the category-cardinality tables; no windows.
+    */
+  def psi(cur: DataFrame, ref: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(n))
+    val joined = counts(cur, "n_cur")
+      .join(counts(ref, "n_ref"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val tots = joined.agg(sum("n_cur").as("tot_cur"),
+      sum("n_ref").as("tot_ref"), count(lit(1)).as("k"))
+    joined.crossJoin(broadcast(tots))
+      .select(col("category"), col("n_cur"), col("n_ref"),
+        // add-one smoothing: (n+1)/(tot+k) — exact integers into
+        // one IEEE divide each
+        expr("(n_cur + 1) * 1000000 DIV (tot_cur + k)").as("cur_ppm"),
+        expr("(n_ref + 1) * 1000000 DIV (tot_ref + k)").as("ref_ppm"),
+        round((
+          (col("n_cur") + 1L).cast("double") / (col("tot_cur") + col("k")).cast("double")
+            - (col("n_ref") + 1L).cast("double") / (col("tot_ref") + col("k")).cast("double"))
+          * log(((col("n_cur") + 1L).cast("double") * (col("tot_ref") + col("k")).cast("double"))
+            / ((col("n_ref") + 1L).cast("double") * (col("tot_cur") + col("k")).cast("double")))
+          * 1e6).cast("long").as("psi_micro"))
+  }
+
   /** Corpus novelty curve: per stream-day, total rows, FIRST-SEEN
     * keys, and the cumulative distinct-key count — the saturation
     * diagnostic a growing training corpus watches (new-key rate

@@ -1902,6 +1902,37 @@ object PipelineQueries {
     graft.ops.Graph.assortativity(edges)
   }
 
+  /** Population Stability Index (C19o; graft.ops.Profile.psi):
+    * per-user-event-type drift of the SECOND half of the stream vs
+    * the first — the model-monitoring drift stat next to KL; add-one
+    * smoothing keeps one-sided categories finite on both engines.
+    * The split anchor is stream time (global max day, broadcast).
+    */
+  def profilePsiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_millis(ts) DIV 86400000").as("day"))
+    val mid = ev.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    graft.ops.Profile.psi(
+      tagged.filter(col("day") > col("mid")),
+      tagged.filter(col("day") <= col("mid")), "event_type")
+  }
+
+  /** IVF posting-list balance report (C7t; graft.sim.IvfIndex.stats):
+    * per-cell counts, shares, and load vs perfect balance over the
+    * persisted index — empty cells included.
+    */
+  def annIvfStatsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivft").toString
+    graft.sim.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 8, iters = 0, dim = EMB_DIM.get,
+      store, nStoreBuckets = 4)
+    graft.sim.IvfIndex.append(spark, e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", store, batchId = 1L, dim = EMB_DIM.get)
+    graft.sim.IvfIndex.stats(spark, store)
+  }
+
   /** Corpus novelty curve (C19n; graft.ops.Profile.noveltyCurve):
     * per stream-day rows, first-seen users, cumulative distinct —
     * the source-saturation diagnostic. The cumulative fold runs over
@@ -2421,6 +2452,8 @@ object PipelineQueries {
     "text_chat_render" -> textChatRenderQ,
     "profile_mutual_info" -> profileMutualInfoQ,
     "profile_novelty" -> profileNoveltyQ,
+    "profile_psi" -> profilePsiQ,
+    "ann_ivf_stats" -> annIvfStatsQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
     "profile_histogram_eq" -> profileHistogramEqQ,
@@ -4952,6 +4985,31 @@ object PipelineQueries {
          |            AS BIGINT)
          |  END AS r_micro
          |FROM s""".stripMargin,
+    "profile_psi" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day
+        |      FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |cc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_cur
+        |      FROM ev, m WHERE day > mid GROUP BY 1),
+        |rc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_ref
+        |      FROM ev, m WHERE day <= mid GROUP BY 1),
+        |j AS (SELECT category, coalesce(n_cur, 0) AS n_cur,
+        |        coalesce(n_ref, 0) AS n_ref
+        |      FROM cc FULL JOIN rc USING (category)),
+        |t AS (SELECT CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+        |        CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |        CAST(count(*) AS BIGINT) AS k FROM j)
+        |SELECT category, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST((n_cur + 1) * 1000000 // (tot_cur + k) AS BIGINT) AS cur_ppm,
+        |  CAST((n_ref + 1) * 1000000 // (tot_ref + k) AS BIGINT) AS ref_ppm,
+        |  CAST(round(
+        |    (CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + k AS DOUBLE)
+        |     - CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + k AS DOUBLE))
+        |    * ln((CAST(n_cur + 1 AS DOUBLE) * CAST(tot_ref + k AS DOUBLE))
+        |          / (CAST(n_ref + 1 AS DOUBLE) * CAST(tot_cur + k AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS psi_micro
+        |FROM j, t""".stripMargin,
     "profile_novelty" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
         |      FROM events WHERE ts IS NOT NULL),
@@ -5430,6 +5488,33 @@ object PipelineQueries {
          |      a.vec_id ASC) AS rank
          |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
          |WHERE rank <= 5""".stripMargin,
+    // per-cell balance over the replayed init assignment (empty
+    // cells via the centroid left join)
+    "ann_ivf_stats" ->
+      s"""WITH $qPrep,
+         |init AS (SELECT qv, row_number() OVER (
+         |           ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+         |         FROM q WHERE vec_id % 2 = 0 QUALIFY cid < 8),
+         |cents AS (SELECT cid, qv AS cqv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS cn2 FROM init),
+         |asg AS (SELECT vec_id, cid FROM (
+         |   SELECT v.vec_id, c.cid,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |       CASE WHEN c.cn2 = 0 OR v.n2 = 0 THEN -2.0
+         |            ELSE CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), z -> z[1]*z[2])) AS DOUBLE)
+         |                 / (sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(c.cn2 AS DOUBLE))) END DESC,
+         |       c.cid ASC) AS rn
+         |   FROM n v, cents c) WHERE rn = 1),
+         |pc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+         |      FROM asg GROUP BY 1),
+         |cells AS (SELECT c.cid, coalesce(n_vectors, 0) AS n_vectors
+         |      FROM cents c LEFT JOIN pc USING (cid)),
+         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+         |        CAST(count(*) AS BIGINT) AS k FROM cells)
+         |SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+         |  CAST(n_vectors * 1000000 // greatest(total, 1) AS BIGINT) AS share_ppm,
+         |  CAST(n_vectors * k * 1000000 // greatest(total, 1) AS BIGINT) AS load_ppm
+         |FROM cells, t""".stripMargin,
     // ann_ivf_search's replay over the SURVIVING corpus: every 10th
     // vector is tombstoned, so it must vanish from every result list
     "ann_ivf_delete" ->

@@ -228,6 +228,30 @@ object IvfIndex {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Posting-list balance report over the persisted index — the
+    * recall/latency predictor an IVF deployment watches: a cell
+    * holding 10× its fair share makes every probe that hits it 10×
+    * slower, and starved cells waste nProbe. Per centroid (EMPTY
+    * cells included — a dead cell is a finding): vector count,
+    * corpus share, and load vs perfect balance (`load_ppm` =
+    * n·K·10⁶ div total; 10⁶ = exactly fair). One partial agg over
+    * the inverted file + a broadcast join onto the K-row centroid
+    * table; all-integer output.
+    */
+  def stats(spark: SparkSession, store: String): DataFrame = {
+    val perCell = assignments(spark, store)
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val cells = centroids(spark, store).select(col("cid"))
+      .join(perCell, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val tot = cells.agg(sum("n_vectors").as("total"),
+      count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        expr("n_vectors * 1000000 DIV greatest(total, 1)").as("share_ppm"),
+        expr("n_vectors * k * 1000000 DIV greatest(total, 1)").as("load_ppm"))
+  }
+
   /** Register deletions as ID TOMBSTONES (`tombs/batch=<id>`, one dir
     * per deletion batch — replay-idempotent: a re-delivered batch
     * overwrites its own dir). Deleting by id costs O(batch): the

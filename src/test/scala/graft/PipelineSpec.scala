@@ -2460,6 +2460,48 @@ class PipelineSpec extends SparkSpec {
     assert(texts === Seq(("c1", 2L, r1), ("c2", 1L, r2)))
   }
 
+  test("psi: smoothed one-sided categories finite, signs track drift direction") {
+    import spark.implicits._
+    val cur = Seq("a", "a", "a", "b", "c").map(Tuple1(_)).toDF("cat")
+    val ref = Seq("a", "b", "b", "b").map(Tuple1(_)).toDF("cat")
+    val got = graft.ops.Profile.psi(cur, ref, "cat")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // k=3 categories; totals cur 5 (+3), ref 4 (+3)
+    def term(nc: Long, nr: Long): Long = {
+      val (pc, pr) = ((nc + 1.0) / 8.0, (nr + 1.0) / 7.0)
+      java.math.BigDecimal.valueOf(
+        (pc - pr) * math.log((nc + 1.0) * 7.0 / ((nr + 1.0) * 8.0)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    assert(got === Seq(
+      ("a", 3L, 1L, 500000L, 285714L, term(3, 1)),
+      ("b", 1L, 3L, 250000L, 571428L, term(1, 3)),
+      ("c", 1L, 0L, 250000L, 142857L, term(1, 0))))
+    assert(got.forall(r => r._6 >= 0L),
+      "every PSI term is non-negative by construction")
+    assert(term(1, 0) > 0L, "a category present only in cur still contributes")
+  }
+
+  test("IvfIndex.stats: conservation, K rows, exact load arithmetic") {
+    import graft.sim.IvfIndex
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivfstat").toString
+    IvfIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 8, iters = 0, dim = 64, store, nStoreBuckets = 4)
+    IvfIndex.append(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+      "vec_id", store, batchId = 1L, dim = 64)
+    val got = IvfIndex.stats(spark, store)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.size === 8, "one row per centroid, empty cells included")
+    val total = e.count()
+    assert(got.map(_._2).sum === total, "every vector in exactly one cell")
+    got.foreach { case (_, n, share, load) =>
+      assert(share === n * 1000000L / total)
+      assert(load === n * 8L * 1000000L / total)
+    }
+  }
+
   test("noveltyCurve: first-seen attribution, zero-new days, cumulative distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
