@@ -730,4 +730,31 @@ object Dedup {
       result
     }
   }
+
+  /** MinHash-LSH parameter design table — the S-curve a deployment
+    * reads BEFORE committing a corpus pass: for every (bands b,
+    * rows-per-band r) split of `numHashes` and every jaccard grid
+    * point s, the candidate-detection probability 1 − (1 − sʳ)ᵇ in
+    * ppm, plus each split's threshold (1/b)^(1/r) — where the curve
+    * crosses ~50% — so "which banding catches 0.8-jaccard pairs with
+    * ≥99% and skips 0.3 pairs" is a table lookup, not a corpus
+    * experiment. Pure math over a generated grid: no input data, no
+    * shuffle; IEEE pow over exact grid doubles, micro-rounded.
+    */
+  def lshTuning(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+                gridStepPpm: Long): DataFrame = {
+    require(numHashes >= 1 && gridStepPpm >= 1)
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b.toLong, (numHashes / b).toLong))
+    val grid = spark.createDataFrame(splits).toDF("bands", "rows_per_band")
+      .withColumn("s_ppm", explode(expr(
+        s"sequence(${gridStepPpm}L, 1000000L - ${gridStepPpm}L, ${gridStepPpm}L)")))
+    grid.select(col("bands"), col("rows_per_band"), col("s_ppm"),
+      round((lit(1.0) - pow(lit(1.0) - pow(
+          col("s_ppm").cast("double") / 1000000.0, col("rows_per_band")),
+        col("bands"))) * 1e6).cast("long").as("p_detect_ppm"),
+      round(pow(lit(1.0) / col("bands"),
+        lit(1.0) / col("rows_per_band")) * 1e6).cast("long")
+        .as("threshold_ppm"))
+  }
 }

@@ -134,6 +134,29 @@ object Stats {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Cohort lifetime value — retention's revenue-weighted sibling:
+    * per (cohort week, age week), active users, period value, and
+    * the CUMULATIVE value the cohort has produced by that age.
+    * Cents-exact BIGINT sums; the cumulative window is PARTITIONED
+    * by cohort over the tiny (cohort × age) table; two aggregations
+    * total (cohort derivation + per-age fold) sharing one scan.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                centsCol: String): DataFrame = {
+    val cohorts = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val perAge = df.join(cohorts, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col(tsCol)), col("cohort_week")) / 7)
+          .cast("long").as("week_k"))
+      .agg(countDistinct(col(userCol)).as("n_active"),
+        sum(col(centsCol)).as("value_cents"))
+    perAge.withColumn("cum_value_cents",
+      sum(col("value_cents")).over(Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Two-cohort Welch comparison per group — the A/B experimentation
     * readout: exact integer sufficient statistics per (group, cohort)
     * (count, Σy, Σy² in DECIMAL over cent-quantized values), then

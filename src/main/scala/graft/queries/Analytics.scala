@@ -531,6 +531,23 @@ object Analytics {
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
+  /** Cohort lifetime value (B48): per (cohort week, age week), active
+    * users, period value, and the CUMULATIVE value each cohort has
+    * produced by that age — retention's revenue-weighted sibling.
+    * Cents-exact BIGINT sums; the cumulative window is PARTITIONED by
+    * cohort over the tiny (cohort × age) table. Same two-aggregation
+    * shape as q_cohort_retention (cohort derivation shares one scan).
+    */
+  def qCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.cohortLtv(
+      Tables.events(spark, sfDir)
+        .filter($"ts".isNotNull && $"value".isNotNull)
+        .select($"user_id", $"ts",
+          round($"value" * 100).cast("long").as("cents")),
+      "user_id", "ts", "cents")
+  }
+
   /** Join-strategy advisor on the lineitem⋈urgent-orders shape: two
     * partial-aggregated diagnostic passes emit one decision row
     * (broadcast / salt / bloom / shuffle) — see SkewJoin.advise.
@@ -813,6 +830,7 @@ object Analytics {
     "q_join_advise" -> qJoinAdvise,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
+    "q_cohort_ltv" -> qCohortLtv,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -975,6 +993,23 @@ object Analytics {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_view_click,
         |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, ts,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |      FROM e GROUP BY 1),
+        |p AS (SELECT cohort_week,
+        |        date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS week_k,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+        |        CAST(sum(cents) AS BIGINT) AS value_cents
+        |      FROM e JOIN f USING (user_id)
+        |      GROUP BY 1, 2)
+        |SELECT cohort_week, week_k, n_active, value_cents,
+        |  CAST(sum(value_cents) OVER (PARTITION BY cohort_week ORDER BY week_k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_value_cents
+        |FROM p""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
         |           FROM events GROUP BY 1),

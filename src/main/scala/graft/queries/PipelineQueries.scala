@@ -30,6 +30,11 @@ object PipelineQueries {
   def dedupExactQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(dupCorpus(spark, sfDir), "text", "doc_id")
 
+  /** MinHash banding design table (C1m; Dedup.lshTuning) at the
+    * production signature width (16 hashes), 5%-jaccard grid. */
+  def dedupLshTuningQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.lshTuning(spark, numHashes = 16, gridStepPpm = 50000L)
+
   def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashLsh(Tables.documents(spark, sfDir), "text", "doc_id",
       numHashes = 16, numBands = 2, threshold = JAC_T)
@@ -2453,6 +2458,7 @@ object PipelineQueries {
     "profile_mutual_info" -> profileMutualInfoQ,
     "profile_novelty" -> profileNoveltyQ,
     "profile_psi" -> profilePsiQ,
+    "dedup_lsh_tuning" -> dedupLshTuningQ,
     "ann_ivf_stats" -> annIvfStatsQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
@@ -4985,6 +4991,20 @@ object PipelineQueries {
          |            AS BIGINT)
          |  END AS r_micro
          |FROM s""".stripMargin,
+    "dedup_lsh_tuning" ->
+      """WITH sp AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4),
+        |        (8, 2), (16, 1)) AS t(bands, rows_per_band)),
+        |g AS (SELECT CAST(bands AS BIGINT) AS bands,
+        |        CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |        CAST(unnest(generate_series(50000, 950000, 50000)) AS BIGINT)
+        |          AS s_ppm
+        |      FROM sp)
+        |SELECT bands, rows_per_band, s_ppm,
+        |  CAST(round((1.0 - pow(1.0 - pow(CAST(s_ppm AS DOUBLE) / 1000000.0,
+        |       rows_per_band), bands)) * 1e6) AS BIGINT) AS p_detect_ppm,
+        |  CAST(round(pow(1.0 / bands, 1.0 / rows_per_band) * 1e6) AS BIGINT)
+        |    AS threshold_ppm
+        |FROM g""".stripMargin,
     "profile_psi" ->
       """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day
         |      FROM events WHERE ts IS NOT NULL),

@@ -544,6 +544,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("A", 1L), ("A>B>C", 1L), ("B", 1L)))
   }
 
+  test("cohortLtv: cohort anchoring, per-age actives, cumulative value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two users join in week of 2024-01-01 (Mon), one in week+1;
+    // u1 spends in weeks 0 and 1, u2 only week 0, u3 in ITS week 0
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 100L), (1L, "2024-01-09 10:00:00", 50L),
+      (2L, "2024-01-02 10:00:00", 30L),
+      (3L, "2024-01-08 10:00:00", 70L))
+      .toDF("user_id", "s", "cents")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"cents")
+    val got = graft.ops.Stats.cohortLtv(ev, "user_id", "ts", "cents")
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cw"),
+        $"week_k", $"n_active", $"value_cents", $"cum_value_cents")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L, 130L, 130L),  // u1+u2 week 0
+      ("2024-01-01", 1L, 1L, 50L, 180L),   // u1 returns; cum 130+50
+      ("2024-01-08", 0L, 1L, 70L, 70L)))   // u3's own cohort
+  }
+
   test("abTest: Welch z from exact sums, degenerate cohorts NULL, diff always present") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

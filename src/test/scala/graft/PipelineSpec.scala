@@ -2460,6 +2460,26 @@ class PipelineSpec extends SparkSpec {
     assert(texts === Seq(("c1", 2L, r1), ("c2", 1L, r2)))
   }
 
+  test("lshTuning: S-curve monotone in s, extreme bandings bracket, exact thresholds") {
+    import spark.implicits._
+    val t = graft.ops.Dedup.lshTuning(spark, numHashes = 16,
+        gridStepPpm = 100000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(t.map(r => (r._1, r._2)).toSet ===
+      Set((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    // monotone nondecreasing in s per banding
+    t.groupBy(r => (r._1, r._2)).values.foreach { rs =>
+      val ps = rs.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+    // many-bands-short-rows catches low-jaccard pairs; the opposite
+    // banding ignores them — the brackets every tuning chart shows
+    val lowS = t.filter(_._3 == 300000L).map(r => ((r._1, r._2), r._4)).toMap
+    assert(lowS((16L, 1L)) > 900000L && lowS((1L, 16L)) < 100L)
+    // threshold (1/4)^(1/4) = 0.707107 at micro rounding
+    assert(t.find(r => r._1 == 4L && r._3 == 100000L).get._5 === 707107L)
+  }
+
   test("psi: smoothed one-sided categories finite, signs track drift direction") {
     import spark.implicits._
     val cur = Seq("a", "a", "a", "b", "c").map(Tuple1(_)).toDF("cat")
