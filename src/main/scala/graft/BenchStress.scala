@@ -631,6 +631,24 @@ object BenchStress {
         ev.filter(col("ts").isNotNull)
           .select(expr("unix_millis(ts) DIV 86400000").as("snap_day")),
         "snap_day", keepDailyDays = 7, keepWeeklyWeeks = 4)),
+    // category cardinality fixed, rows grow: two partial aggs + a
+    // category-table join — pure scan shape
+    "profile_psi" -> ((ev: DataFrame) => {
+      val e = ev.filter(col("ts").isNotNull)
+        .select(col("event_type"), expr("unix_millis(ts) DIV 86400000").as("day"))
+      val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+      val tagged = e.crossJoin(broadcast(mid))
+      graft.ops.Profile.psi(tagged.filter(col("day") > col("mid")),
+        tagged.filter(col("day") <= col("mid")), "event_type")
+    }),
+    // cohorts×ages stay fixed while users/events grow: the ratio
+    // reads the two shared-scan aggregations
+    "q_cohort_ltv" -> ((ev: DataFrame) =>
+      graft.ops.Stats.cohortLtv(
+        ev.filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "cents")),
     // one partial agg to |groups|·2 rows, cohort is a projection:
     // pure scan-bandwidth shape like q_linreg
     "q_ab_test" -> ((ev: DataFrame) =>
