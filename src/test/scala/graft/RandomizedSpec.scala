@@ -1483,6 +1483,107 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("sessionPaths equals the scan reference on random bursty streams") {
+    val rnd = new Random(117)
+    (1 to rounds).foreach { _ =>
+      // bursty timestamps so session gaps actually occur
+      val rows = (0 until 6).flatMap { u =>
+        var t = 0L
+        Seq.tabulate(rnd.nextInt(20) + 1) { i =>
+          t += (if (rnd.nextInt(4) == 0) 2000000L else rnd.nextInt(1000).toLong)
+          (u.toLong, t, i.toLong, "s" + rnd.nextInt(3))
+        }
+      }
+      val got = graft.ops.Stats.sessionPaths(
+          rows.toDF("u", "ms", "eid", "st"), "u", col("ms"), col("eid"),
+          "st", gapMs = 1800000L, k = 3)
+        .as[(String, Long)].collect().toMap
+      val expect = rows.groupBy(_._1).values.flatMap { rs =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val sessions = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer[String]())
+        var prev = Long.MinValue
+        sorted.foreach { r =>
+          if (prev != Long.MinValue && r._2 - prev > 1800000L)
+            sessions += scala.collection.mutable.ArrayBuffer[String]()
+          sessions.last += r._4
+          prev = r._2
+        }
+        sessions.map(_.take(3).mkString(">"))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("retention plan equals the tier reference on random snapshot sets") {
+    val rnd = new Random(118)
+    (1 to rounds).foreach { _ =>
+      val days = (0 until rnd.nextInt(80) + 5)
+        .map(_ => rnd.nextInt(120).toLong).distinct
+      val (kd, kw) = (rnd.nextInt(10) + 1, rnd.nextInt(6) + 1)
+      val got = graft.cdc.Retention.plan(
+          days.map(Tuple1(_)).toDF("snap_day"), "snap_day", kd, kw)
+        .as[(Long, Long, String)].collect().toSet
+      val mx = days.max
+      val wkMax = days.groupBy(_ / 7).view.mapValues(_.max).toMap
+      val expect = days.map { d =>
+        val age = mx - d
+        val a = if (age < kd) "keep-daily"
+        else if (d == wkMax(d / 7) && age < kw * 7L) "keep-weekly"
+        else "drop"
+        (d, age, a)
+      }.toSet
+      assert(got == expect, s"kd=$kd kw=$kw")
+    }
+  }
+
+  test("noveltyCurve equals the first-seen reference on random key streams") {
+    val rnd = new Random(119)
+    (1 to rounds).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(400) + 10)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(15).toLong))
+      val got = graft.ops.Profile.noveltyCurve(
+          rows.toDF("k", "d"), "k", col("d"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val firstSeen = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val perDay = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      val newPerDay = firstSeen.values.groupBy(identity)
+        .view.mapValues(_.size.toLong)
+      val daysSorted = perDay.keys.toSeq.sorted
+      var cum = 0L
+      val expect = daysSorted.map { d =>
+        cum += newPerDay.getOrElse(d, 0L)
+        (d, perDay(d), newPerDay.getOrElse(d, 0L), cum)
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("psi equals the smoothed-term reference on random category samples") {
+    val rnd = new Random(120)
+    (1 to rounds).foreach { _ =>
+      val cur = Seq.fill(rnd.nextInt(150) + 1)("c" + rnd.nextInt(8))
+      val ref = Seq.fill(rnd.nextInt(150) + 1)("c" + rnd.nextInt(10))
+      val got = graft.ops.Profile.psi(
+          cur.map(Tuple1(_)).toDF("cat"), ref.map(Tuple1(_)).toDF("cat"),
+          "cat")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val cats = (cur ++ ref).distinct
+      val k = cats.size.toLong
+      val (tc, tr) = (cur.size.toLong, ref.size.toLong)
+      val expect = cats.map { c =>
+        val (nc, nr) = (cur.count(_ == c).toLong, ref.count(_ == c).toLong)
+        val (pc, pr) = ((nc + 1.0) / (tc + k), (nr + 1.0) / (tr + k))
+        val term = java.math.BigDecimal.valueOf(
+          (pc - pr) * math.log((nc + 1.0) * (tr + k) / ((nr + 1.0) * (tc + k)))
+            * 1e6).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        (c, nc, nr, (nc + 1) * 1000000L / (tc + k),
+          (nr + 1) * 1000000L / (tr + k), term)
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("abTest equals the formula reference on random cohorts") {
     val rnd = new Random(116)
     (1 to rounds).foreach { _ =>
