@@ -548,6 +548,57 @@ object Analytics {
       "user_id", "ts", "cents")
   }
 
+  /** RFM segmentation (B49): per-user recency (days since last
+    * purchase, stream-time anchored), frequency (purchase count) and
+    * monetary (cents), bucketed by fixed thresholds into the classic
+    * 2×2×2 segment grid and counted per segment — the lifecycle
+    * marketing table. One partial agg per user + a broadcast anchor +
+    * one tiny segment agg; everything BIGINT.
+    */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"ts".isNotNull &&
+        $"value".isNotNull)
+      .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+    val anchor = p.agg(max("day").as("mx"))
+    val rfm = p.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", $"mx" - $"last_day")
+    rfm.groupBy(
+        when($"recency_days" <= 1L, lit("R1")).otherwise(lit("R0")).as("r"),
+        when($"frequency" >= 13L, lit("F1")).otherwise(lit("F0")).as("f"),
+        when($"monetary_cents" >= 59000L, lit("M1")).otherwise(lit("M0"))
+          .as("m"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"monetary_cents").as("segment_cents"))
+  }
+
+  /** DAU/MAU stickiness per stream month (B50): average daily actives
+    * over monthly actives, in ppm — the engagement-density readout.
+    * Exact integers: Σ per-day distinct counts over a month divided
+    * by (days-in-month-with-data × monthly distinct). Two distinct
+    * aggregations + a tiny per-month fold.
+    */
+  def qStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).filter($"ts".isNotNull)
+      .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+      .withColumn("month", expr("day DIV 30"))
+    val daily = e.select($"month", $"day", $"user_id").distinct()
+      .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(sum("dau").as("dau_sum"),
+        count(lit(1)).as("n_days"))
+    val monthly = e.select($"month", $"user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    daily.join(monthly, "month")
+      .select($"month", $"n_days", $"mau",
+        expr("dau_sum * 1000000 DIV (n_days * mau)").as("stickiness_ppm"))
+  }
+
   /** Join-strategy advisor on the lineitem⋈urgent-orders shape: two
     * partial-aggregated diagnostic passes emit one decision row
     * (broadcast / salt / bloom / shuffle) — see SkewJoin.advise.
@@ -831,6 +882,8 @@ object Analytics {
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_cohort_ltv" -> qCohortLtv,
+    "q_rfm" -> qRfm,
+    "q_stickiness" -> qStickiness,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -993,6 +1046,39 @@ object Analytics {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_view_click,
         |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |        AND value IS NOT NULL),
+        |a AS (SELECT max(day) AS mx FROM p),
+        |u AS (SELECT user_id, max(day) AS last_day,
+        |        CAST(count(*) AS BIGINT) AS frequency,
+        |        CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT user_id, mx - last_day AS recency_days, frequency,
+        |        monetary_cents FROM u, a)
+        |SELECT CASE WHEN recency_days <= 1 THEN 'R1' ELSE 'R0' END AS r,
+        |  CASE WHEN frequency >= 13 THEN 'F1' ELSE 'F0' END AS f,
+        |  CASE WHEN monetary_cents >= 59000 THEN 'M1' ELSE 'M0' END AS m,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    "q_stickiness" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |        (epoch_ms(ts) // 86400000) // 30 AS month
+        |      FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |        AS dau FROM e GROUP BY 1, 2),
+        |ds AS (SELECT month, CAST(sum(dau) AS BIGINT) AS dau_sum,
+        |        CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+        |m AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |      FROM e GROUP BY 1)
+        |SELECT month, n_days, mau,
+        |  CAST(dau_sum * 1000000 // (n_days * mau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM ds JOIN m USING (month)""".stripMargin,
     "q_cohort_ltv" ->
       """WITH e AS (SELECT user_id, ts,
         |        CAST(round(value * 100) AS BIGINT) AS cents
