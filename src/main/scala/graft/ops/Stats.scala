@@ -134,6 +134,50 @@ object Stats {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Session basket affinity — the unordered sibling of
+    * [[transitionMatrix]]: which states CO-OCCUR in a session (vs
+    * which follows which), with support counts and integer lift.
+    * lift_ppm = n_ab·S·10⁶ / (n_a·n_b) over session-distinct
+    * presence; > 10⁶ means the pair attracts, < 10⁶ repels.
+    *
+    * Shape at scale: ONE shuffle on the sequence key builds sessions;
+    * presence collapses to distinct (session, state) rows; the pair
+    * join is keyed on the session id (never all-pairs across
+    * sessions); marginals and the session count broadcast onto the
+    * |states|² pair table.
+    */
+  def basketAffinity(df: DataFrame, keyCol: String, tsMsCol: Column,
+                     tieCol: Column, stateCol: String, gapMs: Long)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsMsCol.asc, tieCol.asc)
+    val sess = df
+      .withColumn("__prev", lag(tsMsCol, 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || (tsMsCol - col("__prev")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat(col(keyCol).cast("string"), lit(":"),
+        col("__sess").cast("string")).as("sid"), col(stateCol).as("st"))
+      .distinct()
+    val nSessions = sess.select("sid").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = sess.groupBy("st").agg(count(lit(1)).as("n"))
+    val pairs = sess.join(sess.withColumnRenamed("st", "st_b"), Seq("sid"))
+      .filter(col("st") < col("st_b"))
+      .groupBy(col("st").as("state_a"), col("st_b").as("state_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("st").as("state_a"),
+        col("n").as("n_a"))), Seq("state_a"))
+      .join(broadcast(marg.select(col("st").as("state_b"),
+        col("n").as("n_b"))), Seq("state_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("state_a"), col("state_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("n_ab * n_sessions * 1000000 DIV (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** Cohort lifetime value — retention's revenue-weighted sibling:
     * per (cohort week, age week), active users, period value, and
     * the CUMULATIVE value the cohort has produced by that age.

@@ -548,6 +548,20 @@ object Analytics {
       "user_id", "ts", "cents")
   }
 
+  /** Session basket affinity (B51; graft.ops.Stats.basketAffinity):
+    * which event types co-occur in a 30-minute session, with integer
+    * lift — the unordered sibling of q_markov_transitions.
+    */
+  def qBasketAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.basketAffinity(
+      Tables.events(spark, sfDir).filter($"ts".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ts_ms")),
+      "user_id", col("ts_ms"), col("event_id"), "event_type",
+      gapMs = 1800000L)
+  }
+
   /** RFM segmentation (B49): per-user recency (days since last
     * purchase, stream-time anchored), frequency (purchase count) and
     * monetary (cents), bucketed by fixed thresholds into the classic
@@ -883,6 +897,7 @@ object Analytics {
     "q_cohort_retention" -> qCohortRetention,
     "q_cohort_ltv" -> qCohortLtv,
     "q_rfm" -> qRfm,
+    "q_basket_affinity" -> qBasketAffinity,
     "q_stickiness" -> qStickiness,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
@@ -1046,6 +1061,35 @@ object Analytics {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_view_click,
         |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q_basket_affinity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |      FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT user_id, event_type, ms, event_id,
+        |        CASE WHEN lag(ms) OVER w IS NULL
+        |                  OR ms - lag(ms) OVER w > 1800000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ms ASC, event_id ASC)),
+        |t AS (SELECT DISTINCT
+        |        user_id::VARCHAR || ':' ||
+        |          (sum(new_s) OVER (PARTITION BY user_id
+        |            ORDER BY ms ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::VARCHAR
+        |          AS sid,
+        |        event_type AS st
+        |      FROM s),
+        |ns AS (SELECT CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions FROM t),
+        |m AS (SELECT st, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |p AS (SELECT a.st AS state_a, b.st AS state_b,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM t a JOIN t b ON a.sid = b.sid AND a.st < b.st
+        |      GROUP BY 1, 2)
+        |SELECT state_a, state_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  CAST(n_ab * n_sessions * 1000000 // (ma.n * mb.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM p JOIN m ma ON p.state_a = ma.st
+        |       JOIN m mb ON p.state_b = mb.st
+        |       CROSS JOIN ns""".stripMargin,
     "q_rfm" ->
       """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
         |        CAST(round(value * 100) AS BIGINT) AS cents

@@ -30,6 +30,28 @@ object PipelineQueries {
   def dedupExactQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(dupCorpus(spark, sfDir), "text", "doc_id")
 
+  /** Per-source duplicate-rate health report (C1n): over the
+    * dup-injected corpus, each source's doc count, exact-duplicate
+    * doc count (member of a content-hash group of size > 1) and
+    * floor-ppm duplication rate — the corpus-health number a crawl
+    * operator reads before deciding WHERE to spend dedup budget.
+    * One hash partial agg + a key-only join back; no windows.
+    */
+  def dedupRateBySourceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = dupCorpus(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(TextAnalysis.normalize(col("text"))).as("h"))
+    val dupHashes = corpus.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).select("h")
+    val flagged = corpus.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        expr("coalesce(n_dup_docs, 0) * 1000000 DIV n_docs").as("dup_ppm"))
+  }
+
   /** MinHash banding design table (C1m; Dedup.lshTuning) at the
     * production signature width (16 hashes), 5%-jaccard grid. */
   def dedupLshTuningQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -2459,6 +2481,7 @@ object PipelineQueries {
     "profile_novelty" -> profileNoveltyQ,
     "profile_psi" -> profilePsiQ,
     "dedup_lsh_tuning" -> dedupLshTuningQ,
+    "dedup_rate_by_source" -> dedupRateBySourceQ,
     "ann_ivf_stats" -> annIvfStatsQ,
     "profile_fd" -> profileFdQ,
     "profile_entropy" -> profileEntropyQ,
@@ -4991,6 +5014,25 @@ object PipelineQueries {
          |            AS BIGINT)
          |  END AS r_micro
          |FROM s""".stripMargin,
+    "dedup_rate_by_source" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, text FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |c AS (SELECT source,
+         |        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |      FROM corpus),
+         |dh AS (SELECT h FROM c GROUP BY 1 HAVING count(*) > 1),
+         |f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+         |      FROM c SEMI JOIN dh USING (h) GROUP BY 1),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM c GROUP BY 1)
+         |SELECT t.source, n_docs,
+         |  CAST(coalesce(n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(coalesce(n_dup_docs, 0) * 1000000 // n_docs AS BIGINT)
+         |    AS dup_ppm
+         |FROM t LEFT JOIN f ON t.source = f.source""".stripMargin,
     "dedup_lsh_tuning" ->
       """WITH sp AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4),
         |        (8, 2), (16, 1)) AS t(bands, rows_per_band)),

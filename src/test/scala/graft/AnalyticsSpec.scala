@@ -544,6 +544,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("A", 1L), ("A>B>C", 1L), ("B", 1L)))
   }
 
+  test("basketAffinity: session-distinct presence, integer lift, attract/repel signs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1 one session {A,B,A}->{A,B}; u2 {A,C}; u3 {B}. 3 sessions.
+    // n_a=2 n_b=2 n_c=1. (A,B): 1*3e6/(2*2)=750000 (repel);
+    // (A,C): 1*3e6/(2*1)=1500000 (attract).
+    val ev = Seq(
+      (1L, 10L, 0L, "A"), (1L, 11L, 1L, "B"), (1L, 12L, 2L, "A"),
+      (2L, 20L, 0L, "A"), (2L, 21L, 1L, "C"),
+      (3L, 30L, 0L, "B"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    val got = graft.ops.Stats.basketAffinity(ev, "user_id", col("ts_ms"),
+        col("event_id"), "event_type", gapMs = 1800000L)
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect().sortBy(t => (t._2, t._1)).toSeq
+    assert(got === Seq(
+      ("A", "B", 1L, 2L, 2L, 750000L),
+      ("A", "C", 1L, 2L, 1L, 1500000L)))
+    // a 31-minute gap splits u1's session: {A,B} and {A} ->
+    // n_a becomes 3 over 4 sessions; (A,B) lift 1*4e6/(3*2)=666666
+    val split = ev.withColumn("ts_ms",
+      when($"event_id" === 12L, lit(2000000L)).otherwise($"ts_ms"))
+    val got2 = graft.ops.Stats.basketAffinity(split, "user_id",
+        col("ts_ms"), col("event_id"), "event_type", gapMs = 1800000L)
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect().sortBy(t => (t._2, t._1)).toSeq
+    assert(got2.find(t => t._1 == "A" && t._2 == "B").get._6 === 666666L)
+  }
+
   test("cohortLtv: cohort anchoring, per-age actives, cumulative value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
