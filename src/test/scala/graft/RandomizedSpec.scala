@@ -1584,6 +1584,48 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("basketAffinity equals the co-presence reference on random bursty streams") {
+    val rnd = new Random(121)
+    (1 to rounds).foreach { _ =>
+      val rows = (0 until 6).flatMap { u =>
+        var t = 0L
+        Seq.tabulate(rnd.nextInt(25) + 2) { i =>
+          t += (if (rnd.nextInt(4) == 0) 2000000L else rnd.nextInt(1000).toLong)
+          (u.toLong, t, i.toLong, "s" + rnd.nextInt(4))
+        }
+      }
+      val got = graft.ops.Stats.basketAffinity(
+          rows.toDF("u", "ms", "eid", "st"), "u", col("ms"), col("eid"),
+          "st", gapMs = 1800000L)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      // reference: rebuild sessions, session-distinct states, pairs
+      val baskets = rows.groupBy(_._1).values.flatMap { rs =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val out = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.Set[String]())
+        var prev = Long.MinValue
+        sorted.foreach { r =>
+          if (prev != Long.MinValue && r._2 - prev > 1800000L)
+            out += scala.collection.mutable.Set[String]()
+          out.last += r._4
+          prev = r._2
+        }
+        out
+      }.toSeq
+      val nS = baskets.size.toLong
+      val marg = baskets.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong)
+      val pairCounts = baskets.flatMap { b =>
+        val ss = b.toSeq.sorted
+        for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+      val expect = pairCounts.map { case ((a, b), n) =>
+        (a, b, n, marg(a), marg(b), n * nS * 1000000L / (marg(a) * marg(b)))
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("abTest equals the formula reference on random cohorts") {
     val rnd = new Random(116)
     (1 to rounds).foreach { _ =>
