@@ -52,18 +52,97 @@ object Bench {
     // its measurement.
     def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
     reset() // drop warmup garbage outside the timed region
+    // Every caught exception's class + first message line lands in the
+    // published artifact: a stack trace in the driver's stderr with a
+    // green-looking number next to it is unadjudicable (the r12 orphan
+    // pipelineJsonlQ trace cost a judge session). First error per query
+    // wins; the count of later ones is appended so repeats are visible.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // first error line per query wins; later ones bump a "(+N more)"
+    // suffix so repeats stay visible without flooding the artifact
+    def recordLine(name: String, line: String): Unit = errors.synchronized {
+      errors.get(name) match {
+        case None => errors(name) = line
+        case Some(prev) =>
+          val n = "\\(\\+(\\d+) more\\)$".r.findFirstMatchIn(prev)
+            .map(_.group(1).toInt).getOrElse(0)
+          errors(name) = prev.replaceAll(" \\(\\+\\d+ more\\)$", "") +
+            s" (+${n + 1} more)"
+      }
+    }
+    def recordError(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse("").linesIterator
+        .find(_.nonEmpty).getOrElse("").take(160)
+      recordLine(name, s"${e.getClass.getSimpleName}: $msg")
+    }
+    // A task that fails and is absorbed by a stage retry never reaches
+    // the catch below, yet its stack trace lands in stderr next to a
+    // green-looking number (the r12 orphan pipelineJsonlQ trace). The
+    // listener attributes absorbed task failures to the query running
+    // when they fired.
+    @volatile var currentQuery = "_setup"
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          te.reason match {
+            case ef: org.apache.spark.ExceptionFailure =>
+              recordLine(currentQuery,
+                s"task:${ef.className.split('.').last}: " +
+                  ef.description.linesIterator
+                    .find(_.nonEmpty).getOrElse("").take(160))
+            case _ =>
+          }
+      })
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      currentQuery = name
       val t0 = System.nanoTime()
       // a failed query reports -1, not a misleading elapsed time
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          recordError(name, e); false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      currentQuery = "_between"
+      dt
     }
+    // Contention self-diagnosis: a fixed CPU-bound anchor (range →
+    // xxhash64 → sum, no I/O, no shuffle — the same machine resources a
+    // co-resident process steals) measured at start, middle (between the
+    // two passes) and end. Idle, the three agree within a few percent;
+    // on a contended machine the drift labels the run so a 3–6× LSH
+    // reading stops needing a judge idle re-measure to adjudicate
+    // (r10/r12: three rounds of phantom regressions, all environmental).
+    import org.apache.spark.sql.functions.{xxhash64, sum => ssum}
+    def anchorOnce(): Double = {
+      reset()
+      val t0 = System.nanoTime()
+      // % 1M before summing: ANSI mode makes a raw Σ xxhash64 overflow.
+      // ~0.7 s idle: long enough that scheduler jitter stays under a few
+      // percent and real contention reads as a multiple, short enough
+      // that the six measured runs cost ~4 s of a ~200 s bench.
+      // A broken anchor must never kill the bench before the contract
+      // line is emitted: publish -1 and keep going.
+      try {
+        spark.range(0, 2400000000L, 1, 32)
+          .select(ssum(xxhash64(scol("id")) % 1000000L).as("s")).head()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => recordError("_anchor", e); -1.0 }
+    }
+    // min-of-2 per point: a one-off GC pause or scheduler stall must not
+    // read as machine-wide contention — sustained contention hits both.
+    // One failed run of the pair falls back to the good one.
+    def anchor(): Double = {
+      val (a, b) = (anchorOnce(), anchorOnce())
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    }
+    anchorOnce(); anchorOnce() // untimed: JIT tiering needs >1 execution
+    val anchorStart = anchor()
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       reset()
       (name, fn, timed(name, fn))
     }
+    val anchorMid = anchor()
     // Contention guard: anything slow enough to be noise-dominated
     // (GC pauses, page-cache faults from a co-resident process) gets a
     // second run from a reset state; keep the best, REPORT the spread.
@@ -81,6 +160,14 @@ object Bench {
         else (name, t1, Some(-1.0))
       } else (name, t1, None)
     }
+    val anchorEnd = anchor()
+    val anchors = Seq(anchorStart, anchorMid, anchorEnd)
+    // drift = max/min of the three anchor readings; > ~1.3 on a ~1-s
+    // CPU anchor means the machine was NOT idle for part of the run.
+    // A failed anchor (-1 reading) publishes drift -1: unknown, not 1.0.
+    val anchorDrift =
+      if (anchors.exists(_ < 0)) -1.0
+      else anchors.max / math.max(anchors.min, 1e-9)
     // The driver keeps only the LAST 2000 chars of stdout: the whole
     // JSON line must fit in that window (after sbt's trailing
     // [success] line) or the head of the line is cut off and it can
@@ -101,7 +188,8 @@ object Bench {
     val spreads = results.collect {
       case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 => (k, v, mx)
     }.sortBy { case (_, v, mx) => if (mx < 0) Double.MaxValue else -(mx / math.max(v, 1e-9)) }
-    def line(prec: Int, nSpread: Int, topQ: Int, minT: Double = 0.0): String = {
+    def line(prec: Int, nSpread: Int, topQ: Int, minT: Double = 0.0,
+             allErrors: Boolean = false): String = {
       // two degrade axes before slowest-N: minT drops entries under a
       // floor (a sub-50ms query cannot regress measurably while
       // STAYING sub-50ms — the moment it regresses it reappears), topQ
@@ -118,7 +206,28 @@ object Bench {
         "\"" + k + "\":[" + fmt(v, prec) + "," + fmt(mx, prec) + "]"
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fast":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp$om,"sf":"$sfDir"}"""
+      // anchors always publish — they are the contention self-label the
+      // r10/r12 phantom-regression adjudications asked for; errors are
+      // capped in the stdout line (full in the file twin) but a nonempty
+      // map never drops entirely: a -1 without its why is unadjudicable
+      def jesc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+      val anc = s""","anchor_sec":[${anchors.map(fmt(_, 2)).mkString(",")}],"anchor_drift":${fmt(anchorDrift, 2)}"""
+      val errCap = if (allErrors) Int.MaxValue else 4
+      val msgCap = if (allErrors) 400 else 110
+      val er = if (errors.isEmpty) "" else {
+        val shown = errors.take(errCap).map { case (k, v) =>
+          "\"" + jesc(k) + "\":\"" + jesc(v.take(msgCap)) + "\""
+        }.mkString(",")
+        val more = if (errors.size > errCap)
+          s""","_omitted_errors":${errors.size - errCap}""" else ""
+        s""","errors":{$shown$more}"""
+      }
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp$om$anc$er,"sf":"$sfDir"}"""
     }
     // The query count grows every round; degrade verbosity (fewer
     // spread entries, coarser precision, then slowest-N-only per-query
@@ -155,7 +264,7 @@ object Bench {
     // fail the bench contract line.
     try Files.writeString(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-      line(3, spreads.size, all, 0.0) + "\n")
+      line(3, spreads.size, all, 0.0, allErrors = true) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
     println(out)
