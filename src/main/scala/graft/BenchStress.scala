@@ -591,6 +591,21 @@ object BenchStress {
         expr("l_orderkey * 10 + l_linenumber"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         ratePpm = 100000L)),
+    // sketch build is one pass of O(1)-amortized updates + a 4-key
+    // merge of ~3k-double partials; the rank-check join re-scans once
+    // against a 28-row broadcast — wall should track 2 linear scans
+    "profile_quantiles_kll" -> ((li: DataFrame) => {
+      import org.apache.spark.sql.Encoders
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+      val stacked = li
+        .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
+        .filter(col("val").isNotNull)
+      val kllUdaf = udaf(new graft.ops.KllAgg(256), Encoders.scalaDouble)
+      stacked.groupBy("col_name").agg(kllUdaf(col("val")).as("sk"))
+        .select(col("col_name"), expr("sk.count").as("n"),
+          expr("size(flatten(sk.levels))").as("retained"))
+    }),
     // ONE map-side-combined moment aggregate, fixed 6-row output: the
     // ratio isolates pure scan + per-row integer arithmetic — any
     // second corpus pass or corpus-sized shuffle would surface here

@@ -1482,6 +1482,86 @@ object PipelineQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       ratePpm = 100000L)
 
+  /** Pct grid + rank-error bound of the KLL profile gate — shared with
+    * the oracle builder so the two can never drift. */
+  private[queries] val kllPcts = Seq(1L, 10L, 25L, 50L, 75L, 90L, 99L)
+  private[queries] val kllCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private[queries] val kllBoundPpm = 25000L // 2.5% of n, vs ~1.3% typical at k=256
+
+  /** Mergeable-quantile profile via the KLL typed Aggregator
+    * (graft.ops.KllAgg) — profile_quantiles_sketch's guaranteed-error
+    * sibling and the r12-verdict ask: where the hash-sample path is
+    * honest-but-sample-bounded, the KLL ladder carries a PROVEN
+    * ~O(1/k) rank-error bound that survives arbitrary merge trees,
+    * i.e. exactly Spark's partial-agg shape at 1000 executors.
+    *
+    * Gate design (the property-gate pattern): a merged KLL object is
+    * not byte-stable under Spark's nondeterministic shuffle-fetch
+    * merge order, so the query publishes, per (column, pct), the exact
+    * non-null count and WHETHER the sketch estimate's true rank span
+    * intersects [target ± 2.5%·n] — computed Spark-side by joining the
+    * 28 estimates back against the column for exact lt/le ranks. The
+    * DuckDB oracle states the invariant (`1` for every grid cell), so
+    * any bound violation — under any merge order either Verify run
+    * happens to see — hash-fails the gate. The bound check is tie-
+    * aware: a heavily tied column (l_quantity: ~50 distinct values)
+    * makes count(<=q̂) overshoot any target by the tie mass, so the
+    * check is on the rank INTERVAL (count(<q̂), count(<=q̂)], the
+    * standard quantile-sketch error definition.
+    *
+    * Scale shape: one scan builds all four sketches in a single
+    * ObjectHashAggregate (partial per partition, ~3k-double states
+    * merged at 4 reduce keys); the estimates fold driver-side from 4
+    * rows (bounded by construction, the kmeans-centroid discipline);
+    * one more scan joins the broadcast 28-row grid for exact ranks.
+    */
+  def profileQuantilesKllQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val k = 256
+    val stackArgs = kllCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val stacked = Tables.lineitem(spark, sfDir)
+      .selectExpr(s"stack(${kllCols.size}, $stackArgs) as (col_name, val)")
+      .filter(col("val").isNotNull)
+    val kllUdaf = udaf(new graft.ops.KllAgg(k), Encoders.scalaDouble)
+    // A small-SF table is one parquet split, which would fold EVERY
+    // update in one task; spread the partial build when splits are
+    // scarce. At cluster scale splits are plentiful and no shuffle is
+    // added — the partial-per-split + 4-key merge shape is the point
+    // of a mergeable sketch.
+    // hash partitioning, not round-robin: repartition(n) alone sorts
+    // the whole input locally first (sortBeforeRepartition), which on
+    // the single source task costs more than it buys
+    val spread =
+      if (stacked.rdd.getNumPartitions < 32)
+        stacked.repartition(32, col("col_name"), col("val"))
+      else stacked
+    val sketches = spread.groupBy("col_name")
+      .agg(kllUdaf(col("val")).as("sk")).collect()
+    val est = sketches.flatMap { row =>
+      val name = row.getString(0)
+      val skRow = row.getStruct(1)
+      // Row decoding hands back mutable ArraySeqs; the state type wants
+      // immutable Seqs — copy (≤ ~3k doubles per sketch)
+      val state = graft.ops.KllState(
+        skRow.getInt(0), skRow.getLong(1), skRow.getLong(2),
+        skRow.getSeq[scala.collection.Seq[Double]](3).map(_.toVector).toVector)
+      kllPcts.map(p => (name, p, graft.ops.Kll.quantile(state, p).get))
+    }.toSeq
+    val estDf = spark.createDataFrame(est).toDF("col_name", "pct", "qhat")
+    stacked.join(broadcast(estDf), Seq("col_name"))
+      .groupBy(col("col_name"), col("pct"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("val") < col("qhat"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("val") <= col("qhat"), 1L).otherwise(0L)).as("__le"))
+      .withColumn("__target", expr("(pct * n + 99) div 100"))
+      .withColumn("__tol", expr(s"(n * $kllBoundPpm) div 1000000"))
+      .withColumn("within_bound",
+        when(col("__lt") + 1 <= col("__target") + col("__tol") &&
+          col("__le") >= col("__target") - col("__tol"), 1L).otherwise(0L))
+      .select(col("col_name"), col("pct"), col("n"), col("within_bound"))
+  }
+
   /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
     * per source, chosen by deterministic hash order — the per-domain
     * cap of a crawl-curation pipeline.
@@ -2450,6 +2530,7 @@ object PipelineQueries {
     "emb_quantize" -> embQuantizeQ,
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
+    "profile_quantiles_kll" -> profileQuantilesKllQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
@@ -4435,6 +4516,22 @@ object PipelineQueries {
          |UNION ALL
          |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
          |FROM d WHERE len(cs) = 0""".stripMargin,
+    // the property-gate oracle: DuckDB states the KLL rank-error
+    // invariant (within_bound = 1 for every grid cell) plus the exact
+    // non-null counts; the Spark side PROVES it per run by ranking the
+    // sketch estimates against the real column. A bound violation
+    // under any merge order hash-fails here.
+    "profile_quantiles_kll" -> {
+      val cases = kllCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n FROM lineitem")
+        .mkString("\n         UNION ALL ")
+      val grid = kllPcts.map(p => s"($p)").mkString(", ")
+      s"""WITH n AS ($cases),
+         |g AS (SELECT CAST(pct AS BIGINT) AS pct
+         |      FROM (VALUES $grid) v(pct))
+         |SELECT n.col_name, g.pct, n.n, CAST(1 AS BIGINT) AS within_bound
+         |FROM n CROSS JOIN g""".stripMargin
+    },
     // p50/p90/p99 are the LOWER exact quantiles of the sample — actual
     // sampled doubles at rank floor(p·(m−1)), bit-exact cross-engine
     // (the round-9 contract; interpolated quantile_cont drifted by
