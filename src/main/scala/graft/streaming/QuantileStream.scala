@@ -53,6 +53,15 @@ import graft.util.Hashing
   * but not the sample (count(col) semantics) — the monitor stays loud
   * when a feed starts emitting nulls.
   */
+/** Parquet row for the KLL mode's per-group state: the whole sketch as
+  * nested arrays (level l = items of weight 2^l), plus the lifetime
+  * volume counter. One row per group per version. */
+case class KllGroupState(g: String, rows_seen: Long, cnt: Long,
+                         compactions: Long, levels: Seq[Seq[Double]])
+
+private[streaming] case class KllCg(st: KllGroupState, inBatch: Boolean,
+                                    batchRows: Long)
+
 object QuantileStream {
 
   private val KEEP_VERSIONS = 4
@@ -154,12 +163,91 @@ object QuantileStream {
         col("p50"), col("p90"), col("p99"))
     report.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     state.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    pruneVersions(spark, stateDir)
+  }
+
+  private def pruneVersions(spark: SparkSession, stateDir: String): Unit = {
     val f = graft.util.Fs.fs(spark, stateDir)
     f.listStatus(new Path(stateDir)).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
       .sorted.dropRight(KEEP_VERSIONS)
       .foreach(ver => graft.util.Fs.delete(spark, s"$stateDir/batch=$ver"))
+  }
+
+  /** [[quantileBatch]]'s KLL-backed sibling (the r12-verdict ask): the
+    * bottom-k sample's lifetime quantiles are EXACT below saturation
+    * but degrade to uniform-subsample error (~1/sqrt(k) rank) once a
+    * group exceeds k distinct values; this mode swaps the sample for a
+    * [[graft.ops.Kll]] sketch per group, whose ~O(1/k) rank-error
+    * BOUND holds regardless of how many distinct values the lifetime
+    * stream accumulates — the saturation cliff becomes a proven error
+    * envelope (the spec flip: the sample mode pins exactness-then-
+    * saturation, this mode pins the bound at 100× the distinct count).
+    *
+    * Mechanics mirror the sample mode: exclude-own-writes
+    * `batch=<id>` versioning, report-then-state write order, pruned
+    * version window, null rows advance `rows_seen` but not the sketch.
+    * Per trigger the work is one cogroup of the batch against
+    * |groups| state rows; each group folds its batch values (sorted —
+    * the deterministic-replay order) into a fresh sketch and merges it
+    * onto its prior state, so state stays ≤ ~3k doubles per group
+    * per version regardless of age, and a replayed batch rewrites
+    * byte-identical output (deterministic coins + deterministic fold
+    * order). Weight conservation makes `sampled_rows` the EXACT
+    * non-null lifetime count. `k` must stay constant across a state
+    * dir's lifetime (sketches of different k don't merge).
+    *
+    * Report schema matches the sample mode: (group-as-string,
+    * batch_rows, rows_seen, k_eff = retained items, sampled_rows,
+    * p50, p90, p99) — lower weighted quantiles, actual data values.
+    */
+  def kllBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+               outDir: String, stateDir: String,
+               groupCol: String, valueCol: String, k: Int = 256)
+      : Unit = if (!batch.isEmpty) {
+    import spark.implicits._
+    import graft.ops.{Kll, KllState}
+    val prior = priorState(spark, stateDir, batchId)
+    // group keys as strings: the typed cogroup needs one key encoder,
+    // and a monitor's group is a feed/source name
+    val batchKV = batch
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Option[Double])]
+    val priorDs: org.apache.spark.sql.Dataset[KllGroupState] =
+      prior.map(_.as[KllGroupState])
+        .getOrElse(spark.emptyDataset[KllGroupState])
+    val cg = batchKV.groupByKey(_._1)
+      .cogroup(priorDs.groupByKey(_.g)) { (key, bIt, pIt) =>
+        val bs = bIt.map(_._2).toVector
+        val pr = pIt.toSeq.headOption
+        val priorSk = pr
+          .map(p => KllState(k, p.cnt, p.compactions,
+            p.levels.map(_.toVector).toVector))
+          .getOrElse(Kll.empty(k))
+        // sorted fold: the batch multiset enters in one canonical
+        // order, so an at-least-once replay rebuilds identical bytes
+        val batchSk = bs.flatten.sorted.foldLeft(Kll.empty(k))(Kll.update)
+        val merged = Kll.merge(priorSk, batchSk)
+        val rowsSeen = pr.map(_.rows_seen).getOrElse(0L) + bs.size
+        Iterator.single(KllCg(
+          KllGroupState(key, rowsSeen, merged.count, merged.compactions,
+            merged.levels.map(_.toVector).toVector),
+          bs.nonEmpty, bs.size.toLong))
+      }
+      .localCheckpoint() // one computation feeds the report AND the state
+    val report = cg.filter(_.inBatch).map { c =>
+      val sk = KllState(k, c.st.cnt, c.st.compactions,
+        c.st.levels.map(_.toVector).toVector)
+      (c.st.g, c.batchRows, c.st.rows_seen, sk.totalRetained.toLong,
+        c.st.cnt, Kll.quantile(sk, 50L), Kll.quantile(sk, 90L),
+        Kll.quantile(sk, 99L))
+    }.toDF(groupCol, "batch_rows", "rows_seen", "k_eff", "sampled_rows",
+      "p50", "p90", "p99")
+    report.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    cg.map(_.st).write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    pruneVersions(spark, stateDir)
   }
 
   /** File-fed monitoring stream: new parquet files under `sourceDir`
@@ -170,8 +258,11 @@ object QuantileStream {
                      stateDir: String, checkpoint: String,
                      groupCol: String, valueCol: String, k: Int = 256,
                      maxFilesPerTrigger: Int = 10,
-                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                     mode: String = "sample")
       : StreamingQuery = {
+    require(mode == "sample" || mode == "kll",
+      s"mode must be 'sample' or 'kll', got '$mode'")
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
@@ -181,8 +272,12 @@ object QuantileStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        quantileBatch(spark, batch, batchId, outDir, stateDir,
-          groupCol, valueCol, k)
+        if (mode == "kll")
+          kllBatch(spark, batch, batchId, outDir, stateDir,
+            groupCol, valueCol, k)
+        else
+          quantileBatch(spark, batch, batchId, outDir, stateDir,
+            groupCol, valueCol, k)
       }
       .start()
   }

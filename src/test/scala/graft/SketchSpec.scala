@@ -382,6 +382,99 @@ class SketchSpec extends SparkSpec {
       s"p99 must jump into the injected tail: $p99h -> $p99d")
   }
 
+  test("kll quantile monitor: rank-error bound holds far past sample saturation, state stays bounded") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    // 3 triggers x 20k ALL-DISTINCT values (60k lifetime distincts):
+    // the sample mode is saturated 200x over at k=256 and its
+    // exactness spec cannot apply — this is the FLIPPED claim: the
+    // KLL mode's rank error stays inside the proven envelope while
+    // retained state stays ~3k items, at any distinct count
+    val triggers = (0 until 3).map(t =>
+      (0 until 20000).map(i => ("api", (t * 20000 + i).toDouble)))
+    var history = Vector.empty[Double]
+    for ((vals, t) <- triggers.zipWithIndex) {
+      QuantileStream.kllBatch(spark, vals.toDF("src", "ms"), t.toLong,
+        out, st, "src", "ms", k = 256)
+      history = history ++ vals.map(_._2)
+      val sorted = history.sorted
+      val n = sorted.size.toLong
+      val tol = n * 25000L / 1000000L // the gate bound, 2.5% of n
+      val r = spark.read.parquet(s"$out/batch=$t")
+        .select("rows_seen", "k_eff", "sampled_rows", "p50", "p90", "p99")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+      assert(r._1 == n && r._3 == n,
+        s"trigger $t: lifetime counters must be exact, got $r")
+      assert(r._2 <= 3 * 256 + 64,
+        s"trigger $t: retained ${r._2} exceeds the capacity envelope")
+      for ((p, q) <- Seq(50L -> r._4, 90L -> r._5, 99L -> r._6)) {
+        val target = (p * n + 99) / 100
+        val lt = sorted.count(_ < q).toLong
+        val le = sorted.count(_ <= q).toLong
+        assert(lt + 1 <= target + tol && le >= target - tol,
+          s"trigger $t p$p: estimate $q rank span ($lt,$le] misses " +
+            s"target $target ± $tol over $n rows")
+      }
+    }
+  }
+
+  test("kll quantile monitor: at-least-once replay rewrites identical bytes") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 5000).map(i => (s"s${i % 3}", (i * 37 % 4000).toDouble)).toDF("src", "ms")
+    val b1 = (0 until 5000).map(i => (s"s${i % 3}", (i * 53 % 6000).toDouble)).toDF("src", "ms")
+    QuantileStream.kllBatch(spark, b0, 0L, out, st, "src", "ms", k = 128)
+    QuantileStream.kllBatch(spark, b1, 1L, out, st, "src", "ms", k = 128)
+    val report0 = spark.read.parquet(s"$out/batch=0").collect().toSet
+    val state0 = spark.read.parquet(s"$st/batch=0").collect().toSet
+    // replay batch 0: exclude-own-writes reads the same (absent) prior,
+    // the sorted fold + deterministic coins rebuild the same sketch
+    QuantileStream.kllBatch(spark, b0, 0L, out, st, "src", "ms", k = 128)
+    assert(spark.read.parquet(s"$out/batch=0").collect().toSet == report0)
+    assert(spark.read.parquet(s"$st/batch=0").collect().toSet == state0)
+  }
+
+  test("kll quantile monitor: null values advance volume but not the sketch") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val healthy = (0 until 100).map(i => ("api", Some((i % 10).toDouble))).toDF("src", "ms")
+    val broken = (0 until 100).map(_ => ("api", Option.empty[Double])).toDF("src", "ms")
+    QuantileStream.kllBatch(spark, healthy, 0L, out, st, "src", "ms")
+    QuantileStream.kllBatch(spark, broken, 1L, out, st, "src", "ms")
+    val r = spark.read.parquet(s"$out/batch=1")
+      .select("batch_rows", "rows_seen", "sampled_rows")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((100L, 200L, 100L)), r.toString)
+    // an all-null FIRST sight still persists the group's lifetime count
+    val out2 = tmp(); val st2 = tmp()
+    QuantileStream.kllBatch(spark, broken, 0L, out2, st2, "src", "ms")
+    val r2 = spark.read.parquet(s"$out2/batch=0")
+      .select("rows_seen", "k_eff").as[(Long, Long)].head()
+    assert(r2 == ((100L, 0L)), r2.toString)
+  }
+
+  test("kll quantile stream end-to-end over a file feed") {
+    import graft.streaming.QuantileStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    (0 until 400).map(i => (s"s${i % 2}", (i % 200).toDouble)).toDF("src", "ms")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val q = QuantileStream.quantileStream(spark, feed, out, st, ckpt,
+      "src", "ms", k = 64, mode = "kll")
+    try {
+      q.processAllAvailable()
+      (0 until 400).map(i => (s"s${i % 2}", (i % 300).toDouble)).toDF("src", "ms")
+        .coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.read.option("basePath", out).parquet(out)
+    assert(reports.count() == 4L, "2 groups x 2 triggers")
+    assert(reports.filter(col("batch") === 1)
+      .select("rows_seen").as[Long].collect().toSeq == Seq(400L, 400L))
+    intercept[IllegalArgumentException](
+      QuantileStream.quantileStream(spark, feed, out, st, ckpt,
+        "src", "ms", mode = "bogus"))
+  }
+
   test("quantile stream end-to-end over a file feed") {
     import graft.streaming.QuantileStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
