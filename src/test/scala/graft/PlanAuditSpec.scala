@@ -1046,4 +1046,77 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
   }
+
+  test("AQE on AND off: the heaviest queries keep their pinned plan shapes under both") {
+    // The scale claims above are audited under ONE adaptive setting
+    // (the session default). On a real cluster AQE is a deploy-time
+    // knob (CLUSTER.md maps each family to its settings), and a shape
+    // that only holds because AQE rescues it at runtime — or that AQE
+    // itself regresses — must fail loudly here. Pins are the
+    // bench-record top-12 by wall time plus the two recurring LSH
+    // watch items; markers are each query's established static-plan
+    // invariants, checked identically under both settings, plus the
+    // global no-partition-less-window rule.
+    // The LSH pair (and their compositions) truncate lineage inside the
+    // gated query, which hides the shape from explain — those pins
+    // audit the same UNtruncated composition their individual audits
+    // use, rebuilt lazily per AQE setting.
+    import graft.ops.Dedup
+    def lazyMinhash(): DataFrame = {
+      val toks = Dedup.tokenSet(
+        graft.util.Tables.documents(spark, sfDir), "text", "doc_id")
+      Dedup.verifyJaccard(toks,
+        Dedup.candidatesFromBands(Dedup.minHashBandsWide(toks, 16, 2)))
+    }
+    def lazyIncrementalLsh(): DataFrame = {
+      val d = graft.util.Tables.documents(spark, sfDir).select("doc_id", "text")
+      Dedup.incrementalLsh(d,
+        d.filter(org.apache.spark.sql.functions.expr("doc_id % 25 = 0")),
+        "text", "doc_id", materialize = false)
+    }
+    val pins: Seq[(String, () => DataFrame, Seq[String], Seq[String])] = Seq(
+      ("graph_cc", () => q("graph_cc"), Nil, Seq("CartesianProduct")),
+      ("profile_histogram_eq", () => q("profile_histogram_eq"),
+        Seq("BroadcastExchange"), Seq("CartesianProduct")),
+      ("dedup_cdc_chunks", () => q("dedup_cdc_chunks"),
+        Seq("partial_"), Seq("CartesianProduct")),
+      ("pipeline_train_corpus", () => q("pipeline_train_corpus"),
+        Nil, Seq("CartesianProduct")),
+      ("text_winnow", () => q("text_winnow"), Nil, Seq("Exchange")),
+      ("q_fuzzy_join", () => q("q_fuzzy_join"),
+        Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+      ("text_cdc_chunk", () => q("text_cdc_chunk"), Nil, Seq("Exchange")),
+      ("text_ppl_bucket", () => q("text_ppl_bucket"),
+        Seq("partial_"), Seq("CartesianProduct")),
+      ("ann_ivf_search", () => q("ann_ivf_search"),
+        Seq("BroadcastHashJoin"), Seq("CartesianProduct", "SortMergeJoin")),
+      ("ann_ivf_delete", () => q("ann_ivf_delete"),
+        Nil, Seq("CartesianProduct", "SortMergeJoin")),
+      // BNLJ is allowed here: the 16-row salt grid replicates via a
+      // bounded broadcast cross join (the documented salting shape)
+      ("dedup_minhash_lsh(untruncated)", () => lazyMinhash(),
+        Seq("partial_min"), Seq("CartesianProduct")),
+      ("dedup_incremental_lsh(untruncated)", () => lazyIncrementalLsh(),
+        Seq("graft_intersect_size", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+    for (aqe <- Seq("true", "false")) {
+      withSQLConf("spark.sql.adaptive.enabled" -> aqe) {
+        for ((name, build, must, mustNot) <- pins) {
+          spark.catalog.clearCache()
+          val df = build()
+          val plan = formatted(df)
+          for (m <- must)
+            assert(plan.contains(m), s"[$name aqe=$aqe] plan lost marker '$m'")
+          for (m <- mustNot)
+            assert(!plan.contains(m), s"[$name aqe=$aqe] plan grew '$m'")
+          val loose = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+          assert(loose.isEmpty,
+            s"[$name aqe=$aqe] partition-less window entered the plan")
+        }
+      }
+    }
+  }
 }
