@@ -291,6 +291,16 @@ object IvfIndex {
     *
     * @return per-bucket (bucket, rows_remaining)
     */
+  /** Test-injectable failpoint (the A40 compactor's crash-drill
+    * discipline applied to [[vacuum]]): invoked with a named point at
+    * every crash-relevant boundary — `staged:<gb>` (fold written,
+    * rename pending), `based:<gb>` (base renamed in, source dirs
+    * still live), `bucket-done:<gb>` (between buckets),
+    * `before-tombs-clear` (all buckets folded, tombstones pending).
+    * Production leaves the no-op; the spec installs a throwing hook
+    * and proves a re-run with the SAME batchId heals every window. */
+  private[graft] var vacuumFailpoint: String => Unit = _ => ()
+
   def vacuum(spark: SparkSession, store: String, batchId: Long)
       : Seq[(Int, Long)] = {
     import org.apache.hadoop.fs.Path
@@ -313,14 +323,18 @@ object IvfIndex {
           .join(broadcast(tombs), Seq("id"), "left_anti")
           .drop("batch").dropDuplicates()
           .coalesce(1).write.mode("overwrite").parquet(staging)
+        vacuumFailpoint(s"staged:$k")
         if (!f.rename(new Path(staging), new Path(basePath)))
           throw new java.io.IOException(s"rename $staging -> $basePath failed")
       }
+      vacuumFailpoint(s"based:$k")
       srcIds.foreach(id =>
         graft.util.Fs.delete(spark, s"$bucketDir/batch=$id"))
       graft.util.Fs.delete(spark, staging)
+      vacuumFailpoint(s"bucket-done:$k")
       (k, spark.read.parquet(basePath).count())
     }
+    vacuumFailpoint("before-tombs-clear")
     graft.util.Fs.delete(spark, tombsPath(store))
     out
   }

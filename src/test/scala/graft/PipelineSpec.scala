@@ -543,6 +543,78 @@ class PipelineSpec extends SparkSpec {
       .filter($"id" % 10 === 0).count() === 0L)
   }
 
+  test("IvfIndex vacuum: injected crashes in every window heal on re-run with the same batchId") {
+    import graft.sim.IvfIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    def freshStore(): String = {
+      val store = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+      IvfIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding",
+        "vec_id", k = 8, iters = 0, dim = 64, store, nStoreBuckets = 4)
+      IvfIndex.append(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+        "vec_id", store, batchId = 1L, dim = 64)
+      IvfIndex.delete(spark,
+        e.filter($"vec_id" % 10 === 0).select("vec_id"), "vec_id", store, 2L)
+      store
+    }
+    val queries = e.filter($"vec_id" % 37 === 0)
+    def search(store: String) = IvfIndex.searchTopK(spark, store, queries,
+        "embedding", "vec_id", k = 5, nProbe = 2, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    def stagingResidue(store: String): Seq[String] = {
+      val root = java.nio.file.Paths.get(store)
+      val found = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walkFileTree(root,
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def preVisitDirectory(d: java.nio.file.Path,
+              a: java.nio.file.attribute.BasicFileAttributes) = {
+            if (d.getFileName.toString == "__staging_vacuum")
+              found += d.toString
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+        })
+      found.toSeq
+    }
+    // the reference run: an uncrashed vacuum on an identical store
+    // (build is deterministic: iters=0 seeding + same data)
+    val ref = freshStore()
+    val masked = search(ref)
+    val refFold = IvfIndex.vacuum(spark, ref, batchId = 3L)
+    assert(refFold.size >= 2, "drill needs >= 2 affected buckets")
+    val refRows = IvfIndex.assignments(spark, ref).count()
+    assert(search(ref) === masked)
+    // four windows: fold staged / base renamed in / between buckets /
+    // all folded but tombstones pending — matching the A40 compactor's
+    // two-window discipline plus the multi-bucket seams
+    for (point <- Seq("staged:", "based:", "bucket-done:", "before-tombs-clear")) {
+      val store = freshStore()
+      var fired = false
+      IvfIndex.vacuumFailpoint = name =>
+        if (!fired && name.startsWith(point)) {
+          fired = true
+          throw new RuntimeException(s"injected crash at $name")
+        }
+      try {
+        val ex = intercept[RuntimeException](
+          IvfIndex.vacuum(spark, store, batchId = 3L))
+        assert(ex.getMessage.startsWith("injected crash"), ex.getMessage)
+      } finally IvfIndex.vacuumFailpoint = _ => ()
+      assert(fired, s"$point: failpoint never fired")
+      // heal: re-run with the SAME batchId (the maintenance cycle id)
+      IvfIndex.vacuum(spark, store, batchId = 3L)
+      assert(search(store) === masked, s"$point: healed search differs")
+      assert(IvfIndex.tombstones(spark, store).isEmpty,
+        s"$point: tombstones not consumed after heal")
+      assert(IvfIndex.assignments(spark, store).count() === refRows,
+        s"$point: healed row count differs from the uncrashed fold")
+      assert(stagingResidue(store).isEmpty,
+        s"$point: staging residue survived the heal")
+      // and the healed store keeps working: one more append + vacuum
+      IvfIndex.append(spark, e.filter($"vec_id" === 1L), "embedding",
+        "vec_id", store, batchId = 5L, dim = 64)
+      assert(IvfIndex.vacuum(spark, store, batchId = 6L) === Nil)
+    }
+  }
+
   test("IvfIndex: persisted quantizer, idempotent appends, bucket-confined probes") {
     import graft.sim.IvfIndex
     val e = Tables.embeddings(spark, sfDir).cache()
