@@ -130,6 +130,12 @@ object BenchStress {
   }
 
   private val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // map-only Arrow round-trip: per-row cost is the batch build +
+    // dim md5 hashes; zero exchanges — ratio reads pure seam overhead
+    "emb_arrow_stage" -> ((d: DataFrame) =>
+      graft.ops.ArrowEmbed.embedStage(d.select("doc_id", "text"),
+        "text", "doc_id", new graft.ops.ArrowEmbed.HashStubEmbedder(16),
+        maxBatchRows = 256)),
     // map-only ppm scoring with the gate's damage injection: pure
     // scan + higher-order filter cost, zero exchanges — the flattest
     // ratio in the suite or something is wrong

@@ -1562,6 +1562,28 @@ object PipelineQueries {
       .select(col("col_name"), col("pct"), col("n"), col("within_bound"))
   }
 
+  /** Arrow model-scoring seam (graft.ops.ArrowEmbed.embedStage) — the
+    * Spark → model-worker → vectors handoff as a gated stage: documents
+    * cross into Arrow record batches (≤256 rows, the mapInPandas wire
+    * shape), the deterministic HashStubEmbedder answers with
+    * fixed_size_list<float32>[16] vectors whose components are
+    * md5-derived m/1000 floats OF THE TEXT BYTES, and the query emits
+    * per doc the dim and the integer checksum Σ round(f·1000) — exactly
+    * recoverable from float32, so the DuckDB oracle replays the "model"
+    * arithmetically and any UTF-8 mangling in the VarChar round-trip
+    * hash-fails the gate. Map-only, no shuffle.
+    */
+  def embArrowStageQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.ArrowEmbed.embedStage(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "text", "doc_id", new graft.ops.ArrowEmbed.HashStubEmbedder(16),
+      maxBatchRows = 256)
+      .select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("aggregate(transform(embedding, " +
+          "f -> cast(round(cast(f as double) * 1000) as bigint)), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("checksum"))
+
   /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
     * per source, chosen by deterministic hash order — the per-domain
     * cap of a crawl-curation pipeline.
@@ -2531,6 +2553,7 @@ object PipelineQueries {
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "profile_quantiles_kll" -> profileQuantilesKllQ,
+    "emb_arrow_stage" -> embArrowStageQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
@@ -4516,6 +4539,15 @@ object PipelineQueries {
          |UNION ALL
          |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
          |FROM d WHERE len(cs) = 0""".stripMargin,
+    // the oracle IS the model: the stub's md5 arithmetic replayed per
+    // (doc, component), summed to the same integer checksum — text
+    // bytes bent anywhere in the Arrow round-trip split the hashes
+    "emb_arrow_stage" ->
+      s"""SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+         |  CAST(SUM(${h64("'emb:' || j || ':' || coalesce(text, '')")}
+         |           % 1000) AS BIGINT) AS checksum
+         |FROM documents CROSS JOIN range(16) t(j)
+         |GROUP BY doc_id""".stripMargin,
     // the property-gate oracle: DuckDB states the KLL rank-error
     // invariant (within_bound = 1 for every grid cell) plus the exact
     // non-null counts; the Spark side PROVES it per run by ranking the

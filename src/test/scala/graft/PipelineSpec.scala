@@ -543,6 +543,83 @@ class PipelineSpec extends SparkSpec {
       .filter($"id" % 10 === 0).count() === 0L)
   }
 
+  test("arrow embed stage: batch shape, schema contract, byte-exact text round-trip") {
+    import graft.ops.ArrowEmbed
+    import org.apache.arrow.vector.VectorSchemaRoot
+    import org.apache.arrow.vector.complex.FixedSizeListVector
+    import org.apache.arrow.vector.{Float4Vector, VarCharVector}
+    // 1) correctness + round-trip: embeddings equal the driver-side
+    // hash reference, including a multibyte-UTF-8 text and a null
+    val docs = Seq((1L, "hello world"), (2L, "héllo wörld — ünïcode"),
+      (3L, null.asInstanceOf[String]), (4L, "")).toDF("doc_id", "text")
+    val got = ArrowEmbed.embedStage(docs, "text", "doc_id",
+        new ArrowEmbed.HashStubEmbedder(8), maxBatchRows = 3)
+      .as[(Long, Array[Float])].collect().toMap
+    def ref(t: String) = Array.tabulate(8)(j =>
+      (graft.util.Hashing.portableHash64Const(s"emb:$j:$t") % 1000L).toFloat / 1000f)
+    assert(got(1L).toSeq == ref("hello world").toSeq)
+    assert(got(2L).toSeq == ref("héllo wörld — ünïcode").toSeq,
+      "multibyte text must cross the Arrow VarChar boundary byte-exact")
+    assert(got(3L).toSeq == ref("").toSeq, "null text embeds as empty string")
+    assert(got(4L).toSeq == ref("").toSeq)
+    // 2) batch shape: an embedder that reports its batch size into the
+    // vector proves batches are <= maxBatchRows, never cross
+    // partitions, and the tail batch is partial
+    class SizeEmbedder extends ArrowEmbed.ArrowEmbedder {
+      val dim = 1
+      def embed(in: VectorSchemaRoot, out: VectorSchemaRoot): Unit = {
+        val fsl = out.getVector("embedding").asInstanceOf[FixedSizeListVector]
+        fsl.allocateNew()
+        val data = fsl.getDataVector.asInstanceOf[Float4Vector]
+        (0 until in.getRowCount).foreach { i =>
+          fsl.setNotNull(i); data.setSafe(i, in.getRowCount.toFloat / 1000f)
+        }
+        out.setRowCount(in.getRowCount)
+      }
+    }
+    val twenty = (0 until 20).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      .repartition(1)
+    val sizes = ArrowEmbed.embedStage(twenty, "text", "doc_id",
+        new SizeEmbedder, maxBatchRows = 7)
+      .select(expr("cast(round(embedding[0] * 1000) as int)").as("n"))
+      .groupBy("n").count().as[(Int, Long)].collect().toMap
+    assert(sizes == Map(7 -> 14L, 6 -> 6L),
+      s"20 rows at maxBatchRows=7 must batch as 7+7+6, got $sizes")
+    // 3) contract violations fail loudly, never misalign silently
+    class ShortEmbedder extends ArrowEmbed.ArrowEmbedder {
+      val dim = 1
+      def embed(in: VectorSchemaRoot, out: VectorSchemaRoot): Unit = {
+        val fsl = out.getVector("embedding").asInstanceOf[FixedSizeListVector]
+        fsl.allocateNew()
+        (0 until math.max(in.getRowCount - 1, 0)).foreach(fsl.setNotNull)
+        out.setRowCount(math.max(in.getRowCount - 1, 0))
+      }
+    }
+    val exShort = intercept[org.apache.spark.SparkException](
+      ArrowEmbed.embedStage(twenty, "text", "doc_id", new ShortEmbedder)
+        .count())
+    assert(exShort.getMessage.contains("rows for a") ||
+      Option(exShort.getCause).exists(_.getMessage.contains("rows for a")),
+      s"short batch must name the row-count breach: ${exShort.getMessage}")
+    class NullRowEmbedder extends ArrowEmbed.ArrowEmbedder {
+      val dim = 1
+      def embed(in: VectorSchemaRoot, out: VectorSchemaRoot): Unit = {
+        val fsl = out.getVector("embedding").asInstanceOf[FixedSizeListVector]
+        fsl.allocateNew() // rows left null
+        out.setRowCount(in.getRowCount)
+      }
+    }
+    val exNull = intercept[org.apache.spark.SparkException](
+      ArrowEmbed.embedStage(twenty, "text", "doc_id", new NullRowEmbedder)
+        .count())
+    assert(exNull.getMessage.contains("left row") ||
+      Option(exNull.getCause).exists(_.getMessage.contains("left row")),
+      s"null row must be named: ${exNull.getMessage}")
+    intercept[IllegalArgumentException](
+      ArrowEmbed.embedStage(twenty, "text", "doc_id",
+        new ArrowEmbed.HashStubEmbedder(8), maxBatchRows = 0))
+  }
+
   test("IvfIndex vacuum: injected crashes in every window heal on re-run with the same batchId") {
     import graft.sim.IvfIndex
     val e = Tables.embeddings(spark, sfDir).cache()
