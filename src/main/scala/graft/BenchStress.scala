@@ -334,6 +334,17 @@ object BenchStress {
       val (_, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
       graft.ops.Graph.kcore(e, k = 2, rounds = 3)
     }),
+    // fixpoint cost = the fixed-round cost + one checksum aggregation
+    // per round + however many extra rounds the corpus actually peels.
+    // The 10× hash graph is a DIFFERENT graph (dst = hash mod the
+    // scaled node count), and it peels deeper than 3 rounds — measured
+    // 47938 fixpoint survivors vs 50080 after the fixed 3 — so the
+    // ratio carries real extra rounds on the shrinking survivor graph
+    // and still stays linear_ok (4.7 at n=10)
+    "graph_kcore_fixpoint" -> ((d: DataFrame) => {
+      val (_, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      graft.ops.Graph.kcore(e, k = 2, rounds = 50, toFixpoint = true)
+    }),
     "dedup_cdc_chunks" -> ((d: DataFrame) => {
       val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
         .withColumn("doc_id", col("doc_id") + 100000L))

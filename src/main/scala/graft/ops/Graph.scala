@@ -195,8 +195,17 @@ object Graph {
     * struct-max argmax groupBy(node) — all key-partitioned, nothing
     * global, label frontier through Lineage.truncate. |V| rows out.
     */
+  /** `toFixpoint = true` (the production form): iterate until the
+    * label assignment stops moving, detected by the carried-forward
+    * (id, lab) set checksum, with `rounds` as the safety cap.
+    * Synchronous LPA can 2-CYCLE (a bipartite pair swapping labels
+    * every round — the published failure mode of the synchronous
+    * update); the probe therefore also stops when the checksum equals
+    * the one from TWO rounds back, deterministically parking the
+    * oscillation at its earlier phase instead of burning the cap.
+    */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
-                       rounds: Int): DataFrame = {
+                       rounds: Int, toFixpoint: Boolean = false): DataFrame = {
     require(rounds >= 1, "need rounds >= 1")
     val eu = edges.filter(col("src") =!= col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
@@ -204,7 +213,11 @@ object Graph {
         .select(col("dst").as("a"), col("src").as("b")))
       .distinct()
     var labels = nodes.select(col("id"), col("id").as("lab"))
-    (1 to rounds).foreach { _ =>
+    var prevChk = if (toFixpoint) setChecksum(labels, "id", "lab") else (0L, 0L)
+    var prevPrevChk = (0L, -1L)
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
       val votes = eu.join(labels.select(col("id").as("b"), col("lab")),
           Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("cnt"))
@@ -214,6 +227,13 @@ object Graph {
       labels = graft.util.Lineage.truncate(
         labels.join(adopted, Seq("id"), "left")
           .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab")))
+      if (toFixpoint) {
+        val chk = setChecksum(labels, "id", "lab")
+        converged = chk == prevChk || chk == prevPrevChk
+        prevPrevChk = prevChk
+        prevChk = chk
+      }
+      i += 1
     }
     labels.select(col("id"), col("lab").as("community"))
   }
@@ -265,7 +285,30 @@ object Graph {
     state
   }
 
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Order-independent set checksum of a two-long-column frame: (row
+    * count, xor of per-row xxhash64) in ONE aggregation action — the
+    * star-contraction CC convergence probe, generalized so any
+    * iterative operator can run `toFixpoint` (xor over a distinct set
+    * never cancels; equality is set equality up to ~2^-64). */
+  private[ops] def setChecksum(e: DataFrame, c1: String, c2: String)
+      : (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col(c1), col(c2)))).first()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** `toFixpoint = false` (the gate form): exactly `rounds` peels —
+    * deterministic cost, replayable oracle. `toFixpoint = true` (the
+    * production form, the r12-verdict ask): peel until a round removes
+    * no edge, detected by the carried-forward set checksum (ONE extra
+    * aggregation per round, no re-scan), capped at `rounds` as the
+    * safety bound — at the fixpoint the result IS the k-core, not a
+    * partial peel. The gate corpus reaches its fixpoint inside the
+    * gate's round budget, so fixed-round == fixpoint there
+    * (spec-pinned); a deeper peel chain only costs more rounds, each
+    * one |E'|-bounded on the shrinking survivor graph.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+            toFixpoint: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
     var und = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -274,11 +317,20 @@ object Graph {
     val degrees = (e: DataFrame) =>
       e.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("degree"))
-    for (_ <- 1 to rounds) {
+    var prevChk = if (toFixpoint) setChecksum(und, "a", "b") else (0L, 0L)
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
       val alive = degrees(und).filter(col("degree") >= k).select("id")
       und = graft.util.Lineage.truncate(
         und.join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+      if (toFixpoint) {
+        val chk = setChecksum(und, "a", "b")
+        converged = chk == prevChk
+        prevChk = chk
+      }
+      i += 1
     }
     degrees(und)
   }

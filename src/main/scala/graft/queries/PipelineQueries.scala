@@ -1766,6 +1766,19 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** graph_kcore's production form (toFixpoint — the r12-verdict ask):
+    * peel until the set-checksum probe reports a round removed nothing,
+    * capped at 50. The gate corpus converges within the gate's 3
+    * rounds (spec-pinned equality), so the SAME unrolled-peel oracle
+    * verifies it — and if a future corpus peeled deeper, the fixpoint
+    * result would honestly diverge from the 3-round oracle and fail
+    * loudly rather than gate a partial peel. */
+  def graphKcoreFixpointQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, edges) = pagerankGraph(spark, sfDir)
+    graft.ops.Graph.kcore(edges, k = 2, rounds = 50, toFixpoint = true)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Connected components on a SPARSIFIED undirected view of the hash
     * link graph (keep edges whose cc-hash ≡ 0 mod 3, so the graph
     * fragments into many non-trivial components instead of one giant
@@ -2568,6 +2581,7 @@ object PipelineQueries {
     "graph_pagerank" -> graphPagerankQ,
     "graph_triangles" -> graphTrianglesQ,
     "graph_kcore" -> graphKcoreQ,
+    "graph_kcore_fixpoint" -> graphKcoreFixpointQ,
     "graph_cc" -> graphCcQ,
     "graph_lpa" -> graphLpaQ,
     "graph_bfs" -> graphBfsQ,
@@ -2896,6 +2910,36 @@ object PipelineQueries {
        |      FROM g, nn),
        |s AS (SELECT cnt.doc_id, CAST(sum(x * wq) AS BIGINT) AS score
        |      FROM cnt JOIN w USING (f) GROUP BY 1)""".stripMargin
+
+  /** The unrolled 3-round peel (shared by graph_kcore and its
+    * fixpoint twin — see the twin's registry comment). */
+  private lazy val kcoreOracleSql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |deg AS (SELECT doc_id AS id,
+       |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+       |        FROM documents),
+       |ej AS (SELECT id AS src, outdeg,
+       |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+       |       FROM deg),
+       |e AS (SELECT src,
+       |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+       |      FROM ej, nn),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e WHERE src <> dst),
+       |a1 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e0)
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |e1 AS (SELECT a, b FROM e0
+       |       WHERE a IN (SELECT id FROM a1) AND b IN (SELECT id FROM a1)),
+       |a2 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e1)
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |e2 AS (SELECT a, b FROM e1
+       |       WHERE a IN (SELECT id FROM a2) AND b IN (SELECT id FROM a2)),
+       |a3 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e2)
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |e3 AS (SELECT a, b FROM e2
+       |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality_band" ->
@@ -4797,33 +4841,12 @@ object PipelineQueries {
          |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS id FROM t) GROUP BY 1""".stripMargin,
-    "graph_kcore" ->
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |deg AS (SELECT doc_id AS id,
-         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
-         |        FROM documents),
-         |ej AS (SELECT id AS src, outdeg,
-         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
-         |       FROM deg),
-         |e AS (SELECT src,
-         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
-         |      FROM ej, nn),
-         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |       FROM e WHERE src <> dst),
-         |a1 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e0)
-         |       GROUP BY 1 HAVING count(*) >= 2),
-         |e1 AS (SELECT a, b FROM e0
-         |       WHERE a IN (SELECT id FROM a1) AND b IN (SELECT id FROM a1)),
-         |a2 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e1)
-         |       GROUP BY 1 HAVING count(*) >= 2),
-         |e2 AS (SELECT a, b FROM e1
-         |       WHERE a IN (SELECT id FROM a2) AND b IN (SELECT id FROM a2)),
-         |a3 AS (SELECT id FROM (SELECT unnest([a, b]) AS id FROM e2)
-         |       GROUP BY 1 HAVING count(*) >= 2),
-         |e3 AS (SELECT a, b FROM e2
-         |       WHERE a IN (SELECT id FROM a3) AND b IN (SELECT id FROM a3))
-         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS degree
-         |FROM (SELECT unnest([a, b]) AS id FROM e3) GROUP BY 1""".stripMargin,
+    "graph_kcore" -> kcoreOracleSql,
+    // the fixpoint twin verifies against the SAME unrolled peel: the
+    // gate corpus converges inside 3 rounds (spec-pinned), so the
+    // 3-round oracle IS the fixpoint there — a deeper-peeling corpus
+    // would hash-fail instead of gating a partial peel
+    "graph_kcore_fixpoint" -> kcoreOracleSql,
     "graph_neighbor_jaccard" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |deg AS (SELECT doc_id AS id,

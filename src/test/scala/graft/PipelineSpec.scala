@@ -1848,6 +1848,49 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == run(3))
   }
 
+  test("fixpoint mode: kcore and LPA converge via the set-checksum probe; gate corpus fixed-round == fixpoint") {
+    import graft.ops.Graph
+    // a 20-node path peels ONE layer per round: rounds=3 leaves
+    // survivors (an honest partial peel), toFixpoint reaches the true
+    // (empty) 2-core well under the cap
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kcore(path, 2, 3).count() > 0,
+      "3 rounds must NOT have converged on the 20-path (else the test is vacuous)")
+    assert(Graph.kcore(path, 2, 50, toFixpoint = true).count() == 0,
+      "the path's true 2-core is empty")
+    // converged graph: fixpoint == the converged fixed-round result
+    val lolli = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(Graph.kcore(lolli, 2, 50, toFixpoint = true)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.kcore(lolli, 2, 3).as[(Long, Long)].collect().toMap)
+    // LPA fixpoint: two disjoint triangles coalesce on their min ids
+    // and the probe stops before the cap
+    val triNodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("id")
+    val triEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val tri = Graph.labelPropagation(triNodes, triEdges, rounds = 50,
+      toFixpoint = true).as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), tri.toString)
+    // synchronous LPA's published failure mode: a single edge 2-cycles
+    // (labels swap every round); the period-2 probe parks it
+    // deterministically at the even phase instead of burning the cap
+    val parked = Graph.labelPropagation(Seq(1L, 2L).toDF("id"),
+        Seq((1L, 2L)).toDF("src", "dst"), rounds = 50, toFixpoint = true)
+      .as[(Long, Long)].collect().toMap
+    assert(parked == Map(1L -> 1L, 2L -> 2L), parked.toString)
+    // the gate corpus converges inside the gate's 3 rounds: the gated
+    // fixpoint twin equals graph_kcore row-for-row (which is what lets
+    // the unrolled 3-round oracle verify the fixpoint query)
+    spark.catalog.clearCache()
+    val fixed = SparkEntry.queries("graph_kcore")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val fp = SparkEntry.queries("graph_kcore_fixpoint")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(fp == fixed, "gate corpus: fixed-round != fixpoint")
+  }
+
   test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {
     // two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10,
     // a pendant 13 hanging off 12, and an isolated node 20
