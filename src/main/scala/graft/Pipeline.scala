@@ -341,6 +341,19 @@ object Pipeline {
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as(idCol))
         df.join(losers, Seq(idCol), "left_anti")
+      case "embed" =>
+        // ANNOTATION via the Arrow model-scoring seam (ArrowEmbed):
+        // rows gain a fixed-dim float32 vector computed through real
+        // Arrow record batches — the callee here is the deterministic
+        // stub (no Python worker in-container); a real model swaps the
+        // callee, not this plumbing. The vectors come back keyed by id
+        // and rejoin the row (an id-keyed shuffle join — co-partitioned
+        // with any downstream id work; the seam itself is map-only)
+        val dim = intOf("dim", 16)
+        df.join(graft.ops.ArrowEmbed.embedStage(df, textCol, idCol,
+            new graft.ops.ArrowEmbed.HashStubEmbedder(dim),
+            intOf("maxBatchRows", 256)),
+          Seq(idCol))
       case "chunk" =>
         // granularity change: doc rows → overlapping token-window chunk
         // rows; metadata columns ride through the per-row explode
@@ -447,12 +460,15 @@ object Pipeline {
   // probe FILE: the probe gram set derives from that file alone (the
   // sentinel __p rows), never from the batch, so each doc's verdict is
   // a pure function of the doc — replay-identical, batch-composable.
+  // embed qualifies: the vector is a pure function of the doc's text
+  // (the stub hashes text bytes; a real model is also per-doc), so
+  // replays rewrite identical vectors
   private val streamableOps = Set("gopher_filter", "entropy_filter", "scrub",
     "html_extract", "markdown_extract", "lang_filter", "sample", "chunk",
     "bpe_tokens", "decontaminate", "coverage_filter", "canary",
     "wordlist_filter", "split", "unigram_tokens", "wordpiece_tokens",
     "readability_filter",
-    "code_filter", "c4_filter", "ocr_filter")
+    "code_filter", "c4_filter", "ocr_filter", "embed")
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)

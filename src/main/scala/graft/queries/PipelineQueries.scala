@@ -1584,6 +1584,29 @@ object PipelineQueries {
           "f -> cast(round(cast(f as double) * 1000) as bigint)), " +
           "cast(0 as bigint), (a, x) -> a + x)").as("checksum"))
 
+  /** The embed stage riding the CONFIG-DRIVEN runner (Pipeline
+    * .assemble — the first gated query to exercise the JSON path
+    * end-to-end): per-source cap → Arrow embed annotation, composed
+    * from the same config a user would ship, then reduced to the
+    * integer checksum the oracle can replay (cap rank + stub
+    * arithmetic). Proves the stage VOCABULARY wiring — stage order,
+    * carry columns through the id rejoin, dim/maxBatchRows config
+    * plumbing — not just the op, which C35 gates alone.
+    */
+  def pipelineEmbedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg =
+      s"""{"input": "$sfDir/documents.parquet",
+         | "textCol": "text", "idCol": "doc_id",
+         | "stages": [
+         |   {"op": "group_cap", "group": "source", "k": 5},
+         |   {"op": "embed", "dim": 8, "maxBatchRows": 128} ] }""".stripMargin
+    graft.Pipeline.assemble(spark, cfg)
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(transform(embedding, " +
+          "f -> cast(round(cast(f as double) * 1000) as bigint)), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("checksum"))
+  }
+
   /** Per-source doc cap (graft.ops.Sampling.groupCap): at most 7 docs
     * per source, chosen by deterministic hash order — the per-domain
     * cap of a crawl-curation pipeline.
@@ -2567,6 +2590,7 @@ object PipelineQueries {
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "profile_quantiles_kll" -> profileQuantilesKllQ,
     "emb_arrow_stage" -> embArrowStageQ,
+    "pipeline_embed_corpus" -> pipelineEmbedQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
     "sample_group_cap" -> sampleGroupCapQ,
     "sample_weighted" -> sampleWeightedQ,
@@ -4583,6 +4607,23 @@ object PipelineQueries {
          |UNION ALL
          |SELECT doc_id, CAST(0 AS INT), CAST(0 AS BIGINT)
          |FROM d WHERE len(cs) = 0""".stripMargin,
+    // cap rank replay (sample_group_cap's oracle rule at k=5) feeding
+    // the stub-arithmetic checksum: the config-driven composition
+    // replays as two CTEs
+    "pipeline_embed_corpus" ->
+      s"""WITH k AS (SELECT doc_id, source, text,
+         |             ${h64("'graft:cap:' || doc_id::VARCHAR")} AS k
+         |           FROM documents),
+         |capped AS (SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |           row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+         |             AS rn
+         |    FROM k) WHERE rn <= 5)
+         |SELECT doc_id, source,
+         |  CAST(SUM(${h64("'emb:' || j || ':' || coalesce(text, '')")}
+         |           % 1000) AS BIGINT) AS checksum
+         |FROM capped CROSS JOIN range(8) t(j)
+         |GROUP BY doc_id, source""".stripMargin,
     // the oracle IS the model: the stub's md5 arithmetic replayed per
     // (doc, component), summed to the same integer checksum — text
     // bytes bent anywhere in the Arrow round-trip split the hashes

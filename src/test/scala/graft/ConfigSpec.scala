@@ -742,6 +742,47 @@ class ConfigSpec extends SparkSpec {
     assert(Pipeline.streamableOp("unigram_tokens"))
   }
 
+  test("pipeline runner: embed stage annotates Arrow-stub vectors, carries columns, streams") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    val outDir = tmpDir() + "/emb"
+    docs.write.mode("overwrite").parquet(inDir)
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "group_cap", "group": "source", "k": 3},
+         |           {"op": "embed", "dim": 4, "maxBatchRows": 64}]}""".stripMargin)
+    val got = spark.read.parquet(outDir)
+    // carry columns survive the id rejoin; the vector is dim-configured
+    assert(Set("doc_id", "text", "lang", "source", "n_chars", "embedding")
+      .subsetOf(got.columns.toSet), got.columns.mkString(","))
+    val vecs = got.select("doc_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    // equals the hand chain: groupCap then the seam op directly
+    val capped = graft.ops.Sampling.groupCap(docs, "source", "doc_id", 3)
+    val want = graft.ops.ArrowEmbed.embedStage(capped, "text", "doc_id",
+        new graft.ops.ArrowEmbed.HashStubEmbedder(4), maxBatchRows = 64)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(vecs.size == want.size && vecs.keySet == want.keySet)
+    vecs.foreach { case (id, v) => assert(v.toSeq == want(id).toSeq, s"doc $id") }
+    // per-row pure: the streaming pipeline accepts the stage and
+    // rewrites identical vectors
+    val feedDir = tmpDir(); val sOut = tmpDir(); val ckpt = tmpDir()
+    docs.limit(50).coalesce(1).write.mode("append").parquet(feedDir)
+    val q = Pipeline.stream(spark,
+      s"""{"input": "$feedDir", "output": "$sOut",
+         |"stages": [{"op": "embed", "dim": 4}]}""".stripMargin, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("basePath", sOut).parquet(sOut)
+      .select("doc_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val full = graft.ops.ArrowEmbed.embedStage(docs.limit(50), "text",
+        "doc_id", new graft.ops.ArrowEmbed.HashStubEmbedder(4))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(streamed.size == 50)
+    streamed.foreach { case (id, v) =>
+      assert(v.toSeq == full(id).toSeq, s"streamed doc $id") }
+  }
+
   test("pipeline runner: c4_filter + ocr_filter stages equal the hand chain; jsonl output round-trips") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
