@@ -1654,4 +1654,51 @@ class RandomizedSpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("kll sketch: random streams, random k, random merge splits hold the rank bound") {
+    import graft.ops.{Kll, KllState}
+    val rnd = new Random(1311)
+    val pcts = Seq(1L, 10L, 25L, 50L, 75L, 90L, 99L)
+    (1 to rounds).foreach { round =>
+      val n = 20000 + rnd.nextInt(30000)
+      val k = Seq(128, 200, 256)(rnd.nextInt(3))
+      // random generator mix: uniform, heavy-tailed, few-distinct,
+      // and adversarial runs of sorted blocks
+      val gen = rnd.nextInt(4)
+      val vs: IndexedSeq[Double] = gen match {
+        case 0 => IndexedSeq.fill(n)(rnd.nextDouble() * 1e6)
+        case 1 => IndexedSeq.fill(n)(math.pow(10.0, rnd.nextDouble() * 6))
+        case 2 => IndexedSeq.fill(n)((rnd.nextInt(25) * 7).toDouble)
+        case _ => (0 until n).map(_.toDouble) // sorted ramp
+      }
+      // random split into 1..24 chunks, random merge fold order
+      val nChunks = 1 + rnd.nextInt(24)
+      val cuts = (IndexedSeq(0, n) ++
+        IndexedSeq.fill(nChunks - 1)(rnd.nextInt(n + 1))).sorted
+      var parts = cuts.zip(cuts.tail).collect {
+        case (a, b) if b > a =>
+          vs.slice(a, b).foldLeft(Kll.empty(k))(Kll.update)
+      }.toVector
+      while (parts.size > 1) {
+        val i = rnd.nextInt(parts.size - 1)
+        parts = parts.patch(i, Seq(Kll.merge(parts(i), parts(i + 1))), 2)
+      }
+      val s = parts.head
+      assert(s.count == n.toLong, s"round $round: count ${s.count} != $n")
+      val w = s.levels.zipWithIndex.map { case (b, l) => b.size.toLong << l }.sum
+      assert(w == n.toLong, s"round $round: weight $w != $n")
+      // the gate bound (2.5% of n), tie-aware interval check
+      val sorted = vs.sorted
+      val tol = n.toLong * 25000L / 1000000L
+      for (p <- pcts) {
+        val q = Kll.quantile(s, p).get
+        val target = (p * n + 99) / 100
+        val lt = sorted.count(_ < q).toLong
+        val le = sorted.count(_ <= q).toLong
+        assert(lt + 1 <= target + tol && le >= target - tol,
+          s"round $round gen=$gen k=$k chunks=$nChunks p$p: " +
+            s"rank span ($lt,$le] misses $target +- $tol over $n")
+      }
+    }
+  }
 }
