@@ -472,6 +472,119 @@ object Pipeline {
 
   /** Whether `op` is per-row pure and therefore accepted by [[stream]]. */
   private[graft] def streamableOp(op: String): Boolean = streamableOps(op)
+
+  /** Stages that are pure per-row FILTERS of unchanged rows — they drop
+    * rows, never rewrite text or add columns — so any permutation of a
+    * consecutive run of them keeps the surviving set identical (set
+    * intersection commutes). Rewrites (scrub, c4_filter, extracts),
+    * annotations (tokens, split, canary, embed) and corpus-global
+    * stages (dedup, df_prune, quality_band, caps) are fences: the
+    * reorderer never moves a stage across one. */
+  private[graft] val reorderableOps = Set("gopher_filter", "entropy_filter",
+    "readability_filter", "code_filter", "lang_filter", "ocr_filter",
+    "wordlist_filter", "sample", "decontaminate", "coverage_filter")
+
+  /** Static relative per-row cost of each filter (heuristic weights:
+    * hash-only < per-char scans < regex batteries < n-gram probes).
+    * Only the RATIO matters — the reorderer ranks filters by measured
+    * drop-rate per unit cost. */
+  private val stageCost: Map[String, Long] = Map(
+    "sample" -> 1L,
+    "entropy_filter" -> 3L, "code_filter" -> 3L,
+    "readability_filter" -> 3L, "ocr_filter" -> 3L,
+    "lang_filter" -> 4L, "wordlist_filter" -> 4L,
+    "gopher_filter" -> 5L,
+    "decontaminate" -> 6L, "coverage_filter" -> 6L
+  ).withDefaultValue(4L)
+
+  /** COST-BASED stage reorder — the predicate-ordering classic applied
+    * to the stage list: within each maximal run of consecutive
+    * [[reorderableOps]] filters, measure every filter's drop rate
+    * independently on a deterministic hash sample of the run's input
+    * (the preceding stages applied to the sample first), then order
+    * the run by drop-per-unit-cost descending, ties keeping the
+    * config's original order (stable). Returns the reordered config
+    * JSON; everything else in the config is byte-preserved.
+    *
+    * Result-equality is by construction: only pure row-predicate
+    * filters permute, and only within fence-free runs — the surviving
+    * set is the same intersection either way (spec-pinned against the
+    * assembled plans). The win is the usual one: a cheap selective
+    * filter (a 1% sample, a rare-language keep) runs before an
+    * expensive mild one, so the expensive predicate sees 100× fewer
+    * rows. Catalyst cannot make this call — the filters are id-join
+    * gates behind opaque scoring ops, not pushable scan predicates —
+    * so the stage list is the right place to decide order, and a
+    * sampled selectivity probe (cost: |sample| × run length, one
+    * count per filter) is the right evidence.
+    *
+    * Determinism: the sample is a portable-hash keep rule, the probe
+    * counts are exact over it, the sort is stable — same data + same
+    * config → same order, so a re-run plans identically.
+    */
+  def reorder(spark: SparkSession, configJson: String,
+              sampleRatePpm: Long = 20000L): String = {
+    require(sampleRatePpm > 0 && sampleRatePpm <= 1000000L,
+      s"sampleRatePpm must be in (0, 1000000], got $sampleRatePpm")
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(configJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val textCol = if (root.has("textCol")) root.get("textCol").asText() else "text"
+    val idCol = if (root.has("idCol")) root.get("idCol").asText() else "doc_id"
+    val stages = root.get("stages")
+    require(stages != null && stages.isArray && stages.size() > 0,
+      "config requires a non-empty 'stages' array")
+    val nodes = (0 until stages.size()).map(stages.get).toVector
+    val ops = nodes.map(_.get("op").asText())
+    // deterministic hash sample of the input; truncate so the probe
+    // counts don't re-run the scan per filter
+    val sample = graft.util.Lineage.truncate(
+      readInput(spark, root).filter(
+        pmod(graft.util.Hashing.portableHash64(
+          concat(lit("graft:reorder:"), col(idCol).cast("string"))),
+          lit(1000000L)) < lit(sampleRatePpm)))
+    var cur = sample
+    var curN = cur.count()
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < nodes.size) {
+      if (reorderableOps(ops(i))) {
+        var j = i
+        while (j < nodes.size && reorderableOps(ops(j))) j += 1
+        val run = i until j
+        if (run.size >= 2 && curN > 0) {
+          val scored = run.map { idx =>
+            val kept = applyStage(cur, ops(idx), nodes(idx), textCol, idCol)
+              .count()
+            // drop-ppm per unit cost; exact integer arithmetic
+            val dropPpm = (curN - kept) * 1000000L / curN
+            (idx, dropPpm * 1000L / stageCost(ops(idx)))
+          }
+          order ++= scored.sortBy { case (idx, score) => (-score, idx) }
+            .map(_._1)
+        } else order ++= run
+        // advance the probe input past the whole run (original order —
+        // the surviving sample set is order-independent by the same
+        // argument that makes the permutation safe)
+        run.foreach(idx =>
+          cur = applyStage(cur, ops(idx), nodes(idx), textCol, idCol))
+        i = j
+      } else {
+        // fence: applied to the probe sample as-is. Corpus-global
+        // stages on a sample are approximations OF THE PROBE ONLY —
+        // they decide later runs' selectivity estimates, never results
+        cur = applyStage(cur, ops(i), nodes(i), textCol, idCol)
+        order += i
+        i += 1
+      }
+      cur = graft.util.Lineage.truncate(cur)
+      curN = cur.count()
+    }
+    val newArr = mapper.createArrayNode()
+    order.foreach(idx => newArr.add(nodes(idx)))
+    root.set("stages", newArr)
+    mapper.writeValueAsString(root)
+  }
   private val streamingCounterpart = Map(
     "dedup_exact" -> "graft.streaming.CdcStream.exactDedupStream",
     "dedup_minhash" -> "graft.streaming.CdcStream.nearDupStream",
@@ -552,6 +665,37 @@ object Pipeline {
     * rowsOut). The composed plan is written once at the end —
     * partitioned by `shard` when a shard stage ran.
     */
+  /** Resolve the config's input into a frame. inputFormat "wet" points
+    * `input` at WARC/WET crawl shards (graft.sources.Warc) instead of
+    * a parquet table — raw Common Crawl dumps feed the same curation
+    * chain with one config line; "warc" exposes the full envelope for
+    * metadata-level pipelines; "jsonl" REQUIRES a DDL schema (at
+    * 100 TB an inference pass is a full extra scan, and a schema
+    * drifting under sampling is a silent-meaning-change). */
+  private def readInput(spark: SparkSession, root: JsonNode): DataFrame = {
+    def req(f: String): String =
+      if (root.has(f)) root.get(f).asText()
+      else throw new IllegalArgumentException(s"config requires '$f'")
+    val inputFormat =
+      if (root.has("inputFormat")) root.get("inputFormat").asText() else "parquet"
+    inputFormat match {
+      case "parquet" => spark.read.parquet(req("input"))
+      case "wet" => graft.sources.Warc.wet(spark, req("input"))
+      case "warc" => graft.sources.Warc.read(spark, req("input"))
+      case "jsonl" =>
+        val schema = root.get("schema") match {
+          case null => throw new IllegalArgumentException(
+            "inputFormat 'jsonl' requires 'schema' (DDL string, e.g. " +
+              "\"doc_id BIGINT, text STRING\"): schema inference is a " +
+              "full extra scan at corpus scale")
+          case s => org.apache.spark.sql.types.StructType.fromDDL(s.asText())
+        }
+        spark.read.schema(schema).json(req("input"))
+      case other => throw new IllegalArgumentException(
+        s"unknown inputFormat '$other' (expected parquet, jsonl, wet, or warc)")
+    }
+  }
+
   def run(spark: SparkSession, configJson: String): (Long, Long) = {
     val root = new ObjectMapper().readTree(configJson)
     def req(f: String): String =
@@ -567,33 +711,7 @@ object Pipeline {
     // barrier costs the scan nothing.
     val obsIn = org.apache.spark.sql.Observation()
     val obsOut = org.apache.spark.sql.Observation()
-    // inputFormat "wet" points `input` at WARC/WET crawl shards
-    // (graft.sources.Warc) instead of a parquet table — raw Common
-    // Crawl dumps feed the same curation chain with one config line;
-    // "warc" exposes the full envelope for metadata-level pipelines
-    val inputFormat =
-      if (root.has("inputFormat")) root.get("inputFormat").asText() else "parquet"
-    val raw = inputFormat match {
-      case "parquet" => spark.read.parquet(req("input"))
-      case "wet" => graft.sources.Warc.wet(spark, req("input"))
-      case "warc" => graft.sources.Warc.read(spark, req("input"))
-      case "jsonl" =>
-        // newline-delimited JSON dumps (the other format corpora
-        // actually arrive in). Schema is REQUIRED, not inferred: at
-        // 100 TB an inference pass is a full extra scan, and a
-        // schema drifting under sampling is a silent-meaning-change
-        val schema = root.get("schema") match {
-          case null => throw new IllegalArgumentException(
-            "inputFormat 'jsonl' requires 'schema' (DDL string, e.g. " +
-              "\"doc_id BIGINT, text STRING\"): schema inference is a " +
-              "full extra scan at corpus scale")
-          case s => org.apache.spark.sql.types.StructType.fromDDL(s.asText())
-        }
-        spark.read.schema(schema).json(req("input"))
-      case other => throw new IllegalArgumentException(
-        s"unknown inputFormat '$other' (expected parquet, jsonl, wet, or warc)")
-    }
-    val input = raw.observe(obsIn, count(lit(1)).as("rows"))
+    val input = readInput(spark, root).observe(obsIn, count(lit(1)).as("rows"))
     val result = assembleFrom(input, root)
       .observe(obsOut, count(lit(1)).as("rows"))
     val out = req("output")
@@ -676,7 +794,16 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfgPath)), java.nio.charset.StandardCharsets.UTF_8)
-    val (in, out) = run(spark, json)
+    // -reorder: cost-based filter reordering (see [[reorder]]) before
+    // the run; the chosen order goes to stderr for the operator's log
+    val effective = if (args.contains("-reorder")) {
+      val r = reorder(spark, json)
+      val ops = new ObjectMapper().readTree(r).get("stages")
+      System.err.println("[pipeline] reordered stages: " +
+        (0 until ops.size()).map(ops.get(_).get("op").asText()).mkString(" -> "))
+      r
+    } else json
+    val (in, out) = run(spark, effective)
     println(s"""{"rows_in":$in,"rows_out":$out}""")
     spark.stop()
   }

@@ -742,6 +742,55 @@ class ConfigSpec extends SparkSpec {
     assert(Pipeline.streamableOp("unigram_tokens"))
   }
 
+  test("pipeline reorder: selective-cheap filters move first, results identical, fences hold") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+    def opsOf(json: String): Seq[String] = {
+      val st = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json).get("stages")
+      (0 until st.size()).map(st.get(_).get("op").asText())
+    }
+    // a 1%-keep sample (cost 1, drops ~99%) listed AFTER the gopher
+    // battery (cost 5, drops less): the reorderer must flip them
+    val cfg1 =
+      s"""{"input": "$inDir", "output": "ignored",
+         |"stages": [{"op": "gopher_filter"},
+         |           {"op": "sample", "rate": 0.01, "salt": "e0"}]}""".stripMargin
+    // probe the whole corpus so tiny-sample selectivities are exact
+    val re1 = Pipeline.reorder(spark, cfg1, sampleRatePpm = 1000000L)
+    assert(opsOf(re1) == Seq("sample", "gopher_filter"),
+      s"the 99%-drop cost-1 sample must run first: ${opsOf(re1)}")
+    // result equality: the reordered plan admits the same rows
+    val a = Pipeline.assemble(spark, cfg1).select("doc_id").as[Long].collect().toSet
+    val b = Pipeline.assemble(spark, re1).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "reorder changed the surviving set")
+    // stage params ride with their stage (the sample keeps its rate/salt)
+    assert(re1.contains("\"rate\":0.01") && re1.contains("e0"), re1)
+    // fences: a rewrite (scrub) between two filter runs is never
+    // crossed — each run permutes only within itself
+    val cfg2 =
+      s"""{"input": "$inDir", "output": "ignored",
+         |"stages": [{"op": "gopher_filter"},
+         |           {"op": "sample", "rate": 0.01, "salt": "e0"},
+         |           {"op": "scrub"},
+         |           {"op": "entropy_filter"}]}""".stripMargin
+    val re2 = Pipeline.reorder(spark, cfg2, sampleRatePpm = 1000000L)
+    assert(opsOf(re2) == Seq("sample", "gopher_filter", "scrub", "entropy_filter"),
+      s"fence crossed: ${opsOf(re2)}")
+    val a2 = Pipeline.assemble(spark, cfg2).select("doc_id").as[Long].collect().toSet
+    val b2 = Pipeline.assemble(spark, re2).select("doc_id").as[Long].collect().toSet
+    assert(a2 == b2)
+    // determinism: same config + data -> same order, twice
+    assert(Pipeline.reorder(spark, cfg2, 1000000L) == re2)
+    // single-filter runs and empty samples keep the original order
+    val cfg3 =
+      s"""{"input": "$inDir", "output": "ignored",
+         |"stages": [{"op": "gopher_filter"}, {"op": "scrub"}]}""".stripMargin
+    assert(opsOf(Pipeline.reorder(spark, cfg3)) == Seq("gopher_filter", "scrub"))
+  }
+
   test("pipeline runner: embed stage annotates Arrow-stub vectors, carries columns, streams") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
