@@ -637,6 +637,12 @@ object BenchStress {
   // events ops: user-offset copies add keys, not per-key depth — the
   // LOCF shuffle and grid explode must grow linearly with key count
   private val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // subjects grow with copies but the PERIOD table stays calendar-
+    // bounded: the ratio reads the per-subject partial agg; the
+    // partition-less windows run on <= span/period rows regardless of N
+    "q_survival" -> ((ev: DataFrame) =>
+      graft.ops.Stats.kaplanMeier(ev.filter(col("ts").isNotNull),
+        "user_id", col("ts"), periodDays = 30, churnGapDays = 60)),
     // the O(L²) pair join runs on the DAILY AGGREGATE (days fixed,
     // event types fixed) — copies only grow the pre-agg row count, so
     // the ratio reads the partial agg, never the pair explosion

@@ -287,4 +287,70 @@ object Stats {
             / (col("denx") * col("deny")) * 1e6))
           .cast("long").as("r2_ppm"))
   }
+
+  /** Kaplan–Meier survival curve with right censoring — the churn
+    * table the cohort family (retention/LTV/RFM/stickiness) doesn't
+    * carry: per subject, lifetime = periods between first and last
+    * activity; a subject still active inside `churnGapDays` of the
+    * stream horizon is CENSORED (its lifetime is a lower bound, and
+    * KM is exactly the estimator that uses that partial information
+    * instead of dropping or miscounting it — the naive "churn rate by
+    * tenure" table treats censored users as churned and biases every
+    * recent cohort down).
+    *
+    * Output per lifetime period t: n_risk (subjects with lifetime
+    * ≥ t — the KM risk set), n_events (observed churns at t),
+    * n_censored (censored at t), haz_ln_micro =
+    * round(ln((n_risk−d)/n_risk)·10⁶) (NULL when the risk set dies
+    * out entirely — ln 0), and surv_ln_micro = Σ_{u≤t} haz (NULL from
+    * the first dead point on: SQL's SUM skips NULLs, which would
+    * silently resurrect the curve — the poison flag keeps the
+    * undefined tail undefined). S(t) = exp(surv_ln_micro/1e6); the
+    * ln-quantized form is the cross-engine-exact one (the
+    * tokenDrift micro-nat convention: each term is ONE IEEE division
+    * of exact longs and one ln, rounded per-row, then integer-summed).
+    *
+    * Scale shape: one partial-agg per subject (first/last), a 1-row
+    * broadcast horizon, one partial-agg per lifetime period, then
+    * windows over the ≤ (span/period) period rows — bounded by the
+    * calendar, not the data (the dedup_threshold_curve class), so the
+    * partition-less windows are over a provably tiny relation.
+    */
+  def kaplanMeier(df: DataFrame, idCol: String, tsCol: Column,
+                  periodDays: Int = 30, churnGapDays: Int = 60): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(churnGapDays >= 0, s"churnGapDays must be >= 0, got $churnGapDays")
+    val spans = df.groupBy(col(idCol))
+      .agg(min(tsCol.cast("date")).as("f"), max(tsCol.cast("date")).as("l"))
+    val horizon = spans.agg(max(col("l")).as("horizon"))
+    val lives = spans.crossJoin(broadcast(horizon))
+      .select(
+        expr(s"cast(datediff(l, f) as bigint) div $periodDays").as("t"),
+        when(datediff(col("horizon"), col("l")) > churnGapDays, lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+    val perT = lives.groupBy(col("t"))
+      .agg(sum(col("ev")).as("n_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    // the period table is calendar-bounded (≤ span/period rows):
+    // partition-less windows here are the whitelisted tiny-relation
+    // class, never a corpus-sized funnel
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wRisk))
+      .withColumn("haz_ln_micro",
+        when(col("n_risk") > col("n_events"),
+          round(log((col("n_risk") - col("n_events")) / col("n_risk"))
+            * 1e6).cast("long")))
+      .withColumn("__poison",
+        max(when(col("haz_ln_micro").isNull, 1L).otherwise(0L)).over(wCum))
+      .withColumn("surv_ln_micro",
+        when(col("__poison") > 0, lit(null))
+          .otherwise(sum(col("haz_ln_micro")).over(wCum)).cast("long"))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("haz_ln_micro"), col("surv_ln_micro"))
+  }
 }

@@ -548,6 +548,22 @@ object Analytics {
       "user_id", "ts", "cents")
   }
 
+  /** Kaplan–Meier churn survival (B52; graft.ops.Stats.kaplanMeier):
+    * customer lifetimes from orders (first→last order, 30-day
+    * periods), right-censored inside 60 days of the stream horizon —
+    * the estimator the cohort family lacks (a naive tenure-churn
+    * table counts censored customers as churned and biases every
+    * recent cohort down). Quantized-ln hazard/survival per the
+    * micro-nat convention; poison flag keeps the undefined tail NULL.
+    */
+  def qSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.kaplanMeier(
+      Tables.orders(spark, sfDir).filter($"o_orderdate".isNotNull),
+      "o_custkey", col("o_orderdate"),
+      periodDays = 30, churnGapDays = 60)
+  }
+
   /** Session basket affinity (B51; graft.ops.Stats.basketAffinity):
     * which event types co-occur in a 30-minute session, with integer
     * lift — the unordered sibling of q_markov_transitions.
@@ -896,6 +912,7 @@ object Analytics {
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_cohort_ltv" -> qCohortLtv,
+    "q_survival" -> qSurvival,
     "q_rfm" -> qRfm,
     "q_basket_affinity" -> qBasketAffinity,
     "q_stickiness" -> qStickiness,
@@ -1123,6 +1140,43 @@ object Analytics {
         |  CAST(dau_sum * 1000000 // (n_days * mau) AS BIGINT)
         |    AS stickiness_ppm
         |FROM ds JOIN m USING (month)""".stripMargin,
+    // hazard/survival quantized per the micro-nat convention: each
+    // term is one IEEE division of exact BIGINTs and one ln, rounded
+    // per row, then integer-summed; the poison flag keeps the tail
+    // NULL on both engines (SUM would silently skip the NULL hazard)
+    "q_survival" ->
+      """WITH s AS (SELECT o_custkey AS id,
+        |             CAST(min(o_orderdate) AS DATE) AS f,
+        |             CAST(max(o_orderdate) AS DATE) AS l
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |h AS (SELECT max(l) AS horizon FROM s),
+        |lv AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) // 30 AS t,
+        |         CASE WHEN date_diff('day', l, horizon) > 60
+        |              THEN 1 ELSE 0 END AS ev
+        |       FROM s, h),
+        |p AS (SELECT t, CAST(sum(ev) AS BIGINT) AS n_events,
+        |        CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        |      FROM lv GROUP BY 1),
+        |r AS (SELECT t, n_events, n_censored,
+        |        CAST(sum(n_events + n_censored) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS n_risk
+        |      FROM p),
+        |z AS (SELECT t, n_risk, n_events, n_censored,
+        |        CASE WHEN n_risk > n_events
+        |             THEN CAST(round(ln((n_risk - n_events)
+        |                    / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |             END AS haz_ln_micro
+        |      FROM r)
+        |SELECT t, n_risk, n_events, n_censored, haz_ln_micro,
+        |  CASE WHEN max(CASE WHEN haz_ln_micro IS NULL THEN 1 ELSE 0 END)
+        |         OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        |       THEN NULL
+        |       ELSE CAST(sum(haz_ln_micro) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |       END AS surv_ln_micro
+        |FROM z""".stripMargin,
     "q_cohort_ltv" ->
       """WITH e AS (SELECT user_id, ts,
         |        CAST(round(value * 100) AS BIGINT) AS cents

@@ -635,4 +635,57 @@ class AnalyticsSpec extends SparkSpec {
       ("flaty", 3L, Some(0L), Some(4000000L), None),
       ("line", 4L, Some(2000000L), Some(1000000L), Some(1000000L))))
   }
+
+  test("kaplanMeier: hand-checked risk sets, censoring, quantized hazards, poisoned tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atStartOfDay())
+    // horizon = H's last order (day 200); A churned (105-day gap),
+    // B/H active inside 60 days of horizon -> censored; C churned day 0
+    val orders = Seq(
+      ("A", d(0)), ("A", d(95)),
+      ("B", d(10)), ("B", d(190)),
+      ("C", d(0)),
+      ("H", d(50)), ("H", d(200))).toDF("id", "ts")
+    val got = graft.ops.Stats.kaplanMeier(orders, "id", col("ts"),
+        periodDays = 30, churnGapDays = 60)
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // t:    A=95//30=3 ev, B=180//30=6 cens, C=0 ev, H=150//30=5 cens
+    // risk: t0:4  t3:3  t5:2  t6:1
+    // haz:  ln(3/4)e6=-287682, ln(2/3)e6=-405465, ln(2/2)=0, ln(1/1)=0
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, Some(-287682L), Some(-287682L)),
+      (3L, 3L, 1L, 0L, Some(-405465L), Some(-693147L)),
+      (5L, 2L, 0L, 1L, Some(0L), Some(-693147L)),
+      (6L, 1L, 0L, 1L, Some(0L), Some(-693147L))), got.toString)
+    // heavy same-period mortality: 2 events + 1 censored in one period
+    // -> one -ln(3) hazard step. (A risk set can never die out ENTIRELY
+    // under this censoring rule — the horizon-defining subject has gap
+    // 0 and is always censored, so n_risk > n_events at every t; the
+    // ln(0)->NULL poison path is a defensive guard, exercised here
+    // only for its arithmetic neighborhood.)
+    val heavy = Seq(("X", d(0)), ("Y", d(0)), ("Z", d(200)))
+      .toDF("id", "ts")
+    val dead = graft.ops.Stats.kaplanMeier(heavy, "id", col("ts"),
+        periodDays = 30, churnGapDays = 60)
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // X,Y: life 0, gap 200 -> events; Z single order at day 200:
+    // life 0, gap 0 -> censored. t0: n_risk 3, d 2, c 1,
+    // haz = round(ln(1/3)*1e6) = -1098612
+    assert(dead == Seq((0L, 3L, 2L, 1L, Some(-1098612L), Some(-1098612L))),
+      dead.toString)
+    // layout independence
+    val re = graft.ops.Stats.kaplanMeier(orders.repartition(4), "id",
+        col("ts"), 30, 60)
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(re == got)
+  }
 }

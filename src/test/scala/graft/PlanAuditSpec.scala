@@ -1032,7 +1032,11 @@ class PlanAuditSpec extends SparkSpec {
     //    cosine-bucket table (PipelineQueries.dedupThresholdCurveQ).
     //  - profile_novelty: cumulative fold over the day-cardinality
     //    table (bounded by the feed horizon, Profile.noveltyCurve).
-    val whitelist = Set("dedup_threshold_curve", "profile_novelty")
+    //  - q_survival: risk-set and cumulative-hazard folds over the
+    //    lifetime-PERIOD table (≤ span/periodDays rows — bounded by
+    //    the calendar, not the data; Stats.kaplanMeier).
+    val whitelist = Set("dedup_threshold_curve", "profile_novelty",
+      "q_survival")
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !whitelist(name) =>
