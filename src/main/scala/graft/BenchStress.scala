@@ -643,6 +643,13 @@ object BenchStress {
     "q_survival" -> ((ev: DataFrame) =>
       graft.ops.Stats.kaplanMeier(ev.filter(col("ts").isNotNull),
         "user_id", col("ts"), periodDays = 30, churnGapDays = 60)),
+    // subject-keyed shapes throughout; cohort weeks and distinct
+    // latency minutes are calendar/value-bounded, so the quantile
+    // windows never grow with copies — ratio reads the two partial
+    // aggs + the subject join
+    "q_time_to_convert" -> ((ev: DataFrame) =>
+      graft.ops.Stats.timeToConvert(ev, "user_id", col("ts"),
+        col("event_type"), "signup", "purchase", Seq(500000L, 900000L))),
     // the O(L²) pair join runs on the DAILY AGGREGATE (days fixed,
     // event types fixed) — copies only grow the pre-agg row count, so
     // the ratio reads the partial agg, never the pair explosion

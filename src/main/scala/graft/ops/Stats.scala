@@ -353,4 +353,51 @@ object Stats {
       .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
         col("haz_ln_micro"), col("surv_ln_micro"))
   }
+
+  /** Conversion-latency table — the TIME dimension [[q_funnel]]'s
+    * step-count view drops: per subject, first `fromType` event →
+    * first `toType` event AT OR AFTER it; per signup-cohort week the
+    * conversion rate (floor-ppm) and the LOWER weighted latency
+    * quantiles in minutes (via [[weightedQuantiles]] — actual data
+    * values selected by integer comparison, never interpolation).
+    * Unconverted subjects stay in the denominator (the censoring
+    * lesson without the estimator: rate + quantiles-of-converted is
+    * the honest pair; a mean-latency-of-converted alone is survivor-
+    * biased). Cohorts with zero conversions keep one row with NULL
+    * quantile columns rather than vanishing.
+    *
+    * Scale shape: two subject-keyed partial aggs + one subject-keyed
+    * join (first-from, then first-to-after), one cohort partial agg,
+    * and the quantile windows partitioned by cohort over distinct
+    * latency values. p_ppm arithmetic integer-exact end to end.
+    */
+  def timeToConvert(df: DataFrame, userCol: String, tsCol: Column,
+                    typeCol: Column, fromType: String, toType: String,
+                    qPpm: Seq[Long]): DataFrame = {
+    require(qPpm.nonEmpty, "need at least one quantile")
+    val firsts = df.filter(typeCol === fromType && tsCol.isNotNull)
+      .groupBy(col(userCol).as("__u")).agg(min(tsCol).as("f_ts"))
+    val convs = df.filter(typeCol === toType && tsCol.isNotNull)
+      .select(col(userCol).as("__u"), tsCol.as("__cts"))
+      .join(firsts, "__u")
+      .filter(col("__cts") >= col("f_ts"))
+      .groupBy(col("__u")).agg(min(col("__cts")).as("c_ts"))
+    val users = firsts.join(convs, Seq("__u"), "left")
+      .select(date_trunc("week", col("f_ts")).as("cohort_week"),
+        expr("cast((unix_millis(c_ts) - unix_millis(f_ts)) div 60000 as bigint)")
+          .as("lat_min"))
+    val g = users.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("lat_min")).as("n_converted"))
+      .withColumn("convert_ppm",
+        expr("n_converted * 1000000 div n_signups"))
+    val q = weightedQuantiles(
+      users.filter(col("lat_min").isNotNull), "cohort_week", "lat_min",
+      lit(1L), qPpm)
+      .select(col("cohort_week").as("__qw"), col("q_ppm"),
+        col("value").as("latency_min"))
+    g.join(q, col("cohort_week") === col("__qw"), "left")
+      .select(col("cohort_week"), col("n_signups"), col("n_converted"),
+        col("convert_ppm"), col("q_ppm"), col("latency_min"))
+  }
 }

@@ -564,6 +564,20 @@ object Analytics {
       periodDays = 30, churnGapDays = 60)
   }
 
+  /** Conversion latency (B53; graft.ops.Stats.timeToConvert): per
+    * signup-cohort week, how many signups convert to a first purchase
+    * and how fast — floor-ppm rate over ALL signups (unconverted stay
+    * in the denominator) + lower weighted p50/p90 latency minutes of
+    * the converted. The time dimension q_funnel's step counts drop.
+    */
+  def qTimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.timeToConvert(
+      Tables.events(spark, sfDir),
+      "user_id", $"ts", $"event_type", "signup", "purchase",
+      qPpm = Seq(500000L, 900000L))
+  }
+
   /** Session basket affinity (B51; graft.ops.Stats.basketAffinity):
     * which event types co-occur in a 30-minute session, with integer
     * lift — the unordered sibling of q_markov_transitions.
@@ -913,6 +927,7 @@ object Analytics {
     "q_cohort_retention" -> qCohortRetention,
     "q_cohort_ltv" -> qCohortLtv,
     "q_survival" -> qSurvival,
+    "q_time_to_convert" -> qTimeToConvert,
     "q_rfm" -> qRfm,
     "q_basket_affinity" -> qBasketAffinity,
     "q_stickiness" -> qStickiness,
@@ -1140,6 +1155,43 @@ object Analytics {
         |  CAST(dau_sum * 1000000 // (n_days * mau) AS BIGINT)
         |    AS stickiness_ppm
         |FROM ds JOIN m USING (month)""".stripMargin,
+    // rate over ALL signups; latency quantiles are LOWER weighted
+    // quantiles over distinct minute values (actual data, integer
+    // threshold test) — zero-conversion cohorts keep a NULL-q row
+    "q_time_to_convert" ->
+      """WITH s AS (SELECT user_id, min(ts) AS f_ts FROM events
+        |           WHERE event_type = 'signup' AND ts IS NOT NULL
+        |           GROUP BY 1),
+        |c AS (SELECT s.user_id, min(e.ts) AS c_ts
+        |      FROM s JOIN events e ON e.user_id = s.user_id
+        |       AND e.event_type = 'purchase' AND e.ts IS NOT NULL
+        |       AND e.ts >= s.f_ts
+        |      GROUP BY 1),
+        |u AS (SELECT date_trunc('week', s.f_ts) AS cohort_week,
+        |        (epoch_ms(c.c_ts) - epoch_ms(s.f_ts)) // 60000 AS lat_min
+        |      FROM s LEFT JOIN c ON s.user_id = c.user_id),
+        |g AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_signups,
+        |        CAST(count(lat_min) AS BIGINT) AS n_converted,
+        |        CAST(count(lat_min) * 1000000 // count(*) AS BIGINT)
+        |          AS convert_ppm
+        |      FROM u GROUP BY 1),
+        |bv AS (SELECT cohort_week, lat_min, CAST(count(*) AS BIGINT) AS w
+        |       FROM u WHERE lat_min IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT cohort_week, lat_min,
+        |         CAST(sum(w) OVER (PARTITION BY cohort_week ORDER BY lat_min
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_w,
+        |         CAST(sum(w) OVER (PARTITION BY cohort_week) AS BIGINT)
+        |           AS tot_w
+        |       FROM bv),
+        |q AS (SELECT cohort_week, CAST(q_ppm AS BIGINT) AS q_ppm,
+        |        CAST(min(lat_min) AS BIGINT) AS latency_min
+        |      FROM cw JOIN (VALUES (500000), (900000)) v(q_ppm)
+        |        ON cum_w * 1000000 >= q_ppm * tot_w
+        |      GROUP BY 1, 2)
+        |SELECT g.cohort_week, g.n_signups, g.n_converted, g.convert_ppm,
+        |       q.q_ppm, q.latency_min
+        |FROM g LEFT JOIN q ON g.cohort_week = q.cohort_week""".stripMargin,
     // hazard/survival quantized per the micro-nat convention: each
     // term is one IEEE division of exact BIGINTs and one ln, rounded
     // per row, then integer-summed; the poison flag keeps the tail

@@ -688,4 +688,49 @@ class AnalyticsSpec extends SparkSpec {
       .collect().toSeq
     assert(re == got)
   }
+
+  test("timeToConvert: hand-checked rates, pre-signup purchases ignored, null-q cohorts survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def t(day: Int, min: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day) // 2024-01-01 is a Monday
+        .atStartOfDay.plusMinutes(min))
+    val ev = Seq(
+      ("u1", "signup", t(0, 600)), ("u1", "purchase", t(0, 630)),   // 30 min
+      ("u2", "signup", t(0, 0)), ("u2", "purchase", t(2, 0)),       // 2880 min
+      ("u2", "purchase", t(-1, 0)),                                  // pre-signup: ignored
+      ("u3", "signup", t(1, 0)),                                     // never converts
+      ("u4", "purchase", t(0, 0)),                                   // no signup: excluded
+      ("u5", "signup", t(14, 0)), ("u5", "purchase", t(14, 90)),    // 90 min, week 3
+      ("u6", "signup", t(28, 0))                                     // lone unconverted cohort
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Stats.timeToConvert(ev, "user_id", col("ts"),
+        col("event_type"), "signup", "purchase", Seq(500000L, 900000L))
+      .select(col("cohort_week").cast("string"), col("n_signups"),
+        col("n_converted"), col("convert_ppm"), col("q_ppm"),
+        col("latency_min"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    val w1 = "2024-01-01 00:00:00"; val w3 = "2024-01-15 00:00:00"
+    val w5 = "2024-01-29 00:00:00"
+    assert(got == Set(
+      // cohort w1: u1,u2,u3 -> 2/3 convert; p50 over {30,2880}=30, p90=2880
+      (w1, 3L, 2L, 666666L, Some(500000L), Some(30L)),
+      (w1, 3L, 2L, 666666L, Some(900000L), Some(2880L)),
+      (w3, 1L, 1L, 1000000L, Some(500000L), Some(90L)),
+      (w3, 1L, 1L, 1000000L, Some(900000L), Some(90L)),
+      // zero-conversion cohort keeps its row, quantiles NULL
+      (w5, 1L, 0L, 0L, None, None)), got.toString)
+    // layout independence
+    val re = graft.ops.Stats.timeToConvert(ev.repartition(5), "user_id",
+        col("ts"), col("event_type"), "signup", "purchase",
+        Seq(500000L, 900000L))
+      .select(col("cohort_week").cast("string"), col("n_signups"),
+        col("n_converted"), col("convert_ppm"), col("q_ppm"),
+        col("latency_min"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(re == got)
+  }
 }
