@@ -578,6 +578,11 @@ object BenchStress {
   // predicate, so the sampled row count (and the per-column percentile
   // sort input) grows linearly; output stays 4 rows
   private val liOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // one scan + 3x explode + a <=192-row min/max partial agg: ratio
+    // reads pure scan/explode bandwidth, file table fixed
+    "q_prune_sim" -> ((li: DataFrame) =>
+      graft.ops.ZOrder.pruneSim(li, "l_partkey", "l_suppkey",
+        bitsPer = 10, nFiles = 64, nPreds = 16)),
     // the cumulative window runs over DISTINCT (flag, price) — copies
     // multiply ROWS but not distinct prices, so the window input is
     // ~fixed while the collapse agg carries the linear term

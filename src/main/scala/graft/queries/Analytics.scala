@@ -564,6 +564,19 @@ object Analytics {
       periodDays = 30, churnGapDays = 60)
   }
 
+  /** Layout prune-rate simulator (B15b; graft.ops.ZOrder.pruneSim):
+    * the min/max-footer pruning report over three simulated layouts
+    * of lineitem (range by partkey, range by suppkey, Z-order over
+    * both) against a 16-cell predicate grid per dimension — the data
+    * that decides a re-clustering job. 64 files, 10-bit masked
+    * domains; all integer, the oracle replays the whole simulation
+    * including the Morton key.
+    */
+  def qPruneSim(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.ZOrder.pruneSim(
+      Tables.lineitem(spark, sfDir), "l_partkey", "l_suppkey",
+      bitsPer = 10, nFiles = 64, nPreds = 16)
+
   /** Conversion latency (B53; graft.ops.Stats.timeToConvert): per
     * signup-cohort week, how many signups convert to a first purchase
     * and how fast — floor-ppm rate over ALL signups (unconverted stay
@@ -928,6 +941,7 @@ object Analytics {
     "q_cohort_ltv" -> qCohortLtv,
     "q_survival" -> qSurvival,
     "q_time_to_convert" -> qTimeToConvert,
+    "q_prune_sim" -> qPruneSim,
     "q_rfm" -> qRfm,
     "q_basket_affinity" -> qBasketAffinity,
     "q_stickiness" -> qStickiness,
@@ -1155,6 +1169,40 @@ object Analytics {
         |  CAST(dau_sum * 1000000 // (n_days * mau) AS BIGINT)
         |    AS stickiness_ppm
         |FROM ds JOIN m USING (month)""".stripMargin,
+    // the oracle replays the whole simulation — masked values, Morton
+    // key, value-equidistant file split, footer min/max, grid
+    // intersection — in the same integer arithmetic
+    "q_prune_sim" -> {
+      val zsql = graft.ops.ZOrder.zkeySql(Seq("a", "b"), 10)
+      s"""WITH k AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b
+         |           FROM lineitem),
+         |z AS (SELECT a, b, $zsql AS z FROM k),
+         |e AS (SELECT 'range_l_partkey' AS layout, a * 64 // 1024 AS file_id,
+         |             a, b FROM z
+         |      UNION ALL SELECT 'range_l_suppkey', b * 64 // 1024, a, b FROM z
+         |      UNION ALL SELECT 'zorder', z * 64 // 1048576, a, b FROM z),
+         |f AS (SELECT layout, file_id, min(a) AS min_a, max(a) AS max_a,
+         |             min(b) AS min_b, max(b) AS max_b
+         |      FROM e GROUP BY 1, 2),
+         |p AS (SELECT dim, CAST(i AS BIGINT) AS pred_id,
+         |        CAST(i * 1024 // 16 AS BIGINT) AS lo,
+         |        CAST((i + 1) * 1024 // 16 AS BIGINT) AS hi
+         |      FROM range(16) t(i)
+         |      CROSS JOIN (VALUES ('l_partkey'), ('l_suppkey')) d(dim)),
+         |g AS (SELECT f.layout, p.dim, p.pred_id, p.lo, p.hi,
+         |        CAST(count(*) AS BIGINT) AS n_files,
+         |        CAST(sum(CASE WHEN
+         |            (CASE WHEN p.dim = 'l_partkey' THEN f.min_a
+         |                  ELSE f.min_b END) <= p.hi - 1
+         |            AND (CASE WHEN p.dim = 'l_partkey' THEN f.max_a
+         |                      ELSE f.max_b END) >= p.lo
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+         |      FROM f CROSS JOIN p GROUP BY 1, 2, 3, 4, 5)
+         |SELECT layout, dim, pred_id, lo, hi, n_files, n_scanned,
+         |  CAST((n_files - n_scanned) * 1000000 // n_files AS BIGINT)
+         |    AS prune_ppm
+         |FROM g""".stripMargin
+    },
     // rate over ALL signups; latency quantiles are LOWER weighted
     // quantiles over distinct minute values (actual data, integer
     // threshold test) — zero-conversion cohorts keep a NULL-q row

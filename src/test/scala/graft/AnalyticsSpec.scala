@@ -733,4 +733,42 @@ class AnalyticsSpec extends SparkSpec {
       .collect().toSet
     assert(re == got)
   }
+
+  test("pruneSim: exact tile arithmetic on a uniform grid - range layouts vs Z-tiles") {
+    import spark.implicits._
+    // full uniform coverage of the 10-bit x 10-bit domain (stride 8):
+    // every simulated file is non-empty and the geometry is exact
+    val grid = (for { a <- 0 until 1024 by 8; b <- 0 until 1024 by 8 }
+      yield (a.toLong, b.toLong)).toDF("x", "y")
+    val got = graft.ops.ZOrder.pruneSim(grid, "x", "y",
+        bitsPer = 10, nFiles = 64, nPreds = 16)
+      .select("layout", "dim", "pred_id", "n_files", "n_scanned", "prune_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.length == 3 * 2 * 16)
+    got.foreach { case (layout, dim, pid, nf, ns, ppm) =>
+      assert(nf == 64L, s"$layout: uniform grid must fill all 64 files")
+      (layout, dim) match {
+        // own-column range layout: file width 16, predicate width 64
+        // -> exactly 4 files scanned
+        case ("range_x", "x") | ("range_y", "y") =>
+          assert(ns == 4L && ppm == 937500L, s"$layout/$dim/$pid: $ns")
+        // other-column predicates read EVERYTHING under a single-
+        // column layout - the reason multi-dim tables want Z
+        case ("range_x", "y") | ("range_y", "x") =>
+          assert(ns == 64L && ppm == 0L, s"$layout/$dim/$pid: $ns")
+        // Z layout: 64 files = 8x8 grid of 128x128 Morton tiles; a
+        // width-64 predicate on EITHER dim lives in one tile strip
+        // -> 8 files, the O(sqrt) trade both ways
+        case ("zorder", _) =>
+          assert(ns == 8L && ppm == 875000L, s"zorder/$dim/$pid: $ns")
+        case other => fail(s"unexpected layout/dim $other")
+      }
+    }
+    // layout independence of the simulation itself
+    val re = graft.ops.ZOrder.pruneSim(grid.repartition(7), "x", "y",
+        10, 64, 16)
+      .select("layout", "dim", "pred_id", "n_files", "n_scanned", "prune_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(re == got.toSet)
+  }
 }
