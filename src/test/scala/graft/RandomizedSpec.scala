@@ -1701,4 +1701,61 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("timeToConvert equals a naive in-memory reference on random event streams") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(1313)
+    (1 to rounds).foreach { round =>
+      val nUsers = 30 + rnd.nextInt(60)
+      val events = (0 until nUsers).flatMap { u =>
+        val n = rnd.nextInt(6)
+        (0 until n).map { _ =>
+          val ty = Seq("signup", "purchase", "view")(rnd.nextInt(3))
+          val ms = 1700000000000L + rnd.nextInt(100) * 86400000L +
+            rnd.nextInt(1440) * 60000L
+          (s"u$u", ty, new java.sql.Timestamp(ms))
+        }
+      }
+      val got = graft.ops.Stats.timeToConvert(
+          events.toDF("user_id", "event_type", "ts"),
+          "user_id", col("ts"), col("event_type"), "signup", "purchase",
+          Seq(500000L, 900000L))
+        .select(col("cohort_week").cast("long"), col("n_signups"),
+          col("n_converted"), col("convert_ppm"), col("q_ppm"),
+          col("latency_min"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      // naive reference: per user first signup, first purchase >= it
+      val perUser = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val signups = es.filter(_._2 == "signup").map(_._3.getTime)
+        if (signups.isEmpty) None
+        else {
+          val f = signups.min
+          val conv = es.filter(e => e._2 == "purchase" && e._3.getTime >= f)
+            .map(_._3.getTime).sorted.headOption
+          // ISO Monday week start, like date_trunc('week') on both engines
+          val day = java.time.Instant.ofEpochMilli(f)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          val week = day.minusDays(day.getDayOfWeek.getValue - 1L)
+          val weekMs = week.atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli
+          Some((weekMs, conv.map(c => (c - f) / 60000L)))
+        }
+      }
+      val expect = perUser.groupBy(_._1).flatMap { case (wk, us) =>
+        val lats = us.flatMap(_._2).sorted
+        val n = us.size.toLong; val c = lats.size.toLong
+        val ppm = c * 1000000L / n
+        if (lats.isEmpty) Seq((wk / 1000L, n, c, ppm, None, None))
+        else Seq(500000L, 900000L).map { q =>
+          val tot = lats.size.toLong
+          var cum = 0L
+          val v = lats.find { _ => cum += 1; cum * 1000000L >= q * tot }.get
+          (wk / 1000L, n, c, ppm, Some(q), Some(v))
+        }
+      }.toSet
+      // cohort_week casts to long SECONDS in Spark; reference is ms
+      assert(got == expect, s"round $round:\n got=$got\n exp=$expect")
+    }
+  }
 }
