@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Tee stderr FIRST — before SparkSession creation — so log4j's
+    // console appender resolves to the tee and every logged stack
+    // (absorbed task failures, writer retries, streaming aborts) is
+    // captured for the file twin's `stderr_tail`, untruncated by the
+    // driver's 2000-char stdout window.
+    val errTail = new TailStream(System.err, 8000)
+    System.setErr(new java.io.PrintStream(errTail, true, "UTF-8"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -52,50 +59,22 @@ object Bench {
     // its measurement.
     def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
     reset() // drop warmup garbage outside the timed region
-    // Every caught exception's class + first message line lands in the
-    // published artifact: a stack trace in the driver's stderr with a
-    // green-looking number next to it is unadjudicable (the r12 orphan
-    // pipelineJsonlQ trace cost a judge session). First error per query
-    // wins; the count of later ones is appended so repeats are visible.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // first error line per query wins; later ones bump a "(+N more)"
-    // suffix so repeats stay visible without flooding the artifact
-    def recordLine(name: String, line: String): Unit = errors.synchronized {
-      errors.get(name) match {
-        case None => errors(name) = line
-        case Some(prev) =>
-          val n = "\\(\\+(\\d+) more\\)$".r.findFirstMatchIn(prev)
-            .map(_.group(1).toInt).getOrElse(0)
-          errors(name) = prev.replaceAll(" \\(\\+\\d+ more\\)$", "") +
-            s" (+${n + 1} more)"
-      }
-    }
-    def recordError(name: String, e: Throwable): Unit = {
-      val msg = Option(e.getMessage).getOrElse("").linesIterator
-        .find(_.nonEmpty).getOrElse("").take(160)
-      recordLine(name, s"${e.getClass.getSimpleName}: $msg")
-    }
-    // A task that fails and is absorbed by a stage retry never reaches
-    // the catch below, yet its stack trace lands in stderr next to a
-    // green-looking number (the r12 orphan pipelineJsonlQ trace). The
-    // listener attributes absorbed task failures to the query running
-    // when they fired.
-    @volatile var currentQuery = "_setup"
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          te.reason match {
-            case ef: org.apache.spark.ExceptionFailure =>
-              recordLine(currentQuery,
-                s"task:${ef.className.split('.').last}: " +
-                  ef.description.linesIterator
-                    .find(_.nonEmpty).getOrElse("").take(160))
-            case _ =>
-          }
-      })
+    // Failure ledger (BenchReport.scala): `timed`'s catch records the
+    // driver-side exception; the listener records EVERY failed task
+    // reason tagged by class (not just ExceptionFailure — the r13
+    // orphan stack proved stage-retried FetchFailed/TaskKilled/
+    // executor-lost failures escape that filter) plus JobFailed ends.
+    // Attribution is by job group set in `timed` — the listener bus is
+    // asynchronous, so a mutable current-query global can misfile an
+    // event that arrives after the main thread moved on.
+    val be = new BenchErrors
+    val errors = be.errors
+    def recordError(name: String, e: Throwable): Unit =
+      be.recordError(name, e)
+    spark.sparkContext.addSparkListener(be.listener)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      currentQuery = name
+      be.currentQuery = name
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       // a failed query reports -1, not a misleading elapsed time
       val ok = try { fn(spark, sfDir).count(); true }
@@ -103,7 +82,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           recordError(name, e); false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      currentQuery = "_between"
+      spark.sparkContext.clearJobGroup()
+      be.currentQuery = "_between"
       dt
     }
     // Contention self-diagnosis: a fixed CPU-bound anchor (range →
@@ -116,6 +96,8 @@ object Bench {
     import org.apache.spark.sql.functions.{xxhash64, sum => ssum}
     def anchorOnce(): Double = {
       reset()
+      spark.sparkContext.setJobGroup("_anchor", "_anchor",
+        interruptOnCancel = false)
       val t0 = System.nanoTime()
       // % 1M before summing: ANSI mode makes a raw Σ xxhash64 overflow.
       // ~0.7 s idle: long enough that scheduler jitter stays under a few
@@ -128,6 +110,7 @@ object Bench {
           .select(ssum(xxhash64(scol("id")) % 1000000L).as("s")).head()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => recordError("_anchor", e); -1.0 }
+      finally spark.sparkContext.clearJobGroup()
     }
     // min-of-2 per point: a one-off GC pause or scheduler stall must not
     // read as machine-wide contention — sustained contention hits both.
@@ -189,7 +172,8 @@ object Bench {
       case (k, v, Some(mx)) if mx < 0 || mx > v * 1.2 => (k, v, mx)
     }.sortBy { case (_, v, mx) => if (mx < 0) Double.MaxValue else -(mx / math.max(v, 1e-9)) }
     def line(prec: Int, nSpread: Int, topQ: Int, minT: Double = 0.0,
-             allErrors: Boolean = false): String = {
+             allErrors: Boolean = false,
+             stderrTail: Option[String] = None): String = {
       // two degrade axes before slowest-N: minT drops entries under a
       // floor (a sub-50ms query cannot regress measurably while
       // STAYING sub-50ms — the moment it regresses it reappears), topQ
@@ -227,7 +211,13 @@ object Bench {
           s""","_omitted_errors":${errors.size - errCap}""" else ""
         s""","errors":{$shown$more}"""
       }
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp$om$anc$er,"sf":"$sfDir"}"""
+      // file twin only (never the stdout line): the untruncated stderr
+      // tail, so ANY printed stack — even one from a retried-and-
+      // absorbed failure the errors map can only tag by reason class —
+      // is attributable from the artifact alone.
+      val st = stderrTail.filter(_.nonEmpty)
+        .map(t => s""","stderr_tail":"${jesc(t)}"""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs,"spread_min_max":$sp$om$anc$er$st,"sf":"$sfDir"}"""
     }
     // The query count grows every round; degrade verbosity (fewer
     // spread entries, coarser precision, then slowest-N-only per-query
@@ -264,7 +254,8 @@ object Bench {
     // fail the bench contract line.
     try Files.writeString(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-      line(3, spreads.size, all, 0.0, allErrors = true) + "\n")
+      line(3, spreads.size, all, 0.0, allErrors = true,
+        stderrTail = Some(errTail.tail)) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
     println(out)

@@ -1,0 +1,117 @@
+package graft
+
+import java.io.OutputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.scheduler.{JobFailed, SparkListener,
+  SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.TaskFailedReason
+
+/** Bounded-tail tee for a process stream: every byte still reaches the
+  * wrapped stream, and the LAST `cap` chars stay readable. Installed
+  * over System.err before SparkSession creation so log4j's console
+  * appender (resolved at appender start) writes through it — executor
+  * task stacks, streaming-query aborts and writer retries all land in
+  * the tail even when a stage retry absorbs them. The bench file twin
+  * publishes it as `stderr_tail`, so a stack trace in the driver's
+  * captured stderr is attributable from the artifact alone instead of
+  * through the driver's 2000-char stdout window (the r12/r13 orphan
+  * pipelineJsonlQ trace class).
+  */
+final class TailStream(underlying: OutputStream, cap: Int)
+    extends OutputStream {
+  private val buf = new java.lang.StringBuilder
+  private def keep(): Unit =
+    if (buf.length > cap * 2) buf.delete(0, buf.length - cap)
+  override def write(b: Int): Unit = synchronized {
+    underlying.write(b); buf.append(b.toChar); keep()
+  }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit =
+    synchronized {
+      underlying.write(b, off, len)
+      buf.append(new String(b, off, len, StandardCharsets.UTF_8)); keep()
+    }
+  override def flush(): Unit = underlying.flush()
+  def tail: String = synchronized {
+    val s = buf.toString
+    if (s.length > cap) s.substring(s.length - cap) else s
+  }
+}
+
+/** Per-query failure ledger for the bench artifact. Two capture paths:
+  *
+  *  - `recordError` from `timed`'s own catch (the query's driver-side
+  *    exception);
+  *  - the Spark listener, which records EVERY failed task reason (not
+  *    just ExceptionFailure — FetchFailed, TaskKilled, ExecutorLost,
+  *    Resubmitted, commit-denied all tag by reason class) plus
+  *    JobFailed job ends, so a failure absorbed by a stage retry still
+  *    lands in the published errors map (the r13 escape class).
+  *
+  * Attribution is by JOB GROUP, not a mutable "current query" global:
+  * the listener bus is asynchronous, so an event can arrive after the
+  * main thread has moved on to the next query. `Bench.timed` sets the
+  * query name as the job group; onJobStart pins jobId→owner and
+  * stageId→owner from the submitting thread's properties, and task/job
+  * ends look the owner up by stage/job id. The volatile fallback only
+  * covers events with no recorded owner (setup/teardown work).
+  */
+final class BenchErrors {
+  val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+  @volatile var currentQuery: String = "_setup"
+  private val stageOwner =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val jobOwner =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  /** First error line per query wins; later ones bump a "(+N more)"
+    * suffix so repeats stay visible without flooding the artifact.
+    */
+  def recordLine(name: String, line: String): Unit = errors.synchronized {
+    errors.get(name) match {
+      case None => errors(name) = line
+      case Some(prev) =>
+        val n = "\\(\\+(\\d+) more\\)$".r.findFirstMatchIn(prev)
+          .map(_.group(1).toInt).getOrElse(0)
+        errors(name) = prev.replaceAll(" \\(\\+\\d+ more\\)$", "") +
+          s" (+${n + 1} more)"
+    }
+  }
+
+  def recordError(name: String, e: Throwable): Unit =
+    recordLine(name,
+      s"${e.getClass.getSimpleName}: ${firstLine(e.getMessage)}")
+
+  private def firstLine(s: String, cap: Int = 160): String =
+    Option(s).getOrElse("").linesIterator
+      .find(_.nonEmpty).getOrElse("").take(cap)
+
+  val listener: SparkListener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val owner = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse(currentQuery)
+      jobOwner.put(js.jobId, owner)
+      js.stageIds.foreach(sid => stageOwner.put(sid, owner))
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      te.reason match {
+        case f: TaskFailedReason =>
+          val owner = Option(stageOwner.get(te.stageId))
+            .getOrElse(currentQuery)
+          recordLine(owner,
+            s"task:${f.getClass.getSimpleName.stripSuffix("$")}: " +
+              firstLine(f.toErrorString))
+        case _ =>
+      }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit =
+      je.jobResult match {
+        case JobFailed(e) =>
+          val owner = Option(jobOwner.get(je.jobId))
+            .getOrElse(currentQuery)
+          recordLine(owner,
+            s"job:${e.getClass.getSimpleName}: ${firstLine(e.getMessage)}")
+        case _ =>
+      }
+  }
+}
