@@ -50,6 +50,59 @@ class JsonlSpec extends SparkSpec {
     assert(raw === "{\"id\":7,\"t\":\"a\\\"b\\\\c\\nd\"}\n")
   }
 
+  test("task commit: a simulated speculative twin attempt never interleaves a shard") {
+    // Two attempts of the SAME partition racing (the speculation shape a
+    // 100 TB cluster produces): each writes its own _tmp file, each
+    // commits by atomic rename, last-rename-wins leaves ONE final shard
+    // byte-identical to a single-attempt write — never an interleaved gz.
+    val dir = Files.createTempDirectory("jsonl_spec").toString
+    val lines = (0 until 500).map(i => s"""{"id":$i,"t":"row $i"}""")
+    val single = Files.createTempDirectory("jsonl_single").toString
+    Jsonl.writeShard(single, 0, 0L, lines.iterator)
+    val expect = Files.readAllBytes(
+      new java.io.File(single, "part-00000.jsonl.gz").toPath)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq(1L, 2L).map { att =>
+      new Thread(() => {
+        barrier.await() // maximize overlap of the two attempts
+        Jsonl.writeShard(dir, 0, att, lines.iterator)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq === Seq("part-00000.jsonl.gz"), files.mkString(","))
+    val got = Files.readAllBytes(
+      new java.io.File(dir, "part-00000.jsonl.gz").toPath)
+    assert(java.util.Arrays.equals(got, expect),
+      "racing attempts must commit a byte-identical shard")
+    // and the committed shard parses clean end-to-end
+    val raw = new String(new GZIPInputStream(
+      new java.io.FileInputStream(new java.io.File(dir, files.head)))
+      .readAllBytes(), "UTF-8")
+    assert(raw === lines.mkString("", "\n", "\n"))
+  }
+
+  test("task commit: a failed attempt leaves no partial shard; write() sweeps temps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_fail").toString
+    val boom = new Iterator[String] {
+      private var n = 0
+      def hasNext = true
+      def next(): String = {
+        n += 1
+        if (n > 3) throw new IllegalStateException("mid-shard crash")
+        s"""{"id":$n}"""
+      }
+    }
+    intercept[IllegalStateException] { Jsonl.writeShard(dir, 0, 7L, boom) }
+    assert(new java.io.File(dir).listFiles().isEmpty,
+      "failed attempt must delete its temp and commit nothing")
+    // write() end-to-end still produces only final shards (no _tmp-)
+    Jsonl.write(Seq((1L, "a"), (2L, "b")).toDF("id", "t").repartition(2), dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(names === Seq("part-00000.jsonl.gz", "part-00001.jsonl.gz"), names)
+  }
+
   test("unsupported column types are rejected loudly; corrupt shards FAILFAST") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_bad").toString
