@@ -127,6 +127,9 @@ object Replicate {
     var compactDir: String = null
     var targetBytes = 128L << 20
     var smallBytes = 16L << 20
+    var gcDir: String = null
+    var keepDailyDays = 7
+    var keepWeeklyWeeks = 4
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -138,11 +141,32 @@ object Replicate {
           targetBytes = args(i + 1).toLong; i += 2
         case "-smallBytes" if i + 1 < args.length =>
           smallBytes = args(i + 1).toLong; i += 2
+        case "-gc" if i + 1 < args.length =>
+          gcDir = args(i + 1); i += 2
+        case "-keepDailyDays" if i + 1 < args.length =>
+          keepDailyDays = args(i + 1).toInt; i += 2
+        case "-keepWeeklyWeeks" if i + 1 < args.length =>
+          keepWeeklyWeeks = args(i + 1).toInt; i += 2
         case other =>
           System.err.println("usage: graft.Replicate [-cfg <file>] [-c] " +
-            s"| -compact <storeDir> [-targetBytes n] [-smallBytes n]  (got $other)")
+            "| -compact <storeDir> [-targetBytes n] [-smallBytes n] " +
+            s"| -gc <snapshotDir> [-keepDailyDays n] [-keepWeeklyWeeks n]  (got $other)")
           sys.exit(1)
       }
+    }
+    if (gcDir != null) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString)}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val (daily, weekly, dropped) =
+        Retention.execute(spark, gcDir, keepDailyDays, keepWeeklyWeeks)
+      println(s"[replicate] gc $gcDir: kept $daily daily + $weekly weekly" +
+        s" snapshot(s), dropped $dropped")
+      spark.stop()
+      return
     }
     if (compactDir != null) {
       val spark = org.apache.spark.sql.SparkSession.builder()

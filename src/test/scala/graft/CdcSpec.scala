@@ -1002,4 +1002,67 @@ class CdcSpec extends SparkSpec {
     assert(Compaction.recoverCompact(spark, store))
     assert(content(s"$store/$gb=1") === before1, "recovery finishes the swap")
   }
+
+  test("Retention.execute: drops by atomic rename, crash windows heal, re-run idempotent") {
+    import spark.implicits._
+    import graft.cdc.Retention
+    // the hand-checked plan corpus from the retention-plan test: days
+    // 0..9, 14, 20 at keep 3 dailies / 2 weeklies -> keep {9, 20}
+    val days = (0L to 9L) ++ Seq(14L, 20L)
+    def freshStore(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_gc").toString
+      days.foreach { d =>
+        // day 9 (a keeper) is multi-file: layout independence — the
+        // executor must keep/drop whole days regardless of file count
+        val parts = if (d == 9L) 3 else 1
+        Seq.tabulate(4)(j => (d * 100 + j, s"snap-$d-$j")).toDF("id", "v")
+          .repartition(parts).write.parquet(s"$root/snap_day=$d")
+      }
+      root
+    }
+    def listing(root: String): Seq[String] =
+      new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    def content(root: String, d: Long) =
+      spark.read.parquet(s"$root/snap_day=$d").as[(Long, String)]
+        .collect().sorted.toSeq
+    // clean run: executor result == the gated plan's keep set
+    val clean = freshStore()
+    val keep9 = content(clean, 9L)
+    assert(Retention.execute(spark, clean, 3, 2) === (1L, 1L, 10L))
+    assert(listing(clean) === Seq("snap_day=20", "snap_day=9"))
+    assert(content(clean, 9L) === keep9, "kept snapshots survive untouched")
+    // idempotent re-run: every survivor re-classifies keep, drops 0
+    assert(Retention.execute(spark, clean, 3, 2) === (1L, 1L, 0L))
+    assert(listing(clean) === Seq("snap_day=20", "snap_day=9"))
+    // crash window A: mid-delete (thrown after the SECOND move) — some
+    // drops live, one in trash; a plain re-run heals to the same state
+    val midA = freshStore()
+    var moves = 0
+    Retention.gcFailpoint = {
+      case p if p.startsWith("moved:") =>
+        moves += 1
+        if (moves == 2) throw new IllegalStateException(s"crash at $p")
+      case _ =>
+    }
+    intercept[IllegalStateException] { Retention.execute(spark, midA, 3, 2) }
+    Retention.gcFailpoint = _ => ()
+    assert(listing(midA).contains("__trash_gc"), "crash leaves staged trash")
+    Retention.execute(spark, midA, 3, 2)
+    assert(listing(midA) === Seq("snap_day=20", "snap_day=9"))
+    // crash window B: post-move pre-purge — every drop staged, trash
+    // not yet purged; recovery alone (no new moves) finishes
+    val midB = freshStore()
+    Retention.gcFailpoint = {
+      case "before-purge" => throw new IllegalStateException("crash at purge")
+      case _ =>
+    }
+    intercept[IllegalStateException] { Retention.execute(spark, midB, 3, 2) }
+    Retention.gcFailpoint = _ => ()
+    assert(Retention.recoverGc(spark, midB))
+    assert(listing(midB) === Seq("snap_day=20", "snap_day=9"))
+    assert(Retention.execute(spark, midB, 3, 2) === (1L, 1L, 0L))
+    // empty store: a no-op, not a crash
+    val empty = java.nio.file.Files.createTempDirectory("graft_gc0").toString
+    assert(Retention.execute(spark, empty, 3, 2) === (0L, 0L, 0L))
+  }
 }
