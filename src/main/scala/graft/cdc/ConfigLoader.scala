@@ -44,7 +44,7 @@ object ConfigLoader {
 
   private val topFields = Set(
     "source", "target", "tables", "filteredTables", "keys",
-    "updateChunkSize", "deleteChunkSize", "minDeleteChunkSize",
+    "updateChunkSize", "deleteChunkSize", "minDeleteChunkSize", "copyChunks",
     "throttlePercentage", "stateTable", "syncUpdates", "syncDeletes",
     "resyncOnSchemaChange", "fullCopyThreshold", "waitBetweenJobs",
     "targetBuckets", "checkpointDir")
@@ -143,7 +143,8 @@ object ConfigLoader {
         syncDeletes = bool("syncDeletes", true),
         resyncOnSchemaChange = bool("resyncOnSchemaChange", false),
         updateChunkSize = num("updateChunkSize", 1000L).toInt,
-        deleteChunkSize = num("deleteChunkSize", 1000L)),
+        deleteChunkSize = num("deleteChunkSize", 1000L),
+        copyChunks = num("copyChunks", 0L).toInt),
       waitBetweenJobsMs = num("waitBetweenJobs", 5000L),
       targetBuckets = num("targetBuckets", 0L).toInt,
       checkpointDir = Option(root.get("checkpointDir")).map(_.asText()).getOrElse(""),

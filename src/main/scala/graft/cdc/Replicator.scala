@@ -34,7 +34,8 @@ case class ReplicationConfig(
     syncDeletes: Boolean = true,
     resyncOnSchemaChange: Boolean = false,
     updateChunkSize: Int = 10000,
-    deleteChunkSize: Long = 50000)
+    deleteChunkSize: Long = 50000,
+    copyChunks: Int = 0)
 
 /** End-to-end replication job between two [[TableStore]]s — the
   * Spark-native Job.Run (reference: internal/job.go:51).
@@ -142,11 +143,21 @@ class Replicator(spark: SparkSession, cfg: ReplicationConfig,
       math.ceil(srcCount.toDouble / cfg.updateChunkSize).toInt)
     val byPk = t.primaryKeys.map(col(_))
     if (needFull) {
+      // copyChunks > 1 on a JDBC source with a single integer pk
+      // routes the full-copy extraction through the A38 chunk plan:
+      // one bounded connection per equi-depth chunk instead of the
+      // reference's single streaming connection (copy.go:11)
+      val copySrc = (source, t.primaryKeys) match {
+        case (j: JdbcStore, Seq(pk)) if cfg.copyChunks > 1 =>
+          val df = j.readChunked(t.name, pk, cfg.copyChunks)
+          t.where.map(w => df.filter(expr(w))).getOrElse(df)
+        case _ => src
+      }
       sink match {
         case b: BucketedParquetStore =>
-          b.writeFull(t.name, ChangeCapture.fullCopy(src), t.primaryKeys)
+          b.writeFull(t.name, ChangeCapture.fullCopy(copySrc), t.primaryKeys)
         case _ =>
-          writeTarget(t.name, ChangeCapture.fullCopy(src).repartition(parts, byPk: _*))
+          writeTarget(t.name, ChangeCapture.fullCopy(copySrc).repartition(parts, byPk: _*))
       }
       state.setTargetRows(t.name, srcCount) // full copy: count known for free
     } else {

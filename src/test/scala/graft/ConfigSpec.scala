@@ -34,6 +34,7 @@ class ConfigSpec extends SparkSpec {
        |  },
        |  "updateChunkSize": 10000,
        |  "deleteChunkSize": 50000,
+       |  "copyChunks": 8,
        |  "minDeleteChunkSize": 250,
        |  "throttlePercentage": 75,
        |  "fullCopyThreshold": 0.5,
@@ -48,6 +49,7 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.source == "/src" && cfg.target == "/tgt")
     assert(cfg.replication.updateChunkSize == 10000)
     assert(cfg.replication.deleteChunkSize == 50000L)
+    assert(cfg.replication.copyChunks == 8)
     assert(cfg.replication.fullCopyThreshold == 0.5)
     assert(cfg.replication.syncUpdates && cfg.replication.syncDeletes)
     assert(!cfg.replication.resyncOnSchemaChange)

@@ -141,6 +141,69 @@ class JdbcLiveSpec extends SparkSpec {
       "range-partitioned reads must cover every row exactly once")
   }
 
+  test("Derby: chunked extraction — union ≡ full read, equi-depth balances where equal-width starves") {
+    // the skew a real auto-increment key grows: a dense live segment
+    // (240 keys at 0..239) plus a sparse deleted-era tail (10 keys at
+    // 1M strides). Equal-width bounds put 96% of rows in one partition.
+    val dense = (0 until 240).map(i => s"($i, 'd$i')")
+    val sparse = (0 until 10).map(i => s"(${(i + 1) * 1000000L}, 's$i')")
+    exec("CREATE TABLE SKEW (ID BIGINT NOT NULL PRIMARY KEY, V VARCHAR(40))",
+      s"INSERT INTO SKEW VALUES ${(dense ++ sparse).mkString(", ")}")
+    val s = store(Files.createTempDirectory("graft-jdbc-ck5").toString)
+    val full = s.read("SKEW").as[(Long, String)].collect().sorted.toSeq
+    val chunked = s.readChunked("SKEW", "ID", 5)
+    assert(chunked.rdd.getNumPartitions === 5,
+      "one bounded JDBC partition per plan chunk")
+    assert(chunked.as[(Long, String)].collect().sorted.toSeq === full,
+      "chunk union must equal the single-connection read exactly")
+    // equi-depth balance: 250 rows over 5 chunks -> 50 per chunk
+    val depthSizes = chunked.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect().toSeq
+    assert(depthSizes.max <= 60, s"equi-depth must balance, got $depthSizes")
+    // the same keyspace under equal-WIDTH bounds (driver arithmetic):
+    // width = (10M - 0)/5 -> every dense key lands in bucket 0
+    val keys = full.map(_._1)
+    val w = (keys.max - keys.min) / 5 + 1
+    val widthSizes = keys.groupBy(k => (k - keys.min) / w).values.map(_.size)
+    assert(widthSizes.max >= 240,
+      "equal-width starves: the dense segment collapses into one bucket")
+    // explicit-plan seam: the gated cdc_chunk_plan's own (lo, hi) rows
+    // drive the same bounded read
+    val plan = ChangeCapture.chunkPlan(
+        s.read("SKEW").select("ID"), "ID", 5)
+      .select("lo_key", "hi_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(s.readWithBounds("SKEW", "ID", plan)
+      .as[(Long, String)].collect().sorted.toSeq === full)
+    // empty table degrades to the plain read, not a crash
+    exec("CREATE TABLE EMPTYT (ID BIGINT NOT NULL PRIMARY KEY)")
+    assert(s.readChunked("EMPTYT", "ID", 4).count() === 0L)
+  }
+
+  test("Derby: Replicator full copy routes through the chunk-plan executor") {
+    exec("CREATE TABLE CHK (ID BIGINT NOT NULL PRIMARY KEY, VER BIGINT, V VARCHAR(40))",
+      s"INSERT INTO CHK VALUES ${((0 until 40).map(i => s"($i, $i, 'c$i')") ++
+        Seq("(5000000, 40, 'tail')")).mkString(", ")}")
+    val ckpt = Files.createTempDirectory("graft-jdbc-ck6").toString
+    var chunkedReads = 0
+    val src = new JdbcStore(spark, url, Map("driver" -> driver), ckpt) {
+      override def readChunked(table: String, pkCol: String,
+          chunks: Int): org.apache.spark.sql.DataFrame = {
+        chunkedReads += 1
+        super.readChunked(table, pkCol, chunks)
+      }
+    }
+    val tgtDir = Files.createTempDirectory("graft-jdbc-tgt2").toString
+    val cfg = ReplicationConfig(
+      tables = Seq(TableConfig("CHK", Seq("ID"), "VER")), copyChunks = 4)
+    new Replicator(spark, cfg, src, new ParquetStore(spark, tgtDir)).run()
+    assert(chunkedReads === 1, "the full-copy branch must route through readChunked")
+    val got = spark.read.parquet(s"$tgtDir/CHK.parquet")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === ((0 until 40).map(i => i.toLong -> s"c$i").toMap +
+      (5000000L -> "tail")))
+  }
+
   test("Derby: live-catalog index extraction maps to a bucketed layout") {
     exec("CREATE TABLE IX (ID BIGINT NOT NULL, TS BIGINT, V VARCHAR(20), " +
       "CONSTRAINT IX_PK PRIMARY KEY (ID))",
