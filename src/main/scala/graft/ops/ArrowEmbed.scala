@@ -69,10 +69,29 @@ object ArrowEmbed {
                  maxBatchRows: Int = 512): DataFrame = {
     require(maxBatchRows > 0, s"maxBatchRows must be positive, got $maxBatchRows")
     require(embedder.dim > 0, s"embedder dim must be positive, got ${embedder.dim}")
+    // Validate the id up front: a lossy cast or a NULL id would
+    // otherwise surface as a cryptic Dataset-decode failure deep in a
+    // task (and pipeline `embed`'s join-back would silently drop the
+    // row). Integral types cast to long losslessly; anything else is
+    // refused at plan time with the stage and column named.
+    val idType = df.schema(idCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"embedStage: id column '$idCol' must be an integral type " +
+        s"(byte/short/int/long), got ${idType.simpleString}")
     val dim = embedder.dim
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long"),
+    val idL = col(idCol).cast("long")
+    val typed = df.select(
+      when(idL.isNull, raise_error(lit(
+        s"embedStage: NULL id in column '$idCol' — every row entering " +
+          "the embed seam needs a non-null id to join the vectors back")))
+        .otherwise(idL),
       coalesce(col(textCol).cast("string"), lit("")))
       .as[(Long, String)]
     val out = typed.mapPartitions { it =>

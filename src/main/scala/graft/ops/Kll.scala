@@ -98,6 +98,12 @@ object Kll {
     * counter decorrelates repeated compactions of near-identical
     * buffers (a constant stream would otherwise always flip the same
     * way and keep the same item forever).
+    *
+    * Proof caveat: trading the paper's random coin for this hash means
+    * the KLL error bound holds EMPIRICALLY (randomized cross-checks in
+    * KllSpec; the oracle-replayed 2.5% gate) rather than by the
+    * Karnin/Lang/Liberty proof — an input adversarially correlated
+    * with MurmurHash3 could bias compactions one direction.
     */
   private[ops] def coin(sorted: IndexedSeq[Double], level: Int,
                         compactions: Long): Int = {

@@ -1492,9 +1492,17 @@ object PipelineQueries {
   /** Mergeable-quantile profile via the KLL typed Aggregator
     * (graft.ops.KllAgg) — profile_quantiles_sketch's guaranteed-error
     * sibling and the r12-verdict ask: where the hash-sample path is
-    * honest-but-sample-bounded, the KLL ladder carries a PROVEN
-    * ~O(1/k) rank-error bound that survives arbitrary merge trees,
-    * i.e. exactly Spark's partial-agg shape at 1000 executors.
+    * honest-but-sample-bounded, the KLL ladder carries a ~O(1/k)
+    * rank-error bound that survives arbitrary merge trees, i.e.
+    * exactly Spark's partial-agg shape at 1000 executors. Caveat on
+    * the bound's strength: graft's KLL replaces the paper's random
+    * coin with a deterministic content hash (Kll.coin), so the
+    * Karnin/Lang/Liberty probabilistic proof does not literally
+    * apply — the 2.5% gate below is EMPIRICALLY PINNED under that
+    * deterministic coin (randomized merge-order/split cross-checks in
+    * KllSpec + this oracle-replayed gate), not paper-proven; a stream
+    * adversarially correlated with MurmurHash3 could in principle bias
+    * compactions past it.
     *
     * Gate design (the property-gate pattern): a merged KLL object is
     * not byte-stable under Spark's nondeterministic shuffle-fetch

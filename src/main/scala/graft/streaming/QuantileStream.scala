@@ -55,8 +55,12 @@ import graft.util.Hashing
   */
 /** Parquet row for the KLL mode's per-group state: the whole sketch as
   * nested arrays (level l = items of weight 2^l), plus the lifetime
-  * volume counter. One row per group per version. */
-case class KllGroupState(g: String, rows_seen: Long, cnt: Long,
+  * volume counter. One row per group per version. `k` persists the
+  * sketch parameter the levels were built under — level capacities are
+  * a function of k, so rebuilding a stored ladder under a different k
+  * would silently reinterpret it and void the error bound; kllBatch
+  * fails loudly on mismatch instead. */
+case class KllGroupState(g: String, k: Int, rows_seen: Long, cnt: Long,
                          compactions: Long, levels: Seq[Seq[Double]])
 
 private[streaming] case class KllCg(st: KllGroupState, inBatch: Boolean,
@@ -196,7 +200,9 @@ object QuantileStream {
     * byte-identical output (deterministic coins + deterministic fold
     * order). Weight conservation makes `sampled_rows` the EXACT
     * non-null lifetime count. `k` must stay constant across a state
-    * dir's lifetime (sketches of different k don't merge).
+    * dir's lifetime (sketches of different k don't merge) — ENFORCED:
+    * the state rows persist k, and a rebuild under a different k fails
+    * loudly instead of silently reinterpreting the stored levels.
     *
     * Report schema matches the sample mode: (group-as-string,
     * batch_rows, rows_seen, k_eff = retained items, sampled_rows,
@@ -222,8 +228,15 @@ object QuantileStream {
       .cogroup(priorDs.groupByKey(_.g)) { (key, bIt, pIt) =>
         val bs = bIt.map(_._2).toVector
         val pr = pIt.toSeq.headOption
+        pr.foreach { p =>
+          require(p.k == k,
+            s"KLL state for group '$key' was built with k=${p.k} but " +
+              s"this run passed k=$k; k must stay constant across a " +
+              "state dir's lifetime (level capacities depend on it). " +
+              "Use the stored k or start a fresh stateDir.")
+        }
         val priorSk = pr
-          .map(p => KllState(k, p.cnt, p.compactions,
+          .map(p => KllState(p.k, p.cnt, p.compactions,
             p.levels.map(_.toVector).toVector))
           .getOrElse(Kll.empty(k))
         // sorted fold: the batch multiset enters in one canonical
@@ -232,13 +245,13 @@ object QuantileStream {
         val merged = Kll.merge(priorSk, batchSk)
         val rowsSeen = pr.map(_.rows_seen).getOrElse(0L) + bs.size
         Iterator.single(KllCg(
-          KllGroupState(key, rowsSeen, merged.count, merged.compactions,
+          KllGroupState(key, k, rowsSeen, merged.count, merged.compactions,
             merged.levels.map(_.toVector).toVector),
           bs.nonEmpty, bs.size.toLong))
       }
       .localCheckpoint() // one computation feeds the report AND the state
     val report = cg.filter(_.inBatch).map { c =>
-      val sk = KllState(k, c.st.cnt, c.st.compactions,
+      val sk = KllState(c.st.k, c.st.cnt, c.st.compactions,
         c.st.levels.map(_.toVector).toVector)
       (c.st.g, c.batchRows, c.st.rows_seen, sk.totalRetained.toLong,
         c.st.cnt, Kll.quantile(sk, 50L), Kll.quantile(sk, 90L),

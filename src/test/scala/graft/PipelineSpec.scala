@@ -618,6 +618,25 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ArrowEmbed.embedStage(twenty, "text", "doc_id",
         new ArrowEmbed.HashStubEmbedder(8), maxBatchRows = 0))
+    // 4) id discipline: a non-integral id type is refused at plan time
+    // with the column named (a lossy cast would silently drop rows at
+    // the embed join-back), and a NULL id fails the task with a
+    // message naming the stage, never a cryptic decode error
+    val strIds = Seq(("a", "t1"), ("b", "t2")).toDF("doc_id", "text")
+    val exTyp = intercept[IllegalArgumentException](
+      ArrowEmbed.embedStage(strIds, "text", "doc_id",
+        new ArrowEmbed.HashStubEmbedder(8)))
+    assert(exTyp.getMessage.contains("doc_id") &&
+      exTyp.getMessage.contains("integral"), exTyp.getMessage)
+    val nullIds = Seq((Some(1L), "t1"), (None, "t2"))
+      .toDF("doc_id", "text")
+    val exNullId = intercept[Exception](
+      ArrowEmbed.embedStage(nullIds, "text", "doc_id",
+        new ArrowEmbed.HashStubEmbedder(8)).count())
+    val nmsg = exNullId.getMessage +
+      Option(exNullId.getCause).map(_.getMessage).getOrElse("")
+    assert(nmsg.contains("NULL id") || nmsg.contains("doc_id"),
+      s"null id must surface as the seam's own message: $nmsg")
   }
 
   test("IvfIndex vacuum: injected crashes in every window heal on re-run with the same batchId") {

@@ -434,6 +434,27 @@ class SketchSpec extends SparkSpec {
     assert(spark.read.parquet(s"$st/batch=0").collect().toSet == state0)
   }
 
+  test("kll quantile monitor: changing k on an existing state dir fails loudly") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 2000).map(i => ("api", (i % 500).toDouble)).toDF("src", "ms")
+    QuantileStream.kllBatch(spark, b0, 0L, out, st, "src", "ms", k = 128)
+    // level capacities depend on k: rebuilding the stored ladder under
+    // a different k would silently void the error bound, so the state
+    // row persists k and a mismatched run must fail with the stored
+    // and requested values named — never reinterpret
+    val ex = intercept[org.apache.spark.SparkException](
+      QuantileStream.kllBatch(spark, b0, 1L, out, st, "src", "ms", k = 64))
+    val msg = ex.getMessage +
+      Iterator.iterate(ex.getCause)(c => Option(c).map(_.getCause).orNull)
+        .takeWhile(_ != null).take(5).map(_.getMessage).mkString(" ")
+    assert(msg.contains("k=128") && msg.contains("k=64"),
+      s"mismatch must name stored and requested k: $msg")
+    // the same k keeps working after the failed attempt
+    QuantileStream.kllBatch(spark, b0, 1L, out, st, "src", "ms", k = 128)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 1L)
+  }
+
   test("kll quantile monitor: null values advance volume but not the sketch") {
     import graft.streaming.QuantileStream
     val out = tmp(); val st = tmp()
