@@ -793,6 +793,64 @@ class ConfigSpec extends SparkSpec {
     assert(opsOf(Pipeline.reorder(spark, cfg3)) == Seq("gopher_filter", "scrub"))
   }
 
+  test("pipeline reorder: measured cost demotes an expensive filter at equal drop rate; static table is the fallback") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val inDir = tmpDir() + "/docs-cost.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+    def tagsOf(json: String): Seq[String] = {
+      val st = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json).get("stages")
+      (0 until st.size()).map(st.get(_).get("tag").asText())
+    }
+    // two IDENTICAL hash samples (same rate, same salt — the exact
+    // same predicate, so drop rates tie exactly; the 'tag' field is
+    // inert and only labels the nodes): identical static cost too, so
+    // only measured cost can separate them
+    val cfg =
+      s"""{"input": "$inDir", "output": "ignored",
+         |"stages": [{"op": "sample", "rate": 0.5, "salt": "s", "tag": "slow"},
+         |           {"op": "sample", "rate": 0.5, "salt": "s", "tag": "fast"}]}""".stripMargin
+    // probes run in original config order, so a stateful fake clock
+    // can make the FIRST-listed filter deliberately 16x expensive:
+    // equal drop / 16x cost must demote it behind the cheap twin,
+    // overriding both the static tie (1 == 1) and the original order
+    def clockProbe(slowFirst: Boolean): (String, () => Long) => (Long, Long) = {
+      var call = 0
+      (_, count) => {
+        call += 1
+        val ns = if ((call == 1) == slowFirst) 16000000L else 1000000L
+        (count(), ns)
+      }
+    }
+    val re = Pipeline.reorder(spark, cfg, sampleRatePpm = 1000000L,
+      probe = clockProbe(slowFirst = true))
+    assert(tagsOf(re) == Seq("fast", "slow"),
+      s"equal-drop 16x-cost filter must be demoted: ${tagsOf(re)}")
+    // same stages, cheap one first: measurement agrees with the
+    // listing and nothing moves
+    assert(tagsOf(Pipeline.reorder(spark, cfg, 1000000L,
+      clockProbe(slowFirst = false))) == Seq("slow", "fast"))
+    // sub-floor timings are jitter, not evidence: fall back to the
+    // static table, whose exact tie keeps the original order
+    val subFloor: (String, () => Long) => (Long, Long) =
+      (_, count) => (count(), 100L)
+    assert(tagsOf(Pipeline.reorder(spark, cfg, 1000000L, subFloor))
+      == Seq("slow", "fast"))
+    // real timing end-to-end on strongly separated selectivities
+    // (99% vs 10% drop: a >=8x score gap that no plausible timing
+    // bucket can flip): the selective filter moves first and a
+    // re-reorder of the reordered config is byte-identical
+    val cfgReal =
+      s"""{"input": "$inDir", "output": "ignored",
+         |"stages": [{"op": "sample", "rate": 0.9, "salt": "m", "tag": "mild"},
+         |           {"op": "sample", "rate": 0.01, "salt": "x", "tag": "sharp"}]}""".stripMargin
+    val reReal = Pipeline.reorder(spark, cfgReal, sampleRatePpm = 1000000L)
+    assert(tagsOf(reReal) == Seq("sharp", "mild"), tagsOf(reReal).toString)
+    assert(Pipeline.reorder(spark, reReal, 1000000L) == reReal,
+      "re-reorder of a reordered config must be byte-identical")
+  }
+
   test("pipeline runner: embed stage annotates Arrow-stub vectors, carries columns, streams") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
