@@ -345,6 +345,23 @@ object BenchStress {
       val (_, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
       graft.ops.Graph.kcore(e, k = 2, rounds = 50, toFixpoint = true)
     }),
+    // the gate derivation at scale: the sparsified directed graph with
+    // planted reversals; the scaled hash graph is a DIFFERENT graph
+    // (dst = hash mod the scaled node count) so peel depth and SCC
+    // structure genuinely re-roll — generous caps keep the loud-fail
+    // contract without tripping on a deeper corpus
+    "graph_scc" -> ((d: DataFrame) => {
+      val (n, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      val sparse = e.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      val planted = sparse.filter(col("src") % 10 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      graft.ops.Graph.scc(n, sparse.unionByName(planted),
+        rounds = 200, propCap = 200)
+    }),
     "dedup_cdc_chunks" -> ((d: DataFrame) => {
       val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
         .withColumn("doc_id", col("doc_id") + 100000L))

@@ -507,4 +507,288 @@ object Graph {
               .cast("double")) * 1e6))
         .cast("long").as("r_micro"))
   }
+
+  /** Strongly connected components of the DIRECTED graph — the
+    * directional twin of the CC family that reciprocity/assortativity
+    * only hint at: on a crawl graph the non-trivial SCCs are the
+    * mutual-citation cores (link rings, mirror clusters, genuine
+    * community hubs), and the condensation DAG they induce is the
+    * honest "upstream/downstream" ordering for contamination and
+    * influence audits.
+    *
+    * Algorithm: min-label coloring with per-color backward
+    * confirmation (the Orzan coloring scheme, the standard
+    * vertex-centric SCC — cf. Orzan 2004 / Slota et al. IPDPS'14;
+    * no GraphX/GraphFrames code consulted), peeling rounds:
+    *   0. TRIM: a node lacking an in-edge or an out-edge in the
+    *      active graph cannot sit on a cycle — emit it as its own
+    *      SCC. Iterated to fixpoint (count-probed: the active set
+    *      only shrinks), this drains entire DAG regions — chains,
+    *      trees, the bulk of a subcritical crawl graph — at one
+    *      cheap semi/anti-join per layer, so the color/confirm
+    *      machinery below only ever runs on the cyclic core (the
+    *      standard FW-BW-Trim preprocessing).
+    *   1. COLOR: propagate c(v) = min id over v's in-graph ancestors
+    *      (min-fold over incoming labels, iterated to fixpoint on the
+    *      active subgraph — same set-checksum probe as [[kcore]]).
+    *   2. CONFIRM: roots are nodes with c(v) = v; mark every node that
+    *      reaches its root BACKWARD through nodes of its own color
+    *      (reverse propagation to fixpoint). For a root c the marked
+    *      color-c nodes are EXACTLY scc(c): a member's ancestor set
+    *      equals c's (mutual reachability), so members share c's
+    *      color, and a same-color path back to c certifies v→*c while
+    *      c→*v holds because c colored v.
+    *   3. PEEL: emit marked nodes as (id, scc = color = min member
+    *      id), drop them from the active graph, repeat — every round
+    *      retires at least every current root's SCC, so ≤ `rounds`
+    *      outer rounds always terminate on a corpus whose peel depth
+    *      fits (with trim handling all acyclic structure, the
+    *      worst case is an id-ascending chain OF CYCLES: one cycle
+    *      retired per round).
+    *   4. HYBRID TAIL: when the surviving cyclic core fits
+    *      `localCutoff` nodes (and 64·cutoff edges — both known from
+    *      the probes, zero extra jobs to decide), a driver-side
+    *      explicit-stack Tarjan finishes it in one pass instead of
+    *      paying distributed-round latency per condensation layer;
+    *      labels are min-member ids on both paths, so the hybrid is
+    *      result-identical to the pure distributed run (spec-pinned,
+    *      and the gate oracle is algorithm-independent either way).
+    *      A core larger than the cutoff simply stays distributed.
+    *
+    * Determinism: labels are min-folds of ids, marks are set unions —
+    * partitioning/merge order can't show. Loud-by-design: inner loops
+    * are fixpoint-probed with a `propCap` safety bound and the outer
+    * loop must drain `nodes` within `rounds`; either cap breaching
+    * throws rather than returning a partial labeling.
+    *
+    * Scale shape: the [[pageRank]]/[[bfs]] envelope — each inner
+    * iteration is ONE |E'|-row equi-join against the label/mark
+    * frontier plus a partial-agg min (or distinct), key-partitioned
+    * on the node id, lineage-truncated per iteration; the active
+    * graph only shrinks, and each peel round's cost is bounded by the
+    * surviving |E'|. Nothing broadcasts but what AQE picks; no
+    * driver-side data beyond the (count, xor) convergence probes.
+    */
+  /** Driver-side Tarjan for the bounded hybrid tail of [[scc]]:
+    * explicit-stack DFS (no JVM recursion), SCCs labeled by their min
+    * member id — the same canonical label the distributed coloring
+    * converges to, so the two paths are interchangeable. */
+  private[ops] def tarjanLocal(ids: Array[Long], es: Array[(Long, Long)])
+      : Map[Long, Long] = {
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Array.empty[Long])
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.ArrayBuffer[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    ids.foreach { start =>
+      if (!index.contains(start)) {
+        val call = scala.collection.mutable.ArrayBuffer[(Long, Iterator[Long])]()
+        index(start) = counter; low(start) = counter; counter += 1
+        stack += start; onStack += start
+        call += ((start, adj(start).iterator))
+        while (call.nonEmpty) {
+          val (v, it) = call.last
+          if (it.hasNext) {
+            val w = it.next()
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              call += ((w, adj(w).iterator))
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            call.remove(call.size - 1)
+            if (call.nonEmpty) {
+              val p = call.last._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              var members = List.empty[Long]
+              var w = -1L
+              while (w != v) {
+                w = stack.remove(stack.size - 1); onStack -= w
+                members ::= w
+              }
+              val label = members.min
+              members.foreach(m => comp(m) = label)
+            }
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  def scc(nodes: DataFrame, edges: DataFrame, rounds: Int = 20,
+          propCap: Int = 100, localCutoff: Int = 4096): DataFrame = {
+    require(rounds >= 1 && propCap >= 1,
+      s"need rounds >= 1 and propCap >= 1, got $rounds/$propCap")
+    require(localCutoff >= 0, s"localCutoff must be >= 0, got $localCutoff")
+    // Probe fusion: every iterative step pipes its convergence metric
+    // (count / count+xor set checksum) through `observe`, so the SAME
+    // job that materializes the checkpoint also delivers the probe —
+    // one action per step instead of two. With the min-fold advancing
+    // TWO hops per materialization (see the loops), a color step costs
+    // one job for two hops + the probe.
+    // plan-composed sub-steps per materialized job: trades ~4 extra
+    // joins of plan depth for a 3x cut in job count (job latency, not
+    // data, dominates the tail rounds)
+    val LAYERS_PER_JOB = 3
+    def truncCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val t = graft.util.Lineage.truncate(
+        df.observe(obs, count(lit(1)).as("n")))
+      (t, obs.get("n").asInstanceOf[Long])
+    }
+    def truncChecksummed(df: DataFrame, c1: String, c2: String)
+        : (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val t = graft.util.Lineage.truncate(
+        df.observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col(c1), col(c2))).as("x")))
+      val m = obs.get
+      val x = m("x") match { case null => 0L; case v: java.lang.Long => v.longValue }
+      (t, (m("n").asInstanceOf[Long], x))
+    }
+    var active = graft.util.Lineage.truncate(nodes.select(col("id")))
+    var (e, nE) = truncCount(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var out: Option[DataFrame] = None
+    def emit(settled: DataFrame): Unit =
+      // every branch of the union references already-truncated inputs,
+      // so the accumulator is a flat union of bounded-depth plans —
+      // never re-truncated (each fold would cost one job per layer)
+      out = Some(out.fold(settled)(_.unionByName(settled)))
+    var r = 0
+    var drained = false
+    var nActive = active.count()
+    while (r < rounds && !drained) {
+      // 0. TRIM to fixpoint (the standard FW-BW-Trim step): a node
+      // without BOTH an in-edge and an out-edge in the active graph
+      // cannot sit on a cycle — it is its own SCC. Iterated trim
+      // drains entire DAG regions (chains, trees) at one cheap
+      // count-probed anti-join per layer, so the expensive
+      // color/confirm machinery only ever runs on the cyclic core.
+      // Convergence probe is the COUNT alone: the active set only
+      // shrinks, so equal count means equal set.
+      // one pure-plan trim layer ON EDGES ALONE: edge (u,v) survives
+      // iff u also has an IN-edge and v also has an OUT-edge — the
+      // 2-semi-join edge form of "drop nodes lacking in or out"
+      // (node-set trimming would cost 4 joins per layer; the node
+      // set is recovered once per phase from the surviving
+      // endpoints, and the dropped singletons emit in ONE anti-join)
+      def trimLayer(ed: DataFrame): DataFrame = ed
+        .join(ed.select(col("dst").as("src")), Seq("src"), "left_semi")
+        .join(ed.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      var t = 0
+      var trimming = nE > 0
+      while (trimming && t < propCap) {
+        var e2 = e
+        (0 until LAYERS_PER_JOB).foreach(_ => e2 = trimLayer(e2))
+        val (eNew, eN) = truncCount(e2)
+        if (eN < nE) { e = eNew; nE = eN; trimming = nE > 0 }
+        else trimming = false
+        t += 1
+      }
+      require(!trimming, s"scc trim still peeling after $propCap " +
+        s"layer batches in round $r — raise propCap")
+      // recover the cyclic-core node set + emit everything trimmed
+      val (keep, keepN) = truncCount(
+        e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct())
+      if (keepN < nActive) {
+        emit(active.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc")))
+        active = keep
+        nActive = keepN
+      }
+      if (nActive == 0) { drained = true; r += 1 }
+      else if (nActive <= localCutoff && nE <= 64L * localCutoff) {
+        // HYBRID TAIL (both bounds known from the probes — zero extra
+        // jobs to decide): once the cyclic core fits the cutoff, a
+        // driver-side Tarjan finishes it in one pass instead of
+        // paying distributed-round latency per condensation layer.
+        // This is the bounded-by-construction collect the iterative
+        // tail earns: after trim + a peel round or two the survivor
+        // core of a real crawl graph is tiny, while a genuinely huge
+        // core (> cutoff nodes or > 64·cutoff edges) simply keeps the
+        // distributed path. Labels are min-member ids either way, so
+        // the hybrid is result-identical to the pure distributed run
+        // (spec-pinned) and the algorithm-independent oracle gates
+        // whichever path executed.
+        val ids = active.select(col("id")).collect().map(_.getLong(0))
+        val es = e.select(col("src"), col("dst")).collect()
+          .map(row => (row.getLong(0), row.getLong(1)))
+        val comp = tarjanLocal(ids, es)
+        emit(nodes.sparkSession.createDataFrame(comp.toSeq)
+          .toDF("id", "scc"))
+        drained = true; r += 1
+      }
+      else {
+        // 1. COLOR to fixpoint: c(v) = min ancestor id in the active
+        // graph. Each materialization advances TWO hops (the min-fold
+        // composes associatively, so checking convergence only on even
+        // hops is still set-equality convergence).
+        def colorStep(cc: DataFrame): DataFrame =
+          cc.unionByName(
+            e.join(cc.withColumnRenamed("id", "src"), Seq("src"))
+              .select(col("dst").as("id"), col("c")))
+            .groupBy("id").agg(min("c").as("c"))
+        var c = active.select(col("id"), col("id").as("c"))
+        var chk = (-1L, -1L)
+        var conv = false
+        var p = 0
+        while (!conv && p < propCap) {
+          var c2 = c
+          (0 until LAYERS_PER_JOB).foreach(_ => c2 = colorStep(c2))
+          val (cc, k) = truncChecksummed(c2, "id", "c")
+          c = cc
+          conv = k == chk; chk = k; p += 1
+        }
+        require(conv, s"scc color propagation still moving after $propCap " +
+          s"double-steps in peel round $r — raise propCap")
+        // 2. CONFIRM: backward reachability to the root, within the color
+        val ec = graft.util.Lineage.truncate(
+          e.join(c.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+            .join(c.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+            .filter(col("cs") === col("cd"))
+            .select(col("src"), col("dst"), col("cs").as("c")))
+        def markStep(mm: DataFrame): DataFrame =
+          mm.unionByName(
+            ec.join(mm.select(col("id").as("dst"), col("c")), Seq("dst", "c"))
+              .select(col("src").as("id"), col("c")))
+            .distinct()
+        var m = c.filter(col("id") === col("c"))
+        var mchk = (-1L, -1L)
+        conv = false; p = 0
+        while (!conv && p < propCap) {
+          var m2 = m
+          (0 until LAYERS_PER_JOB).foreach(_ => m2 = markStep(m2))
+          val (mm, k) = truncChecksummed(m2, "id", "c")
+          m = mm
+          conv = k == mchk; mchk = k; p += 1
+        }
+        require(conv, s"scc backward confirmation still moving after " +
+          s"$propCap double-steps in peel round $r — raise propCap")
+        // 3. PEEL
+        emit(m.select(col("id"), col("c").as("scc")))
+        val (a3, n3) = truncCount(
+          active.join(m.select("id"), Seq("id"), "left_anti"))
+        active = a3; nActive = n3
+        val (e3, ne3) = truncCount(
+          e.join(m.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(m.select(col("id").as("dst")), Seq("dst"), "left_anti"))
+        e = e3; nE = ne3
+        drained = nActive == 0
+        r += 1
+      }
+    }
+    require(drained,
+      s"scc peel did not drain the node set within $rounds rounds — " +
+        "raise rounds (each round retires at least one full SCC layer)")
+    out.get
+  }
 }

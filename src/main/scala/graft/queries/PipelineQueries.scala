@@ -1836,6 +1836,35 @@ object PipelineQueries {
         coalesce(col("cluster"), col("id")).as("component"))
   }
 
+  /** Strongly connected components (Graph.scc — min-label coloring
+    * with per-color backward confirmation, inner fixpoints probed by
+    * the set checksum) on the cc-sparsified DIRECTED hash graph with
+    * planted reversals: every src % 10 = 0 sparse edge also ships its
+    * reverse (the graph_reciprocity convention), because a uniform
+    * subcritical digraph is near-all singleton SCCs — the reversals
+    * seed genuine mutual cores (2-cycles that chain into larger SCCs
+    * where the random edges cooperate). The oracle is
+    * ALGORITHM-INDEPENDENT truth, not a replay: a recursive-CTE
+    * forward closure, mutual pairs by self-join, scc = min mutually
+    * reachable id (incl. self) — so the gate certifies the peeled
+    * fixpoint result against the definition itself, and a corpus
+    * needing deeper peels than the round caps fails loudly in Spark
+    * rather than gating a partial labeling.
+    */
+  def graphSccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    val planted = sparse.filter(col("src") % 10 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.ops.Graph.scc(nodes, sparse.unionByName(planted),
+        rounds = 60, propCap = 100)
+      .select(col("id").as("doc_id"), col("scc"))
+  }
+
   /** Label-propagation communities on the SAME sparsified undirected
     * view as graph_cc (shared derivation, shared oracle CTEs): 2
     * synchronous min-tie rounds; the oracle replays both voting
@@ -2615,6 +2644,7 @@ object PipelineQueries {
     "graph_kcore" -> graphKcoreQ,
     "graph_kcore_fixpoint" -> graphKcoreFixpointQ,
     "graph_cc" -> graphCcQ,
+    "graph_scc" -> graphSccQ,
     "graph_lpa" -> graphLpaQ,
     "graph_bfs" -> graphBfsQ,
     "graph_hits" -> graphHitsQ,
@@ -5440,6 +5470,34 @@ object PipelineQueries {
          |  SELECT eu.b, reach.m FROM reach JOIN eu ON reach.id = eu.a)
          |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS component
          |FROM reach GROUP BY id""".stripMargin,
+    // algorithm-independent SCC truth on the DIRECTED sparsified graph
+    // with planted reversals: forward closure by recursive CTE, mutual
+    // pairs by closure self-join, label = min mutually reachable id
+    "graph_scc" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |ep AS (SELECT src, dst FROM ef
+         |       UNION SELECT dst AS src, src AS dst FROM ef WHERE src % 10 = 0),
+         |fwd(a, b) AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT f.a, ep.dst FROM fwd f JOIN ep ON f.b = ep.src),
+         |mut AS (SELECT f1.a AS v, f1.b AS u
+         |        FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(least(d.doc_id, coalesce(min(mut.u), d.doc_id)) AS BIGINT) AS scc
+         |FROM documents d LEFT JOIN mut ON d.doc_id = mut.v
+         |GROUP BY d.doc_id""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

@@ -1910,6 +1910,56 @@ class PipelineSpec extends SparkSpec {
     assert(fp == fixed, "gate corpus: fixed-round != fixpoint")
   }
 
+  test("scc: mutual cores separate across one-way bridges, peel depth is honest, caps are loud") {
+    import graft.ops.Graph
+    // two directed 3-cycles joined by a ONE-WAY bridge: undirected CC
+    // sees one component, SCC must keep them apart
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.scc(nodes, edges, localCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L), got.toString)
+    // layout independence
+    assert(Graph.scc(nodes.repartition(4), edges.repartition(3))
+      .as[(Long, Long)].collect().toMap == got)
+    // acyclic structure is trim's job: BOTH chain orientations drain
+    // in a single outer round regardless of id ordering (ascending
+    // chains were the pre-trim worst case)
+    val cNodes = (1L to 5L).toDF("id")
+    val singles = (1L to 5L).map(v => v -> v).toMap
+    val chain = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.scc(cNodes, chain, rounds = 1)
+      .as[(Long, Long)].collect().toMap == singles)
+    val dChain = (1L until 5L).map(i => (i + 1, i)).toDF("src", "dst")
+    assert(Graph.scc(cNodes, dChain, rounds = 1)
+      .as[(Long, Long)].collect().toMap == singles)
+    // the residual DISTRIBUTED worst case (localCutoff = 0 forces the
+    // distributed path past the hybrid tail) is an id-ASCENDING chain
+    // of cycles: trim removes nothing (every node sits on a cycle),
+    // everything colors 1, and only one cycle confirms per round —
+    // rounds=3 must fail LOUDLY rather than return a partial
+    // labeling, rounds=5 drains all five 2-cycles
+    val ccNodes = (1L to 10L).toDF("id")
+    val cycles = (0 until 5).flatMap { i =>
+      val a = 2L * i + 1; val b = a + 1
+      Seq((a, b), (b, a)) ++ (if (i > 0) Seq((a - 1, a)) else Seq())
+    }.toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](
+      Graph.scc(ccNodes, cycles, rounds = 3, localCutoff = 0))
+    assert(ex.getMessage.contains("did not drain"), ex.getMessage)
+    val cyclesWant = (0 until 5).flatMap { i =>
+      val a = 2L * i + 1; Seq(a -> a, (a + 1) -> a)
+    }.toMap
+    assert(Graph.scc(ccNodes, cycles, rounds = 5, localCutoff = 0)
+      .as[(Long, Long)].collect().toMap == cyclesWant)
+    // the hybrid tail (default cutoff: the driver-side Tarjan takes
+    // over once the cyclic core is bounded) is result-identical
+    assert(Graph.scc(ccNodes, cycles, rounds = 1)
+      .as[(Long, Long)].collect().toMap == cyclesWant)
+  }
+
   test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {
     // two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10,
     // a pendant 13 hanging off 12, and an isolated node 20

@@ -550,6 +550,85 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("scc equals iterative Tarjan on random digraphs with planted cycles") {
+    val rnd = new Random(1314)
+    // driver truth: Tarjan with an explicit stack (no JVM recursion),
+    // SCC labeled by its min member id — the same canonical label the
+    // distributed min-coloring converges to
+    def tarjan(ns: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Seq.empty)
+      val index = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack = scala.collection.mutable.ArrayBuffer[Long]()
+      val comp = scala.collection.mutable.Map[Long, Long]()
+      var counter = 0
+      ns.foreach { s =>
+        if (!index.contains(s)) {
+          val call = scala.collection.mutable.ArrayBuffer[(Long, Iterator[Long])]()
+          index(s) = counter; low(s) = counter; counter += 1
+          stack += s; onStack += s
+          call += ((s, adj(s).iterator))
+          while (call.nonEmpty) {
+            val (v, it) = call.last
+            if (it.hasNext) {
+              val w = it.next()
+              if (!index.contains(w)) {
+                index(w) = counter; low(w) = counter; counter += 1
+                stack += w; onStack += w
+                call += ((w, adj(w).iterator))
+              } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+            } else {
+              call.remove(call.size - 1)
+              if (call.nonEmpty) {
+                val p = call.last._1
+                low(p) = math.min(low(p), low(v))
+              }
+              if (low(v) == index(v)) {
+                var members = List.empty[Long]
+                var w = -1L
+                while (w != v) {
+                  w = stack.remove(stack.size - 1); onStack -= w
+                  members ::= w
+                }
+                val label = members.min
+                members.foreach(m => comp(m) = label)
+              }
+            }
+          }
+        }
+      }
+      comp.toMap
+    }
+    (1 to 4).foreach { round =>
+      val n = rnd.nextInt(25) + 15
+      val ns = (0L until n.toLong)
+      // sparse random digraph + a planted directed cycle over a random
+      // node subset (uniform sparse digraphs are near-all singleton
+      // SCCs; the plant guarantees non-trivial mutual cores that the
+      // random edges then extend)
+      val base = ns.flatMap(v => Seq.fill(rnd.nextInt(3))(
+        (v, rnd.nextInt(n).toLong)))
+      val ring = rnd.shuffle(ns.toList).take(rnd.nextInt(6) + 3)
+      val planted = ring.zip(ring.tail :+ ring.head)
+      val es = (base ++ planted).filter(e => e._1 != e._2).distinct
+      // localCutoff = 0: pin the DISTRIBUTED trim/color/confirm path
+      // against the driver truth (the hybrid tail IS a Tarjan, so
+      // letting it fire would make this test circular)
+      val got = graft.ops.Graph.scc(
+        ns.toDF("id"), es.toDF("src", "dst"), rounds = 200, propCap = 200,
+        localCutoff = 0)
+        .as[(Long, Long)].collect().toMap
+      val want = tarjan(ns, es)
+      assert(got == want, s"round=$round n=$n |E|=${es.size} diverged")
+      // and the hybrid (default cutoff) must agree with both
+      if (round == 1)
+        assert(graft.ops.Graph.scc(ns.toDF("id"), es.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap == want, "hybrid diverged")
+    }
+  }
+
   test("mp4 and mkv container builders roundtrip through the parsers") {
     import graft.ops.Multimodal
     val rnd = new Random(31)
