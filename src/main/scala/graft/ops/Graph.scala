@@ -791,4 +791,35 @@ object Graph {
         "raise rounds (each round retires at least one full SCC layer)")
     out.get
   }
+
+  /** Condensation of the directed graph under an SCC labeling — the
+    * quotient DAG whose vertices are SCCs and whose edges carry the
+    * count of original cross-SCC links: the honest upstream/downstream
+    * ordering over a crawl graph (which mirror cluster feeds which,
+    * where contamination can flow, what a takedown's blast radius is).
+    * Acyclic BY CONSTRUCTION of a correct labeling — a cycle between
+    * two condensation vertices would merge them into one SCC — so a
+    * mutual pair here is a labeling bug, never data.
+    *
+    * `labels` is [[scc]]'s output (id, scc), passed in rather than
+    * recomputed so one labeling feeds any number of quotient views.
+    * Multi-edges collapse first (simple-graph counts: `n_edges` is
+    * the number of DISTINCT (src,dst) links crossing the pair).
+    *
+    * Scale shape: one |E| distinct, two |E|-row equi-joins against the
+    * |V|-row labeling (both key-partitioned on the node id; the label
+    * side broadcasts when small), one partial-agg count on the pair —
+    * no iteration, no driver data.
+    */
+  def condensation(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    e.join(labels.select(col("id").as("src"), col("scc").as("scc_src")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("scc").as("scc_dst")),
+        Seq("dst"))
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy("scc_src", "scc_dst")
+      .agg(count(lit(1)).as("n_edges"))
+  }
 }

@@ -1865,6 +1865,29 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("scc"))
   }
 
+  /** Condensation DAG of graph_scc's labeling (Graph.condensation —
+    * quotient vertices are SCCs, edges carry distinct cross-SCC link
+    * counts): the upstream/downstream ordering over the same planted
+    * directed graph. The oracle derives its OWN scc labels from the
+    * recursive-closure truth and builds the identical quotient, so
+    * equality simultaneously certifies the edge counts AND (because
+    * the truth's condensation is acyclic by definition) that the
+    * Spark labeling merged every cycle.
+    */
+  def graphCondensationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    val planted = sparse.filter(col("src") % 10 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val e = sparse.unionByName(planted)
+    val labels = graft.ops.Graph.scc(nodes, e, rounds = 60, propCap = 100)
+    graft.ops.Graph.condensation(labels, e)
+  }
+
   /** Label-propagation communities on the SAME sparsified undirected
     * view as graph_cc (shared derivation, shared oracle CTEs): 2
     * synchronous min-tie rounds; the oracle replays both voting
@@ -2645,6 +2668,7 @@ object PipelineQueries {
     "graph_kcore_fixpoint" -> graphKcoreFixpointQ,
     "graph_cc" -> graphCcQ,
     "graph_scc" -> graphSccQ,
+    "graph_condensation" -> graphCondensationQ,
     "graph_lpa" -> graphLpaQ,
     "graph_bfs" -> graphBfsQ,
     "graph_hits" -> graphHitsQ,
@@ -5498,6 +5522,39 @@ object PipelineQueries {
          |  CAST(least(d.doc_id, coalesce(min(mut.u), d.doc_id)) AS BIGINT) AS scc
          |FROM documents d LEFT JOIN mut ON d.doc_id = mut.v
          |GROUP BY d.doc_id""".stripMargin,
+    // the same closure-derived labeling, quotiented: distinct edges
+    // joined to labels on both ends, cross-SCC pairs counted
+    "graph_condensation" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |ep AS (SELECT src, dst FROM ef
+         |       UNION SELECT dst AS src, src AS dst FROM ef WHERE src % 10 = 0),
+         |fwd(a, b) AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT f.a, ep.dst FROM fwd f JOIN ep ON f.b = ep.src),
+         |mut AS (SELECT f1.a AS v, f1.b AS u
+         |        FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a),
+         |lab AS (SELECT d.doc_id AS id,
+         |          least(d.doc_id, coalesce(min(mut.u), d.doc_id)) AS scc
+         |        FROM documents d LEFT JOIN mut ON d.doc_id = mut.v
+         |        GROUP BY d.doc_id)
+         |SELECT CAST(l1.scc AS BIGINT) AS scc_src,
+         |  CAST(l2.scc AS BIGINT) AS scc_dst,
+         |  CAST(count(*) AS BIGINT) AS n_edges
+         |FROM ep JOIN lab l1 ON ep.src = l1.id JOIN lab l2 ON ep.dst = l2.id
+         |WHERE l1.scc <> l2.scc
+         |GROUP BY 1, 2""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

@@ -1958,6 +1958,20 @@ class PipelineSpec extends SparkSpec {
     // over once the cyclic core is bounded) is result-identical
     assert(Graph.scc(ccNodes, cycles, rounds = 1)
       .as[(Long, Long)].collect().toMap == cyclesWant)
+    // condensation of the bridge graph: one quotient edge carrying the
+    // single cross-SCC link; the isolated node contributes nothing
+    val cond = Graph.condensation(
+      Graph.scc(nodes, edges), edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cond == Set((1L, 10L, 1L)), cond.toString)
+    // condensation of the cycle chain: the four connector edges, each
+    // a single link between consecutive 2-cycles
+    val condChain = Graph.condensation(
+      Graph.scc(ccNodes, cycles), cycles)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(condChain == (0 until 4).map { i =>
+      (2L * i + 1, 2L * i + 3, 1L)
+    }.toSet, condChain.toString)
   }
 
   test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {

@@ -622,6 +622,14 @@ class RandomizedSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       val want = tarjan(ns, es)
       assert(got == want, s"round=$round n=$n |E|=${es.size} diverged")
+      // condensation acyclicity: a mutual quotient pair would mean two
+      // SCCs the labeling failed to merge
+      val cond = graft.ops.Graph.condensation(
+        ns.toDF("id").join(got.toSeq.toDF("id", "scc"), Seq("id")),
+        es.toDF("src", "dst"))
+        .select("scc_src", "scc_dst").as[(Long, Long)].collect().toSet
+      assert(cond.forall { case (a, b) => !cond.contains((b, a)) },
+        s"round=$round condensation has a 2-cycle")
       // and the hybrid (default cutoff) must agree with both
       if (round == 1)
         assert(graft.ops.Graph.scc(ns.toDF("id"), es.toDF("src", "dst"))
