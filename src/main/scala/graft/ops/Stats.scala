@@ -316,6 +316,71 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** Mann–Whitney U rank-sum test per group — [[abTest]]'s
+    * NONPARAMETRIC sibling: Welch's z compares means and is blind to
+    * a heavy-tailed metric whose mean is dominated by whales; the
+    * rank-sum asks "does a random treatment draw beat a random
+    * control draw more than half the time", the robust readout for
+    * revenue-like metrics. Midranks handle ties (the discrete/
+    * quantized-metric reality), the normal approximation carries the
+    * standard tie correction.
+    *
+    * All-integer rank arithmetic: per (group, value) cohort counts,
+    * 2×midrank = 2·|{rows < v}| + t(v) + 1 stays in BIGINT (no .5s),
+    * `u2_b = 2·U_B` likewise; tie cubes accumulate in DECIMAL (a
+    * 3M-row tie already overflows BIGINT at t³). The z evaluates in
+    * double FROM those exact integers — same expression shape on
+    * both engines, so DuckDB replays it bit-for-bit (the linReg/
+    * abTest convention). Degenerate groups (an empty cohort, or all
+    * rows one tied value → zero variance) emit NULL z.
+    *
+    * Scale shape: ONE partial aggregation to (group, value) grain,
+    * one GROUP-PARTITIONED cumulative window over that grain (never
+    * partition-less; value-grain rows per group bound the partition,
+    * and a quantized metric keeps that grain far below row count),
+    * one partial-agg fold to |groups| rows. Zero joins.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, cohortCol: Column,
+                  yCol: Column): DataFrame = {
+    val vals = df
+      .groupBy(col(groupCol).as("grp"), yCol.cast("long").as("v"))
+      .agg(sum(when(cohortCol.cast("boolean"), 0L).otherwise(1L)).as("ca"),
+        sum(when(cohortCol.cast("boolean"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("__before", coalesce(sum(col("ca") + col("cb")).over(w),
+        lit(0L)))
+      .withColumn("__rank2",
+        lit(2L) * col("__before") + col("ca") + col("cb") + lit(1L))
+    val g = ranked.groupBy("grp").agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      // rank-sum in DECIMAL: Σ cb·rank2 ~ N² exceeds BIGINT at
+      // trillion-row groups; the cubes likewise
+      sum(col("cb").cast("decimal(38,0)") * col("__rank2")).as("rs2"),
+      sum(((col("ca") + col("cb")).cast("decimal(38,0)")
+        * (col("ca") + col("cb")) * (col("ca") + col("cb")))
+        - (col("ca") + col("cb"))).as("ties"))
+    g.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        (col("rs2") - col("n_b") * (col("n_b") + 1L))
+          .cast("long").as("u2_b"),
+        col("n_a").cast("double").as("da"),
+        col("n_b").cast("double").as("db"),
+        (col("n_a") + col("n_b")).cast("double").as("dn"),
+        col("ties").cast("double").as("dt"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("u2_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+             (col("dn") + 1d) - col("dt") / (col("dn") * (col("dn") - 1d))
+               <= 0d, lit(null))
+          .otherwise(round(
+            ((col("u2_b").cast("double") - col("da") * col("db")) / 2d)
+              / sqrt(col("da") * col("db") / 12d
+                * ((col("dn") + 1d)
+                  - col("dt") / (col("dn") * (col("dn") - 1d))))
+            * 1e6))
+          .cast("long").as("z_micro"))
+  }
+
   def kaplanMeier(df: DataFrame, idCol: String, tsCol: Column,
                   periodDays: Int = 30, churnGapDays: Int = 60): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")

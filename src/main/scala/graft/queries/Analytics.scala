@@ -916,7 +916,22 @@ object Analytics {
       "event_type", col("user_id") % 2 === 1,
       round(col("value") * 100).cast("long"))
 
+  /** Mann–Whitney rank-sum per event type (B54;
+    * graft.ops.Stats.mannWhitney): the same even/odd-user cohort
+    * split and cent quantization as q_ab_test, so the two queries
+    * read as the parametric/nonparametric pair on one experiment.
+    * Exact midrank/tie integers, group-partitioned cumulative window
+    * on the (group, value) grain, z replayed bit-for-bit.
+    */
+  def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.mannWhitney(
+      Tables.events(spark, sfDir).filter(col("value").isNotNull)
+        .select("event_type", "user_id", "value"),
+      "event_type", col("user_id") % 2 === 1,
+      round(col("value") * 100).cast("long"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mann_whitney" -> qMannWhitney,
     "q_ab_test" -> qAbTest,
     "q_theil_sen" -> qTheilSen,
     "q_session_paths" -> qSessionPaths,
@@ -973,6 +988,45 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
+        |        CAST(round(value * 100) AS BIGINT) AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |vals AS (SELECT grp, v,
+        |        CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS ca,
+        |        CAST(count(*) FILTER (WHERE b) AS BIGINT) AS cb
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT grp, v, ca, cb,
+        |        coalesce(sum(ca + cb) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS before
+        |      FROM vals),
+        |rk AS (SELECT grp, ca, cb, 2 * before + ca + cb + 1 AS rank2,
+        |         ca + cb AS t FROM r),
+        |g AS (SELECT grp, sum(ca) AS n_a, sum(cb) AS n_b,
+        |        sum(cb * rank2) AS rs2,
+        |        sum(t * t * t - t) AS ties
+        |      FROM rk GROUP BY 1)
+        |SELECT grp AS event_type,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(rs2 - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR
+        |       (CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |         - CAST(ties AS DOUBLE)
+        |           / (CAST(n_a + n_b AS DOUBLE)
+        |              * (CAST(n_a + n_b AS DOUBLE) - 1.0)) <= 0
+        |       THEN NULL
+        |       ELSE CAST(round(
+        |         ((CAST(rs2 - n_b * (n_b + 1) AS DOUBLE)
+        |           - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)
+        |         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |             * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |               - CAST(ties AS DOUBLE)
+        |                 / (CAST(n_a + n_b AS DOUBLE)
+        |                    * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+        |         * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM g""".stripMargin,
     "q_ab_test" ->
       """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
         |        CAST(round(value * 100) AS BIGINT) AS y

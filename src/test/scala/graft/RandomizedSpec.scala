@@ -1713,6 +1713,44 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney equals the midrank reference on random tie-heavy cohorts") {
+    val rnd = new Random(2214)
+    (1 to rounds).foreach { round =>
+      // few distinct values → heavy ties, the regime where midranks
+      // and the tie correction actually bite; occasional one-sided
+      // and single-value groups exercise the NULL guards
+      val rows = Seq.fill(rnd.nextInt(300) + 5)(
+        ("g" + rnd.nextInt(3), rnd.nextBoolean(),
+          rnd.nextInt(if (rnd.nextBoolean()) 4 else 40).toLong))
+      val got = graft.ops.Stats.mannWhitney(
+          rows.toDF("grp", "b", "v"), "grp", col("b"), col("v"))
+        .as[(String, Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        // 2×midrank of value v: 2·|{< v}| + |{== v}| + 1
+        def rank2(v: Long) =
+          2L * sorted.count(_ < v) + sorted.count(_ == v) + 1L
+        val na = rs.count(!_._2).toLong
+        val nb = rs.count(_._2).toLong
+        val rs2 = rs.filter(_._2).map(r => rank2(r._3)).sum
+        val u2 = rs2 - nb * (nb + 1)
+        val ties = sorted.distinct.map { v =>
+          val t = sorted.count(_ == v).toLong; t * t * t - t
+        }.sum
+        val dn = (na + nb).toDouble
+        val corr = (dn + 1.0) - ties.toDouble / (dn * (dn - 1.0))
+        val z =
+          if (na == 0 || nb == 0 || corr <= 0) None
+          else Some(math.round(
+            ((u2.toDouble - na.toDouble * nb.toDouble) / 2.0)
+              / math.sqrt(na.toDouble * nb.toDouble / 12.0 * corr) * 1e6))
+        g -> ((na, nb, u2, z))
+      }
+      assert(got == expect, s"round=$round diverged:\n$got\nvs\n$expect")
+    }
+  }
+
   test("abTest equals the formula reference on random cohorts") {
     val rnd = new Random(116)
     (1 to rounds).foreach { _ =>
