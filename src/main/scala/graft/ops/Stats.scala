@@ -316,6 +316,55 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** Benjamini–Hochberg FDR control over a battery of test statistics
+    * — the missing step between "500 segment-level z-scores" and
+    * "which effects are real": testing many segments at fixed α
+    * guarantees false discoveries in proportion to the battery size,
+    * while BH rejects the k* smallest p-values where k* = max{k :
+    * p_(k) ≤ k·α/m}, bounding the EXPECTED false-discovery RATE at α
+    * (Benjamini & Hochberg, JRSS-B 1995). Input is (hypothesis id,
+    * z_micro) — exactly the [[abTest]]/[[mannWhitney]] output shape;
+    * NULL z rows (degenerate tests) are excluded from the battery and
+    * from m.
+    *
+    * Two-sided p from |z| via the Abramowitz–Stegun 26.2.17 rational
+    * approximation (max abs error 7.5e-8 — far inside micro
+    * quantization; both engines evaluate the identical expression,
+    * with √(2π) a shared literal), then micro-QUANTIZED before any BH
+    * comparison: the reject decision is exact integer arithmetic
+    * (p_micro·m ≤ k·α_micro), never a sub-micro ulp race. Rank ties
+    * break by id, so the ordering is total and replayable.
+    *
+    * Scale shape: the battery is SEGMENT-grain (bounded by group
+    * cardinality, not data rows), so the rank window over it is the
+    * dedup_threshold_curve tiny-relation class; everything else is
+    * one partial agg and two 1-row broadcast folds (m, k*).
+    */
+  def bhFdr(df: DataFrame, idCol: String, zMicroCol: Column,
+            alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val az = abs(zMicroCol.cast("double") / lit(1e6))
+    val t = lit(1d) / (lit(1d) + lit(0.2316419d) * az)
+    val poly = t * (lit(0.319381530d) + t * (lit(-0.356563782d)
+      + t * (lit(1.781477937d) + t * (lit(-1.821255978d)
+      + t * lit(1.330274429d)))))
+    val pdf = exp(lit(-0.5d) * az * az) / lit(2.5066282746310002d)
+    val scored = df.filter(zMicroCol.isNotNull)
+      .select(col(idCol).as("id"), zMicroCol.cast("long").as("z_micro"),
+        round(lit(2d) * pdf * poly * 1e6).cast("long").as("p_micro"))
+    val w = Window.orderBy(col("p_micro"), col("id"))
+    val ranked = scored
+      .withColumn("k", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("m"))))
+    val kStar = ranked
+      .filter(col("p_micro") * col("m") <= col("k") * lit(alphaMicro))
+      .agg(coalesce(max(col("k")), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("id").as(idCol), col("z_micro"), col("p_micro"),
+        col("k"), col("m"), (col("k") <= col("k_star")).as("reject"))
+  }
+
   /** Mann–Whitney U rank-sum test per group — [[abTest]]'s
     * NONPARAMETRIC sibling: Welch's z compares means and is blind to
     * a heavy-tailed metric whose mean is dominated by whales; the

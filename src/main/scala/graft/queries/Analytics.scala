@@ -930,7 +930,36 @@ object Analytics {
       "event_type", col("user_id") % 2 === 1,
       round(col("value") * 100).cast("long"))
 
+  /** BH FDR sweep over a 35-hypothesis Welch battery (B55;
+    * graft.ops.Stats.bhFdr): one Welch test per (event_type,
+    * epoch-day mod 7) segment — the composite-group form of
+    * q_ab_test — with a PLANTED +30.00 treatment shift on segments
+    * whose day slot is 0 or 1 (an all-null battery would gate only
+    * the k*=0 branch); BH at α = 0.05 then separates the planted
+    * segments from the uniform-p noise. p from z via the shared
+    * Abramowitz–Stegun expression, reject decisions in exact
+    * integers, rank window over the 35-row battery (tiny-relation
+    * class, whitelisted in the plan sweep).
+    */
+  def qBhFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    val tests = graft.ops.Stats.abTest(
+      Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("value"),
+          concat(col("event_type"), lit(":"),
+            (pmod(unix_millis(col("ts")) / lit(86400000L), lit(7L)))
+              .cast("long").cast("string")).as("seg"),
+          (pmod(unix_millis(col("ts")) / lit(86400000L), lit(7L)) < 2L)
+            .as("planted")),
+      "seg", col("user_id") % 2 === 1,
+      round(col("value") * 100).cast("long")
+        + when(col("user_id") % 2 === 1 && col("planted"), 3000L)
+          .otherwise(0L))
+    graft.ops.Stats.bhFdr(tests, "seg", col("z_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bh_fdr" -> qBhFdr,
     "q_mann_whitney" -> qMannWhitney,
     "q_ab_test" -> qAbTest,
     "q_theil_sen" -> qTheilSen,
@@ -988,6 +1017,59 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_bh_fdr" ->
+      """WITH e AS (SELECT event_type || ':' ||
+        |          CAST((epoch_ms(ts) // 86400000) % 7 AS VARCHAR) AS grp,
+        |        user_id % 2 = 1 AS b,
+        |        CAST(round(value * 100) AS BIGINT)
+        |          + CASE WHEN user_id % 2 = 1
+        |                  AND (epoch_ms(ts) // 86400000) % 7 < 2
+        |                 THEN 3000 ELSE 0 END AS y
+        |      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT grp, b, CAST(count(*) AS BIGINT) AS n,
+        |        sum(y) AS sy, sum(y*y) AS syy
+        |      FROM e GROUP BY 1, 2),
+        |a AS (SELECT grp, n AS n_a, CAST(sy AS DOUBLE) AS sa,
+        |        CAST(n AS DOUBLE) AS da,
+        |        CAST(n*syy - sy*sy AS DOUBLE) AS vna FROM s WHERE NOT b),
+        |bb AS (SELECT grp, n AS n_b, CAST(sy AS DOUBLE) AS sb,
+        |        CAST(n AS DOUBLE) AS db,
+        |        CAST(n*syy - sy*sy AS DOUBLE) AS vnb FROM s WHERE b),
+        |z AS (SELECT grp,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR (vna = 0 AND vnb = 0) THEN NULL
+        |       ELSE CAST(round((sb/db - sa/da)
+        |            / sqrt(vna/(da*da*(da-1)) + vnb/(db*db*(db-1)))
+        |            * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM a JOIN bb USING (grp)),
+        |pp AS (SELECT grp, z_micro,
+        |        CAST(round(2.0
+        |          * (exp(-0.5 * (abs(CAST(z_micro AS DOUBLE) / 1e6))
+        |                      * (abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |             / 2.5066282746310002)
+        |          * ((1.0 / (1.0 + 0.2316419
+        |                * abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |             * (0.319381530 + (1.0 / (1.0 + 0.2316419
+        |                  * abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |               * (-0.356563782 + (1.0 / (1.0 + 0.2316419
+        |                    * abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |                 * (1.781477937 + (1.0 / (1.0 + 0.2316419
+        |                      * abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419
+        |                        * abs(CAST(z_micro AS DOUBLE) / 1e6)))
+        |                     * 1.330274429)))))
+        |          * 1e6) AS BIGINT) AS p_micro
+        |      FROM z WHERE z_micro IS NOT NULL),
+        |rk AS (SELECT grp, z_micro, p_micro,
+        |        CAST(row_number() OVER (ORDER BY p_micro, grp) AS BIGINT)
+        |          AS k,
+        |        CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM pp),
+        |ks AS (SELECT coalesce(max(k), 0) AS k_star FROM rk
+        |       WHERE p_micro * m <= k * 50000)
+        |SELECT grp AS seg, z_micro, p_micro, k, m,
+        |  k <= ks.k_star AS reject
+        |FROM rk, ks""".stripMargin,
     "q_mann_whitney" ->
       """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
         |        CAST(round(value * 100) AS BIGINT) AS v

@@ -1035,8 +1035,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_survival: risk-set and cumulative-hazard folds over the
     //    lifetime-PERIOD table (≤ span/periodDays rows — bounded by
     //    the calendar, not the data; Stats.kaplanMeier).
+    //  - q_bh_fdr: the BH rank walk over the HYPOTHESIS battery —
+    //    segment-grain (group cardinality), never data rows
+    //    (Stats.bhFdr).
     val whitelist = Set("dedup_threshold_curve", "profile_novelty",
-      "q_survival")
+      "q_survival", "q_bh_fdr")
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !whitelist(name) =>

@@ -1751,6 +1751,43 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("bhFdr equals the driver BH walk on random z batteries") {
+    val rnd = new Random(1995)
+    def phi(az: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        + t * (-1.821255978 + t * 1.330274429))))
+      math.exp(-0.5 * az * az) / 2.5066282746310002 * poly
+    }
+    (1 to rounds).foreach { round =>
+      // mixture battery: nulls (degenerate tests), strong effects,
+      // and uniform noise — the shape a real segment sweep produces
+      val battery = (0 until rnd.nextInt(80) + 5).map { i =>
+        val z: Option[Long] =
+          if (rnd.nextInt(10) == 0) None
+          else if (rnd.nextInt(4) == 0)
+            Some((rnd.nextGaussian() * 1e6 + 5e6).toLong)
+          else Some((rnd.nextGaussian() * 1e6).toLong)
+        (s"h$i", z)
+      }
+      val alpha = 50000L
+      val got = graft.ops.Stats.bhFdr(
+          battery.toDF("id", "z"), "id", col("z"), alpha)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val scored = battery.collect { case (id, Some(z)) =>
+        (id, z, math.round(2.0 * phi(math.abs(z.toDouble / 1e6)) * 1e6))
+      }.sortBy(r => (r._3, r._1))
+      val m = scored.size.toLong
+      val kStar = scored.zipWithIndex
+        .filter { case ((_, _, p), i) => p * m <= (i + 1) * alpha }
+        .map(_._2 + 1L).maxOption.getOrElse(0L)
+      val expect = scored.zipWithIndex.map { case ((id, z, p), i) =>
+        (id, z, p, i + 1L, m, (i + 1L) <= kStar)
+      }.toSet
+      assert(got == expect, s"round=$round diverged")
+    }
+  }
+
   test("abTest equals the formula reference on random cohorts") {
     val rnd = new Random(116)
     (1 to rounds).foreach { _ =>
