@@ -316,6 +316,74 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** Difference-in-differences per group — the experimentation readout
+    * when assignment isn't random: a raw post-period comparison
+    * conflates the treatment with whatever else changed at the
+    * boundary (seasonality, a deploy, a price change); DiD subtracts
+    * the CONTROL group's pre→post drift from the treatment group's,
+    * so any shock common to both cohorts cancels and only the
+    * treatment-specific shift remains. Estimate =
+    * (ȳ_post,T − ȳ_pre,T) − (ȳ_post,C − ȳ_pre,C); z from the
+    * four-cell Welch variance Σ s²ᵢ/nᵢ of the cell means.
+    *
+    * The [[abTest]] exactness discipline: one partial aggregation
+    * computes exact DECIMAL sufficient statistics (n, Σy, Σy²) for
+    * all four (cohort × period) cells via conditional aggregation —
+    * no joins, no pivot shuffle — then the estimate and z evaluate
+    * in double FROM those exact sums, micro-quantized; DuckDB
+    * replays bit-for-bit. Any cell with n < 2 (or all four variances
+    * zero) emits NULL z; a group missing a cell entirely emits NULL
+    * did too (no arm to difference).
+    */
+  def didTest(df: DataFrame, groupCol: String, cohortCol: Column,
+              postCol: Column, yCol: Column): DataFrame = {
+    val y = yCol.cast("decimal(20,0)")
+    def cell(c: Boolean, p: Boolean, suffix: String) = {
+      val in = cohortCol.cast("boolean") === c && postCol.cast("boolean") === p
+      Seq(
+        sum(when(in, lit(1L)).otherwise(0L)).cast("decimal(20,0)")
+          .as(s"n$suffix"),
+        sum(when(in, y).otherwise(lit(0L).cast("decimal(20,0)")))
+          .as(s"sy$suffix"),
+        sum(when(in, y * y).otherwise(lit(0L).cast("decimal(20,0)")))
+          .as(s"syy$suffix"))
+    }
+    val aggs = cell(false, false, "_cpre") ++ cell(false, true, "_cpost") ++
+      cell(true, false, "_tpre") ++ cell(true, true, "_tpost")
+    val sums = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(sfx: String) =
+      col(s"sy$sfx").cast("double") / col(s"n$sfx").cast("double")
+    // per-cell variance of the MEAN: (n·Σy² − (Σy)²) / (n²·(n−1)),
+    // numerator exact in DECIMAL before the one cast
+    def varMean(sfx: String) =
+      (col(s"n$sfx") * col(s"syy$sfx") - col(s"sy$sfx") * col(s"sy$sfx"))
+        .cast("double") /
+        (col(s"n$sfx").cast("double") * col(s"n$sfx").cast("double")
+          * (col(s"n$sfx").cast("double") - 1d))
+    def vnum(sfx: String) =
+      (col(s"n$sfx") * col(s"syy$sfx") - col(s"sy$sfx") * col(s"sy$sfx"))
+    val anyEmpty = Seq("_cpre", "_cpost", "_tpre", "_tpost")
+      .map(sfx => col(s"n$sfx") === 0L).reduce(_ || _)
+    val anySmall = Seq("_cpre", "_cpost", "_tpre", "_tpost")
+      .map(sfx => col(s"n$sfx") < 2L).reduce(_ || _)
+    val allFlat = Seq("_cpre", "_cpost", "_tpre", "_tpost")
+      .map(sfx => vnum(sfx) === 0L).reduce(_ && _)
+    val did = (mean("_tpost") - mean("_tpre")) -
+      (mean("_cpost") - mean("_cpre"))
+    val se = sqrt(varMean("_tpost") + varMean("_tpre")
+      + varMean("_cpost") + varMean("_cpre"))
+    sums.select(col("grp").as(groupCol),
+      col("n_cpre").cast("long").as("n_ctrl_pre"),
+      col("n_cpost").cast("long").as("n_ctrl_post"),
+      col("n_tpre").cast("long").as("n_treat_pre"),
+      col("n_tpost").cast("long").as("n_treat_post"),
+      when(anyEmpty, lit(null))
+        .otherwise(round(did * 1e6)).cast("long").as("did_micro"),
+      when(anySmall || allFlat, lit(null))
+        .otherwise(round(did / se * 1e6)).cast("long").as("z_micro"))
+  }
+
   /** Benjamini–Hochberg FDR control over a battery of test statistics
     * — the missing step between "500 segment-level z-scores" and
     * "which effects are real": testing many segments at fixed α

@@ -958,7 +958,33 @@ object Analytics {
     graft.ops.Stats.bhFdr(tests, "seg", col("z_micro"))
   }
 
+  /** Difference-in-differences per event type (B56;
+    * graft.ops.Stats.didTest): treat = odd users, post = second half
+    * of the feed's time range (1-row broadcast midpoint), with a
+    * PLANTED +20.00 treatment-post shift so the interaction term has
+    * signal; one conditional partial aggregation computes all four
+    * (cohort × period) cells' exact DECIMAL statistics, then DiD and
+    * its four-cell Welch z replay bit-for-bit.
+    */
+  def qDid(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val mid = base.agg(
+      expr("(min(ts_ms) + max(ts_ms)) div 2").as("mid"))
+    val e = base.crossJoin(broadcast(mid))
+      .select(col("event_type"), col("user_id"),
+        (col("ts_ms") >= col("mid")).as("post"),
+        (col("cents") + when(col("user_id") % 2 === 1
+            && col("ts_ms") >= col("mid"), 2000L).otherwise(0L)).as("y"))
+    graft.ops.Stats.didTest(e, "event_type",
+      col("user_id") % 2 === 1, col("post"), col("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> qDid,
     "q_bh_fdr" -> qBhFdr,
     "q_mann_whitney" -> qMannWhitney,
     "q_ab_test" -> qAbTest,
@@ -1017,6 +1043,66 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_did" ->
+      """WITH b AS (SELECT event_type AS grp, user_id % 2 = 1 AS t,
+        |        epoch_ms(ts) AS ts_ms,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |mm AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |e AS (SELECT grp, t, ts_ms >= mm.mid AS post,
+        |        cents + CASE WHEN t AND ts_ms >= mm.mid THEN 2000
+        |                     ELSE 0 END AS y
+        |      FROM b, mm),
+        |s AS (SELECT grp,
+        |   CAST(count(*) FILTER (WHERE NOT t AND NOT post) AS BIGINT) AS ncpre,
+        |   sum(y) FILTER (WHERE NOT t AND NOT post) AS sycpre,
+        |   sum(y*y) FILTER (WHERE NOT t AND NOT post) AS syycpre,
+        |   CAST(count(*) FILTER (WHERE NOT t AND post) AS BIGINT) AS ncpost,
+        |   sum(y) FILTER (WHERE NOT t AND post) AS sycpost,
+        |   sum(y*y) FILTER (WHERE NOT t AND post) AS syycpost,
+        |   CAST(count(*) FILTER (WHERE t AND NOT post) AS BIGINT) AS ntpre,
+        |   sum(y) FILTER (WHERE t AND NOT post) AS sytpre,
+        |   sum(y*y) FILTER (WHERE t AND NOT post) AS syytpre,
+        |   CAST(count(*) FILTER (WHERE t AND post) AS BIGINT) AS ntpost,
+        |   sum(y) FILTER (WHERE t AND post) AS sytpost,
+        |   sum(y*y) FILTER (WHERE t AND post) AS syytpost
+        | FROM e GROUP BY 1),
+        |d AS (SELECT grp, ncpre, ncpost, ntpre, ntpost,
+        |   (CAST(coalesce(sytpost,0) AS DOUBLE)/CAST(ntpost AS DOUBLE)
+        |    - CAST(coalesce(sytpre,0) AS DOUBLE)/CAST(ntpre AS DOUBLE))
+        |   - (CAST(coalesce(sycpost,0) AS DOUBLE)/CAST(ncpost AS DOUBLE)
+        |      - CAST(coalesce(sycpre,0) AS DOUBLE)/CAST(ncpre AS DOUBLE))
+        |     AS did,
+        |   CAST(ntpost*syytpost - sytpost*sytpost AS DOUBLE)
+        |     / (CAST(ntpost AS DOUBLE)*CAST(ntpost AS DOUBLE)
+        |        *(CAST(ntpost AS DOUBLE)-1)) +
+        |   CAST(ntpre*syytpre - sytpre*sytpre AS DOUBLE)
+        |     / (CAST(ntpre AS DOUBLE)*CAST(ntpre AS DOUBLE)
+        |        *(CAST(ntpre AS DOUBLE)-1)) +
+        |   CAST(ncpost*syycpost - sycpost*sycpost AS DOUBLE)
+        |     / (CAST(ncpost AS DOUBLE)*CAST(ncpost AS DOUBLE)
+        |        *(CAST(ncpost AS DOUBLE)-1)) +
+        |   CAST(ncpre*syycpre - sycpre*sycpre AS DOUBLE)
+        |     / (CAST(ncpre AS DOUBLE)*CAST(ncpre AS DOUBLE)
+        |        *(CAST(ncpre AS DOUBLE)-1)) AS varsum,
+        |   (ncpre < 2 OR ncpost < 2 OR ntpre < 2 OR ntpost < 2)
+        |     AS small,
+        |   (ncpre = 0 OR ncpost = 0 OR ntpre = 0 OR ntpost = 0)
+        |     AS empty,
+        |   (ntpost*syytpost - sytpost*sytpost = 0
+        |    AND ntpre*syytpre - sytpre*sytpre = 0
+        |    AND ncpost*syycpost - sycpost*sycpost = 0
+        |    AND ncpre*syycpre - sycpre*sycpre = 0) AS flat
+        | FROM s)
+        |SELECT grp AS event_type,
+        |  ncpre AS n_ctrl_pre, ncpost AS n_ctrl_post,
+        |  ntpre AS n_treat_pre, ntpost AS n_treat_post,
+        |  CASE WHEN empty THEN NULL
+        |       ELSE CAST(round(did * 1e6) AS BIGINT) END AS did_micro,
+        |  CASE WHEN small OR flat THEN NULL
+        |       ELSE CAST(round(did / sqrt(varsum) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM d""".stripMargin,
     "q_bh_fdr" ->
       """WITH e AS (SELECT event_type || ':' ||
         |          CAST((epoch_ms(ts) // 86400000) % 7 AS VARCHAR) AS grp,

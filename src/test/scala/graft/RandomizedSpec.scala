@@ -1751,6 +1751,57 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("didTest equals the four-cell reference on random panels") {
+    val rnd = new Random(4213)
+    (1 to rounds).foreach { round =>
+      // random panels incl. occasional missing/degenerate cells
+      val rows = Seq.fill(rnd.nextInt(400) + 4)(
+        ("g" + rnd.nextInt(3), rnd.nextBoolean(),
+          rnd.nextBoolean(), (rnd.nextInt(2000) - 500).toLong))
+        .filterNot { r =>
+          // sometimes knock out a whole cell for one group
+          round % 2 == 0 && r._1 == "g0" && r._2 && r._3
+        }
+      val got = graft.ops.Stats.didTest(
+          rows.toDF("grp", "t", "post", "y"),
+          "grp", col("t"), col("post"), col("y"))
+        .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        def cell(t: Boolean, p: Boolean) = rs.filter(r => r._2 == t && r._3 == p)
+        val cells = Seq((false, false), (false, true),
+          (true, false), (true, true)).map { case (t, p) => cell(t, p) }
+        val ns = cells.map(_.size.toLong)
+        def m(c: Seq[(String, Boolean, Boolean, Long)]) =
+          c.map(_._4).sum.toDouble / c.size
+        def vm(c: Seq[(String, Boolean, Boolean, Long)]) = {
+          val n = c.size.toDouble
+          val sy = c.map(_._4).sum.toDouble
+          val syy = c.map(r => r._4 * r._4).sum.toDouble
+          (n * syy - sy * sy) / (n * n * (n - 1.0))
+        }
+        val did =
+          if (ns.contains(0L)) None
+          else Some(math.round(((m(cells(3)) - m(cells(2)))
+            - (m(cells(1)) - m(cells(0)))) * 1e6))
+        val flat = cells.forall { c =>
+          val sy = c.map(_._4).sum; val syy = c.map(r => r._4 * r._4).sum
+          c.size.toLong * syy - sy * sy == 0L
+        }
+        val z =
+          if (ns.exists(_ < 2L) || flat) None
+          else Some(math.round(((m(cells(3)) - m(cells(2)))
+            - (m(cells(1)) - m(cells(0))))
+            / math.sqrt(cells.map(vm).sum) * 1e6))
+        val r = got(g)
+        assert((r._2, r._3, r._4, r._5) == ((ns(0), ns(1), ns(2), ns(3))),
+          s"round=$round counts diverged for $g")
+        assert(r._6 == did && r._7 == z,
+          s"round=$round $g: got (${r._6}, ${r._7}) want ($did, $z)")
+      }
+    }
+  }
+
   test("bhFdr equals the driver BH walk on random z batteries") {
     val rnd = new Random(1995)
     def phi(az: Double): Double = {
