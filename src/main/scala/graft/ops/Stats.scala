@@ -38,6 +38,53 @@ object Stats {
         "n_transitions * 1000000 DIV sum(n_transitions) OVER (PARTITION BY state)"))
   }
 
+  /** Stationary distribution of a first-order Markov chain — the
+    * long-run state occupancy [[transitionMatrix]]'s one-step
+    * probabilities only hint at: where do user journeys actually
+    * SPEND their time once transients wash out (the session-mix
+    * forecast, the "what fraction of traffic ends up in checkout"
+    * readout). Fixed `iters` power iterations of π' = πP (the
+    * pageRank convention — deterministic cost, a replayable oracle),
+    * in exact micro-unit long arithmetic: each term is
+    * `π(s)·n(s,s') div tot(s)` over the RAW transition counts (no
+    * compounding through pre-rounded ppm probabilities), floor
+    * leakage deterministic. A state with no outgoing transitions
+    * (appears only as a target) self-loops — mass parks rather than
+    * vanishing.
+    *
+    * Scale shape: the chain lives on the |states|² transition table —
+    * state-grain, not event-grain — so each iteration is one tiny
+    * equi-join + partial-agg sum, lineage-truncated; the heavy work
+    * (deriving transitions) happened upstream in transitionMatrix's
+    * single event shuffle.
+    */
+  def stationaryDistribution(transitions: DataFrame, iters: Int = 8,
+                             checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 0 && iters <= 64, s"iters in [0,64], got $iters")
+    val t = transitions.select(col("state"), col("next_state"),
+      col("n_transitions").cast("long").as("n"))
+    val tot = t.groupBy("state").agg(sum("n").as("tot"))
+    val states = t.select(col("state"))
+      .unionByName(t.select(col("next_state").as("state"))).distinct()
+    var pi = states.select(col("state"), lit(1000000L).as("pi_micro"))
+    for (_ <- 0 until iters) {
+      val inbound = t.join(pi, Seq("state")).join(tot, Seq("state"))
+        .select(col("next_state").as("state"),
+          expr("pi_micro * n div tot").as("share"))
+        .groupBy("state").agg(sum("share").as("inflow"))
+      pi = states
+        .join(inbound, Seq("state"), "left")
+        .join(tot, Seq("state"), "left")
+        .join(pi.withColumnRenamed("pi_micro", "__prev"), Seq("state"), "left")
+        .select(col("state"),
+          (coalesce(col("inflow"), lit(0L))
+            + when(col("tot").isNull, col("__prev")).otherwise(lit(0L)))
+            .as("pi_micro"))
+      pi = if (checkpoint) graft.util.Lineage.truncate(pi) else pi
+    }
+    pi
+  }
+
   /** Exact weighted lower quantiles per group: the smallest value
     * whose cumulative weight reaches q·Σw, computed per requested
     * q_ppm. Values are carried through untouched (bit-exact doubles);

@@ -983,7 +983,25 @@ object Analytics {
       col("user_id") % 2 === 1, col("post"), col("y"))
   }
 
+  /** Stationary distribution of the q_markov_transitions chain (B57;
+    * graft.ops.Stats.stationaryDistribution): 8 exact-integer power
+    * iterations of the long-run state-occupancy vector on the
+    * |states|-squared transition table; the oracle unrolls all 8 as
+    * chained CTEs with identical floor division per term.
+    */
+  def qMarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Stats.stationaryDistribution(
+      graft.ops.Stats.transitionMatrix(
+        Tables.events(spark, sfDir)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_millis($"ts").as("ts_ms")),
+        "user_id", Seq($"ts_ms".asc, $"event_id".asc), "event_type"),
+      iters = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_stationary" -> qMarkovStationary,
     "q_did" -> qDid,
     "q_bh_fdr" -> qBhFdr,
     "q_mann_whitney" -> qMannWhitney,
@@ -1253,6 +1271,98 @@ object Analytics {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY 1""".stripMargin,
+    "q_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) ASC, event_id ASC) AS next_state
+        |  FROM events),
+        |c AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+        |      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT state, sum(n) AS tot FROM c GROUP BY 1),
+        |st AS (SELECT state FROM c UNION SELECT next_state FROM c),
+        |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS v FROM st),
+        |i1 AS (SELECT c.next_state AS state,
+        |    sum(p0.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p0 ON c.state = p0.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p1 AS (SELECT s.state,
+        |    coalesce(i1.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p0.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i1 ON s.state = i1.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p0 ON s.state = p0.state),
+        |i2 AS (SELECT c.next_state AS state,
+        |    sum(p1.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p1 ON c.state = p1.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p2 AS (SELECT s.state,
+        |    coalesce(i2.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p1.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i2 ON s.state = i2.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p1 ON s.state = p1.state),
+        |i3 AS (SELECT c.next_state AS state,
+        |    sum(p2.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p2 ON c.state = p2.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p3 AS (SELECT s.state,
+        |    coalesce(i3.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p2.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i3 ON s.state = i3.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p2 ON s.state = p2.state),
+        |i4 AS (SELECT c.next_state AS state,
+        |    sum(p3.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p3 ON c.state = p3.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p4 AS (SELECT s.state,
+        |    coalesce(i4.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p3.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i4 ON s.state = i4.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p3 ON s.state = p3.state),
+        |i5 AS (SELECT c.next_state AS state,
+        |    sum(p4.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p4 ON c.state = p4.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p5 AS (SELECT s.state,
+        |    coalesce(i5.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p4.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i5 ON s.state = i5.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p4 ON s.state = p4.state),
+        |i6 AS (SELECT c.next_state AS state,
+        |    sum(p5.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p5 ON c.state = p5.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p6 AS (SELECT s.state,
+        |    coalesce(i6.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p5.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i6 ON s.state = i6.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p5 ON s.state = p5.state),
+        |i7 AS (SELECT c.next_state AS state,
+        |    sum(p6.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p6 ON c.state = p6.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p7 AS (SELECT s.state,
+        |    coalesce(i7.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p6.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i7 ON s.state = i7.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p6 ON s.state = p6.state),
+        |i8 AS (SELECT c.next_state AS state,
+        |    sum(p7.v * c.n // tt.tot) AS inflow
+        |  FROM c JOIN p7 ON c.state = p7.state
+        |  JOIN tt ON c.state = tt.state GROUP BY 1),
+        |p8 AS (SELECT s.state,
+        |    coalesce(i8.inflow, 0)
+        |      + CASE WHEN tt.tot IS NULL THEN p7.v ELSE 0 END AS v
+        |  FROM st s LEFT JOIN i8 ON s.state = i8.state
+        |  LEFT JOIN tt ON s.state = tt.state
+        |  LEFT JOIN p7 ON s.state = p7.state)
+        |SELECT state, CAST(v AS BIGINT) AS pi_micro FROM p8""".stripMargin,
     "q_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS state,

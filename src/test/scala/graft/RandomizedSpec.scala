@@ -1751,6 +1751,35 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("stationaryDistribution equals the driver power-iteration reference") {
+    val rnd = new Random(808)
+    (1 to rounds).foreach { round =>
+      val states = (0 until rnd.nextInt(5) + 2).map(i => s"s$i")
+      // random transition counts; some states source-less (target-only)
+      val trans = for {
+        a <- states if rnd.nextInt(5) > 0
+        b <- states if rnd.nextInt(3) > 0
+      } yield (a, b, (rnd.nextInt(50) + 1).toLong)
+      if (trans.nonEmpty) {
+        val iters = rnd.nextInt(6) + 1
+        val got = graft.ops.Stats.stationaryDistribution(
+            trans.toDF("state", "next_state", "n_transitions"), iters)
+          .as[(String, Long)].collect().toMap
+        val all = (trans.map(_._1) ++ trans.map(_._2)).distinct
+        val tot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        var pi = all.map(_ -> 1000000L).toMap
+        (0 until iters).foreach { _ =>
+          val inflow = trans.groupBy(_._2).view.mapValues(_.map { case (a, _, n) =>
+            Math.floorDiv(pi(a) * n, tot(a))
+          }.sum).toMap
+          pi = all.map(st => st -> (inflow.getOrElse(st, 0L)
+            + (if (tot.contains(st)) 0L else pi(st)))).toMap
+        }
+        assert(got == pi, s"round=$round diverged: $got vs $pi")
+      }
+    }
+  }
+
   test("didTest equals the four-cell reference on random panels") {
     val rnd = new Random(4213)
     (1 to rounds).foreach { round =>
