@@ -97,7 +97,10 @@ object OutputContract {
     // 4. fixed deterministic fold over exact aggregates
     ("profile_corr", "corr"), ("text_zipf_slope", "zipf_slope"),
     ("text_unigram_logprob", "mean_logprob"),
-    ("text_bigram_logprob", "mean_logprob")
+    ("text_bigram_logprob", "mean_logprob"),
+    // same bit-exactness argument: p is two IEEE divisions of exact
+    // longs + one add, one ln per row, round(avg, 4) fold
+    ("text_kn_logprob", "mean_logprob")
   )
 
   /** Returns the violation messages for one query's schema (empty =

@@ -590,6 +590,57 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram logprob (Kneser & Ney, ICASSP'95;
+    * the modified-KN family of Chen & Goodman 1999 with a single fixed
+    * discount) — the properly SMOOTHED sibling of [[bigramLogProb]]:
+    * raw MLE wildly overweights bigrams whose prefix is rare (c=1/c=1
+    * scores p=1), while KN discounts every observed count by D and
+    * redistributes the held-out mass through the CONTINUATION
+    * probability — "how many distinct contexts does w₂ complete" —
+    * the estimator that made n-gram LMs competitive and the standard
+    * scorer behind perplexity-based corpus filtering:
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁)
+    *            + D·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/N₁₊(··),  D = 0.75.
+    *
+    * Exactness: every term is a ratio of exact longs (D rides as
+    * 75/100, so numerators stay integral); p is two IEEE divisions
+    * and one add, identical expression both engines, then the
+    * established one-ln-per-row + round(avg, 4) fold.
+    *
+    * Scale shape: [[bigramLogProb]]'s envelope plus two more
+    * partial aggs on the ALREADY-AGGREGATED bigram table (prefix
+    * fan-out N₁₊(w₁·) and continuation fan-in N₁₊(·w₂) are both
+    * row counts over it) and a 1-row broadcast for N₁₊(··); the
+    * corpus is still scanned once.
+    */
+  def knLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = df
+      .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .repartition(p, col("doc_id"))
+    val bgs = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val sp = c2
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c1 = sp.groupBy("w1").agg(sum("c2").as("c1"), count(lit(1)).as("nf"))
+    val nb = sp.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val nbg = c2.agg(count(lit(1)).as("nbg"))
+    val lm = sp.join(c1, "w1").join(nb, "w2").crossJoin(broadcast(nbg))
+      .select(col("bg"),
+        (greatest(col("c2") * 100L - 75L, lit(0L)).cast("double")
+            / (col("c1") * 100L).cast("double")
+          + (lit(75L) * col("nf")).cast("double") * col("nb").cast("double")
+            / ((col("c1") * 100L).cast("double") * col("nbg").cast("double")))
+          .as("p"))
+    bgs.join(broadcast(lm), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("p"))), 4).as("mean_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each doc's
     * LM cost routes it into the head / middle / tail TERCILE of the
     * corpus — the published pre-training split where "head" feeds the

@@ -2564,6 +2564,8 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_band" -> textQualityBandQ,
     "text_bigram_logprob" -> textBigramLogprobQ,
+    "text_kn_logprob" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.knLogProb(Tables.documents(s, dir), "text", "doc_id")),
     "text_ppl_bucket" -> textPplBucketQ,
     "text_token_df_profile" -> textTokenDfProfileQ,
     "dedup_exact" -> dedupExactQ,
@@ -3049,6 +3051,29 @@ object PipelineQueries {
          |SELECT doc_id, lang, score_micro
          |FROM s JOIN b USING (lang)
          |WHERE score_micro >= lo AND score_micro <= hi""".stripMargin,
+    "text_kn_logprob" ->
+      s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),
+         |                i -> arr[i-1] || ' ' || arr[i])) AS bg
+         |      FROM a WHERE len(arr) >= 2),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM e GROUP BY 1),
+         |sp AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[2] AS w2 FROM c2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS nf FROM sp GROUP BY 1),
+         |nbk AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM sp GROUP BY 1),
+         |nbg AS (SELECT CAST(count(*) AS BIGINT) AS nbg FROM c2),
+         |lm AS (SELECT sp.bg,
+         |         CAST(greatest(sp.c2 * 100 - 75, 0) AS DOUBLE)
+         |             / CAST(c1.c1 * 100 AS DOUBLE)
+         |           + CAST(75 * c1.nf AS DOUBLE) * CAST(nbk.nb AS DOUBLE)
+         |             / (CAST(c1.c1 * 100 AS DOUBLE) * CAST(nbg.nbg AS DOUBLE))
+         |           AS p
+         |       FROM sp JOIN c1 USING (w1) JOIN nbk USING (w2), nbg)
+         |SELECT e.doc_id, round(avg(ln(p)), 4) AS mean_logprob,
+         |       count(*) AS n_bigrams
+         |FROM e JOIN lm USING (bg)
+         |GROUP BY e.doc_id""".stripMargin,
     "text_bigram_logprob" ->
       s"""WITH a AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
          |e AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(arr)),

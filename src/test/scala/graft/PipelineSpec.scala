@@ -167,6 +167,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((1, 0.0, 0.0)))
   }
 
+  test("kneser-ney logprob: hand-computed probabilities, discount beats MLE's p=1 trap") {
+    import graft.ops.TextAnalysis
+    // corpus bigrams: "a b" x2 (docs 1, 2), "b c" x1, "x y" x1.
+    // c1: a->2 (nf 1), b->1 (nf 1), x->1 (nf 1); nb: b<-1, c<-1, y<-1; nbg=3
+    val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.knLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def kn(c2: Long, c1: Long, nf: Long, nb: Long, nbg: Long): Double =
+      math.max(c2 * 100L - 75L, 0L).toDouble / (c1 * 100L).toDouble +
+        (75L * nf).toDouble * nb.toDouble / ((c1 * 100L).toDouble * nbg.toDouble)
+    val pAB = kn(2, 2, 1, 1, 3) // (200-75)/200 + 75*1/(200*3) = 0.625+0.125=0.75
+    val pBC = kn(1, 1, 1, 1, 3) // 25/100 + 75/(100*3) = 0.25+0.25 = 0.5
+    val pXY = kn(1, 1, 1, 1, 3)
+    assert(pAB == 0.75 && pBC == 0.5)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == ((r4(math.log(pAB)), 1L)), out(1L).toString)
+    assert(out(2L) == ((r4((math.log(pAB) + math.log(pBC)) / 2), 2L)))
+    // the MLE trap: "x y" is a c=1 bigram after a c=1 prefix — raw MLE
+    // scores it a perfect p=1 (logprob 0); KN discounts it to 0.5
+    assert(out(3L) == ((r4(math.log(pXY)), 1L)) && pXY == 0.5)
+    val mle = TextAnalysis.bigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mle(3L) == 0.0, "raw MLE must show the p=1 trap KN fixes")
+  }
+
   test("entropy: exact micro-nat sums against a driver recompute") {
     import graft.ops.TextAnalysis
     val texts = Seq(
