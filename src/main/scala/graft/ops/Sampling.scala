@@ -345,6 +345,63 @@ object Sampling {
         bit_xor(col("fp")).as("content_xor"))
   }
 
+  /** Shard rebalance plan — the layout-maintenance step AFTER a
+    * manifest shows skew (hot shards from a bad key, growth since the
+    * original split, a merged corpus): which shard ships how much
+    * weight to which, equalizing to ±1 of the exact mean with the
+    * MINIMUM total weight moved. The classic cumulative-interval
+    * matching: donors (surplus) and receivers (deficit) each lay
+    * their deltas end-to-end on one number line — in shard-id order,
+    * so the plan is deterministic — and every overlap of a donor
+    * interval with a receiver interval is one transfer of the overlap
+    * length. Total moved = Σ surplus (no plan moves less; anything
+    * crossing the mean must move), transfer count ≤ donors +
+    * receivers − 1.
+    *
+    * Targets: shards ranked by id; the first (total mod n) get
+    * ⌈mean⌉, the rest ⌊mean⌋ — exact conservation, no fractional
+    * bytes. Pure BIGINT end-to-end.
+    *
+    * Scale shape: the plan works on the SHARD-grain manifest (|shards|
+    * rows, never data), so the rank and cumulative folds are the
+    * pplBucket triangular broadcast self-join — no partition-less
+    * window — and the donor×receiver overlap join is bounded by the
+    * transfer count. Executing the plan is per-move data work this
+    * planner never touches (the A39 compaction-plan convention).
+    */
+  def rebalancePlan(manifest: DataFrame, shardCol: String,
+                    weightCol: String): DataFrame = {
+    val m = manifest.select(col(shardCol).cast("long").as("s"),
+      col(weightCol).cast("long").as("w"))
+    val tot = m.agg(sum(col("w")).as("total"), count(lit(1)).as("n"))
+    val ranked = m.as("a")
+      .join(broadcast(m.as("b")), col("b.s") < col("a.s"), "left")
+      .groupBy(col("a.s").as("s"), col("a.w").as("w"))
+      .agg(count(col("b.s")).as("rank0"))
+    val t = ranked.crossJoin(broadcast(tot))
+      .select(col("s"), col("w"),
+        (col("w") - expr("total div n")
+          - when(col("rank0") < pmod(col("total"), col("n")), 1L)
+            .otherwise(0L)).as("delta"))
+    val donors = t.filter(col("delta") > 0L)
+    val dcum = donors.as("a")
+      .join(broadcast(donors.as("b")), col("b.s") < col("a.s"), "left")
+      .groupBy(col("a.s").as("ds"), col("a.delta").as("dd"))
+      .agg(coalesce(sum(col("b.delta")), lit(0L)).as("dstart"))
+    val recv = t.filter(col("delta") < 0L)
+      .select(col("s"), (-col("delta")).as("need"))
+    val rcum = recv.as("a")
+      .join(broadcast(recv.as("b")), col("b.s") < col("a.s"), "left")
+      .groupBy(col("a.s").as("rs"), col("a.need").as("rn"))
+      .agg(coalesce(sum(col("b.need")), lit(0L)).as("rstart"))
+    dcum.join(rcum,
+        col("dstart") < col("rstart") + col("rn")
+          && col("rstart") < col("dstart") + col("dd"))
+      .select(col("ds").as("from_shard"), col("rs").as("to_shard"),
+        (least(col("dstart") + col("dd"), col("rstart") + col("rn"))
+          - greatest(col("dstart"), col("rstart"))).as("moved"))
+  }
+
   /** Curriculum ordering — the training-order counterpart of
     * [[shards]]: every doc gets a (band, pos) address where `band` is
     * its quality bucket (integer micro mean-token-length, the

@@ -863,6 +863,21 @@ object PipelineQueries {
     * totals, id ranges, and the order-independent XOR content
     * checksum per shard — the hand-off integrity record.
     */
+  /** Rebalance plan over a deliberately SKEWED shard manifest
+    * (shard = least(doc_id mod 13, 7): shards 0–6 carry 1/13 of the
+    * corpus each, shard 7 carries 6/13 — the hot-shard shape a bad
+    * key produces), weight = char count: shard 7 must donate to all
+    * seven others, to ±1 of the exact mean, minimum chars moved
+    * (Sampling.rebalancePlan — the cumulative-interval matcher on
+    * the shard-grain manifest).
+    */
+  def shardRebalanceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = Tables.documents(spark, sfDir)
+      .groupBy(least(pmod(col("doc_id"), lit(13L)), lit(7L)).as("shard"))
+      .agg(sum(length(col("text")).cast("long")).as("n_chars"))
+    graft.ops.Sampling.rebalancePlan(manifest, "shard", "n_chars")
+  }
+
   def shardManifestQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Sampling.shardManifest(
       Tables.documents(spark, sfDir).select("doc_id", "text"),
@@ -2640,6 +2655,7 @@ object PipelineQueries {
     "emb_outliers" -> embOutliersQ,
     "emb_drift" -> embDriftQ,
     "shard_manifest" -> shardManifestQ,
+    "shard_rebalance" -> shardRebalanceQ,
     "profile_diff" -> profileDiffQ,
     "unigram_init" -> unigramInitQ,
     "unigram_train" -> unigramTrainQ,
@@ -4416,6 +4432,30 @@ object PipelineQueries {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
          |  bit_xor(${h64("doc_id::VARCHAR || ':' || md5(nt)")}) AS content_xor
          |FROM k GROUP BY 1, 2""".stripMargin,
+    "shard_rebalance" ->
+      s"""WITH m AS (SELECT least(doc_id % 13, 7) AS s,
+         |        CAST(sum(length(text)) AS BIGINT) AS w
+         |      FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total,
+         |        CAST(count(*) AS BIGINT) AS n FROM m),
+         |t AS (SELECT s, w - (total // n
+         |        + CASE WHEN CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1
+         |                    < total % n THEN 1 ELSE 0 END) AS delta
+         |      FROM m, tot),
+         |d AS (SELECT s AS ds, delta AS dd,
+         |        coalesce(sum(delta) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS dstart
+         |      FROM t WHERE delta > 0),
+         |r AS (SELECT s AS rs, -delta AS rn,
+         |        coalesce(sum(-delta) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS rstart
+         |      FROM t WHERE delta < 0)
+         |SELECT ds AS from_shard, rs AS to_shard,
+         |  CAST(least(dstart + dd, rstart + rn)
+         |       - greatest(dstart, rstart) AS BIGINT) AS moved
+         |FROM d JOIN r ON dstart < rstart + rn AND rstart < dstart + dd""".stripMargin,
     "shard_manifest" ->
       s"""WITH k AS (SELECT doc_id, text,
          |             ${h64("'graft:shard:' || doc_id::VARCHAR")} AS k

@@ -1751,6 +1751,53 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("rebalancePlan: interval-matching reference, conservation, post-plan balance") {
+    val rnd = new Random(7310)
+    (1 to rounds).foreach { round =>
+      val n = rnd.nextInt(12) + 2
+      // skewed loads incl. zero-weight shards and one whale
+      val loads = (0 until n).map(i => (i.toLong,
+        if (i == 0) rnd.nextInt(100000).toLong
+        else rnd.nextInt(3) match {
+          case 0 => 0L
+          case _ => rnd.nextInt(5000).toLong
+        }))
+      val got = graft.ops.Sampling.rebalancePlan(
+          loads.toDF("shard", "w"), "shard", "w")
+        .as[(Long, Long, Long)].collect().toSet
+      // driver reference: same cumulative-interval matching
+      val total = loads.map(_._2).sum
+      val targets = loads.sortBy(_._1).zipWithIndex.map { case ((s, w), r) =>
+        (s, w, total / n + (if (r < total % n) 1L else 0L))
+      }
+      val donors = targets.filter(t => t._2 > t._3)
+        .map(t => (t._1, t._2 - t._3))
+      val recv = targets.filter(t => t._2 < t._3)
+        .map(t => (t._1, t._3 - t._2))
+      def cum(xs: Seq[(Long, Long)]) = xs.scanLeft(0L)(_ + _._2).zip(xs)
+        .map { case (start, (s, d)) => (s, start, start + d) }
+      val expect = (for {
+        (ds, d0, d1) <- cum(donors)
+        (rs, r0, r1) <- cum(recv)
+        if d0 < r1 && r0 < d1
+      } yield (ds, rs, math.min(d1, r1) - math.max(d0, r0))).toSet
+      assert(got == expect, s"round=$round diverged")
+      // conservation + post-plan balance within ±1 of the mean
+      val out = got.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sum).toMap
+      val in = got.groupBy(_._2).view
+        .mapValues(_.toSeq.map(_._3).sum).toMap
+      val after = loads.map { case (s, w) =>
+        w - out.getOrElse(s, 0L) + in.getOrElse(s, 0L)
+      }
+      assert(after.sum == total)
+      assert(after.forall(a => a == total / n || a == total / n + 1),
+        s"round=$round unbalanced: $after")
+      assert(got.toSeq.map(_._3).sum == donors.map(_._2).sum,
+        "total moved must equal total surplus (minimality)")
+    }
+  }
+
   test("stationaryDistribution equals the driver power-iteration reference") {
     val rnd = new Random(808)
     (1 to rounds).foreach { round =>
