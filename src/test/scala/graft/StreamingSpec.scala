@@ -1407,6 +1407,80 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].head() == ((5000L, 1L, 1L)))
   }
 
+  test("page-hinkley monitor: sustained shift alarms once and re-arms, point blip never does") {
+    import graft.streaming.PageHinkleyStream
+    val out = tmp(); val st = tmp()
+    def b(rows: (String, Double)*) = rows.toSeq.toDF("k", "v")
+    def run(id: Long, rows: (String, Double)*) =
+      PageHinkleyStream.phBatch(spark, b(rows: _*), id, out, st, "k", "v",
+        deltaMilli = 500L, lambdaMilli = 3000L, minBatches = 3L)
+    def report(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("k", "batch_rows", "obs_milli", "mean_milli", "ph_up",
+        "ph_dn", "n_batches", "alarm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    // a: 4 stable batches at 10.0 then a SUSTAINED shift to 13.0;
+    // b: the same history but the 13.0 is a one-batch BLIP
+    (0L to 3L).foreach(id => run(id, "a" -> 10.0, "b" -> 10.0))
+    assert(report(3L)("a") == (("a", 1L, 10000L, 10000L, 0L, 0L, 4L, 0)),
+      "a stationary stream accumulates nothing (each step is -delta)")
+    run(4L, "a" -> 13.0, "b" -> 13.0)
+    val r4 = report(4L)
+    assert(r4("a") == (("a", 1L, 13000L, 10600L, 1900L, 0L, 5L, 0)),
+      "one shifted batch builds evidence but stays under lambda")
+    run(5L, "a" -> 13.0, "b" -> 10.0)
+    val r5 = report(5L)
+    assert(r5("a") == (("a", 1L, 13000L, 11000L, 3400L, 0L, 6L, 1)),
+      "the second shifted batch pushes PH-up past lambda: alarm")
+    assert(r5("b") == (("b", 1L, 10000L, 10500L, 900L, 0L, 6L, 0)),
+      "the blip's evidence decays once the stream returns — no alarm")
+    // the alarm reset re-arms detection against the NEW level
+    run(6L, "a" -> 13.0)
+    assert(report(6L)("a") == (("a", 1L, 13000L, 13000L, 0L, 0L, 1L, 0)),
+      "post-alarm the detector restarts from the post-shift regime")
+  }
+
+  test("page-hinkley monitor: at-least-once replay rewrites identical bytes; versions pruned") {
+    import graft.streaming.PageHinkleyStream
+    val out = tmp(); val st = tmp()
+    def b(n: Int) = (0 until 30).map(i => (s"k${i % 3}", (i % 7 + n).toDouble))
+      .toDF("k", "v")
+    (0L to 5L).foreach(id =>
+      PageHinkleyStream.phBatch(spark, b(id.toInt), id, out, st, "k", "v",
+        deltaMilli = 200L, lambdaMilli = 2000L))
+    val report5 = spark.read.parquet(s"$out/batch=5").collect().toSet
+    val state5 = spark.read.parquet(s"$st/batch=5").collect().toSet
+    PageHinkleyStream.phBatch(spark, b(5), 5L, out, st, "k", "v",
+      deltaMilli = 200L, lambdaMilli = 2000L)
+    assert(spark.read.parquet(s"$out/batch=5").collect().toSet == report5)
+    assert(spark.read.parquet(s"$st/batch=5").collect().toSet == state5)
+    val versions = graft.util.Fs.fs(spark, st)
+      .listStatus(new org.apache.hadoop.fs.Path(st))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    assert(versions <= 4, s"state versions must stay pruned, got $versions")
+  }
+
+  test("page-hinkley monitor: end-to-end over a file feed catches a planted shift") {
+    import graft.streaming.PageHinkleyStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    def write(v: Double) =
+      Seq(("api", v), ("api", v)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(feed)
+    write(10.0)
+    val q = PageHinkleyStream.phStream(spark, feed, out, st, ckpt,
+      "k", "v", deltaMilli = 500L, lambdaMilli = 3000L, minBatches = 3L,
+      maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      Seq(10.0, 10.0, 10.0, 13.0, 13.0, 13.0).foreach { v =>
+        write(v); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val alarms = spark.read.option("basePath", out).parquet(out)
+      .filter(col("alarm") === 1).count()
+    assert(alarms == 1L, s"exactly one alarm for one regime change, got $alarms")
+  }
+
   test("ewma monitor: at-least-once replay rewrites identical bytes; versions pruned") {
     import graft.streaming.EwmaStream
     val out = tmp(); val st = tmp()
