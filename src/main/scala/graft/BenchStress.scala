@@ -362,6 +362,25 @@ object BenchStress {
       graft.ops.Graph.scc(n, sparse.unionByName(planted),
         rounds = 200, propCap = 200)
     }),
+    // the copy bijections decorrelate bigram vocabularies, so the LM
+    // table scales with copies while per-doc scoring work per row is
+    // constant; the two extra partial aggs ride the aggregated grain
+    "text_kn_logprob" -> ((d: DataFrame) =>
+      TextAnalysis.knLogProb(d, "text", "doc_id")),
+    // scc labeling + the quotient joins: both scale with |E|
+    "graph_condensation" -> ((d: DataFrame) => {
+      val (n, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      val sparse = e.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      val planted = sparse.filter(col("src") % 10 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val ep = sparse.unionByName(planted)
+      graft.ops.Graph.condensation(
+        graft.ops.Graph.scc(n, ep, rounds = 200, propCap = 200), ep)
+    }),
     "dedup_cdc_chunks" -> ((d: DataFrame) => {
       val withDups = d.unionByName(d.filter(expr("doc_id % 50 = 0"))
         .withColumn("doc_id", col("doc_id") + 100000L))
@@ -724,6 +743,56 @@ object BenchStress {
           .select("event_type", "user_id", "value"),
         "event_type", col("user_id") % 2 === 1,
         round(col("value") * 100).cast("long"))),
+    // same one-partial-agg family as q_ab_test, plus the rank window
+    // over the (group, value) grain: distinct cents per type are
+    // bounded by the base table's value domain, so the window side is
+    // ~constant while the scan side scales — linear or the rank grain
+    // started tracking rows
+    "q_mann_whitney" -> ((ev: DataFrame) =>
+      graft.ops.Stats.mannWhitney(
+        ev.filter(col("value").isNotNull)
+          .select("event_type", "user_id", "value"),
+        "event_type", col("user_id") % 2 === 1,
+        round(col("value") * 100).cast("long"))),
+    // all four cells fold in ONE conditional partial agg; the 1-row
+    // midpoint broadcast is scale-free — q_linreg's scan shape
+    "q_did" -> ((ev: DataFrame) => {
+      val base = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          expr("unix_millis(ts)").as("ts_ms"))
+      val mid = base.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("mid"))
+      graft.ops.Stats.didTest(
+        base.crossJoin(broadcast(mid))
+          .select(col("event_type"), col("user_id"),
+            (col("ts_ms") >= col("mid")).as("post"),
+            (col("cents") + when(col("user_id") % 2 === 1
+                && col("ts_ms") >= col("mid"), 2000L).otherwise(0L))
+              .as("y")),
+        "event_type", col("user_id") % 2 === 1, col("post"), col("y"))
+    }),
+    // the battery is segment-grain: the Welch sweep scales with rows,
+    // the BH walk stays |segments| — flat beyond the test scan
+    "q_bh_fdr" -> ((ev: DataFrame) =>
+      graft.ops.Stats.bhFdr(
+        graft.ops.Stats.abTest(
+          ev.filter(col("value").isNotNull && col("ts").isNotNull)
+            .select(col("user_id"), col("value"),
+              concat(col("event_type"), lit(":"),
+                pmod(expr("unix_millis(ts) div 86400000"), lit(7L))
+                  .cast("string")).as("seg")),
+          "seg", col("user_id") % 2 === 1,
+          round(col("value") * 100).cast("long")),
+        "seg", col("z_micro"))),
+    // the event shuffle is q_markov_transitions'; the 8 power
+    // iterations run on the |states|-squared table — scale-free tail
+    "q_markov_stationary" -> ((ev: DataFrame) =>
+      graft.ops.Stats.stationaryDistribution(
+        graft.ops.Stats.transitionMatrix(
+          ev.select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_millis(ts)").as("ts_ms")),
+          "user_id", Seq(col("ts_ms").asc, col("event_id").asc),
+          "event_type"), iters = 8)),
     // first-seen = one (key, min day) partial agg over users that
     // scale with copies; the cumulative fold stays day-cardinality
     "profile_novelty" -> ((ev: DataFrame) =>

@@ -61,11 +61,16 @@ object Stats {
   def stationaryDistribution(transitions: DataFrame, iters: Int = 8,
                              checkpoint: Boolean = true): DataFrame = {
     require(iters >= 0 && iters <= 64, s"iters in [0,64], got $iters")
-    val t = transitions.select(col("state"), col("next_state"),
-      col("n_transitions").cast("long").as("n"))
-    val tot = t.groupBy("state").agg(sum("n").as("tot"))
-    val states = t.select(col("state"))
-      .unionByName(t.select(col("next_state").as("state"))).distinct()
+    // materialize the chain ONCE: the upstream transition derivation
+    // (an event-grain window) must not re-run per iteration
+    val t = graft.util.Lineage.truncate(
+      transitions.select(col("state"), col("next_state"),
+        col("n_transitions").cast("long").as("n")))
+    val tot = graft.util.Lineage.truncate(
+      t.groupBy("state").agg(sum("n").as("tot")))
+    val states = graft.util.Lineage.truncate(
+      t.select(col("state"))
+        .unionByName(t.select(col("next_state").as("state"))).distinct())
     var pi = states.select(col("state"), lit(1000000L).as("pi_micro"))
     for (_ <- 0 until iters) {
       val inbound = t.join(pi, Seq("state")).join(tot, Seq("state"))
