@@ -368,6 +368,67 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** Two-sample Kolmogorov–Smirnov test per group — the DISTRIBUTION-
+    * level member of the test family: [[abTest]] compares means,
+    * [[mannWhitney]] stochastic dominance; KS flags ANY distributional
+    * difference (a variance change, a new mode, a truncated tail)
+    * through the maximum ECDF gap D = sup|F_a − F_b|, with the
+    * classic large-sample critical value c(α)·√((n_a+n_b)/(n_a·n_b)),
+    * c(0.05) = 1.358 (Smirnov's asymptotic).
+    *
+    * Exactness: D is found by EXACT cross-multiplied integers —
+    * max|cumA·n_b − cumB·n_a| over the (group, value) grain (DECIMAL:
+    * the product is n_a·n_b-scaled) — so the argmax never touches a
+    * float; d_ppm = that max ·10⁶ div (n_a·n_b), and the reject
+    * compares the exact numerator against the critical value computed
+    * in double from exact counts with the identical expression on
+    * both engines. One-sided-empty groups emit NULLs.
+    *
+    * Scale shape: [[mannWhitney]]'s — one partial agg to (group,
+    * value) grain, one GROUP-partitioned cumulative window over that
+    * grain, one partial-agg max fold. Zero joins.
+    */
+  def ksTest(df: DataFrame, groupCol: String, cohortCol: Column,
+             yCol: Column): DataFrame = {
+    val vals = df
+      .groupBy(col(groupCol).as("grp"), yCol.cast("long").as("v"))
+      .agg(sum(when(cohortCol.cast("boolean"), 0L).otherwise(1L)).as("ca"),
+        sum(when(cohortCol.cast("boolean"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("grp"))
+    val cum = vals
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(wg))
+      .withColumn("nb", sum(col("cb")).over(wg))
+    val g = cum.groupBy("grp").agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      max(abs(col("cuma").cast("decimal(38,0)") * col("nb")
+        - col("cumb").cast("decimal(38,0)") * col("na"))).as("dnum"))
+    g.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        col("dnum"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          // integral div, never decimal true-division (whose scale
+          // rounding could flip a floor at the boundary)
+          .otherwise(expr(
+            "(dnum * 1000000L) div (cast(n_a as decimal(38,0)) * n_b)"))
+          .as("d_ppm"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(round(lit(1.358d)
+            * sqrt((col("n_a") + col("n_b")).cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double")))
+            * 1e6)).cast("long").as("crit_ppm"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise((col("dnum").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))
+            > lit(1.358d)
+              * sqrt((col("n_a") + col("n_b")).cast("double")
+                / (col("n_a").cast("double") * col("n_b").cast("double"))))
+            .cast("int")).as("reject"))
+  }
+
   /** Difference-in-differences per group — the experimentation readout
     * when assignment isn't random: a raw post-period comparison
     * conflates the treatment with whatever else changed at the

@@ -1000,7 +1000,24 @@ object Analytics {
       iters = 8)
   }
 
+  /** Two-sample KS per event type (B58; graft.ops.Stats.ksTest):
+    * even/odd user split with a PLANTED +10.00 shift on odd users for
+    * click and purchase only — exactly those two distributions
+    * reject at the Smirnov 5% critical value, the other three hold
+    * (the null D on ~1000-per-side cohorts sits well under c(0.05)).
+    */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.ksTest(
+      Tables.events(spark, sfDir).filter(col("value").isNotNull)
+        .select("event_type", "user_id", "value"),
+      "event_type", col("user_id") % 2 === 1,
+      round(col("value") * 100).cast("long")
+        + when(col("user_id") % 2 === 1
+            && col("event_type").isin("click", "purchase"), 1000L)
+          .otherwise(0L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> qKsTest,
     "q_markov_stationary" -> qMarkovStationary,
     "q_did" -> qDid,
     "q_bh_fdr" -> qBhFdr,
@@ -1061,6 +1078,47 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
+        |        CAST(round(value * 100) AS BIGINT)
+        |          + CASE WHEN user_id % 2 = 1
+        |                  AND event_type IN ('click', 'purchase')
+        |                 THEN 1000 ELSE 0 END AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |vals AS (SELECT grp, v,
+        |        CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS ca,
+        |        CAST(count(*) FILTER (WHERE b) AS BIGINT) AS cb
+        |      FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, ca, cb,
+        |        sum(ca) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |        sum(cb) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |        sum(ca) OVER (PARTITION BY grp) AS na,
+        |        sum(cb) OVER (PARTITION BY grp) AS nb
+        |      FROM vals),
+        |g AS (SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+        |        max(abs(cuma * nb - cumb * na)) AS dnum
+        |      FROM cum GROUP BY 1)
+        |SELECT grp AS event_type,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST((dnum * 1000000) // (n_a * n_b) AS BIGINT)
+        |  END AS d_ppm,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(round(1.358
+        |         * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |         * 1e6) AS BIGINT)
+        |  END AS crit_ppm,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(CAST(dnum AS DOUBLE)
+        |              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |            > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |            AS INT)
+        |  END AS reject
+        |FROM g""".stripMargin,
     "q_did" ->
       """WITH b AS (SELECT event_type AS grp, user_id % 2 = 1 AS t,
         |        epoch_ms(ts) AS ts_ms,

@@ -1827,6 +1827,38 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("ksTest equals the ECDF-gap reference on random tie-heavy cohorts") {
+    val rnd = new Random(1933)
+    (1 to rounds).foreach { round =>
+      val rows = Seq.fill(rnd.nextInt(300) + 5)(
+        ("g" + rnd.nextInt(3), rnd.nextBoolean(),
+          rnd.nextInt(if (rnd.nextBoolean()) 5 else 50).toLong))
+      val got = graft.ops.Stats.ksTest(
+          rows.toDF("grp", "b", "v"), "grp", col("b"), col("v"))
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Int])]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(!_._2).map(_._3)
+        val bb = rs.filter(_._2).map(_._3)
+        val (na, nb) = (a.size.toLong, bb.size.toLong)
+        val r = got(g)
+        assert((r._2, r._3) == ((na, nb)))
+        if (na == 0 || nb == 0) assert(r._4.isEmpty && r._6.isEmpty)
+        else {
+          val vs = rs.map(_._3).distinct.sorted
+          val dnum = vs.map(v =>
+            math.abs(a.count(_ <= v) * nb - bb.count(_ <= v) * na)).max
+          val dppm = dnum * 1000000L / (na * nb)
+          val crit = 1.358 * math.sqrt((na + nb).toDouble
+            / (na.toDouble * nb.toDouble))
+          assert(r._4.contains(dppm), s"round=$round $g d diverged")
+          assert(r._6.contains(
+            if (dnum.toDouble / (na.toDouble * nb.toDouble) > crit) 1 else 0))
+        }
+      }
+    }
+  }
+
   test("didTest equals the four-cell reference on random panels") {
     val rnd = new Random(4213)
     (1 to rounds).foreach { round =>
