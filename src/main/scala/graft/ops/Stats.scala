@@ -368,6 +368,58 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** Minimum detectable effect per group — the PLANNING readout of
+    * the test family: before an experiment runs (or when one "came
+    * back flat"), what mean shift COULD these cohort sizes and this
+    * variance have detected at α = 0.05 two-sided with 80% power?
+    *   MDE = (z_{0.975} + z_{0.80}) · √(s²_a/n_a + s²_b/n_b)
+    * — a flat result with an MDE of 40% of the mean is "the test was
+    * underpowered", not "there is no effect"; the rel_mde_ppm column
+    * (MDE / pooled mean) is exactly that honesty number.
+    *
+    * The [[abTest]] exactness discipline: exact DECIMAL sufficient
+    * statistics in ONE conditional partial aggregation; z quantiles
+    * as shared literals (1.9599639845400545, 0.8416212335729143);
+    * the MDE evaluates in double from exact sums, micro-quantized,
+    * identical expression both engines. Cohorts with n < 2 (no
+    * variance estimate) or a zero pooled mean (no relative scale)
+    * emit NULL in the affected columns.
+    */
+  def mde(df: DataFrame, groupCol: String, cohortCol: Column,
+          yCol: Column): DataFrame = {
+    val y = yCol.cast("decimal(20,0)")
+    val b = cohortCol.cast("boolean")
+    def cell(c: Boolean, sfx: String) = Seq(
+      sum(when(b === c, lit(1L)).otherwise(0L)).cast("decimal(20,0)")
+        .as(s"n$sfx"),
+      sum(when(b === c, y).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"sy$sfx"),
+      sum(when(b === c, y * y).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"syy$sfx"))
+    val aggs = cell(false, "a") ++ cell(true, "b")
+    val sums = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    // per-cell sample variance (n·Σy² − (Σy)²) / (n·(n−1)), exact
+    // numerator, and variance of the mean = that / n
+    def varMeanD(sfx: String) =
+      (col(s"n$sfx") * col(s"syy$sfx") - col(s"sy$sfx") * col(s"sy$sfx"))
+        .cast("double") /
+        (col(s"n$sfx").cast("double") * col(s"n$sfx").cast("double")
+          * (col(s"n$sfx").cast("double") - 1d))
+    val z = lit(1.9599639845400545d) + lit(0.8416212335729143d)
+    val mdeD = z * sqrt(varMeanD("a") + varMeanD("b"))
+    val meanPooled = (col("sya") + col("syb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    sums.select(col("grp").as(groupCol),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(col("na") < 2L || col("nb") < 2L, lit(null))
+        .otherwise(round(mdeD * 1e6)).cast("long").as("mde_micro"),
+      when(col("na") < 2L || col("nb") < 2L ||
+           (col("sya") + col("syb")) === 0L, lit(null))
+        .otherwise(round(mdeD / meanPooled * 1e6)).cast("long")
+        .as("rel_mde_ppm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test per group — the DISTRIBUTION-
     * level member of the test family: [[abTest]] compares means,
     * [[mannWhitney]] stochastic dominance; KS flags ANY distributional

@@ -1016,7 +1016,21 @@ object Analytics {
             && col("event_type").isin("click", "purchase"), 1000L)
           .otherwise(0L))
 
+  /** Minimum detectable effect per event type (B59;
+    * graft.ops.Stats.mde): the same even/odd split and cent
+    * quantization as q_ab_test, answering "what shift could this
+    * experiment even have seen" at α=0.05 / 80% power — the
+    * underpowered-test honesty number, absolute and relative.
+    */
+  def qMde(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Stats.mde(
+      Tables.events(spark, sfDir).filter(col("value").isNotNull)
+        .select("event_type", "user_id", "value"),
+      "event_type", col("user_id") % 2 === 1,
+      round(col("value") * 100).cast("long"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mde" -> qMde,
     "q_ks_test" -> qKsTest,
     "q_markov_stationary" -> qMarkovStationary,
     "q_did" -> qDid,
@@ -1078,6 +1092,36 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_mde" ->
+      """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
+        |        CAST(round(value * 100) AS BIGINT) AS y
+        |      FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT grp,
+        |   CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS na,
+        |   sum(y) FILTER (WHERE NOT b) AS sya,
+        |   sum(y*y) FILTER (WHERE NOT b) AS syya,
+        |   CAST(count(*) FILTER (WHERE b) AS BIGINT) AS nb,
+        |   sum(y) FILTER (WHERE b) AS syb,
+        |   sum(y*y) FILTER (WHERE b) AS syyb
+        | FROM e GROUP BY 1),
+        |d AS (SELECT grp, na, nb, sya, syb,
+        |   (1.9599639845400545 + 0.8416212335729143)
+        |     * sqrt(CAST(na*syya - sya*sya AS DOUBLE)
+        |              / (CAST(na AS DOUBLE)*CAST(na AS DOUBLE)
+        |                 *(CAST(na AS DOUBLE)-1))
+        |          + CAST(nb*syyb - syb*syb AS DOUBLE)
+        |              / (CAST(nb AS DOUBLE)*CAST(nb AS DOUBLE)
+        |                 *(CAST(nb AS DOUBLE)-1))) AS mded
+        | FROM s)
+        |SELECT grp AS event_type, na AS n_a, nb AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 THEN NULL
+        |       ELSE CAST(round(mded * 1e6) AS BIGINT) END AS mde_micro,
+        |  CASE WHEN na < 2 OR nb < 2 OR sya + syb = 0 THEN NULL
+        |       ELSE CAST(round(mded
+        |         / (CAST(sya + syb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |         * 1e6) AS BIGINT)
+        |  END AS rel_mde_ppm
+        |FROM d""".stripMargin,
     "q_ks_test" ->
       """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
         |        CAST(round(value * 100) AS BIGINT)

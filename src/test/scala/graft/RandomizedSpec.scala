@@ -1827,6 +1827,40 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("mde equals the power-formula reference on random cohorts") {
+    val rnd = new Random(2080)
+    (1 to rounds).foreach { round =>
+      val rows = Seq.fill(rnd.nextInt(250) + 2)(
+        ("g" + rnd.nextInt(3), rnd.nextBoolean(),
+          (rnd.nextInt(2000) - 300).toLong))
+      val got = graft.ops.Stats.mde(
+          rows.toDF("grp", "b", "y"), "grp", col("b"), col("y"))
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(!_._2).map(_._3)
+        val bb = rs.filter(_._2).map(_._3)
+        val r = got(g)
+        assert((r._2, r._3) == ((a.size.toLong, bb.size.toLong)))
+        if (a.size < 2 || bb.size < 2) assert(r._4.isEmpty && r._5.isEmpty)
+        else {
+          def vm(c: Seq[Long]) = {
+            val n = c.size.toDouble
+            val sy = c.sum.toDouble; val syy = c.map(x => x * x).sum.toDouble
+            (n * syy - sy * sy) / (n * n * (n - 1.0))
+          }
+          val mded = (1.9599639845400545 + 0.8416212335729143) *
+            math.sqrt(vm(a) + vm(bb))
+          assert(r._4.contains(math.round(mded * 1e6)),
+            s"round=$round $g mde diverged")
+          val pooled = (a.sum + bb.sum).toDouble / (a.size + bb.size)
+          if (a.sum + bb.sum == 0L) assert(r._5.isEmpty)
+          else assert(r._5.contains(math.round(mded / pooled * 1e6)))
+        }
+      }
+    }
+  }
+
   test("ksTest equals the ECDF-gap reference on random tie-heavy cohorts") {
     val rnd = new Random(1933)
     (1 to rounds).foreach { round =>
