@@ -656,6 +656,79 @@ object Profile {
         expr("tot_micro div n").as("ent_micro"))
   }
 
+  /** HyperLogLog distinct-count estimate per column (Flajolet, Fusy,
+    * Gandouet & Meunier, AofA'07) — the CONSTANT-MEMORY cardinality
+    * path the profiling family was missing: exact countDistinct
+    * shuffles every distinct value, the KMV sketch (profile_sketch)
+    * keeps k hashes, HLL keeps 2^p six-bit registers (p=12 → 4 KB,
+    * ~1.6% standard error) no matter whether the column holds five
+    * languages or a trillion URLs — the estimator every warehouse's
+    * APPROX_COUNT_DISTINCT runs.
+    *
+    * Spark-FIRST formulation — deliberately NOT a custom Aggregator:
+    * an HLL register file is a max-fold, and max is relational.
+    * idx = top p bits of the 60-bit portable hash, rank = leading-
+    * zero count of the remainder + 1 (computed EXACTLY as
+    * wBits − length(bin(w)) + 1 — integer string length, no
+    * float log2 whose boundary rounding could misrank), registers =
+    * groupBy(col, idx).max(rank) — partial-aggregatable, merge-order
+    * independent, so unlike KLL the sketch IS byte-stable and the
+    * gate replays the ESTIMATE itself.
+    *
+    * Exactness discipline: the harmonic denominator is the EXACT
+    * integer Σ 2^(61−M_j) (shiftleft, DECIMAL sum — empty registers
+    * contribute 2^61 via the closed form), cast to double once;
+    * α_m = 0.7213/(1 + 1.079/m) written as the same arithmetic
+    * expression on both engines; the small-range linear-counting
+    * correction (E ≤ 2.5m with empty registers → m·ln(m/V)) is one
+    * exact ratio and one ln. NULLs don't observe.
+    *
+    * Scale shape: one stacked scan to (column, hash) rows, ONE
+    * partial-agg max to ≤ |cols|·2^p register rows, one fold to
+    * |cols| rows. No window, no join, no driver data.
+    */
+  def hllDistinct(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 18, s"p in [4,18], got $p")
+    require(cols.nonEmpty, "need at least one column")
+    val m = 1L << p
+    val wBits = 60 - p
+    val wMod = 1L << wBits
+    val stackArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+    val rows = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
+      .filter(col("val").isNotNull)
+      .select(col("col_name"),
+        graft.util.Hashing.portableHash64(
+          concat(lit("hll:"), col("val"))).as("h"))
+    val regs = rows
+      .select(col("col_name"), expr(s"h div ${wMod}L").as("idx"),
+        pmod(col("h"), lit(wMod)).as("w"))
+      .select(col("col_name"), col("idx"),
+        when(col("w") === 0L, lit(wBits + 1L))
+          .otherwise(lit(wBits + 1L) - length(expr("bin(w)"))).as("rank"))
+      .groupBy("col_name", "idx").agg(max("rank").as("mr"))
+    val folded = regs.groupBy("col_name").agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr("cast(shiftleft(1L, cast(61 - mr as int)) as decimal(38,0))"))
+        .as("s_present"))
+    folded.select(col("col_name"), col("n_regs"),
+        (col("s_present") + (lit(m) - col("n_regs"))
+          * lit(2305843009213693952L).cast("decimal(38,0)")).as("s_total"),
+        (lit(m) - col("n_regs")).as("v"))
+      .select(col("col_name"), col("n_regs"),
+        (lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(m.toDouble))
+          * lit(m.toDouble) * lit(m.toDouble)
+          * lit(2305843009213693952.0d)
+          / col("s_total").cast("double")).as("e_raw"),
+        col("v"))
+      .select(col("col_name"), col("n_regs"),
+        when(col("e_raw") <= lit(2.5d * m) && col("v") > 0L,
+          round(lit(m.toDouble)
+            * log(lit(m.toDouble) / col("v").cast("double"))))
+          .otherwise(round(col("e_raw")))
+          .cast("long").as("hll_est"))
+  }
+
   /** Benford first-digit audit — the fabricated-data detector the
     * fraud/forensics literature standardized (Benford 1938; Nigrini's
     * audit practice): naturally occurring multi-scale numeric columns

@@ -1539,6 +1539,33 @@ object PipelineQueries {
     * rows (bounded by construction, the kmeans-centroid discipline);
     * one more scan joins the broadcast 28-row grid for exact ranks.
     */
+  /** HLL distinct estimates over (doc_id, lang, source) joined
+    * against gate-side EXACT distinct counts (Profile.hllDistinct —
+    * the relational register-file formulation): the oracle replays
+    * the whole estimator — registers from the shared md5 arithmetic,
+    * the exact integer harmonic denominator, the α·m²/S estimate with
+    * linear-counting correction — AND the exact counts, so hash
+    * equality certifies both the implementation and, via err_ppm,
+    * that the estimate sits where HLL theory puts it (~1.6% at
+    * p=12). The exact join is GATE-side verification only: the op
+    * itself never pays a countDistinct (constant memory is its
+    * point).
+    */
+  def profileDistinctHllQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val est = graft.ops.Profile.hllDistinct(
+      d, Seq("doc_id", "lang", "source"), p = 12)
+    val exact = d.selectExpr(
+        "stack(3, 'doc_id', cast(doc_id as string), 'lang', lang, " +
+          "'source', source) as (col_name, val)")
+      .filter(col("val").isNotNull)
+      .groupBy("col_name").agg(countDistinct(col("val")).as("n_exact"))
+    est.join(exact, Seq("col_name"))
+      .select(col("col_name").as("column"), col("n_regs"), col("hll_est"),
+        col("n_exact"),
+        expr("(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+  }
+
   def profileQuantilesKllQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val k = 256
@@ -2667,6 +2694,7 @@ object PipelineQueries {
     "profile_sketch" -> profileSketchQ,
     "profile_quantiles_sketch" -> profileQuantilesQ,
     "profile_quantiles_kll" -> profileQuantilesKllQ,
+    "profile_distinct_hll" -> profileDistinctHllQ,
     "emb_arrow_stage" -> embArrowStageQ,
     "pipeline_embed_corpus" -> pipelineEmbedQ,
     "dedup_overlap_sketch" -> dedupOverlapSketchQ,
@@ -4765,6 +4793,47 @@ object PipelineQueries {
     // non-null counts; the Spark side PROVES it per run by ranking the
     // sketch estimates against the real column. A bound violation
     // under any merge order hash-fails here.
+    "profile_distinct_hll" ->
+      s"""WITH r AS (
+         |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val
+         |  FROM documents
+         |  UNION ALL SELECT 'lang', lang FROM documents
+         |  UNION ALL SELECT 'source', source FROM documents),
+         |h AS (SELECT col_name,
+         |        ${h64("'hll:' || val")} AS h
+         |      FROM r WHERE val IS NOT NULL),
+         |rg AS (SELECT col_name, h // 281474976710656 AS idx,
+         |         h % 281474976710656 AS w FROM h),
+         |rk AS (SELECT col_name, idx,
+         |         CASE WHEN w = 0 THEN 49
+         |              ELSE 49 - length(bin(w)) END AS rank
+         |       FROM rg),
+         |regs AS (SELECT col_name, idx, max(rank) AS mr
+         |         FROM rk GROUP BY 1, 2),
+         |f AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_regs,
+         |        sum((1::BIGINT << (61 - mr))::DECIMAL(38,0)) AS s_present
+         |      FROM regs GROUP BY 1),
+         |e AS (SELECT col_name, n_regs,
+         |        s_present + (4096 - n_regs)
+         |          * 2305843009213693952::DECIMAL(38,0) AS s_total,
+         |        4096 - n_regs AS v
+         |      FROM f),
+         |est AS (SELECT col_name, n_regs, v,
+         |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |           * 2305843009213693952.0
+         |           / CAST(s_total AS DOUBLE) AS e_raw
+         |       FROM e),
+         |hll AS (SELECT col_name, n_regs,
+         |         CAST(CASE WHEN e_raw <= 10240.0 AND v > 0
+         |              THEN round(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)))
+         |              ELSE round(e_raw) END AS BIGINT) AS hll_est
+         |       FROM est),
+         |ex AS (SELECT col_name, CAST(count(DISTINCT val) AS BIGINT)
+         |         AS n_exact
+         |       FROM r WHERE val IS NOT NULL GROUP BY 1)
+         |SELECT hll.col_name AS "column", n_regs, hll_est, n_exact,
+         |  (hll_est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM hll JOIN ex USING (col_name)""".stripMargin,
     "profile_quantiles_kll" -> {
       val cases = kllCols.map(c =>
         s"SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n FROM lineitem")

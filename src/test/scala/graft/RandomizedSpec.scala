@@ -748,6 +748,38 @@ class RandomizedSpec extends SparkSpec {
       s"open ${open.size} pairs vs capped ${capped.size}")
   }
 
+  test("HLL distinct estimate stays inside 4-sigma across random cardinalities; registers are layout-invariant") {
+    val rnd = new Random(1207)
+    // sigma = 1.04/sqrt(m) at p=12 -> ~1.625%; 4 sigma = 6.5%
+    val bound = 4.0 * 1.04 / math.sqrt(4096.0)
+    (1 to 4).foreach { round =>
+      val nTrue = rnd.nextInt(40000) + 200
+      val vals = (0 until nTrue).map(i => s"v${round}_$i")
+      // duplicates must not move the estimate: sample with repeats
+      val rows = (vals ++ Seq.fill(nTrue / 3)(
+        vals(rnd.nextInt(nTrue)))).map(Tuple1(_))
+      val df = rows.toDF("x")
+      val got = graft.ops.Profile.hllDistinct(df, Seq("x"))
+        .select("hll_est").as[Long].head()
+      val err = math.abs(got - nTrue).toDouble / nTrue
+      assert(err <= bound,
+        s"round=$round n=$nTrue est=$got err=$err > $bound")
+      // the register file is a max-fold: any partitioning folds to
+      // the identical estimate
+      val again = graft.ops.Profile.hllDistinct(
+        df.repartition(17), Seq("x"))
+        .select("hll_est").as[Long].head()
+      assert(again == got, "estimate must be layout-invariant")
+    }
+    // tiny cardinalities ride linear counting exactly-ish: every
+    // register distinct -> estimate == true count
+    val small = (0 until 30).map(i => Tuple1(s"s$i")).toDF("x")
+    val gotSmall = graft.ops.Profile.hllDistinct(small, Seq("x"))
+      .select("n_regs", "hll_est").as[(Long, Long)].head()
+    assert(gotSmall._1 == 30L && gotSmall._2 == 30L,
+      s"linear counting must be near-exact at 30 distinct: $gotSmall")
+  }
+
   test("KMV distinct estimate stays inside 4-sigma across random cardinalities") {
     import graft.ops.Sketch
     val rnd = new Random(11)
