@@ -690,9 +690,6 @@ object Profile {
   def hllDistinct(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 18, s"p in [4,18], got $p")
     require(cols.nonEmpty, "need at least one column")
-    val m = 1L << p
-    val wBits = 60 - p
-    val wMod = 1L << wBits
     val stackArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
     val rows = df
       .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, val)")
@@ -700,33 +697,51 @@ object Profile {
       .select(col("col_name"),
         graft.util.Hashing.portableHash64(
           concat(lit("hll:"), col("val"))).as("h"))
-    val regs = rows
-      .select(col("col_name"), expr(s"h div ${wMod}L").as("idx"),
-        pmod(col("h"), lit(wMod)).as("w"))
-      .select(col("col_name"), col("idx"),
+    val regs = hllRegisters(rows, Seq("col_name"), "h", p)
+    regs.groupBy("col_name").agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("cast(shiftleft(1L, cast(61 - mr as int)) as decimal(38,0))"))
+          .as("s_present"))
+      .select(col("col_name"), col("n_regs"),
+        hllEstimateCol(col("n_regs"), col("s_present"), p).as("hll_est"))
+  }
+
+  /** Register derivation shared by [[hllDistinct]] and the streaming
+    * HLL mode: (keyCols…, idx = top p bits, mr = max rank) from a
+    * 60-bit hash column. Rank via length(bin(w)) — integer string
+    * length, never a float log2. */
+  private[graft] def hllRegisters(rows: DataFrame, keyCols: Seq[String],
+                                  hCol: String, p: Int): DataFrame = {
+    val wBits = 60 - p
+    val wMod = 1L << wBits
+    rows
+      .select(keyCols.map(col) ++ Seq(
+        expr(s"$hCol div ${wMod}L").as("idx"),
+        pmod(col(hCol), lit(wMod)).as("w")): _*)
+      .select(keyCols.map(col) ++ Seq(col("idx"),
         when(col("w") === 0L, lit(wBits + 1L))
-          .otherwise(lit(wBits + 1L) - length(expr("bin(w)"))).as("rank"))
-      .groupBy("col_name", "idx").agg(max("rank").as("mr"))
-    val folded = regs.groupBy("col_name").agg(
-      count(lit(1)).as("n_regs"),
-      sum(expr("cast(shiftleft(1L, cast(61 - mr as int)) as decimal(38,0))"))
-        .as("s_present"))
-    folded.select(col("col_name"), col("n_regs"),
-        (col("s_present") + (lit(m) - col("n_regs"))
-          * lit(2305843009213693952L).cast("decimal(38,0)")).as("s_total"),
-        (lit(m) - col("n_regs")).as("v"))
-      .select(col("col_name"), col("n_regs"),
-        (lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(m.toDouble))
-          * lit(m.toDouble) * lit(m.toDouble)
-          * lit(2305843009213693952.0d)
-          / col("s_total").cast("double")).as("e_raw"),
-        col("v"))
-      .select(col("col_name"), col("n_regs"),
-        when(col("e_raw") <= lit(2.5d * m) && col("v") > 0L,
-          round(lit(m.toDouble)
-            * log(lit(m.toDouble) / col("v").cast("double"))))
-          .otherwise(round(col("e_raw")))
-          .cast("long").as("hll_est"))
+          .otherwise(lit(wBits + 1L) - length(expr("bin(w)")))
+          .as("rank")): _*)
+      .groupBy((keyCols :+ "idx").map(col): _*).agg(max("rank").as("mr"))
+  }
+
+  /** The HLL estimate from (n_regs, exact Σ 2^(61−M) over PRESENT
+    * registers) at 2^p registers — one shared expression so the batch
+    * profiler and the streaming monitor can never fork arithmetic.
+    * Handles the all-empty case (s_present null → estimate 0 via
+    * linear counting at V = m). */
+  private[graft] def hllEstimateCol(nRegs: Column, sPresent: Column,
+                                    p: Int): Column = {
+    val m = 1L << p
+    val sTotal = coalesce(sPresent, lit(0L).cast("decimal(38,0)")) +
+      (lit(m) - nRegs) * lit(2305843009213693952L).cast("decimal(38,0)")
+    val v = lit(m) - nRegs
+    val eRaw = lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) * lit(2305843009213693952.0d) /
+      sTotal.cast("double")
+    when(eRaw <= lit(2.5d * m) && v > 0L,
+      round(lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))))
+      .otherwise(round(eRaw)).cast("long")
   }
 
   /** Benford first-digit audit — the fabricated-data detector the

@@ -147,16 +147,102 @@ object CardinalityStream {
       .foreach(v => graft.util.Fs.delete(spark, s"$stateDir/batch=$v"))
   }
 
+  /** HLL mode (NEW r14) — [[cardinalityBatch]]'s constant-register
+    * sibling for groups whose lifetime distinct count dwarfs any
+    * sensible KMV k: the KMV sketch is EXACT until k distinct values
+    * and then an estimator, but its per-group state is k hash rows
+    * chosen from history; HLL caps state at 2^p register rows per
+    * group forever (p=10 → ≤1024 rows, ~3.2% std err) and merges by
+    * MAX — commutative, idempotent, replay-proof by algebra rather
+    * than by selection-rule discipline. The register derivation and
+    * the estimate expression are [[graft.ops.Profile]]'s
+    * (hllRegisters/hllEstimateCol), so the batch profiler
+    * (profile_distinct_hll, oracle-replayed bit-for-bit) and this
+    * monitor can never fork arithmetic.
+    *
+    * Report shape matches the KMV mode: (group, batch_rows,
+    * batch_distinct, lifetime_rows, n_regs, est_distinct, dup_ppm) —
+    * n_regs standing where k_eff stood. Null values don't observe
+    * (the sketch side) but do count (the volume side) — the same
+    * loud-on-nulls contract; a registerless group persists one
+    * idx-null state row so its lifetime count survives.
+    */
+  def hllBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+               outDir: String, stateDir: String,
+               groupCol: String, valueCol: String, p: Int = 10)
+      : Unit = if (!batch.isEmpty) {
+    require(p >= 4 && p <= 18, s"p in [4,18], got $p")
+    val prior = priorState(spark, stateDir, batchId)
+    val hashed = batch.select(col(groupCol),
+        Hashing.portableHash64(
+          concat(lit("hll:"), col(valueCol).cast("string"))).as("h"))
+      .localCheckpoint()
+    val batchCounts = hashed.groupBy(groupCol)
+      .agg(count(lit(1)).as("batch_rows"),
+        count_distinct(col("h")).as("batch_distinct"))
+    val bregs = graft.ops.Profile.hllRegisters(
+      hashed.filter(col("h").isNotNull), Seq(groupCol), "h", p)
+    val priorRegs = prior
+      .map(_.filter(col("idx").isNotNull)
+        .select(col(groupCol), col("idx"), col("mr")))
+      .getOrElse(bregs.limit(0))
+    val merged = bregs.unionByName(priorRegs)
+      .groupBy(col(groupCol), col("idx")).agg(max("mr").as("mr"))
+    val priorTotals = prior
+      .map(_.groupBy(groupCol).agg(max(col("rows_seen")).as("n")))
+      .getOrElse(batchCounts.limit(0)
+        .select(col(groupCol), col("batch_rows").as("n")))
+    val totals = batchCounts.select(col(groupCol), col("batch_rows").as("n"))
+      .unionByName(priorTotals)
+      .groupBy(groupCol).agg(sum(col("n")).as("rows_seen"))
+    val state = totals.withColumnRenamed(groupCol, "__tg")
+      .join(merged.select(col(groupCol).as("__mg"), col("idx"), col("mr")),
+        col("__tg") <=> col("__mg"), "left")
+      .select(col("__tg").as(groupCol), col("idx"), col("mr"),
+        col("rows_seen"))
+      .localCheckpoint()
+    val est = state.groupBy(groupCol)
+      .agg(count(col("idx")).as("n_regs"),
+        sum(when(col("idx").isNotNull, expr(
+          "cast(shiftleft(1L, cast(61 - mr as int)) as decimal(38,0))")))
+          .as("s_present"),
+        max(col("rows_seen")).as("lifetime_rows"))
+      .withColumn("est_distinct",
+        graft.ops.Profile.hllEstimateCol(col("n_regs"), col("s_present"), p))
+      .drop("s_present")
+    val report = batchCounts
+      .join(est.withColumnRenamed(groupCol, "__eg"),
+        col(groupCol) <=> col("__eg"))
+      .withColumn("dup_ppm",
+        greatest(lit(0L), expr(
+          "1000000 - est_distinct * 1000000 div greatest(lifetime_rows, 1)")))
+      .select(col(groupCol), col("batch_rows"), col("batch_distinct"),
+        col("lifetime_rows"), col("n_regs"), col("est_distinct"),
+        col("dup_ppm"))
+    report.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    state.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    val f = graft.util.Fs.fs(spark, stateDir)
+    f.listStatus(new Path(stateDir)).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .sorted.dropRight(KEEP_VERSIONS)
+      .foreach(v => graft.util.Fs.delete(spark, s"$stateDir/batch=$v"))
+  }
+
   /** File-fed monitoring stream: new parquet files under `sourceDir`
     * update the per-group sketches; reports land under
-    * `outDir/batch=<id>`.
+    * `outDir/batch=<id>`. `mode` picks the sketch: "kmv" (exact to k
+    * distinct, then estimated) or "hll" (bounded registers forever).
     */
   def cardinalityStream(spark: SparkSession, sourceDir: String, outDir: String,
                         stateDir: String, checkpoint: String,
                         groupCol: String, valueCol: String, k: Int = 256,
                         maxFilesPerTrigger: Int = 10,
-                        feedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                        feedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                        mode: String = "kmv", p: Int = 10)
       : StreamingQuery = {
+    require(mode == "kmv" || mode == "hll",
+      s"mode must be 'kmv' or 'hll', got '$mode'")
     val schema = graft.util.Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
@@ -166,8 +252,12 @@ object CardinalityStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cardinalityBatch(spark, batch, batchId, outDir, stateDir,
-          groupCol, valueCol, k)
+        if (mode == "hll")
+          hllBatch(spark, batch, batchId, outDir, stateDir,
+            groupCol, valueCol, p)
+        else
+          cardinalityBatch(spark, batch, batchId, outDir, stateDir,
+            groupCol, valueCol, k)
       }
       .start()
   }

@@ -153,6 +153,58 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cardinality monitor hll mode: cross-trigger max-merge equals the batch profiler; replay + dup alert") {
+    import graft.streaming.CardinalityStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 300).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+    val b1 = (150 until 450).map(i => (s"s${i % 2}", s"v$i")).toDF("src", "v")
+    CardinalityStream.hllBatch(spark, b0, 0L, out, st, "src", "v", p = 10)
+    CardinalityStream.hllBatch(spark, b1, 1L, out, st, "src", "v", p = 10)
+    // the max-merged register state yields the SAME estimate the
+    // batch profiler computes from the union corpus (shared
+    // Profile.hllRegisters/hllEstimateCol arithmetic — algebraic
+    // mergeability, not a tolerance)
+    val r1 = spark.read.parquet(s"$out/batch=1")
+      .select("src", "lifetime_rows", "n_regs", "est_distinct", "dup_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    Seq("s0", "s1").foreach { s =>
+      val batchEst = graft.ops.Profile.hllDistinct(
+          b0.unionByName(b1).filter(col("src") === s), Seq("v"), p = 10)
+        .select("hll_est").as[Long].head()
+      assert(r1(s)._4 == batchEst,
+        s"$s: stream merge ${r1(s)._4} != batch profiler $batchEst")
+      assert(r1(s)._2 == 300L)
+      assert(r1(s)._5 == math.max(0L, 1000000L - r1(s)._4 * 1000000L / 300L),
+        "dup_ppm derives from the estimate by exact integer arithmetic")
+      // 225 true distinct per group at p=10 (~3.2% sigma): sane band
+      assert(math.abs(r1(s)._4 - 225L) < 40L, s"$s est ${r1(s)._4}")
+    }
+    // at-least-once replay rewrites identical bytes
+    val report1 = spark.read.parquet(s"$out/batch=1").collect().toSet
+    val state1 = spark.read.parquet(s"$st/batch=1").collect().toSet
+    CardinalityStream.hllBatch(spark, b1, 1L, out, st, "src", "v", p = 10)
+    assert(spark.read.parquet(s"$out/batch=1").collect().toSet == report1)
+    assert(spark.read.parquet(s"$st/batch=1").collect().toSet == state1)
+    // a replayed dump DOUBLES dup_ppm's denominator while the
+    // estimate stays put — unlike KMV, linear counting is near-exact
+    // but not exact (200 values into 1024 registers collide ~19
+    // times; the deterministic md5 layout lands on 199), so the
+    // alert contract is: fresh reads ~0, a full replay reads ~½
+    val out2 = tmp(); val st2 = tmp()
+    val fresh = (0 until 200).map(i => ("crawl", s"doc$i")).toDF("src", "v")
+    CardinalityStream.hllBatch(spark, fresh, 0L, out2, st2, "src", "v")
+    CardinalityStream.hllBatch(spark, fresh, 1L, out2, st2, "src", "v")
+    def dup(b: Long) = spark.read.parquet(s"$out2/batch=$b")
+      .select("est_distinct", "dup_ppm").as[(Long, Long)].head()
+    assert(dup(0) == ((199L, 5000L)), s"fresh trigger ${dup(0)}")
+    assert(dup(1) == ((199L, 502500L)), s"replayed trigger ${dup(1)}")
+    // state bounded: register rows per group never exceed 2^p
+    val maxRegs = spark.read.parquet(s"$st/batch=1")
+      .groupBy("src").count().agg(max("count")).as[Long].head()
+    assert(maxRegs <= 1024L, s"register rows must stay bounded, got $maxRegs")
+  }
+
   test("cardinality monitor: a replayed dump trips dup_ppm") {
     import graft.streaming.CardinalityStream
     val out = tmp(); val st = tmp()
