@@ -1379,16 +1379,16 @@ object Analytics {
         |    lead(event_type) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ms(ts) ASC, event_id ASC) AS next_state
         |  FROM events),
-        |c AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+        |c AS MATERIALIZED (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
         |      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2),
-        |tt AS (SELECT state, sum(n) AS tot FROM c GROUP BY 1),
-        |st AS (SELECT state FROM c UNION SELECT next_state FROM c),
-        |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS v FROM st),
+        |tt AS MATERIALIZED (SELECT state, sum(n) AS tot FROM c GROUP BY 1),
+        |st AS MATERIALIZED (SELECT state FROM c UNION SELECT next_state FROM c),
+        |p0 AS MATERIALIZED (SELECT state, CAST(1000000 AS BIGINT) AS v FROM st),
         |i1 AS (SELECT c.next_state AS state,
         |    sum(p0.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p0 ON c.state = p0.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p1 AS (SELECT s.state,
+        |p1 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i1.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p0.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i1 ON s.state = i1.state
@@ -1398,7 +1398,7 @@ object Analytics {
         |    sum(p1.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p1 ON c.state = p1.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p2 AS (SELECT s.state,
+        |p2 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i2.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p1.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i2 ON s.state = i2.state
@@ -1408,7 +1408,7 @@ object Analytics {
         |    sum(p2.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p2 ON c.state = p2.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p3 AS (SELECT s.state,
+        |p3 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i3.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p2.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i3 ON s.state = i3.state
@@ -1418,7 +1418,7 @@ object Analytics {
         |    sum(p3.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p3 ON c.state = p3.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p4 AS (SELECT s.state,
+        |p4 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i4.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p3.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i4 ON s.state = i4.state
@@ -1428,7 +1428,7 @@ object Analytics {
         |    sum(p4.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p4 ON c.state = p4.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p5 AS (SELECT s.state,
+        |p5 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i5.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p4.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i5 ON s.state = i5.state
@@ -1438,7 +1438,7 @@ object Analytics {
         |    sum(p5.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p5 ON c.state = p5.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p6 AS (SELECT s.state,
+        |p6 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i6.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p5.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i6 ON s.state = i6.state
@@ -1448,7 +1448,7 @@ object Analytics {
         |    sum(p6.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p6 ON c.state = p6.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p7 AS (SELECT s.state,
+        |p7 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i7.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p6.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i7 ON s.state = i7.state
@@ -1458,7 +1458,7 @@ object Analytics {
         |    sum(p7.v * c.n // tt.tot) AS inflow
         |  FROM c JOIN p7 ON c.state = p7.state
         |  JOIN tt ON c.state = tt.state GROUP BY 1),
-        |p8 AS (SELECT s.state,
+        |p8 AS MATERIALIZED (SELECT s.state,
         |    coalesce(i8.inflow, 0)
         |      + CASE WHEN tt.tot IS NULL THEN p7.v ELSE 0 END AS v
         |  FROM st s LEFT JOIN i8 ON s.state = i8.state
