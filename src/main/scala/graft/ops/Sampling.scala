@@ -402,6 +402,184 @@ object Sampling {
           - greatest(col("dstart"), col("rstart"))).as("moved"))
   }
 
+  /** Test-injectable failpoint for [[rebalanceExecute]] (the
+    * Retention/Compaction/IVF-vacuum crash-drill discipline): invoked
+    * at `staged`, `before-commit`, `committed`,
+    * `before-swap:<n>` / `swapped:<n>` per shard, and
+    * `before-cleanup`. Production leaves the no-op. */
+  private[graft] var rbFailpoint: String => Unit = _ => ()
+
+  /** EXECUTE a [[rebalancePlan]] against a sharded corpus store laid
+    * out as `root/shard=<n>/…` (one parquet dataset per shard) — the
+    * plan/executor parity step (the A39→A40 compaction convention):
+    * the planner computes who ships how much, this runs it.
+    *
+    * Which docs move is a pure function of the store: each donor
+    * orders its docs by (portable hash of "rb:"+id, id) — a
+    * deterministic pseudo-random shuffle, so the exported prefix is
+    * an unbiased sample, not "the oldest docs" — lays their weights
+    * end-to-end, and the doc whose cumulative start falls inside
+    * receiver r's interval of the donor's plan span moves to r. Doc
+    * granularity means boundaries overshoot by less than one maximum
+    * doc weight, so the post-state is balanced to ±maxDocWeight (and
+    * the executor is a NO-OP when every shard already sits within
+    * maxDocWeight of its target — which makes a re-run after a
+    * completed pass converge instead of ping-ponging sub-doc
+    * residues).
+    *
+    * Durability discipline (single-writer offline slot): all affected
+    * shards' new contents stage under `root/__rb_stage/shard=<n>`,
+    * then a `_COMMIT` marker lands, then each shard swaps (old dir →
+    * `__rb_trash`, staged dir in), then stage+trash purge. Crash
+    * windows, healed by [[recoverRebalance]] (runs first on every
+    * invocation):
+    *  - pre-commit (staging partial or complete, no marker): the
+    *    stage is discarded — originals untouched, the re-run replans
+    *    from scratch.
+    *  - post-commit (marker present, swaps partial): the swaps
+    *    complete from the stage — per shard, idempotently (an
+    *    already-swapped shard is left alone; a half-swapped shard —
+    *    old in trash, staged not yet in — moves the staged dir in).
+    *  - post-swap (cleanup partial): stage remnants and trash purge.
+    *
+    * Scale shape: the manifest and plan are SHARD-grain; the data
+    * work is one scan of affected shards + one hash-ordered window
+    * per donor + the staged rewrites of affected shards only —
+    * untouched shards are never read beyond the manifest scan and
+    * never rewritten.
+    *
+    * @return (docs moved, weight moved) — (0, 0) for a no-op pass
+    */
+  def rebalanceExecute(spark: org.apache.spark.sql.SparkSession,
+                       root: String, idCol: String = "doc_id",
+                       weightExpr: Column = length(col("text")).cast("long"))
+      : (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import graft.util.Fs
+    val f = Fs.fs(spark, root)
+    recoverRebalance(spark, root)
+    val PFX = "shard="
+    val shardIds =
+      if (!f.exists(new Path(root))) Seq.empty[Long]
+      else f.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith(PFX)).map(_.stripPrefix(PFX).toLong).toSeq.sorted
+    if (shardIds.size < 2) return (0L, 0L)
+    val union = shardIds.map { n =>
+      spark.read.parquet(s"$root/$PFX$n").withColumn("__shard", lit(n))
+    }.reduce(_ unionByName _)
+    val weighted = graft.util.Lineage.truncate(
+      union.withColumn("__w", weightExpr))
+    val stats = weighted.agg(max(col("__w")).as("maxw")).first()
+    val maxW = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val manifest = weighted.groupBy("__shard").agg(sum(col("__w")).as("w"))
+    // no-op tolerance: within one doc weight of target everywhere,
+    // moving anything would just shuttle sub-doc residues forever
+    val worst = manifest.crossJoin(
+        broadcast(manifest.agg(sum(col("w")).as("t"), count(lit(1)).as("n"))))
+      .select(abs(col("w") - expr("t div n")).as("d"))
+      .agg(max(col("d"))).first().getLong(0)
+    if (worst <= maxW) return (0L, 0L)
+    val plan = rebalancePlan(manifest, "__shard", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (plan.isEmpty) return (0L, 0L)
+    // per-donor receiver boundaries in interval order (= to_shard-id
+    // order, how the plan's cumulative matching laid them out)
+    val bounds = plan.groupBy(_._1).toSeq.flatMap { case (from, moves) =>
+      var acc = 0L
+      moves.sortBy(_._2).map { case (_, to, amt) =>
+        val lo = acc; acc += amt; (from, to, lo, acc)
+      }
+    }
+    val boundsDf = broadcast(spark.createDataFrame(bounds)
+      .toDF("__from", "__to", "__lo", "__hi"))
+    val donorSet = plan.map(_._1).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard"))
+      .orderBy(graft.util.Hashing.portableHash64(
+        concat(lit("rb:"), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val donors = graft.util.Lineage.truncate(
+      weighted.filter(col("__shard").isin(donorSet.toSeq: _*))
+        .withColumn("__c", coalesce(sum(col("__w")).over(w), lit(0L))))
+    val movedDf = graft.util.Lineage.truncate(
+      donors.join(boundsDf, col("__shard") === col("__from")
+          && col("__c") >= col("__lo") && col("__c") < col("__hi"))
+        .withColumn("__dest", col("__to"))
+        .drop("__from", "__to", "__lo", "__hi"))
+    val movedN = movedDf.count()
+    val movedW = if (movedN == 0) 0L
+      else movedDf.agg(sum(col("__w"))).first().getLong(0)
+    if (movedN == 0) return (0L, 0L)
+    // affected shards: donors lose their moved docs, receivers gain
+    val receiverSet = plan.map(_._2).toSet
+    val stage = new Path(root, "__rb_stage")
+    f.mkdirs(stage)
+    val dataCols = union.columns.filterNot(_ == "__shard").map(col)
+    donorSet.toSeq.sorted.foreach { n =>
+      donors.filter(col("__shard") === n)
+        .join(movedDf.select(col(idCol).as("__mid")),
+          col(idCol) === col("__mid"), "left_anti")
+        .select(dataCols: _*)
+        .write.mode("overwrite").parquet(s"$root/__rb_stage/$PFX$n")
+    }
+    receiverSet.toSeq.sorted.foreach { n =>
+      val incoming = movedDf.filter(col("__dest") === n).select(dataCols: _*)
+      val base =
+        if (donorSet(n)) sys.error(s"shard $n cannot donate and receive")
+        else spark.read.parquet(s"$root/$PFX$n")
+      base.unionByName(incoming)
+        .write.mode("overwrite").parquet(s"$root/__rb_stage/$PFX$n")
+    }
+    rbFailpoint("staged")
+    rbFailpoint("before-commit")
+    val commit = new Path(stage, "_COMMIT")
+    f.create(commit, true).close()
+    rbFailpoint("committed")
+    swapStaged(spark, root)
+    (movedN, movedW)
+  }
+
+  /** Complete the post-commit swaps and purge — shared by the happy
+    * path and recovery. Idempotent per shard. */
+  private def swapStaged(spark: org.apache.spark.sql.SparkSession,
+                         root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = graft.util.Fs.fs(spark, root)
+    val stage = new Path(root, "__rb_stage")
+    val trash = new Path(root, "__rb_trash")
+    f.mkdirs(trash)
+    f.listStatus(stage).map(_.getPath.getName)
+      .filter(_.startsWith("shard=")).sorted.foreach { d =>
+        rbFailpoint(s"before-swap:$d")
+        val live = new Path(root, d)
+        if (f.exists(live) &&
+            !f.rename(live, new Path(trash, d)))
+          throw new java.io.IOException(s"rebalance trash-move of $d failed")
+        if (!f.rename(new Path(stage, d), live))
+          throw new java.io.IOException(s"rebalance swap-in of $d failed")
+        rbFailpoint(s"swapped:$d")
+      }
+    rbFailpoint("before-cleanup")
+    f.delete(stage, true)
+    f.delete(trash, true)
+  }
+
+  /** Heal an interrupted [[rebalanceExecute]] — see its crash-window
+    * contract. @return true if anything was repaired. */
+  def recoverRebalance(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val f = graft.util.Fs.fs(spark, root)
+    val stage = new Path(root, "__rb_stage")
+    val trash = new Path(root, "__rb_trash")
+    if (f.exists(stage)) {
+      if (f.exists(new Path(stage, "_COMMIT"))) swapStaged(spark, root)
+      else { f.delete(stage, true); f.delete(trash, true) }
+      true
+    } else if (f.exists(trash)) { f.delete(trash, true); true }
+    else false
+  }
+
   /** Curriculum ordering — the training-order counterpart of
     * [[shards]]: every doc gets a (band, pos) address where `band` is
     * its quality bucket (integer micro mean-token-length, the

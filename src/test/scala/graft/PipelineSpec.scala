@@ -167,6 +167,62 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((1, 0.0, 0.0)))
   }
 
+  test("shard rebalance executor: balances to one doc weight, conserves content, heals every crash window") {
+    import graft.ops.Sampling
+    val docsBase = graft.util.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    def freshStore(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+      // the gate's hot-shard skew: shards 0-6 light, 7 carries 6/13
+      (0L to 7L).foreach { n =>
+        docsBase.filter(least(pmod(col("doc_id"), lit(13L)), lit(7L)) === n)
+          .write.mode("overwrite").parquet(s"$root/shard=$n")
+      }
+      root
+    }
+    def weights(root: String): Map[Long, Long] =
+      (0L to 7L).map(n => n -> spark.read.parquet(s"$root/shard=$n")
+        .agg(sum(length(col("text")).cast("long"))).first().getLong(0)).toMap
+    def contentSet(root: String): Set[(Long, String)] =
+      (0L to 7L).map(n => spark.read.parquet(s"$root/shard=$n"))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), md5(col("text")))
+        .as[(Long, String)].collect().toSet
+    val maxW = docsBase.agg(max(length(col("text")).cast("long")))
+      .first().getLong(0)
+    val root = freshStore()
+    val before = contentSet(root)
+    val wBefore = weights(root)
+    assert(wBefore.values.max - wBefore.values.min > 3 * maxW,
+      "the fixture must start genuinely skewed or the test is vacuous")
+    val (n1, w1) = Sampling.rebalanceExecute(spark, root)
+    assert(n1 > 0 && w1 > 0)
+    val after = weights(root)
+    val mean = after.values.sum / 8
+    assert(after.values.forall(v => math.abs(v - mean) <= maxW + 1),
+      s"post-plan loads must sit within one doc weight of the mean: $after")
+    assert(contentSet(root) == before, "every doc survives, bytes intact")
+    // a completed pass is a fixpoint: the no-op tolerance stops
+    // sub-doc residues from ping-ponging forever
+    assert(Sampling.rebalanceExecute(spark, root) == ((0L, 0L)))
+    // crash drill: throw at each window, then a plain re-run heals to
+    // a balanced, content-identical store
+    Seq("staged", "committed", "before-swap:shard=0", "swapped:shard=3",
+      "before-cleanup").foreach { window =>
+      val r2 = freshStore()
+      Sampling.rbFailpoint =
+        s => if (s == window) throw new RuntimeException(s"boom at $s")
+      try intercept[RuntimeException](Sampling.rebalanceExecute(spark, r2))
+      finally Sampling.rbFailpoint = _ => ()
+      Sampling.rebalanceExecute(spark, r2)
+      assert(contentSet(r2) == before, s"window $window lost content")
+      val aw = weights(r2)
+      val am = aw.values.sum / 8
+      assert(aw.values.forall(v => math.abs(v - am) <= maxW + 1),
+        s"window $window left an unbalanced store: $aw")
+    }
+  }
+
   test("kneser-ney logprob: hand-computed probabilities, discount beats MLE's p=1 trap") {
     import graft.ops.TextAnalysis
     // corpus bigrams: "a b" x2 (docs 1, 2), "b c" x1, "x y" x1.
