@@ -827,11 +827,34 @@ object Pipeline {
     * accepts `-c`, matching the Replicate CLI's flags).
     */
   def main(args: Array[String]): Unit = {
+    // -rebalance <storeRoot>: run the shard rebalance executor
+    // (Sampling.rebalanceExecute — plan, stage, commit, swap) against
+    // a shard-per-directory corpus store, then exit. The maintenance
+    // arm next to Replicate's -compact/-gc, but corpus-side.
+    args.sliding(2).collectFirst { case Array("-rebalance", p) => p }
+      .foreach { storeRoot =>
+        val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString)
+        val s = SparkSession.builder()
+          .master(s"local[$cpus0]")
+          .config("spark.sql.shuffle.partitions", cpus0)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        val (n, w) = graft.ops.Sampling.rebalanceExecute(s, storeRoot)
+        println(s"""{"moved_docs":$n,"moved_weight":$w}""")
+        s.stop()
+        sys.exit(0)
+      }
     val cfgPath = args.sliding(2).collectFirst {
       case Array("-cfg", p) => p
       case Array("-c", p) => p
     }.getOrElse {
-      System.err.println("usage: graft.Pipeline -cfg <pipeline.json>")
+      System.err.println(
+        "usage: graft.Pipeline -cfg <pipeline.json> | -rebalance <storeRoot>")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
