@@ -368,6 +368,91 @@ object Stats {
     * calendar, not the data (the dedup_threshold_curve class), so the
     * partition-less windows are over a provably tiny relation.
     */
+  /** CUPED-adjusted cohort comparison per group (Deng, Xu, Kohavi &
+    * Walker, WSDM'13 — Controlled-experiment Using Pre-Experiment
+    * Data) — the variance-reduction standard every large
+    * experimentation platform runs: a user's PRE-period behavior
+    * predicts their post-period metric, so subtracting
+    * θ·(x − x̄) from each user's y removes the predictable
+    * between-user variance (θ = pooled cov(x,y)/var(x), the OLS
+    * slope), shrinking the standard error by the factor √(1−ρ²)
+    * without biasing the treatment contrast — the same experiment
+    * detects effects ~1/√(1−ρ²) smaller, or needs proportionally
+    * fewer users.
+    *
+    * Input is USER-grain (one row per (group, user): cohort flag,
+    * exact pre-metric x, exact post-metric y — the caller aggregates
+    * raw events to users first, which is also where the cents
+    * quantization happens). θ is pooled across both cohorts (the
+    * published estimator — computing it per cohort would re-introduce
+    * a bias term); adjusted means and the per-cohort adjusted
+    * variance s²_y − 2θ·s_xy + θ²·s²_x come from the same exact
+    * DECIMAL moment set (n, Σx, Σy, Σxy, Σx², Σy² per cohort — ONE
+    * conditional partial aggregation), evaluated in double with the
+    * identical expression on both engines. Degenerate groups (a
+    * cohort with n < 2, or pooled var(x) = 0 → θ undefined) emit
+    * NULL z; θ itself is published micro-quantized for auditability.
+    *
+    * Scale shape: one partial aggregation over the user-grain input
+    * to |groups|·2 cells; zero joins, zero windows (the user-grain
+    * derivation upstream is the caller's one groupBy).
+    */
+  def cuped(df: DataFrame, groupCol: String, cohortCol: Column,
+            xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(20,0)")
+    val y = yCol.cast("decimal(20,0)")
+    val b = cohortCol.cast("boolean")
+    def cell(c: Boolean, sfx: String) = Seq(
+      sum(when(b === c, lit(1L)).otherwise(0L)).cast("decimal(20,0)")
+        .as(s"n$sfx"),
+      sum(when(b === c, x).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"sx$sfx"),
+      sum(when(b === c, y).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"sy$sfx"),
+      sum(when(b === c, x * y).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"sxy$sfx"),
+      sum(when(b === c, x * x).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"sxx$sfx"),
+      sum(when(b === c, y * y).otherwise(lit(0L).cast("decimal(20,0)")))
+        .as(s"syy$sfx"))
+    val aggs = cell(false, "a") ++ cell(true, "b")
+    val sums = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    // pooled θ numera/denominator stay EXACT in DECIMAL before the cast
+    val n = (col("na") + col("nb"))
+    val sx = (col("sxa") + col("sxb")); val sy = (col("sya") + col("syb"))
+    val sxy = (col("sxya") + col("sxyb"))
+    val sxx = (col("sxxa") + col("sxxb"))
+    val thNum = (n * sxy - sx * sy).cast("double")
+    val thDen = (n * sxx - sx * sx).cast("double")
+    def d(c: Column) = c.cast("double")
+    val theta = thNum / thDen
+    def meanAdj(sfx: String) =
+      d(col(s"sy$sfx")) / d(col(s"n$sfx")) -
+        theta * (d(col(s"sx$sfx")) / d(col(s"n$sfx")))
+    // per-cohort adjusted variance of the MEAN:
+    // (Syy − 2θ·Sxy + θ²·Sxx) / (n·(n−1)) with S.. the centered
+    // cross-moments n·Σab − Σa·Σb, over n² to normalize
+    def varAdj(sfx: String) = {
+      val nn = col(s"n$sfx")
+      val cyy = (nn * col(s"syy$sfx") - col(s"sy$sfx") * col(s"sy$sfx"))
+      val cxy = (nn * col(s"sxy$sfx") - col(s"sx$sfx") * col(s"sy$sfx"))
+      val cxx = (nn * col(s"sxx$sfx") - col(s"sx$sfx") * col(s"sx$sfx"))
+      (d(cyy) - lit(2d) * theta * d(cxy) + theta * theta * d(cxx)) /
+        (d(nn) * d(nn) * (d(nn) - lit(1d)))
+    }
+    val diff = meanAdj("b") - meanAdj("a")
+    sums.select(col("grp").as(groupCol),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(col("na") < 2L || col("nb") < 2L || thDen === 0d, lit(null))
+        .otherwise(round(theta * 1e6)).cast("long").as("theta_micro"),
+      when(col("na") < 2L || col("nb") < 2L || thDen === 0d, lit(null))
+        .otherwise(round(diff * 1e6)).cast("long").as("diff_adj_micro"),
+      when(col("na") < 2L || col("nb") < 2L || thDen === 0d, lit(null))
+        .otherwise(round(diff / sqrt(varAdj("a") + varAdj("b")) * 1e6))
+        .cast("long").as("z_micro"))
+  }
+
   /** Minimum detectable effect per group — the PLANNING readout of
     * the test family: before an experiment runs (or when one "came
     * back flat"), what mean shift COULD these cohort sizes and this

@@ -1029,7 +1029,35 @@ object Analytics {
       "event_type", col("user_id") % 2 === 1,
       round(col("value") * 100).cast("long"))
 
+  /** CUPED-adjusted comparison per event type (B60;
+    * graft.ops.Stats.cuped): users aggregate to exact pre/post cent
+    * sums around the broadcast time midpoint (users with no pre rows
+    * carry x = 0 — the published convention), a +200.00 post-period
+    * shift plants the treatment effect (user-level sums carry ~250.00
+    * of between-user noise, so a small plant would drown), and the
+    * pooled-θ adjustment
+    * chain replays bit-for-bit.
+    */
+  def qCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val mid = base.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("mid"))
+    val users = base.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        sum(when(col("ts_ms") < col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+        (sum(when(col("ts_ms") >= col("mid"), col("cents")).otherwise(0L))
+          + when(col("user_id") % 2 === 1, 20000L).otherwise(0L)).as("y"))
+    graft.ops.Stats.cuped(users, "event_type",
+      col("user_id") % 2 === 1, col("x"), col("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cuped" -> qCuped,
     "q_mde" -> qMde,
     "q_ks_test" -> qKsTest,
     "q_markov_stationary" -> qMarkovStationary,
@@ -1092,6 +1120,65 @@ object Analytics {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_cuped" ->
+      """WITH b AS (SELECT event_type AS grp, user_id,
+        |        CAST(round(value * 100) AS BIGINT) AS cents,
+        |        epoch_ms(ts) AS ts_ms
+        |      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |mm AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |u AS (SELECT grp, user_id, user_id % 2 = 1 AS t,
+        |        sum(CASE WHEN ts_ms < mm.mid THEN cents ELSE 0 END) AS x,
+        |        sum(CASE WHEN ts_ms >= mm.mid THEN cents ELSE 0 END)
+        |          + CASE WHEN user_id % 2 = 1 THEN 20000 ELSE 0 END AS y
+        |      FROM b, mm GROUP BY 1, 2, 3),
+        |s AS (SELECT grp,
+        |   CAST(count(*) FILTER (WHERE NOT t) AS BIGINT) AS na,
+        |   sum(x) FILTER (WHERE NOT t) AS sxa,
+        |   sum(y) FILTER (WHERE NOT t) AS sya,
+        |   sum(x*y) FILTER (WHERE NOT t) AS sxya,
+        |   sum(x*x) FILTER (WHERE NOT t) AS sxxa,
+        |   sum(y*y) FILTER (WHERE NOT t) AS syya,
+        |   CAST(count(*) FILTER (WHERE t) AS BIGINT) AS nb,
+        |   sum(x) FILTER (WHERE t) AS sxb,
+        |   sum(y) FILTER (WHERE t) AS syb,
+        |   sum(x*y) FILTER (WHERE t) AS sxyb,
+        |   sum(x*x) FILTER (WHERE t) AS sxxb,
+        |   sum(y*y) FILTER (WHERE t) AS syyb
+        | FROM u GROUP BY 1),
+        |d AS (SELECT grp, na, nb,
+        |   CAST((na+nb)*(sxya+sxyb) - (sxa+sxb)*(sya+syb) AS DOUBLE)
+        |     / CAST((na+nb)*(sxxa+sxxb) - (sxa+sxb)*(sxa+sxb) AS DOUBLE)
+        |     AS theta,
+        |   CAST((na+nb)*(sxxa+sxxb) - (sxa+sxb)*(sxa+sxb) AS DOUBLE)
+        |     AS thden,
+        |   sxa, sya, sxya, sxxa, syya, sxb, syb, sxyb, sxxb, syyb
+        | FROM s),
+        |e AS (SELECT grp, na, nb, theta, thden,
+        |   (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |     - theta * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |   - (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - theta * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)))
+        |     AS diff,
+        |   (CAST(na*syya - sya*sya AS DOUBLE)
+        |     - 2 * theta * CAST(na*sxya - sxa*sya AS DOUBLE)
+        |     + theta * theta * CAST(na*sxxa - sxa*sxa AS DOUBLE))
+        |    / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+        |       * (CAST(na AS DOUBLE) - 1)) AS va,
+        |   (CAST(nb*syyb - syb*syb AS DOUBLE)
+        |     - 2 * theta * CAST(nb*sxyb - sxb*syb AS DOUBLE)
+        |     + theta * theta * CAST(nb*sxxb - sxb*sxb AS DOUBLE))
+        |    / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+        |       * (CAST(nb AS DOUBLE) - 1)) AS vb
+        | FROM d)
+        |SELECT grp AS event_type, na AS n_a, nb AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR thden = 0 THEN NULL
+        |       ELSE CAST(round(theta * 1e6) AS BIGINT) END AS theta_micro,
+        |  CASE WHEN na < 2 OR nb < 2 OR thden = 0 THEN NULL
+        |       ELSE CAST(round(diff * 1e6) AS BIGINT) END AS diff_adj_micro,
+        |  CASE WHEN na < 2 OR nb < 2 OR thden = 0 THEN NULL
+        |       ELSE CAST(round(diff / sqrt(va + vb) * 1e6) AS BIGINT)
+        |  END AS z_micro
+        |FROM e""".stripMargin,
     "q_mde" ->
       """WITH e AS (SELECT event_type AS grp, user_id % 2 = 1 AS b,
         |        CAST(round(value * 100) AS BIGINT) AS y

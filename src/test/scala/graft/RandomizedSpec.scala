@@ -1859,6 +1859,70 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("cuped equals the pooled-theta reference and beats raw Welch on correlated panels") {
+    val rnd = new Random(2013)
+    (1 to rounds).foreach { round =>
+      // correlated panel: y = x + noise (+ planted lift on treatment),
+      // the regime CUPED exists for
+      val rows = Seq.fill(rnd.nextInt(200) + 10) {
+        val t = rnd.nextBoolean()
+        val x = rnd.nextInt(5000).toLong
+        val y = x + rnd.nextInt(800) + (if (t) 300L else 0L)
+        ("g" + rnd.nextInt(2), t, x, y)
+      }
+      val got = graft.ops.Stats.cuped(
+          rows.toDF("grp", "t", "x", "y"), "grp", col("t"),
+          col("x"), col("y"))
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(!_._2); val bb = rs.filter(_._2)
+        val r = got(g)
+        assert((r._2, r._3) == ((a.size.toLong, bb.size.toLong)))
+        if (a.size < 2 || bb.size < 2) assert(r._6.isEmpty)
+        else {
+          def mm(c: Seq[(String, Boolean, Long, Long)]) = (
+            c.size.toLong, c.map(_._3).sum, c.map(_._4).sum,
+            c.map(v => v._3 * v._4).sum, c.map(v => v._3 * v._3).sum,
+            c.map(v => v._4 * v._4).sum)
+          val (na, sxa, sya, sxya, sxxa, syya) = mm(a)
+          val (nb, sxb, syb, sxyb, sxxb, syyb) = mm(bb)
+          val n = na + nb
+          val thden = (n * (sxxa + sxxb)
+            - (sxa + sxb) * (sxa + sxb)).toDouble
+          if (thden == 0) assert(r._6.isEmpty)
+          else {
+            val theta = (n * (sxya + sxyb)
+              - (sxa + sxb) * (sya + syb)).toDouble / thden
+            def madj(sy: Long, sx: Long, nn: Long) =
+              sy.toDouble / nn.toDouble - theta * (sx.toDouble / nn.toDouble)
+            val diff = madj(syb, sxb, nb) - madj(sya, sxa, na)
+            def vadj(nn: Long, sx: Long, sy: Long, sxy: Long,
+                     sxx: Long, syy: Long) =
+              ((nn * syy - sy * sy).toDouble
+                - 2 * theta * (nn * sxy - sx * sy).toDouble
+                + theta * theta * (nn * sxx - sx * sx).toDouble) /
+                (nn.toDouble * nn.toDouble * (nn.toDouble - 1))
+            val z = diff / math.sqrt(
+              vadj(na, sxa, sya, sxya, sxxa, syya)
+                + vadj(nb, sxb, syb, sxyb, sxxb, syyb))
+            assert(r._4.contains(math.round(theta * 1e6)),
+              s"round=$round $g theta diverged")
+            assert(r._5.contains(math.round(diff * 1e6)))
+            assert(r._6.contains(math.round(z * 1e6)),
+              s"round=$round $g z diverged")
+            // the point of CUPED: on this correlated panel the
+            // adjusted variance must undercut the raw y variance
+            val rawVa = (na * syya - sya * sya).toDouble /
+              (na.toDouble * na * (na - 1))
+            assert(vadj(na, sxa, sya, sxya, sxxa, syya) < rawVa,
+              s"round=$round $g: adjustment must reduce variance")
+          }
+        }
+      }
+    }
+  }
+
   test("mde equals the power-formula reference on random cohorts") {
     val rnd = new Random(2080)
     (1 to rounds).foreach { round =>
