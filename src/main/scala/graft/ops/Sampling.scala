@@ -402,6 +402,43 @@ object Sampling {
           - greatest(col("dstart"), col("rstart"))).as("moved"))
   }
 
+  /** Per-shard weight sidecar persisted as `shard=<n>/_WEIGHT` (an
+    * underscore name, so Spark's parquet reader skips it): the shard's
+    * total weight, max single-doc weight, and doc count, stamped with
+    * a listing-only (fileCount, byteSum) fingerprint of the data
+    * files it was computed from. A sidecar whose fingerprint no
+    * longer matches the dir is stale (someone rewrote the shard) and
+    * is rescanned, never trusted. */
+  private[graft] case class ShardWeight(w: Long, maxw: Long, n: Long,
+                                        files: Long, bytes: Long)
+
+  /** Metadata fingerprint of a shard dir's DATA files (skips `_`/`.`
+    * names — sidecars, markers, checksums): (count, total bytes).
+    * Listing only; no file is opened. */
+  private def shardFingerprint(f: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val data = f.listStatus(dir).filter { s =>
+      val nm = s.getPath.getName
+      s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
+    (data.length.toLong, data.map(_.getLen).sum)
+  }
+
+  private[graft] def readShardWeight(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Option[ShardWeight] =
+    graft.util.Fs.readSmallText(spark, dir, "_WEIGHT").flatMap { s =>
+      try {
+        val m = s.split("\\s+").map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v.toLong }.toMap
+        Some(ShardWeight(m("w"), m("maxw"), m("n"), m("files"), m("bytes")))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private[graft] def writeShardWeight(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, e: ShardWeight): Unit =
+    graft.util.Fs.writeSmallText(spark, dir, "_WEIGHT",
+      s"w=${e.w} maxw=${e.maxw} n=${e.n} files=${e.files} bytes=${e.bytes}")
+
   /** Test-injectable failpoint for [[rebalanceExecute]] (the
     * Retention/Compaction/IVF-vacuum crash-drill discipline): invoked
     * at `staged`, `before-commit`, `committed`,
@@ -442,11 +479,30 @@ object Sampling {
     *    old in trash, staged not yet in — moves the staged dir in).
     *  - post-swap (cleanup partial): stage remnants and trash purge.
     *
-    * Scale shape: the manifest and plan are SHARD-grain; the data
-    * work is one scan of affected shards + one hash-ordered window
-    * per donor + the staged rewrites of affected shards only —
-    * untouched shards are never read beyond the manifest scan and
-    * never rewritten.
+    * Scale shape: the manifest, the no-op check, and the plan are
+    * METADATA-grain — per-shard totals come from a tiny `_WEIGHT`
+    * sidecar inside each `shard=<n>` dir (Spark ignores
+    * underscore-prefixed files), validated against a listing-only
+    * (fileCount, byteSum) fingerprint of the data files so a sidecar
+    * left by anything other than the current bytes is rejected, not
+    * trusted. Only a shard with a missing/stale sidecar pays a
+    * (one-off, that-shard-only) bootstrap scan, which rewrites its
+    * sidecar — so a steady-state pass, and in particular a NO-OP
+    * pass, opens ZERO data files. Data reads start only once a plan
+    * exists and touch AFFECTED shards only: donors for move
+    * selection (the one step that genuinely needs per-doc weights)
+    * plus receivers for the staged union rewrite; every staged dir
+    * gets an exact fresh sidecar before commit so the swap keeps the
+    * store metadata-grain for the next pass. Untouched shards are
+    * never opened and never rewritten.
+    *
+    * Id discipline: a donor's kept set is "its docs minus its moved
+    * ids" (a donor-scoped anti-join), so `idCol` must be non-NULL and
+    * unique WITHIN each donor — NULL never equals itself (the doc
+    * would be kept AND shipped: duplication) and a duplicate would
+    * drop an innocent sibling of a moved doc (loss). The executor
+    * validates both over the donors it already scans and aborts
+    * loudly before any rewrite.
     *
     * @return (docs moved, weight moved) — (0, 0) for a no-op pass
     */
@@ -464,21 +520,34 @@ object Sampling {
       else f.listStatus(new Path(root)).map(_.getPath.getName)
         .filter(_.startsWith(PFX)).map(_.stripPrefix(PFX).toLong).toSeq.sorted
     if (shardIds.size < 2) return (0L, 0L)
-    val union = shardIds.map { n =>
-      spark.read.parquet(s"$root/$PFX$n").withColumn("__shard", lit(n))
-    }.reduce(_ unionByName _)
-    val weighted = graft.util.Lineage.truncate(
-      union.withColumn("__w", weightExpr))
-    val stats = weighted.agg(max(col("__w")).as("maxw")).first()
-    val maxW = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val manifest = weighted.groupBy("__shard").agg(sum(col("__w")).as("w"))
+    // MANIFEST — metadata-grain: fingerprint-checked sidecar totals;
+    // only a missing/stale sidecar bootstraps from a scan of THAT
+    // shard (and rewrites it). Steady-state opens zero data files.
+    val weights: Seq[(Long, ShardWeight)] = shardIds.map { n =>
+      val dir = s"$root/$PFX$n"
+      val fp = shardFingerprint(f, new Path(dir))
+      val e = readShardWeight(spark, dir)
+        .filter(sw => sw.files == fp._1 && sw.bytes == fp._2)
+        .getOrElse {
+          val r = spark.read.parquet(dir).select(weightExpr.as("__w"))
+            .agg(sum(col("__w")), max(col("__w")), count(lit(1))).first()
+          val sw = ShardWeight(
+            if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            r.getLong(2), fp._1, fp._2)
+          writeShardWeight(spark, dir, sw)
+          sw
+        }
+      (n, e)
+    }
+    val maxW = weights.map(_._2.maxw).max
+    val target = weights.map(_._2.w).sum / weights.size
     // no-op tolerance: within one doc weight of target everywhere,
     // moving anything would just shuttle sub-doc residues forever
-    val worst = manifest.crossJoin(
-        broadcast(manifest.agg(sum(col("w")).as("t"), count(lit(1)).as("n"))))
-      .select(abs(col("w") - expr("t div n")).as("d"))
-      .agg(max(col("d"))).first().getLong(0)
-    if (worst <= maxW) return (0L, 0L)
+    if (weights.map(e => math.abs(e._2.w - target)).max <= maxW)
+      return (0L, 0L)
+    val manifest = spark.createDataFrame(
+        weights.map { case (n, e) => (n, e.w) }).toDF("__shard", "w")
     val plan = rebalancePlan(manifest, "__shard", "w")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     if (plan.isEmpty) return (0L, 0L)
@@ -493,14 +562,32 @@ object Sampling {
     val boundsDf = broadcast(spark.createDataFrame(bounds)
       .toDF("__from", "__to", "__lo", "__hi"))
     val donorSet = plan.map(_._1).toSet
+    // DATA reads start here and touch AFFECTED shards only. Donors
+    // first: per-doc weights for move selection, plus the loud id
+    // guard (see the id-discipline contract above).
+    val donorsRaw = donorSet.toSeq.sorted.map { n =>
+      spark.read.parquet(s"$root/$PFX$n").withColumn("__shard", lit(n))
+    }.reduce(_ unionByName _)
+    val dataCols = donorsRaw.columns.filterNot(_ == "__shard").map(col).toIndexedSeq
+    val weighted = graft.util.Lineage.truncate(
+      donorsRaw.withColumn("__w", weightExpr))
+    val badIds = weighted.groupBy("__shard")
+      .agg(count(lit(1)).as("c"), count(col(idCol)).as("cnn"),
+        countDistinct(col(idCol)).as("cd"))
+      .filter(col("c") =!= col("cnn") || col("c") =!= col("cd"))
+      .collect()
+    if (badIds.nonEmpty)
+      sys.error(s"rebalanceExecute: NULL or duplicate '$idCol' in donor " +
+        "shard(s) — refusing to rewrite: " +
+        badIds.map(r => s"shard=${r.getLong(0)} rows=${r.getLong(1)} " +
+          s"nonNull=${r.getLong(2)} distinct=${r.getLong(3)}").mkString("; "))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard"))
       .orderBy(graft.util.Hashing.portableHash64(
         concat(lit("rb:"), col(idCol).cast("string"))), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val donors = graft.util.Lineage.truncate(
-      weighted.filter(col("__shard").isin(donorSet.toSeq: _*))
-        .withColumn("__c", coalesce(sum(col("__w")).over(w), lit(0L))))
+      weighted.withColumn("__c", coalesce(sum(col("__w")).over(w), lit(0L))))
     val movedDf = graft.util.Lineage.truncate(
       donors.join(boundsDf, col("__shard") === col("__from")
           && col("__c") >= col("__lo") && col("__c") < col("__hi"))
@@ -514,10 +601,13 @@ object Sampling {
     val receiverSet = plan.map(_._2).toSet
     val stage = new Path(root, "__rb_stage")
     f.mkdirs(stage)
-    val dataCols = union.columns.filterNot(_ == "__shard").map(col)
     donorSet.toSeq.sorted.foreach { n =>
+      // anti-join scoped to THIS donor's moved ids — an id that also
+      // appears in another shard's moved set must not evict its
+      // innocent local namesake
       donors.filter(col("__shard") === n)
-        .join(movedDf.select(col(idCol).as("__mid")),
+        .join(movedDf.filter(col("__shard") === n)
+            .select(col(idCol).as("__mid")),
           col(idCol) === col("__mid"), "left_anti")
         .select(dataCols: _*)
         .write.mode("overwrite").parquet(s"$root/__rb_stage/$PFX$n")
@@ -529,6 +619,19 @@ object Sampling {
         else spark.read.parquet(s"$root/$PFX$n")
       base.unionByName(incoming)
         .write.mode("overwrite").parquet(s"$root/__rb_stage/$PFX$n")
+    }
+    // exact fresh sidecars for every staged dir, so the swap keeps
+    // the store metadata-grain for the next pass (affected-shard-
+    // grain re-read of the staged bytes just written)
+    (donorSet ++ receiverSet).toSeq.sorted.foreach { n =>
+      val dir = s"$root/__rb_stage/$PFX$n"
+      val r = spark.read.parquet(dir).select(weightExpr.as("__w"))
+        .agg(sum(col("__w")), max(col("__w")), count(lit(1))).first()
+      val fp = shardFingerprint(f, new Path(dir))
+      writeShardWeight(spark, dir, ShardWeight(
+        if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        r.getLong(2), fp._1, fp._2))
     }
     rbFailpoint("staged")
     rbFailpoint("before-commit")

@@ -223,6 +223,70 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shard rebalance executor: no-op pass is metadata-only, stale sidecars rescan, bad ids abort") {
+    import graft.ops.Sampling
+    val docsBase = graft.util.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val root = java.nio.file.Files.createTempDirectory("graft-rb2").toString
+    (0L to 7L).foreach { n =>
+      docsBase.filter(least(pmod(col("doc_id"), lit(13L)), lit(7L)) === n)
+        .write.mode("overwrite").parquet(s"$root/shard=$n")
+    }
+    val (n1, _) = Sampling.rebalanceExecute(spark, root)
+    assert(n1 > 0)
+    // every shard now carries a fingerprint-valid _WEIGHT sidecar
+    (0L to 7L).foreach { n =>
+      assert(Sampling.readShardWeight(spark, s"$root/shard=$n").nonEmpty,
+        s"shard $n is missing its sidecar after the pass")
+    }
+    // PROOF the no-op pass opens zero data files: overwrite every
+    // parquet part with same-length garbage (the fingerprint — file
+    // count + byte sum — is unchanged, the contents are unreadable);
+    // a pass that opened any data file would throw on the footer
+    (0L to 7L).foreach { n =>
+      val dir = java.nio.file.Paths.get(root, s"shard=$n")
+      java.nio.file.Files.list(dir).forEach { p =>
+        val name = p.getFileName.toString
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          val len = java.nio.file.Files.size(p).toInt
+          java.nio.file.Files.write(p, Array.fill[Byte](len)(0x47))
+        }
+      }
+    }
+    assert(Sampling.rebalanceExecute(spark, root) == ((0L, 0L)),
+      "a balanced store with valid sidecars must no-op without reading data")
+    // a STALE sidecar (fingerprint mismatch) is rescanned, not trusted:
+    // restore shard 0's data, plant a sidecar claiming absurd weight
+    // with a wrong fingerprint — the pass must rescan and rewrite it
+    val r2 = java.nio.file.Files.createTempDirectory("graft-rb3").toString
+    (0L to 2L).foreach { n =>
+      docsBase.filter(pmod(col("doc_id"), lit(3L)) === n)
+        .write.mode("overwrite").parquet(s"$r2/shard=$n")
+    }
+    graft.util.Fs.writeSmallText(spark, s"$r2/shard=0", "_WEIGHT",
+      "w=999999999 maxw=1 n=1 files=999 bytes=999")
+    Sampling.rebalanceExecute(spark, r2) // must not trust the planted totals
+    val sw0 = Sampling.readShardWeight(spark, s"$r2/shard=0").get
+    assert(sw0.w != 999999999L && sw0.files != 999L,
+      "the stale sidecar must have been rescanned and rewritten")
+    // id guards: a duplicate id inside a donor aborts loudly before
+    // any rewrite; so does a NULL id
+    val r3 = java.nio.file.Files.createTempDirectory("graft-rb4").toString
+    val heavy = docsBase.filter(col("doc_id") < 40)
+    heavy.unionByName(heavy.limit(5)) // 5 duplicate ids in the donor
+      .write.mode("overwrite").parquet(s"$r3/shard=0")
+    docsBase.filter(col("doc_id") === 100).write.parquet(s"$r3/shard=1")
+    val eDup = intercept[RuntimeException](Sampling.rebalanceExecute(spark, r3))
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    val r4 = java.nio.file.Files.createTempDirectory("graft-rb5").toString
+    heavy.unionByName(heavy.limit(3).select(
+        lit(null).cast("long").as("doc_id"), col("text"), col("lang")))
+      .write.mode("overwrite").parquet(s"$r4/shard=0")
+    docsBase.filter(col("doc_id") === 100).write.parquet(s"$r4/shard=1")
+    val eNull = intercept[RuntimeException](Sampling.rebalanceExecute(spark, r4))
+    assert(eNull.getMessage.contains("NULL or duplicate"), eNull.getMessage)
+  }
+
   test("kneser-ney logprob: hand-computed probabilities, discount beats MLE's p=1 trap") {
     import graft.ops.TextAnalysis
     // corpus bigrams: "a b" x2 (docs 1, 2), "b c" x1, "x y" x1.
