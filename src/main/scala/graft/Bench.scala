@@ -36,6 +36,7 @@ object Bench {
     import org.apache.spark.sql.functions.{md5 => smd5, col => scol, broadcast => sbc}
     // warmup must never kill the run — a missing table would otherwise
     // crash before the contract JSON line is emitted
+    errTail.mark("[bench] begin _warmup")
     try {
       spark.range(1000000).select(smd5(scol("id").cast("string")).as("h"))
         .filter(scol("h") > "a").count()
@@ -51,7 +52,7 @@ object Bench {
         graft.queries.PipelineQueries.dedupMinhashQ(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
+    } finally errTail.endMark("[bench] end _warmup")
     // Reset between trials: drop whatever cached blocks a previous
     // trial left behind (warmup residue, any operator persists) and
     // collect garbage OUTSIDE the timed region — a later query must
@@ -74,6 +75,11 @@ object Bench {
     spark.sparkContext.addSparkListener(be.listener)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       be.currentQuery = name
+      // lazy phase markers: anything logged to stderr during this query
+      // — including ANALYSIS-time stacks, which have no job and so no
+      // job-group attribution — lands between named begin/end lines in
+      // the file twin's stderr_tail; a silent query emits neither
+      errTail.mark(s"[bench] begin $name")
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       // a failed query reports -1, not a misleading elapsed time
@@ -83,6 +89,7 @@ object Bench {
           recordError(name, e); false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.sparkContext.clearJobGroup()
+      errTail.endMark(s"[bench] end $name")
       be.currentQuery = "_between"
       dt
     }

@@ -21,13 +21,22 @@ import org.apache.spark.TaskFailedReason
 final class TailStream(underlying: OutputStream, cap: Int)
     extends OutputStream {
   private val buf = new java.lang.StringBuilder
+  private var pending: String = null
   private def keep(): Unit =
     if (buf.length > cap * 2) buf.delete(0, buf.length - cap)
+  private def emit(line: String): Unit = {
+    val bs = (line + "\n").getBytes(StandardCharsets.UTF_8)
+    underlying.write(bs, 0, bs.length)
+    buf.append(line).append('\n'); keep()
+  }
+  private def drainMark(): Unit =
+    if (pending != null) { val m = pending; pending = null; emit(m) }
   override def write(b: Int): Unit = synchronized {
-    underlying.write(b); buf.append(b.toChar); keep()
+    drainMark(); underlying.write(b); buf.append(b.toChar); keep()
   }
   override def write(b: Array[Byte], off: Int, len: Int): Unit =
     synchronized {
+      drainMark()
       underlying.write(b, off, len)
       buf.append(new String(b, off, len, StandardCharsets.UTF_8)); keep()
     }
@@ -35,6 +44,22 @@ final class TailStream(underlying: OutputStream, cap: Int)
   def tail: String = synchronized {
     val s = buf.toString
     if (s.length > cap) s.substring(s.length - cap) else s
+  }
+
+  /** LAZY phase marker: `label` is written (to the wrapped stream AND
+    * the tail) only when — and immediately before — the next real byte
+    * arrives, so a silent phase costs zero tail bytes (hundreds of
+    * begin/end lines must not evict the one stack that matters) while
+    * any logged output still opens with its owning phase's name.
+    */
+  def mark(label: String): Unit = synchronized { pending = label }
+
+  /** Close the current phase: if [[mark]]'s label was never drained
+    * (nothing logged), both markers vanish; otherwise the closing
+    * label lands after the phase's output, bracketing it by name.
+    */
+  def endMark(label: String): Unit = synchronized {
+    if (pending != null) pending = null else emit(label)
   }
 }
 

@@ -20,6 +20,34 @@ class BenchReportSpec extends SparkSpec {
     assert(t.length <= 16 && t.endsWith("uvwxyz"), t)
   }
 
+  test("lazy phase markers bracket logged output and vanish for silent phases") {
+    val bos = new java.io.ByteArrayOutputStream
+    val ts = new TailStream(bos, 4000)
+    val ps = new java.io.PrintStream(ts, true, "UTF-8")
+    // silent phase: neither marker may appear (hundreds of begin/end
+    // lines would evict the one stack that matters from the tail)
+    ts.mark("[bench] begin q_silent")
+    ts.endMark("[bench] end q_silent")
+    assert(ts.tail.isEmpty && bos.size() == 0, ts.tail)
+    // a phase that logs an (absorbed, analysis-time — no job, so no
+    // job-group attribution) stack: the stack must land BETWEEN its
+    // own named markers, attributable from the file twin alone
+    ts.mark("[bench] begin q_noisy")
+    ps.println("java.lang.RuntimeException: boom")
+    ps.println("  at org.apache.spark.sql.catalyst.analysis.Analyzer")
+    ts.endMark("[bench] end q_noisy")
+    ts.mark("[bench] begin q_after_silent")
+    ts.endMark("[bench] end q_after_silent")
+    val t = ts.tail
+    val begin = t.indexOf("[bench] begin q_noisy")
+    val stack = t.indexOf("RuntimeException: boom")
+    val end = t.indexOf("[bench] end q_noisy")
+    assert(begin >= 0 && stack > begin && end > stack, t)
+    assert(!t.contains("q_silent") && !t.contains("q_after_silent"), t)
+    // passthrough holds: the wrapped stream saw the same bracketed text
+    assert(bos.toString("UTF-8") == t, bos.toString("UTF-8"))
+  }
+
   test("recordLine keeps the first error and counts repeats") {
     val be = new BenchErrors
     be.recordLine("q", "a"); be.recordLine("q", "b"); be.recordLine("q", "c")
