@@ -539,9 +539,14 @@ object Pipeline {
     *
     * Costs are MEASURED, not assumed (the r13-verdict ask): each
     * filter's probe count is timed (min of 3 — the min sheds the
-    * first run's codegen compile and scheduler jitter), and since
-    * every filter in a run probes the same input, the time ratio IS
-    * the per-row cost ratio. Raw nanoseconds would make planning
+    * first run's codegen compile and scheduler jitter), a no-op count
+    * of the same input is timed once per run as the baseline, and the
+    * baseline is SUBTRACTED before bucketing — every probe pays the
+    * same scan/deserialize floor, so the subtracted times isolate
+    * filter work and their ratio is the per-row cost ratio (without
+    * the subtraction a scan-dominated probe compresses genuinely
+    * different filter costs into one bucket). Raw nanoseconds would
+    * make planning
     * nondeterministic, so measured costs quantize to the power-of-2
     * ratio over the run's cheapest filter — timing noise under ~40%
     * never flips a bucket — and the static [[stageCost]] table
@@ -592,11 +597,17 @@ object Pipeline {
         while (j < nodes.size && reorderableOps(ops(j))) j += 1
         val run = i until j
         if (run.size >= 2 && curN > 0) {
+          // the shared scan/deserialize floor, timed once per run on a
+          // no-op count of the same input and subtracted from every
+          // filter probe below; a filter whose work disappears into
+          // the floor lands under MIN_PROBE_NS and the run falls back
+          // to the static table (jitter is not evidence)
+          val baseNs = probe("__baseline", () => cur.count())._2
           // probe each filter in original order: kept-count + timing
           val measured = run.map { idx =>
             val df = applyStage(cur, ops(idx), nodes(idx), textCol, idCol)
             val (kept, ns) = probe(ops(idx), () => df.count())
-            (idx, kept, math.max(ns, 1L))
+            (idx, kept, math.max(ns - baseNs, 1L))
           }
           val minNs = measured.map(_._3).min
           val costOf: Map[Int, Long] =

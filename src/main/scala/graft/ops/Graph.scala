@@ -629,12 +629,13 @@ object Graph {
     // Probe fusion: every iterative step pipes its convergence metric
     // (count / count+xor set checksum) through `observe`, so the SAME
     // job that materializes the checkpoint also delivers the probe —
-    // one action per step instead of two. With the min-fold advancing
-    // TWO hops per materialization (see the loops), a color step costs
-    // one job for two hops + the probe.
-    // plan-composed sub-steps per materialized job: trades ~4 extra
-    // joins of plan depth for a 3x cut in job count (job latency, not
-    // data, dominates the tail rounds)
+    // one action per step instead of two. The min-fold plan-composes
+    // LAYERS_PER_JOB (= 3) hops per materialization, so a color step
+    // costs one job for three hops + the probe; the checksum fixpoint
+    // probe is stride-independent, so the convergence test stays
+    // correct at any stride. Trades ~4 extra joins of plan depth for a
+    // 3x cut in job count (job latency, not data, dominates the tail
+    // rounds).
     val LAYERS_PER_JOB = 3
     def truncCount(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()

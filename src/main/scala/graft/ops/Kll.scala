@@ -91,26 +91,37 @@ object Kll {
   private def totalCap(k: Int, numLevels: Int): Int =
     (0 until numLevels).map(levelCap(k, numLevels, _)).sum
 
-  /** Deterministic compaction coin: parity of a MurmurHash3 over the
-    * buffer's sorted bit patterns, the level, and the lifetime
-    * compaction counter. A pure function of (content, position in the
-    * compaction history), so identical folds replay identically; the
-    * counter decorrelates repeated compactions of near-identical
-    * buffers (a constant stream would otherwise always flip the same
-    * way and keep the same item forever).
+  /** Deterministic compaction coin: a MurmurHash3 over the buffer's
+    * sorted bit patterns (seeded by level and the lifetime compaction
+    * counter) is then avalanched through a splitmix64 finalizer mixed
+    * with (level, counter) again, and the coin is the PARITY OF THE
+    * POPCOUNT of the result — a bit that depends on all 64 output
+    * bits, not murmur's lowest. A pure function of (content, position
+    * in the compaction history), so identical folds replay
+    * identically; the counter decorrelates repeated compactions of
+    * near-identical buffers (a constant stream would otherwise always
+    * flip the same way and keep the same item forever).
     *
     * Proof caveat: trading the paper's random coin for this hash means
     * the KLL error bound holds EMPIRICALLY (randomized cross-checks in
     * KllSpec; the oracle-replayed 2.5% gate) rather than by the
-    * Karnin/Lang/Liberty proof — an input adversarially correlated
-    * with MurmurHash3 could bias compactions one direction.
+    * Karnin/Lang/Liberty proof. The second-family finalizer means an
+    * input correlated with MurmurHash3 alone cannot steer the coin —
+    * an adversary now needs the composition of both mixers — but a
+    * fully adversarial stream remains outside the proved bound.
     */
   private[ops] def coin(sorted: IndexedSeq[Double], level: Int,
                         compactions: Long): Int = {
     val h = scala.util.hashing.MurmurHash3.orderedHash(
       sorted.view.map(java.lang.Double.doubleToLongBits),
       level * 31 + (compactions ^ (compactions >>> 32)).toInt)
-    h & 1
+    // splitmix64 avalanche over (murmur, level, counter)
+    var z = h.toLong ^ (compactions * 0x9E3779B97F4A7C15L) ^
+      (level.toLong << 32)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Long.bitCount(z) & 1
   }
 
   /** Compact the lowest over-capacity level once: sort, keep every

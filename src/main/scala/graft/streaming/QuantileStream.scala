@@ -222,8 +222,17 @@ object QuantileStream {
         col(valueCol).cast("double").as("v"))
       .as[(String, Option[Double])]
     val priorDs: org.apache.spark.sql.Dataset[KllGroupState] =
-      prior.map(_.as[KllGroupState])
-        .getOrElse(spark.emptyDataset[KllGroupState])
+      prior.map { p =>
+        // migration: state dirs written before k was persisted carry
+        // no k column — those ladders were built under the k the
+        // caller passed on every trigger (the only k that code path
+        // ever had), so adopting the run's k IS the stored k: a
+        // schema-checked backfill, not a guess. Rows that DO carry k
+        // still hit the mismatch require below.
+        val withK = if (p.columns.contains("k")) p
+                    else p.withColumn("k", lit(k))
+        withK.as[KllGroupState]
+      }.getOrElse(spark.emptyDataset[KllGroupState])
     val cg = batchKV.groupByKey(_._1)
       .cogroup(priorDs.groupByKey(_.g)) { (key, bIt, pIt) =>
         val bs = bIt.map(_._2).toVector

@@ -817,10 +817,15 @@ class ConfigSpec extends SparkSpec {
     // overriding both the static tie (1 == 1) and the original order
     def clockProbe(slowFirst: Boolean): (String, () => Long) => (Long, Long) = {
       var call = 0
-      (_, count) => {
-        call += 1
-        val ns = if ((call == 1) == slowFirst) 16000000L else 1000000L
-        (count(), ns)
+      (op, count) => {
+        // the per-run scan-floor baseline probe reports zero cost here
+        // so the filter timings below are used as-is after subtraction
+        if (op == "__baseline") (count(), 0L)
+        else {
+          call += 1
+          val ns = if ((call == 1) == slowFirst) 16000000L else 1000000L
+          (count(), ns)
+        }
       }
     }
     val re = Pipeline.reorder(spark, cfg, sampleRatePpm = 1000000L,
@@ -831,6 +836,25 @@ class ConfigSpec extends SparkSpec {
     // listing and nothing moves
     assert(tagsOf(Pipeline.reorder(spark, cfg, 1000000L,
       clockProbe(slowFirst = false))) == Seq("slow", "fast"))
+    // scan-dominated probes: raw times 101 vs 116 ms differ by only
+    // 15% — the same power-of-2 bucket, so pre-subtraction the costs
+    // compressed and the static tie kept original order. Subtracting
+    // the 100 ms baseline isolates 1 vs 16 ms of filter work: the 16x
+    // bucket demotes the expensive twin.
+    def floorClock(slowFirst: Boolean): (String, () => Long) => (Long, Long) = {
+      var call = 0
+      (op, count) => {
+        if (op == "__baseline") (count(), 100000000L)
+        else {
+          call += 1
+          val ns = if ((call == 1) == slowFirst) 116000000L else 101000000L
+          (count(), ns)
+        }
+      }
+    }
+    assert(tagsOf(Pipeline.reorder(spark, cfg, 1000000L,
+      floorClock(slowFirst = true))) == Seq("fast", "slow"),
+      "baseline subtraction must un-compress scan-dominated costs")
     // sub-floor timings are jitter, not evidence: fall back to the
     // static table, whose exact tie keeps the original order
     val subFloor: (String, () => Long) => (Long, Long) =

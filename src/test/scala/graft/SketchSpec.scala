@@ -507,6 +507,35 @@ class SketchSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=1").count() == 1L)
   }
 
+  test("kll quantile monitor: a pre-k state dir (no k column) decodes under the run's k") {
+    import graft.streaming.QuantileStream
+    val out = tmp(); val st = tmp()
+    val b0 = (0 until 2000).map(i => ("api", (i % 500).toDouble)).toDF("src", "ms")
+    QuantileStream.kllBatch(spark, b0, 0L, out, st, "src", "ms", k = 128)
+    // simulate a state dir written before k was persisted: rewrite the
+    // version without its k column (those ladders were built under the
+    // k the caller passed each trigger — adopting the run's k IS the
+    // stored k, so the migration must decode, not crash)
+    val legacy = spark.read.parquet(s"$st/batch=0").drop("k")
+      .collect()
+    val legacyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toIndexedSeq),
+      spark.read.parquet(s"$st/batch=0").drop("k").schema)
+    graft.util.Fs.delete(spark, s"$st/batch=0")
+    legacyDf.write.parquet(s"$st/batch=0")
+    QuantileStream.kllBatch(spark, b0, 1L, out, st, "src", "ms", k = 128)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 1L)
+    // the migrated state persists k going forward, and a later run
+    // under a DIFFERENT k still fails loudly on the stored value
+    assert(spark.read.parquet(s"$st/batch=1").columns.contains("k"))
+    val ex = intercept[org.apache.spark.SparkException](
+      QuantileStream.kllBatch(spark, b0, 2L, out, st, "src", "ms", k = 64))
+    val msg = ex.getMessage +
+      Iterator.iterate(ex.getCause)(c => Option(c).map(_.getCause).orNull)
+        .takeWhile(_ != null).take(5).map(_.getMessage).mkString(" ")
+    assert(msg.contains("k=128") && msg.contains("k=64"), msg)
+  }
+
   test("kll quantile monitor: null values advance volume but not the sketch") {
     import graft.streaming.QuantileStream
     val out = tmp(); val st = tmp()
