@@ -72,7 +72,7 @@ object OutputContract {
     // 2. one-op over exact integers
     ("ann_topk", "cosine"), ("ann_ivf", "cosine"), ("ann_lsh_pairs", "cosine"),
     ("ann_cascade", "cosine"), ("ann_filtered", "cosine"),
-    ("ann_nndescent", "cosine"),
+    ("ann_nndescent", "cosine"), ("ann_graph_search", "cosine"),
     ("dedup_embedding", "cosine"), ("dedup_semantic", "cosine"),
     ("dedup_semantic_init", "cosine"), ("emb_kmeans", "centroid_cosine"),
     ("emb_kmeans_init", "centroid_cosine"),

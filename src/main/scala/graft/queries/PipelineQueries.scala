@@ -248,6 +248,37 @@ object PipelineQueries {
     Similarity.nnDescent(Tables.embeddings(spark, sfDir), "embedding",
       "vec_id", k = 5, iters = 1, buckets = 50, dim = EMB_DIM)
 
+  /** Graph-ANN SEARCH gate (Similarity.graphSearch over the
+    * [[annNnDescentQ]] graph, same build params so the oracle replays
+    * one construction): every 100th vector probes from 4 hash-seeded
+    * entry points, beam 3, 2 fixed expansion rounds, exact-cosine
+    * rerank to top-5 — the HNSW-lineage query path (r14 verdict #4).
+    */
+  def annGraphSearchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val graph = Similarity.nnDescent(emb, "embedding", "vec_id",
+      k = 5, iters = 1, buckets = 50, dim = EMB_DIM)
+    Similarity.graphSearch(emb, graph, "embedding", "vec_id",
+      expr("id % 100 = 0"), entries = 4, beam = 3, rounds = 2,
+      topK = 5, dim = EMB_DIM)
+  }
+
+  /** Recall@5 of the graph search against the brute-force truth — the
+    * ann_recall harness shape for the graph path: exact hit counts
+    * per query, zero-hit queries included from the truth side.
+    */
+  def annGraphRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annTopkQ(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annGraphSearchQ(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+  }
+
   /** Recall@5 of the probed-bucket IVF search vs the brute-force
     * ground truth — the eval harness an ANN deployment tunes
     * (nProbe, centroid count) against. Exact hit counts per query,
@@ -2625,6 +2656,8 @@ object PipelineQueries {
     "ann_mrr" -> annMrrQ,
     "pipeline_export_triplets" -> pipelineTripletsQ,
     "ann_nndescent" -> annNnDescentQ,
+    "ann_graph_search" -> annGraphSearchQ,
+    "ann_graph_recall" -> annGraphRecallQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
     "ann_lsh" -> annLshQ,
@@ -2791,6 +2824,68 @@ object PipelineQueries {
 
   private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val h64 = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** Integer-dot cosine over two prepped (qv, n2) vector pairs — the
+    * ann-family scoring expression, shared by the graph-search chain.
+    */
+  private def gsCos(aQv: String, aN2: String, bQv: String, bN2: String): String =
+    s"CAST(list_sum(list_transform(list_zip($aQv, $bQv), z -> z[1] * z[2])) AS DOUBLE)" +
+      s" / (sqrt(CAST($aN2 AS DOUBLE)) * sqrt(CAST($bN2 AS DOUBLE)))"
+
+  /** Shared CTE chain for the graph-ANN search oracles: rebuilds the
+    * ann_nndescent graph (identical params — one construction, two
+    * replays cannot drift), then the fixed-round beam search — 4
+    * hash-seeded entry points, beam 3 per round by (cos DESC, id),
+    * 2 expansion rounds as chained CTEs (the nnDescent fixed-round
+    * convention), EXCEPT as the visited anti-join. Ends at `v2`,
+    * the full visited set (qid, id, cos).
+    */
+  private lazy val gsSearchCtes: String = {
+    val expansions = (1 to 2).map { r =>
+      val prev = s"v${r - 1}"
+      s"""b$r AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
+         |  FROM $prev) WHERE rn <= 3),
+         |f$r AS (SELECT DISTINCT b.qid, g.neighbor_id AS id
+         |    FROM b$r b JOIN g ON g.vec_id = b.id
+         |    WHERE g.neighbor_id <> b.qid
+         |  EXCEPT SELECT qid, id FROM $prev),
+         |s$r AS (SELECT f.qid, f.id,
+         |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+         |  FROM f$r f JOIN n a ON a.vec_id = f.id JOIN pr ON pr.qid = f.qid),
+         |v$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$qPrep,
+       |h AS (SELECT vec_id AS id,
+       |        ${h64("vec_id::VARCHAR")} AS hid FROM n),
+       |i AS (SELECT id, hid, hid % 50 AS bkt FROM h),
+       |seed AS (SELECT a.id, b.id AS nid,
+       |    row_number() OVER (PARTITION BY a.id ORDER BY b.hid, b.id) AS rn
+       |  FROM i a JOIN i b ON a.bkt = b.bkt AND a.id <> b.id),
+       |cur AS (SELECT id, nid FROM seed WHERE rn <= 5),
+       |rev AS (SELECT nid AS id, id AS nid FROM cur),
+       |two AS (SELECT x.id, y.nid FROM cur x JOIN cur y ON x.nid = y.id
+       |        WHERE x.id <> y.nid),
+       |cand AS (SELECT DISTINCT id, nid FROM
+       |  (SELECT * FROM cur UNION ALL SELECT * FROM rev
+       |   UNION ALL SELECT * FROM two)),
+       |sc AS (SELECT c.id, c.nid,
+       |    ${gsCos("a.qv", "a.n2", "b.qv", "b.n2")} AS cos
+       |  FROM cand c JOIN n a ON a.vec_id = c.id JOIN n b ON b.vec_id = c.nid),
+       |g AS (SELECT id AS vec_id, nid AS neighbor_id FROM (
+       |    SELECT id, nid, row_number() OVER (PARTITION BY id
+       |      ORDER BY cos DESC, nid ASC) AS rank FROM sc)
+       |  WHERE rank <= 5),
+       |ent AS (SELECT vec_id AS id FROM n
+       |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
+       |pr AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
+       |  WHERE vec_id % 100 = 0),
+       |v0 AS (SELECT pr.qid, a.vec_id AS id,
+       |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+       |  FROM pr CROSS JOIN ent e JOIN n a ON a.vec_id = e.id
+       |  WHERE e.id <> pr.qid),
+       |$expansions""".stripMargin
+  }
 
   /** The BM25 corpus/probe/scoring CTE chain (ends at `agg`:
     * (query_id, doc_id, score_micro)), parameterized only by the probe
@@ -3302,6 +3397,30 @@ object PipelineQueries {
          |SELECT id AS vec_id, nid AS neighbor_id, rank,
          |  round(cos, 6) AS cosine
          |FROM top WHERE rank <= 5""".stripMargin,
+    "ann_graph_search" ->
+      s"""WITH $gsSearchCtes
+         |SELECT qid AS query_id, id AS neighbor_id, rank,
+         |  round(cos, 6) AS cosine
+         |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id ASC) AS rank FROM v2)
+         |WHERE rank <= 5""".stripMargin,
+    "ann_graph_recall" ->
+      s"""WITH $gsSearchCtes,
+         |gs AS (SELECT qid AS query_id, id AS neighbor_id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, id ASC) AS rank FROM v2)
+         |  WHERE rank <= 5),
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${gsCos("x.qv", "x.n2", "q.qv", "q.n2")} DESC, x.vec_id ASC) AS rank
+         |  FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |  QUALIFY rank <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |         AS BIGINT) AS n_hits
+         |FROM exact e LEFT JOIN gs i USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
     "ann_topk" ->
       s"""WITH $qPrep
          |SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,

@@ -1069,4 +1069,80 @@ object Similarity {
       .select(col("id").as("vec_id"), col("nid").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Greedy beam SEARCH over a k-NN graph — the query half of
+    * graph-based ANN ([[nnDescent]] is the build half; HNSW/NSG
+    * lineage: navigate the neighborhood graph instead of scanning
+    * cells or the corpus). Each probe starts from a fixed hash-seeded
+    * entry set, and for `rounds` fixed expansions: take its `beam`
+    * best visited nodes (exact rounded cosine, ties to smaller id),
+    * walk their out-edges, score the newly reached nodes. The answer
+    * is the exact-cosine top-k RERANK of everything visited — the
+    * graph only decides WHICH nodes get scored, never how they rank,
+    * so precision is exact over the visited set and recall is the
+    * only approximation (measured by `ann_graph_recall` against the
+    * brute-force truth, the ann_recall harness convention).
+    *
+    * Deterministic and oracle-replayable (the nnDescent convention):
+    * entry set = the `entries` smallest (portable-hash("gs:"+id), id)
+    * nodes — a fixed pseudo-random sample shared by every probe, no
+    * RNG; expansions run a FIXED `rounds` count (no convergence
+    * check), so DuckDB replays the search as `rounds` chained CTEs;
+    * every tie breaks on id. Larger `beam` explores more of the graph
+    * per round — the HNSW efSearch knob.
+    *
+    * Scale shape per round: the beam is |probes|·beam rows — it
+    * BROADCASTS against the k·N edge table (one scan, no edge
+    * shuffle), the newly reached frontier joins the vector table on
+    * its id key for scoring, and the visited set stays
+    * |probes|·(entries + rounds·beam·k) — probe-grain, never
+    * corpus-grain. The corpus is never self-joined and never
+    * broadcast; total scored pairs are O(|probes|·rounds·beam·k)
+    * versus brute force's |probes|·N.
+    */
+  def graphSearch(df: DataFrame, graph: DataFrame, vecCol: String,
+                  idCol: String, probePred: Column,
+                  entries: Int, beam: Int, rounds: Int, topK: Int,
+                  dim: Option[Int] = None): DataFrame = {
+    require(entries >= 1 && beam >= 1 && rounds >= 0 && topK >= 1,
+      s"bad entries=$entries beam=$beam rounds=$rounds topK=$topK")
+    val p = prepared(df.filter(col(vecCol).isNotNull), vecCol, idCol)
+    val probes = p.filter(probePred)
+      .select(col("id").as("qid"), col("qv").as("pqv"),
+        col("n2").as("pn2"))
+    // fixed entry set: TakeOrdered (orderBy+limit), not a global
+    // window — no single-partition exchange over the corpus
+    val ent = p.select(col("id"),
+        graft.util.Hashing.portableHash64(
+          concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
+      .orderBy(col("ehid"), col("id")).limit(entries).select("id")
+    val edges = graph.select(col("vec_id").as("id"),
+      col("neighbor_id").as("nid"))
+    def scoreQ(cand: DataFrame): DataFrame =
+      cand.join(p.select(col("id"), col("qv"), col("n2")), Seq("id"))
+        .join(broadcast(probes), Seq("qid"))
+        .select(col("qid"), col("id"),
+          cosine(qdot(col("qv"), col("pqv"), dim),
+            col("n2"), col("pn2")).as("cos"))
+    var visited = graft.util.Lineage.truncate(
+      scoreQ(probes.select(col("qid")).crossJoin(broadcast(ent))
+        .filter(col("qid") =!= col("id"))))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    (1 to rounds).foreach { _ =>
+      val beamDf = visited.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).select(col("qid"), col("id"))
+      val fresh = broadcast(beamDf).join(edges, Seq("id"))
+        .select(col("qid"), col("nid").as("id")).distinct()
+        .filter(col("qid") =!= col("id"))
+        .join(visited.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti")
+      visited = graft.util.Lineage.truncate(
+        scoreQ(fresh).unionByName(visited))
+    }
+    visited.withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
 }

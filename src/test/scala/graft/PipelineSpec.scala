@@ -2788,6 +2788,49 @@ class PipelineSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "nnDescent must be layout-independent")
   }
 
+  test("graph search: beam widens recall monotonically on the fixture, rerank is exact, layout-independent") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val graph = Similarity.nnDescent(e, "embedding", "vec_id",
+      k = 5, iters = 2, buckets = 50, dim = Some(64))
+    val truth = Similarity.bruteForceTopK(e, "embedding", "vec_id",
+        expr("id % 100 = 0"), k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(beam: Int, rounds: Int = 3) =
+      Similarity.graphSearch(e, graph, "embedding", "vec_id",
+        expr("id % 100 = 0"), entries = 4, beam = beam,
+        rounds = rounds, topK = 5, dim = Some(64))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.groupBy(_._1).forall(_._2.length <= 5))
+      rows.count(truth.contains).toDouble / truth.size
+    }
+    // the efSearch contract: a wider beam explores a larger slice of
+    // the graph per round, so recall climbs (the fixture's separation
+    // is wide enough that the batch beam's non-strict containment
+    // cannot flip the ordering); rounds widen it too
+    val r1 = recall(run(beam = 1))
+    val r3 = recall(run(beam = 3))
+    val r8 = recall(run(beam = 8))
+    assert(r1 <= r3 && r3 <= r8, s"beam must widen recall: $r1 / $r3 / $r8")
+    assert(r8 > r1, s"beam 8 must beat beam 1 on the fixture: $r1 -> $r8")
+    // zero rounds = exact rerank of the entry set only — each probe
+    // reports at most |entries| rows, every cosine exact
+    val r0 = run(beam = 3, rounds = 0)
+    assert(r0.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) <= 4L), "rounds=0 must only rank entries")
+    // determinism + layout independence (the oracle's replay contract)
+    val a = run(beam = 3).collect().map(_.toString).sorted
+    val b = Similarity.graphSearch(e.repartition(7, col("vec_id")),
+        graph.repartition(5), "embedding", "vec_id",
+        expr("id % 100 = 0"), entries = 4, beam = 3, rounds = 3,
+        topK = 5, dim = Some(64))
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq, "graphSearch must be layout-independent")
+  }
+
   test("assortativity: hand graph exact stats, dup/self-loop collapse, degenerate NULL") {
     import spark.implicits._
     // star out of 0: 0->1, 0->2, 0->3 plus a chain edge 1->2.
