@@ -1460,6 +1460,88 @@ class StreamingSpec extends SparkSpec {
     assert(versions <= 4, s"state versions must stay pruned, got $versions")
   }
 
+  test("e-value monitor: lgamma is exact on knowns, null and shift behave") {
+    import graft.streaming.EValueStream
+    // lgamma sanity against closed forms: Γ(1)=Γ(2)=1, Γ(5)=24,
+    // Γ(0.5)=√π — the Lanczos constants are only trusted measured
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(EValueStream.lgamma(1.0), 0.0))
+    assert(close(EValueStream.lgamma(2.0), 0.0))
+    assert(close(EValueStream.lgamma(5.0), math.log(24.0)))
+    assert(close(EValueStream.lgamma(0.5), 0.5 * math.log(math.Pi)))
+    // balanced counts: the shared-rate model explains the data at
+    // least as well -> log E stays at or below ~0
+    assert(EValueStream.logBf(30, 70, 30, 70) < 0.5)
+    // a gross 10% vs 90% split on 100-a-side: overwhelming evidence
+    assert(EValueStream.logBf(10, 90, 90, 10) > 10.0)
+  }
+
+  test("e-value monitor: no-effect stream never alarms across replays; planted shift alarms once and re-arms") {
+    import graft.streaming.EValueStream
+    val out = tmp(); val st = tmp()
+    // deterministic pseudo-random conversions: hash the row index so
+    // the fixture replays byte-identically (no RNG in specs)
+    def h(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0x7FFFFFFFL
+    }
+    def batchDf(id: Long, pCtlPct: Int, pTrtPct: Int, n: Int = 250) =
+      (0 until n).map { j =>
+        val i = id * 100000L + j
+        val arm = if (j % 2 == 0) "control" else "treatment"
+        val p = if (arm == "control") pCtlPct else pTrtPct
+        ("exp1", arm, if (h(i) % 100 < p) 1 else 0)
+      }.toDF("exp", "arm", "conv")
+    def run(id: Long, pc: Int, pt: Int): Unit =
+      EValueStream.evalueBatch(spark, batchDf(id, pc, pt), id, out, st,
+        "exp", "arm", "conv", alphaPpm = 50000L, minPerArm = 20L)
+    def rep(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("cn", "cs", "tn", "ts", "log_e_micro", "alarm")
+      .as[(Long, Long, Long, Long, Long, Int)].head()
+    // 40 no-effect batches (p = 0.30 both arms, 10k rows total): the
+    // e-process must NEVER alarm — that is the always-valid contract
+    // the batch family can't give a peeking analyst
+    (0L until 40L).foreach(id => run(id, 30, 30))
+    (0L until 40L).foreach { id =>
+      assert(rep(id)._6 == 0, s"no-effect batch $id alarmed: ${rep(id)}")
+    }
+    // at-least-once replay rewrites identical bytes (integer state +
+    // StrictMath-pinned arithmetic)
+    val r39 = spark.read.parquet(s"$out/batch=39").collect().toSet
+    val s39 = spark.read.parquet(s"$st/batch=39").collect().toSet
+    run(39L, 30, 30)
+    assert(spark.read.parquet(s"$out/batch=39").collect().toSet == r39)
+    assert(spark.read.parquet(s"$st/batch=39").collect().toSet == s39)
+    // planted 30% vs 60% effect: evidence accumulates to ONE alarm...
+    val alarmAt = (40L until 60L).find { id =>
+      run(id, 30, 60); rep(id)._6 == 1
+    }
+    assert(alarmAt.nonEmpty, "a 2x conversion shift must alarm")
+    // ...the alarm resets the counts (re-arm, the Page–Hinkley
+    // contract): the state row restarts from zero trials
+    val reset = spark.read.parquet(s"$st/batch=${alarmAt.get}")
+      .select("cn", "cs", "tn", "ts", "n_alarms")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(reset == ((0L, 0L, 0L, 0L, 1L)), reset.toString)
+    // and the re-armed detector catches the STILL-shifted stream again
+    val again = ((alarmAt.get + 1) until (alarmAt.get + 21)).find { id =>
+      run(id, 30, 60); rep(id)._6 == 1
+    }
+    assert(again.nonEmpty, "the re-armed e-process must alarm again")
+    // null conversions and foreign arm labels advance rows_seen only
+    val odd = Seq(("exp1", "control", Option.empty[Int]),
+      ("exp1", "holdout", Some(1))).toDF("exp", "arm", "conv")
+    val lastState = spark.read.parquet(s"$st/batch=${again.get}")
+      .select("cn", "tn").as[(Long, Long)].head()
+    EValueStream.evalueBatch(spark, odd, again.get + 1, out, st,
+      "exp", "arm", "conv")
+    val afterOdd = spark.read.parquet(s"$st/batch=${again.get + 1}")
+      .select("cn", "tn", "rows_seen").as[(Long, Long, Long)].head()
+    assert((afterOdd._1, afterOdd._2) == lastState,
+      "null conv / foreign arm must not add trials")
+  }
+
   test("page-hinkley monitor: end-to-end over a file feed catches a planted shift") {
     import graft.streaming.PageHinkleyStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
