@@ -823,4 +823,44 @@ object Graph {
       .groupBy("scc_src", "scc_dst")
       .agg(count(lit(1)).as("n_edges"))
   }
+
+  /** Contamination BLAST RADIUS over the [[condensation]] DAG — the
+    * consumer the quotient advertises (r14 verdict #6): given the SCC
+    * labeling, the quotient DAG, and a seed set of node ids (the
+    * contaminated docs), report every component within `hops` DAG
+    * hops DOWNSTREAM of any seed's component as (scc, dist, n_docs):
+    * dist the minimum hop count from a seed component (0 = contains a
+    * seed), n_docs the component's full member count — the readout a
+    * release sign-off reads as "these N docs sit ≤ k derivation steps
+    * from known contamination". Inside an SCC everything reaches
+    * everything (that is what the quotient collapsed), so component
+    * grain IS the correct blast grain; direction follows edges
+    * (contamination flows downstream — an upstream audit runs the
+    * same walk on the reversed DAG).
+    *
+    * Deterministic fixed-round walk (the graph-family convention): no
+    * convergence probe, exactly `hops` min-dist relaxations, so the
+    * DuckDB oracle replays it as a depth-bounded recursive closure.
+    * Scale shape per round: one scc-keyed join of the frontier
+    * against the |SCC|-grain quotient edges + a min partial-agg —
+    * never node-grain after the two label joins; lineage truncated
+    * per round.
+    */
+  def blastRadius(labels: DataFrame, dag: DataFrame, seeds: DataFrame,
+                  hops: Int): DataFrame = {
+    require(hops >= 0, s"hops must be >= 0, got $hops")
+    val sizes = labels.groupBy("scc").agg(count(lit(1)).as("n_docs"))
+    val qEdges = dag.select(col("scc_src"), col("scc_dst"))
+    var dist = labels.join(seeds.select(col("id")).distinct(), Seq("id"))
+      .select(col("scc")).distinct().withColumn("dist", lit(0L))
+    (1 to hops).foreach { _ =>
+      val step = dist.join(qEdges, col("scc") === col("scc_src"))
+        .select(col("scc_dst").as("scc"), (col("dist") + 1L).as("dist"))
+      dist = graft.util.Lineage.truncate(
+        dist.unionByName(step).groupBy("scc")
+          .agg(min(col("dist")).as("dist")))
+    }
+    dist.join(sizes, Seq("scc"))
+      .select(col("scc"), col("dist"), col("n_docs"))
+  }
 }

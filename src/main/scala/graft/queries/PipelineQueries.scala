@@ -1961,6 +1961,32 @@ object PipelineQueries {
     graft.ops.Graph.condensation(labels, e)
   }
 
+  /** Contamination blast radius over the condensation DAG
+    * (Graph.blastRadius, NEW r15 — the quotient's consumer, r14
+    * verdict #6): every 97th doc plays a contaminated seed, and each
+    * component within 6 DAG hops downstream reports (scc, min hop
+    * dist, member count). Same scc/quotient derivation as
+    * graph_condensation; the oracle derives its own labels from the
+    * recursive-closure truth and walks the quotient with a
+    * depth-bounded recursive closure, so the gate certifies the
+    * fixed-round min-dist walk against the reachability definition.
+    */
+  def graphBlastRadiusQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    val planted = sparse.filter(col("src") % 10 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val e = sparse.unionByName(planted)
+    val labels = graft.ops.Graph.scc(nodes, e, rounds = 60, propCap = 100)
+    val dag = graft.ops.Graph.condensation(labels, e)
+    val seeds = nodes.filter(col("id") % 97 === 0)
+    graft.ops.Graph.blastRadius(labels, dag, seeds, hops = 6)
+  }
+
   /** Label-propagation communities on the SAME sparsified undirected
     * view as graph_cc (shared derivation, shared oracle CTEs): 2
     * synchronous min-tie rounds; the oracle replays both voting
@@ -2748,6 +2774,7 @@ object PipelineQueries {
     "graph_cc" -> graphCcQ,
     "graph_scc" -> graphSccQ,
     "graph_condensation" -> graphCondensationQ,
+    "graph_blast_radius" -> graphBlastRadiusQ,
     "graph_lpa" -> graphLpaQ,
     "graph_bfs" -> graphBfsQ,
     "graph_hits" -> graphHitsQ,
@@ -5808,6 +5835,51 @@ object PipelineQueries {
          |FROM ep JOIN lab l1 ON ep.src = l1.id JOIN lab l2 ON ep.dst = l2.id
          |WHERE l1.scc <> l2.scc
          |GROUP BY 1, 2""".stripMargin,
+    // the closure-derived labeling quotiented, then a depth-bounded
+    // recursive walk downstream of the seed components — the
+    // definition-grade truth the Spark fixed-round min-dist walk gates
+    // against
+    "graph_blast_radius" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |ep AS (SELECT src, dst FROM ef
+         |       UNION SELECT dst AS src, src AS dst FROM ef WHERE src % 10 = 0),
+         |fwd(a, b) AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT f.a, ep.dst FROM fwd f JOIN ep ON f.b = ep.src),
+         |mut AS (SELECT f1.a AS v, f1.b AS u
+         |        FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a),
+         |lab AS (SELECT d.doc_id AS id,
+         |          least(d.doc_id, coalesce(min(mut.u), d.doc_id)) AS scc
+         |        FROM documents d LEFT JOIN mut ON d.doc_id = mut.v
+         |        GROUP BY d.doc_id),
+         |qd AS (SELECT l1.scc AS scc_src, l2.scc AS scc_dst
+         |       FROM ep JOIN lab l1 ON ep.src = l1.id
+         |         JOIN lab l2 ON ep.dst = l2.id
+         |       WHERE l1.scc <> l2.scc GROUP BY 1, 2),
+         |seedscc AS (SELECT DISTINCT scc FROM lab WHERE id % 97 = 0),
+         |reach(scc, dist) AS (
+         |  SELECT scc, 0 FROM seedscc
+         |  UNION
+         |  SELECT qd.scc_dst, r.dist + 1
+         |  FROM reach r JOIN qd ON qd.scc_src = r.scc
+         |  WHERE r.dist < 6)
+         |SELECT CAST(m.scc AS BIGINT) AS scc, m.dist, s.n_docs
+         |FROM (SELECT scc, CAST(min(dist) AS BIGINT) AS dist
+         |      FROM reach GROUP BY 1) m
+         |JOIN (SELECT scc, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM lab GROUP BY 1) s USING (scc)""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

@@ -2119,6 +2119,40 @@ class PipelineSpec extends SparkSpec {
     }.toSet, condChain.toString)
   }
 
+  test("blast radius: min hop dist over the quotient DAG, hop bound bites, direction is downstream-only") {
+    import graft.ops.Graph
+    // cycle chain A{1,2,3} -> bridge 4 -> cycle C{5,6}, plus an
+    // UPSTREAM-only component {7} -> A and an unreachable island {9}
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), // A: 3-cycle, scc 1
+      (3L, 4L),                                   // A -> bridge
+      (4L, 5L), (5L, 6L), (6L, 5L),               // bridge -> C: 2-cycle, scc 5
+      (7L, 1L))                                   // upstream feeder
+      .toDF("src", "dst")
+    val labels = Graph.scc(nodes, edges)
+    val dag = Graph.condensation(labels, edges)
+    def run(seedIds: Seq[Long], hops: Int) =
+      Graph.blastRadius(labels, dag, seedIds.toDF("id"), hops)
+        .as[(Long, Long, Long)].collect().toSet
+    // seed inside the A cycle: A at 0 (3 docs — the whole component
+    // is the blast grain), bridge at 1, C at 2; the upstream feeder
+    // and the island are NOT in the radius
+    assert(run(Seq(2L), 6) ==
+      Set((1L, 0L, 3L), (4L, 1L, 1L), (5L, 2L, 2L)))
+    // the hop bound bites: hops=1 stops before C
+    assert(run(Seq(2L), 1) == Set((1L, 0L, 3L), (4L, 1L, 1L)))
+    // hops=0 is the seed components only
+    assert(run(Seq(2L), 0) == Set((1L, 0L, 3L)))
+    // seed at the bridge: upstream A stays out (direction holds);
+    // seed at the feeder reaches everything downstream
+    assert(run(Seq(4L), 6) == Set((4L, 0L, 1L), (5L, 1L, 2L)))
+    assert(run(Seq(7L), 6) ==
+      Set((7L, 0L, 1L), (1L, 1L, 3L), (4L, 2L, 1L), (5L, 3L, 2L)))
+    // two seeds: dist is the MINIMUM over seeds
+    assert(run(Seq(7L, 4L), 6) ==
+      Set((7L, 0L, 1L), (1L, 1L, 3L), (4L, 0L, 1L), (5L, 1L, 2L)))
+  }
+
   test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {
     // two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10,
     // a pendant 13 hanging off 12, and an isolated node 20
