@@ -907,8 +907,83 @@ object BenchStress {
       println(line)
       (name, ratio, ok)
     }
-    val bad = lines.filterNot(_._3).map(_._1)
-    println(s"""{"metric":"stress","n":$nCopies,"ops":${lines.size},""" +
+    // EXECUTOR stress (r14 verdict #7): the side-effecting store
+    // executors, measured store-in/store-out at 1x and Nx. The
+    // rebalance NO-OP pass is reported separately — it is
+    // metadata-grain by design (fingerprinted _WEIGHT sidecars) and
+    // must stay ~flat while the corpus grows, so its gate is an
+    // absolute-flatness bound, not the linear ratio.
+    val execSel = Seq("rebalance_execute", "rebalance_noop",
+        "retention_execute")
+      .filter(n => opFilter.isEmpty || opFilter(n))
+    def timeSec(f: => Unit): Double = {
+      reset(); val t0 = System.nanoTime(); f
+      (System.nanoTime() - t0) / 1e9
+    }
+    def buildRbStore(c: Int): String = {
+      val root = java.nio.file.Files.createTempDirectory("stress_rb").toString
+      val docs = scaledDocs(spark, sfDir, c).select(col("doc_id"), col("text"))
+      (0L to 7L).foreach { s =>
+        docs.filter(least(pmod(col("doc_id"), lit(13L)), lit(7L)) === s)
+          .write.mode("overwrite").parquet(s"$root/shard=$s")
+      }
+      root
+    }
+    val execLines: Seq[(String, Double, Boolean)] =
+      if (execSel.isEmpty) Seq.empty
+      else {
+        val rbWanted = execSel.exists(_.startsWith("rebalance"))
+        val rb: Seq[(String, Double, Boolean)] = if (!rbWanted) Seq.empty else {
+          val r1 = buildRbStore(1); val rn = buildRbStore(nCopies)
+          val t1 = timeSec(graft.ops.Sampling.rebalanceExecute(spark, r1))
+          val tn = timeSec(graft.ops.Sampling.rebalanceExecute(spark, rn))
+          // second pass on the now-balanced stores: sidecars valid, so
+          // this must read zero data files at EITHER scale
+          val n1 = timeSec(graft.ops.Sampling.rebalanceExecute(spark, r1))
+          val nn = timeSec(graft.ops.Sampling.rebalanceExecute(spark, rn))
+          val ratio = tn / math.max(t1, 1e-9)
+          val noopRatio = nn / math.max(n1, 1e-9)
+          val okE = ratio <= nCopies * 1.5
+          // flat-bound for the metadata pass: the Nx no-op may not
+          // cost more than 3x the 1x no-op (listing noise allowance)
+          val okN = nn <= math.max(n1 * 3.0, 1.0)
+          Seq(("rebalance_execute", ratio, okE),
+            ("rebalance_noop", noopRatio, okN)).filter(l => execSel.contains(l._1))
+            .map { case l @ (nm, rr, ok) =>
+              val (ta, tb) = if (nm == "rebalance_execute") (t1, tn) else (n1, nn)
+              println(f"""{"op":"$nm","n":$nCopies,"t1":$ta%.2f,"tn":$tb%.2f,""" +
+                f""""ratio":$rr%.2f,"linear_ok":$ok}""")
+              l
+            }
+        }
+        val ret: Seq[(String, Double, Boolean)] =
+          if (!execSel.contains("retention_execute")) Seq.empty else {
+            def buildRet(c: Int): String = {
+              val root = java.nio.file.Files
+                .createTempDirectory("stress_gc").toString
+              val docs = scaledDocs(spark, sfDir, c)
+                .select(col("doc_id"), col("text"))
+              ((0L to 9L) ++ Seq(14L, 20L)).foreach { d =>
+                docs.write.mode("overwrite").parquet(s"$root/snap_day=$d")
+              }
+              root
+            }
+            val r1 = buildRet(1); val rn = buildRet(nCopies)
+            val t1 = timeSec(graft.cdc.Retention.execute(spark, r1, 3, 2))
+            val tn = timeSec(graft.cdc.Retention.execute(spark, rn, 3, 2))
+            val ratio = tn / math.max(t1, 1e-9)
+            // rename+purge is day-grain, not corpus-grain: linear is a
+            // loose ceiling it should sit far under
+            val ok = ratio <= nCopies * 1.5
+            println(f"""{"op":"retention_execute","n":$nCopies,"t1":$t1%.2f,""" +
+              f""""tn":$tn%.2f,"ratio":$ratio%.2f,"linear_ok":$ok}""")
+            Seq(("retention_execute", ratio, ok))
+          }
+        rb ++ ret
+      }
+    val all = lines ++ execLines
+    val bad = all.filterNot(_._3).map(_._1)
+    println(s"""{"metric":"stress","n":$nCopies,"ops":${all.size},""" +
       s""""superlinear":${bad.size},"flagged":${bad.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}}""")
     spark.stop()
   }
