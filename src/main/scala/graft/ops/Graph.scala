@@ -863,4 +863,39 @@ object Graph {
     dist.join(sizes, Seq("scc"))
       .select(col("scc"), col("dist"), col("n_docs"))
   }
+
+  /** Topological LAYERING of the [[condensation]] DAG — the other
+    * quotient consumer (r14 verdict #6): layer(scc) = length of the
+    * longest derivation chain feeding the component (0 = a source no
+    * other component reaches), so "process layer k before layer k+1"
+    * is a valid parallel schedule and the layer histogram is the
+    * pipeline's critical-path profile. Every component reports:
+    * (scc, layer, n_docs).
+    *
+    * Deterministic fixed-round max-relaxation: after `rounds` passes
+    * layer(s) is exactly the longest path into s using ≤ `rounds`
+    * edges — the same depth-bounded semantics the DuckDB oracle's
+    * recursive closure replays, so the two engines agree by
+    * construction even past the bound (a DAG deeper than `rounds`
+    * reports bounded layers in BOTH, and the caller sizes `rounds`
+    * to the expected critical path). Scale shape per round: one
+    * scc-keyed join of the |SCC|-grain layer table against the
+    * quotient edges + a max partial-agg; node grain only in the
+    * label sizing join.
+    */
+  def topoLayers(labels: DataFrame, dag: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val comps = labels.groupBy("scc").agg(count(lit(1)).as("n_docs"))
+    val qEdges = dag.select(col("scc_src"), col("scc_dst"))
+    var layer = comps.select(col("scc")).withColumn("layer", lit(0L))
+    (1 to rounds).foreach { _ =>
+      val relax = layer.join(qEdges, col("scc") === col("scc_src"))
+        .select(col("scc_dst").as("scc"), (col("layer") + 1L).as("layer"))
+      layer = graft.util.Lineage.truncate(
+        layer.unionByName(relax).groupBy("scc")
+          .agg(max(col("layer")).as("layer")))
+    }
+    layer.join(comps, Seq("scc"))
+      .select(col("scc"), col("layer"), col("n_docs"))
+  }
 }

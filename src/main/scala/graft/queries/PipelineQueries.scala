@@ -1987,6 +1987,28 @@ object PipelineQueries {
     graft.ops.Graph.blastRadius(labels, dag, seeds, hops = 6)
   }
 
+  /** Topological layering of the condensation DAG (Graph.topoLayers,
+    * NEW r15 — the second quotient consumer): every component's layer
+    * is the longest derivation chain feeding it under a 12-edge
+    * bound; the oracle replays the depth-bounded longest path over
+    * its own closure-derived quotient, so both engines agree by
+    * construction even past the bound.
+    */
+  def graphTopoLayersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nodes, edges) = pagerankGraph(spark, sfDir)
+    val sparse = edges.filter(col("src") =!= col("dst"))
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("cc:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))), lit(3L)) === 0L)
+      .select(col("src"), col("dst"))
+    val planted = sparse.filter(col("src") % 10 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val e = sparse.unionByName(planted)
+    val labels = graft.ops.Graph.scc(nodes, e, rounds = 60, propCap = 100)
+    val dag = graft.ops.Graph.condensation(labels, e)
+    graft.ops.Graph.topoLayers(labels, dag, rounds = 12)
+  }
+
   /** Label-propagation communities on the SAME sparsified undirected
     * view as graph_cc (shared derivation, shared oracle CTEs): 2
     * synchronous min-tie rounds; the oracle replays both voting
@@ -2775,6 +2797,7 @@ object PipelineQueries {
     "graph_scc" -> graphSccQ,
     "graph_condensation" -> graphCondensationQ,
     "graph_blast_radius" -> graphBlastRadiusQ,
+    "graph_topo_layers" -> graphTopoLayersQ,
     "graph_lpa" -> graphLpaQ,
     "graph_bfs" -> graphBfsQ,
     "graph_hits" -> graphHitsQ,
@@ -5880,6 +5903,50 @@ object PipelineQueries {
          |      FROM reach GROUP BY 1) m
          |JOIN (SELECT scc, CAST(count(*) AS BIGINT) AS n_docs
          |      FROM lab GROUP BY 1) s USING (scc)""".stripMargin,
+    // the quotient's depth-bounded longest-path layering: layer(s) =
+    // max edges over paths into s of length <= 12, sources at 0
+    "graph_topo_layers" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT doc_id AS id,
+         |          1 + (${h64("'prdeg:' || doc_id::VARCHAR")} % 3) AS outdeg
+         |        FROM documents),
+         |ej AS (SELECT id AS src, outdeg,
+         |         unnest(generate_series(0, CAST(outdeg - 1 AS INT))) AS j
+         |       FROM deg),
+         |e AS (SELECT src,
+         |        ${h64("'pr:' || j::VARCHAR || ':' || src::VARCHAR")} % nn.n AS dst
+         |      FROM ej, nn),
+         |ef AS (SELECT src, dst FROM e WHERE src <> dst
+         |       AND ${h64("'cc:' || src::VARCHAR || ':' || dst::VARCHAR")} % 3 = 0),
+         |ep AS (SELECT src, dst FROM ef
+         |       UNION SELECT dst AS src, src AS dst FROM ef WHERE src % 10 = 0),
+         |fwd(a, b) AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT f.a, ep.dst FROM fwd f JOIN ep ON f.b = ep.src),
+         |mut AS (SELECT f1.a AS v, f1.b AS u
+         |        FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a),
+         |lab AS (SELECT d.doc_id AS id,
+         |          least(d.doc_id, coalesce(min(mut.u), d.doc_id)) AS scc
+         |        FROM documents d LEFT JOIN mut ON d.doc_id = mut.v
+         |        GROUP BY d.doc_id),
+         |qd AS (SELECT l1.scc AS scc_src, l2.scc AS scc_dst
+         |       FROM ep JOIN lab l1 ON ep.src = l1.id
+         |         JOIN lab l2 ON ep.dst = l2.id
+         |       WHERE l1.scc <> l2.scc GROUP BY 1, 2),
+         |paths(scc, len) AS (
+         |  SELECT scc_dst, 1 FROM qd
+         |  UNION
+         |  SELECT qd.scc_dst, p.len + 1
+         |  FROM paths p JOIN qd ON qd.scc_src = p.scc
+         |  WHERE p.len < 12)
+         |SELECT CAST(s.scc AS BIGINT) AS scc,
+         |  CAST(coalesce(max(p.len), 0) AS BIGINT) AS layer,
+         |  s.n_docs
+         |FROM (SELECT scc, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM lab GROUP BY 1) s
+         |LEFT JOIN paths p ON p.scc = s.scc
+         |GROUP BY s.scc, s.n_docs""".stripMargin,
     "emb_project" ->
       s"""WITH $qPrep,
          |s AS (SELECT j, i,

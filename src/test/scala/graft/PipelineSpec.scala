@@ -2151,6 +2151,17 @@ class PipelineSpec extends SparkSpec {
     // two seeds: dist is the MINIMUM over seeds
     assert(run(Seq(7L, 4L), 6) ==
       Set((7L, 0L, 1L), (1L, 1L, 3L), (4L, 0L, 1L), (5L, 1L, 2L)))
+    // topological layering over the same quotient: longest chain in —
+    // feeder 0, A-cycle 1, bridge 2, C-cycle 3; the island sits at 0
+    def layers(rounds: Int) =
+      Graph.topoLayers(labels, dag, rounds)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(layers(12) == Set((7L, 0L, 1L), (1L, 1L, 3L),
+      (4L, 2L, 1L), (5L, 3L, 2L), (9L, 0L, 1L)))
+    // the round bound is the path-length bound in BOTH engines: one
+    // round sees only single-edge chains
+    assert(layers(1) == Set((7L, 0L, 1L), (1L, 1L, 3L),
+      (4L, 1L, 1L), (5L, 1L, 2L), (9L, 0L, 1L)))
   }
 
   test("label propagation: cliques absorb their bridge fringe, isolated nodes keep labels") {
