@@ -2532,6 +2532,59 @@ object PipelineQueries {
       .groupBy("y", "pred").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Split-CONFORMAL quality threshold (NEW r15) — the coverage-
+    * guaranteed cut the above-mean rule (quality_lr_eval) cannot
+    * promise: a hash-held-out fifth of the POSITIVE class calibrates,
+    * the threshold is the k-th smallest calibration score with
+    * k = floor(α(n+1)) (α = 20% at the gate), and exchangeability
+    * alone guarantees a fresh positive scores ≥ threshold with
+    * probability ≥ 1−α (Vovk's split conformal; ties make the bound
+    * conservative). One audit row: calibration size and rank, the
+    * integer threshold, and the held-out pass rates for positives
+    * (measured coverage — must sit near 1−α) and negatives (the
+    * filter's efficiency readout). Integer-exact: the threshold is an
+    * actual stored score picked by rank (TakeOrdered — orderBy+limit,
+    * no global window), rates in exact ppm. A calibration set too
+    * small for k ≥ 1 degrades honestly to a pass-everything sentinel
+    * threshold (Long.MinValue) rather than inventing a cut. The
+    * calibration count is a driver-side scalar — calibration sets are
+    * small by construction (labeled holdouts, not the corpus).
+    */
+  def qualityLrConformalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Classifier
+    val d = Tables.documents(spark, sfDir)
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val scored = Classifier.trainScored(d, "text", "doc_id", target,
+      m = 256, iters = 1)
+    val labeled = graft.util.Lineage.truncate(scored
+      .join(d.select(col("doc_id"), target.cast("int").as("y")), Seq("doc_id"))
+      .withColumn("cal", pmod(graft.util.Hashing.portableHash64(
+        concat(lit("conf:"), col("doc_id").cast("string"))), lit(5L)) === 0L))
+    val calPos = labeled.filter(col("cal") && col("y") === 1)
+    val nCal = calPos.count()
+    val k = ((nCal + 1L) * 200000L) / 1000000L
+    val thresh =
+      if (k < 1L) Long.MinValue
+      else calPos.orderBy(col("score").asc, col("doc_id").asc)
+        .limit(k.toInt).agg(max(col("score"))).first().getLong(0)
+    labeled.filter(!col("cal"))
+      .agg(sum(col("y")).cast("long").as("n_eval_pos"),
+        sum(when(col("y") === 1 && col("score") >= thresh, 1L)
+          .otherwise(0L)).as("pos_pass"),
+        sum(lit(1) - col("y")).cast("long").as("n_eval_neg"),
+        sum(when(col("y") === 0 && col("score") >= thresh, 1L)
+          .otherwise(0L)).as("neg_pass"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k_rank"),
+        lit(thresh).as("thresh_score"),
+        col("n_eval_pos"), col("pos_pass"),
+        when(col("n_eval_pos") > 0,
+          expr("pos_pass * 1000000L div n_eval_pos")).as("pos_pass_ppm"),
+        col("n_eval_neg"), col("neg_pass"),
+        when(col("n_eval_neg") > 0,
+          expr("neg_pass * 1000000L div n_eval_neg")).as("neg_pass_ppm"))
+  }
+
   /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
   def textCooccurrenceQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
@@ -2834,6 +2887,7 @@ object PipelineQueries {
     "quality_lr_score" -> qualityLrScoreQ,
     "quality_lr_eval" -> qualityLrEvalQ,
     "quality_lr_calibration" -> qualityLrCalibrationQ,
+    "quality_lr_conformal" -> qualityLrConformalQ,
     "text_pmi" -> textPmiQ,
     "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
@@ -5974,6 +6028,42 @@ object PipelineQueries {
     "quality_lr_score" ->
       s"""WITH $lrCtes
          |SELECT doc_id, score FROM s""".stripMargin,
+    // split-conformal threshold: k-th smallest calibration-positive
+    // score by rank, held-out pass rates in exact ppm; an
+    // under-populated calibration set degrades to the pass-everything
+    // sentinel in BOTH engines
+    "quality_lr_conformal" ->
+      s"""WITH $lrCtes,
+         |lb AS (SELECT s.doc_id, s.score,
+         |         CASE WHEN tm.t THEN 1 ELSE 0 END AS y,
+         |         (${h64("'conf:' || doc_id::VARCHAR")} % 5 = 0) AS cal
+         |       FROM s JOIN tm USING (doc_id)),
+         |cp AS (SELECT score, doc_id FROM lb WHERE cal AND y = 1),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |         CAST((count(*) + 1) * 200000 // 1000000 AS BIGINT) AS k
+         |       FROM cp),
+         |rk AS (SELECT score,
+         |         row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn
+         |       FROM cp),
+         |th AS (SELECT coalesce(max(score),
+         |         CAST(-9223372036854775807 - 1 AS BIGINT)) AS thresh
+         |       FROM rk, kk WHERE rn <= kk.k),
+         |ev AS (SELECT y, score FROM lb WHERE NOT cal)
+         |SELECT kk.n_cal, kk.k AS k_rank, th.thresh AS thresh_score,
+         |  CAST(sum(y) AS BIGINT) AS n_eval_pos,
+         |  CAST(sum(CASE WHEN y = 1 AND score >= th.thresh
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pos_pass,
+         |  CAST(CASE WHEN sum(y) > 0 THEN
+         |    sum(CASE WHEN y = 1 AND score >= th.thresh THEN 1 ELSE 0 END)
+         |      * 1000000 // sum(y) END AS BIGINT) AS pos_pass_ppm,
+         |  CAST(sum(1 - y) AS BIGINT) AS n_eval_neg,
+         |  CAST(sum(CASE WHEN y = 0 AND score >= th.thresh
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS neg_pass,
+         |  CAST(CASE WHEN sum(1 - y) > 0 THEN
+         |    sum(CASE WHEN y = 0 AND score >= th.thresh THEN 1 ELSE 0 END)
+         |      * 1000000 // sum(1 - y) END AS BIGINT) AS neg_pass_ppm
+         |FROM ev, kk, th
+         |GROUP BY 1, 2, 3""".stripMargin,
     "quality_lr_eval" ->
       s"""WITH $lrCtes,
          |st AS (SELECT CAST(sum(score) AS BIGINT) AS stot,
