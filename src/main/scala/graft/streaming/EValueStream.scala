@@ -209,6 +209,96 @@ object EValueStream {
       .foreach(ver => graft.util.Fs.delete(spark, s"$stateDir/batch=$ver"))
   }
 
+  private[streaming] case class RateState(k: String, n: Long, s: Long,
+                                          rows_seen: Long, n_alarms: Long,
+                                          batch_rows: Long, in_batch: Boolean)
+
+  /** ONE-sample sibling of [[evalueBatch]]: an always-valid monitor of
+    * a Bernoulli rate against a FIXED reference `p0` — the shape that
+    * watches an SLO whose target is known rather than an A/B contrast:
+    * conformal-filter coverage against its 1−α guarantee
+    * (quality_lr_conformal's deployment readout), a dedup or
+    * pass-rate budget, a canary's expected fire rate. The e-value is
+    * the uniform-mixture likelihood ratio against the point null,
+    *
+    *   log E = lB(s+1, f+1) − (s·ln p0 + f·ln(1−p0)),
+    *
+    * a test martingale under iid Bernoulli(p0) EXACTLY (point null —
+    * none of the two-sample mixture caveat), so Ville's inequality
+    * gives the ≤ α ever-crossing bound under any peeking. Two-sided
+    * by construction: drift in either direction grows E. Same state
+    * discipline as the two-sample monitor: exact (n, s) per key,
+    * alarm resets them (re-arm), rows_seen/n_alarms persist,
+    * exclude-own-writes versioning. Report per key present in the
+    * batch: (key, batch_rows, n, s, rate_ppm, log_e_micro, alarm).
+    */
+  def rateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                outDir: String, stateDir: String,
+                keyCol: String, convCol: String,
+                p0Ppm: Long, alphaPpm: Long = 50000L,
+                minTrials: Long = 20L): Unit = if (!batch.isEmpty) {
+    require(p0Ppm >= 1 && p0Ppm <= 999999L,
+      s"p0Ppm must be in [1, 999999], got $p0Ppm")
+    require(alphaPpm >= 1 && alphaPpm < 1000000L,
+      s"alphaPpm must be in [1, 1000000), got $alphaPpm")
+    require(minTrials >= 1, s"minTrials must be >= 1, got $minTrials")
+    import spark.implicits._
+    val logThresh = StrictMath.log(1000000.0 / alphaPpm.toDouble)
+    val lp = StrictMath.log(p0Ppm.toDouble / 1000000.0)
+    val lq = StrictMath.log(1.0 - p0Ppm.toDouble / 1000000.0)
+    val prior = priorState(spark, stateDir, batchId)
+    val hasConv = col(convCol).isNotNull
+    val succ = hasConv && col(convCol).cast("double") =!= 0.0
+    val obs = batch
+      .groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("batch_rows"),
+        sum(when(hasConv, 1L).otherwise(0L)).as("bn"),
+        sum(when(succ, 1L).otherwise(0L)).as("bs"))
+    val stateCols = Seq("k", "n", "s", "rows_seen", "n_alarms")
+    val priorS = prior.map(_.select(stateCols.map(col): _*))
+      .getOrElse(obs.limit(0).select(col("k"), lit(0L).as("n"),
+        lit(0L).as("s"), lit(0L).as("rows_seen"), lit(0L).as("n_alarms")))
+    val folded = priorS.withColumnRenamed("k", "__pk")
+      .join(obs, col("__pk") <=> col("k"), "full_outer")
+      .select(coalesce(col("k"), col("__pk")).as("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("bs"), lit(0L))).as("s"),
+        (coalesce(col("rows_seen"), lit(0L))
+          + coalesce(col("batch_rows"), lit(0L))).as("rows_seen"),
+        coalesce(col("n_alarms"), lit(0L)).as("n_alarms"),
+        coalesce(col("batch_rows"), lit(0L)).as("batch_rows"),
+        col("batch_rows").isNotNull.as("in_batch"))
+      .as[RateState]
+      .map { st =>
+        val f = st.n - st.s
+        val le = lbeta(st.s + 1.0, f + 1.0) - (st.s * lp + f * lq)
+        val alarm = st.in_batch && st.n >= minTrials && le >= logThresh
+        (st.k, st.n, st.s, st.rows_seen, st.n_alarms, st.batch_rows,
+          st.in_batch, StrictMath.floor(le * 1e6).toLong, alarm)
+      }
+      .toDF("k", "n", "s", "rows_seen", "n_alarms", "batch_rows",
+        "in_batch", "log_e_micro", "alarm")
+      .localCheckpoint()
+    folded.filter(col("in_batch"))
+      .select(col("k").as(keyCol), col("batch_rows"), col("n"), col("s"),
+        when(col("n") > 0, expr("s * 1000000L div n"))
+          .otherwise(lit(null)).as("rate_ppm"),
+        col("log_e_micro"), col("alarm").cast("int").as("alarm"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    folded.select(col("k"),
+        when(col("alarm"), lit(0L)).otherwise(col("n")).as("n"),
+        when(col("alarm"), lit(0L)).otherwise(col("s")).as("s"),
+        col("rows_seen"),
+        (col("n_alarms") + col("alarm").cast("long")).as("n_alarms"))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    val f = graft.util.Fs.fs(spark, stateDir)
+    f.listStatus(new Path(stateDir)).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .sorted.dropRight(KEEP_VERSIONS)
+      .foreach(ver => graft.util.Fs.delete(spark, s"$stateDir/batch=$ver"))
+  }
+
   /** File-fed monitoring stream: new parquet files under `sourceDir`
     * fold into the per-experiment e-processes; reports land under
     * `outDir/batch=<id>`.

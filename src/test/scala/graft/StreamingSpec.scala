@@ -1542,6 +1542,50 @@ class StreamingSpec extends SparkSpec {
       "null conv / foreign arm must not add trials")
   }
 
+  test("e-value rate monitor: on-target SLO never alarms, off-target alarms once and re-arms") {
+    import graft.streaming.EValueStream
+    val out = tmp(); val st = tmp()
+    def h(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0x7FFFFFFFL
+    }
+    // conformal-coverage deployment shape: p0 = 80% (a 20%-alpha
+    // conformal filter's guaranteed pass rate)
+    def batchDf(id: Long, pPct: Int, n: Int = 200) =
+      (0 until n).map { j =>
+        val i = id * 100000L + j
+        ("filterA", if (h(i) % 100 < pPct) 1 else 0)
+      }.toDF("k", "ok")
+    def run(id: Long, p: Int): Unit =
+      EValueStream.rateBatch(spark, batchDf(id, p), id, out, st,
+        "k", "ok", p0Ppm = 800000L, alphaPpm = 50000L, minTrials = 50L)
+    def rep(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("n", "s", "rate_ppm", "log_e_micro", "alarm")
+      .as[(Long, Long, Long, Long, Int)].head()
+    // 30 on-target batches (6000 trials at the reference rate): the
+    // point-null e-process must never alarm
+    (0L until 30L).foreach(id => run(id, 80))
+    (0L until 30L).foreach { id =>
+      assert(rep(id)._5 == 0, s"on-target batch $id alarmed: ${rep(id)}")
+    }
+    // replay rewrites identical bytes
+    val r29 = spark.read.parquet(s"$out/batch=29").collect().toSet
+    run(29L, 80)
+    assert(spark.read.parquet(s"$out/batch=29").collect().toSet == r29)
+    // coverage collapses to 55%: the SLO breach must alarm, reset,
+    // and the re-armed monitor must catch the still-broken rate again
+    val alarmAt = (30L until 50L).find { id => run(id, 55); rep(id)._5 == 1 }
+    assert(alarmAt.nonEmpty, "a 80%->55% rate collapse must alarm")
+    val reset = spark.read.parquet(s"$st/batch=${alarmAt.get}")
+      .select("n", "s", "n_alarms").as[(Long, Long, Long)].head()
+    assert(reset == ((0L, 0L, 1L)), reset.toString)
+    val again = ((alarmAt.get + 1) until (alarmAt.get + 21)).find { id =>
+      run(id, 55); rep(id)._5 == 1
+    }
+    assert(again.nonEmpty, "the re-armed rate monitor must alarm again")
+  }
+
   test("page-hinkley monitor: end-to-end over a file feed catches a planted shift") {
     import graft.streaming.PageHinkleyStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
