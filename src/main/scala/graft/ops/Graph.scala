@@ -849,16 +849,32 @@ object Graph {
   def blastRadius(labels: DataFrame, dag: DataFrame, seeds: DataFrame,
                   hops: Int): DataFrame = {
     require(hops >= 0, s"hops must be >= 0, got $hops")
-    val sizes = labels.groupBy("scc").agg(count(lit(1)).as("n_docs"))
-    val qEdges = dag.select(col("scc_src"), col("scc_dst"))
+    // materialize the quotient inputs ONCE: the stride jobs below
+    // re-execute every upstream plan they reference, and the dag is a
+    // labels+edges join that must not re-run per job (the
+    // q_markov_stationary lesson)
+    val sizes = graft.util.Lineage.truncate(
+      labels.groupBy("scc").agg(count(lit(1)).as("n_docs")))
+    val qEdges = graft.util.Lineage.truncate(
+      dag.select(col("scc_src"), col("scc_dst")))
     var dist = labels.join(seeds.select(col("id")).distinct(), Seq("id"))
       .select(col("scc")).distinct().withColumn("dist", lit(0L))
-    (1 to hops).foreach { _ =>
-      val step = dist.join(qEdges, col("scc") === col("scc_src"))
-        .select(col("scc_dst").as("scc"), (col("dist") + 1L).as("dist"))
-      dist = graft.util.Lineage.truncate(
-        dist.unionByName(step).groupBy("scc")
-          .agg(min(col("dist")).as("dist")))
+    // three plan-composed relaxations per materialized job (the scc
+    // LAYERS_PER_JOB discipline): job latency, not data, dominates a
+    // |SCC|-grain walk, and the per-step agg keeps the composed plan's
+    // row count bounded
+    var done = 0
+    while (done < hops) {
+      val stride = math.min(3, hops - done)
+      var cur = dist
+      (1 to stride).foreach { _ =>
+        val step = cur.join(qEdges, col("scc") === col("scc_src"))
+          .select(col("scc_dst").as("scc"), (col("dist") + 1L).as("dist"))
+        cur = cur.unionByName(step).groupBy("scc")
+          .agg(min(col("dist")).as("dist"))
+      }
+      dist = graft.util.Lineage.truncate(cur)
+      done += stride
     }
     dist.join(sizes, Seq("scc"))
       .select(col("scc"), col("dist"), col("n_docs"))
@@ -885,15 +901,27 @@ object Graph {
     */
   def topoLayers(labels: DataFrame, dag: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val comps = labels.groupBy("scc").agg(count(lit(1)).as("n_docs"))
-    val qEdges = dag.select(col("scc_src"), col("scc_dst"))
+    // materialized once — see blastRadius (the stride jobs must not
+    // re-run the labels+edges quotient join)
+    val comps = graft.util.Lineage.truncate(
+      labels.groupBy("scc").agg(count(lit(1)).as("n_docs")))
+    val qEdges = graft.util.Lineage.truncate(
+      dag.select(col("scc_src"), col("scc_dst")))
     var layer = comps.select(col("scc")).withColumn("layer", lit(0L))
-    (1 to rounds).foreach { _ =>
-      val relax = layer.join(qEdges, col("scc") === col("scc_src"))
-        .select(col("scc_dst").as("scc"), (col("layer") + 1L).as("layer"))
-      layer = graft.util.Lineage.truncate(
-        layer.unionByName(relax).groupBy("scc")
-          .agg(max(col("layer")).as("layer")))
+    // three plan-composed relaxations per materialized job — see
+    // blastRadius; a 12-round layering costs 4 jobs, not 12
+    var done = 0
+    while (done < rounds) {
+      val stride = math.min(3, rounds - done)
+      var cur = layer
+      (1 to stride).foreach { _ =>
+        val relax = cur.join(qEdges, col("scc") === col("scc_src"))
+          .select(col("scc_dst").as("scc"), (col("layer") + 1L).as("layer"))
+        cur = cur.unionByName(relax).groupBy("scc")
+          .agg(max(col("layer")).as("layer"))
+      }
+      layer = graft.util.Lineage.truncate(cur)
+      done += stride
     }
     layer.join(comps, Seq("scc"))
       .select(col("scc"), col("layer"), col("n_docs"))
