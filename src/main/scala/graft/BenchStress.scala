@@ -367,6 +367,38 @@ object BenchStress {
     // constant; the two extra partial aggs ride the aggregated grain
     "text_kn_logprob" -> ((d: DataFrame) =>
       TextAnalysis.knLogProb(d, "text", "doc_id")),
+    // quotient walks (r15): scc labeling + the |SCC|-grain fixed-round
+    // relaxations — cost must track |E| (the labeling), never blow up
+    // in the stride-composed walk itself
+    "graph_blast_radius" -> ((d: DataFrame) => {
+      val (n, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      val sparse = e.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      val planted = sparse.filter(col("src") % 10 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val all = sparse.unionByName(planted)
+      val labels = graft.ops.Graph.scc(n, all, rounds = 200, propCap = 200)
+      val dag = graft.ops.Graph.condensation(labels, all)
+      graft.ops.Graph.blastRadius(labels, dag,
+        n.filter(col("id") % 97 === 0), hops = 6)
+    }),
+    "graph_topo_layers" -> ((d: DataFrame) => {
+      val (n, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
+      val sparse = e.filter(col("src") =!= col("dst"))
+        .filter(pmod(graft.util.Hashing.portableHash64(
+          concat(lit("cc:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(3L)) === 0L)
+        .select(col("src"), col("dst"))
+      val planted = sparse.filter(col("src") % 10 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val all = sparse.unionByName(planted)
+      val labels = graft.ops.Graph.scc(n, all, rounds = 200, propCap = 200)
+      graft.ops.Graph.topoLayers(labels,
+        graft.ops.Graph.condensation(labels, all), rounds = 12)
+    }),
     // scc labeling + the quotient joins: both scale with |E|
     "graph_condensation" -> ((d: DataFrame) => {
       val (n, e) = graft.ops.Graph.hashGraph(d.select(col("doc_id").as("id")))
@@ -582,6 +614,17 @@ object BenchStress {
     "ann_nndescent" -> ((e: DataFrame, n: Int) =>
       Similarity.nnDescent(e, "embedding", "vec_id", k = 5, iters = 1,
         buckets = 50 * n, dim = Some(64))),
+    // graph search (r15): the k-NN graph build scales with the corpus
+    // (bucket count grows, the nndescent doctrine) while the PINNED
+    // copy-0 probe set makes the search side O(probes·rounds·beam·k) —
+    // the ratio must read the build, never a probe-side blowup
+    "ann_graph_search" -> ((e: DataFrame, n: Int) => {
+      val g = Similarity.nnDescent(e, "embedding", "vec_id", k = 5,
+        iters = 1, buckets = 50 * n, dim = Some(64))
+      Similarity.graphSearch(e, g, "embedding", "vec_id",
+        expr(s"id % 100 = 0 AND id < $COPY_STRIDE"),
+        entries = 4, beam = 3, rounds = 2, topK = 5, dim = Some(64))
+    }),
     // PINNED probe set + labeled positives (the ann_cascade doctrine):
     // the IVF shortlist is the measured cost, the anti-join side is
     // O(pairs) broadcast — the ratio must read the ivf search alone
