@@ -1607,6 +1607,50 @@ class StreamingSpec extends SparkSpec {
     assert(alarms == 1L, s"exactly one alarm for one regime change, got $alarms")
   }
 
+  test("e-value monitor: end-to-end over a file feed — null prefix silent, persistent effect re-alarms per reset") {
+    import graft.streaming.EValueStream
+    val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
+    def h(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0x7FFFFFFFL
+    }
+    var fileNo = 0L
+    def write(pCtl: Int, pTrt: Int, n: Int = 300): Unit = {
+      val base = fileNo * 100000L; fileNo += 1
+      (0 until n).map { j =>
+        val arm = if (j % 2 == 0) "control" else "treatment"
+        val p = if (arm == "control") pCtl else pTrt
+        ("exp1", arm, if (h(base + j) % 100 < p) 1 else 0)
+      }.toDF("exp", "arm", "conv")
+        .coalesce(1).write.mode("append").parquet(feed)
+    }
+    write(30, 30)
+    val q = EValueStream.evalueStream(spark, feed, out, st, ckpt,
+      "exp", "arm", "conv", alphaPpm = 50000L, minPerArm = 20L,
+      maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      // two more null batches, then a strong planted effect
+      Seq((30, 30), (30, 30), (30, 75), (30, 75), (30, 75),
+        (30, 75), (30, 75)).foreach { case (pc, pt) =>
+        write(pc, pt); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the null prefix never alarms; the PERSISTENT effect re-alarms
+    // after each reset (unlike Page–Hinkley, which re-baselines to
+    // the post-shift level, the e-process tests a CONTRAST — still
+    // present in fresh post-reset traffic, so each detection is an
+    // independent, validly-peeked rediscovery)
+    def alarmAt(id: Long): Long = spark.read.parquet(s"$out/batch=$id")
+      .filter(col("alarm") === 1).count()
+    (0L to 2L).foreach(id =>
+      assert(alarmAt(id) == 0L, s"null batch $id must not alarm"))
+    val effectAlarms = (3L to 7L).map(alarmAt).sum
+    assert(effectAlarms >= 3L,
+      s"a persistent 30-vs-75 effect must re-alarm per reset window, got $effectAlarms")
+  }
+
   test("ewma monitor: at-least-once replay rewrites identical bytes; versions pruned") {
     import graft.streaming.EwmaStream
     val out = tmp(); val st = tmp()
