@@ -3,7 +3,7 @@ package graft
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Sampling, TextAnalysis}
 
 /** Config-driven corpus-pipeline runner — the curation-side analogue
   * of the `Replicate` CLI (which drives CDC from sslr.json): a JSON
@@ -246,6 +246,54 @@ object Pipeline {
         TextAnalysis.canary(df, textCol, idCol,
           ratePpm = lngOf("ratePpm", 10000L),
           salt = strOf("salt", "graft"))
+      case "conformal_filter" =>
+        // coverage-GUARANTEED quality filter (split conformal — the
+        // quality_lr_conformal machinery as a runner stage): "labels"
+        // names a parquet of (idCol, y) human/model-judged quality
+        // labels for a SMALL subset of the corpus; the hashed-BoW LR
+        // trains on the labeled rows OUTSIDE the hash-held-out fifth,
+        // the threshold is the k-th smallest held-out POSITIVE score
+        // with k = floor(α(n+1)), and the stage keeps corpus docs
+        // scoring ≥ it — so ≥ 1−α of genuinely-good docs survive, by
+        // exchangeability alone (proper split: calibration rows never
+        // see training, unlike the self-trained gate query). An
+        // under-populated calibration fifth (k < 1) keeps everything
+        // and warns loudly rather than inventing a cut. Corpus-level
+        // stage (a fitted transform): NOT reorderable, NOT streamable.
+        val spark = df.sparkSession
+        val alphaPpm = lngOf("alphaPpm", 200000L)
+        val m = intOf("m", 256)
+        val labels = spark.read.parquet(reqStr("labels"))
+          .select(col(idCol), col(strOf("labelCol", "y")).cast("int").as("__y"))
+        val lj = graft.util.Lineage.truncate(
+          df.select(col(idCol), col(textCol)).join(labels, Seq(idCol))
+            .withColumn("__cal", pmod(graft.util.Hashing.portableHash64(
+              concat(lit("conf:"), col(idCol).cast("string"))),
+              lit(5L)) === 0L))
+        val trainSet = lj.filter(!col("__cal"))
+        val weights = Classifier.train(trainSet, textCol, idCol,
+          col("__y") === 1, m = m, iters = 1)
+        val calScores = Classifier.score(
+            lj.filter(col("__cal") && col("__y") === 1), textCol, idCol,
+            weights, m)
+          .select(col("doc_id").as("__cid"), col("score"))
+        val nCal = calScores.count()
+        val k = ((nCal + 1L) * alphaPpm) / 1000000L
+        if (k < 1L) {
+          System.err.println(s"[pipeline] conformal_filter: calibration " +
+            s"fifth has only $nCal positives — too few for alphaPpm=" +
+            s"$alphaPpm, keeping everything (label more data)")
+          df
+        } else {
+          val thresh = calScores
+            .orderBy(col("score").asc, col("__cid").asc).limit(k.toInt)
+            .agg(max(col("score"))).first().getLong(0)
+          val kept = Classifier.score(df, textCol, idCol, weights, m)
+            .filter(col("score") >= thresh)
+            .select(col("doc_id").as(idCol))
+          df.join(kept, Seq(idCol), "left_semi")
+        }
+
       case "coverage_filter" =>
         // ratio sibling of decontaminate (same sentinel-probe
         // pattern): drop docs whose distinct-n-gram COVERAGE by the

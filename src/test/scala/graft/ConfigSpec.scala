@@ -291,6 +291,62 @@ class ConfigSpec extends SparkSpec {
       "streamed probe-file gates must equal the composed batch chain")
   }
 
+  test("pipeline runner: conformal_filter keeps >= 1-alpha of held-out positives, degenerates loudly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+    val inDir = tmpDir() + "/in.parquet"
+    docs.write.mode("overwrite").parquet(inDir)
+    // labels for a THIRD of the corpus (the small labeled subset a
+    // real deployment buys): y = the quality_lr fixture target
+    val isPos = expr("doc_id % 3 = 0") && array_contains(
+      split(graft.ops.TextAnalysis.normalize(col("text")), " "), "join")
+    val labelsDir = tmpDir() + "/labels.parquet"
+    docs.filter($"doc_id" % 3 < 2)
+      .select($"doc_id", isPos.cast("int").as("y"))
+      .write.mode("overwrite").parquet(labelsDir)
+    val outDir = tmpDir() + "/conf"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir",
+         |"stages": [{"op": "conformal_filter", "labels": "$labelsDir",
+         |            "alphaPpm": 200000, "m": 256}]}""".stripMargin)
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size < docs.count(),
+      s"the filter must bite: kept ${kept.size}")
+    // coverage: labeled positives OUTSIDE training+calibration never
+    // existed here (all labeled rows are used), so measure on the
+    // calibration-held-out positives — the exchangeable proxy the
+    // guarantee is calibrated on; alpha=20% bounds the drop rate
+    val calPos = docs.filter($"doc_id" % 3 < 2).filter(isPos)
+      .filter(pmod(graft.util.Hashing.portableHash64(
+        concat(lit("conf:"), $"doc_id".cast("string"))), lit(5L)) === 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(calPos.nonEmpty, "fixture must have calibration positives")
+    val covered = calPos.count(kept.contains).toDouble / calPos.size
+    assert(covered >= 0.75,
+      s"conformal coverage on calibration positives: $covered")
+    // UNLABELED positives (never trained on, never calibrated): the
+    // guarantee's real audience — fresh exchangeable positives
+    val freshPos = docs.filter($"doc_id" % 3 === 2).filter(
+      array_contains(split(graft.ops.TextAnalysis.normalize(col("text")),
+        " "), "join")).select("doc_id").as[Long].collect().toSet
+    if (freshPos.size >= 10) {
+      val freshCov = freshPos.count(kept.contains).toDouble / freshPos.size
+      assert(freshCov >= 0.6,
+        s"fresh-positive coverage collapsed: $freshCov over ${freshPos.size}")
+    }
+    // degenerate: a labels file with almost no positives keeps all
+    val tinyDir = tmpDir() + "/tiny.parquet"
+    docs.limit(8).select($"doc_id", lit(0).cast("int").as("y"))
+      .write.mode("overwrite").parquet(tinyDir)
+    val outDir2 = tmpDir() + "/conf2"
+    Pipeline.run(spark,
+      s"""{"input": "$inDir", "output": "$outDir2",
+         |"stages": [{"op": "conformal_filter", "labels": "$tinyDir"}]}""".stripMargin)
+    assert(spark.read.parquet(outDir2).count() == docs.count(),
+      "an under-populated calibration set must keep everything")
+  }
+
   test("pipeline runner: bpe_tokens annotates real token counts; jsonl input requires a schema") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)
