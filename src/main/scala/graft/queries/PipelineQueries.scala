@@ -263,6 +263,25 @@ object PipelineQueries {
       topK = 5, dim = EMB_DIM)
   }
 
+  /** HIERARCHICAL graph search gate (Similarity.hierSearch — the HNSW
+    * two-layer shape, NEW r15): every 8th-by-hash vector forms the
+    * sparse upper layer with its own k=3 graph; probes first search
+    * the upper layer (2 global entries, beam 2, 1 round) and hand
+    * their top-2 upper results to the base-layer search (beam 3, 2
+    * rounds) as personal entry points — the long-range hop that lands
+    * each probe near its neighborhood before the fine walk.
+    */
+  def annGraphHierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = Similarity.nnDescent(emb, "embedding", "vec_id",
+      k = 5, iters = 1, buckets = 50, dim = EMB_DIM)
+    Similarity.hierSearch(emb, base, "embedding", "vec_id",
+      expr("id % 100 = 0"), upperMod = 8, upperK = 3,
+      upperIters = 1, upperBuckets = 10, entries = 2, upperBeam = 2,
+      upperRounds = 1, baseEntries = 2, beam = 3, rounds = 2,
+      topK = 5, dim = EMB_DIM)
+  }
+
   /** Recall@5 of the graph search against the brute-force truth — the
     * ann_recall harness shape for the graph path: exact hit counts
     * per query, zero-hit queries included from the truth side.
@@ -2758,6 +2777,7 @@ object PipelineQueries {
     "pipeline_export_triplets" -> pipelineTripletsQ,
     "ann_nndescent" -> annNnDescentQ,
     "ann_graph_search" -> annGraphSearchQ,
+    "ann_graph_hier" -> annGraphHierQ,
     "ann_graph_recall" -> annGraphRecallQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -2936,6 +2956,62 @@ object PipelineQueries {
     s"CAST(list_sum(list_transform(list_zip($aQv, $bQv), z -> z[1] * z[2])) AS DOUBLE)" +
       s" / (sqrt(CAST($aN2 AS DOUBLE)) * sqrt(CAST($bN2 AS DOUBLE)))"
 
+  /** One-round nnDescent construction chain over CTE `src` (vec_id,
+    * qv, n2), emitting `<pfx>g(vec_id, neighbor_id)` — the
+    * ann_nndescent replay, parameterized so the hierarchical search
+    * can build two graphs (upper subset + base) in one WITH clause.
+    */
+  private def nndChain(pfx: String, src: String, k: Int,
+                       buckets: Int): String =
+    s"""${pfx}h AS (SELECT vec_id AS id,
+       |        ${h64("vec_id::VARCHAR")} AS hid FROM $src),
+       |${pfx}i AS (SELECT id, hid, hid % $buckets AS bkt FROM ${pfx}h),
+       |${pfx}seed AS (SELECT a.id, b.id AS nid,
+       |    row_number() OVER (PARTITION BY a.id ORDER BY b.hid, b.id) AS rn
+       |  FROM ${pfx}i a JOIN ${pfx}i b ON a.bkt = b.bkt AND a.id <> b.id),
+       |${pfx}cur AS (SELECT id, nid FROM ${pfx}seed WHERE rn <= $k),
+       |${pfx}rev AS (SELECT nid AS id, id AS nid FROM ${pfx}cur),
+       |${pfx}two AS (SELECT x.id, y.nid FROM ${pfx}cur x
+       |        JOIN ${pfx}cur y ON x.nid = y.id
+       |        WHERE x.id <> y.nid),
+       |${pfx}cand AS (SELECT DISTINCT id, nid FROM
+       |  (SELECT * FROM ${pfx}cur UNION ALL SELECT * FROM ${pfx}rev
+       |   UNION ALL SELECT * FROM ${pfx}two)),
+       |${pfx}sc AS (SELECT c.id, c.nid,
+       |    ${gsCos("a.qv", "a.n2", "b.qv", "b.n2")} AS cos
+       |  FROM ${pfx}cand c JOIN $src a ON a.vec_id = c.id
+       |    JOIN $src b ON b.vec_id = c.nid),
+       |${pfx}g AS (SELECT id AS vec_id, nid AS neighbor_id FROM (
+       |    SELECT id, nid, row_number() OVER (PARTITION BY id
+       |      ORDER BY cos DESC, nid ASC) AS rank FROM ${pfx}sc)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** Fixed-round beam-search chain: visited v0 from `v0Sql`, `rounds`
+    * expansions over `graphCte` with candidate vectors from `src` and
+    * probe vectors from the `pr` CTE, EXCEPT as the visited
+    * anti-join. Emits `<pfx>v<rounds>` (qid, id, cos). */
+  private def searchChain(pfx: String, src: String, graphCte: String,
+                          v0Sql: String, beam: Int, rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      val prev = s"${pfx}v${r - 1}"
+      s"""${pfx}b$r AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
+         |  FROM $prev) WHERE rn <= $beam),
+         |${pfx}f$r AS (SELECT DISTINCT b.qid, g.neighbor_id AS id
+         |    FROM ${pfx}b$r b JOIN $graphCte g ON g.vec_id = b.id
+         |    WHERE g.neighbor_id <> b.qid
+         |  EXCEPT SELECT qid, id FROM $prev),
+         |${pfx}s$r AS (SELECT f.qid, f.id,
+         |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+         |  FROM ${pfx}f$r f JOIN $src a ON a.vec_id = f.id
+         |    JOIN pr ON pr.qid = f.qid),
+         |${pfx}v$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM ${pfx}s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${pfx}v0 AS ($v0Sql),
+       |$blocks""".stripMargin
+  }
+
   /** Shared CTE chain for the graph-ANN search oracles: rebuilds the
     * ann_nndescent graph (identical params — one construction, two
     * replays cannot drift), then the fixed-round beam search — 4
@@ -2944,52 +3020,47 @@ object PipelineQueries {
     * convention), EXCEPT as the visited anti-join. Ends at `v2`,
     * the full visited set (qid, id, cos).
     */
-  private lazy val gsSearchCtes: String = {
-    val expansions = (1 to 2).map { r =>
-      val prev = s"v${r - 1}"
-      s"""b$r AS (SELECT qid, id FROM (SELECT qid, id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
-         |  FROM $prev) WHERE rn <= 3),
-         |f$r AS (SELECT DISTINCT b.qid, g.neighbor_id AS id
-         |    FROM b$r b JOIN g ON g.vec_id = b.id
-         |    WHERE g.neighbor_id <> b.qid
-         |  EXCEPT SELECT qid, id FROM $prev),
-         |s$r AS (SELECT f.qid, f.id,
-         |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
-         |  FROM f$r f JOIN n a ON a.vec_id = f.id JOIN pr ON pr.qid = f.qid),
-         |v$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
-    }.mkString(",\n")
+  private lazy val gsSearchCtes: String =
     s"""$qPrep,
-       |h AS (SELECT vec_id AS id,
-       |        ${h64("vec_id::VARCHAR")} AS hid FROM n),
-       |i AS (SELECT id, hid, hid % 50 AS bkt FROM h),
-       |seed AS (SELECT a.id, b.id AS nid,
-       |    row_number() OVER (PARTITION BY a.id ORDER BY b.hid, b.id) AS rn
-       |  FROM i a JOIN i b ON a.bkt = b.bkt AND a.id <> b.id),
-       |cur AS (SELECT id, nid FROM seed WHERE rn <= 5),
-       |rev AS (SELECT nid AS id, id AS nid FROM cur),
-       |two AS (SELECT x.id, y.nid FROM cur x JOIN cur y ON x.nid = y.id
-       |        WHERE x.id <> y.nid),
-       |cand AS (SELECT DISTINCT id, nid FROM
-       |  (SELECT * FROM cur UNION ALL SELECT * FROM rev
-       |   UNION ALL SELECT * FROM two)),
-       |sc AS (SELECT c.id, c.nid,
-       |    ${gsCos("a.qv", "a.n2", "b.qv", "b.n2")} AS cos
-       |  FROM cand c JOIN n a ON a.vec_id = c.id JOIN n b ON b.vec_id = c.nid),
-       |g AS (SELECT id AS vec_id, nid AS neighbor_id FROM (
-       |    SELECT id, nid, row_number() OVER (PARTITION BY id
-       |      ORDER BY cos DESC, nid ASC) AS rank FROM sc)
-       |  WHERE rank <= 5),
+       |${nndChain("", "n", 5, 50)},
        |ent AS (SELECT vec_id AS id FROM n
        |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
        |pr AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
        |  WHERE vec_id % 100 = 0),
-       |v0 AS (SELECT pr.qid, a.vec_id AS id,
-       |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
-       |  FROM pr CROSS JOIN ent e JOIN n a ON a.vec_id = e.id
-       |  WHERE e.id <> pr.qid),
-       |$expansions""".stripMargin
-  }
+       |${searchChain("", "n", "g",
+            s"""SELECT pr.qid, a.vec_id AS id,
+               |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM pr CROSS JOIN ent e JOIN n a ON a.vec_id = e.id
+               |  WHERE e.id <> pr.qid""".stripMargin, 3, 2)}""".stripMargin
+
+  /** Hierarchical (HNSW two-layer) search oracle chain: upper subset
+    * + its own small graph, upper search from global entries, handoff
+    * of each probe's best upper results as base entries, base search.
+    * Ends at `bv2`. */
+  private lazy val hierSearchCtes: String =
+    s"""$qPrep,
+       |un AS (SELECT vec_id, qv, n2 FROM n
+       |  WHERE ${h64("'hl:' || vec_id::VARCHAR")} % 8 = 0),
+       |${nndChain("u", "un", 3, 10)},
+       |${nndChain("", "n", 5, 50)},
+       |uent AS (SELECT vec_id AS id FROM un
+       |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 2),
+       |pr AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
+       |  WHERE vec_id % 100 = 0),
+       |${searchChain("u", "un", "ug",
+            s"""SELECT pr.qid, a.vec_id AS id,
+               |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM pr CROSS JOIN uent e JOIN un a ON a.vec_id = e.id
+               |  WHERE e.id <> pr.qid""".stripMargin, 2, 1)},
+       |ho AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
+       |  FROM uv1) WHERE rn <= 2),
+       |${searchChain("b", "n", "g",
+            s"""SELECT ho.qid, a.vec_id AS id,
+               |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM ho JOIN n a ON a.vec_id = ho.id
+               |    JOIN pr ON pr.qid = ho.qid""".stripMargin, 3, 2)}"""
+      .stripMargin
 
   /** The BM25 corpus/probe/scoring CTE chain (ends at `agg`:
     * (query_id, doc_id, score_micro)), parameterized only by the probe
@@ -3507,6 +3578,13 @@ object PipelineQueries {
          |  round(cos, 6) AS cosine
          |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, id ASC) AS rank FROM v2)
+         |WHERE rank <= 5""".stripMargin,
+    "ann_graph_hier" ->
+      s"""WITH $hierSearchCtes
+         |SELECT qid AS query_id, id AS neighbor_id, rank,
+         |  round(cos, 6) AS cosine
+         |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id ASC) AS rank FROM bv2)
          |WHERE rank <= 5""".stripMargin,
     "ann_graph_recall" ->
       s"""WITH $gsSearchCtes,

@@ -1116,6 +1116,24 @@ object Similarity {
         graft.util.Hashing.portableHash64(
           concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
       .orderBy(col("ehid"), col("id")).limit(entries).select("id")
+    val entryPairs = probes.select(col("qid")).crossJoin(broadcast(ent))
+    beamSearch(p, probes, graph, entryPairs, beam, rounds, dim)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The beam core shared by [[graphSearch]] and [[hierSearch]]: from
+    * per-probe entry pairs (qid, id), run `rounds` fixed expansions
+    * over `graph` and return the full visited set (qid, id, cos) for
+    * the caller's rerank. Entry pairs equal to the probe itself are
+    * dropped; every cosine is exact. */
+  private def beamSearch(p: DataFrame, probes: DataFrame,
+                         graph: DataFrame, entryPairs: DataFrame,
+                         beam: Int, rounds: Int,
+                         dim: Option[Int]): DataFrame = {
     val edges = graph.select(col("vec_id").as("id"),
       col("neighbor_id").as("nid"))
     def scoreQ(cand: DataFrame): DataFrame =
@@ -1125,7 +1143,7 @@ object Similarity {
           cosine(qdot(col("qv"), col("pqv"), dim),
             col("n2"), col("pn2")).as("cos"))
     var visited = graft.util.Lineage.truncate(
-      scoreQ(probes.select(col("qid")).crossJoin(broadcast(ent))
+      scoreQ(entryPairs.select(col("qid"), col("id")).distinct()
         .filter(col("qid") =!= col("id"))))
     val wBeam = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
@@ -1140,7 +1158,64 @@ object Similarity {
       visited = graft.util.Lineage.truncate(
         scoreQ(fresh).unionByName(visited))
     }
-    visited.withColumn("rank", row_number().over(wBeam))
+    visited
+  }
+
+  /** HIERARCHICAL graph search — the HNSW two-layer shape completing
+    * [[graphSearch]]: a sparse UPPER layer (every node whose portable
+    * hash of "hl:"+id is ≡ 0 mod `upperMod` — the deterministic stand-
+    * in for HNSW's geometric layer assignment) carries its own k-NN
+    * graph; each probe first beam-searches the upper layer from the
+    * global hash-seeded entries, and its top-`baseEntries` upper
+    * results become its PERSONAL entry points into the base-layer
+    * search — the long-range hops that let a probe land near its
+    * neighborhood in O(log n) instead of walking there, so the base
+    * search needs fewer rounds at the same recall. Both layers use
+    * the same deterministic fixed-round machinery; the DuckDB oracle
+    * replays upper build + upper search + handoff + base search as
+    * one CTE chain.
+    *
+    * Scale shape: the upper layer is corpus/upperMod nodes (its build
+    * cost is the nnDescent of a small subset), the handoff is
+    * |probes|·baseEntries rows, and the base search is exactly
+    * [[graphSearch]]'s probe-grain cost — nothing new shuffles at
+    * corpus grain.
+    */
+  def hierSearch(df: DataFrame, baseGraph: DataFrame, vecCol: String,
+                 idCol: String, probePred: Column, upperMod: Int,
+                 upperK: Int, upperIters: Int, upperBuckets: Int,
+                 entries: Int, upperBeam: Int, upperRounds: Int,
+                 baseEntries: Int, beam: Int, rounds: Int, topK: Int,
+                 dim: Option[Int] = None): DataFrame = {
+    require(upperMod >= 2 && upperK >= 1 && baseEntries >= 1,
+      s"bad upperMod=$upperMod upperK=$upperK baseEntries=$baseEntries")
+    val nn = df.filter(col(vecCol).isNotNull)
+    val isUpper = pmod(graft.util.Hashing.portableHash64(
+      concat(lit("hl:"), col(idCol).cast("string"))),
+      lit(upperMod.toLong)) === 0L
+    val upper = nn.filter(isUpper)
+    val upperGraph = nnDescent(upper, vecCol, idCol, upperK, upperIters,
+      upperBuckets, dim)
+    val p = prepared(nn, vecCol, idCol)
+    val probes = p.filter(probePred)
+      .select(col("id").as("qid"), col("qv").as("pqv"),
+        col("n2").as("pn2"))
+    val pUpper = prepared(upper, vecCol, idCol)
+    val entUp = pUpper.select(col("id"),
+        graft.util.Hashing.portableHash64(
+          concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
+      .orderBy(col("ehid"), col("id")).limit(entries).select("id")
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    // upper search: global entries, the sparse graph
+    val upVisited = beamSearch(pUpper, probes, upperGraph,
+      probes.select(col("qid")).crossJoin(broadcast(entUp)),
+      upperBeam, upperRounds, dim)
+    // handoff: each probe's best upper results seed the base search
+    val handoff = upVisited.withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= baseEntries).select(col("qid"), col("id"))
+    beamSearch(p, probes, baseGraph, handoff, beam, rounds, dim)
+      .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))

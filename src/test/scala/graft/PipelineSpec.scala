@@ -2874,6 +2874,29 @@ class PipelineSpec extends SparkSpec {
         topK = 5, dim = Some(64))
       .collect().map(_.toString).sorted
     assert(a.toSeq == b.toSeq, "graphSearch must be layout-independent")
+    // hierarchical handoff: with the SAME base budget (2 entries,
+    // beam 3, 2 rounds), entering from each probe's best upper-layer
+    // results must match or beat entering from the fixed global pair
+    // — the long-range-hop claim, measured
+    def hier() = Similarity.hierSearch(e, graph, "embedding", "vec_id",
+      expr("id % 100 = 0"), upperMod = 8, upperK = 3, upperIters = 1,
+      upperBuckets = 10, entries = 2, upperBeam = 2, upperRounds = 1,
+      baseEntries = 2, beam = 3, rounds = 2, topK = 5, dim = Some(64))
+    val flat2 = recall(Similarity.graphSearch(e, graph, "embedding",
+      "vec_id", expr("id % 100 = 0"), entries = 2, beam = 3,
+      rounds = 2, topK = 5, dim = Some(64)))
+    val hierR = recall(hier())
+    assert(hierR >= flat2,
+      s"upper-layer entries must not lose to fixed entries: $flat2 vs $hierR")
+    // hier is deterministic and layout-independent like the flat path
+    val h1 = hier().collect().map(_.toString).sorted
+    val h2 = Similarity.hierSearch(e.repartition(9, col("vec_id")),
+        graph.repartition(3), "embedding", "vec_id",
+        expr("id % 100 = 0"), upperMod = 8, upperK = 3, upperIters = 1,
+        upperBuckets = 10, entries = 2, upperBeam = 2, upperRounds = 1,
+        baseEntries = 2, beam = 3, rounds = 2, topK = 5, dim = Some(64))
+      .collect().map(_.toString).sorted
+    assert(h1.toSeq == h2.toSeq, "hierSearch must be layout-independent")
   }
 
   test("assortativity: hand graph exact stats, dup/self-loop collapse, degenerate NULL") {
