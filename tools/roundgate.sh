@@ -46,6 +46,22 @@ try:
     cur = json.loads(raw)
 except (FileNotFoundError, ValueError):
     sys.exit(0)
+head = subprocess.run(['git', 'show', 'HEAD:BENCH_FULL.json'],
+                      capture_output=True, text=True)
+prev = None
+if head.returncode == 0:
+    try:
+        prev = json.loads(head.stdout)
+    except ValueError:
+        prev = None
+# coverage guard: a subset dump (Bench invoked with query-name args
+# while iterating) must never replace the full-surface record
+if prev and len(cur.get('queries', {})) < len(prev.get('queries', {})):
+    print(f"REFUSING to close: working-tree BENCH_FULL.json covers "
+          f"{len(cur.get('queries', {}))} queries but the committed record "
+          f"covers {len(prev.get('queries', {}))} — a subset timing dump. "
+          "Restore it: git checkout BENCH_FULL.json")
+    sys.exit(1)
 drift = cur.get('anchor_drift', -1)
 spreads = cur.get('spread_min_max', {}) or {}
 # a spread whose max runs >2.5x its (non-trivial) min marks contention
@@ -57,8 +73,6 @@ if not contended:
     print('bench-of-record: idle by its own self-diagnosis'
           f' (drift={drift}, wide spreads={len(wide)})')
     sys.exit(0)
-head = subprocess.run(['git', 'show', 'HEAD:BENCH_FULL.json'],
-                      capture_output=True, text=True)
 if head.returncode == 0 and head.stdout.strip() == raw.strip():
     print('bench-of-record: contended but already committed (process '
           'note for the round log; re-measure idle when possible)')
