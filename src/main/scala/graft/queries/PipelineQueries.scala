@@ -2604,6 +2604,16 @@ object PipelineQueries {
           expr("neg_pass * 1000000L div n_eval_neg")).as("neg_pass_ppm"))
   }
 
+  /** Polynomial-kernel MMD drift gate (Similarity.mmdPoly2, NEW r15):
+    * the even/odd vec_id halves play the two samples — on one corpus
+    * the halves are exchangeable, so the statistics double as the
+    * null-calibration readout. Exact decimal sufficient statistics,
+    * Gram-factored (no pair join).
+    */
+  def embMmdQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.mmdPoly2(Tables.embeddings(spark, sfDir), "embedding",
+      pmod(col("vec_id"), lit(2L)), dim = 64)
+
   /** GloVe-style co-occurrence matrix (±2 window, minCount 5). */
   def textCooccurrenceQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.cooccurrence(Tables.documents(spark, sfDir), "text",
@@ -2832,6 +2842,7 @@ object PipelineQueries {
     "text_pii" -> textPiiQ,
     "dedup_incremental_lsh" -> dedupIncrementalLshQ,
     "emb_gram" -> embGramQ,
+    "emb_mmd" -> embMmdQ,
     "emb_pca" -> embPcaQ,
     "emb_outliers" -> embOutliersQ,
     "emb_drift" -> embDriftQ,
@@ -4867,6 +4878,37 @@ object PipelineQueries {
          |          count(*)::BIGINT AS g FROM q)
          |SELECT * FROM sec UNION ALL SELECT * FROM fst
          |UNION ALL SELECT * FROM cnt""".stripMargin,
+    // MMD sufficient statistics via the gram factorization: per-group
+    // upper-triangle gram, full-join contraction with off-diagonal
+    // weight 2, HUGEINT-exact sums emitted as digit strings
+    "emb_mmd" ->
+      s"""WITH q AS (SELECT vec_id, vec_id % 2 AS grp, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |       FROM embeddings
+         |       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |a AS (SELECT grp, vec_id, unnest(qv) AS qi,
+         |        unnest(range(0, len(qv))) AS i FROM q),
+         |gr AS (SELECT x.grp, CAST(x.i AS BIGINT) AS i,
+         |          CAST(y.i AS BIGINT) AS j,
+         |          CAST(sum(x.qi * y.qi) AS HUGEINT) AS g
+         |        FROM a x JOIN a y ON x.vec_id = y.vec_id AND y.i >= x.i
+         |        GROUP BY 1, 2, 3),
+         |gx AS (SELECT i, j, g AS gxv FROM gr WHERE grp = 0),
+         |gy AS (SELECT i, j, g AS gyv FROM gr WHERE grp = 1),
+         |ct AS (SELECT CASE WHEN i = j THEN 1 ELSE 2 END AS w,
+         |         coalesce(gxv, 0::HUGEINT) AS dx,
+         |         coalesce(gyv, 0::HUGEINT) AS dy
+         |       FROM gx FULL JOIN gy USING (i, j)),
+         |s AS (SELECT sum(w * dx * dx) AS sxx, sum(w * dx * dy) AS sxy,
+         |        sum(w * dy * dy) AS syy FROM ct),
+         |n AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_x,
+         |        CAST(sum(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_y
+         |      FROM q)
+         |SELECT n.n_x, n.n_y,
+         |  CAST(CAST(s.sxx AS DECIMAL(38,0)) AS VARCHAR) AS sxx,
+         |  CAST(CAST(s.sxy AS DECIMAL(38,0)) AS VARCHAR) AS sxy,
+         |  CAST(CAST(s.syy AS DECIMAL(38,0)) AS VARCHAR) AS syy
+         |FROM n, s""".stripMargin,
     "profile_table" ->
       s"""WITH d AS (SELECT doc_id, text,
          |             CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,

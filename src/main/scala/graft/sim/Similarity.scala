@@ -1161,6 +1161,69 @@ object Similarity {
     visited
   }
 
+  /** Two-sample embedding-distribution DRIFT via the degree-2
+    * polynomial-kernel MMD (Gretton et al., JMLR 2012) — the
+    * distribution-level test [[gramStats]]' moments can't give and a
+    * mean-vector drift check misses (two corpora can share a mean
+    * while their covariance structure diverges — a re-embedding with
+    * a different model does exactly that): with kernel
+    * k(x,y) = (x·y)², the pair sums factor through the GRAM matrices,
+    *
+    *   Σ_{x∈X, y∈Y} (x·y)² = Σ_{a,b} Gx[a,b]·Gy[a,b],
+    *
+    * so MMD²'s three pair terms need one d²/2-explode aggregate per
+    * group and a d²-row contraction — NEVER a pair join: O(N·d²)
+    * where the naive test is O(N²·d). Output is ONE row of exact
+    * sufficient statistics: group sizes and the three contraction
+    * sums (Σkxx, Σkxy, Σkyy over ALL ordered pairs incl. self-pairs,
+    * as decimal-exact digit strings — products reach ~10²⁰ and sums
+    * ~10²¹, past int64), from which
+    * MMD²_biased = Σkxx/n² + Σkyy/m² − 2·Σkxy/(nm). The division is
+    * deliberately left to the reader: emitting exact integers is the
+    * file-wide convention (cross-engine decimal division rounds).
+    *
+    * Group contract: `groupExpr` must evaluate to 0 (sample X) or 1
+    * (sample Y); other values are ignored rows.
+    */
+  def mmdPoly2(df: DataFrame, vecCol: String, groupExpr: Column,
+               dim: Int): DataFrame = {
+    val q = df
+      .select(quantize(col(vecCol)).as("qv"),
+        groupExpr.cast("int").as("grp"))
+      .filter(col("qv").isNotNull && size(col("qv")) === dim &&
+        col("grp").isin(0, 1))
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qv"), i + lit(1)) *
+            element_at(col("qv"), j + lit(1))).as("p")))))
+    val gram = q.select(col("grp"), explode(pairs).as("s"))
+      .groupBy(col("grp"), col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.p")).as("g"))
+    val gx = gram.filter(col("grp") === 0)
+      .select(col("i"), col("j"), col("g").as("gxv"))
+    val gy = gram.filter(col("grp") === 1)
+      .select(col("i"), col("j"), col("g").as("gyv"))
+    // full outer: a dimension pair absent from one group's gram is an
+    // exact zero there, not a dropped term
+    val w = when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
+    val sums = gx.join(gy, Seq("i", "j"), "full_outer")
+      .select(w.as("w"),
+        coalesce(col("gxv"), lit(0L)).cast("decimal(20,0)").as("dx"),
+        coalesce(col("gyv"), lit(0L)).cast("decimal(20,0)").as("dy"))
+      .agg(sum(col("w") * col("dx") * col("dx")).as("sxx"),
+        sum(col("w") * col("dx") * col("dy")).as("sxy"),
+        sum(col("w") * col("dy") * col("dy")).as("syy"))
+    val counts = q.groupBy("grp").agg(count(lit(1)).as("n"))
+    val nx = counts.filter(col("grp") === 0).select(col("n").as("n_x"))
+    val ny = counts.filter(col("grp") === 1).select(col("n").as("n_y"))
+    nx.crossJoin(broadcast(ny)).crossJoin(broadcast(sums))
+      .select(col("n_x"), col("n_y"),
+        col("sxx").cast("decimal(38,0)").cast("string").as("sxx"),
+        col("sxy").cast("decimal(38,0)").cast("string").as("sxy"),
+        col("syy").cast("decimal(38,0)").cast("string").as("syy"))
+  }
+
   /** HIERARCHICAL graph search — the HNSW two-layer shape completing
     * [[graphSearch]]: a sparse UPPER layer (every node whose portable
     * hash of "hl:"+id is ≡ 0 mod `upperMod` — the deterministic stand-

@@ -2899,6 +2899,50 @@ class PipelineSpec extends SparkSpec {
     assert(h1.toSeq == h2.toSeq, "hierSearch must be layout-independent")
   }
 
+  test("mmd poly2: gram factorization equals the naive pair loop exactly; drift separates from null") {
+    import graft.sim.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val got = Similarity.mmdPoly2(e, "embedding",
+        pmod(col("vec_id"), lit(2L)), dim = 64)
+      .as[(Long, Long, String, String, String)].head()
+    // naive truth: quantize exactly as the op does, then loop pairs
+    val vecs = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e4).cast("long")).as("qv"))
+      .as[(Long, Seq[Long])].collect()
+    val xs = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val ys = vecs.filter(_._1 % 2 == 1).map(_._2)
+    def k2(a: Seq[Long], b: Seq[Long]): BigInt = {
+      val d = a.indices.map(i => a(i) * b(i)).sum; BigInt(d) * BigInt(d)
+    }
+    def pairSum(u: Array[Seq[Long]], v: Array[Seq[Long]]): BigInt =
+      u.iterator.map(a => v.iterator.map(b => k2(a, b)).sum).sum
+    assert(got._1 == xs.length && got._2 == ys.length)
+    assert(BigInt(got._3) == pairSum(xs, xs), "sxx must be pair-exact")
+    assert(BigInt(got._4) == pairSum(xs, ys), "sxy must be pair-exact")
+    assert(BigInt(got._5) == pairSum(ys, ys), "syy must be pair-exact")
+    // behavior: exchangeable halves give MMD^2 near zero; a planted
+    // drift (second sample = first coordinates scaled 3x on half the
+    // dims — same mean direction, different covariance) separates
+    def mmd2(nx: Long, ny: Long, sxx: BigInt, sxy: BigInt, syy: BigInt) =
+      sxx.toDouble / (nx.toDouble * nx) + syy.toDouble / (ny.toDouble * ny) -
+        2.0 * sxy.toDouble / (nx.toDouble * ny)
+    val nullMmd = math.abs(mmd2(got._1, got._2,
+      BigInt(got._3), BigInt(got._4), BigInt(got._5)))
+    val drifted = e.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(2L)) === 1,
+        transform(col("embedding"), (x, i) =>
+          when(i < 32, x * 3.0f).otherwise(x)))
+        .otherwise(col("embedding")))
+    val g2 = Similarity.mmdPoly2(drifted, "embedding",
+        pmod(col("vec_id"), lit(2L)), dim = 64)
+      .as[(Long, Long, String, String, String)].head()
+    val driftMmd = math.abs(mmd2(g2._1, g2._2,
+      BigInt(g2._3), BigInt(g2._4), BigInt(g2._5)))
+    assert(driftMmd > 10.0 * math.max(nullMmd, 1e-9),
+      s"planted covariance drift must separate: null=$nullMmd drift=$driftMmd")
+  }
+
   test("assortativity: hand graph exact stats, dup/self-loop collapse, degenerate NULL") {
     import spark.implicits._
     // star out of 0: 0->1, 0->2, 0->3 plus a chain edge 1->2.
