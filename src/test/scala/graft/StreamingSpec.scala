@@ -1651,6 +1651,65 @@ class StreamingSpec extends SparkSpec {
       s"a persistent 30-vs-75 effect must re-alarm per reset window, got $effectAlarms")
   }
 
+  test("embedding drift monitor: same-embedder stream stays quiet, covariance swap alarms and re-arms, replay identical") {
+    import graft.streaming.EmbDriftStream
+    val out = tmp(); val st = tmp(); val refDir = tmp()
+    val D = 8
+    // deterministic synthetic embedder: unit-ish vectors whose energy
+    // concentrates on the first half of the dims; the "swapped" model
+    // concentrates on the second half — same norms, different
+    // covariance structure (exactly what the poly-2 kernel sees)
+    def h(i: Long, j: Int): Double = {
+      var z = (i * 31 + j) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z ^ (z >>> 27)) & 0xFFFFFF).toDouble / 0xFFFFFF.toDouble - 0.5
+    }
+    def vec(i: Long, swapped: Boolean): Seq[Float] =
+      (0 until D).map { j =>
+        val active = if (swapped) j >= D / 2 else j < D / 2
+        (if (active) 0.5 + 0.4 * h(i, j) else 0.05 * h(i, j)).toFloat
+      }
+    def batchDf(id: Long, swapped: Boolean, n: Int = 120) =
+      (0 until n).map(j => ("feedA", vec(id * 1000L + j, swapped)))
+        .toDF("k", "emb")
+    // reference: 300 vectors from the ORIGINAL embedder
+    (0 until 300).map(j => ("ref", vec(900000L + j, swapped = false)))
+      .toDF("k", "emb").select("emb", "k")
+      .write.mode("overwrite").parquet(refDir)
+    def run(id: Long, swapped: Boolean): Unit =
+      EmbDriftStream.driftBatch(spark, batchDf(id, swapped), id, out, st,
+        "k", "emb", refDir, dim = D, alarmMicro = 100000L, minRows = 100L)
+    def rep(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("n", "mmd2_micro", "alarm")
+      .as[(Long, Long, Int)].head()
+    // 5 same-embedder batches: mmd2 stays far under the alarm line
+    (0L until 5L).foreach(id => run(id, swapped = false))
+    (0L until 5L).foreach { id =>
+      val r = rep(id)
+      assert(r._3 == 0 && r._2 < 50000L, s"null batch $id: $r")
+    }
+    // replay the newest batch: byte-identical report and state
+    val r4 = spark.read.parquet(s"$out/batch=4").collect().toSet
+    val s4 = spark.read.parquet(s"$st/batch=4").collect().toSet
+    run(4L, swapped = false)
+    assert(spark.read.parquet(s"$out/batch=4").collect().toSet == r4)
+    assert(spark.read.parquet(s"$st/batch=4").collect().toSet == s4)
+    // the embedder is silently swapped: accumulated drift must alarm
+    // (the reset means detection, not a stuck saturated statistic)
+    val alarmAt = (5L until 15L).find { id =>
+      run(id, swapped = true); rep(id)._3 == 1
+    }
+    assert(alarmAt.nonEmpty, "a covariance swap must alarm")
+    val reset = spark.read.parquet(s"$st/batch=${alarmAt.get}")
+      .select("n", "n_alarms").as[(Long, Long)].head()
+    assert(reset == ((0L, 1L)), reset.toString)
+    // still-swapped traffic re-alarms after re-arming
+    val again = ((alarmAt.get + 1) until (alarmAt.get + 11)).find { id =>
+      run(id, swapped = true); rep(id)._3 == 1
+    }
+    assert(again.nonEmpty, "the re-armed monitor must catch the still-swapped feed")
+  }
+
   test("ewma monitor: at-least-once replay rewrites identical bytes; versions pruned") {
     import graft.streaming.EwmaStream
     val out = tmp(); val st = tmp()
