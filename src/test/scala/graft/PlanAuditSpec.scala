@@ -1105,7 +1105,13 @@ class PlanAuditSpec extends SparkSpec {
         Seq("partial_min"), Seq("CartesianProduct")),
       ("dedup_incremental_lsh(untruncated)", () => lazyIncrementalLsh(),
         Seq("graft_intersect_size", "BroadcastHashJoin"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      // r15: the gram-factored MMD is ONE untruncated plan — the
+      // d^2/2 explode must partial-aggregate before the exchange and
+      // the corpus must never pair-join (the full-outer is the
+      // 2080-row dimension contraction, not a data join)
+      ("emb_mmd", () => q("emb_mmd"),
+        Seq("partial_"), Seq("CartesianProduct")))
     for (aqe <- Seq("true", "false")) {
       withSQLConf("spark.sql.adaptive.enabled" -> aqe) {
         for ((name, build, must, mustNot) <- pins) {
