@@ -614,6 +614,11 @@ object BenchStress {
     "ann_nndescent" -> ((e: DataFrame, n: Int) =>
       Similarity.nnDescent(e, "embedding", "vec_id", k = 5, iters = 1,
         buckets = 50 * n, dim = Some(64))),
+    // gram-factored MMD (r15): O(N·d²) by construction — the explode
+    // grain is the scan, the contraction is d²-row constant
+    "emb_mmd" -> ((e: DataFrame, _: Int) =>
+      Similarity.mmdPoly2(e, "embedding", pmod(col("vec_id"), lit(2L)),
+        dim = 64)),
     // graph search (r15): the k-NN graph build scales with the corpus
     // (bucket count grows, the nndescent doctrine) while the PINNED
     // copy-0 probe set makes the search side O(probes·rounds·beam·k) —
