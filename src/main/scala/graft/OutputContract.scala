@@ -73,7 +73,7 @@ object OutputContract {
     ("ann_topk", "cosine"), ("ann_ivf", "cosine"), ("ann_lsh_pairs", "cosine"),
     ("ann_cascade", "cosine"), ("ann_filtered", "cosine"),
     ("ann_nndescent", "cosine"), ("ann_graph_search", "cosine"),
-    ("ann_graph_hier", "cosine"),
+    ("ann_graph_hier", "cosine"), ("ann_graph_persisted", "cosine"),
     ("dedup_embedding", "cosine"), ("dedup_semantic", "cosine"),
     ("dedup_semantic_init", "cosine"), ("emb_kmeans", "centroid_cosine"),
     ("emb_kmeans_init", "centroid_cosine"),

@@ -288,10 +288,16 @@ object Pipeline {
           val thresh = calScores
             .orderBy(col("score").asc, col("__cid").asc).limit(k.toInt)
             .agg(max(col("score"))).first().getLong(0)
-          val kept = Classifier.score(df, textCol, idCol, weights, m)
-            .filter(col("score") >= thresh)
-            .select(col("doc_id").as(idCol))
-          df.join(kept, Seq(idCol), "left_semi")
+          // LEFT join + coalesce(score, 0): a doc with NULL/empty text
+          // emits no feature rows and thus no score row — it must face
+          // the threshold at score 0 (and survive one ≤ 0), exactly as
+          // the k<1 degenerate path would keep it, not be dropped
+          // unconditionally by a semi-join on the score table
+          val scores = Classifier.score(df, textCol, idCol, weights, m)
+            .select(col("doc_id").as(idCol), col("score"))
+          df.join(scores, Seq(idCol), "left")
+            .filter(coalesce(col("score"), lit(0L)) >= thresh)
+            .drop("score")
         }
 
       case "coverage_filter" =>

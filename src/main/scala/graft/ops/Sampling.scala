@@ -405,24 +405,42 @@ object Sampling {
   /** Per-shard weight sidecar persisted as `shard=<n>/_WEIGHT` (an
     * underscore name, so Spark's parquet reader skips it): the shard's
     * total weight, max single-doc weight, and doc count, stamped with
-    * a listing-only (fileCount, byteSum) fingerprint of the data
-    * files it was computed from. A sidecar whose fingerprint no
-    * longer matches the dir is stale (someone rewrote the shard) and
-    * is rescanned, never trusted. */
+    * BOTH the identity of the data it was computed FROM — a
+    * listing-only fingerprint of the data files: (count, byteSum)
+    * plus a hash over every file's (name, length, mtime), so an
+    * equal-size in-place rewrite of a shard still invalidates — and
+    * the identity of the definition it was computed UNDER (a hash of
+    * the weight expression's SQL and the id column), so a later pass
+    * with a different weightExpr rescans instead of silently reusing
+    * totals in the old units. A sidecar failing either check is
+    * stale and is rescanned, never trusted. */
   private[graft] case class ShardWeight(w: Long, maxw: Long, n: Long,
-                                        files: Long, bytes: Long)
+                                        files: Long, bytes: Long,
+                                        fp: Long, wid: Long)
 
   /** Metadata fingerprint of a shard dir's DATA files (skips `_`/`.`
-    * names — sidecars, markers, checksums): (count, total bytes).
-    * Listing only; no file is opened. */
+    * names — sidecars, markers, checksums): (count, total bytes,
+    * hash of sorted per-file name:length:mtime entries). Listing
+    * only; no file is opened. */
   private def shardFingerprint(f: org.apache.hadoop.fs.FileSystem,
-                               dir: org.apache.hadoop.fs.Path): (Long, Long) = {
+                               dir: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
     val data = f.listStatus(dir).filter { s =>
       val nm = s.getPath.getName
       s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
     }
-    (data.length.toLong, data.map(_.getLen).sum)
+    val listing = data
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+    (data.length.toLong, data.map(_.getLen).sum,
+      graft.util.Hashing.portableHash64Const(listing))
   }
+
+  /** Identity of the weight DEFINITION a sidecar's totals are valid
+    * under: the weight expression's canonical string form plus the id
+    * column name, hashed. Totals in different weight units must never
+    * mix. */
+  private def weightDefId(weightExpr: Column, idCol: String): Long =
+    graft.util.Hashing.portableHash64Const(s"${weightExpr.toString}|$idCol")
 
   private[graft] def readShardWeight(spark: org.apache.spark.sql.SparkSession,
                                      dir: String): Option[ShardWeight] =
@@ -430,14 +448,16 @@ object Sampling {
       try {
         val m = s.split("\\s+").map(_.split("=", 2))
           .collect { case Array(k, v) => k -> v.toLong }.toMap
-        Some(ShardWeight(m("w"), m("maxw"), m("n"), m("files"), m("bytes")))
+        Some(ShardWeight(m("w"), m("maxw"), m("n"), m("files"), m("bytes"),
+          m("fp"), m("wid")))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   private[graft] def writeShardWeight(spark: org.apache.spark.sql.SparkSession,
                                       dir: String, e: ShardWeight): Unit =
     graft.util.Fs.writeSmallText(spark, dir, "_WEIGHT",
-      s"w=${e.w} maxw=${e.maxw} n=${e.n} files=${e.files} bytes=${e.bytes}")
+      s"w=${e.w} maxw=${e.maxw} n=${e.n} files=${e.files} bytes=${e.bytes} " +
+        s"fp=${e.fp} wid=${e.wid}")
 
   /** Test-injectable failpoint for [[rebalanceExecute]] (the
     * Retention/Compaction/IVF-vacuum crash-drill discipline): invoked
@@ -523,18 +543,20 @@ object Sampling {
     // MANIFEST — metadata-grain: fingerprint-checked sidecar totals;
     // only a missing/stale sidecar bootstraps from a scan of THAT
     // shard (and rewrites it). Steady-state opens zero data files.
+    val wid = weightDefId(weightExpr, idCol)
     val weights: Seq[(Long, ShardWeight)] = shardIds.map { n =>
       val dir = s"$root/$PFX$n"
       val fp = shardFingerprint(f, new Path(dir))
       val e = readShardWeight(spark, dir)
-        .filter(sw => sw.files == fp._1 && sw.bytes == fp._2)
+        .filter(sw => sw.files == fp._1 && sw.bytes == fp._2 &&
+          sw.fp == fp._3 && sw.wid == wid)
         .getOrElse {
           val r = spark.read.parquet(dir).select(weightExpr.as("__w"))
             .agg(sum(col("__w")), max(col("__w")), count(lit(1))).first()
           val sw = ShardWeight(
             if (r.isNullAt(0)) 0L else r.getLong(0),
             if (r.isNullAt(1)) 0L else r.getLong(1),
-            r.getLong(2), fp._1, fp._2)
+            r.getLong(2), fp._1, fp._2, fp._3, wid)
           writeShardWeight(spark, dir, sw)
           sw
         }
@@ -631,7 +653,7 @@ object Sampling {
       writeShardWeight(spark, dir, ShardWeight(
         if (r.isNullAt(0)) 0L else r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
-        r.getLong(2), fp._1, fp._2))
+        r.getLong(2), fp._1, fp._2, fp._3, wid))
     }
     rbFailpoint("staged")
     rbFailpoint("before-commit")

@@ -472,6 +472,33 @@ object PipelineQueries {
       k = 5, nProbe = 2, dim = EMB_DIM.get)
   }
 
+  /** PERSISTED graph-ANN lifecycle gate (sim.GraphAnnIndex — the
+    * IvfIndex discipline for the HNSW-lineage family, r15 verdict
+    * #1): the EVEN vec_ids seed the store (one nnDescent build, same
+    * params as ann_nndescent), the ODD half then arrives as an
+    * ingestion batch — each new vector beam-searches the PERSISTED
+    * even graph read back from parquet, connects to its exact-cosine
+    * top-5, and its forward+reverse edges append as `batch=1` — and
+    * every 100th vector searches the merged store. The oracle
+    * replays seed build, insert search, edge connection, AND the
+    * final search as one CTE chain (the ann_ivf_assign convention),
+    * so any divergence in the persisted path — lost edges, wrong
+    * bucket, replayed-insert pollution — hash-fails.
+    */
+  def annGraphPersistedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-gann").toString
+    graft.sim.GraphAnnIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 5, iters = 1, buckets = 50,
+      dim = EMB_DIM.get, store, nStoreBuckets = 4)
+    graft.sim.GraphAnnIndex.insert(spark, e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", store, batchId = 1L, connectK = 5,
+      entries = 4, beam = 3, rounds = 2, dim = EMB_DIM.get)
+    graft.sim.GraphAnnIndex.searchTopK(spark, store,
+      e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      entries = 4, beam = 3, rounds = 2, topK = 5, dim = EMB_DIM.get)
+  }
+
   /** SemDeDup-style semantic near-dup: exact cosine within k-means
     * clusters (rows-only; spec pins that it finds the planted dup.
     * [[dedupSemanticInitQ]] hash-gates the same pipeline at iters=0).
@@ -2788,6 +2815,7 @@ object PipelineQueries {
     "ann_nndescent" -> annNnDescentQ,
     "ann_graph_search" -> annGraphSearchQ,
     "ann_graph_hier" -> annGraphHierQ,
+    "ann_graph_persisted" -> annGraphPersistedQ,
     "ann_graph_recall" -> annGraphRecallQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -2999,10 +3027,11 @@ object PipelineQueries {
 
   /** Fixed-round beam-search chain: visited v0 from `v0Sql`, `rounds`
     * expansions over `graphCte` with candidate vectors from `src` and
-    * probe vectors from the `pr` CTE, EXCEPT as the visited
-    * anti-join. Emits `<pfx>v<rounds>` (qid, id, cos). */
+    * probe vectors from the `prCte` CTE (default `pr`), EXCEPT as the
+    * visited anti-join. Emits `<pfx>v<rounds>` (qid, id, cos). */
   private def searchChain(pfx: String, src: String, graphCte: String,
-                          v0Sql: String, beam: Int, rounds: Int): String = {
+                          v0Sql: String, beam: Int, rounds: Int,
+                          prCte: String = "pr"): String = {
     val blocks = (1 to rounds).map { r =>
       val prev = s"${pfx}v${r - 1}"
       s"""${pfx}b$r AS (SELECT qid, id FROM (SELECT qid, id,
@@ -3013,9 +3042,9 @@ object PipelineQueries {
          |    WHERE g.neighbor_id <> b.qid
          |  EXCEPT SELECT qid, id FROM $prev),
          |${pfx}s$r AS (SELECT f.qid, f.id,
-         |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+         |    ${gsCos(s"$prCte.pqv", s"$prCte.pn2", "a.qv", "a.n2")} AS cos
          |  FROM ${pfx}f$r f JOIN $src a ON a.vec_id = f.id
-         |    JOIN pr ON pr.qid = f.qid),
+         |    JOIN $prCte ON $prCte.qid = f.qid),
          |${pfx}v$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM ${pfx}s$r)"""
         .stripMargin
     }.mkString(",\n")
@@ -3072,6 +3101,42 @@ object PipelineQueries {
                |  FROM ho JOIN n a ON a.vec_id = ho.id
                |    JOIN pr ON pr.qid = ho.qid""".stripMargin, 3, 2)}"""
       .stripMargin
+
+  /** Persisted graph-ANN lifecycle oracle chain (ann_graph_persisted):
+    * even-half nnDescent seed graph, the odd half's insert search
+    * over it (entries from the EVEN nodes — the pre-batch store),
+    * top-5 connection into forward+reverse edges, then the final
+    * beam search over the merged graph with entries from ALL nodes.
+    * Ends at `pv2`, the final search's visited set (qid, id, cos).
+    */
+  private lazy val gannSearchCtes: String =
+    s"""$qPrep,
+       |ne AS (SELECT vec_id, qv, n2 FROM n WHERE vec_id % 2 = 0),
+       |${nndChain("e", "ne", 5, 50)},
+       |ient AS (SELECT vec_id AS id FROM ne
+       |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
+       |pr2 AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
+       |  WHERE vec_id % 2 = 1),
+       |${searchChain("a", "ne", "eg",
+            s"""SELECT pr2.qid, a.vec_id AS id,
+               |    ${gsCos("pr2.pqv", "pr2.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM pr2 CROSS JOIN ient e JOIN ne a ON a.vec_id = e.id
+               |  WHERE e.id <> pr2.qid""".stripMargin, 3, 2, "pr2")},
+       |fwd AS (SELECT qid AS id, id AS nid FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
+       |  FROM av2) WHERE rn <= 5),
+       |mg AS (SELECT vec_id, neighbor_id FROM eg
+       |  UNION ALL SELECT id AS vec_id, nid AS neighbor_id FROM fwd
+       |  UNION ALL SELECT nid AS vec_id, id AS neighbor_id FROM fwd),
+       |gent AS (SELECT vec_id AS id FROM n
+       |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
+       |pr AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
+       |  WHERE vec_id % 100 = 0),
+       |${searchChain("p", "n", "mg",
+            s"""SELECT pr.qid, a.vec_id AS id,
+               |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM pr CROSS JOIN gent e JOIN n a ON a.vec_id = e.id
+               |  WHERE e.id <> pr.qid""".stripMargin, 3, 2)}""".stripMargin
 
   /** The BM25 corpus/probe/scoring CTE chain (ends at `agg`:
     * (query_id, doc_id, score_micro)), parameterized only by the probe
@@ -3596,6 +3661,13 @@ object PipelineQueries {
          |  round(cos, 6) AS cosine
          |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, id ASC) AS rank FROM bv2)
+         |WHERE rank <= 5""".stripMargin,
+    "ann_graph_persisted" ->
+      s"""WITH $gannSearchCtes
+         |SELECT qid AS query_id, id AS neighbor_id, rank,
+         |  round(cos, 6) AS cosine
+         |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id ASC) AS rank FROM pv2)
          |WHERE rank <= 5""".stripMargin,
     "ann_graph_recall" ->
       s"""WITH $gsSearchCtes,

@@ -52,7 +52,7 @@ object Similarity {
     df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("n2", qdot(col("qv"), col("qv")))
 
-  private def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
+  private[sim] def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
     dotC.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup).
@@ -1130,7 +1130,7 @@ object Similarity {
     * over `graph` and return the full visited set (qid, id, cos) for
     * the caller's rerank. Entry pairs equal to the probe itself are
     * dropped; every cosine is exact. */
-  private def beamSearch(p: DataFrame, probes: DataFrame,
+  private[sim] def beamSearch(p: DataFrame, probes: DataFrame,
                          graph: DataFrame, entryPairs: DataFrame,
                          beam: Int, rounds: Int,
                          dim: Option[Int]): DataFrame = {
@@ -1197,27 +1197,35 @@ object Similarity {
         struct(i.as("i"), j.as("j"),
           (element_at(col("qv"), i + lit(1)) *
             element_at(col("qv"), j + lit(1))).as("p")))))
+    // gram entries accumulate as DECIMAL, not long: DuckDB sums the
+    // same entries in HUGEINT, and a silent int64 wrap at extreme row
+    // counts would be an undetectable cross-engine divergence
     val gram = q.select(col("grp"), explode(pairs).as("s"))
       .groupBy(col("grp"), col("s.i").as("i"), col("s.j").as("j"))
-      .agg(sum(col("s.p")).as("g"))
+      .agg(sum(col("s.p").cast("decimal(28,0)")).as("g"))
     val gx = gram.filter(col("grp") === 0)
       .select(col("i"), col("j"), col("g").as("gxv"))
     val gy = gram.filter(col("grp") === 1)
       .select(col("i"), col("j"), col("g").as("gyv"))
     // full outer: a dimension pair absent from one group's gram is an
     // exact zero there, not a dropped term
+    val zero = lit(0).cast("decimal(38,0)")
     val w = when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
     val sums = gx.join(gy, Seq("i", "j"), "full_outer")
       .select(w.as("w"),
-        coalesce(col("gxv"), lit(0L)).cast("decimal(20,0)").as("dx"),
-        coalesce(col("gyv"), lit(0L)).cast("decimal(20,0)").as("dy"))
+        coalesce(col("gxv"), zero).as("dx"),
+        coalesce(col("gyv"), zero).as("dy"))
       .agg(sum(col("w") * col("dx") * col("dx")).as("sxx"),
         sum(col("w") * col("dx") * col("dy")).as("sxy"),
         sum(col("w") * col("dy") * col("dy")).as("syy"))
-    val counts = q.groupBy("grp").agg(count(lit(1)).as("n"))
-    val nx = counts.filter(col("grp") === 0).select(col("n").as("n_x"))
-    val ny = counts.filter(col("grp") === 1).select(col("n").as("n_y"))
-    nx.crossJoin(broadcast(ny)).crossJoin(broadcast(sums))
+    // counts as ONE always-one-row conditional aggregate (the oracle's
+    // shape): an empty group yields a NULL count, never zero rows —
+    // the degenerate-input contract matches DuckDB instead of
+    // vanishing through an empty-side cross join
+    val counts = q.agg(
+      sum(when(col("grp") === 0, 1L)).cast("long").as("n_x"),
+      sum(when(col("grp") === 1, 1L)).cast("long").as("n_y"))
+    counts.crossJoin(broadcast(sums))
       .select(col("n_x"), col("n_y"),
         col("sxx").cast("decimal(38,0)").cast("string").as("sxx"),
         col("sxy").cast("decimal(38,0)").cast("string").as("sxy"),

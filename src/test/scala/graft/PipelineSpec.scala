@@ -240,21 +240,39 @@ class PipelineSpec extends SparkSpec {
         s"shard $n is missing its sidecar after the pass")
     }
     // PROOF the no-op pass opens zero data files: overwrite every
-    // parquet part with same-length garbage (the fingerprint — file
-    // count + byte sum — is unchanged, the contents are unreadable);
-    // a pass that opened any data file would throw on the footer
+    // parquet part with same-length garbage and restore its mtime
+    // (the fingerprint — count, byte sum, and the per-file
+    // name:length:mtime hash — is unchanged, the contents are
+    // unreadable); a pass that opened any data file would throw on
+    // the footer
     (0L to 7L).foreach { n =>
       val dir = java.nio.file.Paths.get(root, s"shard=$n")
       java.nio.file.Files.list(dir).forEach { p =>
         val name = p.getFileName.toString
         if (!name.startsWith("_") && !name.startsWith(".")) {
+          val mtime = java.nio.file.Files.getLastModifiedTime(p)
           val len = java.nio.file.Files.size(p).toInt
           java.nio.file.Files.write(p, Array.fill[Byte](len)(0x47))
+          java.nio.file.Files.setLastModifiedTime(p, mtime)
         }
       }
     }
     assert(Sampling.rebalanceExecute(spark, root) == ((0L, 0L)),
       "a balanced store with valid sidecars must no-op without reading data")
+    // …and the converse: the same equal-size rewrite WITHOUT the
+    // mtime restore invalidates the sidecar (the per-file fingerprint
+    // catches what (count, byteSum) alone could not), so the pass
+    // rescans the shard and throws on the garbage footer
+    locally {
+      val p0 = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "shard=0"))
+        .filter(p => !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")).findFirst().get()
+      java.nio.file.Files.setLastModifiedTime(p0,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(p0).toMillis + 1234))
+      intercept[Exception](Sampling.rebalanceExecute(spark, root))
+    }
     // a STALE sidecar (fingerprint mismatch) is rescanned, not trusted:
     // restore shard 0's data, plant a sidecar claiming absurd weight
     // with a wrong fingerprint — the pass must rescan and rewrite it
@@ -269,6 +287,13 @@ class PipelineSpec extends SparkSpec {
     val sw0 = Sampling.readShardWeight(spark, s"$r2/shard=0").get
     assert(sw0.w != 999999999L && sw0.files != 999L,
       "the stale sidecar must have been rescanned and rewritten")
+    // a pass under a DIFFERENT weight definition must not reuse the
+    // sidecar's totals (they are in the old units): wid mismatch
+    // forces a rescan and the rewritten sidecar carries the new units
+    Sampling.rebalanceExecute(spark, r2, weightExpr = lit(1L))
+    val sw0c = Sampling.readShardWeight(spark, s"$r2/shard=0").get
+    assert(sw0c.wid != sw0.wid && sw0c.w == sw0c.n,
+      s"count-weight pass must rescan under its own wid: $sw0 -> $sw0c")
     // id guards: a duplicate id inside a donor aborts loudly before
     // any rewrite; so does a NULL id
     val r3 = java.nio.file.Files.createTempDirectory("graft-rb4").toString
@@ -853,6 +878,130 @@ class PipelineSpec extends SparkSpec {
       IvfIndex.append(spark, e.filter($"vec_id" === 1L), "embedding",
         "vec_id", store, batchId = 5L, dim = 64)
       assert(IvfIndex.vacuum(spark, store, batchId = 6L) === Nil)
+    }
+  }
+
+  test("GraphAnnIndex: replay-idempotent insert, reachable planted copy, tombstone delete, crash-drilled vacuum") {
+    import graft.sim.GraphAnnIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val copy = e.filter($"vec_id" === 0).withColumn("vec_id", lit(900001L))
+    def freshStore(): String = {
+      val store = java.nio.file.Files.createTempDirectory("graft-gann-t").toString
+      GraphAnnIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding",
+        "vec_id", k = 4, iters = 1, buckets = 20, dim = 64, store,
+        nStoreBuckets = 4)
+      GraphAnnIndex.insert(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+        "vec_id", store, batchId = 1L, connectK = 4, entries = 3, beam = 3,
+        rounds = 2, dim = 64)
+      store
+    }
+    def search(store: String) = GraphAnnIndex.searchTopK(spark, store,
+        e.filter($"vec_id" % 37 === 0), "embedding", "vec_id",
+        entries = 3, beam = 5, rounds = 3, topK = 4, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val store = freshStore()
+    def edgeSet() = GraphAnnIndex.edges(spark, store)
+      .select("id", "nid").as[(Long, Long)].collect().toSet
+    val after1 = edgeSet()
+    // replay idempotence: a re-delivered batch reads only versions
+    // < its own id, so it recomputes the identical rows even though
+    // the store now holds its first attempt
+    GraphAnnIndex.insert(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+      "vec_id", store, batchId = 1L, connectK = 4, entries = 3, beam = 3,
+      rounds = 2, dim = 64)
+    assert(edgeSet() === after1, "replayed insert must recompute identical edges")
+    // determinism across independent stores
+    assert(search(store) === search(freshStore()))
+    // incremental reachability: insert an exact copy of vec 0, then a
+    // query with vec 0's vector must find it at cosine ~1 — the
+    // copy's reverse edges are what make it reachable, and the query
+    // (same entries, wider beam, one more round) provably re-walks
+    // the copy's own insert search before expanding past it
+    GraphAnnIndex.insert(spark, copy, "embedding", "vec_id", store,
+      batchId = 2L, connectK = 4, entries = 3, beam = 3, rounds = 2, dim = 64)
+    def q0() = GraphAnnIndex.searchTopK(spark, store,
+      e.filter($"vec_id" === 0), "embedding", "vec_id",
+      entries = 3, beam = 5, rounds = 3, topK = 4, dim = 64)
+    assert(q0().filter($"neighbor_id" === 900001L && $"cosine" > 0.999)
+      .count() === 1L, "the planted copy must be reachable after insert")
+    // results are exact-verified: every (query, neighbor, cosine)
+    // matches the brute-force cosine arithmetic
+    val full = e.unionByName(copy)
+    val exact = Similarity.cosinePairs(full, "embedding", "vec_id", -1.0,
+        Some(64))
+      .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)]
+      .collect().flatMap(t => Seq((t._1, t._2) -> t._3, (t._2, t._1) -> t._3))
+      .toMap
+    GraphAnnIndex.searchTopK(spark, store, e.filter($"vec_id" % 37 === 0),
+        "embedding", "vec_id", entries = 3, beam = 5, rounds = 3,
+        topK = 4, dim = 64)
+      .as[(Long, Long, Int, Double)].collect().foreach { case (q, nb, _, c) =>
+        assert(math.abs(exact((q, nb)) - c) < 1e-5, s"unverified cosine ($q,$nb)")
+      }
+    // tombstone delete: the copy and every 10th id vanish at query time
+    val delIds = e.filter($"vec_id" % 10 === 0).select("vec_id")
+      .unionByName(copy.select("vec_id"))
+    val nDel = GraphAnnIndex.delete(spark, delIds, "vec_id", store, batchId = 3L)
+    assert(nDel === delIds.distinct().count())
+    assert(q0().filter($"neighbor_id" === 900001L).count() === 0L)
+    assert(GraphAnnIndex.searchTopK(spark, store, e.filter($"vec_id" % 37 === 0),
+        "embedding", "vec_id", entries = 3, beam = 5, rounds = 3,
+        topK = 4, dim = 64)
+      .filter($"neighbor_id" % 10 === 0 || $"neighbor_id" === 900001L)
+      .count() === 0L, "no tombstoned id may appear as a neighbor")
+    val masked = search(store)
+    // crash-drilled vacuum (the IvfIndex window discipline): staged /
+    // based / between-buckets / tombstones-pending, per store
+    def stores(st: String) = {
+      val nodesLeft = GraphAnnIndex.nodes(spark, st).count()
+      val deadEdges = GraphAnnIndex.edges(spark, st).as("g")
+        .join(delIds.withColumnRenamed("vec_id", "d"),
+          $"g.id" === $"d" || $"g.nid" === $"d").count()
+      (nodesLeft, deadEdges)
+    }
+    def freshDeleted(): String = {
+      val st = freshStore()
+      GraphAnnIndex.insert(spark, copy, "embedding", "vec_id", st,
+        batchId = 2L, connectK = 4, entries = 3, beam = 3, rounds = 2, dim = 64)
+      GraphAnnIndex.delete(spark, delIds, "vec_id", st, batchId = 3L)
+      st
+    }
+    val ref = freshDeleted()
+    assert(GraphAnnIndex.vacuum(spark, ref, batchId = 4L).nonEmpty)
+    assert(GraphAnnIndex.tombstones(spark, ref).isEmpty)
+    val (refNodes, refDead) = stores(ref)
+    assert(refDead === 0L, "vacuum must fold out every edge naming a deleted id")
+    assert(search(ref) === masked, "vacuumed search == tombstone-masked search")
+    for (point <- Seq("staged:", "based:", "bucket-done:", "before-tombs-clear")) {
+      val st = freshDeleted()
+      var fired = false
+      GraphAnnIndex.vacuumFailpoint = name =>
+        if (!fired && name.startsWith(point)) {
+          fired = true
+          throw new RuntimeException(s"injected crash at $name")
+        }
+      try {
+        val ex = intercept[RuntimeException](
+          GraphAnnIndex.vacuum(spark, st, batchId = 4L))
+        assert(ex.getMessage.startsWith("injected crash"), ex.getMessage)
+      } finally GraphAnnIndex.vacuumFailpoint = _ => ()
+      assert(fired, s"$point: failpoint never fired")
+      GraphAnnIndex.vacuum(spark, st, batchId = 4L) // heal, SAME cycle id
+      assert(search(st) === masked, s"$point: healed search differs")
+      assert(GraphAnnIndex.tombstones(spark, st).isEmpty,
+        s"$point: tombstones not consumed after heal")
+      assert(stores(st) === ((refNodes, 0L)),
+        s"$point: healed store differs from the uncrashed fold")
+      // the healed store keeps working: vacuum is a no-op, a fresh
+      // insert lands next to the folded base and is searchable
+      assert(GraphAnnIndex.vacuum(spark, st, batchId = 5L) === Nil)
+      GraphAnnIndex.insert(spark, copy, "embedding", "vec_id", st,
+        batchId = 6L, connectK = 4, entries = 3, beam = 3, rounds = 2, dim = 64)
+      assert(GraphAnnIndex.searchTopK(spark, st, e.filter($"vec_id" === 0),
+          "embedding", "vec_id", entries = 3, beam = 5, rounds = 3,
+          topK = 4, dim = 64)
+        .filter($"neighbor_id" === 900001L && $"cosine" > 0.999)
+        .count() === 1L, s"$point: post-heal insert not reachable")
     }
   }
 
