@@ -120,6 +120,26 @@ object PipelineQueries {
   def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, sfDir), "embedding", "vec_id", COS_T, EMB_DIM)
 
+  /** Graph-based near-dup dedup (Similarity.graphDupPairs →
+    * connectedComponents — the ANN↔dedup loop closed, r15 verdict
+    * #4): every 50th vector is planted again at +100000, mutual
+    * nnDescent k-NN edges with verified cosine ≥ COS_T become the
+    * dup-pair graph, and min-label CC assigns each near-dup its
+    * keeper. Pairs are subset-of-exact by construction (the spec pins
+    * it against `dedup_embedding` truth); the oracle replays the
+    * whole chain — nnDescent build, mutuality, threshold, and CC as a
+    * recursive reachability CTE.
+    */
+  def dedupGraphQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.unionByName(e.filter(expr("vec_id % 50 = 0"))
+      .withColumn("vec_id", col("vec_id") + 100000L))
+    val pairs = Similarity.graphDupPairs(corpus, "embedding", "vec_id",
+      COS_T, k = 5, iters = 1, buckets = 50, dim = EMB_DIM)
+    Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Threshold-tuning curve for embedding dedup: pair counts per
     * 0.05-wide cosine bucket from ONE pair scan, with the cumulative
     * pairs-at-or-above count — the curve a deployment reads to pick
@@ -2805,6 +2825,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbeddingQ,
     "dedup_threshold_curve" -> dedupThresholdCurveQ,
     "dedup_clusters" -> dedupClustersQ,
+    "dedup_graph" -> dedupGraphQ,
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
     "ann_filtered" -> annFilteredQ,
@@ -3596,6 +3617,33 @@ object PipelineQueries {
          |grp AS (SELECT h, min(doc_id) AS cluster, count(*) AS n FROM h GROUP BY h)
          |SELECT t.doc_id, g.cluster
          |FROM h t JOIN grp g USING (h) WHERE g.n > 1""".stripMargin,
+    "dedup_graph" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |      FROM corpus),
+         |n AS (SELECT vec_id, qv,
+         |        list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q),
+         |${nndChain("", "n", 5, 50)},
+         |mu AS (SELECT a.vec_id AS id_a, a.neighbor_id AS id_b
+         |       FROM g a JOIN g b ON b.vec_id = a.neighbor_id
+         |         AND b.neighbor_id = a.vec_id
+         |       WHERE a.vec_id < a.neighbor_id),
+         |pc AS (SELECT mu.id_a, mu.id_b
+         |       FROM mu JOIN n x ON x.vec_id = mu.id_a
+         |         JOIN n y ON y.vec_id = mu.id_b
+         |       WHERE round(${gsCos("x.qv", "x.n2", "y.qv", "y.n2")}, 6)
+         |         >= $COS_T),
+         |ed AS (SELECT id_a AS s, id_b AS d FROM pc
+         |       UNION ALL SELECT id_b AS s, id_a AS d FROM pc),
+         |vx AS (SELECT DISTINCT s AS id FROM ed),
+         |reach AS (SELECT id, id AS r FROM vx
+         |          UNION
+         |          SELECT reach.id, e.d AS r FROM reach JOIN ed e ON e.s = reach.r)
+         |SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $qPrep
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1017,16 +1017,28 @@ object Similarity {
     * shuffle is id-keyed and partial-aggregatable, nothing global,
     * no broadcast of anything corpus-sized; lineage truncated per
     * round (the Graph.pageRank discipline). Output k·N rows.
+    *
+    * `diversify = true` turns on α-RNG neighbor diversification (see
+    * the inline note at the prune): the rounds carry a 3k candidate
+    * pool and the final per-node edge list keeps, in cosine order,
+    * only candidates not occluded by a better-ranked one — same ≤ k
+    * out-degree, more of the budget spent on edges that reach NEW
+    * neighborhoods, which is what the beam search pays for. Off by
+    * default: every existing gate replays the raw top-k construction.
     */
   def nnDescent(df: DataFrame, vecCol: String, idCol: String,
                 k: Int, iters: Int, buckets: Int,
-                dim: Option[Int] = None): DataFrame = {
+                dim: Option[Int] = None,
+                diversify: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 0 && buckets >= 1,
       s"bad k=$k iters=$iters buckets=$buckets")
     val p = prepared(
       df.filter(col(vecCol).isNotNull &&
         dim.map(d => size(col(vecCol)) === d).getOrElse(lit(true))),
       vecCol, idCol)
+    // diversification needs material to choose from: carry a 3k pool
+    // through the rounds, prune to k edges at the end
+    val poolK = if (diversify) 3 * k else k
     val hid = graft.util.Hashing.portableHash64(col("id").cast("string"))
     val ids = p.select(col("id"), pmod(hid, lit(buckets.toLong)).as("bkt"),
       hid.as("hid"))
@@ -1036,7 +1048,7 @@ object Similarity {
         col("a.bkt") === col("b.bkt") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nid"),
         col("b.hid").as("nhid"))
-      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= k)
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= poolK)
       .select(col("id"), col("nid"))
     def score(cand: DataFrame): DataFrame =
       cand.join(p.select(col("id"), col("qv").as("qv_a"), col("n2").as("n2_a")),
@@ -1062,12 +1074,93 @@ object Similarity {
           "left_anti")
       scored = graft.util.Lineage.truncate(
         score(cand).unionByName(scored)
-          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= poolK)
           .drop("rn"))
     }
-    scored.withColumn("rank", row_number().over(wTop))
+    val edgesOut =
+      if (!diversify) scored
+      else {
+        // α-RNG neighbor diversification (the HNSW select-neighbors
+        // idea; DiskANN's occlusion rule): a candidate c is PRUNED
+        // when some better-ranked candidate b sits closer to c than
+        // the node itself does — cos(b,c) > cos(node,c) — because the
+        // b-edge already routes the beam into c's neighborhood, and a
+        // k-budget spent on c's near-twin buys no new reachability.
+        // This is the non-recursive variant (c is tested against ALL
+        // better-ranked candidates, kept or pruned — a strictly more
+        // aggressive prune than HNSW's sequential one) because it is
+        // a pure self-join + aggregate: no per-node sequential fold,
+        // so it stays plan-shaped and deterministic. Strict >: a tie
+        // keeps the candidate (favors retaining cross-cluster edges,
+        // whose cosines tie around the between-cluster baseline).
+        // Cost: one poolK²-per-node pair join at build time, O(N·k²·d)
+        // — the build-time price for recall-per-edge at search time.
+        val pool = graft.util.Lineage.truncate(
+          scored.withColumn("rn", row_number().over(wTop)))
+        // all (candidate c, better-ranked b) occlusion pairs, scored once
+        val occPairs = graft.util.Lineage.truncate(pool.as("c")
+          .join(pool.as("b"),
+            col("c.id") === col("b.id") && col("b.rn") < col("c.rn"))
+          .join(p.select(col("id").as("__cn"), col("qv").as("qv_c"),
+            col("n2").as("n2_c")), col("c.nid") === col("__cn"))
+          .join(p.select(col("id").as("__bn"), col("qv").as("qv_b"),
+            col("n2").as("n2_b")), col("b.nid") === col("__bn"))
+          .filter(cosine(qdot(col("qv_c"), col("qv_b"), dim),
+            col("n2_c"), col("n2_b")) > col("c.cos"))
+          .select(col("c.id").as("id"), col("c.nid").as("nid"),
+            col("b.nid").as("bnid")))
+        // two-round fixed-point toward HNSW's sequential rule: pass 1
+        // prunes c occluded by ANY better candidate (over-prunes —
+        // the occluder may itself be pruned); pass 2 re-admits c
+        // whose every occluder died in pass 1, i.e. only pass-1
+        // SURVIVORS get to occlude. Still one deterministic plan —
+        // two anti-joins instead of a per-node sequential fold.
+        val occ1 = occPairs.select(col("id"), col("nid")).distinct()
+        val kept1 = pool.select(col("id"), col("nid"))
+          .join(occ1, Seq("id", "nid"), "left_anti")
+        val occ2 = occPairs
+          .join(kept1.select(col("id"), col("nid").as("bnid")),
+            Seq("id", "bnid"), "left_semi")
+          .select(col("id"), col("nid")).distinct()
+        pool.drop("rn")
+          .join(occ2, Seq("id", "nid"), "left_anti")
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+          .drop("rn")
+      }
+    edgesOut.withColumn("rank", row_number().over(wTop))
       .select(col("id").as("vec_id"), col("nid").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Graph-based near-dup candidate pairs — the loop closed between
+    * the ANN and dedup families (the SemDeDup alternative that needs
+    * no frozen k-means): MUTUAL edges of the [[nnDescent]] k-NN graph
+    * (a→b AND b→a — mutuality is the classic precision filter: a hub
+    * that merely appears in many neighbor lists is not mutual with
+    * them) whose exact verified cosine clears `threshold`. Every
+    * emitted pair carries the same exact-integer cosine as
+    * [[cosinePairs]], so the output is by construction a SUBSET of
+    * the brute-force ≥ threshold pair set — the graph only bounds
+    * RECALL, never correctness. Feed the pairs to
+    * [[graft.ops.Dedup.connectedComponents]] for cluster/keeper
+    * selection (the dedup_clusters convention).
+    *
+    * Scale shape: one nnDescent build (id-keyed shuffles, k·N edge
+    * rows) + one self-join of the edge table on the (id_a, id_b) pair
+    * key — O(N·k), never a corpus pair join; with a persisted
+    * [[GraphAnnIndex]] graph the build cost amortizes across runs.
+    */
+  def graphDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, k: Int, iters: Int, buckets: Int,
+                    dim: Option[Int] = None): DataFrame = {
+    val g = nnDescent(df, vecCol, idCol, k, iters, buckets, dim)
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val fwd = g.filter(col("id_a") < col("id_b"))
+    val bwd = g.filter(col("id_a") > col("id_b"))
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    fwd.join(bwd, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("cosine") >= threshold)
   }
 
   /** Greedy beam SEARCH over a k-NN graph — the query half of

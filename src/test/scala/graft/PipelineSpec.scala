@@ -881,6 +881,102 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("graphDupPairs: mutual verified pairs are subset-of-exact; planted copies cluster with their originals") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.unionByName(e.filter(expr("vec_id % 50 = 0"))
+      .withColumn("vec_id", $"vec_id" + 100000L))
+    val pairs = Similarity.graphDupPairs(corpus, "embedding", "vec_id",
+      threshold = 0.35, k = 5, iters = 2, buckets = 20, dim = Some(64))
+    // subset-of-exact: every emitted pair is a true >= T pair with the
+    // same rounded cosine
+    val exact = Similarity.cosinePairs(corpus, "embedding", "vec_id",
+        0.35, Some(64))
+      .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val got = pairs.as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not a true pair")
+      assert(math.abs(exact((a, b)) - c) < 1e-9, s"cosine drift at ($a,$b)")
+    }
+    // an exact planted copy is its original's 1-NN both ways (cos 1.0
+    // beats every other candidate), so once nnDescent surfaces the
+    // edge it is mutual and survives any threshold: at iters=2 the
+    // copies found must cluster with their originals
+    val copyPairs = got.filter { case (a, b, _) => b - a == 100000L }
+    assert(copyPairs.nonEmpty, "no planted copy pair surfaced at iters=2")
+    val clusters = graft.ops.Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    copyPairs.foreach { case (a, b, _) =>
+      assert(clusters(b) === clusters(a), s"copy $b not clustered with $a")
+    }
+  }
+
+  test("nnDescent diversify: recall at equal (k, beam, rounds) matches or beats raw top-k on planted clusters") {
+    // 8 orthogonal clusters of 3 twin-PAIRS each (48 points, 8 dims):
+    // twins are near-identical (the redundancy that makes occlusion
+    // decisions decisive — a twin's twin occludes it at cos≈1 vs the
+    // node's cos≈0.9), pairs spread within the cluster, clusters
+    // orthogonal. Raw top-5 = own twin + both members of the two
+    // nearest pairs: all 5 edges in-cluster, half of them redundant
+    // near-copies. Diversification keeps one edge per pair and spends
+    // the freed budget on cross-cluster bridges; at enough search
+    // rounds to exploit them (the sweep: rounds >= 3) that buys
+    // recall at identical (k, entries, beam, rounds). At rounds = 2
+    // raw's local redundancy still wins — the honest trade, why the
+    // knob is a knob and not the default.
+    val pts = for { c <- 0 until 8; pr <- 0 until 3; m <- 0 until 2 } yield {
+      val id = (c * 100 + pr * 10 + m).toLong
+      val v = Array.tabulate(8) { d =>
+        val pairJit = (graft.util.Hashing.portableHash64Const(s"p:$c:$pr:$d")
+          % 100L).toFloat / 100f * 0.3f
+        val twinJit = (graft.util.Hashing.portableHash64Const(s"t:$id:$d")
+          % 100L).toFloat / 100f * 0.004f
+        (if (d == c) 1.0f else 0.0f) + pairJit + twinJit
+      }
+      (id, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    // exact top-5 truth (47 candidates per query, driver-side)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val qa = a.map(x => math.floor(x * 10000).toLong)
+      val qb = b.map(x => math.floor(x * 10000).toLong)
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    val byId = pts.toMap
+    val truth = pts.map { case (id, v) =>
+      id -> pts.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(diversify: Boolean): (Double, Long) = {
+      val g = Similarity.nnDescent(df, "embedding", "vec_id", k = 5,
+        iters = 2, buckets = 6, dim = Some(8), diversify = diversify)
+      val maxDeg = g.groupBy("vec_id").count()
+        .agg(max("count")).as[Long].head()
+      val res = Similarity.graphSearch(df, g, "embedding", "vec_id",
+          lit(true), entries = 3, beam = 3, rounds = 3, topK = 5,
+          dim = Some(8))
+        .select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.toSeq.map { case (q, t) =>
+        (res.getOrElse(q, Set.empty) intersect t).size
+      }.sum
+      (hits.toDouble / (truth.size * 5), maxDeg)
+    }
+    val (rawR, rawDeg) = recall(diversify = false)
+    val (divR, divDeg) = recall(diversify = true)
+    assert(rawDeg <= 5 && divDeg <= 5, "out-degree budget must hold")
+    assert(divR >= rawR,
+      s"diversified recall $divR must match-or-beat raw $rawR")
+    assert(divR > rawR,
+      s"on the planted-cluster corpus diversification must strictly help " +
+        s"(raw $rawR, diversified $divR)")
+  }
+
   test("GraphAnnIndex: replay-idempotent insert, reachable planted copy, tombstone delete, crash-drilled vacuum") {
     import graft.sim.GraphAnnIndex
     val e = Tables.embeddings(spark, sfDir).cache()
