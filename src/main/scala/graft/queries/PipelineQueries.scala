@@ -2651,6 +2651,58 @@ object PipelineQueries {
           expr("neg_pass * 1000000L div n_eval_neg")).as("neg_pass_ppm"))
   }
 
+  /** Conformal-filter DEPLOYMENT composition under ONE gate (C16e +
+    * the coverage readout C37b watches, r15 verdict #5): a labeled
+    * subset (every doc_id % 7 < 3) lands as a labels PARQUET, the
+    * REAL Pipeline `conformal_filter` stage runs against it — train
+    * on labeled-outside-the-fifth, threshold at the k-th smallest
+    * calibration-positive score, keep corpus docs with
+    * coalesce(score, 0) ≥ threshold (a planted NULL-text doc rides
+    * along to pin that rule) — and the output row is the deployment
+    * readout: kept count + content XOR plus the measured held-out
+    * positive coverage in exact ppm, the number a production
+    * EValueStream.rateBatch watches against 1−α (the file-feed e2e
+    * spec drives that watcher; this gate hash-pins the arithmetic it
+    * consumes). The oracle replays train → calibrate → filter →
+    * coverage as one chain.
+    */
+  def pipelineConformalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val target = expr("doc_id % 3 = 0") &&
+      array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
+    val labels = d.filter(expr("doc_id % 7 < 3"))
+      .select(col("doc_id"), target.cast("int").as("y"))
+    val labDir = java.nio.file.Files.createTempDirectory("graft-conf-lab").toString
+    labels.write.mode("overwrite").parquet(labDir)
+    // a NULL-text doc rides along: no feature rows, no score row —
+    // the stage must let it face the threshold at score 0
+    val corpus = d.unionByName(spark.range(1)
+      .select(lit(990001L).as("doc_id"), lit(null).cast("string").as("text")))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"""{"labels":"$labDir","alphaPpm":200000,"m":256}""")
+    val kept = graft.Pipeline.applyStage(corpus, "conformal_filter", node,
+      "text", "doc_id")
+    val cal = pmod(graft.util.Hashing.portableHash64(
+      concat(lit("conf:"), col("doc_id").cast("string"))), lit(5L)) === 0L
+    val evalPos = labels.filter(col("y") === 1 && !cal)
+    val cov = evalPos
+      .join(kept.select(col("doc_id")).withColumn("__kept", lit(1L)),
+        Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_eval_pos"),
+        coalesce(sum("__kept"), lit(0L)).as("pos_pass"))
+    val fp = graft.util.Hashing.portableHash64(concat(
+      col("doc_id").cast("string"), lit(":"),
+      md5(coalesce(col("text"), lit("")))))
+    kept.agg(count(lit(1)).as("n_kept"), bit_xor(fp).as("kept_xor"),
+        sum(when(col("doc_id") === 990001L, 1L).otherwise(0L))
+          .as("null_doc_kept"))
+      .crossJoin(broadcast(cov))
+      .select(col("n_kept"), col("kept_xor"), col("null_doc_kept"),
+        col("n_eval_pos"), col("pos_pass"),
+        when(col("n_eval_pos") > 0,
+          expr("pos_pass * 1000000L div n_eval_pos")).as("coverage_ppm"))
+  }
+
   /** Polynomial-kernel MMD drift gate (Similarity.mmdPoly2, NEW r15):
     * the even/odd vec_id halves play the two samples — on one corpus
     * the halves are exchangeable, so the statistics double as the
@@ -2968,6 +3020,7 @@ object PipelineQueries {
     "quality_lr_eval" -> qualityLrEvalQ,
     "quality_lr_calibration" -> qualityLrCalibrationQ,
     "quality_lr_conformal" -> qualityLrConformalQ,
+    "pipeline_conformal_corpus" -> pipelineConformalQ,
     "text_pmi" -> textPmiQ,
     "pipeline_train_corpus" -> pipelineTrainQ,
     "text_pack" -> textPackQ,
@@ -6304,6 +6357,63 @@ object PipelineQueries {
          |      * 1000000 // sum(1 - y) END AS BIGINT) AS neg_pass_ppm
          |FROM ev, kk, th
          |GROUP BY 1, 2, 3""".stripMargin,
+    // the composed conformal deployment chain: labeled subset, train
+    // on labeled-outside-the-fifth (LEFT join to the weight table —
+    // unseen feature buckets score 0), k-th-rank threshold, the
+    // coalesce(score, 0) keep rule over the corpus + planted NULL doc,
+    // and the held-out coverage readout
+    "pipeline_conformal_corpus" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT 990001 AS doc_id, NULL AS text),
+         |nt AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM d),
+         |feats AS (
+         |  SELECT doc_id, unnest(ws) AS feat FROM nt
+         |  UNION ALL
+         |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS feat
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM nt)),
+         |cnt AS (SELECT doc_id, ${h64("feat")} % 256 AS f, count(*) AS x
+         |        FROM feats GROUP BY 1, 2),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN doc_id % 3 = 0 AND list_contains(ws, 'join')
+         |            THEN 1 ELSE 0 END AS y,
+         |          (${h64("'conf:' || doc_id::VARCHAR")} % 5 = 0) AS cal
+         |        FROM nt WHERE doc_id % 7 < 3),
+         |tr AS (SELECT doc_id, y FROM lab WHERE NOT cal),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+         |g AS (SELECT c.f, CAST(sum(c.x * (1000000 * t.y - 500000)) AS BIGINT) AS g
+         |      FROM cnt c JOIN tr t USING (doc_id) GROUP BY 1),
+         |w AS (SELECT f, CAST(round(CAST(g AS DOUBLE) / (2.0 * ntr.n)) AS BIGINT) AS wq
+         |      FROM g, ntr),
+         |s AS (SELECT c.doc_id, CAST(sum(c.x * coalesce(w.wq, 0)) AS BIGINT) AS score
+         |      FROM cnt c LEFT JOIN w USING (f) GROUP BY 1),
+         |cp AS (SELECT s.score, s.doc_id FROM s JOIN lab USING (doc_id)
+         |       WHERE lab.cal AND lab.y = 1),
+         |kk AS (SELECT CAST((count(*) + 1) * 200000 // 1000000 AS BIGINT) AS k
+         |       FROM cp),
+         |rk AS (SELECT score,
+         |         row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn
+         |       FROM cp),
+         |th AS (SELECT coalesce(max(score),
+         |         CAST(-9223372036854775807 - 1 AS BIGINT)) AS thresh
+         |       FROM rk, kk WHERE rn <= kk.k),
+         |kept AS (SELECT d.doc_id, d.text FROM d LEFT JOIN s USING (doc_id), th
+         |         WHERE coalesce(s.score, 0) >= th.thresh),
+         |ks AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |         bit_xor(${h64("doc_id::VARCHAR || ':' || md5(coalesce(text, ''))")})
+         |           AS kept_xor,
+         |         CAST(sum(CASE WHEN doc_id = 990001 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS null_doc_kept
+         |       FROM kept),
+         |ev AS (SELECT lab.doc_id FROM lab WHERE NOT cal AND y = 1),
+         |cv AS (SELECT CAST(count(*) AS BIGINT) AS n_eval_pos,
+         |         CAST(count(k2.doc_id) AS BIGINT) AS pos_pass
+         |       FROM ev LEFT JOIN kept k2 USING (doc_id))
+         |SELECT ks.n_kept, ks.kept_xor, ks.null_doc_kept,
+         |  cv.n_eval_pos, cv.pos_pass,
+         |  CAST(CASE WHEN cv.n_eval_pos > 0
+         |    THEN cv.pos_pass * 1000000 // cv.n_eval_pos END AS BIGINT)
+         |    AS coverage_ppm
+         |FROM ks, cv""".stripMargin,
     "quality_lr_eval" ->
       s"""WITH $lrCtes,
          |st AS (SELECT CAST(sum(score) AS BIGINT) AS stot,

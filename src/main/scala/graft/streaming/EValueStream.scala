@@ -33,15 +33,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    totals_b), where Hyp is the hypergeometric law of the control
   *    successes given the block's margins — EXACTLY the conditional
   *    null law for EVERY fixed shared rate p, which cancels p — and
-  *    Q is the uniform-prior H1 predictive conditioned the same way
-  *    (uniform over the feasible range, since a uniform prior makes
-  *    the success-count marginal uniform). E[E_b | past] = 1 under
-  *    every fixed p, so the running product is an e-process
-  *    UNIFORMLY over the composite null at batch granularity
-  *    (the safe-2×2-tables construction of Turner, Ly & Grünwald,
-  *    2021). The price: conditioning discards the between-batch
-  *    margin information, so it needs somewhat more data than the
-  *    mixture at the same shift.
+  *    Q is the per-arm Beta-Binomial predictive LEARNED from the
+  *    pre-batch cumulative counts, conditioned on the same margins
+  *    (predictable, so validity never depends on the learning;
+  *    learning only buys power). E[E_b | past] = 1 under every
+  *    fixed p, so the running product is an e-process UNIFORMLY
+  *    over the composite null at batch granularity (the
+  *    safe-2×2-tables construction of Turner, Ly & Grünwald, 2021).
+  *    The price: conditioning discards the between-batch margin
+  *    information, so it needs somewhat more data than the mixture
+  *    at the same shift.
   *
   * In both modes the alarm fires when log E ≥ ln(10⁶/αppm) once both
   * arms have `minPerArm` trials (honest cold start — a 0-vs-1 fluke
@@ -131,20 +132,40 @@ object EValueStream {
     lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0)
 
   /** log of ONE batch's totals-conditioned (Fisher-style) block
-    * e-factor for a 2×2 table (cn, cs, tn, ts): uniform-Q over the
-    * feasible control-success range against the hypergeometric
-    * conditional null law. Unit conditional expectation under EVERY
-    * fixed shared rate; a block with no trials, or with margins that
-    * pin the table (feasible range of one point), contributes exactly
-    * 0 — an empty bet. */
-  private[graft] def logBlockCond(cn: Long, cs: Long, tn: Long, ts: Long): Double = {
-    val s = cs + ts
-    val lo = math.max(0L, s - tn)
-    val hi = math.min(cn, s)
-    if (cn + tn == 0L || hi <= lo) 0.0
+    * e-factor for a 2×2 table — block counts (bcn, bcs, btn, bts)
+    * against the hypergeometric conditional null law, with the H1
+    * predictive Q LEARNED from the pre-batch cumulative counts
+    * (pcn, pcs, ptn, pts): per arm, a Beta-Binomial predictive under
+    * the uniform-prior posterior Beta(ps+1, pf+1), conditioned on the
+    * block's success total by normalizing over the feasible
+    * control-success range. Q is predictable (pre-batch state only)
+    * and a genuine probability over the conditional support, so
+    * E[E_block | past, margins] = 1 under EVERY fixed shared rate —
+    * validity never depends on the learning; learning only buys
+    * power (under the null the sharpened Q hugs the hypergeometric,
+    * so blocks bet nearly nothing; under a real split it concentrates
+    * on the observed imbalance). A block with no trials, or with
+    * margins that pin the table, contributes exactly 0 — an empty
+    * bet. The normalization is an O(block successes) StrictMath
+    * log-sum-exp per KEY row, ascending order — deterministic. */
+  private[graft] def logBlockCond(pcn: Long, pcs: Long, ptn: Long, pts: Long,
+                                  bcn: Long, bcs: Long, btn: Long, bts: Long)
+      : Double = {
+    val s = bcs + bts
+    val lo = math.max(0L, s - btn)
+    val hi = math.min(bcn, s)
+    if (bcn + btn == 0L || hi <= lo) 0.0
     else {
-      val logQ = -StrictMath.log((hi - lo + 1).toDouble)
-      val logHyp = lchoose(cn, cs) + lchoose(tn, ts) - lchoose(cn + tn, s)
+      val ac = pcs + 1.0; val bc = (pcn - pcs) + 1.0
+      val at = pts + 1.0; val bt = (ptn - pts) + 1.0
+      def lbb(n: Long, k: Long, a: Double, b: Double): Double =
+        lchoose(n, k) + lbeta(k + a, n - k + b) - lbeta(a, b)
+      val lq = (lo to hi).map(c =>
+        lbb(bcn, c, ac, bc) + lbb(btn, s - c, at, bt))
+      val m = lq.max
+      val logZ = m + StrictMath.log(lq.map(v => StrictMath.exp(v - m)).sum)
+      val logQ = lbb(bcn, bcs, ac, bc) + lbb(btn, bts, at, bt) - logZ
+      val logHyp = lchoose(bcn, bcs) + lchoose(btn, bts) - lchoose(bcn + btn, s)
       logQ - logHyp
     }
   }
@@ -233,7 +254,9 @@ object EValueStream {
         val lecNew =
           if (conditional)
             s.lec + StrictMath.floor(
-              logBlockCond(s.bcn, s.bcs, s.btn, s.bts) * 1e6).toLong
+              logBlockCond(s.cn - s.bcn, s.cs - s.bcs,
+                s.tn - s.btn, s.ts - s.bts,
+                s.bcn, s.bcs, s.btn, s.bts) * 1e6).toLong
           else 0L
         val leMicro =
           if (conditional) lecNew

@@ -347,6 +347,67 @@ class ConfigSpec extends SparkSpec {
       "an under-populated calibration set must keep everything")
   }
 
+  test("conformal coverage watched end-to-end: stage output feeds the rate e-process over a file feed") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EValueStream
+    // the pipeline_conformal_corpus deployment readout wired LIVE:
+    // the REAL conformal_filter stage filters the corpus, the held-out
+    // positive pool's pass/drop bits stream through a parquet file
+    // feed, and rateBatch watches the measured coverage at p0 = the
+    // pool's own rate — healthy feed never alarms, a broken filter
+    // (a third of the passes start getting dropped) alarms
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+    val isPos = expr("doc_id % 3 = 0") && array_contains(
+      split(graft.ops.TextAnalysis.normalize(col("text")), " "), "join")
+    val labelsDir = tmpDir() + "/labels.parquet"
+    docs.filter($"doc_id" % 7 < 3)
+      .select($"doc_id", isPos.cast("int").as("y"))
+      .write.mode("overwrite").parquet(labelsDir)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"""{"labels":"$labelsDir","alphaPpm":200000,"m":256}""")
+    val kept = Pipeline.applyStage(docs, "conformal_filter", node,
+      "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    val cal = pmod(graft.util.Hashing.portableHash64(
+      concat(lit("conf:"), $"doc_id".cast("string"))), lit(5L)) === 0L
+    val pool = docs.filter($"doc_id" % 7 < 3).filter(isPos).filter(!cal)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pool.size >= 20, s"fixture needs a real eval pool: ${pool.size}")
+    val passSet = pool.filter(kept.contains).toSet
+    val p0 = passSet.size.toLong * 1000000L / pool.size
+    assert(p0 >= 1L && p0 <= 999999L, s"degenerate pool rate $p0")
+    // file feed: each batch is 4 full cycles of the pool, so every
+    // healthy batch's rate EQUALS the reference — then the broken
+    // phase drops every third passing doc
+    val feed = tmpDir(); val out = tmpDir(); val st = tmpDir()
+    val ckpt = tmpDir()
+    def writeBatch(broken: Boolean): Unit =
+      (0 until 4).flatMap(_ => pool).map { id =>
+        val ok0 = if (passSet.contains(id)) 1 else 0
+        val ok = if (broken && ok0 == 1 && id % 3 == 0) 0 else ok0
+        ("filterA", ok)
+      }.toDF("k", "ok").coalesce(1).write.mode("append").parquet(feed)
+    writeBatch(broken = false)
+    val q = spark.readStream
+      .schema(spark.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EValueStream.rateBatch(spark, b, id, out, st, "k", "ok",
+          p0Ppm = p0, alphaPpm = 50000L, minTrials = 100L)
+      }.start()
+    try {
+      (0 until 14).foreach { _ => writeBatch(broken = false); q.processAllAvailable() }
+      val healthy = spark.read.option("basePath", out).parquet(out)
+        .filter(col("alarm") === 1).count()
+      assert(healthy == 0L, s"healthy coverage feed alarmed $healthy times")
+      (0 until 25).foreach { _ => writeBatch(broken = true); q.processAllAvailable() }
+    } finally q.stop()
+    val alarms = spark.read.option("basePath", out).parquet(out)
+      .filter(col("alarm") === 1).count()
+    assert(alarms >= 1L, "a broken filter's coverage collapse must alarm")
+  }
+
   test("pipeline runner: bpe_tokens annotates real token counts; jsonl input requires a schema") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, sfDir)

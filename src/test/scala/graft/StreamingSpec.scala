@@ -1586,6 +1586,125 @@ class StreamingSpec extends SparkSpec {
     assert(again.nonEmpty, "the re-armed rate monitor must alarm again")
   }
 
+  test("e-value conditional mode: zero alarms at adversarial fixed shared rates, shift alarms and re-arms, byte-identical replay") {
+    import graft.streaming.EValueStream
+    def h(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0x7FFFFFFFL
+    }
+    def batchDf(id: Long, pCtlPct: Int, pTrtPct: Int, salt: Long, n: Int = 250) =
+      (0 until n).map { j =>
+        val i = salt * 10000000L + id * 100000L + j
+        val arm = if (j % 2 == 0) "control" else "treatment"
+        val p = if (arm == "control") pCtlPct else pTrtPct
+        ("exp1", arm, if (h(i) % 100 < p) 1 else 0)
+      }.toDF("exp", "arm", "conv")
+    // the uniform-over-p guarantee is exactly what the mixture mode
+    // CANNOT promise at extreme fixed rates — drive the conditional
+    // mode at p = 2%, 50%, 98% shared: never an alarm
+    for ((p, salt) <- Seq((2, 1L), (50, 2L), (98, 3L))) {
+      val out = tmp(); val st = tmp()
+      (0L until 30L).foreach { id =>
+        EValueStream.evalueBatch(spark, batchDf(id, p, p, salt), id, out, st,
+          "exp", "arm", "conv", alphaPpm = 50000L, minPerArm = 20L,
+          mode = "conditional")
+      }
+      val alarms = spark.read.option("basePath", out).parquet(out)
+        .filter(col("alarm") === 1).count()
+      assert(alarms == 0L, s"fixed shared rate $p% alarmed $alarms times")
+    }
+    // a genuine 30% vs 60% shift still alarms (the conditioning costs
+    // data, not power-at-infinity), resets the accumulator (re-arm),
+    // and an at-least-once replay rewrites identical bytes
+    val out = tmp(); val st = tmp()
+    def run(id: Long, pc: Int, pt: Int): Unit =
+      EValueStream.evalueBatch(spark, batchDf(id, pc, pt, 4L), id, out, st,
+        "exp", "arm", "conv", alphaPpm = 50000L, minPerArm = 20L,
+        mode = "conditional")
+    def alarmOf(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("alarm").as[Int].head()
+    val alarmAt = (0L until 40L).find { id => run(id, 30, 60); alarmOf(id) == 1 }
+    assert(alarmAt.nonEmpty, "a 2x shift must alarm in conditional mode")
+    val reset = spark.read.parquet(s"$st/batch=${alarmAt.get}")
+      .select("cn", "cs", "tn", "ts", "lec", "n_alarms")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(reset == ((0L, 0L, 0L, 0L, 0L, 1L)), reset.toString)
+    val r = spark.read.parquet(s"$out/batch=${alarmAt.get}").collect().toSet
+    val s = spark.read.parquet(s"$st/batch=${alarmAt.get}").collect().toSet
+    run(alarmAt.get, 30, 60)
+    assert(spark.read.parquet(s"$out/batch=${alarmAt.get}").collect().toSet == r)
+    assert(spark.read.parquet(s"$st/batch=${alarmAt.get}").collect().toSet == s)
+    val again = ((alarmAt.get + 1) until (alarmAt.get + 41)).find { id =>
+      run(id, 30, 60); alarmOf(id) == 1
+    }
+    assert(again.nonEmpty, "the re-armed conditional e-process must alarm again")
+  }
+
+  test("mean monitor: stationary bounded metric never alarms, mean shift alarms once and re-arms, clamp and nulls behave") {
+    import graft.streaming.EValueStream
+    val out = tmp(); val st = tmp()
+    def h(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0x7FFFFFFFL
+    }
+    // revenue-like metric in [0, 20] dollars, reference mean 10.00:
+    // stationary batches draw uniform cents in [0, 2000]
+    def batchDf(id: Long, shifted: Boolean, n: Int = 250) =
+      (0 until n).map { j =>
+        val i = id * 100000L + j
+        val cents = if (shifted) 1900L else h(i) % 2001L
+        ("rev", cents.toDouble / 100.0)
+      }.toDF("k", "v")
+    def run(id: Long, shifted: Boolean): Unit =
+      EValueStream.meanBatch(spark, batchDf(id, shifted), id, out, st,
+        "k", "v", mu0Cents = 1000L, loCents = 0L, hiCents = 2000L,
+        alphaPpm = 50000L, minTrials = 50L)
+    def rep(id: Long) = spark.read.parquet(s"$out/batch=$id")
+      .select("n", "mean_cents_milli", "log_e_micro", "alarm")
+      .as[(Long, Long, Long, Int)].head()
+    // 25 stationary batches (6250 values at the reference mean):
+    // never an alarm — the always-valid contract for the metric axis
+    (0L until 25L).foreach(id => run(id, shifted = false))
+    (0L until 25L).foreach { id =>
+      assert(rep(id)._4 == 0, s"stationary batch $id alarmed: ${rep(id)}")
+    }
+    // at-least-once replay rewrites identical bytes (integer state,
+    // StrictMath bets)
+    val r24 = spark.read.parquet(s"$out/batch=24").collect().toSet
+    val s24 = spark.read.parquet(s"$st/batch=24").collect().toSet
+    run(24L, shifted = false)
+    assert(spark.read.parquet(s"$out/batch=24").collect().toSet == r24)
+    assert(spark.read.parquet(s"$st/batch=24").collect().toSet == s24)
+    // mean shift 10.00 -> 19.00: the betting martingale must alarm...
+    val alarmAt = (25L until 110L).find { id =>
+      run(id, shifted = true); rep(id)._4 == 1
+    }
+    assert(alarmAt.nonEmpty, "a 10->19 mean shift must alarm")
+    // ...reset the betting state (re-arm)...
+    val reset = spark.read.parquet(s"$st/batch=${alarmAt.get}")
+      .select("nb", "n", "sc", "leu", "led", "n_alarms")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(reset == ((0L, 0L, 0L, 0L, 0L, 1L)), reset.toString)
+    // ...and catch the still-shifted stream again
+    val again = ((alarmAt.get + 1) until (alarmAt.get + 31)).find { id =>
+      run(id, shifted = true); rep(id)._4 == 1
+    }
+    assert(again.nonEmpty, "the re-armed mean monitor must alarm again")
+    // out-of-range values CLAMP (the declared statistic), NULLs
+    // advance rows_seen only
+    val out2 = tmp(); val st2 = tmp()
+    val odd = Seq(("rev", Some(99999.0)), ("rev", Some(-5.0)),
+      ("rev", Option.empty[Double])).toDF("k", "v")
+    EValueStream.meanBatch(spark, odd, 0L, out2, st2, "k", "v",
+      mu0Cents = 1000L, loCents = 0L, hiCents = 2000L)
+    val st0 = spark.read.parquet(s"$st2/batch=0")
+      .select("n", "sc", "rows_seen").as[(Long, Long, Long)].head()
+    assert(st0 == ((2L, 2000L, 3L)),
+      s"clamp to [0,2000] and null discipline: $st0")
+  }
+
   test("page-hinkley monitor: end-to-end over a file feed catches a planted shift") {
     import graft.streaming.PageHinkleyStream
     val feed = tmp(); val out = tmp(); val st = tmp(); val ckpt = tmp()
