@@ -21,29 +21,61 @@ import org.apache.spark.TaskFailedReason
 final class TailStream(underlying: OutputStream, cap: Int)
     extends OutputStream {
   private val buf = new java.lang.StringBuilder
+  private val lineBuf = new java.lang.StringBuilder
+  private val suppressedCounts =
+    scala.collection.mutable.LinkedHashMap[String, Long]()
   private var pending: String = null
   private def keep(): Unit =
     if (buf.length > cap * 2) buf.delete(0, buf.length - cap)
+  /** Line-aware tail append: completed lines matching a whitelisted
+    * noise pattern (plan-audited partition-less WindowExec warnings —
+    * PlanAuditSpec documents why those windows are correct) are
+    * COUNTED instead of buffered, so 16-per-run known warnings cannot
+    * evict the one absorbed stack the tail exists to catch. Every
+    * byte still reaches the real stderr unfiltered; only the
+    * published tail is curated, and [[tail]] leads with the
+    * suppression ledger so nothing disappears silently. */
+  private def appendTail(s: String): Unit = {
+    lineBuf.append(s)
+    var nl = lineBuf.indexOf("\n")
+    while (nl >= 0) {
+      val line = lineBuf.substring(0, nl + 1)
+      lineBuf.delete(0, nl + 1)
+      TailStream.whitelisted.find(p => line.contains(p)) match {
+        case Some(p) =>
+          suppressedCounts(p) = suppressedCounts.getOrElse(p, 0L) + 1L
+        case None => buf.append(line); keep()
+      }
+      nl = lineBuf.indexOf("\n")
+    }
+    // bound a pathological never-terminated line
+    if (lineBuf.length > cap) { buf.append(lineBuf); lineBuf.setLength(0); keep() }
+  }
   private def emit(line: String): Unit = {
     val bs = (line + "\n").getBytes(StandardCharsets.UTF_8)
     underlying.write(bs, 0, bs.length)
-    buf.append(line).append('\n'); keep()
+    appendTail(line + "\n")
   }
   private def drainMark(): Unit =
     if (pending != null) { val m = pending; pending = null; emit(m) }
   override def write(b: Int): Unit = synchronized {
-    drainMark(); underlying.write(b); buf.append(b.toChar); keep()
+    drainMark(); underlying.write(b); appendTail(b.toChar.toString)
   }
   override def write(b: Array[Byte], off: Int, len: Int): Unit =
     synchronized {
       drainMark()
       underlying.write(b, off, len)
-      buf.append(new String(b, off, len, StandardCharsets.UTF_8)); keep()
+      appendTail(new String(b, off, len, StandardCharsets.UTF_8))
     }
   override def flush(): Unit = underlying.flush()
   def tail: String = synchronized {
-    val s = buf.toString
-    if (s.length > cap) s.substring(s.length - cap) else s
+    val ledger =
+      if (suppressedCounts.isEmpty) ""
+      else suppressedCounts.map { case (p, n) =>
+        s"[stderr_tail] suppressed $n whitelisted line(s) matching: $p"
+      }.mkString("", "\n", "\n")
+    val s = buf.toString + lineBuf.toString
+    ledger + (if (s.length > cap) s.substring(s.length - cap) else s)
   }
 
   /** LAZY phase marker: `label` is written (to the wrapped stream AND
@@ -81,6 +113,17 @@ final class TailStream(underlying: OutputStream, cap: Int)
   * ends look the owner up by stage/job id. The volatile fallback only
   * covers events with no recorded owner (setup/teardown work).
   */
+object TailStream {
+  /** Known-noise line patterns kept OUT of the published tail (counted
+    * in the suppression ledger instead). Only plan-audited warnings
+    * belong here: the partition-less WindowExec warning fires 16×
+    * per q_bh_fdr run for the whitelisted battery-grain rank walk
+    * (PlanAuditSpec documents why that window is correct) and was
+    * burying real absorbed stacks. */
+  val whitelisted: Seq[String] = Seq(
+    "No Partition Defined for Window operation")
+}
+
 final class BenchErrors {
   val errors = scala.collection.mutable.LinkedHashMap[String, String]()
   @volatile var currentQuery: String = "_setup"

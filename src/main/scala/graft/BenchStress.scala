@@ -151,6 +151,13 @@ object BenchStress {
       TextAnalysis.c4Filter(
         graft.queries.PipelineQueries.c4CorpusOf(d), "text", "doc_id",
         minWordsPerLine = 5, minLines = 3)),
+    // conformal audit (r15, stressed r16 — the r15-verdict #7 ask):
+    // featurize + one GD round + score are all linear scans; the
+    // calibration TakeOrdered collects k rows with k growing only as
+    // the labeled-positive share (bounded by the corpus) — the ratio
+    // reads the two feature passes, never a threshold-side term
+    "quality_lr_conformal" -> ((d: DataFrame) =>
+      graft.queries.PipelineQueries.conformalAuditOf(d)),
     // conversation groups: source cardinality is FIXED, so per-group
     // turn lists grow ~linearly with copies — the sort_array and the
     // render fold must stay linear in list length (n log n sort is
@@ -656,7 +663,56 @@ object BenchStress {
       graft.sim.IvfIndex.assign(
         e.filter(expr(s"vec_id < $COPY_STRIDE")), "embedding", "vec_id",
         graft.sim.IvfIndex.centroids(e.sparkSession, store), dim = 64)
-    }))
+    }),
+    // hierarchical search (r15, stressed r16 — the r15-verdict #7
+    // ask): the UPPER layer is corpus/upperMod nodes so BOTH graph
+    // builds scale linearly (bucket counts grow, the nndescent
+    // doctrine); the PINNED copy-0 probe set keeps upper search,
+    // handoff, and base search probe-grain — the ratio must read the
+    // two builds, never a probe-side term
+    "ann_graph_hier" -> ((e: DataFrame, n: Int) => {
+      val base = Similarity.nnDescent(e, "embedding", "vec_id", k = 5,
+        iters = 1, buckets = 50 * n, dim = Some(64))
+      Similarity.hierSearch(e, base, "embedding", "vec_id",
+        expr(s"id % 100 = 0 AND id < $COPY_STRIDE"), upperMod = 8,
+        upperK = 3, upperIters = 1, upperBuckets = 10 * n, entries = 2,
+        upperBeam = 2, upperRounds = 1, baseEntries = 2, beam = 3,
+        rounds = 2, topK = 5, dim = Some(64))
+    }),
+    // persisted graph-ANN lifecycle (r16): build from the SCALED
+    // corpus (the linear nnDescent term), insert a FIXED re-labeled
+    // copy-0 batch against the persisted graph (O(batch) beam search
+    // + write — a deployment's ingestion batch doesn't grow with its
+    // corpus), search the PINNED probe set. The ratio must read the
+    // build; an insert- or search-side superlinear term means the
+    // exclude-own-writes read or the beam broadcast degenerated
+    "ann_graph_persisted" -> ((e: DataFrame, n: Int) => {
+      val spark = e.sparkSession
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-gann-stress").toString
+      graft.sim.GraphAnnIndex.build(spark, e, "embedding", "vec_id",
+        k = 5, iters = 1, buckets = 50 * n, dim = 64, store,
+        nStoreBuckets = 8)
+      graft.sim.GraphAnnIndex.insert(spark,
+        e.filter(expr(s"vec_id < $COPY_STRIDE"))
+          .withColumn("vec_id", col("vec_id") + lit(900000000L)),
+        "embedding", "vec_id", store, batchId = 1L, connectK = 5,
+        entries = 4, beam = 3, rounds = 2, dim = 64)
+      graft.sim.GraphAnnIndex.searchTopK(spark, store,
+        e.filter(expr(s"vec_id % 100 = 0 AND vec_id < $COPY_STRIDE")),
+        "embedding", "vec_id", entries = 4, beam = 3, rounds = 2,
+        topK = 5, dim = 64)
+    }),
+    // graph-based near-dup (r16): mutual-edge filter is one pair-keyed
+    // self-join of the k·N edge table, CC runs at dup-component grain
+    // — the ratio must read the nnDescent build + the O(N·k) pair
+    // stage; rotated copies stay mutually non-dup so components never
+    // balloon with scale
+    "dedup_graph" -> ((e: DataFrame, n: Int) =>
+      graft.ops.Dedup.connectedComponents(
+        Similarity.graphDupPairs(e, "embedding", "vec_id",
+          threshold = 0.35, k = 5, iters = 1, buckets = 50 * n,
+          dim = Some(64)).select("id_a", "id_b"))))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile

@@ -2616,9 +2616,15 @@ object PipelineQueries {
     * calibration count is a driver-side scalar — calibration sets are
     * small by construction (labeled holdouts, not the corpus).
     */
-  def qualityLrConformalQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityLrConformalQ(spark: SparkSession, sfDir: String): DataFrame =
+    conformalAuditOf(Tables.documents(spark, sfDir))
+
+  /** The conformal-threshold audit chain as a function of its corpus —
+    * shared by the gated query and BenchStress (which feeds it the
+    * 10× decorrelated corpus).
+    */
+  def conformalAuditOf(d: DataFrame): DataFrame = {
     import graft.ops.Classifier
-    val d = Tables.documents(spark, sfDir)
     val target = expr("doc_id % 3 = 0") &&
       array_contains(split(TextAnalysis.normalize(col("text")), " "), "join")
     val scored = Classifier.trainScored(d, "text", "doc_id", target,

@@ -226,6 +226,46 @@ object GraphAnnIndex {
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Store health report — the metrics a graph-ANN deployment watches
+    * (the IvfIndex.stats sibling): one row of exact integers —
+    * node/tombstone/edge counts, DEAD edges (edges naming a
+    * tombstoned id: each costs one wasted frontier candidate per
+    * expansion until [[vacuum]] folds it out — the rebuild-scheduling
+    * signal, since vacuum removes edges but never re-links), and the
+    * live out-degree min/max/mean (milli). One column-pruned scan of
+    * each store + a node-keyed degree agg; nothing corpus-sized
+    * broadcasts (the tombstone set broadcasts, bounded between
+    * vacuums).
+    */
+  def stats(spark: SparkSession, store: String): DataFrame = {
+    val n = nodes(spark, store).select("id")
+    val e = edges(spark, store).select("id", "nid")
+    val tombs = tombstones(spark, store)
+    val nTombs = tombs.map(_.count()).getOrElse(0L)
+    val live = tombs match {
+      case Some(t) => n.join(broadcast(t), Seq("id"), "left_anti")
+      case None => n
+    }
+    val dead = tombs match {
+      case Some(t) =>
+        e.join(broadcast(t), Seq("id"), "left_semi")
+          .unionByName(e.join(broadcast(t.select(col("id").as("nid"))),
+            Seq("nid"), "left_semi").select("id", "nid"))
+          .distinct().count()
+      case None => 0L
+    }
+    val deg = live.join(e.groupBy("id").agg(count(lit(1)).as("d")),
+        Seq("id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("d"))
+      .agg(count(lit(1)).as("n_live"), min("d").as("min_deg"),
+        max("d").as("max_deg"),
+        expr("sum(d) * 1000 div greatest(count(1), 1)").as("avg_deg_milli"))
+    deg.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_live"), lit(nTombs).as("n_tombstoned"),
+        col("n_edges"), lit(dead).as("n_dead_edges"),
+        col("min_deg"), col("max_deg"), col("avg_deg_milli"))
+  }
+
   /** Register deletions as ID TOMBSTONES (`tombs/batch=<id>`, one dir
     * per deletion batch — replay-idempotent). O(batch): the graph is
     * bucketed by SOURCE id, but edges naming a deleted id as their

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sim.GraphAnnIndex
+
+/** Streaming graph-ANN index maintenance —
+  * [[graft.sim.GraphAnnIndex]]'s ingestion twin (the IvfStream shape
+  * for the HNSW-lineage store): a file feed of embedding batches
+  * continuously INSERTS into the persisted graph — each trigger's
+  * vectors beam-search the pre-trigger graph for their neighbors and
+  * land their node rows plus forward+reverse edges as
+  * `batch=<batchBase + micro-batch id>` — while each trigger also
+  * writes a one-row HEALTH report (the [[GraphAnnIndex.stats]]
+  * degree/dead-edge readout) under `<store>/health/`, the signal that
+  * schedules the only O(corpus) operations — a diversified rebuild or
+  * a tombstone [[graft.sim.GraphAnnIndex.vacuum]] — OUTSIDE the
+  * stream (the IvfStream recluster-decision handoff discipline).
+  *
+  * Replay-safe under foreachBatch's at-least-once contract twice
+  * over: the insert reads only versions `< batchId` (the
+  * exclude-own-writes discipline — a replayed trigger recomputes
+  * identical edges) and writes land in partitions keyed by the
+  * micro-batch id (dynamic-partition overwrite — a replayed trigger
+  * rewrites exactly its own directories). `batchBase` keeps stream
+  * batch ids clear of ids already in the store and MONOTONE above
+  * them, which the exclude-own-writes read requires.
+  */
+object GraphAnnStream {
+
+  /** One trigger's work, exposed for direct spec drive (the ivfBatch
+    * convention): insert the batch at `batch=<storeBatchId>`, write
+    * the health row. Returns the health report.
+    */
+  def graphBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
+                 idCol: String, store: String, storeBatchId: Long,
+                 connectK: Int, entries: Int, beam: Int, rounds: Int,
+                 dim: Int): DataFrame = {
+    GraphAnnIndex.insert(spark, batch, vecCol, idCol, store, storeBatchId,
+      connectK, entries, beam, rounds, dim)
+    val health = GraphAnnIndex.stats(spark, store)
+    health.withColumn("batch", lit(storeBatchId))
+      .repartition(1)
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$store/health")
+    health
+  }
+
+  /** The running stream; callers own its lifecycle. Embedding feeds
+    * are append-only dumps, so the feed schema pins at start.
+    */
+  def graphStream(spark: SparkSession, sourceDir: String, store: String,
+                  vecCol: String, idCol: String, checkpoint: String,
+                  connectK: Int, entries: Int, beam: Int, rounds: Int,
+                  dim: Int, batchBase: Long = 1000000L,
+                  maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val schema = graft.util.Fs.feedSchema(spark, sourceDir, None)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graphBatch(spark, batch, vecCol, idCol, store, batchBase + id,
+            connectK, entries, beam, rounds, dim)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The health log — one stats row per non-empty trigger. */
+  def health(spark: SparkSession, store: String): DataFrame =
+    spark.read.option("basePath", s"$store/health")
+      .parquet(s"$store/health")
+}

@@ -20,6 +20,26 @@ class BenchReportSpec extends SparkSpec {
     assert(t.length <= 16 && t.endsWith("uvwxyz"), t)
   }
 
+  test("TailStream suppresses whitelisted warning lines into a counted ledger, bytes still pass through") {
+    val bos = new java.io.ByteArrayOutputStream
+    val ts = new TailStream(bos, 4000)
+    val ps = new java.io.PrintStream(ts, true, "UTF-8")
+    ps.println("26/08/16 WARN WindowExec: No Partition Defined for Window operation! " +
+      "Moving all data to a single partition.")
+    ps.println("java.lang.RuntimeException: the stack that matters")
+    ps.println("26/08/16 WARN WindowExec: No Partition Defined for Window operation! " +
+      "Moving all data to a single partition.")
+    val t = ts.tail
+    // the real stderr saw everything
+    assert(bos.toString("UTF-8").contains("No Partition Defined"), "passthrough")
+    // the published tail: no whitelisted noise, a counted ledger, and
+    // the real stack intact
+    assert(!t.linesIterator.exists(l =>
+      l.contains("No Partition Defined") && !l.startsWith("[stderr_tail]")), t)
+    assert(t.contains("suppressed 2 whitelisted line(s)"), t)
+    assert(t.contains("RuntimeException: the stack that matters"), t)
+  }
+
   test("lazy phase markers bracket logged output and vanish for silent phases") {
     val bos = new java.io.ByteArrayOutputStream
     val ts = new TailStream(bos, 4000)

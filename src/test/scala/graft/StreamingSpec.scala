@@ -2010,6 +2010,83 @@ class StreamingSpec extends SparkSpec {
     emb.unpersist(); ()
   }
 
+  test("GraphAnnStream: continuous inserts accumulate, replays overwrite, health log reads degrees and dead edges") {
+    import graft.sim.GraphAnnIndex
+    import graft.streaming.GraphAnnStream
+    val emb = graft.util.Tables.embeddings(spark, sfDir).cache()
+    val store = tmp()
+    GraphAnnIndex.build(spark, emb.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 4, iters = 1, buckets = 20, dim = 64, store,
+      nStoreBuckets = 4)
+    val baseNodes = GraphAnnIndex.nodes(spark, store).count()
+    val baseEdges = GraphAnnIndex.edges(spark, store).count()
+
+    // trigger 1: inserts land node rows + fwd/rev edges, health row out
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val h1 = GraphAnnStream.graphBatch(spark, b1, "embedding", "vec_id",
+      store, storeBatchId = 1000000L, connectK = 4, entries = 3, beam = 3,
+      rounds = 2, dim = 64).head()
+    assert(GraphAnnIndex.nodes(spark, store).count() == baseNodes + b1.count())
+    assert(h1.getAs[Long]("n_live") == baseNodes + b1.count())
+    assert(h1.getAs[Long]("n_dead_edges") == 0L)
+    // degree readout is sane: the fwd cap guarantees >= connectK at
+    // the max; rev fan-in is unbounded by design (hubs), so only the
+    // floor is pinned
+    assert(h1.getAs[Long]("max_deg") >= 4L && h1.getAs[Long]("min_deg") >= 0L,
+      h1.toString)
+    val edges1 = GraphAnnIndex.edges(spark, store).count()
+    assert(edges1 > baseEdges)
+
+    // replayed trigger (same store batch id): exclude-own-writes read
+    // + dynamic-partition overwrite => byte-stable store, no growth
+    GraphAnnStream.graphBatch(spark, b1, "embedding", "vec_id",
+      store, storeBatchId = 1000000L, connectK = 4, entries = 3, beam = 3,
+      rounds = 2, dim = 64)
+    assert(GraphAnnIndex.edges(spark, store).count() == edges1,
+      "a replayed trigger must overwrite its own partitions")
+    assert(GraphAnnIndex.nodes(spark, store).count() == baseNodes + b1.count())
+
+    // deletions surface in the health row as pending tombstones +
+    // dead edges (the vacuum-scheduling signal)
+    GraphAnnIndex.delete(spark, emb.filter($"vec_id" % 20 === 0)
+      .select("vec_id"), "vec_id", store, batchId = 1000001L)
+    val b2 = emb.filter($"vec_id" % 4 === 3)
+    val h2 = GraphAnnStream.graphBatch(spark, b2, "embedding", "vec_id",
+      store, storeBatchId = 1000002L, connectK = 4, entries = 3, beam = 3,
+      rounds = 2, dim = 64).head()
+    assert(h2.getAs[Long]("n_tombstoned") > 0L)
+    assert(h2.getAs[Long]("n_dead_edges") > 0L)
+    val logged = GraphAnnStream.health(spark, store)
+      .select("batch").as[Long].collect().toSet
+    assert(logged == Set(1000000L, 1000002L))
+
+    // e2e through a real file feed: inserted vectors become searchable
+    val feedDir = tmp(); val cp = tmp(); val store2 = tmp()
+    GraphAnnIndex.build(spark, emb.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", k = 4, iters = 1, buckets = 20, dim = 64, store2,
+      nStoreBuckets = 4)
+    emb.filter($"vec_id" % 4 === 1).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q = GraphAnnStream.graphStream(spark, feedDir, store2, "embedding",
+      "vec_id", cp, connectK = 4, entries = 3, beam = 3, rounds = 2,
+      dim = 64)
+    try {
+      q.processAllAvailable()
+      // second trigger carries an exact copy of vec 0 at a fresh id:
+      // reachable through its reverse edges after the insert
+      emb.filter($"vec_id" === 0).withColumn("vec_id", lit(900001L))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(GraphAnnStream.health(spark, store2).count() == 2)
+      val res = GraphAnnIndex.searchTopK(spark, store2,
+        emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        entries = 3, beam = 5, rounds = 3, topK = 4, dim = 64)
+      assert(res.filter($"neighbor_id" === 900001L && $"cosine" > 0.999)
+        .count() == 1L, "streamed insert must be reachable")
+    } finally q.stop()
+    emb.unpersist(); ()
+  }
+
   test("streaming schema drift: abort policy fails the stream loudly, target untouched") {
     val feedDir = tmp(); val target = s"${tmp()}/t.parquet"; val cp = tmp()
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
