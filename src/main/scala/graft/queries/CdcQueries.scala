@@ -230,6 +230,49 @@ object CdcQueries {
       .withColumn("revenue", col("revenue").cast("double"))
   }
 
+  /** Incremental JOIN-view maintenance through one CDC cycle touching
+    * BOTH sides: the materialized orders ⋈ customer star view folded
+    * forward from a fact batch (price updates on every 7th order,
+    * custkey RE-HOMES to a +10M key on every 13th — danglers where no
+    * such customer exists, landings where the dim insert covers it —
+    * inserts cloned from every 23rd, deletes of every 31st not
+    * otherwise touched) and a dim batch (segment moves on every 5th
+    * customer, +10M-key inserts cloned from every 3rd, deletes of
+    * every 11th not also moved — each delete CASCADES its orders out
+    * of the view) — O(touched) fold, untouched view rows pass through
+    * by reference (graft.cdc.JoinMaintain). The oracle recomputes the
+    * join over the post-cycle tables, so hash equality IS the proof
+    * that fold == rebuild, dangling/appearing rows included.
+    */
+  def joinMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val payload = Seq("c_name", "c_mktsegment")
+    val view = graft.cdc.JoinMaintain.build(orders, cust,
+      "o_custkey", "c_custkey", payload)
+    val fUp = orders.filter(expr("o_orderkey % 7 = 0"))
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .unionByName(orders
+        .filter(expr("o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0"))
+        .withColumn("o_custkey", col("o_custkey") + 10000000L))
+      .unionByName(orders.filter(expr("o_orderkey % 23 = 0"))
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    val fDel = orders.filter(expr(
+        "o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0"))
+      .select("o_orderkey")
+    val dUp = cust.filter(expr("c_custkey % 5 = 0"))
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName(cust.filter(expr("c_custkey % 3 = 0"))
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+    val dDel = cust.filter(expr("c_custkey % 11 = 0 AND c_custkey % 5 <> 0"))
+      .select("c_custkey")
+    graft.cdc.JoinMaintain.maintain(spark, view, orders, cust,
+        fUp, fDel, dUp, dDel, Seq("o_orderkey"), "o_custkey", "c_custkey",
+        payload)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_name", "c_mktsegment")
+  }
+
   /** SCD type-2 history built from the full events change feed:
     * per-user event_type version intervals, consecutive identical
     * payloads collapsed (graft.cdc.Scd2). is_current exposed as 0/1
@@ -337,6 +380,7 @@ object CdcQueries {
     "cdc_apply_changelog" -> applyChangelogQ,
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
+    "cdc_join_maintain" -> joinMaintainQ,
     "cdc_scd2" -> scd2Q,
     "cdc_scd2_maintain" -> scd2MaintainQ,
     "cdc_scd2_asof" -> scd2AsofQ,
@@ -587,6 +631,33 @@ object CdcQueries {
         |SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM final GROUP BY 1""".stripMargin,
+    "cdc_join_maintain" ->
+      """WITH fpost AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 23 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+        |    AND o_orderkey % 31 <> 0),
+        |dpost AS (
+        |  SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey % 11 <> 0)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+        |       d.c_name, d.c_mktsegment
+        |FROM fpost f JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
     "cdc_table_length" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05",
     // catalog constants for the fixed test tables; DuckDB computes the

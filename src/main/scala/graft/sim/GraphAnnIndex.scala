@@ -86,12 +86,16 @@ object GraphAnnIndex {
     */
   def build(spark: SparkSession, seed: DataFrame, vecCol: String,
             idCol: String, k: Int, iters: Int, buckets: Int, dim: Int,
-            store: String, nStoreBuckets: Int): Unit = {
+            store: String, nStoreBuckets: Int,
+            diversify: Boolean = false): Unit = {
     graft.util.Fs.delete(spark, nodesPath(store))
     graft.util.Fs.delete(spark, edgesPath(store))
     graft.util.Fs.delete(spark, tombsPath(store))
+    // diversify: pay the build-time occlusion prune exactly here — a
+    // PERSISTED graph is queried repeatedly, so recall-per-edge
+    // amortizes (the CLUSTER.md doctrine); gates keep the default
     val graph = Similarity.nnDescent(seed, vecCol, idCol, k, iters,
-      buckets, Some(dim))
+      buckets, Some(dim), diversify)
       .select(col("vec_id").as("id"), col("neighbor_id").as("nid"),
         col("cosine").as("cos"))
     val nodes = prepared(seed.filter(col(vecCol).isNotNull &&

@@ -1196,7 +1196,8 @@ object Similarity {
   def graphSearch(df: DataFrame, graph: DataFrame, vecCol: String,
                   idCol: String, probePred: Column,
                   entries: Int, beam: Int, rounds: Int, topK: Int,
-                  dim: Option[Int] = None): DataFrame = {
+                  dim: Option[Int] = None,
+                  truncate: Boolean = true): DataFrame = {
     require(entries >= 1 && beam >= 1 && rounds >= 0 && topK >= 1,
       s"bad entries=$entries beam=$beam rounds=$rounds topK=$topK")
     val p = prepared(df.filter(col(vecCol).isNotNull), vecCol, idCol)
@@ -1210,7 +1211,7 @@ object Similarity {
           concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
       .orderBy(col("ehid"), col("id")).limit(entries).select("id")
     val entryPairs = probes.select(col("qid")).crossJoin(broadcast(ent))
-    beamSearch(p, probes, graph, entryPairs, beam, rounds, dim)
+    beamSearch(p, probes, graph, entryPairs, beam, rounds, dim, truncate)
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("id").asc)))
       .filter(col("rank") <= topK)
@@ -1226,7 +1227,14 @@ object Similarity {
   private[sim] def beamSearch(p: DataFrame, probes: DataFrame,
                          graph: DataFrame, entryPairs: DataFrame,
                          beam: Int, rounds: Int,
-                         dim: Option[Int]): DataFrame = {
+                         dim: Option[Int],
+                         truncate: Boolean = true): DataFrame = {
+    // truncate=false exists for the plan audit only (the pageRank
+    // checkpoint=false pattern): per-round lineage cuts hide the
+    // expansion's join shapes from explain, so the audit rebuilds one
+    // un-truncated round; every production caller keeps the default
+    def cut(df: DataFrame): DataFrame =
+      if (truncate) graft.util.Lineage.truncate(df) else df
     val edges = graph.select(col("vec_id").as("id"),
       col("neighbor_id").as("nid"))
     def scoreQ(cand: DataFrame): DataFrame =
@@ -1235,7 +1243,7 @@ object Similarity {
         .select(col("qid"), col("id"),
           cosine(qdot(col("qv"), col("pqv"), dim),
             col("n2"), col("pn2")).as("cos"))
-    var visited = graft.util.Lineage.truncate(
+    var visited = cut(
       scoreQ(entryPairs.select(col("qid"), col("id")).distinct()
         .filter(col("qid") =!= col("id"))))
     val wBeam = Window.partitionBy(col("qid"))
@@ -1248,8 +1256,7 @@ object Similarity {
         .filter(col("qid") =!= col("id"))
         .join(visited.select(col("qid"), col("id")),
           Seq("qid", "id"), "left_anti")
-      visited = graft.util.Lineage.truncate(
-        scoreQ(fresh).unionByName(visited))
+      visited = cut(scoreQ(fresh).unionByName(visited))
     }
     visited
   }

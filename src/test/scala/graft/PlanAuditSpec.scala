@@ -110,6 +110,17 @@ class PlanAuditSpec extends SparkSpec {
       "delta folding must partial-aggregate (one O(batch) shuffle)")
   }
 
+  test("cdc_join_maintain: key sets broadcast, untouched rows pass by anti join, no loop join") {
+    val plan = formatted(q("cdc_join_maintain"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "touched-key prunes and re-derivation joins must broadcast")
+    assert(plan.contains("LeftAnti"),
+      "untouched view rows must pass through by reference (anti join)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "nothing in the fold may loop-join")
+  }
+
   test("text_pack: one shard shuffle, nothing else") {
     // count node-detail headers ("(3) Exchange"), not raw substring
     // hits — formatted explain prints every node twice (tree + detail)
@@ -1060,7 +1071,8 @@ class PlanAuditSpec extends SparkSpec {
     // knob (CLUSTER.md maps each family to its settings), and a shape
     // that only holds because AQE rescues it at runtime — or that AQE
     // itself regresses — must fail loudly here. Pins are the
-    // bench-record top-12 by wall time plus the two recurring LSH
+    // bench-record heaviest by wall time (incl. the r16 graph-ANN
+    // additions) plus the two recurring LSH
     // watch items; markers are each query's established static-plan
     // invariants, checked identically under both settings, plus the
     // global no-partition-less-window rule.
@@ -1080,6 +1092,19 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.incrementalLsh(d,
         d.filter(org.apache.spark.sql.functions.expr("doc_id % 25 = 0")),
         "text", "doc_id", materialize = false)
+    }
+    // the beam search truncates lineage per round (the plan a gated
+    // graph-ANN query explains is just the rank window over the cut),
+    // so the shape audit rebuilds ONE untruncated round — entry
+    // scoring + expansion + rerank — via the truncate=false seam (the
+    // pageRank checkpoint=false pattern)
+    def lazyGraphRound(): DataFrame = {
+      val emb = graft.util.Tables.embeddings(spark, sfDir)
+      val g = graft.sim.Similarity.nnDescent(emb, "embedding", "vec_id",
+        k = 4, iters = 0, buckets = 10, Some(64))
+      graft.sim.Similarity.graphSearch(emb, g, "embedding", "vec_id",
+        org.apache.spark.sql.functions.expr("id % 50 = 0"), entries = 2,
+        beam = 2, rounds = 1, topK = 3, Some(64), truncate = false)
     }
     val pins: Seq[(String, () => DataFrame, Seq[String], Seq[String])] = Seq(
       ("graph_cc", () => q("graph_cc"), Nil, Seq("CartesianProduct")),
@@ -1111,7 +1136,22 @@ class PlanAuditSpec extends SparkSpec {
       // the corpus must never pair-join (the full-outer is the
       // 2080-row dimension contraction, not a data join)
       ("emb_mmd", () => q("emb_mmd"),
-        Seq("partial_"), Seq("CartesianProduct")))
+        Seq("partial_"), Seq("CartesianProduct")),
+      // r16: the two new bench heavies. The persisted search's gated
+      // plan is the post-cut tail — the pin holds the qid-partitioned
+      // rank window (the loose-window sweep below) and keeps loop
+      // joins out of the tail; the untruncated round carries the real
+      // shape: frontier/probe sides broadcast, scoring joins stay
+      // keyed equi-joins, the only loop join is the bounded
+      // entries-row broadcast cross (BNLJ allowed, cartesian never).
+      // SortMergeJoin is NOT forbidden on the untruncated round: the
+      // corpus-side scoring/anti joins are keyed, and at scale a
+      // shuffle join on them is the correct physical choice — the
+      // broadcast marker pins the frontier side only
+      ("ann_graph_persisted", () => q("ann_graph_persisted"),
+        Nil, Seq("CartesianProduct", "SortMergeJoin")),
+      ("ann_graph_search(untruncated round)", () => lazyGraphRound(),
+        Seq("BroadcastHashJoin"), Seq("CartesianProduct")))
     for (aqe <- Seq("true", "false")) {
       withSQLConf("spark.sql.adaptive.enabled" -> aqe) {
         for ((name, build, must, mustNot) <- pins) {

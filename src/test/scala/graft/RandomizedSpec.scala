@@ -303,6 +303,58 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("join-view maintenance equals recompute across random two-sided CDC cycles") {
+    import graft.cdc.JoinMaintain
+    val rnd = new Random(61)
+    // fact: pk -> (fk, value); dim: key -> payload. The dim covers
+    // only PART of the fk space, so dangling fact rows exist from the
+    // start — dim inserts must make them APPEAR, dim deletes must
+    // CASCADE rows out, fk moves must re-home.
+    var fact: Map[Long, (Long, Double)] = (0L until 250L).map(i =>
+      i -> (rnd.nextInt(56).toLong, rnd.nextInt(1000).toDouble)).toMap
+    var dim: Map[Long, String] = (0L until 56L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"p$k").toMap
+    var nextPk = 250L
+    def fdf(m: Map[Long, (Long, Double)]) =
+      m.toSeq.map { case (pk, (fk, v)) => (pk, fk, v) }.toDF("pk", "fk", "v")
+    def ddf(m: Map[Long, String]) = m.toSeq.toDF("dk", "payload")
+    def recompute(f: Map[Long, (Long, Double)], d: Map[Long, String]) =
+      f.flatMap { case (pk, (fk, v)) =>
+        d.get(fk).map(p => (pk, fk, v, p)) }.toSet
+    // the stored view rides forward: cycle N's output is cycle N+1's
+    // view, so this also pins that maintenance COMPOSES
+    var view = JoinMaintain.build(fdf(fact), ddf(dim), "fk", "dk",
+      Seq("payload"))
+    (1 to rounds).foreach { cycle =>
+      val (f0, d0) = (fact, dim)
+      val fUps = (0 until rnd.nextInt(50)).map { _ =>
+        if (rnd.nextBoolean() && f0.nonEmpty) {
+          val pk = f0.keys.toSeq(rnd.nextInt(f0.size)) // replace (fk may move)
+          (pk, rnd.nextInt(56).toLong, rnd.nextInt(1000).toDouble)
+        } else { nextPk += 1; (nextPk, rnd.nextInt(56).toLong, rnd.nextInt(1000).toDouble) }
+      }.distinctBy(_._1)
+      val fUpKeys = fUps.map(_._1).toSet
+      val fDels = f0.keys.filter(pk =>
+        !fUpKeys.contains(pk) && rnd.nextInt(8) == 0).toSeq
+      val dUps = (0 until rnd.nextInt(12)).map { _ =>
+        (rnd.nextInt(56).toLong, s"c$cycle-${rnd.nextInt(100)}") // insert or replace
+      }.distinctBy(_._1)
+      val dUpKeys = dUps.map(_._1).toSet
+      val dDels = d0.keys.filter(dk =>
+        !dUpKeys.contains(dk) && rnd.nextInt(6) == 0).toSeq
+      view = JoinMaintain.maintain(spark, view, fdf(f0), ddf(d0),
+          fUps.toDF("pk", "fk", "v"), fDels.map(Tuple1(_)).toDF("pk"),
+          dUps.toDF("dk", "payload"), dDels.map(Tuple1(_)).toDF("dk"),
+          Seq("pk"), "fk", "dk", Seq("payload"))
+        .localCheckpoint() // the next cycle's bases rewrite underneath it
+      fact = (f0 -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3))
+      dim = (d0 -- dDels) ++ dUps
+      val got = view.select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(got == recompute(fact, dim), s"cycle $cycle diverged")
+    }
+  }
+
   test("salted join equals the plain join on random skew shapes and salt counts") {
     val rnd = new Random(55)
     (1 to 4).foreach { round =>
