@@ -1,0 +1,230 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.cdc.{BucketedLayout, JoinMaintain, Merge}
+import graft.util.Fs
+
+/** Streaming JOIN-view maintenance — [[graft.cdc.JoinMaintain]]'s
+  * continuous twin (the AggStream/Scd2Stream discipline applied to
+  * A44): one unioned CDC feed carrying BOTH sides' changes (a `side`
+  * column says 'fact' or 'dim' — the shape a multiplexed Debezium-
+  * style topic pair lands as) keeps three stores current per trigger:
+  *
+  *  - the FACT replica, hash-bucketed by fact pk (a trigger rewrites
+  *    only the buckets its keys hash into),
+  *  - the DIM replica, flat stage-and-swap (dimensions are the small
+  *    side by definition — that asymmetry is the whole point of the
+  *    star shape),
+  *  - the maintained VIEW (fact ⋈ dim), bucketed by fact pk like the
+  *    fact replica — SAME bucket function, so every view row lives in
+  *    the bucket of its fact row and fact-side maintenance is
+  *    bucket-local.
+  *
+  * Per-trigger cost: fact-only triggers touch O(batch) buckets of
+  * view + fact replica and never scan anything corpus-sized. Triggers
+  * carrying dim changes additionally pay ONE (pk, fk) column-pruned
+  * scan of the fact replica to find the buckets holding rows that
+  * reference the touched dim keys — the honest price of inner-join
+  * maintenance (a dim INSERT must surface dangling fact rows the view
+  * has never seen, so the view alone cannot answer); dims change
+  * rarely, and the scan reads two columns. The re-derivation itself
+  * then runs restricted to exactly those buckets.
+  *
+  * Exactly-once under foreachBatch's at-least-once contract (the
+  * AggStream invariant, same ordering proof): the view's replacement
+  * buckets are computed against the PRE-batch replicas, so the fold
+  * is only correct while the replicas haven't advanced. Order: view
+  * bucket overwrite → `_graft_batch` stamp → fact replica merge → dim
+  * replica swap. A replay that finds its stamp skips the view fold
+  * (the replicas may have advanced) and re-runs only the idempotent
+  * replica merges; a replay without the stamp recomputes an IDENTICAL
+  * view (replicas only advance after stamping) and overwrites its own
+  * buckets. Crashes inside any of the three swaps are healed at entry
+  * ([[BucketedLayout.recoverSwap]] / [[Fs.recoverReplace]]) before
+  * anything is read.
+  */
+object JoinStream {
+
+  private val STAMP = "_graft_batch"
+
+  private[graft] def readStamp(spark: SparkSession, dir: String): Option[Long] =
+    Fs.readSmallText(spark, dir, STAMP).flatMap(_.toLongOption)
+
+  private[graft] def writeStamp(spark: SparkSession, dir: String, batchId: Long): Unit =
+    Fs.writeSmallText(spark, dir, STAMP, batchId.toString)
+
+  /** The maintained view, minus the layout column. */
+  def readView(spark: SparkSession, viewPath: String): DataFrame =
+    spark.read.parquet(viewPath).drop(BucketedLayout.GB)
+
+  /** One maintenance micro-batch — public so replay idempotence and
+    * the crash windows are directly spec-testable (the
+    * [[AggStream.foldBatch]] pattern).
+    *
+    * Feed contract: `batch` holds both sides' change rows. `sideCol`
+    * is 'fact' or 'dim'; `versionCol` orders multiple changes to one
+    * key within the batch (last writer wins per side); `deleteCol` is
+    * the tombstone bool. Fact rows carry `factCols` (pk + fk +
+    * payload), dim rows carry `dimCols` (dim pk + payload); each
+    * side's rows may leave the other side's columns NULL.
+    */
+  def foldBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                factPath: String, dimPath: String, viewPath: String,
+                factPk: Seq[String], fk: String, dimPk: String,
+                factCols: Seq[String], dimCols: Seq[String],
+                versionCol: String, deleteCol: String,
+                nBuckets: Int): Unit =
+    if (!batch.isEmpty) {
+      val dimPayload = dimCols.filterNot(_ == dimPk)
+
+      // split + collapse to ONE action per key per side
+      def sideOf(tag: String, pk: Seq[String], cols: Seq[String]) = {
+        val latest = Merge.latestByKey(
+          batch.filter(col("side") === tag)
+            .select((cols :+ versionCol :+ deleteCol).map(col): _*),
+          pk, versionCol)
+          .localCheckpoint() // feeds fold AND merge under stores being swapped
+        (latest.filter(!col(deleteCol)).select(cols.map(col): _*),
+          latest.filter(col(deleteCol)).select(pk.map(col): _*))
+      }
+      val (factUps, factDelKeys) = sideOf("fact", factPk, factCols)
+      val (dimUps, dimDelKeys) = sideOf("dim", Seq(dimPk), dimCols)
+
+      // heal half-finished swaps from a crashed predecessor attempt
+      BucketedLayout.recoverSwap(spark, factPath)
+      BucketedLayout.recoverSwap(spark, viewPath)
+      Fs.recoverReplace(spark, s"$dimPath.staging", dimPath)
+
+      val f = Fs.fs(spark, factPath)
+      def bucketedExists(p: String): Boolean = f.exists(new Path(p)) &&
+        f.listStatus(new Path(p))
+          .exists(_.getPath.getName.startsWith(s"${BucketedLayout.GB}="))
+      val factExists = bucketedExists(factPath)
+      val viewExists = bucketedExists(viewPath)
+      val dimExists = Fs.hasFileWithSuffix(spark, dimPath, ".parquet")
+
+      val dimBase =
+        if (dimExists) spark.read.parquet(dimPath) else dimUps.limit(0)
+
+      // the buckets this trigger touches: the fact batch's own keys,
+      // plus — only when the dim side moved — the buckets of fact
+      // rows referencing touched dim keys (the one pruned fact scan)
+      val touchedDimKeys = dimUps.select(col(dimPk))
+        .unionByName(dimDelKeys).filter(col(dimPk).isNotNull).distinct()
+      def bucketsOf(df: DataFrame): Set[Int] =
+        df.select(BucketedLayout.bucketExpr(factPk, nBuckets).as("gb"))
+          .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets rows
+      val factSideBuckets = bucketsOf(
+        factUps.select(factPk.map(col): _*).unionByName(factDelKeys))
+      val dimSideBuckets =
+        if (!factExists || touchedDimKeys.isEmpty) Set.empty[Int]
+        else bucketsOf(spark.read.parquet(factPath)
+          .select((factPk :+ fk).map(col): _*)
+          .join(broadcast(touchedDimKeys.select(col(dimPk).as(fk))),
+            Seq(fk), "left_semi"))
+      val touched = (factSideBuckets ++ dimSideBuckets).toIndexedSeq.sorted
+
+      def bucketRead(p: String, exists: Boolean, empty: DataFrame) =
+        if (!exists) empty
+        else spark.read.parquet(p)
+          .filter(col(BucketedLayout.GB).isin(touched: _*))
+          .drop(BucketedLayout.GB)
+      val factB = bucketRead(factPath, factExists, factUps.limit(0))
+      // a view store can be legitimately ABSENT while the replicas are
+      // not (zero matches so far): synthesize the empty view with the
+      // projection contract's schema instead of failing inference
+      val viewB = bucketRead(viewPath, viewExists,
+        JoinMaintain.build(factUps.limit(0), dimUps.limit(0), fk, dimPk,
+          dimPayload))
+
+      // 1. view bucket overwrite — computed against PRE-batch
+      //    replicas, so only valid before they advance; stamp gates it
+      val stamp = readStamp(spark, viewPath)
+      if (stamp.exists(_ > batchId))
+        throw new IllegalStateException(
+          s"$viewPath was maintained up to batch ${stamp.get}, but this stream " +
+            s"is at batch $batchId — a fresh checkpoint against an existing " +
+            "store would silently skip folds. Start fresh store paths, or " +
+            "keep the original checkpoint.")
+      if (!stamp.contains(batchId)) {
+        val newView = JoinMaintain.maintain(spark, viewB, factB, dimBase,
+          factUps, factDelKeys, dimUps, dimDelKeys,
+          factPk, fk, dimPk, dimPayload).localCheckpoint()
+        if (viewExists) {
+          val kept = bucketsOf(newView.select(factPk.map(col): _*))
+          BucketedLayout.overwriteBuckets(spark, newView, factPk, nBuckets,
+            viewPath, clearBuckets = touched.filterNot(kept))
+        } else if (!newView.isEmpty) {
+          // zero-row partitioned bootstrap would publish a schema-less
+          // shell that wedges every later read (the AggStream guard)
+          BucketedLayout.writeFull(spark, newView, factPk, nBuckets, viewPath)
+        }
+        writeStamp(spark, viewPath, batchId)
+      }
+
+      // 2. idempotent fact replica merge (bucket-local: only the fact
+      //    batch's own buckets, not the dim-side re-derive set)
+      if (factExists) {
+        if (factSideBuckets.nonEmpty) {
+          val fb = factSideBuckets.toIndexedSeq.sorted
+          val base = spark.read.parquet(factPath)
+            .filter(col(BucketedLayout.GB).isin(fb: _*))
+            .drop(BucketedLayout.GB)
+          val merged = Merge.applyDeletes(
+            Merge.upsert(base, factUps, factPk), factDelKeys, factPk)
+            .localCheckpoint()
+          val kept = bucketsOf(merged.select(factPk.map(col): _*))
+          BucketedLayout.overwriteBuckets(spark, merged, factPk, nBuckets,
+            factPath, clearBuckets = fb.filterNot(kept))
+        }
+      } else if (!factUps.isEmpty) {
+        BucketedLayout.writeFull(spark, factUps, factPk, nBuckets, factPath)
+      }
+
+      // 3. idempotent dim replica swap (flat: the small side)
+      val dimMerged =
+        if (dimExists)
+          Merge.applyDeletes(Merge.upsert(dimBase, dimUps, Seq(dimPk)),
+            dimDelKeys, Seq(dimPk))
+        else dimUps
+      if (dimExists || !dimUps.isEmpty) {
+        val staging = s"$dimPath.staging"
+        dimMerged.write.mode("overwrite").parquet(staging)
+        Fs.replace(spark, staging, dimPath)
+      }
+      ()
+    }
+
+  /** Continuous maintenance of fact replica + dim replica + join view
+    * from a file-based unioned change feed. Returns the running
+    * query; callers own its lifecycle. Read the maintained view with
+    * [[readView]].
+    */
+  def maintainStream(spark: SparkSession, sourceDir: String,
+                     factPath: String, dimPath: String, viewPath: String,
+                     checkpoint: String,
+                     factPk: Seq[String], fk: String, dimPk: String,
+                     factCols: Seq[String], dimCols: Seq[String],
+                     versionCol: String, deleteCol: String,
+                     nBuckets: Int,
+                     maxFilesPerTrigger: Int = 10,
+                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val schema = Fs.feedSchema(spark, sourceDir, feedSchema)
+    val feed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, batch, batchId, factPath, dimPath, viewPath,
+          factPk, fk, dimPk, factCols, dimCols, versionCol, deleteCol,
+          nBuckets)
+      }
+      .start()
+  }
+}

@@ -2196,4 +2196,143 @@ class StreamingSpec extends SparkSpec {
     assert(alerts === Set(("A", "A")),
       "the flooded self-transition must alert, nothing else")
   }
+
+  test("streaming join-view maintenance tracks recompute under two-sided churn, replays, and crash windows") {
+    import scala.util.Random
+    import graft.streaming.JoinStream
+    import graft.cdc.BucketedLayout
+    val dir = tmp()
+    val factPath = s"$dir/fact.parquet"; val dimPath = s"$dir/dim.parquet"
+    val viewPath = s"$dir/view.parquet"
+    val rnd = new Random(97)
+    var factT = Map.empty[Long, (Long, Double)] // pk -> (fk, v)
+    var dimT = Map.empty[Long, String]          // dk -> payload
+    var nextPk = 0L
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val s = Paths.get(src); val d = Paths.get(dst)
+      Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    def check(cycle: Int): Unit = {
+      val gotView = JoinStream.readView(spark, viewPath)
+        .select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, String)].collect().toSet
+      val want = factT.flatMap { case (pk, (fk, v)) =>
+        dimT.get(fk).map(p => (pk, fk, v, p)) }.toSet
+      assert(gotView == want, s"cycle $cycle: view diverged from recompute")
+      val gotFact = spark.read.parquet(factPath).drop(BucketedLayout.GB)
+        .select("pk", "fk", "v").as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotFact == factT, s"cycle $cycle: fact replica diverged")
+      val gotDim = spark.read.parquet(dimPath)
+        .select("dk", "payload").as[(Long, String)].collect().toMap
+      assert(gotDim == dimT, s"cycle $cycle: dim replica diverged")
+    }
+    (0 until 8).foreach { b =>
+      // batch 0 seeds enough dim coverage that the bootstrap view is
+      // non-empty; fk space 0..29 keeps danglers present throughout
+      val fUps = (0 until rnd.nextInt(25) + 5).map { _ =>
+        val pk = if (factT.nonEmpty && rnd.nextBoolean())
+          factT.keys.toSeq(rnd.nextInt(factT.size))
+        else { nextPk += 1; nextPk }
+        (pk, rnd.nextInt(30).toLong, rnd.nextInt(400) / 4.0)
+      }.distinctBy(_._1)
+      val fUpK = fUps.map(_._1).toSet
+      val fDels = factT.keys.filter(pk =>
+        !fUpK.contains(pk) && rnd.nextInt(7) == 0).toSeq
+      val dUps = (0 until rnd.nextInt(8) + (if (b == 0) 10 else 0)).map { _ =>
+        (rnd.nextInt(30).toLong, s"c$b-${rnd.nextInt(50)}")
+      }.distinctBy(_._1)
+      val dUpK = dUps.map(_._1).toSet
+      val dDels = dimT.keys.filter(dk =>
+        !dUpK.contains(dk) && rnd.nextInt(6) == 0).toSeq
+      val rows =
+        fUps.map { case (pk, fk, v) => ("fact", Option(pk), Option(fk),
+          Option(v), Option.empty[Long], Option.empty[String], b.toLong, false) } ++
+        fDels.map(pk => ("fact", Option(pk), Option.empty[Long],
+          Option.empty[Double], Option.empty[Long], Option.empty[String], b.toLong, true)) ++
+        dUps.map { case (dk, p) => ("dim", Option.empty[Long], Option.empty[Long],
+          Option.empty[Double], Option(dk), Option(p), b.toLong, false) } ++
+        dDels.map(dk => ("dim", Option.empty[Long], Option.empty[Long],
+          Option.empty[Double], Option(dk), Option.empty[String], b.toLong, true))
+      val batch = rows.toDF("side", "pk", "fk", "v", "dk", "payload", "ver", "del")
+      def run() = JoinStream.foldBatch(spark, batch, b.toLong,
+        factPath, dimPath, viewPath, Seq("pk"), "fk", "dk",
+        Seq("pk", "fk", "v"), Seq("dk", "payload"), "ver", "del", nBuckets = 4)
+      if (b == 3) {
+        // crash window: view buckets swapped AND stamped, but neither
+        // replica merge landed — the replay must skip the view fold
+        // (the replicas have NOT advanced, but the view must not
+        // double-fold) and re-run only the idempotent replica merges
+        val sf = s"$dir/fsave"; val sd = s"$dir/dsave"
+        copyDir(factPath, sf); copyDir(dimPath, sd)
+        run()
+        graft.util.Fs.delete(spark, factPath); copyDir(sf, factPath)
+        graft.util.Fs.delete(spark, dimPath); copyDir(sd, dimPath)
+      }
+      run()
+      if (b == 5) {
+        // crash inside the dim flat swap: destination deleted, the
+        // completed staging not yet renamed — the replay's entry
+        // recovery must promote staging, not misread an empty dim
+        assert(new java.io.File(dimPath)
+          .renameTo(new java.io.File(s"$dimPath.staging")))
+      }
+      if (rnd.nextInt(2) == 0 || b == 5) run() // plain at-least-once replay
+      factT = (factT -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3))
+      dimT = (dimT -- dDels) ++ dUps
+      check(b)
+    }
+    // the stamp is what made the replays safe: it carries the last id
+    assert(JoinStream.readStamp(spark, viewPath).contains(7L))
+  }
+
+  test("join-view maintainStream folds a two-sided file feed; dim changes cascade and surface danglers") {
+    import graft.streaming.JoinStream
+    val feedDir = tmp(); val dir = tmp(); val cp = tmp()
+    val factPath = s"$dir/fact.parquet"; val dimPath = s"$dir/dim.parquet"
+    val viewPath = s"$dir/view.parquet"
+    def fact(pk: Long, fk: Long, v: Double, ver: Long): (String, Option[Long], Option[Long], Option[Double], Option[Long], Option[String], Long, Boolean) =
+      ("fact", Some(pk), Some(fk), Some(v), None, None, ver, false)
+    def factDel(pk: Long, ver: Long): (String, Option[Long], Option[Long], Option[Double], Option[Long], Option[String], Long, Boolean) =
+      ("fact", Some(pk), None, None, None, None, ver, true)
+    def dim(dk: Long, p: String, ver: Long): (String, Option[Long], Option[Long], Option[Double], Option[Long], Option[String], Long, Boolean) =
+      ("dim", None, None, None, Some(dk), Some(p), ver, false)
+    def dimDel(dk: Long, ver: Long): (String, Option[Long], Option[Long], Option[Double], Option[Long], Option[String], Long, Boolean) =
+      ("dim", None, None, None, Some(dk), None, ver, true)
+    // trigger 1: facts under dims 10/11 plus two DANGLERS under 12
+    val t1 = Seq(fact(1, 10, 1.0, 0), fact(2, 10, 2.0, 0),
+      fact(3, 11, 3.0, 0), fact(4, 12, 4.0, 0), fact(5, 12, 5.0, 0),
+      fact(6, 11, 6.0, 0), dim(10, "a", 0), dim(11, "b", 0))
+    t1.toDF("side", "pk", "fk", "v", "dk", "payload", "ver", "del")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    val q = JoinStream.maintainStream(spark, feedDir, factPath, dimPath,
+      viewPath, cp, Seq("pk"), "fk", "dk", Seq("pk", "fk", "v"),
+      Seq("dk", "payload"), "ver", "del", nBuckets = 4)
+    try {
+      q.processAllAvailable()
+      assert(JoinStream.readView(spark, viewPath)
+        .select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, String)].collect().toSet ==
+        Set((1L, 10L, 1.0, "a"), (2L, 10L, 2.0, "a"),
+          (3L, 11L, 3.0, "b"), (6L, 11L, 6.0, "b")),
+        "danglers under dim 12 must stay out of the bootstrap view")
+      // trigger 2: dim 12 INSERT surfaces the danglers, dim 11 DELETE
+      // cascades its rows out, fact 1 deletes, fact 2 re-homes to 12
+      val t2 = Seq(dim(12, "c", 1), dimDel(11, 1),
+        factDel(1, 1), fact(2, 12, 2.5, 1))
+      t2.toDF("side", "pk", "fk", "v", "dk", "payload", "ver", "del")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(JoinStream.readView(spark, viewPath)
+        .select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, String)].collect().toSet ==
+        Set((2L, 12L, 2.5, "c"), (4L, 12L, 4.0, "c"), (5L, 12L, 5.0, "c")),
+        "cascade + dangler surfacing + re-home must all fold")
+    } finally q.stop()
+  }
 }
