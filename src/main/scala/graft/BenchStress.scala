@@ -89,6 +89,28 @@ object BenchStress {
     }.reduce(_ unionByName _)
   }
 
+  /** N key-offset copies of the orders/customer star pair: BOTH key
+    * spaces shift by the same stride, so each copy joins within
+    * itself — the view, the change batches, and the touched-key
+    * prunes all grow linearly while no key ever cross-matches
+    * another copy.
+    */
+  def scaledOrdersCustomer(spark: SparkSession, sfDir: String,
+                           n: Int): (DataFrame, DataFrame) = {
+    val o = graft.util.Tables.orders(spark, sfDir)
+    val c = graft.util.Tables.customer(spark, sfDir)
+    val os = (0 until n).map { i =>
+      if (i == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(i * COPY_STRIDE))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * COPY_STRIDE))
+    }.reduce(_ unionByName _)
+    val cs = (0 until n).map { i =>
+      if (i == 0) c
+      else c.withColumn("c_custkey", col("c_custkey") + lit(i * COPY_STRIDE))
+    }.reduce(_ unionByName _)
+    (os, cs)
+  }
+
   /** N norm-preserving rotated copies of embeddings (see object doc). */
   def scaledEmb(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val e = graft.util.Tables.embeddings(spark, sfDir)
@@ -990,7 +1012,18 @@ object BenchStress {
         liOps.map { case (n, f) =>
           (n, (c: Int) => f(scaledLineitem(spark, sfDir, c))) } ++
         evOps.map { case (n, f) =>
-          (n, (c: Int) => f(scaledEvents(spark, sfDir, c))) }
+          (n, (c: Int) => f(scaledEvents(spark, sfDir, c))) } ++
+        // two-sided join-view fold (r16): the whole fold — view build,
+        // both change batches, touched-key prunes, re-derivations — is
+        // copy-local by the paired key offsets; synthetic re-home and
+        // clone keys sit at 1e9/2e9, far above any copy's key space,
+        // so stacked copies never cross-match. The ratio must read
+        // three linear scans (view, fact, dim) + the O(batch) joins.
+        Seq(("cdc_join_maintain", (c: Int) => {
+          val (o, cu) = scaledOrdersCustomer(spark, sfDir, c)
+          graft.queries.CdcQueries.joinMaintainFold(spark, o, cu,
+            reHome = 1000000000L, clone = 2000000000L)
+        }))
     val selected = suite.filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/page-cache warmup: one untimed base-scale pass of each op so

@@ -244,9 +244,17 @@ object CdcQueries {
     * join over the post-cycle tables, so hash equality IS the proof
     * that fold == rebuild, dangling/appearing rows included.
     */
-  def joinMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val cust = Tables.customer(spark, sfDir)
+  def joinMaintainQ(spark: SparkSession, sfDir: String): DataFrame =
+    joinMaintainFold(spark, Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), reHome = 10000000L, clone = 20000000L)
+
+  /** The gate's fold with the synthetic-key offsets parameterized:
+    * the gate uses 10M/20M (what the oracle SQL replays); BenchStress
+    * passes 1e9/2e9 so stacked key-offset copies never cross-match.
+    */
+  private[graft] def joinMaintainFold(spark: SparkSession, orders: DataFrame,
+                                      cust: DataFrame, reHome: Long,
+                                      clone: Long): DataFrame = {
     val payload = Seq("c_name", "c_mktsegment")
     val view = graft.cdc.JoinMaintain.build(orders, cust,
       "o_custkey", "c_custkey", payload)
@@ -254,16 +262,16 @@ object CdcQueries {
       .withColumn("o_totalprice", col("o_totalprice") + 10.0)
       .unionByName(orders
         .filter(expr("o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0"))
-        .withColumn("o_custkey", col("o_custkey") + 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + reHome))
       .unionByName(orders.filter(expr("o_orderkey % 23 = 0"))
-        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + clone))
     val fDel = orders.filter(expr(
         "o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0"))
       .select("o_orderkey")
     val dUp = cust.filter(expr("c_custkey % 5 = 0"))
       .withColumn("c_mktsegment", lit("MOVED"))
       .unionByName(cust.filter(expr("c_custkey % 3 = 0"))
-        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        .withColumn("c_custkey", col("c_custkey") + reHome))
     val dDel = cust.filter(expr("c_custkey % 11 = 0 AND c_custkey % 5 <> 0"))
       .select("c_custkey")
     graft.cdc.JoinMaintain.maintain(spark, view, orders, cust,
