@@ -77,6 +77,7 @@ object OutputContract {
     ("ann_cascade", "cosine"), ("ann_filtered", "cosine"),
     ("ann_nndescent", "cosine"), ("ann_graph_search", "cosine"),
     ("ann_graph_hier", "cosine"), ("ann_graph_persisted", "cosine"),
+    ("ann_graph_delete", "cosine"),
     ("dedup_embedding", "cosine"), ("dedup_semantic", "cosine"),
     ("dedup_semantic_init", "cosine"), ("emb_kmeans", "centroid_cosine"),
     ("emb_kmeans_init", "centroid_cosine"),

@@ -519,6 +519,32 @@ object PipelineQueries {
       entries = 4, beam = 3, rounds = 2, topK = 5, dim = EMB_DIM.get)
   }
 
+  /** The persisted lifecycle's DELETE half gated (the ann_ivf_delete
+    * convention for the graph store): same seed build + odd-half
+    * insert, then every id ≡ 3 (mod 10) tombstones, then the merged-
+    * graph search — tombstoned ids must vanish from entry sets, beams
+    * and results (the oracle's live set replaces the node table
+    * exactly where searchTopK anti-joins tombstones) while the edge
+    * table stays full: dead edges cost wasted frontier candidates,
+    * never a wrong row, until vacuum folds them out.
+    */
+  def annGraphDeleteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-gannd").toString
+    graft.sim.GraphAnnIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 5, iters = 1, buckets = 50,
+      dim = EMB_DIM.get, store, nStoreBuckets = 4)
+    graft.sim.GraphAnnIndex.insert(spark, e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", store, batchId = 1L, connectK = 5,
+      entries = 4, beam = 3, rounds = 2, dim = EMB_DIM.get)
+    graft.sim.GraphAnnIndex.delete(spark,
+      e.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id",
+      store, batchId = 2L)
+    graft.sim.GraphAnnIndex.searchTopK(spark, store,
+      e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      entries = 4, beam = 3, rounds = 2, topK = 5, dim = EMB_DIM.get)
+  }
+
   /** SemDeDup-style semantic near-dup: exact cosine within k-means
     * clusters (rows-only; spec pins that it finds the planted dup.
     * [[dedupSemanticInitQ]] hash-gates the same pipeline at iters=0).
@@ -2895,6 +2921,7 @@ object PipelineQueries {
     "ann_graph_search" -> annGraphSearchQ,
     "ann_graph_hier" -> annGraphHierQ,
     "ann_graph_persisted" -> annGraphPersistedQ,
+    "ann_graph_delete" -> annGraphDeleteQ,
     "ann_graph_recall" -> annGraphRecallQ,
     "ann_recall" -> annRecallQ,
     "ann_recall_cascade" -> annRecallCascadeQ,
@@ -3189,10 +3216,10 @@ object PipelineQueries {
     * beam search over the merged graph with entries from ALL nodes.
     * Ends at `pv2`, the final search's visited set (qid, id, cos).
     */
-  private lazy val gannSearchCtes: String =
+  private def gannChain(live: String, extraCte: String = ""): String =
     s"""$qPrep,
        |ne AS (SELECT vec_id, qv, n2 FROM n WHERE vec_id % 2 = 0),
-       |${nndChain("e", "ne", 5, 50)},
+       |${nndChain("e", "ne", 5, 50)},$extraCte
        |ient AS (SELECT vec_id AS id FROM ne
        |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
        |pr2 AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
@@ -3208,15 +3235,26 @@ object PipelineQueries {
        |mg AS (SELECT vec_id, neighbor_id FROM eg
        |  UNION ALL SELECT id AS vec_id, nid AS neighbor_id FROM fwd
        |  UNION ALL SELECT nid AS vec_id, id AS neighbor_id FROM fwd),
-       |gent AS (SELECT vec_id AS id FROM n
+       |gent AS (SELECT vec_id AS id FROM $live
        |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 4),
        |pr AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
        |  WHERE vec_id % 100 = 0),
-       |${searchChain("p", "n", "mg",
+       |${searchChain("p", live, "mg",
             s"""SELECT pr.qid, a.vec_id AS id,
                |    ${gsCos("pr.pqv", "pr.pn2", "a.qv", "a.n2")} AS cos
-               |  FROM pr CROSS JOIN gent e JOIN n a ON a.vec_id = e.id
+               |  FROM pr CROSS JOIN gent e JOIN $live a ON a.vec_id = e.id
                |  WHERE e.id <> pr.qid""".stripMargin, 3, 2)}""".stripMargin
+
+  private lazy val gannSearchCtes: String = gannChain("n")
+
+  /** The delete variant: the same persisted chain with every id ≡ 3
+    * (mod 10) tombstoned before the final search — the LIVE node
+    * set `nl` replaces `n` exactly where [[graft.sim.GraphAnnIndex]]
+    * anti-joins tombstones (entry set, beam scoring, results), while
+    * probes and the merged edge table stay FULL (deleted ids may
+    * still query; dead edges stay until vacuum). */
+  private lazy val gannDeleteCtes: String = gannChain("nl",
+    extraCte = "\nnl AS (SELECT vec_id, qv, n2 FROM n WHERE vec_id % 10 <> 3),")
 
   /** The BM25 corpus/probe/scoring CTE chain (ends at `agg`:
     * (query_id, doc_id, score_micro)), parameterized only by the probe
@@ -3771,6 +3809,13 @@ object PipelineQueries {
          |WHERE rank <= 5""".stripMargin,
     "ann_graph_persisted" ->
       s"""WITH $gannSearchCtes
+         |SELECT qid AS query_id, id AS neighbor_id, rank,
+         |  round(cos, 6) AS cosine
+         |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id ASC) AS rank FROM pv2)
+         |WHERE rank <= 5""".stripMargin,
+    "ann_graph_delete" ->
+      s"""WITH $gannDeleteCtes
          |SELECT qid AS query_id, id AS neighbor_id, rank,
          |  round(cos, 6) AS cosine
          |FROM (SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
