@@ -1051,7 +1051,7 @@ object BenchStress {
     // must stay ~flat while the corpus grows, so its gate is an
     // absolute-flatness bound, not the linear ratio.
     val execSel = Seq("rebalance_execute", "rebalance_noop",
-        "retention_execute")
+        "retention_execute", "join_stream_fold")
       .filter(n => opFilter.isEmpty || opFilter(n))
     def timeSec(f: => Unit): Double = {
       reset(); val t0 = System.nanoTime(); f
@@ -1116,7 +1116,63 @@ object BenchStress {
               f""""tn":$tn%.2f,"ratio":$ratio%.2f,"linear_ok":$ok}""")
             Seq(("retention_execute", ratio, ok))
           }
-        rb ++ ret
+        val js: Seq[(String, Double, Boolean)] =
+          if (!execSel.contains("join_stream_fold")) Seq.empty else {
+            import graft.streaming.JoinStream
+            val factCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+            val dimCols = Seq("c_custkey", "c_name")
+            def feedFact(o: DataFrame, ver: Long): DataFrame =
+              o.select(lit("fact").as("side"), col("o_orderkey"),
+                col("o_custkey"), col("o_totalprice"),
+                lit(null).cast("long").as("c_custkey"),
+                lit(null).cast("string").as("c_name"),
+                lit(ver).as("ver"), lit(false).as("del"))
+            def fold(root: String, b: DataFrame, id: Long, nB: Int): Unit =
+              JoinStream.foldBatch(spark, b, id, s"$root/fact",
+                s"$root/dim", s"$root/view", Seq("o_orderkey"),
+                "o_custkey", "c_custkey", factCols, dimCols,
+                "ver", "del", nBuckets = nB)
+            def build(c: Int, nB: Int): String = {
+              val root = java.nio.file.Files
+                .createTempDirectory("stress_js").toString
+              val (o, cu) = scaledOrdersCustomer(spark, sfDir, c)
+              val dimFeed = cu.select(lit("dim").as("side"),
+                lit(null).cast("long").as("o_orderkey"),
+                lit(null).cast("long").as("o_custkey"),
+                lit(null).cast("double").as("o_totalprice"),
+                col("c_custkey"), col("c_name"),
+                lit(0L).as("ver"), lit(false).as("del"))
+              fold(root, feedFact(o.select(factCols.map(col): _*), 0L)
+                .unionByName(dimFeed), 0L, nB)
+              root
+            }
+            // the CLUSTER.md sizing rule, measured: bucket count scales
+            // with the corpus, so per-bucket bytes are constant and a
+            // SINGLE-BUCKET fact-only trigger must cost the same at 1x
+            // and Nx — the claim behind "fact-side maintenance is
+            // bucket-local" (a dim-bearing trigger would add the one
+            // pruned fact scan; that path is the linear gate above)
+            val (n1B, nnB) = (8, 8 * nCopies)
+            val r1 = build(1, n1B); val rn = build(nCopies, nnB)
+            def trig(root: String, nB: Int): Unit = {
+              val o0 = graft.util.Tables.orders(spark, sfDir)
+              fold(root, feedFact(
+                o0.filter(expr("o_orderkey % 97 = 0"))
+                  .filter(graft.cdc.BucketedLayout
+                    .bucketExpr(Seq("o_orderkey"), nB) === 0)
+                  .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+                  .select(factCols.map(col): _*), 1L), 1L, nB)
+            }
+            val t1 = timeSec(trig(r1, n1B))
+            val tn = timeSec(trig(rn, nnB))
+            val ratio = tn / math.max(t1, 1e-9)
+            // flat bound (3x noise allowance), not the linear ceiling
+            val ok = tn <= math.max(t1 * 3.0, 2.0)
+            println(f"""{"op":"join_stream_fold","n":$nCopies,"t1":$t1%.2f,""" +
+              f""""tn":$tn%.2f,"ratio":$ratio%.2f,"linear_ok":$ok}""")
+            Seq(("join_stream_fold", ratio, ok))
+          }
+        rb ++ ret ++ js
       }
     val all = lines ++ execLines
     val bad = all.filterNot(_._3).map(_._1)
