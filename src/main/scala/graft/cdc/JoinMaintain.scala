@@ -73,7 +73,34 @@ object JoinMaintain {
                dimUpserts: DataFrame, dimDelKeys: DataFrame,
                factPk: Seq[String], fk: String, dimPk: String,
                dimPayload: Seq[String],
-               broadcastKeys: Boolean = true): DataFrame = {
+               broadcastKeys: Boolean = true): DataFrame =
+    maintainDelta(spark, view, factBase, dimBase, factUpserts, factDelKeys,
+      dimUpserts, dimDelKeys, factPk, fk, dimPk, dimPayload,
+      broadcastKeys)._1
+
+  /** [[maintain]] plus the fold's OWN change batch — what a CASCADE
+    * needs: in a snowflake (fact ⋈ d1 ⋈ d2, maintained as views of
+    * views), level N's maintained view is level N+1's fact table, so
+    * level N must emit (upserts, deleteKeys) in the same post-image
+    * contract it consumes. `_2` is the re-derived rows (every view
+    * row this cycle added or replaced, keyed by factPk); `_3` is the
+    * factPk keys that LEFT the view (dropped and not re-derived —
+    * fact deletes, rows whose dim row vanished, rows re-homed onto a
+    * missing dim). Both are O(touched); feeding them to the next
+    * level's maintainDelta propagates one cycle through the whole
+    * snowflake in one pass per level, no level ever rescanned.
+    *
+    * The delete side needs the PRE-view's touched keys, which costs
+    * one extra pruned view read (two broadcast semi-joins) — callers
+    * that don't cascade use [[maintain]] and skip it.
+    */
+  def maintainDelta(spark: SparkSession, view: DataFrame,
+               factBase: DataFrame, dimBase: DataFrame,
+               factUpserts: DataFrame, factDelKeys: DataFrame,
+               dimUpserts: DataFrame, dimDelKeys: DataFrame,
+               factPk: Seq[String], fk: String, dimPk: String,
+               dimPayload: Seq[String],
+               broadcastKeys: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val bc = (df: DataFrame) => if (broadcastKeys) broadcast(df) else df
     val touchedFactPks = factUpserts.select(factPk.map(col): _*)
       .unionByName(factDelKeys.select(factPk.map(col): _*)).distinct()
@@ -115,7 +142,16 @@ object JoinMaintain {
       .select(factBase.columns.map(factBase(_)) ++
         dimPayload.map(dimNew(_)): _*)
 
-    kept.unionByName(fromFact).unionByName(fromDim)
+    val rederived = fromFact.unionByName(fromDim)
+    // keys that LEFT the view: touched in the pre-view (by fact pk or
+    // via a touched dim key) and not re-derived this cycle
+    val droppedKeys = view
+      .join(bc(touchedFactPks), factPk, "left_semi")
+      .unionByName(view.join(
+        bc(touchedDimKeys.select(col(dimPk).as(fk))), Seq(fk), "left_semi"))
+      .select(factPk.map(col): _*).distinct()
+      .join(rederived.select(factPk.map(col): _*), factPk, "left_anti")
+    (kept.unionByName(rederived), rederived, droppedKeys)
   }
 
   /** Bootstrap the view this module maintains — named so callers and

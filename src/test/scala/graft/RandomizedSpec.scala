@@ -355,6 +355,69 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("join-view delta CASCADES: a two-level snowflake of maintained views equals recompute") {
+    import graft.cdc.JoinMaintain
+    val rnd = new Random(67)
+    // fact(pk -> (k1, k2, v)) ⋈ d1(k1 -> p1) ⋈ d2(k2 -> p2), maintained
+    // as views of views: level 1's maintainDelta output batch IS level
+    // 2's fact-side input — no level is ever rescanned
+    var fact: Map[Long, (Long, Long, Double)] = (0L until 200L).map(i =>
+      i -> (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong, rnd.nextInt(100).toDouble)).toMap
+    var d1: Map[Long, String] = (0L until 24L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"a$k").toMap
+    var d2: Map[Long, String] = (0L until 24L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"b$k").toMap
+    var nextPk = 200L
+    def fdf(m: Map[Long, (Long, Long, Double)]) =
+      m.toSeq.map { case (pk, (k1, k2, v)) => (pk, k1, k2, v) }
+        .toDF("pk", "k1", "k2", "v")
+    def d1df(m: Map[Long, String]) = m.toSeq.toDF("dk1", "p1")
+    def d2df(m: Map[Long, String]) = m.toSeq.toDF("dk2", "p2")
+    def recompute() = fact.flatMap { case (pk, (k1, k2, v)) =>
+      for (p1 <- d1.get(k1); p2 <- d2.get(k2)) yield (pk, k1, k2, v, p1, p2)
+    }.toSet
+    var v1 = JoinMaintain.build(fdf(fact), d1df(d1), "k1", "dk1", Seq("p1"))
+    var v2 = JoinMaintain.build(v1, d2df(d2), "k2", "dk2", Seq("p2"))
+    (1 to rounds).foreach { cycle =>
+      val (f0, d10, d20) = (fact, d1, d2)
+      val v10 = v1
+      val fUps = (0 until rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean() && f0.nonEmpty) {
+          val pk = f0.keys.toSeq(rnd.nextInt(f0.size))
+          (pk, rnd.nextInt(24).toLong, rnd.nextInt(24).toLong, rnd.nextInt(100).toDouble)
+        } else { nextPk += 1
+          (nextPk, rnd.nextInt(24).toLong, rnd.nextInt(24).toLong, rnd.nextInt(100).toDouble) }
+      }.distinctBy(_._1)
+      val fUpK = fUps.map(_._1).toSet
+      val fDels = f0.keys.filter(pk => !fUpK.contains(pk) && rnd.nextInt(8) == 0).toSeq
+      def dimBatch(cur: Map[Long, String], tag: String) = {
+        val ups = (0 until rnd.nextInt(8)).map { _ =>
+          (rnd.nextInt(24).toLong, s"$tag$cycle-${rnd.nextInt(40)}") }.distinctBy(_._1)
+        val upK = ups.map(_._1).toSet
+        (ups, cur.keys.filter(k => !upK.contains(k) && rnd.nextInt(6) == 0).toSeq)
+      }
+      val (d1Ups, d1Dels) = dimBatch(d10, "a")
+      val (d2Ups, d2Dels) = dimBatch(d20, "b")
+      // level 1: fold the raw fact/d1 batches, emitting v1's own delta
+      val (nv1, v1Ups, v1Dels) = JoinMaintain.maintainDelta(spark, v10,
+        fdf(f0), d1df(d10), fUps.toDF("pk", "k1", "k2", "v"),
+        fDels.map(Tuple1(_)).toDF("pk"), d1Ups.toDF("dk1", "p1"),
+        d1Dels.map(Tuple1(_)).toDF("dk1"), Seq("pk"), "k1", "dk1", Seq("p1"))
+      // level 2: v1's delta is the fact-side batch; v1 PRE is the base
+      v2 = JoinMaintain.maintain(spark, v2, v10, d2df(d20),
+        v1Ups, v1Dels, d2Ups.toDF("dk2", "p2"),
+        d2Dels.map(Tuple1(_)).toDF("dk2"), Seq("pk"), "k2", "dk2", Seq("p2"))
+        .localCheckpoint()
+      v1 = nv1.localCheckpoint()
+      fact = (f0 -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3, u._4))
+      d1 = (d10 -- d1Dels) ++ d1Ups
+      d2 = (d20 -- d2Dels) ++ d2Ups
+      val got = v2.select("pk", "k1", "k2", "v", "p1", "p2")
+        .as[(Long, Long, Long, Double, String, String)].collect().toSet
+      assert(got == recompute(), s"cycle $cycle: snowflake diverged")
+    }
+  }
+
   test("salted join equals the plain join on random skew shapes and salt counts") {
     val rnd = new Random(55)
     (1 to 4).foreach { round =>
