@@ -164,6 +164,36 @@ object PipelineQueries {
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), "embedding", "vec_id",
       expr("id % 100 = 0"), k = 5, dim = EMB_DIM)
 
+  /** Truncated-dimension retrieval eval (`ann_dim_recall`, NEW r16) —
+    * the matryoshka/MRL question every embedding deployment asks
+    * before picking a storage width (Kusupati et al., NeurIPS 2022):
+    * recall@5 of brute-force search over the FIRST d dims against the
+    * full-dim truth, for d ∈ {16, 32}. A d-dim prefix costs d/64 of
+    * the scan bytes, dot-product flops and index footprint — this
+    * table says what that buys back in recall, per query (the tail
+    * matters: a mean hides the queries truncation breaks). Exact
+    * hit counts, zero-hit queries included from the truth side; the
+    * slice happens before quantization on both engines (elementwise,
+    * so slice∘quantize == quantize∘slice — replayable).
+    */
+  def annDimRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = annTopkQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    Seq(16, 32).map { d =>
+      val sliced = e.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("embedding"))
+      val approx = Similarity.bruteForceTopK(sliced, "embedding", "vec_id",
+          expr("id % 100 = 0"), k = 5, dim = Some(d))
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Same-label filtered search: each probe retrieves only within its
     * own label partition (the multi-tenant shape).
     */
@@ -2912,6 +2942,7 @@ object PipelineQueries {
     "dedup_graph" -> dedupGraphQ,
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
+    "ann_dim_recall" -> annDimRecallQ,
     "ann_filtered" -> annFilteredQ,
     "ann_ivf" -> annIvfQ,
     "ann_hard_negatives" -> annHardNegativesQ,
@@ -3838,6 +3869,28 @@ object PipelineQueries {
          |         AS BIGINT) AS n_hits
          |FROM exact e LEFT JOIN gs i USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+    "ann_dim_recall" ->
+      s"""WITH $qPrep,
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id
+         |  FROM n x JOIN n q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    ${gsCos("x.qv", "x.n2", "q.qv", "q.n2")} DESC, x.vec_id ASC) <= 5),
+         |${Seq(16, 32).map(d =>
+            s"""s$d AS (SELECT vec_id, qv[1:$d] AS qv,
+               |  list_sum(list_transform(qv[1:$d], x -> x * x)) AS n2 FROM q),
+               |a$d AS (
+               |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id
+               |  FROM s$d x JOIN s$d q ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+               |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               |    ${gsCos("x.qv", "x.n2", "q.qv", "q.n2")} DESC, x.vec_id ASC) <= 5),
+               |r$d AS (
+               |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               |    CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+               |      AS BIGINT) AS n_hits, CAST($d AS BIGINT) AS dim
+               |  FROM exact e LEFT JOIN a$d a USING (query_id, neighbor_id)
+               |  GROUP BY 1)""".stripMargin).mkString(",\n")}
+         |SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin,
     "ann_topk" ->
       s"""WITH $qPrep
          |SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
