@@ -45,6 +45,18 @@ import graft.util.Fs
   * buckets. Crashes inside any of the three swaps are healed at entry
   * ([[BucketedLayout.recoverSwap]] / [[Fs.recoverReplace]]) before
   * anything is read.
+  *
+  * SNOWFLAKE cascade: pass `deltaFeedDir` and every trigger re-emits
+  * the fold's own change batch ([[JoinMaintain.maintainDelta]]) into
+  * that directory in the same feed contract it consumes (side='fact',
+  * ver = the trigger's batch id — monotone), as one deterministically
+  * named file per batch inside the stamp window. Point a SECOND
+  * JoinStream's source at that directory (its dim side arrives in the
+  * same dir from its own producer; the explicit feed schema reads the
+  * columns each writer omits as NULL) and level 2's fact replica
+  * converges to level 1's VIEW without ever reading level 1's stores —
+  * one O(touched) fold per level per cycle, the streaming form of the
+  * batch cascade.
   */
 object JoinStream {
 
@@ -76,7 +88,8 @@ object JoinStream {
                 factPk: Seq[String], fk: String, dimPk: String,
                 factCols: Seq[String], dimCols: Seq[String],
                 versionCol: String, deleteCol: String,
-                nBuckets: Int): Unit =
+                nBuckets: Int,
+                deltaFeedDir: Option[String] = None): Unit =
     if (!batch.isEmpty) {
       val dimPayload = dimCols.filterNot(_ == dimPk)
 
@@ -150,17 +163,59 @@ object JoinStream {
             "store would silently skip folds. Start fresh store paths, or " +
             "keep the original checkpoint.")
       if (!stamp.contains(batchId)) {
-        val newView = JoinMaintain.maintain(spark, viewB, factB, dimBase,
-          factUps, factDelKeys, dimUps, dimDelKeys,
-          factPk, fk, dimPk, dimPayload).localCheckpoint()
+        val (newView, dUps, dDels) = JoinMaintain.maintainDelta(spark,
+          viewB, factB, dimBase, factUps, factDelKeys, dimUps, dimDelKeys,
+          factPk, fk, dimPk, dimPayload)
+        val nv = newView.localCheckpoint()
+        // the delta frames read the PRE-swap view/fact stores — they
+        // must materialize BEFORE overwriteBuckets deletes those files
+        val (vUps, vDels) =
+          if (deltaFeedDir.isDefined)
+            (dUps.localCheckpoint(), dDels.localCheckpoint())
+          else (dUps, dDels)
         if (viewExists) {
-          val kept = bucketsOf(newView.select(factPk.map(col): _*))
-          BucketedLayout.overwriteBuckets(spark, newView, factPk, nBuckets,
+          val kept = bucketsOf(nv.select(factPk.map(col): _*))
+          BucketedLayout.overwriteBuckets(spark, nv, factPk, nBuckets,
             viewPath, clearBuckets = touched.filterNot(kept))
-        } else if (!newView.isEmpty) {
+        } else if (!nv.isEmpty) {
           // zero-row partitioned bootstrap would publish a schema-less
           // shell that wedges every later read (the AggStream guard)
-          BucketedLayout.writeFull(spark, newView, factPk, nBuckets, viewPath)
+          BucketedLayout.writeFull(spark, nv, factPk, nBuckets, viewPath)
+        }
+        // the CASCADE seam: the fold's own change batch, re-emitted in
+        // the feed contract (side='fact', ver = this batchId — monotone
+        // because foreachBatch ids are) into the NEXT level's feed dir,
+        // so a snowflake chains as streams — level 2's fact replica
+        // converges to THIS view without ever reading this store.
+        // Delete rows carry only the pk; the downstream reads the
+        // missing payload columns as NULL (explicit feed schema).
+        // Written inside the stamp window to a deterministic per-batch
+        // path: an unstamped replay recomputes identical content and
+        // overwrites its own file; a stamped replay skips it entirely,
+        // so the downstream never sees two versions of one batch.
+        deltaFeedDir.foreach { dir =>
+          val upRows = vUps.withColumn("side", lit("fact"))
+            .withColumn(versionCol, lit(batchId))
+            .withColumn(deleteCol, lit(false))
+          val delRows = vDels.withColumn("side", lit("fact"))
+            .withColumn(versionCol, lit(batchId))
+            .withColumn(deleteCol, lit(true))
+          // land as ONE deterministically-NAMED flat file (file-stream
+          // sources track seen files by path, so a replay that rewrites
+          // delta-<id>.parquet with identical bytes is invisible
+          // downstream — append-mode part files would double-deliver)
+          val staging = s"$dir/.staging-$batchId"
+          upRows.unionByName(delRows, allowMissingColumns = true)
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+          val df2 = Fs.fs(spark, dir)
+          df2.listStatus(new Path(staging)).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).foreach { part =>
+              val dest = new Path(s"$dir/delta-$batchId.parquet")
+              if (df2.exists(dest)) df2.delete(dest, false)
+              if (!df2.rename(part, dest))
+                throw new java.io.IOException(s"rename $part -> $dest failed")
+            }
+          Fs.delete(spark, staging)
         }
         writeStamp(spark, viewPath, batchId)
       }
@@ -211,7 +266,8 @@ object JoinStream {
                      versionCol: String, deleteCol: String,
                      nBuckets: Int,
                      maxFilesPerTrigger: Int = 10,
-                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+                     feedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                     deltaFeedDir: Option[String] = None): StreamingQuery = {
     val schema = Fs.feedSchema(spark, sourceDir, feedSchema)
     val feed = spark.readStream
       .schema(schema)
@@ -223,7 +279,7 @@ object JoinStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(spark, batch, batchId, factPath, dimPath, viewPath,
           factPk, fk, dimPk, factCols, dimCols, versionCol, deleteCol,
-          nBuckets)
+          nBuckets, deltaFeedDir)
       }
       .start()
   }

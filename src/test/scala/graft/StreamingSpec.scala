@@ -2335,4 +2335,89 @@ class StreamingSpec extends SparkSpec {
         "cascade + dangler surfacing + re-home must all fold")
     } finally q.stop()
   }
+
+  test("snowflake of JoinStreams: level 1's delta feed drives level 2 without reading its stores") {
+    import graft.streaming.JoinStream
+    import org.apache.spark.sql.types._
+    val feed1 = tmp(); val feed2 = tmp(); val dir = tmp()
+    val cp1 = tmp(); val cp2 = tmp()
+    def paths(lvl: Int) =
+      (s"$dir/f$lvl.parquet", s"$dir/d$lvl.parquet", s"$dir/v$lvl.parquet")
+    val (f1, d1, v1) = paths(1); val (f2, d2, v2) = paths(2)
+    // fact(pk, k1, k2, v) ⋈ dim1(dk1, p1) ⋈ dim2(dk2, p2)
+    def fact(pk: Long, k1: Long, k2: Long, v: Double, ver: Long, del: Boolean = false) =
+      ("fact", Option(pk), Option(k1), Option(k2),
+        if (del) Option.empty[Double] else Option(v),
+        Option.empty[Long], Option.empty[String], ver, del)
+    def dim1(dk: Long, p: String, ver: Long, del: Boolean = false) =
+      ("dim", Option.empty[Long], Option.empty[Long], Option.empty[Long],
+        Option.empty[Double], Option(dk),
+        if (del) Option.empty[String] else Option(p), ver, del)
+    val f1Cols = Seq("side", "pk", "k1", "k2", "v", "dk1", "p1", "ver", "del")
+    // level 2's feed dir receives level 1's delta files (fact side:
+    // pk, k1, k2, v, p1) AND the test's own dim2 files — the explicit
+    // schema is the union, each writer's missing columns read as NULL
+    val feed2Schema = StructType(Seq(
+      StructField("side", StringType), StructField("pk", LongType),
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("v", DoubleType), StructField("p1", StringType),
+      StructField("dk2", LongType), StructField("p2", StringType),
+      StructField("ver", LongType), StructField("del", BooleanType)))
+    def dim2File(rows: Seq[(Long, String, Long, Boolean)]): Unit =
+      rows.map { case (dk, p, ver, del) => ("dim", Option.empty[Long],
+          Option.empty[Long], Option.empty[Long], Option.empty[Double],
+          Option.empty[String], Option(dk),
+          if (del) Option.empty[String] else Option(p), ver, del) }
+        .toDF("side", "pk", "k1", "k2", "v", "p1", "dk2", "p2", "ver", "del")
+        .coalesce(1).write.mode("append").parquet(feed2)
+    // trigger 1 content: facts under (k1, k2) pairs; dim1 covers 10/11,
+    // dim2 covers 20 only — pk 3 double-dangles until later
+    Seq(fact(1, 10, 20, 1.0, 0), fact(2, 11, 20, 2.0, 0),
+        fact(3, 11, 21, 3.0, 0),
+        dim1(10, "a", 0), dim1(11, "b", 0))
+      .toDF(f1Cols: _*).coalesce(1).write.mode("append").parquet(feed1)
+    dim2File(Seq((20L, "x", 0L, false)))
+    val q1 = JoinStream.maintainStream(spark, feed1, f1, d1, v1, cp1,
+      Seq("pk"), "k1", "dk1", Seq("pk", "k1", "k2", "v"), Seq("dk1", "p1"),
+      "ver", "del", nBuckets = 4, deltaFeedDir = Some(feed2))
+    try {
+      q1.processAllAvailable()
+      val q2 = JoinStream.maintainStream(spark, feed2, f2, d2, v2, cp2,
+        Seq("pk"), "k2", "dk2", Seq("pk", "k1", "k2", "v", "p1"),
+        Seq("dk2", "p2"), "ver", "del", nBuckets = 4,
+        feedSchema = Some(feed2Schema))
+      try {
+        q2.processAllAvailable()
+        assert(JoinStream.readView(spark, v2)
+          .select("pk", "k1", "k2", "v", "p1", "p2")
+          .as[(Long, Long, Long, Double, String, String)].collect().toSet ==
+          Set((1L, 10L, 20L, 1.0, "a", "x"), (2L, 11L, 20L, 2.0, "b", "x")),
+          "level-2 bootstrap must join level-1's delta against dim2")
+        // trigger 2: dim1 DELETE 10 cascades pk 1 out of v1, and that
+        // removal must PROPAGATE through the delta feed and leave v2;
+        // meanwhile dim2 INSERT 21 surfaces pk 3 at level 2 — a
+        // dangler whose row only level 2's fact REPLICA (= v1) holds,
+        // proving the replica is what dim-side re-derivation reads
+        Seq(dim1(10, "", 1, del = true))
+          .toDF(f1Cols: _*).coalesce(1).write.mode("append").parquet(feed1)
+        dim2File(Seq((21L, "y", 1L, false)))
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert(JoinStream.readView(spark, v2)
+          .select("pk", "k1", "k2", "v", "p1", "p2")
+          .as[(Long, Long, Long, Double, String, String)].collect().toSet ==
+          Set((2L, 11L, 20L, 2.0, "b", "x"), (3L, 11L, 21L, 3.0, "b", "y")),
+          "a dim1 delete must cascade THROUGH the delta feed; dim2 inserts surface level-1 rows")
+        // level 2 never opened level 1's stores: its fact replica
+        // converged to v1 purely from the delta feed
+        val rep2 = spark.read.parquet(f2)
+          .select("pk", "k1", "k2", "v", "p1")
+          .as[(Long, Long, Long, Double, String)].collect().toSet
+        val v1Now = JoinStream.readView(spark, v1)
+          .select("pk", "k1", "k2", "v", "p1")
+          .as[(Long, Long, Long, Double, String)].collect().toSet
+        assert(rep2 == v1Now, "level-2 fact replica must equal level-1's view")
+      } finally q2.stop()
+    } finally q1.stop()
+  }
 }
