@@ -1386,6 +1386,16 @@ object PipelineQueries {
       StructField("embedding", ArrayType(FloatType))))
     val back = graft.sources.TfRecord.read(
       spark, s"$dir/*.tfrecord", schema)
+    embExportManifest(back)
+  }
+
+  /** The embedding-export fidelity manifest shared by every vector
+    * container gate (TFRecord, safetensors): per id-bucket counts,
+    * dim mass, quantized value mass and an id:content XOR — computed
+    * over the ROUND-TRIPPED rows, while the oracle recomputes it from
+    * the source table, so any write/read byte damage hash-fails.
+    */
+  private def embExportManifest(back: DataFrame): DataFrame = {
     val qv = expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 10000)" +
         " as bigint))")
@@ -1400,6 +1410,26 @@ object PipelineQueries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), sum(col("dim")).as("dim_mass"),
         sum(col("qsum")).as("qsum_mass"), bit_xor(col("fp")).as("content_xor"))
+  }
+
+  /** safetensors export round-trip gate (graft.sources.Safetensors,
+    * NEW r16): the even-half embeddings leave as 4 partition shards
+    * of the HF tensor container (u64-LE header length ‖ JSON header ‖
+    * contiguous F32 [n, dim] + I64 [n] tensors, little-endian) and
+    * come back through the streaming reader; the manifest is the
+    * shared [[embExportManifest]] and the oracle recomputes it from
+    * the source table — the same byte-fidelity contract as every
+    * other export gate.
+    */
+  def pipelineSafetensorsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st").toString
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 2 = 0"))
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.Safetensors.write(vecs.repartition(4), dir,
+      "vec_id", "embedding")
+    embExportManifest(graft.sources.Safetensors.read(spark,
+      s"$dir/*.safetensors", "vec_id", "embedding"))
   }
 
   /** Frequency-decade profile of the dedup token key (graft.ops
@@ -3098,6 +3128,7 @@ object PipelineQueries {
     "pipeline_wet_corpus" -> pipelineWetQ,
     "pipeline_export_tfrecord" -> pipelineTfrecordQ,
     "pipeline_export_embeddings" -> pipelineTfrecordEmbQ,
+    "pipeline_export_safetensors" -> pipelineSafetensorsQ,
     "pipeline_export_webdataset" -> pipelineWebdatasetQ,
     "pipeline_export_wds_img" -> pipelineWdsImgQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
@@ -3404,6 +3435,29 @@ object PipelineQueries {
        |         md5(substr(nt, CAST(ch.s + 1 AS INT), CAST(ch.e - ch.s AS INT)))
        |           AS chunk_md5
        |        FROM cx)""".stripMargin
+
+  /** The embedding-export manifest oracle shared by every vector
+    * container gate (the [[embExportManifest]] twin): recomputed from
+    * the SOURCE table, so a write/read byte divergence in any
+    * container hash-fails against it.
+    */
+  private lazy val embExportOracleSql: String =
+    s"""WITH v AS (SELECT vec_id,
+       |        list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+       |          AS qv,
+       |        CAST(len(embedding) AS BIGINT) AS dim
+       |      FROM embeddings WHERE vec_id % 2 = 0),
+       |f AS (SELECT vec_id % 8 AS bucket, dim,
+       |        CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS qsum,
+       |        ${h64("vec_id::VARCHAR || ':' || md5(array_to_string(qv, ','))")}
+       |          AS fp
+       |      FROM v)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(dim) AS BIGINT) AS dim_mass,
+       |  CAST(sum(qsum) AS BIGINT) AS qsum_mass,
+       |  bit_xor(fp) AS content_xor
+       |FROM f GROUP BY 1""".stripMargin
 
   private val qPrep =
     """q AS (SELECT vec_id, list_transform(embedding,
@@ -4627,23 +4681,8 @@ object PipelineQueries {
          |  bit_xor(${h64("vec_id::VARCHAR || ':' || md5(js)")}) AS json_xor,
          |  CAST(0 AS BIGINT) AS n_img_mismatch
          |FROM j GROUP BY 1""".stripMargin,
-    "pipeline_export_embeddings" ->
-      s"""WITH v AS (SELECT vec_id,
-         |        list_transform(embedding,
-         |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
-         |          AS qv,
-         |        CAST(len(embedding) AS BIGINT) AS dim
-         |      FROM embeddings WHERE vec_id % 2 = 0),
-         |f AS (SELECT vec_id % 8 AS bucket, dim,
-         |        CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS qsum,
-         |        ${h64("vec_id::VARCHAR || ':' || md5(array_to_string(qv, ','))")}
-         |          AS fp
-         |      FROM v)
-         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
-         |  CAST(sum(dim) AS BIGINT) AS dim_mass,
-         |  CAST(sum(qsum) AS BIGINT) AS qsum_mass,
-         |  bit_xor(fp) AS content_xor
-         |FROM f GROUP BY 1""".stripMargin,
+    "pipeline_export_safetensors" -> embExportOracleSql,
+    "pipeline_export_embeddings" -> embExportOracleSql,
     "text_outlinks" ->
       s"""WITH h AS (SELECT doc_id,
          |  '<html><body><a href="https://m-' || lang || '.example/doc/' ||
