@@ -46,6 +46,17 @@ import org.apache.spark.sql.functions._
   * are collapsed post-images — at most one row per key, NULL keys
   * dropped on the dim side / inner-join-dropped on the fact side.
   * Feed raw multi-version feeds through [[Merge.latestByKey]] first.
+  *
+  * `outer = true` maintains the LEFT-OUTER (enrichment) view instead:
+  * every fact row stays, dim payload goes NULL where no dim row
+  * matches. The delta rules get SIMPLER in exactly the way classic
+  * IVM theory says they should — an outer view holds every fact row,
+  * so it is SELF-MAINTAINABLE: dim-side changes re-derive from the
+  * view's own fact columns and the fold never reads the fact base at
+  * all (a dim insert fills payload in, a dim delete NULLs it out —
+  * nothing appears or vanishes). Inner mode is the one that must pay
+  * the pruned fact-base read, because dangling rows live outside the
+  * view.
   */
 object JoinMaintain {
 
@@ -73,10 +84,11 @@ object JoinMaintain {
                dimUpserts: DataFrame, dimDelKeys: DataFrame,
                factPk: Seq[String], fk: String, dimPk: String,
                dimPayload: Seq[String],
-               broadcastKeys: Boolean = true): DataFrame =
+               broadcastKeys: Boolean = true,
+               outer: Boolean = false): DataFrame =
     maintainDelta(spark, view, factBase, dimBase, factUpserts, factDelKeys,
       dimUpserts, dimDelKeys, factPk, fk, dimPk, dimPayload,
-      broadcastKeys)._1
+      broadcastKeys, outer)._1
 
   /** [[maintain]] plus the fold's OWN change batch — what a CASCADE
     * needs: in a snowflake (fact ⋈ d1 ⋈ d2, maintained as views of
@@ -100,7 +112,8 @@ object JoinMaintain {
                dimUpserts: DataFrame, dimDelKeys: DataFrame,
                factPk: Seq[String], fk: String, dimPk: String,
                dimPayload: Seq[String],
-               broadcastKeys: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+               broadcastKeys: Boolean = true,
+               outer: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val bc = (df: DataFrame) => if (broadcastKeys) broadcast(df) else df
     val touchedFactPks = factUpserts.select(factPk.map(col): _*)
       .unionByName(factDelKeys.select(factPk.map(col): _*)).distinct()
@@ -124,19 +137,40 @@ object JoinMaintain {
       .join(bc(touchedFactPks), factPk, "left_anti")
       .join(bc(touchedDimKeys.select(col(dimPk).as(fk))), Seq(fk), "left_anti")
 
-    // changed fact rows re-derive against the post dim
+    // changed fact rows re-derive against the post dim; in OUTER mode
+    // an unmatched fk keeps the row with NULL payload
+    val joinType = if (outer) "left" else "inner"
     val fromFact = factUpserts
-      .join(bc(dimPost), factUpserts(fk) === dimPost(dimPk), "inner")
+      .join(bc(dimPost), factUpserts(fk) === dimPost(dimPk), joinType)
       .select(factUpserts.columns.map(factUpserts(_)) ++
         dimPayload.map(dimPost(_)): _*)
 
-    // fact rows referencing changed dim rows re-derive: the one pruned
-    // fact read (skipped when the dim batch is empty); deleted dim
-    // keys are simply absent from dimUpserts, so their rows never
-    // re-enter — and previously-DANGLING fact rows under a dim INSERT
-    // appear here, which is why this reads the BASE, not the view
+    // fact rows referencing changed dim rows re-derive. INNER mode
+    // reads the BASE: a dim INSERT must surface previously-DANGLING
+    // fact rows the view has never held (the one pruned fact read,
+    // skipped when the dim batch is empty); deleted dim keys are
+    // simply absent from dimUpserts, so their rows never re-enter.
+    // OUTER mode is SELF-MAINTAINABLE (classic IVM theory: outer
+    // joins preserve every fact row, so the VIEW already holds all of
+    // them) — it re-derives from the view's own fact columns and
+    // NEVER reads the fact base: a touched key's rows re-join the new
+    // image, deleted keys' rows fall to NULL payload via the left join
     val dimNew = dimUpserts.select((dimPk +: dimPayload).map(col): _*)
-    val fromDim = factBase
+    val fromDim = if (outer) {
+      val src = view
+        .join(bc(touchedFactPks), factPk, "left_anti")
+        .join(bc(touchedDimKeys.select(col(dimPk).as(fk))), Seq(fk),
+          "left_semi")
+        .drop(dimPayload: _*)
+      // the view CARRIES the dim's lineage (build joined it), so a
+      // plain re-join trips the ambiguous-self-join check — route the
+      // new image through renamed temporaries
+      val dimRen = dimNew.select(col(dimPk).as("__jm_dk") +:
+        dimPayload.map(c => col(c).as(s"__jm_$c")): _*)
+      src.join(bc(dimRen), src(fk) === col("__jm_dk"), "left")
+        .select(src.columns.map(src(_)) ++
+          dimPayload.map(c => col(s"__jm_$c").as(c)): _*)
+    } else factBase
       .join(bc(touchedFactPks), factPk, "left_anti")
       .join(bc(dimNew), factBase(fk) === dimNew(dimPk), "inner")
       .select(factBase.columns.map(factBase(_)) ++
@@ -158,8 +192,8 @@ object JoinMaintain {
     * specs share one definition of the projection contract.
     */
   def build(fact: DataFrame, dim: DataFrame, fk: String, dimPk: String,
-            dimPayload: Seq[String]): DataFrame =
+            dimPayload: Seq[String], outer: Boolean = false): DataFrame =
     fact.join(dim.select((dimPk +: dimPayload).map(col): _*),
-        fact(fk) === col(dimPk), "inner")
+        fact(fk) === col(dimPk), if (outer) "left" else "inner")
       .select(fact.columns.map(fact(_)) ++ dimPayload.map(col): _*)
 }

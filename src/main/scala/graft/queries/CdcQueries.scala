@@ -248,16 +248,29 @@ object CdcQueries {
     joinMaintainFold(spark, Tables.orders(spark, sfDir),
       Tables.customer(spark, sfDir), reHome = 10000000L, clone = 20000000L)
 
+  /** The LEFT-OUTER (enrichment) view maintained through the SAME
+    * two-sided cycle — the self-maintainable variant (the fold never
+    * reads the fact base; dim deletes NULL payload out instead of
+    * cascading rows, re-homed danglers stay with NULL payload). Same
+    * oracle chain with a LEFT JOIN, so hash equality pins the two
+    * modes' delta rules apart.
+    */
+  def joinMaintainOuterQ(spark: SparkSession, sfDir: String): DataFrame =
+    joinMaintainFold(spark, Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), reHome = 10000000L, clone = 20000000L,
+      outer = true)
+
   /** The gate's fold with the synthetic-key offsets parameterized:
     * the gate uses 10M/20M (what the oracle SQL replays); BenchStress
     * passes 1e9/2e9 so stacked key-offset copies never cross-match.
     */
   private[graft] def joinMaintainFold(spark: SparkSession, orders: DataFrame,
                                       cust: DataFrame, reHome: Long,
-                                      clone: Long): DataFrame = {
+                                      clone: Long,
+                                      outer: Boolean = false): DataFrame = {
     val payload = Seq("c_name", "c_mktsegment")
     val view = graft.cdc.JoinMaintain.build(orders, cust,
-      "o_custkey", "c_custkey", payload)
+      "o_custkey", "c_custkey", payload, outer)
     val fUp = orders.filter(expr("o_orderkey % 7 = 0"))
       .withColumn("o_totalprice", col("o_totalprice") + 10.0)
       .unionByName(orders
@@ -276,7 +289,7 @@ object CdcQueries {
       .select("c_custkey")
     graft.cdc.JoinMaintain.maintain(spark, view, orders, cust,
         fUp, fDel, dUp, dDel, Seq("o_orderkey"), "o_custkey", "c_custkey",
-        payload)
+        payload, outer = outer)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "c_name", "c_mktsegment")
   }
@@ -389,11 +402,37 @@ object CdcQueries {
     "cdc_latest_by_key" -> latestByKeyQ,
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_join_maintain" -> joinMaintainQ,
+    "cdc_join_maintain_outer" -> joinMaintainOuterQ,
     "cdc_scd2" -> scd2Q,
     "cdc_scd2_maintain" -> scd2MaintainQ,
     "cdc_scd2_asof" -> scd2AsofQ,
     "cdc_table_length" -> tableLengthQ,
     "cdc_schema_fingerprint" -> schemaFingerprintQ)
+
+  private val joinMaintainCtes: String =
+    """WITH fpost AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 23 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+        |    AND o_orderkey % 31 <> 0),
+        |dpost AS (
+        |  SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey % 11 <> 0)""".stripMargin
 
   private val diffCte =
     s"""WITH s AS (SELECT o_orderkey // $DCHUNK AS bucket, count(*) AS n FROM orders
@@ -640,32 +679,15 @@ object CdcQueries {
         |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM final GROUP BY 1""".stripMargin,
     "cdc_join_maintain" ->
-      """WITH fpost AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |         o_totalprice + 10.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey + 10000000, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 23 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
-        |    AND o_orderkey % 31 <> 0),
-        |dpost AS (
-        |  SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_name, c_mktsegment
-        |  FROM customer WHERE c_custkey % 3 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_mktsegment
-        |  FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey % 11 <> 0)
+      s"""$joinMaintainCtes
         |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
         |       d.c_name, d.c_mktsegment
         |FROM fpost f JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
+    "cdc_join_maintain_outer" ->
+      s"""$joinMaintainCtes
+        |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+        |       d.c_name, d.c_mktsegment
+        |FROM fpost f LEFT JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
     "cdc_table_length" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05",
     // catalog constants for the fixed test tables; DuckDB computes the

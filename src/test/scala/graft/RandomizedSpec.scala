@@ -355,6 +355,54 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("OUTER join-view maintenance equals recompute WITH AN EMPTY FACT BASE (self-maintainable)") {
+    import graft.cdc.JoinMaintain
+    val rnd = new Random(71)
+    var fact: Map[Long, (Long, Double)] = (0L until 200L).map(i =>
+      i -> (rnd.nextInt(40).toLong, rnd.nextInt(500).toDouble)).toMap
+    var dim: Map[Long, String] = (0L until 40L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"p$k").toMap
+    var nextPk = 200L
+    def fdf(m: Map[Long, (Long, Double)]) =
+      m.toSeq.map { case (pk, (fk, v)) => (pk, fk, v) }.toDF("pk", "fk", "v")
+    def ddf(m: Map[Long, String]) = m.toSeq.toDF("dk", "payload")
+    // every fact row stays; payload is None where no dim row matches
+    def recompute(f: Map[Long, (Long, Double)], d: Map[Long, String]) =
+      f.map { case (pk, (fk, v)) => (pk, fk, v, d.get(fk)) }.toSet
+    var view = JoinMaintain.build(fdf(fact), ddf(dim), "fk", "dk",
+      Seq("payload"), outer = true)
+    (1 to rounds).foreach { cycle =>
+      val (f0, d0) = (fact, dim)
+      val fUps = (0 until rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean() && f0.nonEmpty) {
+          val pk = f0.keys.toSeq(rnd.nextInt(f0.size))
+          (pk, rnd.nextInt(40).toLong, rnd.nextInt(500).toDouble)
+        } else { nextPk += 1; (nextPk, rnd.nextInt(40).toLong, rnd.nextInt(500).toDouble) }
+      }.distinctBy(_._1)
+      val fUpK = fUps.map(_._1).toSet
+      val fDels = f0.keys.filter(pk => !fUpK.contains(pk) && rnd.nextInt(8) == 0).toSeq
+      val dUps = (0 until rnd.nextInt(10)).map { _ =>
+        (rnd.nextInt(40).toLong, s"c$cycle-${rnd.nextInt(40)}") }.distinctBy(_._1)
+      val dUpK = dUps.map(_._1).toSet
+      val dDels = d0.keys.filter(dk => !dUpK.contains(dk) && rnd.nextInt(6) == 0).toSeq
+      // factBase = EMPTY: outer views hold every fact row, so the fold
+      // must never need the base — equality with recompute IS the
+      // self-maintainability proof (inner mode would diverge here)
+      view = JoinMaintain.maintain(spark, view,
+          fdf(Map.empty), ddf(d0),
+          fUps.toDF("pk", "fk", "v"), fDels.map(Tuple1(_)).toDF("pk"),
+          dUps.toDF("dk", "payload"), dDels.map(Tuple1(_)).toDF("dk"),
+          Seq("pk"), "fk", "dk", Seq("payload"), outer = true)
+        .localCheckpoint()
+      fact = (f0 -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3))
+      dim = (d0 -- dDels) ++ dUps
+      val got = view.select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, Option[String])].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      assert(got == recompute(fact, dim), s"cycle $cycle diverged")
+    }
+  }
+
   test("join-view delta CASCADES: a two-level snowflake of maintained views equals recompute") {
     import graft.cdc.JoinMaintain
     val rnd = new Random(67)
