@@ -293,11 +293,14 @@ object Pipeline {
           // the threshold at score 0 (and survive one ≤ 0), exactly as
           // the k<1 degenerate path would keep it, not be dropped
           // unconditionally by a semi-join on the score table
+          // reserved alias: the corpus may legitimately carry its own
+          // `score` column (a generic runner stage over arbitrary doc
+          // schemas) — joining an unrenamed score would be ambiguous
           val scores = Classifier.score(df, textCol, idCol, weights, m)
-            .select(col("doc_id").as(idCol), col("score"))
+            .select(col("doc_id").as(idCol), col("score").as("__conf_score"))
           df.join(scores, Seq(idCol), "left")
-            .filter(coalesce(col("score"), lit(0L)) >= thresh)
-            .drop("score")
+            .filter(coalesce(col("__conf_score"), lit(0L)) >= thresh)
+            .drop("__conf_score")
         }
 
       case "coverage_filter" =>

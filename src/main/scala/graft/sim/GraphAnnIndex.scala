@@ -182,11 +182,11 @@ object GraphAnnIndex {
     * (portable-hash("gs:"+id), id) ids — TakeOrdered, no global
     * window; the [[Similarity.graphSearch]] convention so the store
     * path and the in-memory path share one oracle arithmetic. */
+  // one oracle arithmetic with the in-memory path (review r16):
+  // both gates replay the same "gs:" hash order in DuckDB, so the
+  // selection lives in ONE place
   private def entrySet(nodesDf: DataFrame, entries: Int): DataFrame =
-    nodesDf.select(col("id"),
-        graft.util.Hashing.portableHash64(
-          concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
-      .orderBy(col("ehid"), col("id")).limit(entries).select("id")
+    Similarity.entrySet(nodesDf, entries)
 
   /** The node table minus pending tombstones (broadcast anti-join —
     * the tombstone set is bounded between vacuums). */
@@ -279,7 +279,12 @@ object GraphAnnIndex {
     */
   def delete(spark: SparkSession, ids: DataFrame, idCol: String,
              store: String, batchId: Long): Long = {
-    val d = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // keep the id column's NATIVE type: the rest of the API is
+    // type-agnostic, and a cast("long") would NULL every non-numeric
+    // id — the tombstone anti-join then matches nothing and deletion
+    // silently no-ops while reporting a count
+    val d = ids.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
       .persist()
     d.coalesce(1).write.mode("overwrite")
       .parquet(s"${tombsPath(store)}/batch=$batchId")

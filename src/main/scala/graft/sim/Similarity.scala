@@ -1206,10 +1206,7 @@ object Similarity {
         col("n2").as("pn2"))
     // fixed entry set: TakeOrdered (orderBy+limit), not a global
     // window — no single-partition exchange over the corpus
-    val ent = p.select(col("id"),
-        graft.util.Hashing.portableHash64(
-          concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
-      .orderBy(col("ehid"), col("id")).limit(entries).select("id")
+    val ent = entrySet(p, entries)
     val entryPairs = probes.select(col("qid")).crossJoin(broadcast(ent))
     beamSearch(p, probes, graph, entryPairs, beam, rounds, dim, truncate)
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
@@ -1218,6 +1215,17 @@ object Similarity {
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Hash-seeded fixed entry set over a prepared node table — ONE
+    * oracle arithmetic shared by the in-memory search and the
+    * persisted store ([[GraphAnnIndex]]); the gates' DuckDB replays
+    * pin both, so the two paths must never diverge.
+    */
+  private[sim] def entrySet(nodes: DataFrame, entries: Int): DataFrame =
+    nodes.select(col("id"),
+        graft.util.Hashing.portableHash64(
+          concat(lit("gs:"), col("id").cast("string"))).as("ehid"))
+      .orderBy(col("ehid"), col("id")).limit(entries).select("id")
 
   /** The beam core shared by [[graphSearch]] and [[hierSearch]]: from
     * per-probe entry pairs (qid, id), run `rounds` fixed expansions

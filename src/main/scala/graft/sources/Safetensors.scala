@@ -164,18 +164,37 @@ object Safetensors {
           if (vE - vB != 4L * n * dim || iE - iB != 8L * n)
             throw new IllegalArgumentException(
               s"$file: data_offsets disagree with shapes")
+          // a single in-memory tensor slice caps at one JVM array —
+          // reject beyond-2GiB tensors LOUDLY (an Int truncation here
+          // would either crash confusingly or, worse, silently slice
+          // the wrong bytes and desynchronize ids from vectors);
+          // writers control this via rows-per-partition
+          for ((nm, len) <- Seq((vecCol, vE - vB), (idCol, iE - iB)))
+            if (len > Int.MaxValue - 8)
+              throw new IllegalArgumentException(
+                s"$file: tensor $nm is $len bytes — beyond one JVM " +
+                  "array; re-shard with fewer rows per partition")
           // this writer lays vectors first; a foreign file may not —
-          // stream in offset order, holding only the earlier tensor
-          val first = math.min(vB, iB)
-          in.skipBytes(first.toInt)
+          // stream in offset order, holding only the earlier tensor.
+          // skipBytes may skip LESS than asked (buffered stream
+          // boundary) — loop it, and treat EOF mid-skip as truncation
+          def skipFully(k: Long): Unit = {
+            var left = k
+            while (left > 0) {
+              val s = in.skipBytes(math.min(left, Int.MaxValue.toLong).toInt)
+              if (s <= 0) throw new EOFException(s"skip stalled at $left")
+              left -= s
+            }
+          }
+          skipFully(math.min(vB, iB))
           def readBytes(k: Long): Array[Byte] = {
             val a = new Array[Byte](k.toInt); in.readFully(a); a
           }
           val (vBytes, iBytes) =
             if (vB <= iB) { val v = readBytes(vE - vB)
-              in.skipBytes((iB - vE).toInt); (v, readBytes(iE - iB)) }
+              skipFully(iB - vE); (v, readBytes(iE - iB)) }
             else { val i = readBytes(iE - iB)
-              in.skipBytes((vB - iE).toInt); (readBytes(vE - vB), i) }
+              skipFully(vB - iE); (readBytes(vE - vB), i) }
           val vv = ByteBuffer.wrap(vBytes).order(ByteOrder.LITTLE_ENDIAN)
           val iv = ByteBuffer.wrap(iBytes).order(ByteOrder.LITTLE_ENDIAN)
           (0L until n).iterator.map { r =>

@@ -220,9 +220,14 @@ object EValueStream {
         sum(when(isCtl && succ, 1L).otherwise(0L)).as("bcs"),
         sum(when(isTrt && hasConv, 1L).otherwise(0L)).as("btn"),
         sum(when(isTrt && succ, 1L).otherwise(0L)).as("bts"))
+    // in-place upgrade: state parquet written before the conditional
+    // mode existed lacks `lec` — read it as 0 (the mixture mode never
+    // consults it) instead of crashing every later trigger
+    val priorUp = prior.map(p =>
+      if (p.columns.contains("lec")) p else p.withColumn("lec", lit(0L)))
     val stateCols = Seq("k", "cn", "cs", "tn", "ts", "lec", "rows_seen",
       "n_alarms")
-    val priorS = prior.map(_.select(stateCols.map(col): _*))
+    val priorS = priorUp.map(_.select(stateCols.map(col): _*))
       .getOrElse(obs.limit(0).select(col("k"), lit(0L).as("cn"),
         lit(0L).as("cs"), lit(0L).as("tn"), lit(0L).as("ts"),
         lit(0L).as("lec"),

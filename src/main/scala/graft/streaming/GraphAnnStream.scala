@@ -30,6 +30,14 @@ import graft.sim.GraphAnnIndex
   */
 object GraphAnnStream {
 
+  private val STAMP = "_graft_batch"
+
+  private[graft] def readStamp(spark: SparkSession, dir: String): Option[Long] =
+    graft.util.Fs.readSmallText(spark, dir, STAMP).flatMap(_.toLongOption)
+
+  private[graft] def writeStamp(spark: SparkSession, dir: String, id: Long): Unit =
+    graft.util.Fs.writeSmallText(spark, dir, STAMP, id.toString)
+
   /** One trigger's work, exposed for direct spec drive (the ivfBatch
     * convention): insert the batch at `batch=<storeBatchId>`, write
     * the health row. Returns the health report.
@@ -38,8 +46,26 @@ object GraphAnnStream {
                  idCol: String, store: String, storeBatchId: Long,
                  connectK: Int, entries: Int, beam: Int, rounds: Int,
                  dim: Int): DataFrame = {
+    // fresh-checkpoint guard (the JoinStream/AggStream refusal): a new
+    // checkpoint (or a second stream) restarts foreachBatch ids at 0,
+    // and a COLLIDING storeBatchId would dynamic-overwrite an existing
+    // ingestion batch with unrelated vectors while the
+    // exclude-own-writes read (versions < batchId) hides every later
+    // batch — silent data loss linked against a stale snapshot. The
+    // stamp is the store's high-water mark; a replay of the stamped id
+    // itself is the legitimate at-least-once case and recomputes
+    // identical content.
+    readStamp(spark, store).foreach { hw =>
+      if (storeBatchId < hw)
+        throw new IllegalStateException(
+          s"$store was ingested up to batch $hw, but this stream is at " +
+            s"batch $storeBatchId — a fresh checkpoint against an existing " +
+            "store would overwrite prior ingestion batches. Keep the " +
+            "original checkpoint, or raise batchBase above the stamp.")
+    }
     GraphAnnIndex.insert(spark, batch, vecCol, idCol, store, storeBatchId,
       connectK, entries, beam, rounds, dim)
+    writeStamp(spark, store, storeBatchId)
     val health = GraphAnnIndex.stats(spark, store)
     health.withColumn("batch", lit(storeBatchId))
       .repartition(1)

@@ -173,6 +173,54 @@ object JoinStream {
           if (deltaFeedDir.isDefined)
             (dUps.localCheckpoint(), dDels.localCheckpoint())
           else (dUps, dDels)
+        // the CASCADE seam: the fold's own change batch, re-emitted in
+        // the feed contract (side='fact', ver = this batchId — monotone
+        // because foreachBatch ids are) into the NEXT level's feed dir,
+        // so a snowflake chains as streams — level 2's fact replica
+        // converges to THIS view without ever reading this store.
+        // Delete rows carry only the pk; the downstream reads the
+        // missing payload columns as NULL (explicit feed schema).
+        // ORDER MATTERS: the delta lands BEFORE the view bucket swap,
+        // and an existing delta-<id> file is never rewritten. The
+        // delete half of the delta derives from the PRE-fold view
+        // (droppedKeys = touched-in-view minus rederived), so a replay
+        // that recomputed it AFTER the swap would see the dropped rows
+        // already gone and emit an empty delete set — the downstream
+        // would keep rows forever. With this order every crash window
+        // holds: before the rename, no file exists and the view is
+        // still pre-fold, so the replay recomputes identical content;
+        // after it, the file (atomic rename, so never partial) is the
+        // pre-fold truth and is left untouched while the idempotent
+        // view fold re-runs.
+        deltaFeedDir.foreach { dir =>
+          val df2 = Fs.fs(spark, dir)
+          val dest = new Path(s"$dir/delta-$batchId.parquet")
+          if (df2.exists(dest)) {
+            // a crash between the rename and staging cleanup leaves an
+            // orphan; the delta itself is complete and untouched
+            Fs.delete(spark, s"$dir/.staging-$batchId")
+          } else {
+            val upRows = vUps.withColumn("side", lit("fact"))
+              .withColumn(versionCol, lit(batchId))
+              .withColumn(deleteCol, lit(false))
+            val delRows = vDels.withColumn("side", lit("fact"))
+              .withColumn(versionCol, lit(batchId))
+              .withColumn(deleteCol, lit(true))
+            // land as ONE deterministically-NAMED flat file (file-stream
+            // sources track seen files by path, so the per-batch name is
+            // what makes redelivery invisible downstream — append-mode
+            // part files would double-deliver)
+            val staging = s"$dir/.staging-$batchId"
+            upRows.unionByName(delRows, allowMissingColumns = true)
+              .coalesce(1).write.mode("overwrite").parquet(staging)
+            df2.listStatus(new Path(staging)).map(_.getPath)
+              .find(_.getName.endsWith(".parquet")).foreach { part =>
+                if (!df2.rename(part, dest))
+                  throw new java.io.IOException(s"rename $part -> $dest failed")
+              }
+            Fs.delete(spark, staging)
+          }
+        }
         if (viewExists) {
           val kept = bucketsOf(nv.select(factPk.map(col): _*))
           BucketedLayout.overwriteBuckets(spark, nv, factPk, nBuckets,
@@ -181,41 +229,6 @@ object JoinStream {
           // zero-row partitioned bootstrap would publish a schema-less
           // shell that wedges every later read (the AggStream guard)
           BucketedLayout.writeFull(spark, nv, factPk, nBuckets, viewPath)
-        }
-        // the CASCADE seam: the fold's own change batch, re-emitted in
-        // the feed contract (side='fact', ver = this batchId — monotone
-        // because foreachBatch ids are) into the NEXT level's feed dir,
-        // so a snowflake chains as streams — level 2's fact replica
-        // converges to THIS view without ever reading this store.
-        // Delete rows carry only the pk; the downstream reads the
-        // missing payload columns as NULL (explicit feed schema).
-        // Written inside the stamp window to a deterministic per-batch
-        // path: an unstamped replay recomputes identical content and
-        // overwrites its own file; a stamped replay skips it entirely,
-        // so the downstream never sees two versions of one batch.
-        deltaFeedDir.foreach { dir =>
-          val upRows = vUps.withColumn("side", lit("fact"))
-            .withColumn(versionCol, lit(batchId))
-            .withColumn(deleteCol, lit(false))
-          val delRows = vDels.withColumn("side", lit("fact"))
-            .withColumn(versionCol, lit(batchId))
-            .withColumn(deleteCol, lit(true))
-          // land as ONE deterministically-NAMED flat file (file-stream
-          // sources track seen files by path, so a replay that rewrites
-          // delta-<id>.parquet with identical bytes is invisible
-          // downstream — append-mode part files would double-deliver)
-          val staging = s"$dir/.staging-$batchId"
-          upRows.unionByName(delRows, allowMissingColumns = true)
-            .coalesce(1).write.mode("overwrite").parquet(staging)
-          val df2 = Fs.fs(spark, dir)
-          df2.listStatus(new Path(staging)).map(_.getPath)
-            .find(_.getName.endsWith(".parquet")).foreach { part =>
-              val dest = new Path(s"$dir/delta-$batchId.parquet")
-              if (df2.exists(dest)) df2.delete(dest, false)
-              if (!df2.rename(part, dest))
-                throw new java.io.IOException(s"rename $part -> $dest failed")
-            }
-          Fs.delete(spark, staging)
         }
         writeStamp(spark, viewPath, batchId)
       }
@@ -239,13 +252,17 @@ object JoinStream {
         BucketedLayout.writeFull(spark, factUps, factPk, nBuckets, factPath)
       }
 
-      // 3. idempotent dim replica swap (flat: the small side)
-      val dimMerged =
-        if (dimExists)
-          Merge.applyDeletes(Merge.upsert(dimBase, dimUps, Seq(dimPk)),
-            dimDelKeys, Seq(dimPk))
-        else dimUps
-      if (dimExists || !dimUps.isEmpty) {
+      // 3. idempotent dim replica swap (flat: the small side) — ONLY
+      //    when the trigger actually carried dim changes: the common
+      //    fact-only trigger must not rewrite-and-swap an unchanged
+      //    dim table every second (a replay with dim changes still
+      //    re-runs the merge, so idempotence is untouched)
+      if (!touchedDimKeys.isEmpty) {
+        val dimMerged =
+          if (dimExists)
+            Merge.applyDeletes(Merge.upsert(dimBase, dimUps, Seq(dimPk)),
+              dimDelKeys, Seq(dimPk))
+          else dimUps
         val staging = s"$dimPath.staging"
         dimMerged.write.mode("overwrite").parquet(staging)
         Fs.replace(spark, staging, dimPath)
