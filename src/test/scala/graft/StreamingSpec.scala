@@ -2336,6 +2336,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta feed survives the swap-then-crash window: an unstamped replay never rewrites a landed delta") {
+    // THE r16-review window: delta file landed, view buckets swapped,
+    // crash before the stamp. The delta's delete half derives from the
+    // PRE-fold view — a replay that recomputed it against the swapped
+    // view would see the dropped rows already gone and overwrite the
+    // file with an EMPTY delete set, silently diverging the next
+    // level forever. The fix orders delta-before-swap and skips an
+    // existing file; this drill proves the landed bytes survive.
+    import graft.streaming.JoinStream
+    val dir = tmp(); val feed = tmp()
+    val factPath = s"$dir/fact.parquet"; val dimPath = s"$dir/dim.parquet"
+    val viewPath = s"$dir/view.parquet"
+    def row(side: String, pk: Option[Long], fk: Option[Long],
+            v: Option[Double], dk: Option[Long], p: Option[String],
+            ver: Long, del: Boolean) = (side, pk, fk, v, dk, p, ver, del)
+    def fold(rows: Seq[(String, Option[Long], Option[Long], Option[Double],
+        Option[Long], Option[String], Long, Boolean)], b: Long) =
+      JoinStream.foldBatch(spark,
+        rows.toDF("side", "pk", "fk", "v", "dk", "payload", "ver", "del"),
+        b, factPath, dimPath, viewPath, Seq("pk"), "fk", "dk",
+        Seq("pk", "fk", "v"), Seq("dk", "payload"), "ver", "del",
+        nBuckets = 4, deltaFeedDir = Some(feed))
+    fold(Seq(
+      row("fact", Some(1L), Some(10L), Some(1.0), None, None, 0, false),
+      row("fact", Some(2L), Some(11L), Some(2.0), None, None, 0, false),
+      row("dim", None, None, None, Some(10L), Some("a"), 0, false),
+      row("dim", None, None, None, Some(11L), Some("b"), 0, false)), 0L)
+    // batch 1: dim 11 DELETE cascades pk 2 out — the delta MUST carry
+    // that delete key
+    fold(Seq(row("dim", None, None, None, Some(11L), None, 1, true)), 1L)
+    val deltaFile = java.nio.file.Paths.get(feed, "delta-1.parquet")
+    val before = java.nio.file.Files.readAllBytes(deltaFile)
+    val dels = spark.read.parquet(deltaFile.toString)
+      .filter($"del").select("pk").as[Long].collect().toSeq
+    assert(dels == Seq(2L), s"delta must carry the cascaded delete, got $dels")
+    // crash window: stamp lost AFTER view swap + delta landed
+    graft.util.Fs.delete(spark, s"$viewPath/_graft_batch")
+    fold(Seq(row("dim", None, None, None, Some(11L), None, 1, true)), 1L)
+    val after = java.nio.file.Files.readAllBytes(deltaFile)
+    assert(java.util.Arrays.equals(before, after),
+      "the landed delta must survive byte-identically — a post-swap " +
+        "recompute would have emptied its delete half")
+    assert(JoinStream.readView(spark, viewPath)
+      .select("pk").as[Long].collect().toSeq == Seq(1L),
+      "the replayed view fold must still converge")
+    assert(JoinStream.readStamp(spark, viewPath).contains(1L))
+  }
+
   test("snowflake of JoinStreams: level 1's delta feed drives level 2 without reading its stores") {
     import graft.streaming.JoinStream
     import org.apache.spark.sql.types._
