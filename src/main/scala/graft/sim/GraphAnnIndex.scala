@@ -313,27 +313,47 @@ object GraphAnnIndex {
     * maintenance (the VACUUM slot): node buckets holding tombstoned
     * ids drop those rows; edge buckets holding any edge that NAMES a
     * tombstoned id (as source or target) drop those edges. Affected
-    * buckets are found by column-pruned scans; each folds ALL its
+    * buckets are found by column-pruned scans; each folds its
     * `batch=` dirs into one `batch=-(batchId+2)` base dir (exact-
     * duplicate rows collapse, so the fold is safe over a
     * crash-overlapped base), then the tombstone dir drops. Crash
     * recovery = re-run with the SAME batchId: an existing base dir
     * skips its rebuild and the replay finishes the source deletes.
     *
+    * CONCURRENT-INGESTION contract: the fold gives every source row a
+    * negative base version, which DEFEATS [[insert]]'s
+    * exclude-own-writes read (`batch < batchId`) for any ingestion
+    * batch whose rows were folded before its checkpoint committed — a
+    * replay would search a graph containing its own first attempt and
+    * land duplicate edges beside the base. Either run vacuum with the
+    * ingestion stream quiesced at a committed checkpoint (upToBatch =
+    * None), or pass `upToBatch` = the stream's committed high-water
+    * mark ([[graft.streaming.GraphAnnStream]]'s `_graft_batch` stamp):
+    * the fold then touches only batch dirs at-or-below that mark (plus
+    * prior bases), replayable batches stay whole, and tombstones still
+    * matching ids in the SKIPPED batches are retained instead of
+    * cleared (nothing resurfaces; the next full vacuum finishes them —
+    * until then dead edges in skipped dirs keep costing one frontier
+    * candidate each, the documented tombstone price).
+    *
     * @return per-(store, bucket) rows remaining
     */
-  def vacuum(spark: SparkSession, store: String, batchId: Long)
-      : Seq[(String, Int, Long)] = {
+  def vacuum(spark: SparkSession, store: String, batchId: Long,
+             upToBatch: Option[Long] = None): Seq[(String, Int, Long)] = {
+    require(upToBatch.forall(_ >= 0), s"upToBatch must be >= 0, got $upToBatch")
     val tombs = tombstones(spark, store).getOrElse(return Nil)
     val tombsTgt = tombs.select(col("id").as("nid"))
     val baseId = -batchId - 2
+    def foldable(id: Long): Boolean = id < 0 || upToBatch.forall(id <= _)
     def fold(storePath: String, tag: String,
              affectedOf: DataFrame => DataFrame,
              keep: DataFrame => DataFrame): Seq[(String, Int, Long)] = {
       import org.apache.hadoop.fs.Path
       val f = graft.util.Fs.fs(spark, storePath)
       val all = spark.read.option("basePath", storePath).parquet(storePath)
-      val affected = affectedOf(all)
+      val inScope = upToBatch.map(u =>
+        all.filter(col("batch") <= u || col("batch") < 0)).getOrElse(all)
+      val affected = affectedOf(inScope)
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       affected.map { k =>
         val bucketDir = s"$storePath/gb=$k"
@@ -341,7 +361,7 @@ object GraphAnnIndex {
         val staging = s"$bucketDir/__staging_vacuum"
         val srcIds = f.listStatus(new Path(bucketDir)).map(_.getPath.getName)
           .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-          .filter(_ != baseId)
+          .filter(id => id != baseId && foldable(id))
         if (!f.exists(new Path(basePath))) {
           keep(spark.read.option("basePath", bucketDir)
               .parquet(srcIds.map(id => s"$bucketDir/batch=$id").toIndexedSeq: _*))
@@ -369,7 +389,31 @@ object GraphAnnIndex {
       df => df.join(broadcast(tombs), Seq("id"), "left_anti")
         .join(broadcast(tombsTgt), Seq("nid"), "left_anti"))
     vacuumFailpoint("before-tombs-clear")
-    graft.util.Fs.delete(spark, tombsPath(store))
+    upToBatch match {
+      case Some(u) =>
+        // tombstoned ids still present in SKIPPED node batches must
+        // stay tombstoned — clearing them would resurface those rows.
+        // Survivors land under a reserved negative dir BEFORE the old
+        // dirs drop, so no crash window loses a pending tombstone.
+        import org.apache.hadoop.fs.Path
+        val skipped = nodes(spark, store).filter(col("batch") > u)
+          .select("id")
+        val surv = tombs.join(skipped, Seq("id"), "left_semi")
+          .distinct().persist()
+        val nSurv = surv.count()
+        if (nSurv > 0)
+          surv.coalesce(1).write.mode("overwrite")
+            .parquet(s"${tombsPath(store)}/batch=$baseId")
+        surv.unpersist()
+        if (nSurv == 0L) graft.util.Fs.delete(spark, tombsPath(store))
+        else graft.util.Fs.fs(spark, tombsPath(store))
+          .listStatus(new Path(tombsPath(store))).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            p.getName != s"batch=$baseId")
+          .foreach(p => graft.util.Fs.delete(spark, p.toString))
+      case None =>
+        graft.util.Fs.delete(spark, tombsPath(store))
+    }
     nOut ++ eOut
   }
 }

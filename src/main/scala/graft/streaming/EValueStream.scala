@@ -462,8 +462,9 @@ object EValueStream {
     * (clamping is part of the declared statistic, the standard
     * bounded-mean practice), and a feed that starts emitting
     * out-of-range values moves the clamped mean and alarms rather
-    * than corrupting the martingale. NULL values advance rows_seen
-    * only (the count(col) discipline).
+    * than corrupting the martingale. NULL and NaN values advance
+    * rows_seen only (the count(col) discipline — NaN would otherwise
+    * coerce to 0 cents under the long cast and masquerade as loCents).
     *
     * State per key — (k, nb, n, sc, leu, led, rows_seen, n_alarms):
     * batches bet, values seen, exact cents sum, and the two floored
@@ -499,11 +500,15 @@ object EValueStream {
     val v = col(valueCol).cast("double")
     val cents = greatest(lit(loCents), least(lit(hiCents),
       floor(v * 100).cast("long")))
+    // NaN passes isNotNull but floor(NaN·100).cast("long") coerces to
+    // 0 — a NaN-polluted feed would silently drag the clamped mean
+    // toward loCents; exclude NaN like NULL (rows_seen-only)
+    val ok = v.isNotNull && !isnan(v)
     val obs = batch
       .groupBy(col(keyCol).cast("string").as("k"))
       .agg(count(lit(1)).as("batch_rows"),
-        sum(when(v.isNotNull, 1L).otherwise(0L)).as("bn"),
-        sum(when(v.isNotNull, cents).otherwise(0L)).as("bsc"))
+        sum(when(ok, 1L).otherwise(0L)).as("bn"),
+        sum(when(ok, cents).otherwise(0L)).as("bsc"))
     val stateCols = Seq("k", "nb", "n", "sc", "leu", "led", "rows_seen",
       "n_alarms")
     val priorS = prior.map(_.select(stateCols.map(col): _*))

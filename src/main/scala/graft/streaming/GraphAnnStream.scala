@@ -17,7 +17,12 @@ import graft.sim.GraphAnnIndex
   * degree/dead-edge readout) under `<store>/health/`, the signal that
   * schedules the only O(corpus) operations — a diversified rebuild or
   * a tombstone [[graft.sim.GraphAnnIndex.vacuum]] — OUTSIDE the
-  * stream (the IvfStream recluster-decision handoff discipline).
+  * stream (the IvfStream recluster-decision handoff discipline). A
+  * vacuum slot that runs while this stream is live must pass the
+  * store's `_graft_batch` stamp ([[readStamp]]) as vacuum's
+  * `upToBatch`: folding an in-flight trigger's rows into the negative
+  * base would defeat its replay's exclude-own-writes read (the fold
+  * bound + tombstone-retention contract is documented on vacuum).
   *
   * Replay-safe under foreachBatch's at-least-once contract twice
   * over: the insert reads only versions `< batchId` (the

@@ -1101,6 +1101,82 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("GraphAnnIndex.vacuum upToBatch: in-flight ingestion batches stay whole, their tombstones survive, and exclude-own-writes holds for the replay") {
+    import graft.sim.GraphAnnIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    // two planted copies of vec 0/2 play the "in-flight" trigger whose
+    // checkpoint has NOT committed when the vacuum slot runs
+    val inflight = e.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(910001L))
+      .unionByName(e.filter($"vec_id" === 2)
+        .withColumn("vec_id", lit(910003L)))
+    def freshStore(): String = {
+      val store = java.nio.file.Files.createTempDirectory("graft-gann-u").toString
+      GraphAnnIndex.build(spark, e.filter($"vec_id" % 2 === 0), "embedding",
+        "vec_id", k = 4, iters = 1, buckets = 20, dim = 64, store,
+        nStoreBuckets = 4)
+      GraphAnnIndex.insert(spark, e.filter($"vec_id" % 2 === 1), "embedding",
+        "vec_id", store, batchId = 1L, connectK = 4, entries = 3, beam = 3,
+        rounds = 2, dim = 64)
+      GraphAnnIndex.insert(spark, inflight, "embedding", "vec_id", store,
+        batchId = 2L, connectK = 4, entries = 3, beam = 3, rounds = 2, dim = 64)
+      // tombstones: committed evens + ONE member of the in-flight batch
+      GraphAnnIndex.delete(spark,
+        e.filter($"vec_id" % 10 === 0).select("vec_id")
+          .unionByName(Seq(910001L).toDF("vec_id")),
+        "vec_id", store, batchId = 3L)
+      store
+    }
+    def replay(store: String): Unit =
+      GraphAnnIndex.insert(spark, inflight, "embedding", "vec_id", store,
+        batchId = 2L, connectK = 4, entries = 3, beam = 3, rounds = 2, dim = 64)
+    def nodeRows(store: String, id: Long): Long =
+      GraphAnnIndex.nodes(spark, store).filter($"id" === id).count()
+    // NEGATIVE control — the r16-review window: an UNBOUNDED vacuum
+    // folds the in-flight batch into a negative base, so its replay
+    // (batch dirs rewritten beside the folded copy) lands DUPLICATE
+    // node rows and searches a graph holding its own first attempt
+    val bad = freshStore()
+    GraphAnnIndex.vacuum(spark, bad, batchId = 4L)
+    replay(bad)
+    assert(nodeRows(bad, 910003L) === 2L,
+      "control: unbounded vacuum under a replay must show the duplicate " +
+        "rows the upToBatch bound exists to prevent")
+    // the bounded vacuum: fold only committed batches (stamp = 1)
+    val store = freshStore()
+    val batch2Before = GraphAnnIndex.edges(spark, store)
+      .filter($"batch" === 2).select("id", "nid")
+      .as[(Long, Long)].collect().toSet
+    GraphAnnIndex.vacuum(spark, store, batchId = 4L, upToBatch = Some(1L))
+    // 1. the in-flight batch dirs are untouched
+    assert(GraphAnnIndex.edges(spark, store).filter($"batch" === 2)
+      .select("id", "nid").as[(Long, Long)].collect().toSet === batch2Before,
+      "batch dirs above upToBatch must not fold")
+    // 2. committed tombstones folded, the in-flight one SURVIVES
+    val surv = GraphAnnIndex.tombstones(spark, store)
+    assert(surv.nonEmpty && surv.get.as[Long].collect().toSeq == Seq(910001L),
+      "the tombstone matching a skipped batch must be retained")
+    def hits(store: String, probeId: Long, id: Long): Long =
+      GraphAnnIndex.searchTopK(spark, store, e.filter($"vec_id" === probeId),
+          "embedding", "vec_id", entries = 3, beam = 5, rounds = 3,
+          topK = 4, dim = 64)
+        .filter($"neighbor_id" === id).count()
+    assert(hits(store, 0L, 910001L) === 0L, "surviving tombstone still masks")
+    // 3. the replayed trigger's exclude-own-writes read is intact:
+    //    its partitions overwrite in place, nothing duplicates
+    replay(store)
+    assert(nodeRows(store, 910003L) === 1L,
+      "bounded vacuum: the replay must overwrite its own partitions, " +
+        "never duplicate beside a folded base")
+    assert(hits(store, 0L, 910001L) === 0L)
+    // a later FULL vacuum (stream quiesced) finishes the survivor
+    GraphAnnIndex.vacuum(spark, store, batchId = 5L)
+    assert(GraphAnnIndex.tombstones(spark, store).isEmpty)
+    assert(hits(store, 0L, 910001L) === 0L, "vacuumed id must stay gone")
+    assert(hits(store, 2L, 910003L) === 1L,
+      "the undeleted in-flight member must stay reachable")
+  }
+
   test("IvfIndex: persisted quantizer, idempotent appends, bucket-confined probes") {
     import graft.sim.IvfIndex
     val e = Tables.embeddings(spark, sfDir).cache()

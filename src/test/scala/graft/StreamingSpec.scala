@@ -1692,17 +1692,19 @@ class StreamingSpec extends SparkSpec {
       run(id, shifted = true); rep(id)._4 == 1
     }
     assert(again.nonEmpty, "the re-armed mean monitor must alarm again")
-    // out-of-range values CLAMP (the declared statistic), NULLs
-    // advance rows_seen only
+    // out-of-range values CLAMP (the declared statistic); NULLs AND
+    // NaNs advance rows_seen only (a NaN would otherwise coerce to 0
+    // cents and drag the clamped mean toward loCents)
     val out2 = tmp(); val st2 = tmp()
     val odd = Seq(("rev", Some(99999.0)), ("rev", Some(-5.0)),
-      ("rev", Option.empty[Double])).toDF("k", "v")
+      ("rev", Option.empty[Double]), ("rev", Some(Double.NaN)))
+      .toDF("k", "v")
     EValueStream.meanBatch(spark, odd, 0L, out2, st2, "k", "v",
       mu0Cents = 1000L, loCents = 0L, hiCents = 2000L)
     val st0 = spark.read.parquet(s"$st2/batch=0")
       .select("n", "sc", "rows_seen").as[(Long, Long, Long)].head()
-    assert(st0 == ((2L, 2000L, 3L)),
-      s"clamp to [0,2000] and null discipline: $st0")
+    assert(st0 == ((2L, 2000L, 4L)),
+      s"clamp to [0,2000] and null/NaN discipline: $st0")
   }
 
   test("page-hinkley monitor: end-to-end over a file feed catches a planted shift") {
