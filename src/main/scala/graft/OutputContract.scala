@@ -63,6 +63,7 @@ object OutputContract {
     // of the dyadic constant 10.0 to the stored double (class 2)
     ("cdc_join_maintain", "o_totalprice"),
     ("cdc_join_maintain_outer", "o_totalprice"),
+    ("cdc_join_stream_outer", "o_totalprice"),
     ("cdc_changed_range_resync", "o_totalprice"),
     ("q_topk_window", "o_totalprice"), ("q_asof_join", "purchase_value"),
     ("q_anomaly_zscore", "value"), ("q_anomaly_mad", "value"),

@@ -294,6 +294,70 @@ object CdcQueries {
         "c_name", "c_mktsegment")
   }
 
+  /** The OUTER fold on the CONTINUOUS path, gated end-to-end through
+    * the persisted three-store layout (the ann_graph_persisted
+    * lifecycle-in-a-gate convention): trigger 0 bootstraps the
+    * bucketed view store from the full orders+customer feed, trigger
+    * 1 folds the exact cdc_join_maintain mutation cycle, and the gate
+    * reads the VIEW STORE back from parquet. Self-maintainability is
+    * structural on this path — outer mode hands the fold an EMPTY
+    * fact frame and probes re-homes from the view's own buckets
+    * ([[graft.streaming.JoinStream.foldBatch]]) — so hash equality
+    * against the cdc_join_maintain_outer oracle proves the continuous
+    * folded-store read lands the identical view.
+    */
+  def joinStreamOuterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.JoinStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-jso").toString
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val factCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dimCols = Seq("c_custkey", "c_name", "c_mktsegment")
+    val types = Map(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "c_custkey" -> "bigint", "c_name" -> "string",
+      "c_mktsegment" -> "string")
+    def widen(df: DataFrame, side: String, del: Boolean, ver: Long): DataFrame =
+      (factCols ++ dimCols).foldLeft(df)((acc, c) =>
+          if (acc.columns.contains(c)) acc
+          else acc.withColumn(c, lit(null).cast(types(c))))
+        .select(lit(side).as("side") +: (factCols ++ dimCols).map(col) :+
+          lit(ver).as("ver") :+ lit(del).as("del"): _*)
+    def fold(batch: DataFrame, id: Long): Unit =
+      JoinStream.foldBatch(spark, batch, id, s"$dir/fact", s"$dir/dim",
+        s"$dir/view", Seq("o_orderkey"), "o_custkey", "c_custkey",
+        factCols, dimCols, "ver", "del", nBuckets = 8, outer = true)
+    fold(widen(orders.select(factCols.map(col): _*), "fact", del = false, 0L)
+      .unionByName(widen(cust.select(dimCols.map(col): _*), "dim",
+        del = false, 0L)), 0L)
+    val fUp = orders.filter(expr("o_orderkey % 7 = 0"))
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .unionByName(orders
+        .filter(expr("o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0"))
+        .withColumn("o_custkey", col("o_custkey") + 10000000L))
+      .unionByName(orders.filter(expr("o_orderkey % 23 = 0"))
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+      .select(factCols.map(col): _*)
+    val fDel = orders.filter(expr(
+        "o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0"))
+      .select("o_orderkey")
+    val dUp = cust.filter(expr("c_custkey % 5 = 0"))
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName(cust.filter(expr("c_custkey % 3 = 0"))
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      .select(dimCols.map(col): _*)
+    val dDel = cust.filter(expr("c_custkey % 11 = 0 AND c_custkey % 5 <> 0"))
+      .select("c_custkey")
+    fold(widen(fUp, "fact", del = false, 1L)
+      .unionByName(widen(fDel, "fact", del = true, 1L))
+      .unionByName(widen(dUp, "dim", del = false, 1L))
+      .unionByName(widen(dDel, "dim", del = true, 1L)), 1L)
+    JoinStream.readView(spark, s"$dir/view")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_name", "c_mktsegment")
+  }
+
   /** SCD type-2 history built from the full events change feed:
     * per-user event_type version intervals, consecutive identical
     * payloads collapsed (graft.cdc.Scd2). is_current exposed as 0/1
@@ -403,6 +467,7 @@ object CdcQueries {
     "cdc_agg_maintain" -> aggMaintainQ,
     "cdc_join_maintain" -> joinMaintainQ,
     "cdc_join_maintain_outer" -> joinMaintainOuterQ,
+    "cdc_join_stream_outer" -> joinStreamOuterQ,
     "cdc_scd2" -> scd2Q,
     "cdc_scd2_maintain" -> scd2MaintainQ,
     "cdc_scd2_asof" -> scd2AsofQ,
@@ -684,6 +749,13 @@ object CdcQueries {
         |       d.c_name, d.c_mktsegment
         |FROM fpost f JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
     "cdc_join_maintain_outer" ->
+      s"""$joinMaintainCtes
+        |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+        |       d.c_name, d.c_mktsegment
+        |FROM fpost f LEFT JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
+    // the streaming outer fold converges to the SAME post-state view —
+    // one oracle, two engines' worth of proof (batch fold + folded store)
+    "cdc_join_stream_outer" ->
       s"""$joinMaintainCtes
         |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
         |       d.c_name, d.c_mktsegment

@@ -38,6 +38,14 @@ import graft.util.Fs
   * the flat base swap itself (destination deleted, rename pending) is
   * healed by [[graft.util.Fs.recoverReplace]] before any base read,
   * so a missing base is never misread as an empty one.
+  *
+  * Durability trade, named (shared with [[JoinStream]]): per-trigger
+  * intermediates pin with `localCheckpoint()` — executor-local
+  * blocks, not reliable storage. An executor loss mid-trigger fails
+  * the trigger and foreachBatch retries it; the stamp ordering above
+  * makes the retry safe (identical recompute before the stamp,
+  * idempotent merges after), so executor churn costs retry latency,
+  * never correctness.
   */
 object AggStream {
 

@@ -33,6 +33,31 @@ import graft.util.Fs
   * rarely, and the scan reads two columns. The re-derivation itself
   * then runs restricted to exactly those buckets.
   *
+  * `outer = true` maintains the LEFT-OUTER (enrichment) view instead
+  * — [[JoinMaintain]]'s self-maintainable mode on the continuous
+  * path, and the mode CLUSTER.md tells 100-TB deployments to prefer:
+  * the view holds EVERY fact row (NULL payload where no dim
+  * matches), so dim-bearing triggers derive everything from the
+  * view's own buckets — the (pk, fk) probe reads the VIEW instead of
+  * the fact replica and the view fold never reads the fact replica
+  * at all (the fold is handed an empty frame; the replica is still
+  * MAINTAINED as a store output, its merge untouched). The mode is
+  * part of the store's identity: never point an `outer` stream at an
+  * inner store or vice versa — the stamp guard catches batch-id
+  * drift, not mode drift.
+  *
+  * Durability trade, named: the fold pins its inputs with
+  * `localCheckpoint()` (executor-local blocks, NOT reliable storage).
+  * On a real cluster an executor loss mid-trigger fails that trigger;
+  * foreachBatch then RETRIES the whole batch, and the stamp ordering
+  * above makes the retry safe (identical recompute before the stamp,
+  * idempotent replica merges after) — so the trade costs retry
+  * latency under executor churn, never correctness. A
+  * `spark.cleaner.referenceTracking`-style reliable checkpoint would
+  * halve tail latency under churn at the price of a per-trigger HDFS
+  * round-trip; the local form is the right default for second-scale
+  * triggers.
+  *
   * Exactly-once under foreachBatch's at-least-once contract (the
   * AggStream invariant, same ordering proof): the view's replacement
   * buckets are computed against the PRE-batch replicas, so the fold
@@ -89,6 +114,7 @@ object JoinStream {
                 factCols: Seq[String], dimCols: Seq[String],
                 versionCol: String, deleteCol: String,
                 nBuckets: Int,
+                outer: Boolean = false,
                 deltaFeedDir: Option[String] = None): Unit =
     if (!batch.isEmpty) {
       val dimPayload = dimCols.filterNot(_ == dimPk)
@@ -132,8 +158,17 @@ object JoinStream {
           .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets rows
       val factSideBuckets = bucketsOf(
         factUps.select(factPk.map(col): _*).unionByName(factDelKeys))
+      // OUTER mode probes the VIEW (it holds every fact row — the
+      // self-maintainability invariant), inner mode the fact replica
       val dimSideBuckets =
-        if (!factExists || touchedDimKeys.isEmpty) Set.empty[Int]
+        if (touchedDimKeys.isEmpty) Set.empty[Int]
+        else if (outer) {
+          if (!viewExists) Set.empty[Int]
+          else bucketsOf(spark.read.parquet(viewPath)
+            .select((factPk :+ fk).map(col): _*)
+            .join(broadcast(touchedDimKeys.select(col(dimPk).as(fk))),
+              Seq(fk), "left_semi"))
+        } else if (!factExists) Set.empty[Int]
         else bucketsOf(spark.read.parquet(factPath)
           .select((factPk :+ fk).map(col): _*)
           .join(broadcast(touchedDimKeys.select(col(dimPk).as(fk))),
@@ -145,13 +180,17 @@ object JoinStream {
         else spark.read.parquet(p)
           .filter(col(BucketedLayout.GB).isin(touched: _*))
           .drop(BucketedLayout.GB)
-      val factB = bucketRead(factPath, factExists, factUps.limit(0))
+      // the outer fold is fact-base-free by the delta rules — hand it
+      // a provably-empty frame so the plan cannot read the replica
+      val factB =
+        if (outer) factUps.limit(0)
+        else bucketRead(factPath, factExists, factUps.limit(0))
       // a view store can be legitimately ABSENT while the replicas are
       // not (zero matches so far): synthesize the empty view with the
       // projection contract's schema instead of failing inference
       val viewB = bucketRead(viewPath, viewExists,
         JoinMaintain.build(factUps.limit(0), dimUps.limit(0), fk, dimPk,
-          dimPayload))
+          dimPayload, outer))
 
       // 1. view bucket overwrite — computed against PRE-batch
       //    replicas, so only valid before they advance; stamp gates it
@@ -165,7 +204,7 @@ object JoinStream {
       if (!stamp.contains(batchId)) {
         val (newView, dUps, dDels) = JoinMaintain.maintainDelta(spark,
           viewB, factB, dimBase, factUps, factDelKeys, dimUps, dimDelKeys,
-          factPk, fk, dimPk, dimPayload)
+          factPk, fk, dimPk, dimPayload, outer = outer)
         val nv = newView.localCheckpoint()
         // the delta frames read the PRE-swap view/fact stores — they
         // must materialize BEFORE overwriteBuckets deletes those files
@@ -282,6 +321,7 @@ object JoinStream {
                      factCols: Seq[String], dimCols: Seq[String],
                      versionCol: String, deleteCol: String,
                      nBuckets: Int,
+                     outer: Boolean = false,
                      maxFilesPerTrigger: Int = 10,
                      feedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                      deltaFeedDir: Option[String] = None): StreamingQuery = {
@@ -296,7 +336,7 @@ object JoinStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(spark, batch, batchId, factPath, dimPath, viewPath,
           factPk, fk, dimPk, factCols, dimCols, versionCol, deleteCol,
-          nBuckets, deltaFeedDir)
+          nBuckets, outer, deltaFeedDir)
       }
       .start()
   }

@@ -2293,6 +2293,97 @@ class StreamingSpec extends SparkSpec {
     assert(JoinStream.readStamp(spark, viewPath).contains(7L))
   }
 
+  test("streaming OUTER join-view is self-maintainable: LEFT-JOIN parity under churn with the fact replica WIPED before every fold") {
+    import scala.util.Random
+    import graft.streaming.JoinStream
+    val dir = tmp()
+    val factPath = s"$dir/fact.parquet"; val dimPath = s"$dir/dim.parquet"
+    val viewPath = s"$dir/view.parquet"
+    val rnd = new Random(101)
+    var factT = Map.empty[Long, (Long, Double)] // pk -> (fk, v)
+    var dimT = Map.empty[Long, String]          // dk -> payload
+    var nextPk = 0L
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val s = Paths.get(src); val d = Paths.get(dst)
+      Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    def check(cycle: Int): Unit = {
+      val gotView = JoinStream.readView(spark, viewPath)
+        .select("pk", "fk", "v", "payload")
+        .as[(Long, Long, Double, Option[String])].collect().toSet
+      // the OUTER recompute: every fact row, payload where the dim has it
+      val want = factT.map { case (pk, (fk, v)) =>
+        (pk, fk, v, dimT.get(fk)) }.toSet
+      assert(gotView == want,
+        s"cycle $cycle: outer view diverged from LEFT-JOIN recompute")
+      val gotDim = spark.read.parquet(dimPath)
+        .select("dk", "payload").as[(Long, String)].collect().toMap
+      assert(gotDim == dimT, s"cycle $cycle: dim replica diverged")
+    }
+    (0 until 8).foreach { b =>
+      val fUps = (0 until rnd.nextInt(25) + 5).map { _ =>
+        val pk = if (factT.nonEmpty && rnd.nextBoolean())
+          factT.keys.toSeq(rnd.nextInt(factT.size))
+        else { nextPk += 1; nextPk }
+        (pk, rnd.nextInt(30).toLong, rnd.nextInt(400) / 4.0)
+      }.distinctBy(_._1)
+      val fUpK = fUps.map(_._1).toSet
+      val fDels = factT.keys.filter(pk =>
+        !fUpK.contains(pk) && rnd.nextInt(7) == 0).toSeq
+      val dUps = (0 until rnd.nextInt(8) + (if (b == 0) 10 else 0)).map { _ =>
+        (rnd.nextInt(30).toLong, s"c$b-${rnd.nextInt(50)}")
+      }.distinctBy(_._1)
+      val dUpK = dUps.map(_._1).toSet
+      val dDels = dimT.keys.filter(dk =>
+        !dUpK.contains(dk) && rnd.nextInt(6) == 0).toSeq
+      val rows =
+        fUps.map { case (pk, fk, v) => ("fact", Option(pk), Option(fk),
+          Option(v), Option.empty[Long], Option.empty[String], b.toLong, false) } ++
+        fDels.map(pk => ("fact", Option(pk), Option.empty[Long],
+          Option.empty[Double], Option.empty[Long], Option.empty[String], b.toLong, true)) ++
+        dUps.map { case (dk, p) => ("dim", Option.empty[Long], Option.empty[Long],
+          Option.empty[Double], Option(dk), Option(p), b.toLong, false) } ++
+        dDels.map(dk => ("dim", Option.empty[Long], Option.empty[Long],
+          Option.empty[Double], Option(dk), Option.empty[String], b.toLong, true))
+      val batch = rows.toDF("side", "pk", "fk", "v", "dk", "payload", "ver", "del")
+      def run() = {
+        // SELF-MAINTAINABILITY is the whole claim: the outer fold must
+        // not depend on the fact replica, so destroy it before every
+        // fold — any read of the fact base would change the view
+        graft.util.Fs.delete(spark, factPath)
+        JoinStream.foldBatch(spark, batch, b.toLong,
+          factPath, dimPath, viewPath, Seq("pk"), "fk", "dk",
+          Seq("pk", "fk", "v"), Seq("dk", "payload"), "ver", "del",
+          nBuckets = 4, outer = true)
+      }
+      if (b == 3) {
+        // crash window: view swapped AND stamped, dim replica not — the
+        // replay must skip the view fold and re-run the replica merges
+        val sd = s"$dir/dsave"
+        copyDir(dimPath, sd)
+        run()
+        graft.util.Fs.delete(spark, dimPath); copyDir(sd, dimPath)
+      }
+      run()
+      if (b == 5) {
+        // crash inside the dim flat swap: the replay's entry recovery
+        // must promote staging, not misread an empty dim
+        assert(new java.io.File(dimPath)
+          .renameTo(new java.io.File(s"$dimPath.staging")))
+      }
+      if (rnd.nextInt(2) == 0 || b == 5) run() // plain at-least-once replay
+      factT = (factT -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3))
+      dimT = (dimT -- dDels) ++ dUps
+      check(b)
+    }
+    assert(JoinStream.readStamp(spark, viewPath).contains(7L))
+  }
+
   test("join-view maintainStream folds a two-sided file feed; dim changes cascade and surface danglers") {
     import graft.streaming.JoinStream
     val feedDir = tmp(); val dir = tmp(); val cp = tmp()
