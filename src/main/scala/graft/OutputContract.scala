@@ -64,6 +64,9 @@ object OutputContract {
     ("cdc_join_maintain", "o_totalprice"),
     ("cdc_join_maintain_outer", "o_totalprice"),
     ("cdc_join_stream_outer", "o_totalprice"),
+    // pass-through stored doubles; updated rows are ONE IEEE add of the
+    // dyadic constant 1.0 (class 2)
+    ("cdc_star_maintain", "l_quantity"),
     ("cdc_changed_range_resync", "o_totalprice"),
     ("q_topk_window", "o_totalprice"), ("q_asof_join", "purchase_value"),
     ("q_anomaly_zscore", "value"), ("q_anomaly_mad", "value"),

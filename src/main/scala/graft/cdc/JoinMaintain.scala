@@ -196,4 +196,142 @@ object JoinMaintain {
     fact.join(dim.select((dimPk +: dimPayload).map(col): _*),
         fact(fk) === col(dimPk), if (outer) "left" else "inner")
       .select(fact.columns.map(fact(_)) ++ dimPayload.map(col): _*)
+
+  /** One dimension of a STAR view: its pre-cycle base, this cycle's
+    * post-image upserts and delete keys, the fact's fk column naming
+    * it, the dim's primary key, and the projected payload columns.
+    * Payload names must be distinct across a star's dims (alias on
+    * the way in); fk columns must be distinct too.
+    */
+  case class StarDim(base: DataFrame, upserts: DataFrame,
+                     delKeys: DataFrame, fk: String, dimPk: String,
+                     payload: Seq[String])
+
+  /** Bootstrap the k-dim star view: fact ⋈ d1 ⋈ … ⋈ dk in one
+    * projection (every fact column plus every dim's payload), inner
+    * or left per `outer`. Dim joins route through renamed temporaries
+    * — a dim sharing lineage with the fact (or re-joined later) must
+    * not trip the ambiguous-self-join check.
+    */
+  def buildStar(fact: DataFrame, dims: Seq[StarDim],
+                outer: Boolean = false): DataFrame = {
+    val jt = if (outer) "left" else "inner"
+    val joined = dims.zipWithIndex.foldLeft(fact) { case (acc, (d, i)) =>
+      val dp = d.base.select(col(d.dimPk).as(s"__sb${i}_k") +:
+        d.payload.map(c => col(c).as(s"__sb${i}_$c")): _*)
+      acc.join(dp, col(d.fk) === col(s"__sb${i}_k"), jt)
+    }
+    joined.select(fact.columns.map(col) ++ dims.zipWithIndex.flatMap {
+      case (d, i) => d.payload.map(c => col(s"__sb${i}_$c").as(c)) }: _*)
+  }
+
+  /** [[maintainStarDelta]]'s view-only face — the k-dim sibling of
+    * [[maintain]]. */
+  def maintainStar(spark: SparkSession, view: DataFrame,
+                   factBase: DataFrame, factUpserts: DataFrame,
+                   factDelKeys: DataFrame, factPk: Seq[String],
+                   dims: Seq[StarDim], broadcastKeys: Boolean = true,
+                   outer: Boolean = false): DataFrame =
+    maintainStarDelta(spark, view, factBase, factUpserts, factDelKeys,
+      factPk, dims, broadcastKeys, outer)._1
+
+  /** Fold one CDC cycle touching the fact AND any number of
+    * dimensions into a k-dim STAR view in ONE pass over ONE store —
+    * the per-dim delta rules of [[maintainDelta]] composed: kept =
+    * view anti-joined on the union of every side's touched keys; the
+    * re-derive set = changed fact rows ∪ fact rows referencing ANY
+    * touched dim key (found with one scan carrying k broadcast
+    * markers and an OR filter — never k scans, never a self-join);
+    * each re-derived row then joins every dim's post-image (upserted
+    * keys carry the new image, deleted keys vanish, untouched keys
+    * read from the base), inner or left per `outer`. A row touched
+    * through several dims re-derives ONCE.
+    *
+    * Cost shape: the view is never shuffled (two broadcast anti-join
+    * families); the one base-side read is the fact scan for rows
+    * referencing touched dim keys — pruned/absent exactly as in
+    * [[maintainDelta]] (OUTER mode reads the view's own fact columns
+    * instead: self-maintainability survives composition, because a
+    * left join per dim preserves every fact row regardless of k).
+    * Dim post-images are read whole-minus-touched (dims are the small
+    * side by the star doctrine — broadcast under `broadcastKeys`);
+    * a star over a LARGE dim should hold that dim as its own
+    * snowflake level instead (see CLUSTER.md: star vs cascade).
+    *
+    * Returns (view', rederived upserts, dropped keys) in the same
+    * cascade contract as [[maintainDelta]] — a snowflake can chain a
+    * star level.
+    */
+  def maintainStarDelta(spark: SparkSession, view: DataFrame,
+                        factBase: DataFrame, factUpserts: DataFrame,
+                        factDelKeys: DataFrame, factPk: Seq[String],
+                        dims: Seq[StarDim], broadcastKeys: Boolean = true,
+                        outer: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(dims.nonEmpty, "a star needs at least one dimension")
+    require(dims.map(_.fk).distinct.size == dims.size,
+      s"fk columns must be distinct, got ${dims.map(_.fk)}")
+    val allPayload = dims.flatMap(_.payload)
+    require(allPayload.distinct.size == allPayload.size,
+      s"payload columns must be distinct across dims, got $allPayload")
+    val bc = (df: DataFrame) => if (broadcastKeys) broadcast(df) else df
+    val touchedFactPks = factUpserts.select(factPk.map(col): _*)
+      .unionByName(factDelKeys.select(factPk.map(col): _*)).distinct()
+    val touchedPerDim = dims.map { d =>
+      d.upserts.select(col(d.dimPk))
+        .unionByName(d.delKeys.select(col(d.dimPk)))
+        .filter(col(d.dimPk).isNotNull).distinct()
+    }
+
+    // untouched view rows pass through by reference
+    val kept = dims.zip(touchedPerDim).foldLeft(
+        view.join(bc(touchedFactPks), factPk, "left_anti")) {
+      case (acc, (d, tk)) =>
+        acc.join(bc(tk.select(col(d.dimPk).as(d.fk))), Seq(d.fk), "left_anti")
+    }
+
+    // fact rows that must re-derive because SOME dim they reference
+    // changed: INNER reads the base (previously-dangling rows live
+    // outside the view), OUTER reads the view's own fact columns
+    val factCols =
+      if (outer) view.columns.filterNot(allPayload.contains).toSeq
+      else factBase.columns.toSeq
+    val src = (if (outer) view.drop(allPayload: _*) else factBase)
+      .join(bc(touchedFactPks), factPk, "left_anti")
+    val marked = dims.zip(touchedPerDim).zipWithIndex.foldLeft(src) {
+      case (acc, ((d, tk), i)) =>
+        acc.join(bc(tk.select(col(d.dimPk).as(d.fk))
+          .withColumn(s"__sm$i", lit(true))), Seq(d.fk), "left")
+    }
+    val affected = marked
+      .filter(dims.indices.map(i => col(s"__sm$i").isNotNull).reduce(_ || _))
+      .drop(dims.indices.map(i => s"__sm$i"): _*)
+      .select(factCols.map(col): _*)
+
+    val rederiveSrc = factUpserts.select(factCols.map(col): _*)
+      .unionByName(affected)
+    val jt = if (outer) "left" else "inner"
+    val joined = dims.zip(touchedPerDim).zipWithIndex.foldLeft(rederiveSrc) {
+      case (acc, ((d, tk), i)) =>
+        val post = d.base.join(bc(tk), Seq(d.dimPk), "left_anti")
+          .select((d.dimPk +: d.payload).map(col): _*)
+          .unionByName(d.upserts.select((d.dimPk +: d.payload).map(col): _*))
+        val dp = post.select(col(d.dimPk).as(s"__sd${i}_k") +:
+          d.payload.map(c => col(c).as(s"__sd${i}_$c")): _*)
+        acc.join(bc(dp), col(d.fk) === col(s"__sd${i}_k"), jt)
+    }
+    val rederived = joined.select(factCols.map(col) ++
+      dims.zipWithIndex.flatMap { case (d, i) =>
+        d.payload.map(c => col(s"__sd${i}_$c").as(c)) }: _*)
+
+    // keys that LEFT the view: touched in the pre-view, not re-derived
+    val droppedKeys = dims.zip(touchedPerDim).map { case (d, tk) =>
+        view.join(bc(tk.select(col(d.dimPk).as(d.fk))), Seq(d.fk), "left_semi")
+      }
+      .foldLeft(view.join(bc(touchedFactPks), factPk, "left_semi"))(
+        _ unionByName _)
+      .select(factPk.map(col): _*).distinct()
+      .join(rederived.select(factPk.map(col): _*), factPk, "left_anti")
+    (kept.unionByName(rederived), rederived, droppedKeys)
+  }
 }

@@ -358,6 +358,62 @@ object CdcQueries {
         "c_name", "c_mktsegment")
   }
 
+  /** Multi-dimension STAR maintenance in ONE fold over ONE view (A46;
+    * JoinMaintain.maintainStar — the k-dim composition of the A44
+    * delta rules): the lineitem ⋈ part ⋈ supplier star folded through
+    * one cycle touching ALL THREE sides — fact quantity updates
+    * (every 7th orderkey), partkey re-homes (every 13th, danglers
+    * where no such part), suppkey re-homes (every 17th), +20M-key
+    * clones (every 23rd), fact deletes (every 31st not otherwise
+    * touched); part brand moves / +10M clones / deletes; supplier
+    * name moves / +10M clones / deletes. A row touched through BOTH
+    * dims re-derives once. The oracle recomputes the post-cycle
+    * three-way join, so hash equality proves fold == rebuild with the
+    * per-dim rules composed — cascades, danglers, landings, re-homes
+    * across two dims in one pass.
+    */
+  def starMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cdc.JoinMaintain
+    import graft.cdc.JoinMaintain.StarDim
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+    val part = Tables.part(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val k = col("l_orderkey")
+    val fUp = li.filter(k % 7 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 1.0)
+      .unionByName(li.filter(k % 13 === 0 && k % 7 =!= 0)
+        .withColumn("l_partkey", col("l_partkey") + 10000000L))
+      .unionByName(li.filter(k % 17 === 0 && k % 7 =!= 0 && k % 13 =!= 0)
+        .withColumn("l_suppkey", col("l_suppkey") + 10000000L))
+      .unionByName(li.filter(k % 23 === 0)
+        .withColumn("l_orderkey", k + 20000000L))
+    val fDel = li.filter(k % 31 === 0 && k % 7 =!= 0 && k % 13 =!= 0 &&
+        k % 17 =!= 0)
+      .select("l_orderkey", "l_linenumber")
+    val pUp = part.filter(col("p_partkey") % 5 === 0)
+      .withColumn("p_brand", lit("MOVED"))
+      .unionByName(part.filter(col("p_partkey") % 3 === 0)
+        .withColumn("p_partkey", col("p_partkey") + 10000000L))
+    val pDel = part
+      .filter(col("p_partkey") % 11 === 0 && col("p_partkey") % 5 =!= 0)
+      .select("p_partkey")
+    val sUp = supp.filter(col("s_suppkey") % 4 === 0)
+      .withColumn("s_name", lit("MOVED"))
+      .unionByName(supp.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 10000000L))
+    val sDel = supp
+      .filter(col("s_suppkey") % 7 === 0 && col("s_suppkey") % 4 =!= 0)
+      .select("s_suppkey")
+    val dims = Seq(
+      StarDim(part, pUp, pDel, "l_partkey", "p_partkey", Seq("p_brand")),
+      StarDim(supp, sUp, sDel, "l_suppkey", "s_suppkey", Seq("s_name")))
+    val view = JoinMaintain.buildStar(li, dims)
+    JoinMaintain.maintainStar(spark, view, li, fUp, fDel,
+      Seq("l_orderkey", "l_linenumber"), dims)
+  }
+
   /** SCD type-2 history built from the full events change feed:
     * per-user event_type version intervals, consecutive identical
     * payloads collapsed (graft.cdc.Scd2). is_current exposed as 0/1
@@ -468,6 +524,7 @@ object CdcQueries {
     "cdc_join_maintain" -> joinMaintainQ,
     "cdc_join_maintain_outer" -> joinMaintainOuterQ,
     "cdc_join_stream_outer" -> joinStreamOuterQ,
+    "cdc_star_maintain" -> starMaintainQ,
     "cdc_scd2" -> scd2Q,
     "cdc_scd2_maintain" -> scd2MaintainQ,
     "cdc_scd2_asof" -> scd2AsofQ,
@@ -760,6 +817,39 @@ object CdcQueries {
         |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
         |       d.c_name, d.c_mktsegment
         |FROM fpost f LEFT JOIN dpost d ON f.o_custkey = d.c_custkey""".stripMargin,
+    "cdc_star_maintain" ->
+      """WITH fpost AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 13 = 0 AND l_orderkey % 7 <> 0
+        |         THEN l_partkey + 10000000 ELSE l_partkey END AS l_partkey,
+        |    CASE WHEN l_orderkey % 17 = 0 AND l_orderkey % 7 <> 0
+        |           AND l_orderkey % 13 <> 0
+        |         THEN l_suppkey + 10000000 ELSE l_suppkey END AS l_suppkey,
+        |    CASE WHEN l_orderkey % 7 = 0
+        |         THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 31 = 0 AND l_orderkey % 7 <> 0
+        |             AND l_orderkey % 13 <> 0 AND l_orderkey % 17 <> 0)
+        |  UNION ALL
+        |  SELECT l_orderkey + 20000000, l_linenumber, l_partkey, l_suppkey,
+        |         l_quantity
+        |  FROM lineitem WHERE l_orderkey % 23 = 0),
+        |ppost AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 5 = 0 THEN 'MOVED' ELSE p_brand END AS p_brand
+        |  FROM part WHERE NOT (p_partkey % 11 = 0 AND p_partkey % 5 <> 0)
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000, p_brand FROM part WHERE p_partkey % 3 = 0),
+        |spost AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 4 = 0 THEN 'MOVED' ELSE s_name END AS s_name
+        |  FROM supplier WHERE NOT (s_suppkey % 7 = 0 AND s_suppkey % 4 <> 0)
+        |  UNION ALL
+        |  SELECT s_suppkey + 10000000, s_name FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+        |       f.l_quantity, p.p_brand, s.s_name
+        |FROM fpost f JOIN ppost p ON f.l_partkey = p.p_partkey
+        |             JOIN spost s ON f.l_suppkey = s.s_suppkey""".stripMargin,
     "cdc_table_length" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_discount > 0.05",
     // catalog constants for the fixed test tables; DuckDB computes the

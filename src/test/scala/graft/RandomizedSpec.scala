@@ -466,6 +466,87 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("STAR maintenance: one fold over one view equals recompute across random three-sided cycles, inner and self-maintainable outer") {
+    import graft.cdc.JoinMaintain
+    import graft.cdc.JoinMaintain.StarDim
+    val rnd = new Random(79)
+    var fact: Map[Long, (Long, Long, Double)] = (0L until 200L).map(i =>
+      i -> (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong,
+        rnd.nextInt(100).toDouble)).toMap
+    var d1: Map[Long, String] = (0L until 24L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"a$k").toMap
+    var d2: Map[Long, String] = (0L until 24L)
+      .filter(_ => rnd.nextBoolean()).map(k => k -> s"b$k").toMap
+    var nextPk = 200L
+    def fdf(m: Map[Long, (Long, Long, Double)]) =
+      m.toSeq.map { case (pk, (k1, k2, v)) => (pk, k1, k2, v) }
+        .toDF("pk", "k1", "k2", "v")
+    def d1df(m: Map[Long, String]) = m.toSeq.toDF("dk1", "p1")
+    def d2df(m: Map[Long, String]) = m.toSeq.toDF("dk2", "p2")
+    def dims(d10: Map[Long, String], d20: Map[Long, String],
+             d1Ups: Seq[(Long, String)], d1Dels: Seq[Long],
+             d2Ups: Seq[(Long, String)], d2Dels: Seq[Long]) = Seq(
+      StarDim(d1df(d10), d1Ups.toDF("dk1", "p1"),
+        d1Dels.map(Tuple1(_)).toDF("dk1"), "k1", "dk1", Seq("p1")),
+      StarDim(d2df(d20), d2Ups.toDF("dk2", "p2"),
+        d2Dels.map(Tuple1(_)).toDF("dk2"), "k2", "dk2", Seq("p2")))
+    def recomputeInner() = fact.flatMap { case (pk, (k1, k2, v)) =>
+      for (p1 <- d1.get(k1); p2 <- d2.get(k2)) yield (pk, k1, k2, v, p1, p2)
+    }.toSet
+    def recomputeOuter() = fact.map { case (pk, (k1, k2, v)) =>
+      (pk, k1, k2, v, d1.get(k1), d2.get(k2)) }.toSet
+    var vi = JoinMaintain.buildStar(fdf(fact),
+      dims(d1, d2, Nil, Nil, Nil, Nil))
+    var vo = JoinMaintain.buildStar(fdf(fact),
+      dims(d1, d2, Nil, Nil, Nil, Nil), outer = true)
+    (1 to rounds).foreach { cycle =>
+      val (f0, d10, d20) = (fact, d1, d2)
+      val fUps = (0 until rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean() && f0.nonEmpty) {
+          val pk = f0.keys.toSeq(rnd.nextInt(f0.size)) // replace (fks may move)
+          (pk, rnd.nextInt(24).toLong, rnd.nextInt(24).toLong,
+            rnd.nextInt(100).toDouble)
+        } else { nextPk += 1
+          (nextPk, rnd.nextInt(24).toLong, rnd.nextInt(24).toLong,
+            rnd.nextInt(100).toDouble) }
+      }.distinctBy(_._1)
+      val fUpK = fUps.map(_._1).toSet
+      val fDels = f0.keys.filter(pk =>
+        !fUpK.contains(pk) && rnd.nextInt(8) == 0).toSeq
+      def dimBatch(cur: Map[Long, String], tag: String) = {
+        val ups = (0 until rnd.nextInt(8)).map { _ =>
+          (rnd.nextInt(24).toLong, s"$tag$cycle-${rnd.nextInt(40)}") }
+          .distinctBy(_._1)
+        val upK = ups.map(_._1).toSet
+        (ups, cur.keys.filter(k => !upK.contains(k) && rnd.nextInt(6) == 0).toSeq)
+      }
+      val (d1Ups, d1Dels) = dimBatch(d10, "a")
+      val (d2Ups, d2Dels) = dimBatch(d20, "b")
+      val ds = dims(d10, d20, d1Ups, d1Dels, d2Ups, d2Dels)
+      vi = JoinMaintain.maintainStar(spark, vi, fdf(f0),
+          fUps.toDF("pk", "k1", "k2", "v"), fDels.map(Tuple1(_)).toDF("pk"),
+          Seq("pk"), ds)
+        .localCheckpoint() // the next cycle's bases rewrite underneath it
+      // OUTER with an EMPTY fact base — self-maintainability must
+      // survive the per-dim composition (the view holds every fact row
+      // no matter how many left joins stack)
+      vo = JoinMaintain.maintainStar(spark, vo, fdf(Map.empty),
+          fUps.toDF("pk", "k1", "k2", "v"), fDels.map(Tuple1(_)).toDF("pk"),
+          Seq("pk"), ds, outer = true)
+        .localCheckpoint()
+      fact = (f0 -- fDels) ++ fUps.map(u => u._1 -> (u._2, u._3, u._4))
+      d1 = (d10 -- d1Dels) ++ d1Ups
+      d2 = (d20 -- d2Dels) ++ d2Ups
+      assert(vi.select("pk", "k1", "k2", "v", "p1", "p2")
+        .as[(Long, Long, Long, Double, String, String)].collect().toSet ==
+        recomputeInner(), s"cycle $cycle: inner star diverged")
+      assert(vo.select("pk", "k1", "k2", "v", "p1", "p2")
+        .as[(Long, Long, Long, Double, Option[String], Option[String])]
+        .collect().toSet == recomputeOuter(),
+        s"cycle $cycle: outer star diverged")
+    }
+  }
+
   test("salted join equals the plain join on random skew shapes and salt counts") {
     val rnd = new Random(55)
     (1 to 4).foreach { round =>
