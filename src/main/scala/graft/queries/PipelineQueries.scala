@@ -140,6 +140,36 @@ object PipelineQueries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** STORE-backed near-dup sweep (C5h, NEW r17 — dedup_graph's chain
+    * re-pointed at the PERSISTED [[graft.sim.GraphAnnIndex]], the r16
+    * verdict's last ANN↔dedup seam): the base corpus seeds the store,
+    * the planted +100k copies arrive via insert() (their dup edges
+    * are the insert beam-search's own connections — zero rebuild),
+    * half the plants then LEAVE via delete(), and the sweep reads the
+    * persisted edges — mutual, both ends live, exact-cosine ≥ T →
+    * min-label CC. O(edges); the oracle replays seed build, insert
+    * search, edge connection, mutuality, tombstone mask, threshold,
+    * and CC as one chain, so any divergence in the persisted dup path
+    * hash-fails.
+    */
+  def dedupGraphStoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.filter(expr("vec_id % 50 = 0"))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val store = java.nio.file.Files.createTempDirectory("graft-gdup").toString
+    graft.sim.GraphAnnIndex.build(spark, e, "embedding", "vec_id",
+      k = 5, iters = 1, buckets = 50, dim = EMB_DIM.get, store,
+      nStoreBuckets = 4)
+    graft.sim.GraphAnnIndex.insert(spark, planted, "embedding", "vec_id",
+      store, batchId = 1L, connectK = 5, entries = 8, beam = 8, rounds = 3,
+      dim = EMB_DIM.get)
+    graft.sim.GraphAnnIndex.delete(spark,
+      planted.filter(expr("vec_id % 100 = 50")).select("vec_id"), "vec_id",
+      store, batchId = 2L)
+    graft.sim.GraphAnnIndex.dedupSweep(spark, store, COS_T)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Threshold-tuning curve for embedding dedup: pair counts per
     * 0.05-wide cosine bucket from ONE pair scan, with the cumulative
     * pairs-at-or-above count — the curve a deployment reads to pick
@@ -2970,6 +3000,7 @@ object PipelineQueries {
     "dedup_threshold_curve" -> dedupThresholdCurveQ,
     "dedup_clusters" -> dedupClustersQ,
     "dedup_graph" -> dedupGraphQ,
+    "dedup_graph_store" -> dedupGraphStoreQ,
     "dedup_clusters_star" -> dedupClustersStarQ,
     "ann_topk" -> annTopkQ,
     "ann_dim_recall" -> annDimRecallQ,
@@ -3200,16 +3231,27 @@ object PipelineQueries {
     * visited anti-join. Emits `<pfx>v<rounds>` (qid, id, cos). */
   private def searchChain(pfx: String, src: String, graphCte: String,
                           v0Sql: String, beam: Int, rounds: Int,
-                          prCte: String = "pr"): String = {
+                          prCte: String = "pr",
+                          recursiveSafe: Boolean = false): String = {
     val blocks = (1 to rounds).map { r =>
       val prev = s"${pfx}v${r - 1}"
+      // the visited anti-join: EXCEPT normally, NOT EXISTS when the
+      // chain rides inside a WITH RECURSIVE (DuckDB allows only
+      // UNION/UNION ALL setops there) — identical semantics, the
+      // DISTINCT already covers EXCEPT's dedup half
+      val anti =
+        if (recursiveSafe)
+          s"""      AND NOT EXISTS (SELECT 1 FROM $prev p
+             |        WHERE p.qid = b.qid AND p.id = g.neighbor_id)),"""
+            .stripMargin
+        else s"""  EXCEPT SELECT qid, id FROM $prev),"""
       s"""${pfx}b$r AS (SELECT qid, id FROM (SELECT qid, id,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
          |  FROM $prev) WHERE rn <= $beam),
          |${pfx}f$r AS (SELECT DISTINCT b.qid, g.neighbor_id AS id
          |    FROM ${pfx}b$r b JOIN $graphCte g ON g.vec_id = b.id
          |    WHERE g.neighbor_id <> b.qid
-         |  EXCEPT SELECT qid, id FROM $prev),
+         |$anti
          |${pfx}s$r AS (SELECT f.qid, f.id,
          |    ${gsCos(s"$prCte.pqv", s"$prCte.pn2", "a.qv", "a.n2")} AS cos
          |  FROM ${pfx}f$r f JOIN $src a ON a.vec_id = f.id
@@ -3308,6 +3350,62 @@ object PipelineQueries {
                |  WHERE e.id <> pr.qid""".stripMargin, 3, 2)}""".stripMargin
 
   private lazy val gannSearchCtes: String = gannChain("n")
+
+  /** Store-backed dedup-sweep oracle chain (dedup_graph_store): seed
+    * nnDescent over the BASE corpus, the planted +100k copies' insert
+    * search over it (entries from the base — the pre-batch store),
+    * top-5 connection into forward+reverse edges, then the sweep —
+    * mutual merged-graph pairs, both ends OUTSIDE the tombstone set
+    * (planted ids ≡ 50 mod 100), exact cosine ≥ threshold, min-label
+    * reachability CC.
+    */
+  private lazy val gannDedupCtes: String =
+    s"""corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |      FROM corpus),
+       |n AS (SELECT vec_id, qv,
+       |        list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q),
+       |nb AS (SELECT vec_id, qv, n2 FROM n WHERE vec_id < 100000),
+       |${nndChain("e", "nb", 5, 50)},
+       |ient AS (SELECT vec_id AS id FROM nb
+       |  ORDER BY ${h64("'gs:' || vec_id::VARCHAR")}, vec_id LIMIT 8),
+       |pr2 AS (SELECT vec_id AS qid, qv AS pqv, n2 AS pn2 FROM n
+       |  WHERE vec_id >= 100000),
+       |${searchChain("a", "nb", "eg",
+            s"""SELECT pr2.qid, a.vec_id AS id,
+               |    ${gsCos("pr2.pqv", "pr2.pn2", "a.qv", "a.n2")} AS cos
+               |  FROM pr2 CROSS JOIN ient e JOIN nb a ON a.vec_id = e.id
+               |  WHERE e.id <> pr2.qid""".stripMargin, 8, 3, "pr2",
+            recursiveSafe = true)},
+       |fwd AS (SELECT qid AS id, id AS nid FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn
+       |  FROM av2) WHERE rn <= 5),
+       |mg AS (SELECT vec_id AS id, neighbor_id AS nid FROM eg
+       |  UNION ALL SELECT id, nid FROM fwd
+       |  UNION ALL SELECT nid AS id, id AS nid FROM fwd),
+       |nl AS (SELECT vec_id, qv, n2 FROM n
+       |  WHERE NOT (vec_id >= 100000 AND vec_id % 100 = 50)),
+       |mu AS (SELECT DISTINCT id AS id_a, nid AS id_b
+       |       FROM (SELECT id, nid FROM mg WHERE id < nid)
+       |       SEMI JOIN (SELECT nid AS id, id AS nid FROM mg WHERE id > nid)
+       |       USING (id, nid)),
+       |pc AS (SELECT mu.id_a, mu.id_b
+       |       FROM mu JOIN nl x ON x.vec_id = mu.id_a
+       |         JOIN nl y ON y.vec_id = mu.id_b
+       |       WHERE round(${gsCos("x.qv", "x.n2", "y.qv", "y.n2")}, 6)
+       |         >= $COS_T),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM pc
+       |       UNION ALL SELECT id_b AS s, id_a AS d FROM pc),
+       |vx AS (SELECT DISTINCT s AS id FROM ed),
+       |reach AS (SELECT id, id AS r FROM vx
+       |          UNION
+       |          SELECT reach.id, e.d AS r FROM reach JOIN ed e ON e.s = reach.r)"""
+      .stripMargin
 
   /** The delete variant: the same persisted chain with every id ≡ 3
     * (mod 10) tombstoned before the final search — the LIVE node
@@ -3799,6 +3897,10 @@ object PipelineQueries {
          |grp AS (SELECT h, min(doc_id) AS cluster, count(*) AS n FROM h GROUP BY h)
          |SELECT t.doc_id, g.cluster
          |FROM h t JOIN grp g USING (h) WHERE g.n > 1""".stripMargin,
+    "dedup_graph_store" ->
+      s"""WITH RECURSIVE $gannDedupCtes
+         |SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id"""
+        .stripMargin,
     "dedup_graph" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -230,6 +230,52 @@ object GraphAnnIndex {
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Store-backed near-dup PAIRS — the O(edges) sweep a deployment
+    * that already pays the persisted graph actually runs (zero
+    * rebuild; [[Similarity.graphDupPairs]]'s chain re-pointed at the
+    * store): candidate pairs are the store's MUTUAL edges (both
+    * directions present — [[insert]] writes forward+reverse edges,
+    * the seed nnDescent graph is directed, so mutuality is the
+    * dedup_graph convention), both endpoints LIVE (tombstoned ids
+    * drop out of the dup graph immediately, before any [[vacuum]]),
+    * verified by the EXACT cosine recomputed from the store's own
+    * quantized vectors and kept at ≥ `threshold` (rounded to 6, the
+    * file-wide convention). Subset-of-exact by construction — the
+    * graph only proposes, the cosine decides. Cost: one edge-list
+    * dedup plus two id-keyed node joins; the store is never
+    * self-joined at corpus grain.
+    */
+  def dedupPairs(spark: SparkSession, store: String,
+                 threshold: Double): DataFrame = {
+    val live = liveNodes(spark, store, None)
+    val e = edges(spark, store, None).select("id", "nid")
+      .filter(col("id") =!= col("nid"))
+    val mutual = e.filter(col("id") < col("nid"))
+      .join(e.filter(col("id") > col("nid"))
+        .select(col("nid").as("id"), col("id").as("nid")),
+        Seq("id", "nid"), "left_semi")
+      .distinct()
+    val a = live.select(col("id"), col("qv").as("__qa"), col("n2").as("__na"))
+    val b = live.select(col("id").as("nid"), col("qv").as("__qb"),
+      col("n2").as("__nb"))
+    mutual.join(a, Seq("id")).join(b, Seq("nid")) // inner: tombstones drop
+      .withColumn("cosine", round(
+        Similarity.qdot(col("__qa"), col("__qb")).cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))),
+        6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id").as("id_a"), col("nid").as("id_b"), col("cosine"))
+  }
+
+  /** [[dedupPairs]] → min-label connected components: (id, cluster)
+    * for every store member of a near-dup group — the batch sweep
+    * that closes the ANN↔dedup loop against the persisted store.
+    */
+  def dedupSweep(spark: SparkSession, store: String,
+                 threshold: Double): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      dedupPairs(spark, store, threshold).select("id_a", "id_b"))
+
   /** Store health report — the metrics a graph-ANN deployment watches
     * (the IvfIndex.stats sibling): one row of exact integers —
     * node/tombstone/edge counts, DEAD edges (edges naming a

@@ -1101,6 +1101,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("GraphAnnIndex.dedupSweep: store pairs are subset-of-exact; plants arrive via insert and leave via delete, vacuum preserves the sweep") {
+    import graft.sim.GraphAnnIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val planted = e.filter(expr("vec_id % 50 = 0"))
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = e.unionByName(planted)
+    val store = java.nio.file.Files.createTempDirectory("graft-gds-t").toString
+    GraphAnnIndex.build(spark, e, "embedding", "vec_id", k = 5, iters = 1,
+      buckets = 50, dim = 64, store, nStoreBuckets = 4)
+    GraphAnnIndex.insert(spark, planted, "embedding", "vec_id", store,
+      batchId = 1L, connectK = 5, entries = 8, beam = 8, rounds = 3, dim = 64)
+    def pairs() = GraphAnnIndex.dedupPairs(spark, store, 0.35)
+      .as[(Long, Long, Double)].collect()
+    // subset-of-exact: every emitted pair is a true >= T pair with the
+    // same rounded cosine (the graphDupPairs convention, now against
+    // the PERSISTED edges — zero rebuild)
+    val exact = Similarity.cosinePairs(corpus, "embedding", "vec_id",
+        0.35, Some(64))
+      .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val got = pairs()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not a true pair")
+      assert(math.abs(exact((a, b)) - c) < 1e-9, s"cosine drift at ($a,$b)")
+    }
+    // plants ARRIVE via insert: the copy's own beam-search connections
+    // (cos 1.0 beats every candidate) are the dup edges
+    val copyPairs = got.filter { case (a, b, _) => b - a == 100000L }
+    assert(copyPairs.nonEmpty, "no planted pair surfaced via insert()")
+    // a deleted member LEAVES the sweep immediately — before any vacuum
+    val victim = copyPairs.head._2
+    GraphAnnIndex.delete(spark, Seq(victim).toDF("vec_id"), "vec_id",
+      store, batchId = 2L)
+    val masked = pairs()
+    assert(!masked.exists(p => p._1 == victim || p._2 == victim),
+      "tombstoned id must vanish from the dup graph")
+    // the physical fold changes nothing the sweep can see
+    GraphAnnIndex.vacuum(spark, store, batchId = 3L)
+    assert(pairs().toSet === masked.toSet,
+      "vacuumed sweep == tombstone-masked sweep")
+    // and the surviving plants cluster with their originals
+    val clusters = GraphAnnIndex.dedupSweep(spark, store, 0.35)
+      .as[(Long, Long)].collect().toMap
+    masked.filter { case (a, b, _) => b - a == 100000L }
+      .foreach { case (a, b, _) =>
+        assert(clusters(b) === clusters(a), s"copy $b not clustered with $a")
+      }
+  }
+
   test("GraphAnnIndex.vacuum upToBatch: in-flight ingestion batches stay whole, their tombstones survive, and exclude-own-writes holds for the replay") {
     import graft.sim.GraphAnnIndex
     val e = Tables.embeddings(spark, sfDir).cache()
