@@ -734,7 +734,46 @@ object BenchStress {
       graft.ops.Dedup.connectedComponents(
         Similarity.graphDupPairs(e, "embedding", "vec_id",
           threshold = 0.35, k = 5, iters = 1, buckets = 50 * n,
-          dim = Some(64)).select("id_a", "id_b"))))
+          dim = Some(64)).select("id_a", "id_b"))),
+    // store-backed dedup sweep (r17): build is the linear term; the
+    // FIXED re-labeled copy-0 insert is O(batch); the sweep itself is
+    // one dedup of the k·N edge list + two id-keyed node joins — any
+    // superlinear term means the mutual-pair join degenerated
+    "dedup_graph_store" -> ((e: DataFrame, n: Int) => {
+      val spark = e.sparkSession
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-gds-stress").toString
+      graft.sim.GraphAnnIndex.build(spark, e, "embedding", "vec_id",
+        k = 5, iters = 1, buckets = 50 * n, dim = 64, store,
+        nStoreBuckets = 8)
+      graft.sim.GraphAnnIndex.insert(spark,
+        e.filter(expr(s"vec_id < $COPY_STRIDE"))
+          .withColumn("vec_id", col("vec_id") + lit(900000000L)),
+        "embedding", "vec_id", store, batchId = 1L, connectK = 5,
+        entries = 8, beam = 8, rounds = 3, dim = 64)
+      graft.sim.GraphAnnIndex.dedupSweep(spark, store, 0.35)
+    }),
+    // relink (r17): a FIXED copy-0 delete batch erodes a bounded
+    // neighborhood (weak set ≈ k·|deleted| — never corpus-grain), so
+    // the ratio must read the build + vacuum's linear affected-bucket
+    // folds; a relink-side blowup means the weak-degree aggregation
+    // or the probe-grain beam degenerated
+    "ann_graph_relink" -> ((e: DataFrame, n: Int) => {
+      val spark = e.sparkSession
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-grl-stress").toString
+      graft.sim.GraphAnnIndex.build(spark, e, "embedding", "vec_id",
+        k = 5, iters = 1, buckets = 50 * n, dim = 64, store,
+        nStoreBuckets = 8)
+      graft.sim.GraphAnnIndex.delete(spark,
+        e.filter(expr(s"vec_id % 2 = 0 AND vec_id < $COPY_STRIDE"))
+          .select("vec_id"), "vec_id", store, batchId = 1L)
+      graft.sim.GraphAnnIndex.vacuum(spark, store, batchId = 2L)
+      graft.sim.GraphAnnIndex.relink(spark, store, batchId = 3L,
+        minDegree = 5, connectK = 5, entries = 4, beam = 3, rounds = 2,
+        dim = 64)
+      graft.sim.GraphAnnIndex.stats(spark, store)
+    }))
 
   // lineitem ops: offset copies sample independently under the hash
   // predicate, so the sampled row count (and the per-column percentile
@@ -1035,6 +1074,55 @@ object BenchStress {
           val (o, cu) = scaledOrdersCustomer(spark, sfDir, c)
           graft.queries.CdcQueries.joinMaintainFold(spark, o, cu,
             reHome = 1000000000L, clone = 2000000000L, outer = true)
+        }),
+        // k-dim star fold (r17): scaled fact, FIXED dims (copies
+        // reference the same part/supplier keys — the star shape:
+        // dims don't grow with the fact). The ratio reads the view
+        // build + the fact-side linear scans; the dim post-images and
+        // the OR-marker probe stay dim-grain
+        ("cdc_star_maintain", (c: Int) => {
+          graft.queries.CdcQueries.starMaintainFold(spark,
+            scaledLineitem(spark, sfDir, c),
+            graft.util.Tables.part(spark, sfDir),
+            graft.util.Tables.supplier(spark, sfDir),
+            reHome = 1000000000L, clone = 2000000000L)
+        }),
+        // streaming OUTER fold (r17): bootstrap the three-store outer
+        // layout from the scaled feed, then ONE dim-bearing trigger.
+        // Linear terms = the bootstrap writeFull and the view-probe
+        // column scan (the CLUSTER.md cluster-by-fk target); the
+        // re-derive is O(touched). The fact replica is never read on
+        // the fold path — outer's architectural claim, here measured
+        ("cdc_join_stream_outer", (c: Int) => {
+          import graft.streaming.JoinStream
+          val root = java.nio.file.Files
+            .createTempDirectory("stress_jso").toString
+          val (o, cu) = scaledOrdersCustomer(spark, sfDir, c)
+          val factCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+          val dimCols = Seq("c_custkey", "c_name")
+          def feedFact(df: DataFrame, ver: Long): DataFrame =
+            df.select(lit("fact").as("side"), col("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit(null).cast("long").as("c_custkey"),
+              lit(null).cast("string").as("c_name"),
+              lit(ver).as("ver"), lit(false).as("del"))
+          def feedDim(df: DataFrame, ver: Long): DataFrame =
+            df.select(lit("dim").as("side"),
+              lit(null).cast("long").as("o_orderkey"),
+              lit(null).cast("long").as("o_custkey"),
+              lit(null).cast("double").as("o_totalprice"),
+              col("c_custkey"), col("c_name"),
+              lit(ver).as("ver"), lit(false).as("del"))
+          def fold(b: DataFrame, id: Long): Unit =
+            JoinStream.foldBatch(spark, b, id, s"$root/fact",
+              s"$root/dim", s"$root/view", Seq("o_orderkey"),
+              "o_custkey", "c_custkey", factCols, dimCols,
+              "ver", "del", nBuckets = 8, outer = true)
+          fold(feedFact(o.select(factCols.map(col): _*), 0L)
+            .unionByName(feedDim(cu, 0L)), 0L)
+          fold(feedDim(cu.filter(col("c_custkey") === 1L)
+            .withColumn("c_name", lit("STRESSED")), 1L), 1L)
+          JoinStream.readView(spark, s"$root/view")
         }))
     val selected = suite.filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 

@@ -372,37 +372,48 @@ object CdcQueries {
     * per-dim rules composed — cascades, danglers, landings, re-homes
     * across two dims in one pass.
     */
-  def starMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def starMaintainQ(spark: SparkSession, sfDir: String): DataFrame =
+    starMaintainFold(spark,
+      Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      reHome = 10000000L, clone = 20000000L)
+
+  /** The gate's star fold with the synthetic-key offsets
+    * parameterized (the joinMaintainFold convention): the gate uses
+    * 10M/20M (what the oracle replays); BenchStress passes 1e9/2e9 so
+    * stacked key-offset copies never cross-match.
+    */
+  private[graft] def starMaintainFold(spark: SparkSession, lineitem: DataFrame,
+                                      part: DataFrame, supp: DataFrame,
+                                      reHome: Long, clone: Long): DataFrame = {
     import graft.cdc.JoinMaintain
     import graft.cdc.JoinMaintain.StarDim
-    val li = Tables.lineitem(spark, sfDir)
+    val li = lineitem
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity")
-    val part = Tables.part(spark, sfDir)
-    val supp = Tables.supplier(spark, sfDir)
     val k = col("l_orderkey")
     val fUp = li.filter(k % 7 === 0)
       .withColumn("l_quantity", col("l_quantity") + 1.0)
       .unionByName(li.filter(k % 13 === 0 && k % 7 =!= 0)
-        .withColumn("l_partkey", col("l_partkey") + 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + reHome))
       .unionByName(li.filter(k % 17 === 0 && k % 7 =!= 0 && k % 13 =!= 0)
-        .withColumn("l_suppkey", col("l_suppkey") + 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + reHome))
       .unionByName(li.filter(k % 23 === 0)
-        .withColumn("l_orderkey", k + 20000000L))
+        .withColumn("l_orderkey", k + clone))
     val fDel = li.filter(k % 31 === 0 && k % 7 =!= 0 && k % 13 =!= 0 &&
         k % 17 =!= 0)
       .select("l_orderkey", "l_linenumber")
     val pUp = part.filter(col("p_partkey") % 5 === 0)
       .withColumn("p_brand", lit("MOVED"))
       .unionByName(part.filter(col("p_partkey") % 3 === 0)
-        .withColumn("p_partkey", col("p_partkey") + 10000000L))
+        .withColumn("p_partkey", col("p_partkey") + reHome))
     val pDel = part
       .filter(col("p_partkey") % 11 === 0 && col("p_partkey") % 5 =!= 0)
       .select("p_partkey")
     val sUp = supp.filter(col("s_suppkey") % 4 === 0)
       .withColumn("s_name", lit("MOVED"))
       .unionByName(supp.filter(col("s_suppkey") % 3 === 0)
-        .withColumn("s_suppkey", col("s_suppkey") + 10000000L))
+        .withColumn("s_suppkey", col("s_suppkey") + reHome))
     val sDel = supp
       .filter(col("s_suppkey") % 7 === 0 && col("s_suppkey") % 4 =!= 0)
       .select("s_suppkey")

@@ -230,6 +230,65 @@ object GraphAnnIndex {
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Re-link maintenance — the repair for tombstone-eroded
+    * neighborhoods ([[vacuum]] removes edges but never re-links;
+    * that honest limit is documented above, and [[stats]] publishes
+    * the watch metrics that schedule this): every LIVE node whose
+    * out-degree to live targets fell below `minDegree` re-runs the
+    * [[insert]] connect path — beam-search the current graph from
+    * the fixed entry set, connect to its exact-cosine top `connectK`,
+    * land the new forward+reverse edges as `batch=<batchId>` (edges
+    * only, no node rows). Replay-idempotent via the same
+    * exclude-own-writes read (`< batchId`, monotone ids); O(weak
+    * nodes) probe-grain work plus one degree aggregation — the
+    * corpus is never rescanned, unlike the fresh [[build]] this
+    * substitutes for. Returns the number of re-linked nodes.
+    */
+  def relink(spark: SparkSession, store: String, batchId: Long,
+             minDegree: Int, connectK: Int, entries: Int, beam: Int,
+             rounds: Int, dim: Int): Long = {
+    require(batchId > 0, s"relink batch ids start at 1, got $batchId")
+    require(minDegree >= 1 && connectK >= 1 && entries >= 1 && beam >= 1 &&
+      rounds >= 0, s"bad minDegree=$minDegree connectK=$connectK " +
+      s"entries=$entries beam=$beam rounds=$rounds")
+    val nB = storeBuckets(spark, store)
+    graft.streaming.CdcStream.requireStoreBuckets(spark, edgesPath(store), nB)
+    val live = liveNodes(spark, store, Some(batchId))
+    val e = edges(spark, store, Some(batchId)).select("id", "nid")
+    val liveIds = live.select("id")
+    // live out-degree: edges whose SOURCE and TARGET both survive —
+    // dead-target edges are exactly the navigability a vacuum removed
+    val liveDeg = e.join(liveIds, Seq("id"), "left_semi")
+      .join(liveIds.select(col("id").as("nid")), Seq("nid"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val weak = liveIds.join(liveDeg, Seq("id"), "left")
+      .filter(coalesce(col("d"), lit(0L)) < minDegree).select("id")
+    val probes = live.join(weak, Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("qv").as("pqv"), col("n2").as("pn2"))
+      .persist()
+    val nWeak = probes.count()
+    if (nWeak > 0) {
+      val g = e.select(col("id").as("vec_id"), col("nid").as("neighbor_id"))
+      val ent = entrySet(live, entries)
+      val visited = beamSearch(live, probes,
+        g, probes.select(col("qid")).crossJoin(broadcast(ent)),
+        beam, rounds, Some(dim))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id").asc)
+      val fwd = graft.util.Lineage.truncate(
+        visited.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= connectK)
+          .select(col("qid").as("id"), col("id").as("nid"),
+            round(col("cos"), 6).as("cos")))
+      val rev = fwd.select(col("nid").as("id"), col("id").as("nid"), col("cos"))
+      graft.streaming.CdcStream.writeStorePartitions(
+        fwd.unionByName(rev), bucketOf(col("id"), nB), batchId,
+        edgesPath(store), nB)
+    }
+    probes.unpersist()
+    nWeak
+  }
+
   /** Store-backed near-dup PAIRS — the O(edges) sweep a deployment
     * that already pays the persisted graph actually runs (zero
     * rebuild; [[Similarity.graphDupPairs]]'s chain re-pointed at the

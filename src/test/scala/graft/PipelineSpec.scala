@@ -1151,6 +1151,69 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("GraphAnnIndex.relink: recall recovers on a tombstone-eroded store, replay-idempotent, degree floor restored") {
+    import graft.sim.GraphAnnIndex
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val store = java.nio.file.Files.createTempDirectory("graft-grl").toString
+    GraphAnnIndex.build(spark, e, "embedding", "vec_id", k = 5, iters = 1,
+      buckets = 50, dim = 64, store, nStoreBuckets = 4)
+    // heavy erosion: half the corpus tombstones, the vacuum folds every
+    // edge naming a deleted id out — survivors keep only their
+    // odd-to-odd edges (~half their degree) and navigability suffers
+    GraphAnnIndex.delete(spark, e.filter($"vec_id" % 2 === 0)
+      .select("vec_id"), "vec_id", store, batchId = 1L)
+    GraphAnnIndex.vacuum(spark, store, batchId = 2L)
+    val survivors = e.filter($"vec_id" % 2 === 1).cache()
+    val truth = Similarity.bruteForceTopK(survivors, "embedding", "vec_id",
+        expr("id % 37 = 0"), k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(): Double = {
+      val got = GraphAnnIndex.searchTopK(spark, store,
+          survivors.filter($"vec_id" % 37 === 0), "embedding", "vec_id",
+          entries = 4, beam = 5, rounds = 2, topK = 5, dim = 64)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val before = recall()
+    val nWeak = GraphAnnIndex.relink(spark, store, batchId = 3L,
+      minDegree = 5, connectK = 5, entries = 8, beam = 8, rounds = 3,
+      dim = 64)
+    assert(nWeak > 0L, "the eroded store must have below-floor nodes")
+    // replay idempotence: same batchId recomputes identical edges
+    def edgeSet() = GraphAnnIndex.edges(spark, store)
+      .select("id", "nid").as[(Long, Long)].collect().toSet
+    val afterEdges = edgeSet()
+    GraphAnnIndex.relink(spark, store, batchId = 3L,
+      minDegree = 5, connectK = 5, entries = 8, beam = 8, rounds = 3,
+      dim = 64)
+    assert(edgeSet() === afterEdges, "replayed relink must recompute identically")
+    val after = recall()
+    info(s"recall before=$before after=$after nWeak=$nWeak")
+    assert(after > before + 0.3 && after > 0.5,
+      s"relink must substantially recover recall ($before -> $after)")
+    // the degree floor is restored: a second relink pass finds (almost)
+    // nothing left under the floor
+    val still = GraphAnnIndex.relink(spark, store, batchId = 4L,
+      minDegree = 5, connectK = 5, entries = 8, beam = 8, rounds = 3,
+      dim = 64)
+    info(s"weak before=$nWeak after=$still")
+    assert(still < nWeak / 4,
+      s"relink must lift (nearly) all nodes over the floor: $nWeak -> $still")
+    // and it recovers toward the fresh-build bar: recall within reach of
+    // a from-scratch nnDescent over the survivors
+    val fresh = java.nio.file.Files.createTempDirectory("graft-grlf").toString
+    GraphAnnIndex.build(spark, survivors, "embedding", "vec_id", k = 5,
+      iters = 1, buckets = 50, dim = 64, fresh, nStoreBuckets = 4)
+    val freshGot = GraphAnnIndex.searchTopK(spark, fresh,
+        survivors.filter($"vec_id" % 37 === 0), "embedding", "vec_id",
+        entries = 4, beam = 5, rounds = 2, topK = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val freshRecall = freshGot.intersect(truth).size.toDouble / truth.size
+    info(s"fresh-build recall=$freshRecall")
+    assert(after >= freshRecall - 0.15,
+      s"relinked recall $after must sit within 0.15 of fresh-build $freshRecall")
+  }
+
   test("GraphAnnIndex.vacuum upToBatch: in-flight ingestion batches stay whole, their tombstones survive, and exclude-own-writes holds for the replay") {
     import graft.sim.GraphAnnIndex
     val e = Tables.embeddings(spark, sfDir).cache()
