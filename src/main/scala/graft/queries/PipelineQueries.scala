@@ -1462,6 +1462,38 @@ object PipelineQueries {
       s"$dir/*.safetensors", "vec_id", "embedding"))
   }
 
+  /** Half-precision safetensors legs (r17): the odd-half embeddings
+    * PRE-QUANTIZED to floor(x·256)/256 — at this table's value range
+    * every quantized value carries ≤ 8 significant bits, under BOTH
+    * half significands (11 for F16, 8 for BF16) — so the F16 and BF16
+    * write→read legs are LOSSLESS and the DuckDB oracle replays only
+    * the pre-quantization: any packing, rounding-path, or endianness
+    * bug in the two-byte codecs corrupts the values and hash-fails,
+    * while the non-representable ROUNDING arithmetic (RNE ties,
+    * subnormals, specials) is pinned by SafetensorsSpec. The BF16 leg
+    * rides at vec_id+200000 so the two legs' fingerprints cannot
+    * cancel in the xor.
+    */
+  def pipelineSafetensorsHalfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 2 = 1"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 256)" +
+          " / 256 as float))").as("embedding"))
+    val d16 = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    val dbf = java.nio.file.Files.createTempDirectory("graft_stbf").toString
+    graft.sources.Safetensors.write(pre.repartition(2), d16,
+      "vec_id", "embedding", dtype = "F16")
+    graft.sources.Safetensors.write(
+      pre.withColumn("vec_id", col("vec_id") + 200000L).repartition(2),
+      dbf, "vec_id", "embedding", dtype = "BF16")
+    embExportManifest(
+      graft.sources.Safetensors.read(spark, s"$d16/*.safetensors",
+          "vec_id", "embedding")
+        .unionByName(graft.sources.Safetensors.read(spark,
+          s"$dbf/*.safetensors", "vec_id", "embedding")))
+  }
+
   /** Frequency-decade profile of the dedup token key (graft.ops
     * .Profile.keyDistribution): how many distinct tokens occur 1–9,
     * 10–99, … times across the corpus. A power-law tail here is the
@@ -3160,6 +3192,7 @@ object PipelineQueries {
     "pipeline_export_tfrecord" -> pipelineTfrecordQ,
     "pipeline_export_embeddings" -> pipelineTfrecordEmbQ,
     "pipeline_export_safetensors" -> pipelineSafetensorsQ,
+    "pipeline_export_safetensors_half" -> pipelineSafetensorsHalfQ,
     "pipeline_export_webdataset" -> pipelineWebdatasetQ,
     "pipeline_export_wds_img" -> pipelineWdsImgQ,
     "pipeline_release_corpus" -> pipelineReleaseQ,
@@ -4784,6 +4817,25 @@ object PipelineQueries {
          |  CAST(0 AS BIGINT) AS n_img_mismatch
          |FROM j GROUP BY 1""".stripMargin,
     "pipeline_export_safetensors" -> embExportOracleSql,
+    "pipeline_export_safetensors_half" ->
+      s"""WITH src AS (SELECT vec_id, list_transform(embedding,
+         |        x -> floor(CAST(x AS DOUBLE) * 256) / 256) AS e
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |b AS (SELECT vec_id, e FROM src
+         |      UNION ALL SELECT vec_id + 200000, e FROM src),
+         |v AS (SELECT vec_id,
+         |        list_transform(e, x -> CAST(floor(x * 10000) AS BIGINT)) AS qv,
+         |        CAST(len(e) AS BIGINT) AS dim FROM b),
+         |f AS (SELECT vec_id % 8 AS bucket, dim,
+         |        CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS qsum,
+         |        ${h64("vec_id::VARCHAR || ':' || md5(array_to_string(qv, ','))")}
+         |          AS fp
+         |      FROM v)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dim) AS BIGINT) AS dim_mass,
+         |  CAST(sum(qsum) AS BIGINT) AS qsum_mass,
+         |  bit_xor(fp) AS content_xor
+         |FROM f GROUP BY 1""".stripMargin,
     "pipeline_export_embeddings" -> embExportOracleSql,
     "text_outlinks" ->
       s"""WITH h AS (SELECT doc_id,
