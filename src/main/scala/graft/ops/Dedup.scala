@@ -376,10 +376,14 @@ object Dedup {
     // handful of rounds. Truncation is localCheckpoint by default;
     // spark.graft.checkpointDir switches it to a reliable checkpoint
     // that survives executor loss (see graft.util.Lineage).
-    val edges = graft.util.Lineage.truncate(
+    // lazy truncation throughout this loop: each round's convergence
+    // probe (the count action below) is what materializes + caches the
+    // truncated frame, so the dedicated per-round checkpoint job
+    // disappears while the plan stays cut (results identical)
+    val edges = graft.util.Lineage.truncateLazy(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = graft.util.Lineage.truncate(
+    var labels = graft.util.Lineage.truncateLazy(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
     var changed = 1L
@@ -388,7 +392,7 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("id")).agg(min("dst_label").as("nbr_label"))
-      val stepped = graft.util.Lineage.truncate(
+      val stepped = graft.util.Lineage.truncateLazy(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("label"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label")))
@@ -433,7 +437,8 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = graft.util.Lineage.truncate(pairs
+    // lazy: the checksum probe right below is the materializing action
+    var edges = graft.util.Lineage.truncateLazy(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct())
     var prevChk = checksum(edges)
@@ -449,7 +454,7 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
       // small-star over the now big→small directed edges
       val minsS = afterL.groupBy("u").agg(min("v").as("m"))
-      val e2 = graft.util.Lineage.truncate(afterL.join(minsS, "u")
+      val e2 = graft.util.Lineage.truncateLazy(afterL.join(minsS, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minsS.select(col("u"), col("m").as("v")))
@@ -562,7 +567,8 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
                  maxCount: Long = 1L, sep: String = "\n"): DataFrame = {
-    val lines = df
+    val lines = graft.util.Tables.spread(df.select(col(idCol), col(textCol)),
+        col(idCol))
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("line_no", "line")))
       .filter(length(trim(col("line"))) > 0)
@@ -618,7 +624,11 @@ object Dedup {
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  k: Int, maxCount: Long = 1L): DataFrame = {
     require(k >= 2, s"window width k must be >= 2, got $k")
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+    // spread: per-window md5 compute at scan speed — a single-split
+    // input serializes it onto one core; no-op once the scan has >=
+    // cores splits (guide §2.5 input skew; TextAnalysis.winnow's fix)
+    val toks = graft.util.Tables.spread(
+      df.select(col(idCol), split(col(textCol), " ").as("ws")), col(idCol))
       .filter(size(col("ws")) > 0)
     // (id, start, window-hash) — hash computed inside transform so the
     // explode carries a 32-char md5, never a slice of the token array.

@@ -90,8 +90,10 @@ object Graph {
             + expr(s"(${dampPct.toLong} * coalesce(inbound, 0L)) div 100"))
             .as("rank_micro"))
       // checkpoint=false exists ONLY so PlanAuditSpec can inspect the
-      // un-truncated per-iteration plan; real callers keep the default
-      ranks = if (checkpoint) graft.util.Lineage.truncate(ranks) else ranks
+      // un-truncated per-iteration plan; real callers keep the default.
+      // lazy: fixed-iter loop, no per-round driver probe — the plan is
+      // cut per round, blocks materialize in the caller's one action
+      ranks = if (checkpoint) graft.util.Lineage.truncateLazy(ranks) else ranks
     }
     ranks
   }
@@ -151,7 +153,7 @@ object Graph {
           expr("(coalesce(hraw, 0L) * 1000000L) div mx").as("hub_micro"))
         .join(auth, Seq("id"))
         .select(col("id"), col("hub_micro"), col("auth_micro"))
-      scores = if (checkpoint) graft.util.Lineage.truncate(next) else next
+      scores = if (checkpoint) graft.util.Lineage.truncateLazy(next) else next
     }
     scores
   }
@@ -224,7 +226,10 @@ object Graph {
       val adopted = votes.groupBy(col("a"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("a").as("id"), (-col("m.nl")).as("new_lab"))
-      labels = graft.util.Lineage.truncate(
+      // lazy is probe-safe here: in toFixpoint mode setChecksum is an
+      // action on the truncated frame, so it materializes there — the
+      // fixed-round mode simply collapses its per-round jobs
+      labels = graft.util.Lineage.truncateLazy(
         labels.join(adopted, Seq("id"), "left")
           .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab")))
       if (toFixpoint) {
@@ -280,7 +285,7 @@ object Graph {
         .agg(min(struct(col("dist"), col("root"))).as("m"))
         .select(col("id"), col("m.dist").as("dist"),
           col("m.root").as("root"))
-      state = if (checkpoint) graft.util.Lineage.truncate(folded) else folded
+      state = if (checkpoint) graft.util.Lineage.truncateLazy(folded) else folded
     }
     state
   }
@@ -322,7 +327,7 @@ object Graph {
     var i = 0
     while (i < rounds && !converged) {
       val alive = degrees(und).filter(col("degree") >= k).select("id")
-      und = graft.util.Lineage.truncate(
+      und = graft.util.Lineage.truncateLazy(
         und.join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
       if (toFixpoint) {
@@ -752,7 +757,8 @@ object Graph {
         require(conv, s"scc color propagation still moving after $propCap " +
           s"double-steps in peel round $r — raise propCap")
         // 2. CONFIRM: backward reachability to the root, within the color
-        val ec = graft.util.Lineage.truncate(
+        // lazy: cached on the first mark-step probe's materialization
+        val ec = graft.util.Lineage.truncateLazy(
           e.join(c.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
             .join(c.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
             .filter(col("cs") === col("cd"))
@@ -853,9 +859,9 @@ object Graph {
     // re-execute every upstream plan they reference, and the dag is a
     // labels+edges join that must not re-run per job (the
     // q_markov_stationary lesson)
-    val sizes = graft.util.Lineage.truncate(
+    val sizes = graft.util.Lineage.truncateLazy(
       labels.groupBy("scc").agg(count(lit(1)).as("n_docs")))
-    val qEdges = graft.util.Lineage.truncate(
+    val qEdges = graft.util.Lineage.truncateLazy(
       dag.select(col("scc_src"), col("scc_dst")))
     var dist = labels.join(seeds.select(col("id")).distinct(), Seq("id"))
       .select(col("scc")).distinct().withColumn("dist", lit(0L))
@@ -873,7 +879,7 @@ object Graph {
         cur = cur.unionByName(step).groupBy("scc")
           .agg(min(col("dist")).as("dist"))
       }
-      dist = graft.util.Lineage.truncate(cur)
+      dist = graft.util.Lineage.truncateLazy(cur)
       done += stride
     }
     dist.join(sizes, Seq("scc"))
@@ -903,9 +909,9 @@ object Graph {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     // materialized once — see blastRadius (the stride jobs must not
     // re-run the labels+edges quotient join)
-    val comps = graft.util.Lineage.truncate(
+    val comps = graft.util.Lineage.truncateLazy(
       labels.groupBy("scc").agg(count(lit(1)).as("n_docs")))
-    val qEdges = graft.util.Lineage.truncate(
+    val qEdges = graft.util.Lineage.truncateLazy(
       dag.select(col("scc_src"), col("scc_dst")))
     var layer = comps.select(col("scc")).withColumn("layer", lit(0L))
     // three plan-composed relaxations per materialized job — see
@@ -920,7 +926,7 @@ object Graph {
         cur = cur.unionByName(relax).groupBy("scc")
           .agg(max(col("layer")).as("layer"))
       }
-      layer = graft.util.Lineage.truncate(cur)
+      layer = graft.util.Lineage.truncateLazy(cur)
       done += stride
     }
     layer.join(comps, Seq("scc"))

@@ -164,7 +164,8 @@ object GraphAnnIndex {
       beam, rounds, Some(dim))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
-    val fwd = graft.util.Lineage.truncate(
+    // lazy: the edge write materializes + caches it; count() reuses
+    val fwd = graft.util.Lineage.truncateLazy(
       visited.withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= connectK)
         .select(col("qid").as("id"), col("id").as("nid"),
@@ -275,7 +276,7 @@ object GraphAnnIndex {
         beam, rounds, Some(dim))
       val wTop = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("id").asc)
-      val fwd = graft.util.Lineage.truncate(
+      val fwd = graft.util.Lineage.truncateLazy(
         visited.withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= connectK)
           .select(col("qid").as("id"), col("id").as("nid"),

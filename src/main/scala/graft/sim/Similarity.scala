@@ -1072,7 +1072,9 @@ object Similarity {
       val cand = edges.unionByName(rev).unionByName(two).distinct()
         .join(scored.select(col("id"), col("nid")), Seq("id", "nid"),
           "left_anti")
-      scored = graft.util.Lineage.truncate(
+      // lazy: fixed-iter loop, no per-round driver probe — the plan is
+      // cut per round, blocks materialize in the caller's one action
+      scored = graft.util.Lineage.truncateLazy(
         score(cand).unionByName(scored)
           .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= poolK)
           .drop("rn"))
@@ -1241,8 +1243,13 @@ object Similarity {
     // checkpoint=false pattern): per-round lineage cuts hide the
     // expansion's join shapes from explain, so the audit rebuilds one
     // un-truncated round; every production caller keeps the default
+    // lazy truncation: the expansion loop is fixed-round with no
+    // per-round driver probe, so the plan is cut every round but the
+    // blocks materialize inside the caller's one downstream action —
+    // `rounds` materialization jobs collapse into it (guide §1: job
+    // latency, not data, dominated the profiled lifecycle gates)
     def cut(df: DataFrame): DataFrame =
-      if (truncate) graft.util.Lineage.truncate(df) else df
+      if (truncate) graft.util.Lineage.truncateLazy(df) else df
     val edges = graph.select(col("vec_id").as("id"),
       col("neighbor_id").as("nid"))
     def scoreQ(cand: DataFrame): DataFrame =

@@ -68,4 +68,30 @@ object Lineage {
       case _ => df.localCheckpoint()
     }
   }
+
+  /** Truncate WITHOUT forcing a materialization job — for bounded
+    * fixed-round loops that never read a per-round probe (beam-search
+    * expansions, fixed-stride DAG relaxations, one-shot pair-set
+    * reuse frames): the Catalyst plan is cut to a LogicalRDD at call
+    * time exactly as [[truncate]] does (planning cost stays bounded
+    * per round), but the blocks materialize inside the FIRST
+    * downstream action instead of a dedicated job per round — N
+    * rounds collapse from N+1 jobs into 1, and the result is cached
+    * for every later consumer. Identical results; only job shape
+    * differs (LineageSpec pins equality).
+    *
+    * RELIABLE mode (spark.graft.checkpointDir set) deliberately stays
+    * EAGER: a non-eager `Dataset.checkpoint()` recomputes the full
+    * upstream plan a second time when the checkpoint files are
+    * written, which is the exact double-pass this helper exists to
+    * avoid — and durable-recovery callers already accepted one write
+    * job per round as the price of surviving executor loss.
+    */
+  def truncateLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey) match {
+      case Some(dir) if dir.nonEmpty => truncate(df)
+      case _ => df.localCheckpoint(eager = false)
+    }
+  }
 }
