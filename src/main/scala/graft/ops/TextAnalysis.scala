@@ -842,7 +842,11 @@ object TextAnalysis {
     // portableHash64 rendered inside a HOF lambda (Hashing's column
     // form can't reference the lambda variable)
     val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
-    df.select(col(idCol), normalize(col(textCol)).as("nt"))
+    // spread: the gram-hash transform costs one md5 PER CHARACTER, so
+    // a single-split input serializes the whole corpus onto one core;
+    // no-op once the scan has >= cores splits (guide §2.5 input skew)
+    graft.util.Tables.spread(
+        df.select(col(idCol), normalize(col(textCol)).as("nt")), col(idCol))
       .filter(length(col("nt")) >= k + w - 1)
       .withColumn("hs", expr(
         s"transform(sequence(0, length(nt) - $k), i -> $h)"))
@@ -947,7 +951,9 @@ object TextAnalysis {
     require(k >= 2, s"gram size k must be >= 2, got $k")
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
     val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
-    df.select(col(idCol), normalize(col(textCol)).as("nt"))
+    // spread: per-character md5 boundary scan — see winnow
+    graft.util.Tables.spread(
+        df.select(col(idCol), normalize(col(textCol)).as("nt")), col(idCol))
       .filter(length(col("nt")) > 0)
       // cut AFTER the last char of each boundary gram (0-based gram
       // start i → char index i + k); the length guard keeps

@@ -40,4 +40,21 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Spread a compute-heavy SCAN across the cluster when the input
+    * arrives in fewer splits than there are cores — the "input skew"
+    * fix (one small/unsplittable file serializes a per-row-expensive
+    * stage onto one task) made scale-adaptive: at real corpus sizes
+    * the scan already has >= defaultParallelism splits and this is a
+    * NO-OP — no exchange is added — so the repartition only exists
+    * exactly where the alternative is idle cores. Deterministic hash
+    * partitioning on `key` (never round-robin: retried tasks must
+    * reproduce the same row placement). Call ONLY on shuffle-free
+    * scan lineage: probing partition count compiles the plan, which
+    * on a plan with exchanges would run its map stages early.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 }
