@@ -415,11 +415,20 @@ class PlanAuditSpec extends SparkSpec {
       "the strip/decode chain must stay native regexp expressions")
   }
 
-  test("text_winnow: per-row selection, zero exchanges") {
+  test("text_winnow: per-row selection, at most the scan-spread exchange") {
+    // Tables.spread may add ONE deterministic doc_id hash repartition
+    // when the scan has fewer splits than cores (input-skew fix; a
+    // no-op at corpus scale). Anything beyond that — a second
+    // exchange, round-robin, or a range sort — is a regression.
     val plan = formatted(q("text_winnow"))
-    assert(!plan.contains("Exchange"),
-      "winnowed fingerprint selection must run at scan speed; the " +
-        "explode widens rows but must not repartition them")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"winnowed fingerprint selection must run at scan speed bar the " +
+        s"single scan-spread repartition; got $exchanges exchanges")
+    if (exchanges == 1)
+      assert(plan.contains("hashpartitioning(doc_id") &&
+        !plan.contains("RoundRobinPartitioning"),
+        "the scan spread must be a deterministic doc_id hash repartition")
   }
 
   test("profile_sketch: one key-only distinct exchange, then bounded windows") {
@@ -562,10 +571,16 @@ class PlanAuditSpec extends SparkSpec {
       "the filter must be a hash-join predicate, not a loop-join filter")
   }
 
-  test("text_cdc_chunk: pure per-row boundary arithmetic, zero exchanges") {
+  test("text_cdc_chunk: per-row boundary arithmetic, at most the scan-spread exchange") {
     val plan = formatted(q("text_cdc_chunk"))
-    assert(!plan.contains("Exchange"),
-      "content-defined chunking is per-row selection + explode: any exchange is a regression")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"content-defined chunking is per-row selection + explode: only the " +
+        s"single scan-spread repartition is allowed, got $exchanges exchanges")
+    if (exchanges == 1)
+      assert(plan.contains("hashpartitioning(doc_id") &&
+        !plan.contains("RoundRobinPartitioning"),
+        "the scan spread must be a deterministic doc_id hash repartition")
   }
 
   test("text_canary: per-row injection, zero exchanges") {
@@ -1114,10 +1129,13 @@ class PlanAuditSpec extends SparkSpec {
         Seq("partial_"), Seq("CartesianProduct")),
       ("pipeline_train_corpus", () => q("pipeline_train_corpus"),
         Nil, Seq("CartesianProduct")),
-      ("text_winnow", () => q("text_winnow"), Nil, Seq("Exchange")),
+      // the scan-spread doc_id repartition is the one allowed exchange
+      ("text_winnow", () => q("text_winnow"), Nil,
+        Seq("RoundRobinPartitioning", "rangepartitioning", "CartesianProduct")),
       ("q_fuzzy_join", () => q("q_fuzzy_join"),
         Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
-      ("text_cdc_chunk", () => q("text_cdc_chunk"), Nil, Seq("Exchange")),
+      ("text_cdc_chunk", () => q("text_cdc_chunk"), Nil,
+        Seq("RoundRobinPartitioning", "rangepartitioning", "CartesianProduct")),
       ("text_ppl_bucket", () => q("text_ppl_bucket"),
         Seq("partial_"), Seq("CartesianProduct")),
       ("ann_ivf_search", () => q("ann_ivf_search"),
