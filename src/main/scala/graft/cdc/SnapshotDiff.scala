@@ -69,10 +69,18 @@ object SnapshotDiff {
                pkCols: Seq[String]): DataFrame = {
     val payloadCols = base.columns.filterNot(pkCols.contains).sorted.toSeq
     require(payloadCols.nonEmpty, "three-way merge needs a non-PK column")
+    // row fingerprint for EQUALITY ONLY (never leaves the query, so
+    // no oracle portability constraint): per-cell 60-bit portable
+    // hash with an "N" null sentinel, folded once more — one digest
+    // per cell, long comparisons across the 3-way join instead of
+    // 32-char hex strings
     def hashed(df: DataFrame, tag: String) =
       df.select(pkCols.map(col) :+
-        md5(concat_ws("|",
-          payloadCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+        graft.util.Hashing.portableHash64(concat_ws("|",
+          payloadCols.map(c => coalesce(
+            graft.util.Hashing.portableHash64(col(c).cast("string"))
+              .cast("string"),
+            lit("N"))): _*))
           .as(s"${tag}_hash"): _*)
     // presence-aware equality: NULL hash = key absent on that side;
     // <=> (null-safe equality) makes "both deleted" compare equal
@@ -193,10 +201,15 @@ object SnapshotDiff {
                       preferLeft: Boolean = true): DataFrame = {
     val payloadCols = base.columns.filterNot(pkCols.contains).sorted.toSeq
     require(payloadCols.nonEmpty, "three-way merge needs a non-PK column")
+    // equality-only row fingerprint — the threeWay form (one digest
+    // per cell, long hashes across the 3-way join)
     def hashed(df: DataFrame, tag: String) =
       df.select(pkCols.map(col) :+
-        md5(concat_ws("|",
-          payloadCols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*))
+        graft.util.Hashing.portableHash64(concat_ws("|",
+          payloadCols.map(c => coalesce(
+            graft.util.Hashing.portableHash64(col(c).cast("string"))
+              .cast("string"),
+            lit("N"))): _*))
           .as(s"${tag}_hash"): _*)
     val j = hashed(base, "b")
       .join(hashed(left, "l"), pkCols, "full_outer")

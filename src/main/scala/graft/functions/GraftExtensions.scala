@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
       (children: Seq[Expression]) => LongArrayDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_h64"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "graft_h64"),
+      (children: Seq[Expression]) => Md5Prefix(children(0), 15)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_h32"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "graft_h32"),
+      (children: Seq[Expression]) => Md5Prefix(children(0), 8)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[LongSortedIntersectSize].getName, "graft_intersect_size"),
       (children: Seq[Expression]) => LongSortedIntersectSize(children(0), children(1))))

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared digest helper for [[Md5Prefix]] — one MessageDigest per
+  * thread, reused across rows (Spark's `md5` builtin allocates a
+  * digest per call via DigestUtils and renders the full 32-char hex
+  * string; the prefix-hash family then substrings and base-16-parses
+  * it back, three string allocations per hash that this path skips).
+  */
+object HashUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nibbles`·4 bits of md5(bytes) as a non-negative long —
+    * bit-identical to `conv(substr(md5(x), 1, nibbles), 16, 10)`:
+    * the hex string's first n chars ARE the digest's first n nibbles
+    * read big-endian. nibbles ≤ 15 keeps the value inside a signed
+    * 64-bit (the portable-hash contract with the DuckDB oracle).
+    */
+  def md5Prefix(bytes: Array[Byte], nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val out = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> (64 - nibbles * 4)
+  }
+
+  def md5Prefix(s: UTF8String, nibbles: Int): Long =
+    md5Prefix(s.getBytes, nibbles)
+}
+
+/** Native 60-/32-bit portable hash: the first `nibbles` hex digits of
+  * md5(input) as a long — the exact value of the file-wide
+  * `conv(substr(md5(x), 1, nibbles), 16, 10)` chain (which the DuckDB
+  * oracle replays as `('0x' || substr(md5(x), 1, n))::BIGINT`),
+  * computed straight from the digest bytes: no 32-char hex render, no
+  * substring, no base-16 re-parse. Registered as `graft_h64`
+  * (nibbles = 15) and `graft_h32` (nibbles = 8); operators probe the
+  * registration and fall back to the built-in chain — results never
+  * depend on it, only speed does (the graft_dot discipline). The win
+  * is largest on the per-character gram-hash operators (winnow, CDC
+  * chunking) where one hash per input char made the md5 chain the
+  * whole profile.
+  */
+case class Md5Prefix(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+
+  require(nibbles >= 1 && nibbles <= 15,
+    s"md5 prefix nibbles must be in [1, 15], got $nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string or binary input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String =
+    if (nibbles == 15) "graft_h64" else s"graft_h$nibbles"
+
+  private lazy val isBinary = child.dataType == BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isBinary) HashUtil.md5Prefix(input.asInstanceOf[Array[Byte]], nibbles)
+    else HashUtil.md5Prefix(input.asInstanceOf[UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashUtil.md5Prefix($c, $nibbles)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -209,6 +209,9 @@ object Dedup {
     // (id_a, id_b) pair matches at exactly salt = hash(id_a) mod SALTS.
     // Salt on a portable hash of the id, not the id itself: pmod of a
     // string id is NULL and would silently drop every candidate pair.
+    // (r17 note: a hot-bucket-only salt variant was measured and
+    // REVERTED — the per-key count join it needs adds two exchanges
+    // that cost more than the 16× narrow-row replication saves.)
     val SALTS = 16
     val a = bands.select(col("band"), col("sig"), col("id").as("id_a"))
       .withColumn("salt",

@@ -863,10 +863,15 @@ object Sampling {
   def splitWithLeakage(df: DataFrame, textCol: String, idCol: String,
                        valPm: Long = 500L, testPm: Long = 100L,
                        salt: String = "split"): DataFrame = {
-    val base = df.select(
-      splitAssign(col(idCol), valPm, testPm, salt).as("split"),
-      md5(TextAnalysis.normalize(col(textCol))).as("content_hash"),
-      length(col(textCol)).cast("long").as("n_chars"))
+    // spread: the per-row normalize + whole-text md5 runs in the scan
+    // stage, so a single-split input serializes the corpus onto one
+    // core; no-op once the scan has >= cores splits (guide §2.5)
+    val base = graft.util.Tables.spread(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(
+        splitAssign(col(idCol), valPm, testPm, salt).as("split"),
+        md5(TextAnalysis.normalize(col(textCol))).as("content_hash"),
+        length(col(textCol)).cast("long").as("n_chars"))
     val names = Seq("test", "val", "train")
     val aggs = names.flatMap { s => Seq(
       sum(when(col("split") === s, 1L).otherwise(0L)).as(s"n_$s"),

@@ -675,11 +675,17 @@ object TextAnalysis {
     val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
     val lm = withW1.join(c1, "w1")
       .select(col("bg"), (col("c2").cast("double") / col("c1")).as("p"))
-    val scored = bgs.join(broadcast(lm), Seq("bg"))
-      .groupBy("doc_id")
-      .agg(sum(round(-log(col("p")) * 1e6).cast("long")).as("s"),
-        count(lit(1)).as("nb"))
-      .select(col("doc_id"), expr("s div nb").as("cost_micro"))
+    // cut at the DOC-grain cost table: `scored` feeds the tercile-edge
+    // derivation AND the final labeling — without the cut the whole
+    // corpus explode + LM build + scoring join runs TWICE (once per
+    // consumer); the cut caches one tiny (doc_id, cost_micro) frame
+    // inside the first downstream action (truncateLazy — no extra job)
+    val scored = graft.util.Lineage.truncateLazy(
+      bgs.join(broadcast(lm), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(sum(round(-log(col("p")) * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("nb"))
+        .select(col("doc_id"), expr("s div nb").as("cost_micro")))
     val counts = scored.groupBy("cost_micro").agg(count(lit(1)).as("cnt"))
     val range = counts.agg(min(col("cost_micro")).as("lo"),
       max(col("cost_micro")).as("hi"), sum(col("cnt")).as("n"))
@@ -840,8 +846,14 @@ object TextAnalysis {
     require(k >= 2, s"gram size k must be >= 2, got $k")
     require(w >= 1, s"window w must be >= 1, got $w")
     // portableHash64 rendered inside a HOF lambda (Hashing's column
-    // form can't reference the lambda variable)
-    val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
+    // form can't reference the lambda variable); the native prefix
+    // hash skips the per-position hex render + re-parse — at one hash
+    // per input CHARACTER this chain is the whole profile
+    val h =
+      if (df.sparkSession.catalog.functionExists("graft_h64"))
+        s"graft_h64(substr(nt, i + 1, $k))"
+      else
+        s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
     // spread: the gram-hash transform costs one md5 PER CHARACTER, so
     // a single-split input serializes the whole corpus onto one core;
     // no-op once the scan has >= cores splits (guide §2.5 input skew)
@@ -950,7 +962,12 @@ object TextAnalysis {
                k: Int = 8, modulus: Int = 16): DataFrame = {
     require(k >= 2, s"gram size k must be >= 2, got $k")
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
-    val h = s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
+    // same native-vs-builtin gram hash as winnow (one hash per char)
+    val h =
+      if (df.sparkSession.catalog.functionExists("graft_h64"))
+        s"graft_h64(substr(nt, i + 1, $k))"
+      else
+        s"cast(conv(substr(md5(substr(nt, i + 1, $k)), 1, 15), 16, 10) as bigint)"
     // spread: per-character md5 boundary scan — see winnow
     graft.util.Tables.spread(
         df.select(col(idCol), normalize(col(textCol)).as("nt")), col(idCol))

@@ -100,12 +100,16 @@ object GraphAnnIndex {
         col("cosine").as("cos"))
     val nodes = prepared(seed.filter(col(vecCol).isNotNull &&
       size(col(vecCol)) === dim), vecCol, idCol)
-    graft.streaming.CdcStream.writeStorePartitions(
-      nodes, bucketOf(col("id"), nStoreBuckets), 0L,
-      nodesPath(store), nStoreBuckets)
-    graft.streaming.CdcStream.writeStorePartitions(
-      graph, bucketOf(col("id"), nStoreBuckets), 0L,
-      edgesPath(store), nStoreBuckets)
+    // the two store writes are independent (disjoint paths, no shared
+    // mutable lineage) — overlap them so the edge write's tasks
+    // back-fill the node write's tail (guide §2.6)
+    graft.util.Par.run(
+      graft.streaming.CdcStream.writeStorePartitions(
+        nodes, bucketOf(col("id"), nStoreBuckets), 0L,
+        nodesPath(store), nStoreBuckets),
+      graft.streaming.CdcStream.writeStorePartitions(
+        graph, bucketOf(col("id"), nStoreBuckets), 0L,
+        edgesPath(store), nStoreBuckets))
   }
 
   private def storeBuckets(spark: SparkSession, store: String): Int =
@@ -171,11 +175,14 @@ object GraphAnnIndex {
         .select(col("qid").as("id"), col("id").as("nid"),
           round(col("cos"), 6).as("cos")))
     val rev = fwd.select(col("nid").as("id"), col("id").as("nid"), col("cos"))
-    graft.streaming.CdcStream.writeStorePartitions(
-      pNew, bucketOf(col("id"), nB), batchId, nodesPath(store), nB)
-    graft.streaming.CdcStream.writeStorePartitions(
-      fwd.unionByName(rev), bucketOf(col("id"), nB), batchId,
-      edgesPath(store), nB)
+    // independent writes (disjoint stores) — overlapped per guide §2.6;
+    // the edge write materializes fwd's lazy cut, count() then reuses it
+    graft.util.Par.run(
+      graft.streaming.CdcStream.writeStorePartitions(
+        pNew, bucketOf(col("id"), nB), batchId, nodesPath(store), nB),
+      graft.streaming.CdcStream.writeStorePartitions(
+        fwd.unionByName(rev), bucketOf(col("id"), nB), batchId,
+        edgesPath(store), nB))
     fwd.count()
   }
 

@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
+  /** True when the native prefix-hash expressions are registered on
+    * the active session (graft.functions.GraftExtensions) — the
+    * graft_dot probe-and-fall-back discipline: identical values either
+    * way, the native path just skips the hex render + re-parse.
+    */
+  private def nativeHash: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_h64"))
+
   /** 60-bit non-negative portable hash of a string column. */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    if (nativeHash) call_function("graft_h64", c)
+    else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Portable hash seeded by an integer — gives an indexed hash family
     * h_i(x) = portableHash64(i || ':' || x) for MinHash signatures.
@@ -32,7 +42,8 @@ object Hashing {
     * range on both engines (used by the commutative range hash).
     */
   def portableHash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    if (nativeHash) call_function("graft_h32", c)
+    else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Universal-hash family constants: the affine family
     * h_j(x) = (a_j·h₃₀(x) + b_j) mod P with per-j coefficients drawn

@@ -48,6 +48,43 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_h64/graft_h32 are bit-identical to the md5 conv chain") {
+    assert(spark.catalog.functionExists("graft_h64"))
+    assert(spark.catalog.functionExists("graft_h32"))
+    // random-ish strings incl. multi-byte UTF-8, empties, long runs
+    val df = spark.range(500).selectExpr(
+      """concat(
+        |  repeat(char(97 + id % 26), cast(id % 37 as int)),
+        |  case when id % 5 = 0 then 'λπ☃日本語' else '' end,
+        |  ':', cast(id * 2654435761 as string),
+        |  case when id % 7 = 0 then '' else ' tail|seg ' end) as s""".stripMargin)
+    val mismatches = df.selectExpr(
+      "graft_h64(s) = cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) as ok64",
+      "graft_h32(s) = cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint) as ok32")
+      .filter("not ok64 or not ok32").count()
+    assert(mismatches == 0)
+    // empty string and NULL behave like the builtin chain
+    val r = spark.sql(
+      """select graft_h64('') = cast(conv(substr(md5(''), 1, 15), 16, 10) as bigint) as emp,
+        |       graft_h64(cast(null as string)) as nul""".stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(r.isNullAt(1))
+  }
+
+  test("portableHash64 column form routes native and matches the chain") {
+    val df = spark.range(300)
+      .selectExpr("concat('k:', cast(id as string)) as s")
+    val mismatches = df.select(
+        graft.util.Hashing.portableHash64(col("s")).as("h"),
+        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("ref"))
+      .filter("h <> ref").count()
+    assert(mismatches == 0)
+    // the routed plan actually uses the native expression
+    val plan = df.select(graft.util.Hashing.portableHash64(col("s")))
+      .queryExecution.analyzed.toString()
+    assert(plan.contains("graft_h64"), s"expected native routing, got:\n$plan")
+  }
+
   test("qdot falls back to identical results without the native function") {
     // dim-provided and dim-free HOF paths agree with the native path
     val df = spark.range(50).selectExpr(
