@@ -156,6 +156,10 @@ object Kll {
     cur
   }
 
+  /** [[compress]] for the mutable aggregation buffer ([[KllBuf]]) —
+    * same arithmetic, package-visible. */
+  private[ops] def compressState(s: KllState): KllState = compress(s)
+
   /** Fold one value in. Only a full level 0 can push the sketch over
     * capacity (updates grow nothing else), so the expensive
     * walk-all-levels compress check runs once per cap(0) arrivals, not
@@ -217,18 +221,77 @@ object Kll {
     weighted(s).takeWhile(_._1 <= v).map(_._2).sum
 }
 
+/** Mutable aggregation buffer for [[KllAgg]]'s per-row hot path: the
+  * level-0 arrival buffer as an UNBOXED double array appended in
+  * place (the Aggregator contract allows mutating and returning the
+  * buffer), the settled upper levels as the immutable vectors the
+  * compaction path already produces. Every compaction converts to
+  * [[KllState]] and runs the EXACT [[Kll]] compress/merge arithmetic,
+  * so sketch content is bit-identical to the immutable form at every
+  * compaction boundary — only the per-row allocation churn (one
+  * KllState + two persistent-vector path copies + a boxed Double per
+  * update) is gone. Kryo-serialized between partial and final
+  * aggregation; the OUTPUT stays the product-encoded [[KllState]].
+  */
+final class KllBuf(val k: Int) extends Serializable {
+  var count = 0L
+  var compactions = 0L
+  var l0 = new Array[Double](64)
+  var l0n = 0
+  var upper: Vector[Vector[Double]] = Vector.empty
+
+  def toState: KllState = {
+    val lvl0: Vector[Double] = {
+      val b = Vector.newBuilder[Double]
+      var i = 0
+      while (i < l0n) { b += l0(i); i += 1 }
+      b.result()
+    }
+    KllState(k, count, compactions, lvl0 +: upper)
+  }
+
+  def loadFrom(s: KllState): KllBuf = {
+    count = s.count
+    compactions = s.compactions
+    val head = s.levels.headOption.getOrElse(Seq.empty)
+    if (head.size > l0.length) l0 = new Array[Double](head.size * 2)
+    var i = 0
+    head.foreach { v => l0(i) = v; i += 1 }
+    l0n = head.size
+    upper = s.levels.drop(1).map(_.toVector).toVector
+    this
+  }
+}
+
 /** [[Kll]] as a typed Spark Aggregator — the mergeable-under-
   * partitioning form: Spark folds per-partition sketches with
   * `reduce` and combines partials with `merge`, which is exactly the
   * arbitrary-merge-tree contract the sketch guarantees bounds under.
   * Use via `udaf(new KllAgg(k), Encoders.scalaDouble)` in a
-  * DataFrame agg, or `.toColumn` on a typed Dataset.
+  * DataFrame agg, or `.toColumn` on a typed Dataset. The buffer is
+  * the mutable [[KllBuf]] (per-row append in place); results are
+  * identical to folding [[Kll.update]] directly (KllSpec pins it).
   */
-class KllAgg(k: Int) extends Aggregator[Double, KllState, KllState] {
-  def zero: KllState = Kll.empty(k)
-  def reduce(s: KllState, v: Double): KllState = Kll.update(s, v)
-  def merge(a: KllState, b: KllState): KllState = Kll.merge(a, b)
-  def finish(s: KllState): KllState = s
-  def bufferEncoder: Encoder[KllState] = Encoders.product[KllState]
+class KllAgg(k: Int) extends Aggregator[Double, KllBuf, KllState] {
+  def zero: KllBuf = { Kll.empty(k); new KllBuf(k) } // empty() validates k
+  def reduce(s: KllBuf, v: Double): KllBuf = {
+    if (s.l0n >= s.l0.length) {
+      val g = new Array[Double](s.l0.length * 2)
+      System.arraycopy(s.l0, 0, g, 0, s.l0n)
+      s.l0 = g
+    }
+    s.l0(s.l0n) = v
+    s.l0n += 1
+    s.count += 1
+    // same trigger as Kll.update: only a full level 0 can push the
+    // sketch over capacity
+    if (s.l0n >= Kll.levelCap(s.k, s.upper.length + 1, 0))
+      s.loadFrom(Kll.compressState(s.toState))
+    else s
+  }
+  def merge(a: KllBuf, b: KllBuf): KllBuf =
+    a.loadFrom(Kll.merge(a.toState, b.toState))
+  def finish(s: KllBuf): KllState = s.toState
+  def bufferEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
   def outputEncoder: Encoder[KllState] = Encoders.product[KllState]
 }

@@ -92,9 +92,11 @@ object IvfIndex {
       }).toDF("cid", "cqv")
       .withColumn("cn2", qdot(col("cqv"), col("cqv"), Some(dim)))
     graft.util.Fs.delete(spark, assignPath(store))
-    centDf.coalesce(1).write.mode("overwrite").parquet(centroidsPath(store))
-    dimStats(seed, vecCol).coalesce(1)
-      .write.mode("overwrite").parquet(profilePath(store))
+    // independent tiny writes (disjoint paths) — overlapped, guide §2.6
+    graft.util.Par.run(
+      centDf.coalesce(1).write.mode("overwrite").parquet(centroidsPath(store)),
+      dimStats(seed, vecCol).coalesce(1)
+        .write.mode("overwrite").parquet(profilePath(store)))
     // the seed's own assignment recomputes against the PERSISTED
     // centroids — one code path for every batch in the store
     append(spark, seed, vecCol, idCol, store, batchId = 0L, dim = dim,
