@@ -73,6 +73,13 @@ object BucketedLayout {
     * produce no staged dir but must still be dropped). Every other
     * partition's files are untouched — not rewritten, not moved.
     *
+    * `clearBuckets` may simply be the batch's full TOUCHED set: a
+    * candidate that also appears in the staged output is being
+    * replaced, not cleared, and is skipped here. Callers therefore
+    * never need a separate "which buckets survived the merge" action —
+    * the staged partition listing already answers it (one driver
+    * collect per trigger removed from every streaming fold).
+    *
     * `df` may derive from the very partitions being replaced (the
     * usual merge-from-self); staging materializes it first, so the
     * swap never races the read.
@@ -96,9 +103,11 @@ object BucketedLayout {
       .repartition(col(GB))
       .write.partitionBy(GB).mode("overwrite").parquet(tmp)
     val f = Fs.fs(spark, destPath)
-    clearBuckets.foreach(k => Fs.delete(spark, s"$destPath/$GB=$k"))
     val staged = f.listStatus(new Path(tmp))
       .filter(_.getPath.getName.startsWith(s"$GB="))
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    clearBuckets.filterNot(k => stagedNames.contains(s"$GB=$k"))
+      .foreach(k => Fs.delete(spark, s"$destPath/$GB=$k"))
     staged.foreach { st =>
       Fs.replace(spark, st.getPath.toString, s"$destPath/${st.getPath.getName}")
     }

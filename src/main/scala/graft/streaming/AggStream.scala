@@ -177,21 +177,24 @@ object AggStream {
       // 2. idempotent base apply
       nBuckets match {
         case Some(n) =>
-          val upsM = ups.localCheckpoint()
           if (baseExists) {
             // base is already pruned to the touched partitions; merge
-            // + delete, swap exactly those back
+            // + delete, swap exactly those back. No checkpoint and no
+            // kept-bucket collect: overwriteBuckets stages the merge
+            // output before deleting anything (the pre-swap read never
+            // races the swap) and clears only touched buckets its own
+            // staged partitions did not survive into — two driver
+            // actions gone from every bucketed trigger
             val merged = Merge.applyDeletes(
-              Merge.upsert(base, upsM, pkCols), delKeys, pkCols).localCheckpoint()
-            val kept = merged.select(BucketedLayout.bucketExpr(pkCols, n).as("gb"))
-              .distinct().collect().map(_.getInt(0)).toSet
+              Merge.upsert(base, ups, pkCols), delKeys, pkCols)
             BucketedLayout.overwriteBuckets(spark, merged, pkCols, n, basePath,
-              clearBuckets = touched.filterNot(kept))
-          } else if (!upsM.isEmpty) {
+              clearBuckets = touched)
+          } else if (!ups.isEmpty) {
             // an all-tombstone bootstrap batch has nothing to write —
             // a partitioned write of zero rows would publish a
-            // schema-less marker shell
-            BucketedLayout.writeFull(spark, upsM, pkCols, n, basePath)
+            // schema-less marker shell (`ups` filters the checkpointed
+            // `latest`, so the emptiness probe reads local blocks)
+            BucketedLayout.writeFull(spark, ups, pkCols, n, basePath)
           }
         case None =>
           val merged =

@@ -119,15 +119,32 @@ object JoinStream {
     if (!batch.isEmpty) {
       val dimPayload = dimCols.filterNot(_ == dimPk)
 
-      // split + collapse to ONE action per key per side
+      // split + collapse to ONE action per key per side. Both sides'
+      // collapsed change sets pin under ONE localCheckpoint (a `__cs`
+      // tag keeps them apart): the per-side frames feed the fold AND
+      // the merges under stores being swapped, and one materialization
+      // job is half the driver latency of two (guide §2.6 — the
+      // driver's serial action count is the cost at trigger grain).
+      val collapsed = {
+        def latestOf(tag: String, pk: Seq[String], cols: Seq[String]) =
+          Merge.latestByKey(
+            batch.filter(col("side") === tag)
+              .select((cols :+ versionCol :+ deleteCol).map(col): _*),
+            pk, versionCol).withColumn("__cs", lit(tag))
+        latestOf("fact", factPk, factCols)
+          .unionByName(latestOf("dim", Seq(dimPk), dimCols),
+            allowMissingColumns = true)
+          .localCheckpoint()
+      }
       def sideOf(tag: String, pk: Seq[String], cols: Seq[String]) = {
-        val latest = Merge.latestByKey(
-          batch.filter(col("side") === tag)
-            .select((cols :+ versionCol :+ deleteCol).map(col): _*),
-          pk, versionCol)
-          .localCheckpoint() // feeds fold AND merge under stores being swapped
-        (latest.filter(!col(deleteCol)).select(cols.map(col): _*),
-          latest.filter(col(deleteCol)).select(pk.map(col): _*))
+        // re-alias every projected column: both sides filter the SAME
+        // checkpointed frame, and the fold later JOINS fact- against
+        // dim-derived frames — without fresh output exprIds per side,
+        // Spark's self-join ambiguity check sees one dataset on both
+        // sides of that join and fails analysis
+        val latest = collapsed.filter(col("__cs") === tag)
+        (latest.filter(!col(deleteCol)).select(cols.map(c => col(c).as(c)): _*),
+          latest.filter(col(deleteCol)).select(pk.map(c => col(c).as(c)): _*))
       }
       val (factUps, factDelKeys) = sideOf("fact", factPk, factCols)
       val (dimUps, dimDelKeys) = sideOf("dim", Seq(dimPk), dimCols)
@@ -150,30 +167,40 @@ object JoinStream {
 
       // the buckets this trigger touches: the fact batch's own keys,
       // plus — only when the dim side moved — the buckets of fact
-      // rows referencing touched dim keys (the one pruned fact scan)
+      // rows referencing touched dim keys (the one pruned fact scan).
+      // Both bucket sets come back in ONE tagged collect (the fact
+      // merge in step 2 needs the fact-side set alone, so the tag
+      // rides along instead of a second driver round trip), and the
+      // whole collect is skipped when no store exists yet to prune.
       val touchedDimKeys = dimUps.select(col(dimPk))
         .unionByName(dimDelKeys).filter(col(dimPk).isNotNull).distinct()
-      def bucketsOf(df: DataFrame): Set[Int] =
+      val dimMoved = !touchedDimKeys.isEmpty
+      def bucketsTagged(df: DataFrame, tag: String): DataFrame =
         df.select(BucketedLayout.bucketExpr(factPk, nBuckets).as("gb"))
-          .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets rows
-      val factSideBuckets = bucketsOf(
-        factUps.select(factPk.map(col): _*).unionByName(factDelKeys))
+          .distinct().withColumn("__bt", lit(tag))
+      val factKeyBuckets = bucketsTagged(
+        factUps.select(factPk.map(col): _*).unionByName(factDelKeys), "f")
       // OUTER mode probes the VIEW (it holds every fact row — the
       // self-maintainability invariant), inner mode the fact replica
-      val dimSideBuckets =
-        if (touchedDimKeys.isEmpty) Set.empty[Int]
+      val dimProbeBuckets: Option[DataFrame] =
+        if (!dimMoved) None
         else if (outer) {
-          if (!viewExists) Set.empty[Int]
-          else bucketsOf(spark.read.parquet(viewPath)
+          if (!viewExists) None
+          else Some(bucketsTagged(spark.read.parquet(viewPath)
             .select((factPk :+ fk).map(col): _*)
             .join(broadcast(touchedDimKeys.select(col(dimPk).as(fk))),
-              Seq(fk), "left_semi"))
-        } else if (!factExists) Set.empty[Int]
-        else bucketsOf(spark.read.parquet(factPath)
+              Seq(fk), "left_semi"), "d"))
+        } else if (!factExists) None
+        else Some(bucketsTagged(spark.read.parquet(factPath)
           .select((factPk :+ fk).map(col): _*)
           .join(broadcast(touchedDimKeys.select(col(dimPk).as(fk))),
-            Seq(fk), "left_semi"))
-      val touched = (factSideBuckets ++ dimSideBuckets).toIndexedSeq.sorted
+            Seq(fk), "left_semi"), "d"))
+      val taggedBuckets: Seq[(Int, String)] =
+        if (!viewExists && !factExists) Nil // nothing to prune yet
+        else dimProbeBuckets.fold(factKeyBuckets)(factKeyBuckets.unionByName(_))
+          .collect().map(r => (r.getInt(0), r.getString(1))).toIndexedSeq
+      val factSideBuckets = taggedBuckets.collect { case (k, "f") => k }.toSet
+      val touched = taggedBuckets.map(_._1).distinct.sorted
 
       def bucketRead(p: String, exists: Boolean, empty: DataFrame) =
         if (!exists) empty
@@ -205,7 +232,6 @@ object JoinStream {
         val (newView, dUps, dDels) = JoinMaintain.maintainDelta(spark,
           viewB, factB, dimBase, factUps, factDelKeys, dimUps, dimDelKeys,
           factPk, fk, dimPk, dimPayload, outer = outer)
-        val nv = newView.localCheckpoint()
         // the delta frames read the PRE-swap view/fact stores — they
         // must materialize BEFORE overwriteBuckets deletes those files
         val (vUps, vDels) =
@@ -261,13 +287,19 @@ object JoinStream {
           }
         }
         if (viewExists) {
-          val kept = bucketsOf(nv.select(factPk.map(col): _*))
-          BucketedLayout.overwriteBuckets(spark, nv, factPk, nBuckets,
-            viewPath, clearBuckets = touched.filterNot(kept))
-        } else if (!nv.isEmpty) {
-          // zero-row partitioned bootstrap would publish a schema-less
-          // shell that wedges every later read (the AggStream guard)
-          BucketedLayout.writeFull(spark, nv, factPk, nBuckets, viewPath)
+          // no pre-materialization and no kept-bucket collect:
+          // overwriteBuckets stages the new view before any delete
+          // (so the fold's pre-swap reads never race the swap) and
+          // derives the survivor set from its own staged partitions
+          BucketedLayout.overwriteBuckets(spark, newView, factPk, nBuckets,
+            viewPath, clearBuckets = touched)
+        } else {
+          val nv = newView.localCheckpoint() // emptiness gate AND write
+          if (!nv.isEmpty) {
+            // zero-row partitioned bootstrap would publish a schema-less
+            // shell that wedges every later read (the AggStream guard)
+            BucketedLayout.writeFull(spark, nv, factPk, nBuckets, viewPath)
+          }
         }
         writeStamp(spark, viewPath, batchId)
       }
@@ -282,10 +314,11 @@ object JoinStream {
             .drop(BucketedLayout.GB)
           val merged = Merge.applyDeletes(
             Merge.upsert(base, factUps, factPk), factDelKeys, factPk)
-            .localCheckpoint()
-          val kept = bucketsOf(merged.select(factPk.map(col): _*))
+          // staged-before-delete + staged-survivor clearing: neither a
+          // checkpoint nor a kept-bucket collect is needed (see the
+          // view fold above)
           BucketedLayout.overwriteBuckets(spark, merged, factPk, nBuckets,
-            factPath, clearBuckets = fb.filterNot(kept))
+            factPath, clearBuckets = fb)
         }
       } else if (!factUps.isEmpty) {
         BucketedLayout.writeFull(spark, factUps, factPk, nBuckets, factPath)
@@ -296,7 +329,7 @@ object JoinStream {
       //    fact-only trigger must not rewrite-and-swap an unchanged
       //    dim table every second (a replay with dim changes still
       //    re-runs the merge, so idempotence is untouched)
-      if (!touchedDimKeys.isEmpty) {
+      if (dimMoved) {
         val dimMerged =
           if (dimExists)
             Merge.applyDeletes(Merge.upsert(dimBase, dimUps, Seq(dimPk)),
