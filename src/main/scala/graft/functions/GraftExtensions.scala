@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -52,5 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_wordpiece_count"),
       new ExpressionInfo(classOf[WordPieceCountExpr].getName, "graft_wordpiece_count"),
       (children: Seq[Expression]) => WordPieceCountExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kll(col, k) takes two arguments")
+        // k parameterizes the sketch structure — it must be plan-time
+        require(children(1).foldable && children(1).dataType == IntegerType,
+          "graft_kll's k must be an integer literal")
+        KllSketchAgg(children(0),
+          children(1).eval().asInstanceOf[Int])
+      }))
   }
 }

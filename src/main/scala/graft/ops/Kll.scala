@@ -79,7 +79,7 @@ object Kll {
   /** Capacity of level `l` in a sketch currently `numLevels` tall:
     * k · c^(numLevels-1-l), floored at MIN_CAP — the top level always
     * holds up to k. Computed in integer arithmetic (k · 2^d / 3^d). */
-  private[ops] def levelCap(k: Int, numLevels: Int, l: Int): Int = {
+  private[graft] def levelCap(k: Int, numLevels: Int, l: Int): Int = {
     val d = numLevels - 1 - l
     // k·(2/3)^d as integers; d > ~40 would zero out long before that
     var num = k.toLong
@@ -158,7 +158,7 @@ object Kll {
 
   /** [[compress]] for the mutable aggregation buffer ([[KllBuf]]) —
     * same arithmetic, package-visible. */
-  private[ops] def compressState(s: KllState): KllState = compress(s)
+  private[graft] def compressState(s: KllState): KllState = compress(s)
 
   /** Fold one value in. Only a full level 0 can push the sketch over
     * capacity (updates grow nothing else), so the expensive

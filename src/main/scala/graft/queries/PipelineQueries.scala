@@ -1818,7 +1818,17 @@ object PipelineQueries {
     val stacked = Tables.lineitem(spark, sfDir)
       .selectExpr(s"stack(${kllCols.size}, $stackArgs) as (col_name, val)")
       .filter(col("val").isNotNull)
-    val kllUdaf = udaf(new graft.ops.KllAgg(k), Encoders.scalaDouble)
+    // Native TypedImperativeAggregate when registered (no per-row
+    // encoder round trip — graft.functions.KllSketchAgg), udaf
+    // fallback otherwise; identical sketch arithmetic and one output
+    // struct shape either way (the graft_dot probe discipline).
+    val kllOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (spark.catalog.functionExists("graft_kll"))
+        c => call_function("graft_kll", c, lit(k))
+      else {
+        val kllUdaf = udaf(new graft.ops.KllAgg(k), Encoders.scalaDouble)
+        c => kllUdaf(c)
+      }
     // A small-SF table is one parquet split, which would fold EVERY
     // update in one task; spread the partial build when splits are
     // scarce. At cluster scale splits are plentiful and no shuffle is
@@ -1832,7 +1842,7 @@ object PipelineQueries {
         stacked.repartition(32, col("col_name"), col("val"))
       else stacked
     val sketches = spread.groupBy("col_name")
-      .agg(kllUdaf(col("val")).as("sk")).collect()
+      .agg(kllOf(col("val")).as("sk")).collect()
     val est = sketches.flatMap { row =>
       val name = row.getString(0)
       val skRow = row.getStruct(1)

@@ -148,6 +148,44 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("native graft_kll: single-partition content is bit-identical to " +
+      "the Kll.update fold; 16-partition build holds the bound") {
+    import spark.implicits._
+    val n = 60000
+    val vs = streams(n)("uniform-shuffled")
+    val sorted = vs.sorted.toIndexedSeq
+    val tol = n.toLong * EPS_PPM / 1000000L
+    assert(spark.catalog.functionExists("graft_kll"),
+      "test session must register GraftExtensions")
+    def build(parts: Int): KllState = {
+      val row = vs.toDF("v").repartition(parts)
+        .agg(call_function("graft_kll", col("v"), lit(K)).as("sk"))
+        .select("sk.k", "sk.count", "sk.compactions", "sk.levels")
+        .head()
+      KllState(row.getInt(0), row.getLong(1), row.getLong(2),
+        row.getSeq[scala.collection.Seq[Double]](3).map(_.toVector).toVector)
+    }
+    // the raw expression's update order over one sequence == Kll.update
+    // fold — the native path changes the HARNESS, never the arithmetic
+    val direct = graft.functions.KllSketchAgg.foldForSpec(K, vs)
+    assert(direct == fromScratch(vs), "native update diverged from Kll.update")
+    // through Spark: weight conservation + bound at 1 and 16 partitions
+    for (parts <- Seq(1, 16)) {
+      val s = build(parts)
+      assert(s.count == n.toLong && retainedWeight(s) == n.toLong,
+        s"parts=$parts lost weight")
+      assert(maxViolation(s, sorted, tol) == 0L, s"parts=$parts broke the bound")
+    }
+    // serialize/deserialize round trip is identity on the buffer
+    val agg = graft.functions.KllSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = true), K)
+    val buf = vs.take(5000).foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+      agg.update(b, org.apache.spark.sql.catalyst.InternalRow(v))
+    }
+    assert(agg.deserialize(agg.serialize(buf)).toState == buf.toState)
+  }
+
   test("empty and degenerate sketches") {
     assert(Kll.quantile(Kll.empty(64), 50L).isEmpty)
     val one = Kll.update(Kll.empty(64), 42.0)
