@@ -119,38 +119,66 @@ object FuzzyJoin {
            rightId: String, rightKey: String,
            maxDist: Int, q: Int): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad maxDist=$maxDist / q=$q")
-    // The gram equi-join is the operator's blowup point (hot template
-    // grams multiply both sides), so ONLY narrow (id, g, occ) rows
-    // enter it and the shared-count groupBy keys two longs — the key
-    // strings and lengths rejoin AFTER the count filter, from the
-    // per-row side tables, paying string bytes once per surviving
-    // candidate instead of once per shared gram (measured 3× on the
-    // template-heavy supplier gate).
-    val lg = grams(left, leftId, leftKey, q, "id_l", "k_l", "len_l")
-    val rg = grams(right, rightId, rightKey, q, "id_r", "k_r", "len_r")
-    val shared = lg.select(col("id_l"), col("g"), col("occ"))
-      .join(rg.select(col("id_r"), col("g"), col("occ")), Seq("g", "occ"))
-      .groupBy("id_l", "id_r")
-      .agg(count(lit(1)).as("n_shared"))
+    // PREFIX FILTER over the gram equi-join (the prefix-filtering
+    // principle of the set-similarity-join literature — Chaudhuri et
+    // al. ICDE'06, PPJoin — applied to the positional q-gram bag,
+    // which the (g, occ) ordinal encoding turns into a SET): a pair
+    // within distance d shares ≥ t = max(|a|,|b|) − q + 1 − q·d gram
+    // elements, so under ANY total order on elements, the first
+    // |G| − t + 1 ≤ q·d + 1 elements of each side must already share
+    // one (pigeonhole on the smallest common element: were both
+    // prefixes disjoint from each other, every other common element
+    // would sit in one side's (t−1)-sized suffix, capping the overlap
+    // at t−1 < t). Each side therefore contributes only its q·d + 1
+    // RAREST grams to the join — rarest-first (count over both sides)
+    // is what makes this effective on template-heavy keys, where the
+    // shared template's grams are exactly the frequent ones the
+    // prefix now skips; candidates drop from "every pair sharing any
+    // gram" to "pairs sharing a rare gram", and the exact DP verifies
+    // the survivors. Losslessness is spec-pinned by the RandomizedSpec
+    // brute-force cross-check (template-heavy AND random populations).
+    val pfx = q * maxDist + 1
+    // only narrow (id, g, occ) rows enter the frequency/prefix passes;
+    // key strings and lengths rejoin per CANDIDATE afterwards. The
+    // narrow gram tables pin under a lazy cut: they feed the frequency
+    // count AND the per-side prefix selection — ~|keys|·len short
+    // rows, spill-backed, far under the corpus-cache scale the bigram
+    // operators gate on.
+    val lg = graft.util.Lineage.truncateLazy(
+      grams(left, leftId, leftKey, q, "id_l", "k_l", "len_l")
+        .select(col("id_l"), col("g"), col("occ")))
+    val rg = graft.util.Lineage.truncateLazy(
+      grams(right, rightId, rightKey, q, "id_r", "k_r", "len_r")
+        .select(col("id_r"), col("g"), col("occ")))
+    // one global rarity order shared by BOTH sides (ties broken by
+    // (g, occ) — total and deterministic)
+    val freq = graft.util.Lineage.truncateLazy(
+      lg.select(col("g"), col("occ"))
+        .unionAll(rg.select(col("g"), col("occ")))
+        .groupBy("g", "occ").agg(count(lit(1)).as("__fc")))
+    def prefixOf(gr: DataFrame, id: String): DataFrame =
+      gr.join(freq, Seq("g", "occ"))
+        .groupBy(col(id))
+        .agg(slice(array_sort(collect_list(
+          struct(col("__fc"), col("g"), col("occ")))), 1, pfx).as("__p"))
+        .select(col(id), explode(col("__p")).as("__e"))
+        .select(col(id), col("__e.g").as("g"), col("__e.occ").as("occ"))
+    val cands = prefixOf(lg, "id_l")
+      .join(prefixOf(rg, "id_r"), Seq("g", "occ"))
+      .select("id_l", "id_r").distinct()
+    // Pairs with max(len) ≥ q(d+1) always satisfy t ≥ 1 (and both
+    // sides HAVE grams — a ≥ q(d+1)-char string within d of a
+    // < q-char one is impossible), so the prefix channel covers them;
+    // pairs with both sides below q(d+1) may share ZERO grams (the
+    // bound degenerates — the RandomizedSpec cross-check caught
+    // exactly this) and go through the brute channel below.
+    val cut = q * (maxDist + 1)
+    val verified = cands
       .join(left.select(col(leftId).as("id_l"), col(leftKey).as("k_l"),
         length(col(leftKey)).as("len_l")), Seq("id_l"))
       .join(right.select(col(rightId).as("id_r"), col(rightKey).as("k_r"),
         length(col(rightKey)).as("len_r")), Seq("id_r"))
-    // The count bound max(len) − q + 1 − q·d is only a FILTER when it
-    // is ≥ 1; at max(len) ≤ q(d+1) − 1 it degenerates to ≤ 0 — such
-    // pairs may share ZERO grams and a gram join cannot enumerate
-    // them (the RandomizedSpec brute-force cross-check caught exactly
-    // this). Partition instead of clamp: pairs with max(len) ≥ q(d+1)
-    // always share ≥ bound ≥ 1 grams (and their partner is ≥ q chars,
-    // so both sides HAVE grams); pairs with both sides below q(d+1)
-    // go through the brute channel — a by-construction tiny,
-    // broadcast population of near-empty strings.
-    val cut = q * (maxDist + 1)
-    val bound = greatest(col("len_l"), col("len_r")) - lit(q - 1) -
-      lit(q * maxDist)
-    val verified = shared
-      .filter(greatest(col("len_l"), col("len_r")) >= cut &&
-        col("n_shared") >= bound)
+      .filter(greatest(col("len_l"), col("len_r")) >= cut)
       .withColumn("dist", levenshtein(col("k_l"), col("k_r")))
       .filter(col("dist") <= maxDist)
       .select(col("id_l"), col("k_l"), col("id_r"), col("k_r"),

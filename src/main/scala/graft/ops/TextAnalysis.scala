@@ -571,14 +571,42 @@ object TextAnalysis {
     * same result. The probability is computed as ONE exact-int
     * division then ln, identical IEEE ops on both engines.
     */
+  /** Size-conditional reuse cut of the exploded bigram table. The
+    * bigram LM operators consume the exploded (doc_id, bigram) rows
+    * TWICE — once to estimate the LM, once to score docs against it —
+    * and without a cut the whole normalize → split → explode subtree
+    * runs once per consumer (two full corpus passes). Below
+    * `spark.graft.bigramCutMaxBytes` (default 8 GiB of ESTIMATED
+    * input — plan statistics, i.e. file size for a scan) the exploded
+    * frame is pinned with a lazy lineage cut: one corpus pass, the
+    * second consumer reads the spill-backed cached blocks
+    * (MEMORY_AND_DISK semantics — an oversized cache spills, it does
+    * not OOM). Above the threshold the operator DEGRADES to the
+    * two-pass shape: at 100 TB the exploded rows are a multiple of
+    * the input (every token repeated into two bigrams), and writing
+    * hundreds of TB through executor block managers costs more than
+    * the second columnar scan it would save — re-reading parquet
+    * twice is the cheaper plan, and the cut would also pin the
+    * operator's peak storage footprint to the corpus size. Deployments
+    * with block-manager budget to spare raise the conf; results are
+    * identical either way (the cut only changes job shape).
+    */
+  private def maybeCutBigrams(input: DataFrame, bgs: DataFrame): DataFrame = {
+    val maxBytes = input.sparkSession.conf
+      .getOption("spark.graft.bigramCutMaxBytes")
+      .flatMap(_.toLongOption).getOrElse(8L << 30)
+    val est = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) graft.util.Lineage.truncateLazy(bgs) else bgs
+  }
+
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val docs = df
       .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
       .filter(size(col("arr")) >= 2) // sequence(2,1) would step BACKWARDS
       .repartition(p, col("doc_id")) // spread: one parquet split must not serialize the explode
-    val bgs = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val bgs = maybeCutBigrams(df, docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg")))
     val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
     val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
     val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
@@ -619,8 +647,8 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
       .filter(size(col("arr")) >= 2)
       .repartition(p, col("doc_id"))
-    val bgs = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val bgs = maybeCutBigrams(df, docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg")))
     val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
     val sp = c2
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -668,8 +696,8 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), split(normalize(col(textCol)), " ").as("arr"))
       .filter(size(col("arr")) >= 2)
       .repartition(p, col("doc_id"))
-    val bgs = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg"))
+    val bgs = maybeCutBigrams(df, docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(2, size(arr)), i -> concat(element_at(arr, i-1), ' ', element_at(arr, i)))")).as("bg")))
     val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
     val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
     val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
