@@ -22,6 +22,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Plan-audit mode: without this, lineage-cut operators dump as an
+    // opaque `Scan ExistingRDD ... localCheckpoint` (the r17 minhash
+    // evidence defect). Keeping lineage here shows the REAL operator
+    // tree — the executed bench plan differs only by the cut points.
+    // Audit-only knob; Bench/Verify never set it.
+    spark.conf.set(graft.util.Lineage.KeepKey, "true")
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_join_agg", "q5_multijoin", "cdc_incremental_pull",

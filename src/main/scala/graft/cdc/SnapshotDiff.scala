@@ -73,7 +73,11 @@ object SnapshotDiff {
     // no oracle portability constraint): per-cell 60-bit portable
     // hash with an "N" null sentinel, folded once more — one digest
     // per cell, long comparisons across the 3-way join instead of
-    // 32-char hex strings
+    // 32-char hex strings. Accepted-risk delta vs the md5 form this
+    // replaced: a 60-bit row-hash collision between one pk's variants
+    // (~2⁻⁶⁰ per comparison) would misread a changed row as unchanged
+    // or a conflict as agreement — the same order of risk every other
+    // portable-hash equality in this repo already carries
     def hashed(df: DataFrame, tag: String) =
       df.select(pkCols.map(col) :+
         graft.util.Hashing.portableHash64(concat_ws("|",

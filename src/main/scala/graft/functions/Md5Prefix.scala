@@ -65,8 +65,14 @@ case class Md5Prefix(child: Expression, nibbles: Int)
 
   override def dataType: DataType = LongType
 
-  override def prettyName: String =
-    if (nibbles == 15) "graft_h64" else s"graft_h$nibbles"
+  // plan/error rendering must match the REGISTERED names (15 nibbles
+  // = graft_h64, 8 = graft_h32) so a name read off a plan dump
+  // resolves and greps
+  override def prettyName: String = nibbles match {
+    case 15 => "graft_h64"
+    case 8 => "graft_h32"
+    case n => s"graft_h$n"
+  }
 
   private lazy val isBinary = child.dataType == BinaryType
 

@@ -175,8 +175,18 @@ object GraphAnnIndex {
         .select(col("qid").as("id"), col("id").as("nid"),
           round(col("cos"), 6).as("cos")))
     val rev = fwd.select(col("nid").as("id"), col("id").as("nid"), col("cos"))
-    // independent writes (disjoint stores) — overlapped per guide §2.6;
-    // the edge write materializes fwd's lazy cut, count() then reuses it
+    // Overlapped writes to DISJOINT OUTPUT paths (guide §2.6); the
+    // edge write materializes fwd's lazy cut, count() then reuses it.
+    // The overlap's read-side invariant, stated because a replayed
+    // batch makes the node write DELETE+REWRITE gb=*/batch=<batchId>
+    // dirs that live under the same store the edge write's lineage
+    // (fwd <- beamSearch <- live <- nodesPath) reads: it is safe
+    // because (a) `nodes()` partition-prunes to batch < batchId, so
+    // the rewritten dirs are outside every file the search may open,
+    // and (b) the InMemoryFileIndex snapshots the listing eagerly at
+    // DataFrame creation — both before Par.run forks. A future change
+    // that relaxes the `beforeBatch` pruning or re-lists lazily must
+    // serialize these writes instead (node write first).
     graft.util.Par.run(
       graft.streaming.CdcStream.writeStorePartitions(
         pNew, bucketOf(col("id"), nB), batchId, nodesPath(store), nB),

@@ -21,10 +21,30 @@ object Hashing {
     * the active session (graft.functions.GraftExtensions) — the
     * graft_dot probe-and-fall-back discipline: identical values either
     * way, the native path just skips the hex render + re-parse.
+    *
+    * The probe is cached PER SESSION (weak keys — a retired session
+    * must stay collectable): hash-family loops construct dozens of
+    * these columns and a catalog functionExists lookup per column is
+    * measurable driver work. Extensions are fixed at session build, so
+    * the cached answer cannot go stale for a given session; a Column
+    * built on one session and analyzed on another differently-
+    * configured one was already unsupported (the plan would carry the
+    * other session's registration) and remains so.
     */
+  private val nativeProbe =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   private def nativeHash: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("graft_h64"))
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      val cached = nativeProbe.get(s)
+      if (cached != null) cached.booleanValue()
+      else {
+        val v = s.catalog.functionExists("graft_h64")
+        nativeProbe.put(s, java.lang.Boolean.valueOf(v))
+        v
+      }
+    }
 
   /** 60-bit non-negative portable hash of a string column. */
   def portableHash64(c: Column): Column =

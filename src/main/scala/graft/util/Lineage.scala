@@ -48,12 +48,28 @@ object Lineage {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** PLAN-AUDIT knob: `spark.graft.keepLineage=true` makes both
+    * truncation helpers return `df` unchanged, so `.explain` shows
+    * the real operator tree instead of the opaque
+    * `Scan ExistingRDD ... localCheckpoint` a cut leaves behind (the
+    * r17 evidence defect: lineage-cut operators produced 7-line plan
+    * dumps that proved nothing, and PlanAuditSpec lost coverage of
+    * their join shapes). Audit-only — never set it for a bench or a
+    * production run: without the cuts, reuse frames recompute per
+    * consumer and iterative plans regrow per round.
+    */
+  val KeepKey = "spark.graft.keepLineage"
+
+  private def keep(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(KeepKey).contains("true")
+
   /** Truncate `df`'s lineage; eager in both modes (the caller is
     * about to iterate on the result, and lazy checkpoints re-run the
     * full upstream plan once more on first use).
     */
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (keep(df)) return df
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
@@ -86,9 +102,19 @@ object Lineage {
     * written, which is the exact double-pass this helper exists to
     * avoid — and durable-recovery callers already accepted one write
     * job per round as the price of surviving executor loss.
+    *
+    * Durability trade, named (same as [[truncate]]'s default mode):
+    * the cut blocks live on executor block managers only, and the
+    * plan that could rebuild them is gone — an executor loss after
+    * materialization FAILS the consuming job rather than recomputing,
+    * and the caller (or its retry layer: foreachBatch replays, the
+    * bench's fresh run, an orchestrator's job retry) re-runs from the
+    * sources. Acceptable wherever the cut frame is cheap relative to
+    * a retry; set `spark.graft.checkpointDir` where it is not.
     */
   def truncateLazy(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (keep(df)) return df
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty => truncate(df)
       case _ => df.localCheckpoint(eager = false)

@@ -20,6 +20,26 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
   }
 
+  test("keepLineage knob: the GATED minhash query explains its real shape " +
+      "(no opaque localCheckpoint scan)") {
+    // the r17 evidence defect: lineage-cut operators dumped as a
+    // 7-line `Scan ExistingRDD` plan. Under spark.graft.keepLineage
+    // the gated query's own plan must carry the banded-join shape —
+    // wide-form partial min signatures, the salted bucket equi-join,
+    // never a cartesian — and without the knob the cut must still
+    // apply (the bench plan is the truncated one).
+    withSQLConf(graft.util.Lineage.KeepKey -> "true") {
+      val plan = formatted(q("dedup_minhash_lsh"))
+      assert(!plan.contains("ExistingRDD"),
+        "keepLineage did not suppress the lineage cut")
+      assert(plan.contains("partial_min"), "lost the wide-form band min")
+      assert(plan.contains("graft_intersect_size"), "lost the native verify")
+      assert(!plan.contains("CartesianProduct"))
+    }
+    assert(formatted(q("dedup_minhash_lsh")).contains("ExistingRDD"),
+      "without the knob the gated plan must stay truncated (bench shape)")
+  }
+
   test("q3_join_agg: filters reach parquet, dims broadcast, aggregation is partial") {
     val plan = formatted(q("q3_join_agg"))
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
@@ -681,8 +701,19 @@ class PlanAuditSpec extends SparkSpec {
       "the fixed split vocabulary makes the whole audit conditional sums — no join")
     assert(plan.contains("partial_sum"),
       "per-hash split counters must combine map-side")
-    assert(ops(plan, "Exchange") <= 2,
-      "one content-hash exchange + one |splits|-leg exchange only")
+    // r17 (e02991b) spreads the per-row normalize+md5 off a
+    // splits-scarce scan with ONE deterministic doc_id hash
+    // repartition before the projection (Tables.spread — a structural
+    // no-op at corpus scale, same shape 0b7892a pinned for
+    // winnow/cdcChunk); the audit allows exactly that exchange and
+    // nothing looser
+    assert(ops(plan, "Exchange") <= 3,
+      "content-hash + |splits|-leg + the one scan-spread exchange only")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      "the spread must be the deterministic doc_id hash repartition")
+    assert(!plan.contains("RoundRobinPartitioning") &&
+      !plan.contains("rangepartitioning"),
+      "never round-robin (retry-unsafe) or range (sampling pass) spread")
   }
 
   test("q_ewma: one key exchange, one window pass, no join") {
@@ -715,16 +746,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_fuzzy_join: gram path is an equi-join, the only loop join is the tiny brute channel") {
-    val plan = formatted(q("q_fuzzy_join"))
-    assert(!plan.contains("CartesianProduct"),
-      "blocking must never form the cross product")
-    assert(ops(plan, "BroadcastNestedLoopJoin") <= 1,
-      "at most the broadcast brute channel over sub-q(d+1) strings")
-    assert(ops(plan, "SortMergeJoin") + ops(plan, "ShuffledHashJoin") +
-      ops(plan, "BroadcastHashJoin") >= 1,
-      "the (gram, ordinal) candidates must come from an equi-join")
-    assert(plan.contains("partial_count"),
-      "shared-gram counts must combine map-side")
+    // keepLineage: the gram tables and the rarity count pin under lazy
+    // cuts (they feed the frequency pass AND the per-side prefix
+    // selection) — audit the REAL shape, not the truncated scan
+    withSQLConf(graft.util.Lineage.KeepKey -> "true") {
+      val plan = formatted(q("q_fuzzy_join"))
+      assert(!plan.contains("CartesianProduct"),
+        "blocking must never form the cross product")
+      assert(ops(plan, "BroadcastNestedLoopJoin") <= 1,
+        "at most the broadcast brute channel over sub-q(d+1) strings")
+      assert(ops(plan, "SortMergeJoin") + ops(plan, "ShuffledHashJoin") +
+        ops(plan, "BroadcastHashJoin") >= 1,
+        "the (gram, ordinal) candidates must come from an equi-join")
+      assert(plan.contains("partial_count"),
+        "gram rarity counts must combine map-side")
+      assert(plan.contains("slice") && plan.contains("array_sort"),
+        "each side must contribute only its q·d+1 rarest grams (prefix filter)")
+    }
   }
 
   test("emb_outliers: broadcast moment row, top-k never a global sort") {
