@@ -6,7 +6,14 @@ import org.apache.spark.sql.SparkSession
   * (default: a representative set) so scan pruning (`ReadSchema`),
   * filter pushdown (`PushedFilters`), join strategies, and
   * whole-stage-codegen coverage can be reviewed. Usage:
-  *   runMain graft.Explain [queryName ...]
+  *   runMain graft.Explain [--cut] [queryName ...]
+  *
+  * `--cut` dumps the EXECUTED (bench) shape instead — lineage cuts
+  * stay active, so reuse points show as their checkpoint scans.
+  * Two synthetic names dump internal frames a query's returned plan
+  * cannot show: `_kll_agg_native` / `_kll_agg_udaf` are
+  * profile_quantiles_kll's sketch aggregation (the query collects it
+  * eagerly and returns the post-collect verification join).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -22,18 +29,27 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val (flags, given) = args.toSeq.partition(_.startsWith("--"))
     // Plan-audit mode: without this, lineage-cut operators dump as an
     // opaque `Scan ExistingRDD ... localCheckpoint` (the r17 minhash
     // evidence defect). Keeping lineage here shows the REAL operator
-    // tree — the executed bench plan differs only by the cut points.
-    // Audit-only knob; Bench/Verify never set it.
-    spark.conf.set(graft.util.Lineage.KeepKey, "true")
+    // tree — the executed bench plan differs only by the cut points
+    // (pass --cut to see exactly those). Audit-only knob; Bench/Verify
+    // never set it.
+    if (!flags.contains("--cut"))
+      spark.conf.set(graft.util.Lineage.KeepKey, "true")
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (given.nonEmpty) given
       else Seq("q1_agg", "q3_join_agg", "q5_multijoin", "cdc_incremental_pull",
         "cdc_range_hash_fast", "cdc_merge_upsert", "dedup_exact", "ann_topk")
+    val internalFrames: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "_kll_agg_native" -> ((s, d) =>
+          graft.queries.PipelineQueries.kllAggFrame(s, d, native = true)),
+        "_kll_agg_udaf" -> ((s, d) =>
+          graft.queries.PipelineQueries.kllAggFrame(s, d, native = false)))
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      SparkEntry.queries.get(name).orElse(internalFrames.get(name)) match {
         case Some(fn) =>
           println(s"\n========== $name ==========")
           fn(spark, sfDir).explain("formatted")

@@ -1811,19 +1811,30 @@ object PipelineQueries {
         expr("(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
   }
 
-  def profileQuantilesKllQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val k = 256
+  /** The stacked (col_name, val) frame [[profileQuantilesKllQ]] folds,
+    * and its sketch-aggregation frame — named so the query and the
+    * plan audit ([[graft.Explain]]'s `_kll_agg_native`/`_kll_agg_udaf`)
+    * share one definition: the query's own returned plan is the
+    * POST-collect verification join, which never shows the aggregate.
+    */
+  private[graft] def kllStacked(spark: SparkSession, sfDir: String): DataFrame = {
     val stackArgs = kllCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
-    val stacked = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .selectExpr(s"stack(${kllCols.size}, $stackArgs) as (col_name, val)")
       .filter(col("val").isNotNull)
+  }
+
+  private[graft] def kllAggFrame(spark: SparkSession, sfDir: String,
+                                 native: Boolean): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val k = 256
+    val stacked = kllStacked(spark, sfDir)
     // Native TypedImperativeAggregate when registered (no per-row
     // encoder round trip — graft.functions.KllSketchAgg), udaf
     // fallback otherwise; identical sketch arithmetic and one output
     // struct shape either way (the graft_dot probe discipline).
     val kllOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (spark.catalog.functionExists("graft_kll"))
+      if (native)
         c => call_function("graft_kll", c, lit(k))
       else {
         val kllUdaf = udaf(new graft.ops.KllAgg(k), Encoders.scalaDouble)
@@ -1841,8 +1852,13 @@ object PipelineQueries {
       if (stacked.rdd.getNumPartitions < 32)
         stacked.repartition(32, col("col_name"), col("val"))
       else stacked
-    val sketches = spread.groupBy("col_name")
-      .agg(kllOf(col("val")).as("sk")).collect()
+    spread.groupBy("col_name").agg(kllOf(col("val")).as("sk"))
+  }
+
+  def profileQuantilesKllQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val stacked = kllStacked(spark, sfDir)
+    val sketches = kllAggFrame(spark, sfDir,
+      native = spark.catalog.functionExists("graft_kll")).collect()
     val est = sketches.flatMap { row =>
       val name = row.getString(0)
       val skRow = row.getStruct(1)
