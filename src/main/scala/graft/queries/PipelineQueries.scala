@@ -1859,7 +1859,7 @@ object PipelineQueries {
     val stacked = kllStacked(spark, sfDir)
     val sketches = kllAggFrame(spark, sfDir,
       native = spark.catalog.functionExists("graft_kll")).collect()
-    val est = sketches.flatMap { row =>
+    val est = sketches.map { row =>
       val name = row.getString(0)
       val skRow = row.getStruct(1)
       // Row decoding hands back mutable ArraySeqs; the state type wants
@@ -1867,14 +1867,34 @@ object PipelineQueries {
       val state = graft.ops.KllState(
         skRow.getInt(0), skRow.getLong(1), skRow.getLong(2),
         skRow.getSeq[scala.collection.Seq[Double]](3).map(_.toVector).toVector)
-      kllPcts.map(p => (name, p, graft.ops.Kll.quantile(state, p).get))
+      (name, kllPcts.map(p => graft.ops.Kll.quantile(state, p).get))
     }.toSeq
-    val estDf = spark.createDataFrame(est).toDF("col_name", "pct", "qhat")
+    // Rank verification in ONE pass over the stacked rows: the previous
+    // shape broadcast-joined a (col_name, pct, qhat) grid, replicating
+    // every stacked row ×|pcts| before the (col_name, pct) aggregate.
+    // Carry the |pcts| qhats as one array per col_name instead and fold
+    // |pcts| conditional sums per row, exploding to the (col_name, pct)
+    // grain only AFTER aggregation (|cols| rows). Same comparisons,
+    // same counts (each col_name had exactly one grid row per pct, so
+    // the old per-(col,pct) `n` equals the per-col count), ×|pcts|
+    // fewer rows through the join and the partial-aggregate hash map.
+    val estDf = spark.createDataFrame(est).toDF("col_name", "qhats")
+    val nP = kllPcts.size
+    val ltSums = (0 until nP).map(i =>
+      sum(when(col("val") < element_at(col("qhats"), i + 1), 1L)
+        .otherwise(0L)).as(s"__lt$i"))
+    val leSums = (0 until nP).map(i =>
+      sum(when(col("val") <= element_at(col("qhats"), i + 1), 1L)
+        .otherwise(0L)).as(s"__le$i"))
+    val perPct = (0 until nP).map(i =>
+      struct(lit(kllPcts(i)).as("pct"),
+        col(s"__lt$i").as("__lt"), col(s"__le$i").as("__le")))
     stacked.join(broadcast(estDf), Seq("col_name"))
-      .groupBy(col("col_name"), col("pct"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("val") < col("qhat"), 1L).otherwise(0L)).as("__lt"),
-        sum(when(col("val") <= col("qhat"), 1L).otherwise(0L)).as("__le"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"), (ltSums ++ leSums): _*)
+      .select(col("col_name"), col("n"), explode(array(perPct: _*)).as("e"))
+      .select(col("col_name"), col("e.pct").as("pct"), col("n"),
+        col("e.__lt").as("__lt"), col("e.__le").as("__le"))
       .withColumn("__target", expr("(pct * n + 99) div 100"))
       .withColumn("__tol", expr(s"(n * $kllBoundPpm) div 1000000"))
       .withColumn("within_bound",
